@@ -1,0 +1,197 @@
+"""Aggregation operators (SURVEY.md §2.5 A1-A15).
+
+Every operator is a ``groupBy().agg()`` plan — Spark executes these as
+partial (map-side) + final hash aggregations, so each one shuffles only
+the group keys' partial states, never raw rows.  Decimal-typed sums are
+used where the result must be bit-deterministic across partition
+orderings (double addition is not associative; decimal is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.functions.market import (
+    month_key,
+    weekday_name,
+    weekday_sort_key,
+)
+
+# Exact, order-independent sum of a double column: accumulate in
+# decimal then present as double.  Double addition is not associative,
+# so a plain double sum varies with partition order; decimal is exact
+# for inputs with <= 6 decimal places and |x| < 10^12 (all money-like
+# columns here).  Cost is ~2x a double sum — worth it for gated/audited
+# aggregates; use plain F.sum for throughput paths.
+DEC = "decimal(18,6)"
+
+
+def exact_sum(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def exact_avg(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias("avg")
+
+
+def exact_stddev_samp(col: str | Column) -> Column:
+    """Sample stddev via exact decimal moments: identical IEEE result on
+    any engine computing sqrt((Σx² − (Σx)²/n)/(n−1)) over exact sums.
+    decimal(18,6)² = decimal(36,12) fits precision 38, so both moments
+    are exact.  Matches pandas .std() ddof=1 (reference W2/A1 use
+    sample stddev)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c)
+    sx = F.sum(c.cast(DEC)).cast("double")
+    sx2 = F.sum(c.cast(DEC) * c.cast(DEC)).cast("double")
+    return F.when(n > 1, F.sqrt((sx2 - sx * sx / n) / (n - F.lit(1))))
+
+
+def symbol_metrics(df: DataFrame, symbol_col: str, price_cols: tuple[str, str, str, str],
+                   volume_col: str, trades_col: str) -> DataFrame:
+    """A1 — per-symbol market metrics (reference src/analytics/metrics.py:15-24):
+    AVG(ohlc4), STDDEV(close), SUM(volume), SUM(num_trades), rounded."""
+    o, h, l, c = price_cols
+    ohlc4 = (F.col(o) + F.col(h) + F.col(l) + F.col(c)) / F.lit(4.0)
+    return (
+        df.groupBy(symbol_col)
+        .agg(
+            F.round(F.avg(ohlc4), 2).alias("avg_price"),
+            F.round(F.stddev_samp(c), 2).alias("volatility"),
+            F.round(exact_sum(volume_col), 2).alias("total_volume"),
+            F.sum(trades_col).alias("total_trades"),
+        )
+        .orderBy(symbol_col)
+    )
+
+
+def daily_summary(df: DataFrame, ts: str, value: str, extra: dict[str, Column] | None = None) -> DataFrame:
+    """A2 — per-day summary (binance_analysis.py:655-667)."""
+    aggs = [
+        exact_avg(value).alias("avg_value"),
+        exact_sum(value).alias("sum_value"),
+        F.max(value).alias("max_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    for name, expr in (extra or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(F.to_date(ts).alias("date")).agg(*aggs).orderBy("date")
+
+
+def monthly_rollup(daily: DataFrame, date_col: str = "date", value_col: str = "sum_value") -> DataFrame:
+    """A3 — agg-of-agg: month rollup reusing the daily pre-aggregate
+    (binance_analysis.py:669-672).  The reuse is the optimization: the
+    monthly pass aggregates ~30x fewer rows than raw."""
+    return (
+        daily.groupBy(F.date_format(date_col, "yyyy-MM").alias("month"))
+        .agg(F.sum(value_col).alias("volume"))
+        .orderBy("month")
+    )
+
+
+def hourly_profile(df: DataFrame, ts: str, value: str) -> DataFrame:
+    """A4 — hour-of-day profile (binance_analysis.py:676-684)."""
+    return (
+        df.groupBy(F.hour(ts).alias("hour"))
+        .agg(exact_avg(value).alias("avg_value"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("hour")
+    )
+
+
+def dow_profile(df: DataFrame, ts: str, value: str) -> DataFrame:
+    """A5 — day-of-week profile with Monday-first ordering
+    (binance_analysis.py:686-687; ordered categorical semantics)."""
+    return (
+        df.groupBy(
+            weekday_name(ts).alias("weekday"),
+            weekday_sort_key(ts).alias("dow_key"),
+        )
+        .agg(exact_avg(value).alias("avg_value"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("dow_key")
+    )
+
+
+def weekday_hour_pivot(df: DataFrame, ts: str, value: str) -> DataFrame:
+    """A6 — weekday × hour heatmap pivot (binance_analysis.py:689-690).
+
+    Pivot values pinned to 0..23 so the output schema is deterministic
+    regardless of which hours appear in the data (SURVEY.md §7)."""
+    return (
+        df.withColumn("hour_of_day", F.hour(ts))
+        .groupBy(
+            weekday_name(ts).alias("weekday"),
+            weekday_sort_key(ts).alias("dow_key"),
+        )
+        .pivot("hour_of_day", list(range(24)))
+        .agg(exact_avg(value))
+        .orderBy("dow_key")
+    )
+
+
+def overall_stats(df: DataFrame, value: str) -> DataFrame:
+    """A7 — global scalar summary: mean/median/p95/p99/sum/count
+    (binance_analysis.py:638-651).  Exact `percentile` (linear
+    interpolation, = pandas/DuckDB quantile) rather than
+    percentile_approx, per SURVEY.md §7 oracle-parity note."""
+    v = F.col(value)
+    return df.agg(
+        exact_avg(value).alias("mean_value"),
+        F.expr(f"percentile({value}, 0.5)").alias("median_value"),
+        F.expr(f"percentile({value}, 0.95)").alias("p95_value"),
+        F.expr(f"percentile({value}, 0.99)").alias("p99_value"),
+        exact_sum(value).alias("sum_value"),
+        F.count(v).alias("n_rows"),
+    )
+
+
+def quantile_threshold_filter(df: DataFrame, value: str, q: float) -> DataFrame:
+    """P7/A8 — filter rows above the exact q-quantile of ``value``
+    (large-trade selection, binance_analysis.py:399-402).
+
+    The scalar threshold is a 1-row aggregate broadcast back with a
+    cross join — no driver collect, so the plan stays fully lazy and
+    cluster-side."""
+    thresh = df.agg(F.expr(f"percentile({value}, {q})").alias("__thresh"))
+    return (
+        df.crossJoin(F.broadcast(thresh))
+        .where(F.col(value) >= F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
+def coverage_stats(df: DataFrame, key: str, ts: str, step_seconds: int = 60) -> DataFrame:
+    """A11 — per-key coverage/gap stats: span, observed rows, expected
+    rows at a fixed cadence, missing (binance_analysis.py:606-621)."""
+    span_sec = F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts))
+    expected = F.floor(span_sec / F.lit(step_seconds)) + 1
+    return (
+        df.groupBy(key)
+        .agg(
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("max_ts"),
+            F.count(F.lit(1)).alias("n_rows"),
+            expected.alias("expected_rows"),
+            (expected - F.count(F.lit(1))).alias("missing_rows"),
+        )
+        .orderBy(key)
+    )
+
+
+def best_and_spread(df: DataFrame, side: str, price: str,
+                    bid: str = "bid", ask: str = "ask") -> DataFrame:
+    """A12 — best bid (max price on bid side), best ask (min price on
+    ask side), spread and mid (binance_analysis.py:499-502).  One
+    conditional aggregation — a single shuffle-free-after-partial pass,
+    no pivot needed."""
+    s = F.col(side)
+    best_bid = F.max(F.when(s == bid, F.col(price)))
+    best_ask = F.min(F.when(s == ask, F.col(price)))
+    return df.agg(
+        best_bid.alias("best_bid"),
+        best_ask.alias("best_ask"),
+        (best_ask - best_bid).alias("spread"),
+        ((best_ask + best_bid) / 2.0).alias("mid"),
+    )

