@@ -29,6 +29,7 @@ from kp_crypto_market_analytics_spark.functions.text import (
     hash64,
     word_shingles,
 )
+from kp_crypto_market_analytics_spark.session import ensure_parallelism
 
 MERSENNE61 = (1 << 61) - 1
 
@@ -39,7 +40,8 @@ def exact_dedup(df: DataFrame, text: str, id_col: str) -> DataFrame:
     map-side combine makes the shuffle carry one row per distinct hash
     per partition."""
     return (
-        df.withColumn("__fp", fingerprint_md5(text))
+        ensure_parallelism(df)
+        .withColumn("__fp", fingerprint_md5(text))
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__fp")
@@ -49,7 +51,8 @@ def exact_dedup(df: DataFrame, text: str, id_col: str) -> DataFrame:
 def _shingle_sets(df: DataFrame, text: str, id_col: str, k: int, use_words: bool) -> DataFrame:
     sh = word_shingles(text, k) if use_words else char_shingles(text, k)
     return (
-        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text)))
+        .select("doc", F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -177,7 +180,7 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     Plan: explode tokens → per-(doc, bit) weighted votes via shiftright
     masks → reassemble the fingerprint with a sum of bit columns.  Kept
     to 64 bits in one LongType column."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")).alias("tok"),
     )

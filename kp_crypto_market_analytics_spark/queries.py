@@ -58,7 +58,7 @@ from kp_crypto_market_analytics_spark.operators.windows import (
     top_k,
     top_k_per_group,
 )
-from kp_crypto_market_analytics_spark.session import load_tables
+from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
 
 # ---------------------------------------------------------------- helpers
 
@@ -1069,7 +1069,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on md5(normalized text): smallest doc_id survives
     (hash-groupBy, one shuffle of fingerprints)."""
     t = load_tables(spark, sf_dir, ["documents"])
-    d = t["documents"]
+    d = ensure_parallelism(t["documents"])
     return (
         d.withColumn("fp", fingerprint_md5("text"))
         .groupBy("fp")
@@ -1130,7 +1130,7 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified bit-exactly against SQL."""
     t = load_tables(spark, sf_dir, ["documents"])
     sets = (
-        t["documents"]
+        ensure_parallelism(t["documents"])
         .select(F.col("doc_id"), F.explode(char_shingles("text", 4)).alias("shingle"))
         .distinct()
     )

@@ -75,6 +75,23 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     return out
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition when the scan yields fewer partitions than cores.
+
+    Single-file (single-row-group) parquet inputs arrive as ONE
+    partition, serializing per-row-expensive work (md5, shingling,
+    regex) onto one core.  On a real cluster the input has many
+    files/row-groups and this is a no-op (n >= target); locally it
+    buys near-linear speedup for CPU-bound transforms.  Only use ahead
+    of per-row-expensive pipelines — the repartition itself shuffles
+    the input once."""
+    n = df.rdd.getNumPartitions()
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if n < target:
+        return df.repartition(target)
+    return df
+
+
 def _read_parquet_ns_safe(spark: SparkSession, path: str):
     """Read parquet tolerating TIMESTAMP(NANOS) columns.
 
