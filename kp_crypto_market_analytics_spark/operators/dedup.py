@@ -31,7 +31,7 @@ from kp_crypto_market_analytics_spark.functions.text import (
 )
 from kp_crypto_market_analytics_spark.session import ensure_parallelism
 
-MERSENNE61 = (1 << 61) - 1
+MERSENNE31 = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, text: str, id_col: str) -> DataFrame:
@@ -118,13 +118,15 @@ def minhash_signatures(
     (a, b) coefficients are fixed odd/offset constants derived from j —
     deterministic across runs and engines."""
     sets = _shingle_sets(df, text, id_col, k, use_words)
-    h = hash64(F.col("shingle"))
+    # Reduce the 60-bit base hash mod 2^31-1 BEFORE the affine map:
+    # a*h then stays under 2^37 — no int64 overflow under ANSI mode.
+    h = hash64(F.col("shingle")) % F.lit(MERSENNE31)
     aggs = []
     for j in range(num_hashes):
         a = 2 * j + 1
         b = 104729 * (j + 1)
         aggs.append(
-            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE61)).alias(f"mh_{j}")
+            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh_{j}")
         )
     return sets.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
 
@@ -147,7 +149,10 @@ def minhash_lsh_pairs(
 
     band_cols = []
     for b in range(bands):
-        cols = [F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        cols = [
+            F.col(f"mh_{j}").alias(f"h{i}")
+            for i, j in enumerate(range(b * rows_per_band, (b + 1) * rows_per_band))
+        ]
         band_cols.append(F.struct(F.lit(b).alias("band"), *cols).alias(f"__band_{b}"))
     buckets = sig.select(
         F.col(id_col).alias("doc"),

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing (training-data pipeline extension).
+
+Image/audio/video are opaque ``binary`` payloads + typed metadata; the
+compute stages (decode, resize, feature-extract, frame-sample) run as
+Arrow-batched Pandas functions via ``mapInPandas`` — the Spark-side
+plumbing (schemas, batch shapes, partition sizing) is real and tested,
+while the codec itself is stubbed: this container has no image/audio
+libraries, so ``decode_media`` raises NotImplementedError unless
+``fake=True`` supplies the deterministic stand-in decoder.
+
+Scale notes:
+- Payloads stay OFF the shuffle path: metadata-only projections for
+  filtering/joining, payload columns only inside the mapInPandas stage.
+- ``maxRecordsPerBatch`` bounds Arrow batch memory when payloads are
+  MBs each; repartition by size-class before decode to even out
+  executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("ok", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes | str, kind: str) -> dict:
+    """Deterministic stand-in decoder: derives pseudo-dimensions and a
+    FEATURE_DIM-float feature vector from the payload bytes alone, so
+    tests exercise real batch shapes without codec libraries."""
+    data = payload.encode() if isinstance(payload, str) else (payload or b"")
+    h = 0
+    for b in data[:64]:
+        h = (h * 131 + b) % (1 << 31)
+    return {
+        "ok": "ok" if data else "empty",
+        "width": 16 + h % 1024,
+        "height": 16 + (h // 7) % 1024,
+        "features": [float((h >> i) & 0xFF) / 255.0 for i in range(0, FEATURE_DIM * 4, 4)],
+    }
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload", kind_col: str = "kind",
+                 id_col: str = "media_id", fake: bool = False) -> DataFrame:
+    """Decode/feature-extract stage as mapInPandas (Arrow-batched; one
+    Python worker per partition, vectorized I/O).  Real codecs are not
+    available in this environment — pass fake=True for the
+    deterministic stand-in, else NotImplementedError surfaces in the
+    executor."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires codec libraries (PIL/ffmpeg) "
+                    "not present in this environment; use fake=True"
+                )
+            decoded = [_fake_decode(p, k) for p, k in zip(pdf[payload_col], pdf[kind_col])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "kind": pdf[kind_col].values,
+                    "ok": [d["ok"] for d in decoded],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, DECODED_SCHEMA)
+
+
+def media_metadata_stats(decoded: DataFrame) -> DataFrame:
+    """Post-decode metadata aggregation — payloads already dropped, so
+    this shuffles only scalars."""
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("width").alias("avg_width"),
+            F.avg("height").alias("avg_height"),
+        )
+        .orderBy("kind")
+    )

@@ -111,12 +111,25 @@ def lsh_topk(
     k: int = 5,
     planes: int = 8,
     dim: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only within matching LSH buckets.
     Join on bucket id replaces the cross join — candidate count drops by
-    ~2^planes; recall traded via ``planes``."""
+    ~2^planes; recall traded via ``planes``.
+
+    ``multiprobe`` > 0 additionally probes every bucket within Hamming
+    distance 1 of the query's bucket (flipping each of the ``planes``
+    bits) — the standard recall boost that costs planes× more candidate
+    buckets on the (small) query side only, never touching the corpus
+    layout."""
     cb = random_hyperplane_buckets(corpus, vec_col, id_col, planes, dim).withColumnRenamed(id_col, "neighbor_id")
     qb = random_hyperplane_buckets(queries, vec_col, id_col, planes, dim).withColumnRenamed(id_col, "query_id")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
+        )
+        qb = qb.select("query_id", F.explode(probes).alias("bucket"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec")).join(cb, "neighbor_id")
     q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")).join(qb, "query_id")
     scored = (

@@ -1,0 +1,53 @@
+"""Driver-contract smoke: entry() + a fast subset of oracle-gated
+queries cross-checked against DuckDB in-process (the full gate is
+tools/verify_local.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+FAST_SUBSET = [
+    "q1_pricing_summary",
+    "a1_symbol_metrics",
+    "a7_overall_stats",
+    "w2_rolling_std",
+    "j1_minute_equijoin",
+    "stream_candles_1m",
+    "dedup_exact",
+    "sim_bruteforce_topk",
+]
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_registry_consistency():
+    import __spark_entry__ as m
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 39
+
+
+@pytest.mark.parametrize("name", FAST_SUBSET)
+def test_query_matches_oracle(spark, name):
+    import __spark_entry__ as m
+    from tools.verify_local import compare, duck_connection
+
+    sdf = m.queries()[name](spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = duck_connection(SF_DIR)
+    res = con.execute(m.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    issues, max_delta = compare(spark_rows, res.fetchall(), sdf.columns, duck_cols)
+    assert not issues, issues
+    assert max_delta == 0.0

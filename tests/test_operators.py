@@ -1,0 +1,234 @@
+"""Operator semantics vs pandas ground truth (the subtle ones:
+rolling windows, MAD z-score scope, as-of join, LSH recall)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rolling_std_matches_pandas(spark):
+    # W2: pandas rolling(60, min_periods=30).std() parity (ddof=1).
+    from kp_crypto_market_analytics_spark.operators.windows import rolling_std
+
+    rng = np.random.RandomState(42)
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * 100 + ["Y"] * 80,
+            "t": list(range(100)) + list(range(80)),
+            "v": rng.randn(180),
+        }
+    )
+    expected = (
+        pdf.groupby("symbol")["v"].rolling(60, min_periods=30).std().reset_index(level=0, drop=True)
+    )
+    df = spark.createDataFrame(pdf)
+    out = rolling_std(df, "symbol", "t", "v", 60, 30).orderBy("symbol", "t").toPandas()
+    got = out["rolling_std"]
+    exp = pdf.sort_values(["symbol", "t"]).reset_index(drop=True)
+    exp_vals = expected.loc[exp.index]
+    assert np.allclose(got.fillna(-1), exp_vals.fillna(-1), atol=1e-9)
+
+
+def test_robust_z_global_scope(spark):
+    # F13: z-scores computed over the WHOLE frame, not per symbol
+    # (binance_analysis.py:241-243) — SURVEY §7 mis-scope trap.
+    from kp_crypto_market_analytics_spark.functions.market import robust_z_columns
+
+    pdf = pd.DataFrame({"symbol": ["A"] * 5 + ["B"] * 5, "x": [1, 2, 3, 4, 5, 100, 200, 300, 400, 500]})
+    med = np.median(pdf["x"])
+    mad = np.median(np.abs(pdf["x"] - med))
+    expected = 0.6745 * (pdf["x"] - med) / mad
+    df = spark.createDataFrame(pdf)
+    out = robust_z_columns(df, ["x"]).orderBy("x").toPandas()
+    assert np.allclose(out["x_z"], np.sort(expected.values), atol=1e-9)
+
+
+def test_robust_z_degenerate_mad(spark):
+    # MAD == 0 -> fall back to x - median (binance_analysis.py:66-68).
+    from kp_crypto_market_analytics_spark.functions.market import robust_z_columns
+
+    df = spark.createDataFrame([(float(v),) for v in [5, 5, 5, 9]], "x double")
+    out = {r["x"]: r["x_z"] for r in robust_z_columns(df, ["x"]).collect()}
+    assert out[5.0] == 0.0 and out[9.0] == 4.0
+
+
+def test_as_of_join_backward(spark):
+    from kp_crypto_market_analytics_spark.operators.joins import as_of_join
+
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 9, 12.0), ("B", 2, 5.0)],
+        "sym string, qts long, quote double",
+    ).withColumn("qts", F.timestamp_seconds("qts"))
+    trades = spark.createDataFrame(
+        [("A", 4), ("A", 5), ("A", 20), ("B", 1)], "sym string, tts long"
+    ).withColumn("tts", F.timestamp_seconds("tts"))
+    out = {
+        (r["sym"], r["tts"].second): r["quote"]
+        for r in as_of_join(trades, quotes, "tts", "qts", ["sym"]).collect()
+    }
+    assert out[("A", 4)] == 10.0     # last quote at/before t=4 is t=1
+    assert out[("A", 5)] == 11.0     # equal ts matches (right sorts first)
+    assert out[("A", 20)] == 12.0
+    assert out[("B", 1)] is None     # no quote before
+
+
+def test_as_of_join_tolerance(spark):
+    from kp_crypto_market_analytics_spark.operators.joins import as_of_join
+
+    quotes = spark.createDataFrame([("A", 1, 10.0)], "sym string, qts long, quote double").withColumn(
+        "qts", F.timestamp_seconds("qts")
+    )
+    trades = spark.createDataFrame([("A", 100)], "sym string, tts long").withColumn(
+        "tts", F.timestamp_seconds("tts")
+    )
+    out = as_of_join(trades, quotes, "tts", "qts", ["sym"], tolerance_seconds=10).collect()
+    assert out[0]["quote"] is None  # stale beyond tolerance
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    # LSH candidates must contain every truly-similar pair (here: docs
+    # made nearly identical), and estimated jaccard ~ exact jaccard.
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base + " extra"),
+        (2, base.replace("quick", "slow")),
+        (3, "completely different words here nothing shared at all today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", k=4, threshold=0.5, use_words=False).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, "text", "doc_id", num_hashes=32, bands=16, k=4, use_words=False).collect()
+    }
+    assert exact  # the near-identical pairs exist
+    assert exact <= set(lsh)  # recall: all exact pairs are LSH candidates
+    assert all(est > 0.4 for pair, est in lsh.items() if pair in exact)
+
+
+def test_simhash_near_pairs(spark):
+    from kp_crypto_market_analytics_spark.operators.dedup import simhash_near_pairs
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token differs
+        (2, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(df, "text", "doc_id", max_hamming=12).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_lsh_topk_approximates_bruteforce(spark):
+    # Sign-LSH recall is only meaningful on clustered vectors (the
+    # testdata embeddings are near-orthogonal, cos<=0.5, where ANY
+    # single-probe LSH degrades to chance) — so build tight synthetic
+    # clusters (cos ~0.99 within cluster) and require multiprobe LSH to
+    # recover the exact top-1 for most queries.
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(5, 16)
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(20):
+            v = centers[c] + 0.05 * rng.randn(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id").isin(0, 20, 40, 60, 80))
+    exact = brute_force_topk(emb, queries, k=3).collect()
+    approx = lsh_topk(emb, queries, k=3, planes=6, dim=16, multiprobe=1).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in exact_top1.items() if n in approx_by_q.get(q, set()))
+    assert hits >= 4
+
+
+def test_media_decode_plumbing(spark):
+    from kp_crypto_market_analytics_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        media_metadata_stats,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", "payload-a"), (2, "image", "payload-b"), (3, "audio", "")],
+        "media_id long, kind string, payload string",
+    )
+    decoded = decode_media(media, fake=True)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == 3
+    assert rows[3]["ok"] == "empty"
+    assert all(len(r["features"]) == FEATURE_DIM for r in rows.values())
+    # determinism: same payload -> same features
+    again = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
+    assert rows[1]["features"] == again[1]["features"]
+    stats = media_metadata_stats(decoded).collect()
+    assert {r["kind"]: r["n"] for r in stats} == {"image": 2, "audio": 1}
+
+
+def test_media_decode_real_codec_stubbed(spark):
+    from kp_crypto_market_analytics_spark.operators.multimodal import decode_media
+    from py4j.protocol import Py4JJavaError
+
+    media = spark.createDataFrame([(1, "image", "x")], "media_id long, kind string, payload string")
+    with pytest.raises(Exception) as ei:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
+
+
+def test_analytics_pipeline_fanout(spark):
+    # E3 end-to-end: features + fan-out artifact tables on the offline
+    # deterministic fixture enriched with two symbols.
+    from kp_crypto_market_analytics_spark.analytics.pipeline import (
+        add_features,
+        analytics_fanout,
+    )
+
+    rows = []
+    import datetime
+
+    for s, base in [("AAA", 100.0), ("BBB", 50.0)]:
+        for i in range(120):
+            t = datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i)
+            px = base + (i % 7) - 3 + (0.5 if s == "BBB" else 0)
+            rows.append((s, "1m", t, px - 0.5, px + 1, px - 1, px, 10.0 + i % 5, 3))
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, tf string, open_time timestamp, open double, high double,"
+        " low double, close double, volume double, num_trades int",
+    )
+    feats = add_features(candles)
+    cols = set(feats.columns)
+    assert {"typical_price", "log_ret", "abs_ret", "vol_60m", "anomaly_score"} <= cols
+    # vol_60m null until 30 obs (min_periods), then populated
+    x = feats.where(F.col("symbol") == "AAA").orderBy("open_time").collect()
+    assert x[10]["vol_60m"] is None and x[40]["vol_60m"] is not None
+    arts = analytics_fanout(feats)
+    assert arts["daily"].count() == 1
+    assert arts["hourly"].count() == 2  # two hours of data
+    corr = {(r["key_a"], r["key_b"]): r["corr"] for r in arts["correlation"].collect()}
+    assert corr[("AAA", "AAA")] == pytest.approx(1.0)
+    assert corr[("AAA", "BBB")] > 0.99  # same sawtooth shape, different base
+    feats.unpersist()

@@ -1,0 +1,123 @@
+"""Upsert sink idempotence (S14) + Structured Streaming candle
+construction (§2.9): the behaviors, not just the queries."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, rows):
+    df = spark.createDataFrame(rows, "symbol string, tf string, open_time string, close double")
+    return df.withColumn("open_time", F.to_timestamp("open_time"))
+
+
+def test_upsert_idempotent_reingest(spark, tmp_path):
+    # Re-running the same load must not duplicate (load_all.py:29-34).
+    from kp_crypto_market_analytics_spark.sinks.upsert import merge_into
+
+    target = str(tmp_path / "candles")
+    batch = _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0), ("A", "1m", "2024-01-01 00:01:00", 2.0)])
+    key = ["symbol", "tf", "open_time"]
+    merge_into(spark, target, batch, key)
+    merge_into(spark, target, batch, key)
+    out = spark.read.parquet(target)
+    assert out.count() == 2
+
+
+def test_upsert_last_write_wins(spark, tmp_path):
+    # EXCLUDED.* overwrite semantics (load_postgres.py:95-101).
+    from kp_crypto_market_analytics_spark.sinks.upsert import merge_into
+
+    target = str(tmp_path / "candles")
+    key = ["symbol", "tf", "open_time"]
+    merge_into(spark, target, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)]), key)
+    merge_into(spark, target, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 99.0)]), key)
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and rows[0]["close"] == 99.0
+
+
+def test_candles_batch_streaming_equivalence(spark, tmp_path):
+    # The same candles_from_trades plan on a file STREAM must produce
+    # exactly the batch result once drained (§2.9 reference parity).
+    from kp_crypto_market_analytics_spark.streaming.candles import candles_from_trades
+    from kp_crypto_market_analytics_spark.sinks.upsert import upsert_foreach_batch
+
+    trades = spark.createDataFrame(
+        [
+            ("A", 1, 10.0, 1.0, "2024-01-01 00:00:10"),
+            ("A", 2, 12.0, 2.0, "2024-01-01 00:00:40"),
+            ("A", 3, 11.0, 1.0, "2024-01-01 00:01:05"),
+            ("B", 4, 5.0, 3.0, "2024-01-01 00:00:30"),
+        ],
+        "symbol string, trade_id long, price double, qty double, trade_time string",
+    ).withColumn("trade_time", F.to_timestamp("trade_time"))
+
+    src_dir = str(tmp_path / "stream_src")
+    trades.coalesce(1).write.parquet(src_dir)
+
+    batch_result = {
+        (r["symbol"], r["open_time"]): (r["open"], r["high"], r["low"], r["close"], r["volume"], r["num_trades"])
+        for r in candles_from_trades(trades).collect()
+    }
+    assert batch_result[("A", __import__("datetime").datetime(2024, 1, 1, 0, 0))] == (10.0, 12.0, 10.0, 12.0, 3.0, 2)
+
+    stream = spark.readStream.schema(trades.schema).parquet(src_dir)
+    target = str(tmp_path / "candles_tbl")
+    q = (
+        candles_from_trades(stream, watermark=None)
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(upsert_foreach_batch(target, ["symbol", "open_time"]))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream_result = {
+        (r["symbol"], r["open_time"]): (r["open"], r["high"], r["low"], r["close"], r["volume"], r["num_trades"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert stream_result == batch_result
+
+
+def test_rate_stream_smoke(spark, tmp_path):
+    # S1 streaming shape: rate source -> candles -> upsert table.
+    from kp_crypto_market_analytics_spark.streaming.candles import (
+        start_candle_stream,
+        synthetic_trades_stream,
+    )
+
+    trades = synthetic_trades_stream(spark, rows_per_second=50)
+    target = str(tmp_path / "tbl")
+    q = start_candle_stream(trades, target, str(tmp_path / "ckpt"), watermark="10 seconds")
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            q.processAllAvailable()
+            try:
+                if spark.read.parquet(target).count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        out = spark.read.parquet(target)
+        assert out.count() > 0
+        assert set(out.columns) == {
+            "symbol", "open_time", "open", "high", "low", "close", "volume", "num_trades",
+        }
+    finally:
+        q.stop()
+
+
+def test_artifact_sinks(spark, tmp_path):
+    from kp_crypto_market_analytics_spark.sinks.artifacts import (
+        summary_row_json,
+        write_csv_artifact,
+    )
+
+    df = spark.createDataFrame([("a", 1.5)], "k string, v double")
+    write_csv_artifact(df, str(tmp_path / "art"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "art"))
+    assert back.count() == 1
+    assert summary_row_json(df) == '{"k":"a","v":1.5}'

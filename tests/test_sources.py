@@ -1,0 +1,118 @@
+"""Sources: offline fixtures, wire-format normalization, tolerant CSV
+readers (SURVEY.md §2.1-§2.3, FIXTURES.md §4 malformed fixtures)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def offline_env(monkeypatch):
+    monkeypatch.setenv("OFFLINE", "1")
+
+
+def test_offline_klines_fixture(spark):
+    # api.py:56-64 parity: 10 rows, constant 1.0 prices, 1-minute step
+    from kp_crypto_market_analytics_spark.sources.binance import fetch_klines
+
+    df = fetch_klines(spark, "BTCUSDT", "1m", start_ms=1_700_000_000_000)
+    rows = df.orderBy("open_time").collect()
+    assert len(rows) == 10
+    assert all(r["open"] == 1.0 and r["close"] == 1.0 for r in rows)
+    assert all(r["symbol"] == "BTCUSDT" and r["tf"] == "1m" for r in rows)
+    deltas = {
+        (b["open_time"] - a["open_time"]).total_seconds()
+        for a, b in zip(rows, rows[1:])
+    }
+    assert deltas == {60.0}
+
+
+def test_klines_to_df_null_coerce(spark):
+    # P3: malformed numeric cells -> null, not error (ANSI-safe try_cast)
+    from kp_crypto_market_analytics_spark.sources.binance import klines_to_df
+
+    raw = spark.createDataFrame(
+        [(1_700_000_000_000, "1.5", "2.0", "oops", "1.8", "9.9", 0, "0", 3, "X")],
+        "open_time_ms long, open string, high string, low string, close string,"
+        " volume string, close_time_ms long, quote_volume string, num_trades int, symbol string",
+    )
+    row = klines_to_df(raw, "1m").collect()[0]
+    assert row["open"] == 1.5 and row["low"] is None and row["num_trades"] == 3
+
+
+def test_ticker_offline_constant(spark):
+    from kp_crypto_market_analytics_spark.sources.binance import fetch_ticker_prices
+
+    df = fetch_ticker_prices(spark, ["AAA", "BBB"], n_polls=3)
+    assert df.count() == 6
+    assert {r["price"] for r in df.collect()} == {100.0}
+
+
+def test_depth_explode(spark):
+    # P4: nested bids/asks arrays -> one row per level with side tag
+    from kp_crypto_market_analytics_spark.sources.binance import depth_to_df
+
+    snap = {"lastUpdateId": 7, "bids": [["100.5", "2"], ["100.4", "1"]], "asks": [["100.6", "3"]]}
+    df = depth_to_df(spark, "ETHUSDT", snap, 1_700_000_000_000)
+    rows = df.orderBy("side", "price").collect()
+    assert [(r["side"], r["price"], r["qty"]) for r in rows] == [
+        ("ask", 100.6, 3.0), ("bid", 100.4, 1.0), ("bid", 100.5, 2.0),
+    ]
+    assert all(r["update_id"] == 7 for r in rows)
+
+
+def test_tolerant_klines_csv(spark, tmp_path):
+    # FIXTURES §4: ms-epoch vs ISO times; file without symbol column
+    # named klines_BTCUSDT_1m.csv -> filename inference; trades-count
+    # column candidates.
+    from kp_crypto_market_analytics_spark.sources.files import read_klines_csv
+
+    f1 = tmp_path / "klines_BTCUSDT_1m.csv"
+    f1.write_text(
+        "open_time,open,high,low,close,volume,trade_count\n"
+        "1700000000000,1,2,0.5,1.5,10,7\n"
+        "1700000060000,1.5,2,1,2,20,8\n"
+    )
+    f2 = tmp_path / "klines_ETHUSDT_1m.csv"
+    f2.write_text(
+        "open_time,open,high,low,close,volume\n"
+        "2023-11-14 22:13:20,3,4,2,3.5,100\n"
+    )
+    df = read_klines_csv(spark, str(tmp_path / "klines_*.csv"))
+    rows = sorted(df.collect(), key=lambda r: (r["symbol"], r["open_time"]))
+    assert [r["symbol"] for r in rows] == ["BTCUSDT", "BTCUSDT", "ETHUSDT"]
+    assert [r["num_trades"] for r in rows] == [7, 8, 0]  # candidates; default 0 when absent
+    # ms-epoch and ISO encodings parse to the same instant
+    assert rows[0]["open_time"] == rows[2]["open_time"]
+
+
+def test_orderbook_csv_side_normalize(spark, tmp_path):
+    # F11: side normalized lower(trim); junk sides filtered (P6)
+    from kp_crypto_market_analytics_spark.sources.files import read_orderbook_csv
+
+    f = tmp_path / "orderbook_BTCUSDT.csv"
+    f.write_text(
+        "price,qty,side,update_id,update_time\n"
+        "100.5,2, BID ,1,1700000000000\n"
+        "100.6,3,Ask,1,1700000000000\n"
+        "100.7,1,junk,1,1700000000000\n"
+    )
+    df = read_orderbook_csv(spark, str(f))
+    rows = df.orderBy("price").collect()
+    assert [(r["side"], r["price"]) for r in rows] == [("bid", 100.5), ("ask", 100.6)]
+
+
+def test_file_router(spark, tmp_path):
+    from kp_crypto_market_analytics_spark.sources.files import route_files
+
+    (tmp_path / "klines_AAA_1m.csv").write_text(
+        "open_time,open,high,low,close,volume\n1700000000000,1,1,1,1,1\n"
+    )
+    (tmp_path / "trades_AAA.csv").write_text(
+        "trade_id,price,qty,trade_time\n1,10,2,1700000000000\n"
+    )
+    out = route_files(spark, str(tmp_path))
+    assert set(out) == {"candles", "trades"}
+    assert out["trades"].collect()[0]["notional"] == 20.0
