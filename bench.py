@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "t_quality_score",
     "t_lang_id",
     "sim_bruteforce_topk",
+    "q9_product_profit",
+    "q16_supplier_cnt",
+    "q18_large_orders",
+    "t_fingerprint_winnow",
+    "sim_ivf_topk",
 ]
 
 

@@ -103,6 +103,61 @@ def random_hyperplane_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_mod: int = 37,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into Voronoi cells around a
+    small deterministic centroid set (every ``centroid_mod``-th vector —
+    stand-in for a k-means pass; swap in trained centroids at scale),
+    then search only the ``nprobe`` cells nearest each query.
+
+    Both assignment passes are corpus×centroids with the centroid side
+    broadcast — the corpus never shuffles until the final per-query
+    top-k, and the candidate set shrinks by ~|centroids|/nprobe.
+    Assignment and ranking order on the ROUNDED cosine with an id
+    tiebreaker so results are engine-reproducible."""
+    cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    cassign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", F.round(cosine(F.col("cvec"), F.col("cent")), 6))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "cvec", "centroid_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
+    qprobe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", F.round(cosine(F.col("qvec"), F.col("cent")), 6))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    scored = (
+        cassign.join(F.broadcast(qprobe), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

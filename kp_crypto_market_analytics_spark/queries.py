@@ -1302,3 +1302,13 @@ ORACLES: dict[str, str] = {
     "sim_bruteforce_topk": SIM_BRUTE_SQL,
     "sim_neardup_pairs": SIM_NEARDUP_SQL,
 }
+
+# Extension registries (LSH/SimHash/winnowing, ANN variants, multimodal,
+# rollup/distinct/sample extras; TPC-H-shaped scale queries).
+from kp_crypto_market_analytics_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+QUERIES.update(TPCH_QUERIES)
+ORACLES.update(EXT_ORACLES)
+ORACLES.update(TPCH_ORACLES)

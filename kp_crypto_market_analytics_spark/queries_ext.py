@@ -1,0 +1,535 @@
+"""Extension queries: LSH/SimHash/winnowing dedup, ANN variants,
+multimodal plumbing, and the engine-free extras (rollup, distinct-agg,
+seeded sampling, scalar correlations) — each with a DuckDB oracle.
+
+Determinism follows queries.py: portable md5-derived hashes, exact
+decimal moments for sums/avgs, round(x, 6) on float outputs, unique
+tiebreakers under every LIMIT/rank, and — for the LSH hyperplanes —
+left-associated IEEE addition in the identical order on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash,
+    simhash_near_pairs,
+    winnow_positions,
+)
+from kp_crypto_market_analytics_spark.operators.multimodal import (
+    decode_media,
+    media_metadata_stats,
+)
+from kp_crypto_market_analytics_spark.operators.similarity import ivf_topk, lsh_topk
+from kp_crypto_market_analytics_spark.session import load_tables
+
+NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+# Shared oracle CTE: distinct char-4-gram shingle sets of normalized text.
+SHINGLE4_CTE = f"""
+norm AS (
+  SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
+), sets AS (
+  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle
+  FROM norm, generate_series(1, 600) AS g(i)
+  WHERE i <= greatest(length(t) - 3, 1)
+)"""
+
+
+def _minhash_aggs(n: int = 8) -> str:
+    h = f"({H60.format(x='shingle')} % 2147483647)"
+    return ",\n  ".join(
+        f"MIN(({2 * j + 1} * {h} + {104729 * (j + 1)}) % 2147483647) AS mh_{j}"
+        for j in range(n)
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (SURVEY §7 phase 5): 8 minhashes over
+    char-4-gram shingles banded 2×4; docs agreeing on all rows of any
+    band become candidates; estimated Jaccard = matching-signature
+    fraction.  Candidate generation is the band bucket-join — linear in
+    corpus size, never the quadratic all-pairs compare."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {SHINGLE4_CTE}, sigs AS (
+  SELECT doc_id, {_minhash_aggs(8)}
+  FROM sets GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  ((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END)
+ + (CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END)
+  ) / 8 AS est_jaccard
+FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 60-bit fingerprints: per-token hash bits vote ±1, the
+    sign pattern is the fingerprint.  One explode + one groupBy with 60
+    conditional-sum aggregates — all map-side combinable."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return simhash(t["documents"], "text", "doc_id").orderBy("doc_id")
+
+
+def _simhash_cte() -> str:
+    h = H60.format(x="tok")
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN bit_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({NORM_TEXT_SQL}, ' ')) AS tok FROM documents
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM toks GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, {fp} AS simhash FROM votes
+)"""
+
+
+DEDUP_SIMHASH_SQL = f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sims ORDER BY doc_id"
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 3: pigeonhole the 60
+    bits into 4 chunks (any pair within radius agrees on >=1 chunk),
+    bucket-join on chunk value, verify with bit_count(xor).  The chunk
+    join bounds candidates the same way LSH bands do."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return simhash_near_pairs(t["documents"], "text", "doc_id", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH {_simhash_cte()}, bands AS (
+  SELECT doc_id, simhash, i AS chunk, (simhash >> (i * 15)) & 32767 AS val
+  FROM sims, generate_series(0, 3) AS g(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------- winnowing
+
+
+def t_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (rolling-hash scheme): min
+    hash of every 8 consecutive char-5-gram hashes, deduped, then
+    per-doc fingerprint stats.  Dedup happens INSIDE the aggregation
+    (countDistinct) so the window's doc partitioning is reused — one
+    shuffle end-to-end instead of three."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    fps = winnow_positions(t["documents"], "text", "doc_id", k=5, window=8)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_WINNOW_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
+), pos AS (
+  SELECT doc_id, i, substr(t, i, 5) AS shingle
+  FROM norm, generate_series(1, 600) AS g(i)
+  WHERE i <= greatest(length(t) - 4, 1)
+), winn AS (
+  SELECT doc_id, MIN({H60.format(x='shingle')}) OVER (
+    PARTITION BY doc_id ORDER BY i ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+  ) AS fp
+  FROM pos
+), d AS (
+  SELECT DISTINCT doc_id, fp FROM winn
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM d GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------ ANN: LSH
+
+LSH_PLANES = 4
+LSH_DIM = 64
+
+
+def _plane_coeff(j: int, d: int) -> float:
+    # Mirror of operators.similarity.random_hyperplane_buckets.coeff —
+    # keep in lockstep or the oracle diverges.
+    x = (1103515245 * (j * LSH_DIM + d) + 12345) % (1 << 31)
+    return (x / float(1 << 30)) - 1.0
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN with Hamming-1 multiprobe: bucket = sign
+    bits of 4 hyperplane projections; queries probe their own bucket
+    plus the 4 single-bit flips.  The bucket equi-join replaces the
+    brute-force cross join (sim_bruteforce_topk is the exact baseline)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_topk(
+        emb, queries, "embedding", "vec_id", k=5, planes=LSH_PLANES, dim=LSH_DIM, multiprobe=1
+    ).orderBy("query_id", "rank")
+
+
+def _lsh_sql() -> str:
+    # Projections reproduce the Spark fold exactly: left-associated
+    # double addition starting at 0.0, identical term order.
+    def bucket_expr(v: str) -> str:
+        cases = []
+        for j in range(LSH_PLANES):
+            terms = " + ".join(
+                f"{v}[{d + 1}] * {_plane_coeff(j, d)!r}" for d in range(LSH_DIM)
+            )
+            cases.append(f"(CASE WHEN 0.0 + {terms} >= 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(cases)
+
+    probes = ", ".join(f"xor(bucket, {1 << j})" for j in range(LSH_PLANES))
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
+), cb AS (
+  SELECT neighbor_id, cvec, {bucket_expr('cvec')} AS bucket FROM c
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id < 10
+), qb AS (
+  SELECT query_id, qvec, {bucket_expr('qvec')} AS bucket FROM q
+), qprobes AS (
+  SELECT query_id, qvec, unnest([bucket, {probes}]) AS bucket FROM qb
+), scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_cosine_similarity(qvec, cvec), 6) AS cos
+  FROM cb JOIN qprobes USING (bucket)
+  WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------ ANN: IVF
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: corpus assigned to nearest deterministic
+    centroid, queries probe their 2 nearest cells.  The scale path for
+    similarity search — candidates shrink by ~|centroids|/nprobe."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, nprobe=2, centroid_mod=37
+    ).orderBy("query_id", "rank")
+
+
+SIM_IVF_SQL = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings WHERE vec_id % 37 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
+), cassign AS (
+  SELECT neighbor_id, cvec, centroid_id FROM (
+    SELECT c.neighbor_id, c.cvec, cents.centroid_id,
+      row_number() OVER (
+        PARTITION BY c.neighbor_id
+        ORDER BY round(list_cosine_similarity(c.cvec, cents.cent), 6) DESC, cents.centroid_id
+      ) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 10
+), qprobe AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, cents.centroid_id,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY round(list_cosine_similarity(q.qvec, cents.cent), 6) DESC, cents.centroid_id
+      ) AS rn
+    FROM q, cents
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qvec, cvec), 6) AS cos
+  FROM cassign JOIN qprobe USING (centroid_id)
+  WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------- multimodal
+
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, metadata tier: opaque binary payloads
+    (UTF-8 bytes of text stand in for image/audio blobs) with typed
+    metadata — byte length, head-bytes hex, payload digest.  All
+    JVM-side expressions; payloads never shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    payload = F.encode(F.col("text"), "UTF-8")
+    hexp = F.hex(payload)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.octet_length(payload).alias("n_bytes"),
+            F.substring(hexp, 1, 16).alias("head16"),
+            F.md5(hexp).alias("payload_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_BINARY_SQL = """
+SELECT doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  substr(hex(encode(text)), 1, 16) AS head16,
+  md5(hex(encode(text))) AS payload_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stage end-to-end: binary payloads routed
+    through the Arrow-batched mapInPandas decoder (deterministic fake
+    codec — operators/multimodal.py) and aggregated on decoded
+    metadata.  The oracle replays the decoder's polynomial byte hash in
+    SQL, gating the Python batch path itself."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.repeat(F.md5("text"), 5), "UTF-8").alias("payload"),
+    )
+    decoded = decode_media(media, fake=True)
+    return media_metadata_stats(decoded)
+
+
+def _mm_decode_sql() -> str:
+    # The fake decoder folds the first 64 payload bytes:
+    # h = (h*131 + byte) % 2^31.  Payload = 5×md5-hex = 160 ASCII chars,
+    # so char codes == bytes and no length guard is needed.  The fold is
+    # split across 8 chained CTEs of 8 bytes each — a single 64-deep
+    # expression exceeds DuckDB's 128-level binder recursion cap.
+    stages = []
+    prev = "p0"
+    for s in range(8):
+        h = "0" if s == 0 else "h"
+        for i in range(s * 8 + 1, s * 8 + 9):
+            h = f"(({h}) * 131 + ascii(substr(p, {i}, 1))) % 2147483648"
+        stages.append(f"h{s} AS (SELECT doc_id, kind, p, {h} AS h FROM {prev})")
+        prev = f"h{s}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH p0 AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    repeat(md5(text), 5) AS p
+  FROM documents
+), {chain}, decoded AS (
+  SELECT kind, CAST(16 + h % 1024 AS INTEGER) AS width, CAST(16 + (h // 7) % 1024 AS INTEGER) AS height
+  FROM h7
+)
+SELECT kind, COUNT(*) AS n, AVG(width) AS avg_width, AVG(height) AS avg_height
+FROM decoded GROUP BY kind ORDER BY kind
+"""
+
+
+# ------------------------------------------------- engine-free extras
+
+
+def a10_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — guarded scalar correlations (binance_analysis.py:627-636):
+    corr(value, k) and corr(|value|, k) with the n>10 guard."""
+    t = load_tables(spark, sf_dir, ["events"])
+    k = F.replace(
+        F.replace(F.col("props"), F.lit('{"k": '), F.lit("")), F.lit("}"), F.lit("")
+    ).try_cast("long")
+    e = t["events"].withColumn("k", k)
+    n = F.count("k")
+    return e.agg(
+        n.alias("n_pairs"),
+        F.when(n > 10, F.round(F.corr("value", "k"), 6)).alias("corr_value_k"),
+        F.when(n > 10, F.round(F.corr(F.abs("value"), "k"), 6)).alias("corr_abs_k"),
+    )
+
+
+A10_SQL = """
+WITH e AS (
+  SELECT value, TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT) AS k
+  FROM events
+)
+SELECT COUNT(k) AS n_pairs,
+  CASE WHEN COUNT(k) > 10 THEN round(corr(value, k), 6) END AS corr_value_k,
+  CASE WHEN COUNT(k) > 10 THEN round(corr(abs(value), k), 6) END AS corr_abs_k
+FROM e
+"""
+
+
+def o6_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — seeded deterministic sample (binance_analysis.py:713): the
+    engine-portable form is hash-mod sampling (md5 of the key), which
+    is reproducible across engines AND stable under repartitioning —
+    unlike rand(seed), whose draw depends on partition layout."""
+    t = load_tables(spark, sf_dir, ["events"])
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    s = t["events"].where(h < 5)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+O6_SQL = """
+SELECT COUNT(*) AS n_sampled,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events
+WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 5
+"""
+
+
+def a_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP(type, date) — subtotal + grand-total rows in
+    one pass (beyond-reference coverage; SURVEY §2.5 notes Spark gives
+    grouping sets free)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .rollup(F.col("event_type"), F.to_date("ts").alias("date"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("date").asc_nulls_first())
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS date,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n_rows
+FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+ORDER BY event_type NULLS FIRST, date NULLS FIRST
+"""
+
+
+def a_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-aggregation per group (SURVEY §2.5: engine exposes
+    countDistinct beyond the reference's plain aggs)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "t_fingerprint_winnow": t_fingerprint_winnow,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    "mm_binary_meta": mm_binary_meta,
+    "mm_decode_stats": mm_decode_stats,
+    "a10_scalar_corr": a10_scalar_corr,
+    "o6_seeded_sample": o6_seeded_sample,
+    "a_rollup_daily": a_rollup_daily,
+    "a_distinct_users": a_distinct_users,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "t_fingerprint_winnow": T_WINNOW_SQL,
+    "sim_lsh_topk": _lsh_sql(),
+    "sim_ivf_topk": SIM_IVF_SQL,
+    "mm_binary_meta": MM_BINARY_SQL,
+    "mm_decode_stats": _mm_decode_sql(),
+    "a10_scalar_corr": A10_SQL,
+    "o6_seeded_sample": O6_SQL,
+    "a_rollup_daily": A_ROLLUP_SQL,
+    "a_distinct_users": A_DISTINCT_SQL,
+}

@@ -1,0 +1,386 @@
+"""TPC-H-shaped scale queries beyond the q1/q3/q5/q6 core.
+
+These widen join/agg pattern coverage to the classic decision-support
+shapes the reference's analytics map onto at warehouse scale
+(SURVEY.md §2.4-§2.7): EXISTS-semi-join (q4), nation-pair theta filter
+(q7), multi-dim profit rollup (q9), group-filter-topk (q10), conditional
+share-of-total (q14), max-equality view join (q15), distinct-agg with
+exclusion (q16), HAVING over a 600M-row-scale group (q18), OR-of-ANDs
+bracket predicates (q19).  Adapted to the driver schema: no
+partsupp/commitdate/shipmode columns, so q4 uses shipdate>orderdate as
+the lateness predicate, q9 proxies supply cost with p_retailprice, q16
+counts lineitem suppliers.
+
+Determinism: decimal-moment sums presented as double, round(,6) on
+ratios, unique tiebreakers under every LIMIT (queries.py header).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.operators.aggregates import DEC
+from kp_crypto_market_analytics_spark.operators.windows import top_k
+from kp_crypto_market_analytics_spark.session import load_tables
+
+
+def _sum_dec(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _rev() -> "F.Column":
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — priority counts over orders having a late lineitem
+    (EXISTS → left-semi join with a non-equi conjunct; Catalyst keeps it
+    a single semi hash join on l_orderkey)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = o.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — shipping volume between two nations by year, both
+    directions.  Dimensions broadcast; one shuffle for the final agg."""
+    t = load_tables(spark, sf_dir, ["nation", "customer", "supplier", "orders", "lineitem"])
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {_sum_dec('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — profit by nation×year for a part family (p_retailprice
+    proxies ps_supplycost: the driver schema has no partsupp)."""
+    t = load_tables(spark, sf_dir, ["part", "supplier", "nation", "orders", "lineitem"])
+    p = t["part"].where(F.col("p_name").like("%widget%"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  {_sum_dec('l_extendedprice*(1-l_discount) - p_retailprice*l_quantity')} AS sum_profit
+FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — revenue lost to returns per customer, one quarter,
+    top-20 (group-filter-topk; TakeOrderedAndProject bounds the sort)."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "orders", "lineitem"])
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    j = (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(_rev()).cast("double").alias("revenue")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20).select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name"
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, {_sum_dec('l_extendedprice*(1-l_discount)')} AS revenue,
+  c_acctbal, n_name
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue share for one month: conditional sum /
+    total sum, both decimal-exact, one broadcast join."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    j = l.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo.cast(DEC)).cast("double")
+            / F.sum(rev.cast(DEC)).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q14_SQL = f"""
+SELECT round(
+    100.0 * {_sum_dec("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")}
+          / {_sum_dec('l_extendedprice*(1-l_discount)')}, 6) AS promo_revenue_pct,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — supplier(s) with max quarterly revenue: revenue view
+    joined to its own max.  Exact decimal sums make the double equality
+    deterministic on both engines."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    l = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {_sum_dec('l_extendedprice*(1-l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — distinct supplier count per part descriptor with a
+    brand exclusion (distinct-agg after a fact⋈dim join)."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    p = t["part"].where(F.col("p_brand") != "Brand#1")
+    j = t["lineitem"].join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+    return top_k(
+        agg,
+        [
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        ],
+        50,
+    ).select("p_brand", "p_type", "p_size", "supplier_cnt")
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 50
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — HAVING over the biggest group-by in the schema
+    (per-orderkey quantity), then enrich with customer/orders and top-k.
+    The HAVING filter runs before the joins, so only qualifying orders
+    shuffle onward."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    j = (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return top_k(j, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 100).select(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {_sum_dec('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_sum_dec('l_quantity')} > 200
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — OR-of-ANDs bracket predicates across the fact⋈dim
+    join (the classic pushdown stress: each conjunct prunes part rows
+    before the join, the OR runs post-join)."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    qty, size, ptype = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
+    cond = (
+        ((ptype == "PROMO") & size.between(1, 15) & qty.between(1, 20))
+        | ((ptype == "ECONOMY") & size.between(10, 30) & qty.between(10, 30))
+        | ((ptype == "LARGE") & size.between(20, 50) & qty.between(20, 40))
+    )
+    return j.where(cond).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {_sum_dec('l_extendedprice*(1-l_discount)')} AS revenue, COUNT(*) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_type = 'ECONOMY' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'LARGE'   AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q4_order_priority": q4_order_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_share": q14_promo_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracket_revenue": q19_bracket_revenue,
+}
+
+TPCH_ORACLES: dict[str, str] = {
+    "q4_order_priority": Q4_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_share": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_supplier_cnt": Q16_SQL,
+    "q18_large_orders": Q18_SQL,
+    "q19_bracket_revenue": Q19_SQL,
+}

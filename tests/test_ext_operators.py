@@ -1,0 +1,112 @@
+"""Semantics tests for the extension operators added beyond the
+oracle gate: winnowing guarantees, SimHash Hamming behavior, ANN
+(LSH/IVF) recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+        (2, "the quick brown fox jumps over the lazy dog in the morning sun"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat in the morning sun"),  # near dup of 1
+        (4, "completely different content about spark query engines and scale"),
+        (5, "yet another unrelated document concerning distributed columnar io"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_winnow_shared_substring_guarantee(spark, docs):
+    # Winnowing guarantee: docs sharing a substring of length >=
+    # k+window-1 (= 12) share at least one fingerprint; exact dups get
+    # identical fingerprint sets.
+    from kp_crypto_market_analytics_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, window=8).toPandas()
+    sets = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+    assert sets[1] == sets[2]
+    assert sets[1] & sets[3], "near-dup must share fingerprints"
+    assert len(sets[1] & sets[4]) == 0 or len(sets[1] & sets[4]) < len(sets[1])
+
+
+def test_simhash_hamming_ordering(spark, docs):
+    from kp_crypto_market_analytics_spark.operators.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    assert sh[1] == sh[2], "identical text -> identical simhash"
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far, "one-word edit must be closer than unrelated text"
+
+
+def test_simhash_near_pairs_finds_dup(spark, docs):
+    from kp_crypto_market_analytics_spark.operators.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).toPandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    assert (1, 2) in got
+    assert pairs.set_index(["doc_a", "doc_b"]).loc[(1, 2), "hamming"] == 0
+
+
+def test_ann_variants_recall(spark):
+    # LSH (multiprobe) and IVF candidates are genuine neighbors: every
+    # returned (query, neighbor, cos) must appear in the brute-force
+    # full ranking with the same score, and recall@5 must be non-trivial.
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=5).toPandas()
+    truth = {
+        (r.query_id, r.neighbor_id): r.cos for r in exact.itertuples()
+    }
+    for approx_df in (
+        lsh_topk(emb, queries, k=5, planes=4, multiprobe=1),
+        ivf_topk(emb, queries, k=5, nprobe=2, centroid_mod=37),
+    ):
+        approx = approx_df.toPandas()
+        assert len(approx) > 0
+        full = brute_force_topk(emb, queries, k=10_000).toPandas()
+        all_scores = {(r.query_id, r.neighbor_id): r.cos for r in full.itertuples()}
+        for r in approx.itertuples():
+            assert (r.query_id, r.neighbor_id) in all_scores
+            assert abs(all_scores[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+        hits = sum(1 for key in truth if key in {(r.query_id, r.neighbor_id) for r in approx.itertuples()})
+        assert hits > 0, "approximate search must recall at least one true top-5 neighbor"
+
+
+def test_mm_decode_batch_shapes(spark):
+    # The mapInPandas decode stage must preserve row count and produce
+    # the declared schema with FEATURE_DIM-float features.
+    from kp_crypto_market_analytics_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+    )
+
+    media = spark.createDataFrame(
+        [(i, "image" if i % 2 == 0 else "audio", bytes([i] * 100)) for i in range(10)],
+        ["media_id", "kind", "payload"],
+    )
+    out = decode_media(media, fake=True).toPandas()
+    assert len(out) == 10
+    assert set(out["ok"]) == {"ok"}
+    assert all(len(f) == FEATURE_DIM for f in out["features"])
+    assert (out["width"] >= 16).all() and (out["height"] >= 16).all()
+
+
+def test_mm_decode_real_codec_raises(spark):
+    from kp_crypto_market_analytics_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame([(1, "image", b"\x00")], ["media_id", "kind", "payload"])
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_media(media, fake=False).collect()
