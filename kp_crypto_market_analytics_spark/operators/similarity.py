@@ -17,7 +17,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kp_crypto_market_analytics_spark.functions.vectors import cosine, dot, norm, to_double_array
+from kp_crypto_market_analytics_spark.functions.vectors import (
+    cosine,
+    cosine_with_norms,
+    dot,
+    norm,
+    norm_unrolled,
+    to_double_array,
+)
+from kp_crypto_market_analytics_spark.session import ensure_parallelism
 
 
 def brute_force_topk(
@@ -27,24 +35,35 @@ def brute_force_topk(
     id_col: str = "vec_id",
     k: int = 5,
     include_self: bool = False,
+    dim: int = 64,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     queries (small) is broadcast; the corpus never shuffles for
     scoring.  The only shuffle is the per-query top-k window over
-    |queries|·|corpus| scored rows — bounded by filtering on rank."""
+    |queries|·|corpus| scored rows — bounded by filtering on rank.
+    Norms are computed once per vector in the narrow pre-join stage;
+    the quadratic stage is only the unrolled dot product.  The corpus
+    (streamed) side is repartitioned to full parallelism first — a
+    broadcast nested-loop join inherits the stream side's partitioning,
+    and a single-file scan would otherwise score on ONE core."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double_array(vec_col).alias("qvec"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        to_double_array(vec_col).alias("cvec"),
-    )
+    ).withColumn("qnorm", norm_unrolled(F.col("qvec"), dim))
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            to_double_array(vec_col).alias("cvec"),
+        )
+    ).withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
     scored = c.crossJoin(F.broadcast(q))
     if not include_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    scored = scored.withColumn(
+        "cos",
+        cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
     )
@@ -60,15 +79,25 @@ def neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) pairs with cosine >=
     threshold.  All-pairs form for exactness on modest corpora; at scale
-    route through :func:`ivf_topk` or LSH buckets first."""
-    a = df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    route through :func:`ivf_topk` or LSH buckets first.  Norms are
+    precomputed per vector so the O(n²) stage is dot-product-only."""
+    a = ensure_parallelism(
+        df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("va"))
+    ).withColumn("na", norm_unrolled(F.col("va"), dim))
+    b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("vb")).withColumn(
+        "nb", norm_unrolled(F.col("vb"), dim)
+    )
+    # Pin broadcast to b so the repartitioned a is the streamed side —
+    # the nested-loop stage then runs at full parallelism.
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cos", cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim)
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
@@ -111,6 +140,7 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     centroid_mod: int = 37,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into Voronoi cells around a
     small deterministic centroid set (every ``centroid_mod``-th vector —
@@ -124,31 +154,59 @@ def ivf_topk(
     tiebreaker so results are engine-reproducible."""
     cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
+    ).withColumn("centnorm", norm_unrolled(F.col("cent"), dim))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec")
+    ).withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
     wa = Window.partitionBy("neighbor_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id").asc()
     )
     cassign = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", F.round(cosine(F.col("cvec"), F.col("cent")), 6))
+        .withColumn(
+            "ccos",
+            F.round(
+                cosine_with_norms(
+                    F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm"), dim
+                ),
+                6,
+            ),
+        )
         .withColumn("rn", F.row_number().over(wa))
         .where(F.col("rn") == 1)
-        .select("neighbor_id", "cvec", "centroid_id")
+        .select("neighbor_id", "cvec", "cnorm", "centroid_id")
     )
-    q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
+    ).withColumn("qnorm", norm_unrolled(F.col("qvec"), dim))
     wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
     qprobe = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("qcos", F.round(cosine(F.col("qvec"), F.col("cent")), 6))
+        .withColumn(
+            "qcos",
+            F.round(
+                cosine_with_norms(
+                    F.col("qvec"), F.col("cent"), F.col("qnorm"), F.col("centnorm"), dim
+                ),
+                6,
+            ),
+        )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "qvec", "centroid_id")
+        .select("query_id", "qvec", "qnorm", "centroid_id")
     )
     scored = (
         cassign.join(F.broadcast(qprobe), "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_with_norms(
+                    F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -185,12 +243,23 @@ def lsh_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes)],
         )
         qb = qb.select("query_id", F.explode(probes).alias("bucket"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec")).join(cb, "neighbor_id")
-    q = queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")).join(qb, "query_id")
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
+        .withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
+        .join(cb, "neighbor_id")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec"))
+        .withColumn("qnorm", norm_unrolled(F.col("qvec"), dim))
+        .join(qb, "query_id")
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cos",
+            cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("neighbor_id").asc())
     return (

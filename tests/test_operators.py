@@ -155,7 +155,7 @@ def test_lsh_topk_approximates_bruteforce(spark):
             vid += 1
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     queries = emb.where(F.col("vec_id").isin(0, 20, 40, 60, 80))
-    exact = brute_force_topk(emb, queries, k=3).collect()
+    exact = brute_force_topk(emb, queries, k=3, dim=16).collect()
     approx = lsh_topk(emb, queries, k=3, planes=6, dim=16, multiprobe=1).collect()
     exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
     approx_by_q = {}
