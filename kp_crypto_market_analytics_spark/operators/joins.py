@@ -114,3 +114,36 @@ def as_of_join(
         for c in rcols:
             out = out.withColumn(c, F.when(within, F.col(c)))
     return out.drop("__ts", "__is_left", "__match_ts")
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Point-in-interval range join via time bucketing — the scale path
+    for `ts >= start AND ts < end` joins.  A naive theta join is a
+    nested-loop over |points|×|intervals|; here both sides are bucketed
+    at ``bucket_seconds`` (pick >= the max interval length so each
+    interval explodes into <= 2 buckets), the join is a plain hash
+    equi-join on bucket, and the exact containment predicate filters
+    the (small) per-bucket candidates.  Equivalent to the naive join
+    row-for-row."""
+    pb = points.withColumn(
+        "__bucket", F.floor(F.unix_millis(F.col(point_ts)) / F.lit(bucket_seconds * 1000))
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis(F.col(start_col)) / F.lit(bucket_seconds * 1000)),
+                F.floor((F.unix_millis(F.col(end_col)) - 1) / F.lit(bucket_seconds * 1000)),
+            )
+        ),
+    )
+    return pb.join(ib, "__bucket").where(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    ).drop("__bucket")

@@ -109,3 +109,32 @@ def top_k_per_group(
     parts = [partition] if isinstance(partition, str) else partition
     w = Window.partitionBy(*parts).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the same key exceeds ``gap_seconds``.
+    session_id = running count of session starts — two window passes
+    over ONE sort (lag + cumulative sum share the partitioning), so the
+    whole op is a single shuffle on ``key``.
+
+    Batch twin of Structured Streaming's ``session_window`` (the
+    streaming path in streaming/candles.py uses the built-in); batch
+    results are identical for fully-arrived data."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(ts).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.unix_millis(F.col(ts)) - F.unix_millis(prev) > gap_seconds * 1000),
+        1,
+    ).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("__new", new_session).withColumn(
+        "session_id", F.sum("__new").over(running)
+    ).drop("__new")

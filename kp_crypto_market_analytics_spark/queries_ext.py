@@ -399,6 +399,142 @@ FROM decoded GROUP BY kind ORDER BY kind
 """
 
 
+# ------------------------------------------------ temporal operators
+
+
+def j2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): every event enriched with the
+    most recent minute-level aggregate at-or-before its timestamp.
+    Spark has no native ASOF; operators.joins.as_of_join composes it as
+    union → carry-forward window → filter (one shuffle on the key).
+    Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import exact_avg
+    from kp_crypto_market_analytics_spark.operators.joins import as_of_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    minutes = (
+        e.groupBy(F.col("event_type"), F.date_trunc("minute", "ts").alias("m_ts"))
+        .agg(exact_avg("value").alias("minute_avg"))
+        .withColumn("matched_minute", F.col("m_ts"))
+    )
+    out = as_of_join(
+        e.select("event_id", "event_type", "ts", "value"),
+        minutes,
+        left_ts="ts",
+        right_ts="m_ts",
+        keys=["event_type"],
+    )
+    return out.select(
+        "event_id", "event_type", "value", "matched_minute", "minute_avg"
+    ).orderBy("event_id")
+
+
+J2_ASOF_SQL = """
+WITH minutes AS (
+  SELECT event_type AS m_type, date_trunc('minute', ts) AS m_ts,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS minute_avg
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.value,
+  m.m_ts AS matched_minute, m.minute_avg
+FROM events e ASOF LEFT JOIN minutes m
+  ON e.event_type = m.m_type AND e.ts >= m.m_ts
+ORDER BY e.event_id
+"""
+
+
+def j_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events counted into 30 overlapping 61-hour windows
+    spaced 37 hours apart, via the bucketed equi-join plan
+    (operators.joins.range_join_buckets) — hash join on time bucket +
+    exact containment filter, never a nested loop."""
+    from kp_crypto_market_analytics_spark.operators.joins import range_join_buckets
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    base = e.agg(F.date_trunc("day", F.min("ts")).alias("base"))
+    wins = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("win_id"), "base"
+    ).select(
+        "win_id",
+        (F.col("base") + F.expr("make_interval(0, 0, 0, 0, win_id * 37, 0, 0)")).alias("w_start"),
+        (F.col("base") + F.expr("make_interval(0, 0, 0, 0, win_id * 37 + 61, 0, 0)")).alias("w_end"),
+    )
+    joined = range_join_buckets(
+        e.select("event_id", "ts", "value"), F.broadcast(wins), "ts", "w_start", "w_end",
+        bucket_seconds=61 * 3600,
+    )
+    return (
+        joined.groupBy("win_id", "w_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("win_id")
+    )
+
+
+J_RANGE_SQL = """
+WITH base AS (
+  SELECT date_trunc('day', MIN(ts)) AS b FROM events
+), wins AS (
+  SELECT i AS win_id,
+    b + to_hours(CAST(i * 37 AS BIGINT)) AS w_start,
+    b + to_hours(CAST(i * 37 + 61 AS BIGINT)) AS w_end
+  FROM base, generate_series(0, 29) AS g(i)
+)
+SELECT win_id, w_start, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM wins JOIN events e ON e.ts >= w_start AND e.ts < w_end
+GROUP BY win_id, w_start ORDER BY win_id
+"""
+
+
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) per user: lag + running
+    sum in one sort pass, then per-session rollup.  Batch twin of
+    Structured Streaming session_window."""
+    from kp_crypto_market_analytics_spark.operators.windows import sessionize
+
+    t = load_tables(spark, sf_dir, ["events"])
+    s = sessionize(t["events"], "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("duration_ms"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+W_SESSION_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session,
+    event_id
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+FROM numbered GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
 # ------------------------------------------------- engine-free extras
 
 
@@ -513,6 +649,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": sim_ivf_topk,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stats": mm_decode_stats,
+    "j2_asof_enrich": j2_asof_enrich,
+    "j_range_windows": j_range_windows,
+    "w_sessionize": w_sessionize,
     "a10_scalar_corr": a10_scalar_corr,
     "o6_seeded_sample": o6_seeded_sample,
     "a_rollup_daily": a_rollup_daily,
@@ -528,6 +667,9 @@ EXT_ORACLES: dict[str, str] = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_stats": _mm_decode_sql(),
+    "j2_asof_enrich": J2_ASOF_SQL,
+    "j_range_windows": J_RANGE_SQL,
+    "w_sessionize": W_SESSION_SQL,
     "a10_scalar_corr": A10_SQL,
     "o6_seeded_sample": O6_SQL,
     "a_rollup_daily": A_ROLLUP_SQL,

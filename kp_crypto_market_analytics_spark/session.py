@@ -120,5 +120,7 @@ def _read_parquet_ns_safe(spark: SparkSession, path: str):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")))
+        # Integral DIV, never `/`: float division of ~1e18 ns loses
+        # ~256 ns to double rounding and shifts the truncated µs.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
