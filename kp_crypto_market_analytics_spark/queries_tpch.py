@@ -361,6 +361,179 @@ WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — histogram of per-customer order counts: left join so
+    zero-order customers land in bucket 0, agg-of-agg."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — revenue from below-one-fifth-of-average-quantity
+    orders of one brand.  The correlated scalar subquery (per-part avg)
+    decorrelates to an aggregate + equi-join; the threshold compare
+    uses the exact decimal avg so both engines agree bitwise."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    p = t["part"].where(F.col("p_brand") == "Brand#3")
+    per_part = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pp_key"))
+        .agg(
+            (F.lit(0.2) * (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity"))).alias("qty_thresh")
+        )
+    )
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_key"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+    )
+    return j.agg(
+        (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q17_SQL = f"""
+WITH thresh AS (
+  SELECT l_partkey AS pp_key,
+    0.2 * ({_sum_dec('l_quantity')} / COUNT(l_quantity)) AS qty_thresh
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_sum_dec('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_rows
+FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN thresh ON pp_key = l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < qty_thresh
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — suppliers solely responsible for late multi-supplier
+    orders (no commit/receipt dates in this schema: 'late' = shipped
+    >60 days after order date).  EXISTS → left-semi, NOT EXISTS →
+    left-anti, both with non-equi conjuncts on the same key."""
+    t = load_tables(spark, sf_dir, ["supplier", "orders", "lineitem"])
+    l1 = (
+        t["lineitem"]
+        .join(
+            t["orders"].where(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    others = t["lineitem"].select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    has_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("x_orderkey")) & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    sole_late = has_other.join(
+        others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey"))
+        & (F.col("x_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    agg = (
+        sole_late.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(agg, [F.col("numwait").desc(), F.col("s_suppkey").asc()], 100).select(
+        "s_suppkey", "s_name", "numwait"
+    )
+
+
+Q21_SQL = """
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM lineitem l1
+  JOIN orders ON o_orderkey = l1.l_orderkey
+  JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — wealthy customers with no recent orders, by nation
+    (no phone column: nationkey stands in for the country code).  The
+    global average is a 1-row broadcast; NOT EXISTS is a left-anti."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    c = t["customer"]
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal")).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    dormant = rich.join(
+        recent.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return (
+        dormant.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {_sum_dec('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {_sum_dec('c_acctbal')} / COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
@@ -371,6 +544,10 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_cnt": q16_supplier_cnt,
     "q18_large_orders": q18_large_orders,
     "q19_bracket_revenue": q19_bracket_revenue,
+    "q13_order_distribution": q13_order_distribution,
+    "q17_small_quantity": q17_small_quantity,
+    "q21_waiting_supplier": q21_waiting_supplier,
+    "q22_dormant_customers": q22_dormant_customers,
 }
 
 TPCH_ORACLES: dict[str, str] = {
@@ -383,4 +560,8 @@ TPCH_ORACLES: dict[str, str] = {
     "q16_supplier_cnt": Q16_SQL,
     "q18_large_orders": Q18_SQL,
     "q19_bracket_revenue": Q19_SQL,
+    "q13_order_distribution": Q13_SQL,
+    "q17_small_quantity": Q17_SQL,
+    "q21_waiting_supplier": Q21_SQL,
+    "q22_dormant_customers": Q22_SQL,
 }

@@ -121,3 +121,58 @@ def test_artifact_sinks(spark, tmp_path):
     back = spark.read.option("header", True).csv(str(tmp_path / "art"))
     assert back.count() == 1
     assert summary_row_json(df) == '{"k":"a","v":1.5}'
+
+
+def test_stateful_rolling_std_across_microbatches(spark, tmp_path):
+    # The custom applyInPandasWithState operator must carry its tail
+    # across micro-batch boundaries: stream the data as TWO time-split
+    # files (maxFilesPerTrigger=1 => two batches) and require exact
+    # parity with pandas rolling(20, min_periods=10).std() on the
+    # concatenated series.
+    import numpy as np
+    import pandas as pd
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.stateful import rolling_std_stream
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr("event_type AS symbol", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(400)
+    )
+    pdf = e.toPandas()
+    cut = pdf["ts"].sort_values().iloc[200]
+    src = str(tmp_path / "src")
+    first, second = pdf[pdf.ts <= cut], pdf[pdf.ts > cut]
+    spark.createDataFrame(first).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(second).coalesce(1).write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = rolling_std_stream(stream, window_rows=20, min_periods=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rolling_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("rolling_out").toPandas()
+    assert len(got) == len(pdf)
+
+    expected = (
+        pdf.sort_values(["symbol", "ts", "event_id"])
+        .groupby("symbol")["value"]
+        .rolling(20, min_periods=10)
+        .std()
+        .reset_index(level=0, drop=True)
+    )
+    exp_df = pdf.sort_values(["symbol", "ts", "event_id"]).assign(expected=expected.values)
+    merged = got.merge(exp_df[["event_id", "expected"]], on="event_id")
+    assert np.allclose(
+        merged["rolling_std"].fillna(-1), merged["expected"].fillna(-1), atol=1e-9
+    )
