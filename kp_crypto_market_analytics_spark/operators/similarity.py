@@ -60,9 +60,14 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q))
     if not include_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.withColumn(
-        "cos",
-        cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim),
+    # Drop the vectors BEFORE the ranking shuffle — otherwise every
+    # scored row drags 2×dim doubles through the exchange.
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id").asc()
@@ -155,27 +160,33 @@ def ivf_topk(
     cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
     ).withColumn("centnorm", norm_unrolled(F.col("cent"), dim))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec")
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
     ).withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
-    wa = Window.partitionBy("neighbor_id").orderBy(
-        F.col("ccos").desc(), F.col("centroid_id").asc()
-    )
-    cassign = (
+    # Assignment argmax as max_by aggregation over SKINNY rows (id, id,
+    # cos): partial map-side combine, no vectors in the shuffle.  A
+    # row_number window here would drag 2×dim doubles per candidate
+    # through the exchange.  max_by on struct(ccos, -centroid_id) ==
+    # ORDER BY ccos DESC, centroid_id ASC.
+    assign = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "ccos",
+        .select(
+            "neighbor_id",
+            "centroid_id",
             F.round(
                 cosine_with_norms(
                     F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm"), dim
                 ),
                 6,
-            ),
+            ).alias("ccos"),
         )
-        .withColumn("rn", F.row_number().over(wa))
-        .where(F.col("rn") == 1)
-        .select("neighbor_id", "cvec", "cnorm", "centroid_id")
     )
+    best = assign.groupBy("neighbor_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg"))
+        ).alias("centroid_id")
+    )
+    cassign = c.join(F.broadcast(best), "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
     ).withColumn("qnorm", norm_unrolled(F.col("qvec"), dim))
@@ -198,14 +209,15 @@ def ivf_topk(
     scored = (
         cassign.join(F.broadcast(qprobe), "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
+        .select(
+            "query_id",
+            "neighbor_id",
             F.round(
                 cosine_with_norms(
                     F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
                 ),
                 6,
-            ),
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -244,7 +256,9 @@ def lsh_topk(
         )
         qb = qb.select("query_id", F.explode(probes).alias("bucket"))
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
+        )
         .withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
         .join(cb, "neighbor_id")
     )
@@ -256,9 +270,12 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos",
-            cosine_with_norms(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim),
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.round("cos", 6).desc(), F.col("neighbor_id").asc())
