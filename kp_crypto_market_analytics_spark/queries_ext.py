@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kp_crypto_market_analytics_spark.operators.dedup import (
@@ -399,6 +399,129 @@ FROM decoded GROUP BY kind ORDER BY kind
 """
 
 
+# ------------------------------------ E3 feature pipeline (F13/F14/O3)
+
+
+def e3_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship analytic end-to-end (binance_analysis
+    add_features, :209-245 → top anomalies :701): per-key log-returns
+    (W1), 60-row rolling volatility ×√60 with min_periods=30 (W2),
+    GLOBAL MAD robust z-scores (F13 — global scope, the SURVEY §7
+    mis-scope trap), anomaly = max(|z_absret|, |z_logvalue|) (F14),
+    top-200 (O3).
+
+    One sort serves both windows; the global stats are a 1-row
+    broadcast.  Determinism: log outputs rounded to 6dp before the
+    decimal-moment rolling window; exact percentiles; null z-scores
+    enter the final max as -1 on both engines."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    log_ret = F.when(
+        (F.col("value") > 0) & (prev > 0), F.round(F.log(F.col("value")) - F.log(prev), 6)
+    )
+    log_value = F.when(F.col("value") >= 0, F.round(F.log1p("value"), 6))
+    feat = e.select(
+        "event_id", "event_type", "ts", "value",
+        log_ret.alias("log_ret"), log_value.alias("log_value"),
+    ).withColumn("abs_ret", F.abs("log_ret"))
+
+    v = (
+        Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-59, 0)
+    )
+    dec = F.col("log_ret").cast("decimal(18,6)")
+    n = F.count("log_ret").over(v)
+    sx = F.sum(dec).over(v).cast("double")
+    sx2 = F.sum(dec * dec).over(v).cast("double")
+    vol = F.when(
+        n >= 30,
+        F.round(
+            F.sqrt(F.greatest((sx2 - sx * sx / n) / (n - F.lit(1)), F.lit(0.0)))
+            * F.sqrt(F.lit(60.0)),
+            6,
+        ),
+    )
+    feat = feat.withColumn("vol_60", vol)
+
+    med = feat.agg(
+        F.expr("percentile(abs_ret, 0.5)").alias("med_abs"),
+        F.expr("percentile(log_value, 0.5)").alias("med_lv"),
+    )
+    feat = feat.crossJoin(F.broadcast(med))
+    mad = feat.agg(
+        F.expr("percentile(abs(abs_ret - med_abs), 0.5)").alias("mad_abs"),
+        F.expr("percentile(abs(log_value - med_lv), 0.5)").alias("mad_lv"),
+    )
+    feat = feat.crossJoin(F.broadcast(mad))
+
+    def rz(x: str, m: str, d: str) -> Column:
+        raw = F.when(
+            F.col(d) > 0, F.lit(0.6745) * (F.col(x) - F.col(m)) / F.col(d)
+        ).otherwise(F.col(x) - F.col(m))
+        return F.round(raw, 6)
+
+    scored = feat.withColumn("z_abs_ret", rz("abs_ret", "med_abs", "mad_abs")).withColumn(
+        "z_log_value", rz("log_value", "med_lv", "mad_lv")
+    )
+    anomaly = F.greatest(
+        F.coalesce(F.abs("z_abs_ret"), F.lit(-1.0)),
+        F.coalesce(F.abs("z_log_value"), F.lit(-1.0)),
+    )
+    scored = scored.withColumn("anomaly_score", anomaly)
+    return (
+        scored.orderBy(F.col("anomaly_score").desc(), F.col("event_id").asc())
+        .limit(200)
+        .select(
+            "event_id", "event_type", "value", "log_ret", "vol_60",
+            "z_abs_ret", "z_log_value", "anomaly_score",
+        )
+    )
+
+
+E3_ANOMALY_SQL = """
+WITH feat AS (
+  SELECT event_id, event_type, ts, value,
+    CASE WHEN value > 0 AND lag(value) OVER w > 0
+         THEN round(ln(value) - ln(lag(value) OVER w), 6) END AS log_ret,
+    CASE WHEN value >= 0 THEN round(ln(1 + value), 6) END AS log_value
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), feat2 AS (
+  SELECT *, abs(log_ret) AS abs_ret FROM feat
+), volw AS (
+  SELECT *,
+    COUNT(log_ret) OVER v AS n_lr,
+    CAST(SUM(CAST(log_ret AS DECIMAL(18,6))) OVER v AS DOUBLE) AS sx,
+    CAST(SUM(CAST(log_ret AS DECIMAL(18,6)) * CAST(log_ret AS DECIMAL(18,6))) OVER v AS DOUBLE) AS sx2
+  FROM feat2
+  WINDOW v AS (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+), vol AS (
+  SELECT *, CASE WHEN n_lr >= 30
+    THEN round(sqrt(greatest((sx2 - sx*sx/n_lr) / (n_lr-1), 0)) * sqrt(60.0), 6) END AS vol_60
+  FROM volw
+), med AS (
+  SELECT quantile_cont(abs_ret, 0.5) AS med_abs, quantile_cont(log_value, 0.5) AS med_lv FROM vol
+), mad AS (
+  SELECT quantile_cont(abs(abs_ret - med_abs), 0.5) AS mad_abs,
+         quantile_cont(abs(log_value - med_lv), 0.5) AS mad_lv
+  FROM vol, med
+), scored AS (
+  SELECT event_id, event_type, value, log_ret, vol_60,
+    round(CASE WHEN mad_abs > 0 THEN 0.6745 * (abs_ret - med_abs) / mad_abs
+               ELSE abs_ret - med_abs END, 6) AS z_abs_ret,
+    round(CASE WHEN mad_lv > 0 THEN 0.6745 * (log_value - med_lv) / mad_lv
+               ELSE log_value - med_lv END, 6) AS z_log_value
+  FROM vol, med, mad
+)
+SELECT event_id, event_type, value, log_ret, vol_60, z_abs_ret, z_log_value,
+  greatest(coalesce(abs(z_abs_ret), -1.0), coalesce(abs(z_log_value), -1.0)) AS anomaly_score
+FROM scored
+ORDER BY anomaly_score DESC, event_id
+LIMIT 200
+"""
+
+
 # ------------------------------------------------ temporal operators
 
 
@@ -649,6 +772,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": sim_ivf_topk,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stats": mm_decode_stats,
+    "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "j2_asof_enrich": j2_asof_enrich,
     "j_range_windows": j_range_windows,
     "w_sessionize": w_sessionize,
@@ -667,6 +791,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_stats": _mm_decode_sql(),
+    "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "j2_asof_enrich": J2_ASOF_SQL,
     "j_range_windows": J_RANGE_SQL,
     "w_sessionize": W_SESSION_SQL,

@@ -116,3 +116,24 @@ def test_file_router(spark, tmp_path):
     out = route_files(spark, str(tmp_path))
     assert set(out) == {"candles", "trades"}
     assert out["trades"].collect()[0]["notional"] == 20.0
+
+
+def test_source_router_csv_and_db_validation(spark, tmp_path, monkeypatch):
+    # S12: csv route reads through the tolerant klines reader; db route
+    # without a url must fail fast (no database in this environment).
+    import pytest
+    from kp_crypto_market_analytics_spark.sources.jdbc import load_candles
+
+    p = tmp_path / "klines_BTCUSDT_1m.csv"
+    p.write_text(
+        "open_time,open,high,low,close,volume,num_trades\n"
+        "1704067200000,1.0,2.0,0.5,1.5,10.0,3\n"
+    )
+    monkeypatch.setenv("DATA_SOURCE", "csv")
+    df = load_candles(spark, csv_glob=str(tmp_path / "klines_*.csv"))
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["symbol"] == "BTCUSDT"
+
+    monkeypatch.setenv("DATA_SOURCE", "db")
+    with pytest.raises(ValueError, match="jdbc_url"):
+        load_candles(spark, csv_glob=str(p))
