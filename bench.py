@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "t_fingerprint_winnow",
     "sim_ivf_topk",
+    "e3_anomaly_pipeline",
+    "j2_asof_enrich",
+    "w_sessionize",
+    "t_tfidf_topk",
 ]
 
 

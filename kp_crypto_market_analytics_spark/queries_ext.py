@@ -26,7 +26,7 @@ from kp_crypto_market_analytics_spark.operators.multimodal import (
     media_metadata_stats,
 )
 from kp_crypto_market_analytics_spark.operators.similarity import ivf_topk, lsh_topk
-from kp_crypto_market_analytics_spark.session import load_tables
+from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
 
 NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
@@ -396,6 +396,133 @@ WITH p0 AS (
 )
 SELECT kind, COUNT(*) AS n, AVG(width) AS avg_width, AVG(height) AS avg_height
 FROM decoded GROUP BY kind ORDER BY kind
+"""
+
+
+# ------------------------------------------------------ text: corpus ops
+
+TOKENS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({NORM_TEXT_SQL}, ' ')) AS tok FROM documents
+)"""
+
+
+def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by document frequency with
+    collection frequency — the scan→explode→two-level agg shape of
+    vocab building.  Partial aggregation absorbs the explode before the
+    shuffle, so shuffle traffic is |vocab|, not |tokens|."""
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+            ).alias("tok"),
+        )
+    )
+    agg = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("coll_freq"),
+    )
+    return top_k(agg, [F.col("doc_freq").desc(), F.col("tok").asc()], 100).select(
+        "tok", "doc_freq", "coll_freq"
+    )
+
+
+T_VOCAB_SQL = f"""
+WITH {TOKENS_CTE}
+SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS coll_freq
+FROM toks GROUP BY tok
+ORDER BY doc_freq DESC, tok
+LIMIT 100
+"""
+
+
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alnum runs + isolated symbols, the
+    pre-splitting a subword tokenizer applies.  regexp_extract_all with
+    RE2-safe patterns (no lookaround) so the identical regex runs on
+    both engines."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    words = F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]+"), 0))
+    syms = F.size(F.regexp_extract_all(norm, F.lit(r"[^a-z0-9\s]"), 0))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            words.alias("n_word_tokens"),
+            syms.alias("n_symbol_tokens"),
+            (words + syms).alias("n_bpe_ish"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_BPE_SQL = f"""
+WITH norm AS (SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[a-z0-9]+')) AS n_word_tokens,
+  len(regexp_extract_all(t, '[^a-z0-9\\s]')) AS n_symbol_tokens,
+  len(regexp_extract_all(t, '[a-z0-9]+')) + len(regexp_extract_all(t, '[^a-z0-9\\s]')) AS n_bpe_ish
+FROM norm ORDER BY doc_id
+"""
+
+
+def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf(doc,tok) × ln(N/df(tok)), top-5 terms per document
+    for doc_id < 20.  The df table is a broadcast dimension — the big
+    token table never shuffles twice."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("tok"),
+    )
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    tf = (
+        toks.where(F.col("doc_id") < 20)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "tok", "tf", "doc_freq", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+T_TFIDF_SQL = f"""
+WITH {TOKENS_CTE}, n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE doc_id < 20 GROUP BY doc_id, tok
+), scored AS (
+  SELECT doc_id, tok, tf, doc_freq,
+    round(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok), n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tf, doc_freq, tfidf, rank FROM ranked
+WHERE rank <= 5 ORDER BY doc_id, rank
 """
 
 
@@ -772,6 +899,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_topk": sim_ivf_topk,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stats": mm_decode_stats,
+    "t_vocab_topk": t_vocab_topk,
+    "t_bpe_tokens": t_bpe_tokens,
+    "t_tfidf_topk": t_tfidf_topk,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "j2_asof_enrich": j2_asof_enrich,
     "j_range_windows": j_range_windows,
@@ -791,6 +921,9 @@ EXT_ORACLES: dict[str, str] = {
     "sim_ivf_topk": SIM_IVF_SQL,
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_stats": _mm_decode_sql(),
+    "t_vocab_topk": T_VOCAB_SQL,
+    "t_bpe_tokens": T_BPE_SQL,
+    "t_tfidf_topk": T_TFIDF_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "j2_asof_enrich": J2_ASOF_SQL,
     "j_range_windows": J_RANGE_SQL,
