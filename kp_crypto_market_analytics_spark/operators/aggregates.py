@@ -195,3 +195,35 @@ def best_and_spread(df: DataFrame, side: str, price: str,
         (best_ask - best_bid).alias("spread"),
         ((best_ask + best_bid) / 2.0).alias("mid"),
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt_col: str,
+    salt_buckets: int = 16,
+):
+    """Two-phase skew-proof aggregation: group first on (keys, salt),
+    then combine partials on keys alone.  With a hot key, a plain
+    groupBy funnels that key's entire volume through one reducer; the
+    salt fans it across ``salt_buckets`` reducers and the combine phase
+    touches only |keys|×buckets partial rows.
+
+    The salt must be DETERMINISTIC (hash of a high-cardinality column,
+    never rand()) so retried tasks re-produce identical partials.
+    Returns (stage1_groupby, finalize) — callers supply algebraic
+    partial aggs to stage 1 and their combiners to finalize, e.g.::
+
+        g1, fin = salted_agg(df, ["k"], "id")
+        daily = fin(g1.agg(F.sum("v").alias("s"), F.count("v").alias("n")),
+                    [F.sum("s").alias("s"), F.sum("n").alias("n")])
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+    )
+    stage1 = salted.groupBy(*keys, "__salt")
+
+    def finalize(partials: DataFrame, combiners: list[Column]) -> DataFrame:
+        return partials.groupBy(*keys).agg(*combiners)
+
+    return stage1, finalize

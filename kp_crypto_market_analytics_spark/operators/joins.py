@@ -147,3 +147,31 @@ def range_join_buckets(
     return pb.join(ib, "__bucket").where(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     ).drop("__bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt_col: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side gets a deterministic salt
+    (hash of ``salt_col`` — a high-cardinality fact column), the small
+    side is replicated across all ``salt_buckets`` values, and the join
+    runs on (key, salt).  A hot key's rows land on ``salt_buckets``
+    reducers instead of one.  Result row-for-row equals the unsalted
+    join.
+
+    Prefer AQE skew splitting when it applies (sort-merge inner joins);
+    salting is the explicit fallback for aggregation-feeding joins and
+    outer joins AQE won't split."""
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+    )
+    return l.join(r, keys + ["__salt"], how).drop("__salt")

@@ -844,6 +844,75 @@ WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 10
 """
 
 
+def a_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation over a 5-key grouping (each key
+    holds ~20% of the table — exactly the hot-key shape that serializes
+    a plain groupBy at scale).  The oracle is the PLAIN group-by: the
+    salt must be invisible in the result."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import salted_agg
+
+    t = load_tables(spark, sf_dir, ["events"])
+    g1, finalize = salted_agg(t["events"], ["event_type"], "event_id", 16)
+    partials = g1.agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    out = finalize(
+        partials,
+        [
+            F.sum("s").cast("double").alias("sum_value"),
+            F.sum("n").alias("n_rows"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        ],
+    )
+    return out.orderBy("event_type")
+
+
+A_SALTED_SQL = """
+SELECT event_type,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  COUNT(*) AS n_rows, MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def j_salted_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join on the 5-value event_type key (hot-key
+    join shape), then aggregate.  Oracle = the plain join: salting must
+    be row-for-row invisible."""
+    from kp_crypto_market_analytics_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    dim = (
+        e.groupBy("event_type")
+        .agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value")).alias("type_avg"))
+    )
+    joined = salted_join(e, dim, "event_type", "event_id", 16)
+    return (
+        joined.where(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"), F.round(F.first("type_avg"), 6).alias("type_avg"))
+        .orderBy("event_type")
+    )
+
+
+J_SALTED_SQL = """
+WITH dim AS (
+  SELECT event_type,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS type_avg
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n_above, round(ANY_VALUE(type_avg), 6) AS type_avg
+FROM events e JOIN dim USING (event_type)
+WHERE e.value > type_avg
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 def a_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP(type, date) — subtotal + grand-total rows in
     one pass (beyond-reference coverage; SURVEY §2.5 notes Spark gives
@@ -910,6 +979,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o6_seeded_sample": o6_seeded_sample,
     "a_rollup_daily": a_rollup_daily,
     "a_distinct_users": a_distinct_users,
+    "a_salted_type_stats": a_salted_type_stats,
+    "j_salted_dim": j_salted_dim,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -932,4 +1003,6 @@ EXT_ORACLES: dict[str, str] = {
     "o6_seeded_sample": O6_SQL,
     "a_rollup_daily": A_ROLLUP_SQL,
     "a_distinct_users": A_DISTINCT_SQL,
+    "a_salted_type_stats": A_SALTED_SQL,
+    "j_salted_dim": J_SALTED_SQL,
 }
