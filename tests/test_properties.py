@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis): operator semantics vs naive
+Python reference implementations on randomized inputs.  Few examples
+per property (each round-trips through Spark), unbounded deadline."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def keyed_series(draw):
+    n_right = draw(st.integers(1, 8))
+    n_left = draw(st.integers(1, 12))
+    rights = sorted(set(draw(st.lists(st.integers(0, 1000), min_size=n_right, max_size=n_right))))
+    lefts = sorted(set(draw(st.lists(st.integers(0, 1000), min_size=n_left, max_size=n_left))))
+    return rights, lefts
+
+
+@given(keyed_series())
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, series):
+    from kp_crypto_market_analytics_spark.operators.joins import as_of_join
+
+    rights, lefts = series
+    left = spark.createDataFrame(
+        [("K", i, t) for i, t in enumerate(lefts)], "key string, lid long, lts long"
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    right = spark.createDataFrame(
+        [("K", t, float(t) * 2) for t in rights], "key string, rts long, rval double"
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+    out = as_of_join(left, right, left_ts="lts", right_ts="rts", keys=["key"]).collect()
+    got = {r["lid"]: r["rval"] for r in out}
+    for i, t in enumerate(lefts):
+        past = [rt for rt in rights if rt <= t]
+        expected = float(max(past)) * 2 if past else None
+        assert got[i] == expected, (t, rights)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=30),
+    st.integers(10, 500),
+)
+@settings(**SETTINGS)
+def test_sessionize_gap_invariants(spark, times, gap):
+    from kp_crypto_market_analytics_spark.operators.windows import sessionize
+
+    times = sorted(set(times))
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(times)], "user_id long, event_id long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = sessionize(df, "user_id", "ts", gap_seconds=gap, tiebreak="event_id").collect()
+    by_time = sorted(out, key=lambda r: r["event_id"])
+    # Invariants: consecutive events in the same session have gap <=
+    # threshold; a session boundary implies gap > threshold; ids are
+    # 1-based contiguous.
+    for prev, cur in zip(by_time, by_time[1:]):
+        delta = times[cur["event_id"]] - times[prev["event_id"]]
+        if cur["session_id"] == prev["session_id"]:
+            assert delta <= gap
+        else:
+            assert delta > gap
+            assert cur["session_id"] == prev["session_id"] + 1
+    assert by_time[0]["session_id"] == 1
+
+
+@given(
+    st.text(alphabet="abcdef ", min_size=30, max_size=80),
+    st.text(alphabet="uvwxyz ", min_size=30, max_size=80),
+    st.text(alphabet="mnopqr", min_size=12, max_size=20),
+)
+@settings(**SETTINGS)
+def test_winnow_planted_substring_shared(spark, a_pre, b_pre, common):
+    # Winnowing guarantee (k=5, w=8): any shared substring of length >=
+    # k + w - 1 = 12 yields >= 1 shared fingerprint.
+    from kp_crypto_market_analytics_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, a_pre + common), (2, b_pre + common)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, window=8).collect()
+    s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fp"] for r in fps if r["doc_id"] == 2}
+    assert s1 & s2
+
+
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=40))
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain(spark, values):
+    from kp_crypto_market_analytics_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame(
+        [("G", i, float(v)) for i, v in enumerate(values)], "k string, id long, v double"
+    )
+    g1, fin = salted_agg(df, ["k"], "id", 4)
+    out = fin(
+        g1.agg(F.sum(F.col("v").cast("decimal(28,10)")).alias("s"), F.count("v").alias("n")),
+        [F.sum("s").cast("double").alias("s"), F.sum("n").alias("n")],
+    ).collect()[0]
+    import decimal
+
+    expected = float(sum(decimal.Decimal(v).quantize(decimal.Decimal("1e-10")) for v in map(str, values)))
+    assert out["n"] == len(values)
+    assert abs(out["s"] - expected) < 1e-6
