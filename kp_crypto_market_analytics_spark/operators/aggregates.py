@@ -118,8 +118,9 @@ def weekday_hour_pivot(df: DataFrame, ts: str, value: str) -> DataFrame:
     """A6 — weekday × hour heatmap pivot (binance_analysis.py:689-690).
 
     Pivot values pinned to 0..23 so the output schema is deterministic
-    regardless of which hours appear in the data (SURVEY.md §7)."""
-    return (
+    regardless of which hours appear in the data (SURVEY.md §7);
+    columns are h0..h23 (never bare-integer column names)."""
+    piv = (
         df.withColumn("hour_of_day", F.hour(ts))
         .groupBy(
             weekday_name(ts).alias("weekday"),
@@ -128,6 +129,9 @@ def weekday_hour_pivot(df: DataFrame, ts: str, value: str) -> DataFrame:
         .pivot("hour_of_day", list(range(24)))
         .agg(exact_avg(value))
         .orderBy("dow_key")
+    )
+    return piv.select(
+        "weekday", "dow_key", *[F.col(str(h)).alias(f"h{h}") for h in range(24)]
     )
 
 

@@ -145,7 +145,11 @@ def minhash_lsh_pairs(
     minhashes.  The band bucket-join replaces the quadratic all-pairs
     comparison — candidates are generated per bucket only."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words)
+    # sig is consumed three times (band buckets + both sides of the
+    # estimate join) and is tiny (|docs| × num_hashes longs) while its
+    # lineage is the expensive shingle explode — persist is a clear win
+    # here, unlike wide fact frames (see e3_anomaly_pipeline note).
+    sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words).persist()
 
     band_cols = []
     for b in range(bands):
