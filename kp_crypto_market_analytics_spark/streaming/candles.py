@@ -96,3 +96,36 @@ def synthetic_trades_stream(spark, rows_per_second: int = 100) -> DataFrame:
         (F.lit(1.0) + (F.col("value") % 5).cast("double") / 10.0).alias("qty"),
         F.col("timestamp").alias("trade_time"),
     )
+
+
+def sessionized_activity(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation — the streaming twin of
+    operators.windows.sessionize (same gap rule; session_window merges
+    events closer than ``gap`` into one window).  On a stream the
+    watermark closes sessions and bounds state; on a batch frame it
+    yields the same sessions as the lag/cumsum operator."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            key_col,
+            F.col("session.start").alias("window_start"),
+            F.col("session.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )

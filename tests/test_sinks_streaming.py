@@ -176,3 +176,70 @@ def test_stateful_rolling_std_across_microbatches(spark, tmp_path):
     assert np.allclose(
         merged["rolling_std"].fillna(-1), merged["expected"].fillna(-1), atol=1e-9
     )
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    # The session_window streaming path and the lag/cumsum batch
+    # operator implement the same gap rule — their (user, session)
+    # partitions must be identical on fully-arrived data.
+    from kp_crypto_market_analytics_spark.operators.windows import sessionize
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.candles import sessionized_activity
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    gap_s = 1800
+
+    batch = (
+        sessionize(e, "user_id", "ts", gap_seconds=gap_s, tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    sw = sessionized_activity(e, gap=f"{gap_s} seconds", watermark=None)
+
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    s = {(r["user_id"], r["session_start"]): r["n_events"] for r in sw.collect()}
+    assert b == s
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    # Watermarked stream-stream time-range join == the same join on
+    # static frames once all data has arrived.
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.joins import enrich_with_recent
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr("event_type AS symbol", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(300)
+    )
+    facts = e
+    ctx = e.selectExpr("symbol", "event_id AS ctx_id", "ts AS ctx_ts")
+
+    expected = (
+        enrich_with_recent(facts, ctx, lookback="5 minutes")
+        .selectExpr("f.event_id", "c.ctx_id")
+        .collect()
+    )
+    exp_pairs = {(r["event_id"], r["ctx_id"]) for r in expected}
+
+    fdir, cdir = str(tmp_path / "f"), str(tmp_path / "c")
+    facts.coalesce(1).write.parquet(fdir)
+    ctx.coalesce(1).write.parquet(cdir)
+    fs = spark.readStream.schema(facts.schema).parquet(fdir)
+    cs = spark.readStream.schema(ctx.schema).parquet(cdir)
+    joined = enrich_with_recent(fs, cs, lookback="5 minutes").selectExpr(
+        "f.event_id", "c.ctx_id"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_pairs = {
+        (r["event_id"], r["ctx_id"]) for r in spark.table("ss_join_out").collect()
+    }
+    assert got_pairs == exp_pairs and len(got_pairs) > 300
