@@ -526,6 +526,37 @@ WHERE rank <= 5 ORDER BY doc_id, rank
 """
 
 
+def w3_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 at the reference's full horizon set k ∈ {5,15,60}
+    (binance_analysis.py:404-415): three leads over ONE window spec —
+    a single sort pass serves all horizons."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    cols = ["event_id", "event_type", "value"]
+    out = t["events"].select(*cols, *[
+        F.when(
+            (F.col("value") > 0) & (F.lead("value", k).over(w) > 0),
+            F.round(F.log(F.lead("value", k).over(w) / F.col("value")), 6),
+        ).alias(f"fwd_ret_{k}")
+        for k in (5, 15, 60)
+    ])
+    return out.orderBy("event_id")
+
+
+W3_MULTI_SQL = """
+SELECT event_id, event_type, value,
+  CASE WHEN value > 0 AND lead(value, 5) OVER w > 0
+       THEN round(ln(lead(value, 5) OVER w / value), 6) END AS fwd_ret_5,
+  CASE WHEN value > 0 AND lead(value, 15) OVER w > 0
+       THEN round(ln(lead(value, 15) OVER w / value), 6) END AS fwd_ret_15,
+  CASE WHEN value > 0 AND lead(value, 60) OVER w > 0
+       THEN round(ln(lead(value, 60) OVER w / value), 6) END AS fwd_ret_60
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
 # ------------------------------------ E3 feature pipeline (F13/F14/O3)
 
 
@@ -978,6 +1009,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_vocab_topk": t_vocab_topk,
     "t_bpe_tokens": t_bpe_tokens,
     "t_tfidf_topk": t_tfidf_topk,
+    "w3_multi_horizon": w3_multi_horizon,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "j2_asof_enrich": j2_asof_enrich,
     "j_range_windows": j_range_windows,
@@ -1002,6 +1034,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_vocab_topk": T_VOCAB_SQL,
     "t_bpe_tokens": T_BPE_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
+    "w3_multi_horizon": W3_MULTI_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "j2_asof_enrich": J2_ASOF_SQL,
     "j_range_windows": J_RANGE_SQL,

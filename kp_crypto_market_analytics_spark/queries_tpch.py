@@ -361,6 +361,104 @@ WHERE (p_type = 'PROMO'   AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — one nation's revenue share per year within one
+    region's customers: conditional-sum / total-sum per group over a
+    6-way join (share-of-total at join depth)."""
+    t = load_tables(
+        spark, sf_dir, ["region", "nation", "customer", "supplier", "orders", "lineitem"]
+    )
+    n_c = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_s = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t["region"].where(F.col("r_name") == "EUROPE")
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target.cast(DEC)).cast("double") / F.sum(rev.cast(DEC)).cast("double"), 6
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  round({_sum_dec("CASE WHEN n2.n_name = 'NATION_7' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")}
+      / {_sum_dec('l_extendedprice*(1-l_discount)')}, 6) AS mkt_share,
+  COUNT(*) AS n_rows
+FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — late-shipment counts split by priority class (no
+    shipmode column: priority stands in): conditional counts over a
+    date-window join."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    j = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return (
+        j.groupBy(late.alias("late_30d"))
+        .agg(
+            F.sum(high).alias("high_priority_count"),
+            F.sum(1 - high).alias("low_priority_count"),
+        )
+        .orderBy("late_30d")
+    )
+
+
+Q12_SQL = """
+SELECT l_shipdate > o_orderdate + INTERVAL 30 DAY AS late_30d,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1 ORDER BY late_30d
+"""
+
+
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape — histogram of per-customer order counts: left join so
     zero-order customers land in bucket 0, agg-of-agg."""
@@ -544,6 +642,8 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_cnt": q16_supplier_cnt,
     "q18_large_orders": q18_large_orders,
     "q19_bracket_revenue": q19_bracket_revenue,
+    "q8_market_share": q8_market_share,
+    "q12_priority_shipping": q12_priority_shipping,
     "q13_order_distribution": q13_order_distribution,
     "q17_small_quantity": q17_small_quantity,
     "q21_waiting_supplier": q21_waiting_supplier,
@@ -560,6 +660,8 @@ TPCH_ORACLES: dict[str, str] = {
     "q16_supplier_cnt": Q16_SQL,
     "q18_large_orders": Q18_SQL,
     "q19_bracket_revenue": Q19_SQL,
+    "q8_market_share": Q8_SQL,
+    "q12_priority_shipping": Q12_SQL,
     "q13_order_distribution": Q13_SQL,
     "q17_small_quantity": Q17_SQL,
     "q21_waiting_supplier": Q21_SQL,
