@@ -935,11 +935,14 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"]
     norm = F.trim(F.regexp_replace("text", r"\s+", " "))
     toks = token_count("text")
+    # when-guard, not bare division: an empty document would be a
+    # divide-by-zero ERROR under the driver's ANSI session.
+    avg_len = F.when(toks > 0, (F.length(norm) - (toks - 1)) / toks)
     return d.select(
         "doc_id",
         F.length(norm).alias("n_chars_norm"),
         toks.alias("n_tokens"),
-        ((F.length(norm) - (toks - 1)) / toks).alias("avg_token_len"),
+        avg_len.alias("avg_token_len"),
     ).orderBy("doc_id")
 
 
@@ -953,7 +956,7 @@ WITH norm AS (
   FROM norm
 )
 SELECT doc_id, n_chars_norm, n_tokens,
-  (n_chars_norm - (n_tokens - 1)) / n_tokens AS avg_token_len
+  CASE WHEN n_tokens > 0 THEN (n_chars_norm - (n_tokens - 1)) / n_tokens END AS avg_token_len
 FROM counted ORDER BY doc_id
 """
 
@@ -965,7 +968,8 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"]
     toks = token_count("text")
     hits = stopword_hits("text")
-    ratio = hits / toks
+    # ANSI-safe: guard the token division (empty doc => null ratio/score).
+    ratio = F.when(toks > 0, hits / toks)
     score = F.round(
         F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(ratio * 5, F.lit(1.0)) * 0.5, 6
     )
@@ -996,8 +1000,9 @@ WITH norm AS (
   SELECT doc_id, n_tokens, {hit_terms} AS stopword_hits FROM base
 )
 SELECT doc_id, n_tokens, stopword_hits,
-  round(CAST(stopword_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-  round(least(n_tokens / 100.0, 1.0) * 0.5 + least(CAST(stopword_hits AS DOUBLE) / n_tokens * 5, 1.0) * 0.5, 6) AS quality_score
+  round(CASE WHEN n_tokens > 0 THEN CAST(stopword_hits AS DOUBLE) / n_tokens END, 6) AS stopword_ratio,
+  round(least(n_tokens / 100.0, 1.0) * 0.5
+      + least(CASE WHEN n_tokens > 0 THEN CAST(stopword_hits AS DOUBLE) / n_tokens END * 5, 1.0) * 0.5, 6) AS quality_score
 FROM hits ORDER BY doc_id
 """
 

@@ -243,3 +243,47 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         (r["event_id"], r["ctx_id"]) for r in spark.table("ss_join_out").collect()
     }
     assert got_pairs == exp_pairs and len(got_pairs) > 300
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    # Exactly-once effect across a stream restart: run the candle
+    # stream with a checkpoint, stop it, add MORE source files, restart
+    # with the same checkpoint — already-processed files must not merge
+    # twice (n_trades would inflate on any reprocessing).
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.candles import candles_from_trades
+    from kp_crypto_market_analytics_spark.sinks.upsert import upsert_foreach_batch
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr(
+            "event_type AS symbol", "ts AS trade_time", "value AS price",
+            "value AS qty", "event_id AS trade_id",
+        )
+        .orderBy("trade_time")
+        .limit(200)
+    )
+    pdf = e.toPandas()
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ckpt"); tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(pdf.iloc[:100]).coalesce(1).write.parquet(src + "/a")
+
+    def run_once():
+        stream = spark.readStream.schema(e.schema).parquet(src + "/*")
+        candles = candles_from_trades(stream, watermark=None)
+        q = (
+            candles.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(upsert_foreach_batch(tgt, ["symbol", "open_time"]))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(tgt).agg(F.sum("num_trades")).collect()[0][0]
+    assert first == 100
+
+    spark.createDataFrame(pdf.iloc[100:]).coalesce(1).write.parquet(src + "/b")
+    run_once()
+    total = spark.read.parquet(tgt).agg(F.sum("num_trades")).collect()[0][0]
+    assert total == 200, "restart must not re-merge already-processed files"
