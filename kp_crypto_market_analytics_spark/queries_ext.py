@@ -687,6 +687,72 @@ LIMIT 200
 """
 
 
+def e4_large_trade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's large-trades analysis end-to-end
+    (binance_analysis.py:338-441): p99.5 notional threshold (P7/A8) →
+    minute-bucket context join (J1) → forward log-return 5 rows ahead
+    over the full per-type series (W3/F7) → top-50 by value (O2).
+
+    The forward return is computed over ALL events BEFORE filtering to
+    large ones (the reference indexes into the full candle series), so
+    the window runs on the unfiltered frame and the threshold filter
+    comes after — order matters for parity."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    led = F.lead("value", 5).over(w)
+    with_ret = e.withColumn(
+        "fwd_ret_5",
+        F.when((F.col("value") > 0) & (led > 0), F.round(F.log(led / F.col("value")), 6)),
+    )
+    thresh = e.agg(F.expr("percentile(value, 0.995)").alias("thr"))
+    big = with_ret.crossJoin(F.broadcast(thresh)).where(F.col("value") >= F.col("thr"))
+    minutes = e.groupBy(
+        F.col("event_type").alias("m_type"),
+        F.date_trunc("minute", "ts").alias("minute"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("value")).alias("minute_avg"),
+        F.count(F.lit(1)).alias("minute_n"),
+    )
+    joined = big.join(
+        F.broadcast(minutes),
+        (F.col("event_type") == F.col("m_type"))
+        & (F.date_trunc("minute", "ts") == F.col("minute")),
+        "left",
+    )
+    out = joined.select(
+        "event_id", "event_type", "value", "fwd_ret_5", "minute_avg", "minute_n",
+        F.round(F.col("value") / F.col("minute_avg"), 6).alias("size_vs_minute"),
+    )
+    return (
+        out.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(50)
+    )
+
+
+E4_LARGE_SQL = """
+WITH with_ret AS (
+  SELECT event_id, event_type, ts, value,
+    CASE WHEN value > 0 AND lead(value, 5) OVER w > 0
+         THEN round(ln(lead(value, 5) OVER w / value), 6) END AS fwd_ret_5
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), minutes AS (
+  SELECT event_type AS m_type, date_trunc('minute', ts) AS minute,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS minute_avg,
+    COUNT(*) AS minute_n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_id, event_type, value, fwd_ret_5, minute_avg, minute_n,
+  round(value / minute_avg, 6) AS size_vs_minute
+FROM with_ret LEFT JOIN minutes
+  ON event_type = m_type AND date_trunc('minute', ts) = minute
+WHERE value >= (SELECT quantile_cont(value, 0.995) FROM events)
+ORDER BY value DESC, event_id
+LIMIT 50
+"""
+
+
 # ------------------------------------------------ temporal operators
 
 
@@ -1011,6 +1077,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_tfidf_topk": t_tfidf_topk,
     "w3_multi_horizon": w3_multi_horizon,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
+    "e4_large_trade_impact": e4_large_trade_impact,
     "j2_asof_enrich": j2_asof_enrich,
     "j_range_windows": j_range_windows,
     "w_sessionize": w_sessionize,
@@ -1036,6 +1103,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_tfidf_topk": T_TFIDF_SQL,
     "w3_multi_horizon": W3_MULTI_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
+    "e4_large_trade_impact": E4_LARGE_SQL,
     "j2_asof_enrich": J2_ASOF_SQL,
     "j_range_windows": J_RANGE_SQL,
     "w_sessionize": W_SESSION_SQL,

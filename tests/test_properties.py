@@ -110,3 +110,33 @@ def test_salted_agg_equals_plain(spark, values):
     expected = float(sum(decimal.Decimal(v).quantize(decimal.Decimal("1e-10")) for v in map(str, values)))
     assert out["n"] == len(values)
     assert abs(out["s"] - expected) < 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1_500_000_000_000, 2_000_000_000_000),  # epoch ms
+            st.booleans(),  # encode as ms-string vs ISO string
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_heuristic_time_parse_roundtrip(spark, items):
+    # F2: every value — whether serialized as an epoch-ms string or an
+    # ISO timestamp string — must parse back to the second-truncated
+    # original (ISO form drops sub-second precision).
+    from kp_crypto_market_analytics_spark.functions.market import heuristic_time_parse
+    import datetime as dt
+
+    rows = []
+    for i, (ms, as_ms) in enumerate(items):
+        ms = (ms // 1000) * 1000  # second-aligned so both encodings agree
+        t = dt.datetime.utcfromtimestamp(ms / 1000)
+        enc = str(ms) if as_ms else t.strftime("%Y-%m-%d %H:%M:%S")
+        rows.append((i, enc, t))
+    df = spark.createDataFrame(rows, "i long, enc string, expected timestamp")
+    out = df.withColumn("parsed", heuristic_time_parse("enc")).collect()
+    for r in out:
+        assert r["parsed"] == r["expected"], (r["enc"], r["parsed"], r["expected"])

@@ -287,3 +287,43 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     run_once()
     total = spark.read.parquet(tgt).agg(F.sum("num_trades")).collect()[0][0]
     assert total == 200, "restart must not re-merge already-processed files"
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, tmp_path):
+    # dropDuplicatesWithinWatermark over a replayed file: the second
+    # source file repeats half the rows of the first plus new ones —
+    # the drained stream must equal the batch dropDuplicates result.
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.dedup import dedup_content_stream
+
+    d = (
+        load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+        .limit(60)
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    )
+    pdf = d.toPandas()
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf.iloc[:40]).coalesce(1).write.parquet(src + "/a")
+    # replay rows 20..40 + fresh rows 40..60
+    spark.createDataFrame(pdf.iloc[20:60]).coalesce(1).write.parquet(src + "/b")
+
+    expected = dedup_content_stream(d).select("fp").distinct().count()
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        dedup_content_stream(stream)
+        .select("doc_id", "fp")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").toPandas()
+    assert got["fp"].nunique() == expected
+    assert len(got) == got["fp"].nunique(), "no fingerprint may appear twice"
