@@ -108,6 +108,45 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-prefiltered: only pairs sharing a
+    sign-LSH bucket are scored — the scale path for
+    :func:`neardup_pairs` (candidates drop by ~2^planes; recall is the
+    probability two above-threshold vectors agree on all plane signs).
+    The bucket self-join is a hash equi-join; vectors re-attach via the
+    per-side narrow joins, and only (id, id, cos) enters the output."""
+    v = ensure_parallelism(
+        df.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
+    ).withColumn("nrm", norm_unrolled(F.col("vec"), dim))
+    # Buckets from the REPARTITIONED frame — computing the projections
+    # off the raw single-file scan would serialize them on one core.
+    b = random_hyperplane_buckets(v.withColumnRenamed("vec", vec_col), vec_col, id_col, planes, dim)
+    a = v.join(b, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    bb = v.join(b, id_col).select(
+        F.col(id_col).alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(bb, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -316,6 +316,91 @@ ORDER BY query_id, rank
 """
 
 
+def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered embedding near-dup pairs — the scale path for
+    sim_neardup_pairs: only intra-bucket pairs are scored, so candidate
+    volume is ~|corpus|²/2^planes instead of all pairs.  The oracle
+    reproduces the identical hyperplane signs bit-for-bit (same
+    left-associated projection sums)."""
+    from kp_crypto_market_analytics_spark.operators.similarity import neardup_pairs_lsh
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return neardup_pairs_lsh(
+        t["embeddings"], "embedding", "vec_id", threshold=0.45, planes=LSH_PLANES, dim=LSH_DIM
+    ).orderBy("id_a", "id_b")
+
+
+def _neardup_lsh_sql() -> str:
+    def bucket_expr(v: str) -> str:
+        cases = []
+        for j in range(LSH_PLANES):
+            terms = " + ".join(
+                f"{v}[{d + 1}] * {_plane_coeff(j, d)!r}" for d in range(LSH_DIM)
+            )
+            cases.append(f"(CASE WHEN 0.0 + {terms} >= 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(cases)
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), b AS (
+  SELECT vec_id, vec, {bucket_expr('vec')} AS bucket FROM v
+), pairs AS (
+  SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+    round(list_cosine_similarity(a.vec, x.vec), 6) AS cos
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def stream_candles_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-timeframe candles (reference tf '5m',
+    prices_collector/db schema tf column): 5-minute OHLCV built
+    directly from events with an epoch-floor bucket — the same plan
+    shape as stream_candles_1m at any timeframe."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import exact_sum
+
+    t = load_tables(spark, sf_dir, ["events"])
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp("ts") / F.lit(300)) * F.lit(300)
+    )
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        t["events"]
+        .groupBy(F.col("event_type").alias("symbol"), bucket.alias("bucket_5m"))
+        .agg(
+            F.min_by("value", ord_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ord_key).alias("close"),
+            exact_sum("value").alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy("symbol", "bucket_5m")
+    )
+
+
+STREAM_CANDLES_5M_SQL = """
+WITH bucketed AS (
+  SELECT event_type, value, ts, event_id,
+    CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP) AS bucket_5m,
+    row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 300) ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, floor(epoch(ts) / 300) ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type AS symbol, bucket_5m,
+  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume,
+  COUNT(*) AS n_trades
+FROM bucketed GROUP BY 1, 2 ORDER BY symbol, bucket_5m
+"""
+
+
 # ---------------------------------------------------------- multimodal
 
 
@@ -1070,6 +1155,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_fingerprint_winnow": t_fingerprint_winnow,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_neardup_lsh": sim_neardup_lsh,
+    "stream_candles_5m": stream_candles_5m,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stats": mm_decode_stats,
     "t_vocab_topk": t_vocab_topk,
@@ -1096,6 +1183,8 @@ EXT_ORACLES: dict[str, str] = {
     "t_fingerprint_winnow": T_WINNOW_SQL,
     "sim_lsh_topk": _lsh_sql(),
     "sim_ivf_topk": SIM_IVF_SQL,
+    "sim_neardup_lsh": _neardup_lsh_sql(),
+    "stream_candles_5m": STREAM_CANDLES_5M_SQL,
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_stats": _mm_decode_sql(),
     "t_vocab_topk": T_VOCAB_SQL,
