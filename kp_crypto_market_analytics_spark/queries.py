@@ -1110,7 +1110,7 @@ WITH norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
 ), sets AS (
   SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle
-  FROM norm, generate_series(1, 600) AS g(i)
+  FROM norm, generate_series(1, 4000) AS g(i)
   WHERE i <= greatest(length(t) - 3, 1)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY 1
@@ -1158,7 +1158,7 @@ WITH norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
 ), sets AS (
   SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle
-  FROM norm, generate_series(1, 600) AS g(i)
+  FROM norm, generate_series(1, 4000) AS g(i)
   WHERE i <= greatest(length(t) - 3, 1)
 )
 SELECT doc_id, {aggs}

@@ -37,7 +37,7 @@ norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
 ), sets AS (
   SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle
-  FROM norm, generate_series(1, 600) AS g(i)
+  FROM norm, generate_series(1, 4000) AS g(i)
   WHERE i <= greatest(length(t) - 3, 1)
 )"""
 
@@ -180,7 +180,7 @@ WITH norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
 ), pos AS (
   SELECT doc_id, i, substr(t, i, 5) AS shingle
-  FROM norm, generate_series(1, 600) AS g(i)
+  FROM norm, generate_series(1, 4000) AS g(i)
   WHERE i <= greatest(length(t) - 4, 1)
 ), winn AS (
   SELECT doc_id, MIN({H60.format(x='shingle')}) OVER (
