@@ -974,6 +974,94 @@ ORDER BY user_id, session_id
 """
 
 
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference §2.6 window coverage: ntile/percent_rank/
+    cume_dist/dense_rank in one window pass.  All outputs are exact
+    rationals (k/n) — bitwise identical across engines."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .orderBy("event_id")
+    )
+
+
+W_RANK_SQL = """
+SELECT event_id, event_type, value,
+  ntile(4) OVER w AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  dense_rank() OVER w AS drank
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+ORDER BY event_id
+"""
+
+
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame (reference uses only row frames): per-key
+    trailing 10-minute sum/count — the sliding time-window aggregate
+    market data actually wants.  Frame keyed on epoch seconds so both
+    engines bound the range identically."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].withColumn("epoch_s", F.unix_timestamp("ts"))
+    w = Window.partitionBy("event_type").orderBy("epoch_s").rangeBetween(-600, 0)
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            "epoch_s",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_10m"),
+            F.count("value").over(w).alias("n_10m"),
+        )
+        .orderBy("event_id")
+    )
+
+
+W_RANGE_SQL = """
+SELECT event_id, event_type, epoch_s,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_10m,
+  COUNT(value) OVER w AS n_10m
+FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday-key): all 4 grouping combinations
+    in one pass (beyond-reference grouping sets)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .cube(F.col("event_type"), F.dayofweek("ts").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first())
+    )
+
+
+A_CUBE_SQL = """
+SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, CAST(dayofweek(ts) + 1 AS INTEGER))
+ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+"""
+
+
 # ------------------------------------------------- engine-free extras
 
 
@@ -1174,6 +1262,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_distinct_users": a_distinct_users,
     "a_salted_type_stats": a_salted_type_stats,
     "j_salted_dim": j_salted_dim,
+    "w_rank_family": w_rank_family,
+    "w_range_frame": w_range_frame,
+    "a_cube_counts": a_cube_counts,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1202,4 +1293,7 @@ EXT_ORACLES: dict[str, str] = {
     "a_distinct_users": A_DISTINCT_SQL,
     "a_salted_type_stats": A_SALTED_SQL,
     "j_salted_dim": J_SALTED_SQL,
+    "w_rank_family": W_RANK_SQL,
+    "w_range_frame": W_RANGE_SQL,
+    "a_cube_counts": A_CUBE_SQL,
 }
