@@ -137,3 +137,33 @@ def test_source_router_csv_and_db_validation(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("DATA_SOURCE", "db")
     with pytest.raises(ValueError, match="jdbc_url"):
         load_candles(spark, csv_glob=str(p))
+
+
+def test_readers_conform_to_canonical_schemas(spark, tmp_path):
+    # sources/ readers must land on the canonical schemas (schemas.py =
+    # db/schema.sql re-typed): same column names, compatible types, and
+    # the documented upsert keys present.
+    from kp_crypto_market_analytics_spark import schemas
+    from kp_crypto_market_analytics_spark.sources.files import (
+        read_klines_csv,
+        read_trades_csv,
+    )
+
+    k = tmp_path / "klines_BTCUSDT_1m.csv"
+    k.write_text(
+        "open_time,open,high,low,close,volume,trade_count\n"
+        "1704067200000,1.0,2.0,0.5,1.5,10.0,3\n"
+    )
+    kl = read_klines_csv(spark, str(tmp_path / "klines_*.csv"))
+    canonical = [f.name for f in schemas.CANDLES_SCHEMA.fields]
+    assert [c for c in kl.columns] == canonical
+    assert set(schemas.CANDLES_KEY) <= set(kl.columns)
+
+    t = tmp_path / "trades_BTCUSDT.csv"
+    t.write_text(
+        "symbol,trade_id,price,qty,quote_qty,trade_time,is_buyer_maker,is_best_match\n"
+        "BTCUSDT,1,100.0,0.5,50.0,2024-01-01 00:00:00,true,false\n"
+    )
+    tr = read_trades_csv(spark, str(t))
+    trade_cols = {f.name for f in schemas.TRADES_SCHEMA.fields}
+    assert set(schemas.TRADES_KEY) <= set(tr.columns) <= trade_cols | {"notional"}
