@@ -289,3 +289,63 @@ def simhash_near_pairs(df: DataFrame, text: str, id_col: str, max_hamming: int =
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_component_labels(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "doc",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every node gets
+    the MIN node id of its component — the canonical "cluster then keep
+    one representative" step after any pair-generating dedup (MinHash /
+    SimHash / embedding).
+
+    Iterative min-label propagation: each round joins labels across
+    (symmetrized) edges and keeps the per-node min.  Rounds needed =
+    graph diameter (near-dup clusters are shallow); each round is one
+    shuffle of the label table.  AQE handles the shrinking label side.
+    Convergence is checked with a per-round changed-count action —
+    an O(diameter)-round distributed algorithm, not a driver loop over
+    rows."""
+    # Iterative algorithms MUST persist per round: without it, round N's
+    # action re-executes every prior round's joins from the source (the
+    # lineage grows linearly and re-runs quadratically), and the edge
+    # generation (often an expensive pair join) re-runs each round too.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))

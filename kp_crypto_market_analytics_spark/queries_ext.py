@@ -91,6 +91,102 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the char-4-gram
+    Jaccard>=0.6 pair graph — each doc labeled with its component's min
+    doc_id (the survivor).  Iterative min-label propagation on Spark
+    (O(diameter) shuffle rounds); the oracle computes the same
+    transitive closure with a recursive CTE."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        connected_component_labels,
+        ngram_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    edges = ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", k=4, threshold=0.6, use_words=False
+    ).select("doc_a", "doc_b")
+    nodes = t["documents"].select(F.col("doc_id").alias("doc"))
+    labels = connected_component_labels(edges, nodes, "doc")
+    out = labels.select(F.col("doc").alias("doc_id"), "cluster_id")
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    ).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH {SHINGLE4_CTE}, sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.6
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+), reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.b, r.lab FROM r JOIN sym s ON s.a = r.node
+  )
+  SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node
+), labeled AS (
+  SELECT node AS doc_id, cluster_id FROM reach
+)
+SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled ORDER BY doc_id
+"""
+
+
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale path for n-gram Jaccard: document-frequency
+    cap on shingles (df<=50) bounds the inverted-index join — a shingle
+    shared by k docs emits k² candidate pairs, so boilerplate shingles
+    are what make the exact plan quadratic.  Same output columns as
+    dedup_ngram_jaccard; jaccard is computed over CAPPED sets (the
+    approximation is the point)."""
+    from kp_crypto_market_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", k=4, threshold=0.6, use_words=False,
+        max_shingle_freq=50,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "inter_size", "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_NGRAM_CAPPED_SQL = f"""
+WITH {SHINGLE4_CTE}, freq AS (
+  SELECT shingle, COUNT(*) AS df FROM sets GROUP BY 1
+), capped AS (
+  SELECT s.doc_id, s.shingle FROM sets s JOIN freq USING (shingle) WHERE df <= 50
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_size, sa.set_size AS size_a, sb.set_size AS size_b,
+  round(CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size), 6) AS jaccard
+FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------------------------- SimHash
 
 
@@ -1238,6 +1334,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
+    "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "t_fingerprint_winnow": t_fingerprint_winnow,
@@ -1269,6 +1367,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_ngram_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "t_fingerprint_winnow": T_WINNOW_SQL,

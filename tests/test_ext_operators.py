@@ -110,3 +110,21 @@ def test_mm_decode_real_codec_raises(spark):
     media = spark.createDataFrame([(1, "image", b"\x00")], ["media_id", "kind", "payload"])
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_media(media, fake=False).collect()
+
+
+def test_connected_components_known_graph(spark):
+    # Two triangles + chain + singleton: labels must be the component
+    # minima regardless of edge direction.
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4), (6, 5), (9, 8)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["doc"])
+    out = {
+        r["doc"]: r["cluster_id"]
+        for r in connected_component_labels(edges, nodes, "doc").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 8, 10: 10}
