@@ -187,6 +187,46 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs on a blocked candidate set: docs
+    sharing an exact 16-char prefix fingerprint are compared with
+    Levenshtein on the normalized head.  Prefix blocking is what keeps
+    edit-distance dedup sub-quadratic (full-text Levenshtein across all
+    pairs is O(n²·L²)); both engines implement the same DP distance so
+    the integer output is exact."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        F.substring(norm, 1, 120).alias("head"),
+        F.substring(norm, 1, 16).alias("block"),
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"), "block")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"), "block")
+    pairs = a.join(b, "block").where(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.select(
+            "doc_a", "doc_b", F.levenshtein("head_a", "head_b").alias("edit_dist")
+        )
+        .where(F.col("edit_dist") <= 20)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_EDIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substr({NORM_TEXT_SQL}, 1, 120) AS head,
+         substr({NORM_TEXT_SQL}, 1, 16) AS block
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  levenshtein(a.head, b.head) AS edit_dist
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+ORDER BY doc_a, doc_b
+"""
+
+
 # ------------------------------------------------------------- SimHash
 
 
@@ -1133,6 +1173,86 @@ ORDER BY event_id
 """
 
 
+def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population/sample variance+stddev per group from the same
+    decimal moments (beyond-reference §2.5 coverage) — one expression
+    family, four aggregates, identical IEEE ops both engines."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value")
+    n = F.count("value")
+    sx = F.sum(v.cast("decimal(18,6)")).cast("double")
+    sx2 = F.sum(v.cast("decimal(18,6)") * v.cast("decimal(18,6)")).cast("double")
+    var_pop = (sx2 - sx * sx / n) / n
+    var_samp = F.when(n > 1, (sx2 - sx * sx / n) / (n - F.lit(1)))
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(var_pop, 6).alias("var_pop"),
+            F.round(var_samp, 6).alias("var_samp"),
+            F.round(F.sqrt(F.greatest(var_pop, F.lit(0.0))), 6).alias("stddev_pop"),
+            F.round(F.sqrt(F.greatest(var_samp, F.lit(0.0))), 6).alias("stddev_samp"),
+            n.alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A_MOMENTS_SQL = """
+WITH m AS (
+  SELECT event_type, COUNT(value) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx2
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+  round((sx2 - sx*sx/n) / n, 6) AS var_pop,
+  round(CASE WHEN n > 1 THEN (sx2 - sx*sx/n) / (n-1) END, 6) AS var_samp,
+  round(sqrt(greatest((sx2 - sx*sx/n) / n, 0)), 6) AS stddev_pop,
+  round(sqrt(greatest(CASE WHEN n > 1 THEN (sx2 - sx*sx/n) / (n-1) END, 0)), 6) AS stddev_samp,
+  n AS n_rows
+FROM m ORDER BY event_type
+"""
+
+
+def p_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column coverage over embeddings: element min/max, exact
+    element sum (decimal over posexplode — order-independent), vector
+    dimension.  The explode-aggregate form is the scale-safe way to
+    reduce array columns (no interpreted higher-order folds)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = ensure_parallelism(t["embeddings"]).where(F.col("vec_id") < 100)
+    # Promote float32 elements to double FIRST: round() on FloatType
+    # yields a float (whose repr re-exposes float32 noise), and
+    # float->decimal rounding is engine-dependent; double->decimal isn't.
+    exploded = e.select(
+        "vec_id", F.explode("embedding").alias("xf")
+    ).withColumn("x", F.col("xf").cast("double"))
+    return (
+        exploded.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double").alias("sum_x"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+P_ARRAY_SQL = """
+WITH exploded AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id < 100
+)
+SELECT vec_id, COUNT(*) AS dim,
+  round(MIN(x), 6) AS min_x,
+  round(MAX(x), 6) AS max_x,
+  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sum_x
+FROM exploded GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, weekday-key): all 4 grouping combinations
     in one pass (beyond-reference grouping sets)."""
@@ -1363,6 +1483,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_rank_family": w_rank_family,
     "w_range_frame": w_range_frame,
     "a_cube_counts": a_cube_counts,
+    "dedup_edit_distance": dedup_edit_distance,
+    "a_moments": a_moments,
+    "p_array_stats": p_array_stats,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1396,4 +1519,7 @@ EXT_ORACLES: dict[str, str] = {
     "w_rank_family": W_RANK_SQL,
     "w_range_frame": W_RANGE_SQL,
     "a_cube_counts": A_CUBE_SQL,
+    "dedup_edit_distance": DEDUP_EDIT_SQL,
+    "a_moments": A_MOMENTS_SQL,
+    "p_array_stats": P_ARRAY_SQL,
 }
