@@ -1,0 +1,134 @@
+"""CLI — the reference's `python -m src.main` surface on the Spark
+engine (reference: /root/reference/src/main.py:35-136).
+
+Subcommands mirror the reference's verbs; OFFLINE=1 swaps all network
+sources for the deterministic synthetic generators (api.py:56-64
+parity), exactly like the reference's test mode.
+
+    python -m kp_crypto_market_analytics_spark price-ticks --n 5
+    python -m kp_crypto_market_analytics_spark collect-klines \
+        --pairs BTCUSDT,ETHUSDT --tf 1m --days 1 --out data
+    python -m kp_crypto_market_analytics_spark load \
+        --data data --table warehouse/candles
+    python -m kp_crypto_market_analytics_spark analytics \
+        --table warehouse/candles --out artifacts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def parse_pairs(s: str) -> list[str]:
+    # main.py:31-32 — upper/strip normalize
+    return [x.strip().upper() for x in s.split(",") if x.strip()]
+
+
+def cmd_price_ticks(args) -> None:
+    """price-ticks (main.py:19-28): n ticker prices -> min/max/count
+    JSON summary (the reference prints values + count)."""
+    from kp_crypto_market_analytics_spark.session import get_spark
+    from kp_crypto_market_analytics_spark.sources.binance import fetch_ticker_prices
+
+    spark = get_spark("price-ticks")
+    df = fetch_ticker_prices(spark, ["BTCUSDT"], n_polls=args.n, delay_s=args.delay)
+    values = [round(r["price"], 2) for r in df.orderBy("poll").collect()]
+    print(json.dumps({"values": values, "count": len(values),
+                      "min": min(values), "max": max(values)}))
+
+
+def cmd_collect_klines(args) -> None:
+    """collect-klines (main.py:113-120 -> prices_collector.run): fetch
+    per pair, write klines_{SYMBOL}_{TF}.csv."""
+    from kp_crypto_market_analytics_spark.session import get_spark
+    from kp_crypto_market_analytics_spark.sources.binance import fetch_klines
+
+    import time
+
+    spark = get_spark("collect-klines")
+    os.makedirs(args.out, exist_ok=True)
+    end_ms = int(time.time() * 1000)
+    start_ms = end_ms - args.days * 86_400_000
+    for pair in parse_pairs(args.pairs):
+        # fetch_klines returns the canonical typed candle frame
+        df = fetch_klines(spark, pair, args.tf, start_ms=start_ms, end_ms=end_ms)
+        path = os.path.join(args.out, f"klines_{pair}_{args.tf}.csv")
+        df.toPandas().to_csv(path, index=False)
+        print(f"wrote {path}")
+
+
+def cmd_load(args) -> None:
+    """load (etl/load_postgres.py analog): tolerant CSV scan -> keyed
+    upsert into the parquet candle table; re-running never duplicates
+    (ON CONFLICT parity, load_all.py:29-34)."""
+    from kp_crypto_market_analytics_spark.schemas import CANDLES_KEY
+    from kp_crypto_market_analytics_spark.session import get_spark
+    from kp_crypto_market_analytics_spark.sinks.upsert import merge_into
+    from kp_crypto_market_analytics_spark.sources.files import read_klines_csv
+
+    spark = get_spark("load")
+    df = read_klines_csv(spark, os.path.join(args.data, "klines_*.csv"))
+    merge_into(spark, args.table, df, CANDLES_KEY)
+    n = spark.read.parquet(args.table).count()
+    print(json.dumps({"table": args.table, "rows": n}))
+
+
+def cmd_analytics(args) -> None:
+    """analytics (binance_analysis.py main(), :571-732): feature
+    pipeline + artifact fan-out to CSV/JSON."""
+    from kp_crypto_market_analytics_spark.analytics.pipeline import (
+        add_features,
+        analytics_fanout,
+    )
+    from kp_crypto_market_analytics_spark.session import get_spark
+    from kp_crypto_market_analytics_spark.sinks.artifacts import write_csv_artifact
+
+    spark = get_spark("analytics")
+    candles = spark.read.parquet(args.table)
+    feats = add_features(candles)
+    arts = analytics_fanout(feats)
+    os.makedirs(args.out, exist_ok=True)
+    for name, df in arts.items():
+        write_csv_artifact(df, os.path.join(args.out, name))
+        print(f"wrote {args.out}/{name}")
+    feats.unpersist()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("kp-crypto-market-analytics-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("price-ticks", help="collect n BTCUSDT ticker prices")
+    t.add_argument("--n", type=int, default=5)
+    t.add_argument("--delay", type=float, default=1.0)
+    t.set_defaults(fn=cmd_price_ticks)
+
+    c = sub.add_parser("collect-klines", help="collect candles per pair to CSV")
+    c.add_argument("--pairs", default=os.environ.get("PAIRS", "BTCUSDT,ETHUSDT"))
+    c.add_argument("--tf", default=os.environ.get("TF", "1m"))
+    c.add_argument("--days", type=int, default=int(os.environ.get("DAYS", "1")))
+    c.add_argument("--out", default=os.environ.get("OUT_DIR", "data"))
+    c.set_defaults(fn=cmd_collect_klines)
+
+    l = sub.add_parser("load", help="upsert klines CSVs into the candle table")
+    l.add_argument("--data", default="data")
+    l.add_argument("--table", default="warehouse/candles")
+    l.set_defaults(fn=cmd_load)
+
+    a = sub.add_parser("analytics", help="run the analytics fan-out to artifacts")
+    a.add_argument("--table", default="warehouse/candles")
+    a.add_argument("--out", default="artifacts")
+    a.set_defaults(fn=cmd_analytics)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -14,6 +14,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def corr_moments(x: Column | str, y: Column | str) -> Column:
+    """Pearson correlation from explicit moments with a guarded
+    denominator — null (not an error) on zero-variance series.
+
+    Spark's built-in ``corr`` aggregate THROWS DIVIDE_BY_ZERO under
+    ANSI mode when either series is constant (its internal division is
+    ANSI-checked); this form keeps the division inside a lazily
+    evaluated ``when``.  Pairwise null deletion matches ``corr``."""
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    both = xc.isNotNull() & yc.isNotNull()
+    xm, ym = F.when(both, xc), F.when(both, yc)
+    n = F.count(xm).cast("double")
+    sx, sy = F.sum(xm), F.sum(ym)
+    sxx, syy, sxy = F.sum(xm * xm), F.sum(ym * ym), F.sum(xm * ym)
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
+
+
 def aligned_series(df: DataFrame, key: str, ts: str, value: str, bucket: str = "minute") -> DataFrame:
     """Bucket timestamps and average values per (key, bucket) — the
     alignment grid both correlation shapes share."""
@@ -44,7 +65,7 @@ def pairwise_corr_long(
     ).join(b, "bucket_ts")
     return (
         joined.groupBy("key_a", "key_b")
-        .agg(F.corr("value_a", "value_b").alias("corr"))
+        .agg(corr_moments("value_a", "value_b").alias("corr"))
         .orderBy("key_a", "key_b")
     )
 
@@ -54,6 +75,6 @@ def scalar_corr(df: DataFrame, pairs: list[tuple[str, str]], min_rows: int = 10)
     guard (binance_analysis.py:627-636: only computed when len > 10)."""
     n = F.count(F.lit(1))
     aggs = [
-        F.when(n > min_rows, F.corr(x, y)).alias(f"corr_{x}_{y}") for x, y in pairs
+        F.when(n > min_rows, corr_moments(x, y)).alias(f"corr_{x}_{y}") for x, y in pairs
     ]
     return df.agg(*aggs)

@@ -25,6 +25,7 @@ from kp_crypto_market_analytics_spark.operators.multimodal import (
     decode_media,
     media_metadata_stats,
 )
+from kp_crypto_market_analytics_spark.operators.correlation import corr_moments
 from kp_crypto_market_analytics_spark.operators.similarity import ivf_topk, lsh_topk
 from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
 
@@ -1292,8 +1293,8 @@ def a10_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("k")
     return e.agg(
         n.alias("n_pairs"),
-        F.when(n > 10, F.round(F.corr("value", "k"), 6)).alias("corr_value_k"),
-        F.when(n > 10, F.round(F.corr(F.abs("value"), "k"), 6)).alias("corr_abs_k"),
+        F.when(n > 10, F.round(corr_moments("value", F.col("k")), 6)).alias("corr_value_k"),
+        F.when(n > 10, F.round(corr_moments(F.abs("value"), F.col("k")), 6)).alias("corr_abs_k"),
     )
 
 

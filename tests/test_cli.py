@@ -1,0 +1,59 @@
+"""CLI smoke tests — the reference's own test strategy (subprocess +
+OFFLINE=1, tests/test_main.py:9-18) applied to the full E1→E2→E3
+pipeline: collect → load → idempotent re-load → analytics."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def run_cli(args: list[str], cwd: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ, OFFLINE="1", SPARK_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "kp_crypto_market_analytics_spark", *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+
+
+def test_price_ticks_offline(tmp_path):
+    # main.py parity: OFFLINE price-ticks returns constant 100.0 ticks.
+    r = run_cli(["price-ticks", "--n", "2", "--delay", "0"], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["count"] == 2 and out["values"] == [100.0, 100.0]
+
+
+def test_collect_load_analytics_pipeline(tmp_path):
+    data = str(tmp_path / "data")
+    table = str(tmp_path / "warehouse" / "candles")
+    arts = str(tmp_path / "artifacts")
+
+    r = run_cli(["collect-klines", "--pairs", "BTCUSDT,ETHUSDT", "--tf", "1m",
+                 "--days", "1", "--out", data], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert sorted(os.listdir(data)) == [
+        "klines_BTCUSDT_1m.csv", "klines_ETHUSDT_1m.csv",
+    ]
+
+    r = run_cli(["load", "--data", data, "--table", table], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    n1 = json.loads(r.stdout.strip().splitlines()[-1])["rows"]
+    assert n1 == 20  # offline generator: 10 candles per pair
+
+    # E2 idempotence: re-loading the same CSVs must not duplicate.
+    r = run_cli(["load", "--data", data, "--table", table], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == n1
+
+    r = run_cli(["analytics", "--table", table, "--out", arts], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    produced = set(os.listdir(arts))
+    assert {"daily", "monthly", "hourly", "dow", "heatmap", "correlation",
+            "top_anomalies"} <= produced
