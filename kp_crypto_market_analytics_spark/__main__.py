@@ -97,6 +97,25 @@ def cmd_analytics(args) -> None:
     feats.unpersist()
 
 
+def cmd_list(args) -> None:
+    """Registry listing: every gated query name."""
+    from kp_crypto_market_analytics_spark.queries import QUERIES
+
+    for name in QUERIES:
+        print(name)
+
+
+def cmd_explain(args) -> None:
+    """Formatted physical plan for a registry query — the plan-review
+    loop (EXPLAINS.md) as a one-off."""
+    from kp_crypto_market_analytics_spark.queries import QUERIES
+    from kp_crypto_market_analytics_spark.session import get_spark
+
+    spark = get_spark("explain")
+    df = QUERIES[args.query](spark, args.sf_dir)
+    df.explain("formatted")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("kp-crypto-market-analytics-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -122,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--table", default="warehouse/candles")
     a.add_argument("--out", default="artifacts")
     a.set_defaults(fn=cmd_analytics)
+
+    ls = sub.add_parser("list", help="list registry query names")
+    ls.set_defaults(fn=cmd_list)
+
+    ex = sub.add_parser("explain", help="print a query's physical plan")
+    ex.add_argument("--query", required=True)
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ex.set_defaults(fn=cmd_explain)
     return p
 
 

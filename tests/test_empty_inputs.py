@@ -1,0 +1,87 @@
+"""Empty-frame robustness: the key operators must return empty (or
+correctly degenerate) results on zero rows — not throw.  Constant and
+empty inputs are the ANSI-mode landmines (the OFFLINE corr bug was
+exactly this class)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("ts", TimestampType()),
+                StructField("value", DoubleType()),
+                StructField("user_id", LongType()),
+            ]
+        ),
+    )
+
+
+def test_empty_sessionize_and_windows(spark):
+    from kp_crypto_market_analytics_spark.operators.windows import rolling_std, sessionize
+
+    e = _empty_events(spark)
+    assert sessionize(e, "user_id", "ts", 1800, tiebreak="event_id").count() == 0
+    assert rolling_std(e, "event_type", "ts", "value", 60, 30).count() == 0
+
+
+def test_empty_dedup_and_clusters(spark):
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        connected_component_labels,
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(docs, "text", "doc_id").count() == 0
+    assert simhash(docs, "text", "doc_id").count() == 0
+    assert minhash_lsh_pairs(docs, "text", "doc_id", 8, 2, k=4, use_words=False).count() == 0
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_component_labels(edges, docs.select(F.col("doc_id").alias("doc")), "doc").count() == 0
+
+
+def test_empty_similarity_and_corr(spark):
+    from kp_crypto_market_analytics_spark.operators.correlation import (
+        pairwise_corr_long,
+        scalar_corr,
+    )
+    from kp_crypto_market_analytics_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert brute_force_topk(emb, emb, k=5).count() == 0
+
+    e = _empty_events(spark)
+    assert pairwise_corr_long(e, "event_type", "ts", "value").count() == 0
+    row = scalar_corr(e.withColumn("v2", F.col("value")), [("value", "v2")]).collect()[0]
+    assert row[0] is None  # guarded: no rows -> null, not an error
+
+
+def test_empty_candles_and_upsert(spark, tmp_path):
+    from kp_crypto_market_analytics_spark.sinks.upsert import merge_into
+    from kp_crypto_market_analytics_spark.streaming.candles import candles_from_trades
+
+    trades = spark.createDataFrame(
+        [], "symbol string, trade_id long, price double, qty double, trade_time timestamp"
+    )
+    assert candles_from_trades(trades).count() == 0
+    # Upserting an empty batch into an existing table is a no-op.
+    tgt = str(tmp_path / "t")
+    base = spark.createDataFrame([("A", 1, 1.0)], "symbol string, trade_id long, price double")
+    merge_into(spark, tgt, base, ["symbol", "trade_id"])
+    merge_into(spark, tgt, base.limit(0), ["symbol", "trade_id"])
+    assert spark.read.parquet(tgt).count() == 1
