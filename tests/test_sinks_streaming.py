@@ -327,3 +327,52 @@ def test_streaming_dedup_drops_replayed_rows(spark, tmp_path):
     got = spark.table("dedup_out").toPandas()
     assert got["fp"].nunique() == expected
     assert len(got) == got["fp"].nunique(), "no fingerprint may appear twice"
+
+
+def test_ticker_streams_offline(spark, tmp_path, monkeypatch):
+    # S1 streaming: the rate-driven ticker stream yields one constant-
+    # price row per (tick, symbol); the online ingest shape upserts
+    # idempotently per batch with the OFFLINE fetch.
+    import time as _t
+    from kp_crypto_market_analytics_spark.streaming.rest_stream import (
+        start_ticker_ingest,
+        ticker_stream,
+    )
+
+    monkeypatch.setenv("OFFLINE", "1")
+    st = ticker_stream(spark, ["BTCUSDT", "ETHUSDT"], rows_per_second=20)
+    q = (
+        st.writeStream.format("memory").queryName("ticker_out")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            if spark.table("ticker_out").count() >= 4:
+                break
+            _t.sleep(0.5)
+        rows = spark.table("ticker_out").collect()
+        assert len(rows) >= 4
+        assert {r["symbol"] for r in rows} == {"BTCUSDT", "ETHUSDT"}
+        assert all(r["price"] == 100.0 for r in rows)
+    finally:
+        q.stop()
+
+    tgt, ckpt = str(tmp_path / "ticks"), str(tmp_path / "ckpt")
+    q2 = start_ticker_ingest(spark, ["BTCUSDT"], tgt, ckpt, rows_per_second=20)
+    try:
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            q2.processAllAvailable()
+            try:
+                if spark.read.parquet(tgt).count() > 0:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.5)
+        out = spark.read.parquet(tgt)
+        assert out.count() > 0
+        assert out.where(F.col("price") != 100.0).count() == 0
+    finally:
+        q2.stop()
