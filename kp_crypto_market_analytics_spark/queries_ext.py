@@ -97,7 +97,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard>=0.6 pair graph — each doc labeled with its component's min
     doc_id (the survivor).  Iterative min-label propagation on Spark
     (O(diameter) shuffle rounds); the oracle computes the same
-    transitive closure with a recursive CTE."""
+    transitive closure with a recursive CTE.
+
+    Edges come from the FREQ-CAPPED pair generator (df<=50): the
+    uncapped inverted index degenerates toward all-pairs on this
+    small-vocab corpus (~40x slower at sf0.1) and clustering only
+    needs enough edges to connect components."""
     from kp_crypto_market_analytics_spark.operators.dedup import (
         connected_component_labels,
         ngram_jaccard_pairs,
@@ -105,7 +110,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     edges = ngram_jaccard_pairs(
-        t["documents"], "text", "doc_id", k=4, threshold=0.6, use_words=False
+        t["documents"], "text", "doc_id", k=4, threshold=0.6, use_words=False,
+        max_shingle_freq=50,
     ).select("doc_a", "doc_b")
     nodes = t["documents"].select(F.col("doc_id").alias("doc"))
     labels = connected_component_labels(edges, nodes, "doc")
@@ -117,11 +123,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTERS_SQL = f"""
-WITH {SHINGLE4_CTE}, sizes AS (
-  SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY 1
+WITH {SHINGLE4_CTE}, freq AS (
+  SELECT shingle, COUNT(*) AS df FROM sets GROUP BY 1
+), capped AS (
+  SELECT s.doc_id, s.shingle FROM sets s JOIN freq USING (shingle) WHERE df <= 50
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY 1
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
-  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), edges AS (
   SELECT doc_a, doc_b FROM inter
