@@ -138,3 +138,34 @@ def sessionize(
     return df.withColumn("__new", new_session).withColumn(
         "session_id", F.sum("__new").over(running)
     ).drop("__new")
+
+
+def ewma_grouped(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    alpha: float = 0.1,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the sequential
+    recurrence s_t = a·x_t + (1-a)·s_{t-1} has no closed window-frame
+    form, so it runs as a grouped-map ``applyInPandas`` stage: one
+    Arrow-batched pandas worker per key group, vectorized ewm inside.
+    Matches pandas ewm(alpha, adjust=False) exactly.
+
+    Scale notes: one shuffle on ``key``; each group must fit a worker's
+    memory (time-series per symbol do); for million-row groups switch
+    to applyInPandasWithState over time-ordered micro-batches
+    (streaming/stateful.py shows the pattern)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    out_schema = StructType(df.schema.fields + [StructField("ewma", DoubleType())])
+
+    def fn(pdf: "pandas.DataFrame") -> "pandas.DataFrame":  # noqa: F821
+        pdf = pdf.sort_values(order)
+        pdf["ewma"] = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, out_schema)

@@ -1264,6 +1264,59 @@ FROM exploded GROUP BY vec_id ORDER BY vec_id
 """
 
 
+def a_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key linear regression of value on time (trend extraction):
+    slope/intercept/r² from explicit moments with guarded divisions —
+    built-in regr_* aggregates exist on both engines but, like corr,
+    Spark's are ANSI-unsafe on degenerate groups; the moment form is
+    branch-guarded and bitwise reproducible."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "event_type",
+        F.unix_timestamp("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    n = F.count("y").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(varx > 0, cov / varx)
+    intercept = F.when(varx > 0, (sy - slope * sx) / n)
+    r2 = F.when((varx > 0) & (vary > 0), (cov * cov) / (varx * vary))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(slope * 86400, 6).alias("slope_per_day"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+            n.cast("long").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A_REGR_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS DOUBLE) AS x, value AS y FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(y) AS DOUBLE) AS n,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+  FROM e GROUP BY event_type
+)
+SELECT event_type,
+  round(CASE WHEN n*sxx - sx*sx > 0 THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END * 86400, 6) AS slope_per_day,
+  round(CASE WHEN n*sxx - sx*sx > 0
+        THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n END, 6) AS intercept,
+  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS r2,
+  CAST(n AS BIGINT) AS n_rows
+FROM m ORDER BY event_type
+"""
+
+
 def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, weekday-key): all 4 grouping combinations
     in one pass (beyond-reference grouping sets)."""
@@ -1497,6 +1550,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": dedup_edit_distance,
     "a_moments": a_moments,
     "p_array_stats": p_array_stats,
+    "a_regression": a_regression,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1533,4 +1587,5 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_edit_distance": DEDUP_EDIT_SQL,
     "a_moments": A_MOMENTS_SQL,
     "p_array_stats": P_ARRAY_SQL,
+    "a_regression": A_REGR_SQL,
 }

@@ -128,3 +128,27 @@ def test_connected_components_known_graph(spark):
         for r in connected_component_labels(edges, nodes, "doc").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 8, 10: 10}
+
+
+def test_ewma_matches_pandas(spark):
+    import numpy as np
+    from kp_crypto_market_analytics_spark.operators.windows import ewma_grouped
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .select("event_type", "ts", "event_id", "value")
+        .limit(500)
+    )
+    got = (
+        ewma_grouped(e, "event_type", "ts", "value", alpha=0.2, tiebreak="event_id")
+        .orderBy("event_type", "ts", "event_id")
+        .toPandas()
+    )
+    pdf = e.toPandas().sort_values(["event_type", "ts", "event_id"])
+    expected = (
+        pdf.groupby("event_type")["value"]
+        .apply(lambda s: s.ewm(alpha=0.2, adjust=False).mean())
+        .reset_index(level=0, drop=True)
+    )
+    assert np.allclose(got["ewma"].values, expected.loc[pdf.index].values, atol=1e-12)
