@@ -50,8 +50,12 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Codegen-friendly Σ aᵢbᵢ: explicit left-associated terms, same
-    IEEE accumulation order as :func:`dot`."""
+    """Explicit left-associated Σ aᵢbᵢ, same IEEE accumulation order as
+    :func:`dot`.  MEASURED PESSIMIZATION at dim=64: the ~3·dim-node
+    expression tree blows up whole-stage codegen (janino compile seconds
+    per stage; interpreted fallback is slow per-row too) — ivf_topk at
+    sf0.1 was 12s unrolled vs 2s with the HOF :func:`dot`.  Kept only
+    for tiny fixed dims (≤8) and as the parity reference."""
     expr = F.lit(0.0)
     for i in range(1, dim + 1):
         expr = expr + F.element_at(a, i) * F.element_at(b, i)
@@ -59,6 +63,7 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
 
 
 def norm_unrolled(a: Column, dim: int) -> Column:
+    """See :func:`dot_unrolled` — prefer :func:`norm` beyond tiny dims."""
     expr = F.lit(0.0)
     for i in range(1, dim + 1):
         v = F.element_at(a, i)
@@ -66,11 +71,13 @@ def norm_unrolled(a: Column, dim: int) -> Column:
     return F.sqrt(expr)
 
 
-def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column, dim: int) -> Column:
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """Cosine from precomputed norms — in pair-scoring plans compute
     each side's norm ONCE per vector (narrow, pre-join) instead of per
-    pair; the quadratic stage keeps only the dot product."""
-    return F.when((na > 0) & (nb > 0), dot_unrolled(a, b, dim) / (na * nb))
+    pair; the quadratic stage keeps only the dot product (HOF loop:
+    same left-assoc IEEE order as a sequential SQL list reduction,
+    constant-size codegen regardless of dim)."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
 def l2_distance(a: Column, b: Column) -> Column:

@@ -22,7 +22,6 @@ from kp_crypto_market_analytics_spark.functions.vectors import (
     cosine_with_norms,
     dot,
     norm,
-    norm_unrolled,
     to_double_array,
 )
 from kp_crypto_market_analytics_spark.session import ensure_parallelism
@@ -43,20 +42,20 @@ def brute_force_topk(
     scoring.  The only shuffle is the per-query top-k window over
     |queries|·|corpus| scored rows — bounded by filtering on rank.
     Norms are computed once per vector in the narrow pre-join stage;
-    the quadratic stage is only the unrolled dot product.  The corpus
+    the quadratic stage is only the dot product.  The corpus
     (streamed) side is repartitioned to full parallelism first — a
     broadcast nested-loop join inherits the stream side's partitioning,
     and a single-file scan would otherwise score on ONE core."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         to_double_array(vec_col).alias("qvec"),
-    ).withColumn("qnorm", norm_unrolled(F.col("qvec"), dim))
+    ).withColumn("qnorm", norm(F.col("qvec")))
     c = ensure_parallelism(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             to_double_array(vec_col).alias("cvec"),
         )
-    ).withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
+    ).withColumn("cnorm", norm(F.col("cvec")))
     scored = c.crossJoin(F.broadcast(q))
     if not include_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
@@ -66,7 +65,7 @@ def brute_force_topk(
         "query_id",
         "neighbor_id",
         cosine_with_norms(
-            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+            F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
         ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -92,16 +91,16 @@ def neardup_pairs(
     precomputed per vector so the O(n²) stage is dot-product-only."""
     a = ensure_parallelism(
         df.select(F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("va"))
-    ).withColumn("na", norm_unrolled(F.col("va"), dim))
+    ).withColumn("na", norm(F.col("va")))
     b = df.select(F.col(id_col).alias("id_b"), to_double_array(vec_col).alias("vb")).withColumn(
-        "nb", norm_unrolled(F.col("vb"), dim)
+        "nb", norm(F.col("vb"))
     )
     # Pin broadcast to b so the repartitioned a is the streamed side —
     # the nested-loop stage then runs at full parallelism.
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
-            "cos", cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim)
+            "cos", cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -124,7 +123,7 @@ def neardup_pairs_lsh(
     per-side narrow joins, and only (id, id, cos) enters the output."""
     v = ensure_parallelism(
         df.select(F.col(id_col), to_double_array(vec_col).alias("vec"))
-    ).withColumn("nrm", norm_unrolled(F.col("vec"), dim))
+    ).withColumn("nrm", norm(F.col("vec")))
     # Buckets from the REPARTITIONED frame — computing the projections
     # off the raw single-file scan would serialize them on one core.
     b = random_hyperplane_buckets(v.withColumnRenamed("vec", vec_col), vec_col, id_col, planes, dim)
@@ -140,7 +139,7 @@ def neardup_pairs_lsh(
     return (
         pairs.select(
             "id_a", "id_b",
-            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), dim).alias("cos"),
+            cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -157,8 +156,13 @@ def random_hyperplane_buckets(
     """Sign-LSH bucket id per vector: ``planes`` pseudo-random
     hyperplanes generated deterministically from (plane, dim) index
     hashes; bucket = bit-vector of sign(v·plane).  Cosine-similar
-    vectors collide with high probability."""
-    import math
+    vectors collide with high probability.
+
+    Each projection is an array-literal × vector dot via zip_with +
+    aggregate — same left-assoc IEEE order as an unrolled term chain,
+    but the expression tree stays O(planes) instead of O(planes·dim)
+    (the unrolled form stalled whole-stage codegen; see
+    functions/vectors.py dot_unrolled)."""
 
     # Deterministic "random" plane entries in [-1, 1): fractional part
     # of sin-free integer hashing (no libm dependency → portable).
@@ -169,9 +173,8 @@ def random_hyperplane_buckets(
     v = to_double_array(vec_col)
     bucket = F.lit(0).cast("long")
     for j in range(planes):
-        proj = F.lit(0.0)
-        for d in range(dim):
-            proj = proj + F.element_at(v, d + 1) * F.lit(coeff(j, d))
+        plane = F.array(*[F.lit(coeff(j, d)) for d in range(dim)])
+        proj = dot(v, plane)
         bucket = bucket + F.when(proj >= 0, F.lit(1 << j)).otherwise(0)
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
@@ -198,10 +201,10 @@ def ivf_topk(
     tiebreaker so results are engine-reproducible."""
     cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
-    ).withColumn("centnorm", norm_unrolled(F.col("cent"), dim))
+    ).withColumn("centnorm", norm(F.col("cent")))
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
-    ).withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
+    ).withColumn("cnorm", norm(F.col("cvec")))
     # Assignment argmax as max_by aggregation over SKINNY rows (id, id,
     # cos): partial map-side combine, no vectors in the shuffle.  A
     # row_number window here would drag 2×dim doubles per candidate
@@ -214,7 +217,7 @@ def ivf_topk(
             "centroid_id",
             F.round(
                 cosine_with_norms(
-                    F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm"), dim
+                    F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm")
                 ),
                 6,
             ).alias("ccos"),
@@ -228,7 +231,7 @@ def ivf_topk(
     cassign = c.join(F.broadcast(best), "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
-    ).withColumn("qnorm", norm_unrolled(F.col("qvec"), dim))
+    ).withColumn("qnorm", norm(F.col("qvec")))
     wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
     qprobe = (
         q.crossJoin(F.broadcast(cents))
@@ -236,7 +239,7 @@ def ivf_topk(
             "qcos",
             F.round(
                 cosine_with_norms(
-                    F.col("qvec"), F.col("cent"), F.col("qnorm"), F.col("centnorm"), dim
+                    F.col("qvec"), F.col("cent"), F.col("qnorm"), F.col("centnorm")
                 ),
                 6,
             ),
@@ -253,7 +256,7 @@ def ivf_topk(
             "neighbor_id",
             F.round(
                 cosine_with_norms(
-                    F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+                    F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
                 ),
                 6,
             ).alias("cos"),
@@ -298,12 +301,12 @@ def lsh_topk(
         ensure_parallelism(
             corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
         )
-        .withColumn("cnorm", norm_unrolled(F.col("cvec"), dim))
+        .withColumn("cnorm", norm(F.col("cvec")))
         .join(cb, "neighbor_id")
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec"))
-        .withColumn("qnorm", norm_unrolled(F.col("qvec"), dim))
+        .withColumn("qnorm", norm(F.col("qvec")))
         .join(qb, "query_id")
     )
     scored = (
@@ -313,7 +316,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             cosine_with_norms(
-                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm"), dim
+                F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")
             ).alias("cos"),
         )
     )

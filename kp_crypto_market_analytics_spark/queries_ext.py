@@ -1317,6 +1317,60 @@ FROM m ORDER BY event_type
 """
 
 
+_EWMA_ALPHA = 0.2
+# Shared weight literals: both engines consume the SAME Python doubles
+# (repr-emitted into the SQL), so the weighted sum is identical IEEE
+# arithmetic — no pow() libm divergence between JVM and DuckDB.
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** j for j in range(8)]
+
+
+def w_ewma_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated (8-lag) exponentially weighted moving average per key:
+    the closed-form, window-expressible cousin of the exact-recurrence
+    ``operators.windows.ewma_grouped`` (that one is pandas-parity-tested;
+    this one is SQL-oracle-gated).  ewm(adjust=True) semantics truncated
+    to the trailing 8 observations: num = Σ w_j·x_{t-j}, den = Σ w_j over
+    available lags — one window sort pass, whole-stage codegen, no
+    Python.  Scale: single shuffle on event_type; lag chain stays in one
+    frame evaluation."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = [F.col("value") if j == 0 else F.lag("value", j).over(w) for j in range(8)]
+    num: Column = F.lit(0.0)
+    den: Column = F.lit(0.0)
+    for j, lg in enumerate(lags):
+        num = num + F.coalesce(lg, F.lit(0.0)) * F.lit(_EWMA_W[j])
+        den = den + F.when(lg.isNotNull(), F.lit(_EWMA_W[j])).otherwise(F.lit(0.0))
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(num / den, 6).alias("ewma8"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _ewma_sql() -> str:
+    lag = lambda j: "value" if j == 0 else f"lag(value, {j}) OVER w"
+    num = " + ".join(f"coalesce({lag(j)}, 0.0) * {w!r}" for j, w in enumerate(_EWMA_W))
+    den = " + ".join(
+        f"CASE WHEN {lag(j)} IS NOT NULL THEN {w!r} ELSE 0.0 END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+SELECT event_id, event_type, value, round(({num}) / ({den}), 6) AS ewma8
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+ORDER BY event_id
+"""
+
+
+W_EWMA_SQL = _ewma_sql()
+
+
 def a_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (event_type, weekday-key): all 4 grouping combinations
     in one pass (beyond-reference grouping sets)."""
@@ -1551,6 +1605,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_moments": a_moments,
     "p_array_stats": p_array_stats,
     "a_regression": a_regression,
+    "w_ewma_trunc": w_ewma_trunc,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1588,4 +1643,5 @@ EXT_ORACLES: dict[str, str] = {
     "a_moments": A_MOMENTS_SQL,
     "p_array_stats": P_ARRAY_SQL,
     "a_regression": A_REGR_SQL,
+    "w_ewma_trunc": W_EWMA_SQL,
 }
