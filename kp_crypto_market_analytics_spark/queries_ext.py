@@ -27,6 +27,7 @@ from kp_crypto_market_analytics_spark.operators.multimodal import (
 )
 from kp_crypto_market_analytics_spark.operators.correlation import corr_moments
 from kp_crypto_market_analytics_spark.operators.similarity import ivf_topk, lsh_topk
+from kp_crypto_market_analytics_spark.functions.text import hash64, token_count
 from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
 
 NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -1570,6 +1571,125 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: concat-and-chunk documents
+    into fixed 2048-token packs, sharded by source.  pack_id = starting
+    token offset ÷ budget via a per-source running sum — documents never
+    reorder, so packing is reproducible under re-runs.
+
+    Scale: the window runs per source shard (never one global
+    single-partition sort); at 100 TB shard further by hash(doc_id)
+    prefix so each cumsum partition stays bounded."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = (
+        t["documents"]
+        .select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id", F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(2048.0))
+        )
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+T_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, t,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS n_tokens
+  FROM (SELECT doc_id, source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
+), c AS (
+  SELECT source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM toks
+)
+SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+  COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+FROM c GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+def t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: salted md5 bucket of
+    doc_id in [0,100) → 80/10/10.  Content-keyed, so membership is
+    stable under repartitioning, incremental re-runs, and engine
+    changes — unlike rand(seed), which reshuffles with the partitioning
+    (same rationale as o6_seeded_sample)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    bucket = hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return (
+        t["documents"]
+        .select(split.alias("split"), "lang", token_count("text").cast("long").alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens"))
+        .orderBy("split", "lang")
+    )
+
+
+T_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT {H60.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket, lang,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS n_tokens
+  FROM (SELECT doc_id, lang, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+  lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+FROM b GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def t_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word bigrams (collocation mining): token array zipped
+    with its own 1-shift — no self-join, the explode feeds straight
+    into a partial-aggregated count, so shuffle traffic is |bigram
+    vocab| not |token pairs|."""
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    d = (
+        ensure_parallelism(t["documents"])
+        .select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    big = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    agg = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return top_k(agg, [F.col("cnt").desc(), F.col("bigram").asc()], 100).select(
+        "bigram", "cnt"
+    )
+
+
+T_BIGRAM_SQL = f"""
+WITH norm AS (
+  SELECT string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), b AS (
+  SELECT l[i] || ' ' || l[i + 1] AS bigram
+  FROM norm, generate_series(1, 4000) AS g(i)
+  WHERE i <= len(l) - 1
+)
+SELECT bigram, COUNT(*) AS cnt FROM b
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -1606,6 +1726,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_array_stats": p_array_stats,
     "a_regression": a_regression,
     "w_ewma_trunc": w_ewma_trunc,
+    "t_pack_sequences": t_pack_sequences,
+    "t_split_assign": t_split_assign,
+    "t_bigram_topk": t_bigram_topk,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1644,4 +1767,7 @@ EXT_ORACLES: dict[str, str] = {
     "p_array_stats": P_ARRAY_SQL,
     "a_regression": A_REGR_SQL,
     "w_ewma_trunc": W_EWMA_SQL,
+    "t_pack_sequences": T_PACK_SQL,
+    "t_split_assign": T_SPLIT_SQL,
+    "t_bigram_topk": T_BIGRAM_SQL,
 }
