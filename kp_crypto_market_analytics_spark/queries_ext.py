@@ -1690,6 +1690,164 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
 """
 
 
+def p_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the first pass any pipeline runs on a new
+    drop): per-column null rate, distinct count, min/max — long format,
+    one row per column.  All columns profile in a single scan (one
+    multi-aggregate), then unpivot driver-side via a tiny union of
+    1-row projections; at 100 TB the scan cost dominates and stays
+    single-pass."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+    # min/max aggregate on the NATIVE type (string-cast first would
+    # order lexicographically); the string cast is render-only, and
+    # doubles render via decimal(18,2) so both engines print alike.
+    def s(c: Column, name: str) -> Column:
+        if name == "o_totalprice":
+            return c.cast("decimal(18,2)").cast("string")
+        return c.cast("string")
+
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        *[s(F.min(c), c).alias(f"mn_{c}") for c in cols],
+        *[s(F.max(c), c).alias(f"mx_{c}") for c in cols],
+    )
+    rows = [
+        agg.select(
+            F.lit(c).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_str"),
+            F.col(f"mx_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("column_name")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def _profile_cast(c: str, agg: str) -> str:
+    if c == "o_totalprice":
+        return f"CAST(CAST({agg}({c}) AS DECIMAL(18,2)) AS VARCHAR)"
+    return f"CAST({agg}({c}) AS VARCHAR)"
+
+
+P_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({c}) AS n_null, COUNT(DISTINCT {c}) AS n_distinct,
+  {_profile_cast(c, "MIN")} AS min_str, {_profile_cast(c, "MAX")} AS max_str
+FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
+
+
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem quantity in 10 bins — feature
+    bucketing / distribution sketching as pure integer arithmetic
+    (portable: no width_bucket dependency), one scan + one tiny
+    shuffle."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    lo, hi, nbins = 1.0, 51.0, 10
+    step = (hi - lo) / nbins
+    b = F.least(
+        F.greatest(F.floor((F.col("l_quantity") - F.lit(lo)) / F.lit(step)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        t["lineitem"]
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+        )
+        .orderBy("bin")
+    )
+
+
+A_HIST_SQL = """
+SELECT CAST(least(greatest(floor((l_quantity - 1.0) / 5.0), 0), 9) AS INTEGER) AS bin,
+  COUNT(*) AS n, MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q
+FROM lineitem GROUP BY bin ORDER BY bin
+"""
+
+
+def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-redaction scan: per-document email / URL / long-digit-run
+    counts and a corpus rollup flag — the detection half of a scrub
+    pass (both engines run the identical RE2-safe patterns; the
+    redaction itself is the same regexp_replace).
+
+    The synthetic corpus contains no organic PII, so a deterministic
+    subset (doc_id % 97 == 0) gets a contact line appended in-query on
+    BOTH engines — the detector is then exercised on real text with
+    known-position planted matches instead of passing vacuously."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.org/u/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" ref 9876543210"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]{9,}"
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(email), 0))
+    n_url = F.size(F.regexp_extract_all(F.col("text"), F.lit(url), 0))
+    n_dig = F.size(F.regexp_extract_all(F.col("text"), F.lit(digits), 0))
+    return (
+        d.select(
+            "doc_id",
+            n_email.alias("n_emails"),
+            n_url.alias("n_urls"),
+            n_dig.alias("n_digit_runs"),
+            ((n_email + n_url + n_dig) > 0).alias("has_pii"),
+        )
+        .where((F.col("n_emails") + F.col("n_urls") + F.col("n_digit_runs")) > 0)
+        .orderBy("doc_id")
+    )
+
+
+T_PII_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0
+         THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex.org/u/' || CAST(doc_id AS VARCHAR)
+              || ' ref 9876543210'
+         ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS n_emails,
+    len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+    len(regexp_extract_all(text, '[0-9]{9,}')) AS n_digit_runs
+  FROM aug
+)
+SELECT doc_id, n_emails, n_urls, n_digit_runs,
+  (n_emails + n_urls + n_digit_runs) > 0 AS has_pii
+FROM c WHERE n_emails + n_urls + n_digit_runs > 0 ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -1729,6 +1887,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pack_sequences": t_pack_sequences,
     "t_split_assign": t_split_assign,
     "t_bigram_topk": t_bigram_topk,
+    "p_profile_columns": p_profile_columns,
+    "a_histogram": a_histogram,
+    "t_pii_scan": t_pii_scan,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1770,4 +1931,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_pack_sequences": T_PACK_SQL,
     "t_split_assign": T_SPLIT_SQL,
     "t_bigram_topk": T_BIGRAM_SQL,
+    "p_profile_columns": P_PROFILE_SQL,
+    "a_histogram": A_HIST_SQL,
+    "t_pii_scan": T_PII_SQL,
 }
