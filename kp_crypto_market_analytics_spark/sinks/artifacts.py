@@ -14,11 +14,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_partitioned(df: DataFrame, path: str, partition_by: list[str]) -> None:
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], dynamic: bool = False
+) -> None:
     """Fact-table sink: partitioned parquet → partition pruning for
     every downstream time/symbol filter (SURVEY §4: partition by
-    symbol/tf/date)."""
-    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    symbol/tf/date).
+
+    ``dynamic=True`` switches to dynamic partition overwrite: only the
+    partitions present in ``df`` are replaced — the incremental-ingest
+    mode (re-load one day without truncating the table)."""
+    w = df.write.mode("overwrite")
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy(*partition_by).parquet(path)
+
+
+def compact_partitions(
+    spark,
+    src_path: str,
+    dest_path: str,
+    partition_by: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Small-file compaction: rewrite a partitioned parquet dataset so
+    every partition directory holds one file (or size-bounded files via
+    ``max_records_per_file``).  Streaming ingest and per-batch upserts
+    accrete KB-sized files; scan throughput at 100 TB dies on open/seek
+    overhead long before bandwidth (target 128-512 MB per file).
+
+    One shuffle keyed on the partition columns: all rows of a key land
+    in one task, so each directory is written by exactly one task — no
+    distinct-count pre-pass, no driver-side file listing.  The file-size
+    bound uses the writer's own maxRecordsPerFile split (deterministic,
+    unlike salting the shuffle key, which file-counts only in
+    expectation).  Writes to ``dest_path`` — swap directories after;
+    in-place read-overwrite of the same path is undefined in Spark."""
+    df = spark.read.parquet(src_path).repartition(*[F.col(c) for c in partition_by])
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_by).parquet(dest_path)
 
 
 def write_csv_artifact(df: DataFrame, path: str) -> None:

@@ -376,3 +376,44 @@ def test_ticker_streams_offline(spark, tmp_path, monkeypatch):
         assert out.where(F.col("price") != 100.0).count() == 0
     finally:
         q2.stop()
+
+
+def test_partitioned_write_dynamic_overwrite_and_compaction(spark, tmp_path):
+    import glob
+
+    from kp_crypto_market_analytics_spark.sinks.artifacts import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02") for i in range(50)],
+        "day string, id int, v double",
+    )
+    path = str(tmp_path / "fact")
+    # Fragment on purpose: 8 shuffle partitions × 2 days => many small files.
+    write_partitioned(df.repartition(8), path, ["day"])
+    frag = glob.glob(f"{path}/day=2024-01-01/*.parquet")
+    assert len(frag) > 1
+
+    # Dynamic overwrite of ONE day must leave the other day intact.
+    patch = spark.createDataFrame([("2024-01-02", 999, 9.9)], "day string, id int, v double")
+    write_partitioned(patch, path, ["day"], dynamic=True)
+    back = spark.read.parquet(path)
+    assert back.where("day = '2024-01-01'").count() == 50
+    assert [r["id"] for r in back.where("day = '2024-01-02'").collect()] == [999]
+
+    # Compaction: rebuild the fragmented layout, then 1 file per dir.
+    write_partitioned(df.repartition(8), path, ["day"])
+    dest = str(tmp_path / "compact")
+    compact_partitions(spark, path, dest, ["day"])
+    for d in ("2024-01-01", "2024-01-02"):
+        assert len(glob.glob(f"{dest}/day={d}/*.parquet")) == 1
+    assert spark.read.parquet(dest).count() == 100
+
+    # Size-bounded variant: 50 rows/day at 25 records/file => 2 files.
+    dest2 = str(tmp_path / "compact2")
+    compact_partitions(spark, path, dest2, ["day"], max_records_per_file=25)
+    for d in ("2024-01-01", "2024-01-02"):
+        assert len(glob.glob(f"{dest2}/day={d}/*.parquet")) == 2
+    assert spark.read.parquet(dest2).count() == 100
