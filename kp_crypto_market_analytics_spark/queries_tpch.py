@@ -9,7 +9,10 @@ exclusion (q16), HAVING over a 600M-row-scale group (q18), OR-of-ANDs
 bracket predicates (q19).  Adapted to the driver schema: no
 partsupp/commitdate/shipmode columns, so q4 uses shipdate>orderdate as
 the lateness predicate, q9 proxies supply cost with p_retailprice, q16
-counts lineitem suppliers.
+counts lineitem suppliers, q2's supply cost is each supplier's min
+lineitem price, q11's inventory value is Σ extendedprice·quantity, and
+q20's availqty test becomes share-of-shipped-volume.  With q2/q11/q20
+the full 22-query pattern set is covered.
 
 Determinism: decimal-moment sums presented as double, round(,6) on
 ratios, unique tiebreakers under every LIMIT (queries.py header).
@@ -632,6 +635,167 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — cheapest-supplier-per-part via a correlated scalar MIN,
+    decorrelated into agg + equality re-join (exactly Catalyst's own
+    decorrelation).  Supply cost proxies as each supplier's minimum
+    lineitem price for the part (no partsupp in the driver schema);
+    region restriction applies INSIDE the min, as in the original.
+    All dims broadcast; lineitem shuffles once on (part, supp)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
+    eur = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        t["lineitem"]
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("cost").alias("mincost"))
+    p = t["part"].where((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+    j = (
+        costs.join(F.broadcast(best.withColumnRenamed("l_partkey", "bk")),
+                   (F.col("l_partkey") == F.col("bk")) & (F.col("cost") == F.col("mincost")))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    return top_k(
+        j,
+        [F.col("s_acctbal").desc(), F.col("n_name").asc(), F.col("s_name").asc(), F.col("p_partkey").asc()],
+        100,
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+
+
+Q2_SQL = """
+WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), costs AS (
+  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+    MIN(l_extendedprice) AS cost
+  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4, 5
+), best AS (
+  SELECT l_partkey AS bk, MIN(cost) AS mincost FROM costs GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+FROM costs JOIN best ON l_partkey = bk AND cost = mincost
+JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 15 AND p_type = 'ECONOMY'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — per-part inventory value for one nation's suppliers,
+    kept when above a fraction of the GLOBAL total (group agg + scalar
+    subquery → broadcast 1-row cross join; the fact shuffles once).
+    Value proxies as Σ extendedprice·quantity (no partsupp).  The
+    fractional threshold compares in double on BOTH engines (a
+    decimal×decimal compare would type-differ across engines)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    n1 = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].where(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(n1), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")).alias("val")
+        )
+    )
+    tot = v.agg(F.sum("val").cast("double").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("val").cast("double") > F.lit(0.002) * F.col("total"))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+Q11_SQL = """
+WITH n1 AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+), v AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS val
+  FROM lineitem JOIN n1 ON l_suppkey = s_suppkey
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v
+WHERE CAST(val AS DOUBLE) > 0.002 * (SELECT CAST(SUM(val) AS DOUBLE) FROM v)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — nested agg-in-subquery feeding a semi-join: suppliers
+    who shipped more than half of a 'red' part's 1995-96 volume
+    (availqty-vs-half-shipped adapted to share-of-shipments; no
+    partsupp).  Two aggs reuse ONE shuffle partitioning ((part, supp) →
+    part), then a distinct supplier set semi-joins the dim."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sq")
+    )
+    tot = pq.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    red = t["part"].where(F.col("p_name").like("red%")).select("p_partkey")
+    dom = (
+        pq.join(tot, "l_partkey")
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("sq").cast("double") > F.lit(0.5) * F.col("tq").cast("double"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dom, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+Q20_SQL = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, SUM(sq) AS tq FROM pq GROUP BY 1
+), dom AS (
+  SELECT DISTINCT l_suppkey
+  FROM pq JOIN tot USING (l_partkey)
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%' AND CAST(sq AS DOUBLE) > 0.5 * CAST(tq AS DOUBLE)
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+ORDER BY s_name, s_suppkey
+"""
+
+
 TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q4_order_priority": q4_order_priority,
     "q7_nation_volume": q7_nation_volume,
@@ -648,6 +812,9 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity": q17_small_quantity,
     "q21_waiting_supplier": q21_waiting_supplier,
     "q22_dormant_customers": q22_dormant_customers,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
 }
 
 TPCH_ORACLES: dict[str, str] = {
@@ -666,4 +833,7 @@ TPCH_ORACLES: dict[str, str] = {
     "q17_small_quantity": Q17_SQL,
     "q21_waiting_supplier": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q20_dominant_suppliers": Q20_SQL,
 }
