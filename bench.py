@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "j2_asof_enrich",
     "w_sessionize",
     "t_tfidf_topk",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "w_ewma_trunc",
+    "t_pack_sequences",
+    "t_bigram_topk",
 ]
 
 
