@@ -700,7 +700,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept when above a fraction of the GLOBAL total (group agg + scalar
     subquery → broadcast 1-row cross join; the fact shuffles once).
     Value proxies as Σ extendedprice·quantity (no partsupp).  The
-    fractional threshold compares in double on BOTH engines (a
+    threshold is 3× the MEAN part value — scale-free, like the spec's
+    0.0001/SF fraction (a fixed share of the total empties out as part
+    count grows) — and compares in double on BOTH engines (a
     decimal×decimal compare would type-differ across engines)."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     n1 = (
@@ -719,10 +721,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")).alias("val")
         )
     )
-    tot = v.agg(F.sum("val").cast("double").alias("total"))
+    tot = v.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_val")
+    )
     return (
         v.crossJoin(F.broadcast(tot))
-        .where(F.col("val").cast("double") > F.lit(0.002) * F.col("total"))
+        .where(F.col("val").cast("double") > F.lit(3.0) * F.col("mean_val"))
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
@@ -739,7 +743,7 @@ WITH n1 AS (
 )
 SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
 FROM v
-WHERE CAST(val AS DOUBLE) > 0.002 * (SELECT CAST(SUM(val) AS DOUBLE) FROM v)
+WHERE CAST(val AS DOUBLE) > 3.0 * (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) FROM v)
 ORDER BY part_value DESC, l_partkey
 """
 
