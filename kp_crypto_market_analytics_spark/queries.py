@@ -799,10 +799,16 @@ ORDER BY partkey
 
 
 def set_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op — EXCEPT: parts never ordered."""
+    """Set op — EXCEPT: parts not ordered during 1995.  (Unwindowed,
+    every part is ordered at every SF and the result is vacuously
+    empty; the ship-year restriction keeps the gate meaningful at all
+    scales: 6/26/244 rows at sf0.001/0.01/0.1.)"""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     allp = t["part"].select(F.col("p_partkey").alias("partkey"))
-    ordered = t["lineitem"].select(F.col("l_partkey").alias("partkey"))
+    ordered = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select(F.col("l_partkey").alias("partkey"))
     return allp.exceptAll(ordered).distinct().orderBy("partkey")
 
 
@@ -810,6 +816,8 @@ SET_EXCEPT_SQL = """
 SELECT p_partkey AS partkey FROM part
 EXCEPT
 SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
 ORDER BY partkey
 """
 
