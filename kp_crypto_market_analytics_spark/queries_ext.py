@@ -1848,6 +1848,47 @@ FROM c WHERE n_emails + n_urls + n_digit_runs > 0 ORDER BY doc_id
 """
 
 
+_MIX_RATES = {"src0": 25, "src1": 50, "src2": 80, "src3": 10, "src4": 100}
+
+
+def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: each source kept at its own rate (pct of
+    a salted md5 bucket) — the reweighting pass that turns a raw corpus
+    into a training mix.  Hash-keyed like t_split_assign, so membership
+    is stable under repartitioning and incremental re-runs; unknown
+    sources default to 100%.  One scan, no shuffle until the audit agg."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    bucket = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    rate = F.lit(100)
+    for src, r in _MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    kept = t["documents"].where(bucket < rate)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(token_count("text").cast("long")).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+T_MIX_SQL = f"""
+WITH b AS (
+  SELECT source,
+    {H60.format(x="'mix:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS n_tokens
+  FROM (SELECT doc_id, source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
+), r AS (
+  SELECT *, CASE source {' '.join(f"WHEN '{s}' THEN {v}" for s, v in _MIX_RATES.items())} ELSE 100 END AS rate
+  FROM b
+)
+SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS kept_tokens
+FROM r WHERE bucket < rate GROUP BY source ORDER BY source
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -1890,6 +1931,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_profile_columns": p_profile_columns,
     "a_histogram": a_histogram,
     "t_pii_scan": t_pii_scan,
+    "t_mixture_sample": t_mixture_sample,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1934,4 +1976,5 @@ EXT_ORACLES: dict[str, str] = {
     "p_profile_columns": P_PROFILE_SQL,
     "a_histogram": A_HIST_SQL,
     "t_pii_scan": T_PII_SQL,
+    "t_mixture_sample": T_MIX_SQL,
 }
