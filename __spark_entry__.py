@@ -23,11 +23,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries that already carry a green row in CORRECTNESS_r01.json.  The
+# driver's per-round correctness run covers a registration-order prefix
+# (50 entries in round 1), so we order the registry to put queries that
+# still need a driver row FIRST: the 49 absent from r01 plus
+# p_props_extract (r01's one hash FAIL, oracle type fixed this round).
+# Across rounds this yields a driver-verified row for all 99.
+_DRIVER_GREEN_R1 = frozenset({
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "a1_symbol_metrics", "a2_daily_summary",
+    "a3_monthly_rollup", "a4_hourly_profile", "a5_dow_profile",
+    "a6_weekday_hour_pivot", "a7_overall_stats", "a8_large_events",
+    "a9_corr_matrix", "a11_coverage", "a12_best_spread", "a13_depth_topn",
+    "a14_distinct_types", "a15_health_probe", "w1_lag_diff",
+    "w2_rolling_std", "w3_forward_return", "w4_level_rank",
+    "j1_minute_equijoin", "j_semi_customers", "j_anti_customers",
+    "j4_union_sides", "set_intersect_parts", "set_except_parts",
+    "f2_heuristic_time_parse", "stream_candles_1m", "t_token_stats",
+    "t_quality_score", "t_lang_id", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_sig", "sim_bruteforce_topk", "sim_neardup_pairs",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_capped",
+    "dedup_simhash", "dedup_simhash_pairs", "t_fingerprint_winnow",
+    "sim_lsh_topk", "sim_ivf_topk", "sim_neardup_lsh",
+    "stream_candles_5m", "mm_binary_meta",
+})
+
+
+def _ordered(names: list[str]) -> list[str]:
+    pending = [n for n in names if n not in _DRIVER_GREEN_R1]
+    return pending + [n for n in names if n in _DRIVER_GREEN_R1]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (same column names)."""
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered(list(QUERIES)) if n in ORACLES}

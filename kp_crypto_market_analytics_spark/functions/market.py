@@ -33,15 +33,17 @@ def heuristic_time_parse(col: Column | str) -> Column:
     Reference: src/analytics/binance_analysis.py:107-119 uses a
     "numeric median > 10^10 ⇒ milliseconds" heuristic; per-value form:
     a value castable to long and > 10^10 is epoch-ms, otherwise an ISO
-    timestamp string.  try_cast gives null-on-failure, so the branches
-    compose without exceptions.
+    timestamp string.  try_cast / try_to_timestamp give null-on-failure
+    in BOTH branches, so malformed strings become null (the reference's
+    errors='coerce' + dropna(subset=['open_time'])) instead of failing
+    the job under the driver's ANSI-on session.
     """
     c = F.col(col) if isinstance(col, str) else col
     as_long = c.cast("string").try_cast("long")
     return F.when(
         as_long.isNotNull() & (as_long > F.lit(10_000_000_000)),
         F.timestamp_millis(as_long),
-    ).otherwise(F.to_timestamp(c.cast("string")))
+    ).otherwise(F.try_to_timestamp(c.cast("string")))
 
 
 # ---------------------------------------------------------- F3-F6: pricing

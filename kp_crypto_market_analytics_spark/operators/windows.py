@@ -119,14 +119,19 @@ def sessionize(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time
-    since the previous event of the same key exceeds ``gap_seconds``.
+    since the previous event of the same key EXCEEDS ``gap_seconds``.
     session_id = running count of session starts — two window passes
     over ONE sort (lag + cumulative sum share the partitioning), so the
     whole op is a single shuffle on ``key``.
 
     Batch twin of Structured Streaming's ``session_window`` (the
     streaming path in streaming/candles.py uses the built-in); batch
-    results are identical for fully-arrived data."""
+    results are identical for fully-arrived data.  Boundary convention
+    (empirically matched to Spark's session_window, which merges
+    touching windows): an event exactly ``gap_seconds`` after its
+    predecessor JOINS the session — only a strictly larger gap starts a
+    new one (hence ``>`` below; equivalence incl. the exact-gap case is
+    pinned by tests/test_sinks_streaming.py)."""
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     prev = F.lag(ts).over(w)

@@ -846,7 +846,7 @@ def p_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 P_PROPS_SQL = """
 SELECT event_type,
-  SUM(TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT)) AS sum_k,
+  CAST(SUM(TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT)) AS BIGINT) AS sum_k,
   COUNT(TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS BIGINT)) AS n_k
 FROM events GROUP BY 1 ORDER BY event_type
 """

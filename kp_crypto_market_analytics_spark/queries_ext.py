@@ -1114,7 +1114,7 @@ WITH lagged AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
   MIN(ts) AS session_start, MAX(ts) AS session_end,
   epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
 FROM numbered GROUP BY user_id, session_id
@@ -1612,7 +1612,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
-  COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM c GROUP BY source, pack_id ORDER BY source, pack_id
 """
 
@@ -1643,7 +1643,7 @@ WITH b AS (
   FROM (SELECT doc_id, lang, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
 )
 SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-  lang, COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM b GROUP BY split, lang ORDER BY split, lang
 """
 
@@ -1884,7 +1884,7 @@ WITH b AS (
   SELECT *, CASE source {' '.join(f"WHEN '{s}' THEN {v}" for s, v in _MIX_RATES.items())} ELSE 100 END AS rate
   FROM b
 )
-SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS kept_tokens
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
 FROM r WHERE bucket < rate GROUP BY source ORDER BY source
 """
 

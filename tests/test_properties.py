@@ -59,9 +59,10 @@ def test_sessionize_gap_invariants(spark, times, gap):
     ).withColumn("ts", F.timestamp_seconds("ts"))
     out = sessionize(df, "user_id", "ts", gap_seconds=gap, tiebreak="event_id").collect()
     by_time = sorted(out, key=lambda r: r["event_id"])
-    # Invariants: consecutive events in the same session have gap <=
-    # threshold; a session boundary implies gap > threshold; ids are
-    # 1-based contiguous.
+    # Invariants (inclusive boundary, matching session_window's merge
+    # of touching windows): consecutive events in the same session have
+    # gap <= threshold; a session boundary implies gap > threshold; ids
+    # are 1-based contiguous.
     for prev, cur in zip(by_time, by_time[1:]):
         delta = times[cur["event_id"]] - times[prev["event_id"]]
         if cur["session_id"] == prev["session_id"]:
@@ -140,3 +141,31 @@ def test_heuristic_time_parse_roundtrip(spark, items):
     out = df.withColumn("parsed", heuristic_time_parse("enc")).collect()
     for r in out:
         assert r["parsed"] == r["expected"], (r["enc"], r["parsed"], r["expected"])
+
+
+def test_heuristic_time_parse_malformed_is_null_under_ansi(spark):
+    # errors='coerce' parity (binance_analysis.py:107-119 +
+    # dropna(subset=['open_time'])): malformed strings must become null
+    # — not throw — even under ANSI mode, which is ON in the driver's
+    # session (try_to_timestamp in the ISO branch; try_cast in the
+    # epoch-ms branch).
+    from kp_crypto_market_analytics_spark.functions.market import heuristic_time_parse
+
+    rows = [
+        (0, "not-a-time"),
+        (1, "2024-13-45 99:99:99"),  # parses as nothing valid
+        (2, ""),
+        (3, "1700000000000"),  # valid epoch ms
+        (4, "2024-05-01 12:30:00"),  # valid ISO
+    ]
+    df = spark.createDataFrame(rows, "i long, enc string")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {r["i"]: r["parsed"] for r in
+               df.withColumn("parsed", heuristic_time_parse("enc")).collect()}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert out[0] is None and out[1] is None and out[2] is None
+    assert out[3] is not None and out[4] is not None

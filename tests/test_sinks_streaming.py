@@ -201,6 +201,40 @@ def test_session_window_matches_batch_sessionize(spark):
     assert b == s
 
 
+def test_sessionize_exact_gap_boundary_matches_session_window(spark):
+    # Events exactly gap_seconds apart: Spark's session_window MERGES
+    # touching windows ([0,60) + [60,120) -> one session), so an event
+    # at exactly prev + gap JOINS the session; only a strictly larger
+    # gap splits.  The batch operator must agree at this boundary.
+    from kp_crypto_market_analytics_spark.operators.windows import sessionize
+    from kp_crypto_market_analytics_spark.streaming.candles import sessionized_activity
+
+    gap_s = 60
+    # u1: 0s, 60s (exact gap -> merges), 90s -> ONE session of 3.
+    # u2: 0s, 59s, 119s (both deltas <= gap) -> ONE session of 3.
+    # u3: 0s, 61s (gap+1 -> splits) -> TWO sessions.
+    rows = [
+        (1, 1, 0), (1, 2, 60), (1, 3, 90),
+        (2, 4, 0), (2, 5, 59), (2, 6, 119),
+        (3, 7, 0), (3, 8, 61),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    batch = (
+        sessionize(e, "user_id", "ts", gap_seconds=gap_s, tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    sw = sessionized_activity(e, gap=f"{gap_s} seconds", watermark=None)
+
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    s = {(r["user_id"], r["session_start"]): r["n_events"] for r in sw.collect()}
+    assert b == s
+    assert len(b) == 4  # u1 -> {3}; u2 -> {3}; u3 -> {1, 1}
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     # Watermarked stream-stream time-range join == the same join on
     # static frames once all data has arrived.
