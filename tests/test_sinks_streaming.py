@@ -38,6 +38,66 @@ def test_upsert_last_write_wins(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["close"] == 99.0
 
 
+def test_upsert_partition_scoped_leaves_untouched_partitions_intact(spark, tmp_path):
+    # Partition-scoped merge: a batch touching only symbol B must not
+    # rewrite symbol A's directory — its files stay BYTE-IDENTICAL
+    # (write amplification O(touched partitions), not O(table)).
+    import hashlib
+    import os
+
+    from kp_crypto_market_analytics_spark.sinks.upsert import merge_into
+
+    target = str(tmp_path / "candles")
+    key = ["symbol", "tf", "open_time"]
+    base = _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("A", "1m", "2024-01-01 00:01:00", 2.0),
+        ("B", "1m", "2024-01-01 00:00:00", 3.0),
+    ])
+    merge_into(spark, target, base, key, partition_by=["symbol"])
+
+    def snapshot(part_dir):
+        files = {}
+        for root, _, names in os.walk(part_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                with open(p, "rb") as f:
+                    files[os.path.relpath(p, part_dir)] = hashlib.md5(f.read()).hexdigest()
+        return files
+
+    a_before = snapshot(os.path.join(target, "symbol=A"))
+    assert a_before  # the partition exists and has files
+
+    merge_into(
+        spark, target,
+        _mk(spark, [("B", "1m", "2024-01-01 00:00:00", 99.0),
+                    ("B", "1m", "2024-01-01 00:02:00", 4.0)]),
+        key, partition_by=["symbol"],
+    )
+
+    assert snapshot(os.path.join(target, "symbol=A")) == a_before
+    out = {(r["symbol"], r["open_time"].minute): r["close"]
+           for r in spark.read.parquet(target).collect()}
+    assert out == {("A", 0): 1.0, ("A", 1): 2.0, ("B", 0): 99.0, ("B", 2): 4.0}
+
+
+def test_upsert_partition_scoped_new_partition_and_idempotence(spark, tmp_path):
+    # A staged batch may create a brand-new partition; re-running the
+    # same batch must not duplicate (S14 idempotence on the scoped path).
+    from kp_crypto_market_analytics_spark.sinks.upsert import merge_into
+
+    target = str(tmp_path / "candles")
+    key = ["symbol", "tf", "open_time"]
+    merge_into(spark, target, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)]),
+               key, partition_by=["symbol"])
+    newb = _mk(spark, [("C", "1m", "2024-01-01 00:00:00", 7.0)])
+    merge_into(spark, target, newb, key, partition_by=["symbol"])
+    merge_into(spark, target, newb, key, partition_by=["symbol"])
+    out = spark.read.parquet(target)
+    assert out.count() == 2
+    assert {r["symbol"] for r in out.collect()} == {"A", "C"}
+
+
 def test_candles_batch_streaming_equivalence(spark, tmp_path):
     # The same candles_from_trades plan on a file STREAM must produce
     # exactly the batch result once drained (§2.9 reference parity).
