@@ -298,6 +298,7 @@ def connected_component_labels(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 10,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every node gets
     the MIN node id of its component — the canonical "cluster then keep
@@ -310,20 +311,32 @@ def connected_component_labels(
     shuffle of the label table.  AQE handles the shrinking label side.
     Convergence is checked with a per-round changed-count action —
     an O(diameter)-round distributed algorithm, not a driver loop over
-    rows."""
-    # Iterative algorithms MUST persist per round: without it, round N's
-    # action re-executes every prior round's joins from the source (the
-    # lineage grows linearly and re-runs quadratically), and the edge
-    # generation (often an expensive pair join) re-runs each round too.
+    rows.
+
+    If labels are still changing after ``max_iters`` rounds (component
+    diameter > max_iters, e.g. a chain-shaped duplicate family), the
+    labels are WRONG — ``strict=True`` (default) raises rather than
+    returning them silently; ``strict=False`` returns the partial
+    labels for callers that cap rounds deliberately."""
+    # Iterative algorithms MUST truncate lineage per round.  persist()
+    # alone caches DATA but the logical plan still references the prior
+    # round's labels TWICE (neighbor join + left join), so the plan tree
+    # doubles per round — O(2^rounds) nodes that stall Catalyst and OOM
+    # the driver past ~12 rounds.  localCheckpoint(eager) materializes
+    # AND resets the plan to a leaf, keeping every round O(1) plan size;
+    # it also stops round N's action re-running the (often expensive)
+    # edge-generation join.  On a cluster where executor loss matters,
+    # swap for checkpoint(dir) — same semantics, reliable storage.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).persist()
+    ).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -336,7 +349,7 @@ def connected_component_labels(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -344,8 +357,13 @@ def connected_component_labels(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0 and strict:
+        raise RuntimeError(
+            f"connected_component_labels did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — component diameter exceeds "
+            f"max_iters; raise max_iters (rounds needed = graph diameter)"
+        )
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))

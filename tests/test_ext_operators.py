@@ -130,6 +130,35 @@ def test_connected_components_known_graph(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 8, 10: 10}
 
 
+def test_connected_components_nonconvergence_guard(spark):
+    # A path graph's diameter equals its length, and min-label
+    # propagation needs one round per hop — a chain-shaped duplicate
+    # family longer than max_iters must RAISE (silent wrong labels
+    # corrupt dedup), while enough rounds must label the whole chain 0.
+    import pytest
+
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    n = 14  # path 0-1-2-...-13, diameter 13 > default max_iters=10
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc"])
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_component_labels(edges, nodes, "doc", max_iters=4)
+
+    # strict=False returns the capped (partial) labels instead.
+    partial = connected_component_labels(edges, nodes, "doc", max_iters=4, strict=False)
+    assert partial.count() == n
+
+    out = {
+        r["doc"]: r["cluster_id"]
+        for r in connected_component_labels(edges, nodes, "doc", max_iters=n + 1).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_ewma_matches_pandas(spark):
     import numpy as np
     from kp_crypto_market_analytics_spark.operators.windows import ewma_grouped
