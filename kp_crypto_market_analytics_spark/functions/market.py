@@ -73,17 +73,21 @@ def robust_z_columns(df: DataFrame, cols: list[str], suffix: str = "_z") -> Data
     Reference: src/analytics/binance_analysis.py:62-68; degenerate MAD=0
     falls back to (x - median).  Scope note (SURVEY.md §7): the reference
     computes medians over the WHOLE frame, not per symbol (:241-243) —
-    preserved here: one global exact-percentile aggregation, broadcast
-    back via a 1-row cross join (scalar subquery shape; Catalyst turns
-    the 1-row side into a broadcast nested-loop, effectively free).
+    preserved here: one global percentile aggregation, broadcast back
+    via a 1-row cross join (scalar subquery shape; Catalyst turns the
+    1-row side into a broadcast nested-loop, effectively free).  Exact
+    by default; approx_percentile sketches under the session conf
+    ``operators.aggregates.APPROX_QUANTILES_CONF`` (the 100 TB path).
     """
+    from kp_crypto_market_analytics_spark.operators.aggregates import percentile_expr
+
     aggs = []
     for c in cols:
-        aggs.append(F.expr(f"percentile({c}, 0.5)").alias(f"__med_{c}"))
+        aggs.append(percentile_expr(df, c, 0.5).alias(f"__med_{c}"))
     med = df.agg(*aggs)
     joined = df.crossJoin(F.broadcast(med))
     mad_aggs = [
-        F.expr(f"percentile(abs({c} - __med_{c}), 0.5)").alias(f"__mad_{c}") for c in cols
+        percentile_expr(df, f"abs({c} - __med_{c})", 0.5).alias(f"__mad_{c}") for c in cols
     ]
     mads = joined.agg(*mad_aggs)
     out = joined.crossJoin(F.broadcast(mads))

@@ -135,30 +135,54 @@ def weekday_hour_pivot(df: DataFrame, ts: str, value: str) -> DataFrame:
     )
 
 
+# Quantile scale switch.  Exact `percentile` buffers EVERY value in one
+# aggregation state — fine for oracle parity at test SF, a driver-style
+# bottleneck on a 100 TB column.  With this session conf set to "true",
+# every quantile in the engine flips to `approx_percentile` (KLL-style
+# mergeable sketch: bounded state per partial, map-side combinable, so
+# the plan keeps partial aggregation and no single state ever holds the
+# column).  Default stays exact so the DuckDB oracle gate compares
+# bit-for-bit; bench.py sets it to exercise the production path.
+APPROX_QUANTILES_CONF = "spark.kp_crypto.approxQuantiles"
+APPROX_QUANTILES_ACCURACY_CONF = "spark.kp_crypto.approxQuantiles.accuracy"
+
+
+def percentile_expr(df: DataFrame, value_expr: str, q: float) -> Column:
+    """`percentile` (exact, oracle-parity) or `approx_percentile`
+    (sketch, scale path) per the session conf above."""
+    conf = df.sparkSession.conf
+    if str(conf.get(APPROX_QUANTILES_CONF, "false")).lower() == "true":
+        acc = int(conf.get(APPROX_QUANTILES_ACCURACY_CONF, "10000"))
+        return F.expr(f"approx_percentile({value_expr}, {q}, {acc})")
+    return F.expr(f"percentile({value_expr}, {q})")
+
+
 def overall_stats(df: DataFrame, value: str) -> DataFrame:
     """A7 — global scalar summary: mean/median/p95/p99/sum/count
     (binance_analysis.py:638-651).  Exact `percentile` (linear
-    interpolation, = pandas/DuckDB quantile) rather than
-    percentile_approx, per SURVEY.md §7 oracle-parity note."""
+    interpolation, = pandas/DuckDB quantile) by default, per SURVEY.md
+    §7 oracle-parity note; flips to approx_percentile sketches under
+    ``APPROX_QUANTILES_CONF`` (the 100 TB path)."""
     v = F.col(value)
     return df.agg(
         exact_avg(value).alias("mean_value"),
-        F.expr(f"percentile({value}, 0.5)").alias("median_value"),
-        F.expr(f"percentile({value}, 0.95)").alias("p95_value"),
-        F.expr(f"percentile({value}, 0.99)").alias("p99_value"),
+        percentile_expr(df, value, 0.5).alias("median_value"),
+        percentile_expr(df, value, 0.95).alias("p95_value"),
+        percentile_expr(df, value, 0.99).alias("p99_value"),
         exact_sum(value).alias("sum_value"),
         F.count(v).alias("n_rows"),
     )
 
 
 def quantile_threshold_filter(df: DataFrame, value: str, q: float) -> DataFrame:
-    """P7/A8 — filter rows above the exact q-quantile of ``value``
-    (large-trade selection, binance_analysis.py:399-402).
+    """P7/A8 — filter rows above the q-quantile of ``value``
+    (large-trade selection, binance_analysis.py:399-402); exact vs
+    sketch per ``APPROX_QUANTILES_CONF``.
 
     The scalar threshold is a 1-row aggregate broadcast back with a
     cross join — no driver collect, so the plan stays fully lazy and
     cluster-side."""
-    thresh = df.agg(F.expr(f"percentile({value}, {q})").alias("__thresh"))
+    thresh = df.agg(percentile_expr(df, value, q).alias("__thresh"))
     return (
         df.crossJoin(F.broadcast(thresh))
         .where(F.col(value) >= F.col("__thresh"))

@@ -49,6 +49,7 @@ from kp_crypto_market_analytics_spark.operators.aggregates import (
     exact_avg,
     exact_stddev_samp,
     exact_sum,
+    percentile_expr,
     quantile_threshold_filter,
 )
 from kp_crypto_market_analytics_spark.operators.correlation import pairwise_corr_long
@@ -414,15 +415,18 @@ FROM events GROUP BY 1, 2 ORDER BY dow_key
 
 
 def a7_overall_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 — global scalar summary with exact percentiles
-    (binance_analysis.py:638-651; SURVEY §7: exact `percentile`, not
-    approx, for oracle parity)."""
+    """A7 — global scalar summary with exact percentiles by default
+    (binance_analysis.py:638-651; SURVEY §7: exact `percentile` for
+    oracle parity; approx_percentile sketches under
+    ``operators.aggregates.APPROX_QUANTILES_CONF`` — the 100 TB path,
+    exercised by bench.py)."""
     t = load_tables(spark, sf_dir, ["events"])
-    return t["events"].agg(
+    e = t["events"]
+    return e.agg(
         exact_avg("value").alias("mean_value"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_value"),
+        F.round(percentile_expr(e, "value", 0.5), 6).alias("median_value"),
+        F.round(percentile_expr(e, "value", 0.95), 6).alias("p95_value"),
+        F.round(percentile_expr(e, "value", 0.99), 6).alias("p99_value"),
         exact_sum("value").alias("sum_value"),
         F.count("value").alias("n_rows"),
     )

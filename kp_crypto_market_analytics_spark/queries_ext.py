@@ -842,14 +842,19 @@ def e3_anomaly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feat = feat.withColumn("vol_60", vol)
 
+    # Exact medians for oracle parity; approx_percentile sketches under
+    # APPROX_QUANTILES_CONF (bench's 100 TB path — no single agg state
+    # ever buffers the column).
+    from kp_crypto_market_analytics_spark.operators.aggregates import percentile_expr
+
     med = feat.agg(
-        F.expr("percentile(abs_ret, 0.5)").alias("med_abs"),
-        F.expr("percentile(log_value, 0.5)").alias("med_lv"),
+        percentile_expr(feat, "abs_ret", 0.5).alias("med_abs"),
+        percentile_expr(feat, "log_value", 0.5).alias("med_lv"),
     )
     feat = feat.crossJoin(F.broadcast(med))
     mad = feat.agg(
-        F.expr("percentile(abs(abs_ret - med_abs), 0.5)").alias("mad_abs"),
-        F.expr("percentile(abs(log_value - med_lv), 0.5)").alias("mad_lv"),
+        percentile_expr(feat, "abs(abs_ret - med_abs)", 0.5).alias("mad_abs"),
+        percentile_expr(feat, "abs(log_value - med_lv)", 0.5).alias("mad_lv"),
     )
     feat = feat.crossJoin(F.broadcast(mad))
 
@@ -938,7 +943,9 @@ def e4_large_trade_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fwd_ret_5",
         F.when((F.col("value") > 0) & (led > 0), F.round(F.log(led / F.col("value")), 6)),
     )
-    thresh = e.agg(F.expr("percentile(value, 0.995)").alias("thr"))
+    from kp_crypto_market_analytics_spark.operators.aggregates import percentile_expr
+
+    thresh = e.agg(percentile_expr(e, "value", 0.995).alias("thr"))
     big = with_ret.crossJoin(F.broadcast(thresh)).where(F.col("value") >= F.col("thr"))
     minutes = e.groupBy(
         F.col("event_type").alias("m_type"),

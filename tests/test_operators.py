@@ -232,3 +232,42 @@ def test_analytics_pipeline_fanout(spark):
     assert corr[("AAA", "AAA")] == pytest.approx(1.0)
     assert corr[("AAA", "BBB")] > 0.99  # same sawtooth shape, different base
     feats.unpersist()
+
+
+def test_approx_quantile_conf_switches_plan_and_stays_close(spark):
+    # APPROX_QUANTILES_CONF flips every engine quantile from exact
+    # `percentile` (single state buffers the whole column — oracle
+    # parity only) to `approx_percentile` sketches (bounded mergeable
+    # state — the 100 TB path).  The switch must show up in the plan
+    # and the sketch answers must stay close on a smooth column.
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        APPROX_QUANTILES_CONF,
+        overall_stats,
+        quantile_threshold_filter,
+    )
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id").cast("double") / 100.0).alias("value")
+    )
+    exact = overall_stats(df, "value").collect()[0]
+    try:
+        spark.conf.set(APPROX_QUANTILES_CONF, "true")
+        approx_df = overall_stats(df, "value")
+        plan = approx_df._jdf.queryExecution().executedPlan().toString()
+        assert "approx_percentile" in plan and "percentile(" not in plan.replace(
+            "approx_percentile", ""
+        )
+        approx = approx_df.collect()[0]
+        filt = quantile_threshold_filter(df, "value", 0.99)
+        n_above = filt.count()
+    finally:
+        spark.conf.set(APPROX_QUANTILES_CONF, "false")
+    for c in ("median_value", "p95_value", "p99_value"):
+        assert abs(approx[c] - exact[c]) <= 0.05 * max(abs(exact[c]), 1.0), c
+    # ~1% of 20k rows above the p99 threshold, sketch tolerance wide
+    assert 100 <= n_above <= 400
+    # conf off again -> exact plan restored
+    plan_off = (
+        overall_stats(df, "value")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "approx_percentile" not in plan_off
