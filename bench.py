@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q18_large_orders",
     "t_fingerprint_winnow",
     "sim_ivf_topk",
+    "sim_ivf_trained",
     "e3_anomaly_pipeline",
     "j2_asof_enrich",
     "w_sessionize",

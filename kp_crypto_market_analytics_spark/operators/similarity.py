@@ -179,6 +179,76 @@ def random_hyperplane_buckets(
     return df.select(F.col(id_col), bucket.alias("bucket"))
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed_mod: int = 37,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd-refined IVF centroids as pure DataFrame aggs (no MLlib).
+
+    Seeds = the deterministic mod-sample (every ``seed_mod``-th vector);
+    each iteration assigns every vector to its nearest centroid (argmax
+    rounded cosine, broadcast centroids — one skinny max_by shuffle, no
+    vectors in the exchange) and recomputes per-cell means.  Means sum
+    through DECIMAL(27,12): decimal addition is exact and therefore
+    ORDER-INDEPENDENT, so a DuckDB oracle replaying the same unrolled
+    iterations lands on bit-identical centroids — a trained-ANN path
+    that still passes an exact cross-engine gate.  Mean components are
+    rounded to 6dp so downstream cosines stay reproducible.
+
+    Scale: per iteration, one broadcast nested-loop (corpus × C
+    centroids, skinny output), one max_by agg, one posexplode agg of
+    |corpus|·dim (cluster,pos,val) rows with map-side combine into
+    C·dim partials.  Empty cells drop out (standard Lloyd behavior).
+    Returns (centroid_id, cent, centnorm)."""
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("nid"), to_double_array(vec_col).alias("cvec"))
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    cents = corpus.where(F.col(id_col) % seed_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
+    ).withColumn("centnorm", norm(F.col("cent")))
+    for _ in range(iters):
+        scored = c.crossJoin(F.broadcast(cents)).select(
+            "nid",
+            "centroid_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm")
+                ),
+                6,
+            ).alias("ccos"),
+        )
+        best = scored.groupBy("nid").agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg"))
+            ).alias("cluster")
+        )
+        means = (
+            c.join(best, "nid")
+            .select("cluster", F.posexplode("cvec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(27,12)")).cast("double")
+                    / F.count("val"),
+                    6,
+                ).alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cluster").alias("centroid_id"),
+                F.transform("pm", lambda s: s.getField("m")).alias("cent"),
+            )
+            .withColumn("centnorm", norm(F.col("cent")))
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -188,20 +258,27 @@ def ivf_topk(
     nprobe: int = 2,
     centroid_mod: int = 37,
     dim: int = 64,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into Voronoi cells around a
-    small deterministic centroid set (every ``centroid_mod``-th vector —
-    stand-in for a k-means pass; swap in trained centroids at scale),
-    then search only the ``nprobe`` cells nearest each query.
+    small centroid set, then search only the ``nprobe`` cells nearest
+    each query.  ``centroids`` (e.g. from :func:`kmeans_centroids`) is
+    the trained path; the default falls back to the deterministic
+    mod-sample (every ``centroid_mod``-th vector).
 
     Both assignment passes are corpus×centroids with the centroid side
     broadcast — the corpus never shuffles until the final per-query
     top-k, and the candidate set shrinks by ~|centroids|/nprobe.
     Assignment and ranking order on the ROUNDED cosine with an id
     tiebreaker so results are engine-reproducible."""
-    cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
-        F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
-    ).withColumn("centnorm", norm(F.col("cent")))
+    if centroids is not None:
+        cents = centroids
+        if "centnorm" not in cents.columns:
+            cents = cents.withColumn("centnorm", norm(F.col("cent")))
+    else:
+        cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
+        ).withColumn("centnorm", norm(F.col("cent")))
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
     ).withColumn("cnorm", norm(F.col("cvec")))

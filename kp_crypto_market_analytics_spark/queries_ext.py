@@ -464,6 +464,83 @@ ORDER BY query_id, rank
 """
 
 
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over k-means-TRAINED centroids (operators.similarity.
+    kmeans_centroids): mod-37 seeds refined by 2 Lloyd iterations, then
+    the same nprobe cell search as sim_ivf_topk.  Decimal-summed means
+    make the training bit-reproducible in ANSI SQL, so even the
+    iterative path carries an exact DuckDB oracle (unrolled in
+    _ivf_trained_sql)."""
+    from kp_crypto_market_analytics_spark.operators.similarity import kmeans_centroids
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    cents = kmeans_centroids(emb, "embedding", "vec_id", seed_mod=37, iters=2)
+    return ivf_topk(
+        emb, queries, "embedding", "vec_id", k=5, nprobe=2, centroids=cents
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_trained_sql(iters: int = 2, seed_mod: int = 37, dim: int = 64,
+                     nprobe: int = 2, k: int = 5) -> str:
+    # Unrolled Lloyd iterations, arithmetic in lockstep with
+    # kmeans_centroids: rounded-cosine argmax with cluster-id tiebreak,
+    # DECIMAL(27,12) sums (exact => order-independent), 6dp means.
+    parts = [f"""WITH c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
+), cents0 AS (
+  SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings WHERE vec_id % {seed_mod} = 0
+)"""]
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        parts.append(f""", a{i} AS (
+  SELECT nid, cluster FROM (
+    SELECT c.nid, {prev}.cluster,
+      row_number() OVER (PARTITION BY c.nid
+        ORDER BY round(list_cosine_similarity(c.cvec, {prev}.cent), 6) DESC, {prev}.cluster) AS rn
+    FROM c, {prev}) WHERE rn = 1
+), m{i} AS (
+  SELECT cluster, i AS pos,
+    round(CAST(SUM(CAST(cvec[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(cvec[i]), 6) AS m
+  FROM a{i} JOIN c USING (nid), generate_series(1, {dim}) AS g(i)
+  GROUP BY cluster, i
+), cents{i} AS (
+  SELECT cluster, list(m ORDER BY pos) AS cent FROM m{i} GROUP BY cluster
+)""")
+        prev = f"cents{i}"
+    parts.append(f""", cassign AS (
+  SELECT neighbor_id, cvec, centroid_id FROM (
+    SELECT c.nid AS neighbor_id, c.cvec, kc.cluster AS centroid_id,
+      row_number() OVER (PARTITION BY c.nid
+        ORDER BY round(list_cosine_similarity(c.cvec, kc.cent), 6) DESC, kc.cluster) AS rn
+    FROM c, {prev} AS kc
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 10
+), qprobe AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, kc.cluster AS centroid_id,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_cosine_similarity(q.qvec, kc.cent), 6) DESC, kc.cluster) AS rn
+    FROM q, {prev} AS kc
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qvec, cvec), 6) AS cos
+  FROM cassign JOIN qprobe USING (centroid_id)
+  WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank""")
+    return "".join(parts)
+
+
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-prefiltered embedding near-dup pairs — the scale path for
     sim_neardup_pairs: only intra-bucket pairs are scored, so candidate
@@ -1905,6 +1982,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_fingerprint_winnow": t_fingerprint_winnow,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_trained": sim_ivf_trained,
     "sim_neardup_lsh": sim_neardup_lsh,
     "stream_candles_5m": stream_candles_5m,
     "mm_binary_meta": mm_binary_meta,
@@ -1950,6 +2028,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_fingerprint_winnow": T_WINNOW_SQL,
     "sim_lsh_topk": _lsh_sql(),
     "sim_ivf_topk": SIM_IVF_SQL,
+    "sim_ivf_trained": _ivf_trained_sql(),
     "sim_neardup_lsh": _neardup_lsh_sql(),
     "stream_candles_5m": STREAM_CANDLES_5M_SQL,
     "mm_binary_meta": MM_BINARY_SQL,

@@ -10,6 +10,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 
 def test_rolling_std_matches_pandas(spark):
     # W2: pandas rolling(60, min_periods=30).std() parity (ddof=1).
@@ -271,3 +273,78 @@ def test_approx_quantile_conf_switches_plan_and_stays_close(spark):
         overall_stats(df, "value")._jdf.queryExecution().executedPlan().toString()
     )
     assert "approx_percentile" not in plan_off
+
+
+def test_kmeans_ivf_recall_on_clustered_data(spark):
+    # On data WITH cluster structure, Lloyd-trained centroids must make
+    # IVF nearly exact: 8 well-separated planted clusters, nprobe=2 of
+    # ~8 cells, recall@5 >= 0.9 vs brute force.  (The shipped testdata
+    # embeddings are isotropic-random — cosines ~N(0, 0.15) regardless
+    # of label — where ANY sublinear cell search caps at ~fraction
+    # probed; that is a property of the data, not the index, so recall
+    # quality is asserted here on data with recoverable structure.)
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    dim, per = 16, 40
+    # 8 axis-aligned cluster centers; deterministic LCG jitter.
+    def jit(seed):
+        x = seed
+        while True:
+            x = (1103515245 * x + 12345) % (1 << 31)
+            yield (x / float(1 << 30)) - 1.0  # [-1, 1)
+
+    rows = []
+    vid = 0
+    for c in range(8):
+        g = jit(c + 1)
+        for _ in range(per):
+            base = [0.0] * dim
+            base[2 * c] = 10.0  # well-separated direction per cluster
+            vec = [base[d] + 0.5 * next(g) for d in range(dim)]
+            rows.append((vid, [float(v) for v in vec]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 40 == 3)  # one query per cluster
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5, dim=dim).collect()
+    }
+    cents = kmeans_centroids(emb, seed_mod=40, iters=2)  # 8 seeds, 1/cluster region
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, nprobe=2, dim=dim, centroids=cents).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
+
+
+def test_kmeans_centroids_beat_mod_sample_on_testdata(spark):
+    # Same probe budget, same seed count: trained centroids must not
+    # lose to the raw mod-sample on the real (isotropic) testdata.
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    q = emb.where(F.col("vec_id") < 25)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_mod = recall(ivf_topk(emb, q, k=5, nprobe=2, centroid_mod=37))
+    cents = kmeans_centroids(emb, seed_mod=37, iters=2)
+    r_trained = recall(ivf_topk(emb, q, k=5, nprobe=2, centroids=cents))
+    assert r_trained >= r_mod, (r_trained, r_mod)
