@@ -116,9 +116,54 @@ def cmd_explain(args) -> None:
     df.explain("formatted")
 
 
+def interactive_menu() -> None:
+    """Default interactive mode when invoked with no subcommand —
+    reference parity with src/main.py:67-109 (menu of price-ticks /
+    collect-klines, env-var defaults, tolerant input fallbacks)."""
+    def_pairs = os.environ.get("PAIRS", "BTCUSDT,ETHUSDT")
+    def_tf = os.environ.get("TF", "1m")
+    def_days = os.environ.get("DAYS", "1")
+    def_out = os.environ.get("OUT_DIR", "data")
+
+    print("\n=== KP Crypto (Spark) — interactive mode ===")
+    print("1) price-ticks  — collect N BTCUSDT ticker prices")
+    print("2) collect-klines — fetch Binance candles per pair")
+    print("q) quit")
+
+    choice = input("\nPick an option [1/2/q]: ").strip().lower()
+    if choice == "1":
+        try:
+            n = int(input("How many prices? [5]: ") or "5")
+            delay = float(input("Delay between polls, sec? [1.0]: ") or "1.0")
+        except ValueError:
+            print("Bad input — using defaults n=5, delay=1.0.")
+            n, delay = 5, 1.0
+        main(["price-ticks", "--n", str(n), "--delay", str(delay)])
+        return
+    if choice == "2":
+        pairs = input(f"Pairs, comma-separated [{def_pairs}]: ").strip() or def_pairs
+        tf = input(f"Timeframe [{def_tf}]: ").strip() or def_tf
+        days_str = input(f"How many days back? [{def_days}]: ").strip() or def_days
+        out = input(f"Output dir? [{def_out}]: ").strip() or def_out
+        try:
+            days = int(days_str)
+        except ValueError:
+            print("Bad days value — using 1.")
+            days = 1
+        main([
+            "collect-klines", "--pairs", pairs, "--tf", tf,
+            "--days", str(days), "--out", out,
+        ])
+        return
+    if choice in ("q", "quit", "exit"):
+        print("Bye.")
+        return
+    print("Unknown option — nothing executed.")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("kp-crypto-market-analytics-spark")
-    sub = p.add_subparsers(dest="cmd", required=True)
+    sub = p.add_subparsers(dest="cmd", required=False)
 
     t = sub.add_parser("price-ticks", help="collect n BTCUSDT ticker prices")
     t.add_argument("--n", type=int, default=5)
@@ -154,6 +199,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.cmd is None:
+        # Bare `python -m …` → interactive menu (reference main.py:113-123).
+        try:
+            interactive_menu()
+        except KeyboardInterrupt:
+            print("\nInterrupted.")
+        return
     args.fn(args)
 
 

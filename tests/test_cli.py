@@ -22,6 +22,41 @@ def run_cli(args: list[str], cwd: str) -> subprocess.CompletedProcess:
     )
 
 
+def test_interactive_menu_price_ticks(tmp_path):
+    # Reference parity (src/main.py:67-109,113-123): bare invocation
+    # drops into the interactive menu; option 1 runs price-ticks with
+    # prompted params, bad numeric input falls back to defaults.
+    env = dict(os.environ, OFFLINE="1", SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "-m", "kp_crypto_market_analytics_spark"],
+        input="1\n2\n0\n",
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "interactive mode" in r.stdout
+    # input() prompts share stdout with the JSON result line — parse
+    # from the last opening brace.
+    last = r.stdout.strip().splitlines()[-1]
+    out = json.loads(last[last.index("{"):])
+    assert out["count"] == 2 and out["values"] == [100.0, 100.0]
+
+
+def test_interactive_menu_quit_and_unknown(tmp_path):
+    env = dict(os.environ, OFFLINE="1", SPARK_GRAFT_CPUS="4")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for stdin, expect in [("q\n", "Bye."), ("z\n", "Unknown option")]:
+        r = subprocess.run(
+            [sys.executable, "-m", "kp_crypto_market_analytics_spark"],
+            input=stdin, capture_output=True, text=True, env=env, cwd=cwd,
+            timeout=120,
+        )
+        assert r.returncode == 0 and expect in r.stdout
+
+
 def test_price_ticks_offline(tmp_path):
     # main.py parity: OFFLINE price-ticks returns constant 100.0 ticks.
     r = run_cli(["price-ticks", "--n", "2", "--delay", "0"], str(tmp_path))
