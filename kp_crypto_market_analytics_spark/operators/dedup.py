@@ -343,21 +343,21 @@ def connected_component_labels(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # The changed flag rides along in the SAME pass (new label <
+        # old label ⟺ a neighbor improved it), so the convergence count
+        # is a cheap scan of the checkpointed frame instead of an extra
+        # old-vs-new join per round.
+        stepped = (
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("__chg")).count()
+        labels = stepped.drop("__chg")
         if changed == 0:
             break
     if changed != 0 and strict:
