@@ -49,9 +49,23 @@ _DRIVER_GREEN_R1 = frozenset({
 })
 
 
+# Queries first registered AFTER round 1 closed.  They need driver rows
+# too, but never at the cost of displacing a round-1 query from the
+# driver's ~50-entry prefix — round-1 pending first, new next, green last.
+_NEW_SINCE_R1 = frozenset({
+    "sim_ivf_trained",
+    "t_decontaminate",
+    "t_repetition",
+})
+
+
 def _ordered(names: list[str]) -> list[str]:
-    pending = [n for n in names if n not in _DRIVER_GREEN_R1]
-    return pending + [n for n in names if n in _DRIVER_GREEN_R1]
+    def tier(n: str) -> int:
+        if n in _DRIVER_GREEN_R1:
+            return 2
+        return 1 if n in _NEW_SINCE_R1 else 0
+
+    return sorted(names, key=lambda n: (tier(n), names.index(n)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

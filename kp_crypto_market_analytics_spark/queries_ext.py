@@ -1774,6 +1774,133 @@ GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
 """
 
 
+def _word_trigrams(toks: Column) -> Column:
+    """Word 3-grams via double zip_with over the token array's own
+    shifts — O(1) expression size, no self-join, no UDF."""
+    n = F.size(toks) - 2
+    s1, s2, s3 = F.slice(toks, 1, n), F.slice(toks, 2, n), F.slice(toks, 3, n)
+    return F.zip_with(
+        F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b)),
+        s3,
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+
+
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-overlap scan every serious
+    training corpus needs: flag corpus docs sharing word-3-gram shingles
+    with the held-out eval slice (source 'src4' stands in for the
+    benchmark set).  Per contaminated doc: distinct shared shingles and
+    distinct eval docs hit.
+
+    Scale shape: inverted-index equi-join on the shingle (never
+    doc×doc), document-frequency cap (df<=100) bounds boilerplate
+    blowup exactly like dedup_ngram_capped, and the eval side of the
+    join is a small broadcastable slice at any corpus size."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    tri = (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", "source", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", "source", F.explode(_word_trigrams(F.col("toks"))).alias("g"))
+        .distinct()
+    )
+    freq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    capped = tri.join(freq.where(F.col("df") <= 100), "g")
+    ev = capped.where(F.col("source") == "src4").select(
+        F.col("g"), F.col("doc_id").alias("eval_doc")
+    )
+    corp = capped.where(F.col("source") != "src4").select("g", "doc_id")
+    return (
+        corp.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_DECON_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, source, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+  FROM norm, generate_series(1, 4000) AS t(i)
+  WHERE i <= len(l) - 2
+), freq AS (
+  SELECT g, COUNT(*) AS df FROM tri GROUP BY 1
+), capped AS (
+  SELECT tri.doc_id, tri.source, tri.g FROM tri JOIN freq USING (g) WHERE df <= 100
+), ev AS (
+  SELECT g, doc_id AS eval_doc FROM capped WHERE source = 'src4'
+), corp AS (
+  SELECT g, doc_id FROM capped WHERE source <> 'src4'
+)
+SELECT doc_id, COUNT(DISTINCT g) AS n_shared, COUNT(DISTINCT eval_doc) AS n_eval_docs
+FROM corp JOIN ev USING (g)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (the Gopher/MassiveText quality
+    signal): 1 - distinct/total word bigrams per doc — high values mark
+    the looping/boilerplate docs a quality filter drops.  One explode
+    absorbed by a partial-aggregated (count, countDistinct) per doc;
+    shuffle carries (doc_id, bigram) only."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    n = F.size("toks") - 1
+    big = (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n),
+                    F.slice("toks", 2, n),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram"),
+        )
+    )
+    return (
+        big.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("bigram").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_bigrams").cast("double"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_REPETITION_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), b AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+  FROM norm, generate_series(1, 4000) AS t(i)
+  WHERE i <= len(l) - 1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bigram) AS n_distinct,
+  round(1.0 - COUNT(DISTINCT bigram) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+FROM b GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def p_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling (the first pass any pipeline runs on a new
     drop): per-column null rate, distinct count, min/max — long format,
@@ -2013,6 +2140,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pack_sequences": t_pack_sequences,
     "t_split_assign": t_split_assign,
     "t_bigram_topk": t_bigram_topk,
+    "t_decontaminate": t_decontaminate,
+    "t_repetition": t_repetition,
     "p_profile_columns": p_profile_columns,
     "a_histogram": a_histogram,
     "t_pii_scan": t_pii_scan,
@@ -2059,6 +2188,8 @@ EXT_ORACLES: dict[str, str] = {
     "t_pack_sequences": T_PACK_SQL,
     "t_split_assign": T_SPLIT_SQL,
     "t_bigram_topk": T_BIGRAM_SQL,
+    "t_decontaminate": T_DECON_SQL,
+    "t_repetition": T_REPETITION_SQL,
     "p_profile_columns": P_PROFILE_SQL,
     "a_histogram": A_HIST_SQL,
     "t_pii_scan": T_PII_SQL,
