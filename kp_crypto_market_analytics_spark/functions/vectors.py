@@ -80,6 +80,23 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
+def abs_max(a: Column) -> Column:
+    """max |aᵢ| — max is order-independent, so this is bit-portable
+    across engines (unlike float sums)."""
+    return F.aggregate(a, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v)))
+
+
+def quantize_symmetric(a: Column, scale: Column) -> Column:
+    """Symmetric int8-style quantization: round(aᵢ/scale), kept as
+    doubles (integers up to 127 are exact) so dequantization and error
+    math stay in one type across engines."""
+    return F.transform(a, lambda x: F.round(x / scale))
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda x: x * scale)
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -541,6 +541,68 @@ ORDER BY query_id, rank""")
     return "".join(parts)
 
 
+def e_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding int8 quantization audit — the storage-scale op for
+    embedding pipelines (4× smaller vectors, ANN-tolerable error): per
+    vector, symmetric scale = max|v|/127, quantized = round(v/scale),
+    and the quality stats a pipeline gates on (max abs dequantization
+    error, cosine of original vs dequantized).
+
+    Parity: scale uses a MAX fold (order-independent, bit-portable);
+    round-to-integer ties are measure-zero on float32-derived values;
+    cosines rounded to 6dp.  All element work is HOF transforms —
+    single narrow scan, no shuffle until the final ORDER BY."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        abs_max,
+        cosine,
+        dequantize,
+        quantize_symmetric,
+        to_double_array,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    e = e.withColumn("scale", abs_max(F.col("v")) / F.lit(127.0)).where(
+        F.col("scale") > 0
+    )
+    e = e.withColumn("dq", dequantize(quantize_symmetric(F.col("v"), F.col("scale")), F.col("scale")))
+    max_err = F.aggregate(
+        F.zip_with("v", "dq", lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return e.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(max_err, 6).alias("max_err"),
+        F.round(cosine(F.col("v"), F.col("dq")), 6).alias("cos_orig_deq"),
+    ).orderBy("vec_id")
+
+
+E_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+    list_transform(list_transform(v, x -> round(x / scale)), x -> x * scale) AS dq
+  FROM s WHERE scale > 0
+), err AS (
+  SELECT vec_id, MAX(abs(v[i] - dq[i])) AS max_err
+  FROM q, generate_series(1, 64) AS g(i)
+  GROUP BY vec_id
+)
+SELECT q.vec_id, round(scale, 6) AS scale, round(max_err, 6) AS max_err,
+  round(list_cosine_similarity(v, dq), 6) AS cos_orig_deq
+FROM q JOIN err ON q.vec_id = err.vec_id
+ORDER BY q.vec_id
+"""
+
+
 def sim_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-prefiltered embedding near-dup pairs — the scale path for
     sim_neardup_pairs: only intra-bucket pairs are scored, so candidate
@@ -2110,6 +2172,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_trained": sim_ivf_trained,
+    "e_quantize_int8": e_quantize_int8,
     "sim_neardup_lsh": sim_neardup_lsh,
     "stream_candles_5m": stream_candles_5m,
     "mm_binary_meta": mm_binary_meta,
@@ -2158,6 +2221,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_lsh_topk": _lsh_sql(),
     "sim_ivf_topk": SIM_IVF_SQL,
     "sim_ivf_trained": _ivf_trained_sql(),
+    "e_quantize_int8": E_QUANTIZE_SQL,
     "sim_neardup_lsh": _neardup_lsh_sql(),
     "stream_candles_5m": STREAM_CANDLES_5M_SQL,
     "mm_binary_meta": MM_BINARY_SQL,
