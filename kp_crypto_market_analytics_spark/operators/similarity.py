@@ -246,7 +246,10 @@ def kmeans_centroids(
             )
             .withColumn("centnorm", norm(F.col("cent")))
         )
-    return cents
+    # The trained frame is broadcast TWICE downstream (corpus assignment
+    # + query probe); checkpoint so training runs once, not per
+    # broadcast — and the per-iteration lineage resets like CC's.
+    return cents.localCheckpoint(eager=True)
 
 
 def ivf_topk(
