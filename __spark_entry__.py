@@ -56,6 +56,7 @@ _NEW_SINCE_R1 = frozenset({
     "sim_ivf_trained",
     "t_decontaminate",
     "t_repetition",
+    "t_source_overlap",
     "e_quantize_int8",
 })
 

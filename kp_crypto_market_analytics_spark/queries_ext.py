@@ -1963,6 +1963,75 @@ FROM b GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus-overlap matrix — the planning pass before
+    cross-dump dedup ("how much of crawl B is already in crawl A"):
+    per source pair, shared distinct char-4-gram shingles and the
+    containment ratio vs the smaller side.
+
+    Scale shape: one distinct over (source, shingle) — vocabulary-
+    bounded, not corpus-bounded — then a shingle equi-join between the
+    per-source sets; |sources|² output is tiny.  No doc×doc work at
+    any size."""
+    from kp_crypto_market_analytics_spark.functions.text import char_shingles
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sets = (
+        ensure_parallelism(t["documents"])
+        .select("source", F.explode(char_shingles("text", 4)).alias("sh"))
+        .distinct()
+    )
+    totals = sets.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        sets.alias("a")
+        .join(
+            sets.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+T_SOURCE_OVERLAP_SQL = f"""
+WITH norm AS (
+  SELECT source, {NORM_TEXT_SQL} AS t FROM documents
+), sets AS (
+  SELECT DISTINCT source, substr(t, i, 4) AS sh
+  FROM norm, generate_series(1, 4000) AS g(i)
+  WHERE i <= greatest(length(t) - 3, 1)
+), totals AS (
+  SELECT source, COUNT(*) AS n_sh FROM sets GROUP BY 1
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM sets a JOIN sets b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+  round(CAST(n_shared AS DOUBLE) / least(ta.n_sh, tb.n_sh), 6) AS containment
+FROM shared
+JOIN totals ta ON ta.source = source_a
+JOIN totals tb ON tb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 def p_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling (the first pass any pipeline runs on a new
     drop): per-column null rate, distinct count, min/max — long format,
@@ -2205,6 +2274,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bigram_topk": t_bigram_topk,
     "t_decontaminate": t_decontaminate,
     "t_repetition": t_repetition,
+    "t_source_overlap": t_source_overlap,
     "p_profile_columns": p_profile_columns,
     "a_histogram": a_histogram,
     "t_pii_scan": t_pii_scan,
@@ -2254,6 +2324,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_bigram_topk": T_BIGRAM_SQL,
     "t_decontaminate": T_DECON_SQL,
     "t_repetition": T_REPETITION_SQL,
+    "t_source_overlap": T_SOURCE_OVERLAP_SQL,
     "p_profile_columns": P_PROFILE_SQL,
     "a_histogram": A_HIST_SQL,
     "t_pii_scan": T_PII_SQL,

@@ -23,6 +23,13 @@ def main() -> None:
 
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Audit the PRODUCTION quantile path (same conf bench.py runs):
+    # approx_percentile sketches, no single-state global percentile.
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        APPROX_QUANTILES_CONF,
+    )
+
+    spark.conf.set(APPROX_QUANTILES_CONF, "true")
 
     lines = [
         "# EXPLAINS — executed-plan audit of the bench queries",
