@@ -383,6 +383,46 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     assert total == 200, "restart must not re-merge already-processed files"
 
 
+def test_streaming_upsert_partition_scoped(spark, tmp_path):
+    # foreachBatch + partition_by: each micro-batch rewrites only the
+    # symbol partitions it touches, and the drained table equals the
+    # batch result (partitioned layout on disk).
+    import os
+
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.candles import candles_from_trades
+    from kp_crypto_market_analytics_spark.sinks.upsert import upsert_foreach_batch
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr(
+            "event_type AS symbol", "ts AS trade_time", "value AS price",
+            "value AS qty", "event_id AS trade_id",
+        )
+        .orderBy("trade_time")
+        .limit(150)
+    )
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ckpt"); tgt = str(tmp_path / "tgt")
+    e.coalesce(1).write.parquet(src + "/a")
+    stream = spark.readStream.schema(e.schema).parquet(src + "/*")
+    candles = candles_from_trades(stream, watermark=None)
+    q = (
+        candles.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+            upsert_foreach_batch(tgt, ["symbol", "open_time"], partition_by=["symbol"])
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert any(d.startswith("symbol=") for d in os.listdir(tgt))
+    got = spark.read.parquet(tgt)
+    exp = candles_from_trades(e, watermark=None)
+    assert got.count() == exp.count()
+    assert got.agg(F.sum("num_trades")).collect()[0][0] == 150
+
+
 def test_streaming_dedup_drops_replayed_rows(spark, tmp_path):
     # dropDuplicatesWithinWatermark over a replayed file: the second
     # source file repeats half the rows of the first plus new ones —
