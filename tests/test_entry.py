@@ -18,6 +18,8 @@ FAST_SUBSET = [
     "stream_candles_1m",
     "dedup_exact",
     "sim_bruteforce_topk",
+    "t_repetition",
+    "e_quantize_int8",
 ]
 
 
@@ -35,7 +37,16 @@ def test_registry_consistency():
 
     qs, oracles = m.queries(), m.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 39
+    assert len(qs) >= 104
+    # Driver-gate ordering: every round-1-pending query precedes every
+    # round-2+ addition, which precedes every already-green query — the
+    # driver's correctness prefix always verifies the oldest debt first.
+    names = list(qs)
+    tiers = [
+        2 if n in m._DRIVER_GREEN_R1 else (1 if n in m._NEW_SINCE_R1 else 0)
+        for n in names
+    ]
+    assert tiers == sorted(tiers)
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)
