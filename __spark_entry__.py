@@ -58,6 +58,8 @@ _NEW_SINCE_R1 = frozenset({
     "t_repetition",
     "t_source_overlap",
     "e_quantize_int8",
+    "a_grouped_quantiles",
+    "t_stratified_sample",
 })
 
 

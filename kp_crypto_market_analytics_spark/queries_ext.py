@@ -1963,6 +1963,73 @@ FROM b GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def a_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP quantiles (a7 is global): median/p95 of value per
+    event_type.  Per-group percentile states partial-aggregate and
+    combine per key — the group cardinality bounds memory, and under
+    ``APPROX_QUANTILES_CONF`` each state is a fixed-size sketch (the
+    100 TB path for high-cardinality keys)."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import percentile_expr
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(percentile_expr(e, "value", 0.5), 6).alias("median_value"),
+            F.round(percentile_expr(e, "value", 0.95), 6).alias("p95_value"),
+            F.count("value").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A_GROUPED_Q_SQL = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS median_value,
+  round(quantile_cont(value, 0.95), 6) AS p95_value,
+  COUNT(value) AS n_rows
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified FIXED-K sampling: exactly min(k, |stratum|) docs per
+    source, chosen by content-keyed hash order — the per-domain
+    balanced subset a corpus-QA pass reads.  Unlike hash-MOD sampling
+    (o6, rate-based), the count per stratum is exact; unlike
+    rand(seed), membership is stable under repartitioning.  One
+    row_number window per stratum — a single shuffle on source."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    h = hash64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        t["documents"]
+        .select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("source", "rn", "doc_id", "n_tokens")
+        .orderBy("source", "rn")
+    )
+
+
+T_STRATIFIED_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS n_tokens,
+    {H60.format(x="'strat:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM (SELECT doc_id, source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
+), r AS (
+  SELECT source, doc_id, n_tokens,
+    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM d
+)
+SELECT source, rn, doc_id, n_tokens FROM r WHERE rn <= 10
+ORDER BY source, rn
+"""
+
+
 def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source corpus-overlap matrix — the planning pass before
     cross-dump dedup ("how much of crawl B is already in crawl A"):
@@ -2275,6 +2342,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_decontaminate": t_decontaminate,
     "t_repetition": t_repetition,
     "t_source_overlap": t_source_overlap,
+    "a_grouped_quantiles": a_grouped_quantiles,
+    "t_stratified_sample": t_stratified_sample,
     "p_profile_columns": p_profile_columns,
     "a_histogram": a_histogram,
     "t_pii_scan": t_pii_scan,
@@ -2325,6 +2394,8 @@ EXT_ORACLES: dict[str, str] = {
     "t_decontaminate": T_DECON_SQL,
     "t_repetition": T_REPETITION_SQL,
     "t_source_overlap": T_SOURCE_OVERLAP_SQL,
+    "a_grouped_quantiles": A_GROUPED_Q_SQL,
+    "t_stratified_sample": T_STRATIFIED_SQL,
     "p_profile_columns": P_PROFILE_SQL,
     "a_histogram": A_HIST_SQL,
     "t_pii_scan": T_PII_SQL,
