@@ -49,9 +49,10 @@ _DRIVER_GREEN_R1 = frozenset({
 })
 
 
-# Queries first registered AFTER round 1 closed.  They need driver rows
-# too, but never at the cost of displacing a round-1 query from the
-# driver's ~50-entry prefix — round-1 pending first, new next, green last.
+# Queries registered or semantically CHANGED after round 1 closed.
+# They need (fresh) driver rows too, but never at the cost of
+# displacing a round-1 query from the driver's ~50-entry prefix —
+# round-1 pending first, new/changed next, green last.
 _NEW_SINCE_R1 = frozenset({
     "sim_ivf_trained",
     "t_decontaminate",
@@ -60,14 +61,16 @@ _NEW_SINCE_R1 = frozenset({
     "e_quantize_int8",
     "a_grouped_quantiles",
     "t_stratified_sample",
+    # r01-green but re-windowed in round 2 (vacuous-gate fix):
+    "j_anti_customers",
 })
 
 
 def _ordered(names: list[str]) -> list[str]:
     def tier(n: str) -> int:
-        if n in _DRIVER_GREEN_R1:
-            return 2
-        return 1 if n in _NEW_SINCE_R1 else 0
+        if n in _NEW_SINCE_R1:
+            return 1  # takes precedence: a changed query's old green row is stale
+        return 2 if n in _DRIVER_GREEN_R1 else 0
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

@@ -753,17 +753,31 @@ ORDER BY c_custkey
 
 
 def j_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders."""
+    """Left-anti: customers with no 1995 orders.  (Unwindowed, every
+    customer has orders at every SF and the gate is vacuously empty —
+    the order-date restriction keeps it meaningful, same lesson as
+    set_except_parts.)"""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
-    out = anti_join(
-        t["customer"], t["orders"].select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    orders95 = (
+        t["orders"]
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
+    out = anti_join(t["customer"], orders95, "c_custkey")
     return out.select("c_custkey", "c_name").orderBy("c_custkey")
 
 
 J_ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+)
 ORDER BY c_custkey
 """
 

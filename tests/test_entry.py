@@ -43,7 +43,8 @@ def test_registry_consistency():
     # driver's correctness prefix always verifies the oldest debt first.
     names = list(qs)
     tiers = [
-        2 if n in m._DRIVER_GREEN_R1 else (1 if n in m._NEW_SINCE_R1 else 0)
+        1 if n in m._NEW_SINCE_R1
+        else (2 if n in m._DRIVER_GREEN_R1 else 0)
         for n in names
     ]
     assert tiers == sorted(tiers)
