@@ -61,6 +61,7 @@ _NEW_SINCE_R1 = frozenset({
     "e_quantize_int8",
     "a_grouped_quantiles",
     "t_stratified_sample",
+    "mm_frame_sample",
     # r01-green but re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })

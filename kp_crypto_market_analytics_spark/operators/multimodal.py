@@ -94,6 +94,60 @@ def decode_media(df: DataFrame, payload_col: str = "payload", kind_col: str = "k
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("feat", FloatType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    stride: int = 10,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame-sampling stage: every ``stride``-th frame of each
+    payload becomes its OWN row (1→many mapInPandas — the batch shape
+    that matters: output frames per input video vary, so the Arrow
+    writer re-batches; payloads never leave the stage).  Real frame
+    extraction needs ffmpeg (absent here) — ``fake=True`` derives a
+    deterministic frame count (8 + h % 56 at 25 fps) and per-frame
+    feature from the payload's polynomial byte hash, exercising the
+    full plumbing."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg/codec libraries "
+                    "not present in this environment; use fake=True"
+                )
+            ids, idxs, tss, feats = [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                data = p.encode() if isinstance(p, str) else (p or b"")
+                h = 0
+                for b in data[:64]:
+                    h = (h * 131 + b) % (1 << 31)
+                n_frames = 8 + h % 56
+                for idx in range(0, n_frames, stride):
+                    ids.append(mid)
+                    idxs.append(idx)
+                    tss.append(idx * 40)  # 25 fps
+                    feats.append(((h >> (idx % 24)) & 0xFF) / 255.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "feat": feats}
+            )
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_metadata_stats(decoded: DataFrame) -> DataFrame:
     """Post-decode metadata aggregation — payloads already dropped, so
     this shuffles only scalars."""

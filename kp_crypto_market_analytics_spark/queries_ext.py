@@ -771,6 +771,55 @@ FROM decoded GROUP BY kind ORDER BY kind
 """
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling end-to-end: video payloads through the
+    1→many mapInPandas stage (operators/multimodal.py sample_frames) —
+    every 10th frame of each fake-decoded video becomes a row.  All
+    output columns are integers derived from the deterministic payload
+    hash, so the oracle replays the exact frame schedule in SQL and the
+    Python re-batching path itself is what gets gated."""
+    from kp_crypto_market_analytics_spark.operators.multimodal import sample_frames
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = (
+        t["documents"]
+        .where(F.col("doc_id") % 3 == 2)  # the 'video' slice
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.repeat(F.md5("text"), 5), "UTF-8").alias("payload"),
+        )
+    )
+    return (
+        sample_frames(media, fake=True)
+        .select("media_id", "frame_idx", "ts_ms")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _mm_frames_sql() -> str:
+    # Same 8×8 chained hash fold as _mm_decode_sql, videos only; the
+    # frame schedule is idx in [0, 8 + h%56) step 10, ts = idx*40 ms.
+    stages = []
+    prev = "p0"
+    for s in range(8):
+        h = "0" if s == 0 else "h"
+        for i in range(s * 8 + 1, s * 8 + 9):
+            h = f"(({h}) * 131 + ascii(substr(p, {i}, 1))) % 2147483648"
+        stages.append(f"h{s} AS (SELECT media_id, p, {h} AS h FROM {prev})")
+        prev = f"h{s}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH p0 AS (
+  SELECT doc_id AS media_id, repeat(md5(text), 5) AS p
+  FROM documents WHERE doc_id % 3 = 2
+), {chain}
+SELECT media_id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 40 AS BIGINT) AS ts_ms
+FROM h7, generate_series(0, 63) AS g(i)
+WHERE i < 8 + h % 56 AND i % 10 = 0
+ORDER BY media_id, frame_idx
+"""
+
+
 # ------------------------------------------------------ text: corpus ops
 
 TOKENS_CTE = f"""
@@ -2313,6 +2362,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_candles_5m": stream_candles_5m,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stats": mm_decode_stats,
+    "mm_frame_sample": mm_frame_sample,
     "t_vocab_topk": t_vocab_topk,
     "t_bpe_tokens": t_bpe_tokens,
     "t_tfidf_topk": t_tfidf_topk,
@@ -2365,6 +2415,7 @@ EXT_ORACLES: dict[str, str] = {
     "stream_candles_5m": STREAM_CANDLES_5M_SQL,
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_stats": _mm_decode_sql(),
+    "mm_frame_sample": _mm_frames_sql(),
     "t_vocab_topk": T_VOCAB_SQL,
     "t_bpe_tokens": T_BPE_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,

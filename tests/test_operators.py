@@ -348,3 +348,34 @@ def test_kmeans_centroids_beat_mod_sample_on_testdata(spark):
     cents = kmeans_centroids(emb, seed_mod=37, iters=2)
     r_trained = recall(ivf_topk(emb, q, k=5, nprobe=2, centroids=cents))
     assert r_trained >= r_mod, (r_trained, r_mod)
+
+
+def test_frame_sample_one_to_many_plumbing(spark):
+    # sample_frames is the 1->many mapInPandas shape: each video emits
+    # a variable number of frame rows (8 + h%56 frames, stride 10 ->
+    # 1..7 rows), deterministically from the payload hash.
+    from kp_crypto_market_analytics_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "vid-a" * 20), (2, "vid-b" * 20), (3, "")],
+        "media_id long, payload string",
+    )
+    rows = sample_frames(media, fake=True).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {1, 2, 3}
+    for mid, frames in by_media.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs[0] == 0 and all(i % 10 == 0 for i in idxs)
+        assert 1 <= len(frames) <= 7  # n_frames in [8, 64)
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * 40
+            assert 0.0 <= f["feat"] <= 1.0
+    # determinism
+    again = sample_frames(media, fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # real codec path is honestly stubbed
+    with pytest.raises(Exception) as ei:
+        sample_frames(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "frame sampling" in str(ei.value)
