@@ -62,6 +62,7 @@ _NEW_SINCE_R1 = frozenset({
     "a_grouped_quantiles",
     "t_stratified_sample",
     "mm_frame_sample",
+    "mm_resize_geometry",
     # r01-green but re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -146,6 +147,63 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    kind_col: str = "kind",
+    id_col: str = "media_id",
+    target: tuple[int, int] = (224, 224),
+    fake: bool = False,
+) -> DataFrame:
+    """Letterbox-resize stage: fit each image into ``target`` preserving
+    aspect ratio (scale = min(tw/w, th/h), floor output dims) — the
+    standard pre-training normalization.  Real pixel work needs PIL
+    (absent here); ``fake=True`` derives source dims from the payload
+    hash (same fold as decode) and computes the REAL resize geometry,
+    so the batch plumbing and the dimension math are fully exercised.
+    All math is IEEE double with a fixed expression order, replayable
+    exactly in SQL."""
+    tw, th = target
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resizing requires image libraries (PIL) not present "
+                    "in this environment; use fake=True"
+                )
+            out = {k: [] for k in ("media_id", "kind", "src_w", "src_h", "out_w", "out_h", "scale")}
+            for mid, kind, p in zip(pdf[id_col], pdf[kind_col], pdf[payload_col]):
+                d = _fake_decode(p, kind)
+                w, h = d["width"], d["height"]
+                scale = min(tw / w, th / h)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(int(w * scale))
+                out["out_h"].append(int(h * scale))
+                out["scale"].append(scale)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
 def media_metadata_stats(decoded: DataFrame) -> DataFrame:

@@ -796,6 +796,67 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal letterbox-resize stage (operators/multimodal.py
+    resize_media): image payloads through mapInPandas, output = source
+    dims, fitted dims, and scale for a 224×224 target.  The oracle
+    replays the hash-derived dims and the IDENTICAL IEEE-double
+    geometry (min of two divisions, floor of products), gating the
+    Python stage bit-for-bit."""
+    from kp_crypto_market_analytics_spark.operators.multimodal import resize_media
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = (
+        t["documents"]
+        .where(F.col("doc_id") % 3 == 0)  # the 'image' slice
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode(F.repeat(F.md5("text"), 5), "UTF-8").alias("payload"),
+        )
+    )
+    return (
+        resize_media(media, fake=True)
+        .select(
+            "media_id", "src_w", "src_h", "out_w", "out_h",
+            F.round("scale", 6).alias("scale"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _mm_resize_sql() -> str:
+    stages = []
+    prev = "p0"
+    for s in range(8):
+        h = "0" if s == 0 else "h"
+        for i in range(s * 8 + 1, s * 8 + 9):
+            h = f"(({h}) * 131 + ascii(substr(p, {i}, 1))) % 2147483648"
+        stages.append(f"h{s} AS (SELECT media_id, p, {h} AS h FROM {prev})")
+        prev = f"h{s}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH p0 AS (
+  SELECT doc_id AS media_id, repeat(md5(text), 5) AS p
+  FROM documents WHERE doc_id % 3 = 0
+), {chain}, dims AS (
+  SELECT media_id,
+    CAST(16 + h % 1024 AS INTEGER) AS src_w,
+    CAST(16 + (h // 7) % 1024 AS INTEGER) AS src_h
+  FROM h7
+), geo AS (
+  SELECT media_id, src_w, src_h,
+    least(224.0 / src_w, 224.0 / src_h) AS sc
+  FROM dims
+)
+SELECT media_id, src_w, src_h,
+  CAST(floor(src_w * sc) AS INTEGER) AS out_w,
+  CAST(floor(src_h * sc) AS INTEGER) AS out_h,
+  round(sc, 6) AS scale
+FROM geo ORDER BY media_id
+"""
+
+
 def _mm_frames_sql() -> str:
     # Same 8×8 chained hash fold as _mm_decode_sql, videos only; the
     # frame schedule is idx in [0, 8 + h%56) step 10, ts = idx*40 ms.
@@ -2363,6 +2424,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stats": mm_decode_stats,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize_geometry": mm_resize_geometry,
     "t_vocab_topk": t_vocab_topk,
     "t_bpe_tokens": t_bpe_tokens,
     "t_tfidf_topk": t_tfidf_topk,
@@ -2416,6 +2478,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_binary_meta": MM_BINARY_SQL,
     "mm_decode_stats": _mm_decode_sql(),
     "mm_frame_sample": _mm_frames_sql(),
+    "mm_resize_geometry": _mm_resize_sql(),
     "t_vocab_topk": T_VOCAB_SQL,
     "t_bpe_tokens": T_BPE_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,

@@ -379,3 +379,22 @@ def test_frame_sample_one_to_many_plumbing(spark):
     with pytest.raises(Exception) as ei:
         sample_frames(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "frame sampling" in str(ei.value)
+
+
+def test_resize_media_letterbox_geometry(spark):
+    # Aspect ratio preserved, output fits the target box, scale exact.
+    from kp_crypto_market_analytics_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [(1, "image", "wide" * 30), (2, "image", "tall" * 30)],
+        "media_id long, kind string, payload string",
+    )
+    rows = resize_media(media, target=(224, 224), fake=True).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["out_w"] <= 224 and r["out_h"] <= 224
+        assert max(r["out_w"], r["out_h"]) in (223, 224)  # fits snugly on the long side
+        assert r["scale"] == pytest.approx(min(224 / r["src_w"], 224 / r["src_h"]))
+    with pytest.raises(Exception) as ei:
+        resize_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "resizing" in str(ei.value)
