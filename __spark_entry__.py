@@ -60,6 +60,7 @@ _NEW_SINCE_R1 = frozenset({
     "t_source_overlap",
     "e_quantize_int8",
     "a_grouped_quantiles",
+    "a_rollup_cascade",
     "t_stratified_sample",
     "mm_frame_sample",
     "mm_resize_geometry",

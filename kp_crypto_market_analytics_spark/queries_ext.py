@@ -2073,6 +2073,53 @@ FROM b GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def a_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute rollup →
+    hour rollup → day rollup, each level re-aggregating the PREVIOUS
+    level's algebraic partials (decimal sum, count, min, max) — the
+    materialized-view pattern that lets day queries read 1/1440th of
+    the raw rows.  The oracle aggregates the RAW table directly, so the
+    gate proves the cascade is lossless (decimal partials make the
+    two-step sums exactly associative)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    dec = F.col("value").cast("decimal(18,6)")
+    minute = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("m"))
+        .agg(
+            F.sum(dec).alias("s"), F.count("value").alias("n"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+        )
+    )
+    hour = (
+        minute.groupBy("event_type", F.date_trunc("hour", "m").alias("h"))
+        .agg(
+            F.sum("s").alias("s"), F.sum("n").alias("n"),
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+        )
+    )
+    return (
+        hour.groupBy("event_type", F.to_date("h").alias("date"))
+        .agg(
+            F.sum("s").cast("double").alias("sum_value"),
+            F.sum("n").alias("n_rows"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .orderBy("event_type", "date")
+    )
+
+
+A_ROLLUP_CASCADE_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS date,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  COUNT(value) AS n_rows,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, date
+"""
+
+
 def a_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP quantiles (a7 is global): median/p95 of value per
     event_type.  Per-group percentile states partial-aggregate and
@@ -2455,6 +2502,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_repetition": t_repetition,
     "t_source_overlap": t_source_overlap,
     "a_grouped_quantiles": a_grouped_quantiles,
+    "a_rollup_cascade": a_rollup_cascade,
     "t_stratified_sample": t_stratified_sample,
     "p_profile_columns": p_profile_columns,
     "a_histogram": a_histogram,
@@ -2509,6 +2557,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_repetition": T_REPETITION_SQL,
     "t_source_overlap": T_SOURCE_OVERLAP_SQL,
     "a_grouped_quantiles": A_GROUPED_Q_SQL,
+    "a_rollup_cascade": A_ROLLUP_CASCADE_SQL,
     "t_stratified_sample": T_STRATIFIED_SQL,
     "p_profile_columns": P_PROFILE_SQL,
     "a_histogram": A_HIST_SQL,
