@@ -58,6 +58,7 @@ _NEW_SINCE_R1 = frozenset({
     "t_decontaminate",
     "t_repetition",
     "t_source_overlap",
+    "t_corpus_filter",
     "e_quantize_int8",
     "a_grouped_quantiles",
     "a_rollup_cascade",

@@ -2187,6 +2187,128 @@ ORDER BY source, rn
 """
 
 
+def t_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus funnel — quality gate → repetition
+    gate → exact dedup — reported as per-source drop-off counts, the
+    composition every LLM data pipeline runs before tokenization:
+
+      1. quality: n_tokens >= 25 AND heuristic score >= 0.4
+         (t_quality_score's exact expressions),
+      2. repetition: duplicate-bigram ratio <= 0.06 (t_repetition's
+         signal, computed shuffle-free via array_distinct),
+      3. dedup: keep the min doc_id per LEADING-CONTENT fingerprint
+         (md5 of the first 8 tokens) among survivors — the templated-
+         document dedup rule; whole-document md5 never collides on this
+         corpus (dedup_exact shows every doc unique), the prefix
+         fingerprint collides ~5%, so this stage has teeth.
+
+    Single scan + one fingerprint window + one source agg — the funnel
+    costs two shuffles at any corpus size."""
+    from kp_crypto_market_analytics_spark.functions.text import stopword_hits
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks_arr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    toks_ct = token_count("text")
+    hits = stopword_hits("text")
+    ratio = F.when(toks_ct > 0, hits / toks_ct)
+    score = F.round(
+        F.least(toks_ct / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(ratio * 5, F.lit(1.0)) * 0.5,
+        6,
+    )
+    n = F.size(toks_arr) - 1
+    bigrams = F.when(
+        F.size(toks_arr) >= 2,
+        F.zip_with(
+            F.slice(toks_arr, 1, n), F.slice(toks_arr, 2, n),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_big = F.size(bigrams)
+    dup_ratio = F.when(n_big > 0, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_big.cast("double"))
+
+    flagged = d.select(
+        "doc_id", "source",
+        toks_ct.alias("n_tokens"),
+        ((toks_ct >= 25) & (score >= 0.4)).alias("pass_q"),
+        dup_ratio.alias("dup_ratio"),
+        F.md5(F.concat_ws(" ", F.slice(toks_arr, 1, 8))).alias("fp"),
+    ).withColumn(
+        "pass_r", F.col("pass_q") & F.coalesce(F.col("dup_ratio") <= 0.06, F.lit(True))
+    )
+    w = Window.partitionBy("fp")
+    flagged = flagged.withColumn(
+        "kept",
+        F.col("pass_r") & (F.col("doc_id") == F.min(F.when(F.col("pass_r"), F.col("doc_id"))).over(w)),
+    )
+
+    def cnt(c):  # noqa: ANN001
+        return F.sum(F.when(F.col(c), 1).otherwise(0))
+
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("pass_q").alias("n_pass_quality"),
+            cnt("pass_r").alias("n_pass_repetition"),
+            cnt("kept").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_corpus_filter_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hit_terms = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {NORM_TEXT_SQL} AS t FROM documents
+), feat AS (
+  SELECT doc_id, source, t, ' ' || t || ' ' AS p,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1 END AS n_tokens,
+    string_split(t, ' ') AS l,
+    md5(array_to_string(string_split(t, ' ')[1:8], ' ')) AS fp
+  FROM base
+), scored AS (
+  SELECT doc_id, source, n_tokens, fp,
+    {hit_terms} AS stopword_hits,
+    CASE WHEN len(l) >= 2 THEN
+      1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(l) - 1),
+                                                  i -> l[i] || ' ' || l[i + 1]))) AS DOUBLE)
+            / (len(l) - 1)
+    END AS dup_ratio
+  FROM feat
+), flags AS (
+  SELECT doc_id, source, n_tokens, fp, dup_ratio,
+    (n_tokens >= 25 AND
+     round(least(n_tokens / 100.0, 1.0) * 0.5
+         + least(CASE WHEN n_tokens > 0 THEN CAST(stopword_hits AS DOUBLE) / n_tokens END * 5, 1.0) * 0.5, 6) >= 0.4
+    ) AS pass_q
+  FROM scored
+), flags2 AS (
+  SELECT *, (pass_q AND coalesce(dup_ratio <= 0.06, TRUE)) AS pass_r FROM flags
+), winner AS (
+  SELECT *,
+    (pass_r AND doc_id = MIN(CASE WHEN pass_r THEN doc_id END) OVER (PARTITION BY fp)) AS kept
+  FROM flags2
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+  CAST(SUM(CASE WHEN pass_r THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_repetition,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM winner GROUP BY source ORDER BY source
+"""
+
+
 def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source corpus-overlap matrix — the planning pass before
     cross-dump dedup ("how much of crawl B is already in crawl A"):
@@ -2501,6 +2623,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_decontaminate": t_decontaminate,
     "t_repetition": t_repetition,
     "t_source_overlap": t_source_overlap,
+    "t_corpus_filter": t_corpus_filter,
     "a_grouped_quantiles": a_grouped_quantiles,
     "a_rollup_cascade": a_rollup_cascade,
     "t_stratified_sample": t_stratified_sample,
@@ -2556,6 +2679,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_decontaminate": T_DECON_SQL,
     "t_repetition": T_REPETITION_SQL,
     "t_source_overlap": T_SOURCE_OVERLAP_SQL,
+    "t_corpus_filter": _t_corpus_filter_sql(),
     "a_grouped_quantiles": A_GROUPED_Q_SQL,
     "a_rollup_cascade": A_ROLLUP_CASCADE_SQL,
     "t_stratified_sample": T_STRATIFIED_SQL,
