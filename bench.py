@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "w_ewma_trunc",
     "t_pack_sequences",
     "t_bigram_topk",
+    "t_corpus_filter",
+    "t_decontaminate",
 ]
 
 

@@ -169,3 +169,53 @@ def test_heuristic_time_parse_malformed_is_null_under_ansi(spark):
             spark.conf.set("spark.sql.ansi.enabled", prev)
     assert out[0] is None and out[1] is None and out[2] is None
     assert out[3] is not None and out[4] is not None
+
+
+@given(
+    st.lists(st.floats(-100.0, 100.0, allow_nan=False), min_size=2, max_size=12)
+    .filter(lambda v: any(x != 0 for x in v)),
+)
+@settings(**SETTINGS)
+def test_quantize_roundtrip_error_bound(spark, vec):
+    # Symmetric int8 quantization invariant: every element's
+    # dequantization error is <= scale/2 (round-to-nearest), and the
+    # quantized magnitudes stay within 127.
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        abs_max,
+        dequantize,
+        quantize_symmetric,
+    )
+
+    df = spark.createDataFrame([(0, [float(x) for x in vec])], "i long, v array<double>")
+    df = df.withColumn("scale", abs_max(F.col("v")) / F.lit(127.0))
+    df = df.withColumn("q", quantize_symmetric(F.col("v"), F.col("scale")))
+    df = df.withColumn("dq", dequantize(F.col("q"), F.col("scale")))
+    row = df.collect()[0]
+    assert all(abs(q) <= 127 for q in row["q"])
+    for orig, deq in zip(vec, row["dq"]):
+        assert abs(orig - deq) <= row["scale"] / 2 + 1e-12
+
+
+@given(st.integers(1, 30), st.integers(1, 15))
+@settings(**SETTINGS)
+def test_stratified_sample_exact_counts(spark, n_per_stratum, k):
+    # Fixed-k stratified sampling: exactly min(k, |stratum|) rows per
+    # stratum, rn contiguous from 1, membership deterministic.
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from pyspark.sql import Window
+
+    rows = [(s * 100 + i, f"s{s}") for s in range(3) for i in range(n_per_stratum)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    h = hash64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    out = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    )
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["rn"])
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for rns in by_src.values():
+        assert sorted(rns) == list(range(1, min(k, n_per_stratum) + 1))
