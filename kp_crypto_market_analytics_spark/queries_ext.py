@@ -1971,21 +1971,26 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a small broadcastable slice at any corpus size."""
     t = load_tables(spark, sf_dir, ["documents"])
     toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    # The trigram set feeds two consumers (df frequency + the capped
+    # join) and the capped set feeds two more (eval + corpus sides) —
+    # materialize both or the explode+distinct re-executes per consumer
+    # (same lesson as ngram_jaccard_pairs).
     tri = (
         ensure_parallelism(t["documents"])
         .select("doc_id", "source", toks.alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", "source", F.explode(_word_trigrams(F.col("toks"))).alias("g"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     freq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    capped = tri.join(freq.where(F.col("df") <= 100), "g")
+    capped = tri.join(freq.where(F.col("df") <= 100), "g").localCheckpoint(eager=True)
     ev = capped.where(F.col("source") == "src4").select(
         F.col("g"), F.col("doc_id").alias("eval_doc")
     )
     corp = capped.where(F.col("source") != "src4").select("g", "doc_id")
     return (
-        corp.join(ev, "g")
+        corp.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("g").alias("n_shared"),
