@@ -2331,6 +2331,7 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism(t["documents"])
         .select("source", F.explode(char_shingles("text", 4)).alias("sh"))
         .distinct()
+        .localCheckpoint(eager=True)  # feeds totals + both join sides
     )
     totals = sets.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
