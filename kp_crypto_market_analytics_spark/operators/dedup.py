@@ -262,7 +262,10 @@ def simhash_near_pairs(df: DataFrame, text: str, id_col: str, max_hamming: int =
     distance with bit_count(xor)."""
     chunks = max_hamming + 1
     width = 60 // chunks
-    sig = simhash(df, text, id_col)
+    # The signature frame (tiny: id + one long) backs BOTH sides of the
+    # bucket self-join; materialize so the explode+bit-agg pipeline runs
+    # once (same multi-consumer lesson as ngram_jaccard_pairs).
+    sig = simhash(df, text, id_col).localCheckpoint(eager=True)
     bands = sig.select(
         F.col(id_col).alias("doc"),
         F.col("simhash"),
