@@ -65,6 +65,9 @@ _NEW_SINCE_R1 = frozenset({
     "t_stratified_sample",
     "mm_frame_sample",
     "mm_resize_geometry",
+    "p_zorder_stats",
+    "t_weighted_sample",
+    "a_skew_profile",
     # r01-green but re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })

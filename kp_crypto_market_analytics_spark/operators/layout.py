@@ -1,0 +1,85 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys.
+
+The reference's storage story is append-only CSV/Postgres tables
+(src/etl/load_postgres.py:66-103 writes in arrival order); at 100 TB
+arrival order is the WORST layout for the reference's two dominant
+predicates — time-window scans (binance_analysis.py:179-186 filters a
+day range) and value-threshold scans (large-events, quantile filters).
+A Z-order key interleaves the bits of both dimensions so that sorting
+by the single key co-locates rows that are close in EITHER dimension:
+each parquet row-group then covers a narrow (time × value) tile, and
+min/max row-group statistics prune scans on either predicate — the
+standard lakehouse technique (public Delta/Iceberg OPTIMIZE ZORDER
+semantics) expressed as plain columnar arithmetic.
+
+Everything here is integer bit-twiddling on the JVM (shiftleft / AND /
+OR) — no UDFs, no libm, bit-identical across engines, so the layout
+key itself carries an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton z-value of two ``bits``-wide non-negative ints: bit i of
+    ``x`` lands at position 2i, bit i of ``y`` at 2i+1.  Unrolled to
+    2·bits shift/mask terms — pure integer ops inside whole-stage
+    codegen (a loop the optimizer constant-folds per row)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def interleave_bits_sql(x: str, y: str, bits: int = 10) -> str:
+    """The DuckDB-parity twin of :func:`interleave_bits` (same unrolled
+    term order, | is associative+commutative so grouping is free)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_key(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    bits: int = 10,
+    out: str = "zval",
+) -> DataFrame:
+    """Attach the z-value column.  ``x``/``y`` must already be
+    quantized to [0, 2^bits) — quantization is the caller's contract
+    because it is data-dependent (time → minute buckets, value →
+    fixed-width bins, id → modulus)."""
+    return df.withColumn(out, interleave_bits(x, y, bits))
+
+
+def zorder_write(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    path: str,
+    bits: int = 10,
+    num_files: int = 64,
+) -> None:
+    """The layout sink: range-partition on the z-value and write one
+    parquet file per range so row-group min/max stats tile the
+    (x, y) plane.  ``repartitionByRange`` samples the key distribution
+    (one skinny pass over the z column), so files are balanced even
+    when the key space is sparse — at 100 TB this is the difference
+    between 64 even files and 62 empty + 2 huge ones from fixed
+    ``z DIV const`` bucketing."""
+    keyed = zorder_key(df, x, y, bits)
+    (
+        keyed.repartitionByRange(num_files, F.col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2583,6 +2583,166 @@ FROM r WHERE bucket < rate GROUP BY source ORDER BY source
 """
 
 
+def _idiv(a, b):
+    """Exact integer division on long columns.  ``a - pmod(a, b)`` is
+    divisible by ``b``, so the IEEE double quotient is the exact
+    integer (correctly-rounded division of an exact multiple) — unlike
+    ``floor(a / b)``, which can land one off when the true fraction is
+    below the quotient's ULP.  Mirrors DuckDB's ``//``."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def p_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit — the data-layout operator for the two
+    dominant reference predicates (time windows, value thresholds;
+    binance_analysis.py:179-186 / large-events): quantize events onto a
+    (minute-tile, value-half-unit) grid, interleave to a 20-bit Morton
+    key (operators.layout.interleave_bits), and report each of the 64
+    coarse tiles' row count and dimension envelope.  Narrow envelopes
+    on BOTH axes are the proof the layout works: files written in
+    z-order (operators.layout.zorder_write) expose those envelopes as
+    parquet row-group min/max stats, so either predicate prunes.
+
+    Pure integer shift/mask arithmetic inside whole-stage codegen; the
+    only shuffle is the 64-group agg (map-side combined)."""
+    from kp_crypto_market_analytics_spark.operators.layout import interleave_bits
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    x = F.pmod(F.floor(F.unix_timestamp("ts") / 60).cast("long"), F.lit(1024))
+    y = F.least(F.lit(1023).cast("long"), F.floor(F.col("value") * 2).cast("long"))
+    return (
+        e.select(x.alias("x"), y.alias("y"), interleave_bits(x, y, 10).alias("zval"))
+        .groupBy(F.shiftright(F.col("zval"), 14).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("tile")
+    )
+
+
+def _p_zorder_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.layout import interleave_bits_sql
+
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) % 1024 AS x,
+         least(1023, CAST(floor(value * 2) AS BIGINT)) AS y
+  FROM events
+), z AS (
+  SELECT x, y, ({interleave_bits_sql('x', 'y', 10)}) AS zval FROM b
+)
+SELECT zval >> 14 AS tile, COUNT(*) AS n_rows,
+  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM z GROUP BY 1 ORDER BY tile
+"""
+
+
+def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling, fixed k per stratum: each doc gets
+    an integer priority ``(h mod 2^30) * 2^20 DIV w`` (h = portable
+    md5 hash, w = token count), and the 5 smallest priorities per
+    source win — longer documents are proportionally likelier to be
+    drawn, the exponential-clock scheme (priority ~ u/w) with the
+    libm-free integer arithmetic both engines compute bit-identically.
+    Complements t_stratified_sample (uniform, fixed-k) and
+    t_mixture_sample (rate-based): this is the token-mass-biased
+    variant a corpus-QA pass uses so the sample's token distribution
+    tracks the corpus's.
+
+    One row_number window per stratum — single shuffle on source, same
+    cost envelope as t_stratified_sample at any corpus size."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    w = F.greatest(F.lit(1).cast("long"), token_count("text").cast("long"))
+    h = hash64(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string")))
+    pri = _idiv(F.pmod(h, F.lit(1 << 30)) * F.lit(1 << 20), w)
+    win = Window.partitionBy("source").orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", w.alias("n_tokens"), pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 5)
+        .select("source", "rn", "doc_id", "n_tokens", "pri")
+        .orderBy("source", "rn")
+    )
+
+
+T_WEIGHTED_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+    greatest(1, CASE WHEN length(t) = 0 THEN 0
+         ELSE length(t) - length(replace(t, ' ', '')) + 1 END) AS n_tokens,
+    {H60.format(x="'wsamp:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM (SELECT doc_id, source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents)
+), p AS (
+  SELECT source, doc_id, n_tokens,
+    ((h % 1073741824) * 1048576) // n_tokens AS pri
+  FROM d
+), r AS (
+  SELECT source, doc_id, n_tokens, pri,
+    row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+  FROM p
+)
+SELECT source, rn, doc_id, n_tokens, pri FROM r WHERE rn <= 5
+ORDER BY source, rn
+"""
+
+
+def a_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the profiling pass you run BEFORE
+    choosing a 100 TB join strategy (feeds operators.aggregates.
+    salted_agg's bucket count and the broadcast-vs-shuffle decision):
+    per-key row counts on lineitem.l_suppkey, each key's share in ppm,
+    its skew ratio vs the mean key in percent, and the salt fan-out a
+    10k-rows-per-task target implies.  All ratios in exact integer
+    arithmetic (share_ppm = cnt*1e6 DIV total) so the gate is
+    bit-exact.
+
+    Plan: one map-side-combined count agg (the only full shuffle), a
+    1-row totals broadcast, top-10 via TakeOrderedAndProject — the
+    diagnostic costs one pass regardless of key cardinality."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = ensure_parallelism(t["lineitem"])
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "l_suppkey",
+            "cnt",
+            _idiv(F.col("cnt") * F.lit(1000000), F.col("total")).alias("share_ppm"),
+            _idiv(F.col("cnt") * F.lit(100) * F.col("n_keys"), F.col("total")).alias(
+                "skew_pct"
+            ),
+            _idiv(F.col("cnt") + F.lit(9999), F.lit(10000)).alias("salt_buckets"),
+        )
+        .orderBy(F.desc("cnt"), "l_suppkey")
+        .limit(10)
+    )
+
+
+A_SKEW_SQL = """
+WITH c AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c
+)
+SELECT l_suppkey, cnt,
+  (cnt * 1000000) // total AS share_ppm,
+  (cnt * 100 * n_keys) // total AS skew_pct,
+  (cnt + 9999) // 10000 AS salt_buckets
+FROM c, t
+ORDER BY cnt DESC, l_suppkey
+LIMIT 10
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -2637,6 +2797,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_histogram": a_histogram,
     "t_pii_scan": t_pii_scan,
     "t_mixture_sample": t_mixture_sample,
+    "p_zorder_stats": p_zorder_stats,
+    "t_weighted_sample": t_weighted_sample,
+    "a_skew_profile": a_skew_profile,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2693,4 +2856,7 @@ EXT_ORACLES: dict[str, str] = {
     "a_histogram": A_HIST_SQL,
     "t_pii_scan": T_PII_SQL,
     "t_mixture_sample": T_MIX_SQL,
+    "p_zorder_stats": _p_zorder_sql(),
+    "t_weighted_sample": T_WEIGHTED_SQL,
+    "a_skew_profile": A_SKEW_SQL,
 }
