@@ -68,6 +68,7 @@ _NEW_SINCE_R1 = frozenset({
     "p_zorder_stats",
     "t_weighted_sample",
     "a_skew_profile",
+    "sim_pq_topk",
     # r01-green but re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })

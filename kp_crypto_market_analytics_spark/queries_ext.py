@@ -2743,6 +2743,79 @@ LIMIT 10
 """
 
 
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators.similarity.pq_topk):
+    4 subspaces × 16 centroids trained by one exact-gated Lloyd step,
+    corpus compressed to (vec_id, subspace, code) rows, queries scored
+    by summed LUT partials — the IVF-PQ storage/compute trade that
+    makes billion-vector ANN feasible.  Completes the ANN ladder:
+    sim_bruteforce (exact) → sim_lsh / sim_ivf (candidate pruning) →
+    PQ (compressed scoring).  Decimal-summed partials keep even the
+    approximate scores bit-reproducible, so the full train→encode→
+    search path carries an exact DuckDB oracle (_pq_sql)."""
+    from kp_crypto_market_analytics_spark.operators.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_topk(emb, queries, "embedding", "vec_id", k=5, m=4, ksub=16, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _pq_sql(m: int = 4, ksub: int = 16, dim: int = 64, k: int = 5) -> str:
+    # Lockstep with pq_codebooks/pq_encode/pq_topk: rounded-cosine
+    # argmax with code tiebreak, DECIMAL(27,12) means, DECIMAL(18,6)
+    # ADC partials (exact sums => order-independent).
+    sub = dim // m
+    return f"""
+WITH c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
+), subs AS (
+  SELECT nid, s, cvec[s*{sub}+1 : s*{sub}+{sub}] AS sv
+  FROM c, generate_series(0, {m - 1}) AS t(s)
+), cb0 AS (
+  SELECT nid // {ksub} AS s, nid % {ksub} AS code,
+         cvec[(nid // {ksub})*{sub}+1 : (nid // {ksub})*{sub}+{sub}] AS cent
+  FROM c WHERE nid < {m * ksub}
+), a1 AS (
+  SELECT nid, s, code FROM (
+    SELECT subs.nid, subs.s, cb0.code,
+      row_number() OVER (PARTITION BY subs.nid, subs.s
+        ORDER BY round(list_cosine_similarity(subs.sv, cb0.cent), 6) DESC, cb0.code) AS rn
+    FROM subs JOIN cb0 USING (s)) WHERE rn = 1
+), m1 AS (
+  SELECT s, code, i AS pos,
+    round(CAST(SUM(CAST(sv[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(sv[i]), 6) AS mval
+  FROM a1 JOIN subs USING (nid, s), generate_series(1, {sub}) AS g(i)
+  GROUP BY s, code, i
+), cb1 AS (
+  SELECT s, code, list(mval ORDER BY pos) AS cent FROM m1 GROUP BY s, code
+), codes AS (
+  SELECT nid, s, code FROM (
+    SELECT subs.nid, subs.s, cb1.code,
+      row_number() OVER (PARTITION BY subs.nid, subs.s
+        ORDER BY round(list_cosine_similarity(subs.sv, cb1.cent), 6) DESC, cb1.code) AS rn
+    FROM subs JOIN cb1 USING (s)) WHERE rn = 1
+), lut AS (
+  SELECT q.nid AS query_id, cb1.s, cb1.code,
+    CAST(round(list_inner_product(q.sv, cb1.cent), 6) AS DECIMAL(18,6)) AS p
+  FROM (SELECT * FROM subs WHERE nid < 10) AS q JOIN cb1 USING (s)
+), adc AS (
+  SELECT lut.query_id, codes.nid AS neighbor_id, CAST(SUM(p) AS DOUBLE) AS score
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+  WHERE lut.query_id <> codes.nid
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -2800,6 +2873,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_zorder_stats": p_zorder_stats,
     "t_weighted_sample": t_weighted_sample,
     "a_skew_profile": a_skew_profile,
+    "sim_pq_topk": sim_pq_topk,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2859,4 +2933,5 @@ EXT_ORACLES: dict[str, str] = {
     "p_zorder_stats": _p_zorder_sql(),
     "t_weighted_sample": T_WEIGHTED_SQL,
     "a_skew_profile": A_SKEW_SQL,
+    "sim_pq_topk": _pq_sql(),
 }
