@@ -69,6 +69,7 @@ _NEW_SINCE_R1 = frozenset({
     "t_weighted_sample",
     "a_skew_profile",
     "sim_pq_topk",
+    "sim_pq_rerank",
     # r01-green but re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })

@@ -85,6 +85,55 @@ def test_ann_variants_recall(spark):
         assert hits > 0, "approximate search must recall at least one true top-5 neighbor"
 
 
+def test_pq_codes_complete_and_bounded(spark):
+    # PQ compression invariants: every vector gets exactly m codes, each
+    # within [0, ksub); the trained codebook never exceeds m*ksub entries
+    # (Lloyd may drop empty cells, never add).
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        normalize_vectors,
+        pq_codebooks,
+        pq_encode,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    normed = normalize_vectors(emb)
+    cb_df = pq_codebooks(normed, m=8, ksub=16)
+    cb = cb_df.toPandas()
+    assert len(cb) <= 8 * 16
+    assert cb.groupby("s").size().max() <= 16
+    codes = pq_encode(normed, cb_df, m=8).toPandas()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * 8
+    per_vec = codes.groupby("nid").size()
+    assert (per_vec == 8).all()
+    assert codes["code"].between(0, 15).all()
+
+
+def test_pq_rerank_recall_and_exact_scores(spark):
+    # The two-tier PQ path: every re-ranked hit carries the SAME cosine
+    # as brute force (exact arithmetic on the shortlist), and recall@5
+    # is far above chance (measured 0.88 here; chance ≈ 5/499).
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        brute_force_topk,
+        pq_rerank_topk,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    queries = emb.where(F.col("vec_id") < 5)
+    full = brute_force_topk(emb, queries, k=10_000).toPandas()
+    all_scores = {(r.query_id, r.neighbor_id): r.cos for r in full.itertuples()}
+    exact5 = brute_force_topk(emb, queries, k=5).toPandas()
+    truth = {(r.query_id, r.neighbor_id) for r in exact5.itertuples()}
+    rr = pq_rerank_topk(emb, queries, k=5, shortlist=100, m=8).toPandas()
+    assert len(rr) == len(truth)
+    for r in rr.itertuples():
+        assert abs(all_scores[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+    hits = sum(1 for key in truth if key in {(r.query_id, r.neighbor_id) for r in rr.itertuples()})
+    assert hits / len(truth) >= 0.6
+
+
 def test_mm_decode_batch_shapes(spark):
     # The mapInPandas decode stage must preserve row count and produce
     # the declared schema with FEATURE_DIM-float features.

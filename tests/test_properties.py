@@ -219,3 +219,37 @@ def test_stratified_sample_exact_counts(spark, n_per_stratum, k):
     assert set(by_src) == {"s0", "s1", "s2"}
     for rns in by_src.values():
         assert sorted(rns) == list(range(1, min(k, n_per_stratum) + 1))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, (1 << 50) - 1), st.integers(1, 1 << 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_idiv_matches_python_floordiv(spark, pairs):
+    # _idiv (the a - pmod trick) must equal Python's exact // for every
+    # non-negative numerator — including quotients near 2^50 where a
+    # naive floor(a/b) double path goes one off.
+    from kp_crypto_market_analytics_spark.queries_ext import _idiv
+
+    df = spark.createDataFrame(pairs, "a: long, b: long")
+    got = [r.q for r in df.select(_idiv(F.col("a"), F.col("b")).alias("q")).collect()]
+    assert got == [a // b for a, b in pairs]
+
+
+def test_weighted_sample_biases_toward_token_mass(spark):
+    # The weighted sample's mean token count must exceed the corpus
+    # mean — that bias is the operator's entire purpose (uniform
+    # sampling would match the corpus mean in expectation).
+    from kp_crypto_market_analytics_spark.functions.text import token_count
+    from kp_crypto_market_analytics_spark.queries import QUERIES
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    rows = QUERIES["t_weighted_sample"](spark, "/root/testdata/sf0.001").collect()
+    samp_mean = sum(r.n_tokens for r in rows) / len(rows)
+    docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
+    corp_mean = docs.select(F.avg(token_count("text"))).first()[0]
+    assert samp_mean > corp_mean

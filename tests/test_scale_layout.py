@@ -59,3 +59,39 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_zorder_write_tiles_both_dimensions(spark, tmp_path):
+    # Files written by zorder_write must each cover a SMALL envelope of
+    # the (x, y) plane — that envelope is what parquet row-group min/max
+    # stats expose, so predicates on either dimension prune files.  An
+    # arrival-order layout gives every file the full global envelope.
+    from kp_crypto_market_analytics_spark.operators.layout import zorder_write
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    x = F.pmod(F.floor(F.unix_timestamp("ts") / 60).cast("long"), F.lit(1024))
+    y = F.least(F.lit(1023).cast("long"), F.floor(F.col("value") * 2).cast("long"))
+    quant = e.select(x.alias("qx"), y.alias("qy"))
+    out = str(tmp_path / "events_zorder")
+    zorder_write(quant, F.col("qx"), F.col("qy"), out, bits=10, num_files=16)
+
+    back = spark.read.parquet(out).withColumn("f", F.input_file_name())
+    assert back.count() == quant.count()
+    env = (
+        back.groupBy("f")
+        .agg(
+            (F.max("qx") - F.min("qx") + 1).alias("xr"),
+            (F.max("qy") - F.min("qy") + 1).alias("yr"),
+        )
+        .select(F.avg(F.col("xr") * F.col("yr")).alias("mean_area"))
+        .first()
+    )
+    g = quant.agg(
+        (F.max("qx") - F.min("qx") + 1).alias("xr"),
+        (F.max("qy") - F.min("qy") + 1).alias("yr"),
+    ).first()
+    global_area = g.xr * g.yr
+    # A 16-way z-range split pins the top two bits of each dimension:
+    # ideal mean envelope is global/16; allow boundary-straddling slack.
+    assert env.mean_area <= global_area / 4
