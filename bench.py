@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "t_bigram_topk",
     "t_corpus_filter",
     "t_decontaminate",
+    "sim_pq_rerank",
+    "p_zorder_stats",
+    "t_weighted_sample",
 ]
 
 
