@@ -411,6 +411,29 @@ def lsh_topk(
 # ---------------------------------------------------- product quantization
 
 
+def pq_subvectors(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """(vector × subspace) expansion shared by PQ training and encoding:
+    (nid, s, sv, svnorm) rows via a generator projection (explode of a
+    literal sequence — no shuffle).  Callers that consume it more than
+    once (pq_topk: training assignment, training means, encoding)
+    should localCheckpoint the result — Spark re-executes a subplan per
+    consumer otherwise, tripling the corpus scan."""
+    sub = dim // m
+    c = corpus.select(F.col(id_col).alias("nid"), to_double_array(vec_col).alias("cvec"))
+    return (
+        ensure_parallelism(c)
+        .select("nid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "cvec")
+        .select("nid", "s", F.slice(F.col("cvec"), F.col("s") * sub + 1, sub).alias("sv"))
+        .withColumn("svnorm", norm(F.col("sv")))
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -418,6 +441,7 @@ def pq_codebooks(
     m: int = 4,
     ksub: int = 16,
     dim: int = 64,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: split every vector into ``m``
     contiguous sub-vectors of dim/m and train ``ksub`` centroids PER
@@ -449,12 +473,8 @@ def pq_codebooks(
         "code",
         F.slice(F.col("cvec"), (F.col("soff") / ksub).cast("int") * sub + 1, sub).alias("cent"),
     )
-    subs = (
-        ensure_parallelism(c)
-        .select("nid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "cvec")
-        .select("nid", "s", F.slice(F.col("cvec"), F.col("s") * sub + 1, sub).alias("sv"))
-        .withColumn("svnorm", norm(F.col("sv")))
-    )
+    if subs is None:
+        subs = pq_subvectors(corpus, vec_col, id_col, m=m, dim=dim)
     cents = seeds.withColumn("centnorm", norm(F.col("cent")))
     assign = (
         subs.join(F.broadcast(cents), "s")
@@ -501,21 +521,15 @@ def pq_encode(
     id_col: str = "vec_id",
     m: int = 4,
     dim: int = 64,
+    subs: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every vector as its per-subspace nearest codebook entry:
     (vec_id, s, code) rows — the PQ-compressed corpus.  Same
     broadcast-join + skinny max_by shape as codebook training; the
     full vectors never shuffle, and downstream ADC joins touch only
     these m-small-int rows."""
-    sub = dim // m
-    subs = (
-        ensure_parallelism(
-            corpus.select(F.col(id_col).alias("nid"), to_double_array(vec_col).alias("cvec"))
-        )
-        .select("nid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "cvec")
-        .select("nid", "s", F.slice(F.col("cvec"), F.col("s") * sub + 1, sub).alias("sv"))
-        .withColumn("svnorm", norm(F.col("sv")))
-    )
+    if subs is None:
+        subs = pq_subvectors(corpus, vec_col, id_col, m=m, dim=dim)
     return (
         subs.join(F.broadcast(codebooks), "s")
         .select(
@@ -557,8 +571,13 @@ def pq_topk(
     scan side is the compressed codes table — the standard IVF-PQ
     trade of recall for a two-orders-of-magnitude smaller working
     set."""
-    codebooks = pq_codebooks(corpus, vec_col, id_col, m=m, ksub=ksub, dim=dim)
-    codes = pq_encode(corpus, codebooks, vec_col, id_col, m=m, dim=dim)
+    # The (vector × subspace) expansion feeds THREE consumers (training
+    # assignment, training means, encoding) — materialize it once.  At
+    # cluster scale prefer checkpoint(dir): the expansion is m× vector
+    # bytes, but one write beats three corpus scans.
+    subs = pq_subvectors(corpus, vec_col, id_col, m=m, dim=dim).localCheckpoint(eager=True)
+    codebooks = pq_codebooks(corpus, vec_col, id_col, m=m, ksub=ksub, dim=dim, subs=subs)
+    codes = pq_encode(corpus, codebooks, vec_col, id_col, m=m, dim=dim, subs=subs)
     sub = dim // m
     qsubs = (
         queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec"))
