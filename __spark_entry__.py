@@ -70,6 +70,8 @@ _NEW_SINCE_R1 = frozenset({
     "a_skew_profile",
     "sim_pq_topk",
     "sim_pq_rerank",
+    "w_resample_ffill",
+    "a_incremental_rollup",
     # r01-green but re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })

@@ -174,3 +174,50 @@ def ewma_grouped(
         return pdf
 
     return df.groupBy(key).applyInPandas(fn, out_schema)
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    step_seconds: int = 300,
+) -> DataFrame:
+    """Gap-free resampling with forward fill — the time-series twin of
+    a11 coverage_stats (which only COUNTS missing buckets; this one
+    materializes them): bucket per (key, step), then generate every
+    bucket between each key's first and last, left-join the observed
+    aggregates, and carry the last observed average forward into the
+    gaps (pandas ``resample().ffill()`` parity, reference
+    binance_analysis.py's regular-grid assumption made explicit).
+
+    Plan: one bucket agg (map-side combined), a skinny per-key bounds
+    agg whose ``sequence()`` explode generates the grid WITHOUT a
+    shuffle, one left join on (key, bucket) — broadcast when the grid
+    side is small, AQE decides — and one ordered window per key for
+    the fill.  The grid is |keys|·(span/step) rows of three scalars,
+    never the fact table; decimal-summed averages keep the fill values
+    engine-exact."""
+    b = F.floor(F.unix_timestamp(ts) / F.lit(step_seconds)).cast("long")
+    v = F.col(value)
+    agg = df.groupBy(F.col(key), b.alias("b")).agg(
+        F.count(v).alias("n_events"),
+        F.round(
+            F.sum(v.cast("decimal(18,6)")).cast("double") / F.count(v), 6
+        ).alias("avg_value"),
+    )
+    bounds = agg.groupBy(key).agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = bounds.select(key, F.explode(F.sequence("lo", "hi")).alias("b"))
+    joined = grid.join(agg, [key, "b"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        F.to_timestamp(F.col("b") * step_seconds).alias("bucket"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("ff_value"),
+        F.when(F.col("avg_value").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+    )

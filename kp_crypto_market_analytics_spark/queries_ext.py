@@ -2905,6 +2905,78 @@ ORDER BY query_id, rank
 """
 
 
+def w_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free 5-minute resample + forward fill per event_type
+    (operators.windows.resample_ffill) — a11_coverage counts the holes,
+    this materializes and fills them, the regular-grid precondition for
+    every rolling-window analytic the reference runs on candle data
+    (binance_analysis.py rolling stats assume no missing rows)."""
+    from kp_crypto_market_analytics_spark.operators.windows import resample_ffill
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    return resample_ffill(e, "event_type", "ts", "value", step_seconds=300).orderBy(
+        "event_type", "bucket"
+    )
+
+
+W_RESAMPLE_SQL = """
+WITH a AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS b,
+    COUNT(value) AS n_events,
+    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM a GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM bounds
+), j AS (
+  SELECT g.event_type, g.b, coalesce(a.n_events, 0) AS n_events, a.avg_value
+  FROM grid g LEFT JOIN a ON g.event_type = a.event_type AND g.b = a.b
+)
+SELECT event_type, CAST(to_timestamp(b * 300) AS TIMESTAMP) AS bucket, n_events,
+  last_value(avg_value IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_value,
+  CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS filled
+FROM j ORDER BY event_type, bucket
+"""
+
+
+def a_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators.aggregates.
+    partial_rollup / merge_partial_rollups): the first 20 days' daily
+    rollup is treated as yesterday's materialized state, days ≥ 20 as
+    the arriving increment; merging the two partial states must equal
+    the full recompute EXACTLY — which is precisely what the oracle
+    (a plain full-scan rollup) checks.  Decimal sums make the merge
+    algebraic (exact ⇒ associative), so at 100 TB the nightly job
+    touches O(|rollup| + |increment|), never the history."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        merge_partial_rollups,
+        partial_rollup,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).withColumn("date", F.to_date("ts"))
+    split = F.lit("2024-01-20").cast("date")
+    base = partial_rollup(e.where(F.col("date") < split), ["event_type", "date"], "value")
+    inc = partial_rollup(e.where(F.col("date") >= split), ["event_type", "date"], "value")
+    return merge_partial_rollups(base.unionByName(inc), ["event_type", "date"]).orderBy(
+        "event_type", "date"
+    )
+
+
+A_INCREMENTAL_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS date,
+  COUNT(value) AS n_rows,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, date
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -2964,6 +3036,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_skew_profile": a_skew_profile,
     "sim_pq_topk": sim_pq_topk,
     "sim_pq_rerank": sim_pq_rerank,
+    "w_resample_ffill": w_resample_ffill,
+    "a_incremental_rollup": a_incremental_rollup,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -3025,4 +3099,6 @@ EXT_ORACLES: dict[str, str] = {
     "a_skew_profile": A_SKEW_SQL,
     "sim_pq_topk": _pq_sql(),
     "sim_pq_rerank": _pq_rerank_sql(),
+    "w_resample_ffill": W_RESAMPLE_SQL,
+    "a_incremental_rollup": A_INCREMENTAL_SQL,
 }

@@ -253,3 +253,61 @@ def test_weighted_sample_biases_toward_token_mass(spark):
     docs = load_tables(spark, "/root/testdata/sf0.001", ["documents"])["documents"]
     corp_mean = docs.select(F.avg(token_count("text"))).first()[0]
     assert samp_mean > corp_mean
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9), st.floats(0.1, 100.0)),
+        min_size=2,
+        max_size=40,
+    ),
+    st.integers(0, 9),
+)
+@settings(**SETTINGS)
+def test_incremental_rollup_split_invariant(spark, rows, split):
+    # Merging partial rollups from ANY split of the input must equal the
+    # single-pass rollup exactly — the algebraic property incremental
+    # maintenance rests on (decimal sums are exact => associative).
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        merge_partial_rollups,
+        partial_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(k, d, round(v, 3)) for k, d, v in rows], "k: int, d: int, v: double"
+    )
+    full = merge_partial_rollups(partial_rollup(df, ["k", "d"], "v"), ["k", "d"])
+    lo = partial_rollup(df.where(F.col("d") < split), ["k", "d"], "v")
+    hi = partial_rollup(df.where(F.col("d") >= split), ["k", "d"], "v")
+    merged = merge_partial_rollups(lo.unionByName(hi), ["k", "d"])
+    key = ["k", "d"]
+    a = {tuple(r[c] for c in key): (r.n_rows, r.avg_value, r.min_value, r.max_value)
+         for r in full.collect()}
+    b = {tuple(r[c] for c in key): (r.n_rows, r.avg_value, r.min_value, r.max_value)
+         for r in merged.collect()}
+    assert a == b
+
+
+def test_resample_ffill_fills_planted_gap(spark):
+    # A key with observations at buckets 0 and 3 must come back with
+    # buckets 1 and 2 synthesized: n_events=0, filled=1, ff_value carried
+    # from bucket 0.
+    import datetime as dt
+
+    from kp_crypto_market_analytics_spark.operators.windows import resample_ffill
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base, 10.0),
+        ("a", base + dt.timedelta(seconds=950), 40.0),  # bucket 3 (300s steps)
+    ]
+    df = spark.createDataFrame(rows, "k: string, ts: timestamp, v: double")
+    out = {r.bucket: r for r in resample_ffill(df, "k", "ts", "v").collect()}
+    assert len(out) == 4
+    buckets = sorted(out)
+    for i, bkt in enumerate(buckets):
+        r = out[bkt]
+        if i in (1, 2):
+            assert r.n_events == 0 and r.filled == 1 and r.ff_value == 10.0
+        else:
+            assert r.n_events == 1 and r.filled == 0
