@@ -2977,6 +2977,91 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, date
 """
 
 
+def w_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-bucket correlation between two aligned series (the
+    'click' and 'view' hourly averages) — the windowed form of
+    a9_corr_matrix / a_regression's global moments, i.e. the rolling
+    beta/correlation every pairs-trading and regime-detection pass
+    needs.  Frame moments (Σx, Σy, Σxy, Σx², Σy²) accumulate through
+    DECIMAL casts of identical doubles, so the five sums — and hence
+    the guarded corr — are bit-identical across engines.
+
+    Plan: two map-side-combined bucket aggs, one equi-join on bucket
+    (hourly grid — thousands of rows at any corpus size), ONE window
+    sort serving all five frame sums.  The fact table never enters the
+    window; only the aligned (bucket, x, y) series does — at 100 TB
+    the rolling stage is O(buckets), not O(events).  The unpartitioned
+    window IS single-partition by construction — that is safe exactly
+    because the series is bucket-grained (8.8k rows/year/pair); for
+    many pairs, partition the window by pair key."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    b = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+
+    def series(ev: str, out: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == ev)
+            .groupBy(b.alias("b"))
+            .agg(
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                    / F.count("value"),
+                    6,
+                ).alias(out)
+            )
+        )
+
+    pair = series("click", "x").join(series("view", "y"), "b")
+    w = Window.orderBy("b").rowsBetween(-23, Window.currentRow)
+    dx = F.col("x").cast("decimal(18,6)")
+    dy = F.col("y").cast("decimal(18,6)")
+    n = F.count("x").over(w).cast("double")
+    sx = F.sum(dx).over(w).cast("double")
+    sy = F.sum(dy).over(w).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast("decimal(28,12)")).over(w).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")).over(w).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast("decimal(28,12)")).over(w).cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    corr = F.when((varx > 0) & (vary > 0), (n * sxy - sx * sy) / F.sqrt(varx * vary))
+    out = pair.select(
+        F.to_timestamp(F.col("b") * 3600).alias("bucket"),
+        F.row_number().over(Window.orderBy("b")).alias("rn"),
+        F.round(corr, 6).alias("corr_24h"),
+    )
+    return out.where(F.col("rn") >= 24).select("bucket", "corr_24h").orderBy("bucket")
+
+
+W_ROLLING_CORR_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b, value FROM events
+), xs AS (
+  SELECT b, round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS x
+  FROM e WHERE event_type = 'click' GROUP BY b
+), ys AS (
+  SELECT b, round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS y
+  FROM e WHERE event_type = 'view' GROUP BY b
+), pair AS (
+  SELECT xs.b, x, y FROM xs JOIN ys ON xs.b = ys.b
+), m AS (
+  SELECT b,
+    row_number() OVER (ORDER BY b) AS rn,
+    CAST(COUNT(x) OVER w AS DOUBLE) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x*y AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x*x AS DECIMAL(28,12))) OVER w AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y*y AS DECIMAL(28,12))) OVER w AS DOUBLE) AS syy
+  FROM pair
+  WINDOW w AS (ORDER BY b ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(to_timestamp(b * 3600) AS TIMESTAMP) AS bucket,
+  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) AS corr_24h
+FROM m WHERE rn >= 24 ORDER BY bucket
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -3038,6 +3123,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_rerank": sim_pq_rerank,
     "w_resample_ffill": w_resample_ffill,
     "a_incremental_rollup": a_incremental_rollup,
+    "w_rolling_corr": w_rolling_corr,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -3101,4 +3187,5 @@ EXT_ORACLES: dict[str, str] = {
     "sim_pq_rerank": _pq_rerank_sql(),
     "w_resample_ffill": W_RESAMPLE_SQL,
     "a_incremental_rollup": A_INCREMENTAL_SQL,
+    "w_rolling_corr": W_ROLLING_CORR_SQL,
 }
