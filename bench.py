@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "sim_pq_rerank",
     "p_zorder_stats",
     "t_weighted_sample",
+    "w_resample_ffill",
+    "a_incremental_rollup",
+    "w_rolling_corr",
 ]
 
 
@@ -100,6 +103,7 @@ def _prev_bench(root: str) -> tuple[int | None, dict]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kp_crypto_market_analytics_spark.operators.aggregates import (
+        APPROX_DISTINCT_CONF,
         APPROX_QUANTILES_CONF,
     )
     from kp_crypto_market_analytics_spark.queries import QUERIES
@@ -108,6 +112,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set(APPROX_QUANTILES_CONF, "true")
+    spark.conf.set(APPROX_DISTINCT_CONF, "true")
 
     # Warm the JVM/code paths once on the smallest sf so per-query times
     # measure the plan, not first-call classloading.

@@ -293,3 +293,26 @@ def merge_partial_rollups(parts: DataFrame, keys: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+APPROX_DISTINCT_CONF = "spark.kp_crypto.approxDistinct"
+APPROX_DISTINCT_RSD_CONF = "spark.kp_crypto.approxDistinct.rsd"
+
+
+def distinct_count_expr(df: DataFrame, col: str | Column) -> Column:
+    """`count(DISTINCT)` (exact, oracle-parity) or
+    `approx_count_distinct` (HyperLogLog++ sketch) per the session conf
+    above — the distinct-count twin of :func:`percentile_expr`.  Exact
+    distinct is a full shuffle of every distinct value per group; the
+    HLL sketch is fixed-size per group and merges map-side, which is
+    the only viable shape for user-cardinality and column-profiling
+    aggs at 100 TB.  Applied where the consumer wants a CARDINALITY
+    ESTIMATE (a_distinct_users, p_profile_columns); joins and weights
+    that need exact counts (TF-IDF doc_freq, decontamination overlap)
+    keep countDistinct unconditionally."""
+    c = F.col(col) if isinstance(col, str) else col
+    conf = df.sparkSession.conf
+    if str(conf.get(APPROX_DISTINCT_CONF, "false")).lower() == "true":
+        rsd = float(conf.get(APPROX_DISTINCT_RSD_CONF, "0.02"))
+        return F.approx_count_distinct(c, rsd)
+    return F.countDistinct(c)

@@ -1807,14 +1807,21 @@ ORDER BY event_type NULLS FIRST, date NULLS FIRST
 
 
 def a_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-aggregation per group (SURVEY §2.5: engine exposes
-    countDistinct beyond the reference's plain aggs)."""
+    """Distinct-aggregation per group (SURVEY §2.5: engine exposes
+    countDistinct beyond the reference's plain aggs).  Exact under the
+    oracle gate; flips to HyperLogLog++ sketches under
+    ``APPROX_DISTINCT_CONF`` — user cardinality is an estimate use
+    case, and the sketch merges map-side instead of shuffling every
+    distinct (type, user) pair (the 100 TB path, like the quantile
+    conf)."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import distinct_count_expr
+
     t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
     return (
-        t["events"]
-        .groupBy("event_type")
+        e.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
+            distinct_count_expr(e, "user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
@@ -2403,10 +2410,12 @@ def p_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             return c.cast("decimal(18,2)").cast("string")
         return c.cast("string")
 
+    from kp_crypto_market_analytics_spark.operators.aggregates import distinct_count_expr
+
     agg = o.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.count(c).alias(f"nn_{c}") for c in cols],
-        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+        *[distinct_count_expr(o, c).alias(f"nd_{c}") for c in cols],
         *[s(F.min(c), c).alias(f"mn_{c}") for c in cols],
         *[s(F.max(c), c).alias(f"mx_{c}") for c in cols],
     )

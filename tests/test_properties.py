@@ -311,3 +311,29 @@ def test_resample_ffill_fills_planted_gap(spark):
             assert r.n_events == 0 and r.filled == 1 and r.ff_value == 10.0
         else:
             assert r.n_events == 1 and r.filled == 0
+
+
+def test_approx_distinct_conf_switch_error_bound(spark):
+    # Under APPROX_DISTINCT_CONF the same query runs on HLL++ sketches;
+    # the estimate must land within ~3x the configured rsd of the exact
+    # count (rsd=0.02 → allow 6%).
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        APPROX_DISTINCT_CONF,
+    )
+    from kp_crypto_market_analytics_spark.queries import QUERIES
+
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["a_distinct_users"](spark, "/root/testdata/sf0.01").collect()
+    }
+    spark.conf.set(APPROX_DISTINCT_CONF, "true")
+    try:
+        approx = {
+            r.event_type: r.n_users
+            for r in QUERIES["a_distinct_users"](spark, "/root/testdata/sf0.01").collect()
+        }
+    finally:
+        spark.conf.unset(APPROX_DISTINCT_CONF)
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.06 * n), (k, n, approx[k])
