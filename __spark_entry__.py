@@ -73,6 +73,7 @@ _NEW_SINCE_R1 = frozenset({
     "w_resample_ffill",
     "a_incremental_rollup",
     "w_rolling_corr",
+    "dedup_canonical",
     # r01-green but re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })

@@ -123,8 +123,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH {SHINGLE4_CTE}, freq AS (
+# Shared by DEDUP_CLUSTERS_SQL and _dedup_canonical_sql: the capped
+# Jaccard pair graph + recursive-CTE transitive closure -> `labeled`.
+_CLUSTER_CTES = f"""WITH {SHINGLE4_CTE}, freq AS (
   SELECT shingle, COUNT(*) AS df FROM sets GROUP BY 1
 ), capped AS (
   SELECT s.doc_id, s.shingle FROM sets s JOIN freq USING (shingle) WHERE df <= 50
@@ -151,7 +152,10 @@ WITH {SHINGLE4_CTE}, freq AS (
   SELECT node, MIN(lab) AS cluster_id FROM r GROUP BY node
 ), labeled AS (
   SELECT node AS doc_id, cluster_id FROM reach
-)
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""
+{_CLUSTER_CTES}
 SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM labeled ORDER BY doc_id
 """
@@ -3071,6 +3075,91 @@ FROM m WHERE rn >= 24 ORDER BY bucket
 """
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster RESOLUTION — the step after dedup_clusters that training
+    pipelines actually ship: per near-dup family, keep the highest-
+    quality member (t_quality_score's exact heuristic, doc_id
+    tiebreak) and count what drops.  Composes the capped-Jaccard pair
+    graph → connected components → quality argmax, so the gate covers
+    the whole keep-decision path end to end.
+
+    Plan: quality is a narrow per-doc projection (no shuffle); the
+    argmax is one max_by agg on (cluster, q, id) triples — the
+    iterative CC labels are the only multi-round cost, unchanged from
+    dedup_clusters."""
+    from kp_crypto_market_analytics_spark.functions.text import stopword_hits
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        connected_component_labels,
+        ngram_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    edges = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=4, threshold=0.6, use_words=False, max_shingle_freq=50
+    ).select("doc_a", "doc_b")
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    labels = connected_component_labels(edges, nodes, "doc").select(
+        F.col("doc").alias("doc_id"), "cluster_id"
+    )
+    toks = token_count("text")
+    hits = stopword_hits("text")
+    ratio = F.when(toks > 0, hits / toks)
+    score = F.round(
+        F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(ratio * 5, F.lit(1.0)) * 0.5,
+        6,
+    )
+    q = d.select("doc_id", F.coalesce(score, F.lit(-1.0)).alias("q"))
+    key = F.struct(F.col("q"), (-F.col("doc_id")).alias("neg"))
+    return (
+        labels.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max_by("doc_id", key).alias("canonical_doc"),
+            F.max_by("q", key).alias("canonical_quality"),
+        )
+        .withColumn("n_dupes_dropped", F.col("cluster_size") - 1)
+        .orderBy("cluster_id")
+    )
+
+
+def _dedup_canonical_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hit_terms = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return f"""
+{_CLUSTER_CTES}, qnorm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+), qbase AS (
+  SELECT doc_id, ' ' || lower(t) || ' ' AS p,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1 END AS n_tokens
+  FROM qnorm
+), qhits AS (
+  SELECT doc_id, n_tokens, {hit_terms} AS stopword_hits FROM qbase
+), q AS (
+  SELECT doc_id, coalesce(round(least(n_tokens / 100.0, 1.0) * 0.5
+    + least(CASE WHEN n_tokens > 0 THEN CAST(stopword_hits AS DOUBLE) / n_tokens END * 5,
+            1.0) * 0.5, 6), -1.0) AS q
+  FROM qhits
+), jj AS (
+  SELECT l.doc_id, l.cluster_id, q.q FROM labeled l JOIN q USING (doc_id)
+), r AS (
+  SELECT cluster_id, doc_id, q,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+  FROM jj
+)
+SELECT cluster_id, cluster_size, doc_id AS canonical_doc, q AS canonical_quality,
+  cluster_size - 1 AS n_dupes_dropped
+FROM r WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -3133,6 +3222,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_resample_ffill": w_resample_ffill,
     "a_incremental_rollup": a_incremental_rollup,
     "w_rolling_corr": w_rolling_corr,
+    "dedup_canonical": dedup_canonical,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -3197,4 +3287,5 @@ EXT_ORACLES: dict[str, str] = {
     "w_resample_ffill": W_RESAMPLE_SQL,
     "a_incremental_rollup": A_INCREMENTAL_SQL,
     "w_rolling_corr": W_ROLLING_CORR_SQL,
+    "dedup_canonical": _dedup_canonical_sql(),
 }
