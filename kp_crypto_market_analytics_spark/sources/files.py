@@ -123,3 +123,46 @@ def route_files(spark: SparkSession, data_dir: str) -> dict[str, DataFrame]:
     if any(f.startswith("orderbook_") for f in os.listdir(data_dir)):
         out["order_books"] = read_orderbook_csv(spark, os.path.join(data_dir, "orderbook_*.csv"))
     return out
+
+
+def read_documents_jsonl(
+    spark: SparkSession, glob_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Tolerant JSON-Lines corpus scan — the arrival format of public
+    text dumps, read with S9's tolerant-scan semantics: an EXPLICIT
+    schema (inference would cost a second full pass over 100 TB) in
+    PERMISSIVE mode, malformed lines captured into a quarantine column
+    instead of failing the job.  Returns (good, quarantined): good rows
+    match the driver `documents` schema; quarantined rows keep the raw
+    line for a replay/repair pass — dropping them silently is how
+    corpora lose documents unnoticed.
+
+    Spark subtlety: a filter referencing ONLY the corrupt-record column
+    is rejected by the analyzer on an unpersisted scan, so the split
+    projects the corrupt column alongside the data columns first."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(glob_path)
+        .select("doc_id", "text", "lang", "source", "n_chars", "_corrupt_record")
+    )
+    good = raw.where(F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull()).drop(
+        "_corrupt_record"
+    )
+    bad = raw.where(
+        F.col("_corrupt_record").isNotNull() | F.col("doc_id").isNull()
+    ).select(F.coalesce("_corrupt_record", F.to_json(F.struct("doc_id", "text"))).alias("raw_line"))
+    return good, bad

@@ -167,3 +167,25 @@ def test_readers_conform_to_canonical_schemas(spark, tmp_path):
     tr = read_trades_csv(spark, str(t))
     trade_cols = {f.name for f in schemas.TRADES_SCHEMA.fields}
     assert set(schemas.TRADES_KEY) <= set(tr.columns) <= trade_cols | {"notional"}
+
+
+def test_read_documents_jsonl_quarantines_malformed(spark, tmp_path):
+    # PERMISSIVE JSONL scan: valid lines parse to the documents schema,
+    # malformed lines land in the quarantine side with their raw text —
+    # never dropped, never fatal.
+    from kp_crypto_market_analytics_spark.sources.files import read_documents_jsonl
+
+    p = tmp_path / "dump.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}\n'
+        '{"doc_id": 2, "text": "ok", "lang": "en", "source": "web", "n_chars": 2}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 3, "text": "fine", "lang": "en", "source": "web", "n_chars": 4}\n'
+    )
+    good, bad = read_documents_jsonl(spark, str(p))
+    g = good.orderBy("doc_id").collect()
+    assert [r.doc_id for r in g] == [1, 2, 3]
+    assert g[0].text == "hello world"
+    b = bad.collect()
+    assert len(b) == 1
+    assert "not json" in b[0].raw_line
