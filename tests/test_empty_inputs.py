@@ -85,3 +85,31 @@ def test_empty_candles_and_upsert(spark, tmp_path):
     merge_into(spark, tgt, base, ["symbol", "trade_id"])
     merge_into(spark, tgt, base.limit(0), ["symbol", "trade_id"])
     assert spark.read.parquet(tgt).count() == 1
+
+
+def test_empty_resample_and_rollup(spark):
+    # Zero-row inputs flow through the new TS operators without error.
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        merge_partial_rollups,
+        partial_rollup,
+    )
+    from kp_crypto_market_analytics_spark.operators.windows import resample_ffill
+
+    empty = spark.createDataFrame([], "k: string, ts: timestamp, v: double")
+    assert resample_ffill(empty, "k", "ts", "v").count() == 0
+    parts = partial_rollup(empty, ["k"], "v")
+    assert merge_partial_rollups(parts, ["k"]).count() == 0
+
+
+def test_empty_pq_and_layout(spark):
+    # PQ on an empty corpus yields empty codes/top-k; the z-order key is
+    # well-defined on an empty frame.
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.operators.layout import zorder_key
+    from kp_crypto_market_analytics_spark.operators.similarity import pq_topk
+
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    assert pq_topk(empty, empty, k=5, m=4, ksub=16).count() == 0
+    ez = spark.createDataFrame([], "x: long, y: long")
+    assert zorder_key(ez, F.col("x"), F.col("y")).count() == 0
