@@ -23,67 +23,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries that already carry a green row in CORRECTNESS_r01.json.  The
-# driver's per-round correctness run covers a registration-order prefix
-# (50 entries in round 1), so we order the registry to put queries that
-# still need a driver row FIRST: the 49 absent from r01 plus
-# p_props_extract (r01's one hash FAIL, oracle type fixed this round).
-# Across rounds this yields a driver-verified row for all 99.
-_DRIVER_GREEN_R1 = frozenset({
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q6_forecast_revenue", "a1_symbol_metrics", "a2_daily_summary",
-    "a3_monthly_rollup", "a4_hourly_profile", "a5_dow_profile",
-    "a6_weekday_hour_pivot", "a7_overall_stats", "a8_large_events",
-    "a9_corr_matrix", "a11_coverage", "a12_best_spread", "a13_depth_topn",
-    "a14_distinct_types", "a15_health_probe", "w1_lag_diff",
-    "w2_rolling_std", "w3_forward_return", "w4_level_rank",
-    "j1_minute_equijoin", "j_semi_customers", "j_anti_customers",
-    "j4_union_sides", "set_intersect_parts", "set_except_parts",
-    "f2_heuristic_time_parse", "stream_candles_1m", "t_token_stats",
-    "t_quality_score", "t_lang_id", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_sig", "sim_bruteforce_topk", "sim_neardup_pairs",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_ngram_capped",
-    "dedup_simhash", "dedup_simhash_pairs", "t_fingerprint_winnow",
-    "sim_lsh_topk", "sim_ivf_topk", "sim_neardup_lsh",
-    "stream_candles_5m", "mm_binary_meta",
-})
+# The driver's per-round correctness run covers a registration-order
+# PREFIX (~50 entries), so the registry is ordered oldest-debt-first:
+# queries with no green driver row yet, oldest round first, then
+# already-green queries.  The green set is derived from the
+# CORRECTNESS_r*.json files on disk — it updates itself when a new
+# round's results land, no hand-maintained lists to go stale.
 
+# Round in which each query was first registered, for queries added
+# AFTER round 1 (everything absent from this map is round-1 vintage).
+# Older debt outranks newer debt in the driver prefix.
+_FIRST_SEEN_ROUND = {
+    n: 2
+    for n in (
+        "sim_ivf_trained", "t_decontaminate", "t_repetition",
+        "t_source_overlap", "t_corpus_filter", "e_quantize_int8",
+        "a_grouped_quantiles", "a_rollup_cascade", "t_stratified_sample",
+        "mm_frame_sample", "mm_resize_geometry", "p_zorder_stats",
+        "t_weighted_sample", "a_skew_profile", "sim_pq_topk",
+        "sim_pq_rerank", "w_resample_ffill", "a_incremental_rollup",
+        "w_rolling_corr", "dedup_canonical",
+    )
+}
 
-# Queries registered or semantically CHANGED after round 1 closed.
-# They need (fresh) driver rows too, but never at the cost of
-# displacing a round-1 query from the driver's ~50-entry prefix —
-# round-1 pending first, new/changed next, green last.
-_NEW_SINCE_R1 = frozenset({
-    "sim_ivf_trained",
-    "t_decontaminate",
-    "t_repetition",
-    "t_source_overlap",
-    "t_corpus_filter",
-    "e_quantize_int8",
-    "a_grouped_quantiles",
-    "a_rollup_cascade",
-    "t_stratified_sample",
-    "mm_frame_sample",
-    "mm_resize_geometry",
-    "p_zorder_stats",
-    "t_weighted_sample",
-    "a_skew_profile",
-    "sim_pq_topk",
-    "sim_pq_rerank",
-    "w_resample_ffill",
-    "a_incremental_rollup",
-    "w_rolling_corr",
-    "dedup_canonical",
-    # r01-green but re-windowed in round 2 (vacuous-gate fix):
+# Semantically CHANGED after earning a green row: the stale row must
+# not count as green, so they re-queue (behind same-round fresh debt).
+_STALE_GREEN = frozenset({
+    # re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers",
 })
 
 
+def _driver_green() -> frozenset[str]:
+    """Queries with a fully-matching row in any CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return frozenset(green - _STALE_GREEN)
+
+
 def _ordered(names: list[str]) -> list[str]:
+    green = _driver_green()
+
     def tier(n: str) -> int:
-        if n in _NEW_SINCE_R1:
-            return 1  # takes precedence: a changed query's old green row is stale
-        return 2 if n in _DRIVER_GREEN_R1 else 0
+        if n in green:
+            return 1000  # verified: after every pending query
+        base = 10 * _FIRST_SEEN_ROUND.get(n, 1)  # oldest debt first
+        # A stale-green re-queue has SOME evidence (its old row was
+        # value-exact pre-change); never-verified debt of the same
+        # vintage outranks it.
+        return base + 5 if n in _STALE_GREEN else base
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

@@ -38,16 +38,28 @@ def test_registry_consistency():
     qs, oracles = m.queries(), m.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 104
-    # Driver-gate ordering: every round-1-pending query precedes every
-    # round-2+ addition, which precedes every already-green query — the
-    # driver's correctness prefix always verifies the oldest debt first.
+    # Driver-gate ordering: pending (no green CORRECTNESS row) queries
+    # precede green ones, and within pending, older registrations come
+    # first — the driver's correctness prefix always verifies the
+    # oldest debt first.  Green derives from CORRECTNESS_r*.json on
+    # disk, so this ordering self-updates each round.
     names = list(qs)
-    tiers = [
-        1 if n in m._NEW_SINCE_R1
-        else (2 if n in m._DRIVER_GREEN_R1 else 0)
-        for n in names
-    ]
+    green = m._driver_green()
+
+    def tier(n):
+        if n in green:
+            return 1000
+        base = 10 * m._FIRST_SEEN_ROUND.get(n, 1)
+        return base + 5 if n in m._STALE_GREEN else base
+
+    tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers)
+    # Round-1's one FAIL and its stale-green re-queue stay pending.
+    assert "p_props_extract" not in green
+    assert "j_anti_customers" not in green
+    # Every name the ordering knows is actually registered.
+    assert set(m._FIRST_SEEN_ROUND) <= set(qs)
+    assert m._STALE_GREEN <= set(qs)
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)
