@@ -42,7 +42,7 @@ _FIRST_SEEN_ROUND = {
         "mm_frame_sample", "mm_resize_geometry", "p_zorder_stats",
         "t_weighted_sample", "a_skew_profile", "sim_pq_topk",
         "sim_pq_rerank", "w_resample_ffill", "a_incremental_rollup",
-        "w_rolling_corr", "dedup_canonical",
+        "w_rolling_corr", "dedup_canonical", "t_textrank",
     )
 }
 

@@ -3160,6 +3160,100 @@ FROM r WHERE rn = 1 ORDER BY cluster_id
 """
 
 
+def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (operators.graph.pagerank_weighted):
+    weighted PageRank over the token-adjacency graph — bigram counts as
+    edge weights, symmetrized, 3 iterations — then the top 20 keyword
+    candidates (length ≥ 4) by rank.  The graph-centrality complement
+    to frequency-based t_vocab_topk/t_tfidf_topk: a token ranks high
+    for sitting between many strong collocations, not for raw count.
+
+    Scale: the graph is VOCABULARY-sized (nodes = distinct tokens,
+    edges = distinct bigrams), so the iterative stage is independent of
+    corpus row count — the only corpus-sized work is the one bigram
+    count that t_bigram_topk already prices."""
+    from kp_crypto_market_analytics_spark.operators.graph import pagerank_weighted
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    d = (
+        ensure_parallelism(t["documents"])
+        .select(toks.alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    directed = (
+        d.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    edges = (
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "c")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").alias("weight"))
+    )
+    pr = pagerank_weighted(edges, iters=3, damping=0.85, prec=10)
+    return (
+        pr.where(F.length("node") >= 4)
+        .select(F.col("node").alias("token"), F.round("pr", 6).alias("rank_score"))
+        .orderBy(F.desc("rank_score"), "token")
+        .limit(20)
+    )
+
+
+def _t_textrank_sql(iters: int = 3) -> str:
+    # Lockstep with pagerank_weighted: integer-exact ratios,
+    # DECIMAL(28,12) contribution sums, 10dp per-iteration rounding.
+    parts = [f"""
+WITH norm AS (
+  SELECT string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), big AS (
+  SELECT l[i] AS src, l[i + 1] AS dst
+  FROM norm, generate_series(1, 4000) AS g(i)
+  WHERE len(l) >= 2 AND i <= len(l) - 1
+), dcnt AS (
+  SELECT src, dst, COUNT(*) AS c FROM big GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst, CAST(SUM(c) AS BIGINT) AS weight FROM (
+    SELECT src, dst, c FROM dcnt
+    UNION ALL SELECT dst, src, c FROM dcnt
+  ) GROUP BY 1, 2
+), wdeg AS (
+  SELECT src, CAST(SUM(weight) AS BIGINT) AS wdeg FROM edges GROUP BY 1
+), er AS (
+  SELECT e.src, e.dst, CAST(weight AS DOUBLE) / wdeg AS ratio
+  FROM edges e JOIN wdeg USING (src)
+), nodes AS (
+  SELECT src AS node FROM er UNION SELECT dst FROM er
+), pr0 AS (
+  SELECT node, 1.0 AS pr FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+  SELECT dst, CAST(SUM(CAST(ratio * pr AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM er JOIN pr{i - 1} p ON er.src = p.node GROUP BY dst
+), pr{i} AS (
+  SELECT node, round(0.15 + 0.85 * coalesce(s, 0.0), 10) AS pr
+  FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node
+)""")
+    parts.append(f"""
+SELECT node AS token, round(pr, 6) AS rank_score
+FROM pr{iters} WHERE length(node) >= 4
+ORDER BY rank_score DESC, token LIMIT 20
+""")
+    return "".join(parts)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -3223,6 +3317,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_incremental_rollup": a_incremental_rollup,
     "w_rolling_corr": w_rolling_corr,
     "dedup_canonical": dedup_canonical,
+    "t_textrank": t_textrank,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -3288,4 +3383,5 @@ EXT_ORACLES: dict[str, str] = {
     "a_incremental_rollup": A_INCREMENTAL_SQL,
     "w_rolling_corr": W_ROLLING_CORR_SQL,
     "dedup_canonical": _dedup_canonical_sql(),
+    "t_textrank": _t_textrank_sql(),
 }

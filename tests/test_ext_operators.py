@@ -230,3 +230,21 @@ def test_ewma_matches_pandas(spark):
         .reset_index(level=0, drop=True)
     )
     assert np.allclose(got["ewma"].values, expected.loc[pdf.index].values, atol=1e-12)
+
+
+def test_pagerank_star_graph_centrality(spark):
+    # Weighted PageRank on a 5-leaf star: the hub must outrank every
+    # leaf, all leaves tie, and every rank stays within the theoretical
+    # [1-d, 1-d + d*n] band.
+    from kp_crypto_market_analytics_spark.operators.graph import pagerank_weighted
+
+    leaves = [f"l{i}" for i in range(5)]
+    directed = [("hub", leaf, 1) for leaf in leaves] + [
+        (leaf, "hub", 1) for leaf in leaves
+    ]
+    edges = spark.createDataFrame(directed, "src: string, dst: string, weight: long")
+    pr = {r.node: r.pr for r in pagerank_weighted(edges, iters=5).collect()}
+    assert pr["hub"] > pr["l0"]
+    assert len({pr[leaf] for leaf in leaves}) == 1
+    for v in pr.values():
+        assert 0.15 <= v <= 0.15 + 0.85 * 6
