@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "w_resample_ffill",
     "a_incremental_rollup",
     "w_rolling_corr",
+    "dedup_canonical",
+    "t_textrank",
 ]
 
 
