@@ -43,6 +43,7 @@ _FIRST_SEEN_ROUND = {
         "t_weighted_sample", "a_skew_profile", "sim_pq_topk",
         "sim_pq_rerank", "w_resample_ffill", "a_incremental_rollup",
         "w_rolling_corr", "dedup_canonical", "t_textrank",
+        "a_user_growth", "a_retention_cohorts", "a_funnel_steps",
     )
 }
 

@@ -3254,6 +3254,172 @@ ORDER BY rank_score DESC, token LIMIT 20
     return "".join(parts)
 
 
+def a_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption growth curves: per event type, the date each
+    user FIRST performed it, rolled to daily new-user counts and a
+    running cumulative — the canonical product-analytics rollup,
+    computed the scale-correct way: first-seen agg on (user, type)
+    (one shuffle), day-level counts, and a running sum over the tiny
+    (type, day) series — the fact table never enters the window."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    first_seen = e.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("date")
+    )
+    daily = first_seen.groupBy("event_type", "date").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "date",
+            "n_new_users",
+            F.sum("n_new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("event_type", "date")
+    )
+
+
+A_GROWTH_SQL = """
+WITH fs AS (
+  SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS date
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, date, COUNT(*) AS n_new_users FROM fs GROUP BY 1, 2
+)
+SELECT event_type, date, n_new_users,
+  CAST(SUM(n_new_users) OVER (PARTITION BY event_type ORDER BY date
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM d ORDER BY event_type, date
+"""
+
+
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, and
+    for each (cohort, week-offset) cell the count of cohort members
+    active that week — the retention triangle.  Both weeks are
+    Monday-truncated so the day difference is an exact multiple of 7;
+    all arithmetic integer-exact.
+
+    Plan: first-seen agg (shuffle on user), distinct (user, week)
+    activity (one more), then a cohort join that carries only
+    (user, 2×date) — the triangle itself is tiny at any scale."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    cohort = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("act_week")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            _idiv(
+                F.datediff(F.col("act_week"), F.col("cohort_week")).cast("long"),
+                F.lit(7),
+            ).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+A_RETENTION_SQL = """
+WITH wk AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events
+), cohort AS (
+  SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, w AS act_week FROM wk
+)
+SELECT cohort_week,
+  (act_week - cohort_week) // 7 AS week_offset,
+  COUNT(*) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+"""
+
+
+def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view → click → purchase: a user counts at a
+    step only if that event happened AFTER their qualifying time for
+    the previous step (min-view < first-later-click < first-later-
+    purchase).  Conversion in integer ppm of the step-1 population.
+
+    Plan: one conditional-aggregate pass per step, each joining the
+    SHRINKING qualified-user frame (broadcast once it fits) against a
+    single-event-type slice with its filter pushed to the scan — at
+    100 TB each step reads one predicate-pruned slice and shuffles
+    only (user, ts) pairs."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+
+    def slice_of(ev: str) -> DataFrame:
+        return e.where(F.col("event_type") == ev).select("user_id", "ts")
+
+    v = slice_of("view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        slice_of("click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        slice_of("purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n")).select(F.lit("1_view").alias("step"), "n")
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n")).select(F.lit("2_click").alias("step"), "n")
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n")).select(F.lit("3_purchase").alias("step"), "n")
+        )
+    )
+    base = v.agg(F.count(F.lit(1)).alias("n_base"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            F.col("n").alias("n_users"),
+            _idiv(F.col("n") * F.lit(1000000), F.col("n_base")).alias("conversion_ppm"),
+        )
+        .orderBy("step")
+    )
+
+
+A_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+), counts AS (
+  SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT '2_click', COUNT(*) FROM c
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+), base AS (
+  SELECT COUNT(*) AS n_base FROM v
+)
+SELECT step, n_users, (n_users * 1000000) // n_base AS conversion_ppm
+FROM counts, base ORDER BY step
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
@@ -3318,6 +3484,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_rolling_corr": w_rolling_corr,
     "dedup_canonical": dedup_canonical,
     "t_textrank": t_textrank,
+    "a_user_growth": a_user_growth,
+    "a_retention_cohorts": a_retention_cohorts,
+    "a_funnel_steps": a_funnel_steps,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -3384,4 +3553,7 @@ EXT_ORACLES: dict[str, str] = {
     "w_rolling_corr": W_ROLLING_CORR_SQL,
     "dedup_canonical": _dedup_canonical_sql(),
     "t_textrank": _t_textrank_sql(),
+    "a_user_growth": A_GROWTH_SQL,
+    "a_retention_cohorts": A_RETENTION_SQL,
+    "a_funnel_steps": A_FUNNEL_SQL,
 }
