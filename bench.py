@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "w_rolling_corr",
     "dedup_canonical",
     "t_textrank",
+    "a_funnel_steps",
+    "a_retention_cohorts",
 ]
 
 

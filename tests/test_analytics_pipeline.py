@@ -99,3 +99,35 @@ def test_fanout_artifact_shapes(spark, tmp_path):
 
     assert glob.glob(str(tmp_path / "daily_summary" / "*.csv"))
     feats.unpersist()
+
+
+def test_funnel_strict_ordering_semantics(spark, tmp_path):
+    # A click BEFORE the user's first view must not qualify; a purchase
+    # only counts after a qualifying click.  Planted fixture exercises
+    # every branch of the strict-order predicate.
+    import datetime as dt
+
+    from kp_crypto_market_analytics_spark.queries import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return (uid, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: click before first view -> click does NOT qualify
+        ev(2, "click", 0), ev(2, "view", 10), ev(2, "purchase", 20),
+        # u3: view then click, purchase BEFORE click -> purchase out
+        ev(3, "view", 0), ev(3, "purchase", 5), ev(3, "click", 10),
+        # u4: view only
+        ev(4, "view", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double, props: string"
+    )
+    out = str(tmp_path / "funnel_events")
+    df.write.parquet(out + "/events.parquet")
+    got = {r.step: r.n_users for r in QUERIES["a_funnel_steps"](spark, out).collect()}
+    assert got == {"1_view": 4, "2_click": 2, "3_purchase": 1}
