@@ -282,6 +282,13 @@ def ivf_topk(
         cents = corpus.where(F.col(id_col) % centroid_mod == 0).select(
             F.col(id_col).alias("centroid_id"), to_double_array(vec_col).alias("cent")
         ).withColumn("centnorm", norm(F.col("cent")))
+    # `c` feeds assignment AND the scoring join (two consumers), but is
+    # deliberately NOT localCheckpointed: both consumers re-run a cheap
+    # pruned parquet scan, and measured at sf0.1 the eager
+    # materialization barrier LOSES (1.7s -> 2.2s).  The multi-consumer
+    # fix pays when the subplan is expensive (explode/distinct/train),
+    # not when it is a scan — for a served (repeated-query) IVF index,
+    # persist `c` as a table once and amortize.
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
     ).withColumn("cnorm", norm(F.col("cvec")))
