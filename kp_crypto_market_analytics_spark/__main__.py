@@ -116,6 +116,73 @@ def cmd_explain(args) -> None:
     df.explain("formatted")
 
 
+def cmd_build_index(args) -> None:
+    """Materialize the ANN serving artifacts to parquet — the amortized
+    index build for repeated-query serving (operators/similarity.py's
+    'persist once' note made operational): PQ writes codebooks + codes;
+    IVF writes trained centroids + cell assignments.  Downstream
+    queries then join the persisted frames instead of re-training."""
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.session import get_spark, load_tables
+
+    spark = get_spark("build-index")
+    emb = load_tables(spark, args.sf_dir, ["embeddings"])["embeddings"]
+    out = args.out
+    if args.kind == "pq":
+        from kp_crypto_market_analytics_spark.operators.similarity import (
+            normalize_vectors,
+            pq_codebooks,
+            pq_encode,
+            pq_subvectors,
+        )
+
+        normed = normalize_vectors(emb)
+        subs = pq_subvectors(normed, m=args.m).localCheckpoint(eager=True)
+        cb = pq_codebooks(normed, m=args.m, ksub=args.ksub, subs=subs)
+        cb.write.mode("overwrite").parquet(os.path.join(out, "pq_codebooks"))
+        pq_encode(normed, cb, m=args.m, subs=subs).write.mode("overwrite").parquet(
+            os.path.join(out, "pq_codes")
+        )
+    else:
+        from kp_crypto_market_analytics_spark.functions.vectors import (
+            cosine_with_norms,
+            norm,
+            to_double_array,
+        )
+        from kp_crypto_market_analytics_spark.operators.similarity import (
+            kmeans_centroids,
+        )
+
+        cents = kmeans_centroids(emb, seed_mod=args.seed_mod, iters=args.iters)
+        cents.write.mode("overwrite").parquet(os.path.join(out, "ivf_centroids"))
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"), to_double_array("embedding").alias("cvec")
+        ).withColumn("cnorm", norm(F.col("cvec")))
+        assign = (
+            c.crossJoin(F.broadcast(cents))
+            .select(
+                "neighbor_id",
+                "centroid_id",
+                F.round(
+                    cosine_with_norms(
+                        F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm")
+                    ),
+                    6,
+                ).alias("ccos"),
+            )
+            .groupBy("neighbor_id")
+            .agg(
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg")),
+                ).alias("centroid_id")
+            )
+        )
+        assign.write.mode("overwrite").parquet(os.path.join(out, "ivf_assignments"))
+    print(f"wrote {args.kind} index under {out}")
+
+
 def interactive_menu() -> None:
     """Default interactive mode when invoked with no subcommand —
     reference parity with src/main.py:67-109 (menu of price-ticks /
@@ -189,6 +256,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     ls = sub.add_parser("list", help="list registry query names")
     ls.set_defaults(fn=cmd_list)
+
+    bi = sub.add_parser("build-index", help="materialize ANN serving artifacts")
+    bi.add_argument("--kind", choices=["pq", "ivf"], default="pq")
+    bi.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    bi.add_argument("--out", default="data/indexes")
+    bi.add_argument("--m", type=int, default=8)
+    bi.add_argument("--ksub", type=int, default=16)
+    bi.add_argument("--seed-mod", type=int, default=37)
+    bi.add_argument("--iters", type=int, default=2)
+    bi.set_defaults(fn=cmd_build_index)
 
     ex = sub.add_parser("explain", help="print a query's physical plan")
     ex.add_argument("--query", required=True)

@@ -92,3 +92,25 @@ def test_collect_load_analytics_pipeline(tmp_path):
     produced = set(os.listdir(arts))
     assert {"daily", "monthly", "hourly", "dow", "heatmap", "correlation",
             "top_anomalies"} <= produced
+
+
+def test_cli_build_index_pq(tmp_path):
+    # The PQ index build writes codebooks + codes parquet a serving
+    # query can join against.
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "kp_crypto_market_analytics_spark", "build-index",
+         "--kind", "pq", "--sf-dir", "/root/testdata/sf0.001", "--out", out],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    con = duckdb.connect()
+    ncb = con.execute(f"SELECT count(*) FROM '{out}/pq_codebooks/*.parquet'").fetchone()[0]
+    nc = con.execute(f"SELECT count(*) FROM '{out}/pq_codes/*.parquet'").fetchone()[0]
+    assert 0 < ncb <= 8 * 16
+    assert nc == 500 * 8
