@@ -585,6 +585,25 @@ def pq_topk(
     subs = pq_subvectors(corpus, vec_col, id_col, m=m, dim=dim).localCheckpoint(eager=True)
     codebooks = pq_codebooks(corpus, vec_col, id_col, m=m, ksub=ksub, dim=dim, subs=subs)
     codes = pq_encode(corpus, codebooks, vec_col, id_col, m=m, dim=dim, subs=subs)
+    return pq_adc_topk(codebooks, codes, queries, vec_col, id_col, k=k, m=m, dim=dim)
+
+
+def pq_adc_topk(
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """The SERVE stage of PQ search, factored so it runs against
+    PERSISTED artifacts (`build-index` CLI writes codebooks/codes to
+    parquet; pass the read-back frames here) exactly as against
+    freshly-trained ones — same math, same results, no retraining per
+    query batch.  This is the repeated-query amortization: the corpus
+    is never touched, only the m-small-int codes table."""
     sub = dim // m
     qsubs = (
         queries.select(F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec"))

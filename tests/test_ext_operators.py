@@ -248,3 +248,37 @@ def test_pagerank_star_graph_centrality(spark):
     assert len({pr[leaf] for leaf in leaves}) == 1
     for v in pr.values():
         assert 0.15 <= v <= 0.15 + 0.85 * 6
+
+
+def test_pq_search_from_persisted_index(spark, tmp_path):
+    # Round-trip: artifacts written to parquet and read back must serve
+    # the IDENTICAL top-k as the freshly-trained in-query path — the
+    # build-once / search-many amortization contract.
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        normalize_vectors,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_subvectors,
+        pq_topk,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001", ["embeddings"])["embeddings"]
+    normed = normalize_vectors(emb)
+    queries = normed.where(F.col("vec_id") < 5)
+    live = pq_topk(normed, queries, k=5, m=8, ksub=16).collect()
+
+    subs = pq_subvectors(normed, m=8)
+    cb = pq_codebooks(normed, m=8, ksub=16, subs=subs)
+    codes = pq_encode(normed, cb, m=8, subs=subs)
+    cb.write.parquet(str(tmp_path / "cb"))
+    codes.write.parquet(str(tmp_path / "codes"))
+    served = pq_adc_topk(
+        spark.read.parquet(str(tmp_path / "cb")),
+        spark.read.parquet(str(tmp_path / "codes")),
+        queries,
+        k=5,
+        m=8,
+    ).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, served))
