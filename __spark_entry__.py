@@ -47,37 +47,52 @@ _FIRST_SEEN_ROUND = {
     )
 }
 
-# Semantically CHANGED after earning a green row: the stale row must
-# not count as green, so they re-queue (behind same-round fresh debt).
-_STALE_GREEN = frozenset({
+# Semantically CHANGED in round N after earlier rows landed: rows from
+# rounds BEFORE N are stale evidence and must not count as green.  A
+# fresh green row from round >= N clears the entry automatically.
+_CHANGED_IN_ROUND = {
     # re-windowed in round 2 (vacuous-gate fix):
-    "j_anti_customers",
-})
+    "j_anti_customers": 2,
+}
 
 
-def _driver_green() -> frozenset[str]:
-    """Queries with a fully-matching row in any CORRECTNESS_r*.json."""
+def _driver_green(root: str | None = None) -> frozenset[str]:
+    """Queries whose LATEST CORRECTNESS_r*.json row fully matches.
+
+    Latest-round-wins: a green r01 row superseded by a FAIL in a later
+    round re-queues the query; a _CHANGED_IN_ROUND entry discounts rows
+    older than the change, but a post-change green row counts."""
     import glob
     import json
     import os
+    import re
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
         for name, row in data.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(name)
-    return frozenset(green - _STALE_GREEN)
+            if not isinstance(row, dict):
+                continue
+            ok = bool(
+                row.get("rows_match") and row.get("schema_match") and row.get("hash_match")
+            )
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, ok)
+    return frozenset(
+        name
+        for name, (rnd, ok) in latest.items()
+        if ok and rnd >= _CHANGED_IN_ROUND.get(name, 0)
+    )
 
 
 def _ordered(names: list[str]) -> list[str]:
@@ -90,7 +105,7 @@ def _ordered(names: list[str]) -> list[str]:
         # A stale-green re-queue has SOME evidence (its old row was
         # value-exact pre-change); never-verified debt of the same
         # vintage outranks it.
-        return base + 5 if n in _STALE_GREEN else base
+        return base + 5 if n in _CHANGED_IN_ROUND else base
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

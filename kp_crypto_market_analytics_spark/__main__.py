@@ -146,11 +146,11 @@ def cmd_build_index(args) -> None:
         )
     else:
         from kp_crypto_market_analytics_spark.functions.vectors import (
-            cosine_with_norms,
             norm,
             to_double_array,
         )
         from kp_crypto_market_analytics_spark.operators.similarity import (
+            ivf_assign,
             kmeans_centroids,
         )
 
@@ -159,27 +159,9 @@ def cmd_build_index(args) -> None:
         c = emb.select(
             F.col("vec_id").alias("neighbor_id"), to_double_array("embedding").alias("cvec")
         ).withColumn("cnorm", norm(F.col("cvec")))
-        assign = (
-            c.crossJoin(F.broadcast(cents))
-            .select(
-                "neighbor_id",
-                "centroid_id",
-                F.round(
-                    cosine_with_norms(
-                        F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm")
-                    ),
-                    6,
-                ).alias("ccos"),
-            )
-            .groupBy("neighbor_id")
-            .agg(
-                F.max_by(
-                    "centroid_id",
-                    F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg")),
-                ).alias("centroid_id")
-            )
+        ivf_assign(c, cents).write.mode("overwrite").parquet(
+            os.path.join(out, "ivf_assignments")
         )
-        assign.write.mode("overwrite").parquet(os.path.join(out, "ivf_assignments"))
     print(f"wrote {args.kind} index under {out}")
 
 

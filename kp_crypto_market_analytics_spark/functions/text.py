@@ -72,6 +72,23 @@ def stopword_hits(text: Column | str, words: list[str] | None = None) -> Column:
     return total
 
 
+def quality_score(text: Column | str) -> Column:
+    """THE quality heuristic, defined once for every gated consumer
+    (t_quality_score, t_corpus_filter's quality gate, dedup_canonical's
+    survivor choice): 0.5·min(tokens/100, 1) + 0.5·min(5·stopword
+    ratio, 1), rounded to 6dp; null for token-free docs.  Three oracle
+    SQL strings mirror this formula — change it here and them
+    together."""
+    toks = token_count(text)
+    hits = stopword_hits(text)
+    ratio = F.when(toks > 0, hits / toks)
+    return F.round(
+        F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(ratio * 5, F.lit(1.0)) * 0.5,
+        6,
+    )
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Marker-hit score per language (heuristic language ID)."""
     c = F.col(text) if isinstance(text, str) else text

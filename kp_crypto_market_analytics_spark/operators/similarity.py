@@ -292,29 +292,7 @@ def ivf_topk(
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
     ).withColumn("cnorm", norm(F.col("cvec")))
-    # Assignment argmax as max_by aggregation over SKINNY rows (id, id,
-    # cos): partial map-side combine, no vectors in the shuffle.  A
-    # row_number window here would drag 2×dim doubles per candidate
-    # through the exchange.  max_by on struct(ccos, -centroid_id) ==
-    # ORDER BY ccos DESC, centroid_id ASC.
-    assign = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            "centroid_id",
-            F.round(
-                cosine_with_norms(
-                    F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm")
-                ),
-                6,
-            ).alias("ccos"),
-        )
-    )
-    best = assign.groupBy("neighbor_id").agg(
-        F.max_by(
-            "centroid_id", F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg"))
-        ).alias("centroid_id")
-    )
+    best = ivf_assign(c, cents)
     cassign = c.join(F.broadcast(best), "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
@@ -354,6 +332,30 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_assign(c: DataFrame, cents: DataFrame, id_col: str = "neighbor_id") -> DataFrame:
+    """Nearest-centroid assignment: argmax of the ROUNDED cosine with a
+    centroid-id tiebreak, as a max_by aggregation over SKINNY rows
+    (id, id, cos) — partial map-side combine, no vectors in the
+    shuffle; a row_number window here would drag 2×dim doubles per
+    candidate through the exchange.  Shared by live :func:`ivf_topk`
+    and the persisted index build (CLI ``build-index``) so the two can
+    never diverge.  ``c`` carries (id, cvec, cnorm); ``cents`` carries
+    (centroid_id, cent, centnorm)."""
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "centroid_id",
+        F.round(
+            cosine_with_norms(F.col("cvec"), F.col("cent"), F.col("cnorm"), F.col("centnorm")),
+            6,
+        ).alias("ccos"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg"))
+        ).alias("centroid_id")
     )
 
 
@@ -431,6 +433,8 @@ def pq_subvectors(
     once (pq_topk: training assignment, training means, encoding)
     should localCheckpoint the result — Spark re-executes a subplan per
     consumer otherwise, tripling the corpus scan."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     sub = dim // m
     c = corpus.select(F.col(id_col).alias("nid"), to_double_array(vec_col).alias("cvec"))
     return (

@@ -992,13 +992,13 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar shape of heuristic quality filters for LLM corpora."""
     t = load_tables(spark, sf_dir, ["documents"])
     d = t["documents"]
+    from kp_crypto_market_analytics_spark.functions.text import quality_score
+
     toks = token_count("text")
     hits = stopword_hits("text")
     # ANSI-safe: guard the token division (empty doc => null ratio/score).
     ratio = F.when(toks > 0, hits / toks)
-    score = F.round(
-        F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(ratio * 5, F.lit(1.0)) * 0.5, 6
-    )
+    score = quality_score("text")
     return d.select(
         "doc_id",
         toks.alias("n_tokens"),

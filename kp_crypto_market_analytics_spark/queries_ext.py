@@ -2220,19 +2220,13 @@ def t_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single scan + one fingerprint window + one source agg — the funnel
     costs two shuffles at any corpus size."""
-    from kp_crypto_market_analytics_spark.functions.text import stopword_hits
+    from kp_crypto_market_analytics_spark.functions.text import quality_score
 
     t = load_tables(spark, sf_dir, ["documents"])
     d = ensure_parallelism(t["documents"])
     toks_arr = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
     toks_ct = token_count("text")
-    hits = stopword_hits("text")
-    ratio = F.when(toks_ct > 0, hits / toks_ct)
-    score = F.round(
-        F.least(toks_ct / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.least(ratio * 5, F.lit(1.0)) * 0.5,
-        6,
-    )
+    score = quality_score("text")
     n = F.size(toks_arr) - 1
     bigrams = F.when(
         F.size(toks_arr) >= 2,
@@ -2597,12 +2591,12 @@ FROM r WHERE bucket < rate GROUP BY source ORDER BY source
 
 
 def _idiv(a, b):
-    """Exact integer division on long columns.  ``a - pmod(a, b)`` is
-    divisible by ``b``, so the IEEE double quotient is the exact
-    integer (correctly-rounded division of an exact multiple) — unlike
-    ``floor(a / b)``, which can land one off when the true fraction is
-    below the quotient's ULP.  Mirrors DuckDB's ``//``."""
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    """Exact integral division on long columns — Spark's ``div``
+    (pure 64-bit integer arithmetic, exact over the FULL long range),
+    mirroring DuckDB's ``//``.  Neither ``floor(a / b)`` nor the
+    ``(a - pmod) / b`` trick survives numerators beyond 2^53, where
+    the long→double conversion itself rounds."""
+    return F.call_function("div", a, b)
 
 
 def p_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3087,7 +3081,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is one max_by agg on (cluster, q, id) triples — the
     iterative CC labels are the only multi-round cost, unchanged from
     dedup_clusters."""
-    from kp_crypto_market_analytics_spark.functions.text import stopword_hits
+    from kp_crypto_market_analytics_spark.functions.text import quality_score
     from kp_crypto_market_analytics_spark.operators.dedup import (
         connected_component_labels,
         ngram_jaccard_pairs,
@@ -3102,14 +3096,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_component_labels(edges, nodes, "doc").select(
         F.col("doc").alias("doc_id"), "cluster_id"
     )
-    toks = token_count("text")
-    hits = stopword_hits("text")
-    ratio = F.when(toks > 0, hits / toks)
-    score = F.round(
-        F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5 + F.least(ratio * 5, F.lit(1.0)) * 0.5,
-        6,
-    )
-    q = d.select("doc_id", F.coalesce(score, F.lit(-1.0)).alias("q"))
+    q = d.select("doc_id", F.coalesce(quality_score("text"), F.lit(-1.0)).alias("q"))
     key = F.struct(F.col("q"), (-F.col("doc_id")).alias("neg"))
     return (
         labels.join(q, "doc_id")

@@ -164,5 +164,12 @@ def read_documents_jsonl(
     )
     bad = raw.where(
         F.col("_corrupt_record").isNotNull() | F.col("doc_id").isNull()
-    ).select(F.coalesce("_corrupt_record", F.to_json(F.struct("doc_id", "text"))).alias("raw_line"))
+    ).select(
+        F.coalesce(
+            "_corrupt_record",
+            # Structurally-valid line with a null key: re-serialize ALL
+            # parsed fields so the repair pass loses nothing.
+            F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars")),
+        ).alias("raw_line")
+    )
     return good, bad

@@ -50,7 +50,7 @@ def test_registry_consistency():
         if n in green:
             return 1000
         base = 10 * m._FIRST_SEEN_ROUND.get(n, 1)
-        return base + 5 if n in m._STALE_GREEN else base
+        return base + 5 if n in m._CHANGED_IN_ROUND else base
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers)
@@ -59,7 +59,29 @@ def test_registry_consistency():
     assert "j_anti_customers" not in green
     # Every name the ordering knows is actually registered.
     assert set(m._FIRST_SEEN_ROUND) <= set(qs)
-    assert m._STALE_GREEN <= set(qs)
+    assert set(m._CHANGED_IN_ROUND) <= set(qs)
+
+
+def test_driver_green_latest_round_wins(tmp_path):
+    # Provenance semantics: a later FAIL re-queues a green query; a
+    # post-change green row clears a _CHANGED_IN_ROUND discount; rows
+    # older than the change never count.
+    import json
+
+    import __spark_entry__ as m
+
+    row_ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    row_bad = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"regressed": row_ok, "j_anti_customers": row_ok, "steady": row_ok})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"regressed": row_bad, "j_anti_customers": row_ok})
+    )
+    green = m._driver_green(root=str(tmp_path))
+    assert "steady" in green            # untouched r01 green row holds
+    assert "regressed" not in green     # r02 FAIL supersedes r01 green
+    assert "j_anti_customers" in green  # post-change (round >= 2) green counts
 
 
 @pytest.mark.parametrize("name", FAST_SUBSET)

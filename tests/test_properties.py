@@ -223,16 +223,16 @@ def test_stratified_sample_exact_counts(spark, n_per_stratum, k):
 
 @given(
     st.lists(
-        st.tuples(st.integers(0, (1 << 50) - 1), st.integers(1, 1 << 20)),
+        st.tuples(st.integers(0, (1 << 62) - 1), st.integers(1, 1 << 20)),
         min_size=1,
         max_size=30,
     )
 )
 @settings(**SETTINGS)
 def test_idiv_matches_python_floordiv(spark, pairs):
-    # _idiv (the a - pmod trick) must equal Python's exact // for every
-    # non-negative numerator — including quotients near 2^50 where a
-    # naive floor(a/b) double path goes one off.
+    # _idiv (Spark's integral `div`) must equal Python's exact // over
+    # the full long range — beyond 2^53, where any double-mediated path
+    # (floor(a/b) or (a - pmod)/b) rounds the numerator itself.
     from kp_crypto_market_analytics_spark.queries_ext import _idiv
 
     df = spark.createDataFrame(pairs, "a: long, b: long")
