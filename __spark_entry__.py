@@ -44,6 +44,8 @@ _FIRST_SEEN_ROUND = {
         "sim_pq_rerank", "w_resample_ffill", "a_incremental_rollup",
         "w_rolling_corr", "dedup_canonical", "t_textrank",
         "a_user_growth", "a_retention_cohorts", "a_funnel_steps",
+        "ti_bollinger", "ti_rsi", "ti_macd", "ti_drawdown",
+        "ti_stochastic", "ti_vwap", "ti_obv", "cdc_snapshot_diff",
     )
 }
 

@@ -1,0 +1,438 @@
+"""Technical-indicator + CDC gated queries (beyond-reference family).
+
+The reference stops at rolling volatility
+(`src/analytics/binance_analysis.py:232-239` → `w2_rolling_std`); this
+module adds the rest of the classic price-series toolkit a crypto
+analytics user expects — Bollinger bands, RSI, MACD, drawdown,
+stochastic oscillator, VWAP, OBV — plus a snapshot-diff CDC operator
+for the ETL side (the reference's Postgres upsert,
+`src/etl/load_postgres.py:83-103`, is "apply changes"; snapshot diff
+is the inverse: derive the change set).
+
+Every query maps events → a tick series (symbol = event_type,
+price = value, volume = the props `k` field, time = ts with event_id
+as the total-order tiebreaker) and carries an exact DuckDB oracle.
+All indicators stack on ONE window sort per symbol — a single shuffle;
+see operators/indicators.py for the determinism rules.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.operators.aggregates import DEC
+from kp_crypto_market_analytics_spark.operators.indicators import (
+    bollinger,
+    cutler_rsi,
+    drawdown,
+    ewma_weights,
+    obv_step,
+    price_diff,
+    smoothed,
+    stochastic_k,
+    truncated_ema,
+)
+from kp_crypto_market_analytics_spark.session import load_tables
+
+# Shared tick-series window: one sort pass per symbol serves every
+# indicator below (ORDER BY ts, event_id — total order, no ties).
+_W_SQL = "PARTITION BY event_type ORDER BY ts, event_id"
+
+
+def _w():
+    return Window.partitionBy("event_type").orderBy("ts", "event_id")
+
+
+_K_EXPR = "TRY_CAST(replace(replace(props, '{\"k\": ', ''), '}', '') AS BIGINT)"
+
+
+def _k_col():
+    """Volume proxy: the props `k` field, null-on-error (P2/P3 cast)."""
+    return (
+        F.replace(
+            F.replace(F.col("props"), F.lit('{"k": '), F.lit("")), F.lit("}"), F.lit("")
+        ).try_cast("long")
+    )
+
+
+# ------------------------------------------------------- ti_bollinger
+
+
+def ti_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: 20-row SMA ± 2·sample-stddev per symbol,
+    masked below 20 observations.  Decimal moments in one frame of the
+    shared window sort (the w2_rolling_std machinery, re-pointed)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w().rowsBetween(-19, 0)
+    mid, up, lo = bollinger(F.col("value"), w, min_periods=20, k=2.0)
+    return t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        mid.alias("bb_mid"),
+        up.alias("bb_upper"),
+        lo.alias("bb_lower"),
+    )
+
+
+TI_BOLLINGER_SQL = f"""
+SELECT event_id, event_type, value,
+  CASE WHEN n >= 20 THEN round(sx/n, 6) END AS bb_mid,
+  CASE WHEN n >= 20 THEN round(sx/n + 2.0 * sqrt(greatest((sx2 - sx*sx/n) / (n-1), 0)), 6) END AS bb_upper,
+  CASE WHEN n >= 20 THEN round(sx/n - 2.0 * sqrt(greatest((sx2 - sx*sx/n) / (n-1), 0)), 6) END AS bb_lower
+FROM (
+  SELECT event_id, event_type, value,
+    COUNT(value) OVER w AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx2
+  FROM events
+  WINDOW w AS ({_W_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+# ------------------------------------------------------------- ti_rsi
+
+
+def ti_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI-14 per symbol (SMA-of-gains variant — the
+    window-expressible published form of Wilder's recursive smoothing).
+    Diffs are re-rounded to the price scale so the gain/loss decimal
+    sums are order-independent on both engines."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    frame = w.rowsBetween(-13, 0)
+    d = price_diff(F.col("value"), w)
+    df = t["events"].withColumn("d", d)
+    return df.select(
+        "event_id",
+        "event_type",
+        "value",
+        cutler_rsi(F.col("d"), frame, periods=14).alias("rsi14"),
+    )
+
+
+TI_RSI_SQL = f"""
+SELECT event_id, event_type, value,
+  CASE WHEN n >= 14 AND sg + sl > 0 THEN round(100.0 * sg / (sg + sl), 6) END AS rsi14
+FROM (
+  SELECT event_id, event_type, value,
+    COUNT(d) OVER f AS n,
+    CAST(SUM(CAST(greatest(d, 0.0) AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sg,
+    CAST(SUM(CAST(greatest(-d, 0.0) AS DECIMAL(18,6))) OVER f AS DOUBLE) AS sl
+  FROM (
+    SELECT event_id, event_type, ts, value,
+      round(value - lag(value, 1) OVER ({_W_SQL}), 2) AS d
+    FROM events
+  )
+  WINDOW f AS ({_W_SQL} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+# ------------------------------------------------------------ ti_macd
+
+_MACD_FAST = 2.0 / 13.0  # EMA-12 smoothing
+_MACD_SLOW = 2.0 / 27.0  # EMA-26 smoothing
+_MACD_LAGS = 24  # truncation depth (shared by Spark and the oracle)
+
+
+def ti_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD from truncated adjust=True EWMAs (24-lag closed form, the
+    w_ewma_trunc pattern — weights are shared Python literals so both
+    engines run identical IEEE chains), with an SMA-9 signal line over
+    the 6-dp-rounded MACD and the histogram.  Both lag chains and the
+    signal frame ride the ONE shared window sort."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    fast = truncated_ema(F.col("value"), w, _MACD_FAST, _MACD_LAGS)
+    slow = truncated_ema(F.col("value"), w, _MACD_SLOW, _MACD_LAGS)
+    macd = F.round(fast - slow, 6)
+    df = t["events"].select("event_id", "event_type", "ts", "value", macd.alias("macd"))
+    sig = smoothed(F.col("macd"), _w().rowsBetween(-8, 0))
+    return df.select(
+        "event_id",
+        "event_type",
+        "value",
+        "macd",
+        sig.alias("signal"),
+        F.round(F.col("macd") - sig, 6).alias("histogram"),
+    )
+
+
+def _ema_sql(alpha: float) -> str:
+    # Weights are emitted as CAST(<repr> AS DOUBLE): DuckDB otherwise
+    # parses the 17-digit literals as DECIMALs and runs (part of) the
+    # chain in decimal arithmetic — diverging from Spark's IEEE chain
+    # and overflowing DECIMAL(18) on the den sum.
+    weights = ewma_weights(alpha, _MACD_LAGS)
+    lag = lambda j: "value" if j == 0 else f"lag(value, {j}) OVER w"
+    num = " + ".join(
+        f"coalesce({lag(j)}, CAST(0.0 AS DOUBLE)) * CAST({wt!r} AS DOUBLE)"
+        for j, wt in enumerate(weights)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag(j)} IS NOT NULL THEN CAST({wt!r} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        for j, wt in enumerate(weights)
+    )
+    return f"({num}) / ({den})"
+
+
+TI_MACD_SQL = f"""
+SELECT event_id, event_type, value, macd,
+  round(CAST(SUM(CAST(macd AS DECIMAL(18,6))) OVER f AS DOUBLE) / COUNT(macd) OVER f, 6) AS signal,
+  round(macd - round(CAST(SUM(CAST(macd AS DECIMAL(18,6))) OVER f AS DOUBLE) / COUNT(macd) OVER f, 6), 6) AS histogram
+FROM (
+  SELECT event_id, event_type, ts, value,
+    round(({_ema_sql(_MACD_FAST)}) - ({_ema_sql(_MACD_SLOW)}), 6) AS macd
+  FROM events
+  WINDOW w AS ({_W_SQL})
+)
+WINDOW f AS ({_W_SQL} ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+"""
+
+
+# -------------------------------------------------------- ti_drawdown
+
+
+def ti_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak + drawdown fraction per symbol (unbounded-preceding
+    running max — exact, order-free)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w_cum = _w().rowsBetween(Window.unboundedPreceding, 0)
+    peak, dd = drawdown(F.col("value"), w_cum)
+    return t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        peak.alias("peak"),
+        dd.alias("drawdown"),
+    )
+
+
+TI_DRAWDOWN_SQL = f"""
+SELECT event_id, event_type, value,
+  MAX(value) OVER w AS peak,
+  round((value - MAX(value) OVER w) / MAX(value) OVER w, 6) AS drawdown
+FROM events
+WINDOW w AS ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------ ti_stochastic
+
+
+def ti_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator: %K over a 14-row hi/lo channel, %D =
+    SMA-3 of the 6-dp %K (rounded-then-reaccumulated, so the decimal
+    sums agree across engines)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    frame = _w().rowsBetween(-13, 0)
+    k = stochastic_k(F.col("value"), frame, periods=14)
+    df = t["events"].select("event_id", "event_type", "ts", "value", k.alias("pct_k"))
+    d = smoothed(F.col("pct_k"), _w().rowsBetween(-2, 0))
+    return df.select("event_id", "event_type", "value", "pct_k", d.alias("pct_d"))
+
+
+TI_STOCH_SQL = f"""
+SELECT event_id, event_type, value, pct_k,
+  CASE WHEN COUNT(pct_k) OVER f > 0
+    THEN round(CAST(SUM(CAST(pct_k AS DECIMAL(18,6))) OVER f AS DOUBLE) / COUNT(pct_k) OVER f, 6)
+  END AS pct_d
+FROM (
+  SELECT event_id, event_type, ts, value,
+    CASE WHEN COUNT(value) OVER f14 >= 14 AND MAX(value) OVER f14 > MIN(value) OVER f14
+      THEN round(100.0 * (value - MIN(value) OVER f14) / (MAX(value) OVER f14 - MIN(value) OVER f14), 6)
+    END AS pct_k
+  FROM events
+  WINDOW f14 AS ({_W_SQL} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+WINDOW f AS ({_W_SQL} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------------ ti_vwap
+
+
+def ti_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday cumulative VWAP per (symbol, day): Σ(price·vol)/Σvol
+    running within the session, volume = props `k` (null-tolerant).
+    Decimal notional × integer volume — both running sums exact."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = t["events"].withColumn("d", F.to_date("ts")).withColumn("vol", _k_col())
+    notional = (F.col("value").cast(DEC) * F.col("vol").cast(DEC)).alias("notional")
+    cum_not = F.sum(notional).over(w).cast("double")
+    cum_vol = F.sum("vol").over(w)
+    return df.select(
+        "event_id",
+        "event_type",
+        "d",
+        "value",
+        F.when(cum_vol > 0, F.round(cum_not / cum_vol, 6)).alias("vwap"),
+    )
+
+
+TI_VWAP_SQL = f"""
+SELECT event_id, event_type, d, value,
+  CASE WHEN cum_vol > 0 THEN round(cum_not / cum_vol, 6) END AS vwap
+FROM (
+  SELECT event_id, event_type, d, value,
+    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(vol AS DECIMAL(18,6))) OVER w AS DOUBLE) AS cum_not,
+    SUM(vol) OVER w AS cum_vol
+  FROM (
+    SELECT event_id, event_type, CAST(ts AS DATE) AS d, ts, value, {_K_EXPR} AS vol
+    FROM events
+  )
+  WINDOW w AS (PARTITION BY event_type, d ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+# ------------------------------------------------------------- ti_obv
+
+
+def ti_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per symbol: cumulative ±volume by tick
+    direction (volume = props `k`).  Integer steps ⇒ the running sum is
+    exact regardless of accumulation order."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    d = price_diff(F.col("value"), w)
+    step = obv_step(d, F.coalesce(_k_col(), F.lit(0)))
+    df = t["events"].withColumn("step", step)
+    obv = F.sum("step").over(_w().rowsBetween(Window.unboundedPreceding, 0))
+    return df.select("event_id", "event_type", "value", obv.alias("obv"))
+
+
+TI_OBV_SQL = f"""
+SELECT event_id, event_type, value, SUM(step) OVER w AS obv
+FROM (
+  SELECT event_id, event_type, ts, value,
+    CAST(CASE WHEN d > 0 THEN vol WHEN d < 0 THEN -vol ELSE 0 END AS BIGINT) AS step
+  FROM (
+    SELECT event_id, event_type, ts, value,
+      round(value - lag(value, 1) OVER ({_W_SQL}), 2) AS d,
+      coalesce({_K_EXPR}, 0) AS vol
+    FROM events
+  )
+)
+WINDOW w AS ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------- cdc_snapshot_diff
+
+_CDC_CUTOFF = "2024-01-02"
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC with tombstones: per-user latest state as of
+    the cutoff (snapshot A) vs end of data (snapshot B); a user whose
+    latest event is type 'error' is a tombstone (soft-deleted).
+
+    change_type: 'insert' (absent/tombstoned in A, live in B),
+    'delete' (live in A, tombstoned in B), 'update' (live in both,
+    value changed), 'unchanged' (live-equal or tombstoned in both).
+    This is the inverse of the reference's upsert apply
+    (load_postgres.py:83-103): derive the change set two snapshots
+    imply.  Scale: two window-dedup passes + one shuffle-free join on
+    the already-partitioned user key; states are one row per user, so
+    the join input is tiny relative to the event log."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "value",
+                (F.col("event_type") == "error").alias("deleted"),
+            )
+        )
+
+    a = snapshot(e.where(F.col("ts") < F.lit(_CDC_CUTOFF).cast("timestamp")))
+    b = snapshot(e)
+    j = a.alias("a").join(b.alias("b"), "user_id", "full_outer")
+    a_live = F.col("a.deleted") == F.lit(False)
+    b_live = F.col("b.deleted") == F.lit(False)
+    a_gone = F.col("a.value").isNull() | F.col("a.deleted")
+    b_gone = F.col("b.value").isNull() | F.col("b.deleted")
+    change = (
+        F.when(a_gone & b_live, F.lit("insert"))
+        .when(a_live & b_gone, F.lit("delete"))
+        .when(a_live & b_live & (F.col("a.value") != F.col("b.value")), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "user_id",
+        change.alias("change_type"),
+        F.when(a_live, F.col("a.value")).alias("old_value"),
+        F.when(b_live, F.col("b.value")).alias("new_value"),
+    ).orderBy("user_id")
+
+
+CDC_SNAPSHOT_SQL = f"""
+WITH a AS (
+  SELECT user_id, value, (event_type = 'error') AS deleted
+  FROM (
+    SELECT user_id, value, event_type,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_CDC_CUTOFF} 00:00:00'
+  ) WHERE rn = 1
+), b AS (
+  SELECT user_id, value, (event_type = 'error') AS deleted
+  FROM (
+    SELECT user_id, value, event_type,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+  CASE
+    WHEN (a.value IS NULL OR a.deleted) AND NOT coalesce(b.deleted, TRUE) THEN 'insert'
+    WHEN NOT coalesce(a.deleted, TRUE) AND coalesce(b.deleted, TRUE) THEN 'delete'
+    WHEN NOT coalesce(a.deleted, TRUE) AND NOT coalesce(b.deleted, TRUE)
+         AND a.value <> b.value THEN 'update'
+    ELSE 'unchanged'
+  END AS change_type,
+  CASE WHEN NOT coalesce(a.deleted, TRUE) THEN a.value END AS old_value,
+  CASE WHEN NOT coalesce(b.deleted, TRUE) THEN b.value END AS new_value
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+ORDER BY user_id
+"""
+
+
+IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ti_bollinger": ti_bollinger,
+    "ti_rsi": ti_rsi,
+    "ti_macd": ti_macd,
+    "ti_drawdown": ti_drawdown,
+    "ti_stochastic": ti_stochastic,
+    "ti_vwap": ti_vwap,
+    "ti_obv": ti_obv,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+}
+
+IND_ORACLES: dict[str, str] = {
+    "ti_bollinger": TI_BOLLINGER_SQL,
+    "ti_rsi": TI_RSI_SQL,
+    "ti_macd": TI_MACD_SQL,
+    "ti_drawdown": TI_DRAWDOWN_SQL,
+    "ti_stochastic": TI_STOCH_SQL,
+    "ti_vwap": TI_VWAP_SQL,
+    "ti_obv": TI_OBV_SQL,
+    "cdc_snapshot_diff": CDC_SNAPSHOT_SQL,
+}
