@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "t_textrank",
     "a_funnel_steps",
     "a_retention_cohorts",
+    "ti_bollinger",
+    "ti_macd",
+    "cdc_snapshot_diff",
 ]
 
 
@@ -122,6 +125,8 @@ def main() -> None:
     # measure the plan, not first-call classloading.
     QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -130,6 +135,14 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Per-query isolation: drop cached frames and release Python
+        # references so the ContextCleaner frees persisted/checkpointed
+        # blocks — otherwise storage from persist()/localCheckpoint()
+        # pipelines (minhash, CC rounds) accumulates across the session
+        # and adds multi-second noise to late queries.
+        df = None
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

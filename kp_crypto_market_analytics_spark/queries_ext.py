@@ -25,6 +25,7 @@ from kp_crypto_market_analytics_spark.operators.multimodal import (
     decode_media,
     media_metadata_stats,
 )
+from kp_crypto_market_analytics_spark.operators.aggregates import DEC
 from kp_crypto_market_analytics_spark.operators.correlation import corr_moments
 from kp_crypto_market_analytics_spark.operators.similarity import ivf_topk, lsh_topk
 from kp_crypto_market_analytics_spark.functions.text import hash64, token_count
@@ -3417,7 +3418,59 @@ FROM counts, base ORDER BY step
 """
 
 
+def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train p(w) = cf(w)/total
+    on the corpus itself, score each doc by mean log-probability of its
+    tokens — the classic LM-perplexity filter of training-data
+    pipelines (docs far below the corpus mode are boilerplate/noise
+    candidates).  Two aggregations over ONE token explode: the vocab
+    (|V| rows) broadcasts back onto the token stream, so the big side
+    shuffles once for the per-doc reduce and never carries text.
+    log p is rounded to 6dp then decimal-summed per doc (order-free)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("tok"),
+    )
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("tok", F.round(F.log(F.col("cf") / F.col("total")), 6).alias("logp"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("logp").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_UNIGRAM_SQL = f"""
+WITH {TOKENS_CTE}, total AS (
+  SELECT COUNT(*) AS total FROM toks
+), vocab AS (
+  SELECT tok, round(ln(COUNT(*) / (SELECT total FROM total)), 6) AS logp
+  FROM toks GROUP BY tok
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_unigram_logprob": t_unigram_logprob,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,
     "dedup_ngram_capped": dedup_ngram_capped,
@@ -3487,6 +3540,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "t_unigram_logprob": T_UNIGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_ngram_capped": DEDUP_NGRAM_CAPPED_SQL,

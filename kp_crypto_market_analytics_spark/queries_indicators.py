@@ -415,6 +415,186 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------------------- ti_acf
+
+_ACF_LAGS = (1, 5, 10)
+
+
+def ti_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the price series per symbol at lags 1/5/10:
+    Pearson corr of (x_t, x_{t-k}) pairs from exact decimal moments
+    (the a_regression formula family).  ONE window sort produces all
+    three lag columns; one grouped aggregation computes all three
+    correlations; stack() unpivots to long form — single shuffle."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    e = t["events"].select(
+        "event_type",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"y{k}") for k in _ACF_LAGS],
+    )
+    aggs = []
+    for k in _ACF_LAGS:
+        y = F.col(f"y{k}")
+        x = F.when(y.isNotNull(), F.col("value"))
+        xd, yd = x.cast(DEC), y.cast(DEC)
+        n = F.count(y).cast("double")
+        sx = F.sum(xd).cast("double")
+        sy = F.sum(yd).cast("double")
+        sxx = F.sum(xd * xd).cast("double")
+        syy = F.sum(yd * yd).cast("double")
+        sxy = F.sum(xd * yd).cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        acf = F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+        aggs += [acf.alias(f"acf{k}"), F.count(y).alias(f"n{k}")]
+    g = e.groupBy("event_type").agg(*aggs)
+    stack = ", ".join(f"{k}, acf{k}, n{k}" for k in _ACF_LAGS)
+    return g.selectExpr(
+        "event_type", f"stack({len(_ACF_LAGS)}, {stack}) AS (lag_k, acf, n_pairs)"
+    ).orderBy("event_type", "lag_k")
+
+
+def _acf_sql() -> str:
+    lag_cols = ",\n    ".join(
+        f"lag(value, {k}) OVER ({_W_SQL}) AS y{k}" for k in _ACF_LAGS
+    )
+    branches = []
+    for k in _ACF_LAGS:
+        xd = f"CASE WHEN y{k} IS NOT NULL THEN CAST(value AS DECIMAL(18,6)) END"
+        yd = f"CAST(y{k} AS DECIMAL(18,6))"
+        m = (
+            f"SELECT event_type, CAST(COUNT(y{k}) AS DOUBLE) AS n, COUNT(y{k}) AS n_pairs,\n"
+            f"    CAST(SUM({xd}) AS DOUBLE) AS sx, CAST(SUM({yd}) AS DOUBLE) AS sy,\n"
+            f"    CAST(SUM(({xd}) * ({xd})) AS DOUBLE) AS sxx,\n"
+            f"    CAST(SUM({yd} * {yd}) AS DOUBLE) AS syy,\n"
+            f"    CAST(SUM(({xd}) * {yd}) AS DOUBLE) AS sxy\n"
+            f"  FROM lagged GROUP BY 1"
+        )
+        branches.append(
+            f"SELECT event_type, {k} AS lag_k,\n"
+            f"  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0\n"
+            f"    THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS acf,\n"
+            f"  n_pairs\nFROM ({m})"
+        )
+
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH lagged AS (
+  SELECT event_type, value,
+    {lag_cols}
+  FROM events
+)
+{union}
+ORDER BY event_type, lag_k
+"""
+
+
+TI_ACF_SQL = _acf_sql()
+
+
+# ------------------------------------------------------------ w_cusum
+
+_CUSUM_K = 0.25  # slack, in baseline-σ units
+_CUSUM_H = 4.0  # alarm threshold, in baseline-σ units
+
+
+def w_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point statistic per symbol against the
+    per-symbol global baseline (μ, σ from exact decimal moments).
+
+    The textbook form is a per-row recurrence
+    S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − κ)) — seemingly a stateful
+    Python loop.  It unrolls to S⁺_t = RS_t − min(0, min_{j≤t} RS_j)
+    over the prefix sums RS of the drift-adjusted series, so the whole
+    operator is two window passes (cumulative decimal sum + running
+    min) on ONE sort — no Python, exact decimal arithmetic end-to-end,
+    and it scales as a single shuffle on the symbol key.  z-steps are
+    rounded to 6dp before accumulation (decimal-cast precondition)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    stats = e.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("mu"),
+        _exact_std_local("value").alias("sigma"),
+    )
+    df = e.join(F.broadcast(stats), "event_type")
+    kappa = F.lit(_CUSUM_K) * F.col("sigma")
+    z_pos = F.round(F.col("value") - F.col("mu") - kappa, 6).cast(DEC)
+    z_neg = F.round(F.col("mu") - F.col("value") - kappa, 6).cast(DEC)
+    cum = _w().rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast(DEC)
+    df = df.withColumn("zp", z_pos).withColumn("zn", z_neg)
+    rs_p = F.sum("zp").over(cum)
+    rs_n = F.sum("zn").over(cum)
+    # Subtract in DOUBLE on both engines (DuckDB silently promotes
+    # wide-decimal subtraction to DOUBLE, so a decimal-exact difference
+    # is not portable; identical decimal→double operands subtracted in
+    # IEEE are): RS and its running min are still decimal-exact.
+    cp = rs_p.cast("double") - F.least(zero, F.min(rs_p).over(cum)).cast("double")
+    cn = rs_n.cast("double") - F.least(zero, F.min(rs_n).over(cum)).cast("double")
+    h = F.lit(_CUSUM_H) * F.col("sigma")
+    return df.select(
+        "event_id",
+        "event_type",
+        "value",
+        cp.alias("cusum_pos"),
+        cn.alias("cusum_neg"),
+        ((cp > h) | (cn > h)).alias("alarm"),
+    )
+
+
+def _exact_std_local(c: str):
+    col = F.col(c)
+    n = F.count(col)
+    sx = F.sum(col.cast(DEC)).cast("double")
+    sx2 = F.sum(col.cast(DEC) * col.cast(DEC)).cast("double")
+    return F.when(
+        n > 1, F.sqrt(F.greatest((sx2 - sx * sx / n) / (n - F.lit(1)), F.lit(0.0)))
+    )
+
+
+W_CUSUM_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS mu,
+    CASE WHEN COUNT(value) > 1 THEN sqrt(greatest(
+      (CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value))
+      / (COUNT(value) - 1), 0)) END AS sigma
+  FROM events GROUP BY 1
+), z AS (
+  SELECT e.event_id, e.event_type, e.ts, e.value,
+    CAST(round(e.value - s.mu - {_CUSUM_K!r} * s.sigma, 6) AS DECIMAL(18,6)) AS zp,
+    CAST(round(s.mu - e.value - {_CUSUM_K!r} * s.sigma, 6) AS DECIMAL(18,6)) AS zn,
+    s.sigma
+  FROM events e JOIN stats s USING (event_type)
+), rs0 AS (
+  SELECT event_id, event_type, ts, value, sigma,
+    CAST(SUM(zp) OVER w AS DECIMAL(28,6)) AS rsp,
+    CAST(SUM(zn) OVER w AS DECIMAL(28,6)) AS rsn
+  FROM z
+  WINDOW w AS ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), rs AS (
+  -- The decimal prefix sums and running mins are exact; the FINAL
+  -- subtraction runs in DOUBLE on both engines (DuckDB silently
+  -- promotes wide-decimal subtraction to DOUBLE, so instead both
+  -- sides cast the identical decimals to double and subtract —
+  -- identical IEEE operands, identical results).
+  SELECT event_id, event_type, value, sigma, rsp, rsn,
+    MIN(rsp) OVER w AS mp, MIN(rsn) OVER w AS mn
+  FROM rs0
+  WINDOW w AS ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, value,
+  CAST(rsp AS DOUBLE) - CAST(least(CAST(0 AS DECIMAL(28,6)), mp) AS DOUBLE) AS cusum_pos,
+  CAST(rsn AS DOUBLE) - CAST(least(CAST(0 AS DECIMAL(28,6)), mn) AS DOUBLE) AS cusum_neg,
+  (CAST(rsp AS DOUBLE) - CAST(least(CAST(0 AS DECIMAL(28,6)), mp) AS DOUBLE) > {_CUSUM_H!r} * sigma
+   OR CAST(rsn AS DOUBLE) - CAST(least(CAST(0 AS DECIMAL(28,6)), mn) AS DOUBLE) > {_CUSUM_H!r} * sigma) AS alarm
+FROM rs
+"""
+
+
 IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_bollinger": ti_bollinger,
     "ti_rsi": ti_rsi,
@@ -423,6 +603,8 @@ IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_stochastic": ti_stochastic,
     "ti_vwap": ti_vwap,
     "ti_obv": ti_obv,
+    "ti_acf": ti_acf,
+    "w_cusum": w_cusum,
     "cdc_snapshot_diff": cdc_snapshot_diff,
 }
 
@@ -434,5 +616,7 @@ IND_ORACLES: dict[str, str] = {
     "ti_stochastic": TI_STOCH_SQL,
     "ti_vwap": TI_VWAP_SQL,
     "ti_obv": TI_OBV_SQL,
+    "ti_acf": TI_ACF_SQL,
+    "w_cusum": W_CUSUM_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_SQL,
 }

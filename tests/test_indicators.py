@@ -191,6 +191,115 @@ def test_vwap_and_obv_cumulative_semantics(spark, events_pd):
     )
 
 
+def test_acf_matches_pandas_autocorr(spark, events_pd):
+    from kp_crypto_market_analytics_spark.queries_indicators import _ACF_LAGS, ti_acf
+
+    got = ti_acf(spark, SF_DIR).toPandas().set_index(["event_type", "lag_k"])
+    for etype, g in events_pd.groupby("event_type"):
+        s = g["value"].reset_index(drop=True)
+        for k in _ACF_LAGS:
+            exp = s.autocorr(lag=k)
+            assert abs(got.loc[(etype, k), "acf"] - exp) < 2e-6, (etype, k)
+            assert got.loc[(etype, k), "n_pairs"] == len(s) - k
+
+
+def test_cusum_prefix_trick_equals_textbook_recurrence(spark, events_pd):
+    # The window formulation S_t = RS_t - min(0, min_j RS_j) must equal
+    # the textbook per-row clamp recurrence exactly.
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _CUSUM_K,
+        w_cusum,
+    )
+
+    got = w_cusum(spark, SF_DIR).toPandas().set_index("event_id")
+    for etype, g in events_pd.groupby("event_type"):
+        mu = g["value"].mean()
+        sigma = g["value"].std(ddof=1)
+        kappa = _CUSUM_K * sigma
+        sp = sn = 0.0
+        for _, row in g.iterrows():
+            zp = round(row["value"] - mu - kappa, 6)
+            zn = round(mu - row["value"] - kappa, 6)
+            sp = max(0.0, sp + zp)
+            sn = max(0.0, sn + zn)
+            assert abs(got.loc[row["event_id"], "cusum_pos"] - sp) < 1e-4
+            assert abs(got.loc[row["event_id"], "cusum_neg"] - sn) < 1e-4
+    assert (got["cusum_pos"] >= 0).all() and (got["cusum_neg"] >= 0).all()
+
+
+def test_cusum_detects_injected_shift(spark):
+    # Stationary prefix, then a +8 mean shift: the positive CUSUM must
+    # alarm after the shift and stay quiet before it.
+    import itertools
+
+    vals = list(itertools.islice(itertools.cycle([10.0, 10.5, 9.5, 10.25]), 200))
+    vals += [18.0, 18.5, 17.5, 18.25] * 50
+    rows = [("s", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.timestamp_seconds(F.col("event_id")))
+    # reuse the operator body via a temp view + the same expressions
+    from kp_crypto_market_analytics_spark.queries_indicators import _CUSUM_H, _CUSUM_K
+    from kp_crypto_market_analytics_spark.operators.aggregates import DEC
+    from pyspark.sql import Window
+
+    stats = df.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    j = df.join(F.broadcast(stats), "event_type")
+    kappa = F.lit(_CUSUM_K) * F.col("sigma")
+    zp = F.round(F.col("value") - F.col("mu") - kappa, 6).cast(DEC)
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    zero = F.lit(0).cast(DEC)
+    out = (
+        j.withColumn("zp", zp)
+        .withColumn(
+            "cusum_pos",
+            (F.sum("zp").over(cum) - F.least(zero, F.min(F.sum("zp").over(cum)).over(cum))).cast(
+                "double"
+            ),
+        )
+        .withColumn("alarm", F.col("cusum_pos") > F.lit(_CUSUM_H) * F.col("sigma"))
+        .toPandas()
+        .sort_values("event_id")
+    )
+    assert not out.loc[out["event_id"] < 150, "alarm"].any(), "no false alarm pre-shift"
+    assert out.loc[out["event_id"] >= 220, "alarm"].all(), "shift must be flagged"
+
+
+def test_unigram_logprob_matches_pandas(spark):
+    from kp_crypto_market_analytics_spark.queries_ext import t_unigram_logprob
+
+    got = t_unigram_logprob(spark, SF_DIR).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    norm = (
+        docs["text"]
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .str.lower()
+        .str.split(" ")
+    )
+    toks = docs[["doc_id"]].assign(tok=norm).explode("tok")
+    total = len(toks)
+    logp = np.log(toks["tok"].value_counts() / total).round(6)
+    score = (
+        toks.assign(lp=toks["tok"].map(logp))
+        .groupby("doc_id")["lp"]
+        .agg(["count", "mean"])
+    )
+    assert (got["n_tokens"].sort_index() == score["count"].sort_index()).all()
+    diff = (got["avg_logprob"].sort_index() - score["mean"].round(6).sort_index()).abs()
+    assert diff.max() < 2e-6
+    # lower-probability vocabulary => lower score: sanity direction
+    assert got["avg_logprob"].max() < 0
+
+
 def test_cdc_snapshot_diff_semantics(spark, events_pd):
     from kp_crypto_market_analytics_spark.queries_indicators import (
         _CDC_CUTOFF,
