@@ -46,7 +46,7 @@ _FIRST_SEEN_ROUND = {
         "a_user_growth", "a_retention_cohorts", "a_funnel_steps",
         "ti_bollinger", "ti_rsi", "ti_macd", "ti_drawdown",
         "ti_stochastic", "ti_vwap", "ti_obv", "cdc_snapshot_diff",
-        "ti_acf", "w_cusum", "t_unigram_logprob",
+        "ti_acf", "w_cusum", "t_unigram_logprob", "ti_backtest",
     )
 }
 

@@ -328,6 +328,113 @@ WINDOW w AS ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+# -------------------------------------------------------- ti_backtest
+
+_BT_OVERSOLD = 30.0
+_BT_OVERBOUGHT = 70.0
+
+
+def ti_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized strategy backtest — the query the indicator family
+    exists to feed: RSI mean-reversion (long when Cutler-RSI-14 < 30,
+    short when > 70), position held for one step, P&L = position ×
+    next-step log return.  Per symbol: trade counts, total/mean/stddev
+    of per-trade returns, hit rate.
+
+    The whole backtest is ONE window sort (RSI frame + lead share the
+    partitioning) and one terminal 5-row aggregate: no loop over time,
+    no Python — at 100 TB the backtest costs the same as any other
+    indicator.  Returns are 6-dp rounded then decimal-summed (exact);
+    hit_rate/means divide at the end."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    frame = w.rowsBetween(-13, 0)
+    d = price_diff(F.col("value"), w)
+    df = t["events"].withColumn("d", d)
+    rsi = cutler_rsi(F.col("d"), frame, periods=14)
+    led = F.lead("value").over(w)
+    fwd = F.when(
+        (F.col("value") > 0) & (led > 0), F.round(F.log(led / F.col("value")), 6)
+    )
+    df = df.select(
+        "event_id",
+        "event_type",
+        rsi.alias("rsi"),
+        fwd.alias("fwd_ret"),
+    )
+    pos = (
+        F.when(F.col("rsi") < _BT_OVERSOLD, F.lit(1))
+        .when(F.col("rsi") > _BT_OVERBOUGHT, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    trade_ret = F.when(
+        (pos != 0) & F.col("fwd_ret").isNotNull(), pos * F.col("fwd_ret")
+    )
+    tr = df.select("event_type", pos.alias("pos"), trade_ret.alias("tr"))
+    n = F.count("tr")
+    s = F.sum(F.col("tr").cast(DEC)).cast("double")
+    s2 = F.sum(F.col("tr").cast(DEC) * F.col("tr").cast(DEC)).cast("double")
+    return (
+        tr.groupBy("event_type")
+        .agg(
+            F.count(F.when((F.col("pos") == 1) & F.col("tr").isNotNull(), 1)).alias("n_long"),
+            F.count(F.when((F.col("pos") == -1) & F.col("tr").isNotNull(), 1)).alias("n_short"),
+            n.alias("n_trades"),
+            F.round(s, 6).alias("total_ret"),
+            F.when(n > 0, F.round(s / n, 6)).alias("avg_ret"),
+            F.when(
+                n > 1,
+                F.round(F.sqrt(F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))), 6),
+            ).alias("std_ret"),
+            F.when(n > 0, F.round(F.count(F.when(F.col("tr") > 0, 1)) / n, 6)).alias("hit_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TI_BACKTEST_SQL = f"""
+WITH rsi_base AS (
+  SELECT event_id, event_type, ts, value,
+    round(value - lag(value, 1) OVER ({_W_SQL}), 2) AS d
+  FROM events
+), sig AS (
+  SELECT event_id, event_type, ts, value,
+    CASE WHEN COUNT(d) OVER f >= 14
+          AND CAST(SUM(CAST(greatest(d, 0.0) AS DECIMAL(18,6))) OVER f AS DOUBLE)
+            + CAST(SUM(CAST(greatest(-d, 0.0) AS DECIMAL(18,6))) OVER f AS DOUBLE) > 0
+      THEN round(100.0 * CAST(SUM(CAST(greatest(d, 0.0) AS DECIMAL(18,6))) OVER f AS DOUBLE)
+           / (CAST(SUM(CAST(greatest(d, 0.0) AS DECIMAL(18,6))) OVER f AS DOUBLE)
+              + CAST(SUM(CAST(greatest(-d, 0.0) AS DECIMAL(18,6))) OVER f AS DOUBLE)), 6)
+    END AS rsi,
+    lead(value) OVER ({_W_SQL}) AS nxt
+  FROM rsi_base
+  WINDOW f AS ({_W_SQL} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), trades AS (
+  SELECT event_type,
+    CASE WHEN rsi < {_BT_OVERSOLD!r} THEN 1 WHEN rsi > {_BT_OVERBOUGHT!r} THEN -1 ELSE 0 END AS pos,
+    CASE WHEN (CASE WHEN rsi < {_BT_OVERSOLD!r} THEN 1 WHEN rsi > {_BT_OVERBOUGHT!r} THEN -1 ELSE 0 END) <> 0
+          AND value > 0 AND nxt > 0
+      THEN (CASE WHEN rsi < {_BT_OVERSOLD!r} THEN 1 ELSE -1 END) * round(ln(nxt / value), 6)
+    END AS tr
+  FROM sig
+)
+SELECT event_type,
+  COUNT(CASE WHEN pos = 1 AND tr IS NOT NULL THEN 1 END) AS n_long,
+  COUNT(CASE WHEN pos = -1 AND tr IS NOT NULL THEN 1 END) AS n_short,
+  COUNT(tr) AS n_trades,
+  round(CAST(SUM(CAST(tr AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_ret,
+  CASE WHEN COUNT(tr) > 0
+    THEN round(CAST(SUM(CAST(tr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(tr), 6) END AS avg_ret,
+  CASE WHEN COUNT(tr) > 1 THEN round(sqrt(greatest(
+    (CAST(SUM(CAST(tr AS DECIMAL(18,6)) * CAST(tr AS DECIMAL(18,6))) AS DOUBLE)
+     - CAST(SUM(CAST(tr AS DECIMAL(18,6))) AS DOUBLE) * CAST(SUM(CAST(tr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(tr))
+    / (COUNT(tr) - 1), 0)), 6) END AS std_ret,
+  CASE WHEN COUNT(tr) > 0
+    THEN round(COUNT(CASE WHEN tr > 0 THEN 1 END) / COUNT(tr), 6) END AS hit_rate
+FROM trades GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------- cdc_snapshot_diff
 
 _CDC_CUTOFF = "2024-01-02"
@@ -604,6 +711,7 @@ IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_vwap": ti_vwap,
     "ti_obv": ti_obv,
     "ti_acf": ti_acf,
+    "ti_backtest": ti_backtest,
     "w_cusum": w_cusum,
     "cdc_snapshot_diff": cdc_snapshot_diff,
 }
@@ -617,6 +725,7 @@ IND_ORACLES: dict[str, str] = {
     "ti_vwap": TI_VWAP_SQL,
     "ti_obv": TI_OBV_SQL,
     "ti_acf": TI_ACF_SQL,
+    "ti_backtest": TI_BACKTEST_SQL,
     "w_cusum": W_CUSUM_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_SQL,
 }

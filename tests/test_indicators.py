@@ -300,6 +300,49 @@ def test_unigram_logprob_matches_pandas(spark):
     assert got["avg_logprob"].max() < 0
 
 
+def test_backtest_matches_pandas_recompute(spark, events_pd):
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _BT_OVERBOUGHT,
+        _BT_OVERSOLD,
+        ti_backtest,
+    )
+
+    got = ti_backtest(spark, SF_DIR).toPandas().set_index("event_type")
+
+    d = events_pd.groupby("event_type")["value"].diff().round(2)
+    gain = d.clip(lower=0)
+    loss = (-d).clip(lower=0)
+    grp = events_pd["event_type"]
+    sg = gain.groupby(grp).transform(lambda s: s.rolling(14, min_periods=14).sum())
+    sl = loss.groupby(grp).transform(lambda s: s.rolling(14, min_periods=14).sum())
+    rsi = (100.0 * sg / (sg + sl)).where((sg + sl) > 0).round(6)
+    nxt = events_pd.groupby("event_type")["value"].shift(-1)
+    fwd = np.log(nxt / events_pd["value"]).where(
+        (events_pd["value"] > 0) & (nxt > 0)
+    ).round(6)
+    pos = pd.Series(0, index=events_pd.index)
+    pos[rsi < _BT_OVERSOLD] = 1
+    pos[rsi > _BT_OVERBOUGHT] = -1
+    tr = (pos * fwd).where((pos != 0) & fwd.notna())
+
+    for etype, g in events_pd.groupby("event_type"):
+        idx = g.index
+        trades = tr[idx].dropna()
+        row = got.loc[etype]
+        assert row["n_trades"] == len(trades)
+        assert row["n_long"] == int(((pos[idx] == 1) & tr[idx].notna()).sum())
+        assert row["n_short"] == int(((pos[idx] == -1) & tr[idx].notna()).sum())
+        assert abs(row["total_ret"] - trades.sum()) < 1e-4
+        if len(trades):
+            assert abs(row["avg_ret"] - trades.mean()) < 1e-4
+            assert abs(row["hit_rate"] - (trades > 0).mean()) < 1e-4
+        if len(trades) > 1:
+            assert abs(row["std_ret"] - trades.std(ddof=1)) < 1e-4
+    # the strategy actually trades on this data (non-vacuous gate)
+    assert (got["n_trades"] > 0).all()
+    assert got["n_long"].sum() > 0 and got["n_short"].sum() > 0
+
+
 def test_cdc_snapshot_diff_semantics(spark, events_pd):
     from kp_crypto_market_analytics_spark.queries_indicators import (
         _CDC_CUTOFF,

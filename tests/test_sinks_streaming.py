@@ -238,6 +238,62 @@ def test_stateful_rolling_std_across_microbatches(spark, tmp_path):
     )
 
 
+def test_stateful_cusum_across_microbatches_matches_batch(spark, tmp_path):
+    # The streaming CUSUM recurrence must carry (S+, S-) across
+    # micro-batch boundaries and track the batch window formulation
+    # (w_cusum's prefix-sum unroll) for the same fixed baseline.
+    import numpy as np
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.cusum import cusum_stream
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr("event_type AS symbol", "event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .limit(400)
+    )
+    pdf = e.toPandas()
+    base = {
+        s: (float(g["value"].mean()), float(g["value"].std(ddof=1)))
+        for s, g in pdf.groupby("symbol")
+    }
+    cut = pdf["ts"].sort_values().iloc[200]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf[pdf.ts <= cut]).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(pdf[pdf.ts > cut]).coalesce(1).write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = cusum_stream(stream, base, kappa_sigma=0.25, h_sigma=2.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cusum_out").toPandas().set_index("event_id")
+    assert len(got) == len(pdf)
+
+    # textbook recurrence on the concatenated series = expected
+    for sym, g in pdf.sort_values(["ts", "event_id"]).groupby("symbol"):
+        mu, sigma = base[sym]
+        kappa = 0.25 * sigma
+        sp = sn = 0.0
+        for r in g.itertuples():
+            sp = max(0.0, sp + round(float(r.value) - mu - kappa, 6))
+            sn = max(0.0, sn + round(mu - float(r.value) - kappa, 6))
+            assert abs(got.loc[r.event_id, "cusum_pos"] - sp) < 1e-9
+            assert abs(got.loc[r.event_id, "cusum_neg"] - sn) < 1e-9
+            assert got.loc[r.event_id, "alarm"] == (
+                sp > 2.0 * sigma or sn > 2.0 * sigma
+            )
+
+
 def test_session_window_matches_batch_sessionize(spark):
     # The session_window streaming path and the lag/cumsum batch
     # operator implement the same gap rule — their (user, session)
