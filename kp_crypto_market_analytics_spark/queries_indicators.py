@@ -380,7 +380,7 @@ def ti_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when((F.col("pos") == 1) & F.col("tr").isNotNull(), 1)).alias("n_long"),
             F.count(F.when((F.col("pos") == -1) & F.col("tr").isNotNull(), 1)).alias("n_short"),
             n.alias("n_trades"),
-            F.round(s, 6).alias("total_ret"),
+            F.coalesce(F.round(s, 6), F.lit(0.0)).alias("total_ret"),
             F.when(n > 0, F.round(s / n, 6)).alias("avg_ret"),
             F.when(
                 n > 1,
@@ -422,7 +422,7 @@ SELECT event_type,
   COUNT(CASE WHEN pos = 1 AND tr IS NOT NULL THEN 1 END) AS n_long,
   COUNT(CASE WHEN pos = -1 AND tr IS NOT NULL THEN 1 END) AS n_short,
   COUNT(tr) AS n_trades,
-  round(CAST(SUM(CAST(tr AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_ret,
+  coalesce(round(CAST(SUM(CAST(tr AS DECIMAL(18,6))) AS DOUBLE), 6), 0.0) AS total_ret,
   CASE WHEN COUNT(tr) > 0
     THEN round(CAST(SUM(CAST(tr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(tr), 6) END AS avg_ret,
   CASE WHEN COUNT(tr) > 1 THEN round(sqrt(greatest(

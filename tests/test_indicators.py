@@ -338,8 +338,9 @@ def test_backtest_matches_pandas_recompute(spark, events_pd):
             assert abs(row["hit_rate"] - (trades > 0).mean()) < 1e-4
         if len(trades) > 1:
             assert abs(row["std_ret"] - trades.std(ddof=1)) < 1e-4
-    # the strategy actually trades on this data (non-vacuous gate)
-    assert (got["n_trades"] > 0).all()
+    # the strategy actually trades on this data (non-vacuous gate);
+    # individual symbols may legitimately never cross the RSI bands
+    assert got["n_trades"].sum() > 0
     assert got["n_long"].sum() > 0 and got["n_short"].sum() > 0
 
 
