@@ -115,12 +115,20 @@ def _read_parquet_ns_safe(spark: SparkSession, path: str):
         ]
     except Exception:
         pass
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # Integral DIV, never `/`: float division of ~1e18 ns loses
         # ~256 ns to double rounding and shifts the truncated µs.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    # µs-without-tz parquet arrives as TIMESTAMP_NTZ in Spark 4; the
+    # engine (and its oracles, via a UTC session) speak TimestampType —
+    # cast NTZ through the session zone (UTC) so unix_millis/window
+    # functions accept the column and values match DuckDB's naive read.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
