@@ -1336,6 +1336,7 @@ ORACLES: dict[str, str] = {
 
 # Extension registries (LSH/SimHash/winnowing, ANN variants, multimodal,
 # rollup/distinct/sample extras; TPC-H-shaped scale queries).
+from kp_crypto_market_analytics_spark.queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_indicators import IND_ORACLES, IND_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
@@ -1343,6 +1344,8 @@ from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUE
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(TPCH_QUERIES)
 QUERIES.update(IND_QUERIES)
+QUERIES.update(CORPUS_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
+ORACLES.update(CORPUS_ORACLES)

@@ -1,0 +1,350 @@
+"""Corpus-hygiene gated queries: sub-document dedup + LM quality scores.
+
+Extends the LLM-training-data family (SURVEY.md "beyond-reference"
+scope) below document granularity — the reference's analytics stop at
+whole-series tables (`src/analytics/binance_analysis.py`), and the
+existing dedup family (`operators/dedup.py`) treats each document as
+one unit.  Real pre-training pipelines (CCNet, RefinedWeb, Gopher)
+also remove *parts* of documents: duplicated paragraphs, shared
+boilerplate spans, and low-LM-probability text.  Four operators:
+
+- ``t_paragraph_dedup`` — fixed word-chunk "paragraphs", corpus-wide
+  duplicate-chunk fraction per document.
+- ``dedup_substring``   — strided fixed-length character windows shared
+  verbatim by ≥2 documents (exact-substring / boilerplate detection,
+  the scalable stand-in for suffix-array dedup).
+- ``t_word_entropy``    — per-document token Shannon entropy +
+  type-token ratio (degenerate/looping text scores near 0).
+- ``t_bigram_logprob``  — add-one-smoothed bigram LM trained on the
+  corpus itself, per-document mean log-probability (the perplexity
+  filter, one order up from ``t_unigram_logprob``).
+
+Determinism rules match the rest of the registry: every float that
+enters a sum is rounded to 6 dp and summed as DECIMAL(18,6) (order-
+independent), divisions happen once at the end, and each query carries
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.operators.aggregates import DEC
+from kp_crypto_market_analytics_spark.queries_ext import NORM_TEXT_SQL, TOKENS_CTE
+from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
+
+# Chunk/shingle geometry.  CHUNK_WORDS fixes the "paragraph" size for
+# chunk-aligned dedup; SHINGLE_WORDS is the sliding-window width for
+# alignment-free exact-run detection.  Module constants so the Spark
+# plan and the oracle stay in lockstep.
+CHUNK_WORDS = 16
+SHINGLE_WORDS = 8
+
+
+def _norm_col():
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+
+def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return ensure_parallelism(t["documents"]).select(
+        "doc_id", F.split(_norm_col(), " ").alias("toks")
+    )
+
+
+# --------------------------------------------------- t_paragraph_dedup
+
+
+def t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup: split each normalized document into
+    consecutive CHUNK_WORDS-word chunks, count every chunk's corpus-wide
+    occurrences, report per document how many of its chunks appear more
+    than once anywhere (the CCNet/RefinedWeb duplicated-paragraph
+    fraction — docs near 1.0 are templated/mirrored content).  Chunks
+    are aligned to each document's own word grid (the "paragraph"
+    definition when the corpus carries no newline structure), so this
+    catches mirrored/templated documents; unaligned shared runs are
+    ``dedup_substring``'s job.
+
+    Scale shape: chunks shuffle as (doc_id, md5) — 16-byte fingerprints,
+    never text.  One exchange on the fingerprint serves the corpus count
+    (window count), one on doc_id the per-doc reduce.  A pathological
+    mega-duplicated chunk skews its fingerprint partition; AQE skew
+    split handles it (same story as `dedup_exact`,
+    operators/dedup.py:37)."""
+    toks = _toks_df(spark, sf_dir)
+    n_chunks = (F.ceil(F.size("toks") / F.lit(float(CHUNK_WORDS)))).cast("int")
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("toks", i * CHUNK_WORDS + 1, CHUNK_WORDS)
+            ),
+        )
+    )
+    h = F.md5(F.col("chunk"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    per_chunk = (
+        toks.select("doc_id", chunk.alias("chunk"))
+        .select("doc_id", h.alias("h"))
+        .select("doc_id", cnt.alias("cnt"))
+    )
+    dup = F.count(F.when(F.col("cnt") > 1, 1))
+    return (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup / F.count(F.lit(1)).cast("double"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_PARAGRAPH_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), c AS (
+  SELECT doc_id,
+    array_to_string(l[(i - 1) * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS}], ' ') AS chunk
+  FROM norm, generate_series(1, 4000) AS t(i)
+  WHERE i <= ceil(len(l) / {CHUNK_WORDS}.0)
+), k AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS cnt FROM c
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  COUNT(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_chunks,
+  round(COUNT(CASE WHEN cnt > 1 THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------- dedup_substring
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-run sharing: SHINGLE_WORDS-word sliding shingles (every
+    word offset); a shingle found verbatim in ≥2 distinct documents
+    marks a boilerplate span (headers, licenses, templated sentences).
+    Per document: shingle count, shared-shingle count, shared fraction.
+    Documents shorter than one shingle are reported with zero windows
+    so the output covers the corpus.
+
+    This is the scalable stand-in for suffix-array exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better") at word granularity: shingles slide one word at a
+    time, so window boundaries are content-defined and ANY run of
+    ≥ SHINGLE_WORDS words shared between two documents is detected
+    regardless of where each document embeds it — no alignment caveat
+    (a fixed-stride character window would only match runs whose
+    offsets agree mod the stride).  Shuffles carry (doc_id, 16-byte
+    md5) only; the distinct-doc count per shingle is a
+    partial-aggregated groupBy, re-joined on the fingerprint — both
+    exchanges are fingerprint-width."""
+    toks = _toks_df(spark, sf_dir)
+    n = F.size("toks") - (SHINGLE_WORDS - 1)
+    wins = (
+        toks.where(F.size("toks") >= SHINGLE_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("toks", i, SHINGLE_WORDS)
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.md5("shingle").alias("h"))
+    )
+    docs_per_win = wins.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        wins.join(docs_per_win, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("nd") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.when(
+                F.col("n_windows").isNotNull(),
+                F.round(F.col("n_shared") / F.col("n_windows").cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), w AS (
+  SELECT doc_id, array_to_string(l[i : i + {SHINGLE_WORDS - 1}], ' ') AS win
+  FROM norm, generate_series(1, 4000) AS t(i)
+  WHERE i <= len(l) - {SHINGLE_WORDS - 1}
+), d AS (
+  SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+    COUNT(CASE WHEN nd >= 2 THEN 1 END) AS n_shared
+  FROM w JOIN d USING (win) GROUP BY doc_id
+)
+SELECT n.doc_id,
+  coalesce(n_windows, 0) AS n_windows,
+  coalesce(n_shared, 0) AS n_shared,
+  coalesce(round(n_shared / CAST(n_windows AS DOUBLE), 6), 0.0) AS shared_frac
+FROM norm n LEFT JOIN per_doc p ON n.doc_id = p.doc_id
+ORDER BY n.doc_id
+"""
+
+
+# ------------------------------------------------------ t_word_entropy
+
+
+def t_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (nats) + type-token ratio —
+    the cheap degeneracy detector: looping or single-token documents
+    score near 0 while natural text sits near log(vocab-in-doc).
+
+    H = ln(n) - (Σ c·ln c)/n over per-doc token counts c.  Each ln is
+    rounded to 6 dp and the products are summed as decimals, so the
+    reduce is order-independent and the oracle compares exact.  Two
+    shuffles: (doc_id, tok) count, then per-doc reduce — tokens never
+    leave the first exchange."""
+    toks = _toks_df(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    slc = F.sum(F.col("c") * F.round(F.log("c"), 6).cast(DEC)).cast("double")
+    n = F.sum("c")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            n.alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(
+                F.round(F.log(n), 6) - slc / n.cast("double"), 6
+            ).alias("entropy"),
+            F.round(F.count(F.lit(1)) / n.cast("double"), 6).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_WORD_ENTROPY_SQL = f"""
+WITH {TOKENS_CTE}, counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+  round(round(ln(SUM(c)), 6)
+    - CAST(SUM(c * CAST(round(ln(c), 6) AS DECIMAL(18,6))) AS DOUBLE)
+      / CAST(SUM(c) AS DOUBLE), 6) AS entropy,
+  round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------- t_bigram_logprob
+
+
+def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with add-one smoothing: train
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) on the corpus itself, score
+    each document by its mean bigram log-probability.  One order above
+    ``t_unigram_logprob``: catches shuffled-word salad that unigram
+    stats cannot (same tokens, impossible transitions).
+
+    Scale shape: the bigram stream joins the bigram-count table on the
+    bigram key (shuffle join — the bigram vocabulary is NOT broadcast;
+    it grows with the corpus), then the head-token counts and scalar V
+    broadcast.  log p is rounded to 6 dp and decimal-summed per doc."""
+    toks = _toks_df(spark, sf_dir)
+    n = F.size("toks") - 1
+    bigrams = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n),
+                    F.slice("toks", 2, n),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    tok_stream = _toks_df(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    heads = tok_stream.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = tok_stream.groupBy().agg(F.countDistinct("tok").alias("v"))
+    bcounts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    logp = F.round(
+        F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")).cast("double")), 6
+    )
+    scored = (
+        bigrams.join(bcounts, ["w1", "w2"])
+        .join(F.broadcast(heads.withColumnRenamed("tok", "w1")), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", logp.alias("logp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp").cast(DEC)).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_BIGRAM_LOGPROB_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), b AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+  FROM norm, generate_series(1, 4000) AS t(i)
+  WHERE i <= len(l) - 1
+), {TOKENS_CTE}, heads AS (
+  SELECT tok AS w1, COUNT(*) AS c1 FROM toks GROUP BY tok
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM toks
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  round(CAST(SUM(CAST(round(ln((c12 + 1) / CAST(c1 + v AS DOUBLE)), 6)
+    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM b JOIN bc USING (w1, w2) JOIN heads USING (w1) CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "t_paragraph_dedup": t_paragraph_dedup,
+    "dedup_substring": dedup_substring,
+    "t_word_entropy": t_word_entropy,
+    "t_bigram_logprob": t_bigram_logprob,
+}
+
+CORPUS_ORACLES: dict[str, str] = {
+    "t_paragraph_dedup": T_PARAGRAPH_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
+    "t_word_entropy": T_WORD_ENTROPY_SQL,
+    "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
+}

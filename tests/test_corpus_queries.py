@@ -1,0 +1,141 @@
+"""Semantics tests for the corpus-hygiene query family
+(queries_corpus.py): paragraph-chunk dedup, strided exact-substring
+sharing, token entropy, bigram-LM scoring.  Constructed corpora pin the
+detection guarantees; pandas recomputes pin the math on real testdata."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+from kp_crypto_market_analytics_spark.queries_corpus import (
+    SHINGLE_WORDS,
+    dedup_substring,
+    t_bigram_logprob,
+    t_paragraph_dedup,
+    t_word_entropy,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    return str(tmp_path)
+
+
+def test_paragraph_dedup_flags_exact_dup(spark, tmp_path):
+    base = " ".join(f"w{i}" for i in range(32))  # exactly two 16-word chunks
+    rows = [(1, base), (2, base), (3, " ".join(f"u{i}" for i in range(32)))]
+    got = (
+        t_paragraph_dedup(spark, _write_docs(tmp_path, rows))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "n_chunks"] == 2 and got.loc[2, "n_chunks"] == 2
+    # every chunk of the duplicated pair is flagged; the unique doc none
+    assert got.loc[1, "dup_frac"] == 1.0 and got.loc[2, "dup_frac"] == 1.0
+    assert got.loc[3, "n_dup_chunks"] == 0 and got.loc[3, "dup_frac"] == 0.0
+
+
+def test_substring_windows_guarantee(spark, tmp_path):
+    # Any run of >= SHINGLE_WORDS words shared verbatim must produce a
+    # matching shingle in BOTH docs, regardless of the word offset at
+    # which each doc embeds it (content-defined boundaries).
+    shared = " ".join(f"s{i:03d}" for i in range(SHINGLE_WORDS + 2))
+    rows = [
+        (1, "aaa " + shared + " tail one"),
+        (2, "a much longer and different prefix here now " + shared),
+        (3, "entirely unrelated text " + " ".join(f"z{i}" for i in range(30))),
+        (4, "short doc"),  # below one shingle: zero-window row, not dropped
+    ]
+    got = (
+        dedup_substring(spark, _write_docs(tmp_path, rows))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "n_shared"] >= 1 and got.loc[2, "n_shared"] >= 1
+    assert got.loc[3, "n_shared"] == 0
+    assert got.loc[4, "n_windows"] == 0 and got.loc[4, "shared_frac"] == 0.0
+    assert len(got) == 4
+
+
+def test_word_entropy_matches_pandas(spark):
+    got = t_word_entropy(spark, SF_DIR).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = (
+        docs.assign(
+            tok=docs["text"]
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+            .str.lower()
+            .str.split(" ")
+        )[["doc_id", "tok"]]
+        .explode("tok")
+    )
+    for doc_id, g in toks.groupby("doc_id"):
+        c = g["tok"].value_counts().to_numpy(dtype=float)
+        n = c.sum()
+        h = round(round(np.log(n), 6) - (c * np.log(c).round(6)).sum() / n, 6)
+        row = got.loc[doc_id]
+        assert row["n_tokens"] == int(n) and row["n_types"] == len(c)
+        assert abs(row["entropy"] - h) < 2e-6
+        assert abs(row["ttr"] - round(len(c) / n, 6)) < 2e-6
+
+
+def test_word_entropy_degenerate_doc_scores_zero(spark, tmp_path):
+    rows = [(1, "spam spam spam spam spam spam"), (2, "a b c d e f")]
+    got = (
+        t_word_entropy(spark, _write_docs(tmp_path, rows))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "entropy"] == 0.0 and got.loc[1, "n_types"] == 1
+    assert got.loc[2, "entropy"] > 1.7  # ln(6) ~ 1.79, uniform max
+
+
+def test_bigram_logprob_penalizes_unseen_transitions(spark, tmp_path):
+    # Docs 1-3 establish "the cat sat" as the dominant pattern; doc 4
+    # uses the same vocabulary with transitions never seen elsewhere —
+    # add-one smoothing must rank it strictly below the in-pattern docs.
+    rows = [
+        (1, "the cat sat the cat sat the cat sat"),
+        (2, "the cat sat the cat sat"),
+        (3, "the cat sat the cat sat the cat sat the cat sat"),
+        (4, "sat the cat cat sat sat the the cat"),
+    ]
+    got = (
+        t_bigram_logprob(spark, _write_docs(tmp_path, rows))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[4, "avg_logprob"] < got[got.index != 4]["avg_logprob"].min()
+
+
+def test_bigram_logprob_matches_pandas(spark):
+    got = t_bigram_logprob(spark, SF_DIR).toPandas().set_index("doc_id")
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    norm = (
+        docs["text"]
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .str.lower()
+        .str.split(" ")
+    )
+    toks = docs[["doc_id"]].assign(tok=norm).explode("tok")
+    c1 = toks["tok"].value_counts()
+    v = toks["tok"].nunique()
+    pairs = []
+    for doc_id, words in zip(docs["doc_id"], norm):
+        pairs += [(doc_id, words[i], words[i + 1]) for i in range(len(words) - 1)]
+    bdf = pd.DataFrame(pairs, columns=["doc_id", "w1", "w2"])
+    c12 = bdf.groupby(["w1", "w2"]).size()
+    lp = np.log(
+        (bdf.set_index(["w1", "w2"]).index.map(c12) + 1)
+        / (bdf["w1"].map(c1).to_numpy() + v)
+    ).round(6)
+    ref = bdf.assign(lp=lp).groupby("doc_id")["lp"].agg(["count", "mean"])
+    assert (got["n_bigrams"].sort_index() == ref["count"].sort_index()).all()
+    assert (got["avg_logprob"] - ref["mean"].round(6)).abs().max() < 2e-6
