@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "ti_bollinger",
     "ti_macd",
     "cdc_snapshot_diff",
+    "t_paragraph_dedup",
+    "dedup_substring",
+    "t_word_entropy",
+    "t_bigram_logprob",
 ]
 
 

@@ -139,3 +139,29 @@ def test_bigram_logprob_matches_pandas(spark):
     ref = bdf.assign(lp=lp).groupby("doc_id")["lp"].agg(["count", "mean"])
     assert (got["n_bigrams"].sort_index() == ref["count"].sort_index()).all()
     assert (got["avg_logprob"] - ref["mean"].round(6)).abs().max() < 2e-6
+
+
+def test_corpus_queries_empty_input(spark, tmp_path):
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}
+    )
+    empty.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+    assert t_paragraph_dedup(spark, sf).count() == 0
+    assert dedup_substring(spark, sf).count() == 0
+    assert t_word_entropy(spark, sf).count() == 0
+    assert t_bigram_logprob(spark, sf).count() == 0
+
+
+def test_entropy_bounds_random_docs(spark, tmp_path):
+    # 0 <= H <= ln(n_types) for every doc, any content.
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(rng.choice("a b c d e foo bar baz".split()) for _ in range(rng.randint(1, 40))))
+        for i in range(20)
+    ]
+    got = t_word_entropy(spark, _write_docs(tmp_path, rows)).toPandas()
+    assert (got["entropy"] >= 0).all()
+    assert (got["entropy"] <= np.log(got["n_types"]) + 1e-4).all()
