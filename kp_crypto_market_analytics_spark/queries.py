@@ -1336,7 +1336,7 @@ ORACLES: dict[str, str] = {
 
 # Extension registries (LSH/SimHash/winnowing, ANN variants, multimodal,
 # rollup/distinct/sample extras; TPC-H-shaped scale queries).
-from kp_crypto_market_analytics_spark.queries_corpus import CORPUS_ORACLES, CORPUS_QUERIES  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_corpus import CORPUS_QUERIES, corpus_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_indicators import IND_ORACLES, IND_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
@@ -1348,4 +1348,4 @@ QUERIES.update(CORPUS_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
-ORACLES.update(CORPUS_ORACLES)
+ORACLES.update(corpus_oracles())

@@ -268,9 +268,11 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats cannot (same tokens, impossible transitions).
 
     Scale shape: the bigram stream joins the bigram-count table on the
-    bigram key (shuffle join — the bigram vocabulary is NOT broadcast;
-    it grows with the corpus), then the head-token counts and scalar V
-    broadcast.  log p is rounded to 6 dp and decimal-summed per doc."""
+    bigram key and the head-token counts on w1 — both as plain joins,
+    because BOTH vocabularies grow with the corpus (at 100 TB neither
+    fits a broadcast; AQE still broadcasts them when they happen to be
+    small).  Only the scalar V is an explicit broadcast.  log p is
+    rounded to 6 dp and decimal-summed per doc."""
     toks = _toks_df(spark, sf_dir)
     n = F.size("toks") - 1
     bigrams = (
@@ -296,7 +298,7 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         bigrams.join(bcounts, ["w1", "w2"])
-        .join(F.broadcast(heads.withColumnRenamed("tok", "w1")), "w1")
+        .join(heads.withColumnRenamed("tok", "w1"), "w1")
         .crossJoin(F.broadcast(vsize))
         .select("doc_id", logp.alias("logp"))
     )
@@ -335,11 +337,107 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------- t_quality_deciles
+
+
+def t_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-band decision table: bucket every document into quality
+    deciles by VALUE THRESHOLDS (the nine corpus-wide quality-score
+    percentile cutoffs), report per-band volume and feature means —
+    the table a pipeline owner reads to pick the keep/drop cut line.
+
+    Deliberately NOT ntile(): a global ntile is one sort on one
+    partition — the anti-scale plan.  Threshold bucketing needs only a
+    9-value aggregate (exact `percentile` under the oracle gate,
+    `approx_percentile` sketches under APPROX_QUANTILES_CONF — the
+    conf-switch shared with a7/e3) broadcast back over the corpus:
+    two scans, no global sort, band sizes approximately equal instead
+    of exactly equal, which is the right trade at 100 TB.  Documents
+    equal to a cutoff land in the lower band on both engines (strict
+    `>` comparison)."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        quality_score,
+        stopword_hits,
+        token_count,
+    )
+    from kp_crypto_market_analytics_spark.operators.aggregates import percentile_expr
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = token_count("text")
+    ratio = F.when(toks > 0, stopword_hits("text") / toks)
+    q = ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        quality_score("text").alias("score"),
+    )
+    cuts = q.agg(
+        *[
+            F.round(percentile_expr(q, "score", k / 10.0), 6).alias(f"c{k}")
+            for k in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for k in range(1, 10):
+        decile = decile + F.when(F.col("score") > F.col(f"c{k}"), 1).otherwise(0)
+    return (
+        q.crossJoin(F.broadcast(cuts))
+        .select("n_tokens", "stopword_ratio", "score", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.round(F.sum(F.col("score").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias("avg_score"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 6).alias("avg_tokens"),
+            F.round(
+                F.sum(F.col("stopword_ratio").cast(DEC)).cast("double")
+                / F.count("stopword_ratio"),
+                6,
+            ).alias("avg_stopword_ratio"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _t_quality_deciles_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries import _t_quality_sql
+
+    base = _t_quality_sql().strip().rstrip()
+    # Reuse the t_quality_score oracle as a subquery: (doc_id, n_tokens,
+    # stopword_hits, stopword_ratio, quality_score) per doc.
+    inner = base.replace("ORDER BY doc_id", "")
+    cut_cols = ", ".join(
+        f"round(quantile_cont(quality_score, {k / 10.0}), 6) AS c{k}"
+        for k in range(1, 10)
+    )
+    decile = " + ".join(
+        f"CASE WHEN quality_score > c{k} THEN 1 ELSE 0 END" for k in range(1, 10)
+    )
+    return f"""
+WITH q AS ({inner}), cuts AS (SELECT {cut_cols} FROM q),
+banded AS (
+  SELECT n_tokens, stopword_ratio, quality_score AS score,
+    1 + {decile} AS decile
+  FROM q CROSS JOIN cuts
+)
+SELECT decile, COUNT(*) AS n_docs,
+  round(MIN(score), 6) AS min_score,
+  round(MAX(score), 6) AS max_score,
+  round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_score,
+  round(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
+  round(CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE)
+    / COUNT(stopword_ratio), 6) AS avg_stopword_ratio
+FROM banded GROUP BY decile ORDER BY decile
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_paragraph_dedup": t_paragraph_dedup,
     "dedup_substring": dedup_substring,
     "t_word_entropy": t_word_entropy,
     "t_bigram_logprob": t_bigram_logprob,
+    "t_quality_deciles": t_quality_deciles,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -348,3 +446,11 @@ CORPUS_ORACLES: dict[str, str] = {
     "t_word_entropy": T_WORD_ENTROPY_SQL,
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
 }
+
+
+def corpus_oracles() -> dict[str, str]:
+    """Full oracle map.  ``t_quality_deciles`` reuses the
+    t_quality_score oracle subquery defined in queries.py, so its SQL
+    must be built lazily (queries.py imports this module at its tail —
+    a module-scope call would re-enter it partially initialized)."""
+    return {**CORPUS_ORACLES, "t_quality_deciles": _t_quality_deciles_sql()}

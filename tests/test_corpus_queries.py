@@ -165,3 +165,15 @@ def test_entropy_bounds_random_docs(spark, tmp_path):
     got = t_word_entropy(spark, _write_docs(tmp_path, rows)).toPandas()
     assert (got["entropy"] >= 0).all()
     assert (got["entropy"] <= np.log(got["n_types"]) + 1e-4).all()
+
+
+def test_quality_deciles_cover_corpus(spark):
+    from kp_crypto_market_analytics_spark.queries_corpus import t_quality_deciles
+
+    got = t_quality_deciles(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert got["n_docs"].sum() == len(docs)  # every doc lands in a band
+    assert got["decile"].between(1, 10).all()
+    # bands are ordered by construction: score ranges must not overlap
+    g = got.sort_values("decile")
+    assert (g["min_score"].to_numpy()[1:] >= g["max_score"].to_numpy()[:-1] - 1e-9).all()
