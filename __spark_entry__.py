@@ -48,7 +48,7 @@ _FIRST_SEEN_ROUND = {
         "ti_stochastic", "ti_vwap", "ti_obv", "cdc_snapshot_diff",
         "ti_acf", "w_cusum", "t_unigram_logprob", "ti_backtest",
         "t_paragraph_dedup", "dedup_substring", "t_word_entropy",
-        "t_bigram_logprob", "t_quality_deciles",
+        "t_bigram_logprob", "t_quality_deciles", "dedup_incremental",
     )
 }
 

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dedup_substring",
     "t_word_entropy",
     "t_bigram_logprob",
+    "t_quality_deciles",
 ]
 
 

@@ -188,6 +188,74 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_lsh_pairs(
+    df: DataFrame,
+    is_new,
+    text: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 2,
+    k: int = 4,
+    use_words: bool = False,
+) -> DataFrame:
+    """Incremental near-dup ingest: candidate pairs where at least one
+    side belongs to the NEW batch (``is_new`` boolean column expr) —
+    the production path that dedups today's documents against the
+    standing corpus without re-comparing old×old.
+
+    The band bucket-join is NEW-batch × whole-corpus: the probe side is
+    |batch| rows, so each ingest costs O(batch × bucket-mates), not
+    O(corpus²); old×old pairs (already resolved by previous runs) never
+    form.  In a deployment the corpus-side signatures come from a
+    persisted signature table (the `build-index` pattern —
+    kp_crypto_market_analytics_spark/__main__.py) and only the batch
+    side is hashed fresh; the plan shape here is identical with both
+    sides derived from one scan."""
+    rows_per_band = num_hashes // bands
+    flags = df.select(F.col(id_col), is_new.alias("__new"))
+    sig = (
+        minhash_signatures(df, text, id_col, num_hashes, k, use_words)
+        .join(flags, id_col)
+        .persist()
+    )
+
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{j}").alias(f"h{i}")
+            for i, j in enumerate(range(b * rows_per_band, (b + 1) * rows_per_band))
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *cols).alias(f"__band_{b}"))
+    buckets = sig.select(
+        F.col(id_col).alias("doc"),
+        F.col("__new").alias("new"),
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+    probe = buckets.where(F.col("new"))
+    cand = (
+        probe.alias("x")
+        .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+        .where(F.col("x.doc") != F.col("y.doc"))
+        .select(
+            F.least("x.doc", "y.doc").alias("doc_a"),
+            F.greatest("x.doc", "y.doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("__new").alias("new_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("__new").alias("new_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)])
+    est = None
+    for j in range(num_hashes):
+        term = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est / F.lit(num_hashes))
+        .select("doc_a", "doc_b", "new_a", "new_b", "est_jaccard")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text: str,

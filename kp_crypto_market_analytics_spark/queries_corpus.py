@@ -337,6 +337,64 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------- dedup_incremental
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: today's batch (stand-in: doc_id ≡ 7
+    mod 10) deduped against the standing corpus via MinHash-LSH band
+    buckets — every candidate pair touches the new batch; old×old pairs
+    (resolved by previous runs) are never generated.  Same signature
+    parameters as ``dedup_minhash_lsh`` (8 hashes, 2 bands, char-4-gram
+    shingles) so the two queries agree on what "near-dup" means; output
+    adds which side(s) are new — new×old means "drop or link the new
+    doc", new×new means "today's batch self-duplicates"."""
+    from kp_crypto_market_analytics_spark.operators.dedup import incremental_lsh_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = incremental_lsh_pairs(
+        t["documents"],
+        F.col("doc_id") % 10 == 7,
+        "text",
+        "doc_id",
+        num_hashes=8,
+        bands=2,
+        k=4,
+        use_words=False,
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def _dedup_incremental_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import SHINGLE4_CTE, _minhash_aggs
+
+    est = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    return f"""
+WITH {SHINGLE4_CTE}, sigs AS (
+  SELECT doc_id, {_minhash_aggs(8)}
+  FROM sets GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7
+)
+SELECT doc_a, doc_b,
+  doc_a % 10 = 7 AS new_a,
+  doc_b % 10 = 7 AS new_b,
+  ({est}) / 8 AS est_jaccard
+FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------- t_quality_deciles
 
 
@@ -438,6 +496,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_word_entropy": t_word_entropy,
     "t_bigram_logprob": t_bigram_logprob,
     "t_quality_deciles": t_quality_deciles,
+    "dedup_incremental": dedup_incremental,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -453,4 +512,8 @@ def corpus_oracles() -> dict[str, str]:
     t_quality_score oracle subquery defined in queries.py, so its SQL
     must be built lazily (queries.py imports this module at its tail —
     a module-scope call would re-enter it partially initialized)."""
-    return {**CORPUS_ORACLES, "t_quality_deciles": _t_quality_deciles_sql()}
+    return {
+        **CORPUS_ORACLES,
+        "t_quality_deciles": _t_quality_deciles_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
+    }

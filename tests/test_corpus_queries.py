@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 
@@ -177,3 +178,27 @@ def test_quality_deciles_cover_corpus(spark):
     # bands are ordered by construction: score ranges must not overlap
     g = got.sort_values("decile")
     assert (g["min_score"].to_numpy()[1:] >= g["max_score"].to_numpy()[:-1] - 1e-9).all()
+
+
+def test_incremental_pairs_match_filtered_full_lsh(spark):
+    # Incremental ingest must find EXACTLY the full-LSH pairs that
+    # touch the new batch — same detector, no lost recall at the seam.
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_lsh_pairs,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    inc = incremental_lsh_pairs(
+        docs, F.col("doc_id") % 10 == 7, "text", "doc_id",
+        num_hashes=8, bands=2, k=4, use_words=False,
+    ).toPandas()
+    full = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False
+    ).toPandas()
+    assert (inc["new_a"] | inc["new_b"]).all()
+    want = full[(full["doc_a"] % 10 == 7) | (full["doc_b"] % 10 == 7)]
+    got_pairs = set(zip(inc["doc_a"], inc["doc_b"]))
+    want_pairs = set(zip(want["doc_a"], want["doc_b"]))
+    assert got_pairs == want_pairs
