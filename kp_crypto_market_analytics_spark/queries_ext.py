@@ -1292,6 +1292,54 @@ ORDER BY e.event_id
 """
 
 
+def j_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction with a tolerance — the other two
+    axes of pandas merge_asof parity (j2 covers backward/unbounded):
+    each event is enriched with the NEXT minute-level snapshot at-or-
+    after its timestamp, nulled when that snapshot is more than 120 s
+    ahead.  Same single-shuffle union→carry→filter plan; direction
+    just flips the window sort, tolerance is a post-window predicate —
+    no extra exchange.  Oracle = DuckDB ASOF LEFT JOIN with the
+    inequality reversed + tolerance CASE."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import exact_avg
+    from kp_crypto_market_analytics_spark.operators.joins import as_of_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    minutes = (
+        e.groupBy(F.col("event_type"), F.date_trunc("minute", "ts").alias("m_ts"))
+        .agg(exact_avg("value").alias("minute_avg"))
+        .withColumn("matched_minute", F.col("m_ts"))
+    )
+    out = as_of_join(
+        e.select("event_id", "event_type", "ts", "value"),
+        minutes,
+        left_ts="ts",
+        right_ts="m_ts",
+        keys=["event_type"],
+        direction="forward",
+        tolerance_seconds=120,
+    )
+    return out.select(
+        "event_id", "event_type", "value", "matched_minute", "minute_avg"
+    ).orderBy("event_id")
+
+
+J_ASOF_TOL_SQL = """
+WITH minutes AS (
+  SELECT event_type AS m_type, date_trunc('minute', ts) AS m_ts,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS minute_avg
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.value,
+  CASE WHEN epoch(m.m_ts) - epoch(e.ts) <= 120 THEN m.m_ts END AS matched_minute,
+  CASE WHEN epoch(m.m_ts) - epoch(e.ts) <= 120 THEN m.minute_avg END AS minute_avg
+FROM events e ASOF LEFT JOIN minutes m
+  ON e.event_type = m.m_type AND e.ts <= m.m_ts
+ORDER BY e.event_id
+"""
+
+
 def j_range_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: events counted into 30 overlapping 61-hour windows
     spaced 37 hours apart, via the bucketed equi-join plan
@@ -3494,6 +3542,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "e4_large_trade_impact": e4_large_trade_impact,
     "j2_asof_enrich": j2_asof_enrich,
+    "j_asof_tolerance": j_asof_tolerance,
     "j_range_windows": j_range_windows,
     "w_sessionize": w_sessionize,
     "a10_scalar_corr": a10_scalar_corr,
@@ -3564,6 +3613,7 @@ EXT_ORACLES: dict[str, str] = {
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "e4_large_trade_impact": E4_LARGE_SQL,
     "j2_asof_enrich": J2_ASOF_SQL,
+    "j_asof_tolerance": J_ASOF_TOL_SQL,
     "j_range_windows": J_RANGE_SQL,
     "w_sessionize": W_SESSION_SQL,
     "a10_scalar_corr": A10_SQL,
