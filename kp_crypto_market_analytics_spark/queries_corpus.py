@@ -395,6 +395,57 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------- t_vocab_table
+
+
+def t_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary artifact: every token with a dense
+    frequency-ranked id and the cumulative collection-frequency
+    coverage at that rank — the table a tokenizer trainer emits and an
+    OOV-rate decision reads ("vocab of 32k covers 99.7%").
+
+    The global sort is over the VOCABULARY (|V| rows, already reduced
+    by a partial-aggregated groupBy), not the corpus — a vocab-sized
+    window is fine at 100 TB because |V| grows sublinearly; the token
+    explode itself never leaves map-side."""
+    toks = _toks_df(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    agg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("coll_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    total = agg.groupBy().agg(F.sum("coll_freq").alias("total"))
+    w = Window.orderBy(F.col("coll_freq").desc(), F.col("tok").asc())
+    cum = F.sum("coll_freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("vocab_id"),
+            "tok",
+            "coll_freq",
+            "doc_freq",
+            F.round(cum / F.col("total").cast("double"), 6).alias("coverage"),
+        )
+        .orderBy("vocab_id")
+    )
+
+
+T_VOCAB_TABLE_SQL = f"""
+WITH {TOKENS_CTE}, agg AS (
+  SELECT tok, COUNT(*) AS coll_freq, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY tok
+), tot AS (SELECT SUM(coll_freq) AS total FROM agg)
+SELECT
+  row_number() OVER (ORDER BY coll_freq DESC, tok) AS vocab_id,
+  tok, coll_freq, doc_freq,
+  round(SUM(coll_freq) OVER (ORDER BY coll_freq DESC, tok
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    / CAST(total AS DOUBLE), 6) AS coverage
+FROM agg CROSS JOIN tot ORDER BY vocab_id
+"""
+
+
 # ---------------------------------------------------- t_quality_deciles
 
 
@@ -497,6 +548,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bigram_logprob": t_bigram_logprob,
     "t_quality_deciles": t_quality_deciles,
     "dedup_incremental": dedup_incremental,
+    "t_vocab_table": t_vocab_table,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -504,6 +556,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "t_word_entropy": T_WORD_ENTROPY_SQL,
     "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
+    "t_vocab_table": T_VOCAB_TABLE_SQL,
 }
 
 
