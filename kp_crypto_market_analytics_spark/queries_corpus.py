@@ -395,6 +395,132 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------- t_bpe_merges
+
+_BPE_ROUNDS = 3
+
+
+def t_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING, not just application (``t_bpe_tokens`` applies
+    a fixed regex): learn the first 3 byte-pair merges from the corpus —
+    per round, count adjacent symbol pairs over the word list weighted
+    by word frequency, take the top pair (count desc, pair asc), merge
+    it everywhere, repeat.  The loop is unrolled into the plan: each
+    round is a pair explode → weighted count → 1-row top-pair broadcast
+    → `replace` re-segmentation; no action between rounds, no Python in
+    the hot path.
+
+    Words are encoded as double-space-separated symbol strings with
+    padded ends, so `replace(' a  b ' → ' ab ')` merges ALL adjacent
+    occurrences in one greedy left-to-right pass — both engines'
+    `replace` scan identically, which is what makes the oracle exact.
+    Pair counting rides on the |vocab| word list (wf-weighted), so each
+    round's shuffle is vocabulary-sized — corpus tokens are touched
+    once, in the initial word-frequency aggregate."""
+    toks = _toks_df(spark, sf_dir).select("doc_id", F.explode("toks").alias("tok"))
+    words = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .select(
+            "wf",
+            F.concat(
+                F.lit("  "), F.concat_ws("  ", F.split("tok", "")), F.lit("  ")
+            ).alias("seq"),
+        )
+    )
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        arr = F.filter(F.split("seq", "  "), lambda x: x != "")
+        n = F.size(arr) - 1
+        pairs = (
+            words.where(F.size(arr) >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.zip_with(
+                        F.slice(arr, 1, n),
+                        F.slice(arr, 2, n),
+                        lambda a, b: F.struct(a.alias("left_sym"), b.alias("right_sym")),
+                    )
+                ).alias("p"),
+            )
+            .select("wf", F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym"))
+        )
+        top = (
+            pairs.groupBy("left_sym", "right_sym")
+            .agg(F.sum("wf").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+            .limit(1)
+            .withColumn("merge_idx", F.lit(r + 1))
+        )
+        merges.append(top)
+        words = (
+            words.crossJoin(
+                F.broadcast(
+                    top.select(
+                        F.col("left_sym").alias("__l"), F.col("right_sym").alias("__r")
+                    )
+                )
+            )
+            .withColumn(
+                "seq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("__l"), F.lit("  "), F.col("__r"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("__l"), F.col("__r"), F.lit(" ")),
+                ),
+            )
+            .drop("__l", "__r")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "merge_idx",
+        "left_sym",
+        "right_sym",
+        F.concat("left_sym", "right_sym").alias("merged"),
+        "pair_count",
+    ).orderBy("merge_idx")
+
+
+def _bpe_merges_sql() -> str:
+    parts = [
+        f"""w AS (
+  SELECT tok, COUNT(*) AS wf FROM toks GROUP BY tok
+), s0 AS (
+  SELECT wf, '  ' || array_to_string(string_split(tok, ''), '  ') || '  ' AS seq FROM w
+)"""
+    ]
+    for r in range(_BPE_ROUNDS):
+        parts.append(
+            f"""p{r} AS (
+  SELECT arr[i] AS left_sym, arr[i + 1] AS right_sym, SUM(wf) AS pair_count
+  FROM (SELECT wf, list_filter(string_split(seq, '  '), x -> x <> '') AS arr FROM s{r}),
+       generate_series(1, 200) AS g(i)
+  WHERE i <= len(arr) - 1
+  GROUP BY 1, 2
+), t{r} AS (
+  SELECT {r + 1} AS merge_idx, left_sym, right_sym, pair_count
+  FROM p{r} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+)"""
+        )
+        if r + 1 < _BPE_ROUNDS:
+            parts.append(
+                f"""s{r + 1} AS (
+  SELECT wf, replace(seq, ' ' || t.left_sym || '  ' || t.right_sym || ' ',
+                          ' ' || t.left_sym || t.right_sym || ' ') AS seq
+  FROM s{r} CROSS JOIN t{r} t
+)"""
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM t{r}" for r in range(_BPE_ROUNDS))
+    return f"""
+WITH {TOKENS_CTE}, {", ".join(parts)}
+SELECT merge_idx, left_sym, right_sym, left_sym || right_sym AS merged, pair_count
+FROM ({union}) ORDER BY merge_idx
+"""
+
+
 # ------------------------------------------------------- t_vocab_table
 
 
@@ -549,6 +675,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_quality_deciles": t_quality_deciles,
     "dedup_incremental": dedup_incremental,
     "t_vocab_table": t_vocab_table,
+    "t_bpe_merges": t_bpe_merges,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -569,4 +696,5 @@ def corpus_oracles() -> dict[str, str]:
         **CORPUS_ORACLES,
         "t_quality_deciles": _t_quality_deciles_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
+        "t_bpe_merges": _bpe_merges_sql(),
     }

@@ -202,3 +202,27 @@ def test_incremental_pairs_match_filtered_full_lsh(spark):
     got_pairs = set(zip(inc["doc_a"], inc["doc_b"]))
     want_pairs = set(zip(want["doc_a"], want["doc_b"]))
     assert got_pairs == want_pairs
+
+
+def test_bpe_merges_hand_computed(spark, tmp_path):
+    from kp_crypto_market_analytics_spark.queries_corpus import t_bpe_merges
+
+    # wf(xx)=3, wf(xy)=1: round 1 must merge (x,x) with count 3, round 2
+    # (x,y) with count 1; round 3 has no pairs left -> table EXHAUSTS
+    # gracefully at 2 rows instead of inventing a merge.
+    rows = [(1, "xx xx xy"), (2, "xx")]
+    got = t_bpe_merges(spark, _write_docs(tmp_path, rows)).toPandas()
+    assert len(got) == 2
+    assert tuple(got.iloc[0][["left_sym", "right_sym", "pair_count"]]) == ("x", "x", 3)
+    assert tuple(got.iloc[1][["left_sym", "right_sym", "pair_count"]]) == ("x", "y", 1)
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark, tmp_path):
+    from kp_crypto_market_analytics_spark.queries_corpus import t_bpe_merges
+
+    # "xxx": round 1 counts (x,x) twice; merging leaves "xx x" (greedy
+    # leftmost), so round 2 pairs (xx, x) — the documented single-pass
+    # replace semantics, identical on both engines.
+    got = t_bpe_merges(spark, _write_docs(tmp_path, [(1, "xxx xxx")])).toPandas()
+    assert tuple(got.iloc[0][["left_sym", "right_sym", "pair_count"]]) == ("x", "x", 4)
+    assert tuple(got.iloc[1][["left_sym", "right_sym", "pair_count"]]) == ("xx", "x", 2)
