@@ -37,6 +37,41 @@ def exact_avg(col: str | Column) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias("avg")
 
 
+def round_mean_micro(num_dec: Column, den: Column) -> Column:
+    """round(num/den, 6) computed EXACTLY, for a scale-6 DECIMAL
+    numerator and integer denominator — immune to the structural
+    rounding hazard that `round(CAST(num AS DOUBLE)/den, 6)` carries:
+    a 6-dp decimal divided by a small integer lands on an EXACT
+    .5×10⁻⁶ tie surprisingly often (e.g. 106.64253/36 = 2.96229250),
+    and at a tie the double cannot represent the true value, so two
+    engines legitimately disagree on the rounded 6th digit.
+
+    Integer path: micro = num·10⁶ (exact BIGINT for scale-6 input),
+    half-away-from-zero division = sign · ((2·|micro| + den) DIV
+    (2·den)) — pure int64 arithmetic, bit-identical everywhere.
+    ``sql_round_mean_micro`` is the oracle-side twin."""
+    micro = (num_dec * F.lit(1000000)).cast("long")
+    d = den.cast("long")
+    num2 = F.lit(2) * F.abs(micro) + d
+    den2 = F.lit(2) * d
+    # floor(num2/den2) in exact integer arithmetic: subtract the
+    # remainder first, then the division is exact (and < 2^53).
+    q = (num2 - num2 % den2) / den2
+    sign = F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * q.cast("long")) / F.lit(1000000.0)
+
+
+def sql_round_mean_micro(num_sql: str, den_sql: str) -> str:
+    """DuckDB twin of :func:`round_mean_micro` (integer half-away
+    rounding of a scale-6 decimal mean)."""
+    m = f"CAST(({num_sql}) * 1000000 AS BIGINT)"
+    return (
+        f"(CASE WHEN {m} < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs({m}) + ({den_sql})) // (2 * ({den_sql}))))"
+        f" / 1000000.0"
+    )
+
+
 def exact_stddev_samp(col: str | Column) -> Column:
     """Sample stddev via exact decimal moments: identical IEEE result on
     any engine computing sqrt((Σx² − (Σx)²/n)/(n−1)) over exact sums.

@@ -221,40 +221,53 @@ def t_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     H = ln(n) - (Σ c·ln c)/n over per-doc token counts c.  Each ln is
     rounded to 6 dp and the products are summed as decimals, so the
-    reduce is order-independent and the oracle compares exact.  Two
-    shuffles: (doc_id, tok) count, then per-doc reduce — tokens never
-    leave the first exchange."""
+    reduce is order-independent.  The final divide-and-round runs in
+    EXACT integer arithmetic (``round_mean_micro``): a 6-dp decimal
+    divided by a small n lands on an exact .5×10⁻⁶ tie often enough
+    (4/5000 docs at sf0.1) that double rounding is engine-dependent —
+    H = (round(ln n,6)·n − Σ)/n as a micro-nat integer quotient
+    sidesteps the tie entirely.  Two shuffles: (doc_id, tok) count,
+    then per-doc reduce — tokens never leave the first exchange."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import round_mean_micro
+
     toks = _toks_df(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("tok")
     )
     counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    slc = F.sum(F.col("c") * F.round(F.log("c"), 6).cast(DEC)).cast("double")
+    slc = F.sum(F.col("c") * F.round(F.log("c"), 6).cast(DEC))
     n = F.sum("c")
+    lnn6 = F.round(F.log(n), 6).cast(DEC)
     return (
         counts.groupBy("doc_id")
         .agg(
             n.alias("n_tokens"),
             F.count(F.lit(1)).alias("n_types"),
-            F.round(
-                F.round(F.log(n), 6) - slc / n.cast("double"), 6
-            ).alias("entropy"),
-            F.round(F.count(F.lit(1)) / n.cast("double"), 6).alias("ttr"),
+            round_mean_micro(lnn6 * n - slc, n).alias("entropy"),
+            round_mean_micro(F.count(F.lit(1)).cast(DEC), n).alias("ttr"),
         )
         .orderBy("doc_id")
     )
 
 
-T_WORD_ENTROPY_SQL = f"""
+def _t_word_entropy_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    s = "SUM(c * CAST(round(ln(c), 6) AS DECIMAL(18,6)))"
+    ent_num = f"CAST(round(ln(SUM(c)), 6) AS DECIMAL(18,6)) * SUM(c) - {s}"
+    return f"""
 WITH {TOKENS_CTE}, counts AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
 )
 SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
-  round(round(ln(SUM(c)), 6)
-    - CAST(SUM(c * CAST(round(ln(c), 6) AS DECIMAL(18,6))) AS DOUBLE)
-      / CAST(SUM(c) AS DOUBLE), 6) AS entropy,
-  round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS ttr
+  {sql_round_mean_micro(ent_num, "SUM(c)")} AS entropy,
+  {sql_round_mean_micro("CAST(COUNT(*) AS DECIMAL(18,6))", "SUM(c)")} AS ttr
 FROM counts GROUP BY doc_id ORDER BY doc_id
 """
+
+
+T_WORD_ENTROPY_SQL = _t_word_entropy_sql()
 
 
 # ---------------------------------------------------- t_bigram_logprob
@@ -302,13 +315,17 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vsize))
         .select("doc_id", logp.alias("logp"))
     )
+    from kp_crypto_market_analytics_spark.operators.aggregates import round_mean_micro
+
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("logp").cast(DEC)).cast("double") / F.count(F.lit(1)),
-                6,
+            # Exact-integer divide-and-round: see t_word_entropy's tie
+            # note — a 6-dp decimal sum over a small count is the same
+            # structural hazard.
+            round_mean_micro(
+                F.sum(F.col("logp").cast(DEC)), F.count(F.lit(1))
             ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
@@ -330,11 +347,22 @@ WITH norm AS (
   SELECT w1, w2, COUNT(*) AS c12 FROM b GROUP BY w1, w2
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
-  round(CAST(SUM(CAST(round(ln((c12 + 1) / CAST(c1 + v AS DOUBLE)), 6)
-    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+  {{LOGP_MEAN}} AS avg_logprob
 FROM b JOIN bc USING (w1, w2) JOIN heads USING (w1) CROSS JOIN v
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def _bigram_logprob_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    s = ("SUM(CAST(round(ln((c12 + 1) / CAST(c1 + v AS DOUBLE)), 6)"
+         " AS DECIMAL(18,6)))")
+    return T_BIGRAM_LOGPROB_SQL.replace(
+        "{LOGP_MEAN}", sql_round_mean_micro(s, "COUNT(*)")
+    )
 
 
 # ---------------------------------------------------- dedup_incremental
@@ -682,7 +710,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "t_paragraph_dedup": T_PARAGRAPH_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "t_word_entropy": T_WORD_ENTROPY_SQL,
-    "t_bigram_logprob": T_BIGRAM_LOGPROB_SQL,
+    "t_bigram_logprob": _bigram_logprob_sql(),
     "t_vocab_table": T_VOCAB_TABLE_SQL,
 }
 
