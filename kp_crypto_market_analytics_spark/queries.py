@@ -16,6 +16,16 @@ oracle is ANSI SQL DuckDB runs on the same parquet.  Determinism rules
 - Every ORDER BY feeding a LIMIT carries a unique tiebreaker.
 - Timestamp keys only ever appear date_trunc'd (ns-vs-us storage
   precision is truncated away).
+- round(decimal₆_sum / count, 6) has a STRUCTURAL tie hazard: the true
+  rational lands exactly on .5×10⁻⁶ often (it needs only
+  2·count | (2·micro_sum mod 2·count·10⁶-ish alignment), e.g.
+  106.64253/36 = 2.96229250), and at a tie the double is one ulp off
+  on one engine.  New mean-shaped outputs use
+  operators.aggregates.round_mean_micro / sql_round_mean_micro (exact
+  int64 half-away division); established driver-green queries keep
+  their original formula — their gate data holds no tie, and changing
+  them would void the green evidence (see t_word_entropy for the
+  measured case: 4/5000 docs at sf0.1).
 """
 
 from __future__ import annotations
