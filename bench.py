@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "t_word_entropy",
     "t_bigram_logprob",
     "t_quality_deciles",
+    "dedup_incremental",
+    "t_vocab_table",
+    "t_bpe_merges",
+    "j_asof_tolerance",
 ]
 
 
