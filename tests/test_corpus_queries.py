@@ -226,3 +226,22 @@ def test_bpe_merge_is_greedy_left_to_right(spark, tmp_path):
     got = t_bpe_merges(spark, _write_docs(tmp_path, [(1, "xxx xxx")])).toPandas()
     assert tuple(got.iloc[0][["left_sym", "right_sym", "pair_count"]]) == ("x", "x", 4)
     assert tuple(got.iloc[1][["left_sym", "right_sym", "pair_count"]]) == ("xx", "x", 2)
+
+
+def test_new_corpus_queries_empty_input(spark, tmp_path):
+    from kp_crypto_market_analytics_spark.queries_corpus import (
+        dedup_incremental,
+        t_bpe_merges,
+        t_quality_deciles,
+        t_vocab_table,
+    )
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}
+    )
+    empty.to_parquet(tmp_path / "documents.parquet", index=False)
+    sf = str(tmp_path)
+    assert dedup_incremental(spark, sf).count() == 0
+    assert t_vocab_table(spark, sf).count() == 0
+    assert t_bpe_merges(spark, sf).count() == 0
+    assert t_quality_deciles(spark, sf).count() == 0
