@@ -49,7 +49,7 @@ _FIRST_SEEN_ROUND = {
         "ti_acf", "w_cusum", "t_unigram_logprob", "ti_backtest",
         "t_paragraph_dedup", "dedup_substring", "t_word_entropy",
         "t_bigram_logprob", "t_quality_deciles", "dedup_incremental",
-        "j_asof_tolerance", "t_vocab_table", "t_bpe_merges",
+        "j_asof_tolerance", "t_vocab_table", "t_bpe_merges", "t_oov_rate",
     )
 }
 

@@ -600,6 +600,73 @@ FROM agg CROSS JOIN tot ORDER BY vocab_id
 """
 
 
+# --------------------------------------------------------- t_oov_rate
+
+_OOV_VOCAB_K = 20
+
+
+def t_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary impact per source: freeze the top-K
+    (coll_freq desc, tok asc) vocabulary and measure, per document
+    source, the fraction of tokens that fall outside it — the
+    domain-level readout of a vocab-size decision (`t_vocab_table`
+    picks K; this shows who pays for it).
+
+    The frozen vocab is a K-row broadcast (K is a constant, so this
+    broadcast is legitimate at any corpus size, unlike the full-vocab
+    joins in the LM scorers); OOV rate divides in exact int64
+    (`round_mean_micro`)."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import round_mean_micro
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        ensure_parallelism(t["documents"])
+        .select("source", F.explode(F.split(_norm_col(), " ")).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    frozen = top_k(vocab, [F.col("cf").desc(), F.col("tok").asc()], _OOV_VOCAB_K).select(
+        "tok", F.lit(True).alias("in_vocab")
+    )
+    n = F.count(F.lit(1))
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return (
+        toks.join(F.broadcast(frozen), "tok", "left")
+        .groupBy("source")
+        .agg(
+            n.alias("n_tokens"),
+            oov.alias("n_oov"),
+            round_mean_micro(oov.cast(DEC), n).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_oov_rate_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_TEXT_SQL}, ' ')) AS tok FROM documents
+), frozen AS (
+  SELECT tok, TRUE AS in_vocab FROM (
+    SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+    ORDER BY cf DESC, tok LIMIT {_OOV_VOCAB_K}
+  )
+)
+SELECT source, COUNT(*) AS n_tokens,
+  COUNT(CASE WHEN in_vocab IS NULL THEN 1 END) AS n_oov,
+  {sql_round_mean_micro("CAST(COUNT(CASE WHEN in_vocab IS NULL THEN 1 END) AS DECIMAL(18,6))", "COUNT(*)")} AS oov_rate
+FROM toks LEFT JOIN frozen USING (tok)
+GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------- t_quality_deciles
 
 
@@ -704,6 +771,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": dedup_incremental,
     "t_vocab_table": t_vocab_table,
     "t_bpe_merges": t_bpe_merges,
+    "t_oov_rate": t_oov_rate,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -725,4 +793,5 @@ def corpus_oracles() -> dict[str, str]:
         "t_quality_deciles": _t_quality_deciles_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "t_bpe_merges": _bpe_merges_sql(),
+        "t_oov_rate": _t_oov_rate_sql(),
     }
