@@ -260,7 +260,12 @@ WINDOW f AS ({_W_SQL} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 def ti_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intraday cumulative VWAP per (symbol, day): Σ(price·vol)/Σvol
     running within the session, volume = props `k` (null-tolerant).
-    Decimal notional × integer volume — both running sums exact."""
+    price::DECIMAL(18,6) × INTEGER volume keeps the running notional at
+    scale 6 exactly, so the divide-and-round runs in exact int64
+    (`round_mean_micro`) — the double path hit a real .5×10⁻⁶ tie at
+    sf0.1 (see queries.py determinism rules)."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import round_mean_micro
+
     t = load_tables(spark, sf_dir, ["events"])
     w = (
         Window.partitionBy("event_type", "d")
@@ -268,24 +273,30 @@ def ti_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     df = t["events"].withColumn("d", F.to_date("ts")).withColumn("vol", _k_col())
-    notional = (F.col("value").cast(DEC) * F.col("vol").cast(DEC)).alias("notional")
-    cum_not = F.sum(notional).over(w).cast("double")
+    notional = (F.col("value").cast(DEC) * F.col("vol")).alias("notional")
+    cum_not = F.sum(notional).over(w)
     cum_vol = F.sum("vol").over(w)
     return df.select(
         "event_id",
         "event_type",
         "d",
         "value",
-        F.when(cum_vol > 0, F.round(cum_not / cum_vol, 6)).alias("vwap"),
+        F.when(cum_vol > 0, round_mean_micro(cum_not, cum_vol)).alias("vwap"),
     )
 
 
-TI_VWAP_SQL = f"""
+def _ti_vwap_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    mean = sql_round_mean_micro("cum_not", "cum_vol")
+    return f"""
 SELECT event_id, event_type, d, value,
-  CASE WHEN cum_vol > 0 THEN round(cum_not / cum_vol, 6) END AS vwap
+  CASE WHEN cum_vol > 0 THEN {mean} END AS vwap
 FROM (
   SELECT event_id, event_type, d, value,
-    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(vol AS DECIMAL(18,6))) OVER w AS DOUBLE) AS cum_not,
+    SUM(CAST(value AS DECIMAL(18,6)) * vol) OVER w AS cum_not,
     SUM(vol) OVER w AS cum_vol
   FROM (
     SELECT event_id, event_type, CAST(ts AS DATE) AS d, ts, value, {_K_EXPR} AS vol
@@ -294,6 +305,9 @@ FROM (
   WINDOW w AS (PARTITION BY event_type, d ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 """
+
+
+TI_VWAP_SQL = _ti_vwap_sql()
 
 
 # ------------------------------------------------------------- ti_obv
