@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "t_vocab_table",
     "t_bpe_merges",
     "j_asof_tolerance",
+    "t_oov_rate",
 ]
 
 

@@ -54,11 +54,11 @@ def round_mean_micro(num_dec: Column, den: Column) -> Column:
     d = den.cast("long")
     num2 = F.lit(2) * F.abs(micro) + d
     den2 = F.lit(2) * d
-    # floor(num2/den2) in exact integer arithmetic: subtract the
-    # remainder first, then the division is exact (and < 2^53).
-    q = (num2 - num2 % den2) / den2
+    # True integral division (`div`), never `/`: the float path loses
+    # exactness once num2 reaches 2^53 (session.py's standing rule).
+    q = F.call_function("div", num2, den2)
     sign = F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
-    return (sign * q.cast("long")) / F.lit(1000000.0)
+    return (sign * q) / F.lit(1000000.0)
 
 
 def sql_round_mean_micro(num_sql: str, den_sql: str) -> str:

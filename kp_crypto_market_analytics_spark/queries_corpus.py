@@ -32,7 +32,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kp_crypto_market_analytics_spark.operators.aggregates import DEC
+from kp_crypto_market_analytics_spark.operators.aggregates import (
+    DEC,
+    round_mean_micro,
+    sql_round_mean_micro,
+)
 from kp_crypto_market_analytics_spark.queries_ext import NORM_TEXT_SQL, TOKENS_CTE
 from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
 
@@ -85,6 +89,8 @@ def t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from kp_crypto_market_analytics_spark.operators.aggregates import round_mean_micro
+
     h = F.md5(F.col("chunk"))
     cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
     per_chunk = (
@@ -98,7 +104,7 @@ def t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             dup.alias("n_dup_chunks"),
-            F.round(dup / F.count(F.lit(1)).cast("double"), 6).alias("dup_frac"),
+            round_mean_micro(dup.cast(DEC), F.count(F.lit(1))).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )
@@ -117,7 +123,7 @@ WITH norm AS (
 )
 SELECT doc_id, COUNT(*) AS n_chunks,
   COUNT(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_chunks,
-  round(COUNT(CASE WHEN cnt > 1 THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+  {sql_round_mean_micro("CAST(COUNT(CASE WHEN cnt > 1 THEN 1 END) AS DECIMAL(18,6))", "COUNT(*)")} AS dup_frac
 FROM k GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -179,7 +185,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
             F.when(
                 F.col("n_windows").isNotNull(),
-                F.round(F.col("n_shared") / F.col("n_windows").cast("double"), 6),
+                round_mean_micro(F.col("n_shared").cast(DEC), F.col("n_windows")),
             )
             .otherwise(F.lit(0.0))
             .alias("shared_frac"),
@@ -205,7 +211,7 @@ WITH norm AS (
 SELECT n.doc_id,
   coalesce(n_windows, 0) AS n_windows,
   coalesce(n_shared, 0) AS n_shared,
-  coalesce(round(n_shared / CAST(n_windows AS DOUBLE), 6), 0.0) AS shared_frac
+  coalesce({sql_round_mean_micro("CAST(n_shared AS DECIMAL(18,6))", "n_windows")}, 0.0) AS shared_frac
 FROM norm n LEFT JOIN per_doc p ON n.doc_id = p.doc_id
 ORDER BY n.doc_id
 """
@@ -579,7 +585,7 @@ def t_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
             "coll_freq",
             "doc_freq",
-            F.round(cum / F.col("total").cast("double"), 6).alias("coverage"),
+            round_mean_micro(cum.cast(DEC), F.col("total")).alias("coverage"),
         )
         .orderBy("vocab_id")
     )
@@ -593,9 +599,11 @@ WITH {TOKENS_CTE}, agg AS (
 SELECT
   row_number() OVER (ORDER BY coll_freq DESC, tok) AS vocab_id,
   tok, coll_freq, doc_freq,
-  round(SUM(coll_freq) OVER (ORDER BY coll_freq DESC, tok
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    / CAST(total AS DOUBLE), 6) AS coverage
+  {sql_round_mean_micro(
+      "CAST(SUM(coll_freq) OVER (ORDER BY coll_freq DESC, tok "
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,6))",
+      "total",
+  )} AS coverage
 FROM agg CROSS JOIN tot ORDER BY vocab_id
 """
 
@@ -718,12 +726,18 @@ def t_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.min("score"), 6).alias("min_score"),
             F.round(F.max("score"), 6).alias("max_score"),
-            F.round(F.sum(F.col("score").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias("avg_score"),
-            F.round(F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 6).alias("avg_tokens"),
-            F.round(
-                F.sum(F.col("stopword_ratio").cast(DEC)).cast("double")
-                / F.count("stopword_ratio"),
-                6,
+            round_mean_micro(
+                F.sum(F.col("score").cast(DEC)), F.count(F.lit(1))
+            ).alias("avg_score"),
+            round_mean_micro(
+                F.sum("n_tokens").cast(DEC), F.count(F.lit(1))
+            ).alias("avg_tokens"),
+            F.when(
+                F.count("stopword_ratio") > 0,
+                round_mean_micro(
+                    F.sum(F.col("stopword_ratio").cast(DEC)),
+                    F.count("stopword_ratio"),
+                ),
             ).alias("avg_stopword_ratio"),
         )
         .orderBy("decile")
@@ -754,10 +768,11 @@ banded AS (
 SELECT decile, COUNT(*) AS n_docs,
   round(MIN(score), 6) AS min_score,
   round(MAX(score), 6) AS max_score,
-  round(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_score,
-  round(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_tokens,
-  round(CAST(SUM(CAST(stopword_ratio AS DECIMAL(18,6))) AS DOUBLE)
-    / COUNT(stopword_ratio), 6) AS avg_stopword_ratio
+  {sql_round_mean_micro("SUM(CAST(score AS DECIMAL(18,6)))", "COUNT(*)")} AS avg_score,
+  {sql_round_mean_micro("CAST(SUM(n_tokens) AS DECIMAL(18,6))", "COUNT(*)")} AS avg_tokens,
+  CASE WHEN COUNT(stopword_ratio) > 0 THEN
+    {sql_round_mean_micro("SUM(CAST(stopword_ratio AS DECIMAL(18,6)))", "COUNT(stopword_ratio)")}
+  END AS avg_stopword_ratio
 FROM banded GROUP BY decile ORDER BY decile
 """
 

@@ -232,12 +232,17 @@ def test_new_corpus_queries_empty_input(spark, tmp_path):
     from kp_crypto_market_analytics_spark.queries_corpus import (
         dedup_incremental,
         t_bpe_merges,
+        t_oov_rate,
         t_quality_deciles,
         t_vocab_table,
     )
 
     empty = pd.DataFrame(
-        {"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "text": pd.Series(dtype="object"),
+            "source": pd.Series(dtype="object"),
+        }
     )
     empty.to_parquet(tmp_path / "documents.parquet", index=False)
     sf = str(tmp_path)
@@ -245,3 +250,4 @@ def test_new_corpus_queries_empty_input(spark, tmp_path):
     assert t_vocab_table(spark, sf).count() == 0
     assert t_bpe_merges(spark, sf).count() == 0
     assert t_quality_deciles(spark, sf).count() == 0
+    assert t_oov_rate(spark, sf).count() == 0
