@@ -536,6 +536,45 @@ ORDER BY user_id
 """
 
 
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip identity: APPLY the derived change set back onto
+    snapshot A's live state and return the reconstructed snapshot B —
+    the oracle computes B directly from the raw event log, so the hash
+    gate proves apply ∘ diff = identity (the property the reference's
+    upsert loader, load_postgres.py:83-103, silently relies on).
+
+    The apply consumes only what a change consumer would have:
+    old_value (A's live state) + change_type/new_value (the change
+    set).  inserts/updates take new_value, deletes drop, unchanged
+    live rows carry old_value forward.  Same partitioning as the diff
+    — no extra exchange."""
+    diff = cdc_snapshot_diff(spark, sf_dir)
+    ct = F.col("change_type")
+    return (
+        diff.where(
+            ct.isin("insert", "update")
+            | ((ct == "unchanged") & F.col("old_value").isNotNull())
+        )
+        .select(
+            "user_id",
+            F.when(ct.isin("insert", "update"), F.col("new_value"))
+            .otherwise(F.col("old_value"))
+            .alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CDC_APPLY_SQL = """
+SELECT user_id, value FROM (
+  SELECT user_id, value, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
 # ------------------------------------------------------------- ti_acf
 
 _ACF_LAGS = (1, 5, 10)
@@ -728,6 +767,7 @@ IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_backtest": ti_backtest,
     "w_cusum": w_cusum,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_apply": cdc_apply,
 }
 
 IND_ORACLES: dict[str, str] = {
@@ -742,4 +782,5 @@ IND_ORACLES: dict[str, str] = {
     "ti_backtest": TI_BACKTEST_SQL,
     "w_cusum": W_CUSUM_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_SQL,
+    "cdc_apply": CDC_APPLY_SQL,
 }
