@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "t_bpe_merges",
     "j_asof_tolerance",
     "t_oov_rate",
+    "t_countmin_hh",
 ]
 
 

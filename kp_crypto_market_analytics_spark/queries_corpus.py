@@ -675,6 +675,98 @@ GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------------- t_countmin_hh
+
+_CM_ROWS = 4
+_CM_WIDTH = 1024
+
+
+def t_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, with the sketch's bias AUDITED
+    against exact counts: build a 4×1024 counter sketch over the token
+    stream (portable md5-derived bucket hashes, so the oracle rebuilds
+    the identical sketch), probe the top-20 tokens, and report exact
+    count, CM estimate, and overcount.  CM guarantees est ≥ exact —
+    the gate pins the estimate bit-for-bit, the test pins the bound.
+
+    Scale shape: the sketch is a 4096-row aggregate with map-side
+    combine (the classic 'heavy hitters without a full vocab shuffle'
+    structure — at 100 TB the sketch fits in L2 while exact counts need
+    |vocab| state); the probe joins 20 rows against it broadcast."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    toks = _toks_df(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+
+    def bucket(j: int):
+        return (
+            F.pmod(hash64(F.concat(F.col("tok"), F.lit(f"#cm{j}"))), F.lit(_CM_WIDTH))
+        ).alias("bucket")
+
+    rows = []
+    for j in range(_CM_ROWS):
+        rows.append(
+            vocab.select(F.lit(j).alias("row"), bucket(j), "cf")
+        )
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    sketch = cells.groupBy("row", "bucket").agg(F.sum("cf").alias("cell"))
+
+    probes = top_k(vocab, [F.col("cf").desc(), F.col("tok").asc()], 20)
+    probe_cells = None
+    for j in range(_CM_ROWS):
+        p = probes.select("tok", "cf", F.lit(j).alias("row"), bucket(j))
+        probe_cells = p if probe_cells is None else probe_cells.unionByName(p)
+    return (
+        probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.first("cf").alias("exact_cf"),
+            F.min("cell").alias("est_cf"),
+        )
+        .select(
+            "tok",
+            "exact_cf",
+            "est_cf",
+            (F.col("est_cf") - F.col("exact_cf")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_cf").desc(), F.col("tok").asc())
+    )
+
+
+def _t_countmin_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import H60
+
+    def bucket(j: int) -> str:
+        salted = f"tok || '#cm{j}'"
+        return f"({H60.format(x=salted)} % {_CM_WIDTH})"
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS row, {bucket(j)} AS bucket, cf FROM vocab"
+        for j in range(_CM_ROWS)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, cf, {j} AS row, {bucket(j)} AS bucket FROM probes"
+        for j in range(_CM_ROWS)
+    )
+    return f"""
+WITH {TOKENS_CTE}, vocab AS (
+  SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+), sketch AS (
+  SELECT row, bucket, SUM(cf) AS cell FROM ({cell_rows}) GROUP BY row, bucket
+), probes AS (
+  SELECT tok, cf FROM vocab ORDER BY cf DESC, tok LIMIT 20
+), joined AS (
+  SELECT tok, cf, cell FROM ({probe_rows}) p JOIN sketch USING (row, bucket)
+)
+SELECT tok, MIN(cf) AS exact_cf, MIN(cell) AS est_cf,
+  MIN(cell) - MIN(cf) AS overcount
+FROM joined GROUP BY tok ORDER BY exact_cf DESC, tok
+"""
+
+
 # ---------------------------------------------------- t_quality_deciles
 
 
@@ -787,6 +879,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_vocab_table": t_vocab_table,
     "t_bpe_merges": t_bpe_merges,
     "t_oov_rate": t_oov_rate,
+    "t_countmin_hh": t_countmin_hh,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -795,6 +888,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "t_word_entropy": T_WORD_ENTROPY_SQL,
     "t_bigram_logprob": _bigram_logprob_sql(),
     "t_vocab_table": T_VOCAB_TABLE_SQL,
+    "t_countmin_hh": _t_countmin_sql(),
 }
 
 

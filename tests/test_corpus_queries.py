@@ -251,3 +251,13 @@ def test_new_corpus_queries_empty_input(spark, tmp_path):
     assert t_bpe_merges(spark, sf).count() == 0
     assert t_quality_deciles(spark, sf).count() == 0
     assert t_oov_rate(spark, sf).count() == 0
+
+
+def test_countmin_never_undercounts(spark):
+    from kp_crypto_market_analytics_spark.queries_corpus import t_countmin_hh
+
+    got = t_countmin_hh(spark, SF_DIR).toPandas()
+    assert len(got) == 20
+    # count-min guarantee: estimates only ever overcount
+    assert (got["overcount"] >= 0).all()
+    assert (got["est_cf"] >= got["exact_cf"]).all()
