@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "j_asof_tolerance",
     "t_oov_rate",
     "t_countmin_hh",
+    "e_pca_power",
 ]
 
 

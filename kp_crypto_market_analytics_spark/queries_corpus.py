@@ -675,6 +675,115 @@ GROUP BY source ORDER BY source
 """
 
 
+# -------------------------------------------------------- e_pca_power
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def e_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by matrix-free
+    power iteration — the whitening/debiasing primitive ("all-but-the-
+    top") an embedding pipeline wants before ANN: v ← Σᵢ xᵢ(xᵢ·v),
+    normalized, 3 unrolled iterations from the constant start vector
+    1/√dim.  Output: per-dimension loading of v₃ plus the Rayleigh-ish
+    eigenvalue estimate ‖w₃‖.
+
+    All-DataFrame, no driver linear algebra: each iteration is one
+    broadcast of the 64-float vector, one HOF dot per row, one
+    posexplode absorbed by a partial-aggregated per-dimension sum
+    (DECIMAL(27,12) states — order-independent), and a 64-row
+    normalize.  The corpus is scanned once per iteration and nothing
+    vector-sized ever shuffles (the kmeans_centroids recipe,
+    operators/similarity.py, pointed at a different fixed point);
+    oracle = the same three iterations unrolled in SQL with
+    list_inner_product's matching left-associated accumulation."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        dot,
+        to_double_array,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("x")
+    )
+    v_df = spark.range(1).select(
+        F.array(*[F.lit(0.125)] * _PCA_DIM).alias("v")
+    )
+    w = nrm = None
+    for _ in range(_PCA_ITERS):
+        scored = emb.crossJoin(F.broadcast(v_df)).select(
+            F.round(dot(F.col("x"), F.col("v")), 6).alias("s"), "x"
+        )
+        comp = scored.select("s", F.posexplode("x").alias("pos", "xj"))
+        w = comp.groupBy("pos").agg(
+            F.round(
+                F.sum((F.col("s") * F.col("xj")).cast("decimal(27,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("wj")
+        )
+        wd = F.col("wj").cast(DEC)
+        nrm = w.groupBy().agg(
+            F.sqrt(F.sum(wd * wd).cast("double")).alias("nrm")
+        )
+        v_df = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("pos", F.round(F.col("wj") / F.col("nrm"), 6).alias("vj"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vj"))),
+                    lambda st: st.vj,
+                ).alias("v")
+            )
+        )
+    return (
+        w.crossJoin(F.broadcast(nrm))
+        .select(
+            (F.col("pos") + 1).alias("dim"),
+            F.round(F.col("wj") / F.col("nrm"), 6).alias("loading"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _e_pca_sql() -> str:
+    v0 = "[" + ", ".join(["0.125"] * _PCA_DIM) + "]"
+    parts = [
+        f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), v0 AS (SELECT {v0} AS v)"""
+    ]
+    prev = "v0"
+    for i in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT round(list_inner_product(x, v), 6) AS s, x FROM e, {prev}
+), w{i} AS (
+  SELECT i AS pos, round(CAST(SUM(CAST(s * x[i] AS DECIMAL(27,12))) AS DOUBLE), 6) AS wj
+  FROM s{i}, generate_series(1, {_PCA_DIM}) AS g(i) GROUP BY i
+), n{i} AS (
+  SELECT sqrt(CAST(SUM(CAST(wj AS DECIMAL(18,6)) * CAST(wj AS DECIMAL(18,6))) AS DOUBLE)) AS nrm FROM w{i}
+)"""
+        )
+        if i < _PCA_ITERS:
+            parts.append(
+                f"""v{i} AS (
+  SELECT list(round(wj / nrm, 6) ORDER BY pos) AS v FROM w{i}, n{i}
+)"""
+            )
+            prev = f"v{i}"
+    last = _PCA_ITERS
+    return f"""
+WITH {", ".join(parts)}
+SELECT pos AS dim, round(wj / nrm, 6) AS loading, round(nrm, 6) AS eigenvalue
+FROM w{last}, n{last} ORDER BY dim
+"""
+
+
 # ------------------------------------------------------- t_countmin_hh
 
 _CM_ROWS = 4
@@ -880,6 +989,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bpe_merges": t_bpe_merges,
     "t_oov_rate": t_oov_rate,
     "t_countmin_hh": t_countmin_hh,
+    "e_pca_power": e_pca_power,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -889,6 +999,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "t_bigram_logprob": _bigram_logprob_sql(),
     "t_vocab_table": T_VOCAB_TABLE_SQL,
     "t_countmin_hh": _t_countmin_sql(),
+    "e_pca_power": _e_pca_sql(),
 }
 
 
