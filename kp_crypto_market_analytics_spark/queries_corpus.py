@@ -813,21 +813,25 @@ def t_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(hash64(F.concat(F.col("tok"), F.lit(f"#cm{j}"))), F.lit(_CM_WIDTH))
         ).alias("bucket")
 
-    rows = []
-    for j in range(_CM_ROWS):
-        rows.append(
-            vocab.select(F.lit(j).alias("row"), bucket(j), "cf")
+    # One explode over a 4-struct array instead of a 4-way union: the
+    # vocab aggregate is computed ONCE and the sketch build is a single
+    # scan of it (the union form re-evaluated the token explode per row
+    # of the sketch — 4× the work and 4× the exchanges).
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("row"), bucket(j).alias("bucket"))
+                for j in range(_CM_ROWS)
+            ]
         )
-    cells = rows[0]
-    for r in rows[1:]:
-        cells = cells.unionByName(r)
+    ).alias("rb")
+    cells = vocab.select(rb, "cf").select("rb.row", "rb.bucket", "cf")
     sketch = cells.groupBy("row", "bucket").agg(F.sum("cf").alias("cell"))
 
     probes = top_k(vocab, [F.col("cf").desc(), F.col("tok").asc()], 20)
-    probe_cells = None
-    for j in range(_CM_ROWS):
-        p = probes.select("tok", "cf", F.lit(j).alias("row"), bucket(j))
-        probe_cells = p if probe_cells is None else probe_cells.unionByName(p)
+    probe_cells = probes.select("tok", "cf", rb).select(
+        "tok", "cf", "rb.row", "rb.bucket"
+    )
     return (
         probe_cells.join(F.broadcast(sketch), ["row", "bucket"])
         .groupBy("tok")
