@@ -462,6 +462,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     change_type: 'insert' (absent/tombstoned in A, live in B),
     'delete' (live in A, tombstoned in B), 'update' (live in both,
     value changed), 'unchanged' (live-equal or tombstoned in both).
+    Liveness is an EXPLICIT presence flag (not value-is-null — a live
+    row may legitimately carry a NULL value) and the update test is
+    null-safe, so NULL values classify identically on both engines;
+    `was_live`/`is_live` ride along so a change consumer (cdc_apply)
+    can reconstruct without value-null proxies.
     This is the inverse of the reference's upsert apply
     (load_postgres.py:83-103): derive the change set two snapshots
     imply.  Scale: two window-dedup passes + one shuffle-free join on
@@ -481,20 +486,20 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id",
                 "value",
                 (F.col("event_type") == "error").alias("deleted"),
+                F.lit(True).alias("present"),
             )
         )
 
     a = snapshot(e.where(F.col("ts") < F.lit(_CDC_CUTOFF).cast("timestamp")))
     b = snapshot(e)
     j = a.alias("a").join(b.alias("b"), "user_id", "full_outer")
-    a_live = F.col("a.deleted") == F.lit(False)
-    b_live = F.col("b.deleted") == F.lit(False)
-    a_gone = F.col("a.value").isNull() | F.col("a.deleted")
-    b_gone = F.col("b.value").isNull() | F.col("b.deleted")
+    a_live = F.coalesce(F.col("a.present"), F.lit(False)) & ~F.col("a.deleted")
+    b_live = F.coalesce(F.col("b.present"), F.lit(False)) & ~F.col("b.deleted")
+    changed_value = ~F.col("a.value").eqNullSafe(F.col("b.value"))
     change = (
-        F.when(a_gone & b_live, F.lit("insert"))
-        .when(a_live & b_gone, F.lit("delete"))
-        .when(a_live & b_live & (F.col("a.value") != F.col("b.value")), F.lit("update"))
+        F.when(~a_live & b_live, F.lit("insert"))
+        .when(a_live & ~b_live, F.lit("delete"))
+        .when(a_live & b_live & changed_value, F.lit("update"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(
@@ -502,6 +507,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         change.alias("change_type"),
         F.when(a_live, F.col("a.value")).alias("old_value"),
         F.when(b_live, F.col("b.value")).alias("new_value"),
+        a_live.alias("was_live"),
+        b_live.alias("is_live"),
     ).orderBy("user_id")
 
 
@@ -523,14 +530,16 @@ WITH a AS (
 )
 SELECT coalesce(a.user_id, b.user_id) AS user_id,
   CASE
-    WHEN (a.value IS NULL OR a.deleted) AND NOT coalesce(b.deleted, TRUE) THEN 'insert'
-    WHEN NOT coalesce(a.deleted, TRUE) AND coalesce(b.deleted, TRUE) THEN 'delete'
-    WHEN NOT coalesce(a.deleted, TRUE) AND NOT coalesce(b.deleted, TRUE)
-         AND a.value <> b.value THEN 'update'
+    WHEN NOT coalesce(NOT a.deleted, FALSE) AND coalesce(NOT b.deleted, FALSE) THEN 'insert'
+    WHEN coalesce(NOT a.deleted, FALSE) AND NOT coalesce(NOT b.deleted, FALSE) THEN 'delete'
+    WHEN coalesce(NOT a.deleted, FALSE) AND coalesce(NOT b.deleted, FALSE)
+         AND a.value IS DISTINCT FROM b.value THEN 'update'
     ELSE 'unchanged'
   END AS change_type,
-  CASE WHEN NOT coalesce(a.deleted, TRUE) THEN a.value END AS old_value,
-  CASE WHEN NOT coalesce(b.deleted, TRUE) THEN b.value END AS new_value
+  CASE WHEN coalesce(NOT a.deleted, FALSE) THEN a.value END AS old_value,
+  CASE WHEN coalesce(NOT b.deleted, FALSE) THEN b.value END AS new_value,
+  coalesce(NOT a.deleted, FALSE) AS was_live,
+  coalesce(NOT b.deleted, FALSE) AS is_live
 FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
 ORDER BY user_id
 """
@@ -544,16 +553,18 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert loader, load_postgres.py:83-103, silently relies on).
 
     The apply consumes only what a change consumer would have:
-    old_value (A's live state) + change_type/new_value (the change
-    set).  inserts/updates take new_value, deletes drop, unchanged
-    live rows carry old_value forward.  Same partitioning as the diff
-    — no extra exchange."""
+    old_value (A's live state) + change_type/new_value/is_live (the
+    change set).  inserts/updates take new_value, deletes drop,
+    unchanged LIVE rows carry old_value forward — liveness comes from
+    the explicit is_live flag, never from value-is-null (a live row
+    may carry a NULL value).  Same partitioning as the diff — no
+    extra exchange."""
     diff = cdc_snapshot_diff(spark, sf_dir)
     ct = F.col("change_type")
     return (
         diff.where(
             ct.isin("insert", "update")
-            | ((ct == "unchanged") & F.col("old_value").isNotNull())
+            | ((ct == "unchanged") & F.col("is_live"))
         )
         .select(
             "user_id",

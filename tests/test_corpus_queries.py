@@ -282,10 +282,40 @@ def test_pca_power_is_dominant_direction(spark):
     ctrl = np.zeros(64)
     ctrl[0] = 1.0
     assert rq(v) >= rq(ctrl)
-    # and approach the true dominant eigenvalue: this corpus has a
-    # nearly-flat top spectrum (14.4/13.5/12.9), so 3 iterations are
-    # provably at ~81% — bound at 0.8 with the start vector far below
-    v0 = np.full(64, 0.125)
-    top = np.linalg.eigvalsh(A).max()
-    assert rq(v) >= 0.8 * top
-    assert rq(v) > rq(v0)
+    # structural pin: match a numpy recompute of the SAME 3-iteration
+    # power step (data-independent, unlike a fixed fraction-of-top
+    # bound — this corpus has a nearly-flat spectrum, so absolute
+    # convergence depends on the generated data), and improve on v0
+    v_np = np.full(64, 0.125)
+    for _ in range(3):
+        w_np = A @ v_np
+        v_np = w_np / np.linalg.norm(w_np)
+    assert abs(rq(v) - rq(v_np)) < 1e-3
+    assert rq(v) > rq(np.full(64, 0.125))
+
+
+def test_countmin_and_pca_empty_inputs(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kp_crypto_market_analytics_spark.queries_corpus import (
+        e_pca_power,
+        t_countmin_hh,
+    )
+
+    pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")}
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float32())),
+                "label": pa.array([], type=pa.string()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    sf = str(tmp_path)
+    assert t_countmin_hh(spark, sf).count() == 0
+    assert e_pca_power(spark, sf).count() == 0

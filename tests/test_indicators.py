@@ -385,3 +385,39 @@ def test_cdc_snapshot_diff_semantics(spark, events_pd):
     counts = got["change_type"].value_counts()
     assert counts.get("update", 0) > 0
     assert counts.get("insert", 0) + counts.get("delete", 0) > 0
+
+
+def test_cdc_null_values_classify_and_apply(spark, tmp_path):
+    # A live row may carry a NULL value: NULL->5.0 must classify as
+    # 'update' (null-safe compare), and apply must keep live NULL rows
+    # (liveness comes from is_live, not value-is-null).
+    import pandas as pd
+
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        cdc_apply,
+        cdc_snapshot_diff,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                ["2024-01-01 01:00", "2024-01-03 01:00",  # u1: NULL -> 5.0
+                 "2024-01-01 02:00",                      # u2: stays NULL (live)
+                 "2024-01-01 03:00", "2024-01-03 03:00"]  # u3: 7.0 -> NULL
+            ),
+            "user_id": [1, 1, 2, 3, 3],
+            "event_type": ["click", "click", "click", "click", "click"],
+            "value": [None, 5.0, None, 7.0, None],
+            "props": ['{"k": 1}'] * 5,
+        }
+    )
+    rows.to_parquet(tmp_path / "events.parquet", index=False)
+    diff = cdc_snapshot_diff(spark, str(tmp_path)).toPandas().set_index("user_id")
+    assert diff.loc[1, "change_type"] == "update"
+    assert diff.loc[2, "change_type"] == "unchanged" and diff.loc[2, "is_live"]
+    assert diff.loc[3, "change_type"] == "update"
+    applied = cdc_apply(spark, str(tmp_path)).toPandas().set_index("user_id")
+    assert set(applied.index) == {1, 2, 3}  # live NULL row u2 survives
+    assert applied.loc[1, "value"] == 5.0
+    assert pd.isna(applied.loc[2, "value"]) and pd.isna(applied.loc[3, "value"])
