@@ -50,7 +50,7 @@ _FIRST_SEEN_ROUND = {
         "t_paragraph_dedup", "dedup_substring", "t_word_entropy",
         "t_bigram_logprob", "t_quality_deciles", "dedup_incremental",
         "j_asof_tolerance", "t_vocab_table", "t_bpe_merges", "t_oov_rate",
-        "cdc_apply", "t_countmin_hh", "e_pca_power",
+        "cdc_apply", "t_countmin_hh", "e_pca_power", "mm_shard_manifest",
     )
 }
 

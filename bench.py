@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "t_oov_rate",
     "t_countmin_hh",
     "e_pca_power",
+    "mm_shard_manifest",
 ]
 
 

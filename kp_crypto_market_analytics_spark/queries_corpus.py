@@ -675,6 +675,63 @@ GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------- mm_shard_manifest
+
+_SHARD_BYTES = 4096
+
+
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest for media payloads: assign each
+    document's binary blob (UTF-8 bytes stand in for image/audio, as in
+    ``mm_binary_meta``) to a ~_SHARD_BYTES shard, per source, in
+    deterministic doc_id order — the manifest a dataloader reads to
+    fetch shard N.  Offset packing: shard = exclusive-prefix-bytes DIV
+    target, so assignment is a pure window function (a shard may
+    overflow by at most one item — the standard trade that keeps
+    packing single-pass and repartition-stable; greedy exact packing is
+    a sequential recurrence).  Per shard: item count, byte total, the
+    doc_id range a reader needs.
+
+    Scale: one window sort per source over (doc_id, n_bytes) — the
+    payloads themselves never shuffle; the manifest is metadata-only."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.partitionBy("source").orderBy("doc_id")
+    n_bytes = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    cum_excl = F.coalesce(
+        F.sum("n_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    shard = F.call_function("div", cum_excl, F.lit(_SHARD_BYTES).cast("long"))
+    return (
+        t["documents"]
+        .select("source", "doc_id", n_bytes.alias("n_bytes"))
+        .select("source", "doc_id", "n_bytes", shard.alias("shard_id"))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
+MM_SHARD_SQL = f"""
+WITH sized AS (
+  SELECT source, doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+), assigned AS (
+  SELECT source, doc_id, n_bytes,
+    coalesce(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_SHARD_BYTES} AS shard_id
+  FROM sized
+)
+SELECT source, shard_id, COUNT(*) AS n_docs, SUM(n_bytes) AS shard_bytes,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM assigned GROUP BY source, shard_id ORDER BY source, shard_id
+"""
+
+
 # -------------------------------------------------------- e_pca_power
 
 _PCA_ITERS = 3
@@ -994,6 +1051,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_oov_rate": t_oov_rate,
     "t_countmin_hh": t_countmin_hh,
     "e_pca_power": e_pca_power,
+    "mm_shard_manifest": mm_shard_manifest,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -1004,6 +1062,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "t_vocab_table": T_VOCAB_TABLE_SQL,
     "t_countmin_hh": _t_countmin_sql(),
     "e_pca_power": _e_pca_sql(),
+    "mm_shard_manifest": MM_SHARD_SQL,
 }
 
 

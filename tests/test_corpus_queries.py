@@ -319,3 +319,25 @@ def test_countmin_and_pca_empty_inputs(spark, tmp_path):
     sf = str(tmp_path)
     assert t_countmin_hh(spark, sf).count() == 0
     assert e_pca_power(spark, sf).count() == 0
+
+
+def test_shard_manifest_covers_and_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_corpus import (
+        _SHARD_BYTES,
+        mm_shard_manifest,
+    )
+
+    got = mm_shard_manifest(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    sizes = docs.assign(n=docs["text"].str.encode("utf-8").str.len())
+    assert got["n_docs"].sum() == len(docs)  # every doc assigned
+    assert got["shard_bytes"].sum() == sizes["n"].sum()
+    # offset packing: a shard overflows by at most one item
+    max_item = sizes.groupby(docs["source"])["n"].max()
+    for src, g in got.groupby("source"):
+        full = g[g["shard_id"] < g["shard_id"].max()]
+        assert (full["shard_bytes"] <= _SHARD_BYTES + max_item[src]).all()
+    # doc ranges are disjoint and ordered within each source
+    for _, g in got.groupby("source"):
+        g = g.sort_values("shard_id")
+        assert (g["first_doc"].to_numpy()[1:] > g["last_doc"].to_numpy()[:-1]).all()
