@@ -675,6 +675,102 @@ GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------- dedup_lsh_recall
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-honesty audit, oracle-gated: recall of the MinHash-LSH
+    candidate generator (8 hashes × 2 bands — the scale path) against
+    the exact df-capped char-4-gram Jaccard≥0.6 pair set (the truth the
+    banding approximates).  One row: true pairs, LSH candidates, hits,
+    recall — the number a pipeline owner checks before trusting banded
+    dedup at 100 TB, computed in-engine instead of in a notebook.
+
+    Both pair sets are the existing gated pipelines; the audit adds one
+    left-semi join on (doc_a, doc_b) and three 1-row aggregates.  The
+    recall division runs in exact int64 (``round_mean_micro``)."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    truth = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=4, threshold=0.6, use_words=False,
+        max_shingle_freq=50,
+    ).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False
+    ).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hit = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true") > 0,
+                round_mean_micro(F.col("n_hits").cast(DEC), F.col("n_true")),
+            ).alias("recall"),
+        )
+    )
+
+
+def _dedup_lsh_recall_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        SHINGLE4_CTE,
+        _minhash_aggs,
+    )
+
+    return f"""
+WITH {SHINGLE4_CTE}, freq AS (
+  SELECT shingle, COUNT(*) AS df FROM sets GROUP BY 1
+), capped AS (
+  SELECT s.doc_id, s.shingle FROM sets s JOIN freq USING (shingle) WHERE df <= 50
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.6
+), sigs AS (
+  SELECT doc_id, {_minhash_aggs(8)}
+  FROM sets GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
+   AND a.doc_id < b.doc_id
+), counts AS (
+  SELECT
+    (SELECT COUNT(*) FROM truth) AS n_true,
+    (SELECT COUNT(*) FROM cand) AS n_candidates,
+    (SELECT COUNT(*) FROM truth t WHERE EXISTS (
+       SELECT 1 FROM cand c WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)) AS n_hits
+)
+SELECT n_true, n_candidates, n_hits,
+  CASE WHEN n_true > 0 THEN
+    {sql_round_mean_micro("CAST(n_hits AS DECIMAL(18,6))", "n_true")}
+  END AS recall
+FROM counts
+"""
+
+
 # --------------------------------------------------- mm_shard_manifest
 
 _SHARD_BYTES = 4096
@@ -1052,6 +1148,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_countmin_hh": t_countmin_hh,
     "e_pca_power": e_pca_power,
     "mm_shard_manifest": mm_shard_manifest,
+    "dedup_lsh_recall": dedup_lsh_recall,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -1063,6 +1160,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "t_countmin_hh": _t_countmin_sql(),
     "e_pca_power": _e_pca_sql(),
     "mm_shard_manifest": MM_SHARD_SQL,
+    "dedup_lsh_recall": _dedup_lsh_recall_sql(),
 }
 
 
