@@ -675,6 +675,71 @@ GROUP BY source ORDER BY source
 """
 
 
+# ----------------------------------------------------------- w_streaks
+
+
+def w_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive runs of large events (value above
+    the global exact p95) per symbol — the classic streak pattern
+    (rn_all − rn_flagged island key) the window family lacked.
+    sessionize groups by TIME gaps; this groups by a CONDITION holding
+    over consecutive rows.  Per streak of length ≥ 2: bounds, length,
+    peak.
+
+    One exchange: both row_numbers share the symbol partitioning (the
+    second ranks the filtered frame, no re-shuffle — AQE reuses the
+    sort); the p95 threshold is the a7/a8 conf-switched percentile
+    broadcast as a 1-row aggregate."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import percentile_expr
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    thr = e.agg(F.round(percentile_expr(e, "value", 0.95), 6).alias("thr"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = (
+        e.crossJoin(F.broadcast(thr))
+        .withColumn("rn_all", F.row_number().over(w))
+        .where(F.col("value") > F.col("thr"))
+        .withColumn("rn_flag", F.row_number().over(w))
+        .withColumn("island", F.col("rn_all") - F.col("rn_flag"))
+    )
+    return (
+        flagged.groupBy("event_type", "island")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.max("value").alias("peak_value"),
+        )
+        .where(F.col("streak_len") >= 2)
+        .select(
+            "event_type", "streak_len", "first_event", "last_event", "peak_value"
+        )
+        .orderBy("event_type", "first_event")
+    )
+
+
+W_STREAKS_SQL = """
+WITH thr AS (
+  SELECT round(quantile_cont(value, 0.95), 6) AS thr FROM events
+), ranked AS (
+  SELECT event_id, event_type, ts, value, thr,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn_all
+  FROM events, thr
+), flagged AS (
+  SELECT event_id, event_type, value,
+    rn_all - row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS island
+  FROM ranked WHERE value > thr
+)
+SELECT event_type, COUNT(*) AS streak_len,
+  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+  MAX(value) AS peak_value
+FROM flagged GROUP BY event_type, island
+HAVING COUNT(*) >= 2
+ORDER BY event_type, first_event
+"""
+
+
 # ---------------------------------------------------- dedup_lsh_recall
 
 
@@ -1149,6 +1214,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_pca_power": e_pca_power,
     "mm_shard_manifest": mm_shard_manifest,
     "dedup_lsh_recall": dedup_lsh_recall,
+    "w_streaks": w_streaks,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -1161,6 +1227,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "e_pca_power": _e_pca_sql(),
     "mm_shard_manifest": MM_SHARD_SQL,
     "dedup_lsh_recall": _dedup_lsh_recall_sql(),
+    "w_streaks": W_STREAKS_SQL,
 }
 
 
