@@ -1,28 +1,36 @@
-"""Corpus-hygiene gated queries: sub-document dedup + LM quality scores.
+"""Corpus-hygiene + corpus-decision gated queries (round-2 family).
 
 Extends the LLM-training-data family (SURVEY.md "beyond-reference"
-scope) below document granularity — the reference's analytics stop at
-whole-series tables (`src/analytics/binance_analysis.py`), and the
-existing dedup family (`operators/dedup.py`) treats each document as
-one unit.  Real pre-training pipelines (CCNet, RefinedWeb, Gopher)
-also remove *parts* of documents: duplicated paragraphs, shared
-boilerplate spans, and low-LM-probability text.  Four operators:
+scope) below document granularity and up to pipeline decisions — the
+reference's analytics stop at whole-series tables
+(`src/analytics/binance_analysis.py`), and the round-1 dedup family
+(`operators/dedup.py`) treats each document as one unit.  Operators:
 
-- ``t_paragraph_dedup`` — fixed word-chunk "paragraphs", corpus-wide
-  duplicate-chunk fraction per document.
-- ``dedup_substring``   — strided fixed-length character windows shared
-  verbatim by ≥2 documents (exact-substring / boilerplate detection,
-  the scalable stand-in for suffix-array dedup).
-- ``t_word_entropy``    — per-document token Shannon entropy +
-  type-token ratio (degenerate/looping text scores near 0).
-- ``t_bigram_logprob``  — add-one-smoothed bigram LM trained on the
-  corpus itself, per-document mean log-probability (the perplexity
-  filter, one order up from ``t_unigram_logprob``).
+Sub-document hygiene (CCNet / RefinedWeb / Gopher / Lee et al.):
+- ``t_paragraph_dedup``  — chunk-aligned duplicated-paragraph fraction.
+- ``dedup_substring``    — sliding word-shingle exact-run sharing
+  (alignment-free stand-in for suffix-array dedup).
+- ``t_word_entropy``     — token Shannon entropy + TTR degeneracy.
+- ``t_bigram_logprob``   — add-one bigram LM mean log-prob (perplexity
+  filter, one order above ``t_unigram_logprob``).
+
+Pipeline decisions / artifacts:
+- ``t_quality_deciles``  — threshold-bucketed quality bands (no ntile).
+- ``t_vocab_table``      — frequency-ranked vocab ids + coverage.
+- ``t_bpe_merges``       — BPE merge TRAINING, 3 unrolled rounds.
+- ``t_oov_rate``         — per-source OOV against frozen top-K vocab.
+- ``t_countmin_hh``      — count-min heavy hitters, bias audited.
+- ``dedup_incremental``  — new-batch LSH probe against the corpus.
+- ``dedup_lsh_recall``   — in-engine recall audit vs exact Jaccard.
+- ``mm_shard_manifest``  — media training-shard packing manifest.
+- ``e_pca_power``        — power-iteration top principal direction.
+- ``w_streaks``          — gaps-and-islands condition streaks.
 
 Determinism rules match the rest of the registry: every float that
-enters a sum is rounded to 6 dp and summed as DECIMAL(18,6) (order-
-independent), divisions happen once at the end, and each query carries
-an exact DuckDB oracle.
+enters a sum is rounded to 6 dp and summed as DECIMAL (order-
+independent), mean-shaped outputs divide in exact int64
+(``round_mean_micro`` — see the tie note in queries.py), and each
+query carries an exact DuckDB oracle verified at sf0.01 AND sf0.1.
 """
 
 from __future__ import annotations

@@ -341,3 +341,36 @@ def test_shard_manifest_covers_and_bounds(spark):
     for _, g in got.groupby("source"):
         g = g.sort_values("shard_id")
         assert (g["first_doc"].to_numpy()[1:] > g["last_doc"].to_numpy()[:-1]).all()
+
+
+def test_streaks_match_pandas_islands(spark):
+    from kp_crypto_market_analytics_spark.queries_corpus import w_streaks
+
+    got = w_streaks(spark, SF_DIR).toPandas()
+    ev = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet")
+        .sort_values(["event_type", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    thr = round(ev["value"].quantile(0.95, interpolation="linear"), 6)
+    rows = []
+    for etype, g in ev.groupby("event_type"):
+        flag = (g["value"] > thr).to_numpy()
+        ids = g["event_id"].to_numpy()
+        vals = g["value"].to_numpy()
+        start = None
+        for i in range(len(g) + 1):
+            on = i < len(g) and flag[i]
+            if on and start is None:
+                start = i
+            elif not on and start is not None:
+                if i - start >= 2:
+                    rows.append(
+                        (etype, i - start, ids[start], ids[i - 1], vals[start:i].max())
+                    )
+                start = None
+    exp = pd.DataFrame(
+        rows,
+        columns=["event_type", "streak_len", "first_event", "last_event", "peak_value"],
+    ).sort_values(["event_type", "first_event"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
