@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "t_countmin_hh",
     "e_pca_power",
     "mm_shard_manifest",
+    "w_streaks",
 ]
 
 
