@@ -51,7 +51,7 @@ _FIRST_SEEN_ROUND = {
         "t_bigram_logprob", "t_quality_deciles", "dedup_incremental",
         "j_asof_tolerance", "t_vocab_table", "t_bpe_merges", "t_oov_rate",
         "cdc_apply", "t_countmin_hh", "e_pca_power", "mm_shard_manifest",
-        "dedup_lsh_recall", "w_streaks",
+        "dedup_lsh_recall", "w_streaks", "t_doc_report",
     )
 }
 

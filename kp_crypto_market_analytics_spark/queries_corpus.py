@@ -683,6 +683,56 @@ GROUP BY source ORDER BY source
 """
 
 
+# -------------------------------------------------------- t_doc_report
+
+
+def t_doc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation table: one row per doc joining the
+    hygiene signals a keep/drop decision reads — duplicated-paragraph
+    fraction, shared-run (boilerplate) fraction, token entropy/TTR, and
+    the heuristic quality score.  Composition of four gated pipelines
+    on the doc_id key; each input is itself oracle-verified, and this
+    gate proves the composed join (the report users actually export)
+    stays exact end-to-end.
+
+    Scale: the four branches share the documents scan (Spark dedups the
+    scan; each branch's shuffles are fingerprint- or count-width), and
+    the final joins are co-partitioned on doc_id."""
+    from kp_crypto_market_analytics_spark.queries import QUERIES as _Q
+
+    para = t_paragraph_dedup(spark, sf_dir).select(
+        "doc_id", "n_dup_chunks", "dup_frac"
+    )
+    runs = dedup_substring(spark, sf_dir).select("doc_id", "n_shared", "shared_frac")
+    ent = t_word_entropy(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_types", "entropy", "ttr"
+    )
+    qual = _Q["t_quality_score"](spark, sf_dir).select(
+        "doc_id", "stopword_ratio", "quality_score"
+    )
+    return (
+        ent.join(para, "doc_id")
+        .join(runs, "doc_id")
+        .join(qual, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _t_doc_report_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries import _t_quality_sql
+
+    return f"""
+SELECT e.doc_id, e.n_tokens, e.n_types, e.entropy, e.ttr,
+  p.n_dup_chunks, p.dup_frac, r.n_shared, r.shared_frac,
+  q.stopword_ratio, q.quality_score
+FROM ({T_WORD_ENTROPY_SQL.replace("ORDER BY doc_id", "")}) e
+JOIN ({T_PARAGRAPH_SQL.replace("ORDER BY doc_id", "")}) p USING (doc_id)
+JOIN ({DEDUP_SUBSTRING_SQL.replace("ORDER BY n.doc_id", "")}) r USING (doc_id)
+JOIN ({_t_quality_sql().replace("ORDER BY doc_id", "")}) q USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ----------------------------------------------------------- w_streaks
 
 
@@ -1223,6 +1273,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_shard_manifest": mm_shard_manifest,
     "dedup_lsh_recall": dedup_lsh_recall,
     "w_streaks": w_streaks,
+    "t_doc_report": t_doc_report,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -1249,5 +1300,6 @@ def corpus_oracles() -> dict[str, str]:
         "t_quality_deciles": _t_quality_deciles_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "t_bpe_merges": _bpe_merges_sql(),
+        "t_doc_report": _t_doc_report_sql(),
         "t_oov_rate": _t_oov_rate_sql(),
     }
