@@ -54,9 +54,10 @@ def test_registry_consistency():
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers)
-    # Round-1's one FAIL and its stale-green re-queue stay pending.
-    assert "p_props_extract" not in green
-    assert "j_anti_customers" not in green
+    # Green provenance derives from the on-disk CORRECTNESS artifacts —
+    # never hardcode specific names here (they flip as driver rounds
+    # land; see test_driver_green_latest_round_wins for the semantics).
+    assert green <= set(qs)
     # Every name the ordering knows is actually registered.
     assert set(m._FIRST_SEEN_ROUND) <= set(qs)
     assert set(m._CHANGED_IN_ROUND) <= set(qs)
