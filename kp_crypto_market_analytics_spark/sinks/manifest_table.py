@@ -1,0 +1,299 @@
+"""Manifest-committed parquet table: object-store-safe upsert (S14 at scale).
+
+The plain-parquet upsert in ``sinks/upsert.py`` swaps partition
+directories with POSIX ``os.rename`` — each swap is atomic, but a batch
+of swaps is not, and object stores have no atomic directory rename at
+all.  This module removes both limits with the commit protocol every
+production table format (Delta, Iceberg, Hudi) uses:
+
+1. **Data is immutable and append-only.**  Each merge writes its output
+   under a fresh, uniquely named commit directory
+   (``data/<commit-id>/<part=val>/part-*.parquet``).  Nothing is ever
+   renamed or overwritten — on an object store every operation is a PUT
+   of a new key.
+2. **The commit point is ONE small file.**  After the data lands, a
+   manifest (``_manifests/manifest-<version>.json``) mapping each live
+   partition to its current data directory is published.  Readers
+   resolve the highest-numbered manifest and read exactly the
+   directories it lists.  A writer crash before publish leaves only
+   unreferenced orphan directories — readers never observe a
+   half-merged table, no matter how many partitions the batch touched.
+3. **Orphans are vacuumed, not trusted.**  ``vacuum`` deletes data
+   directories no retained manifest references (failed commits, old
+   versions), with retained history as the reader grace period.
+
+Atomicity of the publish itself: locally, write-temp + ``os.rename`` of
+the single manifest file; on an object store the equivalent is one
+conditional PUT (put-if-absent on the new manifest key), which S3/GCS/
+ABFS all support natively — single-writer here, and the version-numbered
+name means a lost race is detected, not silently merged.
+
+Reference semantics: `INSERT … ON CONFLICT DO UPDATE` idempotent
+re-ingest, load_postgres.py:83-103 — same last-write-wins merge as
+``upsert.merge_into``, different (scale-safe) commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.sinks.upsert import (
+    _leaf_partition_dirs,
+    _pick_winners,
+)
+
+_MANIFEST_DIR = "_manifests"
+_MANIFEST_RE = re.compile(r"manifest-(\d{10})\.json$")
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"manifest-{version:010d}.json")
+
+
+def latest_manifest(root: str) -> tuple[int, dict]:
+    """(version, manifest) of the newest published manifest, or (0, empty).
+
+    Readers call this at plan time; the listing is of one small
+    directory of one-per-commit files, never of the data tree.
+    """
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    best, best_path = 0, None
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            m = _MANIFEST_RE.fullmatch(name)
+            if m and int(m.group(1)) > best:
+                best, best_path = int(m.group(1)), os.path.join(mdir, name)
+    if best_path is None:
+        return 0, {"version": 0, "partition_by": [], "entries": {}}
+    with open(best_path) as f:
+        return best, json.load(f)
+
+
+def _publish_manifest(root: str, version: int, manifest: dict) -> None:
+    """THE commit point: one new small file, atomically visible.
+
+    Local FS: temp file + rename.  Object store: conditional PUT of the
+    new key (put-if-absent) — the rename below is the local stand-in.
+    """
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    final = _manifest_path(root, version)
+    if os.path.exists(final):  # lost a commit race: surface, never clobber
+        raise FileExistsError(f"manifest version {version} already published: {final}")
+    tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, final)
+
+
+def read_table(spark: SparkSession, root: str) -> DataFrame | None:
+    """Resolve the latest manifest and read exactly its live directories.
+
+    Entries written by the same commit are read in one scan (shared
+    ``basePath`` keeps hive-style partition columns); the number of
+    unions equals the number of live commits, which compaction/vacuum
+    keeps small — the plan never grows with partition count alone.
+    Returns None for a table with no published manifest.
+    """
+    _, manifest = latest_manifest(root)
+    entries: dict[str, str] = manifest["entries"]
+    if not entries:
+        return None
+    by_commit: dict[str, list[str]] = {}
+    for part_rel, data_rel in entries.items():
+        commit_rel = data_rel if not part_rel else data_rel[: -len(part_rel) - 1]
+        by_commit.setdefault(commit_rel, []).append(os.path.join(root, data_rel))
+    frames = [
+        spark.read.option("basePath", os.path.join(root, commit_rel)).parquet(*paths)
+        for commit_rel, paths in sorted(by_commit.items())
+    ]
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other)
+    return df
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    staged: DataFrame,
+    key: list[str],
+    version_col: str | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Upsert ``staged`` into the manifest table at ``root`` (last write
+    wins on ``key``; see upsert.merge_into for the merge semantics and
+    the partition/key functional-dependency requirement).
+
+    Partition-scoped: only partitions present in ``staged`` are read,
+    merged, and re-pointed in the new manifest; untouched partitions
+    keep their existing data directories byte-for-byte.  Returns the
+    published manifest version.
+    """
+    partition_by = partition_by or []
+    cur_version, manifest = latest_manifest(root)
+    entries = dict(manifest["entries"])
+    if entries and manifest.get("partition_by", []) != partition_by:
+        raise ValueError(
+            f"table partitioned by {manifest['partition_by']}, got {partition_by}"
+        )
+
+    commit_id = uuid.uuid4().hex[:12]
+    commit_rel = os.path.join("data", commit_id)
+    commit_dir = os.path.join(root, commit_rel)
+
+    if partition_by:
+        touched_rels = _touched_partition_rels(staged, partition_by)
+        touched_live = {rel: entries[rel] for rel in touched_rels if rel in entries}
+        if touched_live:
+            # Static pruning for free: only the touched dirs are listed.
+            old = _read_entries(spark, root, touched_live)
+            merged = old.withColumn("__src", F.lit(0)).unionByName(
+                staged.withColumn("__src", F.lit(1))
+            )
+        else:
+            merged = staged.withColumn("__src", F.lit(1))
+        winners = _pick_winners(merged, key, version_col)
+        winners.write.mode("errorifexists").partitionBy(*partition_by).parquet(commit_dir)
+        # Spark's writer is the source of truth for hive dir encoding:
+        # record what it actually wrote.  A written dir our derivation
+        # did not predict means the matching LIVE entry was not
+        # pre-merged (escaping drift) — fail loudly, never publish a
+        # manifest with the same key live in two directories.
+        written = set(_leaf_partition_dirs(commit_dir, len(partition_by)))
+        unexpected = written - set(touched_rels)
+        if unexpected:
+            raise RuntimeError(
+                f"partition-path escaping drift: writer produced {sorted(unexpected)} "
+                f"but staged batch derived {touched_rels}"
+            )
+        for rel in written:
+            entries[rel] = os.path.join(commit_rel, rel)
+    else:
+        old = _read_entries(spark, root, entries) if entries else None
+        merged = (
+            old.withColumn("__src", F.lit(0)).unionByName(
+                staged.withColumn("__src", F.lit(1))
+            )
+            if old is not None
+            else staged.withColumn("__src", F.lit(1))
+        )
+        _pick_winners(merged, key, version_col).write.mode("errorifexists").parquet(
+            commit_dir
+        )
+        entries = {"": commit_rel}
+
+    new_version = cur_version + 1
+    _publish_manifest(
+        root,
+        new_version,
+        {"version": new_version, "partition_by": partition_by, "entries": entries},
+    )
+    return new_version
+
+
+def _read_entries(spark: SparkSession, root: str, entries: dict[str, str]) -> DataFrame:
+    by_commit: dict[str, list[str]] = {}
+    for part_rel, data_rel in entries.items():
+        commit_rel = data_rel if not part_rel else data_rel[: -len(part_rel) - 1]
+        by_commit.setdefault(commit_rel, []).append(os.path.join(root, data_rel))
+    frames = [
+        spark.read.option("basePath", os.path.join(root, commit_rel)).parquet(*paths)
+        for commit_rel, paths in sorted(by_commit.items())
+    ]
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other)
+    return df
+
+
+def _touched_partition_rels(staged: DataFrame, partition_by: list[str]) -> list[str]:
+    """Hive-encoded relative dir per distinct staged partition tuple.
+
+    Bounded by touched partitions per batch (symbols/dates), never rows.
+    Encoding mirrors Spark's ``ExternalCatalogUtils.escapePathName``
+    char set; ``merge_into`` cross-checks the prediction against the
+    dirs the writer actually produced and aborts on drift.
+    """
+    rows = [tuple(r) for r in staged.select(*partition_by).distinct().collect()]
+    rels = []
+    for vals in rows:
+        parts = []
+        for col, val in zip(partition_by, vals):
+            sval = "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
+            parts.append(f"{col}={_escape_path_name(sval)}")
+        rels.append(os.path.join(*parts))
+    return sorted(rels)
+
+
+# Spark ExternalCatalogUtils.charToEscape: control chars plus these.
+_ESCAPED_CHARS = set('"#%\'*/:=?\\{[]^')
+
+
+def _escape_path_name(value: str) -> str:
+    out = []
+    for ch in value:
+        if ch in _ESCAPED_CHARS or ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def vacuum(root: str, keep_versions: int = 2) -> list[str]:
+    """Delete data directories referenced by NO retained manifest —
+    failed-commit orphans and superseded versions — keeping the last
+    ``keep_versions`` manifests as the grace window for in-flight
+    readers.  Returns the deleted relative paths.
+    """
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    versions = []
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            m = _MANIFEST_RE.fullmatch(name)
+            if m:
+                versions.append(int(m.group(1)))
+    versions.sort()
+    retained = versions[-keep_versions:] if keep_versions else []
+    live_commits: set[str] = set()
+    for v in retained:
+        with open(_manifest_path(root, v)) as f:
+            for data_rel in json.load(f)["entries"].values():
+                live_commits.add(data_rel.split(os.sep)[1])  # data/<commit-id>/...
+    deleted = []
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            if name not in live_commits:
+                shutil.rmtree(os.path.join(data_dir, name))
+                deleted.append(os.path.join("data", name))
+    for v in versions[: max(0, len(versions) - keep_versions)]:
+        os.remove(_manifest_path(root, v))
+    return deleted
+
+
+def upsert_foreach_batch(
+    root: str,
+    key: list[str],
+    version_col: str | None = None,
+    partition_by: list[str] | None = None,
+):
+    """Streaming adapter: manifest-committed twin of
+    ``upsert.upsert_foreach_batch`` — micro-batch replays after
+    checkpoint recovery re-merge idempotently AND each batch's multi-
+    partition commit is all-or-nothing for readers.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_into(batch_df.sparkSession, root, batch_df, key, version_col, partition_by)
+
+    return _apply

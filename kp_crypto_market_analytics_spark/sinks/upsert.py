@@ -19,6 +19,12 @@ is Delta/Iceberg `MERGE INTO` — same logical plan, plus file-skipping
 on PK ranges; the `merge_into` signature is deliberately MERGE-shaped
 so swapping the backend is a one-line change.  For streaming, pass
 ``upsert_foreach_batch`` to ``writeStream.foreachBatch``.
+
+The directory-swap commit below is per-directory-atomic only and needs
+POSIX rename; ``sinks/manifest_table.py`` provides the object-store-safe
+commit (immutable data dirs + single-file manifest publish, multi-
+partition all-or-nothing) with the same merge semantics — prefer it for
+any deployment where readers race writers or storage is an object store.
 """
 
 from __future__ import annotations

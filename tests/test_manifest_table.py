@@ -1,0 +1,228 @@
+"""Manifest-committed table: the object-store-safe S14 commit protocol.
+
+The behaviors under test are the three that plain-parquet directory
+swaps cannot give (VERDICT r2 "What's missing" #3):
+  - a multi-partition merge is ALL-OR-NOTHING for readers,
+  - a writer crash at any point before manifest publish leaves the
+    table exactly as it was (crash injection),
+  - data is never renamed or overwritten — only new keys + one small
+    manifest PUT, i.e. the protocol survives on object stores.
+Reference semantics unchanged: idempotent last-write-wins upsert
+(load_postgres.py:83-103).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.sinks import manifest_table as mt
+
+
+def _mk(spark, rows):
+    df = spark.createDataFrame(
+        rows, "symbol string, tf string, open_time string, close double"
+    )
+    return df.withColumn("open_time", F.to_timestamp("open_time"))
+
+
+def _state(spark, root):
+    df = mt.read_table(spark, root)
+    if df is None:
+        return {}
+    return {
+        (r["symbol"], r["tf"], str(r["open_time"])): r["close"] for r in df.collect()
+    }
+
+
+KEY = ["symbol", "tf", "open_time"]
+
+
+def test_roundtrip_and_partition_scoped_stability(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("A", "1m", "2024-01-01 00:01:00", 2.0),
+        ("B", "1m", "2024-01-01 00:00:00", 3.0),
+    ])
+    v1 = mt.merge_into(spark, root, base, KEY, partition_by=["symbol"])
+    assert v1 == 1
+    _, m1 = mt.latest_manifest(root)
+
+    # Touch only B (update) and C (new): A's entry must still point at
+    # the ORIGINAL data directory — not rewritten, not moved.
+    batch = _mk(spark, [
+        ("B", "1m", "2024-01-01 00:00:00", 30.0),
+        ("C", "1m", "2024-01-01 00:00:00", 4.0),
+    ])
+    v2 = mt.merge_into(spark, root, batch, KEY, partition_by=["symbol"])
+    assert v2 == 2
+    _, m2 = mt.latest_manifest(root)
+    assert m2["entries"]["symbol=A"] == m1["entries"]["symbol=A"]
+    assert m2["entries"]["symbol=B"] != m1["entries"]["symbol=B"]
+
+    assert _state(spark, root) == {
+        ("A", "1m", "2024-01-01 00:00:00"): 1.0,
+        ("A", "1m", "2024-01-01 00:01:00"): 2.0,
+        ("B", "1m", "2024-01-01 00:00:00"): 30.0,
+        ("C", "1m", "2024-01-01 00:00:00"): 4.0,
+    }
+
+
+def test_idempotent_reingest_and_last_write_wins(spark, tmp_path):
+    root = str(tmp_path / "t")
+    batch = _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)])
+    mt.merge_into(spark, root, batch, KEY, partition_by=["symbol"])
+    mt.merge_into(spark, root, batch, KEY, partition_by=["symbol"])  # replay
+    mt.merge_into(
+        spark, root, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 99.0)]),
+        KEY, partition_by=["symbol"],
+    )
+    assert _state(spark, root) == {("A", "1m", "2024-01-01 00:00:00"): 99.0}
+
+
+def test_version_col_orders_writes(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("A", 2, 5.0)], "symbol string, ver int, close double"
+    )
+    mt.merge_into(spark, root, df, ["symbol"], version_col="ver")
+    older = spark.createDataFrame([("A", 1, 9.0)], "symbol string, ver int, close double")
+    mt.merge_into(spark, root, older, ["symbol"], version_col="ver")
+    rows = mt.read_table(spark, root).collect()
+    assert len(rows) == 1 and rows[0]["close"] == 5.0  # stale version loses
+
+
+def test_crash_before_publish_is_invisible_and_retryable(spark, tmp_path, monkeypatch):
+    # THE crash-injection gate: kill the writer AFTER all data files of
+    # a multi-partition merge land but BEFORE the manifest publish.
+    # Readers must see the exact pre-merge table — not a half-merged
+    # mix — and a retry must converge to the correct final state.
+    root = str(tmp_path / "t")
+    base = _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("B", "1m", "2024-01-01 00:00:00", 2.0),
+    ])
+    mt.merge_into(spark, root, base, KEY, partition_by=["symbol"])
+    before = _state(spark, root)
+
+    real_publish = mt._publish_manifest
+
+    def crash(*a, **k):
+        raise OSError("injected: writer died before commit point")
+
+    monkeypatch.setattr(mt, "_publish_manifest", crash)
+    batch = _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 10.0),   # update partition A
+        ("B", "1m", "2024-01-01 00:01:00", 20.0),   # append into B
+        ("C", "1m", "2024-01-01 00:00:00", 30.0),   # brand-new partition
+    ])
+    with pytest.raises(OSError, match="injected"):
+        mt.merge_into(spark, root, batch, KEY, partition_by=["symbol"])
+
+    # All-or-nothing: none of the three touched partitions is visible.
+    assert _state(spark, root) == before
+    v, _ = mt.latest_manifest(root)
+    assert v == 1
+
+    # The orphan data directory from the failed commit is unreferenced;
+    # vacuum removes it without touching live data.
+    orphans = mt.vacuum(root, keep_versions=2)
+    assert len(orphans) == 1
+    assert _state(spark, root) == before
+
+    # Retry after recovery converges.
+    monkeypatch.setattr(mt, "_publish_manifest", real_publish)
+    mt.merge_into(spark, root, batch, KEY, partition_by=["symbol"])
+    assert _state(spark, root) == {
+        ("A", "1m", "2024-01-01 00:00:00"): 10.0,
+        ("B", "1m", "2024-01-01 00:00:00"): 2.0,
+        ("B", "1m", "2024-01-01 00:01:00"): 20.0,
+        ("C", "1m", "2024-01-01 00:00:00"): 30.0,
+    }
+
+
+def test_crash_mid_data_write_is_invisible(spark, tmp_path):
+    # Even rawer failure mode: a half-written data directory (job died
+    # mid-write, no manifest).  Readers resolve via manifest only, so
+    # the junk is simply never read; vacuum clears it.
+    root = str(tmp_path / "t")
+    mt.merge_into(
+        spark, root, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)]),
+        KEY, partition_by=["symbol"],
+    )
+    junk = os.path.join(root, "data", "deadbeef0000", "symbol=A")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00not a parquet file")
+    assert _state(spark, root) == {("A", "1m", "2024-01-01 00:00:00"): 1.0}
+    assert mt.vacuum(root) == [os.path.join("data", "deadbeef0000")]
+
+
+def test_publish_never_clobbers_an_existing_version(tmp_path):
+    # Commit-race detection: version N already published → loud failure
+    # (object-store equivalent: conditional PUT of the manifest key).
+    root = str(tmp_path / "t")
+    mt._publish_manifest(root, 1, {"version": 1, "partition_by": [], "entries": {}})
+    with pytest.raises(FileExistsError):
+        mt._publish_manifest(root, 1, {"version": 1, "partition_by": [], "entries": {}})
+
+
+def test_unpartitioned_merge(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)]), KEY)
+    mt.merge_into(spark, root, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 7.0)]), KEY)
+    assert _state(spark, root) == {("A", "1m", "2024-01-01 00:00:00"): 7.0}
+
+
+def test_escaped_partition_values_round_trip(spark, tmp_path):
+    # '/' and ':' are in Spark's partition-path escape set; the
+    # derivation must agree with the writer or merge_into aborts.
+    root = str(tmp_path / "t")
+    rows = [("A/B:1", "1m", "2024-01-01 00:00:00", 1.0)]
+    mt.merge_into(spark, root, _mk(spark, rows), KEY, partition_by=["symbol"])
+    mt.merge_into(
+        spark, root, _mk(spark, [("A/B:1", "1m", "2024-01-01 00:00:00", 2.0)]),
+        KEY, partition_by=["symbol"],
+    )
+    out = mt.read_table(spark, root).collect()
+    assert len(out) == 1 and out[0]["symbol"] == "A/B:1" and out[0]["close"] == 2.0
+
+
+def test_vacuum_retains_reader_grace_window(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i, px in enumerate([1.0, 2.0, 3.0]):
+        mt.merge_into(
+            spark, root, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", px)]),
+            KEY, partition_by=["symbol"],
+        )
+    mt.vacuum(root, keep_versions=2)
+    mdir = os.path.join(root, mt._MANIFEST_DIR)
+    kept = sorted(os.listdir(mdir))
+    assert kept == ["manifest-0000000002.json", "manifest-0000000003.json"]
+    # The previous version's data survives for in-flight readers.
+    with open(os.path.join(mdir, kept[0])) as f:
+        prev = json.load(f)
+    for rel in prev["entries"].values():
+        assert os.path.isdir(os.path.join(root, rel))
+    assert _state(spark, root) == {("A", "1m", "2024-01-01 00:00:00"): 3.0}
+
+
+def test_streaming_foreach_batch_replay_idempotent(spark, tmp_path):
+    # Checkpoint-recovery replay: the same micro-batch delivered twice
+    # must converge, and each batch's commit is all-or-nothing.
+    root = str(tmp_path / "t")
+    apply_fn = mt.upsert_foreach_batch(root, KEY, partition_by=["symbol"])
+    batch = _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("B", "1m", "2024-01-01 00:00:00", 2.0),
+    ])
+    apply_fn(batch, 0)
+    apply_fn(batch, 0)  # replay after restart
+    assert _state(spark, root) == {
+        ("A", "1m", "2024-01-01 00:00:00"): 1.0,
+        ("B", "1m", "2024-01-01 00:00:00"): 2.0,
+    }
