@@ -54,6 +54,9 @@ _FIRST_SEEN_ROUND = {
         "dedup_lsh_recall", "w_streaks", "t_doc_report",
     )
 }
+_FIRST_SEEN_ROUND.update(
+    {n: 3 for n in ("sim_ivf_recall", "sim_pq_recall", "w_skew_split")}
+)
 
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A

@@ -282,3 +282,49 @@ def test_pq_search_from_persisted_index(spark, tmp_path):
         m=8,
     ).collect()
     assert sorted(map(tuple, live)) == sorted(map(tuple, served))
+
+
+def test_ann_recall_floors_hold(spark):
+    # The recall SLO tripwire (the oracle recomputes recall identically
+    # on both engines, so only this assertion catches a regression in
+    # the search path itself).
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        sim_ivf_recall,
+        sim_pq_recall,
+    )
+
+    ivf = sim_ivf_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    pq = sim_pq_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert ivf["meets_floor"] and ivf["n_true"] == 50
+    assert pq["meets_floor"] and pq["n_true"] == 50
+    assert pq["recall"] >= ivf["recall"]  # rerank beats cell pruning here
+
+
+def test_skew_split_cumsum_equals_naive_window(spark):
+    # In-engine parity: the split-and-merge plan must be bit-identical
+    # to the naive single-partition window it replaces (the oracle gate
+    # proves the same vs DuckDB; this pins it Spark-vs-Spark too).
+    from pyspark.sql import Window
+
+    from kp_crypto_market_analytics_spark.operators.windows import skew_split_cumsum
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    split = {
+        r["event_id"]: r["cum_value"]
+        for r in skew_split_cumsum(
+            e, "event_type", "ts", "event_id", "value", bucket_seconds=3600
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = {
+        r["event_id"]: r["cum"]
+        for r in e.select(
+            "event_id", F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("cum")
+        ).collect()
+    }
+    assert split == naive

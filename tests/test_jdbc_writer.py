@@ -136,3 +136,144 @@ def test_jdbc_upsert_foreach_batch_skips_empty_and_writes(spark, tmp_path):
     logs = [log for log in _read_logs(out_dir) if log]
     assert len(logs) == 1 and logs[0][-1] == {"event": "commit"}
     assert logs[0][0]["params"] == [[1, 2.0]]
+
+
+def _batch_tagged_factory(out_dir: str, batch_id: int):
+    """Like _recording_factory but filenames carry the micro-batch id,
+    so the replay interpreter can apply cross-batch writes in delivery
+    order (within a batch, keys are unique — aggregation emits one row
+    per key per batch — so intra-batch order is irrelevant)."""
+
+    def factory():
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        path = _os.path.join(out_dir, f"{batch_id:05d}_{_uuid.uuid4().hex}.jsonl")
+
+        class Cursor:
+            def executemany(self, stmt, batch):
+                with open(path, "a") as f:
+                    f.write(_json.dumps({"stmt": stmt,
+                                         "params": [list(p) for p in batch]}) + "\n")
+
+        class Conn:
+            def cursor(self):
+                return Cursor()
+
+            def commit(self):
+                with open(path, "a") as f:
+                    f.write(_json.dumps({"event": "commit"}) + "\n")
+
+            def rollback(self):
+                with open(path, "a") as f:
+                    f.write(_json.dumps({"event": "rollback"}) + "\n")
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    return factory
+
+
+def _replay_on_conflict(out_dir: str, columns: list[str], key: list[str]):
+    """Postgres stand-in: apply every COMMITTED connection's batches in
+    micro-batch delivery order to an in-memory table with
+    INSERT … ON CONFLICT DO UPDATE semantics (last write per PK wins;
+    uncommitted connections are discarded, as the DB would)."""
+    table = {}
+    for name in sorted(os.listdir(out_dir)):  # batch_id prefix orders files
+        with open(os.path.join(out_dir, name)) as f:
+            events = [json.loads(line) for line in f]
+        if not events or events[-1] != {"event": "commit"}:
+            continue
+        for e in events:
+            for p in e.get("params", []):
+                row = dict(zip(columns, p))
+                table[tuple(row[k] for k in key)] = row
+    return table
+
+
+def test_streaming_restart_replay_exactly_once(spark, tmp_path):
+    # End-to-end exactly-once EFFECT for the JDBC sink (VERDICT r2 #6):
+    # the sink lands micro-batch 0 in the "database", then the driver
+    # dies BEFORE the checkpoint commit; the restarted query re-delivers
+    # batch 0.  The DB sees the same ON CONFLICT rows twice and must end
+    # in the state a single delivery produces — the fake applies real
+    # upsert semantics instead of just recording statement text.
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.sinks.jdbc import write_jdbc_upsert
+    from kp_crypto_market_analytics_spark.streaming.candles import candles_from_trades
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr(
+            "event_type AS symbol", "ts AS trade_time", "value AS price",
+            "value AS qty", "event_id AS trade_id",
+        )
+        .orderBy("trade_time")
+        .limit(200)
+    )
+    pdf = e.toPandas()
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "db"); os.makedirs(out_dir)
+    crashed_flag = str(tmp_path / "crashed_once")
+    spark.createDataFrame(pdf.iloc[:100]).coalesce(1).write.parquet(src + "/a")
+
+    key = ["symbol", "open_time"]
+
+    def sink(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.withColumn(
+            "open_time", F.date_format("open_time", "yyyy-MM-dd HH:mm:ss")
+        )
+        write_jdbc_upsert(
+            batch_df, "candles", key, _batch_tagged_factory(out_dir, batch_id)
+        )
+        if not os.path.exists(crashed_flag):
+            open(crashed_flag, "w").close()
+            raise RuntimeError("injected: died after DB write, before checkpoint commit")
+
+    def run_once(expect_fail=False):
+        stream = spark.readStream.schema(e.schema).parquet(src + "/*")
+        candles = candles_from_trades(stream, watermark=None)
+        q = (
+            candles.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if expect_fail:
+            with pytest.raises(Exception, match="injected"):
+                q.awaitTermination(120)
+        else:
+            q.awaitTermination(120)
+
+    run_once(expect_fail=True)   # batch 0 lands in DB, checkpoint does NOT commit
+    run_once()                   # restart re-delivers batch 0
+
+    exp_first = candles_from_trades(
+        spark.createDataFrame(pdf.iloc[:100]), watermark=None
+    )
+    cols = list(exp_first.columns)  # exact sink schema
+    table = _replay_on_conflict(out_dir, cols, key)
+    assert sum(r["num_trades"] for r in table.values()) == 100, (
+        "replayed delivery must not inflate counts (plain INSERT would give 200)"
+    )
+    assert len(table) == exp_first.count()
+
+    # More data + clean restart: incremental processing, still exact.
+    spark.createDataFrame(pdf.iloc[100:]).coalesce(1).write.parquet(src + "/b")
+    run_once()
+    table = _replay_on_conflict(out_dir, cols, key)
+    assert sum(r["num_trades"] for r in table.values()) == 200
+    exp_all = candles_from_trades(spark.createDataFrame(pdf), watermark=None)
+    exp = {
+        (r["symbol"], r["open_time"].strftime("%Y-%m-%d %H:%M:%S")): r["num_trades"]
+        for r in exp_all.collect()
+    }
+    got = {k: r["num_trades"] for k, r in table.items()}
+    assert got == exp
