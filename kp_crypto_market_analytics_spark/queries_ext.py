@@ -34,6 +34,16 @@ from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_ta
 NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
+# Oracle position-enumeration caps (ADVICE r2).  This DuckDB build
+# accepts neither lateral nor subquery bounds for generate_series, so
+# the oracle CTEs enumerate shingle/chunk/symbol positions up to a
+# CONSTANT and filter.  The Spark side is unbounded; if a document ever
+# exceeded a cap the engines would silently diverge — so the caps are
+# gated LOUDLY by tests/test_corpus_queries.py::
+# test_oracle_series_caps_cover_corpus against every testdata SF.
+ORACLE_POS_CAP = 4000   # normalized chars per document (series literal 4000)
+ORACLE_WORD_CAP = 200   # symbols per word in _bpe_merges_sql (literal 200)
+
 # Shared oracle CTE: distinct char-4-gram shingle sets of normalized text.
 SHINGLE4_CTE = f"""
 norm AS (

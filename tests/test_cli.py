@@ -114,3 +114,24 @@ def test_cli_build_index_pq(tmp_path):
     nc = con.execute(f"SELECT count(*) FROM '{out}/pq_codes/*.parquet'").fetchone()[0]
     assert 0 < ncb <= 8 * 16
     assert nc == 500 * 8
+
+
+def test_interactive_menu_collect_klines(tmp_path):
+    # Menu option 2 drives the collect-klines pipeline end-to-end with
+    # prompted params; a non-numeric days answer falls back to 1
+    # (src/main.py:93-101 tolerant-input parity).  Completes the menu
+    # coverage: 1, 2, quit, unknown.
+    env = dict(os.environ, OFFLINE="1", SPARK_GRAFT_CPUS="4")
+    out = str(tmp_path / "data")
+    r = subprocess.run(
+        [sys.executable, "-m", "kp_crypto_market_analytics_spark"],
+        input=f"2\nBTCUSDT\n1m\nnot-a-number\n{out}\n",
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Bad days value" in r.stdout
+    assert os.listdir(out) == ["klines_BTCUSDT_1m.csv"]

@@ -374,3 +374,33 @@ def test_streaks_match_pandas_islands(spark):
         columns=["event_type", "streak_len", "first_event", "last_event", "peak_value"],
     ).sort_values(["event_type", "first_event"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_oracle_series_caps_cover_corpus():
+    # The oracle SQL enumerates text positions with constant
+    # generate_series caps (see queries_ext.ORACLE_POS_CAP /
+    # ORACLE_WORD_CAP for why they cannot be data-derived in this
+    # DuckDB build) while the Spark side is unbounded.  A document
+    # exceeding a cap would make the engines silently diverge; this
+    # gate fails loudly first, at every SF the driver verifies.
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        NORM_TEXT_SQL,
+        ORACLE_POS_CAP,
+        ORACLE_WORD_CAP,
+    )
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        doc = f"/root/testdata/sf{sf}/documents.parquet"
+        max_chars = con.execute(
+            f"SELECT MAX(len({NORM_TEXT_SQL})) FROM read_parquet('{doc}')"
+        ).fetchone()[0]
+        max_word = con.execute(
+            f"""SELECT MAX(len(w)) FROM (
+                  SELECT unnest(string_split({NORM_TEXT_SQL}, ' ')) AS w
+                  FROM read_parquet('{doc}'))"""
+        ).fetchone()[0]
+        assert max_chars < ORACLE_POS_CAP, (sf, max_chars)
+        assert max_word < ORACLE_WORD_CAP, (sf, max_word)
