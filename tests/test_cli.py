@@ -87,11 +87,16 @@ def test_collect_load_analytics_pipeline(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == n1
 
-    r = run_cli(["analytics", "--table", table, "--out", arts], str(tmp_path))
+    r = run_cli(["analytics", "--table", table, "--out", arts, "--figures"],
+                str(tmp_path))
     assert r.returncode == 0, r.stderr[-2000:]
     produced = set(os.listdir(arts))
     assert {"daily", "monthly", "hourly", "dow", "heatmap", "correlation",
             "top_anomalies"} <= produced
+    # S19: the dashboard figure set renders beside the CSV artifacts.
+    figs = set(os.listdir(os.path.join(arts, "figures")))
+    assert {"daily_avg.png", "monthly_volume.png", "dow_profile.png",
+            "activity_heatmap.png", "correlation.png"} <= figs
 
 
 def test_cli_build_index_pq(tmp_path):
