@@ -65,6 +65,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     use_words: bool = True,
     max_shingle_freq: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs.
 
@@ -73,8 +74,11 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|.  ``max_shingle_freq`` drops ultra-common
     shingles from candidate generation (df-style stopword cap) — at
     scale this is what keeps the join from going quadratic; leave None
-    for exact semantics on small corpora."""
-    sets = _shingle_sets(df, text, id_col, k, use_words)
+    for exact semantics on small corpora.  ``sets`` injects a shared
+    (doc, shingle) frame so multi-detector audits (dedup_lsh_recall)
+    shingle the corpus once."""
+    if sets is None:
+        sets = _shingle_sets(df, text, id_col, k, use_words)
     if max_shingle_freq is not None:
         freq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         sets = (
@@ -115,6 +119,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     k: int = 3,
     use_words: bool = True,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: minᵢ((aⱼ·h(sᵢ)+bⱼ) mod p) for j in
     1..R over the doc's shingle set.  One explode + one groupBy — the
@@ -122,7 +127,8 @@ def minhash_signatures(
 
     (a, b) coefficients are fixed odd/offset constants derived from j —
     deterministic across runs and engines."""
-    sets = _shingle_sets(df, text, id_col, k, use_words)
+    if sets is None:
+        sets = _shingle_sets(df, text, id_col, k, use_words)
     # Reduce the 60-bit base hash mod 2^31-1 BEFORE the affine map:
     # a*h then stays under 2^37 — no int64 overflow under ANSI mode.
     h = hash64(F.col("shingle")) % F.lit(MERSENNE31)
@@ -144,6 +150,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     use_words: bool = True,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: docs agreeing on ALL rows of any band
     become candidate pairs; estimated Jaccard = fraction of matching
@@ -154,7 +161,7 @@ def minhash_lsh_pairs(
     # estimate join) and is tiny (|docs| × num_hashes longs) while its
     # lineage is the expensive shingle explode — persist is a clear win
     # here, unlike wide fact frames (see e3_anomaly_pipeline note).
-    sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words).persist()
+    sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words, sets=sets).persist()
 
     band_cols = []
     for b in range(bands):

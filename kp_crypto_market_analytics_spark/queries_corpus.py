@@ -811,20 +811,27 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both pair sets are the existing gated pipelines; the audit adds one
     left-semi join on (doc_a, doc_b) and three 1-row aggregates.  The
-    recall division runs in exact int64 (``round_mean_micro``)."""
+    recall division runs in exact int64 (``round_mean_micro``).  The
+    char-4-gram shingle frame is built ONCE (localCheckpoint) and
+    injected into both detectors — the corpus is shingled a single
+    time instead of per-branch."""
     from kp_crypto_market_analytics_spark.operators.dedup import (
+        _shingle_sets,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
+    sets = _shingle_sets(docs, "text", "doc_id", k=4, use_words=False)
+    sets = sets.localCheckpoint(eager=True)
     truth = ngram_jaccard_pairs(
         docs, "text", "doc_id", k=4, threshold=0.6, use_words=False,
-        max_shingle_freq=50,
+        max_shingle_freq=50, sets=sets,
     ).select("doc_a", "doc_b")
     cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False
+        docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False,
+        sets=sets,
     ).select("doc_a", "doc_b")
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
