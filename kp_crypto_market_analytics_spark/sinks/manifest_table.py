@@ -247,6 +247,49 @@ def _escape_path_name(value: str) -> str:
     return "".join(out)
 
 
+def compact(
+    spark: SparkSession, root: str, max_live_commits: int = 8
+) -> int | None:
+    """Rewrite every live partition into ONE fresh commit when the
+    table's entries span more than ``max_live_commits`` commit
+    directories — the read-amplification lever: reads union one frame
+    per live commit, so steady micro-batch upserts need periodic
+    compaction to keep plans O(1) (same role as Delta OPTIMIZE / the
+    small-file compaction pass in sinks/artifacts.py, but at the
+    commit-protocol level).  Pure rewrite: no merge logic runs, reader
+    results are identical before and after; publishes a new manifest
+    version (returned) or None when already compact.
+    """
+    cur_version, manifest = latest_manifest(root)
+    entries: dict[str, str] = manifest["entries"]
+    partition_by: list[str] = manifest.get("partition_by", [])
+    live_commits = {rel.split(os.sep)[1] for rel in entries.values()}
+    if not entries or len(live_commits) <= max_live_commits:
+        return None
+    df = _read_entries(spark, root, entries)
+    commit_id = uuid.uuid4().hex[:12]
+    commit_rel = os.path.join("data", commit_id)
+    commit_dir = os.path.join(root, commit_rel)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(commit_dir)
+    if partition_by:
+        new_entries = {
+            rel: os.path.join(commit_rel, rel)
+            for rel in _leaf_partition_dirs(commit_dir, len(partition_by))
+        }
+    else:
+        new_entries = {"": commit_rel}
+    new_version = cur_version + 1
+    _publish_manifest(
+        root,
+        new_version,
+        {"version": new_version, "partition_by": partition_by, "entries": new_entries},
+    )
+    return new_version
+
+
 def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     """Delete data directories referenced by NO retained manifest —
     failed-commit orphans and superseded versions — keeping the last

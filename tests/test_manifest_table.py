@@ -226,3 +226,41 @@ def test_streaming_foreach_batch_replay_idempotent(spark, tmp_path):
         ("A", "1m", "2024-01-01 00:00:00"): 1.0,
         ("B", "1m", "2024-01-01 00:00:00"): 2.0,
     }
+
+
+def test_compact_collapses_live_commits(spark, tmp_path):
+    # Steady micro-batch upserts leave one live commit per touched
+    # partition-batch; compaction rewrites them into ONE commit with
+    # byte-identical reader results, and vacuum then reclaims the old
+    # dirs.  Below the threshold it is a no-op.
+    root = str(tmp_path / "t")
+    for i in range(5):
+        mt.merge_into(
+            spark, root,
+            _mk(spark, [(f"S{i}", "1m", "2024-01-01 00:00:00", float(i))]),
+            KEY, partition_by=["symbol"],
+        )
+    before = _state(spark, root)
+    assert mt.compact(spark, root, max_live_commits=8) is None  # under threshold
+
+    v = mt.compact(spark, root, max_live_commits=2)
+    assert v == 6
+    _, m = mt.latest_manifest(root)
+    commits = {rel.split(os.sep)[1] for rel in m["entries"].values()}
+    assert len(commits) == 1 and len(m["entries"]) == 5
+    assert _state(spark, root) == before
+
+    mt.vacuum(root, keep_versions=1)
+    assert _state(spark, root) == before
+    data_dirs = os.listdir(os.path.join(root, "data"))
+    assert data_dirs == [commits.pop()]
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # Unpartitioned merges already collapse to one live commit each
+    # time (global merge) - compact is a no-op by construction.
+    mt.merge_into(spark, root, _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)]), KEY)
+    mt.merge_into(spark, root, _mk(spark, [("B", "1m", "2024-01-01 00:00:00", 2.0)]), KEY)
+    assert mt.compact(spark, root, max_live_commits=1) is None
+    assert len(_state(spark, root)) == 2
