@@ -328,3 +328,25 @@ def test_skew_split_cumsum_equals_naive_window(spark):
         ).collect()
     }
     assert split == naive
+
+
+def test_skew_split_plan_never_sorts_hot_key_alone(spark):
+    # The executed plan is the evidence: every window that touches the
+    # FACT rows (ordering includes ts) must partition on (key, bucket),
+    # never on the 5-value hot key alone — the single-key window may
+    # appear only over the skinny per-bucket aggregate.
+    from kp_crypto_market_analytics_spark.operators.windows import skew_split_cumsum
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    e = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    df = skew_split_cumsum(e, "event_type", "ts", "event_id", "value")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    fact_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "ts#" in ln
+    ]
+    assert fact_windows, "expected a window over the fact rows"
+    for ln in fact_windows:
+        assert "__b" in ln, f"fact window partitions on the hot key alone: {ln}"

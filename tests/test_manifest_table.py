@@ -264,3 +264,56 @@ def test_compact_unpartitioned(spark, tmp_path):
     mt.merge_into(spark, root, _mk(spark, [("B", "1m", "2024-01-01 00:00:00", 2.0)]), KEY)
     assert mt.compact(spark, root, max_live_commits=1) is None
     assert len(_state(spark, root)) == 2
+
+
+def test_streaming_checkpoint_restart_manifest_backend(spark, tmp_path):
+    # The parquet path's checkpoint-restart gate, on the manifest
+    # backend: restart with the same checkpoint must not re-merge
+    # processed files, and reads resolve only published manifests.
+    from pyspark.sql import functions as SF
+
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.candles import candles_from_trades
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr(
+            "event_type AS symbol", "ts AS trade_time", "value AS price",
+            "value AS qty", "event_id AS trade_id",
+        )
+        .orderBy("trade_time")
+        .limit(200)
+    )
+    pdf = e.toPandas()
+    src = str(tmp_path / "src"); ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "table")
+    spark.createDataFrame(pdf.iloc[:100]).coalesce(1).write.parquet(src + "/a")
+
+    def run_once():
+        stream = spark.readStream.schema(e.schema).parquet(src + "/*")
+        q = (
+            candles_from_trades(stream, watermark=None)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                mt.upsert_foreach_batch(
+                    root, ["symbol", "open_time"], partition_by=["symbol"]
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = mt.read_table(spark, root).agg(SF.sum("num_trades")).collect()[0][0]
+    assert first == 100
+
+    spark.createDataFrame(pdf.iloc[100:]).coalesce(1).write.parquet(src + "/b")
+    run_once()
+    total = mt.read_table(spark, root).agg(SF.sum("num_trades")).collect()[0][0]
+    assert total == 200, "restart must not re-merge already-processed files"
+    # Maintenance keeps reads O(1) and reclaims superseded commits.
+    mt.compact(spark, root, max_live_commits=1)
+    mt.vacuum(root, keep_versions=1)
+    assert mt.read_table(spark, root).agg(SF.sum("num_trades")).collect()[0][0] == 200
