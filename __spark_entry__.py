@@ -55,7 +55,9 @@ _FIRST_SEEN_ROUND = {
     )
 }
 _FIRST_SEEN_ROUND.update(
-    {n: 3 for n in ("sim_ivf_recall", "sim_pq_recall", "w_skew_split")}
+    {n: 3 for n in (
+        "sim_ivf_recall", "sim_pq_recall", "w_skew_split", "t_chunk_overlap",
+    )}
 )
 
 # Semantically CHANGED in round N after earlier rows landed: rows from

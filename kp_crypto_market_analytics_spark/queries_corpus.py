@@ -1265,6 +1265,64 @@ FROM banded GROUP BY decile ORDER BY decile
 """
 
 
+# ----------------------------------------------------- t_chunk_overlap
+
+# Retrieval-chunk geometry: window of OVERLAP_WORDS words advancing by
+# OVERLAP_STRIDE (overlap = W − S) — the standard RAG/embedding-corpus
+# export shape, distinct from CHUNK_WORDS' disjoint paragraphs above.
+OVERLAP_WORDS = 30
+OVERLAP_STRIDE = 20
+
+
+def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-stride chunk export: every document split into sliding
+    30-word windows advancing 20 words (10-word overlap carries context
+    across boundaries) — the chunking pass that feeds embedding /
+    retrieval indexing, complementing ``t_paragraph_dedup``'s disjoint
+    chunks and ``t_pack_sequences``'s budget packing.  Emits the chunk
+    manifest (index, start offset, width, content fingerprint) rather
+    than the text itself: the downstream embedder re-slices by offset,
+    so the shuffle never carries chunk bodies — at 100 TB the explode
+    is map-side only and the single exchange is the final ORDER BY.
+    Chunk starts are exactly the i·S < len(words) positions; the final
+    window is allowed to run short (no padding), matching the common
+    chunker convention."""
+    toks = _toks_df(spark, sf_dir)
+    w, s = OVERLAP_WORDS, OVERLAP_STRIDE
+    n_chunks = F.ceil(F.size("toks") / F.lit(s)).cast("long")
+    chunk = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx")
+    out = toks.select("doc_id", "toks", chunk)
+    words = F.slice(F.col("toks"), (F.col("chunk_idx") * s + 1).cast("int"), w)
+    return (
+        out.select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * s + 1).alias("start_word"),
+            F.size(words).cast("long").alias("n_words"),
+            F.md5(F.array_join(words, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+T_CHUNK_OVERLAP_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), c AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+    CAST((i - 1) * {OVERLAP_STRIDE} + 1 AS BIGINT) AS start_word,
+    l[(i - 1) * {OVERLAP_STRIDE} + 1 :
+      least((i - 1) * {OVERLAP_STRIDE} + {OVERLAP_WORDS}, len(l))] AS w
+  FROM norm, generate_series(1, 4000) AS t(i)
+  WHERE (i - 1) * {OVERLAP_STRIDE} < len(l)
+)
+SELECT doc_id, chunk_idx, start_word,
+  CAST(len(w) AS BIGINT) AS n_words,
+  md5(array_to_string(w, ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_paragraph_dedup": t_paragraph_dedup,
     "dedup_substring": dedup_substring,
@@ -1281,6 +1339,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_recall": dedup_lsh_recall,
     "w_streaks": w_streaks,
     "t_doc_report": t_doc_report,
+    "t_chunk_overlap": t_chunk_overlap,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -1294,6 +1353,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "mm_shard_manifest": MM_SHARD_SQL,
     "dedup_lsh_recall": _dedup_lsh_recall_sql(),
     "w_streaks": W_STREAKS_SQL,
+    "t_chunk_overlap": T_CHUNK_OVERLAP_SQL,
 }
 
 
