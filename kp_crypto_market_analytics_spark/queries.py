@@ -1144,10 +1144,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_SQL = f"""
 WITH norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS i
+  FROM norm
 ), sets AS (
-  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle
-  FROM norm, generate_series(1, 4000) AS g(i)
-  WHERE i <= greatest(length(t) - 3, 1)
+  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle FROM idx
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY 1
 ), inter AS (
@@ -1192,10 +1193,11 @@ def _minhash_sql() -> str:
     return f"""
 WITH norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS i
+  FROM norm
 ), sets AS (
-  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle
-  FROM norm, generate_series(1, 4000) AS g(i)
-  WHERE i <= greatest(length(t) - 3, 1)
+  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle FROM idx
 )
 SELECT doc_id, {aggs}
 FROM sets GROUP BY doc_id ORDER BY doc_id

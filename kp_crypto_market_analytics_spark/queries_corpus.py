@@ -121,11 +121,14 @@ def t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_PARAGRAPH_SQL = f"""
 WITH norm AS (
   SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, l,
+    unnest(generate_series(1, CAST(ceil(len(l) / {CHUNK_WORDS}.0) AS BIGINT))) AS i
+  FROM norm
 ), c AS (
   SELECT doc_id,
     array_to_string(l[(i - 1) * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS}], ' ') AS chunk
-  FROM norm, generate_series(1, 4000) AS t(i)
-  WHERE i <= ceil(len(l) / {CHUNK_WORDS}.0)
+  FROM idx
 ), k AS (
   SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk) AS cnt FROM c
 )
@@ -205,10 +208,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SUBSTRING_SQL = f"""
 WITH norm AS (
   SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, l,
+    unnest(generate_series(1, len(l) - {SHINGLE_WORDS - 1})) AS i
+  FROM norm
 ), w AS (
   SELECT doc_id, array_to_string(l[i : i + {SHINGLE_WORDS - 1}], ' ') AS win
-  FROM norm, generate_series(1, 4000) AS t(i)
-  WHERE i <= len(l) - {SHINGLE_WORDS - 1}
+  FROM idx
 ), d AS (
   SELECT win, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY win
 ), per_doc AS (
@@ -349,10 +355,11 @@ def t_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_BIGRAM_LOGPROB_SQL = f"""
 WITH norm AS (
   SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM norm
 ), b AS (
   SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
-  FROM norm, generate_series(1, 4000) AS t(i)
-  WHERE i <= len(l) - 1
+  FROM idx
 ), {TOKENS_CTE}, heads AS (
   SELECT tok AS w1, COUNT(*) AS c1 FROM toks GROUP BY tok
 ), v AS (
@@ -538,9 +545,10 @@ def _bpe_merges_sql() -> str:
         parts.append(
             f"""p{r} AS (
   SELECT arr[i] AS left_sym, arr[i + 1] AS right_sym, SUM(wf) AS pair_count
-  FROM (SELECT wf, list_filter(string_split(seq, '  '), x -> x <> '') AS arr FROM s{r}),
-       generate_series(1, 200) AS g(i)
-  WHERE i <= len(arr) - 1
+  FROM (
+    SELECT wf, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+    FROM (SELECT wf, list_filter(string_split(seq, '  '), x -> x <> '') AS arr FROM s{r})
+  )
   GROUP BY 1, 2
 ), t{r} AS (
   SELECT {r + 1} AS merge_idx, left_sym, right_sym, pair_count
@@ -1308,13 +1316,16 @@ def t_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_CHUNK_OVERLAP_SQL = f"""
 WITH norm AS (
   SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, l,
+    unnest(generate_series(1, CAST(ceil(len(l) / {OVERLAP_STRIDE}.0) AS BIGINT))) AS i
+  FROM norm
 ), c AS (
   SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
     CAST((i - 1) * {OVERLAP_STRIDE} + 1 AS BIGINT) AS start_word,
     l[(i - 1) * {OVERLAP_STRIDE} + 1 :
       least((i - 1) * {OVERLAP_STRIDE} + {OVERLAP_WORDS}, len(l))] AS w
-  FROM norm, generate_series(1, 4000) AS t(i)
-  WHERE (i - 1) * {OVERLAP_STRIDE} < len(l)
+  FROM idx
 )
 SELECT doc_id, chunk_idx, start_word,
   CAST(len(w) AS BIGINT) AS n_words,

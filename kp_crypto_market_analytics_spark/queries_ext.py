@@ -48,10 +48,11 @@ ORACLE_WORD_CAP = 200   # symbols per word in _bpe_merges_sql (literal 200)
 SHINGLE4_CTE = f"""
 norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
+), shidx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS i
+  FROM norm
 ), sets AS (
-  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle
-  FROM norm, generate_series(1, 4000) AS g(i)
-  WHERE i <= greatest(length(t) - 3, 1)
+  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle FROM shidx
 )"""
 
 
@@ -341,10 +342,11 @@ def t_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_WINNOW_SQL = f"""
 WITH norm AS (
   SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+  FROM norm
 ), pos AS (
-  SELECT doc_id, i, substr(t, i, 5) AS shingle
-  FROM norm, generate_series(1, 4000) AS g(i)
-  WHERE i <= greatest(length(t) - 4, 1)
+  SELECT doc_id, i, substr(t, i, 5) AS shingle FROM idx
 ), winn AS (
   SELECT doc_id, MIN({H60.format(x='shingle')}) OVER (
     PARTITION BY doc_id ORDER BY i ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
@@ -2006,10 +2008,10 @@ def t_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_BIGRAM_SQL = f"""
 WITH norm AS (
   SELECT string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM norm
 ), b AS (
-  SELECT l[i] || ' ' || l[i + 1] AS bigram
-  FROM norm, generate_series(1, 4000) AS g(i)
-  WHERE i <= len(l) - 1
+  SELECT l[i] || ' ' || l[i + 1] AS bigram FROM idx
 )
 SELECT bigram, COUNT(*) AS cnt FROM b
 GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
@@ -2073,10 +2075,11 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_DECON_SQL = f"""
 WITH norm AS (
   SELECT doc_id, source, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, source, l, unnest(generate_series(1, len(l) - 2)) AS i FROM norm
 ), tri AS (
   SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
-  FROM norm, generate_series(1, 4000) AS t(i)
-  WHERE i <= len(l) - 2
+  FROM idx
 ), freq AS (
   SELECT g, COUNT(*) AS df FROM tri GROUP BY 1
 ), capped AS (
@@ -2137,10 +2140,10 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_REPETITION_SQL = f"""
 WITH norm AS (
   SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM norm
 ), b AS (
-  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
-  FROM norm, generate_series(1, 4000) AS t(i)
-  WHERE i <= len(l) - 1
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram FROM idx
 )
 SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(DISTINCT bigram) AS n_distinct,
   round(1.0 - COUNT(DISTINCT bigram) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
@@ -2428,10 +2431,11 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_SOURCE_OVERLAP_SQL = f"""
 WITH norm AS (
   SELECT source, {NORM_TEXT_SQL} AS t FROM documents
+), idx AS (
+  SELECT source, t, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS i
+  FROM norm
 ), sets AS (
-  SELECT DISTINCT source, substr(t, i, 4) AS sh
-  FROM norm, generate_series(1, 4000) AS g(i)
-  WHERE i <= greatest(length(t) - 3, 1)
+  SELECT DISTINCT source, substr(t, i, 4) AS sh FROM idx
 ), totals AS (
   SELECT source, COUNT(*) AS n_sh FROM sets GROUP BY 1
 ), shared AS (
@@ -3263,10 +3267,10 @@ def _t_textrank_sql(iters: int = 3) -> str:
     parts = [f"""
 WITH norm AS (
   SELECT string_split({NORM_TEXT_SQL}, ' ') AS l FROM documents
+), idx AS (
+  SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM norm
 ), big AS (
-  SELECT l[i] AS src, l[i + 1] AS dst
-  FROM norm, generate_series(1, 4000) AS g(i)
-  WHERE len(l) >= 2 AND i <= len(l) - 1
+  SELECT l[i] AS src, l[i + 1] AS dst FROM idx
 ), dcnt AS (
   SELECT src, dst, COUNT(*) AS c FROM big GROUP BY 1, 2
 ), edges AS (
