@@ -57,6 +57,41 @@ def _shingle_sets(df: DataFrame, text: str, id_col: str, k: int, use_words: bool
     )
 
 
+def _jaccard_direct_join(sets: DataFrame, threshold: float) -> DataFrame:
+    """Naive inverted-index Jaccard: self-join postings on the shingle,
+    count intersections, |A∪B| = |A|+|B|−|A∩B|.  Each shingle shared by
+    d docs emits d² join rows, so this is only safe when document
+    frequency is bounded (the ``max_shingle_freq`` capped regime)."""
+    # The capped postings feed three consumers (sizes + both join
+    # sides); materialize once.
+    sets = sets.localCheckpoint(eager=True)
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sets.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sets.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter_size") / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str,
@@ -89,6 +124,12 @@ def ngram_jaccard_pairs(
             sets.join(freq.where(F.col("__df") <= max_shingle_freq), "shingle")
             .drop("__df")
         )
+        # The cap ALREADY bounds the candidate join (a shingle emits at
+        # most max_shingle_freq**2 pairs), so the prefix+bitmap
+        # machinery below would be pure fixed overhead here (measured
+        # +2.2s per query at sf0.1).  Use the direct inverted-index
+        # join for the capped regime.
+        return _jaccard_direct_join(sets, threshold)
     # The shingle-set subplan feeds several consumers (vocabulary,
     # document frequency, prefixes, bitmaps); without materialization
     # the CPU-heavy explode+distinct re-executes for each (measured
