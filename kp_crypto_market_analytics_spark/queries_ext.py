@@ -34,15 +34,14 @@ from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_ta
 NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
-# Oracle position-enumeration caps (ADVICE r2).  This DuckDB build
-# accepts neither lateral nor subquery bounds for generate_series, so
-# the oracle CTEs enumerate shingle/chunk/symbol positions up to a
-# CONSTANT and filter.  The Spark side is unbounded; if a document ever
-# exceeded a cap the engines would silently diverge — so the caps are
-# gated LOUDLY by tests/test_corpus_queries.py::
-# test_oracle_series_caps_cover_corpus against every testdata SF.
-ORACLE_POS_CAP = 4000   # normalized chars per document (series literal 4000)
-ORACLE_WORD_CAP = 200   # symbols per word in _bpe_merges_sql (literal 200)
+# Oracle position enumeration (ADVICE r2, resolved r3): this DuckDB
+# build rejects lateral/subquery bounds for the generate_series TABLE
+# function, but the SCALAR form unnest(generate_series(1, <per-row
+# expr>)) is allowed — so every position-enumerating CTE derives its
+# bound from len() of the row it slices and can never fall behind the
+# unbounded Spark side.  tests/test_corpus_queries.py::
+# test_oracle_series_bounds_are_data_derived guards against literal
+# caps creeping back in.
 
 # Shared oracle CTE: distinct char-4-gram shingle sets of normalized text.
 SHINGLE4_CTE = f"""
@@ -3684,6 +3683,244 @@ ORDER BY event_type, event_id
 """
 
 
+# ------------------------------------------------------ a_hll_distinct
+
+_HLL_P = 10                      # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+_HLL_MAXRANK = 60 - _HLL_P + 1   # hash64 is 60-bit; w has 50 bits
+_HLL_SCALE = 1 << (_HLL_MAXRANK)  # 2^51: integer-exact register weights
+# alpha_m for m=1024 — identical literal arithmetic on both engines.
+_HLL_ALPHA_SQL = f"(0.7213 / (1 + 1.079 / {_HLL_M}))"
+
+
+def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type, bias-audited
+    against the exact count (Flajolet et al. 2007; the same sketch
+    behind approx_count_distinct, rebuilt from first principles so the
+    DuckDB oracle reproduces it register-for-register via the portable
+    md5 hash).
+
+    Register index = low 10 hash bits; rank = leading-zero count of the
+    remaining 50 bits + 1 (computed portably as 51 - bitlength, via the
+    base-2 string conv — no float log2 whose ulp could differ between
+    engines).  The register sum Σ2^(−M_j) is rescaled by 2^51 so it is
+    an exact BIGINT on both engines — float summation order can never
+    flip the estimate.  Linear-counting correction applies below 2.5m
+    when empty registers remain.
+
+    Scale shape: the sketch is a ≤1024-row-per-group aggregate with
+    map-side combine — distinct-user cardinality at 100 TB without a
+    per-user shuffle; the exact countDistinct twin exists here only to
+    audit the sketch's error."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    h = hash64(F.concat(F.col("u"), F.lit("#hll")))
+    w = F.shiftright(h, _HLL_P)
+    rank = F.when(w == 0, F.lit(_HLL_MAXRANK)).otherwise(
+        F.lit(_HLL_MAXRANK) - F.length(F.conv(w, 10, 2))
+    )
+    regs = (
+        e.select("event_type", F.pmod(h, F.lit(_HLL_M)).alias("idx"), rank.alias("r"))
+        .groupBy("event_type", "idx")
+        .agg(F.max("r").alias("m"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXRANK} - m)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    s_total = F.col("s_present") + zeros * F.lit(_HLL_SCALE)
+    raw = (
+        F.expr(_HLL_ALPHA_SQL)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_SCALE))
+        / s_total
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.count_distinct("u").alias("exact_users"))
+    )
+    return (
+        per_type.select("event_type", F.round(est, 4).alias("hll_est"))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "hll_est",
+            F.round((F.col("hll_est") - F.col("exact_users")) / F.col("exact_users"), 6).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_sql() -> str:
+    h = H60.format(x="u || '#hll'")
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+), hashed AS (
+  SELECT event_type, u, {h} AS h FROM e
+), parts AS (
+  SELECT event_type, h % {_HLL_M} AS idx, h >> {_HLL_P} AS w FROM hashed
+), regs AS (
+  SELECT event_type, idx,
+    MAX(CASE WHEN w = 0 THEN {_HLL_MAXRANK}
+             ELSE {_HLL_MAXRANK} - length(bin(w)) END) AS m
+  FROM parts GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+    SUM(1::BIGINT << ({_HLL_MAXRANK} - m)) AS s_present,
+    COUNT(*) AS n_present
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type,
+    ({_HLL_M} - n_present) AS zeros,
+    {_HLL_ALPHA_SQL} * {_HLL_M}.0 * {_HLL_M}.0 * {_HLL_SCALE}.0
+      / (s_present + ({_HLL_M} - n_present) * {_HLL_SCALE}::BIGINT) AS raw
+  FROM per_type
+), final AS (
+  SELECT event_type,
+    round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+               THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros)
+               ELSE raw END, 4) AS hll_est
+  FROM est
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT u) AS exact_users FROM e GROUP BY 1
+)
+SELECT f.event_type, exact_users, hll_est,
+  round((hll_est - exact_users) / exact_users, 6) AS rel_err
+FROM final f JOIN exact USING (event_type)
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------- j_bloom_prune
+
+_BF_BITS = 8192
+_BF_HASHES = 3
+
+
+def j_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning, audited: build a 8192-bit /
+    3-hash Bloom filter over the part keys that survive a dimension
+    predicate (p_size = 1), broadcast it as a constant-size packed-long
+    bitmap, pre-filter lineitem by membership, and report how many big-
+    side rows the filter passed vs how many truly join — i.e. the
+    false-positive cost of skipping the shuffle for non-matching rows.
+
+    This is the manual form of what Spark's runtime row-group filtering
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects
+    automatically: at 100 TB the bitmap (1 KiB here, ~MBs in prod)
+    rides the broadcast to every task and prunes the fact scan BEFORE
+    the join exchange, so only pass rows shuffle.  Bloom membership has
+    no false negatives, so the pruned join is exactly the plain join —
+    the audit row quantifies the false-positive overhead instead of
+    assuming it.
+
+    The oracle recomputes the identical filter as bucket-set membership
+    (a bit array IS the set of occupied positions) from the same
+    portable md5 bucket hashes."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    dim = t["part"].where(F.col("p_size") == 1).select(
+        F.col("p_partkey"), F.col("p_partkey").cast("string").alias("k")
+    )
+
+    def buckets(col: Column) -> list[Column]:
+        return [
+            F.pmod(hash64(F.concat(col, F.lit(f"#bf{j}"))), F.lit(_BF_BITS))
+            for j in range(_BF_HASHES)
+        ]
+
+    cells = dim.select(
+        F.explode(F.array(*[b.alias("b") for b in buckets(F.col("k"))])).alias("b")
+    )
+    bloom = (
+        cells.groupBy((F.col("b") / 64).cast("int").alias("w"))
+        .agg(F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT))")).alias("mask"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mm"))
+    )
+    big = ensure_parallelism(t["lineitem"]).select(
+        "l_partkey", F.col("l_partkey").cast("string").alias("k")
+    )
+    bs = buckets(F.col("k"))
+    # Membership: all three bucket bits set in the packed bitmap.
+    hit_exprs = [
+        F.expr(
+            f"((coalesce(mm[CAST(b{j} / 64 AS INT)], CAST(0 AS BIGINT)) "
+            f">> CAST(b{j} % 64 AS INT)) & 1) = 1"
+        )
+        for j in range(_BF_HASHES)
+    ]
+    probed = (
+        big.crossJoin(F.broadcast(bloom))
+        .select("l_partkey", "mm", *[b.alias(f"b{j}") for j, b in enumerate(bs)])
+        .select(
+            "l_partkey",
+            (hit_exprs[0] & hit_exprs[1] & hit_exprs[2]).alias("bloom_pass"),
+        )
+    )
+    truth = probed.join(
+        F.broadcast(dim.select(F.col("p_partkey").alias("l_partkey"), F.lit(True).alias("hit"))),
+        "l_partkey",
+        "left",
+    ).select("bloom_pass", F.coalesce(F.col("hit"), F.lit(False)).alias("hit"))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_big"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_true_match"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("hit"), 1).otherwise(0)).alias("n_false_pos"),
+        F.round(
+            F.sum(F.when(F.col("bloom_pass") & ~F.col("hit"), 1).otherwise(0))
+            / F.sum(F.when(~F.col("hit"), 1).otherwise(0)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_sql() -> str:
+    def b(j: int, key: str = "k") -> str:
+        salted = f"{key} || '#bf{j}'"
+        return f"({H60.format(x=salted)} % {_BF_BITS})"
+
+    probes = " AND ".join(
+        f"{b(j)} IN (SELECT bkt FROM occ)" for j in range(_BF_HASHES)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT {b(j)} AS bkt FROM dim" for j in range(_BF_HASHES)
+    )
+    return f"""
+WITH dim AS (
+  SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS k FROM part WHERE p_size = 1
+), occ AS (
+  SELECT DISTINCT bkt FROM ({cells})
+), big AS (
+  SELECT l_partkey, CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+), flags AS (
+  SELECT l_partkey,
+    ({probes}) AS bloom_pass,
+    l_partkey IN (SELECT p_partkey FROM dim) AS hit
+  FROM big
+)
+SELECT COUNT(*) AS n_big,
+  SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
+  SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_true_match,
+  SUM(CASE WHEN bloom_pass AND NOT hit THEN 1 ELSE 0 END) AS n_false_pos,
+  round(SUM(CASE WHEN bloom_pass AND NOT hit THEN 1 ELSE 0 END)
+    / SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END), 6) AS fp_rate
+FROM flags
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_unigram_logprob": t_unigram_logprob,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -3756,6 +3993,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_recall": sim_ivf_recall,
     "sim_pq_recall": sim_pq_recall,
     "w_skew_split": w_skew_split,
+    "a_hll_distinct": a_hll_distinct,
+    "j_bloom_prune": j_bloom_prune,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -3830,4 +4069,6 @@ EXT_ORACLES: dict[str, str] = {
     "sim_ivf_recall": _ann_recall_sql(_ivf_trained_sql(), IVF_RECALL_FLOOR_PCT),
     "sim_pq_recall": _ann_recall_sql(_pq_rerank_sql(), PQ_RECALL_FLOOR_PCT),
     "w_skew_split": W_SKEW_SPLIT_SQL,
+    "a_hll_distinct": _hll_sql(),
+    "j_bloom_prune": _bloom_sql(),
 }

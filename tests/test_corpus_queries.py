@@ -376,31 +376,20 @@ def test_streaks_match_pandas_islands(spark):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp, check_dtype=False)
 
 
-def test_oracle_series_caps_cover_corpus():
-    # The oracle SQL enumerates text positions with constant
-    # generate_series caps (see queries_ext.ORACLE_POS_CAP /
-    # ORACLE_WORD_CAP for why they cannot be data-derived in this
-    # DuckDB build) while the Spark side is unbounded.  A document
-    # exceeding a cap would make the engines silently diverge; this
-    # gate fails loudly first, at every SF the driver verifies.
-    import duckdb
+def test_oracle_series_bounds_are_data_derived():
+    # Every position-enumerating oracle CTE must bound its
+    # generate_series from the row it slices (unnest(generate_series(1,
+    # len(...)))), never from a literal cap — a document exceeding a
+    # literal cap would silently diverge from the unbounded Spark side
+    # (ADVICE r2).  Small structural literals (hash bands, 64-dim
+    # loops, fixed bit widths <= 64) are fine; doc-scale caps are not.
+    import re
 
-    from kp_crypto_market_analytics_spark.queries_ext import (
-        NORM_TEXT_SQL,
-        ORACLE_POS_CAP,
-        ORACLE_WORD_CAP,
-    )
+    import __spark_entry__ as entry
 
-    con = duckdb.connect()
-    for sf in ("0.001", "0.01", "0.1"):
-        doc = f"/root/testdata/sf{sf}/documents.parquet"
-        max_chars = con.execute(
-            f"SELECT MAX(len({NORM_TEXT_SQL})) FROM read_parquet('{doc}')"
-        ).fetchone()[0]
-        max_word = con.execute(
-            f"""SELECT MAX(len(w)) FROM (
-                  SELECT unnest(string_split({NORM_TEXT_SQL}, ' ')) AS w
-                  FROM read_parquet('{doc}'))"""
-        ).fetchone()[0]
-        assert max_chars < ORACLE_POS_CAP, (sf, max_chars)
-        assert max_word < ORACLE_WORD_CAP, (sf, max_word)
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        for lo, hi in re.findall(r"generate_series\((\d+)\s*,\s*(\d+)\)", sql):
+            if int(hi) - int(lo) > 64:
+                offenders.append((name, lo, hi))
+    assert not offenders, offenders

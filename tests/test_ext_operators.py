@@ -350,3 +350,24 @@ def test_skew_split_plan_never_sorts_hot_key_alone(spark):
     assert fact_windows, "expected a window over the fact rows"
     for ln in fact_windows:
         assert "__b" in ln, f"fact window partitions on the hot key alone: {ln}"
+
+
+def test_hll_error_and_bloom_fp_floors_hold(spark):
+    # Same audit-tripwire rationale as the ANN recall floors: the
+    # DuckDB oracle rebuilds both sketches identically, so only these
+    # assertions catch a sketch-quality regression (a broken hash or
+    # register layout would still "PASS" the gate with garbage error).
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        a_hll_distinct,
+        j_bloom_prune,
+    )
+
+    for row in a_hll_distinct(spark, "/root/testdata/sf0.01").collect():
+        # m=1024 registers -> sigma = 1.04/sqrt(1024) = 3.25%; 3 sigma.
+        assert abs(row["rel_err"]) < 0.10, row
+
+    b = j_bloom_prune(spark, "/root/testdata/sf0.01").collect()[0]
+    assert b["n_bloom_pass"] >= b["n_true_match"], b  # no false negatives
+    assert b["n_false_pos"] == b["n_bloom_pass"] - b["n_true_match"], b
+    # 8192 bits / 3 hashes over ~100 keys -> fp well under 1%.
+    assert b["fp_rate"] < 0.02, b
