@@ -3693,6 +3693,42 @@ _HLL_SCALE = 1 << (_HLL_MAXRANK)  # 2^51: integer-exact register weights
 _HLL_ALPHA_SQL = f"(0.7213 / (1 + 1.079 / {_HLL_M}))"
 
 
+def _hll_registers(e: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., idx, m) HLL register frame over column ``u``."""
+    h = hash64(F.concat(F.col("u"), F.lit("#hll")))
+    w = F.shiftright(h, _HLL_P)
+    rank = F.when(w == 0, F.lit(_HLL_MAXRANK)).otherwise(
+        F.lit(_HLL_MAXRANK) - F.length(F.conv(w, 10, 2))
+    )
+    return (
+        e.select(*group_cols, F.pmod(h, F.lit(_HLL_M)).alias("idx"), rank.alias("r"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("r").alias("m"))
+    )
+
+
+def _hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., hll_est) from a register frame, integer-exact sum."""
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXRANK} - m)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    s_total = F.col("s_present") + zeros * F.lit(_HLL_SCALE)
+    raw = (
+        F.expr(_HLL_ALPHA_SQL)
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_M))
+        * F.lit(float(_HLL_SCALE))
+        / s_total
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return per.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
 def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user sketch per event type, bias-audited
     against the exact count (Flajolet et al. 2007; the same sketch
@@ -3716,39 +3752,13 @@ def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t["events"]).select(
         "event_type", F.col("user_id").cast("string").alias("u")
     )
-    h = hash64(F.concat(F.col("u"), F.lit("#hll")))
-    w = F.shiftright(h, _HLL_P)
-    rank = F.when(w == 0, F.lit(_HLL_MAXRANK)).otherwise(
-        F.lit(_HLL_MAXRANK) - F.length(F.conv(w, 10, 2))
-    )
-    regs = (
-        e.select("event_type", F.pmod(h, F.lit(_HLL_M)).alias("idx"), rank.alias("r"))
-        .groupBy("event_type", "idx")
-        .agg(F.max("r").alias("m"))
-    )
-    per_type = regs.groupBy("event_type").agg(
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_MAXRANK} - m)")).alias("s_present"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
-    zeros = F.lit(_HLL_M) - F.col("n_present")
-    s_total = F.col("s_present") + zeros * F.lit(_HLL_SCALE)
-    raw = (
-        F.expr(_HLL_ALPHA_SQL)
-        * F.lit(float(_HLL_M))
-        * F.lit(float(_HLL_M))
-        * F.lit(float(_HLL_SCALE))
-        / s_total
-    )
-    est = F.when(
-        (raw <= 2.5 * _HLL_M) & (zeros > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
-    ).otherwise(raw)
+    regs = _hll_registers(e, ["event_type"])
     exact = (
         e.groupBy("event_type")
         .agg(F.count_distinct("u").alias("exact_users"))
     )
     return (
-        per_type.select("event_type", F.round(est, 4).alias("hll_est"))
+        _hll_estimate(regs, ["event_type"])
         .join(exact, "event_type")
         .select(
             "event_type",
@@ -3800,6 +3810,83 @@ SELECT f.event_type, exact_users, hll_est,
   round((hll_est - exact_users) / exact_users, 6) AS rel_err
 FROM final f JOIN exact USING (event_type)
 ORDER BY event_type
+"""
+
+
+def a_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY, gated: merge the per-event-type register
+    sketches (register merge = element-wise max) and prove the merged
+    estimate equals the sketch built directly over the union stream.
+
+    Mergeability is the property that makes sketches work at 100 TB —
+    per-partition / per-day / per-source sketches combine with a
+    1024-row max-aggregate instead of re-scanning the union, the same
+    algebraic-partial-state law a_incremental_rollup gates for decimal
+    sums.  merged_eq_direct is TRUE by the max-of-max identity; the
+    gate (plus the pytest tripwire) pins that the IMPLEMENTATION
+    preserves it."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    per_type = _hll_registers(e, ["event_type"])
+    merged = per_type.groupBy("idx").agg(F.max("m").alias("m"))
+    direct = _hll_registers(e, [])
+    m_est = _hll_estimate(merged.select(F.lit(1).alias("g"), "idx", "m"), ["g"]).select(
+        F.col("hll_est").alias("merged_est")
+    )
+    d_est = _hll_estimate(direct.select(F.lit(1).alias("g"), "idx", "m"), ["g"]).select(
+        F.col("hll_est").alias("direct_est")
+    )
+    exact = e.agg(F.count_distinct("u").alias("exact_users"))
+    return (
+        m_est.crossJoin(d_est)
+        .crossJoin(exact)
+        .select(
+            "exact_users",
+            "merged_est",
+            "direct_est",
+            (F.col("merged_est") == F.col("direct_est")).alias("merged_eq_direct"),
+            F.round(
+                (F.col("merged_est") - F.col("exact_users")) / F.col("exact_users"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _hll_merge_sql() -> str:
+    h = H60.format(x="u || '#hll'")
+    reg = (
+        f"SELECT {{grp}} idx, MAX(CASE WHEN w = 0 THEN {_HLL_MAXRANK} "
+        f"ELSE {_HLL_MAXRANK} - length(bin(w)) END) AS m FROM parts GROUP BY {{gby}}"
+    )
+    est = (
+        f"SELECT round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0 "
+        f"THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros) ELSE raw END, 4) AS est FROM ("
+        f"SELECT ({_HLL_M} - COUNT(*)) AS zeros, "
+        f"{_HLL_ALPHA_SQL} * {_HLL_M}.0 * {_HLL_M}.0 * {_HLL_SCALE}.0 "
+        f"/ (SUM(1::BIGINT << ({_HLL_MAXRANK} - m)) "
+        f"+ ({_HLL_M} - COUNT(*)) * {_HLL_SCALE}::BIGINT) AS raw FROM {{src}})"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+), parts AS (
+  SELECT event_type, {h} % {_HLL_M} AS idx, {h} >> {_HLL_P} AS w FROM e
+), per_type AS (
+  {reg.format(grp="event_type,", gby="1, 2")}
+), merged AS (
+  SELECT idx, MAX(m) AS m FROM per_type GROUP BY 1
+), direct AS (
+  {reg.format(grp="", gby="1")}
+), m_est AS ({est.format(src="merged")}), d_est AS ({est.format(src="direct")}),
+exact AS (SELECT COUNT(DISTINCT u) AS exact_users FROM e)
+SELECT exact_users,
+  m_est.est AS merged_est,
+  d_est.est AS direct_est,
+  m_est.est = d_est.est AS merged_eq_direct,
+  round((m_est.est - exact_users) / exact_users, 6) AS rel_err
+FROM m_est, d_est, exact
 """
 
 
@@ -3994,6 +4081,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_recall": sim_pq_recall,
     "w_skew_split": w_skew_split,
     "a_hll_distinct": a_hll_distinct,
+    "a_hll_merge": a_hll_merge,
     "j_bloom_prune": j_bloom_prune,
 }
 
@@ -4070,5 +4158,6 @@ EXT_ORACLES: dict[str, str] = {
     "sim_pq_recall": _ann_recall_sql(_pq_rerank_sql(), PQ_RECALL_FLOOR_PCT),
     "w_skew_split": W_SKEW_SPLIT_SQL,
     "a_hll_distinct": _hll_sql(),
+    "a_hll_merge": _hll_merge_sql(),
     "j_bloom_prune": _bloom_sql(),
 }

@@ -366,6 +366,11 @@ def test_hll_error_and_bloom_fp_floors_hold(spark):
         # m=1024 registers -> sigma = 1.04/sqrt(1024) = 3.25%; 3 sigma.
         assert abs(row["rel_err"]) < 0.10, row
 
+    from kp_crypto_market_analytics_spark.queries_ext import a_hll_merge
+
+    mg = a_hll_merge(spark, "/root/testdata/sf0.01").collect()[0]
+    assert mg["merged_eq_direct"], mg  # register merge law (max-of-max)
+
     b = j_bloom_prune(spark, "/root/testdata/sf0.01").collect()[0]
     assert b["n_bloom_pass"] >= b["n_true_match"], b  # no false negatives
     assert b["n_false_pos"] == b["n_bloom_pass"] - b["n_true_match"], b
