@@ -22,6 +22,18 @@ production table format (Delta, Iceberg, Hudi) uses:
    directories no retained manifest references (failed commits, old
    versions), with retained history as the reader grace period.
 
+Because data is immutable and manifests are versioned, two reader
+features fall out for free (both tested):
+
+- **Time travel** — ``read_table(version=N)`` resolves manifest N and
+  reads the table exactly as it was at that commit, until vacuumed.
+- **Data skipping** — ``merge_into(stats_cols=[...])`` records
+  per-partition [min, max] in the manifest; ``read_table(where=(col,
+  lo, hi))`` drops partitions whose range cannot intersect BEFORE the
+  object-store LIST, then applies the predicate (Delta/Iceberg
+  file-skipping, one level up).  Untouched partitions carry their
+  stats forward; stats-less entries are conservatively scanned.
+
 Atomicity of the publish itself: locally, write-temp + ``os.rename`` of
 the single manifest file; on an object store the equivalent is one
 conditional PUT (put-if-absent on the new manifest key), which S3/GCS/
@@ -93,17 +105,69 @@ def _publish_manifest(root: str, version: int, manifest: dict) -> None:
     os.rename(tmp, final)
 
 
-def read_table(spark: SparkSession, root: str) -> DataFrame | None:
-    """Resolve the latest manifest and read exactly its live directories.
+def manifest_at(root: str, version: int) -> dict:
+    """Load a SPECIFIC manifest version (time travel).  Raises
+    FileNotFoundError if that version was never published or has been
+    vacuumed past the retention window."""
+    path = _manifest_path(root, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"manifest version {version} not found (vacuumed or never published): {path}"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _prune_entries(
+    manifest: dict, where: tuple[str, object, object] | None
+) -> dict[str, str]:
+    """Data skipping: drop entries whose recorded [min, max] for the
+    predicate column cannot intersect [lo, hi].  Entries without stats
+    (older commits, un-tracked columns) are conservatively kept."""
+    entries: dict[str, str] = manifest["entries"]
+    if where is None:
+        return entries
+    col, lo, hi = where
+    stats: dict[str, dict] = manifest.get("stats", {})
+    kept = {}
+    for part_rel, data_rel in entries.items():
+        rng = stats.get(part_rel, {}).get(col)
+        if rng is not None and (rng[0] > _stat_key(hi) or rng[1] < _stat_key(lo)):
+            continue
+        kept[part_rel] = data_rel
+    return kept
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    where: tuple[str, object, object] | None = None,
+) -> DataFrame | None:
+    """Resolve a manifest and read exactly its live directories.
 
     Entries written by the same commit are read in one scan (shared
     ``basePath`` keeps hive-style partition columns); the number of
     unions equals the number of live commits, which compaction/vacuum
     keeps small — the plan never grows with partition count alone.
     Returns None for a table with no published manifest.
+
+    ``version`` time-travels to a historical manifest (any retained
+    version reads the table exactly as it was — data directories are
+    immutable, so old manifests stay valid until vacuumed).
+
+    ``where=(col, lo, hi)`` applies a BETWEEN predicate with manifest-
+    level data skipping: partitions whose recorded [min, max] for
+    ``col`` cannot intersect [lo, hi] are never listed or scanned (the
+    Delta/Iceberg file-skipping pattern, one level up) — at 100 TB this
+    prunes the object-store LIST as well as the read.  Result is
+    identical to reading everything and filtering; stats-less entries
+    are conservatively scanned.
     """
-    _, manifest = latest_manifest(root)
-    entries: dict[str, str] = manifest["entries"]
+    manifest = (
+        latest_manifest(root)[1] if version is None else manifest_at(root, version)
+    )
+    entries = _prune_entries(manifest, where)
     if not entries:
         return None
     by_commit: dict[str, list[str]] = {}
@@ -117,7 +181,56 @@ def read_table(spark: SparkSession, root: str) -> DataFrame | None:
     df = frames[0]
     for other in frames[1:]:
         df = df.unionByName(other)
+    if where is not None:
+        col, lo, hi = where
+        df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
     return df
+
+
+def _stat_key(v):
+    """JSON-comparable stat value: numbers as-is, everything else (str,
+    timestamp, date) as its string form — ISO timestamp strings order
+    lexicographically, so range pruning stays correct."""
+    if v is None or isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None if v is None else str(v)
+    return v
+
+
+def _collect_stats(
+    spark: SparkSession,
+    root: str,
+    commit_rel: str,
+    partition_by: list[str],
+    stats_cols: list[str],
+) -> dict[str, dict]:
+    """Per-partition-dir [min, max] of each stats column, computed from
+    the data the commit actually wrote (one skinny agg over the fresh,
+    page-cache-warm commit dir — never the whole table)."""
+    commit_dir = os.path.join(root, commit_rel)
+    df = spark.read.option("basePath", commit_dir).parquet(commit_dir)
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    if partition_by:
+        rows = df.groupBy(*partition_by).agg(*aggs).collect()
+    else:
+        rows = df.agg(*aggs).collect()
+    out: dict[str, dict] = {}
+    for r in rows:
+        if partition_by:
+            parts = []
+            for c in partition_by:
+                sval = "__HIVE_DEFAULT_PARTITION__" if r[c] is None else str(r[c])
+                parts.append(f"{c}={_escape_path_name(sval)}")
+            rel = os.path.join(*parts)
+        else:
+            rel = ""
+        out[rel] = {
+            c: [_stat_key(r[f"__mn_{c}"]), _stat_key(r[f"__mx_{c}"])]
+            for c in stats_cols
+            if r[f"__mn_{c}"] is not None
+        }
+    return out
 
 
 def merge_into(
@@ -127,6 +240,7 @@ def merge_into(
     key: list[str],
     version_col: str | None = None,
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Upsert ``staged`` into the manifest table at ``root`` (last write
     wins on ``key``; see upsert.merge_into for the merge semantics and
@@ -136,10 +250,18 @@ def merge_into(
     merged, and re-pointed in the new manifest; untouched partitions
     keep their existing data directories byte-for-byte.  Returns the
     published manifest version.
+
+    ``stats_cols`` records per-partition [min, max] of the named
+    columns in the manifest for reader-side data skipping
+    (``read_table(where=...)``); once set it sticks for the table —
+    later merges refresh stats for the partitions they touch and carry
+    untouched partitions' stats forward unchanged.
     """
     partition_by = partition_by or []
     cur_version, manifest = latest_manifest(root)
     entries = dict(manifest["entries"])
+    stats = dict(manifest.get("stats", {}))
+    stats_cols = list(stats_cols or manifest.get("stats_cols", []))
     if entries and manifest.get("partition_by", []) != partition_by:
         raise ValueError(
             f"table partitioned by {manifest['partition_by']}, got {partition_by}"
@@ -190,11 +312,20 @@ def merge_into(
         )
         entries = {"": commit_rel}
 
+    if stats_cols:
+        stats.update(_collect_stats(spark, root, commit_rel, partition_by, stats_cols))
+        stats = {k: v for k, v in stats.items() if k in entries}
     new_version = cur_version + 1
     _publish_manifest(
         root,
         new_version,
-        {"version": new_version, "partition_by": partition_by, "entries": entries},
+        {
+            "version": new_version,
+            "partition_by": partition_by,
+            "entries": entries,
+            "stats": stats,
+            "stats_cols": stats_cols,
+        },
     )
     return new_version
 
@@ -282,10 +413,18 @@ def compact(
     else:
         new_entries = {"": commit_rel}
     new_version = cur_version + 1
+    # Pure rewrite: same rows land under the same partition rels, so
+    # recorded column stats remain valid and carry forward as-is.
     _publish_manifest(
         root,
         new_version,
-        {"version": new_version, "partition_by": partition_by, "entries": new_entries},
+        {
+            "version": new_version,
+            "partition_by": partition_by,
+            "entries": new_entries,
+            "stats": {k: v for k, v in manifest.get("stats", {}).items() if k in new_entries},
+            "stats_cols": manifest.get("stats_cols", []),
+        },
     )
     return new_version
 

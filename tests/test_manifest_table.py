@@ -317,3 +317,95 @@ def test_streaming_checkpoint_restart_manifest_backend(spark, tmp_path):
     mt.compact(spark, root, max_live_commits=1)
     mt.vacuum(root, keep_versions=1)
     assert mt.read_table(spark, root).agg(SF.sum("num_trades")).collect()[0][0] == 200
+
+
+def test_time_travel_reads_historical_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"])
+    v2 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 10.0),
+        ("B", "1m", "2024-01-01 00:00:00", 2.0),
+    ]), KEY, partition_by=["symbol"])
+    assert (v1, v2) == (1, 2)
+
+    def at(v):
+        df = mt.read_table(spark, root, version=v)
+        return {(r["symbol"], r["close"]) for r in df.collect()}
+
+    # Data dirs are immutable, so retained old manifests read the table
+    # exactly as it was at that commit.
+    assert at(1) == {("A", 1.0)}
+    assert at(2) == {("A", 10.0), ("B", 2.0)}
+    assert at(None) == at(2)
+    with pytest.raises(FileNotFoundError):
+        mt.manifest_at(root, 99)
+    # Vacuum past v1's grace window: time travel to it now fails
+    # loudly instead of reading half-vacuumed data.
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 100.0),
+    ]), KEY, partition_by=["symbol"])
+    mt.vacuum(root, keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        mt.read_table(spark, root, version=1)
+
+
+def test_stats_skipping_prunes_partitions_and_matches_full_filter(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("A", "1m", "2024-01-01 00:01:00", 2.0),
+        ("B", "1m", "2024-01-02 00:00:00", 30.0),
+        ("C", "1m", "2024-01-03 00:00:00", 4.0),
+    ]), KEY, partition_by=["symbol"], stats_cols=["close", "open_time"])
+    _, m = mt.latest_manifest(root)
+    assert m["stats"]["symbol=A"]["close"] == [1.0, 2.0]
+
+    # Manifest-level pruning: only A's entry survives the range.
+    kept = mt._prune_entries(m, ("close", 0.0, 2.5))
+    assert set(kept) == {"symbol=A"}
+    pruned = mt.read_table(spark, root, where=("close", 0.0, 2.5))
+    assert all("symbol=A" in f for f in pruned.inputFiles())
+
+    # Semantics identical to full scan + filter.
+    full = mt.read_table(spark, root).where(F.col("close").between(0.0, 2.5))
+    assert _rows(pruned) == _rows(full)
+
+    # Timestamp stats prune lexicographically on ISO strings.
+    ts = mt.read_table(
+        spark, root, where=("open_time", "2024-01-02 00:00:00", "2024-01-02 23:59:59")
+    )
+    assert {r["symbol"] for r in ts.collect()} == {"B"}
+    assert all("symbol=B" in f for f in ts.inputFiles())
+
+    # A later merge refreshes touched partitions' stats and carries the
+    # untouched ones forward unchanged (stats_cols sticks table-wide).
+    mt.merge_into(spark, root, _mk(spark, [
+        ("B", "1m", "2024-01-02 00:00:00", 5.0),
+    ]), KEY, partition_by=["symbol"])
+    _, m2 = mt.latest_manifest(root)
+    assert m2["stats"]["symbol=B"]["close"] == [5.0, 5.0]
+    assert m2["stats"]["symbol=A"]["close"] == [1.0, 2.0]
+    got = mt.read_table(spark, root, where=("close", 4.5, 10.0))
+    assert {(r["symbol"], r["close"]) for r in got.collect()} == {("B", 5.0)}
+
+
+def test_stats_skipping_unpartitioned_and_statless_entries_kept(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # First merge records no stats: reader must conservatively scan.
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY)
+    got = mt.read_table(spark, root, where=("close", 100.0, 200.0))
+    assert got is not None and got.count() == 0  # scanned, filtered empty
+    # Enable stats; the whole-table entry now prunes to None.
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:01:00", 2.0),
+    ]), KEY, stats_cols=["close"])
+    assert mt.read_table(spark, root, where=("close", 100.0, 200.0)) is None
+    assert {r["close"] for r in mt.read_table(spark, root).collect()} == {1.0, 2.0}
+
+
+def _rows(df):
+    return sorted((r["symbol"], r["tf"], str(r["open_time"]), r["close"]) for r in df.collect())
