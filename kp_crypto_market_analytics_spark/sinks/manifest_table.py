@@ -180,7 +180,9 @@ def read_table(
     ]
     df = frames[0]
     for other in frames[1:]:
-        df = df.unionByName(other)
+        # Commits written before a schema evolution are narrower;
+        # null-fill their missing columns instead of failing the read.
+        df = df.unionByName(other, allowMissingColumns=True)
     if where is not None:
         col, lo, hi = where
         df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
@@ -241,6 +243,7 @@ def merge_into(
     version_col: str | None = None,
     partition_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Upsert ``staged`` into the manifest table at ``root`` (last write
     wins on ``key``; see upsert.merge_into for the merge semantics and
@@ -256,6 +259,14 @@ def merge_into(
     (``read_table(where=...)``); once set it sticks for the table —
     later merges refresh stats for the partitions they touch and carry
     untouched partitions' stats forward unchanged.
+
+    ``evolve_schema=True`` lets the staged batch ADD columns: live rows
+    merge with nulls in the new columns, and a staged batch missing an
+    existing column null-fills it for the keys it rewrites (the
+    add-column semantics of Delta's mergeSchema).  Untouched
+    partitions keep their narrower files; readers union with
+    allowMissingColumns, so historical commits stay readable without
+    rewrite.  Default (False) keeps the strict-schema error.
     """
     partition_by = partition_by or []
     cur_version, manifest = latest_manifest(root)
@@ -278,7 +289,8 @@ def merge_into(
             # Static pruning for free: only the touched dirs are listed.
             old = _read_entries(spark, root, touched_live)
             merged = old.withColumn("__src", F.lit(0)).unionByName(
-                staged.withColumn("__src", F.lit(1))
+                staged.withColumn("__src", F.lit(1)),
+                allowMissingColumns=evolve_schema,
             )
         else:
             merged = staged.withColumn("__src", F.lit(1))
@@ -302,7 +314,8 @@ def merge_into(
         old = _read_entries(spark, root, entries) if entries else None
         merged = (
             old.withColumn("__src", F.lit(0)).unionByName(
-                staged.withColumn("__src", F.lit(1))
+                staged.withColumn("__src", F.lit(1)),
+                allowMissingColumns=evolve_schema,
             )
             if old is not None
             else staged.withColumn("__src", F.lit(1))
@@ -341,7 +354,7 @@ def _read_entries(spark: SparkSession, root: str, entries: dict[str, str]) -> Da
     ]
     df = frames[0]
     for other in frames[1:]:
-        df = df.unionByName(other)
+        df = df.unionByName(other, allowMissingColumns=True)
     return df
 
 

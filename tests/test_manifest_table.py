@@ -409,3 +409,43 @@ def test_stats_skipping_unpartitioned_and_statless_entries_kept(spark, tmp_path)
 
 def _rows(df):
     return sorted((r["symbol"], r["tf"], str(r["open_time"]), r["close"]) for r in df.collect())
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("B", "1m", "2024-01-01 00:00:00", 2.0),
+    ]), KEY, partition_by=["symbol"])
+
+    wide = _mk(spark, [
+        ("B", "1m", "2024-01-01 00:00:00", 20.0),
+    ]).withColumn("volume", F.lit(7.5))
+
+    # Strict mode refuses the wider batch...
+    with pytest.raises(Exception):
+        mt.merge_into(spark, root, wide, KEY, partition_by=["symbol"])
+    # ...evolution merges it: B gets the new column, A's untouched
+    # partition keeps its narrow files and reads back null-filled.
+    mt.merge_into(
+        spark, root, wide, KEY, partition_by=["symbol"], evolve_schema=True
+    )
+    got = {
+        (r["symbol"], r["close"], r["volume"])
+        for r in mt.read_table(spark, root).collect()
+    }
+    assert got == {("A", 1.0, None), ("B", 20.0, 7.5)}
+    # Time travel to v1 still shows the pre-evolution schema.
+    assert "volume" not in mt.read_table(spark, root, version=1).columns
+
+    # A narrower later batch null-fills the evolved column for the keys
+    # it rewrites (documented add-column semantics), others keep theirs.
+    mt.merge_into(spark, root, _mk(spark, [
+        ("B", "1m", "2024-01-01 00:00:00", 200.0),
+        ("C", "1m", "2024-01-01 00:00:00", 3.0),
+    ]), KEY, partition_by=["symbol"], evolve_schema=True)
+    got = {
+        (r["symbol"], r["close"], r["volume"])
+        for r in mt.read_table(spark, root).collect()
+    }
+    assert got == {("A", 1.0, None), ("B", 200.0, None), ("C", 3.0, None)}
