@@ -833,14 +833,17 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     sets = _shingle_sets(docs, "text", "doc_id", k=4, use_words=False)
     sets = sets.localCheckpoint(eager=True)
+    # Each pair set feeds TWO consumers (the semi-join and its own
+    # count); materialize both so the capped-Jaccard and LSH subplans
+    # run once instead of twice (measured ~6s -> ~3.5s at sf0.1).
     truth = ngram_jaccard_pairs(
         docs, "text", "doc_id", k=4, threshold=0.6, use_words=False,
         max_shingle_freq=50, sets=sets,
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False,
         sets=sets,
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
