@@ -168,9 +168,19 @@ def ngram_jaccard_pairs(
         F.row_number().over(doc_w).alias("__rn"),
         F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("__n"),
     )
-    prefix = ranked.where(
-        F.col("__rn") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    ).select("doc", "sid")
+    # ceil(t*n) in EXACT integer arithmetic: float ceil rounds up past
+    # exact products for thresholds like 0.07 (0.07*100 = 7.000...01 in
+    # IEEE double -> ceil 8), shortening the prefix below the safe
+    # bound and silently dropping qualifying pairs.  Rationalize the
+    # threshold to ppm (exact for any threshold specified to <= 6
+    # decimals) and ceil by integer division.
+    thr_ppm = round(threshold * 1_000_000)
+    ceil_tn = F.expr(
+        f"(CAST(__n AS BIGINT) * {thr_ppm} + 999999) div 1000000"
+    )
+    prefix = ranked.where(F.col("__rn") <= F.col("__n") - ceil_tn + 1).select(
+        "doc", "sid"
+    )
     cand = (
         prefix.select(F.col("doc").alias("doc_a"), "sid")
         .join(prefix.select(F.col("doc").alias("doc_b"), "sid"), "sid")
@@ -189,7 +199,9 @@ def ngram_jaccard_pairs(
     # per-pair cost stays bounded in both regimes.  Measured at sf0.1
     # (5k docs, 985 distinct char-4-grams, 11.9M candidate pairs):
     # 159s (raw inverted-index join) -> ~20s end-to-end, identical rows.
-    n_words = vocab.agg(((F.max("__sid") / 64).cast("int") + 1).alias("__nw"))
+    # From the CHECKPOINTED ints (every vocab id appears there by
+    # construction) — reading vocab again would re-run its global sort.
+    n_words = ints.agg(((F.max("sid") / 64).cast("int") + 1).alias("__nw"))
     doc_words = ints.groupBy(
         "doc", (F.col("sid") / 64).cast("int").alias("__w")
     ).agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))")).alias("__mask"))

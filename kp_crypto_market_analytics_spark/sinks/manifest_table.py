@@ -167,9 +167,32 @@ def read_table(
     manifest = (
         latest_manifest(root)[1] if version is None else manifest_at(root, version)
     )
+    if not manifest["entries"]:
+        return None
     entries = _prune_entries(manifest, where)
     if not entries:
-        return None
+        # Every partition pruned: keep one (its recorded range proves
+        # the predicate matches none of its rows) so the caller gets an
+        # EMPTY frame with the table schema — exactly what scan+filter
+        # would yield.  A None here would make downstream behavior
+        # depend on the data distribution.
+        entries = dict(list(manifest["entries"].items())[:1])
+    df = _union_entries(spark, root, entries)
+    if where is not None:
+        col, lo, hi = where
+        if col not in df.columns:
+            # Schema-evolution corner: every SURVIVING commit predates
+            # the predicate column (rows there are null ⇒ excluded, but
+            # the filter cannot even resolve, and dropping the column
+            # from the result schema would diverge from scan+filter).
+            # Fall back to the unpruned read — correctness and schema
+            # stability over skipping, for this rare mix.
+            df = _union_entries(spark, root, manifest["entries"])
+        df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df
+
+
+def _union_entries(spark: SparkSession, root: str, entries: dict[str, str]) -> DataFrame:
     by_commit: dict[str, list[str]] = {}
     for part_rel, data_rel in entries.items():
         commit_rel = data_rel if not part_rel else data_rel[: -len(part_rel) - 1]
@@ -183,19 +206,26 @@ def read_table(
         # Commits written before a schema evolution are narrower;
         # null-fill their missing columns instead of failing the read.
         df = df.unionByName(other, allowMissingColumns=True)
-    if where is not None:
-        col, lo, hi = where
-        df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
     return df
 
 
 def _stat_key(v):
-    """JSON-comparable stat value: numbers as-is, everything else (str,
+    """JSON-comparable stat value: numbers (incl. Decimal) as numbers —
+    a Decimal stored as a string would prune LEXICOGRAPHICALLY ("9" >
+    "85") and silently drop matching partitions; everything else (str,
     timestamp, date) as its string form — ISO timestamp strings order
     lexicographically, so range pruning stays correct."""
-    if v is None or isinstance(v, bool) or not isinstance(v, (int, float)):
-        return None if v is None else str(v)
-    return v
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return v
+    return str(v)
 
 
 def _collect_stats(
@@ -210,6 +240,13 @@ def _collect_stats(
     page-cache-warm commit dir — never the whole table)."""
     commit_dir = os.path.join(root, commit_rel)
     df = spark.read.option("basePath", commit_dir).parquet(commit_dir)
+    # An evolve_schema batch touching only NEW partitions can legally
+    # write files missing a tracked column (no live rows to union with)
+    # — skip those columns rather than failing the merge after the data
+    # has landed; the stats-less entries are conservatively scanned.
+    stats_cols = [c for c in stats_cols if c in df.columns]
+    if not stats_cols:
+        return {}
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
@@ -287,7 +324,7 @@ def merge_into(
         touched_live = {rel: entries[rel] for rel in touched_rels if rel in entries}
         if touched_live:
             # Static pruning for free: only the touched dirs are listed.
-            old = _read_entries(spark, root, touched_live)
+            old = _union_entries(spark, root, touched_live)
             merged = old.withColumn("__src", F.lit(0)).unionByName(
                 staged.withColumn("__src", F.lit(1)),
                 allowMissingColumns=evolve_schema,
@@ -311,7 +348,7 @@ def merge_into(
         for rel in written:
             entries[rel] = os.path.join(commit_rel, rel)
     else:
-        old = _read_entries(spark, root, entries) if entries else None
+        old = _union_entries(spark, root, entries) if entries else None
         merged = (
             old.withColumn("__src", F.lit(0)).unionByName(
                 staged.withColumn("__src", F.lit(1)),
@@ -341,21 +378,6 @@ def merge_into(
         },
     )
     return new_version
-
-
-def _read_entries(spark: SparkSession, root: str, entries: dict[str, str]) -> DataFrame:
-    by_commit: dict[str, list[str]] = {}
-    for part_rel, data_rel in entries.items():
-        commit_rel = data_rel if not part_rel else data_rel[: -len(part_rel) - 1]
-        by_commit.setdefault(commit_rel, []).append(os.path.join(root, data_rel))
-    frames = [
-        spark.read.option("basePath", os.path.join(root, commit_rel)).parquet(*paths)
-        for commit_rel, paths in sorted(by_commit.items())
-    ]
-    df = frames[0]
-    for other in frames[1:]:
-        df = df.unionByName(other, allowMissingColumns=True)
-    return df
 
 
 def _touched_partition_rels(staged: DataFrame, partition_by: list[str]) -> list[str]:
@@ -410,7 +432,7 @@ def compact(
     live_commits = {rel.split(os.sep)[1] for rel in entries.values()}
     if not entries or len(live_commits) <= max_live_commits:
         return None
-    df = _read_entries(spark, root, entries)
+    df = _union_entries(spark, root, entries)
     commit_id = uuid.uuid4().hex[:12]
     commit_rel = os.path.join("data", commit_id)
     commit_dir = os.path.join(root, commit_rel)

@@ -399,11 +399,13 @@ def test_stats_skipping_unpartitioned_and_statless_entries_kept(spark, tmp_path)
     ]), KEY)
     got = mt.read_table(spark, root, where=("close", 100.0, 200.0))
     assert got is not None and got.count() == 0  # scanned, filtered empty
-    # Enable stats; the whole-table entry now prunes to None.
+    # Enable stats; the whole-table entry now prunes — result is the
+    # SAME empty frame (never None: scan+filter equivalence).
     mt.merge_into(spark, root, _mk(spark, [
         ("A", "1m", "2024-01-01 00:01:00", 2.0),
     ]), KEY, stats_cols=["close"])
-    assert mt.read_table(spark, root, where=("close", 100.0, 200.0)) is None
+    pruned = mt.read_table(spark, root, where=("close", 100.0, 200.0))
+    assert pruned is not None and pruned.count() == 0
     assert {r["close"] for r in mt.read_table(spark, root).collect()} == {1.0, 2.0}
 
 
@@ -449,3 +451,68 @@ def test_schema_evolution_add_column(spark, tmp_path):
         for r in mt.read_table(spark, root).collect()
     }
     assert got == {("A", 1.0, None), ("B", 200.0, None), ("C", 3.0, None)}
+
+
+def test_stats_decimal_column_prunes_numerically(spark, tmp_path):
+    # Decimal stats stored as strings would prune lexicographically
+    # ("9" > "85") and silently drop matching partitions.
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("A", "9.00"), ("A", "100.00"), ("B", "500.00")],
+        "symbol string, amount string",
+    ).select("symbol", F.col("amount").cast("decimal(18,2)").alias("amount"))
+    mt.merge_into(
+        spark, root, df, ["symbol", "amount"],
+        partition_by=["symbol"], stats_cols=["amount"],
+    )
+    _, m = mt.latest_manifest(root)
+    assert m["stats"]["symbol=A"]["amount"] == [9.0, 100.0]
+    got = mt.read_table(spark, root, where=("amount", 10.0, 85.0))
+    # A's [9, 100] range intersects [10, 85]: must be scanned (empty
+    # result is fine; being pruned away would be the bug).
+    assert any("symbol=A" in f for f in got.inputFiles())
+    assert got.count() == 0
+    got2 = mt.read_table(spark, root, where=("amount", 90.0, 600.0))
+    assert {str(r["amount"]) for r in got2.collect()} == {"100.00", "500.00"}
+
+
+def test_evolved_batch_missing_stats_col_on_new_partition(spark, tmp_path):
+    # stats_cols includes an evolved column; a later evolve batch that
+    # lacks it and touches only NEW partitions must not fail the merge
+    # (its files legally omit the column) — entries just go stats-less
+    # for that column and are conservatively scanned.
+    root = str(tmp_path / "t")
+    wide = _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)]).withColumn(
+        "volume", F.lit(2.0)
+    )
+    mt.merge_into(
+        spark, root, wide, KEY, partition_by=["symbol"],
+        stats_cols=["close", "volume"],
+    )
+    narrow = _mk(spark, [("Z", "1m", "2024-01-01 00:00:00", 9.0)])
+    mt.merge_into(
+        spark, root, narrow, KEY, partition_by=["symbol"], evolve_schema=True
+    )
+    _, m = mt.latest_manifest(root)
+    assert "volume" not in m["stats"]["symbol=Z"]
+    assert m["stats"]["symbol=Z"]["close"] == [9.0, 9.0]
+    # Z's files lack the volume column entirely; the predicate must
+    # still resolve (schema-stable result including the evolved
+    # column), and Z's null-volume rows are correctly excluded —
+    # Catalyst folds `null BETWEEN ...` to false, so the branch may be
+    # optimized to an empty scan rather than read.
+    got = mt.read_table(spark, root, where=("volume", 100.0, 200.0))
+    assert "volume" in got.columns
+    assert got.count() == 0
+    got2 = mt.read_table(spark, root, where=("volume", 1.0, 3.0))
+    assert {(r["symbol"], r["volume"]) for r in got2.collect()} == {("A", 2.0)}
+
+
+def test_all_partitions_pruned_returns_empty_frame_not_none(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"], stats_cols=["close"])
+    got = mt.read_table(spark, root, where=("close", 100.0, 200.0))
+    assert got is not None and got.count() == 0
+    assert "close" in got.columns  # full table schema, just empty

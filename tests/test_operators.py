@@ -398,3 +398,46 @@ def test_resize_media_letterbox_geometry(spark):
     with pytest.raises(Exception) as ei:
         resize_media(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "resizing" in str(ei.value)
+
+
+def test_prefix_jaccard_equals_direct_join_at_awkward_thresholds(spark):
+    # The prefix filter's safe bound is n - ceil(t*n) + 1; float ceil
+    # rounds up past exact products (0.07 * 100 -> 8, exact ceil 7),
+    # which would shorten prefixes and silently drop boundary pairs.
+    # Equivalence against the trusted naive join across thresholds
+    # where t*n is exact for some doc size pins the integer-ceil fix.
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        _jaccard_direct_join,
+        _shingle_sets,
+        ngram_jaccard_pairs,
+    )
+
+    rows = []
+    # Base doc of 100 distinct words; overlays sharing exactly 7, 14,
+    # 55 of them (J = 0.07 / 0.14 boundary pairs vs the 100-word doc),
+    # plus filler docs to spread document frequencies.
+    base = [f"w{i:03d}" for i in range(100)]
+    rows.append((0, " ".join(base)))
+    rows.append((1, " ".join(base[:7])))
+    rows.append((2, " ".join(base[7:21])))
+    rows.append((3, " ".join(base[30:85])))
+    for i in range(4, 24):
+        rows.append((i, " ".join(f"w{j:03d}" for j in range(i * 7, i * 7 + 40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def key(df):
+        return {
+            (r["doc_a"], r["doc_b"], r["inter_size"], r["size_a"], r["size_b"])
+            for r in df.collect()
+        }
+
+    for t in (0.07, 0.14, 0.5, 0.55):
+        sets = _shingle_sets(docs, "text", "doc_id", 1, True)
+        expected = key(_jaccard_direct_join(sets, t))
+        got = key(
+            ngram_jaccard_pairs(docs, "text", "doc_id", k=1, threshold=t, use_words=True)
+        )
+        assert got == expected, (t, got ^ expected)
+        # the deliberate boundary pair must be present at its threshold
+        if t in (0.07,):
+            assert any(p[:2] == (0, 1) for p in got), got
