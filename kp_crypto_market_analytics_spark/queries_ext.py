@@ -3890,6 +3890,125 @@ FROM m_est, d_est, exact
 """
 
 
+def a_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types, estimated from
+    the HLL sketches by inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), where est(A∪B) merges the two register sets (element-wise
+    max — the same mergeability a_hll_merge gates).
+
+    This is the sketch-algebra answer to "how many users do both X and
+    Y" across all pairs WITHOUT a per-user self-join: at 100 TB the
+    register sketches are built in one pass and every pairwise overlap
+    is a 1024-row max-merge, vs a |users|-scale shuffle per pair for
+    the exact twin (computed here only to audit the estimate)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    regs = _hll_registers(e, ["event_type"]).localCheckpoint(eager=True)
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("ta"))
+        .crossJoin(types.select(F.col("event_type").alias("tb")))
+        .where(F.col("ta") < F.col("tb"))
+    )
+    pair_regs = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    union_est = _hll_estimate(pair_regs, ["ta", "tb"]).withColumnRenamed(
+        "hll_est", "est_union"
+    )
+    singles = _hll_estimate(regs, ["event_type"])
+    exact = (
+        e.distinct()
+        .alias("x")
+        .join(e.distinct().alias("y"), "u")
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb")
+        )
+        .agg(F.count_distinct("u").alias("exact_overlap"))
+    )
+    return (
+        union_est.join(
+            singles.select(F.col("event_type").alias("ta"), F.col("hll_est").alias("est_a")),
+            "ta",
+        )
+        .join(
+            singles.select(F.col("event_type").alias("tb"), F.col("hll_est").alias("est_b")),
+            "tb",
+        )
+        .join(exact, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            "exact_overlap",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round((F.col("est_a") + F.col("est_b")) - F.col("est_union"), 4).alias(
+                "est_overlap"
+            ),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def _hll_overlap_sql() -> str:
+    h = H60.format(x="u || '#hll'")
+    est = (
+        f"SELECT {{grp}}, round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0 "
+        f"THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros) ELSE raw END, 4) AS est FROM ("
+        f"SELECT {{grp}}, ({_HLL_M} - COUNT(*)) AS zeros, "
+        f"{_HLL_ALPHA_SQL} * {_HLL_M}.0 * {_HLL_M}.0 * {_HLL_SCALE}.0 "
+        f"/ (SUM(1::BIGINT << ({_HLL_MAXRANK} - m)) "
+        f"+ ({_HLL_M} - COUNT(*)) * {_HLL_SCALE}::BIGINT) AS raw FROM {{src}} "
+        f"GROUP BY {{grp}})"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+), parts AS (
+  SELECT event_type, {h} % {_HLL_M} AS idx, {h} >> {_HLL_P} AS w FROM e
+), regs AS (
+  SELECT event_type, idx,
+    MAX(CASE WHEN w = 0 THEN {_HLL_MAXRANK}
+             ELSE {_HLL_MAXRANK} - length(bin(w)) END) AS m
+  FROM parts GROUP BY 1, 2
+), types AS (SELECT DISTINCT event_type FROM regs
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a, types b WHERE a.event_type < b.event_type
+), pair_regs AS (
+  SELECT p.ta, p.tb, r.idx, MAX(r.m) AS m
+  FROM pairs p JOIN regs r
+    ON r.event_type = p.ta OR r.event_type = p.tb
+  GROUP BY 1, 2, 3
+), union_est AS ({est.format(grp="ta, tb", src="pair_regs")}
+), singles AS ({est.format(grp="event_type", src="regs")}
+), du AS (SELECT DISTINCT event_type, u FROM e
+), exact AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(DISTINCT x.u) AS exact_overlap
+  FROM du x JOIN du y ON x.u = y.u AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT ta, tb, exact_overlap,
+  sa.est AS est_a, sb.est AS est_b, ue.est AS est_union,
+  round((sa.est + sb.est) - ue.est, 4) AS est_overlap
+FROM union_est ue
+  JOIN singles sa ON sa.event_type = ta
+  JOIN singles sb ON sb.event_type = tb
+  JOIN exact USING (ta, tb)
+ORDER BY ta, tb
+"""
+
+
 # ------------------------------------------------------- j_bloom_prune
 
 _BF_BITS = 8192
@@ -4082,6 +4201,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_skew_split": w_skew_split,
     "a_hll_distinct": a_hll_distinct,
     "a_hll_merge": a_hll_merge,
+    "a_hll_overlap": a_hll_overlap,
     "j_bloom_prune": j_bloom_prune,
 }
 
@@ -4159,5 +4279,6 @@ EXT_ORACLES: dict[str, str] = {
     "w_skew_split": W_SKEW_SPLIT_SQL,
     "a_hll_distinct": _hll_sql(),
     "a_hll_merge": _hll_merge_sql(),
+    "a_hll_overlap": _hll_overlap_sql(),
     "j_bloom_prune": _bloom_sql(),
 }

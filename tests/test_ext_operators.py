@@ -371,6 +371,48 @@ def test_hll_error_and_bloom_fp_floors_hold(spark):
     mg = a_hll_merge(spark, "/root/testdata/sf0.01").collect()[0]
     assert mg["merged_eq_direct"], mg  # register merge law (max-of-max)
 
+
+def test_hll_overlap_discriminates_partial_overlaps(spark):
+    # The shipped events table has IDENTICAL user sets per type, so the
+    # gated a_hll_overlap rows can't show the estimator separating
+    # overlap levels — construct disjoint/half/full overlaps and check
+    # the inclusion-exclusion estimate lands near each truth.
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _hll_estimate,
+        _hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    rows += [("X", f"u{i}") for i in range(2000)]
+    rows += [("Y", f"u{i}") for i in range(1000, 3000)]   # overlap 1000 with X
+    rows += [("Z", f"u{i}") for i in range(5000, 7000)]   # disjoint from X
+    e = spark.createDataFrame(rows, "event_type string, u string")
+    regs = _hll_registers(e, ["event_type"]).localCheckpoint(eager=True)
+    singles = {
+        r["event_type"]: r["hll_est"]
+        for r in _hll_estimate(regs, ["event_type"]).collect()
+    }
+    def union_est(a, b):
+        pair = regs.where(F.col("event_type").isin([a, b])).groupBy("idx").agg(
+            F.max("m").alias("m")
+        )
+        return _hll_estimate(
+            pair.select(F.lit(1).alias("g"), "idx", "m"), ["g"]
+        ).collect()[0]["hll_est"]
+
+    # sigma = 1.04/sqrt(1024) = 3.25% per estimate; inclusion-exclusion
+    # compounds it, so allow a generous 4-sigma-ish band on n=2000.
+    xy = singles["X"] + singles["Y"] - union_est("X", "Y")
+    xz = singles["X"] + singles["Z"] - union_est("X", "Z")
+    assert abs(xy - 1000) < 450, xy
+    assert abs(xz - 0) < 450, xz
+    assert xy > xz + 300  # the estimator separates half from disjoint
+
+
+def test_bloom_fp_floor_holds(spark):
+    from kp_crypto_market_analytics_spark.queries_ext import j_bloom_prune
+
     b = j_bloom_prune(spark, "/root/testdata/sf0.01").collect()[0]
     assert b["n_bloom_pass"] >= b["n_true_match"], b  # no false negatives
     assert b["n_false_pos"] == b["n_bloom_pass"] - b["n_true_match"], b
