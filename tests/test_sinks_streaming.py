@@ -607,3 +607,56 @@ def test_partitioned_write_dynamic_overwrite_and_compaction(spark, tmp_path):
     for d in ("2024-01-01", "2024-01-02"):
         assert len(glob.glob(f"{dest2}/day={d}/*.parquet")) == 2
     assert spark.read.parquet(dest2).count() == 100
+
+
+def test_streaming_hll_across_microbatches_matches_batch_query(spark, tmp_path):
+    # The streaming HLL's final per-key estimate must equal the batch
+    # a_hll_distinct estimate on the same data — registers carried as
+    # keyed state across micro-batch boundaries, layout/hash/estimator
+    # bit-identical to the engine side.
+    from kp_crypto_market_analytics_spark.queries_ext import a_hll_distinct
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.hll import (
+        distinct_users_stream,
+    )
+
+    e = (
+        load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+        .selectExpr("event_type", "CAST(user_id AS STRING) AS u", "event_id")
+        .orderBy("event_id")
+    )
+    pdf = e.toPandas()
+    src = str(tmp_path / "src")
+    third = len(pdf) // 3
+    for i, chunk in enumerate((pdf[:third], pdf[third : 2 * third], pdf[2 * third :])):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(f"{src}/{i}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = distinct_users_stream(stream.select("event_type", "u"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hll_out").toPandas()
+    # one emission per key per micro-batch that contained that key;
+    # take the final (max n_events_seen) per key.
+    final = got.loc[got.groupby("event_type")["n_events_seen"].idxmax()]
+    batch = {
+        r["event_type"]: r["hll_est"]
+        for r in a_hll_distinct(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(final["event_type"]) == set(batch)
+    for _, row in final.iterrows():
+        assert row["hll_est"] == batch[row["event_type"]], row
+    # the running estimate is monotone non-decreasing per key
+    for _, grp in got.sort_values("n_events_seen").groupby("event_type"):
+        ests = list(grp["hll_est"])
+        assert all(a <= b + 1e-9 for a, b in zip(ests, ests[1:])), ests
