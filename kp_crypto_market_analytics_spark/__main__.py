@@ -71,6 +71,13 @@ def cmd_load(args) -> None:
 
     spark = get_spark("load")
     df = read_klines_csv(spark, os.path.join(args.data, "klines_*.csv"))
+    if args.backend == "manifest":
+        from kp_crypto_market_analytics_spark.sinks import manifest_table as mt
+
+        version = mt.merge_into(spark, args.table, df, CANDLES_KEY)
+        n = mt.read_table(spark, args.table).count()
+        print(json.dumps({"table": args.table, "rows": n, "version": version}))
+        return
     merge_into(spark, args.table, df, CANDLES_KEY)
     n = spark.read.parquet(args.table).count()
     print(json.dumps({"table": args.table, "rows": n}))
@@ -108,6 +115,57 @@ def cmd_list(args) -> None:
 
     for name in QUERIES:
         print(name)
+
+
+def cmd_table(args) -> None:
+    """Manifest-table ops surface: commit history, (time-travel /
+    data-skipping) reads, compaction, vacuum — the Delta-style `DESCRIBE
+    HISTORY` / `VERSION AS OF` / `OPTIMIZE` / `VACUUM` verbs for the
+    engine's own table format (sinks/manifest_table.py)."""
+    from kp_crypto_market_analytics_spark.sinks import manifest_table as mt
+
+    if args.action == "history":
+        import re as _re
+
+        mdir = os.path.join(args.root, "_manifests")
+        names = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+        for name in names:
+            if not _re.fullmatch(r"manifest-\d{10}\.json", name):
+                continue
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            commits = {v.split(os.sep)[1] for v in m["entries"].values()}
+            print(json.dumps({
+                "version": m["version"],
+                "partitions": len(m["entries"]),
+                "live_commits": len(commits),
+                "stats_cols": m.get("stats_cols", []),
+            }))
+        return
+    if args.action == "compact":
+        from kp_crypto_market_analytics_spark.session import get_spark
+
+        v = mt.compact(get_spark("table"), args.root, max_live_commits=args.max_live_commits)
+        print(json.dumps({"compacted_to_version": v}))
+        return
+    if args.action == "vacuum":
+        deleted = mt.vacuum(args.root, keep_versions=args.keep_versions)
+        print(json.dumps({"deleted": deleted}))
+        return
+    # read
+    from kp_crypto_market_analytics_spark.session import get_spark
+
+    spark = get_spark("table")
+    where = None
+    if args.where:
+        col, lo, hi = args.where.split(":", 2)
+        cast = float if lo.replace(".", "", 1).lstrip("-").isdigit() else str
+        where = (col, cast(lo), cast(hi))
+    df = mt.read_table(spark, args.root, version=args.version, where=where)
+    if df is None:
+        print(json.dumps({"rows": 0}))
+        return
+    print(json.dumps({"rows": df.count(), "columns": df.columns}))
 
 
 def cmd_explain(args) -> None:
@@ -234,7 +292,20 @@ def build_parser() -> argparse.ArgumentParser:
     l = sub.add_parser("load", help="upsert klines CSVs into the candle table")
     l.add_argument("--data", default="data")
     l.add_argument("--table", default="warehouse/candles")
+    l.add_argument("--backend", choices=["parquet", "manifest"], default="parquet",
+                   help="manifest = object-store-safe versioned commits")
     l.set_defaults(fn=cmd_load)
+
+    tb = sub.add_parser("table", help="manifest-table ops (history/read/compact/vacuum)")
+    tb.add_argument("action", choices=["history", "read", "compact", "vacuum"])
+    tb.add_argument("--root", required=True)
+    tb.add_argument("--version", type=int, default=None,
+                    help="read: time-travel to this manifest version")
+    tb.add_argument("--where", default=None,
+                    help="read: col:lo:hi BETWEEN predicate with manifest data skipping")
+    tb.add_argument("--max-live-commits", type=int, default=8)
+    tb.add_argument("--keep-versions", type=int, default=2)
+    tb.set_defaults(fn=cmd_table)
 
     a = sub.add_parser("analytics", help="run the analytics fan-out to artifacts")
     a.add_argument("--table", default="warehouse/candles")

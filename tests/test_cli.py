@@ -140,3 +140,32 @@ def test_interactive_menu_collect_klines(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Bad days value" in r.stdout
     assert os.listdir(out) == ["klines_BTCUSDT_1m.csv"]
+
+
+def test_manifest_backend_load_and_table_ops(tmp_path):
+    # E2E over the manifest table format: versioned loads, history,
+    # time travel, and data-skipping reads all through the CLI.
+    data, table = str(tmp_path / "data"), str(tmp_path / "wh/candles")
+    os.makedirs(data, exist_ok=True)
+    r = run_cli(["collect-klines", "--pairs", "BTCUSDT", "--days", "1",
+                 "--out", data], cwd=data)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r1 = run_cli(["load", "--data", data, "--table", table,
+                  "--backend", "manifest"], cwd=data)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    out1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["version"] == 1 and out1["rows"] > 0
+
+    # Idempotent re-load: new version, same row count.
+    r2 = run_cli(["load", "--data", data, "--table", table,
+                  "--backend", "manifest"], cwd=data)
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["version"] == 2 and out2["rows"] == out1["rows"]
+
+    rh = run_cli(["table", "history", "--root", table], cwd=data)
+    hist = [json.loads(l) for l in rh.stdout.strip().splitlines() if l.startswith("{")]
+    assert [h["version"] for h in hist] == [1, 2]
+
+    rr = run_cli(["table", "read", "--root", table, "--version", "1"], cwd=data)
+    assert json.loads(rr.stdout.strip().splitlines()[-1])["rows"] == out1["rows"]
