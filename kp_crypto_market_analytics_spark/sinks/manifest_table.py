@@ -413,6 +413,73 @@ def _escape_path_name(value: str) -> str:
     return "".join(out)
 
 
+def delete_where(spark: SparkSession, root: str, condition: str) -> int | None:
+    """Partition-scoped DELETE (Delta `DELETE FROM ... WHERE` parity,
+    the GDPR/retention op): rewrite ONLY the partitions that contain
+    matching rows, drop partitions the delete empties entirely, and
+    publish a new manifest — untouched partitions keep their existing
+    data directories byte-for-byte, and history still reads the
+    pre-delete table via time travel until vacuumed.
+
+    ``condition`` is a SQL boolean expression over the table columns.
+    Returns the new manifest version, or None when nothing matched.
+    """
+    cur_version, manifest = latest_manifest(root)
+    entries: dict[str, str] = dict(manifest["entries"])
+    partition_by: list[str] = manifest.get("partition_by", [])
+    stats = dict(manifest.get("stats", {}))
+    stats_cols: list[str] = manifest.get("stats_cols", [])
+    if not entries:
+        return None
+    df = _union_entries(spark, root, entries)
+    match = df.where(F.expr(condition))
+    if partition_by:
+        touched_rels = _touched_partition_rels(match, partition_by)
+    else:
+        touched_rels = [""] if not match.isEmpty() else []
+    if not touched_rels:
+        return None
+
+    touched = {rel: entries[rel] for rel in touched_rels if rel in entries}
+    keep = _union_entries(spark, root, touched).where(~F.expr(condition))
+    commit_id = uuid.uuid4().hex[:12]
+    commit_rel = os.path.join("data", commit_id)
+    commit_dir = os.path.join(root, commit_rel)
+    writer = keep.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(commit_dir)
+
+    # Partitions fully emptied by the delete produce no output dir and
+    # leave the manifest; the rest re-point at the rewrite.
+    for rel in touched_rels:
+        entries.pop(rel, None)
+        stats.pop(rel, None)
+    if partition_by:
+        written = _leaf_partition_dirs(commit_dir, len(partition_by))
+    else:
+        written = [""] if keep.count() else []
+    for rel in written:
+        entries[rel] = os.path.join(commit_rel, rel) if rel else commit_rel
+    if stats_cols and written:
+        stats.update(_collect_stats(spark, root, commit_rel, partition_by, stats_cols))
+        stats = {k: v for k, v in stats.items() if k in entries}
+
+    new_version = cur_version + 1
+    _publish_manifest(
+        root,
+        new_version,
+        {
+            "version": new_version,
+            "partition_by": partition_by,
+            "entries": entries,
+            "stats": stats,
+            "stats_cols": stats_cols,
+        },
+    )
+    return new_version
+
+
 def compact(
     spark: SparkSession, root: str, max_live_commits: int = 8
 ) -> int | None:

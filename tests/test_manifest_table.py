@@ -516,3 +516,42 @@ def test_all_partitions_pruned_returns_empty_frame_not_none(spark, tmp_path):
     got = mt.read_table(spark, root, where=("close", 100.0, 200.0))
     assert got is not None and got.count() == 0
     assert "close" in got.columns  # full table schema, just empty
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("A", "1m", "2024-01-01 00:01:00", 2.0),
+        ("B", "1m", "2024-01-01 00:00:00", 3.0),
+        ("C", "1m", "2024-01-01 00:00:00", 4.0),
+    ]), KEY, partition_by=["symbol"], stats_cols=["close"])
+    _, m1 = mt.latest_manifest(root)
+
+    # Partial delete in A, full wipe of C, B untouched.
+    v = mt.delete_where(spark, root, "close = 1.0 OR symbol = 'C'")
+    assert v == 2
+    _, m2 = mt.latest_manifest(root)
+    assert m2["entries"]["symbol=B"] == m1["entries"]["symbol=B"]  # byte-stable
+    assert "symbol=C" not in m2["entries"]  # emptied partition dropped
+    assert m2["stats"]["symbol=A"]["close"] == [2.0, 2.0]  # refreshed
+    assert _state(spark, root) == {
+        ("A", "1m", "2024-01-01 00:01:00"): 2.0,
+        ("B", "1m", "2024-01-01 00:00:00"): 3.0,
+    }
+    # Pre-delete state still readable via time travel.
+    old = mt.read_table(spark, root, version=1)
+    assert old.count() == 4
+
+    # No-op delete publishes nothing.
+    assert mt.delete_where(spark, root, "close > 100") is None
+    assert mt.latest_manifest(root)[0] == 2
+
+
+def test_delete_where_unpartitioned_to_empty(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY)
+    assert mt.delete_where(spark, root, "close >= 0") == 2
+    assert mt.read_table(spark, root) is None
