@@ -125,16 +125,9 @@ def cmd_table(args) -> None:
     from kp_crypto_market_analytics_spark.sinks import manifest_table as mt
 
     if args.action == "history":
-        import re as _re
-
-        mdir = os.path.join(args.root, "_manifests")
-        names = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
-        for name in names:
-            if not _re.fullmatch(r"manifest-\d{10}\.json", name):
-                continue
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-            commits = {v.split(os.sep)[1] for v in m["entries"].values()}
+        for v in mt.manifest_versions(args.root):
+            m = mt.manifest_at(args.root, v)
+            commits = {p.split(os.sep)[1] for p in m["entries"].values()}
             print(json.dumps({
                 "version": m["version"],
                 "partitions": len(m["entries"]),
@@ -158,9 +151,11 @@ def cmd_table(args) -> None:
     spark = get_spark("table")
     where = None
     if args.where:
-        col, lo, hi = args.where.split(":", 2)
-        cast = float if lo.replace(".", "", 1).lstrip("-").isdigit() else str
-        where = (col, cast(lo), cast(hi))
+        col, lo, hi = args.where
+        try:  # numeric bounds when BOTH parse; else string (timestamps)
+            where = (col, float(lo), float(hi))
+        except ValueError:
+            where = (col, lo, hi)
     df = mt.read_table(spark, args.root, version=args.version, where=where)
     if df is None:
         print(json.dumps({"rows": 0}))
@@ -301,8 +296,8 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--root", required=True)
     tb.add_argument("--version", type=int, default=None,
                     help="read: time-travel to this manifest version")
-    tb.add_argument("--where", default=None,
-                    help="read: col:lo:hi BETWEEN predicate with manifest data skipping")
+    tb.add_argument("--where", nargs=3, default=None, metavar=("COL", "LO", "HI"),
+                    help="read: BETWEEN predicate with manifest data skipping")
     tb.add_argument("--max-live-commits", type=int, default=8)
     tb.add_argument("--keep-versions", type=int, default=2)
     tb.set_defaults(fn=cmd_table)

@@ -69,22 +69,30 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"manifest-{version:010d}.json")
 
 
+def manifest_versions(root: str) -> list[int]:
+    """All published manifest versions, ascending.  One small-directory
+    listing of one-per-commit files, never of the data tree."""
+    mdir = os.path.join(root, _MANIFEST_DIR)
+    versions = []
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            m = _MANIFEST_RE.fullmatch(name)
+            if m:
+                versions.append(int(m.group(1)))
+    return sorted(versions)
+
+
 def latest_manifest(root: str) -> tuple[int, dict]:
     """(version, manifest) of the newest published manifest, or (0, empty).
 
     Readers call this at plan time; the listing is of one small
     directory of one-per-commit files, never of the data tree.
     """
-    mdir = os.path.join(root, _MANIFEST_DIR)
-    best, best_path = 0, None
-    if os.path.isdir(mdir):
-        for name in os.listdir(mdir):
-            m = _MANIFEST_RE.fullmatch(name)
-            if m and int(m.group(1)) > best:
-                best, best_path = int(m.group(1)), os.path.join(mdir, name)
-    if best_path is None:
+    versions = manifest_versions(root)
+    if not versions:
         return 0, {"version": 0, "partition_by": [], "entries": {}}
-    with open(best_path) as f:
+    best = versions[-1]
+    with open(_manifest_path(root, best)) as f:
         return best, json.load(f)
 
 
@@ -440,8 +448,30 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int | None:
     if not touched_rels:
         return None
 
-    touched = {rel: entries[rel] for rel in touched_rels if rel in entries}
-    keep = _union_entries(spark, root, touched).where(~F.expr(condition))
+    # Same escaping/type-drift guard as merge_into: every matched row
+    # came FROM a live partition, so a derived rel that is not a
+    # manifest key means the hive-path round trip disagreed — abort
+    # loudly instead of silently leaving matched rows live.
+    missing = [rel for rel in touched_rels if rel not in entries]
+    if missing:
+        raise RuntimeError(
+            f"partition-path escaping drift: matched rows derived {missing} "
+            f"but the manifest has no such entries"
+        )
+    touched = {rel: entries[rel] for rel in touched_rels}
+    keep_src = _union_entries(spark, root, touched)
+    # Schema-evolution corner (same mix read_table handles): the
+    # condition may reference a column every TOUCHED commit predates
+    # even though the full-table union has it — null-fill it so the
+    # filter resolves and the rewrite keeps the full table width.
+    for field in df.schema.fields:
+        if field.name not in keep_src.columns:
+            keep_src = keep_src.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+    # SQL DELETE semantics: rows where the condition is NULL are NOT
+    # deleted — keep condition false OR NULL, drop only true.
+    keep = keep_src.where(~F.coalesce(F.expr(condition), F.lit(False)))
     commit_id = uuid.uuid4().hex[:12]
     commit_rel = os.path.join("data", commit_id)
     commit_dir = os.path.join(root, commit_rel)
@@ -458,7 +488,16 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int | None:
     if partition_by:
         written = _leaf_partition_dirs(commit_dir, len(partition_by))
     else:
-        written = [""] if keep.count() else []
+        # The writer already materialized the answer — inspect the
+        # written commit dir (an empty write may still emit an empty
+        # part file) instead of recomputing the keep plan over the
+        # source with a second scan.
+        has_parts = any(
+            name.startswith("part-") and name.endswith(".parquet")
+            for name in os.listdir(commit_dir)
+        )
+        wrote_rows = has_parts and not spark.read.parquet(commit_dir).isEmpty()
+        written = [""] if wrote_rows else []
     for rel in written:
         entries[rel] = os.path.join(commit_rel, rel) if rel else commit_rel
     if stats_cols and written:
@@ -537,14 +576,7 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     ``keep_versions`` manifests as the grace window for in-flight
     readers.  Returns the deleted relative paths.
     """
-    mdir = os.path.join(root, _MANIFEST_DIR)
-    versions = []
-    if os.path.isdir(mdir):
-        for name in os.listdir(mdir):
-            m = _MANIFEST_RE.fullmatch(name)
-            if m:
-                versions.append(int(m.group(1)))
-    versions.sort()
+    versions = manifest_versions(root)
     retained = versions[-keep_versions:] if keep_versions else []
     live_commits: set[str] = set()
     for v in retained:

@@ -107,11 +107,13 @@ def _hll_emit(
 
 
 def distinct_users_stream(events: DataFrame) -> DataFrame:
-    """Keyed streaming distinct-user estimate over a frame with columns
-    (event_type, u).  Emits one (event_type, n_events_seen, hll_est)
-    row per key per micro-batch — the running cardinality after that
-    batch.  Works on batch frames too (one emission per key, equal to
-    the batch HLL query)."""
+    """Keyed streaming distinct-user estimate over a STREAMING frame
+    with columns (event_type, u).  Emits one (event_type,
+    n_events_seen, hll_est) row per key per micro-batch — the running
+    cardinality after that batch.  Streaming-only
+    (applyInPandasWithState rejects batch frames); the batch twin is
+    ``queries_ext.a_hll_distinct``, and the parity test pins that the
+    final streaming emission equals it."""
     return events.groupBy("event_type").applyInPandasWithState(
         _hll_emit,
         outputStructType=HLL_SCHEMA,

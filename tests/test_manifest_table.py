@@ -555,3 +555,45 @@ def test_delete_where_unpartitioned_to_empty(spark, tmp_path):
     ]), KEY)
     assert mt.delete_where(spark, root, "close >= 0") == 2
     assert mt.read_table(spark, root) is None
+
+
+def test_delete_where_null_condition_rows_are_kept(spark, tmp_path):
+    # SQL DELETE semantics: a row where the condition evaluates to NULL
+    # is NOT deleted (delete only where true) — a bare NOT(cond) filter
+    # would silently drop it.
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("A", "x", 1.0), ("A", "y", None), ("A", "z", 3.0)],
+        "symbol string, tf string, close double",
+    )
+    mt.merge_into(spark, root, df, ["symbol", "tf"], partition_by=["symbol"])
+    mt.delete_where(spark, root, "close = 1.0")
+    got = {(r["tf"], r["close"]) for r in mt.read_table(spark, root).collect()}
+    assert got == {("y", None), ("z", 3.0)}
+
+
+def test_delete_where_condition_on_evolved_column(spark, tmp_path):
+    # The delete condition may reference a column the touched commits
+    # predate (null there => not deleted); the rewrite must resolve the
+    # filter and keep the full table width.
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"])
+    wide = _mk(spark, [
+        ("B", "1m", "2024-01-01 00:00:00", 2.0),
+        ("A", "1m", "2024-01-01 00:05:00", 5.0),
+    ]).withColumn("volume", F.lit(7.0))
+    mt.merge_into(spark, root, wide, KEY, partition_by=["symbol"], evolve_schema=True)
+    # "volume IS NULL" is TRUE for the pre-evolution rows, so the
+    # delete touches partition A whose OLDEST commit predates the
+    # column — the keep filter must still resolve there (null-fill) and
+    # the evolved row in the same partition must survive with its value.
+    v = mt.delete_where(spark, root, "volume IS NULL")
+    assert v == 3
+    got = {(r["symbol"], str(r["open_time"]), r["volume"])
+           for r in mt.read_table(spark, root).collect()}
+    assert got == {
+        ("A", "2024-01-01 00:05:00", 7.0),
+        ("B", "2024-01-01 00:00:00", 7.0),
+    }
