@@ -1,0 +1,596 @@
+"""Round-3 quality & metadata family: data-quality expectations,
+deterministic quantile sketches, and grouping-sets rollups.
+
+- ``dq_constraints``      — declarative expectations suite (Deequ-style
+  checks: PK uniqueness, FK integrity, value domains, cross-table
+  reconciliation) producing one audited row per constraint.
+- ``a_ddsketch_quantiles`` — relative-error-bounded quantile sketch
+  (DDSketch shape, Masson et al. 2019) built from integer log₂ buckets
+  with 32 sub-buckets, audited against the exact percentile.
+- ``a_ddsketch_merge``    — sketch mergeability gate: per-group bucket
+  histograms summed equal the direct union sketch (the algebraic law
+  that makes quantiles combinable at 100 TB, like ``a_hll_merge``).
+- ``a_grouping_sets``     — explicit GROUPING SETS + grouping_id over
+  (event_type, day), the multi-granularity rollup surface beyond
+  CUBE/ROLLUP (``a_cube_counts``/``a_rollup_daily``).
+
+Reference anchors: the constraint suite generalizes the reference's
+implicit integrity assumptions (PK upserts `src/etl/load_postgres.py:83-103`,
+side-domain CHECK `db/schema.sql:33`); quantiles extend A7/A8
+(`src/analytics/binance_analysis.py:399,638-651`) with the mergeable
+sketch a 1000-executor deployment needs.
+
+Determinism: every sketch quantity is integer arithmetic (bitlength via
+base-2 string conv, integer sub-bucket shifts, count sums) so the
+DuckDB oracle reproduces buckets bit-for-bit; the only doubles are
+bucket midpoints and final ratios, identical literal IEEE ops on both
+engines, rounded where a division could differ.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.operators.aggregates import (
+    exact_sum,
+    percentile_expr,
+)
+from kp_crypto_market_analytics_spark.session import load_tables
+
+# ------------------------------------------------------- dq_constraints
+
+_DOC_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite: one row per declared constraint
+    with its violation count, population size, pass flag, and ppm rate.
+
+    The check families a training-data / warehouse pipeline runs before
+    trusting a load (Deequ/Great-Expectations shape, public knowledge):
+
+    - PK uniqueness     (lineitem (orderkey, linenumber); orders key)
+    - FK integrity      (lineitem→orders, orders→customer, events.user
+                         →customer)
+    - referential completeness (every order has ≥1 lineitem)
+    - value domains     (quantity ∈ [1,50], discount ∈ [0, 0.1],
+                         order status ∈ {O,F,P}, doc lang whitelist)
+    - temporal sanity   (no lineitem ships before its order date)
+    - reconciliation    (o_totalprice equals the lineitem net+tax sum
+                         within a cent)
+
+    The synthetic corpus genuinely fails three of them (duplicate
+    lineitem PKs, orders with no lineitems, ship-before-order rows), so
+    the suite is non-vacuous — the gate pins exact violation counts.
+
+    Scale shape: per-table domain checks fuse into ONE pruned scan each
+    (a single aggregate of conditional sums, map-side combined); FK
+    checks are shuffle anti-joins on the key (broadcast when the dim
+    side is small); the reconciliation check is one partial-agg of
+    lineitem followed by a key join.  Nothing materializes more than a
+    one-row frame per constraint.
+    """
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "events", "documents"]
+    )
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+    events, docs = t["events"], t["documents"]
+
+    def one(name: str, tbl: str, viol_df: DataFrame, total_df: DataFrame) -> DataFrame:
+        """(check_name, tbl, violations, total) from two 1-row aggs."""
+        return (
+            viol_df.crossJoin(total_df)
+            .select(
+                F.lit(name).alias("check_name"),
+                F.lit(tbl).alias("tbl"),
+                F.col("violations").cast("long").alias("violations"),
+                F.col("total").cast("long").alias("total"),
+            )
+        )
+
+    n_li = li.agg(F.count(F.lit(1)).alias("total"))
+    n_orders = orders.agg(F.count(F.lit(1)).alias("total"))
+    n_events = events.agg(F.count(F.lit(1)).alias("total"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("total"))
+
+    # --- single-scan domain/uniqueness aggregates -------------------
+    li_pk = li.agg(
+        (F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")).alias(
+            "violations"
+        )
+    )
+    qty_bad = li.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("violations")
+    )
+    disc_bad = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).alias("violations")
+    )
+    o_pk = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("violations")
+    )
+    o_status = orders.agg(
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("violations")
+    )
+    lang_bad = docs.agg(
+        F.sum(F.when(~F.col("lang").isin(*_DOC_LANGS), 1).otherwise(0)).alias(
+            "violations"
+        )
+    )
+
+    # --- FK / completeness anti-joins -------------------------------
+    li_orphan = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    o_orphan = (
+        orders.select("o_custkey")
+        .join(cust.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    ev_orphan = (
+        events.select("user_id")
+        .join(cust.select("c_custkey"), F.col("user_id") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    o_childless = (
+        orders.select("o_orderkey")
+        .join(li.select("l_orderkey"), F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+
+    # --- temporal sanity + reconciliation ---------------------------
+    ship_early = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("violations")
+        )
+    )
+    li_net = li.groupBy("l_orderkey").agg(
+        F.round(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("net")
+    )
+    price_recon = (
+        orders.select("o_orderkey", "o_totalprice")
+        .join(li_net, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("net").isNull()
+                    | (F.abs(F.col("net") - F.col("o_totalprice")) > 0.01),
+                    1,
+                ).otherwise(0)
+            ).alias("violations")
+        )
+    )
+
+    checks = [
+        one("lineitem_pk_unique", "lineitem", li_pk, n_li),
+        one("lineitem_qty_range", "lineitem", qty_bad, n_li),
+        one("lineitem_discount_range", "lineitem", disc_bad, n_li),
+        one("lineitem_fk_orders", "lineitem", li_orphan, n_li),
+        one("lineitem_ship_after_order", "lineitem", ship_early, n_li),
+        one("orders_pk_unique", "orders", o_pk, n_orders),
+        one("orders_fk_customer", "orders", o_orphan, n_orders),
+        one("orders_has_lineitem", "orders", o_childless, n_orders),
+        one("orders_price_reconciles", "orders", price_recon, n_orders),
+        one("events_user_fk", "events", ev_orphan, n_events),
+        one("documents_lang_domain", "documents", lang_bad, n_docs),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check_name",
+        "tbl",
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("ok"),
+        F.expr("(1000000 * violations) DIV total").alias("viol_ppm"),
+    ).orderBy("check_name")
+
+
+def _dq_constraints_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in _DOC_LANGS)
+    return f"""
+WITH li_net AS (
+  SELECT l_orderkey AS k,
+    round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        AS DECIMAL(18,6))) AS DOUBLE), 2) AS net
+  FROM lineitem GROUP BY 1
+), checks AS (
+  SELECT 'lineitem_pk_unique' AS check_name, 'lineitem' AS tbl,
+    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS violations,
+    CAST(COUNT(*) AS BIGINT) AS total FROM lineitem
+  UNION ALL SELECT 'lineitem_qty_range', 'lineitem',
+    CAST(COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'lineitem_discount_range', 'lineitem',
+    CAST(COUNT(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'lineitem_fk_orders', 'lineitem',
+    CAST((SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'lineitem_ship_after_order', 'lineitem',
+    CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'orders_pk_unique', 'orders',
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL SELECT 'orders_fk_customer', 'orders',
+    CAST(COUNT(*) FILTER (NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = orders.o_custkey)) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL SELECT 'orders_has_lineitem', 'orders',
+    CAST(COUNT(*) FILTER (NOT EXISTS
+      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = orders.o_orderkey)) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL SELECT 'orders_price_reconciles', 'orders',
+    CAST(COUNT(*) FILTER (n.net IS NULL OR abs(n.net - o.o_totalprice) > 0.01) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT)
+    FROM orders o LEFT JOIN li_net n ON n.k = o.o_orderkey
+  UNION ALL SELECT 'events_user_fk', 'events',
+    CAST(COUNT(*) FILTER (NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = events.user_id)) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM events
+  UNION ALL SELECT 'documents_lang_domain', 'documents',
+    CAST(COUNT(*) FILTER (lang NOT IN ({langs})) AS BIGINT),
+    CAST(COUNT(*) AS BIGINT) FROM documents
+)
+SELECT check_name, tbl, violations, total,
+  violations = 0 AS ok,
+  (1000000 * violations) // total AS viol_ppm
+FROM checks ORDER BY check_name
+"""
+
+
+# -------------------------------------------------- a_ddsketch_quantiles
+
+_DDS_SUB = 32          # sub-buckets per octave → rel. error ≤ 1/64
+_DDS_LEVELS = (0.5, 0.9, 0.95, 0.99)
+DDS_ERR_FLOOR = 0.02   # SLO: |rel_err| below this at every level/SF
+
+
+def _dds_buckets(v_df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., key, n) log₂/32-sub-bucket histogram of BIGINT col v>0.
+
+    key = 32·(bitlength−1) + sub, where sub is the 5 bits after the
+    leading 1 (values below 2⁵ are stored exactly).  Pure integer
+    arithmetic — both engines produce identical buckets; the histogram
+    is a ≤ ~900-row aggregate with map-side combine, mergeable by
+    count-sum.
+    """
+    e = (F.length(F.conv(F.col("v"), 10, 2)) - 1).alias("e")
+    df = v_df.select(*group_cols, "v", e)
+    key = F.when(
+        F.col("e") >= 5,
+        32 * F.col("e")
+        + F.expr("v DIV CAST(round(pow(2.0, CAST(e - 5 AS DOUBLE))) AS BIGINT)")
+        - _DDS_SUB,
+    ).otherwise(
+        32 * F.col("e")
+        + F.col("v")
+        - F.expr("CAST(round(pow(2.0, CAST(e AS DOUBLE))) AS BIGINT)")
+    )
+    return (
+        df.select(*group_cols, key.cast("long").alias("key"))
+        .groupBy(*group_cols, "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _dds_midpoint() -> F.Column:
+    """Bucket-midpoint estimate from `key` (double; identical literal
+    IEEE ops both engines)."""
+    e = F.expr("key DIV 32")
+    s = F.expr("key % 32")
+    lo = F.when(
+        e >= 5,
+        (s + _DDS_SUB) * F.expr("CAST(round(pow(2.0, CAST(key DIV 32 - 5 AS DOUBLE))) AS BIGINT)"),
+    ).otherwise(F.expr("CAST(round(pow(2.0, CAST(key DIV 32 AS DOUBLE))) AS BIGINT)") + s)
+    width = F.when(
+        e >= 5, F.expr("CAST(round(pow(2.0, CAST(key DIV 32 - 5 AS DOUBLE))) AS BIGINT)")
+    ).otherwise(F.lit(1))
+    return lo.cast("double") + width.cast("double") / F.lit(2.0)
+
+
+def _dds_estimates(buckets: DataFrame) -> DataFrame:
+    """(q_level, sketch_est, n_buckets) for the fixed quantile levels.
+
+    Cumulative walk over the ≤ ~900-bucket histogram — a driver-scale
+    frame regardless of input size (the whole point of the sketch)."""
+    cum = buckets.select(
+        "key",
+        "n",
+        F.sum("n").over(Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).withColumn("est", _dds_midpoint())
+    tot = buckets.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    levels = tot.select(
+        F.explode(F.array(*[F.lit(q) for q in _DDS_LEVELS])).alias("q_level"),
+        "n_total",
+        "n_buckets",
+    ).withColumn("target", F.ceil(F.col("q_level") * F.col("n_total").cast("double")).cast("long"))
+    return (
+        levels.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("q_level", "n_buckets")
+        .agg(F.min("est").alias("sketch_est"))
+    )
+
+
+def a_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-error-bounded quantile sketch over order totals (cents),
+    audited per level against the exact percentile.
+
+    DDSketch shape (Masson, Rim & Lee, VLDB 2019): logarithmic buckets
+    give a fixed RELATIVE error guarantee; this variant uses base-2
+    octaves with 32 linear sub-buckets (γ ≈ 1.022, midpoint error
+    ≤ 1/64 ≈ 1.6%), chosen because the bucket index is pure integer
+    bit-math — exactly reproducible in the DuckDB oracle, unlike a
+    float log_γ whose last ulp could flip a floor between engines.
+
+    Scale shape: the sketch is a ≤ ~900-row histogram with map-side
+    combine — quantiles at 100 TB without the full sort or per-key
+    shuffle that exact `percentile` needs; mergeable by count-sum
+    (gated in ``a_ddsketch_merge``).  The exact percentile twin here
+    exists only to audit the sketch's error; `ok` pins the |rel_err| ≤
+    2% SLO at every level.
+    """
+    t = load_tables(spark, sf_dir, ["orders"])
+    v = t["orders"].select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v")
+    )
+    est = _dds_estimates(_dds_buckets(v, []))
+    exact = v.agg(
+        *[
+            percentile_expr(v, "v", q).alias(f"p{int(q * 100)}")
+            for q in _DDS_LEVELS
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q_level"),
+                        F.col(f"p{int(q * 100)}").cast("double").alias("exact_val"),
+                    )
+                    for q in _DDS_LEVELS
+                ]
+            )
+        ).alias("x")
+    ).select("x.q_level", "x.exact_val")
+    return (
+        est.join(exact, "q_level")
+        .select(
+            "q_level",
+            "n_buckets",
+            "sketch_est",
+            F.round("exact_val", 4).alias("exact_val"),
+            F.round(
+                (F.col("sketch_est") - F.col("exact_val")) / F.col("exact_val"), 6
+            ).alias("rel_err"),
+        )
+        .withColumn("ok", F.abs(F.col("rel_err")) <= DDS_ERR_FLOOR)
+        .orderBy("q_level")
+    )
+
+
+_DDS_KEY_SQL = """CASE WHEN e >= 5
+  THEN 32 * e + (v // CAST(round(pow(2.0, CAST(e - 5 AS DOUBLE))) AS BIGINT)) - 32
+  ELSE 32 * e + v - CAST(round(pow(2.0, CAST(e AS DOUBLE))) AS BIGINT) END"""
+
+_DDS_EST_SQL = """CASE WHEN key // 32 >= 5
+  THEN (key % 32 + 32) * CAST(round(pow(2.0, CAST(key // 32 - 5 AS DOUBLE))) AS BIGINT)
+       + CAST(round(pow(2.0, CAST(key // 32 - 5 AS DOUBLE))) AS BIGINT) / 2.0
+  ELSE CAST(round(pow(2.0, CAST(key // 32 AS DOUBLE))) AS BIGINT) + key % 32 + 0.5 END"""
+
+
+def _dds_quantiles_sql() -> str:
+    levels = ", ".join(f"({q})" for q in _DDS_LEVELS)
+    exact_union = "\n  UNION ALL ".join(
+        f"SELECT {q} AS q_level, quantile_cont(v, {q}) AS exact_val FROM vals"
+        for q in _DDS_LEVELS
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+), keyed AS (
+  SELECT {_DDS_KEY_SQL} AS key
+  FROM (SELECT v, length(bin(v)) - 1 AS e FROM vals)
+), buckets AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM keyed GROUP BY 1
+), cum AS (
+  SELECT key, {_DDS_EST_SQL} AS est,
+    SUM(n) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cum
+  FROM buckets
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS n_buckets
+  FROM buckets
+), levels AS (
+  SELECT q_level, n_total, n_buckets,
+    CAST(ceil(q_level * CAST(n_total AS DOUBLE)) AS BIGINT) AS target
+  FROM (VALUES {levels}) l(q_level) CROSS JOIN tot
+), est AS (
+  SELECT q_level, n_buckets, MIN(est) AS sketch_est
+  FROM levels JOIN cum ON cum.cum >= levels.target
+  GROUP BY 1, 2
+), exact AS (
+  {exact_union}
+)
+SELECT e.q_level, n_buckets, sketch_est,
+  round(exact_val, 4) AS exact_val,
+  round((sketch_est - exact_val) / exact_val, 6) AS rel_err,
+  abs(round((sketch_est - exact_val) / exact_val, 6)) <= {DDS_ERR_FLOOR} AS ok
+FROM est e JOIN exact x ON x.q_level = e.q_level
+ORDER BY e.q_level
+"""
+
+
+def a_ddsketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch MERGEABILITY, gated: per-order-priority bucket
+    histograms merged by count-sum equal the sketch built directly over
+    the union, bucket-for-bucket, and answer the same median.
+
+    This is the property that lets a 1000-executor deployment keep one
+    ≤ ~900-row histogram per day/source/partition and combine them at
+    query time without re-scanning — the quantile analogue of
+    ``a_hll_merge`` (max-merge) and ``a_incremental_rollup`` (decimal
+    partial states).  True by associativity of +; the gate (plus the
+    pytest tripwire) pins that the IMPLEMENTATION preserves it."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    v = t["orders"].select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    per_group = _dds_buckets(v, ["o_orderpriority"])
+    merged = per_group.groupBy("key").agg(F.sum("n").alias("n"))
+    direct = _dds_buckets(v.select("v"), [])
+    cmp_full = (
+        merged.alias("m")
+        .join(direct.alias("d"), "key", "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("m.n").isNotNull() & (F.col("m.n") == F.col("d.n")), 0).otherwise(1)
+            ).alias("mismatched")
+        )
+    )
+    m50 = (
+        _dds_estimates(merged)
+        .filter(F.col("q_level") == 0.5)
+        .select(F.col("sketch_est").alias("merged_q50"), F.col("n_buckets").alias("n_buckets"))
+    )
+    d50 = (
+        _dds_estimates(direct)
+        .filter(F.col("q_level") == 0.5)
+        .select(F.col("sketch_est").alias("direct_q50"))
+    )
+    return (
+        cmp_full.crossJoin(m50)
+        .crossJoin(d50)
+        .select(
+            "n_buckets",
+            (F.col("mismatched") == 0).alias("buckets_equal"),
+            "merged_q50",
+            "direct_q50",
+            (F.col("merged_q50") == F.col("direct_q50")).alias("q50_equal"),
+        )
+    )
+
+
+def _dds_merge_sql() -> str:
+    return f"""
+WITH vals AS (
+  SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), keyed AS (
+  SELECT g, {_DDS_KEY_SQL} AS key
+  FROM (SELECT g, v, length(bin(v)) - 1 AS e FROM vals)
+), per_group AS (
+  SELECT g, key, CAST(COUNT(*) AS BIGINT) AS n FROM keyed GROUP BY 1, 2
+), merged AS (
+  SELECT key, CAST(SUM(n) AS BIGINT) AS n FROM per_group GROUP BY 1
+), direct AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM keyed GROUP BY 1
+), cmp AS (
+  SELECT CAST(COUNT(*) FILTER (m.n IS NULL OR d.n IS NULL OR m.n <> d.n) AS BIGINT)
+    AS mismatched
+  FROM merged m FULL OUTER JOIN direct d USING (key)
+), m_est AS (
+  SELECT MIN(est) AS merged_q50, ANY_VALUE(n_buckets) AS n_buckets FROM (
+    SELECT {_DDS_EST_SQL} AS est,
+      SUM(n) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cum,
+      CAST((SELECT COUNT(*) FROM merged) AS BIGINT) AS n_buckets,
+      CAST(ceil(0.5 * CAST((SELECT SUM(n) FROM merged) AS DOUBLE)) AS BIGINT) AS target
+    FROM merged
+  ) WHERE cum >= target
+), d_est AS (
+  SELECT MIN(est) AS direct_q50 FROM (
+    SELECT {_DDS_EST_SQL} AS est,
+      SUM(n) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cum,
+      CAST(ceil(0.5 * CAST((SELECT SUM(n) FROM direct) AS DOUBLE)) AS BIGINT) AS target
+    FROM direct
+  ) WHERE cum >= target
+)
+SELECT n_buckets, mismatched = 0 AS buckets_equal,
+  merged_q50, direct_q50, merged_q50 = direct_q50 AS q50_equal
+FROM cmp CROSS JOIN m_est CROSS JOIN d_est
+"""
+
+
+# ------------------------------------------------------ a_grouping_sets
+
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over (event_type, day): the four
+    granularities (type×day, type, day, grand total) in ONE pass with
+    grouping_id disambiguating the NULL-rollup rows.
+
+    Beyond-reference SQL surface (SURVEY §2.5 notes the reference's A3
+    is a hand-rolled two-level rollup); completes the multi-granularity
+    family next to ``a_cube_counts``/``a_rollup_daily``/
+    ``a_rollup_cascade``.  Scale shape: Catalyst expands the sets into
+    one Expand + single hash aggregate — one shuffle for all four
+    granularities instead of four scans."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "day"], ["event_type"], ["day"], []],
+            "event_type",
+            "day",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("value"), 2).alias("sum_value"),
+        )
+        .select("gid", "event_type", "day", "n", "sum_value")
+        .orderBy("gid", "event_type", "day")
+    )
+
+
+def _grouping_sets_sql() -> str:
+    return """
+SELECT CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+  event_type, day,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+ORDER BY gid, event_type, day
+"""
+
+
+QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dq_constraints": dq_constraints,
+    "a_ddsketch_quantiles": a_ddsketch_quantiles,
+    "a_ddsketch_merge": a_ddsketch_merge,
+    "a_grouping_sets": a_grouping_sets,
+}
+
+QUALITY_ORACLES: dict[str, str] = {
+    "dq_constraints": _dq_constraints_sql(),
+    "a_ddsketch_quantiles": _dds_quantiles_sql(),
+    "a_ddsketch_merge": _dds_merge_sql(),
+    "a_grouping_sets": _grouping_sets_sql(),
+}

@@ -1,0 +1,96 @@
+"""Semantics tests for the quality family (queries_quality.py):
+data-quality expectations, DDSketch-style quantile sketch + merge law,
+grouping sets.  Constructed inputs pin the detection guarantees; the
+testdata runs pin the non-vacuous findings and the error SLO."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from kp_crypto_market_analytics_spark.queries_quality import (
+    DDS_ERR_FLOOR,
+    a_ddsketch_merge,
+    a_ddsketch_quantiles,
+    a_grouping_sets,
+    dq_constraints,
+    _dds_buckets,
+    _dds_estimates,
+)
+
+
+def test_dq_constraints_findings(spark):
+    got = dq_constraints(spark, SF_DIR).toPandas().set_index("check_name")
+    assert len(got) == 11
+    # The synthetic corpus genuinely violates exactly these expectations
+    # (plus reconciliation, which fails for every order because the
+    # generator draws o_totalprice independently of lineitem).
+    failing = set(got.index[~got["ok"]])
+    assert {"lineitem_pk_unique", "orders_has_lineitem",
+            "lineitem_ship_after_order", "orders_price_reconciles"} == failing
+    # Clean expectations really are clean — zero violations, ppm 0.
+    clean = got[got["ok"]]
+    assert (clean["violations"] == 0).all() and (clean["viol_ppm"] == 0).all()
+    # ppm is floor(1e6 * v / n) exactly.
+    for _, r in got.iterrows():
+        assert r["viol_ppm"] == (1_000_000 * r["violations"]) // r["total"]
+        assert 0 <= r["violations"] <= r["total"]
+
+
+def test_ddsketch_error_slo(spark):
+    got = a_ddsketch_quantiles(spark, SF_DIR).toPandas()
+    assert list(got["q_level"]) == [0.5, 0.9, 0.95, 0.99]
+    # SLO: bucket-midpoint estimates land within the 1/64 + rank-slack
+    # bound at every level (DDS_ERR_FLOOR keeps headroom below 2%).
+    assert got["ok"].all()
+    assert (got["rel_err"].abs() <= DDS_ERR_FLOOR).all()
+    # The sketch is actually small: far fewer buckets than rows.
+    assert got["n_buckets"].iloc[0] < 900
+
+
+def test_ddsketch_bucket_relative_error_bound(spark):
+    # Constructed values across 4 octaves: every midpoint estimate must
+    # sit within half a sub-bucket (1/64) of the true value.
+    vals = [37, 1000, 54321, 9_876_543, 33, 64, 65]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    buckets = _dds_buckets(df, []).toPandas()
+    assert buckets["n"].sum() == len(vals)
+    for v in vals:
+        e = v.bit_length() - 1
+        if e >= 5:
+            key = 32 * e + (v >> (e - 5)) - 32
+            lo = (32 + ((v >> (e - 5)) - 32)) << (e - 5)
+            width = 1 << (e - 5)
+        else:
+            key = 32 * e + (v - (1 << e))
+            lo, width = v, 1
+        assert key in set(buckets["key"]), (v, key)
+        mid = lo + width / 2.0
+        assert abs(mid - v) / v <= 1 / 64 + 1e-12, (v, mid)
+
+
+def test_ddsketch_merge_law(spark):
+    got = a_ddsketch_merge(spark, SF_DIR).toPandas().iloc[0]
+    assert bool(got["buckets_equal"]) and bool(got["q50_equal"])
+    assert got["merged_q50"] == got["direct_q50"]
+
+
+def test_grouping_sets_granularities(spark):
+    got = a_grouping_sets(spark, SF_DIR).toPandas()
+    grand = got[got["gid"] == 3]
+    assert len(grand) == 1
+    n_total = int(grand["n"].iloc[0])
+    # Each single-attribute rollup partitions the same population.
+    assert int(got[got["gid"] == 1]["n"].sum()) == n_total  # by type
+    assert int(got[got["gid"] == 2]["n"].sum()) == n_total  # by day
+    assert int(got[got["gid"] == 0]["n"].sum()) == n_total  # type x day
+    # Rolled-up attributes are NULL exactly per the grouping id.
+    assert got[got["gid"] == 1]["day"].isna().all()
+    assert got[got["gid"] == 2]["event_type"].isna().all()
+    # sum_value is consistent across granularities to the rounding ulp.
+    s = got[got["gid"] == 3]["sum_value"].iloc[0]
+    assert abs(got[got["gid"] == 1]["sum_value"].sum() - s) < 0.05
