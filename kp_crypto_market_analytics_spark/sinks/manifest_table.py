@@ -33,6 +33,11 @@ features fall out for free (both tested):
   object-store LIST, then applies the predicate (Delta/Iceberg
   file-skipping, one level up).  Untouched partitions carry their
   stats forward; stats-less entries are conservatively scanned.
+- **Change data feed** — ``read_changes(from_v, to_v)`` diffs two
+  manifests: partitions with identical entries are skipped at the
+  metadata tier, changed partitions are key-joined row-wise into
+  insert/delete/update_preimage/update_postimage rows (Delta CDF
+  parity) — incremental consumers pay for the change, not the table.
 
 Atomicity of the publish itself: locally, write-temp + ``os.rename`` of
 the single manifest file; on an object store the equivalent is one
@@ -383,6 +388,9 @@ def merge_into(
             "entries": entries,
             "stats": stats,
             "stats_cols": stats_cols,
+            # Recorded so read_changes can diff versions row-wise
+            # without the caller re-supplying the merge key.
+            "key": list(key),
         },
     )
     return new_version
@@ -514,6 +522,7 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int | None:
             "entries": entries,
             "stats": stats,
             "stats_cols": stats_cols,
+            "key": manifest.get("key", []),
         },
     )
     return new_version
@@ -565,6 +574,7 @@ def compact(
             "entries": new_entries,
             "stats": {k: v for k, v in manifest.get("stats", {}).items() if k in new_entries},
             "stats_cols": manifest.get("stats_cols", []),
+            "key": manifest.get("key", []),
         },
     )
     return new_version
@@ -593,6 +603,128 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     for v in versions[: max(0, len(versions) - keep_versions)]:
         os.remove(_manifest_path(root, v))
     return deleted
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: list[str] | None = None,
+) -> DataFrame | None:
+    """Change data feed: row-level changes between two manifest versions
+    (Delta CDF / Iceberg incremental-read parity).
+
+    Because data directories are immutable and the manifest maps each
+    partition to its current directory, the diff is two-tier and never
+    scans the whole table:
+
+    1. **Partition tier (metadata only):** partitions whose entry is
+       identical in both manifests are skipped without listing a single
+       file — a steady upsert workload touches few partitions per
+       commit, so the read cost scales with the CHANGE, not the table.
+    2. **Row tier:** for the changed partitions, old and new data are
+       full-outer joined on the table's merge key (recorded in the
+       manifest by ``merge_into``): key only in new → ``insert``; only
+       in old → ``delete``; present in both with any non-key column
+       differing (null-safely) → an ``update_preimage`` +
+       ``update_postimage`` row pair; identical rows (e.g. from
+       ``compact``'s pure rewrite) emit nothing.
+
+    Output: the table columns plus ``_change_type``/``_from_version``/
+    ``_to_version``.  Returns None when the manifests are entry-
+    identical.  Works across ``evolve_schema`` commits — pre-images of
+    rows that predate an added column carry NULL there, exactly as
+    ``read_table`` serves them.  Both versions must still be retained
+    (not vacuumed); ``from_version=0`` yields the initial snapshot as
+    inserts.
+    """
+    if to_version is None:
+        to_version = latest_manifest(root)[0]
+    m_old = (
+        manifest_at(root, from_version)
+        if from_version
+        else {"entries": {}, "key": []}
+    )
+    m_new = manifest_at(root, to_version)
+    key = list(key or m_new.get("key") or m_old.get("key") or [])
+    if not key:
+        raise ValueError(
+            "no merge key recorded in either manifest (pre-CDF table?) — pass key=[...]"
+        )
+    old_e: dict[str, str] = m_old["entries"]
+    new_e: dict[str, str] = m_new["entries"]
+    changed = {
+        rel
+        for rel in set(old_e) | set(new_e)
+        if old_e.get(rel) != new_e.get(rel)
+    }
+    if not changed:
+        return None
+    old_changed = {r: old_e[r] for r in changed if r in old_e}
+    new_changed = {r: new_e[r] for r in changed if r in new_e}
+    old_df = _union_entries(spark, root, old_changed) if old_changed else None
+    new_df = _union_entries(spark, root, new_changed) if new_changed else None
+
+    # Align to the union of both schemas (evolve_schema commits differ).
+    cols: list[str] = []
+    fields = {}
+    for df in (old_df, new_df):
+        if df is not None:
+            for f in df.schema.fields:
+                if f.name not in fields:
+                    fields[f.name] = f.dataType
+                    cols.append(f.name)
+
+    def _aligned(df: DataFrame | None) -> DataFrame | None:
+        if df is None:
+            return None
+        for name, dtype in fields.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(dtype))
+        return df.select(*cols)
+
+    old_df, new_df = _aligned(old_df), _aligned(new_df)
+    meta = [
+        F.lit(from_version).alias("_from_version"),
+        F.lit(to_version).alias("_to_version"),
+    ]
+    if old_df is None:
+        return new_df.select(*cols, F.lit("insert").alias("_change_type"), *meta)
+    if new_df is None:
+        return old_df.select(*cols, F.lit("delete").alias("_change_type"), *meta)
+
+    o = old_df.select(F.struct(*cols).alias("__pre"), *[F.col(c).alias(f"__k_{c}") for c in key])
+    n = new_df.select(F.struct(*cols).alias("__post"), *[F.col(c).alias(f"__k_{c}") for c in key])
+    cond = None
+    for c in key:
+        eq = o[f"__k_{c}"].eqNullSafe(n[f"__k_{c}"])
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full_outer")
+    # Struct equality uses row ordering semantics (nulls compare equal
+    # field-wise), so a pure rewrite contributes no change rows.
+    changes = j.select(
+        F.when(F.col("__pre").isNull(), F.array(F.struct(F.lit("insert").alias("t"), F.col("__post").alias("img"))))
+        .when(F.col("__post").isNull(), F.array(F.struct(F.lit("delete").alias("t"), F.col("__pre").alias("img"))))
+        .when(
+            # Unchanged row (pure rewrite): null marker, filtered below —
+            # keeps every branch the same array element type.
+            F.col("__pre").eqNullSafe(F.col("__post")),
+            F.array(F.struct(F.lit(None).cast("string").alias("t"), F.col("__pre").alias("img"))),
+        )
+        .otherwise(
+            F.array(
+                F.struct(F.lit("update_preimage").alias("t"), F.col("__pre").alias("img")),
+                F.struct(F.lit("update_postimage").alias("t"), F.col("__post").alias("img")),
+            )
+        )
+        .alias("__ch")
+    ).select(F.explode("__ch").alias("__c")).where(F.col("__c.t").isNotNull())
+    return changes.select(
+        *[F.col(f"__c.img.{c}").alias(c) for c in cols],
+        F.col("__c.t").alias("_change_type"),
+        *meta,
+    )
 
 
 def upsert_foreach_batch(

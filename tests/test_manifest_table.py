@@ -597,3 +597,120 @@ def test_delete_where_condition_on_evolved_column(spark, tmp_path):
         ("A", "2024-01-01 00:05:00", 7.0),
         ("B", "2024-01-01 00:00:00", 7.0),
     }
+
+
+# ------------------------------------------------------ change data feed
+
+def _changes(spark, root, v_from, v_to=None):
+    df = mt.read_changes(spark, root, v_from, v_to)
+    if df is None:
+        return []
+    return sorted(
+        (r["_change_type"], r["symbol"], r["tf"], str(r["open_time"]), r["close"])
+        for r in df.collect()
+    )
+
+
+def test_read_changes_insert_update_delete(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("A", "1m", "2024-01-01 00:01:00", 2.0),
+        ("B", "1m", "2024-01-01 00:00:00", 3.0),
+    ]), KEY, partition_by=["symbol"])
+    v2 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:01:00", 20.0),   # update
+        ("C", "1m", "2024-01-01 00:00:00", 4.0),    # insert (new partition)
+    ]), KEY, partition_by=["symbol"])
+    got = _changes(spark, root, v1, v2)
+    assert got == [
+        ("insert", "C", "1m", "2024-01-01 00:00:00", 4.0),
+        ("update_postimage", "A", "1m", "2024-01-01 00:01:00", 20.0),
+        ("update_preimage", "A", "1m", "2024-01-01 00:01:00", 2.0),
+    ]
+    # B's partition was untouched: its rows never appear, and the
+    # unchanged row of A's rewritten partition is also silent.
+    meta = mt.read_changes(spark, root, v1, v2).select(
+        "_from_version", "_to_version").distinct().collect()
+    assert [(r[0], r[1]) for r in meta] == [(v1, v2)]
+
+
+def test_read_changes_initial_snapshot_and_delete(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("B", "1m", "2024-01-01 00:00:00", 3.0),
+    ]), KEY, partition_by=["symbol"])
+    # From the empty table, everything is an insert.
+    assert [c[0] for c in _changes(spark, root, 0, v1)] == ["insert", "insert"]
+    v2 = mt.delete_where(spark, root, "symbol = 'B'")
+    got = _changes(spark, root, v1, v2)
+    assert got == [("delete", "B", "1m", "2024-01-01 00:00:00", 3.0)]
+
+
+def test_read_changes_compact_is_silent_and_replay_matches_state(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"])
+    for i in range(9):  # force many live commits, then compact
+        mt.merge_into(spark, root, _mk(spark, [
+            (chr(ord("B") + i), "1m", "2024-01-01 00:00:00", float(i)),
+        ]), KEY, partition_by=["symbol"])
+    v_before = mt.latest_manifest(root)[0]
+    v_after = mt.compact(spark, root, max_live_commits=2)
+    assert v_after is not None
+    # Pure rewrite: every partition re-pointed, zero row-level changes.
+    assert _changes(spark, root, v_before, v_after) == []
+    # CDF replay reconstructs the table: apply the full feed from 0.
+    feed = mt.read_changes(spark, root, 0, v_after)
+    live = {
+        (r["symbol"], r["tf"], str(r["open_time"])): r["close"]
+        for r in feed.where(F.col("_change_type").isin("insert", "update_postimage")).collect()
+    }
+    dead = {
+        (r["symbol"], r["tf"], str(r["open_time"]))
+        for r in feed.where(F.col("_change_type") == "delete").collect()
+    }
+    assert {k: v for k, v in live.items() if k not in dead} == _state(spark, root)
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"])
+    wide = _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 5.0)]).withColumn(
+        "volume", F.lit(9.0)
+    )
+    v2 = mt.merge_into(
+        spark, root, wide, KEY, partition_by=["symbol"], evolve_schema=True
+    )
+    rows = {
+        r["_change_type"]: (r["close"], r["volume"])
+        for r in mt.read_changes(spark, root, v1, v2).collect()
+    }
+    # Pre-image predates the added column: NULL there, as read_table serves it.
+    assert rows == {
+        "update_preimage": (1.0, None),
+        "update_postimage": (5.0, 9.0),
+    }
+
+
+def test_read_changes_requires_recorded_or_explicit_key(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"])
+    # Simulate a pre-CDF manifest (no recorded key).
+    path = mt._manifest_path(root, v1)
+    with open(path) as f:
+        m = json.load(f)
+    m.pop("key", None)
+    os.remove(path)
+    with open(path, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="merge key"):
+        mt.read_changes(spark, root, 0, v1)
+    got = mt.read_changes(spark, root, 0, v1, key=KEY)
+    assert got.count() == 1
