@@ -660,3 +660,64 @@ def test_streaming_hll_across_microbatches_matches_batch_query(spark, tmp_path):
     for _, grp in got.sort_values("n_events_seen").groupby("event_type"):
         ests = list(grp["hll_est"])
         assert all(a <= b + 1e-9 for a, b in zip(ests, ests[1:])), ests
+
+
+def test_streaming_ddsketch_across_microbatches_matches_batch(spark, tmp_path):
+    # The streaming quantile sketch's final per-key estimates must equal
+    # the engine-side batch sketch on the same data — bucket histograms
+    # carried as keyed state across micro-batch boundaries, bucket
+    # layout and ceil-rank estimator bit-identical to the batch side.
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        _DDS_LEVELS,
+        _dds_buckets,
+        _dds_estimates,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.ddsketch import (
+        quantiles_stream,
+    )
+
+    o = (
+        load_tables(spark, "/root/testdata/sf0.001", ["orders"])["orders"]
+        .selectExpr(
+            "o_orderpriority AS g",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS v",
+            "o_orderkey",
+        )
+        .orderBy("o_orderkey")
+    )
+    pdf = o.toPandas()
+    src = str(tmp_path / "src")
+    third = len(pdf) // 3
+    for i, chunk in enumerate((pdf[:third], pdf[third : 2 * third], pdf[2 * third :])):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(f"{src}/{i}")
+
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        quantiles_stream(stream.select("g", "v"))
+        .writeStream.format("memory")
+        .queryName("dds_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dds_out").toPandas()
+    final = got.loc[got.groupby("g")["n_seen"].idxmax()].set_index("g")
+
+    batch = o.toPandas().groupby("g")
+    for g, grp in batch:
+        # Engine-side batch sketch per key (same helpers the gated
+        # query uses), compared against the final streaming emission.
+        vdf = spark.createDataFrame(grp[["v"]])
+        est = {
+            r["q_level"]: r["sketch_est"]
+            for r in _dds_estimates(_dds_buckets(vdf, [])).collect()
+        }
+        assert int(final.loc[g, "n_seen"]) == len(grp)
+        for lvl in _DDS_LEVELS:
+            assert final.loc[g, f"p{int(lvl * 100)}_est"] == est[lvl], (g, lvl)
