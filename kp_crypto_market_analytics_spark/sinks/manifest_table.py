@@ -260,7 +260,9 @@ def _collect_stats(
     stats_cols = [c for c in stats_cols if c in df.columns]
     if not stats_cols:
         return {}
-    aggs = []
+    # Row count rides along with every stats collection ("__rows" key)
+    # so count(*) / per-partition counts answer from the manifest alone.
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     if partition_by:
@@ -282,6 +284,7 @@ def _collect_stats(
             for c in stats_cols
             if r[f"__mn_{c}"] is not None
         }
+        out[rel]["__rows"] = int(r["__rows"])
     return out
 
 
@@ -603,6 +606,55 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     for v in versions[: max(0, len(versions) - keep_versions)]:
         os.remove(_manifest_path(root, v))
     return deleted
+
+
+def metadata_stats(root: str, version: int | None = None) -> dict:
+    """Answer count(*) / per-partition counts / column min-max from the
+    manifest ALONE — no data file is listed or read (the metadata-only
+    query optimization of Delta/Iceberg: at 100 TB a `SELECT COUNT(*)`
+    or MIN/MAX over a tracked column costs one small JSON read).
+
+    Returns ``{"rows": total | None, "partitions": {rel: rows},
+    "cols": {col: [min, max] | None}}``.  Conservative by construction:
+    ``rows`` is None when any live entry predates row-count tracking
+    (stats-less commits must be scanned, not guessed); a column's range
+    is None under the same condition.  A partition whose stats entry
+    exists but lacks a column means that partition is all-NULL in it —
+    correct to skip when folding ranges."""
+    manifest = (
+        latest_manifest(root)[1] if version is None else manifest_at(root, version)
+    )
+    entries: dict[str, str] = manifest["entries"]
+    stats: dict[str, dict] = manifest.get("stats", {})
+    stats_cols: list[str] = manifest.get("stats_cols", [])
+    parts: dict[str, int] = {}
+    complete = True
+    for rel in entries:
+        n = stats.get(rel, {}).get("__rows")
+        if n is None:
+            complete = False
+        else:
+            parts[rel] = n
+    cols: dict[str, list | None] = {}
+    for c in stats_cols:
+        lo = hi = None
+        ok = True
+        for rel in entries:
+            ent = stats.get(rel)
+            if ent is None:
+                ok = False
+                break
+            rng = ent.get(c)
+            if rng is None:  # all-NULL partition for this column
+                continue
+            lo = rng[0] if lo is None or rng[0] < lo else lo
+            hi = rng[1] if hi is None or rng[1] > hi else hi
+        cols[c] = [lo, hi] if ok and lo is not None else None
+    return {
+        "rows": sum(parts.values()) if complete else None,
+        "partitions": parts,
+        "cols": cols,
+    }
 
 
 def read_changes(

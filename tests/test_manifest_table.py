@@ -714,3 +714,37 @@ def test_read_changes_requires_recorded_or_explicit_key(spark, tmp_path):
         mt.read_changes(spark, root, 0, v1)
     got = mt.read_changes(spark, root, 0, v1, key=KEY)
     assert got.count() == 1
+
+
+# --------------------------------------------------- metadata-only stats
+
+def test_metadata_stats_answer_without_scanning(spark, tmp_path):
+    root = str(tmp_path / "t")
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+        ("A", "1m", "2024-01-01 00:01:00", 2.0),
+        ("B", "1m", "2024-01-01 00:00:00", 3.0),
+    ]), KEY, partition_by=["symbol"], stats_cols=["close"])
+    mt.merge_into(spark, root, _mk(spark, [
+        ("B", "1m", "2024-01-01 00:01:00", 30.0),   # touches only B
+    ]), KEY, partition_by=["symbol"], stats_cols=["close"])
+    got = mt.metadata_stats(root)
+    # Equals the full scan, computed from the manifest alone.
+    df = mt.read_table(spark, root)
+    agg = df.agg(F.count(F.lit(1)), F.min("close"), F.max("close")).collect()[0]
+    assert got["rows"] == agg[0] == 4
+    assert got["partitions"] == {"symbol=A": 2, "symbol=B": 2}
+    assert got["cols"]["close"] == [agg[1], agg[2]] == [1.0, 30.0]
+    # Untouched partition A carried its counts/ranges forward.
+    v1_stats = mt.metadata_stats(root, version=1)
+    assert v1_stats["rows"] == 3 and v1_stats["cols"]["close"] == [1.0, 3.0]
+
+
+def test_metadata_stats_conservative_without_row_tracking(spark, tmp_path):
+    root = str(tmp_path / "t")
+    # No stats_cols: commits record nothing — stats must refuse to guess.
+    mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"])
+    got = mt.metadata_stats(root)
+    assert got["rows"] is None and got["partitions"] == {} and got["cols"] == {}
