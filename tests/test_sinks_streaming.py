@@ -721,3 +721,96 @@ def test_streaming_ddsketch_across_microbatches_matches_batch(spark, tmp_path):
         assert int(final.loc[g, "n_seen"]) == len(grp)
         for lvl in _DDS_LEVELS:
             assert final.loc[g, f"p{int(lvl * 100)}_est"] == est[lvl], (g, lvl)
+
+
+def test_streaming_countmin_shards_merge_to_batch_sketch(spark, tmp_path):
+    # The sharded streaming count-min grids, cell-summed after the final
+    # micro-batch, must equal the single-pass batch sketch t_countmin_hh
+    # builds over the same tokens — CMS linearity carried through keyed
+    # state across micro-batch and shard boundaries.
+    import pandas as pd
+
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.queries_corpus import (
+        _CM_ROWS,
+        _CM_WIDTH,
+        _toks_df,
+    )
+    from kp_crypto_market_analytics_spark.streaming.countmin import (
+        countmin_stream,
+        shard_of,
+    )
+
+    N_SHARDS = 4
+    toks = (
+        _toks_df(spark, "/root/testdata/sf0.001")
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .orderBy("doc_id", "tok")
+        .toPandas()
+    )
+    toks["shard"] = [shard_of(t, N_SHARDS) for t in toks["tok"]]
+    src = str(tmp_path / "src")
+    third = len(toks) // 3
+    chunks = (toks[:third], toks[third : 2 * third], toks[2 * third :])
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk[["shard", "tok"]]).coalesce(1).write.parquet(
+            f"{src}/{i}"
+        )
+
+    stream = (
+        spark.readStream.schema("shard bigint, tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        countmin_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cm_out").toPandas()
+    final = got.loc[got.groupby("shard")["n_seen"].idxmax()]
+    assert final["n_seen"].sum() == len(toks)
+    merged = [0] * (_CM_ROWS * _CM_WIDTH)
+    for counters in final["counters"]:
+        for i, c in enumerate(counters):
+            merged[i] += c
+
+    # Engine-built batch sketch (same cells t_countmin_hh aggregates).
+    vocab = (
+        spark.createDataFrame(toks[["tok"]])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("row"),
+                    F.pmod(
+                        hash64(F.concat(F.col("tok"), F.lit(f"#cm{j}"))),
+                        F.lit(_CM_WIDTH),
+                    ).alias("bucket"),
+                )
+                for j in range(_CM_ROWS)
+            ]
+        )
+    ).alias("rb")
+    batch_cells = {
+        (r["row"], r["bucket"]): r["cell"]
+        for r in vocab.select(rb, "cf")
+        .select("rb.row", "rb.bucket", "cf")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cf").alias("cell"))
+        .collect()
+    }
+    stream_cells = {
+        (j, b): merged[j * _CM_WIDTH + b]
+        for j in range(_CM_ROWS)
+        for b in range(_CM_WIDTH)
+        if merged[j * _CM_WIDTH + b]
+    }
+    assert stream_cells == batch_cells
