@@ -581,11 +581,107 @@ ORDER BY gid, event_type, day
 """
 
 
+# ----------------------------------------------------- g_triangle_count
+
+_COPURCHASE_SUPPORT = 2
+
+
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: nodes are parts,
+    edges join parts bought together in ≥ 2 distinct orders (the
+    market-basket support threshold), one row out — (n_nodes, n_edges,
+    n_wedges, n_triangles, clustering).
+
+    Completes the graph family (PageRank ``t_textrank``, connected
+    components ``dedup_clusters``) with the third classic distributed
+    graph primitive.  Scale shape (operators/graph.py triangle_count):
+    per-order baskets are small, so the pair self-join is Σ C(k,2)
+    rows; the support HAVING prunes the long tail before any graph
+    work; degree-ordered orientation bounds every node's out-degree by
+    O(√m), capping the wedge join that hub parts would otherwise
+    explode.  All-integer arithmetic; global clustering = 3·triangles /
+    wedges, rounded where the engines divide.
+    """
+    from kp_crypto_market_analytics_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _COPURCHASE_SUPPORT)
+        .select("u", "v")
+    )
+    return triangle_count(edges).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("clustering"),
+    )
+
+
+def _triangle_count_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT u, v FROM pairs GROUP BY 1, 2
+  HAVING COUNT(*) >= {_COPURCHASE_SUPPORT}
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u < v)
+              THEN v ELSE u END AS dst,
+         CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u < v)
+              THEN d2.deg ELSE d1.deg END AS ddeg
+  FROM edges JOIN deg d1 ON d1.n = edges.u JOIN deg d2 ON d2.n = edges.v
+), wedges AS (
+  SELECT a.dst AS x, b.dst AS y FROM oriented a JOIN oriented b
+  ON a.src = b.src
+  AND ((a.ddeg < b.ddeg) OR (a.ddeg = b.ddeg AND a.dst < b.dst))
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM wedges w JOIN oriented o ON o.src = w.x AND o.dst = w.y
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+), ecnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+  round(3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+    AS clustering
+FROM agg CROSS JOIN ecnt CROSS JOIN tri
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
     "a_ddsketch_merge": a_ddsketch_merge,
     "a_grouping_sets": a_grouping_sets,
+    "g_triangle_count": g_triangle_count,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -593,4 +689,5 @@ QUALITY_ORACLES: dict[str, str] = {
     "a_ddsketch_quantiles": _dds_quantiles_sql(),
     "a_ddsketch_merge": _dds_merge_sql(),
     "a_grouping_sets": _grouping_sets_sql(),
+    "g_triangle_count": _triangle_count_sql(),
 }

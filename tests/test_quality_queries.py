@@ -94,3 +94,26 @@ def test_grouping_sets_granularities(spark):
     # sum_value is consistent across granularities to the rounding ulp.
     s = got[got["gid"] == 3]["sum_value"].iloc[0]
     assert abs(got[got["gid"] == 1]["sum_value"].sum() - s) < 0.05
+
+
+def test_triangle_count_constructed_graph(spark):
+    from kp_crypto_market_analytics_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, 6 edges, every wedge closed) plus a
+    # pendant path 4-5-6 (0 triangles, 2 open wedges at 5 plus the
+    # wedges 4 gains from its 4th neighbor).
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5), (5, 6)], "u int, v int")
+    got = triangle_count(edges).collect()[0]
+    assert got["n_triangles"] == 4
+    assert got["n_edges"] == 8 and got["n_nodes"] == 6
+    # degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 2; 6 -> 1
+    assert got["n_wedges"] == 3 * 3 + 6 + 1 + 0
+
+
+def test_triangle_query_nonvacuous(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import g_triangle_count
+
+    got = g_triangle_count(spark, SF_DIR).collect()[0]
+    assert got["n_triangles"] > 0 and got["n_edges"] > 0
+    assert 0.0 < got["clustering"] <= 1.0
