@@ -59,7 +59,7 @@ _FIRST_SEEN_ROUND.update(
         "sim_ivf_recall", "sim_pq_recall", "w_skew_split", "t_chunk_overlap",
         "a_hll_distinct", "j_bloom_prune", "a_hll_merge", "a_hll_overlap",
         "dq_constraints", "a_ddsketch_quantiles", "a_ddsketch_merge",
-        "a_grouping_sets", "g_triangle_count",
+        "a_grouping_sets", "g_triangle_count", "g_assoc_rules",
     )}
 )
 

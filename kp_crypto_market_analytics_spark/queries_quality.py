@@ -676,12 +676,125 @@ FROM agg CROSS JOIN ecnt CROSS JOIN tri
 """
 
 
+# ------------------------------------------------------- g_assoc_rules
+
+def g_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs: top-20 directed rules
+    antecedent→consequent by LIFT, with support / confidence — the
+    market-basket mining surface on the same support-thresholded pair
+    table ``g_triangle_count`` builds its graph from.
+
+    lift = P(u,v) / (P(u)·P(v)) = s_uv·N / (s_u·s_v); confidence =
+    s_uv / s_antecedent.  Both emitted per direction (confidence is
+    asymmetric).  Determinism: counts are exact integers; the two
+    ratios are single double divisions of BIGINTs, identical IEEE ops
+    both engines, rounded to 6; the top-k ORDER BY carries the
+    (antecedent, consequent) unique tiebreaker.
+
+    Scale shape: pair generation is Σ C(basket,2) rows (baskets are
+    small); item supports are a |parts|-sized aggregate joined twice —
+    plain hash joins, never a broadcast of the fact side; top-k is
+    TakeOrderedAndProject.  The support≥2 HAVING prunes the pair long
+    tail before the joins."""
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("s_item")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("s_pair"))
+        .where(F.col("s_pair") >= _COPURCHASE_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "s_pair"
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "s_pair"
+        )
+    )
+    rules = (
+        directed.join(
+            item.select(F.col("item").alias("antecedent"), F.col("s_item").alias("s_ante")),
+            "antecedent",
+        )
+        .join(
+            item.select(F.col("item").alias("consequent"), F.col("s_item").alias("s_cons")),
+            "consequent",
+        )
+        .crossJoin(n_orders)
+        .select(
+            "antecedent",
+            "consequent",
+            "s_pair",
+            F.round(F.col("s_pair").cast("double") / F.col("s_ante").cast("double"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("s_pair").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("s_ante").cast("double") * F.col("s_cons").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return top_k(
+        rules,
+        [F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc()],
+        20,
+    ).select("antecedent", "consequent", "s_pair", "confidence", "lift")
+
+
+def _assoc_rules_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li
+), item AS (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS s_item FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS s_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_COPURCHASE_SUPPORT}
+), directed AS (
+  SELECT u AS antecedent, v AS consequent, s_pair FROM pairs
+  UNION ALL
+  SELECT v, u, s_pair FROM pairs
+)
+SELECT antecedent, consequent, s_pair,
+  round(CAST(s_pair AS DOUBLE) / CAST(sa.s_item AS DOUBLE), 6) AS confidence,
+  round(CAST(s_pair AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        / (CAST(sa.s_item AS DOUBLE) * CAST(sc.s_item AS DOUBLE)), 6) AS lift
+FROM directed d
+JOIN item sa ON sa.item = d.antecedent
+JOIN item sc ON sc.item = d.consequent
+CROSS JOIN n
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 20
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
     "a_ddsketch_merge": a_ddsketch_merge,
     "a_grouping_sets": a_grouping_sets,
     "g_triangle_count": g_triangle_count,
+    "g_assoc_rules": g_assoc_rules,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -690,4 +803,5 @@ QUALITY_ORACLES: dict[str, str] = {
     "a_ddsketch_merge": _dds_merge_sql(),
     "a_grouping_sets": _grouping_sets_sql(),
     "g_triangle_count": _triangle_count_sql(),
+    "g_assoc_rules": _assoc_rules_sql(),
 }

@@ -117,3 +117,22 @@ def test_triangle_query_nonvacuous(spark):
     got = g_triangle_count(spark, SF_DIR).collect()[0]
     assert got["n_triangles"] > 0 and got["n_edges"] > 0
     assert 0.0 < got["clustering"] <= 1.0
+
+
+def test_assoc_rules_semantics(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import g_assoc_rules
+
+    got = g_assoc_rules(spark, SF_DIR).toPandas()
+    assert len(got) == 20
+    # Lift-sorted, confidence is a probability, support meets threshold.
+    assert list(got["lift"]) == sorted(got["lift"], reverse=True)
+    assert ((got["confidence"] > 0) & (got["confidence"] <= 1.0)).all()
+    assert (got["s_pair"] >= 2).all()
+    # Rules come in both directions: each undirected pair at the top of
+    # the lift order contributes u->v and v->u with the SAME lift.
+    pairs = {tuple(sorted((r["antecedent"], r["consequent"]))): r["lift"]
+             for _, r in got.iterrows()}
+    for (x, y), lift in pairs.items():
+        sel = got[(got["antecedent"] == y) & (got["consequent"] == x)]
+        if len(sel):  # reverse made the top-20 too
+            assert sel["lift"].iloc[0] == lift
