@@ -13,6 +13,10 @@ deterministic quantile sketches, and grouping-sets rollups.
 - ``a_grouping_sets``     — explicit GROUPING SETS + grouping_id over
   (event_type, day), the multi-granularity rollup surface beyond
   CUBE/ROLLUP (``a_cube_counts``/``a_rollup_daily``).
+- ``g_triangle_count``    — triangle census of the part co-purchase
+  graph (degree-ordered orientation; operators/graph.py).
+- ``g_assoc_rules``       — market-basket association rules (top-20 by
+  lift with support/confidence) on the same pair table.
 
 Reference anchors: the constraint suite generalizes the reference's
 implicit integrity assumptions (PK upserts `src/etl/load_postgres.py:83-103`,
@@ -96,34 +100,59 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_events = events.agg(F.count(F.lit(1)).alias("total"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("total"))
 
-    # --- single-scan domain/uniqueness aggregates -------------------
-    li_pk = li.agg(
-        (F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")).alias(
-            "violations"
-        )
+    # --- fused single-scan domain/uniqueness aggregates -------------
+    # One aggregate subtree per table: Catalyst does NOT share scans
+    # across separate agg branches of a union, so the fusion has to be
+    # structural — every conditional count rides the same partial agg.
+    def _stack(agg_df: DataFrame, tbl: str, names: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{n}', {n}" for n in names)
+        return agg_df.select(
+            F.expr(
+                f"stack({len(names)}, {pairs}) AS (check_name, violations)"
+            ),
+            F.lit(tbl).alias("tbl"),
+            "total",
+        ).select("check_name", "tbl", "violations", "total")
+
+    li_rows = _stack(
+        li.agg(
+            F.count(F.lit(1)).alias("total"),
+            (
+                F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")
+            ).alias("lineitem_pk_unique"),
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                ).otherwise(0)
+            ).alias("lineitem_qty_range"),
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+                ).otherwise(0)
+            ).alias("lineitem_discount_range"),
+        ),
+        "lineitem",
+        ["lineitem_pk_unique", "lineitem_qty_range", "lineitem_discount_range"],
     )
-    qty_bad = li.agg(
-        F.sum(
-            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
-        ).alias("violations")
+    o_rows = _stack(
+        orders.agg(
+            F.count(F.lit(1)).alias("total"),
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+                "orders_pk_unique"
+            ),
+        ),
+        "orders",
+        ["orders_pk_unique"],
     )
-    disc_bad = li.agg(
-        F.sum(
-            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
-        ).alias("violations")
-    )
-    o_pk = orders.agg(
-        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("violations")
-    )
-    o_status = orders.agg(
-        F.sum(
-            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
-        ).alias("violations")
-    )
-    lang_bad = docs.agg(
-        F.sum(F.when(~F.col("lang").isin(*_DOC_LANGS), 1).otherwise(0)).alias(
-            "violations"
-        )
+    d_rows = _stack(
+        docs.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(~F.col("lang").isin(*_DOC_LANGS), 1).otherwise(0)).alias(
+                "documents_lang_domain"
+            ),
+        ),
+        "documents",
+        ["documents_lang_domain"],
     )
 
     # --- FK / completeness anti-joins -------------------------------
@@ -181,17 +210,15 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     checks = [
-        one("lineitem_pk_unique", "lineitem", li_pk, n_li),
-        one("lineitem_qty_range", "lineitem", qty_bad, n_li),
-        one("lineitem_discount_range", "lineitem", disc_bad, n_li),
+        li_rows,
+        o_rows,
+        d_rows,
         one("lineitem_fk_orders", "lineitem", li_orphan, n_li),
         one("lineitem_ship_after_order", "lineitem", ship_early, n_li),
-        one("orders_pk_unique", "orders", o_pk, n_orders),
         one("orders_fk_customer", "orders", o_orphan, n_orders),
         one("orders_has_lineitem", "orders", o_childless, n_orders),
         one("orders_price_reconciles", "orders", price_recon, n_orders),
         one("events_user_fk", "events", ev_orphan, n_events),
-        one("documents_lang_domain", "documents", lang_bad, n_docs),
     ]
     out = checks[0]
     for c in checks[1:]:
