@@ -124,6 +124,16 @@ def hash64(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def hash64_py(s: str) -> int:
+    """Driver/state-side Python twin of :func:`hash64` — the SAME
+    60-bit md5 value, for streaming keyed-state operators whose
+    emissions must merge bit-for-bit with engine-built sketches
+    (streaming/hll.py, streaming/countmin.py)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def char_shingles(text: Column | str, k: int = 5) -> Column:
     """Array of all k-char shingles (positions 1..len-k+1) of the
     normalized text.  Expressed with sequence+transform — no explode yet,

@@ -117,8 +117,12 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_rows = _stack(
         li.agg(
             F.count(F.lit(1)).alias("total"),
+            # struct() so NULL key components still count as a distinct
+            # row-value — matching DuckDB's COUNT(DISTINCT (a, b));
+            # bare count_distinct(a, b) would DROP null-keyed rows.
             (
-                F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct("l_orderkey", "l_linenumber"))
             ).alias("lineitem_pk_unique"),
             F.sum(
                 F.when(
@@ -592,7 +596,11 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact_sum("value"), 2).alias("sum_value"),
         )
         .select("gid", "event_type", "day", "n", "sum_value")
-        .orderBy("gid", "event_type", "day")
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("event_type").asc_nulls_first(),
+            F.col("day").asc_nulls_first(),
+        )
     )
 
 
@@ -604,7 +612,7 @@ SELECT CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
 FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
 GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
-ORDER BY gid, event_type, day
+ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST
 """
 
 

@@ -145,8 +145,12 @@ def _prune_entries(
     kept = {}
     for part_rel, data_rel in entries.items():
         rng = stats.get(part_rel, {}).get(col)
-        if rng is not None and (rng[0] > _stat_key(hi) or rng[1] < _stat_key(lo)):
-            continue
+        if rng is not None:
+            if rng[0] is None:
+                # Tracked and all-NULL: BETWEEN can match no row.
+                continue
+            if rng[0] > _stat_key(hi) or rng[1] < _stat_key(lo):
+                continue
         kept[part_rel] = data_rel
     return kept
 
@@ -279,10 +283,14 @@ def _collect_stats(
             rel = os.path.join(*parts)
         else:
             rel = ""
+        # A tracked-but-all-NULL column records [null, null] — readers
+        # must distinguish "no non-null values here" (skippable) from
+        # "this commit predates tracking this column" (key absent,
+        # conservative).  Collapsing both to key-absent made
+        # metadata_stats silently wrong after a stats_cols expansion.
         out[rel] = {
             c: [_stat_key(r[f"__mn_{c}"]), _stat_key(r[f"__mx_{c}"])]
             for c in stats_cols
-            if r[f"__mn_{c}"] is not None
         }
         out[rel]["__rows"] = int(r["__rows"])
     return out
@@ -640,12 +648,16 @@ def metadata_stats(root: str, version: int | None = None) -> dict:
         lo = hi = None
         ok = True
         for rel in entries:
-            ent = stats.get(rel)
-            if ent is None:
+            rng = stats.get(rel, {}).get(c)
+            if rng is None:
+                # Key absent = this partition's commit predates tracking
+                # this column (e.g. stats_cols expanded later) — its
+                # values are UNKNOWN, so the fold must refuse, not skip.
+                # (All-NULL partitions record [null, null] and are
+                # correctly skippable below.)
                 ok = False
                 break
-            rng = ent.get(c)
-            if rng is None:  # all-NULL partition for this column
+            if rng[0] is None:  # tracked, all-NULL partition
                 continue
             lo = rng[0] if lo is None or rng[0] < lo else lo
             hi = rng[1] if hi is None or rng[1] > hi else hi
@@ -693,6 +705,12 @@ def read_changes(
     """
     if to_version is None:
         to_version = latest_manifest(root)[0]
+    if from_version > to_version:
+        # A swapped range would silently emit the INVERTED feed
+        # (inserts as deletes) — refuse instead.
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
     m_old = (
         manifest_at(root, from_version)
         if from_version

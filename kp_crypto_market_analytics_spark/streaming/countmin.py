@@ -17,7 +17,6 @@ the engine/oracle side (md5-derived 60-bit hash, per-row salt).
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -29,8 +28,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-CM_ROWS = 4
-CM_WIDTH = 1024
+from kp_crypto_market_analytics_spark.functions.text import hash64_py
+from kp_crypto_market_analytics_spark.queries_corpus import _CM_ROWS, _CM_WIDTH
+
+# Grid geometry IS the batch sketch's — imported, not re-declared, so a
+# batch-side tuning can never silently diverge the streaming twin.
+CM_ROWS = _CM_ROWS
+CM_WIDTH = _CM_WIDTH
 
 CM_SCHEMA = StructType(
     [
@@ -43,21 +47,16 @@ CM_SCHEMA = StructType(
 STATE_SCHEMA = "counters array<bigint>, n_seen bigint"
 
 
-def _h60(s: str) -> int:
-    """60-bit md5 hash — Python twin of the engine/oracle H60."""
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-
 def cm_cells(tok: str) -> list[tuple[int, int]]:
     """The (row, bucket) cells one token increments — identical salt
     layout to the batch sketch (``tok#cm{j}`` → bucket = h60 % width)."""
-    return [(j, _h60(f"{tok}#cm{j}") % CM_WIDTH) for j in range(CM_ROWS)]
+    return [(j, hash64_py(f"{tok}#cm{j}") % CM_WIDTH) for j in range(CM_ROWS)]
 
 
 def shard_of(tok: str, n_shards: int) -> int:
     """Stream shard of a token (hash-stable: a token always lands on
     the same shard, so shard grids never double-count)."""
-    return _h60(f"{tok}#shard") % n_shards
+    return hash64_py(f"{tok}#shard") % n_shards
 
 
 def _cm_emit(

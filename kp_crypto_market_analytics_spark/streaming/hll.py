@@ -20,7 +20,6 @@ boundaries.
 
 from __future__ import annotations
 
-import hashlib
 import math
 from collections.abc import Iterator
 
@@ -54,7 +53,9 @@ STATE_SCHEMA = "regs array<integer>, n_seen bigint"
 def hll_rank_parts(user: str) -> tuple[int, int]:
     """(register index, rank) of one key — the exact Python twin of the
     engine-side hash64/shiftright/conv layout."""
-    h = int(hashlib.md5(f"{user}#hll".encode()).hexdigest()[:15], 16)
+    from kp_crypto_market_analytics_spark.functions.text import hash64_py
+
+    h = hash64_py(f"{user}#hll")
     idx = h % HLL_M
     w = h >> HLL_P
     rank = HLL_MAXRANK if w == 0 else HLL_MAXRANK - w.bit_length()

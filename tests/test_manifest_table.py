@@ -748,3 +748,60 @@ def test_metadata_stats_conservative_without_row_tracking(spark, tmp_path):
     ]), KEY, partition_by=["symbol"])
     got = mt.metadata_stats(root)
     assert got["rows"] is None and got["partitions"] == {} and got["cols"] == {}
+
+
+def test_metadata_stats_expanded_stats_cols_refuses_partial_range(spark, tmp_path):
+    # Reviewer-confirmed hazard: v1 tracks only close; v2 expands
+    # stats_cols to close+volume but touches only partition B.  A's
+    # volume range is UNKNOWN (its commit predates tracking), so the
+    # fold must return None for volume — not B's range presented as
+    # global truth.
+    root = str(tmp_path / "t")
+    wide = _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]).withColumn("volume", F.lit(200.0))
+    mt.merge_into(spark, root, wide, KEY, partition_by=["symbol"],
+                  stats_cols=["close"])
+    wide2 = _mk(spark, [
+        ("B", "1m", "2024-01-01 00:00:00", 3.0),
+    ]).withColumn("volume", F.lit(5.0))
+    mt.merge_into(spark, root, wide2, KEY, partition_by=["symbol"],
+                  stats_cols=["close", "volume"])
+    got = mt.metadata_stats(root)
+    assert got["cols"]["close"] == [1.0, 3.0]      # tracked everywhere
+    assert got["cols"]["volume"] is None           # A's range unknown
+    # Rows are still complete: both commits recorded __rows.
+    assert got["rows"] == 2
+
+
+def test_metadata_stats_all_null_column_skipped_not_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    a = _mk(spark, [("A", "1m", "2024-01-01 00:00:00", 1.0)]).withColumn(
+        "volume", F.lit(None).cast("double")
+    )
+    b = _mk(spark, [("B", "1m", "2024-01-01 00:00:00", 3.0)]).withColumn(
+        "volume", F.lit(7.0)
+    )
+    mt.merge_into(spark, root, a, KEY, partition_by=["symbol"],
+                  stats_cols=["close", "volume"])
+    mt.merge_into(spark, root, b, KEY, partition_by=["symbol"],
+                  stats_cols=["close", "volume"])
+    got = mt.metadata_stats(root)
+    # A is tracked-and-all-NULL in volume: skippable, B's range stands.
+    assert got["cols"]["volume"] == [7.0, 7.0]
+    # And data skipping can drop the all-NULL partition for a volume
+    # predicate without changing results.
+    df = mt.read_table(spark, root, where=("volume", 0.0, 10.0))
+    assert [(r["symbol"], r["volume"]) for r in df.collect()] == [("B", 7.0)]
+
+
+def test_read_changes_rejects_inverted_range(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 1.0),
+    ]), KEY, partition_by=["symbol"])
+    v2 = mt.merge_into(spark, root, _mk(spark, [
+        ("A", "1m", "2024-01-01 00:00:00", 2.0),
+    ]), KEY, partition_by=["symbol"])
+    with pytest.raises(ValueError, match="from_version"):
+        mt.read_changes(spark, root, v2, v1)
