@@ -823,6 +823,167 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------------- e_covariance
+
+_EMB_DIM = 64
+
+
+def e_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance matrix of the embedding corpus (upper triangle,
+    2080 cells) — the whitening / decorrelation primitive next to
+    ``e_pca_power``'s top direction.
+
+    Cov_ij = Σxᵢxⱼ/n − (Σxᵢ/n)(Σxⱼ/n), raw moments in DECIMAL(27,12)
+    partial states (order-independent; the e_pca_power recipe).  The
+    upper-triangle products are generated per row by a NESTED
+    higher-order transform (slice from i) — no self-join, so nothing
+    row-shaped ever shuffles: the explode feeds straight into a
+    map-side-combined per-(i,j) aggregate and the exchange carries only
+    2080 cells × partitions.  At 100 TB that is the only plan that
+    works — a comp⋈comp pair join would shuffle |rows|·d first.
+    """
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = ensure_parallelism(t["embeddings"]).select(
+        to_double_array("embedding").alias("x")
+    )
+    tri = F.flatten(
+        F.transform(
+            F.col("x"),
+            lambda xi, i: F.transform(
+                F.slice(F.col("x"), i + 1, F.lit(_EMB_DIM) - i),
+                lambda xj, k: F.struct(
+                    i.alias("i"), (i + k).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    sij = (
+        emb.select(F.explode(tri).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(27,12)")).cast("double").alias("sij"))
+    )
+    si = (
+        emb.select(F.posexplode("x").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("xi").cast("decimal(27,12)")).cast("double").alias("si"))
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sij.join(si.select(F.col("i"), F.col("si").alias("s_a")), "i")
+        .join(
+            si.select(F.col("i").alias("j"), F.col("si").alias("s_b")), "j"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("i") + 1).alias("dim_i"),
+            (F.col("j") + 1).alias("dim_j"),
+            # + 0.0 normalizes IEEE negative zero (round can yield -0.0
+            # whose text form differs between engines).
+            (
+                F.round(
+                    F.col("sij") / F.col("n")
+                    - (F.col("s_a") / F.col("n")) * (F.col("s_b") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+def _e_covariance_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), idx AS (
+  SELECT x, unnest(generate_series(1, {_EMB_DIM})) AS i FROM e
+), pairs AS (
+  SELECT i, unnest(generate_series(i, {_EMB_DIM})) AS j, x FROM idx
+), sij AS (
+  SELECT i, j, CAST(SUM(CAST(x[i] * x[j] AS DECIMAL(27,12))) AS DOUBLE) AS sij
+  FROM pairs GROUP BY 1, 2
+), si AS (
+  SELECT i, CAST(SUM(CAST(x[i] AS DECIMAL(27,12))) AS DOUBLE) AS si
+  FROM idx GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+)
+SELECT s.i AS dim_i, s.j AS dim_j,
+  round(sij / n - (a.si / n) * (b.si / n), 6) + 0.0 AS cov
+FROM sij s JOIN si a ON a.i = s.i JOIN si b ON b.i = s.j CROSS JOIN nn
+ORDER BY dim_i, dim_j
+"""
+
+
+# ------------------------------------------------------------ cdc_scd2
+
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the event stream:
+    per user, collapse consecutive same-type events and emit one
+    validity-interval row per state change — (user_id, event_type,
+    valid_from, valid_to, version_n, is_current), half-open intervals,
+    NULL valid_to on the current row.
+
+    The warehouse-side complement of ``cdc_snapshot_diff`` (which diffs
+    two snapshots; this reconstructs the full history dimension an
+    SCD2 loader maintains).  Scale shape: ONE exchange on user_id —
+    the change filter (lag) and the interval close (lead over the
+    filtered set) both ride user-partitioned sorts, and the second
+    window reuses the first's partitioning.
+    """
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        t["events"]
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        chg.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+            F.row_number().over(w2).cast("long").alias("version_n"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version_n")
+    )
+
+
+def _cdc_scd2_sql() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+), chg AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+  ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       AS BIGINT) AS version_n,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    AS is_current
+FROM chg
+ORDER BY user_id, version_n
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -830,6 +991,8 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_grouping_sets": a_grouping_sets,
     "g_triangle_count": g_triangle_count,
     "g_assoc_rules": g_assoc_rules,
+    "e_covariance": e_covariance,
+    "cdc_scd2": cdc_scd2,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -839,4 +1002,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "a_grouping_sets": _grouping_sets_sql(),
     "g_triangle_count": _triangle_count_sql(),
     "g_assoc_rules": _assoc_rules_sql(),
+    "e_covariance": _e_covariance_sql(),
+    "cdc_scd2": _cdc_scd2_sql(),
 }

@@ -136,3 +136,42 @@ def test_assoc_rules_semantics(spark):
         sel = got[(got["antecedent"] == y) & (got["consequent"] == x)]
         if len(sel):  # reverse made the top-20 too
             assert sel["lift"].iloc[0] == lift
+
+
+def test_covariance_matrix_properties(spark):
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_quality import e_covariance
+
+    got = e_covariance(spark, SF_DIR).toPandas()
+    assert len(got) == 64 * 65 // 2
+    # Diagonal entries are variances: strictly positive.
+    diag = got[got["dim_i"] == got["dim_j"]]
+    assert len(diag) == 64 and (diag["cov"] > 0).all()
+    # Cross-check one cell against numpy's population covariance.
+    import pandas as pd
+
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"].toPandas()
+    X = np.array([list(v) for v in emb["embedding"]], dtype=np.float64)
+    expect = float(((X[:, 0] * X[:, 1]).sum() / len(X))
+                   - X[:, 0].mean() * X[:, 1].mean())
+    cell = float(got[(got["dim_i"] == 1) & (got["dim_j"] == 2)]["cov"].iloc[0])
+    assert abs(cell - expect) < 2e-6
+
+
+def test_scd2_intervals(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import cdc_scd2
+
+    got = cdc_scd2(spark, SF_DIR).toPandas()
+    for uid, grp in got.groupby("user_id"):
+        grp = grp.sort_values("version_n")
+        # Exactly one open (current) interval per user, at the end.
+        assert grp["is_current"].sum() == 1 and bool(grp["is_current"].iloc[-1])
+        # Half-open intervals chain: valid_to == next valid_from.
+        assert (grp["valid_to"].iloc[:-1].values
+                == grp["valid_from"].iloc[1:].values).all()
+        # Consecutive versions always change state.
+        types = list(grp["event_type"])
+        assert all(a != b for a, b in zip(types, types[1:]))
