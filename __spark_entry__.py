@@ -60,7 +60,8 @@ _FIRST_SEEN_ROUND.update(
         "a_hll_distinct", "j_bloom_prune", "a_hll_merge", "a_hll_overlap",
         "dq_constraints", "a_ddsketch_quantiles", "a_ddsketch_merge",
         "a_grouping_sets", "g_triangle_count", "g_assoc_rules",
-        "e_covariance", "cdc_scd2",
+        "e_covariance", "cdc_scd2", "g_pagerank", "g_degree_stats",
+        "g_label_prop",
     )}
 )
 

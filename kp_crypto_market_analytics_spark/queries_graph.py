@@ -1,0 +1,288 @@
+"""Round-3 graph-analytics family on the part co-purchase graph.
+
+Extends the graph surface (PageRank-on-sentences ``t_textrank``,
+connected components ``dedup_clusters``, triangle census
+``g_triangle_count``, association rules ``g_assoc_rules``) with the
+three remaining classic distributed-graph primitives, all on the same
+support-thresholded co-purchase graph so the family shares one edge
+builder:
+
+- ``g_pagerank``     — node centrality: weighted PageRank (damping
+  0.85, 3 iterations) over co-purchase edges weighted by support;
+  top-20 parts by rank.
+- ``g_degree_stats`` — the degree distribution (degree → node count →
+  share), the first thing a graph job reports and the input to any
+  skew plan (hub detection drives orientation/salting choices).
+- ``g_label_prop``   — community detection by synchronous mode-label
+  propagation (Raghavan, Albert & Kumara 2007, public), 2 rounds,
+  deterministic (count DESC, label ASC) tie-break; top-20 communities
+  by size.  Genuinely different fixed-point from dedup_clusters' CC
+  min-fold: the update is an argmax over neighbor-label frequencies,
+  not a min, so dense subgraphs keep separate labels where CC would
+  merge every connected part into one blob.
+
+Reference anchor: the co-purchase basket graph abstracts the
+reference's symbol-correlation clustering surface
+(`src/analytics/binance_analysis.py:504-560` builds a correlation
+matrix and reads off strongly-linked groups); these queries are the
+graph-native generalization at catalog scale.
+
+Determinism recipe (shared with operators/graph.py): ratios are exact
+integer divisions rendered once as doubles; PageRank contribution sums
+fold through DECIMAL(28,12) (exact, order-independent); each iterate
+rounds to 10 dp; label propagation is all-integer with a total-order
+tie-break.  The DuckDB oracles unroll the same iterations and
+reproduce every value bit-for-bit.
+
+Scale shape: baskets are small, so pair generation is Σ C(k,2); the
+support-2 HAVING prunes the long tail before any iteration; per
+PageRank round one skinny hash join + map-side-combined sum; per LPA
+round one join + count + argmax window over (node, label) pairs —
+bounded by the edge count, never by |V|².
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.session import load_tables
+
+_SUPPORT = 2
+_PR_ITERS = 3
+_LPA_ITERS = 2
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v, support) co-purchase pairs, support ≥ 2."""
+    li = (
+        load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _SUPPORT)
+    )
+
+
+_PAIRS_SQL = f"""li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_SUPPORT}
+)"""
+
+
+# ----------------------------------------------------------- g_pagerank
+
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by weighted PageRank over the co-purchase graph.
+
+    Reuses operators/graph.py:pagerank_weighted (the t_textrank
+    engine) on a BIGINT-node graph: edges are the support-weighted
+    co-purchase pairs, symmetrized.  Rank mass concentrates on parts
+    that co-occur with many other well-connected parts — the catalog
+    centrality a recommender seeds from.
+    """
+    from kp_crypto_market_analytics_spark.operators.graph import pagerank_weighted
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("support").alias("weight")
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("support").alias("weight")
+        )
+    )
+    pr = pagerank_weighted(edges, iters=_PR_ITERS)
+    return (
+        pr.select(
+            F.col("node").alias("part"),
+            F.round(F.col("pr"), 6).alias("rank_score"),
+        )
+        .orderBy(F.col("rank_score").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
+def _g_pagerank_sql(iters: int = _PR_ITERS) -> str:
+    # Lockstep with pagerank_weighted: integer-exact ratios,
+    # DECIMAL(28,12) contribution sums, 10 dp per-iteration rounding.
+    parts = [f"""
+WITH {_PAIRS_SQL}, edges AS (
+  SELECT u AS src, v AS dst, support AS weight FROM pairs
+  UNION ALL SELECT v, u, support FROM pairs
+), wdeg AS (
+  SELECT src, CAST(SUM(weight) AS BIGINT) AS wdeg FROM edges GROUP BY 1
+), er AS (
+  SELECT e.src, e.dst, CAST(weight AS DOUBLE) / wdeg AS ratio
+  FROM edges e JOIN wdeg USING (src)
+), nodes AS (
+  SELECT src AS node FROM er UNION SELECT dst FROM er
+), pr0 AS (
+  SELECT node, 1.0 AS pr FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+  SELECT dst, CAST(SUM(CAST(ratio * pr AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM er JOIN pr{i - 1} p ON er.src = p.node GROUP BY dst
+), pr{i} AS (
+  SELECT node, round(0.15 + 0.85 * coalesce(s, 0.0), 10) AS pr
+  FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node
+)""")
+    parts.append(f"""
+SELECT node AS part, round(pr, 6) AS rank_score
+FROM pr{iters}
+ORDER BY rank_score DESC, part LIMIT 20
+""")
+    return "".join(parts)
+
+
+# ------------------------------------------------------- g_degree_stats
+
+def g_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: one row per
+    degree value — (degree, n_parts, pct of nodes), ordered by degree.
+
+    The hub-detection report that justifies every skew decision in
+    this family (triangle orientation, LPA argmax bounds).  Two tiny
+    aggregates after the shared pair build; pct is a single double
+    division of BIGINTs, identical IEEE on both engines.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "degree",
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double") / F.col("n_nodes").cast("double"), 6
+            ).alias("pct"),
+        )
+        .orderBy("degree")
+    )
+
+
+def _g_degree_stats_sql() -> str:
+    return f"""
+WITH {_PAIRS_SQL}, deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts,
+  round(CAST(COUNT(*) AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6) AS pct
+FROM deg CROSS JOIN nn
+GROUP BY degree, n_nodes
+ORDER BY degree
+"""
+
+
+# --------------------------------------------------------- g_label_prop
+
+def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 communities by size after 2 synchronous rounds of
+    mode-label propagation on the co-purchase graph — (community,
+    n_members), community = the minimum original node id bearing the
+    final label.
+
+    Update rule per round: label(v) ← the neighbor label with the
+    highest frequency among v's neighbors, ties to the SMALLEST label
+    (total order ⇒ deterministic).  All-integer: counts, argmax via
+    max(struct(count, -label)), no floats anywhere.
+
+    Scale shape per round: one hash join of the edge list against the
+    (node, label) vector, one (node, label) count, one max_by per node
+    — every exchange bounded by |E|; rounds are fixed (bounded-round
+    semantics, not run-to-convergence — the honest contract at 100 TB,
+    mirroring dedup_clusters' guarded max_iters).
+    """
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ITERS):
+        nb = (
+            edges.join(labels, edges.b == labels.node)
+            .select(F.col("a").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            nb.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(20)
+    )
+
+
+def _g_label_prop_sql(iters: int = _LPA_ITERS) -> str:
+    parts = [f"""
+WITH {_PAIRS_SQL}, edges AS (
+  SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
+), lb0 AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM edges
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", nb{i} AS (
+  SELECT e.a AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN lb{i - 1} l ON l.node = e.b GROUP BY 1, 2
+), lb{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM nb{i}
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lb{iters}
+GROUP BY lbl
+ORDER BY n_members DESC, community ASC LIMIT 20
+""")
+    return "".join(parts)
+
+
+GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "g_pagerank": g_pagerank,
+    "g_degree_stats": g_degree_stats,
+    "g_label_prop": g_label_prop,
+}
+
+GRAPH_ORACLES: dict[str, str] = {
+    "g_pagerank": _g_pagerank_sql(),
+    "g_degree_stats": _g_degree_stats_sql(),
+    "g_label_prop": _g_label_prop_sql(),
+}
