@@ -984,6 +984,331 @@ ORDER BY user_id, version_n
 """
 
 
+# -------------------------------------------------------- dq_drift_psi
+
+_PSI_BINS = 10
+_PSI_ALERT = 0.2
+
+
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between two
+    deterministic halves of the event stream (even vs odd epoch day) —
+    the standard drift monitor a feature store runs between a training
+    snapshot and live traffic.
+
+    Bins: 10 equal-width over the REFERENCE half's [min, max] per
+    type (current-half values clamp into the edge bins — out-of-range
+    mass lands in bin 0/9, exactly what a drift monitor wants to see).
+    Laplace-smoothed shares p = (n+1)/(N+10) make every bin defined;
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) ≥ 0, flagged at the
+    industry 0.2 threshold.
+
+    Determinism: bin edges are double arithmetic on per-type aggregate
+    scalars (identical IEEE both engines); shares are BIGINT divisions;
+    each PSI term folds through DECIMAL(28,12) so the 10-term sum is
+    order-independent; final round(6).  Scale shape: two scans (ref
+    stats, binning) + one (type, bin)-sized exchange; the bin spine is
+    a tiny generated table — nothing row-shaped crosses after the
+    partial agg.
+    """
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 2 == 0).alias(
+            "is_ref"
+        ),
+    )
+    stats = (
+        ev.where("is_ref")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .where(F.col("vmax") > F.col("vmin"))
+    )
+    binned = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "is_ref",
+            F.least(
+                F.lit(_PSI_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        * F.lit(float(_PSI_BINS))
+                        / (F.col("vmax") - F.col("vmin"))
+                    ),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+    )
+    spine = stats.select("event_type").crossJoin(
+        spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    )
+    full = (
+        spine.join(binned, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("t_ref") + _PSI_BINS).cast(
+        "double"
+    )
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("t_cur") + _PSI_BINS).cast(
+        "double"
+    )
+    return (
+        full.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast("decimal(28,12)").alias(
+                "term"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ref").alias("rows_ref"),
+            F.sum("n_cur").alias("rows_cur"),
+            (F.round(F.sum("term").cast("double"), 6) + F.lit(0.0)).alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") > _PSI_ALERT)
+        .orderBy("event_type")
+    )
+
+
+def _dq_drift_psi_sql() -> str:
+    b = _PSI_BINS
+    return f"""
+WITH ev AS (
+  SELECT event_type, value,
+    ((CAST(ts AS DATE) - DATE '1970-01-01') % 2 = 0) AS is_ref
+  FROM events WHERE value IS NOT NULL
+), stats AS (
+  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+  FROM ev WHERE is_ref GROUP BY 1 HAVING MAX(value) > MIN(value)
+), binned AS (
+  SELECT e.event_type, is_ref,
+    least({b - 1}, greatest(0,
+      CAST(floor((value - vmin) * {float(b)} / (vmax - vmin)) AS BIGINT))) AS bin
+  FROM ev e JOIN stats s ON s.event_type = e.event_type
+), cnt AS (
+  SELECT event_type, bin,
+    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(generate_series(0, {b - 1})) AS bin FROM stats
+), filled AS (
+  SELECT s.event_type, s.bin,
+    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN cnt c ON c.event_type = s.event_type AND c.bin = s.bin
+), tot AS (
+  SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+  FROM filled GROUP BY 1
+), terms AS (
+  SELECT f.event_type, n_ref, n_cur,
+    CAST((CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {b} AS DOUBLE)
+        - CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {b} AS DOUBLE))
+      * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {b} AS DOUBLE))
+         / (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {b} AS DOUBLE)))
+      AS DECIMAL(28,12)) AS term
+  FROM filled f JOIN tot t ON t.event_type = f.event_type
+)
+SELECT event_type,
+  CAST(SUM(n_ref) AS BIGINT) AS rows_ref,
+  CAST(SUM(n_cur) AS BIGINT) AS rows_cur,
+  round(CAST(SUM(term) AS DOUBLE), 6) + 0.0 AS psi,
+  (round(CAST(SUM(term) AS DOUBLE), 6) + 0.0) > {_PSI_ALERT} AS drifted
+FROM terms GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ----------------------------------------------------------- a_benford
+
+def a_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality screen for fabricated or truncated monetary
+    columns.  One row per leading digit 1-9: observed count, observed
+    share (exact half-away micro-rounding), the Benford expectation
+    log₁₀(1 + 1/d), and the absolute deviation.
+
+    Digit extraction is numeric (x / 10^⌊log₁₀x⌋), no string
+    round-trip — double-formatting differs between engines, log₁₀ of
+    the same double does not.  Single scan, 9-row exchange.
+    """
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    digits = (
+        t["orders"]
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("total"))
+    expected = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
+    pct = round_mean_micro(F.col("n").cast("decimal(18,6)"), F.col("total"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            pct.alias("pct"),
+            expected.alias("expected_pct"),
+            F.round(F.abs(pct - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _a_benford_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    pct = sql_round_mean_micro("CAST(n AS DECIMAL(18,6))", "total")
+    return f"""
+WITH d AS (
+  SELECT CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), cnt AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt
+)
+SELECT digit, n,
+  {pct} AS pct,
+  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected_pct,
+  round(abs({pct} - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)), 6)
+    AS abs_dev
+FROM cnt CROSS JOIN tot
+ORDER BY digit
+"""
+
+
+# ----------------------------------------------------------- t_zipf_fit
+
+_ZIPF_TOPK = 1000
+
+
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(freq) on
+    ln(rank) across the top-1000 tokens — slope ≈ −1 is the natural-
+    language signature; a far-off slope flags synthetic or boilerplate
+    corpora.  One row: (n_terms, slope, intercept, r2).
+
+    Rank is row_number over (freq DESC, token ASC) — total order, so
+    both engines rank identically; ln of exact integers is
+    deterministic; all five OLS sums fold through DECIMAL(28,12)
+    (order-independent), and the closed-form slope/intercept/r² are
+    identical IEEE double expressions of those exact sums, rounded 6.
+
+    Scale shape: vocab agg absorbs the token explode map-side; the
+    top-k is TakeOrderedAndProject; the regression runs on 1000 rows.
+    """
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = top_k(vocab, [F.col("freq").desc(), F.col("tok").asc()], _ZIPF_TOPK)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    ).select(
+        F.col("x").cast("decimal(28,12)").alias("x"),
+        F.col("y").cast("decimal(28,12)").alias("y"),
+        (F.col("x") * F.col("x")).cast("decimal(28,12)").alias("xx"),
+        (F.col("y") * F.col("y")).cast("decimal(28,12)").alias("yy"),
+        (F.col("x") * F.col("y")).cast("decimal(28,12)").alias("xy"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        F.col("n").alias("n_terms"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope"),
+        (F.round((F.col("sy") - slope * F.col("sx")) / nn, 6) + F.lit(0.0)).alias(
+            "intercept"
+        ),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+def _t_zipf_fit_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                ' ')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY 1
+), top AS (
+  SELECT tok, freq FROM vocab ORDER BY freq DESC, tok LIMIT {_ZIPF_TOPK}
+), xy0 AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM top
+), xy AS (
+  SELECT CAST(x AS DECIMAL(28,12)) AS x, CAST(y AS DECIMAL(28,12)) AS y,
+    CAST(x * x AS DECIMAL(28,12)) AS xx, CAST(y * y AS DECIMAL(28,12)) AS yy,
+    CAST(x * y AS DECIMAL(28,12)) AS xy
+  FROM xy0
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(yy) AS DOUBLE) AS syy,
+    CAST(SUM(xy) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT n AS n_terms,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS slope,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) + 0.0
+    AS intercept,
+  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -993,6 +1318,9 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_assoc_rules": g_assoc_rules,
     "e_covariance": e_covariance,
     "cdc_scd2": cdc_scd2,
+    "dq_drift_psi": dq_drift_psi,
+    "a_benford": a_benford,
+    "t_zipf_fit": t_zipf_fit,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -1004,4 +1332,7 @@ QUALITY_ORACLES: dict[str, str] = {
     "g_assoc_rules": _assoc_rules_sql(),
     "e_covariance": _e_covariance_sql(),
     "cdc_scd2": _cdc_scd2_sql(),
+    "dq_drift_psi": _dq_drift_psi_sql(),
+    "a_benford": _a_benford_sql(),
+    "t_zipf_fit": _t_zipf_fit_sql(),
 }
