@@ -61,7 +61,8 @@ _FIRST_SEEN_ROUND.update(
         "dq_constraints", "a_ddsketch_quantiles", "a_ddsketch_merge",
         "a_grouping_sets", "g_triangle_count", "g_assoc_rules",
         "e_covariance", "cdc_scd2", "g_pagerank", "g_degree_stats",
-        "g_label_prop", "dq_drift_psi", "a_benford", "t_zipf_fit",
+        "g_label_prop", "dq_drift_psi", "a_benford", "t_zipf_fit", "w_gapfill_interp",
+        "e_jl_projection",
     )}
 )
 

@@ -1309,6 +1309,278 @@ FROM s
 """
 
 
+# ------------------------------------------------------ w_gapfill_interp
+
+def w_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free 5-minute resample with LINEAR INTERPOLATION per event
+    type — the numeric-fill companion to ``w_resample_ffill``'s
+    carry-forward (pandas ``resample().interpolate()`` parity; the
+    fill a charting/feature pipeline wants for continuous signals
+    where a step function would bias derivatives).
+
+    interp(b) = prev + (next − prev) · (b − b_prev)/(b_next − b_prev)
+    between the nearest observed buckets; observed rows pass through.
+    Determinism: bucket averages are decimal-summed and rounded first
+    (so the interpolation endpoints are identical doubles), the
+    fraction is an explicit double division of BIGINT bucket indexes,
+    and the interpolated value re-rounds with a −0 normalizer.
+
+    Plan shape (same as resample_ffill): one map-side-combined bucket
+    agg, a skinny bounds agg whose sequence() explode generates the
+    grid shuffle-free, one left join, then TWO frame windows (prev /
+    next) riding a single per-key sort — Spark evaluates both frames
+    in one Window exec, so the grid is sorted once.
+    """
+    t = load_tables(spark, sf_dir, ["events"])
+    step = 300
+    b = F.floor(F.unix_timestamp("ts") / F.lit(step)).cast("long")
+    agg = t["events"].groupBy(F.col("event_type"), b.alias("b")).agg(
+        F.count("value").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("avg_value"),
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("b").alias("lo"), F.max("b").alias("hi")
+    )
+    grid = bounds.select("event_type", F.explode(F.sequence("lo", "hi")).alias("b"))
+    j = grid.join(agg, ["event_type", "b"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("avg_value").isNotNull(), F.col("b"))
+    pv = F.last("avg_value", ignorenulls=True).over(wp)
+    pb = F.last(ob, ignorenulls=True).over(wp)
+    nv = F.first("avg_value", ignorenulls=True).over(wn)
+    nb = F.first(ob, ignorenulls=True).over(wn)
+    # Exact integer micro-unit interpolation: pv/nv are 6-dp values, so
+    # pv + (nv−pv)·gap_frac lands on .5e-6 rounding ties STRUCTURALLY
+    # (e.g. odd-micro diff halved); double round() then diverges
+    # between engines.  Half-away integer division sidesteps IEEE
+    # entirely (round_mean_micro recipe).
+    pm = (pv.cast("decimal(18,6)") * 1000000).cast("long")
+    nm = (nv.cast("decimal(18,6)") * 1000000).cast("long")
+    num = (nm - pm) * (F.col("b") - pb)
+    den = nb - pb
+    q = F.call_function("div", F.lit(2) * F.abs(num) + den, F.lit(2) * den)
+    sign = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1))
+    interp = (pm + sign * q) / F.lit(1000000.0)
+    return j.select(
+        "event_type",
+        F.to_timestamp(F.col("b") * step).alias("bucket"),
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .otherwise(interp)
+        .alias("value"),
+        F.when(F.col("avg_value").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "filled"
+        ),
+    ).orderBy("event_type", "bucket")
+
+
+def _w_gapfill_interp_sql() -> str:
+    return """
+WITH a AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 300) AS BIGINT) AS b,
+    COUNT(value) AS n_events,
+    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+      AS avg_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM a GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM bounds
+), j AS (
+  SELECT g.event_type, g.b, coalesce(a.n_events, 0) AS n_events, a.avg_value
+  FROM grid g LEFT JOIN a ON g.event_type = a.event_type AND g.b = a.b
+), w AS (
+  SELECT event_type, b, n_events, avg_value,
+    last_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN avg_value IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+    first_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN avg_value IS NOT NULL THEN b END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY b
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+, m AS (
+  SELECT event_type, b, n_events, avg_value, pb, nb,
+    CAST(CAST(pv AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pm,
+    CAST(CAST(nv AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS nm
+  FROM w
+)
+SELECT event_type, CAST(to_timestamp(b * 300) AS TIMESTAMP) AS bucket, n_events,
+  CASE WHEN avg_value IS NOT NULL THEN avg_value
+       ELSE (pm + (CASE WHEN (nm - pm) * (b - pb) < 0 THEN -1 ELSE 1 END)
+                  * ((2 * abs((nm - pm) * (b - pb)) + (nb - pb))
+                     // (2 * (nb - pb)))) / 1000000.0
+  END AS value,
+  CASE WHEN avg_value IS NULL THEN 1 ELSE 0 END AS filled
+FROM m ORDER BY event_type, bucket
+"""
+
+
+# ------------------------------------------------------ e_jl_projection
+
+_JL_DIM = 8
+_JL_SAMPLE_MOD = 97
+_EMB_D = 64
+
+
+def _jl_sign(i, k):
+    """Deterministic ±1 from pure int64 arithmetic — identical in both
+    engines (no engine hash functions, whose algorithms differ)."""
+    return F.when(
+        ((i * F.lit(2654435761) + k * F.lit(40503)) % 7919) % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def e_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distance-preservation audit: project a
+    deterministic vector sample (vec_id ≡ 0 mod 97) from 64 → 8 dims
+    with a ±1 sign matrix derived from integer arithmetic, then compare
+    every sampled pair's squared distance before vs after (ratio
+    normalized by the 1/√8 JL scale).  One row: n_pairs, mean / min /
+    max ratio — the measured ε of the embedding-compression step a
+    100 TB pipeline runs before ANN indexing (JL lemma, public).
+
+    Determinism: the sign matrix is pure int64 arithmetic; projections
+    and squared distances fold through DECIMAL(28,12) per-cell products
+    (order-independent sums); ratios are double divisions of those
+    exact sums; the mean rides a scale-12 decimal sum (e_covariance
+    recipe).  Scale shape: the SAMPLE is filtered before any explode,
+    so the pair join is |sample|² on skinny rows; full-corpus
+    projection would be the same per-row explode feeding partial aggs —
+    nothing here collects or broadcasts vectors.
+    """
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    s = (
+        t["embeddings"]
+        .where(F.col("vec_id") % _JL_SAMPLE_MOD == 0)
+        .select("vec_id", to_double_array("embedding").alias("x"))
+    )
+    dims = s.select(
+        "vec_id", F.posexplode("x").alias("i0", "xv")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xv")
+    ks = spark.range(1, _JL_DIM + 1).select(F.col("id").alias("k"))
+    proj = (
+        dims.crossJoin(F.broadcast(ks))
+        .select(
+            "vec_id",
+            "k",
+            (_jl_sign(F.col("i"), F.col("k")) * F.col("xv"))
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+        .groupBy("vec_id", "k")
+        .agg(F.sum("t").cast("double").alias("y"))
+    )
+    dp = (
+        proj.alias("a")
+        .join(proj.alias("b"), (F.col("a.k") == F.col("b.k")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            ((F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y")))
+            .cast("decimal(28,12)")
+            .alias("d2"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("d2").cast("double").alias("dproj"))
+    )
+    do = (
+        dims.alias("a")
+        .join(dims.alias("b"), (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            ((F.col("a.xv") - F.col("b.xv")) * (F.col("a.xv") - F.col("b.xv")))
+            .cast("decimal(28,12)")
+            .alias("d2"),
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("d2").cast("double").alias("dorig"))
+    )
+    ratios = (
+        dp.join(do, ["u", "v"])
+        .where(F.col("dorig") > 0)
+        .select(
+            (F.col("dproj") / (F.lit(float(_JL_DIM)) * F.col("dorig"))).alias("r")
+        )
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("r"), 6).alias("min_ratio"),
+        F.round(F.max("r"), 6).alias("max_ratio"),
+    )
+
+
+def _e_jl_projection_sql() -> str:
+    sign = (
+        "(CASE WHEN ((i * 2654435761 + k * 40503) % 7919) % 2 = 0"
+        " THEN 1.0 ELSE -1.0 END)"
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id % {_JL_SAMPLE_MOD} = 0
+), dims AS (
+  SELECT vec_id, unnest(generate_series(1, {_EMB_D})) AS i, x FROM s
+), dimv AS (
+  SELECT vec_id, i, x[i] AS xv FROM dims
+), proj AS (
+  SELECT vec_id, k,
+    CAST(SUM(CAST({sign} * xv AS DECIMAL(28,12))) AS DOUBLE) AS y
+  FROM dimv CROSS JOIN (SELECT unnest(generate_series(1, {_JL_DIM})) AS k)
+  GROUP BY vec_id, k
+), dp AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+    CAST(SUM(CAST((a.y - b.y) * (a.y - b.y) AS DECIMAL(28,12))) AS DOUBLE)
+      AS dproj
+  FROM proj a JOIN proj b ON a.k = b.k AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), do_ AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+    CAST(SUM(CAST((a.xv - b.xv) * (a.xv - b.xv) AS DECIMAL(28,12))) AS DOUBLE)
+      AS dorig
+  FROM dimv a JOIN dimv b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+), ratios AS (
+  SELECT dproj / ({float(_JL_DIM)} * dorig) AS r
+  FROM dp JOIN do_ USING (u, v) WHERE dorig > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  round(CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_ratio,
+  round(MIN(r), 6) AS min_ratio,
+  round(MAX(r), 6) AS max_ratio
+FROM ratios
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -1321,6 +1593,8 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_drift_psi": dq_drift_psi,
     "a_benford": a_benford,
     "t_zipf_fit": t_zipf_fit,
+    "w_gapfill_interp": w_gapfill_interp,
+    "e_jl_projection": e_jl_projection,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -1335,4 +1609,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "dq_drift_psi": _dq_drift_psi_sql(),
     "a_benford": _a_benford_sql(),
     "t_zipf_fit": _t_zipf_fit_sql(),
+    "w_gapfill_interp": _w_gapfill_interp_sql(),
+    "e_jl_projection": _e_jl_projection_sql(),
 }
