@@ -1581,6 +1581,167 @@ FROM ratios
 """
 
 
+# -------------------------------------------------------- a_kmv_overlap
+
+_KMV_K = 256
+_KMV_SCALE = 1 << 60  # hash64 range: [0, 2^60)
+
+
+def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap via K-minimum-values / theta sketches
+    (Beyer et al. 2007; the Theta-sketch set algebra behind Apache
+    DataSketches, public) — the DIRECT-intersection alternative to
+    ``a_hll_overlap``'s inclusion–exclusion: each type keeps its 256
+    smallest distinct user-hashes; for a pair, θ = min of the two
+    k-th values and |A∩B| ≈ |{h in both sketches, h < θ}| / θ.
+    Inclusion–exclusion error compounds three estimates; the theta
+    estimate is one binomial draw — the reason production sketch
+    libraries intersect thetas, audited here against the exact join.
+
+    Determinism: the sketch is the k smallest DISTINCT 60-bit md5
+    hashes (total order, no ties), θ and the intersection count are
+    pure integers; the only doubles are two final divisions of the
+    same integers, rounded 6.
+
+    Scale shape: sketch build is a per-type top-k (window over distinct
+    hashes — at 100 TB swap to per-partition top-k + merge, same
+    result by the order statistics' associativity); every pairwise
+    intersection joins two 256-row sketches — broadcast-trivial —
+    while the exact twin (audit-only) pays the per-user self-join the
+    sketch exists to avoid."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "event_type", F.col("user_id").cast("string").alias("u")
+    )
+    hashes = e.select(
+        "event_type", hash64(F.concat(F.col("u"), F.lit("#kmv"))).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)
+    )
+    stats = sk.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept")
+    )
+    theta_of = F.when(F.col("n_kept") < _KMV_K, F.lit(_KMV_SCALE)).otherwise(
+        F.col("kth")
+    )
+    st = stats.select("event_type", theta_of.alias("theta"))
+    pairs = (
+        st.select(F.col("event_type").alias("ta"), F.col("theta").alias("th_a"))
+        .crossJoin(
+            st.select(F.col("event_type").alias("tb"), F.col("theta").alias("th_b"))
+        )
+        .where(F.col("ta") < F.col("tb"))
+        .select("ta", "tb", F.least("th_a", "th_b").alias("theta"))
+    )
+    inter = (
+        sk.alias("a")
+        .join(
+            sk.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            F.col("a.h").alias("h"),
+        )
+    )
+    n_inter = (
+        F.broadcast(pairs)
+        .join(inter, ["ta", "tb"], "left")
+        .select(
+            "ta", "tb", "theta",
+            F.when(F.col("h") < F.col("theta"), 1).otherwise(0).alias("c"),
+        )
+        .groupBy("ta", "tb", "theta")
+        .agg(F.sum("c").alias("n_inter"))
+    )
+    ed = e.distinct()
+    exact = (
+        ed.alias("x")
+        .join(ed.alias("y"), "u")
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("ta"), F.col("y.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est = (
+        F.col("n_inter").cast("double")
+        * F.lit(float(_KMV_SCALE))
+        / F.col("theta").cast("double")
+    )
+    return (
+        n_inter.join(exact, ["ta", "tb"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            F.round(est, 6).alias("kmv_inter"),
+            F.round(
+                (est - F.col("exact_inter")) / F.col("exact_inter").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def _a_kmv_overlap_sql() -> str:
+    k, scale = _KMV_K, _KMV_SCALE
+    return f"""
+WITH e AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+), h AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(u || '#kmv'), 1, 15) AS BIGINT) AS h
+  FROM e
+), sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {k}
+), stats AS (
+  SELECT event_type,
+    CASE WHEN COUNT(*) < {k} THEN CAST({scale} AS BIGINT) ELSE MAX(h) END
+      AS theta
+  FROM sk GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+    least(a.theta, b.theta) AS theta
+  FROM stats a JOIN stats b ON a.event_type < b.event_type
+), inter AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, a.h
+  FROM sk a JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+), ni AS (
+  SELECT p.ta, p.tb, p.theta,
+    CAST(SUM(CASE WHEN i.h < p.theta THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+  FROM pairs p LEFT JOIN inter i ON i.ta = p.ta AND i.tb = p.tb
+  GROUP BY 1, 2, 3
+), ex AS (
+  SELECT x.event_type AS ta, y.event_type AS tb,
+    CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM e x JOIN e y ON x.u = y.u AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT ni.ta, ni.tb, coalesce(exact_inter, 0) AS exact_inter,
+  round(CAST(n_inter AS DOUBLE) * {float(scale)} / CAST(theta AS DOUBLE), 6)
+    AS kmv_inter,
+  round((CAST(n_inter AS DOUBLE) * {float(scale)} / CAST(theta AS DOUBLE)
+         - exact_inter) / CAST(exact_inter AS DOUBLE), 6) AS rel_err
+FROM ni LEFT JOIN ex ON ex.ta = ni.ta AND ex.tb = ni.tb
+ORDER BY ni.ta, ni.tb
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -1595,6 +1756,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_zipf_fit": t_zipf_fit,
     "w_gapfill_interp": w_gapfill_interp,
     "e_jl_projection": e_jl_projection,
+    "a_kmv_overlap": a_kmv_overlap,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -1611,4 +1773,5 @@ QUALITY_ORACLES: dict[str, str] = {
     "t_zipf_fit": _t_zipf_fit_sql(),
     "w_gapfill_interp": _w_gapfill_interp_sql(),
     "e_jl_projection": _e_jl_projection_sql(),
+    "a_kmv_overlap": _a_kmv_overlap_sql(),
 }
