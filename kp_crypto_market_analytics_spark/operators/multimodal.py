@@ -218,3 +218,70 @@ def media_metadata_stats(decoded: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sr", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("start_sample", LongType()),
+        StructField("t_start_ms", LongType()),
+    ]
+)
+
+
+def window_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    frame_len: int = 1024,
+    hop: int = 512,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio analysis-window framing: each payload expands to its
+    overlapping STFT-style windows (frame_len samples, hop stride) —
+    the third modality's 1→many mapInPandas stage next to
+    ``sample_frames`` (video) and ``resize_media`` (image).  Real
+    audio decoding needs soundfile/ffmpeg (absent here) — ``fake=True``
+    derives the sample rate ∈ {8000, 16000, 44100} and sample count
+    from the payload's polynomial byte hash, so the frame schedule is
+    replayable in SQL; start times are integer-division milliseconds
+    (exact both engines).  Payloads never leave the stage."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio framing requires soundfile/ffmpeg libraries "
+                    "not present in this environment; use fake=True"
+                )
+            ids, srs, idxs, starts, tss = [], [], [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                data = p.encode() if isinstance(p, str) else (p or b"")
+                h = 0
+                for b in data[:64]:
+                    h = (h * 131 + b) % (1 << 31)
+                sr = (8000, 16000, 44100)[h % 3]
+                n_samples = 2048 + h % 100000
+                k = 0
+                while k * hop + frame_len <= n_samples:
+                    ids.append(mid)
+                    srs.append(sr)
+                    idxs.append(k)
+                    starts.append(k * hop)
+                    tss.append(k * hop * 1000 // sr)
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sr": srs,
+                    "frame_idx": idxs,
+                    "start_sample": starts,
+                    "t_start_ms": tss,
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)

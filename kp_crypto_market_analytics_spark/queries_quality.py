@@ -1742,6 +1742,70 @@ ORDER BY ni.ta, ni.tb
 """
 
 
+# ------------------------------------------------------ mm_audio_windows
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality framing end-to-end: the 'audio' document slice
+    through operators/multimodal.py:window_audio — each payload
+    expands to its overlapping 1024-sample / 512-hop analysis windows
+    (the STFT schedule a speech pipeline feeds its featurizer), with
+    hash-derived sample rate and duration.  All gated columns are
+    integers, so the oracle replays the exact window schedule in SQL
+    and the Arrow 1→many re-batching path is what gets gated —
+    completing the modality triple (image resize / video frames /
+    audio windows)."""
+    from kp_crypto_market_analytics_spark.operators.multimodal import window_audio
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = (
+        t["documents"]
+        .where(F.col("doc_id") % 3 == 1)  # the 'audio' slice
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.repeat(F.md5("text"), 5), "UTF-8").alias("payload"),
+        )
+    )
+    return (
+        window_audio(media, fake=True)
+        .select("media_id", "sr", "frame_idx", "start_sample", "t_start_ms")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _mm_audio_sql() -> str:
+    # Same 8×8 chained hash fold as the other mm oracles (a 64-deep
+    # expression exceeds DuckDB's binder recursion cap).  Series bound
+    # 197 derives from the fake decoder's CONSTANTS, not the data:
+    # max frames = (2048 + 99999 - 1024) // 512 = 197.
+    stages = []
+    prev = "p0"
+    for s in range(8):
+        h = "0" if s == 0 else "h"
+        for i in range(s * 8 + 1, s * 8 + 9):
+            h = f"(({h}) * 131 + ascii(substr(p, {i}, 1))) % 2147483648"
+        stages.append(f"h{s} AS (SELECT media_id, p, {h} AS h FROM {prev})")
+        prev = f"h{s}"
+    chain = ",\n".join(stages)
+    return f"""
+WITH p0 AS (
+  SELECT doc_id AS media_id, repeat(md5(text), 5) AS p
+  FROM documents WHERE doc_id % 3 = 1
+), {chain}, a AS (
+  SELECT media_id,
+    CASE CAST(h % 3 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+         ELSE 44100 END AS sr,
+    2048 + h % 100000 AS n_samples
+  FROM h7
+)
+SELECT media_id, CAST(sr AS INTEGER) AS sr, CAST(i AS INTEGER) AS frame_idx,
+  CAST(i * 512 AS BIGINT) AS start_sample,
+  CAST((i * 512 * 1000) // sr AS BIGINT) AS t_start_ms
+FROM a, generate_series(0, 197) AS g(i)
+WHERE i * 512 + 1024 <= n_samples
+ORDER BY media_id, frame_idx
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -1757,6 +1821,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_gapfill_interp": w_gapfill_interp,
     "e_jl_projection": e_jl_projection,
     "a_kmv_overlap": a_kmv_overlap,
+    "mm_audio_windows": mm_audio_windows,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -1774,4 +1839,5 @@ QUALITY_ORACLES: dict[str, str] = {
     "w_gapfill_interp": _w_gapfill_interp_sql(),
     "e_jl_projection": _e_jl_projection_sql(),
     "a_kmv_overlap": _a_kmv_overlap_sql(),
+    "mm_audio_windows": _mm_audio_sql(),
 }
