@@ -62,7 +62,8 @@ _FIRST_SEEN_ROUND.update(
         "a_grouping_sets", "g_triangle_count", "g_assoc_rules",
         "e_covariance", "cdc_scd2", "g_pagerank", "g_degree_stats",
         "g_label_prop", "dq_drift_psi", "a_benford", "t_zipf_fit", "w_gapfill_interp",
-        "e_jl_projection", "a_kmv_overlap", "mm_audio_windows",
+        "e_jl_projection", "a_kmv_overlap", "mm_audio_windows", "t_hashed_features",
+        "g_jaccard_sim", "a_markov_transition", "q_rank_movers",
     )}
 )
 

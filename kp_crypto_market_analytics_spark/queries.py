@@ -1352,6 +1352,7 @@ from kp_crypto_market_analytics_spark.queries_corpus import CORPUS_QUERIES, corp
 from kp_crypto_market_analytics_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_indicators import IND_ORACLES, IND_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_graph import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_mining import MINING_ORACLES, MINING_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_quality import QUALITY_ORACLES, QUALITY_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1361,9 +1362,11 @@ QUERIES.update(IND_QUERIES)
 QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(QUALITY_QUERIES)
 QUERIES.update(GRAPH_QUERIES)
+QUERIES.update(MINING_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
 ORACLES.update(corpus_oracles())
 ORACLES.update(QUALITY_ORACLES)
 ORACLES.update(GRAPH_ORACLES)
+ORACLES.update(MINING_ORACLES)
