@@ -1,0 +1,190 @@
+"""Semantics & SLO-floor tests for the round-3 graph / mining / audit
+queries.  The DuckDB oracles recompute derived metrics identically on
+both engines, so METRIC regressions never fail the gate — these
+assertions are the tripwires (the sim_ivf_recall lesson), plus
+constructed-input checks for the algorithmic invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_kmv_estimate_error_bounded(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import a_kmv_overlap
+
+    rows = a_kmv_overlap(spark, SF_DIR).collect()
+    assert rows, "pair table must be non-empty"
+    for r in rows:
+        assert r["exact_inter"] > 0
+        assert r["kmv_inter"] > 0
+        # k=256 KMV: σ ≈ 1/√k ≈ 6.3%; 4σ guard.
+        assert abs(r["rel_err"]) < 0.25, r
+
+
+def test_jl_projection_ratio_sane(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import e_jl_projection
+
+    r = e_jl_projection(spark, SF_DIR).collect()[0]
+    assert r["n_pairs"] >= 1
+    assert r["min_ratio"] > 0
+    assert r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"]
+
+
+def test_psi_nonnegative_and_undrifted_on_uniform_split(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import dq_drift_psi
+
+    rows = dq_drift_psi(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["psi"] >= 0.0
+        assert r["drifted"] == (r["psi"] > 0.2)
+    # At sf0.001 each half is ~100 rows/type — PSI sampling noise alone
+    # reaches 0.2.  The stationarity assertion needs the sf0.01 sample:
+    # even/odd-day halves of the synthetic stream must not trip the
+    # alert there — if one fires, the binning broke.
+    for r in dq_drift_psi(spark, "/root/testdata/sf0.01").collect():
+        assert not r["drifted"], r
+
+
+def test_benford_shares_partition_unity(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import a_benford
+
+    rows = a_benford(spark, SF_DIR).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["pct"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 < r["expected_pct"] < 0.31
+        assert r["abs_dev"] >= 0.0
+
+
+def test_gapfill_interp_values_lie_between_neighbors(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import w_gapfill_interp
+
+    pdf = w_gapfill_interp(spark, SF_DIR).toPandas()
+    assert (pdf["value"].notna()).all()
+    for _, grp in pdf.groupby("event_type"):
+        grp = grp.sort_values("bucket").reset_index(drop=True)
+        obs = grp[grp["filled"] == 0]["value"]
+        lo, hi = obs.min(), obs.max()
+        gaps = grp[grp["filled"] == 1]["value"]
+        # Linear interpolation can never overshoot the observed range.
+        assert gaps.between(lo - 1e-9, hi + 1e-9).all()
+
+
+def test_markov_transition_rows_sum_to_one(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import a_markov_transition
+
+    pdf = a_markov_transition(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    for cur, grp in pdf.groupby("cur_type"):
+        assert abs(grp["p"].sum() - 1.0) < 5e-6 * len(grp) + 1e-9, cur
+
+
+def test_pagerank_symmetric_two_cliques(spark):
+    from kp_crypto_market_analytics_spark.operators.graph import pagerank_weighted
+
+    # Symmetric 4-cycle with equal weights: every node's rank is exactly
+    # 1.0 at every iteration (uniform fixed point).
+    e = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in e] + [(b, a, 1) for a, b in e],
+        "src long, dst long, weight long",
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank_weighted(edges, iters=3).collect()}
+    assert pr == {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from kp_crypto_market_analytics_spark.operators.graph import pagerank_weighted
+
+    # Star graph: the hub must accumulate strictly more mass.
+    e = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in e] + [(b, a, 1) for a, b in e],
+        "src long, dst long, weight long",
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank_weighted(edges, iters=3).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 5))
+
+
+def test_label_prop_top_communities_disjoint_sizes(spark):
+    from kp_crypto_market_analytics_spark.queries_graph import (
+        g_degree_stats,
+        g_label_prop,
+    )
+
+    comm = g_label_prop(spark, SF_DIR).collect()
+    sizes = [r["n_members"] for r in comm]
+    assert sizes == sorted(sizes, reverse=True)
+    n_nodes = sum(
+        r["n_parts"] for r in g_degree_stats(spark, SF_DIR).collect()
+    )
+    assert sum(sizes) <= n_nodes
+
+
+def test_jaccard_sim_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import g_jaccard_sim
+
+    rows = g_jaccard_sim(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["u"] < r["v"]
+        assert r["common"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_rank_movers_delta_consistency(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import q_rank_movers
+
+    rows = q_rank_movers(spark, SF_DIR).collect()
+    assert rows
+    deltas = [abs(r["rank_delta"]) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in rows:
+        assert r["rank_delta"] == r["rank_a"] - r["rank_b"]
+        assert r["rank_a"] >= 1 and r["rank_b"] >= 1
+
+
+def test_hashed_features_collision_audit(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import t_hashed_features
+
+    rows = t_hashed_features(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket"] < 1024
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+
+
+def test_audio_window_schedule_constructed(spark):
+    from kp_crypto_market_analytics_spark.operators.multimodal import window_audio
+
+    payload = "ab" * 80  # 160 chars, mirrors the 5×md5 payload shape
+    df = spark.createDataFrame([(7, payload)], "media_id long, payload string")
+    rows = sorted(
+        window_audio(df, fake=True).collect(), key=lambda r: r["frame_idx"]
+    )
+    # Replay the fake decoder's schedule in pure Python.
+    h = 0
+    for b in payload.encode()[:64]:
+        h = (h * 131 + b) % (1 << 31)
+    sr = (8000, 16000, 44100)[h % 3]
+    n_samples = 2048 + h % 100000
+    expect_n = (n_samples - 1024) // 512 + 1
+    assert len(rows) == expect_n
+    for k, r in enumerate(rows):
+        assert r["media_id"] == 7 and r["sr"] == sr
+        assert r["frame_idx"] == k
+        assert r["start_sample"] == k * 512
+        assert r["start_sample"] + 1024 <= n_samples
+        assert r["t_start_ms"] == k * 512 * 1000 // sr
+
+
+def test_zipf_fit_slope_negative(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import t_zipf_fit
+
+    r = t_zipf_fit(spark, SF_DIR).collect()[0]
+    assert r["n_terms"] >= 10
+    assert r["slope"] < 0  # frequency decays with rank, always
+    assert 0.0 <= r["r2"] <= 1.0
