@@ -368,11 +368,481 @@ ORDER BY abs(rank_a - rank_b) DESC, ha.l_partkey LIMIT {_MOVERS_TOPK}
 """
 
 
+# ------------------------------------------------------------- g_kcore
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition by iterative peeling on the co-purchase
+    graph: each round drops nodes with degree < 2 and restricts the
+    edge list to survivors; one row per round — (round, n_nodes,
+    n_edges) — showing the peel converge (round 0 = the raw graph).
+    The degeneracy report that sizes community / dense-subgraph work.
+
+    Bounded-round contract (4 rounds, the honest form at 100 TB — the
+    same guard philosophy as dedup_clusters / g_label_prop); each round
+    is one degree agg + two semi-joins on the edge list, all-integer,
+    edge frames localCheckpointed so plan trees stay O(1)."""
+    pairs = _copurchase_edges(spark, sf_dir)
+    rounds = []
+    edges = pairs.localCheckpoint(eager=True)
+    for r in range(_KCORE_ROUNDS + 1):
+        nodes = edges.select(F.col("u").alias("n")).unionAll(
+            edges.select(F.col("v").alias("n"))
+        )
+        deg = nodes.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        stat = deg.agg(
+            F.lit(r).alias("round"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        )
+        rounds.append(stat)
+        if r == _KCORE_ROUNDS:
+            break
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("n")
+        edges = (
+            edges.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    out = rounds[0]
+    for s in rounds[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-≥2 canonical co-purchase pairs (shared with the graph
+    family's builder in queries_graph.py — duplicated locally to keep
+    the modules import-independent)."""
+    li = (
+        load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _SUPPORT)
+        .select("u", "v")
+    )
+
+
+def _g_kcore_sql() -> str:
+    parts = [f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_SUPPORT}
+)"""]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(f""", d{r} AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r}) GROUP BY 1
+), k{r} AS (
+  SELECT n FROM d{r} WHERE deg >= {_KCORE_K}
+), e{r + 1} AS (
+  SELECT u, v FROM e{r}
+  WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
+)""")
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round,
+  CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes,
+  CAST(COUNT(*) / 2 AS BIGINT) AS n_edges
+FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r})"""
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({stats}) ORDER BY round\n")
+    return "".join(parts)
+
+
+# --------------------------------------------------------- q_yoy_growth
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: order totals rolled to
+    (year, month), each month joined to the same month one year back —
+    yoy = (rev − prev)/prev.  The calendar self-join BI report next to
+    ``q_rank_movers``'s rank view.
+
+    Revenue folds through DECIMAL(18,6) (exact, order-independent);
+    the growth ratio is one double division of two exact sums, rounded
+    6 with the −0 normalizer.  Plan: one |months|-sized aggregate, one
+    self-join on the (year−1, month) key — aggregates only, facts
+    never re-shuffle."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    m = (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    prev = m.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("rev").alias("prev_rev"),
+    )
+    return (
+        m.join(prev, ["yr", "mo"])
+        .select(
+            "yr",
+            "mo",
+            "n_orders",
+            F.round(F.col("rev").cast("double"), 2).alias("rev"),
+            F.round(F.col("prev_rev").cast("double"), 2).alias("prev_rev"),
+            (
+                F.round(
+                    (F.col("rev") - F.col("prev_rev")).cast("double")
+                    / F.col("prev_rev").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("yoy"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def _q_yoy_growth_sql() -> str:
+    return """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+    CAST(month(o_orderdate) AS INTEGER) AS mo,
+    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT c.yr, c.mo, c.n_orders,
+  round(CAST(c.rev AS DOUBLE), 2) AS rev,
+  round(CAST(p.rev AS DOUBLE), 2) AS prev_rev,
+  round(CAST(c.rev - p.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 6) + 0.0 AS yoy
+FROM m c JOIN m p ON p.yr = c.yr - 1 AND p.mo = c.mo
+ORDER BY c.yr, c.mo
+"""
+
+
+# -------------------------------------------------------- j_scd2_lookup
+
+def j_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup against the SCD2 history: every event
+    joined to the state-version interval containing its timestamp
+    (key equi-join + half-open range residual — the
+    dimension-at-event-time join every warehouse fact load performs
+    against a versioned dimension), rolled up to events-per-version-
+    ordinal: (version_n, n_intervals, n_events).
+
+    Non-vacuous containment check: the intervals ARE derived from the
+    same stream (cdc_scd2 semantics), so every event must land in
+    exactly one version — the gate pins the full distribution, and the
+    n_events total equals the event count (pytest).  Plan: intervals
+    and facts share ONE user_id exchange (the window sort and the join
+    reuse the partitioning); the range condition rides the equi-join
+    as a residual filter, never a nested loop."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    iv = chg.select(
+        F.col("user_id").alias("iv_user"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version_n"),
+    )
+    j = ev.join(
+        iv,
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("version_n")
+        .agg(
+            F.count_distinct("iv_user").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("version_n")
+    )
+
+
+def _j_scd2_lookup_sql() -> str:
+    return """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+), chg AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), iv AS (
+  SELECT user_id, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS BIGINT) AS version_n
+  FROM chg
+)
+SELECT version_n,
+  CAST(COUNT(DISTINCT iv.user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.ts >= iv.valid_from
+ AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+GROUP BY version_n
+ORDER BY version_n
+"""
+
+
+# ----------------------------------------------------- w_stl_decompose
+
+def w_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the hourly event-value
+    series per type: value = trend + seasonal + residual, where trend
+    is the centered 24-hour moving average, seasonal the hour-of-day
+    mean of the detrended series, residual the remainder — the
+    classical-decomposition shape (Cleveland's STL simplified to one
+    pass, public) feeding anomaly detection on the residual channel.
+
+    Determinism: hourly means are exact micro-rounded; the trend MA is
+    a decimal-sum window over those 6-dp values with exact half-away
+    division (the gapfill recipe); seasonal means re-apply it; the
+    final subtraction re-rounds with −0 normalizers.  Edge hours
+    lacking a full ±12 window emit NULL trend (and NULL residual) —
+    the honest boundary, identical in both engines via explicit row
+    counting.
+
+    Scale shape: the fact scan collapses to (type, hour) means first
+    (map-side combined); every window and the seasonal join run on the
+    tiny bucket series — one sort per type, facts never re-shuffle."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    b = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+    hourly = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .groupBy(F.col("event_type"), b.alias("hb"))
+        .agg(
+            round_mean_micro(
+                F.sum(F.col("value").cast("decimal(18,6)")), F.count("value")
+            ).alias("v")
+        )
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(-12, 11)
+    )
+    # Exact MA of 6-dp values: decimal sum → int64 micro → half-away.
+    msum = F.sum(F.col("v").cast("decimal(18,6)")).over(wt)
+    mcnt = F.count(F.lit(1)).over(wt)
+    micro = (msum * 1000000).cast("long")
+    trend_q = F.call_function(
+        "div", F.lit(2) * F.abs(micro) + mcnt, F.lit(2) * mcnt
+    )
+    trend_sign = F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
+    trend = F.when(
+        mcnt == 24, (trend_sign * trend_q) / F.lit(1000000.0)
+    )  # full centered window only
+    dt = hourly.select(
+        "event_type",
+        "hb",
+        "v",
+        trend.alias("trend"),
+        (F.col("hb") % 24).alias("hod"),
+    ).withColumn(
+        "detr",
+        F.round(F.col("v") - F.col("trend"), 6) + F.lit(0.0),
+    )
+    seas = dt.where(F.col("detr").isNotNull()).groupBy("event_type", "hod").agg(
+        round_mean_micro(
+            F.sum(F.col("detr").cast("decimal(18,6)")), F.count("detr")
+        ).alias("seasonal")
+    )
+    return (
+        dt.join(seas, ["event_type", "hod"], "left")
+        .select(
+            "event_type",
+            "hb",
+            "v",
+            (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+            (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal"),
+            (
+                F.round(F.col("detr") - F.col("seasonal"), 6) + F.lit(0.0)
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "hb")
+    )
+
+
+def _w_stl_decompose_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    vmean = sql_round_mean_micro(
+        "SUM(CAST(value AS DECIMAL(18,6)))", "COUNT(value)"
+    )
+    smean = sql_round_mean_micro(
+        "SUM(CAST(detr AS DECIMAL(18,6)))", "COUNT(detr)"
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+    {vmean} AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), ma AS (
+  SELECT event_type, hb, v, hb % 24 AS hod,
+    CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w * 1000000 AS BIGINT) AS micro,
+    COUNT(*) OVER w AS mcnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hb
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), tr AS (
+  SELECT event_type, hb, v, hod,
+    CASE WHEN mcnt = 24 THEN
+      (CASE WHEN micro < 0 THEN -1 ELSE 1 END
+       * ((2 * abs(micro) + mcnt) // (2 * mcnt))) / 1000000.0
+    END AS trend
+  FROM ma
+), dt AS (
+  SELECT event_type, hb, v, hod, trend,
+    round(v - trend, 6) + 0.0 AS detr
+  FROM tr
+), seas AS (
+  SELECT event_type, hod, {smean} AS seasonal
+  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2
+)
+SELECT d.event_type, hb, v,
+  round(trend, 6) + 0.0 AS trend,
+  round(seasonal, 6) + 0.0 AS seasonal,
+  round(detr - seasonal, 6) + 0.0 AS residual
+FROM dt d LEFT JOIN seas s ON s.event_type = d.event_type AND s.hod = d.hod
+ORDER BY d.event_type, hb
+"""
+
+
+# -------------------------------------------------------- q_abc_pareto
+
+def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A while cumulative share < 80%, B < 95%, C otherwise; one
+    row per class — (abc_class, n_parts, class_revenue, rev_share) —
+    the 80/20 report behind every catalog-rationalization decision.
+
+    Class boundaries compare EXACT cumulative decimal revenue against
+    integer percent thresholds (cum·100 vs pct·total as decimals — no
+    float boundary can flip a part's class); shares are double
+    divisions of the exact totals, rounded 6.  Plan: one |parts|-sized
+    aggregate; the cumulative window rides a single revenue-ordered
+    sort of aggregates (range-partition it at |users| scale); class
+    rollup is a 3-row agg."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    rev = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (
+                        F.lit(1).cast("decimal(18,6)")
+                        - F.col("l_discount").cast("decimal(18,6)")
+                    )
+                ).cast("decimal(18,6)")
+            ).alias("rev")
+        )
+    )
+    w = (
+        Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = rev.agg(F.sum("rev").alias("total"))
+    classed = (
+        rev.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev",
+            "total",
+            F.when(F.col("cum") * 100 < F.col("total") * 80, "A")
+            .when(F.col("cum") * 100 < F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("class_revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+def _q_abc_pareto_sql() -> str:
+    rev = (
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,6))"
+        " * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))"
+        " AS DECIMAL(18,6))"
+    )
+    return f"""
+WITH r AS (
+  SELECT l_partkey, SUM({rev}) AS rev FROM lineitem GROUP BY 1
+), t AS (
+  SELECT SUM(rev) AS total FROM r
+), c AS (
+  SELECT l_partkey, rev, total,
+    SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM r CROSS JOIN t
+)
+SELECT CASE WHEN cum * 100 < total * 80 THEN 'A'
+            WHEN cum * 100 < total * 95 THEN 'B' ELSE 'C' END AS abc_class,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  round(CAST(SUM(rev) AS DOUBLE), 2) AS class_revenue,
+  round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6) AS rev_share
+FROM c GROUP BY 1 ORDER BY abc_class
+"""
+
+
 MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_hashed_features": t_hashed_features,
     "g_jaccard_sim": g_jaccard_sim,
     "a_markov_transition": a_markov_transition,
     "q_rank_movers": q_rank_movers,
+    "g_kcore": g_kcore,
+    "q_yoy_growth": q_yoy_growth,
+    "j_scd2_lookup": j_scd2_lookup,
+    "w_stl_decompose": w_stl_decompose,
+    "q_abc_pareto": q_abc_pareto,
 }
 
 MINING_ORACLES: dict[str, str] = {
@@ -380,4 +850,9 @@ MINING_ORACLES: dict[str, str] = {
     "g_jaccard_sim": _g_jaccard_sim_sql(),
     "a_markov_transition": _a_markov_transition_sql(),
     "q_rank_movers": _q_rank_movers_sql(),
+    "g_kcore": _g_kcore_sql(),
+    "q_yoy_growth": _q_yoy_growth_sql(),
+    "j_scd2_lookup": _j_scd2_lookup_sql(),
+    "w_stl_decompose": _w_stl_decompose_sql(),
+    "q_abc_pareto": _q_abc_pareto_sql(),
 }

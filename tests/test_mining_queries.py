@@ -188,3 +188,67 @@ def test_zipf_fit_slope_negative(spark):
     assert r["n_terms"] >= 10
     assert r["slope"] < 0  # frequency decays with rank, always
     assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_kcore_peel_monotone(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import g_kcore
+
+    rows = sorted(g_kcore(spark, SF_DIR).collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [0, 1, 2, 3, 4]
+    nodes = [r["n_nodes"] for r in rows]
+    edges = [r["n_edges"] for r in rows]
+    # Peeling can only shrink the graph.
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    assert nodes[0] > 0
+
+
+def test_yoy_growth_join_alignment(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import q_yoy_growth
+
+    rows = q_yoy_growth(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["mo"] <= 12
+        assert r["prev_rev"] > 0
+        # yoy recomputes from the emitted (rounded) revenues to ~1e-4.
+        approx = (r["rev"] - r["prev_rev"]) / r["prev_rev"]
+        assert abs(approx - r["yoy"]) < 1e-4
+
+
+def test_scd2_lookup_partitions_every_event(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import j_scd2_lookup
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    rows = j_scd2_lookup(spark, SF_DIR).collect()
+    total = sum(r["n_events"] for r in rows)
+    n_events = load_tables(spark, SF_DIR, ["events"])["events"].count()
+    # The intervals tile each user's timeline: every event lands in
+    # EXACTLY one version interval.
+    assert total == n_events
+    assert all(r["n_users"] >= 1 for r in rows)
+
+
+def test_stl_decomposition_identity(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import w_stl_decompose
+
+    pdf = w_stl_decompose(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    inner = pdf[pdf["trend"].notna() & pdf["residual"].notna()]
+    assert len(inner) > 0
+    # value = trend + seasonal + residual up to the 6-dp re-rounding.
+    err = (inner["v"] - inner["trend"] - inner["seasonal"] - inner["residual"]).abs()
+    assert float(err.max()) < 2e-6
+    # Edge hours (incomplete ±12 window) are honestly NULL.
+    assert pdf["trend"].isna().any()
+
+
+def test_abc_pareto_shares(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import q_abc_pareto
+
+    rows = {r["abc_class"]: r for r in q_abc_pareto(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["rev_share"] for r in rows.values()) - 1.0) < 1e-3
+    # Pareto shape: class A captures ~80% of revenue with fewer parts
+    # than C holds.
+    assert rows["A"]["rev_share"] > rows["B"]["rev_share"] > rows["C"]["rev_share"]
