@@ -77,7 +77,7 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAIRS_SQL = f"""li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS support
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -126,7 +126,7 @@ WITH {_PAIRS_SQL}, edges AS (
   UNION ALL SELECT v, u, support FROM pairs
 ), wdeg AS (
   SELECT src, CAST(SUM(weight) AS BIGINT) AS wdeg FROM edges GROUP BY 1
-), er AS (
+), er AS MATERIALIZED (
   SELECT e.src, e.dst, CAST(weight AS DOUBLE) / wdeg AS ratio
   FROM edges e JOIN wdeg USING (src)
 ), nodes AS (

@@ -187,12 +187,12 @@ def _g_jaccard_sim_sql() -> str:
     return f"""
 WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= {_SUPPORT}
-), adj AS (
+), adj AS MATERIALIZED (
   SELECT u AS n, v AS m FROM edges UNION ALL SELECT v, u FROM edges
 ), deg AS (
   SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1
@@ -438,22 +438,28 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _g_kcore_sql() -> str:
+    # Every CTE in the peel chain is MATERIALIZED: DuckDB inlines CTEs
+    # by default, and each level references its predecessor ~5 times
+    # (degree union ×2, semi-filters ×2, stats ×2) — inlined, the
+    # expensive e0 pair join would be re-evaluated O(5^rounds) times
+    # (measured: the sf0.1 oracle ran 35+ min before this fix, <2s
+    # after).
     parts = [f"""
 WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= {_SUPPORT}
 )"""]
     for r in range(_KCORE_ROUNDS):
-        parts.append(f""", d{r} AS (
+        parts.append(f""", d{r} AS MATERIALIZED (
   SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
   FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v FROM e{r}) GROUP BY 1
-), k{r} AS (
+), k{r} AS MATERIALIZED (
   SELECT n FROM d{r} WHERE deg >= {_KCORE_K}
-), e{r + 1} AS (
+), e{r + 1} AS MATERIALIZED (
   SELECT u, v FROM e{r}
   WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
 )""")
