@@ -64,7 +64,8 @@ _FIRST_SEEN_ROUND.update(
         "g_label_prop", "dq_drift_psi", "a_benford", "t_zipf_fit", "w_gapfill_interp",
         "e_jl_projection", "a_kmv_overlap", "mm_audio_windows", "t_hashed_features",
         "g_jaccard_sim", "a_markov_transition", "q_rank_movers", "g_kcore",
-        "q_yoy_growth", "j_scd2_lookup", "w_stl_decompose", "q_abc_pareto",
+        "q_yoy_growth", "j_scd2_lookup", "w_stl_decompose", "q_abc_pareto", "a_funnel_windowed",
+        "t_keyphrase_rake", "a_cohort_ltv",
     )}
 )
 

@@ -839,6 +839,330 @@ FROM c GROUP BY 1 ORDER BY abc_class
 """
 
 
+# --------------------------------------------------- a_funnel_windowed
+
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def a_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion funnel view → click → purchase: each step
+    must happen within 7 days of the PREVIOUS step's qualifying event
+    — the windowed refinement of ``a_funnel_steps``' unlimited-time
+    strict funnel (the form growth teams actually report, since a
+    click three months later is not a conversion).  One row per step:
+    (step, n_users, conv_ppm of step-1).
+
+    Integer-exact: qualifying times are min-aggregates, the window
+    bound is a timestamp add of a literal interval, conversion is ppm
+    integer division.  Plan: per step one predicate-pruned event slice
+    joined against the shrinking qualified frame (same shape as
+    a_funnel_steps — each step shuffles only (user, ts))."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+
+    def slice_of(ev: str) -> DataFrame:
+        return e.where(F.col("event_type") == ev).select("user_id", "ts")
+
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+    v = (
+        slice_of("view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=True)
+    )
+    c = (
+        slice_of("click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=True)
+    )
+    p = (
+        slice_of("purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n"
+    )
+    nc = c.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).alias("step"), F.lit("click_7d").alias("step_name"), "n"
+    )
+    np_ = p.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).alias("step"), F.lit("purchase_7d").alias("step_name"), "n"
+    )
+    base = v.agg(F.count(F.lit(1)).alias("base"))
+    return (
+        nv.unionByName(nc)
+        .unionByName(np_)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "step_name",
+            F.col("n").alias("n_users"),
+            F.call_function(
+                "div",
+                F.col("n") * 1000000 + F.call_function("div", F.col("base"), F.lit(2)),
+                F.col("base"),
+            ).alias("conv_ppm"),
+        )
+        .orderBy("step")
+    )
+
+
+def _a_funnel_windowed_sql() -> str:
+    d = _FUNNEL_WINDOW_DAYS
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL {d} DAY
+  GROUP BY 1
+), p AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL {d} DAY
+  GROUP BY 1
+), counts AS (
+  SELECT 1 AS step, 'view' AS step_name, CAST(COUNT(*) AS BIGINT) AS n FROM v
+  UNION ALL
+  SELECT 2, 'click_7d', CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL
+  SELECT 3, 'purchase_7d', CAST(COUNT(*) AS BIGINT) FROM p
+), b AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS base FROM v
+)
+SELECT step, step_name, n AS n_users,
+  CAST((n * 1000000 + base // 2) // base AS BIGINT) AS conv_ppm
+FROM counts CROSS JOIN b
+ORDER BY step
+"""
+
+
+# ------------------------------------------------------ t_keyphrase_rake
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "in", "is")
+_RAKE_TOPK = 15
+
+
+def t_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, public): stopwords
+    delimit candidate phrases; each word scores deg(w)/freq(w) (deg =
+    Σ phrase lengths containing w), a phrase scores the sum of its
+    word scores.  Top-15 multi-word phrases by (score, phrase) with
+    occurrence counts — the second keyword extractor next to
+    ``t_textrank`` (co-occurrence-graph-free, so it is one pass over
+    the corpus instead of an iterative fixed-point).
+
+    Determinism: deg/freq are exact integers; word scores are single
+    int64 divisions (identical doubles); the phrase sum folds through
+    DECIMAL(28,12); phrase strings assemble with an ORDER BY pos
+    string-agg on both engines.  Scale shape: phrase segmentation is
+    one posexplode + one per-doc running sum (stopword prefix count) —
+    a single doc-partitioned sort; word stats and the phrase join are
+    vocabulary-bounded aggregates."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
+                )
+            ).alias("pos", "tok"),
+        )
+        .withColumn("is_stop", F.col("tok").isin(*_RAKE_STOPS))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = toks.withColumn(
+        "grp", F.sum(F.col("is_stop").cast("int")).over(w)
+    ).where(~F.col("is_stop"))
+    phrases = (
+        seg.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .where(F.col("plen") >= 2)
+    )
+    words = phrases.select(
+        "plen", F.explode(F.split("phrase", " ")).alias("word")
+    )
+    stats = words.groupBy("word").agg(
+        F.sum("plen").alias("deg"), F.count(F.lit(1)).alias("freq")
+    )
+    distinct_p = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("plen").alias("n_words"),
+    )
+    scored = (
+        distinct_p.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(stats, "word")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("deg").cast("double") / F.col("freq").cast("double"))
+                    .cast("decimal(28,12)")
+                ).cast("double"),
+                6,
+            ).alias("score")
+        )
+    )
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    return top_k(
+        scored, [F.col("score").desc(), F.col("phrase").asc()], _RAKE_TOPK
+    ).select("phrase", "n_words", "n_occurrences", "score")
+
+
+def _t_keyphrase_rake_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS l
+  FROM documents
+), idx AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM norm
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tok,
+    l[i] IN ({stops}) AS is_stop
+  FROM idx
+), seg AS MATERIALIZED (
+  SELECT doc_id, pos, tok, is_stop,
+    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM toks
+), kept AS MATERIALIZED (
+  SELECT doc_id, pos, tok, grp FROM seg WHERE NOT is_stop
+), phrases AS MATERIALIZED (
+  SELECT doc_id, grp,
+    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+    CAST(COUNT(*) AS BIGINT) AS plen
+  FROM kept GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), words AS (
+  SELECT plen, unnest(string_split(phrase, ' ')) AS word FROM phrases
+), stats AS MATERIALIZED (
+  SELECT word, CAST(SUM(plen) AS BIGINT) AS deg,
+    CAST(COUNT(*) AS BIGINT) AS freq
+  FROM words GROUP BY 1
+), dp AS MATERIALIZED (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+    CAST(MAX(plen) AS BIGINT) AS n_words
+  FROM phrases GROUP BY 1
+), pw AS (
+  SELECT phrase, n_words, n_occurrences,
+    unnest(string_split(phrase, ' ')) AS word
+  FROM dp
+)
+SELECT phrase, n_words, n_occurrences,
+  round(CAST(SUM(CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                      AS DECIMAL(28,12))) AS DOUBLE), 6) AS score
+FROM pw JOIN stats USING (word)
+GROUP BY phrase, n_words, n_occurrences
+ORDER BY score DESC, phrase LIMIT {_RAKE_TOPK}
+"""
+
+
+# --------------------------------------------------------- a_cohort_ltv
+
+def a_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users grouped by first-seen week, with
+    cumulative event value captured within 1 / 2 / 4 weeks of first
+    touch — the value-weighted companion to ``a_retention_cohorts``'
+    presence counts (what growth calls the LTV curve).
+
+    Exact: cohort assignment is an integer week index, the windowed
+    revenue cuts are conditional DECIMAL(18,6) sums on integer
+    day-offsets.  Plan: one (user) first-seen agg, one join back to
+    events on user (the only fact shuffle), conditional partial aggs
+    to the |cohorts|-sized result."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].where(F.col("value").isNotNull())
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    j = e.select("user_id", "ts", "value").join(first, "user_id")
+    dd = F.datediff(F.to_date("ts"), F.to_date("t0"))
+    week0 = F.call_function(
+        "div",
+        F.datediff(F.to_date("t0"), F.lit("2024-01-01").cast("date")),
+        F.lit(7),
+    )
+
+    def rev_within(days: int, name: str):
+        return (
+            F.sum(
+                F.when(dd < days, F.col("value").cast("decimal(18,6)")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias(name)
+        )
+
+    return (
+        j.groupBy(week0.alias("cohort_week"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(rev_within(7, "r7"), 2).alias("rev_w1"),
+            F.round(rev_within(14, "r14"), 2).alias("rev_w2"),
+            F.round(rev_within(28, "r28"), 2).alias("rev_w4"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+def _a_cohort_ltv_sql() -> str:
+    def rev(days: int) -> str:
+        return (
+            "round(CAST(SUM(CASE WHEN dd < {d} THEN CAST(value AS DECIMAL(18,6))"
+            " ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 2)"
+        ).format(d=days)
+
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, value FROM events WHERE value IS NOT NULL
+), f AS (
+  SELECT user_id, MIN(ts) AS t0 FROM e GROUP BY 1
+), j AS (
+  SELECT e.user_id, value,
+    CAST(e.ts AS DATE) - CAST(f.t0 AS DATE) AS dd,
+    (CAST(f.t0 AS DATE) - DATE '2024-01-01') // 7 AS cohort_week
+  FROM e JOIN f ON f.user_id = e.user_id
+)
+SELECT cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  {rev(7)} AS rev_w1,
+  {rev(14)} AS rev_w2,
+  {rev(28)} AS rev_w4
+FROM j GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
 MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_hashed_features": t_hashed_features,
     "g_jaccard_sim": g_jaccard_sim,
@@ -849,6 +1173,9 @@ MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_scd2_lookup": j_scd2_lookup,
     "w_stl_decompose": w_stl_decompose,
     "q_abc_pareto": q_abc_pareto,
+    "a_funnel_windowed": a_funnel_windowed,
+    "t_keyphrase_rake": t_keyphrase_rake,
+    "a_cohort_ltv": a_cohort_ltv,
 }
 
 MINING_ORACLES: dict[str, str] = {
@@ -861,4 +1188,7 @@ MINING_ORACLES: dict[str, str] = {
     "j_scd2_lookup": _j_scd2_lookup_sql(),
     "w_stl_decompose": _w_stl_decompose_sql(),
     "q_abc_pareto": _q_abc_pareto_sql(),
+    "a_funnel_windowed": _a_funnel_windowed_sql(),
+    "t_keyphrase_rake": _t_keyphrase_rake_sql(),
+    "a_cohort_ltv": _a_cohort_ltv_sql(),
 }

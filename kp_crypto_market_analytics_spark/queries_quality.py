@@ -1774,9 +1774,9 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mm_audio_sql() -> str:
     # Same 8×8 chained hash fold as the other mm oracles (a 64-deep
-    # expression exceeds DuckDB's binder recursion cap).  Series bound
-    # 197 derives from the fake decoder's CONSTANTS, not the data:
-    # max frames = (2048 + 99999 - 1024) // 512 = 197.
+    # expression exceeds DuckDB's binder recursion cap).  The frame
+    # series bound derives PER ROW from n_samples (scalar
+    # generate_series form), matching the decoder's while-loop exactly.
     stages = []
     prev = "p0"
     for s in range(8):
@@ -1800,8 +1800,11 @@ WITH p0 AS (
 SELECT media_id, CAST(sr AS INTEGER) AS sr, CAST(i AS INTEGER) AS frame_idx,
   CAST(i * 512 AS BIGINT) AS start_sample,
   CAST((i * 512 * 1000) // sr AS BIGINT) AS t_start_ms
-FROM a, generate_series(0, 197) AS g(i)
-WHERE i * 512 + 1024 <= n_samples
+FROM (
+  SELECT media_id, sr,
+    unnest(generate_series(0, (n_samples - 1024) // 512)) AS i
+  FROM a
+)
 ORDER BY media_id, frame_idx
 """
 

