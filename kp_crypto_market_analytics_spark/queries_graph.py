@@ -275,14 +275,110 @@ ORDER BY n_members DESC, community ASC LIMIT 20
     return "".join(parts)
 
 
+# ------------------------------------------------------ g_bfs_distance
+
+_BFS_ROUNDS = 4
+
+
+def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distances from the hub part (max degree, min
+    id tiebreak) out to 4 hops on the co-purchase graph — (distance,
+    n_parts) histogram, the reachability report that completes the
+    graph family (BFS joins PageRank / CC / LPA / triangles / k-core
+    as the last classic primitive).
+
+    Bounded-round frontier expansion: dist_{r+1} = min(dist_r,
+    1 + min over neighbors dist_r) — the min-fold recipe of
+    dedup_clusters applied to distances, all-integer, one edge join +
+    one min-agg per round, frames localCheckpointed.  Nodes beyond 4
+    hops report distance −1 (honest bounded contract, not ∞)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    src = deg.orderBy(F.col("deg").desc(), F.col("node").asc()).limit(1).select(
+        "node"
+    )
+    dist = deg.select("node").join(src.withColumnRenamed("node", "s"), how="cross").select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(0)).otherwise(F.lit(-1)).alias(
+            "dist"
+        ),
+    ).localCheckpoint(eager=True)
+    for _ in range(_BFS_ROUNDS):
+        nb = (
+            edges.join(
+                dist.where(F.col("dist") >= 0).withColumnRenamed("node", "b2"),
+                F.col("b") == F.col("b2"),
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(nb, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("dist") >= 0)
+                    & (F.col("nd").isNull() | (F.col("dist") <= F.col("nd"))),
+                    F.col("dist"),
+                )
+                .otherwise(F.coalesce("nd", F.lit(-1)))
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("dist")
+    )
+
+
+def _g_bfs_distance_sql(rounds: int = _BFS_ROUNDS) -> str:
+    parts = [f"""
+WITH {_PAIRS_SQL}, edges AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
+), deg AS MATERIALIZED (
+  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), src AS MATERIALIZED (
+  SELECT node FROM deg ORDER BY deg DESC, node LIMIT 1
+), d0 AS MATERIALIZED (
+  SELECT deg.node,
+    CASE WHEN deg.node = src.node THEN 0 ELSE -1 END AS dist
+  FROM deg CROSS JOIN src
+)"""]
+    for r in range(rounds):
+        parts.append(f""", nb{r} AS MATERIALIZED (
+  SELECT e.a AS node, MIN(d.dist) + 1 AS nd
+  FROM edges e JOIN d{r} d ON d.node = e.b AND d.dist >= 0
+  GROUP BY 1
+), d{r + 1} AS MATERIALIZED (
+  SELECT d.node,
+    CASE WHEN d.dist >= 0 AND (nb{r}.nd IS NULL OR d.dist <= nb{r}.nd)
+         THEN d.dist ELSE coalesce(nb{r}.nd, -1) END AS dist
+  FROM d{r} d LEFT JOIN nb{r} ON nb{r}.node = d.node
+)""")
+    parts.append(f"""
+SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM d{rounds} GROUP BY dist ORDER BY dist
+""")
+    return "".join(parts)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_pagerank": g_pagerank,
     "g_degree_stats": g_degree_stats,
     "g_label_prop": g_label_prop,
+    "g_bfs_distance": g_bfs_distance,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
     "g_pagerank": _g_pagerank_sql(),
     "g_degree_stats": _g_degree_stats_sql(),
     "g_label_prop": _g_label_prop_sql(),
+    "g_bfs_distance": _g_bfs_distance_sql(),
 }

@@ -299,3 +299,13 @@ def test_cohort_ltv_monotone_windows(spark):
         # NOT guaranteed — event values can be negative — so compare
         # only when all windows are nonneg-increasing in coverage).
         assert r["rev_w1"] == r["rev_w1"]  # not NaN
+
+
+def test_bfs_distance_histogram(spark):
+    from kp_crypto_market_analytics_spark.queries_graph import g_bfs_distance
+
+    rows = {r["dist"]: r["n_parts"] for r in g_bfs_distance(spark, SF_DIR).collect()}
+    assert rows.get(0) == 1  # exactly one source
+    assert all(d in (-1, 0, 1, 2, 3, 4) for d in rows)
+    # The hub has neighbors, so distance 1 must be populated.
+    assert rows.get(1, 0) >= 1
