@@ -113,3 +113,23 @@ def test_empty_pq_and_layout(spark):
     assert pq_topk(empty, empty, k=5, m=4, ksub=16).count() == 0
     ez = spark.createDataFrame([], "x: long, y: long")
     assert zorder_key(ez, F.col("x"), F.col("y")).count() == 0
+
+
+def test_empty_graph_operators(spark):
+    from kp_crypto_market_analytics_spark.operators.graph import (
+        pagerank_weighted,
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long, weight long")
+    assert pagerank_weighted(edges, iters=2).count() == 0
+    und = spark.createDataFrame([], "u long, v long")
+    row = triangle_count(und).collect()[0]
+    assert row["n_nodes"] == 0 and row["n_triangles"] == 0
+
+
+def test_empty_audio_windowing(spark):
+    from kp_crypto_market_analytics_spark.operators.multimodal import window_audio
+
+    media = spark.createDataFrame([], "media_id long, payload string")
+    assert window_audio(media, fake=True).count() == 0
