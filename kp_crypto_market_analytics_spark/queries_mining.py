@@ -1163,6 +1163,92 @@ ORDER BY cohort_week
 """
 
 
+# --------------------------------------------------------- a_active_users
+
+def a_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU active-user rollup per day with the DAU/MAU
+    stickiness ratio — THE standing product-analytics metric family
+    (windowed distinct counts, which no plain window frame can express
+    because distinct does not decompose).
+
+    Exact recipe: collapse events to the distinct (user, day) grain
+    once (the only fact-scale shuffle), then count each day's trailing
+    7- and 28-day windows by joining the tiny day spine against
+    user-days on a range residual — |days| × |user-days-in-window|
+    intermediate, bounded by span × daily-actives, never |events|.
+    Stickiness is an exact micro-rounded ratio of BIGINTs.  At 100 TB
+    the same plan holds: user-day is the pre-aggregated activity table
+    every warehouse materializes, and the spine join broadcasts.  (The
+    sketch alternative — mergeable HLL registers per day, max-merged
+    over the window — is a_hll_merge's documented pattern when exact
+    distinct is too wide.)"""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ud = (
+        t["events"]
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n_days: int, name: str) -> DataFrame:
+        return (
+            F.broadcast(days.select(F.col("day").alias("d")))
+            .join(
+                ud,
+                (F.col("day") <= F.col("d"))
+                & (F.col("day") > F.date_sub(F.col("d"), n_days)),
+            )
+            .groupBy("d")
+            .agg(F.count_distinct("user_id").alias(name))
+            .withColumnRenamed("d", "day")
+        )
+
+    return (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(28, "mau"), "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            round_mean_micro(
+                F.col("dau").cast("decimal(18,6)"), F.col("mau")
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+def _a_active_users_sql() -> str:
+    stick = sql_round_mean_micro("CAST(dau AS DECIMAL(18,6))", "mau")
+    return f"""
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), days AS (
+  SELECT DISTINCT day AS d FROM ud
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), wau AS (
+  SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM days JOIN ud ON ud.day <= d AND ud.day > d - 7
+  GROUP BY 1
+), mau AS (
+  SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM days JOIN ud ON ud.day <= d AND ud.day > d - 28
+  GROUP BY 1
+)
+SELECT dau.day, dau, wau, mau, {stick} AS stickiness
+FROM dau JOIN wau ON wau.d = dau.day JOIN mau ON mau.d = dau.day
+ORDER BY dau.day
+"""
+
+
 MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_hashed_features": t_hashed_features,
     "g_jaccard_sim": g_jaccard_sim,
@@ -1176,6 +1262,7 @@ MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_funnel_windowed": a_funnel_windowed,
     "t_keyphrase_rake": t_keyphrase_rake,
     "a_cohort_ltv": a_cohort_ltv,
+    "a_active_users": a_active_users,
 }
 
 MINING_ORACLES: dict[str, str] = {
@@ -1191,4 +1278,5 @@ MINING_ORACLES: dict[str, str] = {
     "a_funnel_windowed": _a_funnel_windowed_sql(),
     "t_keyphrase_rake": _t_keyphrase_rake_sql(),
     "a_cohort_ltv": _a_cohort_ltv_sql(),
+    "a_active_users": _a_active_users_sql(),
 }

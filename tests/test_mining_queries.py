@@ -309,3 +309,14 @@ def test_bfs_distance_histogram(spark):
     assert all(d in (-1, 0, 1, 2, 3, 4) for d in rows)
     # The hub has neighbors, so distance 1 must be populated.
     assert rows.get(1, 0) >= 1
+
+
+def test_active_users_window_containment(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import a_active_users
+
+    rows = a_active_users(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Trailing windows nest: DAU ⊆ WAU ⊆ MAU.
+        assert 1 <= r["dau"] <= r["wau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
