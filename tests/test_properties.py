@@ -337,3 +337,73 @@ def test_approx_distinct_conf_switch_error_bound(spark):
     assert set(approx) == set(exact)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.06 * n), (k, n, approx[k])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-10**9, max_value=10**9),  # micro numerator
+            st.integers(min_value=1, max_value=10**6),       # denominator
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_round_mean_micro_is_half_away_exact(spark, pairs):
+    # round_mean_micro must equal Fraction-exact round-half-away-from-
+    # zero at 6 dp for ANY scale-6 numerator / positive int denominator
+    # — the property the whole mean-parity recipe rests on.
+    from fractions import Fraction
+
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    df = spark.createDataFrame(
+        [(i, m, d) for i, (m, d) in enumerate(pairs)], "i long, micro long, den long"
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select(
+            "i",
+            round_mean_micro(
+                (F.col("micro") / F.lit(1000000.0)).cast("decimal(18,6)"),
+                F.col("den"),
+            ).alias("v"),
+        ).collect()
+    }
+    for i, (m, d) in enumerate(pairs):
+        frac = Fraction(m, d * 1000000)  # true mean
+        scaled = frac * 1000000
+        q = scaled.numerator // scaled.denominator
+        rem2 = 2 * (scaled - q)
+        # half-away: round magnitude up at >= .5 for positives; mirror
+        # for negatives via the sign-split form used in the operator
+        sign = -1 if m < 0 else 1
+        mag = Fraction(abs(m), d * 1000000) * 1000000
+        qa = mag.numerator // mag.denominator
+        if (mag - qa) * 2 >= 1:
+            qa += 1
+        expect = sign * qa / 1000000.0
+        assert got[i] == expect, (m, d, got[i], expect)
+
+
+@given(
+    st.integers(min_value=-10**8, max_value=10**8),
+    st.integers(min_value=-10**8, max_value=10**8),
+    st.integers(min_value=1, max_value=50),
+    st.integers(min_value=1, max_value=49),
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gapfill_micro_interpolation_bounded(spark, pm, nm, span, off):
+    # The integer micro-unit interpolation must stay within [pm, nm]
+    # (monotone segment) for any 6-dp endpoints and any interior point.
+    off = min(off, span - 1) if span > 1 else 0
+    b, pb, nb = off + 1, 0, span + 1
+    num = (nm - pm) * (b - pb)
+    den = nb - pb
+    q = (2 * abs(num) + den) // (2 * den)
+    interp = (pm + (1 if num >= 0 else -1) * q) / 1e6
+    lo, hi = min(pm, nm) / 1e6, max(pm, nm) / 1e6
+    assert lo - 5e-7 <= interp <= hi + 5e-7
