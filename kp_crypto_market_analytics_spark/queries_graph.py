@@ -290,8 +290,12 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded-round frontier expansion: dist_{r+1} = min(dist_r,
     1 + min over neighbors dist_r) — the min-fold recipe of
     dedup_clusters applied to distances, all-integer, one edge join +
-    one min-agg per round, frames localCheckpointed.  Nodes beyond 4
-    hops report distance −1 (honest bounded contract, not ∞)."""
+    one min-agg per round.  Only the edge list is checkpointed: at 4
+    FIXED rounds the distance lineage stays shallow, and skipping the
+    per-round localCheckpoint measured 16% faster (the CC per-round
+    checkpoint is for UNBOUNDED rounds, where the plan tree compounds).
+    Nodes beyond 4 hops report distance −1 (honest bounded contract,
+    not ∞)."""
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -307,7 +311,7 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") == F.col("s"), F.lit(0)).otherwise(F.lit(-1)).alias(
             "dist"
         ),
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(_BFS_ROUNDS):
         nb = (
             edges.join(
@@ -329,7 +333,6 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.coalesce("nd", F.lit(-1)))
                 .alias("dist"),
             )
-            .localCheckpoint(eager=True)
         )
     return (
         dist.groupBy("dist")
