@@ -1809,6 +1809,194 @@ ORDER BY media_id, frame_idx
 """
 
 
+# --------------------------------------------------------- a_lorenz_gini
+
+def a_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality audit
+    behind every concentration decision (the continuous companion to
+    ``q_abc_pareto``'s three classes).  One row: n_customers,
+    total_rev, gini = (2·Σ i·rᵢ − (n+1)·Σrᵢ) / (n·Σrᵢ) over revenues
+    sorted ascending (rank-weighted Lorenz form, public).
+
+    Exact: revenues and the rank-weighted sum fold through decimals
+    (rank·revenue is DECIMAL × BIGINT, exact); gini is ONE double
+    division of exact quantities, rounded 6.  Plan: facts collapse to
+    |customers| aggregates first; the rank window sorts aggregates
+    only (range-partition the sort at |users| scale — the
+    q_rank_movers note applies)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    rev = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r"))
+    )
+    w = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
+    ranked = rev.select(
+        "r", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("r").cast("double"), 2).alias("total_rev"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum((F.col("r") * F.col("i")).cast("decimal(28,6)")).cast("double")
+                - (F.count(F.lit(1)) + 1).cast("double") * F.sum("r").cast("double")
+            )
+            / (
+                F.count(F.lit(1)).cast("double") * F.sum("r").cast("double")
+            ),
+            6,
+        ).alias("gini"),
+    )
+
+
+def _a_lorenz_gini_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT r,
+    CAST(row_number() OVER (ORDER BY r ASC, o_custkey ASC) AS BIGINT) AS i
+  FROM rev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+  round(CAST(SUM(r) AS DOUBLE), 2) AS total_rev,
+  round((2.0 * CAST(SUM(CAST(r * i AS DECIMAL(28,6))) AS DOUBLE)
+         - CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(r) AS DOUBLE))
+        / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)), 6) AS gini
+FROM ranked
+"""
+
+
+# --------------------------------------------------- e_matryoshka_prefix
+
+_MRL_PREFIXES = (16, 32)
+
+
+def e_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-prefix audit (Kusupati et al. 2022, public): how well
+    do the first 16 / 32 dimensions of the 64-d embedding preserve
+    pairwise cosine similarity?  One row per prefix length —
+    (prefix_dim, n_pairs, mean_abs_dev, max_abs_dev vs the full-64
+    cosine) over the deterministic vector sample — the measurement a
+    pipeline runs before serving truncated embeddings for cheap
+    first-stage retrieval.
+
+    Same exactness recipe as e_jl_projection: per-dimension products
+    fold through DECIMAL(28,12) (order-independent), cosines are
+    identical double expressions of those exact sums, deviations are
+    rounded with the scale-12 mean (e_covariance recipe).  The sample
+    is filtered BEFORE the explode, so the pair stage is |sample|²
+    skinny rows."""
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    s = (
+        t["embeddings"]
+        .where(F.col("vec_id") % _JL_SAMPLE_MOD == 0)
+        .select("vec_id", to_double_array("embedding").alias("x"))
+    )
+    dims = s.select(
+        "vec_id", F.posexplode("x").alias("i0", "xv")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xv")
+    pairs = (
+        dims.alias("a")
+        .join(
+            dims.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            F.col("a.i").alias("i"),
+            (F.col("a.xv") * F.col("b.xv")).cast("decimal(28,12)").alias("dp"),
+            (F.col("a.xv") * F.col("a.xv")).cast("decimal(28,12)").alias("na"),
+            (F.col("b.xv") * F.col("b.xv")).cast("decimal(28,12)").alias("nb"),
+        )
+    )
+
+    def cos_upto(limit: int, name: str):
+        inside = F.when(F.col("i") <= limit, F.col("dp")).otherwise(
+            F.lit(0).cast("decimal(28,12)")
+        )
+        ia = F.when(F.col("i") <= limit, F.col("na")).otherwise(
+            F.lit(0).cast("decimal(28,12)")
+        )
+        ib = F.when(F.col("i") <= limit, F.col("nb")).otherwise(
+            F.lit(0).cast("decimal(28,12)")
+        )
+        return (
+            F.sum(inside).cast("double")
+            / F.sqrt(F.sum(ia).cast("double") * F.sum(ib).cast("double"))
+        ).alias(name)
+
+    per_pair = pairs.groupBy("u", "v").agg(
+        cos_upto(64, "c64"), cos_upto(16, "c16"), cos_upto(32, "c32")
+    )
+    rows = []
+    for p in _MRL_PREFIXES:
+        dev = F.abs(F.col(f"c{p}") - F.col("c64"))
+        rows.append(
+            per_pair.agg(
+                F.lit(p).alias("prefix_dim"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(
+                    F.sum(dev.cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mean_abs_dev"),
+                F.round(F.max(dev), 6).alias("max_abs_dev"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("prefix_dim")
+
+
+def _e_matryoshka_sql() -> str:
+    def cos(limit: int) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN i <= {limit} THEN dp ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE)"
+            f" / sqrt(CAST(SUM(CASE WHEN i <= {limit} THEN na ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE)"
+            f" * CAST(SUM(CASE WHEN i <= {limit} THEN nb ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE))"
+        )
+
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT {p} AS prefix_dim, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  round(CAST(SUM(CAST(abs(c{p} - c64) AS DECIMAL(28,12))) AS DOUBLE)
+        / COUNT(*), 6) AS mean_abs_dev,
+  round(MAX(abs(c{p} - c64)), 6) AS max_abs_dev
+FROM per_pair"""
+        for p in _MRL_PREFIXES
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id % {_JL_SAMPLE_MOD} = 0
+), idx AS (
+  SELECT vec_id, x, unnest(generate_series(1, {_EMB_D})) AS i FROM s
+), dimv AS (
+  SELECT vec_id, i, x[i] AS xv FROM idx
+), pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v, a.i,
+    CAST(a.xv * b.xv AS DECIMAL(28,12)) AS dp,
+    CAST(a.xv * a.xv AS DECIMAL(28,12)) AS na,
+    CAST(b.xv * b.xv AS DECIMAL(28,12)) AS nb
+  FROM dimv a JOIN dimv b ON a.i = b.i AND a.vec_id < b.vec_id
+), per_pair AS MATERIALIZED (
+  SELECT u, v,
+    {cos(64)} AS c64,
+    {cos(16)} AS c16,
+    {cos(32)} AS c32
+  FROM pairs GROUP BY u, v
+)
+SELECT * FROM ({stats}) ORDER BY prefix_dim
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -1825,6 +2013,8 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_jl_projection": e_jl_projection,
     "a_kmv_overlap": a_kmv_overlap,
     "mm_audio_windows": mm_audio_windows,
+    "a_lorenz_gini": a_lorenz_gini,
+    "e_matryoshka_prefix": e_matryoshka_prefix,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -1843,4 +2033,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "e_jl_projection": _e_jl_projection_sql(),
     "a_kmv_overlap": _a_kmv_overlap_sql(),
     "mm_audio_windows": _mm_audio_sql(),
+    "a_lorenz_gini": _a_lorenz_gini_sql(),
+    "e_matryoshka_prefix": _e_matryoshka_sql(),
 }

@@ -320,3 +320,25 @@ def test_active_users_window_containment(spark):
         # Trailing windows nest: DAU ⊆ WAU ⊆ MAU.
         assert 1 <= r["dau"] <= r["wau"] <= r["mau"]
         assert 0.0 < r["stickiness"] <= 1.0
+
+
+def test_gini_in_unit_interval(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import a_lorenz_gini
+
+    r = a_lorenz_gini(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["gini"] < 1.0
+    assert r["n_customers"] >= 1 and r["total_rev"] > 0
+
+
+def test_matryoshka_longer_prefix_is_closer(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        e_matryoshka_prefix,
+    )
+
+    rows = {r["prefix_dim"]: r for r in e_matryoshka_prefix(spark, SF_DIR).collect()}
+    assert set(rows) == {16, 32}
+    # A longer prefix can only track the full cosine more closely (on
+    # average) — the monotonicity serving decisions rely on.
+    assert rows[32]["mean_abs_dev"] <= rows[16]["mean_abs_dev"]
+    for r in rows.values():
+        assert 0.0 <= r["mean_abs_dev"] <= r["max_abs_dev"] <= 2.0
