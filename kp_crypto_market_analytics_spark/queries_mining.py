@@ -1249,6 +1249,199 @@ ORDER BY dau.day
 """
 
 
+# -------------------------------------------------------- q_customer_rfm
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    the canonical marketing-analytics customer partition.  Per
+    customer: days since last order, order count, revenue; each scored
+    1-5 against the exact population quintiles; output the segment
+    grid (r_score, f_score, m_score, n_customers, avg_monetary).
+
+    Exactness: metrics are integers / exact decimals; quintile
+    thresholds come from the exact percentile (quantile_cont parity,
+    the a_grouped_quantiles recipe — conf-switched to sketches at
+    scale), and scoring is pure comparisons against those shared
+    thresholds; avg monetary is the micro-rounded exact mean.  Plan:
+    one |customers| aggregate, one broadcast threshold row, a ≤125-row
+    segment rollup."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        percentile_expr,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    gmax = o.agg(F.max("o_orderdate").alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_o"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "o_custkey",
+            F.datediff("gmax", "last_o").cast("long").alias("rec_days"),
+            "freq",
+            "monetary",
+            F.col("monetary").cast("double").alias("m_dbl"),
+        )
+        .localCheckpoint(eager=True)  # feeds thresholds AND scoring
+    )
+    qs = cust.agg(
+        *[
+            percentile_expr(cust, "rec_days", p).alias(f"r{int(p * 100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+        *[
+            percentile_expr(cust, "freq", p).alias(f"f{int(p * 100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+        *[
+            percentile_expr(cust, "m_dbl", p).alias(f"m{int(p * 100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+    )
+
+    def score_up(col: str, pre: str):
+        return (
+            F.lit(1)
+            + sum(
+                F.when(F.col(col) > F.col(f"{pre}{q}"), 1).otherwise(0)
+                for q in (20, 40, 60, 80)
+            )
+        ).cast("int")
+
+    def score_down(col: str, pre: str):
+        return (
+            F.lit(1)
+            + sum(
+                F.when(F.col(col) < F.col(f"{pre}{q}"), 1).otherwise(0)
+                for q in (20, 40, 60, 80)
+            )
+        ).cast("int")
+
+    scored = cust.crossJoin(F.broadcast(qs)).select(
+        score_down("rec_days", "r").alias("r_score"),
+        score_up("freq", "f").alias("f_score"),
+        score_up("m_dbl", "m").alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round_mean_micro(F.sum("monetary"), F.count(F.lit(1))).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _q_customer_rfm_sql() -> str:
+    avg_m = sql_round_mean_micro("SUM(monetary)", "COUNT(*)")
+    up = lambda col, pre: " + ".join(
+        f"(CASE WHEN {col} > {pre}{q} THEN 1 ELSE 0 END)" for q in (20, 40, 60, 80)
+    )
+    down = lambda col, pre: " + ".join(
+        f"(CASE WHEN {col} < {pre}{q} THEN 1 ELSE 0 END)" for q in (20, 40, 60, 80)
+    )
+    return f"""
+WITH g AS (
+  SELECT MAX(o_orderdate) AS gmax FROM orders
+), cust AS MATERIALIZED (
+  SELECT o_custkey,
+    CAST(CAST(gmax AS DATE) - CAST(MAX(o_orderdate) AS DATE) AS BIGINT)
+      AS rec_days,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS monetary,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS m_dbl
+  FROM orders CROSS JOIN g GROUP BY o_custkey, gmax
+), qs AS (
+  SELECT
+    quantile_cont(rec_days, 0.2) AS r20, quantile_cont(rec_days, 0.4) AS r40,
+    quantile_cont(rec_days, 0.6) AS r60, quantile_cont(rec_days, 0.8) AS r80,
+    quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+    quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+    quantile_cont(m_dbl, 0.2) AS m20, quantile_cont(m_dbl, 0.4) AS m40,
+    quantile_cont(m_dbl, 0.6) AS m60, quantile_cont(m_dbl, 0.8) AS m80
+  FROM cust
+), scored AS (
+  SELECT CAST(1 + {down('rec_days', 'r')} AS INTEGER) AS r_score,
+         CAST(1 + {up('freq', 'f')} AS INTEGER) AS f_score,
+         CAST(1 + {up('m_dbl', 'm')} AS INTEGER) AS m_score,
+         monetary
+  FROM cust CROSS JOIN qs
+)
+SELECT r_score, f_score, m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  {avg_m} AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+# ----------------------------------------------------- a_order_intervals
+
+def a_order_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: per-customer day gaps
+    between consecutive orders, summarized once — (n_intervals,
+    mean / p50 / p90 days) — the inter-arrival analysis behind
+    reorder-cycle and churn-risk models.
+
+    One (customer) exchange for the lag, integer day gaps, exact
+    micro-rounded mean and exact percentiles (conf-switched to
+    sketches at scale, the standing a7 lever)."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        percentile_expr,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t["orders"]
+        .select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderdate").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.datediff("o_orderdate", "prev").cast("long").alias("gap_days")
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        round_mean_micro(
+            F.sum(F.col("gap_days").cast("decimal(18,6)")), F.count(F.lit(1))
+        ).alias("mean_days"),
+        F.round(percentile_expr(gaps, "gap_days", 0.5), 6).alias("p50_days"),
+        F.round(percentile_expr(gaps, "gap_days", 0.9), 6).alias("p90_days"),
+    )
+
+
+def _a_order_intervals_sql() -> str:
+    mean = sql_round_mean_micro(
+        "SUM(CAST(gap_days AS DECIMAL(18,6)))", "COUNT(*)"
+    )
+    return f"""
+WITH lagged AS (
+  SELECT o_custkey, o_orderdate,
+    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), gaps AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - CAST(prev AS DATE) AS BIGINT)
+           AS gap_days
+  FROM lagged WHERE prev IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+  {mean} AS mean_days,
+  round(quantile_cont(gap_days, 0.5), 6) AS p50_days,
+  round(quantile_cont(gap_days, 0.9), 6) AS p90_days
+FROM gaps
+"""
+
+
 MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_hashed_features": t_hashed_features,
     "g_jaccard_sim": g_jaccard_sim,
@@ -1263,6 +1456,8 @@ MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_keyphrase_rake": t_keyphrase_rake,
     "a_cohort_ltv": a_cohort_ltv,
     "a_active_users": a_active_users,
+    "q_customer_rfm": q_customer_rfm,
+    "a_order_intervals": a_order_intervals,
 }
 
 MINING_ORACLES: dict[str, str] = {
@@ -1279,4 +1474,6 @@ MINING_ORACLES: dict[str, str] = {
     "t_keyphrase_rake": _t_keyphrase_rake_sql(),
     "a_cohort_ltv": _a_cohort_ltv_sql(),
     "a_active_users": _a_active_users_sql(),
+    "q_customer_rfm": _q_customer_rfm_sql(),
+    "a_order_intervals": _a_order_intervals_sql(),
 }

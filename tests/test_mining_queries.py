@@ -342,3 +342,32 @@ def test_matryoshka_longer_prefix_is_closer(spark):
     assert rows[32]["mean_abs_dev"] <= rows[16]["mean_abs_dev"]
     for r in rows.values():
         assert 0.0 <= r["mean_abs_dev"] <= r["max_abs_dev"] <= 2.0
+
+
+def test_rfm_scores_partition_customers(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import q_customer_rfm
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    rows = q_customer_rfm(spark, SF_DIR).collect()
+    assert rows
+    n_cust = (
+        load_tables(spark, SF_DIR, ["orders"])["orders"]
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["avg_monetary"] > 0
+
+
+def test_order_intervals_sane(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import a_order_intervals
+
+    r = a_order_intervals(spark, SF_DIR).collect()[0]
+    assert r["n_intervals"] >= 1
+    assert 0 <= r["p50_days"] <= r["p90_days"]
+    assert r["mean_days"] > 0
