@@ -66,7 +66,7 @@ _FIRST_SEEN_ROUND.update(
         "g_jaccard_sim", "a_markov_transition", "q_rank_movers", "g_kcore",
         "q_yoy_growth", "j_scd2_lookup", "w_stl_decompose", "q_abc_pareto", "a_funnel_windowed",
         "t_keyphrase_rake", "a_cohort_ltv", "g_bfs_distance", "a_active_users", "a_lorenz_gini", "e_matryoshka_prefix", "q_customer_rfm",
-        "a_order_intervals",
+        "a_order_intervals", "w_seasonal_naive_forecast", "e_embedding_drift",
     )}
 )
 

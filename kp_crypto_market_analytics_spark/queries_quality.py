@@ -1997,6 +1997,210 @@ SELECT * FROM ({stats}) ORDER BY prefix_dim
 """
 
 
+# --------------------------------------------- w_seasonal_naive_forecast
+
+def w_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's mean value
+    with the value 24 hours earlier, score per event type — (n_scored,
+    mae, rmse, mape_pct) — the baseline every forecasting pipeline must
+    beat, evaluated in-engine (Hyndman & Athanasopoulos' naive-2,
+    public).
+
+    Exactness: hourly means are micro-rounded; errors are differences
+    of those 6-dp values folded through DECIMAL(28,12) for the MAE /
+    MSE sums; RMSE's sqrt and MAPE's ratio are identical double ops of
+    exact sums, rounded 6.  Plan: facts collapse to the (type, hour)
+    grain first; the seasonal lookup is an equi-join on (type, hb−24)
+    over that tiny grain (gap-proof, unlike a 24-row lag); scoring is
+    a |types|-row aggregate."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    b = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+    hourly = (
+        t["events"]
+        .where(F.col("value").isNotNull())
+        .groupBy(F.col("event_type"), b.alias("hb"))
+        .agg(
+            round_mean_micro(
+                F.sum(F.col("value").cast("decimal(18,6)")), F.count("value")
+            ).alias("v")
+        )
+    )
+    # Seasonal lookup by JOIN on (type, hb−24), not a 24-ROW lag — a
+    # row lag silently misaligns on gappy series (sparse SFs have
+    # missing hours); the equi-join is gap-proof and co-partitions
+    # with the bucket agg.
+    hourly = hourly.localCheckpoint(eager=True)  # probe + build sides
+    pred = hourly.select(
+        "event_type", (F.col("hb") + 24).alias("hb"), F.col("v").alias("pred")
+    )
+    scored = (
+        hourly.join(pred, ["event_type", "hb"])
+        .where(F.col("v") != 0)
+        .select(
+            "event_type",
+            (F.col("v") - F.col("pred")).alias("err"),
+            (F.abs(F.col("v") - F.col("pred")) / F.abs(F.col("v"))).alias("ape"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(
+                F.sum(F.abs(F.col("err")).cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("err") * F.col("err")).cast("decimal(28,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("rmse"),
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.col("ape").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mape_pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _w_seasonal_naive_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    vmean = sql_round_mean_micro(
+        "SUM(CAST(value AS DECIMAL(18,6)))", "COUNT(value)"
+    )
+    return f"""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+    {vmean} AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), scored AS (
+  SELECT c.event_type, c.v - p.v AS err, abs(c.v - p.v) / abs(c.v) AS ape
+  FROM hourly c JOIN hourly p
+    ON p.event_type = c.event_type AND p.hb = c.hb - 24
+  WHERE c.v <> 0
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+  round(CAST(SUM(CAST(abs(err) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+    AS mae,
+  round(sqrt(CAST(SUM(CAST(err * err AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*)), 6) AS rmse,
+  round(100.0 * CAST(SUM(CAST(ape AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+    AS mape_pct
+FROM scored GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------ e_embedding_drift
+
+def e_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift audit between the two deterministic corpus
+    halves (even vs odd vec_id): centroid cosine, centroid L2 shift,
+    and mean-norm ratio — the modality-side companion to
+    ``dq_drift_psi`` (a retrained encoder or a poisoned batch moves the
+    centroid long before downstream metrics notice).
+
+    Exactness: per-dimension means come from DECIMAL(27,12) sums over
+    a posexplode (e_covariance recipe — nothing row-shaped shuffles);
+    the three comparisons are identical double expressions of those 64
+    exact means, rounded 6.  One scan, dimension-sized exchanges."""
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    dims = (
+        t["embeddings"]
+        .select(
+            (F.col("vec_id") % 2 == 0).alias("is_a"),
+            F.posexplode(to_double_array("embedding")).alias("i", "xv"),
+        )
+        .groupBy("is_a", "i")
+        .agg(
+            (
+                F.sum(F.col("xv").cast("decimal(27,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m"),
+            (
+                F.sum((F.col("xv") * F.col("xv")).cast("decimal(27,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m2"),
+        )
+    )
+    a = dims.where("is_a").select("i", F.col("m").alias("ma"), F.col("m2").alias("m2a"))
+    bb = dims.where("NOT is_a").select(
+        "i", F.col("m").alias("mb"), F.col("m2").alias("m2b")
+    )
+    j = a.join(bb, "i").select(
+        (F.col("ma") * F.col("mb")).cast("decimal(28,12)").alias("dot"),
+        (F.col("ma") * F.col("ma")).cast("decimal(28,12)").alias("na"),
+        (F.col("mb") * F.col("mb")).cast("decimal(28,12)").alias("nb"),
+        ((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+        .cast("decimal(28,12)")
+        .alias("d2"),
+        F.col("m2a").cast("decimal(28,12)").alias("sm2a"),
+        F.col("m2b").cast("decimal(28,12)").alias("sm2b"),
+    )
+    return j.agg(
+        F.round(
+            F.sum("dot").cast("double")
+            / F.sqrt(F.sum("na").cast("double") * F.sum("nb").cast("double")),
+            6,
+        ).alias("centroid_cos"),
+        F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("centroid_l2"),
+        F.round(
+            F.sqrt(F.sum("sm2a").cast("double") / F.sum("sm2b").cast("double")), 6
+        ).alias("energy_ratio"),
+    )
+
+
+def _e_embedding_drift_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT (vec_id % 2 = 0) AS is_a, CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings
+), idx AS (
+  SELECT is_a, x, unnest(generate_series(1, {_EMB_D})) AS i FROM e
+), dims AS MATERIALIZED (
+  SELECT is_a, i,
+    CAST(SUM(CAST(x[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m,
+    CAST(SUM(CAST(x[i] * x[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m2
+  FROM idx GROUP BY 1, 2
+), j AS (
+  SELECT CAST(a.m * b.m AS DECIMAL(28,12)) AS dot,
+    CAST(a.m * a.m AS DECIMAL(28,12)) AS na,
+    CAST(b.m * b.m AS DECIMAL(28,12)) AS nb,
+    CAST((a.m - b.m) * (a.m - b.m) AS DECIMAL(28,12)) AS d2,
+    CAST(a.m2 AS DECIMAL(28,12)) AS sm2a,
+    CAST(b.m2 AS DECIMAL(28,12)) AS sm2b
+  FROM dims a JOIN dims b ON a.i = b.i AND a.is_a AND NOT b.is_a
+)
+SELECT
+  round(CAST(SUM(dot) AS DOUBLE)
+        / sqrt(CAST(SUM(na) AS DOUBLE) * CAST(SUM(nb) AS DOUBLE)), 6)
+    AS centroid_cos,
+  round(sqrt(CAST(SUM(d2) AS DOUBLE)), 6) AS centroid_l2,
+  round(sqrt(CAST(SUM(sm2a) AS DOUBLE) / CAST(SUM(sm2b) AS DOUBLE)), 6)
+    AS energy_ratio
+FROM j
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -2015,6 +2219,8 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_audio_windows": mm_audio_windows,
     "a_lorenz_gini": a_lorenz_gini,
     "e_matryoshka_prefix": e_matryoshka_prefix,
+    "w_seasonal_naive_forecast": w_seasonal_naive_forecast,
+    "e_embedding_drift": e_embedding_drift,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -2035,4 +2241,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "mm_audio_windows": _mm_audio_sql(),
     "a_lorenz_gini": _a_lorenz_gini_sql(),
     "e_matryoshka_prefix": _e_matryoshka_sql(),
+    "w_seasonal_naive_forecast": _w_seasonal_naive_sql(),
+    "e_embedding_drift": _e_embedding_drift_sql(),
 }

@@ -371,3 +371,27 @@ def test_order_intervals_sane(spark):
     assert r["n_intervals"] >= 1
     assert 0 <= r["p50_days"] <= r["p90_days"]
     assert r["mean_days"] > 0
+
+
+def test_seasonal_naive_scores_nonnegative(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        w_seasonal_naive_forecast,
+    )
+
+    rows = w_seasonal_naive_forecast(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["n_scored"] >= 1
+        assert 0.0 <= r["mae"] <= r["rmse"] * (r["n_scored"] ** 0.5) + 1e-9
+        assert r["rmse"] >= 0.0 and r["mape_pct"] >= 0.0
+
+
+def test_embedding_drift_identical_halves_look_alike(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import e_embedding_drift
+
+    r = e_embedding_drift(spark, SF_DIR).collect()[0]
+    # Even/odd halves of one isotropic corpus: centroids nearly align,
+    # energy ratio near 1 — large excursions mean the audit is broken.
+    assert r["centroid_cos"] > 0.5
+    assert 0.5 < r["energy_ratio"] < 2.0
+    assert r["centroid_l2"] >= 0.0
