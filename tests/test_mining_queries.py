@@ -390,8 +390,11 @@ def test_embedding_drift_identical_halves_look_alike(spark):
     from kp_crypto_market_analytics_spark.queries_quality import e_embedding_drift
 
     r = e_embedding_drift(spark, SF_DIR).collect()[0]
-    # Even/odd halves of one isotropic corpus: centroids nearly align,
-    # energy ratio near 1 — large excursions mean the audit is broken.
-    assert r["centroid_cos"] > 0.5
+    # Even/odd halves of one isotropic ZERO-MEAN corpus: the centroids
+    # are noise vectors, so their cosine is arbitrary in [-1, 1] (it
+    # becomes meaningful only for non-centered real spaces) — the
+    # stable invariants here are the energy ratio near 1 and a small
+    # centroid shift.
+    assert -1.0 <= r["centroid_cos"] <= 1.0
     assert 0.5 < r["energy_ratio"] < 2.0
-    assert r["centroid_l2"] >= 0.0
+    assert 0.0 <= r["centroid_l2"] < 1.0
