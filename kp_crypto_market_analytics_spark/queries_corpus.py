@@ -280,7 +280,7 @@ def _t_word_entropy_sql() -> str:
 WITH {TOKENS_CTE}, counts AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
 )
-SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
   {sql_round_mean_micro(ent_num, "SUM(c)")} AS entropy,
   {sql_round_mean_micro("CAST(COUNT(*) AS DECIMAL(18,6))", "SUM(c)")} AS ttr
 FROM counts GROUP BY doc_id ORDER BY doc_id
@@ -544,7 +544,7 @@ def _bpe_merges_sql() -> str:
     for r in range(_BPE_ROUNDS):
         parts.append(
             f"""p{r} AS (
-  SELECT arr[i] AS left_sym, arr[i + 1] AS right_sym, SUM(wf) AS pair_count
+  SELECT arr[i] AS left_sym, arr[i + 1] AS right_sym, CAST(SUM(wf) AS BIGINT) AS pair_count
   FROM (
     SELECT wf, arr, unnest(generate_series(1, len(arr) - 1)) AS i
     FROM (SELECT wf, list_filter(string_split(seq, '  '), x -> x <> '') AS arr FROM s{r})
@@ -959,11 +959,11 @@ WITH sized AS (
   SELECT source, doc_id, octet_length(encode(text)) AS n_bytes FROM documents
 ), assigned AS (
   SELECT source, doc_id, n_bytes,
-    coalesce(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_SHARD_BYTES} AS shard_id
+    CAST(coalesce(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_SHARD_BYTES} AS BIGINT) AS shard_id
   FROM sized
 )
-SELECT source, shard_id, COUNT(*) AS n_docs, SUM(n_bytes) AS shard_bytes,
+SELECT source, shard_id, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM assigned GROUP BY source, shard_id ORDER BY source, shard_id
 """
@@ -1162,7 +1162,7 @@ def _t_countmin_sql() -> str:
 WITH {TOKENS_CTE}, vocab AS (
   SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
 ), sketch AS (
-  SELECT row, bucket, SUM(cf) AS cell FROM ({cell_rows}) GROUP BY row, bucket
+  SELECT row, bucket, CAST(SUM(cf) AS BIGINT) AS cell FROM ({cell_rows}) GROUP BY row, bucket
 ), probes AS (
   SELECT tok, cf FROM vocab ORDER BY cf DESC, tok LIMIT 20
 ), joined AS (

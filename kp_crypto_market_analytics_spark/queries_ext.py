@@ -4118,9 +4118,9 @@ WITH dim AS (
   FROM big
 )
 SELECT COUNT(*) AS n_big,
-  SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
-  SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_true_match,
-  SUM(CASE WHEN bloom_pass AND NOT hit THEN 1 ELSE 0 END) AS n_false_pos,
+  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+  CAST(SUM(CASE WHEN bloom_pass AND NOT hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
   round(SUM(CASE WHEN bloom_pass AND NOT hit THEN 1 ELSE 0 END)
     / SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END), 6) AS fp_rate
 FROM flags

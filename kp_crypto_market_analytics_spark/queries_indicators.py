@@ -327,7 +327,7 @@ def ti_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TI_OBV_SQL = f"""
-SELECT event_id, event_type, value, SUM(step) OVER w AS obv
+SELECT event_id, event_type, value, CAST(SUM(step) OVER w AS BIGINT) AS obv
 FROM (
   SELECT event_id, event_type, ts, value,
     CAST(CASE WHEN d > 0 THEN vol WHEN d < 0 THEN -vol ELSE 0 END AS BIGINT) AS step
