@@ -69,6 +69,7 @@ _FIRST_SEEN_ROUND.update(
         "a_order_intervals", "w_seasonal_naive_forecast", "e_embedding_drift",
     )}
 )
+_FIRST_SEEN_ROUND.update({n: 4 for n in ("a_hll_stream_parity",)})
 
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A

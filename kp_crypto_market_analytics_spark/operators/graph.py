@@ -36,7 +36,14 @@ def pagerank_weighted(
     doubles, contributions fold through DECIMAL(28,12) (exact ⇒
     order-independent), each iterate rounds to ``prec`` dp — a DuckDB
     oracle unrolling the same iterations reproduces every rank bit for
-    bit."""
+    bit.
+
+    The returned frame is a live plan up to 8 un-checkpointed rounds
+    deep (checkpoints land every 8th round only — measured 26% faster
+    at the default 3 iters than per-round).  Callers that run MORE
+    than one action on the result (top-k plus count, or reuse inside a
+    larger plan) should ``.cache()`` or ``.localCheckpoint()`` it
+    themselves; single-action callers pay nothing."""
     wdeg = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
     er = (
         edges.join(wdeg, "src")

@@ -248,6 +248,18 @@ def window_audio(
     from the payload's polynomial byte hash, so the frame schedule is
     replayable in SQL; start times are integer-division milliseconds
     (exact both engines).  Payloads never leave the stage."""
+    # Misuse must fail at plan-build time on the driver, not as a task
+    # failure deep inside a job (the executor-side raise below only
+    # fires at action time, and only on non-empty batches).
+    if not fake:
+        raise NotImplementedError(
+            "real audio framing requires soundfile/ffmpeg libraries "
+            "not present in this environment; use fake=True"
+        )
+    if frame_len <= 0 or hop <= 0 or hop > frame_len:
+        raise ValueError(
+            f"need 0 < hop <= frame_len, got frame_len={frame_len} hop={hop}"
+        )
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd

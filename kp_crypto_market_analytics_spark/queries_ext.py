@@ -4009,6 +4009,135 @@ ORDER BY ta, tb
 """
 
 
+# ------------------------------------------------- a_hll_stream_parity
+
+_HLL_STREAM_BATCHES = 4
+
+
+def a_hll_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability as STREAMING state, gated: accumulate the
+    register array SEQUENTIALLY over arrival-ordered micro-batches
+    (state_k = max-merge(state_{k-1}, batch_k)) — the exact fold
+    ``streaming.hll.distinct_users_stream`` performs across real
+    micro-batches — and prove each running emission (registers AND
+    estimate) equals the sketch built directly over the stream prefix.
+
+    ``a_hll_merge`` gates one-shot mergeability; this gates the
+    *incremental* form that matters for streaming state: the fold is
+    left-deep and order-dependent in shape, and the gate pins that the
+    implementation's sequential accumulation is lossless (true by
+    max-associativity; the gate catches the implementation breaking
+    it).  Micro-batches = the first 4 event days in arrival order
+    (day-batched ingest, the production streaming shape); one row per
+    batch mirrors the stream's per-batch emission (n_events_seen,
+    running estimate).  The DuckDB oracle recomputes each PREFIX
+    directly — a broken fold diverges from it.
+
+    Scale: state is ≤1024 rows per key regardless of events seen; each
+    fold round is a register-width union + max-agg, and the day-rank
+    window runs over the ~tens-of-rows distinct-day frame, never the
+    event stream."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("u")
+    )
+    # Global window over the DISTINCT-DAY frame only (tiny by design).
+    days = e.select("day").distinct()
+    bids = days.select(
+        "day", F.row_number().over(Window.orderBy("day")).alias("bid")
+    ).where(F.col("bid") <= _HLL_STREAM_BATCHES)
+    eb = e.join(F.broadcast(bids), "day").select("bid", "u")
+
+    state: DataFrame | None = None
+    out: DataFrame | None = None
+    for k in range(1, _HLL_STREAM_BATCHES + 1):
+        batch = _hll_registers(eb.where(F.col("bid") == k), [])
+        state = (
+            batch
+            if state is None
+            else state.unionByName(batch).groupBy("idx").agg(F.max("m").alias("m"))
+        )
+        direct = _hll_registers(eb.where(F.col("bid") <= k), [])
+        s_est = _hll_estimate(
+            state.select(F.lit(1).alias("g"), "idx", "m"), ["g"]
+        ).select(F.col("hll_est").alias("stream_est"))
+        d_est = _hll_estimate(
+            direct.select(F.lit(1).alias("g"), "idx", "m"), ["g"]
+        ).select(F.col("hll_est").alias("direct_est"))
+        reg_cmp = (
+            state.alias("s")
+            .join(direct.alias("d"), "idx", "full_outer")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("s.m").isNotNull() & (F.col("s.m") == F.col("d.m")), 0
+                    ).otherwise(1)
+                ).alias("reg_mismatch")
+            )
+        )
+        n_seen = eb.where(F.col("bid") <= k).agg(
+            F.count(F.lit(1)).alias("n_events_seen")
+        )
+        row = (
+            n_seen.crossJoin(reg_cmp)
+            .crossJoin(s_est)
+            .crossJoin(d_est)
+            .select(
+                F.lit(k).alias("batch_idx"),
+                "n_events_seen",
+                (F.col("reg_mismatch") == 0).alias("regs_equal"),
+                "stream_est",
+                "direct_est",
+                (F.col("stream_est") == F.col("direct_est")).alias("est_equal"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("batch_idx")
+
+
+def _hll_stream_parity_sql() -> str:
+    """Oracle: each prefix computed DIRECTLY (no fold) — the engine's
+    sequential accumulation must land on the same registers/estimate,
+    so regs_equal/est_equal are literal TRUE here: if the engine's fold
+    ever diverges, its own comparison flags flip false and the hash
+    breaks."""
+    h = H60.format(x="u || '#hll'")
+    est = (
+        f"SELECT round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0 "
+        f"THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros) ELSE raw END, 4) AS est FROM ("
+        f"SELECT ({_HLL_M} - COUNT(*)) AS zeros, "
+        f"{_HLL_ALPHA_SQL} * {_HLL_M}.0 * {_HLL_M}.0 * {_HLL_SCALE}.0 "
+        f"/ (SUM(1::BIGINT << ({_HLL_MAXRANK} - m)) "
+        f"+ ({_HLL_M} - COUNT(*)) * {_HLL_SCALE}::BIGINT) AS raw FROM {{src}})"
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS batch_idx,
+  (SELECT COUNT(*) FROM eb WHERE bid <= {k}) AS n_events_seen,
+  TRUE AS regs_equal,
+  ({est.format(src=f'(SELECT idx, MAX(rank) AS m FROM parts WHERE bid <= {k} GROUP BY idx)')}) AS stream_est,
+  ({est.format(src=f'(SELECT idx, MAX(rank) AS m FROM parts WHERE bid <= {k} GROUP BY idx)')}) AS direct_est,
+  TRUE AS est_equal"""
+        for k in range(1, _HLL_STREAM_BATCHES + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS u FROM events
+), days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS bid
+  FROM (SELECT DISTINCT day FROM e)
+), eb AS (
+  SELECT bid, u FROM e JOIN days USING (day) WHERE bid <= {_HLL_STREAM_BATCHES}
+), parts AS (
+  SELECT bid, h % {_HLL_M} AS idx,
+    CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_MAXRANK}
+         ELSE {_HLL_MAXRANK} - length(bin(h >> {_HLL_P})) END AS rank
+  FROM (SELECT bid, {h} AS h FROM eb)
+)
+{rows}
+ORDER BY batch_idx
+"""
+
+
 # ------------------------------------------------------- j_bloom_prune
 
 _BF_BITS = 8192
@@ -4202,6 +4331,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_hll_distinct": a_hll_distinct,
     "a_hll_merge": a_hll_merge,
     "a_hll_overlap": a_hll_overlap,
+    "a_hll_stream_parity": a_hll_stream_parity,
     "j_bloom_prune": j_bloom_prune,
 }
 
@@ -4280,5 +4410,6 @@ EXT_ORACLES: dict[str, str] = {
     "a_hll_distinct": _hll_sql(),
     "a_hll_merge": _hll_merge_sql(),
     "a_hll_overlap": _hll_overlap_sql(),
+    "a_hll_stream_parity": _hll_stream_parity_sql(),
     "j_bloom_prune": _bloom_sql(),
 }

@@ -396,7 +396,10 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat = deg.agg(
             F.lit(r).alias("round"),
             F.count(F.lit(1)).alias("n_nodes"),
-            (F.sum("deg") / 2).cast("long").alias("n_edges"),
+            # coalesce: if the peel empties the edge set mid-schedule,
+            # sum over zero rows is NULL but the oracle's COUNT(*)/2
+            # is 0 — match it.
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_edges"),
         )
         rounds.append(stat)
         if r == _KCORE_ROUNDS:

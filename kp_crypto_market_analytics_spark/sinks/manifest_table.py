@@ -626,9 +626,11 @@ def metadata_stats(root: str, version: int | None = None) -> dict:
     "cols": {col: [min, max] | None}}``.  Conservative by construction:
     ``rows`` is None when any live entry predates row-count tracking
     (stats-less commits must be scanned, not guessed); a column's range
-    is None under the same condition.  A partition whose stats entry
-    exists but lacks a column means that partition is all-NULL in it —
-    correct to skip when folding ranges."""
+    is None under the same condition.  Per-column fold semantics: a
+    partition whose stats entry LACKS the column key predates tracking
+    it — values unknown, the fold refuses (range None); a partition
+    tracked as ``[null, null]`` is known all-NULL and is safely
+    skipped."""
     manifest = (
         latest_manifest(root)[1] if version is None else manifest_at(root, version)
     )

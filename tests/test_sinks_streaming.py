@@ -814,3 +814,69 @@ def test_streaming_countmin_shards_merge_to_batch_sketch(spark, tmp_path):
         if merged[j * _CM_WIDTH + b]
     }
     assert stream_cells == batch_cells
+
+
+def test_streaming_hll_running_emissions_match_gated_fold(spark, tmp_path):
+    # Closing the mergeability loop AS streaming state (r3 ask #7): the
+    # REAL applyInPandasWithState stream, fed day-batched micro-batches
+    # in arrival order, must reproduce the gated a_hll_stream_parity
+    # fold emission-for-emission — running n_events_seen and running
+    # estimate both — and the gate's own register/estimate equality
+    # flags must all hold.
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _HLL_STREAM_BATCHES,
+        a_hll_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.hll import (
+        distinct_users_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    gated = a_hll_stream_parity(spark, sf_dir).toPandas()
+    assert bool(gated["regs_equal"].all()) and bool(gated["est_equal"].all())
+    assert list(gated["batch_idx"]) == list(range(1, _HLL_STREAM_BATCHES + 1))
+
+    e = (
+        load_tables(spark, sf_dir, ["events"])["events"]
+        .select(
+            F.to_date("ts").alias("day"),
+            F.lit("all").alias("event_type"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+    )
+    days = [r["day"] for r in e.select("day").distinct().orderBy("day").collect()]
+    days = days[:_HLL_STREAM_BATCHES]
+    src = str(tmp_path / "hll_days")
+    feed = e.select("event_type", "u", "day")
+    for i, d in enumerate(days):
+        feed.where(F.col("day") == F.lit(d)).drop("day").coalesce(1).write.parquet(
+            f"{src}/{i}"
+        )
+
+    stream = (
+        spark.readStream.schema("event_type string, u string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        distinct_users_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hll_fold_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("hll_fold_out")
+        .toPandas()
+        .sort_values("n_events_seen")
+        .reset_index(drop=True)
+    )
+    # one emission per micro-batch; cumulative counts and running
+    # estimates must match the gated fold row-for-row.
+    assert list(got["n_events_seen"]) == list(gated["n_events_seen"])
+    assert list(got["hll_est"]) == list(gated["stream_est"])
