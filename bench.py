@@ -91,13 +91,22 @@ def _extract_bench(data: dict) -> dict | None:
                 return cand
     # Truncated single line: keep only the part before the queries
     # dict closes (delta_vs_prev entries further right would otherwise
-    # shadow real timings), then regex the per-query pairs.
+    # shadow real timings), then regex the per-query pairs.  Salvage
+    # only applies when the fragment really contains the detail line's
+    # queries dict — a tail truncated down to just the compact summary
+    # line must not yield its scalar keys as fake per-query timings.
+    if '"queries": {' not in tail:
+        return None
     frag = tail.split('}, "sf":')[0]
     pairs = re.findall(r'"([A-Za-z0-9_]+)": (-?\d+(?:\.\d+)?)(?=[,}])', frag)
     queries = {
         k: float(v)
         for k, v in pairs
-        if k not in ("value", "sf", "prev_round", "prev_total", "n", "rc", "cpus")
+        if k
+        not in (
+            "value", "sf", "prev_round", "prev_total", "n", "rc", "cpus",
+            "n_queries", "n_excluded",
+        )
     }
     return {"queries": queries, "value": None} if queries else None
 
@@ -120,7 +129,10 @@ def _prev_bench(root: str, sf=None) -> tuple[int | str | None, dict]:
         except (OSError, json.JSONDecodeError):
             continue
         rec = _extract_bench(data)
-        if rec:
+        # A record that declares a DIFFERENT sf than requested is not a
+        # usable delta baseline (salvaged records without an "sf" key
+        # pass through — driver rounds all run the default sf0.1).
+        if rec and (sf is None or rec.get("sf") in (None, sf)):
             return n, rec
     hist = os.path.join(root, "BENCH_HISTORY.jsonl")
     if os.path.exists(hist):
@@ -182,6 +194,7 @@ def run_isolated(names: list[str], runs: int = 2) -> None:
 
     here = os.path.abspath(__file__)
     results: dict[str, dict] = {}
+    failed: dict[str, dict] = {}
     for name in names:
         secs = []
         for _ in range(runs):
@@ -201,6 +214,13 @@ def run_isolated(names: list[str], runs: int = 2) -> None:
                     except json.JSONDecodeError:
                         continue
             if rec is None:
+                # A crashed child must leave a record in the artifact,
+                # not just on stderr — an isolated sweep that silently
+                # drops queries reads as "all clean".
+                failed[name] = {
+                    "rc": proc.returncode,
+                    "stderr_tail": proc.stderr[-500:],
+                }
                 print(
                     f"# isolate {name}: child failed rc={proc.returncode}\n"
                     + proc.stderr[-2000:],
@@ -217,12 +237,23 @@ def run_isolated(names: list[str], runs: int = 2) -> None:
         "unit": "sec",
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "isolated": results,
+        "failed": failed,
     }
     print(json.dumps(out))
 
 
 def _slowest_from_history(root: str, n: int) -> list[str]:
-    _, rec = _prev_bench(root)
+    # Rank by a baseline recorded at the SAME scale factor as the run
+    # we're about to do — a sweep at another SF orders queries by the
+    # wrong costs (mirrors main()'s sf-filtered delta baseline).
+    sf = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    ).rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    _, rec = _prev_bench(root, sf=sf_val)
     q = rec.get("queries") or {}
     return [k for k, _ in sorted(q.items(), key=lambda kv: -kv[1])[:n]]
 

@@ -4068,10 +4068,19 @@ def a_hll_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.alias("s")
             .join(direct.alias("d"), "idx", "full_outer")
             .agg(
-                F.sum(
-                    F.when(
-                        F.col("s.m").isNotNull() & (F.col("s.m") == F.col("d.m")), 0
-                    ).otherwise(1)
+                # coalesce: SUM over a zero-row join is NULL, which
+                # would NULL the regs_equal flag on a degenerate empty
+                # prefix instead of reading TRUE (vacuously no
+                # mismatches) — same pattern as the g_kcore empty-peel.
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("s.m").isNotNull()
+                            & (F.col("s.m") == F.col("d.m")),
+                            0,
+                        ).otherwise(1)
+                    ),
+                    F.lit(0),
                 ).alias("reg_mismatch")
             )
         )

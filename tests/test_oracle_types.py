@@ -79,6 +79,17 @@ def test_pre_fix_r3_patterns_are_caught(con):
         assert "HUGEINT" in offending_types(types), name
 
 
+def test_uppercase_struct_alias_not_flagged(con):
+    """A quoted uppercase struct-field alias renders as ``N BIGINT`` in
+    the type string; the structural walk must not mistake the alias for
+    a pseudo-type (the r4 ADVICE false-positive)."""
+    types = list(con.sql('SELECT {\'N\': 1::BIGINT, \'FOO BAR\': 2::BIGINT} AS s').types)
+    assert offending_types(types) == []
+    # ...while a real nested offender still trips structurally.
+    types = list(con.sql("SELECT {'N': 1::HUGEINT} AS s").types)
+    assert offending_types(types) == ["HUGEINT"]
+
+
 def test_full_registry_sweep_clean():
     """Every oracle in the live registry binds cleanly and emits only
     hash-safe output types.  This is the standing gate: a new oracle

@@ -57,24 +57,43 @@ _APPROVED_BASE = {
 _TYPE_WORD = re.compile(r"[A-Z][A-Z_]*(?: [A-Z][A-Z_]*)*")
 
 
-def _base_ids(type_str: str) -> set[str]:
-    """All base type identifiers appearing in a DuckDB type string,
-    e.g. ``'STRUCT(a HUGEINT, b VARCHAR[])'`` -> {STRUCT, HUGEINT,
-    VARCHAR, LIST}."""
-    s = str(type_str)
-    out = set()
-    if "[]" in s:
-        out.add("LIST")
-    for m in _TYPE_WORD.finditer(s):
-        out.add(m.group())
+def _base_ids(t) -> set[str]:
+    """All base type identifiers in a DuckDB type, walked STRUCTURALLY
+    (``DuckDBPyType.id`` + ``.children``), e.g. ``STRUCT(a HUGEINT,
+    b VARCHAR[])`` -> {STRUCT, HUGEINT, VARCHAR, LIST}.
+
+    Structural, not string-rendered: a quoted uppercase struct-field
+    alias (``STRUCT("N" BIGINT)`` renders as ``N BIGINT``) must not be
+    flagged as a pseudo-type.  Falls back to the regex scan only for
+    plain strings (callers passing pre-rendered type names, e.g. in
+    tests)."""
+    if isinstance(t, str):
+        out = set()
+        if "[]" in t:
+            out.add("LIST")
+        for m in _TYPE_WORD.finditer(t):
+            out.add(m.group())
+        return out
+    out = {str(t.id).upper()}
+    # Recurse into nested element types only: struct/list/map children
+    # are (name, DuckDBPyType) pairs; decimal's are (precision, scale)
+    # ints and must not be walked.
+    if str(t.id) in ("struct", "list", "map", "union", "array"):
+        try:
+            children = t.children
+        except Exception:
+            children = []
+        for _, child in children:
+            if isinstance(child, duckdb.typing.DuckDBPyType):
+                out |= _base_ids(child)
     return out
 
 
-def offending_types(type_strs: list[str]) -> list[str]:
+def offending_types(types: list) -> list[str]:
     """Return the disapproved base ids found in a list of DuckDB
-    column type strings (empty list == clean)."""
+    column types (objects or rendered strings; empty list == clean)."""
     bad = []
-    for t in type_strs:
+    for t in types:
         for base in _base_ids(t):
             if base not in _APPROVED_BASE and base not in bad:
                 bad.append(base)
@@ -111,7 +130,9 @@ def sweep(
     try:
         for name, sql in oracles.items():
             try:
-                types = [t for _, t in oracle_output_types(sql, con)]
+                # Bind only — type OBJECTS, so nested types are walked
+                # structurally (not regexed from the rendered string).
+                types = list(con.sql(sql).types)
             except Exception as e:
                 bad[name] = [f"BIND_ERROR: {e}"]
                 continue
