@@ -70,6 +70,9 @@ _FIRST_SEEN_ROUND.update(
     )}
 )
 _FIRST_SEEN_ROUND.update({n: 4 for n in ("a_hll_stream_parity",)})
+_FIRST_SEEN_ROUND.update(
+    {n: 5 for n in ("a_ddsketch_stream_parity", "t_countmin_stream_parity")}
+)
 
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A

@@ -1174,6 +1174,179 @@ FROM joined GROUP BY tok ORDER BY exact_cf DESC, tok
 """
 
 
+# --------------------------------------------- t_countmin_stream_parity
+
+_CM_STREAM_BATCHES = 4
+
+
+def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min LINEARITY as streaming state, gated: accumulate the
+    4×1024 counter grid SEQUENTIALLY over document micro-batches
+    (state_k = cell-sum(state_{k-1}, batch_k)) — the exact fold
+    ``streaming.countmin.countmin_stream`` performs across real
+    micro-batches — and prove each running emission (full grid AND the
+    top-token estimate) equals the sketch built directly over the
+    stream prefix.
+
+    Completes the streaming-sketch parity trio: HLL folds by max
+    (``a_hll_stream_parity``), DDSketch by bucket count-sum
+    (``a_ddsketch_stream_parity``), count-min by cell sum — linearity
+    makes the fold order-insensitive, so the deterministic hash
+    batching (batch id = doc_id mod 4, a stand-in for arrival batches)
+    gates exactly the property the production stream relies on.  The
+    DuckDB oracle recomputes each PREFIX sketch directly — a broken
+    fold diverges from it.
+
+    Scale: state is the constant 4096-cell grid regardless of tokens
+    seen; each fold round is a grid-shaped union + sum-agg, and the
+    probe joins 4 broadcast cells."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    toks = _toks_df(spark, sf_dir).select(
+        (F.pmod(F.col("doc_id"), F.lit(_CM_STREAM_BATCHES)) + 1).alias("bid"),
+        F.explode("toks").alias("tok"),
+    )
+
+    def bucket(j: int):
+        return F.pmod(
+            hash64(F.concat(F.col("tok"), F.lit(f"#cm{j}"))), F.lit(_CM_WIDTH)
+        )
+
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("row"), bucket(j).alias("bucket"))
+                for j in range(_CM_ROWS)
+            ]
+        )
+    ).alias("rb")
+
+    def sketch_of(df: DataFrame) -> DataFrame:
+        # vocab-first (one count agg absorbs the explode), then the
+        # 4-cell fan-out over the much smaller vocab — same single-scan
+        # shape as t_countmin_hh.
+        vocab = df.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+        cells = vocab.select(rb, "cf").select("rb.row", "rb.bucket", "cf")
+        return cells.groupBy("row", "bucket").agg(F.sum("cf").alias("cell"))
+
+    # Probe = the corpus-wide top token (deterministic tie-break); its
+    # 4 cells are looked up in every running grid.
+    full_vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    probe = top_k(full_vocab, [F.col("cf").desc(), F.col("tok").asc()], 1)
+    probe_cells = probe.select(F.col("tok").alias("top_tok"), rb).select(
+        "top_tok", "rb.row", "rb.bucket"
+    )
+
+    def probe_est(grid: DataFrame, alias: str) -> DataFrame:
+        return (
+            probe_cells.join(F.broadcast(grid), ["row", "bucket"], "left")
+            .groupBy("top_tok")
+            .agg(F.min(F.coalesce("cell", F.lit(0))).alias(alias))
+        )
+
+    state: DataFrame | None = None
+    out: DataFrame | None = None
+    for k in range(1, _CM_STREAM_BATCHES + 1):
+        batch = sketch_of(toks.where(F.col("bid") == k))
+        state = (
+            batch
+            if state is None
+            else state.unionByName(batch)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cell").alias("cell"))
+        )
+        direct = sketch_of(toks.where(F.col("bid") <= k))
+        cmp_full = (
+            state.alias("s")
+            .join(direct.alias("d"), ["row", "bucket"], "full_outer")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("s.cell").isNotNull()
+                            & (F.col("s.cell") == F.col("d.cell")),
+                            0,
+                        ).otherwise(1)
+                    ),
+                    F.lit(0),
+                ).alias("mismatched")
+            )
+        )
+        s_est = probe_est(state, "stream_est")
+        d_est = probe_est(direct, "direct_est").drop("top_tok")
+        n_seen = toks.where(F.col("bid") <= k).agg(
+            F.count(F.lit(1)).alias("n_toks_seen")
+        )
+        row = (
+            n_seen.crossJoin(cmp_full)
+            .crossJoin(s_est)
+            .crossJoin(d_est)
+            .select(
+                F.lit(k).alias("batch_idx"),
+                "n_toks_seen",
+                (F.col("mismatched") == 0).alias("cells_equal"),
+                "top_tok",
+                "stream_est",
+                "direct_est",
+                (F.col("stream_est") == F.col("direct_est")).alias("est_equal"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("batch_idx")
+
+
+def _t_countmin_stream_parity_sql() -> str:
+    """Oracle: each prefix sketch computed DIRECTLY (no fold) — by
+    count-min linearity the engine's sequential cell-sum accumulation
+    must land on the same grid and estimate, so cells_equal/est_equal
+    are literal TRUE here: a broken fold flips the engine's own flags
+    and the hash breaks."""
+    from kp_crypto_market_analytics_spark.queries_ext import H60
+
+    def bucket(j: int, col: str = "tok") -> str:
+        salted = f"{col} || '#cm{j}'"
+        return f"({H60.format(x=salted)} % {_CM_WIDTH})"
+
+    def est_over(k: int) -> str:
+        cell_rows = " UNION ALL ".join(
+            f"SELECT {j} AS row, {bucket(j)} AS bucket FROM tb WHERE bid <= {k}"
+            for j in range(_CM_ROWS)
+        )
+        return f"""SELECT MIN(coalesce(s.cell, 0)) FROM pc
+    LEFT JOIN (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+               FROM ({cell_rows}) GROUP BY row, bucket) s
+    USING (row, bucket)"""
+
+    probe_cells = " UNION ALL ".join(
+        f"SELECT top_tok, {j} AS row, {bucket(j, 'top_tok')} AS bucket FROM probe"
+        for j in range(_CM_ROWS)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS batch_idx,
+  (SELECT COUNT(*) FROM tb WHERE bid <= {k}) AS n_toks_seen,
+  TRUE AS cells_equal,
+  (SELECT top_tok FROM probe) AS top_tok,
+  ({est_over(k)}) AS stream_est,
+  ({est_over(k)}) AS direct_est,
+  TRUE AS est_equal"""
+        for k in range(1, _CM_STREAM_BATCHES + 1)
+    )
+    return f"""
+WITH {TOKENS_CTE}, tb AS (
+  SELECT doc_id % {_CM_STREAM_BATCHES} + 1 AS bid, tok FROM toks
+), probe AS (
+  SELECT tok AS top_tok FROM (
+    SELECT tok, COUNT(*) AS cf FROM tb GROUP BY tok
+  ) ORDER BY cf DESC, tok LIMIT 1
+), pc AS (
+  {probe_cells}
+)
+{rows}
+ORDER BY batch_idx
+"""
+
+
 # ---------------------------------------------------- t_quality_deciles
 
 
@@ -1348,6 +1521,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bpe_merges": t_bpe_merges,
     "t_oov_rate": t_oov_rate,
     "t_countmin_hh": t_countmin_hh,
+    "t_countmin_stream_parity": t_countmin_stream_parity,
     "e_pca_power": e_pca_power,
     "mm_shard_manifest": mm_shard_manifest,
     "dedup_lsh_recall": dedup_lsh_recall,
@@ -1363,6 +1537,7 @@ CORPUS_ORACLES: dict[str, str] = {
     "t_bigram_logprob": _bigram_logprob_sql(),
     "t_vocab_table": T_VOCAB_TABLE_SQL,
     "t_countmin_hh": _t_countmin_sql(),
+    "t_countmin_stream_parity": _t_countmin_stream_parity_sql(),
     "e_pca_power": _e_pca_sql(),
     "mm_shard_manifest": MM_SHARD_SQL,
     "dedup_lsh_recall": _dedup_lsh_recall_sql(),

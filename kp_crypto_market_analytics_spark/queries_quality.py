@@ -567,6 +567,149 @@ FROM cmp CROSS JOIN m_est CROSS JOIN d_est
 """
 
 
+# ---------------------------------------------- a_ddsketch_stream_parity
+
+_DDS_STREAM_BATCHES = 4
+
+
+def a_ddsketch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch mergeability as STREAMING state, gated: accumulate the
+    bucket histogram SEQUENTIALLY over arrival-ordered micro-batches
+    (state_k = count-sum-merge(state_{k-1}, batch_k)) — the exact fold
+    ``streaming.ddsketch.quantiles_stream`` performs across real
+    micro-batches — and prove each running emission (buckets AND
+    median) equals the histogram built directly over the stream prefix.
+
+    ``a_ddsketch_merge`` gates one-shot mergeability; this gates the
+    *incremental* left-deep form that matters for streaming state —
+    the quantile analogue of ``a_hll_stream_parity`` (max-merge fold)
+    and the same template.  Micro-batches = the first 4 order days in
+    arrival order (day-batched ingest, the production streaming
+    shape); one row per batch mirrors the stream's per-batch emission
+    (n_rows_seen, running median).  The DuckDB oracle recomputes each
+    PREFIX directly — a broken fold diverges from it.
+
+    Scale: state is the ≤ ~900-row bucket histogram per key no matter
+    how many rows the stream has seen; each fold round is a
+    bucket-width union + count-sum, and the day-rank window runs over
+    the distinct-day frame (tiny by design), never the order stream."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    v = t["orders"].select(
+        F.col("o_orderdate").alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    # Global window over the DISTINCT-DAY frame only (tiny by design).
+    days = v.select("day").distinct()
+    bids = days.select(
+        "day", F.row_number().over(Window.orderBy("day")).alias("bid")
+    ).where(F.col("bid") <= _DDS_STREAM_BATCHES)
+    vb = v.join(F.broadcast(bids), "day").select("bid", "v")
+
+    state: DataFrame | None = None
+    out: DataFrame | None = None
+    for k in range(1, _DDS_STREAM_BATCHES + 1):
+        batch = _dds_buckets(vb.where(F.col("bid") == k).select("v"), [])
+        state = (
+            batch
+            if state is None
+            else state.unionByName(batch).groupBy("key").agg(F.sum("n").alias("n"))
+        )
+        direct = _dds_buckets(vb.where(F.col("bid") <= k).select("v"), [])
+        s50 = (
+            _dds_estimates(state)
+            .filter(F.col("q_level") == 0.5)
+            .select(F.col("sketch_est").alias("stream_q50"))
+        )
+        d50 = (
+            _dds_estimates(direct)
+            .filter(F.col("q_level") == 0.5)
+            .select(F.col("sketch_est").alias("direct_q50"))
+        )
+        cmp_full = (
+            state.alias("s")
+            .join(direct.alias("d"), "key", "full_outer")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("s.n").isNotNull()
+                            & (F.col("s.n") == F.col("d.n")),
+                            0,
+                        ).otherwise(1)
+                    ),
+                    F.lit(0),
+                ).alias("mismatched")
+            )
+        )
+        n_seen = vb.where(F.col("bid") <= k).agg(
+            F.count(F.lit(1)).alias("n_rows_seen")
+        )
+        row = (
+            n_seen.crossJoin(cmp_full)
+            .crossJoin(s50)
+            .crossJoin(d50)
+            .select(
+                F.lit(k).alias("batch_idx"),
+                "n_rows_seen",
+                (F.col("mismatched") == 0).alias("buckets_equal"),
+                "stream_q50",
+                "direct_q50",
+                (F.col("stream_q50") == F.col("direct_q50")).alias("q50_equal"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("batch_idx")
+
+
+def _dds_stream_parity_sql() -> str:
+    """Oracle: each prefix histogram computed DIRECTLY (no fold) — the
+    engine's sequential accumulation must land on the same buckets and
+    median, so buckets_equal/q50_equal are literal TRUE here: if the
+    engine's fold ever diverges, its own comparison flags flip false
+    and the hash breaks."""
+
+    def est_over(src: str) -> str:
+        return f"""SELECT MIN(est) FROM (
+    SELECT {_DDS_EST_SQL} AS est,
+      SUM(n) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS cum,
+      CAST(ceil(0.5 * CAST((SELECT SUM(n) FROM {src}) AS DOUBLE)) AS BIGINT) AS target
+    FROM {src}) WHERE cum >= target"""
+
+    prefix_ctes = ",\n".join(
+        f"""b{k} AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM keyed WHERE bid <= {k} GROUP BY key
+)"""
+        for k in range(1, _DDS_STREAM_BATCHES + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS batch_idx,
+  (SELECT COUNT(*) FROM vb WHERE bid <= {k}) AS n_rows_seen,
+  TRUE AS buckets_equal,
+  ({est_over(f'b{k}')}) AS stream_q50,
+  ({est_over(f'b{k}')}) AS direct_q50,
+  TRUE AS q50_equal"""
+        for k in range(1, _DDS_STREAM_BATCHES + 1)
+    )
+    return f"""
+WITH vals AS (
+  SELECT o_orderdate AS day, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS bid
+  FROM (SELECT DISTINCT day FROM vals)
+), vb AS (
+  SELECT bid, v FROM vals JOIN days USING (day)
+  WHERE bid <= {_DDS_STREAM_BATCHES}
+), keyed AS (
+  SELECT bid, {_DDS_KEY_SQL} AS key
+  FROM (SELECT bid, v, length(bin(v)) - 1 AS e FROM vb)
+),
+{prefix_ctes}
+{rows}
+ORDER BY batch_idx
+"""
+
+
 # ------------------------------------------------------ a_grouping_sets
 
 def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2205,6 +2348,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
     "a_ddsketch_merge": a_ddsketch_merge,
+    "a_ddsketch_stream_parity": a_ddsketch_stream_parity,
     "a_grouping_sets": a_grouping_sets,
     "g_triangle_count": g_triangle_count,
     "g_assoc_rules": g_assoc_rules,
@@ -2227,6 +2371,7 @@ QUALITY_ORACLES: dict[str, str] = {
     "dq_constraints": _dq_constraints_sql(),
     "a_ddsketch_quantiles": _dds_quantiles_sql(),
     "a_ddsketch_merge": _dds_merge_sql(),
+    "a_ddsketch_stream_parity": _dds_stream_parity_sql(),
     "a_grouping_sets": _grouping_sets_sql(),
     "g_triangle_count": _triangle_count_sql(),
     "g_assoc_rules": _assoc_rules_sql(),

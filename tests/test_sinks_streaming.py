@@ -880,3 +880,123 @@ def test_streaming_hll_running_emissions_match_gated_fold(spark, tmp_path):
     # estimates must match the gated fold row-for-row.
     assert list(got["n_events_seen"]) == list(gated["n_events_seen"])
     assert list(got["hll_est"]) == list(gated["stream_est"])
+
+
+def test_streaming_ddsketch_running_emissions_match_gated_fold(spark, tmp_path):
+    # The REAL applyInPandasWithState quantile stream, fed day-batched
+    # order micro-batches in arrival order, must reproduce the gated
+    # a_ddsketch_stream_parity fold emission-for-emission — running
+    # n_seen and running median both — and the gate's own bucket/median
+    # equality flags must all hold.
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        _DDS_STREAM_BATCHES,
+        a_ddsketch_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.ddsketch import (
+        quantiles_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    gated = a_ddsketch_stream_parity(spark, sf_dir).toPandas()
+    assert bool(gated["buckets_equal"].all()) and bool(gated["q50_equal"].all())
+    assert list(gated["batch_idx"]) == list(range(1, _DDS_STREAM_BATCHES + 1))
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        F.col("o_orderdate").alias("day"),
+        F.lit("all").alias("g"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+    )
+    days = [r["day"] for r in o.select("day").distinct().orderBy("day").collect()]
+    days = days[:_DDS_STREAM_BATCHES]
+    src = str(tmp_path / "dds_days")
+    for i, d in enumerate(days):
+        o.where(F.col("day") == F.lit(d)).select("g", "v").coalesce(1).write.parquet(
+            f"{src}/{i}"
+        )
+
+    stream = (
+        spark.readStream.schema("g string, v bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        quantiles_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dds_fold_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("dds_fold_out")
+        .toPandas()
+        .sort_values("n_seen")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_seen"]) == list(gated["n_rows_seen"])
+    assert list(got["p50_est"]) == list(gated["stream_q50"])
+
+
+def test_streaming_countmin_running_emissions_match_gated_fold(spark, tmp_path):
+    # The REAL applyInPandasWithState count-min stream, fed the gated
+    # query's doc-batches in order on a single shard, must reproduce the
+    # gated t_countmin_stream_parity fold emission-for-emission —
+    # running token count and running top-token estimate — and the
+    # gate's own grid/estimate equality flags must all hold.
+    from kp_crypto_market_analytics_spark.queries_corpus import (
+        _CM_STREAM_BATCHES,
+        _CM_WIDTH,
+        _toks_df,
+        t_countmin_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.streaming.countmin import (
+        cm_cells,
+        countmin_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    gated = t_countmin_stream_parity(spark, sf_dir).toPandas()
+    assert bool(gated["cells_equal"].all()) and bool(gated["est_equal"].all())
+    assert list(gated["batch_idx"]) == list(range(1, _CM_STREAM_BATCHES + 1))
+    top_tok = gated["top_tok"].iloc[0]
+
+    toks = _toks_df(spark, sf_dir).select(
+        (F.pmod(F.col("doc_id"), F.lit(_CM_STREAM_BATCHES)) + 1).alias("bid"),
+        F.lit(0).cast("long").alias("shard"),
+        F.explode("toks").alias("tok"),
+    )
+    src = str(tmp_path / "cm_batches")
+    for k in range(1, _CM_STREAM_BATCHES + 1):
+        toks.where(F.col("bid") == k).select("shard", "tok").coalesce(
+            1
+        ).write.parquet(f"{src}/{k}")
+
+    stream = (
+        spark.readStream.schema("shard bigint, tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        countmin_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cm_fold_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("cm_fold_out")
+        .toPandas()
+        .sort_values("n_seen")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_seen"]) == list(gated["n_toks_seen"])
+    cells = cm_cells(str(top_tok))
+    running_est = [
+        min(counters[j * _CM_WIDTH + b] for j, b in cells)
+        for counters in got["counters"]
+    ]
+    assert running_est == list(gated["stream_est"])
