@@ -101,10 +101,12 @@ def cmd_analytics(args) -> None:
     for name, df in arts.items():
         write_csv_artifact(df, os.path.join(args.out, name))
         print(f"wrote {args.out}/{name}")
-    if getattr(args, "figures", False):
+    if getattr(args, "figures", True):
         from kp_crypto_market_analytics_spark.sinks.figures import write_figures
 
-        for p in write_figures(arts, os.path.join(args.out, "figures")):
+        for p in write_figures(
+            arts, os.path.join(args.out, "figures"), features=feats
+        ):
             print(f"wrote {p}")
     feats.unpersist()
 
@@ -305,8 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
     a = sub.add_parser("analytics", help="run the analytics fan-out to artifacts")
     a.add_argument("--table", default="warehouse/candles")
     a.add_argument("--out", default="artifacts")
-    a.add_argument("--figures", action="store_true",
-                   help="also render the dashboard PNG figure set (S19)")
+    a.add_argument("--figures", action=argparse.BooleanOptionalAction, default=True,
+                   help="render the dashboard PNG figure set (S19; on by "
+                        "default like the reference main(), --no-figures skips)")
     a.set_defaults(fn=cmd_analytics)
 
     ls = sub.add_parser("list", help="list registry query names")

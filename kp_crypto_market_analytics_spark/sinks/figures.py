@@ -204,18 +204,174 @@ def heatmap(
     return _finish(img, path)
 
 
+def hist_chart(
+    df: DataFrame,
+    value: str,
+    bins: int = 200,
+    path: str | None = None,
+    width: int = 640,
+    height: int = 360,
+) -> np.ndarray:
+    """Histogram panel (returns distribution,
+    binance_analysis.py:275-284).  Binning is SPARK-SIDE: one min/max
+    aggregate fixes the bin grid, one groupBy counts per bin — only the
+    ≤ ``bins`` bucket counts are collected, so the input frame may be
+    any size (unlike the collect-then-render charts)."""
+    from pyspark.sql import functions as F
+
+    img = _canvas(width, height)
+    stats = df.agg(F.min(value).alias("lo"), F.max(value).alias("hi")).collect()[0]
+    if stats["lo"] is None:
+        return _finish(img, path)
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    step = ((hi - lo) or 1.0) / bins
+    counts = {
+        r["b"]: r["n"]
+        for r in df.where(F.col(value).isNotNull())
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col(value) - F.lit(lo)) / F.lit(step)).cast("int"),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    vals = np.array([float(counts.get(b, 0)) for b in range(bins)])
+    if vals.max() == 0:
+        return _finish(img, path)
+    x0, _, pw, ph = _plot_area(width, height)
+    heights = _scale(vals, 0.0, float(vals.max()), ph)
+    xs = x0 + _scale(np.arange(bins, dtype=np.float64), 0, max(bins - 1, 1), pw)
+    bar_w = max(1, pw // bins)
+    for i in range(bins):
+        if vals[i] > 0:
+            img[ph - 1 - heights[i] : ph, xs[i] : xs[i] + bar_w] = PALETTE[0]
+    return _finish(img, path)
+
+
+def _xnum(v) -> float:
+    """Numeric x position of an orderable value (timestamps → epoch)."""
+    if hasattr(v, "timestamp") and not isinstance(v, str):
+        return v.timestamp()
+    return float(v)
+
+
+def scatter_chart(
+    df: DataFrame,
+    x: str,
+    y: str,
+    path: str | None = None,
+    base: DataFrame | None = None,
+    width: int = 640,
+    height: int = 360,
+    max_points: int = 10_000,
+    dot: int = 2,
+) -> np.ndarray:
+    """Scatter panel (vol-vs-volume, binance_analysis.py:712-721;
+    anomaly dots :701-710).  Points are positioned by VALUE on both
+    axes (timestamps by epoch).  ``base`` is an optional second frame
+    drawn first as a polyline in the same coordinate space — the
+    |log-ret| series under the anomaly dots."""
+    rows = df.select(x, y).limit(max_points + 1).collect()
+    if len(rows) > max_points:
+        raise ValueError(f"scatter_chart got >{max_points} rows — aggregate first")
+    pts = [
+        (_xnum(r[x]), float(r[y]))
+        for r in rows
+        if r[x] is not None and r[y] is not None
+    ]
+    bpts: list[tuple[float, float]] = []
+    if base is not None:
+        brows = base.select(x, y).limit(100_000 + 1).collect()
+        if len(brows) > 100_000:
+            raise ValueError("scatter_chart base got >100000 rows — aggregate first")
+        bpts = sorted(
+            (_xnum(r[x]), float(r[y]))
+            for r in brows
+            if r[x] is not None and r[y] is not None
+        )
+    img = _canvas(width, height)
+    allp = pts + bpts
+    if not allp:
+        return _finish(img, path)
+    xlo, xhi = min(p[0] for p in allp), max(p[0] for p in allp)
+    ylo, yhi = min(p[1] for p in allp), max(p[1] for p in allp)
+    x0, _, pw, ph = _plot_area(width, height)
+    if bpts:
+        bxs = x0 + _scale(np.array([p[0] for p in bpts]), xlo, xhi, pw)
+        bys = (ph - 1) - _scale(np.array([p[1] for p in bpts]), ylo, yhi, ph)
+        _draw_polyline(img, bxs, bys, PALETTE[0])
+    if pts:
+        xs = x0 + _scale(np.array([p[0] for p in pts]), xlo, xhi, pw)
+        ys = (ph - 1) - _scale(np.array([p[1] for p in pts]), ylo, yhi, ph)
+        color = PALETTE[3] if bpts else PALETTE[0]
+        for px, py in zip(xs, ys):
+            img[
+                max(0, py - dot + 1) : py + dot,
+                max(x0, px - dot + 1) : px + dot,
+            ] = color
+    return _finish(img, path)
+
+
+def line_chart_dual(
+    df: DataFrame,
+    x: str,
+    y1: str,
+    y2: str,
+    path: str | None = None,
+    width: int = 640,
+    height: int = 360,
+    max_points: int = 100_000,
+) -> np.ndarray:
+    """Dual-axis panel (price + rolling volatility,
+    binance_analysis.py:251-268): each series is min-max normalized to
+    its OWN vertical scale — the ``twinx`` visual — and drawn as a
+    rank-positioned polyline over the shared x order."""
+    rows = df.select(x, y1, y2).limit(max_points + 1).collect()
+    if len(rows) > max_points:
+        raise ValueError(f"line_chart_dual got >{max_points} rows — aggregate first")
+    rows = sorted((r for r in rows if r[x] is not None), key=lambda r: r[x])
+    img = _canvas(width, height)
+    x0, _, pw, ph = _plot_area(width, height)
+    for ci, col in enumerate((y1, y2)):
+        pts = [(i, float(r[col])) for i, r in enumerate(rows) if r[col] is not None]
+        if len(pts) < 2:
+            continue
+        idxs = np.array([i for i, _ in pts], dtype=np.float64)
+        vals = np.array([v for _, v in pts])
+        xs = x0 + _scale(idxs, 0, max(len(rows) - 1, 1), pw)
+        ys = (ph - 1) - _scale(vals, float(vals.min()), float(vals.max()), ph)
+        _draw_polyline(img, xs, ys, PALETTE[ci])
+    return _finish(img, path)
+
+
 def _finish(img: np.ndarray, path: str | None) -> np.ndarray:
     if path:
         write_png(path, img)
     return img
 
 
-def write_figures(artifacts: dict[str, DataFrame], out_dir: str) -> list[str]:
+def write_figures(
+    artifacts: dict[str, DataFrame],
+    out_dir: str,
+    features: DataFrame | None = None,
+) -> list[str]:
     """Dashboard fan-out: render the standard figure set from the
     analytics artifact frames (the same dict ``analytics_fanout``
     returns), mirroring the reference dashboard's panels.  Unknown or
     missing keys are skipped — figures are additive to the CSV
-    artifacts, never a gate."""
+    artifacts, never a gate.
+
+    ``features``: the raw per-minute feature frame (``add_features``
+    output).  When provided, the four raw-frame panels the reference
+    plots from its feature DataFrame directly render too
+    (binance_analysis.py:251-284 price/vol + returns hist, :701-721
+    anomaly dots + vol-vs-volume scatter), completing the reference's
+    figure set 1:1.  The focus symbol is the alphabetically first (the
+    deterministic stand-in for the reference's configured primary
+    pair)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -247,4 +403,31 @@ def write_figures(artifacts: dict[str, DataFrame], out_dir: str) -> list[str]:
         d = artifacts["correlation"]
         if {"key_a", "key_b", "corr"} <= set(d.columns):
             heatmap(d, "key_a", "key_b", "corr", path=out("correlation.png"))
+    if features is not None:  # raw-frame panels (:251-284, :701-721)
+        from pyspark.sql import functions as F
+
+        sym = features.agg(F.min("symbol")).collect()[0][0]
+        if sym is not None:
+            d = features.where(F.col("symbol") == sym)
+            line_chart_dual(
+                d, "open_time", "close", "vol_60m", path=out("price_and_vol.png")
+            )
+            hist_chart(d, "log_ret", bins=200, path=out("returns_hist.png"))
+            top = d.orderBy(F.col("anomaly_score").desc(), "open_time").limit(200)
+            scatter_chart(
+                top,
+                "open_time",
+                "abs_ret",
+                base=d.select("open_time", "abs_ret"),
+                path=out("anomalies_absret.png"),
+            )
+            # Deterministic 5000-row sample (the reference's seeded
+            # .sample): hash-ordered limit, stable across partitionings.
+            samp = d.orderBy(F.xxhash64("open_time"), "open_time").limit(5000)
+            scatter_chart(
+                samp,
+                "log_volume",
+                "abs_ret",
+                path=out("vol_vs_volume_scatter.png"),
+            )
     return written

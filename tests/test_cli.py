@@ -96,7 +96,10 @@ def test_collect_load_analytics_pipeline(tmp_path):
     # S19: the dashboard figure set renders beside the CSV artifacts.
     figs = set(os.listdir(os.path.join(arts, "figures")))
     assert {"daily_avg.png", "monthly_volume.png", "dow_profile.png",
-            "activity_heatmap.png", "correlation.png"} <= figs
+            "activity_heatmap.png", "correlation.png",
+            # raw-frame panels (reference figure-set parity, 1:1)
+            "price_and_vol.png", "returns_hist.png",
+            "anomalies_absret.png", "vol_vs_volume_scatter.png"} <= figs
 
 
 def test_cli_build_index_pq(tmp_path):

@@ -102,9 +102,84 @@ def test_heatmap_diverging_ramp_orders_cells(spark, tmp_path):
     assert tuple(highc) == (255, 0, 0)     # max → red
 
 
+def test_hist_chart_bins_spark_side(spark, tmp_path):
+    # 100 values at 0.0 and 300 at 1.0: the two occupied bins' bar
+    # heights must be in 1:3 ratio, and binning happens in Spark (only
+    # bucket counts are collected, so no max_points cap applies).
+    df = spark.createDataFrame(
+        [(0.0,)] * 100 + [(1.0,)] * 300 + [(None,)], "v double"
+    )
+    p = str(tmp_path / "h.png")
+    fig.hist_chart(df, "v", bins=10, path=p)
+    img = _decode_png(p)
+    bar = np.all(img == np.array(fig.PALETTE[0]), axis=2)
+    cols = np.where(bar.any(axis=0))[0]
+    mid = (cols.min() + cols.max()) // 2
+    h_low = bar[:, cols[cols <= mid]].sum(axis=0).max()
+    h_high = bar[:, cols[cols > mid]].sum(axis=0).max()
+    assert h_high == pytest.approx(3 * h_low, rel=0.05)
+
+
+def test_scatter_chart_places_points_and_base_line(spark, tmp_path):
+    pts = spark.createDataFrame([(0.0, 0.0), (10.0, 10.0)], "x double, y double")
+    base = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(11)], "x double, y double"
+    )
+    p = str(tmp_path / "s.png")
+    fig.scatter_chart(pts, "x", "y", base=base, path=p)
+    img = _decode_png(p)
+    colors = {tuple(c) for c in img.reshape(-1, 3)}
+    assert fig.PALETTE[0] in colors   # base polyline
+    assert fig.PALETTE[3] in colors   # highlight dots
+    # dots at opposite corners of the plot area: bottom-left, top-right
+    dots = np.all(img == np.array(fig.PALETTE[3]), axis=2)
+    ys, xs = np.where(dots)
+    assert ys.max() - ys.min() > 100 and xs.max() - xs.min() > 100
+
+
+def test_line_chart_dual_normalizes_each_series(spark, tmp_path):
+    # y1 rises in [0, 1], y2 falls in [1000, 2000]: with per-series
+    # normalization BOTH polylines span the full vertical range (and
+    # cross, so neither fully overdraws the other).
+    df = spark.createDataFrame(
+        [(i, i / 9.0, 2000.0 - 1000.0 * i / 9.0) for i in range(10)],
+        "t int, a double, b double",
+    )
+    p = str(tmp_path / "d.png")
+    fig.line_chart_dual(df, "t", "a", "b", path=p)
+    img = _decode_png(p)
+    for color in (fig.PALETTE[0], fig.PALETTE[1]):
+        mask = np.all(img == np.array(color), axis=2)
+        ys = np.where(mask.any(axis=1))[0]
+        assert ys.max() - ys.min() > (img.shape[0] - fig._MARGIN) * 0.9, color
+
+
+def test_golden_pixels_fixed_size(spark):
+    # Golden-pixel gate at fixed size: a fixed synthetic frame rendered
+    # at 320x200 must decode to EXACTLY the committed golden's pixels.
+    # Pixel-level (not byte-level) so a zlib version bump can't flake
+    # it; any rasterizer change that moves one pixel fails here and the
+    # golden must be consciously regenerated
+    # (tools/regen_figure_golden.py).
+    import os
+
+    df = spark.createDataFrame(
+        [(s, t, float((t * (i + 2) * 7919) % 101)) for i, s in enumerate("AB") for t in range(50)],
+        "sym string, t int, v double",
+    )
+    got = fig.line_chart(df, "t", "v", series="sym", width=320, height=200)
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "line_chart_320x200.png"
+    )
+    assert os.path.exists(golden_path), "golden missing — run tools/regen_figure_golden.py"
+    assert np.array_equal(got, _decode_png(golden_path))
+
+
 def test_write_figures_renders_dashboard_set(spark, tmp_path):
     # End-to-end S19: the same artifact dict the analytics CLI writes
-    # as CSVs renders the reference dashboard's panels as valid PNGs.
+    # as CSVs renders the reference dashboard's panels as valid PNGs —
+    # and with the raw feature frame supplied, the full reference
+    # figure set (binance_analysis.py:251-284,:701-721) renders 1:1.
     from kp_crypto_market_analytics_spark.analytics.pipeline import (
         add_features,
         analytics_fanout,
@@ -119,13 +194,14 @@ def test_write_figures_renders_dashboard_set(spark, tmp_path):
     feats = add_features(candles_from_trades(e, watermark=None))
     arts = analytics_fanout(feats)
     try:
-        written = fig.write_figures(arts, str(tmp_path / "figs"))
+        written = fig.write_figures(arts, str(tmp_path / "figs"), features=feats)
     finally:
         feats.unpersist()
     names = sorted(p.rsplit("/", 1)[-1] for p in written)
     assert names == [
-        "activity_heatmap.png", "correlation.png", "daily_avg.png",
-        "dow_profile.png", "monthly_volume.png",
+        "activity_heatmap.png", "anomalies_absret.png", "correlation.png",
+        "daily_avg.png", "dow_profile.png", "monthly_volume.png",
+        "price_and_vol.png", "returns_hist.png", "vol_vs_volume_scatter.png",
     ]
     for p in written:
         img = _decode_png(p)
