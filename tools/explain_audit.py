@@ -62,8 +62,13 @@ def main() -> None:
         "",
         "Reading guide: BHJ = broadcast hash join (dimension lookups must be",
         "broadcast — fact side never shuffles); BNLJ appears only in the",
-        "all-pairs similarity scorers where it is the intended plan with a",
-        "repartitioned stream side; exchanges are the shuffle count after AQE",
+        "all-pairs similarity scorers (intended, with a repartitioned stream",
+        "side) and in crossJoins of 1-row scalar/audit frames (broadcast",
+        "nested loop over a single row — free); SMJ appears only under",
+        "FULL OUTER joins, which Spark cannot broadcast: the sketch-parity",
+        "compares (both sides <= ~1k rows) and the CDC snapshot diffs",
+        "(latest-per-key collapsed frames where sort-merge IS the plan);",
+        "exchanges are the shuffle count after AQE",
         "coalescing; scan filters pushed counts predicates that reached the",
         "parquet reader (partition+row-group skipping); pruned columns read",
         "is the total width actually scanned across all inputs.",
