@@ -91,11 +91,15 @@ def _extract_bench(data: dict) -> dict | None:
                 return cand
     # Truncated single line: keep only the part before the queries
     # dict closes (delta_vs_prev entries further right would otherwise
-    # shadow real timings), then regex the per-query pairs.  Salvage
-    # only applies when the fragment really contains the detail line's
-    # queries dict — a tail truncated down to just the compact summary
-    # line must not yield its scalar keys as fake per-query timings.
-    if '"queries": {' not in tail:
+    # shadow real timings), then regex the per-query pairs.  The
+    # queries dict is the ONLY one in the detail line that closes at
+    # '}, "sf":', so that boundary being present means everything left
+    # of it is genuine per-query pairs — even when the front (including
+    # the '"queries": {' marker itself) was truncated away, the normal
+    # case for a front-truncated driver tail.  Without the boundary
+    # (e.g. only the compact summary line survived, or only
+    # delta_vs_prev entries), there is nothing safe to salvage.
+    if '}, "sf":' not in tail:
         return None
     frag = tail.split('}, "sf":')[0]
     pairs = re.findall(r'"([A-Za-z0-9_]+)": (-?\d+(?:\.\d+)?)(?=[,}])', frag)
@@ -245,7 +249,11 @@ def run_isolated(names: list[str], runs: int = 2) -> None:
 def _slowest_from_history(root: str, n: int) -> list[str]:
     # Rank by a baseline recorded at the SAME scale factor as the run
     # we're about to do — a sweep at another SF orders queries by the
-    # wrong costs (mirrors main()'s sf-filtered delta baseline).
+    # wrong costs (mirrors main()'s sf-filtered delta baseline).  A
+    # driver BENCH_r wrapper salvage can be PARTIAL (front-truncated
+    # tail keeps ~20% of the pairs); the local BENCH_HISTORY record of
+    # the same sweep is complete, so rank from whichever same-sf record
+    # covers more queries.
     sf = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     ).rstrip("/").split("sf")[-1]
@@ -255,6 +263,20 @@ def _slowest_from_history(root: str, n: int) -> list[str]:
         sf_val = sf
     _, rec = _prev_bench(root, sf=sf_val)
     q = rec.get("queries") or {}
+    hist = os.path.join(root, "BENCH_HISTORY.jsonl")
+    if os.path.exists(hist):
+        try:
+            with open(hist) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            for line in reversed(lines):
+                hrec = json.loads(line)
+                hq = hrec.get("queries")
+                if isinstance(hq, dict) and hrec.get("sf") == sf_val:
+                    if len(hq) > len(q):
+                        q = hq
+                    break
+        except (OSError, json.JSONDecodeError):
+            pass
     return [k for k, _ in sorted(q.items(), key=lambda kv: -kv[1])[:n]]
 
 
