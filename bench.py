@@ -102,7 +102,9 @@ def _extract_bench(data: dict) -> dict | None:
     if '}, "sf":' not in tail:
         return None
     frag = tail.split('}, "sf":')[0]
-    pairs = re.findall(r'"([A-Za-z0-9_]+)": (-?\d+(?:\.\d+)?)(?=[,}])', frag)
+    # $-alternative: the split consumed the dict's closing brace, so
+    # the LAST pair in the fragment ends the string.
+    pairs = re.findall(r'"([A-Za-z0-9_]+)": (-?\d+(?:\.\d+)?)(?=[,}]|$)', frag)
     queries = {
         k: float(v)
         for k, v in pairs
