@@ -407,3 +407,54 @@ def test_gapfill_micro_interpolation_bounded(spark, pm, nm, span, off):
     interp = (pm + (1 if num >= 0 else -1) * q) / 1e6
     lo, hi = min(pm, nm) / 1e6, max(pm, nm) / 1e6
     assert lo - 5e-7 <= interp <= hi + 5e-7
+
+
+@given(
+    st.lists(st.integers(1, 10**9), min_size=1, max_size=40),
+    st.lists(st.integers(0, 3), min_size=40, max_size=40),
+)
+@settings(**SETTINGS)
+def test_ddsketch_fold_is_partition_invariant(spark, values, bids):
+    # The law a_ddsketch_stream_parity gates on real data, on random
+    # inputs and random batch assignments: per-batch bucket histograms
+    # folded by count-sum equal the histogram built directly over the
+    # union, bucket-for-bucket — for ANY partition of the stream.
+    from kp_crypto_market_analytics_spark.queries_quality import _dds_buckets
+
+    rows = [(bids[i % len(bids)], v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "bid int, v long")
+    folded = (
+        _dds_buckets(df, ["bid"])
+        .groupBy("key")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    direct = _dds_buckets(df.select("v"), []).collect()
+    assert {(r["key"], r["n"]) for r in folded} == {
+        (r["key"], r["n"]) for r in direct
+    }
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef0123456789", min_size=1, max_size=8), min_size=1, max_size=40),
+    st.lists(st.integers(0, 3), min_size=40, max_size=40),
+)
+@settings(**SETTINGS)
+def test_hll_fold_is_partition_invariant(spark, users, bids):
+    # The law a_hll_stream_parity gates: per-batch register frames
+    # folded by element-wise max equal the registers built directly
+    # over the union — for ANY partition of the stream.
+    from kp_crypto_market_analytics_spark.queries_ext import _hll_registers
+
+    rows = [(bids[i % len(bids)], u) for i, u in enumerate(users)]
+    df = spark.createDataFrame(rows, "bid int, u string")
+    folded = (
+        _hll_registers(df, ["bid"])
+        .groupBy("idx")
+        .agg(F.max("m").alias("m"))
+        .collect()
+    )
+    direct = _hll_registers(df.select("u"), []).collect()
+    assert {(r["idx"], r["m"]) for r in folded} == {
+        (r["idx"], r["m"]) for r in direct
+    }
