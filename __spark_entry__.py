@@ -71,7 +71,15 @@ _FIRST_SEEN_ROUND.update(
 )
 _FIRST_SEEN_ROUND.update({n: 4 for n in ("a_hll_stream_parity",)})
 _FIRST_SEEN_ROUND.update(
-    {n: 5 for n in ("a_ddsketch_stream_parity", "t_countmin_stream_parity")}
+    {
+        n: 5
+        for n in (
+            "a_ddsketch_stream_parity",
+            "t_countmin_stream_parity",
+            "e_label_centroid_audit",
+            "e_fisher_separation",
+        )
+    }
 )
 
 # Semantically CHANGED in round N after earlier rows landed: rows from

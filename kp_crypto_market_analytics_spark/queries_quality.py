@@ -2344,6 +2344,255 @@ FROM j
 """
 
 
+# ------------------------------------------------ e_label_centroid_audit
+
+
+def e_label_centroid_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-embedding quality audit: per-label centroids, then for
+    every vector the exact squared-L2 distance to ALL label centroids —
+    reporting per label the nearest-centroid assignment accuracy and
+    the mean margin (runner-up distance − best distance).  This is the
+    first gate a dataset curator runs on an embedding table that
+    carries class labels: collapsed margins / low accuracy mean the
+    encoder (or the labels) can't support training downstream.
+
+    Scale shape (the IVF assignment shape, operators/similarity.py):
+    centroids are |labels|×64 DECIMAL partials with map-side combine;
+    the 640-row centroid table broadcasts; scoring fans each dimension
+    row against the broadcast and partial-agg absorbs the fan-out, so
+    the only shuffle is |vectors|×|labels| skinny (vec_id, label, d2)
+    rows — vectors themselves never shuffle.  The argmin window
+    partitions on vec_id (never global).
+
+    Exactness: centroid means and d2 both fold through DECIMAL(27,12)
+    (order-independent; identical per-term doubles on both engines),
+    the argmin tie-breaks on label, accuracy is integer-exact ppm, and
+    the mean margin divides in exact int64 (round_mean_micro)."""
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    x = ensure_parallelism(t["embeddings"]).select(
+        "vec_id",
+        "label",
+        F.posexplode(to_double_array("embedding")).alias("i", "xv"),
+    )
+    cent = x.groupBy(F.col("label").alias("c_label"), "i").agg(
+        (
+            F.sum(F.col("xv").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    d = (
+        x.join(F.broadcast(cent), "i")
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            ((F.col("xv") - F.col("m")) * (F.col("xv") - F.col("m")))
+            .cast("decimal(27,12)")
+            .alias("t2"),
+        )
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum("t2").alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    ranked = d.select(
+        "vec_id", "label", "c_label", "d2", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 2)
+    # One conditional aggregate instead of a best×second self-join: the
+    # window subtree is evaluated once, not twice.
+    pv = (
+        ranked.groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("c_label"))).alias("pred"),
+            F.max(F.when(F.col("rk") == 1, F.col("d2"))).alias("d2_best"),
+            F.max(F.when(F.col("rk") == 2, F.col("d2"))).alias("d2_second"),
+        )
+        .select(
+            "label",
+            (F.col("pred") == F.col("label")).alias("ok"),
+            F.round(F.col("d2_second") - F.col("d2_best"), 6)
+            .cast("decimal(18,6)")
+            .alias("margin6"),
+        )
+    )
+    n = F.count(F.lit(1))
+    n_correct = F.sum(F.when(F.col("ok"), 1).otherwise(0))
+    return (
+        pv.groupBy("label")
+        .agg(
+            n.alias("n_vecs"),
+            n_correct.cast("long").alias("n_correct"),
+            F.call_function(
+                "div", F.lit(1000000) * n_correct.cast("long"), n
+            ).alias("acc_ppm"),
+            round_mean_micro(F.sum("margin6"), n).alias("mean_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+def _e_label_centroid_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), idx AS MATERIALIZED (
+  SELECT vec_id, label, x, unnest(generate_series(1, {_EMB_D})) AS i FROM e
+), cent AS MATERIALIZED (
+  SELECT label AS c_label, i,
+    CAST(SUM(CAST(x[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM idx GROUP BY 1, 2
+), d AS MATERIALIZED (
+  SELECT vec_id, label, c_label,
+    SUM(CAST((x[i] - m) * (x[i] - m) AS DECIMAL(27,12))) AS d2
+  FROM idx JOIN cent USING (i)
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT vec_id, label, c_label, d2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+  FROM d
+), pv AS (
+  SELECT b.label, b.c_label = b.label AS ok,
+    CAST(round(s.d2 - b.d2, 6) AS DECIMAL(18,6)) AS margin6
+  FROM (SELECT * FROM ranked WHERE rk = 1) b
+  JOIN (SELECT vec_id, d2 FROM ranked WHERE rk = 2) s USING (vec_id)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COUNT(*) FILTER (ok) AS BIGINT) AS n_correct,
+  (1000000 * CAST(COUNT(*) FILTER (ok) AS BIGINT)) // COUNT(*) AS acc_ppm,
+  {sql_round_mean_micro('SUM(margin6)', 'COUNT(*)')} AS mean_margin
+FROM pv GROUP BY label ORDER BY label
+"""
+
+
+# --------------------------------------------------- e_fisher_separation
+
+
+def e_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Fisher separation of the labeled embeddings: for
+    each of the 64 dimensions, between-class scatter over within-class
+    scatter — Σ_l n_l·(m_{l,i} − m_i)² / Σ_l n_l·v_{l,i} (the
+    per-feature Fisher criterion, Fisher 1936 / standard LDA texts,
+    public) — reported for the top-10 most discriminative dimensions.
+    The feature-audit companion to ``e_label_centroid_audit``: the
+    centroid audit says whether labels are separable at all; this says
+    WHICH dimensions carry the signal (and whether a Matryoshka-style
+    prefix would keep them).  Beyond-reference scope: the reference's
+    analytics stop at market tables (SURVEY §2); this extends the
+    LLM-data-pipeline embedding family.
+
+    Scale shape: one scan; the posexplode is absorbed by a map-side-
+    combined (label, dim) aggregate, so the only shuffle is
+    |labels|×64 skinny moment rows; everything after runs on that
+    640-row frame.
+
+    Exactness: per-(label, dim) moments fold through DECIMAL(27,12)
+    (order-independent); means, variances, and the Fisher ratio are
+    identical double expressions of those exact moments on both
+    engines, rounded 6; top-10 tie-breaks on the dimension index."""
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    x = ensure_parallelism(t["embeddings"]).select(
+        "label", F.posexplode(to_double_array("embedding")).alias("i", "xv")
+    )
+    lm = x.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xv").cast("decimal(27,12)")).alias("s"),
+        F.sum((F.col("xv") * F.col("xv")).cast("decimal(27,12)")).alias("s2"),
+    )
+    # Global per-dim mean from the TOTAL sums (never a mean of means —
+    # label sizes differ).
+    g = lm.groupBy("i").agg(
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias("gm")
+    )
+    terms = lm.join(g, "i").select(
+        "i",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("m"),
+        (
+            F.col("s2").cast("double") / F.col("n").cast("double")
+        ).alias("m2"),
+        "gm",
+    )
+    per_dim = (
+        terms.select(
+            "i",
+            (
+                F.col("n").cast("double")
+                * (F.col("m") - F.col("gm"))
+                * (F.col("m") - F.col("gm"))
+            )
+            .cast("decimal(28,12)")
+            .alias("bt"),
+            (
+                F.col("n").cast("double")
+                * (F.col("m2") - F.col("m") * F.col("m"))
+            )
+            .cast("decimal(28,12)")
+            .alias("wt"),
+        )
+        .groupBy("i")
+        .agg(F.sum("bt").alias("sb"), F.sum("wt").alias("sw"))
+        .select(
+            F.col("i").alias("dim"),
+            F.round(F.col("sb").cast("double"), 6).alias("between_scatter"),
+            F.round(F.col("sw").cast("double"), 6).alias("within_scatter"),
+            F.round(
+                F.col("sb").cast("double") / F.col("sw").cast("double"), 6
+            ).alias("fisher_score"),
+        )
+    )
+    return per_dim.orderBy(
+        F.col("fisher_score").desc(), F.col("dim").asc()
+    ).limit(10)
+
+
+def _e_fisher_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), idx AS (
+  SELECT label, x, unnest(generate_series(1, {_EMB_D})) AS i FROM e
+), lm AS MATERIALIZED (
+  SELECT label, i, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(x[i] AS DECIMAL(27,12))) AS s,
+    SUM(CAST(x[i] * x[i] AS DECIMAL(27,12))) AS s2
+  FROM idx GROUP BY 1, 2
+), g AS (
+  SELECT i, CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS gm
+  FROM lm GROUP BY 1
+), terms AS (
+  SELECT lm.i, n,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+    gm
+  FROM lm JOIN g ON g.i = lm.i
+), per_dim AS (
+  -- i is the 1-based DuckDB list index; the Spark side's posexplode
+  -- position is 0-based, so the OUTPUT dim is i - 1.
+  SELECT i - 1 AS dim,
+    SUM(CAST(CAST(n AS DOUBLE) * (m - gm) * (m - gm) AS DECIMAL(28,12))) AS sb,
+    SUM(CAST(CAST(n AS DOUBLE) * (m2 - m * m) AS DECIMAL(28,12))) AS sw
+  FROM terms GROUP BY 1
+)
+SELECT dim, round(CAST(sb AS DOUBLE), 6) AS between_scatter,
+  round(CAST(sw AS DOUBLE), 6) AS within_scatter,
+  round(CAST(sb AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS fisher_score
+FROM per_dim
+ORDER BY fisher_score DESC, dim LIMIT 10
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
@@ -2365,6 +2614,8 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_matryoshka_prefix": e_matryoshka_prefix,
     "w_seasonal_naive_forecast": w_seasonal_naive_forecast,
     "e_embedding_drift": e_embedding_drift,
+    "e_label_centroid_audit": e_label_centroid_audit,
+    "e_fisher_separation": e_fisher_separation,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -2388,4 +2639,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "e_matryoshka_prefix": _e_matryoshka_sql(),
     "w_seasonal_naive_forecast": _w_seasonal_naive_sql(),
     "e_embedding_drift": _e_embedding_drift_sql(),
+    "e_label_centroid_audit": _e_label_centroid_sql(),
+    "e_fisher_separation": _e_fisher_sql(),
 }

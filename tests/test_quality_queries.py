@@ -175,3 +175,64 @@ def test_scd2_intervals(spark):
         # Consecutive versions always change state.
         types = list(grp["event_type"])
         assert all(a != b for a, b in zip(types, types[1:]))
+
+
+def test_label_centroid_audit_beats_random_and_naive_match(spark):
+    # Audit honesty: the oracle recomputes the metrics identically, so
+    # the gate can't catch a metric regression — this floor does.  The
+    # synthetic labels are weakly clustered: nearest-centroid accuracy
+    # must beat the 10-label random baseline (100000 ppm) for every
+    # label with a positive mean margin, and the per-label accuracy
+    # must match a naive numpy nearest-centroid classifier.
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        e_label_centroid_audit,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    got = e_label_centroid_audit(spark, SF_DIR).toPandas().set_index("label")
+    assert (got["acc_ppm"] > 100_000).all(), got["acc_ppm"].to_dict()
+    assert (got["mean_margin"] > 0).all()
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"].toPandas()
+    X = np.array([list(v) for v in emb["embedding"]], dtype=np.float64)
+    y = emb["label"].to_numpy()
+    cents = np.stack([X[y == lbl].mean(axis=0) for lbl in sorted(set(y))])
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    pred = d2.argmin(axis=1)
+    for lbl in sorted(set(y)):
+        n = int((y == lbl).sum())
+        n_ok = int(((y == lbl) & (pred == y)).sum())
+        assert int(got.loc[lbl, "n_vecs"]) == n
+        assert int(got.loc[lbl, "n_correct"]) == n_ok, lbl
+
+
+def test_fisher_separation_matches_numpy(spark):
+    # The top-10 Fisher scores must match a naive numpy computation of
+    # between-class / within-class scatter per dimension, and the
+    # returned dims must be exactly numpy's top-10 (score desc, dim
+    # asc).
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        e_fisher_separation,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    got = e_fisher_separation(spark, SF_DIR).toPandas()
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"].toPandas()
+    X = np.array([list(v) for v in emb["embedding"]], dtype=np.float64)
+    y = emb["label"].to_numpy()
+    gm = X.mean(axis=0)
+    sb = np.zeros(X.shape[1])
+    sw = np.zeros(X.shape[1])
+    for lbl in sorted(set(y)):
+        Z = X[y == lbl]
+        sb += len(Z) * (Z.mean(axis=0) - gm) ** 2
+        sw += len(Z) * Z.var(axis=0)  # population variance, n-weighted
+    fisher = sb / sw
+    order = sorted(range(X.shape[1]), key=lambda i: (-fisher[i], i))[:10]
+    assert list(got["dim"]) == order
+    for _, r in got.iterrows():
+        assert abs(r["fisher_score"] - fisher[int(r["dim"])]) < 1e-4
