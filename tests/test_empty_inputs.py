@@ -133,3 +133,56 @@ def test_empty_audio_windowing(spark):
 
     media = spark.createDataFrame([], "media_id long, payload string")
     assert window_audio(media, fake=True).count() == 0
+
+
+def test_empty_sketch_helpers(spark):
+    # The sketch builders behind the streaming parity gates must
+    # degrade to empty frames (not throw) on zero rows — the fold
+    # union/agg shapes then stay empty through every round.
+    from pyspark.sql.types import IntegerType
+
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _hll_estimate,
+        _hll_registers,
+    )
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        _dds_buckets,
+        _dds_estimates,
+    )
+
+    empty_v = spark.createDataFrame([], StructType([StructField("v", LongType())]))
+    buckets = _dds_buckets(empty_v, [])
+    assert buckets.count() == 0
+    assert _dds_estimates(buckets).count() == 0
+    # count-sum fold of two empty bucket frames stays empty
+    assert (
+        buckets.unionByName(buckets).groupBy("key").agg(F.sum("n").alias("n")).count()
+        == 0
+    )
+
+    empty_u = spark.createDataFrame([], StructType([StructField("u", StringType())]))
+    regs = _hll_registers(empty_u, [])
+    assert regs.count() == 0
+    assert (
+        _hll_estimate(regs.select(F.lit(1).alias("g"), "idx", "m"), ["g"]).count() == 0
+    )
+
+    # labeled-embedding helpers: posexplode of an empty vector table
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+
+    empty_emb = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("label", IntegerType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+    x = empty_emb.select(
+        "label", F.posexplode(to_double_array("embedding")).alias("i", "xv")
+    )
+    assert x.groupBy("label", "i").agg(F.count(F.lit(1)).alias("n")).count() == 0
