@@ -48,41 +48,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kp_crypto_market_analytics_spark.session import load_tables
+from kp_crypto_market_analytics_spark.operators.copurchase import (
+    PAIRS_SQL as _PAIRS_SQL,
+    copurchase_pairs as _copurchase_pairs,
+)
 
-_SUPPORT = 2
 _PR_ITERS = 3
 _LPA_ITERS = 2
-
-
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical (u < v, support) co-purchase pairs, support ≥ 2."""
-    li = (
-        load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _SUPPORT)
-    )
-
-
-_PAIRS_SQL = f"""li AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-), pairs AS MATERIALIZED (
-  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS support
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= {_SUPPORT}
-)"""
 
 
 # ----------------------------------------------------------- g_pagerank

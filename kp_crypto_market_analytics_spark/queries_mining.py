@@ -126,24 +126,7 @@ def g_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a degree cap on wedge centers (drop n with deg > D; hubs
     contribute near-zero Jaccard anyway).  All-integer until the one
     final division."""
-    li = (
-        load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _SUPPORT)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionByName(
         edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
     )
@@ -418,26 +401,12 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-≥2 canonical co-purchase pairs (shared with the graph
-    family's builder in queries_graph.py — duplicated locally to keep
-    the modules import-independent)."""
-    li = (
-        load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _SUPPORT)
-        .select("u", "v")
-    )
+    """Support-≥2 canonical co-purchase pairs — the session-cached
+    shared build (operators/copurchase.py), one materialization per
+    bench/driver session for the whole graph family."""
+    from kp_crypto_market_analytics_spark.operators.copurchase import copurchase_pairs
+
+    return copurchase_pairs(spark, sf_dir).select("u", "v")
 
 
 def _g_kcore_sql() -> str:

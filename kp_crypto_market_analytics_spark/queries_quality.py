@@ -780,24 +780,10 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode.  All-integer arithmetic; global clustering = 3·triangles /
     wedges, rounded where the engines divide.
     """
+    from kp_crypto_market_analytics_spark.operators.copurchase import copurchase_pairs
     from kp_crypto_market_analytics_spark.operators.graph import triangle_count
 
-    t = load_tables(spark, sf_dir, ["lineitem"])
-    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= _COPURCHASE_SUPPORT)
-        .select("u", "v")
-    )
+    edges = copurchase_pairs(spark, sf_dir).select("u", "v")
     return triangle_count(edges).select(
         "n_nodes",
         "n_edges",
@@ -884,19 +870,9 @@ def g_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = li.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("s_item")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("s_pair"))
-        .where(F.col("s_pair") >= _COPURCHASE_SUPPORT)
-    )
+    from kp_crypto_market_analytics_spark.operators.copurchase import copurchase_pairs
+
+    pairs = copurchase_pairs(spark, sf_dir).withColumnRenamed("support", "s_pair")
     directed = pairs.select(
         F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "s_pair"
     ).unionByName(
