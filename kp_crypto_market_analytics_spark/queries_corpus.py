@@ -1203,10 +1203,13 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kp_crypto_market_analytics_spark.functions.text import hash64
     from kp_crypto_market_analytics_spark.operators.windows import top_k
 
+    # The unrolled fold reads this frame ~3x per batch plus the probe;
+    # checkpoint the exploded (bid, tok) list once so every read hits
+    # a local RDD instead of re-tokenizing the corpus.
     toks = _toks_df(spark, sf_dir).select(
         (F.pmod(F.col("doc_id"), F.lit(_CM_STREAM_BATCHES)) + 1).alias("bid"),
         F.explode("toks").alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
 
     def bucket(j: int):
         return F.pmod(

@@ -4046,7 +4046,11 @@ def a_hll_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bids = days.select(
         "day", F.row_number().over(Window.orderBy("day")).alias("bid")
     ).where(F.col("bid") <= _HLL_STREAM_BATCHES)
-    eb = e.join(F.broadcast(bids), "day").select("bid", "u")
+    # The unrolled fold below reads this frame ~3x per batch (batch
+    # registers, direct-prefix registers, n_seen); checkpoint the
+    # small (bid, u) projection once so those reads hit a local RDD
+    # instead of re-running scan + distinct-days + join each time.
+    eb = e.join(F.broadcast(bids), "day").select("bid", "u").localCheckpoint(eager=True)
 
     state: DataFrame | None = None
     out: DataFrame | None = None

@@ -603,7 +603,10 @@ def a_ddsketch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bids = days.select(
         "day", F.row_number().over(Window.orderBy("day")).alias("bid")
     ).where(F.col("bid") <= _DDS_STREAM_BATCHES)
-    vb = v.join(F.broadcast(bids), "day").select("bid", "v")
+    # Same move as a_hll_stream_parity: the unrolled fold reads this
+    # frame ~3x per batch — checkpoint the small (bid, v) projection
+    # once instead of re-running scan + distinct-days + join per read.
+    vb = v.join(F.broadcast(bids), "day").select("bid", "v").localCheckpoint(eager=True)
 
     state: DataFrame | None = None
     out: DataFrame | None = None
