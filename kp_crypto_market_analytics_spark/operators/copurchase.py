@@ -29,16 +29,15 @@ order-basket grain; the caching mirrors Spark's own ``DataFrame
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kp_crypto_market_analytics_spark.operators.materialize import (
+    session_materialized,
+)
 from kp_crypto_market_analytics_spark.session import load_tables
 
 SUPPORT = 2
-
-_CACHE_ATTR = "_kp_copurchase_cache"
 
 
 def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,25 +71,14 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     N times).  Later calls — including from other queries in the same
     bench/driver session — read the parquet back.
 
-    Parquet (not ``.persist``) deliberately: the in-memory cache is
-    wiped by per-query ``clearCache()`` hygiene (bench.py), pins
-    pre-AQE exchanges unless canChangeCachedPlanOutputPartitioning is
-    on, and competes with executor memory; a parquet scan gives exact
-    size stats, so downstream joins broadcast the (tiny) pair list on
-    their own.  The memo dict lives on the SparkSession object, so a
-    fresh session (isolated bench child, new driver run) starts cold
-    by construction and can never read another session's files.
+    Mechanics and the parquet-over-persist rationale live in
+    ``operators/materialize.py``.
     """
-    cache = getattr(spark, _CACHE_ATTR, None)
-    if cache is None:
-        cache = {}
-        setattr(spark, _CACHE_ATTR, cache)
-    key = str(sf_dir)
-    if key not in cache:
-        path = tempfile.mkdtemp(prefix="kp_copurchase_") + "/pairs"
-        _build(spark, sf_dir).write.mode("overwrite").parquet(path)
-        cache[key] = path
-    return spark.read.parquet(cache[key])
+    return session_materialized(
+        spark,
+        f"copurchase:{sf_dir}:support={SUPPORT}",
+        lambda: _build(spark, sf_dir),
+    )
 
 
 PAIRS_SQL = f"""li AS (

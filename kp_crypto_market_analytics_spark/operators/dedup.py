@@ -521,6 +521,51 @@ def simhash_near_pairs(df: DataFrame, text: str, id_col: str, max_hamming: int =
     )
 
 
+def capped_jaccard_pairs_materialized(
+    spark,
+    sf_dir: str,
+    k: int = 4,
+    threshold: float = 0.6,
+    use_words: bool = False,
+    max_shingle_freq: int | None = 50,
+) -> DataFrame:
+    """Session-materialized capped n-gram Jaccard pair set over the
+    ``documents`` table.
+
+    Four registry queries (dedup_ngram_capped, dedup_clusters,
+    dedup_canonical, and dedup_lsh_recall's truth side) derive the
+    identical df-capped pair set; each build is the full
+    shingle-explode + prefix-filter + bitmap-verify pipeline — the
+    most expensive derivation in the dedup family.  Build it once per
+    (session, sf_dir, params) and serve the rest from a temp-parquet
+    materialization (see operators/materialize.py for the
+    parquet-over-persist rationale).  Columns: doc_a, doc_b,
+    inter_size, size_a, size_b, jaccard.
+    """
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    def build() -> DataFrame:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        return ngram_jaccard_pairs(
+            docs,
+            "text",
+            "doc_id",
+            k=k,
+            threshold=threshold,
+            use_words=use_words,
+            max_shingle_freq=max_shingle_freq,
+        )
+
+    key = (
+        f"jaccard_pairs:{sf_dir}:k={k}:t={threshold}"
+        f":words={use_words}:cap={max_shingle_freq}"
+    )
+    return session_materialized(spark, key, build)
+
+
 def connected_component_labels(
     edges: DataFrame,
     nodes: DataFrame,

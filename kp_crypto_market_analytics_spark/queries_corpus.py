@@ -820,13 +820,13 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both pair sets are the existing gated pipelines; the audit adds one
     left-semi join on (doc_a, doc_b) and three 1-row aggregates.  The
     recall division runs in exact int64 (``round_mean_micro``).  The
-    char-4-gram shingle frame is built ONCE (localCheckpoint) and
-    injected into both detectors — the corpus is shingled a single
-    time instead of per-branch."""
+    truth side is the session-materialized capped pair set shared with
+    dedup_ngram_capped / dedup_clusters / dedup_canonical; the LSH
+    branch shingles the corpus once (localCheckpoint)."""
     from kp_crypto_market_analytics_spark.operators.dedup import (
         _shingle_sets,
+        capped_jaccard_pairs_materialized,
         minhash_lsh_pairs,
-        ngram_jaccard_pairs,
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
@@ -834,12 +834,11 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = _shingle_sets(docs, "text", "doc_id", k=4, use_words=False)
     sets = sets.localCheckpoint(eager=True)
     # Each pair set feeds TWO consumers (the semi-join and its own
-    # count); materialize both so the capped-Jaccard and LSH subplans
-    # run once instead of twice (measured ~6s -> ~3.5s at sf0.1).
-    truth = ngram_jaccard_pairs(
-        docs, "text", "doc_id", k=4, threshold=0.6, use_words=False,
-        max_shingle_freq=50, sets=sets,
-    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # count); the truth materialization serves that for free, the LSH
+    # side keeps its localCheckpoint (measured ~6s -> ~3.5s at sf0.1).
+    truth = capped_jaccard_pairs_materialized(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False,
         sets=sets,

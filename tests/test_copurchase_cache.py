@@ -1,4 +1,6 @@
-"""Session-scoped co-purchase pair cache (operators/copurchase.py).
+"""Session-scoped materialization of shared derived datasets
+(operators/materialize.py) and its co-purchase instantiation
+(operators/copurchase.py).
 
 The eight graph-family queries share one support-thresholded pair
 build per (SparkSession, sf_dir); these tests pin the memoization
@@ -10,21 +12,21 @@ from __future__ import annotations
 from tests.conftest import SF_DIR
 
 
-def test_cache_materializes_once(spark):
+def test_materializes_once_per_key(spark):
     from kp_crypto_market_analytics_spark.operators.copurchase import (
-        _CACHE_ATTR,
+        SUPPORT,
         copurchase_pairs,
     )
+    from kp_crypto_market_analytics_spark.operators.materialize import _CACHE_ATTR
 
     copurchase_pairs(spark, SF_DIR)
     cache = getattr(spark, _CACHE_ATTR)
-    assert str(SF_DIR) in cache
-    path = cache[str(SF_DIR)]
-    # Second call (same dir via a distinct-but-equal string) must hit
-    # the memo — same materialized path, no new entry.
-    copurchase_pairs(spark, str(SF_DIR))
-    assert cache[str(SF_DIR)] == path
-    assert len([k for k in cache if k == str(SF_DIR)]) == 1
+    key = f"copurchase:{SF_DIR}:support={SUPPORT}"
+    assert key in cache
+    path = cache[key]
+    # Second call must hit the memo — same materialized path.
+    copurchase_pairs(spark, SF_DIR)
+    assert cache[key] == path
 
 
 def test_cache_survives_clear_cache(spark):
@@ -36,6 +38,23 @@ def test_cache_survives_clear_cache(spark):
     spark.catalog.clearCache()
     after = copurchase_pairs(spark, SF_DIR).count()
     assert before == after > 0
+
+
+def test_distinct_keys_get_distinct_paths(spark):
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        _CACHE_ATTR,
+        session_materialized,
+    )
+
+    a = session_materialized(
+        spark, "test:lit:1", lambda: spark.range(3).selectExpr("id AS a")
+    )
+    b = session_materialized(
+        spark, "test:lit:2", lambda: spark.range(5).selectExpr("id AS a")
+    )
+    assert a.count() == 3 and b.count() == 5
+    cache = getattr(spark, _CACHE_ATTR)
+    assert cache["test:lit:1"] != cache["test:lit:2"]
 
 
 def test_cached_matches_uncached_build(spark):
