@@ -477,17 +477,26 @@ def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
     return agg.select(F.col("doc").alias(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, text: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    max_hamming: int = 3,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit fingerprint into
     max_hamming+1 chunks (pigeonhole: any pair within the Hamming radius
     agrees on >=1 chunk), bucket-join on chunks, verify exact Hamming
-    distance with bit_count(xor)."""
+    distance with bit_count(xor).  Pass ``sig`` (``simhash`` output) to
+    reuse an already-computed signature frame."""
     chunks = max_hamming + 1
     width = 60 // chunks
-    # The signature frame (tiny: id + one long) backs BOTH sides of the
-    # bucket self-join; materialize so the explode+bit-agg pipeline runs
-    # once (same multi-consumer lesson as ngram_jaccard_pairs).
-    sig = simhash(df, text, id_col).localCheckpoint(eager=True)
+    if sig is None:
+        # The signature frame (tiny: id + one long) backs BOTH sides of
+        # the bucket self-join; materialize so the explode+bit-agg
+        # pipeline runs once (same multi-consumer lesson as
+        # ngram_jaccard_pairs).
+        sig = simhash(df, text, id_col).localCheckpoint(eager=True)
     bands = sig.select(
         F.col(id_col).alias("doc"),
         F.col("simhash"),

@@ -254,12 +254,26 @@ ORDER BY doc_a, doc_b
 # ------------------------------------------------------------- SimHash
 
 
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized SimHash signature frame (doc_id, simhash)
+    shared by dedup_simhash and dedup_simhash_pairs — the explode +
+    60-bit-vote aggregation runs once per session."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["documents"])
+        return simhash(t["documents"], "text", "doc_id")
+
+    return session_materialized(spark, f"simhash:{sf_dir}:bits=60", build)
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 60-bit fingerprints: per-token hash bits vote ±1, the
     sign pattern is the fingerprint.  One explode + one groupBy with 60
     conditional-sum aggregates — all map-side combinable."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    return simhash(t["documents"], "text", "doc_id").orderBy("doc_id")
+    return _simhash_sigs(spark, sf_dir).orderBy("doc_id")
 
 
 def _simhash_cte() -> str:
@@ -292,9 +306,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join on chunk value, verify with bit_count(xor).  The chunk
     join bounds candidates the same way LSH bands do."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return simhash_near_pairs(t["documents"], "text", "doc_id", max_hamming=3).orderBy(
-        "doc_a", "doc_b"
-    )
+    return simhash_near_pairs(
+        t["documents"], "text", "doc_id", max_hamming=3,
+        sig=_simhash_sigs(spark, sf_dir),
+    ).orderBy("doc_a", "doc_b")
 
 
 DEDUP_SIMHASH_PAIRS_SQL = f"""
