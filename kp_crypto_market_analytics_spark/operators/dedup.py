@@ -298,17 +298,24 @@ def minhash_lsh_pairs(
     k: int = 3,
     use_words: bool = True,
     sets: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: docs agreeing on ALL rows of any band
     become candidate pairs; estimated Jaccard = fraction of matching
     minhashes.  The band bucket-join replaces the quadratic all-pairs
-    comparison — candidates are generated per bucket only."""
+    comparison — candidates are generated per bucket only.  Pass
+    ``sig`` (``minhash_signatures`` output) to reuse an
+    already-computed signature frame."""
     rows_per_band = num_hashes // bands
-    # sig is consumed three times (band buckets + both sides of the
-    # estimate join) and is tiny (|docs| × num_hashes longs) while its
-    # lineage is the expensive shingle explode — persist is a clear win
-    # here, unlike wide fact frames (see e3_anomaly_pipeline note).
-    sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words, sets=sets).persist()
+    if sig is None:
+        # sig is consumed three times (band buckets + both sides of the
+        # estimate join) and is tiny (|docs| × num_hashes longs) while
+        # its lineage is the expensive shingle explode — persist is a
+        # clear win here, unlike wide fact frames (see
+        # e3_anomaly_pipeline note).
+        sig = minhash_signatures(
+            df, text, id_col, num_hashes, k, use_words, sets=sets
+        ).persist()
 
     band_cols = []
     for b in range(bands):
@@ -351,6 +358,7 @@ def incremental_lsh_pairs(
     bands: int = 2,
     k: int = 4,
     use_words: bool = False,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup ingest: candidate pairs where at least one
     side belongs to the NEW batch (``is_new`` boolean column expr) —
@@ -364,14 +372,13 @@ def incremental_lsh_pairs(
     persisted signature table (the `build-index` pattern —
     kp_crypto_market_analytics_spark/__main__.py) and only the batch
     side is hashed fresh; the plan shape here is identical with both
-    sides derived from one scan."""
+    sides derived from one scan.  Pass ``sig`` to start from such a
+    persisted signature table instead of hashing the corpus."""
     rows_per_band = num_hashes // bands
     flags = df.select(F.col(id_col), is_new.alias("__new"))
-    sig = (
-        minhash_signatures(df, text, id_col, num_hashes, k, use_words)
-        .join(flags, id_col)
-        .persist()
-    )
+    if sig is None:
+        sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words)
+    sig = sig.join(flags, id_col).persist()
 
     band_cols = []
     for b in range(bands):

@@ -1170,18 +1170,9 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over char-4-gram shingles) with the
     portable md5-derived hash — the signature step of MinHash-LSH,
     verified bit-exactly against SQL."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    sets = (
-        ensure_parallelism(t["documents"])
-        .select(F.col("doc_id"), F.explode(char_shingles("text", 4)).alias("shingle"))
-        .distinct()
-    )
-    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % F.lit(2147483647)
-    aggs = [
-        F.min((F.lit(2 * j + 1) * h + F.lit(104729 * (j + 1))) % F.lit(2147483647)).alias(f"mh_{j}")
-        for j in range(8)
-    ]
-    return sets.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs8
+
+    return _minhash_sigs8(spark, sf_dir).orderBy("doc_id")
 
 
 def _minhash_sql() -> str:

@@ -399,6 +399,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds which side(s) are new — new×old means "drop or link the new
     doc", new×new means "today's batch self-duplicates"."""
     from kp_crypto_market_analytics_spark.operators.dedup import incremental_lsh_pairs
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs8
 
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = incremental_lsh_pairs(
@@ -410,6 +411,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=2,
         k=4,
         use_words=False,
+        sig=_minhash_sigs8(spark, sf_dir),
     )
     return pairs.orderBy("doc_a", "doc_b")
 
@@ -822,26 +824,27 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall division runs in exact int64 (``round_mean_micro``).  The
     truth side is the session-materialized capped pair set shared with
     dedup_ngram_capped / dedup_clusters / dedup_canonical; the LSH
-    branch shingles the corpus once (localCheckpoint)."""
+    branch starts from the session-materialized signature table
+    (_minhash_sigs8) shared with dedup_minhash_lsh."""
     from kp_crypto_market_analytics_spark.operators.dedup import (
-        _shingle_sets,
         capped_jaccard_pairs_materialized,
         minhash_lsh_pairs,
     )
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs8
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
-    sets = _shingle_sets(docs, "text", "doc_id", k=4, use_words=False)
-    sets = sets.localCheckpoint(eager=True)
-    # Each pair set feeds TWO consumers (the semi-join and its own
-    # count); the truth materialization serves that for free, the LSH
-    # side keeps its localCheckpoint (measured ~6s -> ~3.5s at sf0.1).
+    # Both sides come from session-materialized shared builds: the
+    # truth pair set (shared with dedup_ngram_capped et al.) and the
+    # 8-hash signature table (shared with dedup_minhash_lsh et al.);
+    # the LSH band/estimate subplan still feeds two consumers, hence
+    # its localCheckpoint.
     truth = capped_jaccard_pairs_materialized(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False,
-        sets=sets,
+        sig=_minhash_sigs8(spark, sf_dir),
     ).select("doc_a", "doc_b").localCheckpoint(eager=True)
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))

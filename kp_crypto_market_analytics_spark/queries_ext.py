@@ -66,6 +66,29 @@ def _minhash_aggs(n: int = 8) -> str:
 # ------------------------------------------------------- MinHash + LSH
 
 
+def _minhash_sigs8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized 8-hash char-4-gram MinHash signature table
+    over ``documents`` — the persisted signature table a deployment
+    keeps next to the corpus.  Shared by dedup_minhash_sig,
+    dedup_minhash_lsh, dedup_incremental, and dedup_lsh_recall's LSH
+    branch; bit-identical to each query's former inline build (same
+    hash64/Mersenne-31 affine family)."""
+    from kp_crypto_market_analytics_spark.operators.dedup import minhash_signatures
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["documents"])
+        return minhash_signatures(
+            t["documents"], "text", "doc_id", num_hashes=8, k=4, use_words=False
+        )
+
+    return session_materialized(
+        spark, f"minhash_sigs:{sf_dir}:nh=8:k=4:words=False", build
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (SURVEY §7 phase 5): 8 minhashes over
     char-4-gram shingles banded 2×4; docs agreeing on all rows of any
@@ -74,7 +97,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size, never the quadratic all-pairs compare."""
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = minhash_lsh_pairs(
-        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False
+        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4,
+        use_words=False, sig=_minhash_sigs8(spark, sf_dir),
     )
     return pairs.orderBy("doc_a", "doc_b")
 
