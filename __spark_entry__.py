@@ -78,6 +78,7 @@ _FIRST_SEEN_ROUND.update(
             "t_countmin_stream_parity",
             "e_label_centroid_audit",
             "e_fisher_separation",
+            "a_kmv_stream_parity",
         )
     }
 )

@@ -1864,6 +1864,174 @@ ORDER BY ni.ta, ni.tb
 """
 
 
+_KMV_STREAM_BATCHES = 4
+
+
+def a_kmv_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch mergeability as STREAMING state, gated:
+    accumulate the k-minimum-values sketch SEQUENTIALLY over
+    arrival-ordered micro-batches (state_k = k-smallest-distinct of
+    state_{k-1} ∪ sketch(batch_k)) and prove each running emission
+    (the full hash set, its order statistics, AND the distinct-count
+    estimate) equals the sketch built directly over the stream prefix
+    — true by the min-wise order-statistic property (the k smallest
+    of a union are contained in the union of each side's k smallest),
+    and the gate catches the implementation ever breaking it.
+
+    Completes the streaming-sketch parity QUARTET: HLL folds by max,
+    DDSketch by bucket count-sum, count-min by cell sum, KMV by
+    union + re-top-k.  Micro-batches = the first 4 event days in
+    arrival order (same scaffold as a_hll_stream_parity); one row per
+    batch mirrors the stream's per-batch emission.  The DuckDB oracle
+    recomputes each PREFIX sketch directly — a broken fold diverges.
+
+    Scale: state is ≤ _KMV_K (256) hashes per key regardless of
+    events seen; each fold round unions ≤ 2k rows and re-ranks; the
+    unpartitioned top-k window runs over the ≤ |distinct users| hash
+    frame of a 4-day slice (gate query — the production path keeps
+    per-partition top-k + merge, identical by associativity)."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("u")
+    )
+    days = e.select("day").distinct()
+    bids = days.select(
+        "day", F.row_number().over(Window.orderBy("day")).alias("bid")
+    ).where(F.col("bid") <= _KMV_STREAM_BATCHES)
+    # Checkpoint the small (bid, h) projection once — the unrolled
+    # fold reads it ~3x per batch (same move as the other gates).
+    eb = (
+        e.join(F.broadcast(bids), "day")
+        .select("bid", hash64(F.concat(F.col("u"), F.lit("#kmv"))).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+
+    def kmv_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select("h")
+            .distinct()
+            .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+            .where(F.col("rn") <= _KMV_K)
+            .select("h")
+        )
+
+    def est_expr(nk, kth):
+        return F.when(nk < _KMV_K, nk.cast("double")).otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(float(_KMV_SCALE))
+                / kth.cast("double"),
+                6,
+            )
+        )
+
+    state: DataFrame | None = None
+    out: DataFrame | None = None
+    for k in range(1, _KMV_STREAM_BATCHES + 1):
+        batch = kmv_of(eb.where(F.col("bid") == k))
+        state = batch if state is None else kmv_of(state.unionByName(batch))
+        direct = kmv_of(eb.where(F.col("bid") <= k))
+        sa = state.select(F.col("h").alias("__sh"))
+        da = direct.select(F.col("h").alias("__dh"))
+        cmp_full = (
+            sa.join(da, sa["__sh"] == da["__dh"], "full_outer")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__sh").isNotNull() & F.col("__dh").isNotNull(), 0
+                        ).otherwise(1)
+                    ),
+                    F.lit(0),
+                ).alias("mismatched")
+            )
+        )
+        s_stats = state.agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.coalesce(F.max("h"), F.lit(0)).alias("kth_value"),
+        )
+        d_stats = direct.agg(
+            F.count(F.lit(1)).alias("__dn"),
+            F.coalesce(F.max("h"), F.lit(0)).alias("__dk"),
+        )
+        n_seen = eb.where(F.col("bid") <= k).agg(
+            F.count(F.lit(1)).alias("n_events_seen")
+        )
+        row = (
+            n_seen.crossJoin(cmp_full)
+            .crossJoin(s_stats)
+            .crossJoin(d_stats)
+            .select(
+                F.lit(k).alias("batch_idx"),
+                "n_events_seen",
+                (F.col("mismatched") == 0).alias("sketch_equal"),
+                "n_kept",
+                "kth_value",
+                est_expr(F.col("n_kept"), F.col("kth_value")).alias("stream_est"),
+                est_expr(F.col("__dn"), F.col("__dk")).alias("direct_est"),
+            )
+            .withColumn(
+                "est_equal", F.col("stream_est") == F.col("direct_est")
+            )
+            .drop("__dn", "__dk")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("batch_idx")
+
+
+def _kmv_stream_parity_sql() -> str:
+    """Oracle: each prefix sketch computed DIRECTLY (no fold) — the
+    engine's sequential union + re-top-k must land on the same hash
+    set and estimate, so sketch_equal/est_equal are literal TRUE
+    here: if the engine's fold ever diverges, its own comparison
+    flags flip false and the hash breaks."""
+    k_, scale = _KMV_K, _KMV_SCALE
+
+    def est_over(src: str) -> str:
+        return (
+            f"SELECT CASE WHEN COUNT(*) < {k_} THEN CAST(COUNT(*) AS DOUBLE) "
+            f"ELSE round({float(k_ - 1)} * {float(scale)} / CAST(MAX(h) AS DOUBLE), 6) "
+            f"END FROM {src}"
+        )
+
+    prefix_ctes = ",\n".join(
+        f"""sk{k} AS MATERIALIZED (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM eb WHERE bid <= {k})
+  ) WHERE rn <= {k_}
+)"""
+        for k in range(1, _KMV_STREAM_BATCHES + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS batch_idx,
+  (SELECT COUNT(*) FROM eb WHERE bid <= {k}) AS n_events_seen,
+  TRUE AS sketch_equal,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM sk{k}) AS n_kept,
+  (SELECT coalesce(MAX(h), 0) FROM sk{k}) AS kth_value,
+  ({est_over(f'sk{k}')}) AS stream_est,
+  ({est_over(f'sk{k}')}) AS direct_est,
+  TRUE AS est_equal"""
+        for k in range(1, _KMV_STREAM_BATCHES + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS u FROM events
+), days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS bid
+  FROM (SELECT DISTINCT day FROM e)
+), eb AS MATERIALIZED (
+  SELECT bid, CAST('0x' || substr(md5(u || '#kmv'), 1, 15) AS BIGINT) AS h
+  FROM e JOIN days USING (day) WHERE bid <= {_KMV_STREAM_BATCHES}
+),
+{prefix_ctes}
+{rows}
+ORDER BY batch_idx
+"""
+
+
 # ------------------------------------------------------ mm_audio_windows
 
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2577,6 +2745,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
     "a_ddsketch_merge": a_ddsketch_merge,
     "a_ddsketch_stream_parity": a_ddsketch_stream_parity,
+    "a_kmv_stream_parity": a_kmv_stream_parity,
     "a_grouping_sets": a_grouping_sets,
     "g_triangle_count": g_triangle_count,
     "g_assoc_rules": g_assoc_rules,
@@ -2602,6 +2771,7 @@ QUALITY_ORACLES: dict[str, str] = {
     "a_ddsketch_quantiles": _dds_quantiles_sql(),
     "a_ddsketch_merge": _dds_merge_sql(),
     "a_ddsketch_stream_parity": _dds_stream_parity_sql(),
+    "a_kmv_stream_parity": _kmv_stream_parity_sql(),
     "a_grouping_sets": _grouping_sets_sql(),
     "g_triangle_count": _triangle_count_sql(),
     "g_assoc_rules": _assoc_rules_sql(),

@@ -1000,3 +1000,72 @@ def test_streaming_countmin_running_emissions_match_gated_fold(spark, tmp_path):
         for counters in got["counters"]
     ]
     assert running_est == list(gated["stream_est"])
+
+
+def test_streaming_kmv_running_emissions_match_gated_fold(spark, tmp_path):
+    # Fourth member of the sketch-parity quartet: the REAL
+    # applyInPandasWithState KMV stream, fed day-batched micro-batches
+    # in arrival order, must reproduce the gated a_kmv_stream_parity
+    # fold emission-for-emission — running n_events_seen, sketch order
+    # statistics, and estimate — and the gate's own equality flags must
+    # all hold.
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        _KMV_STREAM_BATCHES,
+        a_kmv_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.kmv import (
+        distinct_users_kmv_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    gated = a_kmv_stream_parity(spark, sf_dir).toPandas()
+    assert bool(gated["sketch_equal"].all()) and bool(gated["est_equal"].all())
+    assert list(gated["batch_idx"]) == list(range(1, _KMV_STREAM_BATCHES + 1))
+
+    e = (
+        load_tables(spark, sf_dir, ["events"])["events"]
+        .select(
+            F.to_date("ts").alias("day"),
+            F.lit("all").alias("event_type"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+    )
+    days = [r["day"] for r in e.select("day").distinct().orderBy("day").collect()]
+    days = days[:_KMV_STREAM_BATCHES]
+    src = str(tmp_path / "kmv_days")
+    feed = e.select("event_type", "u", "day")
+    for i, d in enumerate(days):
+        feed.where(F.col("day") == F.lit(d)).drop("day").coalesce(1).write.parquet(
+            f"{src}/{i}"
+        )
+
+    stream = (
+        spark.readStream.schema("event_type string, u string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        distinct_users_kmv_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_fold_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("kmv_fold_out")
+        .toPandas()
+        .sort_values("n_events_seen")
+        .reset_index(drop=True)
+    )
+    # one emission per micro-batch; cumulative counts, sketch order
+    # statistics, and running estimates must match the gated fold
+    # row-for-row.
+    assert list(got["n_events_seen"]) == list(gated["n_events_seen"])
+    assert list(got["n_kept"]) == list(gated["n_kept"])
+    assert list(got["kth_value"]) == list(gated["kth_value"])
+    assert list(got["kmv_est"]) == list(gated["stream_est"])
