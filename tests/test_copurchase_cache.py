@@ -73,3 +73,52 @@ def test_cached_matches_uncached_build(spark):
     for u, v, support in cached:
         assert u < v
         assert support >= 2
+
+
+def test_capped_jaccard_materialization_matches_direct_build(spark):
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        capped_jaccard_pairs_materialized,
+        ngram_jaccard_pairs,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    mat = {
+        (r.doc_a, r.doc_b, r.inter_size, r.size_a, r.size_b)
+        for r in capped_jaccard_pairs_materialized(spark, SF_DIR).collect()
+    }
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    direct = {
+        (r.doc_a, r.doc_b, r.inter_size, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=4, threshold=0.6, use_words=False,
+            max_shingle_freq=50,
+        ).collect()
+    }
+    assert mat == direct and len(mat) > 0
+
+
+def test_minhash_sig_materialization_matches_direct_build(spark):
+    from kp_crypto_market_analytics_spark.operators.dedup import minhash_signatures
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs8
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    mat = {tuple(r) for r in _minhash_sigs8(spark, SF_DIR).collect()}
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    direct = {
+        tuple(r)
+        for r in minhash_signatures(
+            docs, "text", "doc_id", num_hashes=8, k=4, use_words=False
+        ).collect()
+    }
+    assert mat == direct and len(mat) > 0
+
+
+def test_simhash_materialization_matches_direct_build(spark):
+    from kp_crypto_market_analytics_spark.operators.dedup import simhash
+    from kp_crypto_market_analytics_spark.queries_ext import _simhash_sigs
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    mat = {tuple(r) for r in _simhash_sigs(spark, SF_DIR).collect()}
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    direct = {tuple(r) for r in simhash(docs, "text", "doc_id").collect()}
+    assert mat == direct and len(mat) > 0
