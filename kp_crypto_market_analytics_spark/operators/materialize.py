@@ -27,12 +27,32 @@ session it was not built on.  Keys must encode every build parameter
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE_ATTR = "_kp_session_materializations"
+
+# Every temp dir ever created by this process, removed at interpreter
+# exit — long-lived drivers (or many short sessions on one host) must
+# not leak materializations into /tmp.  Registered once at import.
+_ALL_DIRS: list[str] = []
+# One build at a time: two threads requesting the same key must not
+# race duplicate builds (double-checked under the lock).  Builds are
+# rare (once per key per session) so a single module lock is enough.
+_BUILD_LOCK = threading.Lock()
+
+
+def _cleanup_dirs() -> None:
+    for d in _ALL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_dirs)
 
 
 def session_materialized(
@@ -47,7 +67,11 @@ def session_materialized(
         cache = {}
         setattr(spark, _CACHE_ATTR, cache)
     if key not in cache:
-        path = tempfile.mkdtemp(prefix="kp_mat_") + "/data"
-        build().write.mode("overwrite").parquet(path)
-        cache[key] = path
+        with _BUILD_LOCK:
+            if key not in cache:  # lost the race → reuse winner's build
+                base = tempfile.mkdtemp(prefix="kp_mat_")
+                _ALL_DIRS.append(base)
+                path = base + "/data"
+                build().write.mode("overwrite").parquet(path)
+                cache[key] = path
     return spark.read.parquet(cache[key])

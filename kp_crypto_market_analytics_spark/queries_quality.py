@@ -1918,7 +1918,10 @@ def a_kmv_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def est_expr(nk, kth):
-        return F.when(nk < _KMV_K, nk.cast("double")).otherwise(
+        # kth <= 0 → exact count: the divisor-zero guard, identical on
+        # all three engines (streaming/kmv.py kmv_estimate, this expr,
+        # the DuckDB est_over twin).
+        return F.when((nk < _KMV_K) | (kth <= 0), nk.cast("double")).otherwise(
             F.round(
                 F.lit(float(_KMV_K - 1))
                 * F.lit(float(_KMV_SCALE))
@@ -1991,7 +1994,8 @@ def _kmv_stream_parity_sql() -> str:
 
     def est_over(src: str) -> str:
         return (
-            f"SELECT CASE WHEN COUNT(*) < {k_} THEN CAST(COUNT(*) AS DOUBLE) "
+            f"SELECT CASE WHEN COUNT(*) < {k_} OR coalesce(MAX(h), 0) <= 0 "
+            f"THEN CAST(COUNT(*) AS DOUBLE) "
             f"ELSE round({float(k_ - 1)} * {float(scale)} / CAST(MAX(h) AS DOUBLE), 6) "
             f"END FROM {src}"
         )
@@ -2607,10 +2611,14 @@ WITH e AS (
     row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
   FROM d
 ), pv AS (
+  -- LEFT JOIN: a vector with no runner-up centroid (degenerate
+  -- single-label input) keeps a NULL margin but still counts in
+  -- n_vecs — matching the Spark side's conditional-agg pivot, which
+  -- never drops rk=2-less vectors.
   SELECT b.label, b.c_label = b.label AS ok,
     CAST(round(s.d2 - b.d2, 6) AS DECIMAL(18,6)) AS margin6
   FROM (SELECT * FROM ranked WHERE rk = 1) b
-  JOIN (SELECT vec_id, d2 FROM ranked WHERE rk = 2) s USING (vec_id)
+  LEFT JOIN (SELECT vec_id, d2 FROM ranked WHERE rk = 2) s USING (vec_id)
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
   CAST(COUNT(*) FILTER (ok) AS BIGINT) AS n_correct,

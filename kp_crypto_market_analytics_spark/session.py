@@ -40,9 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let AQE re-plan partitioning/broadcast over cached frames;
-        # off by default, but the persisted co-purchase pair cache
-        # (operators/copurchase.py) and the dedup signature caches
-        # otherwise pin pre-AQE exchanges on every downstream join.
+        # off by default, but the in-memory .persist() consumers that
+        # remain (the per-query minhash/incremental-LSH signature
+        # persists in operators/dedup.py and localCheckpoint iteration
+        # state) otherwise pin pre-AQE exchanges on every downstream
+        # join.  The shared cross-query datasets use temp-parquet
+        # materialization instead (operators/materialize.py), which
+        # plans like a normal scan and does not depend on this flag.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -353,6 +353,29 @@ def _finish(img: np.ndarray, path: str | None) -> np.ndarray:
     return img
 
 
+def thin_evenly(df: DataFrame, order_col: str, cap: int = 100_000) -> DataFrame:
+    """Deterministic even-stride downsample: keep every ceil(n/cap)-th
+    row in ``order_col`` order, so a frame of any size renders within
+    the chart collect caps while preserving the series' shape.  A
+    no-op (same frame, no sort) when the frame already fits — the
+    golden-pixel fixtures are all under the cap, so goldens are
+    unaffected.  The global row_number sort is a presentation-edge
+    cost, bounded by the chart that consumes it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    if n <= cap:
+        return df
+    stride = -(-n // cap)  # ceil
+    w = Window.orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") - F.lit(1)) % F.lit(stride) == 0)
+        .drop("__rn")
+    )
+
+
 def write_figures(
     artifacts: dict[str, DataFrame],
     out_dir: str,
@@ -409,8 +432,15 @@ def write_figures(
         sym = features.agg(F.min("symbol")).collect()[0][0]
         if sym is not None:
             d = features.where(F.col("symbol") == sym)
+            # Downsample the raw per-minute frame to the chart collect
+            # caps BEFORE rendering: figures stay "additive, never a
+            # gate" — without this, >100k minutes per symbol (~70 days
+            # of 1m candles) would trip the chart row caps and crash
+            # the CLI after the CSV artifacts were already written.
+            dthin = thin_evenly(d, "open_time", cap=100_000)
             line_chart_dual(
-                d, "open_time", "close", "vol_60m", path=out("price_and_vol.png")
+                dthin, "open_time", "close", "vol_60m",
+                path=out("price_and_vol.png"),
             )
             hist_chart(d, "log_ret", bins=200, path=out("returns_hist.png"))
             top = d.orderBy(F.col("anomaly_score").desc(), "open_time").limit(200)
@@ -418,7 +448,9 @@ def write_figures(
                 top,
                 "open_time",
                 "abs_ret",
-                base=d.select("open_time", "abs_ret"),
+                base=thin_evenly(
+                    d.select("open_time", "abs_ret"), "open_time", cap=100_000
+                ),
                 path=out("anomalies_absret.png"),
             )
             # Deterministic 5000-row sample (the reference's seeded

@@ -60,8 +60,11 @@ def kmv_hash(user: str) -> int:
 def kmv_estimate(hashes: list[int]) -> float:
     """Distinct estimate from a sorted sketch: exact count while the
     sketch is not full, (k-1)·scale/kth once it is — identical
-    arithmetic to the gated batch fold."""
-    if len(hashes) < KMV_K:
+    arithmetic to the gated batch fold.  kth <= 0 (a zero hash landing
+    as the kth order statistic) falls back to the exact count so the
+    divisor can never be zero; the batch est_expr and the DuckDB
+    oracle carry the same guard, keeping all three bit-identical."""
+    if len(hashes) < KMV_K or hashes[-1] <= 0:
         return float(len(hashes))
     return round(float(KMV_K - 1) * float(KMV_SCALE) / float(hashes[-1]), 6)
 

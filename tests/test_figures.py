@@ -206,3 +206,32 @@ def test_write_figures_renders_dashboard_set(spark, tmp_path):
     for p in written:
         img = _decode_png(p)
         assert img.size > 0 and len({tuple(c) for c in img.reshape(-1, 3)}) > 1
+
+
+def test_thin_evenly_caps_oversized_frames(spark, tmp_path):
+    # The raw-frame dashboard panels must render at ANY input size:
+    # write_figures thins the per-minute frame to the chart collect
+    # caps, so >100k minutes per symbol can no longer crash the CLI
+    # after the CSV artifacts were written (figures stay additive).
+    small = spark.range(10).selectExpr("id AS t", "CAST(id AS DOUBLE) AS v")
+    assert fig.thin_evenly(small, "t", cap=100).count() == 10  # no-op under cap
+
+    big = spark.range(250_123).selectExpr(
+        "id AS t",
+        "CAST(id % 97 AS DOUBLE) AS a",
+        "CAST(id % 31 AS DOUBLE) AS b",
+    )
+    th = fig.thin_evenly(big, "t", cap=1000)
+    got = th.collect()
+    assert len(got) <= 1000
+    assert got[0]["t"] == 0  # first row always kept
+    ts = [r["t"] for r in got]
+    strides = {b - a for a, b in zip(ts, ts[1:])}
+    assert len(strides) == 1  # even stride, deterministic order
+    assert got == fig.thin_evenly(big, "t", cap=1000).collect()
+
+    # An over-cap frame renders through the dual-axis panel instead of
+    # raising once thinned.
+    p = str(tmp_path / "big.png")
+    fig.line_chart_dual(th, "t", "a", "b", path=p)
+    assert _decode_png(p).size > 0
