@@ -42,9 +42,14 @@ def cmd_price_ticks(args) -> None:
 
 def cmd_collect_klines(args) -> None:
     """collect-klines (main.py:113-120 -> prices_collector.run): fetch
-    per pair, write klines_{SYMBOL}_{TF}.csv."""
+    per pair, write klines_{SYMBOL}_{TF}.csv.  Unlike the reference —
+    which silently truncates any range to 1000 candles per request
+    (api.py:49,66-72) — the paged source walks the full [start, end]
+    range, and the CSV write is a Spark single-file write (no driver
+    toPandas bound)."""
     from kp_crypto_market_analytics_spark.session import get_spark
-    from kp_crypto_market_analytics_spark.sources.binance import fetch_klines
+    from kp_crypto_market_analytics_spark.sinks.artifacts import write_single_csv_file
+    from kp_crypto_market_analytics_spark.sources.binance import fetch_klines_paged
 
     import time
 
@@ -53,10 +58,10 @@ def cmd_collect_klines(args) -> None:
     end_ms = int(time.time() * 1000)
     start_ms = end_ms - args.days * 86_400_000
     for pair in parse_pairs(args.pairs):
-        # fetch_klines returns the canonical typed candle frame
-        df = fetch_klines(spark, pair, args.tf, start_ms=start_ms, end_ms=end_ms)
+        # fetch_klines_paged returns the canonical typed candle frame
+        df = fetch_klines_paged(spark, pair, args.tf, start_ms=start_ms, end_ms=end_ms)
         path = os.path.join(args.out, f"klines_{pair}_{args.tf}.csv")
-        df.toPandas().to_csv(path, index=False)
+        write_single_csv_file(df, path)
         print(f"wrote {path}")
 
 

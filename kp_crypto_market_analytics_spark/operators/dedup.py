@@ -289,6 +289,27 @@ def minhash_signatures(
     return sets.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
 
 
+def lsh_band_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, bucket) rows of the LSH banding: each signature explodes
+    into one struct-keyed bucket per band (band index + that band's
+    minhash rows).  Shared by the pair generators and the bucket-cap
+    audit so the banding can never drift between them."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{j}").alias(f"h{i}")
+            for i, j in enumerate(range(b * rows_per_band, (b + 1) * rows_per_band))
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), *cols).alias(f"__band_{b}"))
+    return sig.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text: str,
@@ -299,14 +320,24 @@ def minhash_lsh_pairs(
     use_words: bool = True,
     sets: DataFrame | None = None,
     sig: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: docs agreeing on ALL rows of any band
     become candidate pairs; estimated Jaccard = fraction of matching
     minhashes.  The band bucket-join replaces the quadratic all-pairs
     comparison — candidates are generated per bucket only.  Pass
     ``sig`` (``minhash_signatures`` output) to reuse an
-    already-computed signature frame."""
-    rows_per_band = num_hashes // bands
+    already-computed signature frame.
+
+    ``max_bucket_size`` is the boilerplate-bucket blowup lever
+    (SCALING.md, MinHash row): a bucket holding B docs emits B²/2
+    candidate pairs, so one boilerplate template shared by 100k docs
+    would emit 5·10⁹ pairs from a single bucket.  With the cap set,
+    buckets holding more than ``max_bucket_size`` docs are dropped
+    from pair generation (the drop is observable —
+    ``lsh_bucket_cap_stats`` reports exactly what was dropped); a
+    single window count on the bucket key decides, adding one shuffle
+    and no join."""
     if sig is None:
         # sig is consumed three times (band buckets + both sides of the
         # estimate join) and is tiny (|docs| × num_hashes longs) while
@@ -317,17 +348,14 @@ def minhash_lsh_pairs(
             df, text, id_col, num_hashes, k, use_words, sets=sets
         ).persist()
 
-    band_cols = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh_{j}").alias(f"h{i}")
-            for i, j in enumerate(range(b * rows_per_band, (b + 1) * rows_per_band))
-        ]
-        band_cols.append(F.struct(F.lit(b).alias("band"), *cols).alias(f"__band_{b}"))
-    buckets = sig.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array(*band_cols)).alias("bucket"),
-    )
+    buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))

@@ -62,6 +62,37 @@ def write_csv_artifact(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_single_csv_file(
+    df: DataFrame, path: str, timestamp_format: str = "yyyy-MM-dd HH:mm:ss"
+) -> None:
+    """Single-FILE headered CSV at ``path`` without collecting rows to
+    the driver: a coalesce(1) Spark write streams executor-side to a
+    temp dir, then the lone part file moves into place.  Replaces the
+    former ``df.toPandas().to_csv`` edge in the collect-klines CLI —
+    that bound broke the moment the paged klines source lifted the
+    1000-row fetch cap.  The timestamp format matches what the
+    tolerant scans' heuristic parse reads back (functions/market.py
+    F2)."""
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="kp_csv_")
+    try:
+        out = tmp + "/out"
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("timestampFormat", timestamp_format)
+            .csv(out)
+        )
+        (part,) = glob.glob(out + "/part-*.csv")
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_json_artifact(df: DataFrame, path: str) -> None:
     """S15 — JSON artifact (one object per line)."""
     df.coalesce(1).write.mode("overwrite").json(path)

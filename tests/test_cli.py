@@ -172,3 +172,31 @@ def test_manifest_backend_load_and_table_ops(tmp_path):
 
     rr = run_cli(["table", "read", "--root", table, "--version", "1"], cwd=data)
     assert json.loads(rr.stdout.strip().splitlines()[-1])["rows"] == out1["rows"]
+
+
+def test_collect_klines_multipage(tmp_path):
+    # The paged source through the CLI: >1000 candles collect + load
+    # with no gap/dup across page seams (the reference's single-shot
+    # fetch silently truncated this range to 1000).
+    data = str(tmp_path / "data")
+    table = str(tmp_path / "warehouse" / "candles")
+    env = dict(os.environ, OFFLINE="1", SPARK_GRAFT_CPUS="4",
+               OFFLINE_KLINES_TOTAL="1205")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "kp_crypto_market_analytics_spark",
+         "collect-klines", "--pairs", "BTCUSDT", "--tf", "1m",
+         "--days", "2", "--out", data],
+        capture_output=True, text=True, env=env, cwd=cwd, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    path = os.path.join(data, "klines_BTCUSDT_1m.csv")
+    with open(path) as f:
+        assert sum(1 for _ in f) == 1206  # header + 1205 candles
+    r = subprocess.run(
+        [sys.executable, "-m", "kp_crypto_market_analytics_spark",
+         "load", "--data", data, "--table", table],
+        capture_output=True, text=True, env=env, cwd=cwd, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == 1205

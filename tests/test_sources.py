@@ -189,3 +189,77 @@ def test_read_documents_jsonl_quarantines_malformed(spark, tmp_path):
     b = bad.collect()
     assert len(b) == 1
     assert "not json" in b[0].raw_line
+
+
+def test_paged_klines_stitch_no_gap_no_dup(spark, monkeypatch):
+    # S2 pagination: the reference silently truncates any range to
+    # 1000 candles per request (api.py:49,66-72).  The pager must walk
+    # the range in page_limit-sized requests and stitch WITHOUT gaps
+    # or duplicates across every page seam.
+    from kp_crypto_market_analytics_spark.sources.binance import (
+        fetch_klines_paged,
+        tf_to_ms,
+    )
+
+    monkeypatch.setenv("OFFLINE_KLINES_TOTAL", "2537")
+    start = 1_700_000_000_000
+    df = fetch_klines_paged(
+        spark, "BTCUSDT", "1m", start_ms=start, page_limit=1000
+    )
+    rows = df.orderBy("open_time").collect()
+    assert len(rows) == 2537  # 3 pages: 1000 + 1000 + 537
+    import datetime as dt
+
+    ms = [int(r["open_time"].replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+          for r in rows]
+    assert ms[0] == start
+    step = tf_to_ms("1m")
+    assert all(b - a == step for a, b in zip(ms, ms[1:]))  # no gap, no dup
+    assert rows[0]["symbol"] == "BTCUSDT" and rows[0]["close"] == 1.0
+
+
+def test_paged_klines_respects_end_and_tf(spark, monkeypatch):
+    from kp_crypto_market_analytics_spark.sources.binance import (
+        fetch_klines_paged,
+        tf_to_ms,
+    )
+
+    monkeypatch.setenv("OFFLINE_KLINES_TOTAL", "500")
+    start = 1_700_000_000_000
+    step = tf_to_ms("1h")
+    # end bound cuts the walk mid-history: only candles <= end survive
+    end = start + 49 * step
+    df = fetch_klines_paged(
+        spark, "ETHUSDT", "1h", start_ms=start, end_ms=end, page_limit=20
+    )
+    assert df.count() == 50
+    assert tf_to_ms("1w") == 7 * 24 * 3_600_000
+    # defaulting total (10) preserves the reference fixture's shape
+    monkeypatch.delenv("OFFLINE_KLINES_TOTAL")
+    assert fetch_klines_paged(spark, "BTCUSDT", "1m", start_ms=start).count() == 10
+
+
+def test_write_single_csv_file_round_trip(spark, tmp_path, monkeypatch):
+    # The Spark single-file CSV write replaces the driver-side
+    # toPandas edge: a paged >1000-row fetch must round-trip through
+    # the tolerant klines scan with nothing lost.
+    from kp_crypto_market_analytics_spark.sinks.artifacts import (
+        write_single_csv_file,
+    )
+    from kp_crypto_market_analytics_spark.sources.binance import (
+        fetch_klines_paged,
+    )
+    from kp_crypto_market_analytics_spark.sources.files import read_klines_csv
+
+    monkeypatch.setenv("OFFLINE_KLINES_TOTAL", "1205")
+    df = fetch_klines_paged(
+        spark, "BTCUSDT", "1m", start_ms=1_700_000_000_000, page_limit=1000
+    )
+    path = str(tmp_path / "klines_BTCUSDT_1m.csv")
+    write_single_csv_file(df, path)
+    with open(path) as f:
+        assert sum(1 for _ in f) == 1206  # header + every candle
+    back = read_klines_csv(spark, path)
+    assert back.count() == 1205
+    assert back.where("symbol = 'BTCUSDT'").count() == 1205
+    assert back.agg({"open_time": "min"}).collect()[0][0] is not None
