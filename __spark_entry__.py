@@ -71,6 +71,9 @@ _FIRST_SEEN_ROUND.update(
 )
 _FIRST_SEEN_ROUND.update({n: 4 for n in ("a_hll_stream_parity",)})
 _FIRST_SEEN_ROUND.update(
+    {n: 6 for n in ("dedup_lsh_bucket_cap", "dedup_stream_parity")}
+)
+_FIRST_SEEN_ROUND.update(
     {
         n: 5
         for n in (

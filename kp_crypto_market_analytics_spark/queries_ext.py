@@ -128,6 +128,137 @@ ORDER BY doc_a, doc_b
 """
 
 
+_LSH_BUCKET_CAP = 8
+
+
+def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH boilerplate-bucket blowup lever, exercised and
+    audited (SCALING.md MinHash row): a band bucket holding B docs
+    emits B(B-1)/2 candidate pairs, so one boilerplate template shared
+    by 100k docs would emit 5·10⁹ pairs from a single bucket.  With
+    ``max_bucket_size`` set, ``minhash_lsh_pairs`` drops over-cap
+    buckets from pair generation; this query reports exactly what the
+    cap did on the real corpus (same 8-hash/2-band signature table the
+    other LSH queries share):
+
+    - n_buckets / buckets_dropped — bucket census at cap 8 (the probe
+      measured real over-cap buckets at every SF: max size 131 at
+      sf0.001, 1337 at sf0.1);
+    - docs_in_dropped — distinct docs routed to the flagged
+      side-channel (a deployment re-processes them with a cheaper
+      exact-hash pass; dropping them from LSH is the documented
+      approximation);
+    - pairs_dropped_bound — Σ B(B-1)/2 over dropped buckets, computed
+      arithmetically WITHOUT expanding the pairs (the whole point of
+      the lever is that these pairs never materialize);
+    - pairs_kept — row count of the real capped generator (the same
+      join path production uses);
+    - pairs_uncapped — the uncapped generator's row count, making the
+      lever's effect visible in one row.
+
+    Scale: everything is one bucket-key shuffle + arithmetic except
+    the two generator counts, and the capped one is the production
+    path whose worst bucket is bounded by construction."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_lsh_pairs,
+    )
+
+    cap = _LSH_BUCKET_CAP
+    t = load_tables(spark, sf_dir, ["documents"])
+    sig = _minhash_sigs8(spark, sf_dir)
+    buckets = lsh_band_buckets(sig, "doc_id", 8, 2)
+    sized = buckets.withColumn(
+        "__bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    )
+    per_bucket = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    census = per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n_docs") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("buckets_dropped"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n_docs") > cap,
+                    F.expr("n_docs * (n_docs - 1) DIV 2"),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("pairs_dropped_bound"),
+    )
+    dropped_docs = (
+        sized.where(F.col("__bn") > cap)
+        .select("doc")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("docs_in_dropped"))
+    )
+    kept_pairs = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4,
+        use_words=False, sig=sig, max_bucket_size=cap,
+    ).agg(F.count(F.lit(1)).alias("pairs_kept"))
+    all_pairs = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4,
+        use_words=False, sig=sig,
+    ).agg(F.count(F.lit(1)).alias("pairs_uncapped"))
+    return (
+        census.crossJoin(dropped_docs)
+        .crossJoin(kept_pairs)
+        .crossJoin(all_pairs)
+        .select(
+            "n_buckets", "buckets_dropped", "docs_in_dropped",
+            "pairs_dropped_bound", "pairs_kept", "pairs_uncapped",
+        )
+    )
+
+
+DEDUP_LSH_BUCKET_CAP_SQL = f"""
+WITH {SHINGLE4_CTE}, sigs AS MATERIALIZED (
+  SELECT doc_id, {_minhash_aggs(8)}
+  FROM sets GROUP BY doc_id
+), bands AS MATERIALIZED (
+  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
+), bsz AS MATERIALIZED (
+  SELECT band, h0, h1, h2, h3, COUNT(*) AS n_docs
+  FROM bands GROUP BY 1, 2, 3, 4, 5
+), census AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+    CAST(coalesce(COUNT(*) FILTER (n_docs > {_LSH_BUCKET_CAP}), 0) AS BIGINT)
+      AS buckets_dropped,
+    CAST(coalesce(SUM(n_docs * (n_docs - 1) // 2)
+      FILTER (n_docs > {_LSH_BUCKET_CAP}), 0) AS BIGINT) AS pairs_dropped_bound
+  FROM bsz
+), dd AS (
+  SELECT CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS docs_in_dropped
+  FROM bands b JOIN bsz s USING (band, h0, h1, h2, h3)
+  WHERE s.n_docs > {_LSH_BUCKET_CAP}
+), kept AS (
+  SELECT b.doc_id, b.band, b.h0, b.h1, b.h2, b.h3
+  FROM bands b JOIN bsz s USING (band, h0, h1, h2, h3)
+  WHERE s.n_docs <= {_LSH_BUCKET_CAP}
+), pk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_kept FROM (
+    SELECT DISTINCT a.doc_id, b.doc_id
+    FROM kept a JOIN kept b
+      ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+     AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+  )
+), pu AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_uncapped FROM (
+    SELECT DISTINCT a.doc_id, b.doc_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+     AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
+  )
+)
+SELECT n_buckets, buckets_dropped, docs_in_dropped, pairs_dropped_bound,
+  pairs_kept, pairs_uncapped
+FROM census, dd, pk, pu
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the char-4-gram
     Jaccard>=0.6 pair graph — each doc labeled with its component's min
@@ -4352,6 +4483,7 @@ FROM flags
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_unigram_logprob": t_unigram_logprob,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_bucket_cap": dedup_lsh_bucket_cap,
     "dedup_clusters": dedup_clusters,
     "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_simhash": dedup_simhash,
@@ -4431,6 +4563,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "t_unigram_logprob": T_UNIGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_lsh_bucket_cap": DEDUP_LSH_BUCKET_CAP_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_ngram_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

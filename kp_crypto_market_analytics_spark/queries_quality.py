@@ -2036,6 +2036,120 @@ ORDER BY batch_idx
 """
 
 
+# ----------------------------------------------------- dedup_stream_parity
+
+_DEDUP_STREAM_BATCHES = 4
+
+
+def dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup as SEQUENTIAL state, gated: fold
+    day-ordered micro-batches through the dedup store (state_k =
+    state_{k-1} ∪ new-keys(batch_k); a batch emits exactly the keys
+    not in the prior state — the dropDuplicatesWithinWatermark
+    semantic with the horizon covering the window) and prove per batch
+    that (a) the fold's emission count equals the first-occurrence
+    count of that batch and (b) the fold's store size equals the
+    distinct-key count of the stream PREFIX recomputed directly.
+    Brings the streaming-dedup family (streaming/dedup.py) into the
+    same parity-gate pattern as the sketch quartet: the DuckDB oracle
+    recomputes every prefix directly (min-first-batch per key), so a
+    fold that ever re-emits a seen key or loses state diverges.
+
+    Scale: state is the distinct-key set — exactly what any exact
+    dedup must hold; the production operator bounds it by watermark
+    eviction (keys older than the horizon age out), and this gate's
+    4-batch window sits entirely inside one horizon so fold == exact.
+    Each round is one left_anti join (shuffle on the key) + counts;
+    localCheckpoint pins each round's result so plan size stays O(1)
+    per round (the other gates' move)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("k")
+    )
+    days = e.select("day").distinct()
+    bids = days.select(
+        "day", F.row_number().over(Window.orderBy("day")).alias("bid")
+    ).where(F.col("bid") <= _DEDUP_STREAM_BATCHES)
+    eb = (
+        e.join(F.broadcast(bids), "day")
+        .select("bid", "k")
+        .localCheckpoint(eager=True)
+    )
+    state: DataFrame | None = None
+    out: DataFrame | None = None
+    for i in range(1, _DEDUP_STREAM_BATCHES + 1):
+        batch_keys = eb.where(F.col("bid") == i).select("k").distinct()
+        new_keys = (
+            batch_keys
+            if state is None
+            else batch_keys.join(state, "k", "left_anti")
+        ).localCheckpoint(eager=True)
+        state = (
+            new_keys
+            if state is None
+            else state.unionByName(new_keys).localCheckpoint(eager=True)
+        )
+        n_new = new_keys.agg(F.count(F.lit(1)).alias("n_new_emitted"))
+        st_size = state.agg(F.count(F.lit(1)).alias("state_size"))
+        direct = (
+            eb.where(F.col("bid") <= i)
+            .select("k")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_distinct_prefix"))
+        )
+        n_seen = eb.where(F.col("bid") <= i).agg(
+            F.count(F.lit(1)).alias("n_events_seen")
+        )
+        row = (
+            n_seen.crossJoin(n_new)
+            .crossJoin(st_size)
+            .crossJoin(direct)
+            .select(
+                F.lit(i).alias("batch_idx"),
+                "n_events_seen",
+                "n_new_emitted",
+                "state_size",
+                "n_distinct_prefix",
+                (F.col("state_size") == F.col("n_distinct_prefix")).alias(
+                    "dedup_ok"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("batch_idx")
+
+
+def _dedup_stream_parity_sql() -> str:
+    """Oracle: each prefix recomputed DIRECTLY — a key's emission batch
+    is its MIN bid, the store size is the prefix's distinct-key count.
+    dedup_ok is literal TRUE: if the engine's fold re-emits or drops a
+    key, its own comparison flag flips false and the hash breaks."""
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS batch_idx,
+  (SELECT COUNT(*) FROM eb WHERE bid <= {k}) AS n_events_seen,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM firstb WHERE mb = {k}) AS n_new_emitted,
+  (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM eb WHERE bid <= {k}) AS state_size,
+  (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM eb WHERE bid <= {k}) AS n_distinct_prefix,
+  TRUE AS dedup_ok"""
+        for k in range(1, _DEDUP_STREAM_BATCHES + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(user_id AS VARCHAR) AS k FROM events
+), days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS bid
+  FROM (SELECT DISTINCT day FROM e)
+), eb AS MATERIALIZED (
+  SELECT bid, k FROM e JOIN days USING (day)
+  WHERE bid <= {_DEDUP_STREAM_BATCHES}
+), firstb AS MATERIALIZED (
+  SELECT k, MIN(bid) AS mb FROM eb GROUP BY k
+)
+{rows}
+ORDER BY batch_idx
+"""
+
+
 # ------------------------------------------------------ mm_audio_windows
 
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2754,6 +2868,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_ddsketch_merge": a_ddsketch_merge,
     "a_ddsketch_stream_parity": a_ddsketch_stream_parity,
     "a_kmv_stream_parity": a_kmv_stream_parity,
+    "dedup_stream_parity": dedup_stream_parity,
     "a_grouping_sets": a_grouping_sets,
     "g_triangle_count": g_triangle_count,
     "g_assoc_rules": g_assoc_rules,
@@ -2780,6 +2895,7 @@ QUALITY_ORACLES: dict[str, str] = {
     "a_ddsketch_merge": _dds_merge_sql(),
     "a_ddsketch_stream_parity": _dds_stream_parity_sql(),
     "a_kmv_stream_parity": _kmv_stream_parity_sql(),
+    "dedup_stream_parity": _dedup_stream_parity_sql(),
     "a_grouping_sets": _grouping_sets_sql(),
     "g_triangle_count": _triangle_count_sql(),
     "g_assoc_rules": _assoc_rules_sql(),

@@ -441,3 +441,32 @@ def test_prefix_jaccard_equals_direct_join_at_awkward_thresholds(spark):
         # the deliberate boundary pair must be present at its threshold
         if t in (0.07,):
             assert any(p[:2] == (0, 1) for p in got), got
+
+
+def test_lsh_bucket_cap_drops_boilerplate_blowup(spark):
+    # SCALING.md's MinHash lever, now in code: a boilerplate template
+    # shared by B docs lands them all in one band bucket, whose
+    # uncapped join emits B(B-1)/2 pairs.  max_bucket_size routes the
+    # bucket out of pair generation entirely.
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    boiler = [(i, "the exact same boilerplate disclaimer text " * 3)
+              for i in range(60)]
+    near = [
+        (100, "a genuinely distinctive document about spark shuffles"),
+        (101, "a genuinely distinctive document about spark shuffle"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    kw = dict(num_hashes=8, bands=2, k=4, use_words=False)
+    uncapped = minhash_lsh_pairs(df, "text", "doc_id", **kw)
+    capped = minhash_lsh_pairs(df, "text", "doc_id", max_bucket_size=8, **kw)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 60 * 59 // 2  # the blowup is real
+    assert n_cap < 60            # and the cap removes it
+    # the near-dup pair in a small bucket survives the cap
+    kept = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (100, 101) in kept
+    # identical-text clones never pair once their bucket is dropped
+    assert all(a >= 100 or b >= 100 for a, b in kept)

@@ -1069,3 +1069,58 @@ def test_streaming_kmv_running_emissions_match_gated_fold(spark, tmp_path):
     assert list(got["n_kept"]) == list(gated["n_kept"])
     assert list(got["kth_value"]) == list(gated["kth_value"])
     assert list(got["kmv_est"]) == list(gated["stream_est"])
+
+
+def test_streaming_dedup_running_emissions_match_gated_fold(spark, tmp_path):
+    # Streaming dedup joins the parity-gate pattern: the REAL
+    # dropDuplicatesWithinWatermark operator, fed day-batched
+    # micro-batches in arrival order, must emit exactly the
+    # first-occurrence keys the gated dedup_stream_parity fold counts
+    # — per batch, and with no key ever emitted twice.
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        _DEDUP_STREAM_BATCHES,
+        dedup_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.dedup import dedup_exact_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    gated = dedup_stream_parity(spark, sf_dir).toPandas()
+    assert bool(gated["dedup_ok"].all())
+    assert list(gated["batch_idx"]) == list(range(1, _DEDUP_STREAM_BATCHES + 1))
+    assert int(gated["n_new_emitted"].sum()) == int(gated["state_size"].iloc[-1])
+
+    e = load_tables(spark, sf_dir, ["events"])["events"].select(
+        F.to_date("ts").alias("day"),
+        F.col("ts").alias("ts"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    days = [r["day"] for r in e.select("day").distinct().orderBy("day").collect()]
+    days = days[:_DEDUP_STREAM_BATCHES]
+    src = str(tmp_path / "dedup_days")
+    for i, d in enumerate(days):
+        e.where(F.col("day") == F.lit(d)).coalesce(1).write.parquet(f"{src}/{i}")
+
+    stream = (
+        spark.readStream.schema("day date, ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        dedup_exact_stream(stream, ["k"], ts_col="ts", watermark="30 days")
+        .writeStream.format("memory")
+        .queryName("dedup_fold_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_fold_out").toPandas()
+    assert got["k"].is_unique  # a seen key is never re-emitted
+    assert len(got) == int(gated["state_size"].iloc[-1])
+    per_day = got.groupby("day").size()
+    for idx, d in enumerate(days, start=1):
+        want = int(gated.loc[gated["batch_idx"] == idx, "n_new_emitted"].iloc[0])
+        assert int(per_day.get(d, 0)) == want
