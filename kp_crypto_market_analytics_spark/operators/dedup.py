@@ -387,11 +387,14 @@ def incremental_lsh_pairs(
     k: int = 4,
     use_words: bool = False,
     sig: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup ingest: candidate pairs where at least one
     side belongs to the NEW batch (``is_new`` boolean column expr) —
     the production path that dedups today's documents against the
     standing corpus without re-comparing old×old.
+    ``max_bucket_size`` applies the same boilerplate-bucket cap as
+    ``minhash_lsh_pairs`` (over-cap buckets never join).
 
     The band bucket-join is NEW-batch × whole-corpus: the probe side is
     |batch| rows, so each ingest costs O(batch × bucket-mates), not
@@ -420,6 +423,13 @@ def incremental_lsh_pairs(
         F.col("__new").alias("new"),
         F.explode(F.array(*band_cols)).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     probe = buckets.where(F.col("new"))
     cand = (
         probe.alias("x")

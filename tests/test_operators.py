@@ -470,3 +470,23 @@ def test_lsh_bucket_cap_drops_boilerplate_blowup(spark):
     assert (100, 101) in kept
     # identical-text clones never pair once their bucket is dropped
     assert all(a >= 100 or b >= 100 for a, b in kept)
+
+
+def test_incremental_lsh_honors_bucket_cap(spark):
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    boiler = [(i, "the exact same boilerplate disclaimer text " * 3)
+              for i in range(40)]
+    df = spark.createDataFrame(boiler, "doc_id long, text string")
+    is_new = F.col("doc_id") >= 30
+    kw = dict(num_hashes=8, bands=2, k=4, use_words=False)
+    uncapped = incremental_lsh_pairs(df, is_new, "text", "doc_id", **kw)
+    capped = incremental_lsh_pairs(
+        df, is_new, "text", "doc_id", max_bucket_size=8, **kw
+    )
+    assert uncapped.count() >= 10 * 30  # every new doc pairs with all old
+    assert capped.count() == 0          # the boilerplate bucket is dropped
