@@ -1,0 +1,194 @@
+"""Extend the scaling curve one step past the largest driver fixture.
+
+The committed curve (tools/scaling_curve.py) stops at sf0.1 — the
+largest on-disk testdata — so its 0.01→0.1 decade is the only measured
+growth step.  This tool synthesizes a 4× corpus FROM sf0.1 (the driver
+fixtures stay untouched) and re-times the worst-ratio queries on it,
+catching any superlinear term the measured decade hides.
+
+Synthesis preserves the statistical structure that drives each
+query's cost, without inflating cross-copy duplicate density:
+
+- documents ×4: each extra copy shifts doc_id and applies a
+  copy-specific letter rotation to the text (every shingle/word
+  changes ⇒ no cross-copy near-dups; each copy reproduces the
+  corpus's INTERNAL dup/boilerplate structure exactly).
+- embeddings ×4: each extra copy shifts vec_id and flips the sign of
+  a copy-specific subset of dimensions — an isometry, so intra-copy
+  cosine structure is bit-identical to the original corpus while
+  cross-copy cosines scatter to ~0 (no phantom near-dup pairs).
+- events ×4: each extra copy shifts event_id/user_id and advances ts
+  by the span of the original window (per-day density and per-user
+  cardinality shapes are preserved; the time range and user universe
+  grow with the corpus, as they would in production).
+
+Queries that consume only these tables can be timed honestly; TPC-H
+queries are excluded (their FK-consistent synthesis belongs to the
+driver's generator, not this tool).
+
+Usage:
+  python tools/scaling_extend.py synth [out_dir]      # build sf0.4 corpus
+  python tools/scaling_extend.py run [out_dir] [json] # time worst queries
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_DIR = "/root/repo/testdata_synth/sf0.4"
+DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r06.json"
+SRC = "/root/testdata/sf0.1"
+COPIES = 4
+DATA_RATIO = float(COPIES)
+MIN_HI_SEC = 2.0
+FLAG_FACTOR = 1.5
+
+# Worst 0.01→0.1 growth ratios from SCALING_CURVE_r05.json that touch
+# only the synthesizable tables (documents / embeddings / events).
+WORST_QUERIES = [
+    "sim_neardup_pairs",      # 3.96x
+    "t_fingerprint_winnow",   # 3.28x
+    "dedup_minhash_lsh",      # 2.93x
+    "f2_heuristic_time_parse",  # 2.63x
+    "sim_neardup_lsh",        # 2.61x
+    "dedup_minhash_sig",      # 2.43x
+    "t_source_overlap",       # 2.21x
+    "dedup_lsh_recall",       # 2.14x
+    "w_sessionize",           # 2.08x
+    "e3_anomaly_pipeline",    # 2.07x
+]
+
+ID_STRIDE = 100_000_000
+
+
+def synth(out_dir: str) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    def copies_sql(per_copy_select: str) -> str:
+        return " UNION ALL ".join(
+            per_copy_select.format(c=c) for c in range(COPIES)
+        )
+
+    # documents: letter rotation per copy c (c=0 is the original).
+    # translate() source/target alphabets rotated by 7*c keep
+    # case/digits/punct/whitespace untouched — token boundaries,
+    # lengths, and repetition structure survive verbatim.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    doc_selects = []
+    for c in range(COPIES):
+        if c == 0:
+            t = "text"
+        else:
+            rot = alpha[7 * c % 26:] + alpha[: 7 * c % 26]
+            t = (
+                f"translate(text, '{alpha}{alpha.upper()}', "
+                f"'{rot}{rot.upper()}')"
+            )
+        doc_selects.append(
+            f"SELECT doc_id + {c * ID_STRIDE} AS doc_id, {t} AS text, "
+            f"lang, source, n_chars FROM src"
+        )
+    con.execute(
+        f"""COPY (WITH src AS (SELECT * FROM '{SRC}/documents.parquet')
+        {' UNION ALL '.join(doc_selects)})
+        TO '{out_dir}/documents.parquet' (FORMAT PARQUET)"""
+    )
+
+    # embeddings: per-copy sign flip of dimensions where
+    # (dim + copy) % 4 == 0 — an isometry (norms and intra-copy
+    # angles preserved exactly); copy 0 is the original.
+    emb_selects = []
+    for c in range(COPIES):
+        if c == 0:
+            e = "embedding"
+        else:
+            e = (
+                "list_transform(embedding, (x, i) -> "
+                f"CASE WHEN (i + {c}) % 4 = 0 THEN -x ELSE x END)"
+            )
+        emb_selects.append(
+            f"SELECT vec_id + {c * ID_STRIDE} AS vec_id, "
+            f"CAST({e} AS FLOAT[]) AS embedding, label FROM src"
+        )
+    con.execute(
+        f"""COPY (WITH src AS (SELECT * FROM '{SRC}/embeddings.parquet')
+        {' UNION ALL '.join(emb_selects)})
+        TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+
+    # events: shift ids and advance ts by c * (span + 1 day).
+    con.execute(
+        f"""COPY (WITH src AS (SELECT * FROM '{SRC}/events.parquet'),
+        span AS (SELECT CAST(date_diff('day', MIN(ts), MAX(ts)) + 1 AS BIGINT) AS d FROM src)
+        {copies_sql(
+            "SELECT event_id + {c} * " + str(ID_STRIDE) + " AS event_id, "
+            "ts + INTERVAL ({c} * (SELECT d FROM span)) DAY AS ts, "
+            "user_id + {c} * " + str(ID_STRIDE) + " AS user_id, "
+            "event_type, value, props FROM src"
+        )})
+        TO '{out_dir}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in ("documents", "embeddings", "events"):
+        n = con.execute(f"SELECT count(*) FROM '{out_dir}/{t}.parquet'").fetchone()[0]
+        print(f"# synth {t}: {n} rows")
+
+
+def run(sf_dir: str, out_json: str) -> None:
+    import gc
+
+    from bench import _bench_session, _time_query
+
+    times: dict[str, dict[str, float]] = {}
+    for tag, d in (("0.1", SRC), ("0.4synth", sf_dir)):
+        spark = _bench_session()
+        for name in WORST_QUERIES:
+            sec, _ = _time_query(spark, name, d)
+            times.setdefault(name, {})[tag] = sec
+            print(f"# sf{tag} {name}: {sec:.3f}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            gc.collect()
+        spark.stop()
+
+    report, flagged = {}, []
+    for name, t in times.items():
+        ratio = round(t["0.4synth"] / t["0.1"], 2) if t.get("0.1") else None
+        superlinear = (
+            ratio is not None
+            and t["0.4synth"] >= MIN_HI_SEC
+            and ratio > FLAG_FACTOR * DATA_RATIO
+        )
+        report[name] = {**{k: round(v, 3) for k, v in t.items()},
+                        "ratio_0.4_over_0.1": ratio,
+                        "superlinear": superlinear}
+        if superlinear:
+            flagged.append(name)
+    out = {
+        "metric": "scaling_curve_extension",
+        "data_ratio": DATA_RATIO,
+        "flag_rule": f"ratio > {FLAG_FACTOR} * data_ratio and t_hi >= {MIN_HI_SEC}s",
+        "synth": "4x sf0.1 documents/embeddings/events (tools/scaling_extend.py)",
+        "queries": report,
+        "flagged": flagged,
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"flagged": flagged, "written": out_json}))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    d = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_DIR
+    if mode == "synth":
+        synth(d)
+    elif mode == "run":
+        run(d, sys.argv[3] if len(sys.argv) > 3 else DEFAULT_OUT)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
