@@ -696,3 +696,126 @@ def connected_component_labels(
             f"max_iters; raise max_iters (rounds needed = graph diameter)"
         )
     return labels.select(F.col("node").alias(node_col), F.col("label").alias("cluster_id"))
+
+
+def _semantic_clustered(
+    emb: DataFrame, cents: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid cluster assignment carrying the vector:
+    (cluster_id, vid, cvec, cnorm).  The centroid table broadcasts for
+    assignment (operators.similarity.ivf_assign — skinny max_by rows,
+    no vectors in that exchange); the returned frame is what shuffles
+    ONCE hashed on cluster_id into the within-cell comparison."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        norm,
+        to_double_array,
+    )
+    from kp_crypto_market_analytics_spark.operators.similarity import ivf_assign
+
+    c = ensure_parallelism(
+        emb.select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("cvec"))
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    assign = ivf_assign(c, cents, id_col="vid")
+    return c.join(assign, "vid").select(
+        F.col("centroid_id").alias("cluster_id"), "vid", "cvec", "cnorm"
+    )
+
+
+def _semantic_pairs(clustered: DataFrame, tau: float) -> DataFrame:
+    """Within-cell (a<b) pairs with 6dp-rounded cosine >= tau."""
+    from kp_crypto_market_analytics_spark.functions.vectors import cosine_with_norms
+
+    a = clustered.select(
+        "cluster_id",
+        F.col("vid").alias("id_a"),
+        F.col("cvec").alias("va"),
+        F.col("cnorm").alias("na"),
+    )
+    b = clustered.select(
+        "cluster_id",
+        F.col("vid").alias("id_b"),
+        F.col("cvec").alias("vb"),
+        F.col("cnorm").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster_id",
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+    )
+
+
+def semantic_neardup_pairs(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): assign every embedding to its nearest k-means
+    centroid, then compare pairs ONLY within a cluster cell — cosine >=
+    ``tau`` marks a semantic duplicate.  Returns the raw within-cell
+    pairs (cluster_id, id_a, id_b, cos); the greedy min-id keep rule
+    lives in :func:`semantic_dedup_census`.
+
+    Scale shape: candidate generation is linear in corpus size (the
+    quadratic stage is bounded per cell at (n/C)²) — C is the knob that
+    keeps cells small, and an over-size cell is the same blowup the LSH
+    bucket cap guards (route over-cap cells to a sampled or
+    hierarchical second pass; same lever as minhash_lsh_pairs
+    max_bucket_size).  Cross-engine exactness: assignment uses the
+    rounded-cosine argmax with centroid-id tiebreak, and the pair
+    filter compares the 6dp-rounded cosine — both replayed verbatim by
+    the DuckDB oracle."""
+    return _semantic_pairs(_semantic_clustered(emb, cents, vec_col, id_col), tau)
+
+
+def semantic_dedup_census(
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.35,
+) -> DataFrame:
+    """Per-cluster SemDeDup census: (cluster_id, n_vecs, n_pairs,
+    n_dropped, n_kept), one row per non-empty cell, ordered by cell.
+
+    The keep rule is the greedy min-id survivor: a vector is DROPPED
+    iff some smaller-id vector in its cell sits within the tau-ball
+    (count(DISTINCT id_b) over qualifying pairs).  One assignment pass
+    feeds both the cell sizes and the pair stage, so the census costs
+    the detector run plus two skinny aggregates."""
+    clustered = _semantic_clustered(emb, cents, vec_col, id_col)
+    sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    stats = (
+        _semantic_pairs(clustered, tau)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_dropped"),
+        )
+    )
+    return (
+        sizes.join(stats, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce(F.col("n_dropped"), F.lit(0).cast("long")).alias("n_dropped"),
+            (
+                F.col("n_vecs")
+                - F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )

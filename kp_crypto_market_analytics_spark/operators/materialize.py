@@ -44,7 +44,11 @@ _ALL_DIRS: list[str] = []
 # One build at a time: two threads requesting the same key must not
 # race duplicate builds (double-checked under the lock).  Builds are
 # rare (once per key per session) so a single module lock is enough.
-_BUILD_LOCK = threading.Lock()
+# REENTRANT because builds compose: a materialized build may itself
+# request another materialization (the trained-IVF top-k build reads
+# the materialized centroid table) — a plain Lock would self-deadlock
+# on that nested acquire.
+_BUILD_LOCK = threading.RLock()
 
 
 def _cleanup_dirs() -> None:

@@ -647,6 +647,30 @@ ORDER BY query_id, rank
 """
 
 
+def _kmeans_cents37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized trained centroid table (mod-37 seeds, 2
+    Lloyd iterations) — the TRAINING artifact shared by the IVF search
+    family (sim_ivf_trained via _ivf_trained_topk5) and the semantic
+    dedup census (dedup_semantic).  Training is the expensive stage
+    (per-iteration assignment + mean recompute over the whole corpus);
+    at 100 TB it runs once and every consumer reads the C-row table —
+    exactly what temp-parquet materialization models."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+    from kp_crypto_market_analytics_spark.operators.similarity import kmeans_centroids
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["embeddings"])
+        return kmeans_centroids(
+            t["embeddings"], "embedding", "vec_id", seed_mod=37, iters=2
+        )
+
+    return session_materialized(
+        spark, f"kmeans_cents:{sf_dir}:mod=37:iters=2", build
+    )
+
+
 def _ivf_trained_topk5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-materialized trained-IVF top-5 result — the detector
     output shared by sim_ivf_trained (the headline search) and
@@ -657,13 +681,12 @@ def _ivf_trained_topk5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kp_crypto_market_analytics_spark.operators.materialize import (
         session_materialized,
     )
-    from kp_crypto_market_analytics_spark.operators.similarity import kmeans_centroids
 
     def build() -> DataFrame:
         t = load_tables(spark, sf_dir, ["embeddings"])
         emb = t["embeddings"]
         queries = emb.where(F.col("vec_id") < 10)
-        cents = kmeans_centroids(emb, "embedding", "vec_id", seed_mod=37, iters=2)
+        cents = _kmeans_cents37(spark, sf_dir)
         return ivf_topk(
             emb, queries, "embedding", "vec_id", k=5, nprobe=2, centroids=cents
         )
@@ -683,11 +706,13 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_trained_topk5(spark, sf_dir).orderBy("query_id", "rank")
 
 
-def _ivf_trained_sql(iters: int = 2, seed_mod: int = 37, dim: int = 64,
-                     nprobe: int = 2, k: int = 5) -> str:
-    # Unrolled Lloyd iterations, arithmetic in lockstep with
-    # kmeans_centroids: rounded-cosine argmax with cluster-id tiebreak,
-    # DECIMAL(27,12) sums (exact => order-independent), 6dp means.
+def _lloyd_cte(iters: int = 2, seed_mod: int = 37, dim: int = 64) -> tuple[str, str]:
+    """Unrolled k-means TRAINING as a DuckDB CTE prefix, shared by every
+    oracle that consumes the trained centroids (sim_ivf_trained,
+    dedup_semantic).  Arithmetic in lockstep with kmeans_centroids:
+    rounded-cosine argmax with cluster-id tiebreak, DECIMAL(27,12) sums
+    (exact => order-independent), 6dp means.  Returns (sql_prefix,
+    final_cents_cte_name); the prefix also defines ``c`` (nid, cvec)."""
     parts = [f"""WITH c AS (
   SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings
 ), cents0 AS (
@@ -711,6 +736,13 @@ def _ivf_trained_sql(iters: int = 2, seed_mod: int = 37, dim: int = 64,
   SELECT cluster, list(m ORDER BY pos) AS cent FROM m{i} GROUP BY cluster
 )""")
         prev = f"cents{i}"
+    return "".join(parts), prev
+
+
+def _ivf_trained_sql(iters: int = 2, seed_mod: int = 37, dim: int = 64,
+                     nprobe: int = 2, k: int = 5) -> str:
+    prefix, prev = _lloyd_cte(iters, seed_mod, dim)
+    parts = [prefix]
     parts.append(f""", cassign AS (
   SELECT neighbor_id, cvec, centroid_id FROM (
     SELECT c.nid AS neighbor_id, c.cvec, kc.cluster AS centroid_id,
@@ -740,6 +772,66 @@ def _ivf_trained_sql(iters: int = 2, seed_mod: int = 37, dim: int = 64,
 SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank""")
     return "".join(parts)
+
+
+_SEMANTIC_TAU = 0.35
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup census (Abbas et al. 2023): k-means
+    cells over the embedding corpus (the SAME session-materialized
+    trained centroids sim_ivf_trained searches — training runs once,
+    both consumers read the C-row table), within-cell cosine >= tau
+    pairs, greedy min-id survivor.  One row per non-empty cell:
+    (cluster_id, n_vecs, n_pairs, n_dropped, n_kept).
+
+    This is the embedding-space member of the dedup family — it
+    catches SEMANTIC duplicates (paraphrases, re-encodings) that the
+    lexical detectors (minhash/simhash/jaccard) structurally miss.
+    Scale: assignment broadcasts C centroids, vectors shuffle once
+    hashed on cluster_id, the quadratic stage is bounded per cell at
+    (n/C)²; tau = 0.35 is calibrated to the isotropic synthetic
+    corpus (max pair cosine ~0.5-0.6).  Exactness: rounded-cosine
+    argmax assignment + 6dp pair cosines — the DuckDB oracle replays
+    the unrolled Lloyd training (shared _lloyd_cte) and the same
+    census arithmetic."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        semantic_dedup_census,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    cents = _kmeans_cents37(spark, sf_dir)
+    return semantic_dedup_census(
+        t["embeddings"], cents, "embedding", "vec_id", tau=_SEMANTIC_TAU
+    )
+
+
+def _semantic_dedup_sql(iters: int = 2, seed_mod: int = 37, dim: int = 64) -> str:
+    prefix, prev = _lloyd_cte(iters, seed_mod, dim)
+    return f"""{prefix}, cassign AS (
+  SELECT nid, cvec, centroid_id FROM (
+    SELECT c.nid, c.cvec, kc.cluster AS centroid_id,
+      row_number() OVER (PARTITION BY c.nid
+        ORDER BY round(list_cosine_similarity(c.cvec, kc.cent), 6) DESC, kc.cluster) AS rn
+    FROM c, {prev} AS kc
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT x.centroid_id AS cluster_id, x.nid AS id_a, y.nid AS id_b
+  FROM cassign x JOIN cassign y
+    ON x.centroid_id = y.centroid_id AND x.nid < y.nid
+  WHERE round(list_cosine_similarity(x.cvec, y.cvec), 6) >= {_SEMANTIC_TAU}
+), sizes AS (
+  SELECT centroid_id AS cluster_id, count(*) AS n_vecs FROM cassign GROUP BY 1
+), ps AS (
+  SELECT cluster_id, count(*) AS n_pairs, count(DISTINCT id_b) AS n_dropped
+  FROM pairs GROUP BY 1
+)
+SELECT s.cluster_id, s.n_vecs,
+  coalesce(ps.n_pairs, 0) AS n_pairs,
+  coalesce(ps.n_dropped, 0) AS n_dropped,
+  s.n_vecs - coalesce(ps.n_dropped, 0) AS n_kept
+FROM sizes s LEFT JOIN ps USING (cluster_id)
+ORDER BY cluster_id"""
 
 
 def e_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4484,6 +4576,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_unigram_logprob": t_unigram_logprob,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_bucket_cap": dedup_lsh_bucket_cap,
+    "dedup_semantic": dedup_semantic,
     "dedup_clusters": dedup_clusters,
     "dedup_ngram_capped": dedup_ngram_capped,
     "dedup_simhash": dedup_simhash,
@@ -4564,6 +4657,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_unigram_logprob": T_UNIGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_lsh_bucket_cap": DEDUP_LSH_BUCKET_CAP_SQL,
+    "dedup_semantic": _semantic_dedup_sql(),
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_ngram_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

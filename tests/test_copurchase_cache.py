@@ -122,3 +122,47 @@ def test_simhash_materialization_matches_direct_build(spark):
     docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
     direct = {tuple(r) for r in simhash(docs, "text", "doc_id").collect()}
     assert mat == direct and len(mat) > 0
+
+
+def test_kmeans_cents_materialized_matches_direct(spark):
+    """The session-materialized trained-centroid table shared by
+    sim_ivf_trained and dedup_semantic must equal the direct
+    kmeans_centroids build row-for-row."""
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.queries_ext import _kmeans_cents37
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    direct = {
+        r["centroid_id"]: tuple(r["cent"])
+        for r in kmeans_centroids(
+            emb, "embedding", "vec_id", seed_mod=37, iters=2
+        ).collect()
+    }
+    mat = {
+        r["centroid_id"]: tuple(r["cent"])
+        for r in _kmeans_cents37(spark, SF_DIR).collect()
+    }
+    assert mat == direct and len(mat) > 0
+
+
+def test_nested_materialized_builds_do_not_deadlock(spark):
+    """A materialized build may itself request another materialization
+    (trained-IVF top-k reads the materialized centroid table) — the
+    build lock must be reentrant or this self-deadlocks."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+
+    def inner():
+        return spark.range(4).selectExpr("id AS a")
+
+    def outer():
+        return session_materialized(spark, "test:nested:inner", inner).selectExpr(
+            "a * 2 AS b"
+        )
+
+    got = session_materialized(spark, "test:nested:outer", outer)
+    assert sorted(r["b"] for r in got.collect()) == [0, 2, 4, 6]

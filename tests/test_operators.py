@@ -490,3 +490,48 @@ def test_incremental_lsh_honors_bucket_cap(spark):
     )
     assert uncapped.count() >= 10 * 30  # every new doc pairs with all old
     assert capped.count() == 0          # the boilerplate bucket is dropped
+
+
+def test_semantic_dedup_census_greedy_minid(spark):
+    # SemDeDup semantics on a constructed 2-cell corpus: exact and
+    # scaled duplicates inside a cell are dropped (min-id survivor),
+    # low-cosine cellmates are kept, the equidistant vector lands in
+    # the LOWER centroid id (assignment tie-break), and a high-cosine
+    # pair SPLIT ACROSS CELLS is missed — the documented recall
+    # approximation of cluster-scoped dedup.
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        semantic_dedup_census,
+        semantic_neardup_pairs,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 1.0), (1, [0.0, 0.0, 1.0, 0.0], 1.0)],
+        "centroid_id long, cent array<double>, centnorm double",
+    )
+    vecs = [
+        (0, [10.0, 0.3, 0.0, 0.0]),   # cell 0 survivor
+        (1, [10.0, 0.3, 0.0, 0.0]),   # exact dup of 0 -> dropped
+        (2, [20.0, 0.6, 0.0, 0.0]),   # scaled dup of 0 (cos=1) -> dropped
+        (3, [10.0, -9.0, 0.0, 0.0]),  # cell 0, cos(0,3)~0.72 < tau -> kept
+        (4, [0.0, 0.0, 10.0, 0.5]),   # cell 1 survivor
+        (5, [0.0, 0.0, 10.0, 0.5]),   # exact dup of 4 -> dropped
+        (6, [0.0, 9.0, 10.0, 0.0]),   # cell 1, cos(4,6)~0.74 -> kept
+        (7, [7.0, 0.0, 7.0, 0.0]),    # equidistant: tie-break -> cell 0
+        (8, [6.0, 0.0, 8.0, 0.0]),    # cell 1; cos(7,8)=0.99 but cross-cell
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    census = {
+        r["cluster_id"]: (r["n_vecs"], r["n_pairs"], r["n_dropped"], r["n_kept"])
+        for r in semantic_dedup_census(emb, cents, tau=0.8).collect()
+    }
+    assert census == {0: (5, 3, 2, 3), 1: (4, 1, 1, 3)}
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_neardup_pairs(emb, cents, tau=0.8).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2), (4, 5)}
+    # The cross-cell near-dup (7, 8) is structurally invisible to
+    # cluster-scoped comparison — the known SemDeDup approximation.
+    assert (7, 8) not in pairs
