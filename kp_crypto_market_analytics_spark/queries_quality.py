@@ -2862,8 +2862,80 @@ ORDER BY fisher_score DESC, dim LIMIT 10
 """
 
 
+_K_ANON_KS = (2, 5, 10, 20)
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-
+    identifier (c_nationkey, c_mktsegment) — the privacy-risk check a
+    training-data pipeline runs before releasing joined user data
+    (Sweeney 2002: a row is k-anonymous iff at least k rows share its
+    quasi-identifier combination).  One row per k in (2, 5, 10, 20):
+
+    - n_groups / groups_below_k — QI-combination census;
+    - rows_below_k — individuals re-identifiable at that k (their QI
+      group is smaller than k);
+    - risk_ppm — rows_below_k as integer ppm of the table (exact DIV,
+      no float boundary);
+    - min_group_size — the table's realized anonymity level (the
+      largest k the table satisfies everywhere).
+
+    Scale: the QI group table aggregates FIRST (one shuffle on the QI
+    key, map-side combined), and the k-expansion cross-joins the tiny
+    k list against that skinny group table — the base table is scanned
+    once regardless of how many k thresholds are audited."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    g = t["customer"].groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ks = spark.createDataFrame([(k,) for k in _K_ANON_KS], "k int")
+    return (
+        g.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("groups_below_k"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("rows_below_k"),
+            F.min("n").alias("min_group_size"),
+        )
+        .withColumn("risk_ppm", F.expr("rows_below_k * 1000000 DIV n_rows"))
+        .select(
+            "k", "n_rows", "n_groups", "groups_below_k", "rows_below_k",
+            "risk_ppm", "min_group_size",
+        )
+        .orderBy("k")
+    )
+
+
+def _dq_k_anonymity_sql() -> str:
+    ks = ", ".join(str(k) for k in _K_ANON_KS)
+    return f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+), ks AS (SELECT unnest([{ks}]) AS k)
+SELECT ks.k,
+  CAST(SUM(g.n) AS BIGINT) AS n_rows,
+  count(*) AS n_groups,
+  CAST(SUM(CASE WHEN g.n < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+  CAST(SUM(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END) AS BIGINT) AS rows_below_k,
+  CAST(SUM(CASE WHEN g.n < ks.k THEN g.n ELSE 0 END) * 1000000 AS BIGINT)
+    // CAST(SUM(g.n) AS BIGINT) AS risk_ppm,
+  MIN(g.n) AS min_group_size
+FROM ks CROSS JOIN g
+GROUP BY ks.k
+ORDER BY ks.k
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
+    "dq_k_anonymity": dq_k_anonymity,
     "a_ddsketch_quantiles": a_ddsketch_quantiles,
     "a_ddsketch_merge": a_ddsketch_merge,
     "a_ddsketch_stream_parity": a_ddsketch_stream_parity,
@@ -2891,6 +2963,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 QUALITY_ORACLES: dict[str, str] = {
     "dq_constraints": _dq_constraints_sql(),
+    "dq_k_anonymity": _dq_k_anonymity_sql(),
     "a_ddsketch_quantiles": _dds_quantiles_sql(),
     "a_ddsketch_merge": _dds_merge_sql(),
     "a_ddsketch_stream_parity": _dds_stream_parity_sql(),

@@ -236,3 +236,33 @@ def test_fisher_separation_matches_numpy(spark):
     assert list(got["dim"]) == order
     for _, r in got.iterrows():
         assert abs(r["fisher_score"] - fisher[int(r["dim"])]) < 1e-4
+
+
+def test_k_anonymity_planted_unique(spark, tmp_path):
+    # A planted singleton quasi-identifier group must show up as a
+    # re-identifiable row at EVERY k >= 2, and a table whose smallest
+    # group is m must report zero risk for k <= m.
+    from kp_crypto_market_analytics_spark.queries_quality import dq_k_anonymity
+
+    rows = []
+    # 3 groups of 4 + one singleton (nation 9, segment "ODD")
+    cid = 0
+    for nat, seg in ((1, "AUTO"), (2, "AUTO"), (3, "RAIL")):
+        for _ in range(4):
+            rows.append((cid, f"c{cid}", nat, 0.0, seg))
+            cid += 1
+    rows.append((cid, "lone", 9, 0.0, "ODD"))
+    sf = tmp_path / "kanon"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.parquet(str(sf / "customer.parquet"))
+
+    got = {r["k"]: r for r in dq_k_anonymity(spark, str(sf)).collect()}
+    assert got[2]["rows_below_k"] == 1 and got[2]["groups_below_k"] == 1
+    assert got[5]["rows_below_k"] == 13 and got[5]["groups_below_k"] == 4
+    assert got[2]["min_group_size"] == 1
+    assert got[2]["risk_ppm"] == 1 * 1_000_000 // 13
+    assert got[2]["n_rows"] == 13 and got[2]["n_groups"] == 4
