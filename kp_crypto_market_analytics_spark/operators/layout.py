@@ -83,3 +83,37 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int,
+    path: str,
+) -> None:
+    """Bucketed-table sink: hash-partition rows into ``num_buckets``
+    stable buckets on ``bucket_col`` and record the bucket spec in the
+    catalog — the storage-layout move that DELETES the shuffle from
+    every later equi-join or aggregation on that key.
+
+    At 100 TB the dominant cost of the repeated fact↔fact join
+    (orders↔lineitem every analytics run; reference joins candles to
+    trades per report) is re-shuffling both sides on the key each
+    time.  Writing both tables bucketed by the join key with the SAME
+    bucket count pays ONE shuffle at write time; every later join
+    plans as a zero-exchange sort-merge (bucket i joins bucket i
+    in-place), and per-key aggregations reuse the same distribution.
+    ``sortBy`` within buckets additionally lets the SMJ skip its sort.
+
+    External table (explicit ``path``) so the data outlives any one
+    session/catalog while remaining relocatable; Spark's bucket
+    pruning also kicks in for point predicates on the bucket column."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

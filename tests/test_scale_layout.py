@@ -95,3 +95,49 @@ def test_zorder_write_tiles_both_dimensions(spark, tmp_path):
     # A 16-way z-range split pins the top two bits of each dimension:
     # ideal mean envelope is global/16; allow boundary-straddling slack.
     assert env.mean_area <= global_area / 4
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both fact tables written bucketed on the join key with the same
+    bucket count: the later equi-join must plan with ZERO exchanges
+    (bucket i joins bucket i in place) and agree row-for-row with the
+    plain shuffled join, which on the same data DOES exchange both
+    sides."""
+    from kp_crypto_market_analytics_spark.operators.layout import bucketed_write
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ["orders", "lineitem"])
+    orders = t["orders"].select("o_orderkey", "o_totalprice")
+    items = t["lineitem"].select("l_orderkey", "l_quantity")
+    bucketed_write(orders, "t_bkt_orders", "o_orderkey", 4, str(tmp_path / "o"))
+    bucketed_write(items, "t_bkt_items", "l_orderkey", 4, str(tmp_path / "l"))
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bi = spark.table("t_bkt_orders"), spark.table("t_bkt_items")
+
+        def executed(df):
+            df.collect()
+            return df._jdf.queryExecution().executedPlan().toString().split(
+                "== Initial Plan =="
+            )[0]
+
+        joined = bo.join(bi, bo["o_orderkey"] == bi["l_orderkey"]).select(
+            "o_orderkey", "l_quantity"
+        )
+        plan = executed(joined)
+        assert "Exchange " not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        shuffled = orders.join(items, orders["o_orderkey"] == items["l_orderkey"]).select(
+            "o_orderkey", "l_quantity"
+        )
+        assert "Exchange " in executed(shuffled)
+
+        a = sorted(map(tuple, joined.collect()))
+        b = sorted(map(tuple, shuffled.collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_items")
