@@ -175,3 +175,63 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
     )
     return l.join(r, keys + ["__salt"], how).drop("__salt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    cell_seconds: int,
+    extra_condition: Column | None = None,
+) -> DataFrame:
+    """Interval x interval OVERLAP join ([s, e] closed; overlap iff
+    ``l_start <= r_end AND r_start <= l_end``) via grid-cell
+    decomposition — the scale path where BOTH sides are interval sets
+    and a theta join would be a nested loop over |L|x|R|.
+
+    Each interval explodes onto every ``cell_seconds`` grid cell it
+    touches, the join is a plain hash equi-join on the cell, and the
+    exact overlap predicate filters candidates.  An overlapping pair
+    shares every cell in the overlap region, so naive cell-joining
+    would duplicate it; instead each pair is OWNED by exactly one cell
+    — the one containing ``max(l_start, r_start)`` (the overlap's left
+    edge, which lies in both intervals' cell ranges) — making the
+    output duplicate-free WITHOUT a distinct shuffle.
+
+    Pick ``cell_seconds`` >= the typical interval length so intervals
+    explode into <= 2 cells; skewed cells (everything overlapping one
+    hot period) are split by AQE skew handling like any hash join.
+    Column names must be disjoint between the two sides."""
+    w_ms = F.lit(cell_seconds * 1000)
+    lc = left.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis(F.col(l_start)) / w_ms),
+                F.floor(F.unix_millis(F.col(l_end)) / w_ms),
+            )
+        ),
+    )
+    rc = right.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_millis(F.col(r_start)) / w_ms),
+                F.floor(F.unix_millis(F.col(r_end)) / w_ms),
+            )
+        ),
+    )
+    owner_cell = F.floor(
+        F.greatest(F.unix_millis(F.col(l_start)), F.unix_millis(F.col(r_start))) / w_ms
+    )
+    cond = (
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (F.col("__cell") == owner_cell)
+    )
+    if extra_condition is not None:
+        cond = cond & extra_condition
+    return lc.join(rc, "__cell").where(cond).drop("__cell")

@@ -1675,6 +1675,89 @@ GROUP BY win_id, w_start ORDER BY win_id
 """
 
 
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join — concurrent-activity audit:
+    which busy users were active AT THE SAME TIME?  Busy user-day
+    activity windows ([min ts, max ts] per user-day with >= 6 events —
+    the threshold keeps the pair set sparse; unthresholded, every
+    user's daily window overlaps every other's and the output is
+    quadratic in users) are self-overlap-joined via
+    operators.joins.interval_overlap_join: grid-cell equi-join +
+    owner-cell dedup, never a nested loop and never a distinct.
+    One row per participating user: overlap partner/pair counts and
+    total concurrent milliseconds (integer-exact).
+
+    Scale: intervals live inside one day, cells are 1 day -> <= 2
+    cells per interval; the quadratic risk is governed by the busy
+    threshold (the lever a 100 TB run tunes), and the per-user rollup
+    is a map-side-combined agg on user_id."""
+    from kp_crypto_market_analytics_spark.operators.joins import interval_overlap_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    iv = (
+        t["events"]
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 6)
+        .select("user_id", "s", "e")
+    )
+    a = iv.select(
+        F.col("user_id").alias("a_user"), F.col("s").alias("a_s"), F.col("e").alias("a_e")
+    )
+    b = iv.select(
+        F.col("user_id").alias("b_user"), F.col("s").alias("b_s"), F.col("e").alias("b_e")
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", cell_seconds=86400,
+        extra_condition=F.col("a_user") < F.col("b_user"),
+    ).select(
+        "a_user",
+        "b_user",
+        (
+            F.least(F.unix_millis("a_e"), F.unix_millis("b_e"))
+            - F.greatest(F.unix_millis("a_s"), F.unix_millis("b_s"))
+        ).alias("ov_ms"),
+    )
+    stacked = pairs.select(
+        F.col("a_user").alias("user_id"), F.col("b_user").alias("partner"), "ov_ms"
+    ).unionByName(
+        pairs.select(
+            F.col("b_user").alias("user_id"), F.col("a_user").alias("partner"), "ov_ms"
+        )
+    )
+    return (
+        stacked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.countDistinct("partner").alias("n_partners"),
+            F.sum("ov_ms").alias("overlap_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+J_INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+  HAVING COUNT(*) >= 6
+), pairs AS (
+  SELECT a.user_id AS a_user, b.user_id AS b_user,
+    epoch_ms(LEAST(a.e, b.e)) - epoch_ms(GREATEST(a.s, b.s)) AS ov_ms
+  FROM iv a JOIN iv b
+    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+), stacked AS (
+  SELECT a_user AS user_id, b_user AS partner, ov_ms FROM pairs
+  UNION ALL
+  SELECT b_user AS user_id, a_user AS partner, ov_ms FROM pairs
+)
+SELECT user_id, COUNT(*) AS n_overlaps,
+  COUNT(DISTINCT partner) AS n_partners,
+  SUM(ov_ms) AS overlap_ms
+FROM stacked GROUP BY user_id ORDER BY user_id
+"""
+
+
 def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) per user: lag + running
     sum in one sort pass, then per-session rollup.  Batch twin of
@@ -4601,6 +4684,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j2_asof_enrich": j2_asof_enrich,
     "j_asof_tolerance": j_asof_tolerance,
     "j_range_windows": j_range_windows,
+    "j_interval_overlap": j_interval_overlap,
     "w_sessionize": w_sessionize,
     "a10_scalar_corr": a10_scalar_corr,
     "o6_seeded_sample": o6_seeded_sample,
@@ -4682,6 +4766,7 @@ EXT_ORACLES: dict[str, str] = {
     "j2_asof_enrich": J2_ASOF_SQL,
     "j_asof_tolerance": J_ASOF_TOL_SQL,
     "j_range_windows": J_RANGE_SQL,
+    "j_interval_overlap": J_INTERVAL_OVERLAP_SQL,
     "w_sessionize": W_SESSION_SQL,
     "a10_scalar_corr": A10_SQL,
     "o6_seeded_sample": O6_SQL,

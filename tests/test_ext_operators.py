@@ -418,3 +418,48 @@ def test_bloom_fp_floor_holds(spark):
     assert b["n_false_pos"] == b["n_bloom_pass"] - b["n_true_match"], b
     # 8192 bits / 3 hashes over ~100 keys -> fp well under 1%.
     assert b["fp_rate"] < 0.02, b
+
+
+def test_interval_overlap_join_matches_naive_and_dedups(spark):
+    """Pairs equal the naive theta join row-for-row — including
+    intervals that share MANY grid cells (the owner-cell rule must
+    emit each pair exactly once) and touching endpoints (closed
+    semantics)."""
+    from kp_crypto_market_analytics_spark.operators.joins import interval_overlap_join
+
+    rows = [
+        # (id, start_s, end_s) in epoch seconds; cell = 100 s
+        (1, 0, 350),     # spans cells 0..3
+        (2, 50, 320),    # overlaps 1 across 3 shared cells
+        (3, 350, 400),   # touches 1's endpoint exactly (closed -> overlap)
+        (4, 401, 500),   # disjoint from 1, overlaps 3? 401>400 -> no
+        (5, 1000, 1001), # far away, no partner
+    ]
+    df = spark.createDataFrame(rows, "id int, s_s long, e_s long").select(
+        "id",
+        F.timestamp_millis(F.col("s_s") * 1000).alias("s"),
+        F.timestamp_millis(F.col("e_s") * 1000).alias("e"),
+    )
+    a = df.select(F.col("id").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e"))
+    b = df.select(F.col("id").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e"))
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", cell_seconds=100,
+            extra_condition=F.col("a_id") < F.col("b_id"),
+        ).collect()
+    )
+    naive = sorted(
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+        )
+        .collect()
+    )
+    # (3,4): 3 ends at 400, 4 starts at 401 -> NOT overlapping
+    assert got == naive == [(1, 2), (1, 3)]
+    # each pair exactly once despite 3 shared cells between 1 and 2
+    assert len(got) == len(set(got))
