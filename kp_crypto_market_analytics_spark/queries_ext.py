@@ -1675,6 +1675,69 @@ GROUP BY win_id, w_start ORDER BY win_id
 """
 
 
+def p_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — THE housekeeping operator a
+    100 TB lakehouse runs nightly: given a file inventory (here each
+    (ship-month, partkey) lineitem group stands in for one small data
+    file and its row count for the file size), pack consecutive files
+    into target-size output bins with a single window pass:
+    ``bin = exclusive_prefix_rows DIV target`` (next-fit packing —
+    deterministic, no driver loop, no greedy iteration).  One row per
+    planned output bin: file count, total rows, key envelope.
+
+    Scale: the plan is computed PER TABLE PARTITION (ship-month), so
+    the window sort is partitioned — no global sort, months plan in
+    parallel, and a 1000-executor run plans each partition where its
+    inventory lives.  Integer-only arithmetic end to end."""
+    target = 200
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    files = (
+        t["lineitem"]
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+            "l_partkey",
+        )
+        .agg(F.count(F.lit(1)).alias("f_rows"))
+    )
+    w = Window.partitionBy("mon").orderBy("l_partkey")
+    planned = (
+        files.withColumn(
+            "prefix_rows",
+            (F.sum("f_rows").over(w) - F.col("f_rows")).cast("long"),
+        )
+        .withColumn("bin", F.expr(f"prefix_rows DIV {target}"))
+        .drop("prefix_rows")
+    )
+    return (
+        planned.groupBy("mon", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("f_rows").alias("bin_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+        )
+        .orderBy("mon", "bin")
+    )
+
+
+P_COMPACTION_SQL = """
+WITH files AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
+    l_partkey, COUNT(*) AS f_rows
+  FROM lineitem GROUP BY 1, 2
+), planned AS (
+  SELECT mon, l_partkey, f_rows,
+    CAST((SUM(f_rows) OVER (PARTITION BY mon ORDER BY l_partkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - f_rows)
+      AS BIGINT) // 200 AS bin
+  FROM files
+)
+SELECT mon, bin, COUNT(*) AS n_files, SUM(f_rows) AS bin_rows,
+  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part
+FROM planned GROUP BY mon, bin ORDER BY mon, bin
+"""
+
+
 def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval x interval overlap join — concurrent-activity audit:
     which busy users were active AT THE SAME TIME?  Busy user-day
@@ -4715,6 +4778,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pii_scan": t_pii_scan,
     "t_mixture_sample": t_mixture_sample,
     "p_zorder_stats": p_zorder_stats,
+    "p_compaction_plan": p_compaction_plan,
     "t_weighted_sample": t_weighted_sample,
     "a_skew_profile": a_skew_profile,
     "sim_pq_topk": sim_pq_topk,
@@ -4767,6 +4831,7 @@ EXT_ORACLES: dict[str, str] = {
     "j_asof_tolerance": J_ASOF_TOL_SQL,
     "j_range_windows": J_RANGE_SQL,
     "j_interval_overlap": J_INTERVAL_OVERLAP_SQL,
+    "p_compaction_plan": P_COMPACTION_SQL,
     "w_sessionize": W_SESSION_SQL,
     "a10_scalar_corr": A10_SQL,
     "o6_seeded_sample": O6_SQL,

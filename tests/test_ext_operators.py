@@ -463,3 +463,33 @@ def test_interval_overlap_join_matches_naive_and_dedups(spark):
     assert got == naive == [(1, 2), (1, 3)]
     # each pair exactly once despite 3 shared cells between 1 and 2
     assert len(got) == len(set(got))
+
+
+def test_compaction_plan_packs_next_fit(spark):
+    """The plan equals a pandas recompute of prefix-DIV-target packing
+    per month, and bins partition the inventory (totals reconstruct)."""
+    from kp_crypto_market_analytics_spark.queries_ext import p_compaction_plan
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = p_compaction_plan(spark, sf).collect()
+    assert rows
+    li = load_tables(spark, sf, ["lineitem"])["lineitem"]
+    files = (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("mon"), "l_partkey")
+        .count()
+        .toPandas()
+        .sort_values(["mon", "l_partkey"])
+    )
+    expect = {}
+    for mon, g in files.groupby("mon", sort=True):
+        prefix = 0
+        for _, f in g.iterrows():
+            b = prefix // 200
+            key = (mon, b)
+            n, tot = expect.get(key, (0, 0))
+            expect[key] = (n + 1, tot + int(f["count"]))
+            prefix += int(f["count"])
+    got = {(r["mon"], r["bin"]): (r["n_files"], r["bin_rows"]) for r in rows}
+    assert got == expect
+    assert sum(v[1] for v in got.values()) == li.count()
