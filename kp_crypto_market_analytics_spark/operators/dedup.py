@@ -819,3 +819,70 @@ def semantic_dedup_census(
         )
         .orderBy("cluster_id")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    k: int = 4,
+    threshold_pct: int = 80,
+    use_words: bool = False,
+    max_shingle_freq: int | None = 50,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT C(a→b) = |A∩B| / |A| (Broder 1997)
+    — the contamination/subset relation Jaccard misses: a short
+    benchmark prompt pasted inside a long training document scores
+    near-1.0 containment but low Jaccard, so eval-set decontamination
+    must threshold on containment, not similarity.  Emits BOTH
+    directions of every qualifying ordered pair (doc_a = the contained
+    side).
+
+    ``threshold_pct`` is an integer percent and the filter runs on
+    pure int64 arithmetic (inter·100 >= size_a·pct), so no float
+    boundary can flip a pair between engines.
+
+    Scale: same df-capped inverted-index bound as the capped-Jaccard
+    regime — a shingle kept by the cap joins <= cap² candidate rows,
+    and the doc payloads never shuffle (only (doc, shingle) postings
+    do)."""
+    if sets is None:
+        sets = _shingle_sets(df, text, id_col, k, use_words)
+    if max_shingle_freq is not None:
+        freq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sets = (
+            sets.join(freq.where(F.col("__df") <= max_shingle_freq), "shingle")
+            .drop("__df")
+        )
+    # Postings feed sizes + both join sides; materialize once.
+    sets = sets.localCheckpoint(eager=True)
+    sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sets.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sets.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    # The intersection is symmetric; containment is not — evaluate the
+    # unordered intersection once, then both directions.
+    both = inter.unionByName(
+        inter.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "inter_size",
+        )
+    )
+    return (
+        both.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"),
+            "doc_b",
+        )
+        .where(F.col("inter_size") * 100 >= F.col("size_a") * threshold_pct)
+    )

@@ -366,6 +366,66 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (C(a→b) = |A∩B|/|A| >= 0.8,
+    char-4-grams, df<=50 cap) — the contamination/subset detector:
+    finds documents substantially CONTAINED in another even when the
+    symmetric Jaccard is too low for the near-dup detectors to fire
+    (operators.dedup.ngram_containment_pairs).  The threshold runs on
+    int64 cross-multiplication and the reported ratio uses the exact
+    half-away micro rounding, so no float boundary exists anywhere."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = ngram_containment_pairs(
+        t["documents"], "text", "doc_id", k=4, threshold_pct=80,
+        use_words=False, max_shingle_freq=50,
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "inter_size", "size_a", "size_b",
+        round_mean_micro(
+            F.col("inter_size").cast(DEC), F.col("size_a")
+        ).alias("containment"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _dedup_containment_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    ratio = sql_round_mean_micro("CAST(inter_size AS DECIMAL(18,6))", "size_a")
+    return f"""
+WITH {SHINGLE4_CTE}, freq AS (
+  SELECT shingle, COUNT(*) AS df FROM sets GROUP BY 1
+), capped AS (
+  SELECT s.doc_id, s.shingle FROM sets s JOIN freq USING (shingle) WHERE df <= 50
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dirs AS (
+  SELECT doc_a, doc_b, inter_size FROM inter
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b, inter_size FROM inter
+)
+SELECT doc_a, doc_b, inter_size, sa.set_size AS size_a, sb.set_size AS size_b,
+  {ratio} AS containment
+FROM dirs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter_size * 100 >= sa.set_size * 80
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs on a blocked candidate set: docs
     sharing an exact 16-char prefix fingerprint are compared with
@@ -4725,6 +4785,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": dedup_semantic,
     "dedup_clusters": dedup_clusters,
     "dedup_ngram_capped": dedup_ngram_capped,
+    "dedup_containment": dedup_containment,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "t_fingerprint_winnow": t_fingerprint_winnow,
@@ -4808,6 +4869,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_semantic": _semantic_dedup_sql(),
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_ngram_capped": DEDUP_NGRAM_CAPPED_SQL,
+    "dedup_containment": _dedup_containment_sql(),
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "t_fingerprint_winnow": T_WINNOW_SQL,

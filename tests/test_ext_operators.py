@@ -493,3 +493,36 @@ def test_compaction_plan_packs_next_fit(spark):
     got = {(r["mon"], r["bin"]): (r["n_files"], r["bin_rows"]) for r in rows}
     assert got == expect
     assert sum(v[1] for v in got.values()) == li.count()
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc pasted inside a much longer one: containment ~1.0 in
+    the short->long direction only, while Jaccard stays far below the
+    near-dup threshold."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    needle = "the secret benchmark prompt asks about prime factorization"
+    hay = (
+        "this long training document discusses many unrelated topics "
+        "including cooking weather sports and history before quoting "
+        + needle
+        + " and then continues with several more paragraphs of filler "
+        "text about distributed systems databases and columnar storage "
+        "engines and finally concludes with acknowledgements and notes"
+    )
+    docs = spark.createDataFrame(
+        [(1, needle), (2, hay), (3, "entirely disjoint third text body")],
+        ["doc_id", "text"],
+    )
+    out = ngram_containment_pairs(
+        docs, "text", "doc_id", k=4, threshold_pct=80, max_shingle_freq=None
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs, "contained direction must fire"
+    assert (2, 1) not in pairs, "container direction must not"
+    r = pairs[(1, 2)]
+    assert r["inter_size"] == r["size_a"], "every needle shingle is in the hay"
+    jacc = r["inter_size"] / (r["size_a"] + r["size_b"] - r["inter_size"])
+    assert jacc < 0.5, "jaccard would have missed this pair"
