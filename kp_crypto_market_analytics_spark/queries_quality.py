@@ -2150,6 +2150,206 @@ ORDER BY batch_idx
 """
 
 
+# ------------------------------------------------------ t_mg_stream_parity
+
+_MG_K = 15
+_MG_BATCHES = 4
+
+
+def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter sketch as SEQUENTIAL state, gated:
+    fold 4 deterministic micro-batches of the document token stream
+    (batch = doc_id mod 4) through the k=15-counter summary —
+    state_k = mg_reduce(state_{k-1} + counts(batch_k)), where
+    mg_reduce subtracts the (k+1)-th largest weight and keeps the
+    positive remainder (Misra & Gries 1982; mergeable summaries per
+    Agarwal et al. 2013).  k=15 < the 31-token vocabulary, so every
+    round REALLY evicts.  Unlike the KMV/HLL folds, MG's fold result
+    depends on the batching — so the DuckDB oracle replays the SAME
+    unrolled fold step by step and every column must land bit-equal.
+
+    Emitted per batch: state size (<= k), surviving weight mass, the
+    subtracted value this step and its running total, the top counter,
+    and the audited deterministic-error invariant: the worst
+    underestimate across the state (true prefix count - weight) never
+    exceeds the subtracted total.  All integer arithmetic.
+
+    Scale: state is <= k counters regardless of stream length; the
+    production path (operators/heavyhitters.misra_gries_topk) builds
+    per-Arrow-batch partials so no token ever shuffles — this gate
+    pins the fold algebra both engines share."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    toks = (
+        _toks_df(spark, sf_dir)
+        .select(
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).alias("bid"),
+            F.explode("toks").alias("tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state: DataFrame | None = None
+    d_cum: DataFrame = spark.range(1).select(F.lit(0).cast("long").alias("d_cum"))
+    out: DataFrame | None = None
+    for k in range(1, _MG_BATCHES + 1):
+        counts = (
+            toks.where(F.col("bid") == k)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+        )
+        if state is None:
+            merged = counts.select("tok", F.col("cf").alias("w"))
+        else:
+            merged = (
+                state.withColumnRenamed("tok", "__stok")
+                .join(counts, F.col("__stok") == F.col("tok"), "full_outer")
+                .select(
+                    F.coalesce(F.col("__stok"), F.col("tok")).alias("tok"),
+                    (
+                        F.coalesce(F.col("w"), F.lit(0))
+                        + F.coalesce(F.col("cf"), F.lit(0))
+                    ).alias("w"),
+                )
+            )
+        ranked = merged.select(
+            "w", F.row_number().over(Window.orderBy(F.col("w").desc())).alias("rn")
+        )
+        d_df = ranked.where(F.col("rn") == _MG_K + 1).agg(
+            F.coalesce(F.max("w"), F.lit(0)).cast("long").alias("d_step")
+        )
+        state = (
+            merged.crossJoin(F.broadcast(d_df))
+            .select("tok", (F.col("w") - F.col("d_step")).alias("w"))
+            .where(F.col("w") > 0)
+            .localCheckpoint(eager=True)
+        )
+        d_cum = (
+            d_cum.crossJoin(d_df)
+            .select((F.col("d_cum") + F.col("d_step")).alias("d_cum"))
+            .localCheckpoint(eager=True)
+        )
+        prefix = (
+            toks.where(F.col("bid") <= k)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("pcf"))
+        )
+        s_stats = state.join(prefix, "tok").agg(
+            F.count(F.lit(1)).alias("state_size"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("state_wsum"),
+            F.coalesce(F.max(F.col("pcf") - F.col("w")), F.lit(0))
+            .cast("long")
+            .alias("max_under"),
+        )
+        top = (
+            state.orderBy(F.col("w").desc(), F.col("tok").asc())
+            .limit(1)
+            .select(F.col("tok").alias("top_tok"), F.col("w").alias("top_w"))
+        )
+        n_seen = toks.where(F.col("bid") <= k).agg(
+            F.count(F.lit(1)).alias("n_toks_seen")
+        )
+        row = (
+            n_seen.crossJoin(s_stats)
+            .crossJoin(d_df)
+            .crossJoin(d_cum)
+            .crossJoin(top)
+            .select(
+                F.lit(k).alias("batch_idx"),
+                "n_toks_seen",
+                "state_size",
+                "state_wsum",
+                "d_step",
+                "d_cum",
+                "top_tok",
+                "top_w",
+                "max_under",
+                (F.col("max_under") <= F.col("d_cum")).alias("bound_ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("batch_idx")
+
+
+def _mg_stream_parity_sql() -> str:
+    """Oracle: the SAME unrolled fold in SQL — per step, a full join
+    of the carried state with the batch counts, the (k+1)-th-largest
+    subtraction, and the positive remainder; each CTE is materialized
+    so the chain evaluates once (the g_kcore lesson)."""
+    from kp_crypto_market_analytics_spark.queries_ext import TOKENS_CTE
+
+    kp1 = _MG_K + 1
+    ctes = [
+        f"""tk AS MATERIALIZED (
+  SELECT doc_id % 4 + 1 AS bid, tok FROM toks
+)"""
+    ]
+    prev = None
+    for k in range(1, _MG_BATCHES + 1):
+        cname = f"c{k}"
+        ctes.append(
+            f"""{cname} AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS w FROM tk WHERE bid = {k} GROUP BY tok
+)"""
+        )
+        if prev is None:
+            mname = cname
+        else:
+            mname = f"m{k}"
+            ctes.append(
+                f"""{mname} AS MATERIALIZED (
+  SELECT coalesce(s.tok, c.tok) AS tok,
+    coalesce(s.w, 0) + coalesce(c.w, 0) AS w
+  FROM {prev} s FULL JOIN {cname} c ON s.tok = c.tok
+)"""
+            )
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT CAST(coalesce(max(w), 0) AS BIGINT) AS d FROM (
+    SELECT w, row_number() OVER (ORDER BY w DESC) AS rn FROM {mname}
+  ) WHERE rn = {kp1}
+)"""
+        )
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT tok, CAST(w - (SELECT d FROM d{k}) AS BIGINT) AS w
+  FROM {mname} WHERE w - (SELECT d FROM d{k}) > 0
+)"""
+        )
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS pcf FROM tk WHERE bid <= {k} GROUP BY tok
+)"""
+        )
+        prev = f"s{k}"
+    d_cum = {
+        k: " + ".join(f"(SELECT d FROM d{j})" for j in range(1, k + 1))
+        for k in range(1, _MG_BATCHES + 1)
+    }
+    rows = " UNION ALL ".join(
+        f"""SELECT {k} AS batch_idx,
+  (SELECT COUNT(*) FROM tk WHERE bid <= {k}) AS n_toks_seen,
+  (SELECT COUNT(*) FROM s{k}) AS state_size,
+  (SELECT CAST(coalesce(SUM(w), 0) AS BIGINT) FROM s{k}) AS state_wsum,
+  (SELECT d FROM d{k}) AS d_step,
+  CAST({d_cum[k]} AS BIGINT) AS d_cum,
+  (SELECT tok FROM s{k} ORDER BY w DESC, tok LIMIT 1) AS top_tok,
+  (SELECT w FROM s{k} ORDER BY w DESC, tok LIMIT 1) AS top_w,
+  (SELECT CAST(coalesce(MAX(p.pcf - s.w), 0) AS BIGINT)
+     FROM s{k} s JOIN p{k} p USING (tok)) AS max_under,
+  (SELECT CAST(coalesce(MAX(p.pcf - s.w), 0) AS BIGINT)
+     FROM s{k} s JOIN p{k} p USING (tok)) <= CAST({d_cum[k]} AS BIGINT)
+    AS bound_ok"""
+        for k in range(1, _MG_BATCHES + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {TOKENS_CTE},
+{joined}
+{rows}
+ORDER BY batch_idx
+"""
+
+
 # ------------------------------------------------------ mm_audio_windows
 
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2941,6 +3141,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_ddsketch_stream_parity": a_ddsketch_stream_parity,
     "a_kmv_stream_parity": a_kmv_stream_parity,
     "dedup_stream_parity": dedup_stream_parity,
+    "t_mg_stream_parity": t_mg_stream_parity,
     "a_grouping_sets": a_grouping_sets,
     "g_triangle_count": g_triangle_count,
     "g_assoc_rules": g_assoc_rules,
@@ -2969,6 +3170,7 @@ QUALITY_ORACLES: dict[str, str] = {
     "a_ddsketch_stream_parity": _dds_stream_parity_sql(),
     "a_kmv_stream_parity": _kmv_stream_parity_sql(),
     "dedup_stream_parity": _dedup_stream_parity_sql(),
+    "t_mg_stream_parity": _mg_stream_parity_sql(),
     "a_grouping_sets": _grouping_sets_sql(),
     "g_triangle_count": _triangle_count_sql(),
     "g_assoc_rules": _assoc_rules_sql(),

@@ -526,3 +526,35 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert r["inter_size"] == r["size_a"], "every needle shingle is in the hay"
     jacc = r["inter_size"] / (r["size_a"] + r["size_b"] - r["inter_size"])
     assert jacc < 0.5, "jaccard would have missed this pair"
+
+
+def test_misra_gries_guarantees_on_skewed_stream(spark):
+    """Distributed MG summary honors all three published guarantees on
+    a skewed multi-partition stream: <= k counters, never an
+    overestimate, underestimate <= 2N/(k+1), and every item with true
+    count > 2N/(k+1) survives."""
+    from kp_crypto_market_analytics_spark.operators.heavyhitters import (
+        misra_gries_topk,
+    )
+
+    k = 9
+    items = (
+        ["hot"] * 3000
+        + ["warm"] * 1500
+        + [f"cold{i % 200}" for i in range(5500)]
+    )
+    df = spark.createDataFrame([(t,) for t in items], ["tok"]).repartition(8)
+    n = len(items)
+    out = {r["tok"]: r["w"] for r in misra_gries_topk(df, "tok", k).collect()}
+    exact = {"hot": 3000, "warm": 1500}
+    for i in range(200):
+        exact[f"cold{i}"] = exact.get(f"cold{i}", 0) + (5500 // 200 + (1 if i < 5500 % 200 else 0))
+    bound = 2 * n / (k + 1)
+    assert len(out) <= k
+    for tok, w in out.items():
+        assert w <= exact[tok], (tok, w, exact[tok])
+        assert exact[tok] - w <= bound, (tok, w, exact[tok])
+    for tok, cf in exact.items():
+        if cf > bound:
+            assert tok in out, f"guaranteed heavy hitter {tok} evicted"
+    assert "hot" in out
