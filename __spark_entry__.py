@@ -74,7 +74,7 @@ _FIRST_SEEN_ROUND.update(
     {n: 6 for n in (
         "dedup_lsh_bucket_cap", "dedup_stream_parity", "dedup_semantic",
         "dq_k_anonymity", "j_interval_overlap", "p_compaction_plan",
-        "dedup_containment", "t_mg_stream_parity",
+        "dedup_containment", "t_mg_stream_parity", "w_session_native",
     )}
 )
 _FIRST_SEEN_ROUND.update(

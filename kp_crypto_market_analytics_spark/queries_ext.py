@@ -1901,6 +1901,50 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE ``F.session_window`` operator (the exact code path
+    the streaming sessionizer runs — streaming/candles.py
+    sessionized_activity), oracle-gated on batch data: one row per
+    merged session with Spark's window bounds (end = last event +
+    gap).  The DuckDB oracle rebuilds the same sessions with the
+    lag/cumsum rule (a new session only when the gap is STRICTLY
+    exceeded — session_window merges touching windows) and derives
+    window_end as max(ts) + gap, so the engines must agree on every
+    boundary including exact-gap ties."""
+    from kp_crypto_market_analytics_spark.streaming.candles import (
+        sessionized_activity,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return sessionized_activity(
+        t["events"], key_col="user_id", ts_col="ts", gap="30 minutes"
+    ).orderBy("user_id", "window_start")
+
+
+W_SESSION_NATIVE_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(CASE WHEN prev_ts IS NULL
+          OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagged
+)
+SELECT user_id,
+  MIN(ts) AS window_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS window_end,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end
+FROM numbered GROUP BY user_id, sid
+ORDER BY user_id, window_start
+"""
+
+
 W_SESSION_SQL = """
 WITH lagged AS (
   SELECT user_id, ts, event_id,
@@ -4810,6 +4854,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_range_windows": j_range_windows,
     "j_interval_overlap": j_interval_overlap,
     "w_sessionize": w_sessionize,
+    "w_session_native": w_session_native,
     "a10_scalar_corr": a10_scalar_corr,
     "o6_seeded_sample": o6_seeded_sample,
     "a_rollup_daily": a_rollup_daily,
@@ -4894,6 +4939,7 @@ EXT_ORACLES: dict[str, str] = {
     "j_range_windows": J_RANGE_SQL,
     "j_interval_overlap": J_INTERVAL_OVERLAP_SQL,
     "p_compaction_plan": P_COMPACTION_SQL,
+    "w_session_native": W_SESSION_NATIVE_SQL,
     "w_sessionize": W_SESSION_SQL,
     "a10_scalar_corr": A10_SQL,
     "o6_seeded_sample": O6_SQL,
