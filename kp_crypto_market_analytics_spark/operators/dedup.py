@@ -534,22 +534,39 @@ def simhash_near_pairs(
     agrees on >=1 chunk), bucket-join on chunks, verify exact Hamming
     distance with bit_count(xor).  Pass ``sig`` (``simhash`` output) to
     reuse an already-computed signature frame."""
-    chunks = max_hamming + 1
-    width = 60 // chunks
     if sig is None:
         # The signature frame (tiny: id + one long) backs BOTH sides of
         # the bucket self-join; materialize so the explode+bit-agg
         # pipeline runs once (same multi-consumer lesson as
         # ngram_jaccard_pairs).
         sig = simhash(df, text, id_col).localCheckpoint(eager=True)
+    return hamming_band_pairs(sig, id_col, "simhash", max_hamming)
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """Generic banded Hamming-radius self-join over ANY 64-bit-or-less
+    fingerprint column (SimHash fingerprints, perceptual image hashes,
+    audio chromaprints): split the fingerprint into ``max_hamming + 1``
+    chunks (pigeonhole: a pair within the radius agrees on >= 1 chunk),
+    hash-join on chunk buckets, verify with bit_count(xor).  Never an
+    all-pairs comparison; candidate volume is governed by bucket
+    collision rates exactly as in MinHash-LSH banding."""
+    chunks = max_hamming + 1
+    width = bits // chunks
     bands = sig.select(
         F.col(id_col).alias("doc"),
-        F.col("simhash"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk"),
-                    F.shiftright("simhash", i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                    F.shiftright(hash_col, i * width).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
                 )
                 for i in range(chunks)
             ])
@@ -562,8 +579,8 @@ def simhash_near_pairs(
         .select(
             F.col("x.doc").alias("doc_a"),
             F.col("y.doc").alias("doc_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
+            F.col("x.__h").alias("sh_a"),
+            F.col("y.__h").alias("sh_b"),
         )
         .distinct()
     )

