@@ -1124,3 +1124,60 @@ def test_streaming_dedup_running_emissions_match_gated_fold(spark, tmp_path):
     for idx, d in enumerate(days, start=1):
         want = int(gated.loc[gated["batch_idx"] == idx, "n_new_emitted"].iloc[0])
         assert int(per_day.get(d, 0)) == want
+
+
+def test_streaming_mg_running_emissions_match_gated_fold(spark, tmp_path):
+    # The REAL applyInPandasWithState Misra-Gries stream, fed the same
+    # doc_id-mod-4 micro-batches in order, must reproduce the gated
+    # t_mg_stream_parity fold emission-for-emission: state size, weight
+    # mass, subtracted values, and top counter — and the gate's own
+    # deterministic-error invariant must hold.
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        _MG_BATCHES,
+        t_mg_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.streaming.mg import (
+        heavy_hitters_mg_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    gated = t_mg_stream_parity(spark, sf_dir).toPandas()
+    assert bool(gated["bound_ok"].all())
+    assert list(gated["batch_idx"]) == list(range(1, _MG_BATCHES + 1))
+
+    toks = _toks_df(spark, sf_dir).select(
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).alias("bid"),
+        F.lit("all").alias("key"),
+        F.explode("toks").alias("tok"),
+    )
+    src = str(tmp_path / "mg_batches")
+    for b in range(1, _MG_BATCHES + 1):
+        toks.where(F.col("bid") == b).drop("bid").coalesce(1).write.parquet(
+            f"{src}/{b}"
+        )
+    stream = (
+        spark.readStream.schema("key string, tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        heavy_hitters_mg_stream(stream)
+        .writeStream.format("memory")
+        .queryName("mg_fold_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("mg_fold_out")
+        .toPandas()
+        .sort_values("n_toks_seen")
+        .reset_index(drop=True)
+    )
+    for col in ("n_toks_seen", "state_size", "state_wsum", "d_step", "d_cum",
+                "top_tok", "top_w"):
+        assert list(got[col]) == list(gated[col]), col
