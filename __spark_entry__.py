@@ -75,7 +75,7 @@ _FIRST_SEEN_ROUND.update(
         "dedup_lsh_bucket_cap", "dedup_stream_parity", "dedup_semantic",
         "dq_k_anonymity", "j_interval_overlap", "p_compaction_plan",
         "dedup_containment", "t_mg_stream_parity", "w_session_native",
-        "mm_phash_neardup",
+        "mm_phash_neardup", "a_trimmed_stats", "dedup_url_canon",
     )}
 )
 _FIRST_SEEN_ROUND.update(

@@ -2818,6 +2818,183 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
+def dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup census — the first stage of every
+    web-scale corpus pipeline (CCNet / RefinedWeb dedup by normalized
+    URL): scheme and case stripped, leading www. dropped, query
+    string (tracking params) removed, trailing slash trimmed, then an
+    exact groupBy on the canonical form.  The messy URLs are
+    synthesized deterministically from (source, doc_id) so both
+    engines canonicalize the SAME strings; the regexp chain is the
+    artifact under test.  One row per canonical URL with >= 2 docs:
+    crawl-duplicate count, distinct messy spellings, and the survivor
+    (min doc_id).
+
+    Scale: pure string expressions inside whole-stage codegen; one
+    map-side-combined shuffle on the canonical key — document payloads
+    never move."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_campaign=c"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=mail"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://", ""),
+                r"^www\.",
+                "",
+            ),
+            r"\?.*$",
+            "",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        t["documents"]
+        .select("doc_id", url.alias("url"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_spellings"),
+            F.min("doc_id").alias("survivor_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    )
+
+
+DEDUP_URL_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM/p/' ||
+      CAST(doc_id % 50 AS VARCHAR) || '/?utm_campaign=c' ||
+      CAST(doc_id % 7 AS VARCHAR) || '&ref=mail' AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), '^https?://', ''),
+          '^www\\.', ''),
+        '\\?.*$', ''),
+      '/$', '') AS canonical_url
+  FROM urls
+)
+SELECT canonical_url, COUNT(*) AS n_docs,
+  COUNT(DISTINCT url) AS n_spellings,
+  MIN(doc_id) AS survivor_doc
+FROM canon GROUP BY canonical_url HAVING COUNT(*) >= 2
+ORDER BY canonical_url
+"""
+
+
+def a_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group aggregation: 10%-trimmed and winsorized means
+    of event value per event_type.  Trimming is by ROW RANK with a
+    deterministic tiebreak (value, event_id), never by float quantile
+    thresholds, so the kept set is identical on any engine: drop the
+    lowest and highest floor(n/10) rows, average the middle band;
+    winsorizing clamps instead of dropping (band edges replace the
+    tails).  Means run through the exact decimal path and the
+    half-away micro rounding.
+
+    Scale: one shuffle on the group key, two window functions on the
+    same sort (rank + count), then a map-side-combined agg — the
+    standard robust-metrics shape for outlier-resistant SLO
+    reporting."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        F.col("value").cast(DEC).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    ).withColumn("cut", F.expr("n DIV 10"))
+    kept = F.col("rn").between(F.col("cut") + 1, F.col("n") - F.col("cut"))
+    # Winsorize: rows below the band take the band-edge value; rows
+    # above take the upper edge.  Edges are the kept band's min/max.
+    band = ranked.where(kept).groupBy("event_type").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("v").alias("trim_sum"),
+        F.count(F.lit(1)).alias("trim_n"),
+    )
+    wins = (
+        ranked.join(F.broadcast(band), "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("v") < F.col("lo"), F.col("lo"))
+            .when(F.col("v") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("v"))
+            .alias("wv"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("wv").alias("win_sum"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        band.join(wins, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "trim_n",
+            round_mean_micro(F.col("trim_sum"), F.col("trim_n")).alias("trimmed_mean"),
+            round_mean_micro(F.col("win_sum"), F.col("n_rows")).alias("winsor_mean"),
+            F.round(F.col("lo").cast("double"), 6).alias("band_lo"),
+            F.round(F.col("hi").cast("double"), 6).alias("band_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _a_trimmed_stats_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    tm = sql_round_mean_micro("trim_sum", "trim_n")
+    wm = sql_round_mean_micro("win_sum", "n_rows")
+    return f"""
+WITH ranked AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), cuts AS (
+  SELECT *, n // 10 AS cut FROM ranked
+), band AS (
+  SELECT event_type, MIN(v) AS lo, MAX(v) AS hi,
+    SUM(v) AS trim_sum, COUNT(*) AS trim_n
+  FROM cuts WHERE rn BETWEEN cut + 1 AND n - cut GROUP BY event_type
+), wins AS (
+  SELECT c.event_type,
+    SUM(CASE WHEN c.v < b.lo THEN b.lo WHEN c.v > b.hi THEN b.hi ELSE c.v END)
+      AS win_sum,
+    COUNT(*) AS n_rows
+  FROM cuts c JOIN band b USING (event_type) GROUP BY c.event_type
+)
+SELECT event_type, n_rows, trim_n,
+  {tm} AS trimmed_mean,
+  {wm} AS winsor_mean,
+  round(CAST(lo AS DOUBLE), 6) AS band_lo,
+  round(CAST(hi AS DOUBLE), 6) AS band_hi
+FROM band JOIN wins USING (event_type)
+ORDER BY event_type
+"""
+
+
 def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified FIXED-K sampling: exactly min(k, |stratum|) docs per
     source, chosen by content-keyed hash order — the per-domain
@@ -4950,6 +5127,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_mixture_sample": t_mixture_sample,
     "p_zorder_stats": p_zorder_stats,
     "p_compaction_plan": p_compaction_plan,
+    "a_trimmed_stats": a_trimmed_stats,
+    "dedup_url_canon": dedup_url_canon,
     "t_weighted_sample": t_weighted_sample,
     "a_skew_profile": a_skew_profile,
     "sim_pq_topk": sim_pq_topk,
@@ -5006,6 +5185,8 @@ EXT_ORACLES: dict[str, str] = {
     "p_compaction_plan": P_COMPACTION_SQL,
     "w_session_native": W_SESSION_NATIVE_SQL,
     "mm_phash_neardup": MM_PHASH_SQL,
+    "a_trimmed_stats": _a_trimmed_stats_sql(),
+    "dedup_url_canon": DEDUP_URL_SQL,
     "w_sessionize": W_SESSION_SQL,
     "a10_scalar_corr": A10_SQL,
     "o6_seeded_sample": O6_SQL,
