@@ -76,6 +76,7 @@ _FIRST_SEEN_ROUND.update(
         "dq_k_anonymity", "j_interval_overlap", "p_compaction_plan",
         "dedup_containment", "t_mg_stream_parity", "w_session_native",
         "mm_phash_neardup", "a_trimmed_stats", "dedup_url_canon",
+        "t_bm25_topk",
     )}
 )
 _FIRST_SEEN_ROUND.update(

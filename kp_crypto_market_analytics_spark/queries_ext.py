@@ -1405,6 +1405,130 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "query", "dup")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking (Robertson-Sparck Jones; the Lucene
+    idf variant ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) for a fixed
+    3-term query — the production search scorer one step past
+    t_tfidf_topk's raw TF-IDF: term saturation via k1 and length
+    normalization via b/avgdl.  Top-20 documents with per-term partial
+    scores; the total is a FIXED-ORDER sum of the three rounded
+    per-term columns (conditional aggregation, never a float groupBy
+    sum), so engines cannot disagree on addition order.
+
+    Scale: doc lengths and term stats are two partial-agg scans; the
+    scoring join touches only rows containing a query term (membership
+    filter pushes into the scan), and the global top-20 sorts a
+    |matching docs|-sized frame of scalars."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtoks = toks.where(F.col("tok").isin(*_BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtoks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", score)
+    )
+    per_term = scored.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == term, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    total = F.round(
+        sum(F.col(f"s_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        per_term.withColumn("bm25", total)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            "doc_id", "dl",
+            *[f"s_{term}" for term in _BM25_TERMS],
+            "bm25", "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+def _t_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    score = (
+        f"round(ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)"
+        f" * (tf * {k1 + 1.0!r}) / (tf + {k1!r} *"
+        f" ({1.0 - b!r} + {b!r} * dl / avgdl)), 6)"
+    )
+    per_term = ", ".join(
+        f"coalesce(MAX(CASE WHEN tok = '{t}' THEN s END), 0.0) AS s_{t}"
+        for t in _BM25_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH {TOKENS_CTE}, dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM toks
+  WHERE tok IN ({terms}) GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok, {score} AS s
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats
+), per_term AS (
+  SELECT s.doc_id, MIN(d.dl) AS dl, {per_term}
+  FROM scored s JOIN dl d USING (doc_id) GROUP BY s.doc_id
+), ranked AS (
+  SELECT doc_id, dl, {", ".join("s_" + t for t in _BM25_TERMS)},
+    round({total} + 0.0, 6) AS bm25,
+    row_number() OVER (ORDER BY round({total} + 0.0, 6) DESC, doc_id) AS rank
+  FROM per_term
+)
+SELECT * FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+
 T_TFIDF_SQL = f"""
 WITH {TOKENS_CTE}, n AS (
   SELECT COUNT(*) AS n_docs FROM documents
@@ -5088,6 +5212,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_vocab_topk": t_vocab_topk,
     "t_bpe_tokens": t_bpe_tokens,
     "t_tfidf_topk": t_tfidf_topk,
+    "t_bm25_topk": t_bm25_topk,
     "w3_multi_horizon": w3_multi_horizon,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "e4_large_trade_impact": e4_large_trade_impact,
@@ -5175,6 +5300,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_vocab_topk": T_VOCAB_SQL,
     "t_bpe_tokens": T_BPE_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
+    "t_bm25_topk": _t_bm25_sql(),
     "w3_multi_horizon": W3_MULTI_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "e4_large_trade_impact": E4_LARGE_SQL,
