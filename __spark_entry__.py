@@ -76,7 +76,9 @@ _FIRST_SEEN_ROUND.update(
         "dq_k_anonymity", "j_interval_overlap", "p_compaction_plan",
         "dedup_containment", "t_mg_stream_parity", "w_session_native",
         "mm_phash_neardup", "a_trimmed_stats", "dedup_url_canon",
-        "t_bm25_topk",
+        "t_bm25_topk", "q_skyline_frontier", "a_attribution",
+        "w_interval_merge", "ti_twap", "dq_dataset_checksum",
+        "dq_join_cardinality", "e_quantile_normalize", "t_rrf_fusion",
     )}
 )
 _FIRST_SEEN_ROUND.update(

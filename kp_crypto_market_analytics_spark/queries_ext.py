@@ -1549,6 +1549,165 @@ WHERE rank <= 5 ORDER BY doc_id, rank
 """
 
 
+_RRF_K = 60
+
+
+def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, public)
+    of two retrieval rankings for the same fixed 3-term query: the
+    BM25 scorer (t_bm25_topk's formula) and a plain TF-IDF scorer —
+    the standard hybrid-retrieval combiner (and the way production
+    RAG stacks merge lexical and dense lists).  RRF(d) = Σ 1/(k+rank)
+    over the lists containing d, k=60; both scorers cover exactly the
+    docs matching ≥1 query term, so every fused doc carries both
+    ranks.  Top-15 with both component ranks.
+
+    Determinism: each component ranks by its ROUNDED score with
+    doc_id tiebreak (the t_bm25_topk rule); the RRF sum is a
+    fixed-order two-term sum of exact-integer reciprocals — engines
+    cannot disagree on ranks, so they cannot disagree on the fusion.
+
+    Scale shape: ONE token scan feeds both scorers (tf/df/dl partial
+    aggs are shared); each ranking is a window over |matching docs|
+    scalar rows; the fusion join is doc_id-keyed at ranking grain.
+    At 100 TB the candidate set per query is top-k'd per shard before
+    the global rank (standard fan-in), which this plan's scalar-only
+    exchanges already allow."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtoks = toks.where(F.col("tok").isin(*_BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtoks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    bm25_idf = F.log(
+        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    bm25_s = F.round(
+        bm25_idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    tfidf_s = F.round(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("sb", bm25_s)
+        .withColumn("st", tfidf_s)
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == term, F.col(c))), F.lit(0.0)
+            ).alias(f"{c}_{term}")
+            for c in ("sb", "st")
+            for term in _BM25_TERMS
+        ],
+    )
+    bm25_total = F.round(
+        sum(F.col(f"sb_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
+    )
+    tfidf_total = F.round(
+        sum(F.col(f"st_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
+    )
+    totals = per_doc.select(
+        "doc_id", bm25_total.alias("bm25"), tfidf_total.alias("tfidf")
+    )
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    wt = Window.orderBy(F.col("tfidf").desc(), F.col("doc_id").asc())
+    ranked = totals.withColumn("r_bm25", F.row_number().over(wb)).withColumn(
+        "r_tfidf", F.row_number().over(wt)
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm25"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_tfidf")),
+        6,
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        ranked.withColumn("rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= 15)
+        .select(
+            "doc_id", "r_bm25", "r_tfidf", "rrf", "rank"
+        )
+        .orderBy("rank")
+    )
+
+
+def _t_rrf_fusion_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    sb = (
+        f"round(ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)"
+        f" * (tf * {k1 + 1.0!r}) / (tf + {k1!r} *"
+        f" ({1.0 - b!r} + {b!r} * dl / avgdl)), 6)"
+    )
+    st = "round(tf * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6)"
+    per_doc = ", ".join(
+        f"coalesce(MAX(CASE WHEN tok = '{t}' THEN {c} END), 0.0) AS {c}_{t}"
+        for c in ("sb", "st")
+        for t in _BM25_TERMS
+    )
+    bt = " + ".join(f"sb_{t}" for t in _BM25_TERMS)
+    tt = " + ".join(f"st_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH {TOKENS_CTE}, dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM toks
+  WHERE tok IN ({terms}) GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok, {sb} AS sb, {st} AS st
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats
+), per_doc AS (
+  SELECT doc_id, {per_doc} FROM scored GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, round({bt} + 0.0, 6) AS bm25, round({tt} + 0.0, 6) AS tfidf
+  FROM per_doc
+), ranked AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25,
+    row_number() OVER (ORDER BY tfidf DESC, doc_id) AS r_tfidf
+  FROM totals
+), fused AS (
+  SELECT doc_id, r_bm25, r_tfidf,
+    round(1.0 / ({_RRF_K} + r_bm25) + 1.0 / ({_RRF_K} + r_tfidf), 6) AS rrf
+  FROM ranked
+)
+SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25,
+  CAST(r_tfidf AS BIGINT) AS r_tfidf, rrf,
+  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+FROM fused QUALIFY rank <= 15 ORDER BY rank
+"""
+
+
 def w3_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 at the reference's full horizon set k ∈ {5,15,60}
     (binance_analysis.py:404-415): three leads over ONE window spec —
@@ -1980,7 +2139,7 @@ WITH files AS (
       AS BIGINT) // 200 AS bin
   FROM files
 )
-SELECT mon, bin, COUNT(*) AS n_files, SUM(f_rows) AS bin_rows,
+SELECT mon, bin, COUNT(*) AS n_files, CAST(SUM(f_rows) AS BIGINT) AS bin_rows,
   MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part
 FROM planned GROUP BY mon, bin ORDER BY mon, bin
 """
@@ -2064,7 +2223,7 @@ WITH iv AS (
 )
 SELECT user_id, COUNT(*) AS n_overlaps,
   COUNT(DISTINCT partner) AS n_partners,
-  SUM(ov_ms) AS overlap_ms
+  CAST(SUM(ov_ms) AS BIGINT) AS overlap_ms
 FROM stacked GROUP BY user_id ORDER BY user_id
 """
 
@@ -5213,6 +5372,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bpe_tokens": t_bpe_tokens,
     "t_tfidf_topk": t_tfidf_topk,
     "t_bm25_topk": t_bm25_topk,
+    "t_rrf_fusion": t_rrf_fusion,
     "w3_multi_horizon": w3_multi_horizon,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "e4_large_trade_impact": e4_large_trade_impact,
@@ -5301,6 +5461,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_bpe_tokens": T_BPE_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
     "t_bm25_topk": _t_bm25_sql(),
+    "t_rrf_fusion": _t_rrf_fusion_sql(),
     "w3_multi_horizon": W3_MULTI_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "e4_large_trade_impact": E4_LARGE_SQL,

@@ -23,7 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kp_crypto_market_analytics_spark.operators.aggregates import DEC
+from kp_crypto_market_analytics_spark.operators.aggregates import (
+    DEC,
+    round_mean_micro,
+    sql_round_mean_micro,
+)
 from kp_crypto_market_analytics_spark.operators.indicators import (
     bollinger,
     cutler_rsi,
@@ -766,6 +770,110 @@ FROM rs
 """
 
 
+# ------------------------------------------------------ ti_twap
+
+
+def _round_ratio_micro_dec(num_dec, den_long):
+    """round(num/den, 6) EXACTLY for a DECIMAL numerator and BIGINT
+    denominator, when num·10⁶ can exceed int64 (the TWAP numerator is
+    Σ price·Δt_µs ≈ 10¹⁵, so aggregates.round_mean_micro's long cast
+    would overflow).  Same half-away-from-zero integer division, but
+    the micro value stays DECIMAL(38,0) and `div` does the integral
+    division on decimals — bit-identical to the DuckDB HUGEINT twin."""
+    micro = (num_dec * F.lit(1000000)).cast("decimal(38,0)")
+    d = den_long.cast("long")
+    num2 = F.lit(2) * F.abs(micro) + d
+    den2 = F.lit(2) * d
+    q = F.call_function("div", num2, den2)
+    sign = F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * q) / F.lit(1000000.0)
+
+
+def _sql_round_ratio_micro_huge(num_sql: str, den_sql: str) -> str:
+    """DuckDB twin of :func:`_round_ratio_micro_dec` (HUGEINT micro)."""
+    m = f"CAST(({num_sql}) * 1000000 AS HUGEINT)"
+    return (
+        f"(CASE WHEN {m} < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs({m}) + ({den_sql})) // (2 * ({den_sql}))))"
+        f" / 1000000.0"
+    )
+
+
+def ti_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price over an IRREGULARLY sampled tick
+    series — each observation holds until the next tick of the same
+    symbol, so its weight is that holding time in exact epoch-µs
+    (ti_vwap weights by volume; TWAP is the execution-benchmark twin
+    that weights by time).  Per (symbol, day of interval start):
+    observation count, total holding time, time-weighted mean, and
+    the unweighted mean for contrast.  The day's last tick's interval
+    crosses midnight and is attributed to its start day (standard
+    TWAP bucketing); each symbol's final tick has no successor and is
+    excluded.
+
+    Determinism: Δt is exact BIGINT µs from the lead over the shared
+    symbol sort; price·Δt sums as exact DECIMAL; the quotient rounds
+    half-away via pure integer division on DECIMAL(38,0) micro units
+    (``_round_ratio_micro_dec`` — num·10⁶ ≈ 10²¹ overflows int64, so
+    the int64 helper would be wrong here, not just slow).
+
+    Scale shape: ONE window sort per symbol (the family's shared
+    exchange) then a (symbol, day)-grain agg with map-side partials;
+    nothing wider than scalars shuffles."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    ticks = (
+        t["events"]
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("s_us"),
+            F.col("value").cast(DEC).alias("price"),
+        )
+        .withColumn("next_us", F.lead("s_us").over(w))
+        .where(F.col("next_us").isNotNull())
+        .withColumn("dt_us", F.col("next_us") - F.col("s_us"))
+    )
+    agg = ticks.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("dt_us").alias("held_us"),
+        F.sum(F.col("price") * F.col("dt_us")).alias("pv"),
+        F.sum("price").alias("psum"),
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        "n_obs",
+        "held_us",
+        _round_ratio_micro_dec(F.col("pv"), F.col("held_us")).alias("twap"),
+        round_mean_micro(F.col("psum"), F.col("n_obs")).alias("mean_price"),
+    ).orderBy("event_type", "day")
+
+
+TI_TWAP_SQL = f"""
+WITH ticks AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    epoch_us(ts) AS s_us,
+    lead(epoch_us(ts)) OVER ({_W_SQL}) AS next_us,
+    CAST(value AS DECIMAL(18,6)) AS price
+  FROM events
+), held AS (
+  SELECT event_type, day, price, next_us - s_us AS dt_us
+  FROM ticks WHERE next_us IS NOT NULL
+), agg AS (
+  SELECT event_type, day, COUNT(*) AS n_obs, SUM(dt_us) AS held_us,
+    SUM(price * dt_us) AS pv, SUM(price) AS psum
+  FROM held GROUP BY event_type, day
+)
+SELECT event_type, day, CAST(n_obs AS BIGINT) AS n_obs,
+  CAST(held_us AS BIGINT) AS held_us,
+  {_sql_round_ratio_micro_huge("pv", "held_us")} AS twap,
+  {sql_round_mean_micro("psum", "n_obs")} AS mean_price
+FROM agg ORDER BY event_type, day
+"""
+
+
 IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_bollinger": ti_bollinger,
     "ti_rsi": ti_rsi,
@@ -779,6 +887,7 @@ IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_cusum": w_cusum,
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_apply": cdc_apply,
+    "ti_twap": ti_twap,
 }
 
 IND_ORACLES: dict[str, str] = {
@@ -794,4 +903,5 @@ IND_ORACLES: dict[str, str] = {
     "w_cusum": W_CUSUM_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_SQL,
     "cdc_apply": CDC_APPLY_SQL,
+    "ti_twap": TI_TWAP_SQL,
 }

@@ -46,7 +46,7 @@ from kp_crypto_market_analytics_spark.operators.aggregates import (
     round_mean_micro,
     sql_round_mean_micro,
 )
-from kp_crypto_market_analytics_spark.session import load_tables
+from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
 
 # ------------------------------------------------------ t_hashed_features
 
@@ -1414,6 +1414,260 @@ FROM gaps
 """
 
 
+# ------------------------------------------------------ q_skyline_frontier
+
+
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over customers: (total spend,
+    order count) — a customer is on the frontier iff no other customer
+    has >= on both axes with > on at least one (Borzsony/Kossmann
+    skyline operator, public).  The multi-objective "best customers"
+    report a dominance query answers without a scoring formula.
+
+    Scale shape: NOT the O(n²) anti-join the textbook definition
+    implies — one agg to customer grain, then collapse to DISTINCT
+    spend levels (per-level max count), one global sort of the level
+    table, and a running-max lag gives dominance in O(levels): a row
+    survives iff it carries its level's max count AND that count
+    strictly exceeds every higher-spend level's best.  At 100 TB the
+    level table is orders of magnitude smaller than the customer
+    grain; the single sort rides AQE-coalesced scalar rows.  The
+    DuckDB oracle runs the literal NOT EXISTS dominance predicate, so
+    the gate proves the window rewrite IS the skyline.
+
+    Determinism: spend is an exact DECIMAL(18,2) sum (level equality is
+    exact); counts are integers; output casts spend to double only for
+    display."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    cust = t["orders"].groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    levels = cust.groupBy("spend_dec").agg(F.max("n_orders").alias("lvl_max"))
+    w_run = (
+        Window.orderBy(F.col("spend_dec").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_lvls = (
+        levels.withColumn("prev_best", F.max("lvl_max").over(w_run))
+        .where(F.col("prev_best").isNull() | (F.col("lvl_max") > F.col("prev_best")))
+        .select(
+            F.col("spend_dec").alias("f_spend"), F.col("lvl_max").alias("f_max")
+        )
+    )
+    return (
+        cust.join(
+            F.broadcast(frontier_lvls),
+            (F.col("spend_dec") == F.col("f_spend"))
+            & (F.col("n_orders") == F.col("f_max")),
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("spend_dec").cast("double").alias("spend"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.col("spend").desc(), F.col("custkey"))
+    )
+
+
+_Q_SKYLINE_SQL = """
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(a.custkey AS BIGINT) AS custkey,
+  CAST(a.spend_dec AS DOUBLE) AS spend,
+  CAST(a.n_orders AS BIGINT) AS n_orders
+FROM cust a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cust b
+  WHERE b.spend_dec >= a.spend_dec AND b.n_orders >= a.n_orders
+    AND (b.spend_dec > a.spend_dec OR b.n_orders > a.n_orders)
+)
+ORDER BY spend DESC, custkey
+"""
+
+
+# ------------------------------------------------------ a_attribution
+
+_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def a_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution: every `purchase`
+    credits its user's earliest and latest preceding touch event
+    (view/click/signup) — the two bookend models of marketing
+    attribution, computed in one pass.  Purchases with no prior touch
+    are excluded (reported models require a touch to credit).
+
+    Scale shape: ONE per-user window sort serves both models —
+    first()/last() with ignorenulls over the unbounded-preceding frame
+    picks the bookends without a self-join; the melt to (model, type)
+    pairs is a 2× row map, and the final agg is |touch types|-sized.
+    No per-purchase join against the touch history (which at 100 TB
+    would be the classic event-attribution blowup).
+
+    Determinism: revenue sums are exact DECIMAL(18,2) over 2-dp
+    values; counts are integers; ties in event ordering break on
+    event_id."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type"))
+    conv = (
+        e.withColumn("first_t", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("last_t", F.last(touch, ignorenulls=True).over(w))
+        .where((F.col("event_type") == "purchase") & F.col("first_t").isNotNull())
+        .select("first_t", "last_t", F.col("value").cast("decimal(18,2)").alias("rev"))
+    )
+    melted = conv.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("first_touch").alias("model"), F.col("first_t").alias("touch_type"), F.col("rev")),
+                F.struct(F.lit("last_touch").alias("model"), F.col("last_t").alias("touch_type"), F.col("rev")),
+            )
+        ).alias("x")
+    ).select("x.model", "x.touch_type", "x.rev")
+    return (
+        melted.groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("model", "touch_type")
+    )
+
+
+def _a_attribution_sql() -> str:
+    touches = ", ".join(f"'{t}'" for t in _TOUCH_TYPES)
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    CASE WHEN event_type IN ({touches}) THEN event_type END AS touch
+  FROM events
+), bookends AS (
+  SELECT event_type, value,
+    first_value(touch IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_t,
+    last_value(touch IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_t
+  FROM marked
+), conv AS (
+  SELECT first_t, last_t, CAST(value AS DECIMAL(18,2)) AS rev
+  FROM bookends
+  WHERE event_type = 'purchase' AND first_t IS NOT NULL
+), melted AS (
+  SELECT 'first_touch' AS model, first_t AS touch_type, rev FROM conv
+  UNION ALL
+  SELECT 'last_touch' AS model, last_t AS touch_type, rev FROM conv
+)
+SELECT model, touch_type,
+  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+  CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM melted GROUP BY model, touch_type
+ORDER BY model, touch_type
+"""
+
+
+# ------------------------------------------------------ w_interval_merge
+
+_IVM_SPAN_US = 300 * 1_000_000  # each event opens a 5-minute activity interval
+
+
+def w_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge: every event opens a 5-minute
+    activity interval; per event_type, coalesce all overlapping
+    intervals (across users) into maximal islands and report island
+    count, total covered time, and the longest island — the coverage
+    primitive behind uptime/SLA reporting and validity-interval
+    compaction.
+
+    Scale shape: one per-type sort; the running max of interval ends
+    over the preceding frame detects island starts, and a running sum
+    of start flags numbers islands — the classic two-window rewrite
+    that replaces the quadratic overlap self-join.  Everything after
+    the sort is (type, island)-grain.  All arithmetic is exact BIGINT
+    epoch-microseconds.
+
+    Cf. j_interval_overlap (grid-cell overlap JOIN); this is the
+    MERGE/coverage side of interval algebra."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.lit(_IVM_SPAN_US)).alias("en"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("event_type").orderBy("s", "event_id")
+    flagged = e.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("en").over(w_prev), F.lit(-(1 << 62))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = flagged.groupBy("event_type", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("en").alias("i_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        islands.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+            F.max(F.col("i_end") - F.col("i_start")).alias("max_island_us"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_W_INTERVAL_MERGE_SQL = f"""
+WITH iv AS (
+  SELECT event_type, event_id, epoch_us(ts) AS s,
+    epoch_us(ts) + {_IVM_SPAN_US} AS en
+  FROM events
+), flagged AS (
+  SELECT event_type, s, en,
+    CASE WHEN s > coalesce(MAX(en) OVER (
+        PARTITION BY event_type ORDER BY s, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), {-(1 << 62)})
+      THEN 1 ELSE 0 END AS new_island,
+    event_id
+  FROM iv
+), numbered AS (
+  SELECT event_type, s, en,
+    SUM(new_island) OVER (PARTITION BY event_type ORDER BY s, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), islands AS (
+  SELECT event_type, island, MIN(s) AS i_start, MAX(en) AS i_end,
+    COUNT(*) AS n_events
+  FROM numbered GROUP BY event_type, island
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_islands,
+  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+  CAST(MAX(i_end - i_start) AS BIGINT) AS max_island_us,
+  CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM islands GROUP BY event_type ORDER BY event_type
+"""
+
+
 MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_hashed_features": t_hashed_features,
     "g_jaccard_sim": g_jaccard_sim,
@@ -1430,6 +1684,9 @@ MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_active_users": a_active_users,
     "q_customer_rfm": q_customer_rfm,
     "a_order_intervals": a_order_intervals,
+    "q_skyline_frontier": q_skyline_frontier,
+    "a_attribution": a_attribution,
+    "w_interval_merge": w_interval_merge,
 }
 
 MINING_ORACLES: dict[str, str] = {
@@ -1448,4 +1705,7 @@ MINING_ORACLES: dict[str, str] = {
     "a_active_users": _a_active_users_sql(),
     "q_customer_rfm": _q_customer_rfm_sql(),
     "a_order_intervals": _a_order_intervals_sql(),
+    "q_skyline_frontier": _Q_SKYLINE_SQL,
+    "a_attribution": _a_attribution_sql(),
+    "w_interval_merge": _W_INTERVAL_MERGE_SQL,
 }

@@ -3133,6 +3133,273 @@ ORDER BY ks.k
 """
 
 
+# ------------------------------------------------------ dq_dataset_checksum
+
+# (table, canonical column expressions) — every value is rendered to a
+# type-stable text form first: ints as-is, 2-dp doubles via
+# DECIMAL(18,2) (both engines print '23.00'), timestamps as epoch-µs.
+_CHECKSUM_TABLES: dict[str, list[str]] = {
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) AS STRING)",
+        "CAST(CAST(l_tax AS DECIMAL(18,2)) AS STRING)",
+        "l_returnflag", "l_linestatus", "unix_micros(l_shipdate)",
+    ],
+    "orders": [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING)",
+        "unix_micros(o_orderdate)", "o_orderpriority",
+    ],
+    "events": [
+        "event_id", "unix_micros(ts)", "user_id", "event_type",
+        "CAST(CAST(value AS DECIMAL(18,2)) AS STRING)", "props",
+    ],
+}
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def dq_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset fingerprint per table — the
+    copy/migration validator a 100 TB pipeline runs after every bulk
+    move: if source and destination disagree on (n_rows, xor_sig,
+    sum_sig) the copy is wrong, with no sort and no row-by-row diff.
+
+    Each row renders to a canonical '|'-joined text form (ints as-is,
+    money via DECIMAL(18,2) so both engines print '23.00', timestamps
+    as epoch-µs), hashes to the portable 60-bit md5 hash64, and folds
+    two ways: BIT_XOR (order-insensitive, O(1) state) and SUM mod
+    2⁶¹−1 (DECIMAL(38,0) partial so 10¹² rows cannot overflow).  The
+    two folds cover each other's blind spots: xor cancels on
+    even-multiplicity duplicates, the modular sum does not.
+
+    Scale shape: pure map-side partial aggregation — the exchange
+    carries ONE (xor, sum, count) triple per partition per table;
+    row text never shuffles."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, list(_CHECKSUM_TABLES))
+    outs = []
+    for name, cols in _CHECKSUM_TABLES.items():
+        row_txt = F.concat_ws("|", *[F.expr(c).cast("string") for c in cols])
+        h = hash64(row_txt)
+        outs.append(
+            t[name]
+            .select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("xor_sig"),
+                F.expr(
+                    f"CAST(SUM(CAST(h AS DECIMAL(38,0))) % {_MERSENNE61} AS BIGINT)"
+                ).alias("sum_sig"),
+            )
+            .select(
+                F.lit(name).alias("table_name"), "n_rows", "xor_sig", "sum_sig"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")
+
+
+def _dq_dataset_checksum_sql() -> str:
+    parts = []
+    for name, cols in _CHECKSUM_TABLES.items():
+        rendered = ", ".join(
+            c.replace("unix_micros(", "epoch_us(").replace(" AS STRING", " AS VARCHAR")
+            for c in cols
+        )
+        h = (
+            "CAST(CAST('0x' || substr(md5(concat_ws('|', "
+            + rendered
+            + ")), 1, 15) AS BIGINT) AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{name}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(bit_xor(h) AS BIGINT) AS xor_sig,"
+            f" CAST(SUM(CAST(h AS HUGEINT)) % {_MERSENNE61} AS BIGINT) AS sum_sig"
+            f" FROM (SELECT {h} AS h FROM {name})"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+# ------------------------------------------------------ dq_join_cardinality
+
+
+def dq_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-blowup pre-flight: the exact output cardinality of the
+    events⋈events self-join on user_id, computed WITHOUT running the
+    join — Σₖ n(k)² over per-key counts.  The planner-style probe a
+    100 TB pipeline runs before any pair-generating stage (similarity
+    self-joins, co-occurrence mining): a skewed key turns 'big' into
+    'never finishes', and this query names the keys.  Reports the
+    total plus the 5 heaviest users with their share in ppm (exact
+    integer half-away division).
+
+    Scale shape: one per-key count agg (map-side combined), a 5-row
+    top-k, and a 1-row total — the probe costs one scan of the key
+    column regardless of how catastrophic the join it predicts would
+    be.  The DuckDB oracle computes the identical arithmetic, so the
+    gate proves the estimator against itself, not against an executed
+    blowup."""
+    t = load_tables(spark, sf_dir, ["events"])
+    per_key = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("pairs", F.col("n_events") * F.col("n_events"))
+    )
+    tot = per_key.agg(
+        F.sum("n_events").alias("tot_events"), F.sum("pairs").alias("tot_pairs")
+    )
+    w = Window.orderBy(F.col("pairs").desc(), F.col("user_id").asc())
+    top = (
+        per_key.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .crossJoin(F.broadcast(tot))
+    )
+    share_ppm = F.call_function(
+        "div",
+        F.lit(2) * F.col("pairs") * F.lit(1_000_000) + F.col("tot_pairs"),
+        F.lit(2) * F.col("tot_pairs"),
+    )
+    top_rows = top.select(
+        F.lit("key").alias("scope"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("pairs").cast("long").alias("pairs"),
+        share_ppm.cast("long").alias("share_ppm"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+    total_row = tot.select(
+        F.lit("total").alias("scope"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("tot_events").cast("long").alias("n_events"),
+        F.col("tot_pairs").cast("long").alias("pairs"),
+        F.lit(1_000_000).cast("long").alias("share_ppm"),
+        F.lit(0).cast("long").alias("rnk"),
+    )
+    return total_row.unionByName(top_rows).orderBy("rnk")
+
+
+_DQ_JOIN_CARD_SQL = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_events,
+    COUNT(*) * COUNT(*) AS pairs
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT SUM(n_events) AS tot_events, SUM(pairs) AS tot_pairs FROM per_key
+), top AS (
+  SELECT user_id, n_events, pairs,
+    row_number() OVER (ORDER BY pairs DESC, user_id) AS rnk
+  FROM per_key
+)
+SELECT 'total' AS scope, CAST(NULL AS BIGINT) AS user_id,
+  CAST(tot_events AS BIGINT) AS n_events, CAST(tot_pairs AS BIGINT) AS pairs,
+  CAST(1000000 AS BIGINT) AS share_ppm, CAST(0 AS BIGINT) AS rnk
+FROM tot
+UNION ALL
+SELECT 'key', CAST(user_id AS BIGINT), CAST(n_events AS BIGINT),
+  CAST(pairs AS BIGINT),
+  CAST((2 * pairs * 1000000 + tot_pairs) // (2 * tot_pairs) AS BIGINT),
+  CAST(rnk AS BIGINT)
+FROM top CROSS JOIN tot WHERE rnk <= 5
+ORDER BY rnk
+"""
+
+
+# ------------------------------------------------------ e_quantile_normalize
+
+
+def e_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of the embedding corpus with a
+    Spearman audit: every dimension's values are replaced by their
+    within-dimension ranks, and each dimension reports its Spearman
+    correlation against dimension 1 — the scale-free dependence audit
+    that survives any monotone distortion of the raw floats (the
+    rank-based twin of ``e_covariance``'s Pearson moments).
+
+    Determinism: ranks are row_number over (value, vec_id) — a total
+    order, so ties in the float values cannot make engines disagree;
+    every Spearman input (Σr, Σr², Σr·r₀) is an exact BIGINT (safe to
+    n ≈ 2M rows; past that flip the moments to DECIMAL partials like
+    e_covariance); the final formula is IEEE double on exact integers,
+    rounded half-away with −0.0 normalized.
+
+    Scale shape: the explode carries (vec_id, dim, value) scalars —
+    vectors never shuffle whole; ranking is one per-dim window sort
+    (dims partition evenly by construction); the moment agg is
+    map-side combined to |dims| rows; the dim-1 rank frame joins by
+    vec_id."""
+    from kp_crypto_market_analytics_spark.functions.vectors import to_double_array
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    ranked = (
+        ensure_parallelism(t["embeddings"])
+        .select("vec_id", F.posexplode(to_double_array("embedding")).alias("i", "xi"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("i").orderBy(F.col("xi").asc(), F.col("vec_id").asc())
+            ),
+        )
+        .select("vec_id", "i", "r")
+    )
+    base = ranked.where(F.col("i") == 0).select("vec_id", F.col("r").alias("r0"))
+    m = (
+        ranked.where(F.col("i") >= 1)
+        .join(F.broadcast(base), "vec_id")
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r").alias("sx"),
+            F.sum(F.col("r") * F.col("r")).alias("sx2"),
+            F.sum("r0").alias("sy"),
+            F.sum(F.col("r0") * F.col("r0")).alias("sy2"),
+            F.sum(F.col("r") * F.col("r0")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        (F.col("i") + 1).alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        (F.round(num.cast("double") / den, 6) + F.lit(0.0)).alias("spearman_vs_dim1"),
+    ).orderBy("dim")
+
+
+def _e_quantile_normalize_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), long_form AS (
+  SELECT vec_id, unnest(generate_series(1, {_EMB_DIM})) AS i, x FROM e
+), ranked AS (
+  SELECT vec_id, i - 1 AS i,
+    row_number() OVER (PARTITION BY i ORDER BY x[i], vec_id) AS r
+  FROM long_form
+), base AS (
+  SELECT vec_id, r AS r0 FROM ranked WHERE i = 0
+), m AS (
+  SELECT a.i, COUNT(*) AS n, SUM(a.r) AS sx, SUM(a.r * a.r) AS sx2,
+    SUM(b.r0) AS sy, SUM(b.r0 * b.r0) AS sy2, SUM(a.r * b.r0) AS sxy
+  FROM ranked a JOIN base b USING (vec_id) WHERE a.i >= 1 GROUP BY a.i
+)
+SELECT CAST(i + 1 AS INT) AS dim, CAST(n AS BIGINT) AS n,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+         * CAST(n * sy2 - sy * sy AS DOUBLE)), 6) + 0.0 AS spearman_vs_dim1
+FROM m ORDER BY dim
+"""
+
+
 QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_constraints": dq_constraints,
     "dq_k_anonymity": dq_k_anonymity,
@@ -3160,6 +3427,9 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_embedding_drift": e_embedding_drift,
     "e_label_centroid_audit": e_label_centroid_audit,
     "e_fisher_separation": e_fisher_separation,
+    "dq_dataset_checksum": dq_dataset_checksum,
+    "dq_join_cardinality": dq_join_cardinality,
+    "e_quantile_normalize": e_quantile_normalize,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -3189,4 +3459,7 @@ QUALITY_ORACLES: dict[str, str] = {
     "e_embedding_drift": _e_embedding_drift_sql(),
     "e_label_centroid_audit": _e_label_centroid_sql(),
     "e_fisher_separation": _e_fisher_sql(),
+    "dq_dataset_checksum": _dq_dataset_checksum_sql(),
+    "dq_join_cardinality": _DQ_JOIN_CARD_SQL,
+    "e_quantile_normalize": _e_quantile_normalize_sql(),
 }

@@ -1,0 +1,167 @@
+"""Invariant tests for the round-6 batch-2 operators: skyline,
+attribution, interval merge, TWAP, dataset checksum, join-cardinality
+pre-flight, quantile normalization, and RRF fusion.  The DuckDB
+oracles prove engine parity; these assert the ALGORITHMIC invariants
+that parity alone cannot (dominance, conservation, bounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_skyline_is_exactly_the_undominated_set(spark):
+    """Brute-force dominance over the customer grain must reproduce the
+    window-rewrite frontier exactly — the O(n²) truth at test scale."""
+    from kp_crypto_market_analytics_spark.queries_mining import q_skyline_frontier
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ["orders"])
+    cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    pts = [(r["o_custkey"], r["spend"], r["cnt"]) for r in cust]
+    expected = {
+        k
+        for k, s, c in pts
+        if not any(
+            (s2 >= s and c2 >= c and (s2 > s or c2 > c)) for _, s2, c2 in pts
+        )
+    }
+    got = {r["custkey"] for r in q_skyline_frontier(spark, SF_DIR).collect()}
+    assert got == expected
+
+
+def test_attribution_models_conserve_conversions_and_revenue(spark):
+    """First-touch and last-touch re-bucket the SAME conversion set, so
+    both models must agree on total count and total revenue."""
+    from kp_crypto_market_analytics_spark.queries_mining import a_attribution
+
+    rows = a_attribution(spark, SF_DIR).collect()
+    assert rows
+    by_model: dict[str, tuple[int, float]] = {}
+    for r in rows:
+        n, rev = by_model.get(r["model"], (0, 0.0))
+        by_model[r["model"]] = (n + r["n_conversions"], rev + r["revenue"])
+    assert set(by_model) == {"first_touch", "last_touch"}
+    (n1, v1), (n2, v2) = by_model["first_touch"], by_model["last_touch"]
+    assert n1 == n2
+    assert abs(v1 - v2) < 1e-6
+
+
+def test_interval_merge_coverage_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import (
+        _IVM_SPAN_US,
+        w_interval_merge,
+    )
+
+    rows = w_interval_merge(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_islands"] <= r["n_events"]
+        # every island spans at least one interval and islands are disjoint
+        assert r["max_island_us"] >= _IVM_SPAN_US
+        assert r["covered_us"] >= r["n_islands"] * _IVM_SPAN_US
+        assert r["covered_us"] <= r["n_events"] * _IVM_SPAN_US
+
+
+def test_twap_lies_within_daily_price_range(spark):
+    """A time-weighted mean is a convex combination of the day's prices
+    (plus the boundary tick carried in from the same day), so it must
+    lie within the [min, max] of the prices it weights."""
+    from kp_crypto_market_analytics_spark.queries_indicators import ti_twap
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ["events"])
+    bounds = {
+        (r["event_type"], r["day"]): (r["lo"], r["hi"])
+        for r in t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    rows = ti_twap(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        lo, hi = bounds[(r["event_type"], r["day"])]
+        assert lo - 1e-6 <= r["twap"] <= hi + 1e-6, r
+        assert lo - 1e-6 <= r["mean_price"] <= hi + 1e-6, r
+        assert r["held_us"] > 0
+
+
+def test_dataset_checksum_counts_and_sensitivity(spark):
+    """n_rows must equal the actual table counts; distinct tables must
+    not collide on both signatures (a collision on BOTH folds would be
+    a broken canonicalization, not bad luck)."""
+    from kp_crypto_market_analytics_spark.queries_quality import (
+        _CHECKSUM_TABLES,
+        dq_dataset_checksum,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, list(_CHECKSUM_TABLES))
+    rows = {r["table_name"]: r for r in dq_dataset_checksum(spark, SF_DIR).collect()}
+    assert set(rows) == set(_CHECKSUM_TABLES)
+    sigs = set()
+    for name in _CHECKSUM_TABLES:
+        assert rows[name]["n_rows"] == t[name].count()
+        assert 0 <= rows[name]["sum_sig"] < (1 << 61) - 1
+        sigs.add((rows[name]["xor_sig"], rows[name]["sum_sig"]))
+    assert len(sigs) == len(_CHECKSUM_TABLES)
+
+
+def test_join_cardinality_total_is_sum_of_squares(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import dq_join_cardinality
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ["events"])
+    per_key = (
+        t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    expected_total = sum(r["n"] * r["n"] for r in per_key)
+    rows = dq_join_cardinality(spark, SF_DIR).collect()
+    total = [r for r in rows if r["scope"] == "total"][0]
+    keys = [r for r in rows if r["scope"] == "key"]
+    assert total["pairs"] == expected_total
+    assert total["n_events"] == sum(r["n"] for r in per_key)
+    assert len(keys) == 5
+    # heaviest-first and shares consistent with the exact total
+    assert [r["rnk"] for r in keys] == [1, 2, 3, 4, 5]
+    assert all(a["pairs"] >= b["pairs"] for a, b in zip(keys, keys[1:]))
+    for r in keys:
+        assert 0 < r["share_ppm"] <= 1_000_000
+        assert abs(r["share_ppm"] - r["pairs"] * 1_000_000 / expected_total) <= 1
+
+
+def test_quantile_normalize_spearman_bounds_and_self(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import e_quantile_normalize
+
+    rows = e_quantile_normalize(spark, SF_DIR).collect()
+    assert rows
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1  # every dim ranks the same corpus
+    for r in rows:
+        assert 2 <= r["dim"]
+        assert -1.0 <= r["spearman_vs_dim1"] <= 1.0
+
+
+def test_rrf_fusion_scores_recompute_and_order(spark):
+    from kp_crypto_market_analytics_spark.queries_ext import _RRF_K, t_rrf_fusion
+
+    rows = t_rrf_fusion(spark, SF_DIR).collect()
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        expect = round(1.0 / (_RRF_K + r["r_bm25"]) + 1.0 / (_RRF_K + r["r_tfidf"]), 6)
+        assert abs(r["rrf"] - expect) < 1e-9
+        if prev is not None:
+            assert r["rrf"] <= prev + 1e-12
+        prev = r["rrf"]
