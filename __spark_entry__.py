@@ -79,6 +79,7 @@ _FIRST_SEEN_ROUND.update(
         "t_bm25_topk", "q_skyline_frontier", "a_attribution",
         "w_interval_merge", "ti_twap", "dq_dataset_checksum",
         "dq_join_cardinality", "e_quantile_normalize", "t_rrf_fusion",
+        "g_ppr", "t_ndcg_eval", "a_mutual_info", "dq_fk_discovery",
     )}
 )
 _FIRST_SEEN_ROUND.update(

@@ -85,6 +85,76 @@ def pagerank_weighted(
     return pr
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    prec: int = 10,
+) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom 2003, public): the teleport
+    mass lands ONLY on the seed set — pr(v) = (1-d)·t(v) +
+    d·Σ_{u→v} (w/wdeg(u))·pr(u) with t(v) = 1/|S| for seeds, 0
+    otherwise, pr₀ = t.  Rank mass measures proximity TO the seeds —
+    the "related items" primitive recommenders run per anchor, where
+    global PageRank ranks the whole catalog.
+
+    ``seeds`` is a 1-column frame (node) — small by contract, it
+    broadcasts into the node table.  Same engine-parity recipe as
+    :func:`pagerank_weighted`: exact-integer ratio divisions,
+    DECIMAL(28,12) contribution folds, per-iteration rounding to
+    ``prec``; 1/|S| is a single IEEE division of exact integers, so a
+    DuckDB unroll reproduces every iterate bit for bit."""
+    wdeg = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    er = (
+        edges.join(wdeg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight").cast("double") / F.col("wdeg")).alias("ratio"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seeds.count()
+    nodes = (
+        er.select(F.col("src").alias("node"))
+        .union(er.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            F.broadcast(seeds.select(F.col("node"), F.lit(1).alias("is_seed"))),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.when(F.col("is_seed") == 1, F.lit(1.0) / F.lit(float(n_seeds)))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pr = nodes.select("node", "tele", F.col("tele").alias("pr"))
+    for i in range(iters):
+        contrib = (
+            er.join(pr, er.src == pr.node)
+            .select("dst", (F.col("ratio") * F.col("pr")).cast("decimal(28,12)").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            "tele",
+            F.round(
+                F.lit(1.0 - damping) * F.col("tele")
+                + F.lit(damping) * F.coalesce("s", F.lit(0.0)),
+                prec,
+            ).alias("pr"),
+        )
+        if (i + 1) % 8 == 0 and i + 1 < iters:
+            pr = pr.localCheckpoint(eager=True)
+    return pr.select("node", "pr", (F.col("tele") > 0).alias("is_seed"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Triangles and wedge totals of an undirected graph, one row:
     (n_nodes, n_edges, n_wedges, n_triangles).

@@ -1708,6 +1708,172 @@ FROM fused QUALIFY rank <= 15 ORDER BY rank
 """
 
 
+def t_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the BM25 ranking: nDCG@10, MRR
+    and precision@10 against a graded term-coverage relevance signal —
+    rel(d) = how many of the 3 query terms d contains (1..3), relevant
+    = rel ≥ 2.  The offline eval loop every retrieval stack runs;
+    grades derived from the corpus itself so the gate is
+    self-contained.
+
+    Determinism: DCG/IDCG positions fold as exact BIGINT micro-units
+    (per-position (2^rel−1)/log₂(i+1) rounds to integer µ first, THEN
+    sums — float sums over rank positions would be order-dependent);
+    gains use integer shifts, never pow(); MRR and P@10 are single
+    divisions of exact integers.
+
+    Scale shape: reuses the BM25 scoring joins (scalar-only
+    exchanges); the metric tail runs on ≤|candidates| rows, the
+    DCG/IDCG folds on exactly 10."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtoks = toks.where(F.col("tok").isin(*_BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtoks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    bm25_s = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+            / (F.col("doc_freq") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", bm25_s)
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("rel"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == term, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    total = F.round(
+        sum(F.col(f"s_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
+    )
+    ranked = per_doc.withColumn("bm25", total).select(
+        "doc_id",
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rnk"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc()))
+        .alias("ideal_rnk"),
+    )
+    gain = F.expr("shiftleft(1, rel) - 1")
+    dcg_term = F.round(
+        gain.cast("double") * F.lit(1_000_000.0) / F.log2(F.col("rnk") + F.lit(1)), 0
+    ).cast("long")
+    idcg_term = F.round(
+        gain.cast("double") * F.lit(1_000_000.0)
+        / F.log2(F.col("ideal_rnk") + F.lit(1)),
+        0,
+    ).cast("long")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("rnk") <= 10, dcg_term).otherwise(F.lit(0))).alias("dcg_u"),
+        F.sum(
+            F.when(F.col("ideal_rnk") <= 10, idcg_term).otherwise(F.lit(0))
+        ).alias("idcg_u"),
+        F.min(F.when(F.col("rel") >= 2, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            F.when((F.col("rnk") <= 10) & (F.col("rel") >= 2), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("rel_in_10"),
+    )
+    return agg.select(
+        "n_candidates",
+        (F.col("dcg_u") / F.lit(1_000_000.0)).alias("dcg10"),
+        (F.col("idcg_u") / F.lit(1_000_000.0)).alias("idcg10"),
+        F.round(F.col("dcg_u").cast("double") / F.col("idcg_u"), 6).alias("ndcg10"),
+        F.round(F.lit(1.0) / F.col("first_rel"), 6).alias("mrr"),
+        (F.col("rel_in_10").cast("double") / F.lit(10.0)).alias("p_at_10"),
+    )
+
+
+def _t_ndcg_eval_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    score = (
+        f"round(ln((n_docs - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)"
+        f" * (tf * {k1 + 1.0!r}) / (tf + {k1!r} *"
+        f" ({1.0 - b!r} + {b!r} * dl / avgdl)), 6)"
+    )
+    per_term = ", ".join(
+        f"coalesce(MAX(CASE WHEN tok = '{t}' THEN s END), 0.0) AS s_{t}"
+        for t in _BM25_TERMS
+    )
+    total = " + ".join(f"s_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH {TOKENS_CTE}, dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM toks
+  WHERE tok IN ({terms}) GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok, {score} AS s
+  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id), stats
+), per_doc AS (
+  SELECT doc_id, COUNT(DISTINCT tok) AS rel, {per_term}
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, rel,
+    row_number() OVER (ORDER BY round({total} + 0.0, 6) DESC, doc_id) AS rnk,
+    row_number() OVER (ORDER BY rel DESC, doc_id) AS ideal_rnk
+  FROM per_doc
+), folded AS (
+  SELECT COUNT(*) AS n_candidates,
+    SUM(CASE WHEN rnk <= 10 THEN CAST(round(
+      ((1 << rel) - 1) * 1000000.0 / log2(rnk + 1), 0) AS BIGINT)
+      ELSE 0 END) AS dcg_u,
+    SUM(CASE WHEN ideal_rnk <= 10 THEN CAST(round(
+      ((1 << rel) - 1) * 1000000.0 / log2(ideal_rnk + 1), 0) AS BIGINT)
+      ELSE 0 END) AS idcg_u,
+    MIN(CASE WHEN rel >= 2 THEN rnk END) AS first_rel,
+    SUM(CASE WHEN rnk <= 10 AND rel >= 2 THEN 1 ELSE 0 END) AS rel_in_10
+  FROM ranked
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+  dcg_u / 1000000.0 AS dcg10,
+  idcg_u / 1000000.0 AS idcg10,
+  round(CAST(dcg_u AS DOUBLE) / idcg_u, 6) AS ndcg10,
+  round(1.0 / first_rel, 6) AS mrr,
+  CAST(rel_in_10 AS DOUBLE) / 10.0 AS p_at_10
+FROM folded
+"""
+
+
 def w3_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 at the reference's full horizon set k ∈ {5,15,60}
     (binance_analysis.py:404-415): three leads over ONE window spec —
@@ -5373,6 +5539,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_tfidf_topk": t_tfidf_topk,
     "t_bm25_topk": t_bm25_topk,
     "t_rrf_fusion": t_rrf_fusion,
+    "t_ndcg_eval": t_ndcg_eval,
     "w3_multi_horizon": w3_multi_horizon,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "e4_large_trade_impact": e4_large_trade_impact,
@@ -5462,6 +5629,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_tfidf_topk": T_TFIDF_SQL,
     "t_bm25_topk": _t_bm25_sql(),
     "t_rrf_fusion": _t_rrf_fusion_sql(),
+    "t_ndcg_eval": _t_ndcg_eval_sql(),
     "w3_multi_horizon": W3_MULTI_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "e4_large_trade_impact": E4_LARGE_SQL,

@@ -346,11 +346,98 @@ FROM d{rounds} GROUP BY dist ORDER BY dist
     return "".join(parts)
 
 
+# --------------------------------------------------------------- g_ppr
+
+_PPR_SEEDS = 3
+
+
+def g_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PERSONALIZED PageRank seeded at the 3
+    lowest-numbered parts in the co-purchase graph — proximity to the
+    anchor set, not global centrality (contrast g_pagerank: same graph,
+    same iteration engine, different teleport vector).  The "customers
+    who bought these also buy" primitive, one anchor set per run.
+
+    Seeds are the 3 smallest node ids — a deterministic, data-derived
+    anchor the DuckDB oracle reproduces with ORDER BY node LIMIT 3.
+    Scale shape: identical to g_pagerank (the shared materialized pair
+    build + 3 skinny contribution joins); the seed table broadcasts."""
+    from kp_crypto_market_analytics_spark.operators.graph import personalized_pagerank
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("support").alias("weight")
+    ).unionByName(
+        pairs.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.col("support").alias("weight")
+        )
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy("node")
+        .limit(_PPR_SEEDS)
+    )
+    pr = personalized_pagerank(edges, seeds, iters=_PR_ITERS)
+    return (
+        pr.select(
+            F.col("node").alias("part"),
+            F.round(F.col("pr"), 6).alias("ppr_score"),
+            "is_seed",
+        )
+        .orderBy(F.col("ppr_score").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
+def _g_ppr_sql(iters: int = _PR_ITERS) -> str:
+    # Lockstep with personalized_pagerank: teleport 1/|S| on the seed
+    # set only, DECIMAL(28,12) folds, 10 dp per-iteration rounding.
+    parts = [f"""
+WITH {_PAIRS_SQL}, edges AS (
+  SELECT u AS src, v AS dst, support AS weight FROM pairs
+  UNION ALL SELECT v, u, support FROM pairs
+), wdeg AS (
+  SELECT src, CAST(SUM(weight) AS BIGINT) AS wdeg FROM edges GROUP BY 1
+), er AS MATERIALIZED (
+  SELECT e.src, e.dst, CAST(weight AS DOUBLE) / wdeg AS ratio
+  FROM edges e JOIN wdeg USING (src)
+), nodes0 AS (
+  SELECT src AS node FROM er UNION SELECT dst FROM er
+), seeds AS (
+  SELECT node FROM nodes0 ORDER BY node LIMIT {_PPR_SEEDS}
+), nodes AS MATERIALIZED (
+  SELECT n.node,
+    CASE WHEN s.node IS NOT NULL
+      THEN 1.0 / {_PPR_SEEDS} ELSE 0.0 END AS tele
+  FROM nodes0 n LEFT JOIN seeds s ON s.node = n.node
+), pr0 AS (
+  SELECT node, tele, tele AS pr FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+  SELECT dst, CAST(SUM(CAST(ratio * pr AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM er JOIN pr{i - 1} p ON er.src = p.node GROUP BY dst
+), pr{i} AS (
+  SELECT node, tele,
+    round(0.15 * tele + 0.85 * coalesce(s, 0.0), 10) AS pr
+  FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node
+)""")
+    parts.append(f"""
+SELECT node AS part, round(pr, 6) AS ppr_score, tele > 0.0 AS is_seed
+FROM pr{iters}
+ORDER BY ppr_score DESC, part LIMIT 20
+""")
+    return "".join(parts)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_pagerank": g_pagerank,
     "g_degree_stats": g_degree_stats,
     "g_label_prop": g_label_prop,
     "g_bfs_distance": g_bfs_distance,
+    "g_ppr": g_ppr,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -358,4 +445,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "g_degree_stats": _g_degree_stats_sql(),
     "g_label_prop": _g_label_prop_sql(),
     "g_bfs_distance": _g_bfs_distance_sql(),
+    "g_ppr": _g_ppr_sql(),
 }

@@ -1414,6 +1414,95 @@ FROM gaps
 """
 
 
+# ------------------------------------------------------ a_mutual_info
+
+
+def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and hour-of-day, with
+    per-cell pointwise MI — the feature-selection primitive a training
+    pipeline runs to rank categorical features against a target
+    (Cover & Thomas, public).  Per (type, hour) cell: observed count,
+    expected count under independence, PMI in nats, and the corpus MI
+    (the same scalar on every row, by construction).
+
+    Determinism: all inputs are exact integer counts; expected_n uses
+    the exact half-away micro division (round_mean_micro); PMI rounds
+    a single ln of an exact-integer ratio (−0 normalized); MI folds
+    per-cell terms as rounded BIGINT micro-units and sums INTEGERS —
+    a float Σ p·ln(p/(pₓp_y)) over cells would be order-dependent.
+
+    Scale shape: one map-side-combined cell agg (|types|·24 rows), two
+    broadcast marginal joins, one unpartitioned window over the cell
+    table.  Nothing row-shaped survives the first agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    cells = (
+        t["events"]
+        .select("event_type", F.hour("ts").alias("hb"))
+        .groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mt = cells.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    mh = cells.groupBy("hb").agg(F.sum("n").alias("nh"))
+    tot = cells.agg(F.sum("n").alias("n_tot"))
+    joined = (
+        cells.join(F.broadcast(mt), "event_type")
+        .join(F.broadcast(mh), "hb")
+        .crossJoin(F.broadcast(tot))
+    )
+    ln_ratio = F.log(
+        F.col("n").cast("double")
+        * F.col("n_tot")
+        / (F.col("nt") * F.col("nh"))
+    )
+    term_micro = F.round(
+        F.col("n").cast("double") / F.col("n_tot") * ln_ratio * F.lit(1_000_000.0), 0
+    ).cast("long")
+    w_all = Window.partitionBy()
+    return (
+        joined.withColumn("tm", term_micro)
+        .select(
+            "event_type",
+            "hb",
+            F.col("n").cast("long").alias("n"),
+            round_mean_micro(
+                (F.col("nt") * F.col("nh")).cast("decimal(38,6)"), F.col("n_tot")
+            ).alias("expected_n"),
+            (F.round(ln_ratio, 6) + F.lit(0.0)).alias("pmi"),
+            (F.sum("tm").over(w_all) / F.lit(1_000_000.0)).alias("mi_nats"),
+        )
+        .orderBy("event_type", "hb")
+    )
+
+
+def _a_mutual_info_sql() -> str:
+    expected = sql_round_mean_micro("CAST(nt * nh AS DECIMAL(38,6))", "n_tot")
+    ln_ratio = "ln(CAST(n AS DOUBLE) * n_tot / (nt * nh))"
+    return f"""
+WITH cells AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hb, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), mt AS (
+  SELECT event_type, SUM(n) AS nt FROM cells GROUP BY 1
+), mh AS (
+  SELECT hb, SUM(n) AS nh FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS n_tot FROM cells
+), joined AS (
+  SELECT c.event_type, c.hb, c.n, nt, nh, n_tot
+  FROM cells c JOIN mt USING (event_type) JOIN mh USING (hb) CROSS JOIN tot
+), terms AS (
+  SELECT event_type, hb, n, nt, nh, n_tot,
+    CAST(round(CAST(n AS DOUBLE) / n_tot * {ln_ratio} * 1000000.0, 0) AS BIGINT) AS tm
+  FROM joined
+)
+SELECT event_type, hb, CAST(n AS BIGINT) AS n,
+  {expected} AS expected_n,
+  round({ln_ratio}, 6) + 0.0 AS pmi,
+  SUM(tm) OVER () / 1000000.0 AS mi_nats
+FROM terms ORDER BY event_type, hb
+"""
+
+
 # ------------------------------------------------------ q_skyline_frontier
 
 
@@ -1687,6 +1776,7 @@ MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skyline_frontier": q_skyline_frontier,
     "a_attribution": a_attribution,
     "w_interval_merge": w_interval_merge,
+    "a_mutual_info": a_mutual_info,
 }
 
 MINING_ORACLES: dict[str, str] = {
@@ -1708,4 +1798,5 @@ MINING_ORACLES: dict[str, str] = {
     "q_skyline_frontier": _Q_SKYLINE_SQL,
     "a_attribution": _a_attribution_sql(),
     "w_interval_merge": _W_INTERVAL_MERGE_SQL,
+    "a_mutual_info": _a_mutual_info_sql(),
 }

@@ -3311,6 +3311,91 @@ ORDER BY rnk
 """
 
 
+# ------------------------------------------------------ dq_fk_discovery
+
+# (child_table, child_col, parent_table, parent_col) — the candidate
+# inclusion dependencies the profiler checks.  The events→customer
+# pair is a deliberate near-miss: user_ids are NOT all customers.
+_FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+def dq_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery over a candidate
+    list: for each (child.col → parent.col) pair, how many distinct
+    child values exist, how many land in the parent, the containment
+    ratio in ppm, and whether the pair is a clean FK — the schema
+    profiler every warehouse migration runs before trusting joins
+    (Bauckmann et al.'s SPIDER problem, public; here over a fixed
+    candidate set rather than all column pairs).
+
+    Scale shape: per pair, one distinct-collapse of the child KEY
+    column (map-side partial), a LEFT SEMI join against the parent's
+    distinct keys (broadcast when small), and a 1-row count — payload
+    columns never read, never shuffled.  containment_ppm is the exact
+    half-away integer division; is_fk is containment == 10⁶."""
+    tables = sorted(
+        {c for c, _, _, _ in _FK_CANDIDATES} | {p for _, _, p, _ in _FK_CANDIDATES}
+    )
+    t = load_tables(spark, sf_dir, tables)
+    outs = []
+    for child, ccol, parent, pcol in _FK_CANDIDATES:
+        ckeys = t[child].select(F.col(ccol).alias("k")).where(F.col("k").isNotNull()).distinct()
+        pkeys = t[parent].select(F.col(pcol).alias("k")).where(F.col("k").isNotNull()).distinct()
+        n_child = ckeys.agg(F.count(F.lit(1)).alias("child_distinct"))
+        n_parent = pkeys.agg(F.count(F.lit(1)).alias("parent_distinct"))
+        n_in = ckeys.join(pkeys, "k", "left_semi").agg(
+            F.count(F.lit(1)).alias("contained")
+        )
+        outs.append(
+            n_child.crossJoin(n_parent)
+            .crossJoin(n_in)
+            .select(
+                F.lit(f"{child}.{ccol}").alias("child_key"),
+                F.lit(f"{parent}.{pcol}").alias("parent_key"),
+                F.col("child_distinct").cast("long").alias("child_distinct"),
+                F.col("parent_distinct").cast("long").alias("parent_distinct"),
+                F.col("contained").cast("long").alias("contained"),
+                F.call_function(
+                    "div",
+                    F.lit(2) * F.col("contained") * F.lit(1_000_000)
+                    + F.col("child_distinct"),
+                    F.lit(2) * F.col("child_distinct"),
+                ).cast("long").alias("containment_ppm"),
+                (F.col("contained") == F.col("child_distinct")).alias("is_fk"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("child_key", "parent_key")
+
+
+def _dq_fk_discovery_sql() -> str:
+    parts = []
+    for child, ccol, parent, pcol in _FK_CANDIDATES:
+        parts.append(f"""
+SELECT '{child}.{ccol}' AS child_key, '{parent}.{pcol}' AS parent_key,
+  CAST(c.n AS BIGINT) AS child_distinct,
+  CAST(p.n AS BIGINT) AS parent_distinct,
+  CAST(i.n AS BIGINT) AS contained,
+  CAST((2 * i.n * 1000000 + c.n) // (2 * c.n) AS BIGINT) AS containment_ppm,
+  i.n = c.n AS is_fk
+FROM (SELECT COUNT(DISTINCT {ccol}) AS n FROM {child} WHERE {ccol} IS NOT NULL) c,
+     (SELECT COUNT(DISTINCT {pcol}) AS n FROM {parent} WHERE {pcol} IS NOT NULL) p,
+     (SELECT COUNT(*) AS n FROM
+        (SELECT DISTINCT {ccol} AS k FROM {child} WHERE {ccol} IS NOT NULL) ck
+      WHERE ck.k IN (SELECT {pcol} FROM {parent})) i
+""")
+    return " UNION ALL ".join(parts) + " ORDER BY child_key, parent_key"
+
+
 # ------------------------------------------------------ e_quantile_normalize
 
 
@@ -3430,6 +3515,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_dataset_checksum": dq_dataset_checksum,
     "dq_join_cardinality": dq_join_cardinality,
     "e_quantile_normalize": e_quantile_normalize,
+    "dq_fk_discovery": dq_fk_discovery,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -3462,4 +3548,5 @@ QUALITY_ORACLES: dict[str, str] = {
     "dq_dataset_checksum": _dq_dataset_checksum_sql(),
     "dq_join_cardinality": _DQ_JOIN_CARD_SQL,
     "e_quantile_normalize": _e_quantile_normalize_sql(),
+    "dq_fk_discovery": _dq_fk_discovery_sql(),
 }

@@ -165,3 +165,58 @@ def test_rrf_fusion_scores_recompute_and_order(spark):
         if prev is not None:
             assert r["rrf"] <= prev + 1e-12
         prev = r["rrf"]
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    from kp_crypto_market_analytics_spark.queries_graph import g_ppr
+
+    rows = g_ppr(spark, SF_DIR).collect()
+    assert rows
+    seeds = [r for r in rows if r["is_seed"]]
+    assert 1 <= len(seeds) <= 3
+    scores = [r["ppr_score"] for r in rows]
+    assert all(s >= 0.0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # teleport mass lands only on seeds: a seed must out-rank the
+    # median of the returned top-20 (proximity, not global centrality)
+    assert max(s["ppr_score"] for s in seeds) >= scores[len(scores) // 2]
+
+
+def test_ndcg_metric_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_ext import t_ndcg_eval
+
+    r = t_ndcg_eval(spark, SF_DIR).collect()[0]
+    assert r["n_candidates"] > 0
+    assert 0.0 < r["dcg10"] <= r["idcg10"]
+    assert 0.0 < r["ndcg10"] <= 1.0
+    assert 0.0 < r["mrr"] <= 1.0
+    assert 0.0 <= r["p_at_10"] <= 1.0
+
+
+def test_mutual_info_nonnegative_and_marginals(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import a_mutual_info
+
+    rows = a_mutual_info(spark, SF_DIR).collect()
+    assert rows
+    mis = {r["mi_nats"] for r in rows}
+    assert len(mis) == 1  # corpus MI is a single scalar
+    # MI >= 0 up to the micro-unit fold's rounding slack
+    assert mis.pop() >= -1e-4
+    for r in rows:
+        assert r["n"] >= 1
+        assert r["expected_n"] > 0.0
+
+
+def test_fk_discovery_containment_and_known_fks(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import dq_fk_discovery
+
+    rows = {r["child_key"]: r for r in dq_fk_discovery(spark, SF_DIR).collect()}
+    for r in rows.values():
+        assert 0 <= r["contained"] <= r["child_distinct"]
+        assert 0 <= r["containment_ppm"] <= 1_000_000
+        assert r["is_fk"] == (r["contained"] == r["child_distinct"])
+    # the TPC-H referential pairs are clean FKs by construction
+    for ck in ("lineitem.l_orderkey", "lineitem.l_partkey",
+               "lineitem.l_suppkey", "orders.o_custkey",
+               "customer.c_nationkey"):
+        assert rows[ck]["is_fk"], ck
