@@ -80,6 +80,7 @@ _FIRST_SEEN_ROUND.update(
         "w_interval_merge", "ti_twap", "dq_dataset_checksum",
         "dq_join_cardinality", "e_quantile_normalize", "t_rrf_fusion",
         "g_ppr", "t_ndcg_eval", "a_mutual_info", "dq_fk_discovery",
+        "ti_realized_vol", "dq_ks_test", "e_knn_eval",
     )}
 )
 _FIRST_SEEN_ROUND.update(

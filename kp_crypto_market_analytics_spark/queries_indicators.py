@@ -874,6 +874,106 @@ FROM agg ORDER BY event_type, day
 """
 
 
+# ------------------------------------------------------ ti_realized_vol
+
+_RV_HALF_PI = 1.5707963267948966  # pi/2, shared double literal
+
+
+def ti_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized volatility + bipower variation per (symbol, day)
+    (Barndorff-Nielsen & Shephard 2004, public): RV = Σ r², BV =
+    (π/2)·Σ|rᵢ||rᵢ₋₁| over intraday log returns — BV is jump-robust,
+    so max(0, RV − BV) isolates the jump component.  The econometrics
+    pair every volatility desk computes from tick data.
+
+    Determinism: returns are within-day lags on the family's shared
+    (symbol, time) sort; each Σ folds as rounded BIGINT micro-units
+    (r² ≤ ~120 on this data, so µ-units hold 6 significant decimals)
+    — float sums over intraday returns would be order-dependent; the
+    π/2 scaling and the final rounds are single IEEE ops on exact
+    integers.
+
+    Scale shape: ONE window sort per symbol (two lags ride the same
+    frame), then a (symbol, day)-grain agg with map-side partials."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    r = F.log(F.col("value") / F.lag("value").over(w))
+    ticks = (
+        # zero prices exist in the synthetic stream (6 at sf0.1) and a
+        # log return is undefined through them — drop them BEFORE the
+        # lag so consecutive positive ticks still pair up (the oracle
+        # filters identically).
+        t["events"]
+        .where(F.col("value") > 0)
+        .select(
+            "event_type",
+            "event_id",
+            "ts",
+            "value",
+            F.to_date("ts").alias("day"),
+            F.lag(F.to_date("ts")).over(w).alias("prev_day"),
+            r.alias("r"),
+        )
+        .where(F.col("r").isNotNull() & (F.col("day") == F.col("prev_day")))
+        .withColumn("prev_abs_r", F.lag(F.abs("r")).over(_w()))
+        .withColumn("prev_day2", F.lag("day").over(_w()))
+    )
+    rv_u = F.round(F.col("r") * F.col("r") * F.lit(1_000_000.0), 0).cast("long")
+    bp_u = F.when(
+        F.col("prev_abs_r").isNotNull() & (F.col("day") == F.col("prev_day2")),
+        F.round(
+            F.abs("r") * F.col("prev_abs_r") * F.lit(1_000_000.0), 0
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = ticks.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_returns"),
+        F.sum(rv_u).alias("rv_u"),
+        F.sum(bp_u).alias("bp_u"),
+    )
+    rv = F.col("rv_u") / F.lit(1_000_000.0)
+    bv = F.round(F.lit(_RV_HALF_PI) * F.col("bp_u") / F.lit(1_000_000.0), 6)
+    return agg.select(
+        "event_type",
+        "day",
+        "n_returns",
+        (F.round(rv, 6) + F.lit(0.0)).alias("rv"),
+        (bv + F.lit(0.0)).alias("bv"),
+        (F.round(F.greatest(F.lit(0.0), rv - bv), 6) + F.lit(0.0)).alias("jump"),
+    ).orderBy("event_type", "day")
+
+
+TI_REALIZED_VOL_SQL = f"""
+WITH lagged AS (
+  SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day,
+    lag(CAST(ts AS DATE)) OVER ({_W_SQL}) AS prev_day,
+    ln(value / lag(value) OVER ({_W_SQL})) AS r
+  FROM events WHERE value > 0
+), rets2 AS (
+  SELECT event_type, day, r,
+    lag(abs(r)) OVER (PARTITION BY event_type ORDER BY rn) AS prev_abs_r,
+    lag(day) OVER (PARTITION BY event_type ORDER BY rn) AS prev_day2
+  FROM (
+    SELECT event_type, day, r,
+      row_number() OVER ({_W_SQL}) AS rn
+    FROM lagged WHERE r IS NOT NULL AND day = prev_day
+  )
+), folded AS (
+  SELECT event_type, day, COUNT(*) AS n_returns,
+    SUM(CAST(round(r * r * 1000000.0, 0) AS BIGINT)) AS rv_u,
+    SUM(CASE WHEN prev_abs_r IS NOT NULL AND day = prev_day2
+      THEN CAST(round(abs(r) * prev_abs_r * 1000000.0, 0) AS BIGINT)
+      ELSE 0 END) AS bp_u
+  FROM rets2 GROUP BY event_type, day
+)
+SELECT event_type, day, CAST(n_returns AS BIGINT) AS n_returns,
+  round(rv_u / 1000000.0, 6) + 0.0 AS rv,
+  round({_RV_HALF_PI!r} * bp_u / 1000000.0, 6) + 0.0 AS bv,
+  round(greatest(0.0, rv_u / 1000000.0
+    - round({_RV_HALF_PI!r} * bp_u / 1000000.0, 6)), 6) + 0.0 AS jump
+FROM folded ORDER BY event_type, day
+"""
+
+
 IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_bollinger": ti_bollinger,
     "ti_rsi": ti_rsi,
@@ -888,6 +988,7 @@ IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "cdc_apply": cdc_apply,
     "ti_twap": ti_twap,
+    "ti_realized_vol": ti_realized_vol,
 }
 
 IND_ORACLES: dict[str, str] = {
@@ -904,4 +1005,5 @@ IND_ORACLES: dict[str, str] = {
     "cdc_snapshot_diff": CDC_SNAPSHOT_SQL,
     "cdc_apply": CDC_APPLY_SQL,
     "ti_twap": TI_TWAP_SQL,
+    "ti_realized_vol": TI_REALIZED_VOL_SQL,
 }

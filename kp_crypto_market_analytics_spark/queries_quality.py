@@ -3396,6 +3396,215 @@ FROM (SELECT COUNT(DISTINCT {ccol}) AS n FROM {child} WHERE {ccol} IS NOT NULL) 
     return " UNION ALL ".join(parts) + " ORDER BY child_key, parent_key"
 
 
+# ------------------------------------------------------ dq_ks_test
+
+_KS_CRIT = 1.3581  # Kolmogorov c(alpha) at alpha = 0.05, shared literal
+
+
+def dq_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type, even-
+    vs odd-day halves (the dq_drift_psi split, so the two monitors
+    watch the same boundary): D = sup|F₁−F₂| — the binning-free
+    complement to PSI, sensitive to ANY distributional change, not
+    just mass moving between fixed bins.
+
+    Determinism: D is computed as an exact INTEGER — at each distinct
+    value, |cum₁·n₂ − cum₂·n₁| (cross-multiplied ECDFs, no division
+    until the final report), so two engines cannot disagree on the
+    supremum; the α=0.05 decision compares the same exact integers
+    against the Kolmogorov critical value via one double multiply.
+
+    Scale shape: one (type, value)-grain agg (map-side combined), one
+    per-type window cumsum over distinct values, one per-type max —
+    the classic sort-merge ECDF sweep, never a pairwise comparison."""
+    t = load_tables(spark, sf_dir, ["events"])
+    marked = t["events"].select(
+        "event_type",
+        "value",
+        (F.dayofmonth("ts") % 2 == 0).cast("int").alias("even"),
+    )
+    vals = marked.groupBy("event_type", "value").agg(
+        F.sum("even").alias("c1"),
+        F.sum(F.lit(1) - F.col("even")).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vals.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+    )
+    sizes = marked.groupBy("event_type").agg(
+        F.sum("even").alias("n1"),
+        F.sum(F.lit(1) - F.col("even")).alias("n2"),
+    )
+    d = (
+        cum.join(F.broadcast(sizes), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max(
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+            ).alias("d_scaled"),
+        )
+    )
+    ks_d = F.round(
+        F.col("d_scaled").cast("double") / (F.col("n1") * F.col("n2")), 6
+    )
+    crit = F.lit(_KS_CRIT) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double") / (F.col("n1") * F.col("n2"))
+    )
+    return d.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d_scaled").cast("long").alias("d_scaled"),
+        ks_d.alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        (ks_d > F.round(crit, 6)).alias("drifted"),
+    ).orderBy("event_type")
+
+
+_DQ_KS_SQL = f"""
+WITH marked AS (
+  SELECT event_type, value,
+    CASE WHEN day(ts) % 2 = 0 THEN 1 ELSE 0 END AS even
+  FROM events
+), vals AS (
+  SELECT event_type, value, SUM(even) AS c1, SUM(1 - even) AS c2
+  FROM marked GROUP BY event_type, value
+), cum AS (
+  SELECT event_type,
+    SUM(c1) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+    SUM(c2) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+  FROM vals
+), sizes AS (
+  SELECT event_type, SUM(even) AS n1, SUM(1 - even) AS n2
+  FROM marked GROUP BY event_type
+), d AS (
+  SELECT c.event_type, MIN(n1) AS n1, MIN(n2) AS n2,
+    MAX(abs(cum1 * n2 - cum2 * n1)) AS d_scaled
+  FROM cum c JOIN sizes s ON s.event_type = c.event_type
+  GROUP BY c.event_type
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  CAST(d_scaled AS BIGINT) AS d_scaled,
+  round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6) AS ks_d,
+  round({_KS_CRIT!r} * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6) AS crit_05,
+  round(CAST(d_scaled AS DOUBLE) / (n1 * n2), 6)
+    > round({_KS_CRIT!r} * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6) AS drifted
+FROM d ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------ e_knn_eval
+
+
+def e_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN label audit over the embedding corpus: for
+    each query vector (vec_id < 100), do its 5 nearest neighbors (by
+    exact cosine, self excluded) majority-vote its own label?  The
+    label-noise / embedding-quality smoke test run before training a
+    classifier on the embeddings; per-label accuracy in exact ppm.
+    Measured finding on this corpus: 9–15% across SFs — essentially
+    the 10-label random baseline.  The labels separate at CENTROID
+    scale (e_label_centroid_audit beats random) but local
+    neighborhoods are noise-dominated at n=500 × 64-dim; surfacing
+    that gap before anyone ships a kNN classifier is the audit's job.
+
+    Determinism: neighbor sets come from the ROUNDED cosine with
+    neighbor-id tiebreak (the sim_bruteforce_topk rule); the vote is
+    an exact-integer (count DESC, label ASC) argmax; accuracy is the
+    half-away integer ppm division.
+
+    Scale shape: brute-force — eval-tier BY DESIGN (bounded query
+    slice × corpus, the sim_bruteforce contract); the production path
+    at corpus scale is the IVF shortlist feeding the same vote."""
+    from kp_crypto_market_analytics_spark.operators.similarity import brute_force_topk
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < 100)
+    nn = brute_force_topk(emb, queries, "embedding", "vec_id", k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label"))
+    votes = (
+        nn.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), F.col("n_label").asc()
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w_vote))
+        .where(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("pred"))
+    )
+    truth = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("truth")
+    )
+    per_label = (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy("truth")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum((F.col("pred") == F.col("truth")).cast("int")).alias("n_correct"),
+        )
+    )
+    acc = F.call_function(
+        "div",
+        F.lit(2) * F.col("n_correct") * F.lit(1_000_000) + F.col("n_queries"),
+        F.lit(2) * F.col("n_queries"),
+    )
+    return per_label.select(
+        F.col("truth").alias("label"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        acc.cast("long").alias("acc_ppm"),
+    ).orderBy("label")
+
+
+_E_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS truth,
+    CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 100
+), scored AS (
+  SELECT q.query_id, q.truth, c.vec_id AS neighbor_id, c.label AS n_label,
+    round(list_cosine_similarity(q.qvec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+), topk AS (
+  SELECT query_id, truth, n_label,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+), votes AS (
+  SELECT query_id, MIN(truth) AS truth, n_label, COUNT(*) AS v
+  FROM topk WHERE rank <= 5 GROUP BY query_id, n_label
+), pred AS (
+  SELECT query_id, truth, n_label AS pred,
+    row_number() OVER (PARTITION BY query_id ORDER BY v DESC, n_label) AS rk
+  FROM votes
+), per_label AS (
+  SELECT truth AS label, COUNT(*) AS n_queries,
+    SUM(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS n_correct
+  FROM pred WHERE rk = 1 GROUP BY truth
+)
+SELECT CAST(label AS INT) AS label,
+  CAST(n_queries AS BIGINT) AS n_queries,
+  CAST(n_correct AS BIGINT) AS n_correct,
+  CAST((2 * n_correct * 1000000 + n_queries) // (2 * n_queries) AS BIGINT)
+    AS acc_ppm
+FROM per_label ORDER BY label
+"""
+
+
 # ------------------------------------------------------ e_quantile_normalize
 
 
@@ -3516,6 +3725,8 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_join_cardinality": dq_join_cardinality,
     "e_quantile_normalize": e_quantile_normalize,
     "dq_fk_discovery": dq_fk_discovery,
+    "dq_ks_test": dq_ks_test,
+    "e_knn_eval": e_knn_eval,
 }
 
 QUALITY_ORACLES: dict[str, str] = {
@@ -3549,4 +3760,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "dq_join_cardinality": _DQ_JOIN_CARD_SQL,
     "e_quantile_normalize": _e_quantile_normalize_sql(),
     "dq_fk_discovery": _dq_fk_discovery_sql(),
+    "dq_ks_test": _DQ_KS_SQL,
+    "e_knn_eval": _E_KNN_SQL,
 }

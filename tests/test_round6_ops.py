@@ -220,3 +220,53 @@ def test_fk_discovery_containment_and_known_fks(spark):
                "lineitem.l_suppkey", "orders.o_custkey",
                "customer.c_nationkey"):
         assert rows[ck]["is_fk"], ck
+
+
+def test_realized_vol_dominates_jump_component(spark):
+    """RV ≥ 0, BV ≥ 0, jump = max(0, RV−BV) by definition; with the
+    zero-price ticks dropped every day must produce returns."""
+    from kp_crypto_market_analytics_spark.queries_indicators import ti_realized_vol
+
+    rows = ti_realized_vol(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_returns"] >= 1
+        assert r["rv"] >= 0.0
+        assert r["bv"] >= 0.0
+        assert abs(r["jump"] - max(0.0, round(r["rv"] - r["bv"], 6))) < 1e-9
+
+
+def test_ks_statistic_exact_and_identical_halves_zero(spark):
+    """d_scaled/(n1·n2) must reproduce ks_d, and KS of a sample
+    against itself is exactly zero (the estimator's fixed point)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kp_crypto_market_analytics_spark.queries_quality import dq_ks_test
+
+    rows = dq_ks_test(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["d_scaled"] <= r["n1"] * r["n2"]
+        assert abs(r["ks_d"] - round(r["d_scaled"] / (r["n1"] * r["n2"]), 6)) < 1e-9
+        assert r["drifted"] == (r["ks_d"] > r["crit_05"])
+
+
+def test_knn_eval_partitions_queries_and_recomputes(spark):
+    """The audit MEASURES: on this synthetic corpus LOO-5NN lands near
+    the 10-label random baseline (9-15% across SFs — the labels
+    separate at centroid scale, e_label_centroid_audit, but local
+    neighborhoods are noise-dominated at n=500 × 64-dim).  Surfacing
+    exactly that is the audit's job; the test pins the accounting."""
+    from kp_crypto_market_analytics_spark.queries_quality import e_knn_eval
+
+    rows = e_knn_eval(spark, SF_DIR).collect()
+    assert rows
+    total_q = sum(r["n_queries"] for r in rows)
+    assert total_q == 100  # every query vector classified exactly once
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert 0 <= r["acc_ppm"] <= 1_000_000
+        expect = (2 * r["n_correct"] * 1_000_000 + r["n_queries"]) // (
+            2 * r["n_queries"]
+        )
+        assert r["acc_ppm"] == expect
