@@ -81,6 +81,7 @@ _FIRST_SEEN_ROUND.update(
         "dq_join_cardinality", "e_quantile_normalize", "t_rrf_fusion",
         "g_ppr", "t_ndcg_eval", "a_mutual_info", "dq_fk_discovery",
         "ti_realized_vol", "dq_ks_test", "e_knn_eval",
+        "p_pruning_sim", "a_kmv_difference",
     )}
 )
 _FIRST_SEEN_ROUND.update(

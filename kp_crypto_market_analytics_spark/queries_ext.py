@@ -3928,6 +3928,130 @@ FROM z GROUP BY 1 ORDER BY tile
 """
 
 
+# partkey probe ranges for the pruning simulation (lo, hi) — narrow
+# point-lookups plus one wide sweep, meaningful at every SF.
+_PRUNE_PREDS = [(0, 99), (500, 599), (1000, 1099), (1500, 1599), (0, 1999)]
+_PRUNE_ROWS_PER_FILE = 1000
+
+
+def p_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness simulation — the planner-style
+    audit that justifies a re-clustering job BEFORE paying for it:
+    group lineitem into synthetic files under two layouts (the
+    ingest-order layout: one file per shipdate month; the re-clustered
+    layout: 1000-row files in partkey order), collect per-file
+    min/max(l_partkey) — exactly the stats parquet row groups expose —
+    and replay 5 partkey probe ranges against each layout, counting
+    files whose [min,max] envelope intersects.
+
+    The point the numbers make: time-clustered files have partkey
+    envelopes spanning the whole domain (nothing prunes); partkey-
+    clustered files prune all but the envelope-overlapping handful.
+    SCALING.md's layout section asserts this; here it is measured and
+    oracle-gated.
+
+    Determinism & scale shape: file assignment is integer arithmetic
+    on exact orders (month, or row_number div rows-per-file on a total
+    order); stats are one agg per layout at FILE grain; the probe
+    replay joins |files| × 5 predicate literals — no fact-table work
+    after the stat collection, which is the entire point of stats-
+    based pruning."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = ensure_parallelism(t["lineitem"]).select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    by_time = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("f")
+    ).agg(
+        F.min("l_partkey").alias("mn"),
+        F.max("l_partkey").alias("mx"),
+    ).select(F.lit("ingest_time").alias("layout"), "mn", "mx")
+    w_pk = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    by_pk = (
+        li.withColumn("rn", F.row_number().over(w_pk))
+        .groupBy(
+            F.call_function(
+                "div", F.col("rn") - 1, F.lit(_PRUNE_ROWS_PER_FILE)
+            ).alias("f")
+        )
+        .agg(
+            F.min("l_partkey").alias("mn"),
+            F.max("l_partkey").alias("mx"),
+        )
+        .select(F.lit("partkey_clustered").alias("layout"), "mn", "mx")
+    )
+    files = by_time.unionByName(by_pk)
+    preds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("pred_id"),
+                    F.lit(lo).cast("long").alias("lo"),
+                    F.lit(hi).cast("long").alias("hi"),
+                )
+                for i, (lo, hi) in enumerate(_PRUNE_PREDS)
+            ]
+        )
+    ).alias("p")
+    probed = files.select("layout", "mn", "mx", preds).select(
+        "layout", "mn", "mx", "p.pred_id", "p.lo", "p.hi"
+    )
+    agg = probed.groupBy("layout", "pred_id", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(
+            ((F.col("mn") <= F.col("hi")) & (F.col("mx") >= F.col("lo"))).cast("int")
+        ).alias("files_hit"),
+    )
+    pruned_ppm = F.call_function(
+        "div",
+        F.lit(2) * (F.col("files_total") - F.col("files_hit")) * F.lit(1_000_000)
+        + F.col("files_total"),
+        F.lit(2) * F.col("files_total"),
+    )
+    return agg.select(
+        "layout",
+        "pred_id",
+        "lo",
+        "hi",
+        F.col("files_total").cast("long").alias("files_total"),
+        F.col("files_hit").cast("long").alias("files_hit"),
+        pruned_ppm.cast("long").alias("pruned_ppm"),
+    ).orderBy("layout", "pred_id")
+
+
+def _p_pruning_sim_sql() -> str:
+    values = ", ".join(f"({i + 1}, {lo}, {hi})" for i, (lo, hi) in enumerate(_PRUNE_PREDS))
+    return f"""
+WITH by_time AS (
+  SELECT 'ingest_time' AS layout, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+  FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+), ordered AS (
+  SELECT l_partkey,
+    row_number() OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+), by_pk AS (
+  SELECT 'partkey_clustered' AS layout, MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+  FROM ordered GROUP BY (rn - 1) // {_PRUNE_ROWS_PER_FILE}
+), files AS (
+  SELECT * FROM by_time UNION ALL SELECT * FROM by_pk
+), preds(pred_id, lo, hi) AS (
+  VALUES {values}
+), agg AS (
+  SELECT layout, pred_id, lo, hi, COUNT(*) AS files_total,
+    SUM(CASE WHEN mn <= hi AND mx >= lo THEN 1 ELSE 0 END) AS files_hit
+  FROM files CROSS JOIN preds
+  GROUP BY layout, pred_id, lo, hi
+)
+SELECT layout, CAST(pred_id AS INT) AS pred_id,
+  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+  CAST(files_total AS BIGINT) AS files_total,
+  CAST(files_hit AS BIGINT) AS files_hit,
+  CAST((2 * (files_total - files_hit) * 1000000 + files_total)
+    // (2 * files_total) AS BIGINT) AS pruned_ppm
+FROM agg ORDER BY layout, pred_id
+"""
+
+
 def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted priority sampling, fixed k per stratum: each doc gets
     an integer priority ``(h mod 2^30) * 2^20 DIV w`` (h = portable
@@ -5540,6 +5664,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bm25_topk": t_bm25_topk,
     "t_rrf_fusion": t_rrf_fusion,
     "t_ndcg_eval": t_ndcg_eval,
+    "p_pruning_sim": p_pruning_sim,
     "w3_multi_horizon": w3_multi_horizon,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "e4_large_trade_impact": e4_large_trade_impact,
@@ -5630,6 +5755,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_bm25_topk": _t_bm25_sql(),
     "t_rrf_fusion": _t_rrf_fusion_sql(),
     "t_ndcg_eval": _t_ndcg_eval_sql(),
+    "p_pruning_sim": _p_pruning_sim_sql(),
     "w3_multi_horizon": W3_MULTI_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "e4_large_trade_impact": E4_LARGE_SQL,

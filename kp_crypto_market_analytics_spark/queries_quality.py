@@ -3396,6 +3396,168 @@ FROM (SELECT COUNT(DISTINCT {ccol}) AS n FROM {child} WHERE {ccol} IS NOT NULL) 
     return " UNION ALL ".join(parts) + " ORDER BY child_key, parent_key"
 
 
+# ------------------------------------------------------ a_kmv_difference
+
+
+def a_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed set-DIFFERENCE estimation via theta-sketch AnotB
+    (the third Theta-sketch set operation next to a_kmv_overlap's
+    intersection; Apache DataSketches algebra, public): |A\\B| ≈
+    |{h ∈ sketch(A), h < θ, h ∉ sketch(B)}| · scale / θ with θ =
+    min(θ_A, θ_B) — "users who did A but never B", the audience-
+    exclusion query, answered from two 256-row sketches instead of a
+    per-user anti-join.  All 20 directed type pairs, audited against
+    the exact anti-join.
+
+    Determinism: identical recipe to a_kmv_overlap — distinct 60-bit
+    md5 hashes (total order), integer θ and counts, two final
+    divisions of the same integers rounded 6.
+
+    Scale shape: sketch build shared shape with a_kmv_overlap (per-
+    type top-k over distinct hashes); every AnotB is a 256-row
+    broadcast anti-join; the exact twin (audit-only) pays the
+    per-user anti-join the sketch exists to avoid.
+
+    Audience domain: customers per order PRIORITY (~1300 distinct vs
+    k=256, so the sketch genuinely subsamples) — the events table's
+    150 users appear in every type, which would make every difference
+    vacuously empty."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    e = t["orders"].select(
+        F.col("o_orderpriority").alias("event_type"),
+        F.col("o_custkey").cast("string").alias("u"),
+    )
+    hashes = e.select(
+        "event_type", hash64(F.concat(F.col("u"), F.lit("#kmv"))).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)
+    )
+    stats = sk.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept")
+    )
+    theta_of = F.when(F.col("n_kept") < _KMV_K, F.lit(_KMV_SCALE)).otherwise(
+        F.col("kth")
+    )
+    st = stats.select("event_type", theta_of.alias("theta"))
+    pairs = (
+        st.select(F.col("event_type").alias("ta"), F.col("theta").alias("th_a"))
+        .crossJoin(
+            st.select(F.col("event_type").alias("tb"), F.col("theta").alias("th_b"))
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .select("ta", "tb", F.least("th_a", "th_b").alias("theta"))
+    )
+    # per directed pair: hashes of A's sketch below theta, minus those
+    # ALSO present in B's sketch (broadcast anti-join on (tb, h))
+    a_below = (
+        F.broadcast(pairs)
+        .join(
+            sk.select(F.col("event_type").alias("ta"), "h"), ["ta"]
+        )
+        .where(F.col("h") < F.col("theta"))
+    )
+    sk_b = sk.select(F.col("event_type").alias("tb"), "h")
+    n_diff = (
+        a_below.join(F.broadcast(sk_b), ["tb", "h"], "left_anti")
+        .groupBy("ta", "tb", "theta")
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    ed = e.distinct()
+    exact = (
+        ed.select(F.col("event_type").alias("ta"), "u")
+        .join(
+            ed.select(F.col("event_type").alias("tb"), "u"),
+            "u",
+        )
+        .where(F.col("ta") != F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = ed.groupBy(F.col("event_type").alias("ta")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    est = (
+        F.col("n_diff").cast("double")
+        * F.lit(float(_KMV_SCALE))
+        / F.col("theta").cast("double")
+    )
+    return (
+        n_diff.join(F.broadcast(exact), ["ta", "tb"], "left")
+        .join(F.broadcast(sizes), "ta")
+        .select(
+            "ta",
+            "tb",
+            (F.col("n_a") - F.coalesce("n_common", F.lit(0))).alias("exact_diff"),
+            F.round(est, 6).alias("kmv_diff"),
+            F.round(
+                (est - (F.col("n_a") - F.coalesce("n_common", F.lit(0))))
+                / (F.col("n_a") - F.coalesce("n_common", F.lit(0))).cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+def _a_kmv_difference_sql() -> str:
+    k, scale = _KMV_K, _KMV_SCALE
+    return f"""
+WITH e AS (
+  SELECT DISTINCT o_orderpriority AS event_type,
+    CAST(o_custkey AS VARCHAR) AS u
+  FROM orders
+), h AS (
+  SELECT DISTINCT event_type,
+    CAST('0x' || substr(md5(u || '#kmv'), 1, 15) AS BIGINT) AS h
+  FROM e
+), sk AS MATERIALIZED (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {k}
+), st AS (
+  SELECT event_type,
+    CASE WHEN COUNT(*) < {k} THEN {scale} ELSE MAX(h) END AS theta
+  FROM sk GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+    least(a.theta, b.theta) AS theta
+  FROM st a, st b WHERE a.event_type <> b.event_type
+), n_diff AS (
+  SELECT p.ta, p.tb, p.theta, COUNT(*) AS n_diff
+  FROM pairs p JOIN sk a ON a.event_type = p.ta AND a.h < p.theta
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sk b WHERE b.event_type = p.tb AND b.h = a.h
+  )
+  GROUP BY p.ta, p.tb, p.theta
+), sizes AS (
+  SELECT event_type AS ta, COUNT(*) AS n_a FROM e GROUP BY 1
+), common AS (
+  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS n_common
+  FROM e x JOIN e y ON x.u = y.u AND x.event_type <> y.event_type
+  GROUP BY 1, 2
+)
+SELECT d.ta, d.tb,
+  CAST(s.n_a - coalesce(c.n_common, 0) AS BIGINT) AS exact_diff,
+  round(CAST(d.n_diff AS DOUBLE) * {float(scale)!r} / d.theta, 6) AS kmv_diff,
+  round((CAST(d.n_diff AS DOUBLE) * {float(scale)!r} / d.theta
+    - (s.n_a - coalesce(c.n_common, 0)))
+    / CAST(s.n_a - coalesce(c.n_common, 0) AS DOUBLE), 6) AS rel_err
+FROM n_diff d
+LEFT JOIN common c ON c.ta = d.ta AND c.tb = d.tb
+JOIN sizes s ON s.ta = d.ta
+ORDER BY d.ta, d.tb
+"""
+
+
 # ------------------------------------------------------ dq_ks_test
 
 _KS_CRIT = 1.3581  # Kolmogorov c(alpha) at alpha = 0.05, shared literal
@@ -3726,6 +3888,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e_quantile_normalize": e_quantile_normalize,
     "dq_fk_discovery": dq_fk_discovery,
     "dq_ks_test": dq_ks_test,
+    "a_kmv_difference": a_kmv_difference,
     "e_knn_eval": e_knn_eval,
 }
 
@@ -3761,5 +3924,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "e_quantile_normalize": _e_quantile_normalize_sql(),
     "dq_fk_discovery": _dq_fk_discovery_sql(),
     "dq_ks_test": _DQ_KS_SQL,
+    "a_kmv_difference": _a_kmv_difference_sql(),
     "e_knn_eval": _E_KNN_SQL,
 }

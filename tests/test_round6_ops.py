@@ -270,3 +270,48 @@ def test_knn_eval_partitions_queries_and_recomputes(spark):
             2 * r["n_queries"]
         )
         assert r["acc_ppm"] == expect
+
+
+def test_kmv_difference_error_bounded_and_directed(spark):
+    from kp_crypto_market_analytics_spark.queries_quality import a_kmv_difference
+
+    rows = a_kmv_difference(spark, SF_DIR).collect()
+    assert len(rows) == 20  # 5 priorities, all directed pairs
+    for r in rows:
+        assert r["exact_diff"] >= 0
+        assert r["kmv_diff"] >= 0.0
+        # k=256 over ~13% difference mass: ~34 sampled hashes,
+        # sigma ~ 17%; 4-sigma guard
+        assert abs(r["rel_err"]) < 0.7, r
+
+
+def test_pruning_sim_clustered_layout_wins(spark):
+    """The measured point: partkey-clustered files prune narrow partkey
+    probes; ingest-time files cannot (their partkey envelopes span the
+    domain).  The wide sweep prunes nothing on either layout."""
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _PRUNE_PREDS,
+        p_pruning_sim,
+    )
+
+    rows = p_pruning_sim(spark, SF_DIR).collect()
+    assert len(rows) == 2 * len(_PRUNE_PREDS)
+    by = {(r["layout"], r["pred_id"]): r for r in rows}
+    wide_id = len(_PRUNE_PREDS)  # the (0, 1999) sweep is last
+    for pid in range(1, len(_PRUNE_PREDS)):
+        clustered = by[("partkey_clustered", pid)]
+        ingest = by[("ingest_time", pid)]
+        assert clustered["files_hit"] <= clustered["files_total"]
+        # out-of-domain probes prune 100% on BOTH layouts at small SFs
+        # (sf0.001 partkeys stop near 200) — clustering can only help
+        assert clustered["pruned_ppm"] >= ingest["pruned_ppm"], pid
+    # the [0, 99] probe is in-domain at every SF: clustering must
+    # strictly beat ingest order there
+    assert (
+        by[("partkey_clustered", 1)]["pruned_ppm"]
+        > by[("ingest_time", 1)]["pruned_ppm"]
+    )
+    assert by[("ingest_time", wide_id)]["pruned_ppm"] == 0
+    assert by[("partkey_clustered", wide_id)]["files_hit"] == by[
+        ("partkey_clustered", wide_id)
+    ]["files_total"]
