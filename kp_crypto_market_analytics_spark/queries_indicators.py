@@ -974,6 +974,90 @@ FROM folded ORDER BY event_type, day
 """
 
 
+# ------------------------------------------------------ w_des_forecast
+
+_DES_ALPHA = 0.3
+_DES_LAGS = 24
+
+
+def _des_ema_sql(col: str, alpha: float, lags: int) -> str:
+    """Truncated-EMA SQL chain over an arbitrary column (the ti_macd
+    _ema_sql generalized) — weights emitted as CAST(repr AS DOUBLE) so
+    DuckDB runs the same IEEE chain Spark does."""
+    weights = ewma_weights(alpha, lags)
+    lag = lambda j: col if j == 0 else f"lag({col}, {j}) OVER w"  # noqa: E731
+    num = " + ".join(
+        f"coalesce({lag(j)}, CAST(0.0 AS DOUBLE)) * CAST({wt!r} AS DOUBLE)"
+        for j, wt in enumerate(weights)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag(j)} IS NOT NULL THEN CAST({wt!r} AS DOUBLE)"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+        for j, wt in enumerate(weights)
+    )
+    return f"({num}) / ({den})"
+
+
+def w_des_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (level + trend) — the
+    one-parameter trend forecaster between w_seasonal_naive_forecast
+    (no trend) and a full Holt-Winters: s₁ = EMA(x), s₂ = EMA(s₁),
+    level = 2s₁ − s₂, trend = α/(1−α)·(s₁ − s₂), next-step forecast =
+    level + trend (Brown 1956, public).
+
+    Determinism: both EMA stages are the ti_macd truncated closed form
+    (weights as shared Python double literals — no libm pow, no
+    recurrence); s₁ rounds to 6 dp BEFORE feeding s₂ so the second
+    chain consumes identical inputs on both engines.
+
+    Scale shape: two lag chains on the family's ONE shared symbol
+    sort; the second chain reads the first's output column, same
+    exchange."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    s1 = F.round(truncated_ema(F.col("value"), w, _DES_ALPHA, _DES_LAGS), 6)
+    base = t["events"].select(
+        "event_id", "event_type", "ts", "value", s1.alias("s1")
+    )
+    s2 = F.round(truncated_ema(F.col("s1"), _w(), _DES_ALPHA, _DES_LAGS), 6)
+    staged = base.select("event_id", "event_type", "ts", "value", "s1", s2.alias("s2"))
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = F.lit(_DES_ALPHA / (1.0 - _DES_ALPHA)) * (F.col("s1") - F.col("s2"))
+    return staged.select(
+        "event_id",
+        "event_type",
+        "value",
+        "s1",
+        "s2",
+        (F.round(level, 6) + F.lit(0.0)).alias("level"),
+        (F.round(trend, 6) + F.lit(0.0)).alias("trend"),
+        (F.round(level + trend, 6) + F.lit(0.0)).alias("forecast"),
+    )
+
+
+def _w_des_forecast_sql() -> str:
+    a = _DES_ALPHA
+    return f"""
+WITH s1t AS (
+  SELECT event_id, event_type, ts, value,
+    round({_des_ema_sql("value", a, _DES_LAGS)}, 6) AS s1
+  FROM events
+  WINDOW w AS ({_W_SQL})
+), s2t AS (
+  SELECT event_id, event_type, value, s1,
+    round({_des_ema_sql("s1", a, _DES_LAGS)}, 6) AS s2
+  FROM s1t
+  WINDOW w AS ({_W_SQL})
+)
+SELECT event_id, event_type, value, s1, s2,
+  round(2.0 * s1 - s2, 6) + 0.0 AS level,
+  round(CAST({a / (1.0 - a)!r} AS DOUBLE) * (s1 - s2), 6) + 0.0 AS trend,
+  round((2.0 * s1 - s2) + CAST({a / (1.0 - a)!r} AS DOUBLE) * (s1 - s2), 6) + 0.0
+    AS forecast
+FROM s2t
+"""
+
+
 IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_bollinger": ti_bollinger,
     "ti_rsi": ti_rsi,
@@ -989,6 +1073,7 @@ IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply": cdc_apply,
     "ti_twap": ti_twap,
     "ti_realized_vol": ti_realized_vol,
+    "w_des_forecast": w_des_forecast,
 }
 
 IND_ORACLES: dict[str, str] = {
@@ -1006,4 +1091,5 @@ IND_ORACLES: dict[str, str] = {
     "cdc_apply": CDC_APPLY_SQL,
     "ti_twap": TI_TWAP_SQL,
     "ti_realized_vol": TI_REALIZED_VOL_SQL,
+    "w_des_forecast": _w_des_forecast_sql(),
 }

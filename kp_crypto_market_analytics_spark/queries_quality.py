@@ -3396,6 +3396,120 @@ FROM (SELECT COUNT(DISTINCT {ccol}) AS n FROM {child} WHERE {ccol} IS NOT NULL) 
     return " UNION ALL ".join(parts) + " ORDER BY child_key, parent_key"
 
 
+# ------------------------------------------------------ a_bitmap_sets
+
+_BMP_BITS = 60  # bits per word — stays inside positive int64, like hash64
+
+
+def a_bitmap_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index set algebra: pack each order priority's customer
+    audience into 60-bit words (word = custkey div 60, bit = custkey
+    mod 60, OR-aggregated), then answer every pairwise intersection /
+    union / Jaccard by word-aligned AND/OR + popcount — EXACT set
+    operations with no per-member join, the roaring-bitmap pattern
+    OLAP engines use for segment membership (and the exact complement
+    to a_kmv_overlap's sketch estimates on the same question shape).
+
+    Determinism: pure integer bit arithmetic end to end (bit mass
+    stays under 2⁶⁰ so no sign-bit hazards); Jaccard reports as the
+    exact half-away ppm division.
+
+    Scale shape: the pack is ONE map-side-combined agg to (key, word)
+    grain — |audience|/60 words per key, not |audience| rows; every
+    pairwise op joins word tables on word index (broadcast-trivial)
+    and popcounts in whole-stage codegen.  At 100 TB bitmaps shard by
+    word range and AND/OR merges stay embarrassingly parallel."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    e = (
+        t["orders"]
+        .select(
+            F.col("o_orderpriority").alias("k"),
+            F.col("o_custkey").cast("long").alias("id"),
+        )
+        .distinct()
+    )
+    words = e.groupBy(
+        "k", F.call_function("div", F.col("id"), F.lit(_BMP_BITS)).alias("wd")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(id % {_BMP_BITS} AS INT)))").alias("bits")
+    )
+    keys = words.select("k").distinct()
+    key_pairs = (
+        keys.select(F.col("k").alias("ta"))
+        .crossJoin(keys.select(F.col("k").alias("tb")))
+        .where(F.col("ta") < F.col("tb"))
+    )
+    # explicit (pair × word) domain so a word present on only ONE side
+    # still contributes its bits to union and per-side counts
+    dom = key_pairs.crossJoin(words.select("wd").distinct())
+    a = words.select(F.col("k").alias("ta"), "wd", F.col("bits").alias("ba"))
+    b = words.select(F.col("k").alias("tb"), "wd", F.col("bits").alias("bb"))
+    aligned = (
+        dom.join(a, ["ta", "wd"], "left")
+        .join(b, ["tb", "wd"], "left")
+        .select(
+            "ta",
+            "tb",
+            F.coalesce("ba", F.lit(0)).alias("ba"),
+            F.coalesce("bb", F.lit(0)).alias("bb"),
+        )
+    )
+    pairs = aligned.groupBy("ta", "tb").agg(
+        F.sum(F.expr("bit_count(ba & bb)")).alias("inter"),
+        F.sum(F.expr("bit_count(ba | bb)")).alias("uni"),
+        F.sum(F.expr("bit_count(ba)")).alias("n_a"),
+        F.sum(F.expr("bit_count(bb)")).alias("n_b"),
+    )
+    jac_ppm = F.call_function(
+        "div",
+        F.lit(2) * F.col("inter") * F.lit(1_000_000) + F.col("uni"),
+        F.lit(2) * F.col("uni"),
+    )
+    return pairs.select(
+        "ta",
+        "tb",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+        jac_ppm.cast("long").alias("jaccard_ppm"),
+    ).orderBy("ta", "tb")
+
+
+_A_BITMAP_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT o_orderpriority AS k, o_custkey AS id FROM orders
+), words AS (
+  SELECT k, id // {_BMP_BITS} AS wd,
+    bit_or(CAST(1 AS BIGINT) << CAST(id % {_BMP_BITS} AS INT)) AS bits
+  FROM e GROUP BY k, id // {_BMP_BITS}
+), key_pairs AS (
+  SELECT a.k AS ta, b.k AS tb
+  FROM (SELECT DISTINCT k FROM words) a, (SELECT DISTINCT k FROM words) b
+  WHERE a.k < b.k
+), dom AS (
+  SELECT ta, tb, wd FROM key_pairs, (SELECT DISTINCT wd FROM words)
+), aligned AS (
+  SELECT d.ta, d.tb,
+    coalesce(a.bits, 0) AS ba, coalesce(b.bits, 0) AS bb
+  FROM dom d
+  LEFT JOIN words a ON a.k = d.ta AND a.wd = d.wd
+  LEFT JOIN words b ON b.k = d.tb AND b.wd = d.wd
+), pairs AS (
+  SELECT ta, tb,
+    SUM(bit_count(ba & bb)) AS inter,
+    SUM(bit_count(ba | bb)) AS uni,
+    SUM(bit_count(ba)) AS n_a,
+    SUM(bit_count(bb)) AS n_b
+  FROM aligned GROUP BY ta, tb
+)
+SELECT ta, tb, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+  CAST((2 * inter * 1000000 + uni) // (2 * uni) AS BIGINT) AS jaccard_ppm
+FROM pairs ORDER BY ta, tb
+"""
+
+
 # ------------------------------------------------------ a_kmv_difference
 
 
@@ -3889,6 +4003,7 @@ QUALITY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_fk_discovery": dq_fk_discovery,
     "dq_ks_test": dq_ks_test,
     "a_kmv_difference": a_kmv_difference,
+    "a_bitmap_sets": a_bitmap_sets,
     "e_knn_eval": e_knn_eval,
 }
 
@@ -3925,5 +4040,6 @@ QUALITY_ORACLES: dict[str, str] = {
     "dq_fk_discovery": _dq_fk_discovery_sql(),
     "dq_ks_test": _DQ_KS_SQL,
     "a_kmv_difference": _a_kmv_difference_sql(),
+    "a_bitmap_sets": _A_BITMAP_SQL,
     "e_knn_eval": _E_KNN_SQL,
 }

@@ -315,3 +315,45 @@ def test_pruning_sim_clustered_layout_wins(spark):
     assert by[("partkey_clustered", wide_id)]["files_hit"] == by[
         ("partkey_clustered", wide_id)
     ]["files_total"]
+
+
+def test_des_forecast_recomputes_from_smoothing_states(spark):
+    """level/trend/forecast are pure functions of (s1, s2) — pin the
+    algebra, and on a constant series DES must forecast the constant."""
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _DES_ALPHA,
+        w_des_forecast,
+    )
+
+    rows = w_des_forecast(spark, SF_DIR).limit(500).collect()
+    assert rows
+    c = _DES_ALPHA / (1.0 - _DES_ALPHA)
+    for r in rows:
+        assert abs(r["level"] - round(2.0 * r["s1"] - r["s2"], 6)) < 1e-9
+        assert abs(r["trend"] - round(c * (r["s1"] - r["s2"]), 6)) < 1e-9
+        expect = round((2.0 * r["s1"] - r["s2"]) + c * (r["s1"] - r["s2"]), 6)
+        assert abs(r["forecast"] - expect) < 1e-9
+
+
+def test_bitmap_sets_match_exact_set_algebra(spark):
+    """Bitmap popcounts must equal the literal Python set operations
+    over the same audiences — EXACT, not an estimate."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kp_crypto_market_analytics_spark.queries_quality import a_bitmap_sets
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ["orders"])
+    members: dict[str, set[int]] = {}
+    for r in (
+        t["orders"].select("o_orderpriority", "o_custkey").distinct().collect()
+    ):
+        members.setdefault(r["o_orderpriority"], set()).add(r["o_custkey"])
+    rows = a_bitmap_sets(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) priority pairs
+    for r in rows:
+        sa, sb = members[r["ta"]], members[r["tb"]]
+        assert r["n_a"] == len(sa)
+        assert r["n_b"] == len(sb)
+        assert r["inter"] == len(sa & sb)
+        assert r["uni"] == len(sa | sb)
