@@ -82,7 +82,7 @@ _FIRST_SEEN_ROUND.update(
         "g_ppr", "t_ndcg_eval", "a_mutual_info", "dq_fk_discovery",
         "ti_realized_vol", "dq_ks_test", "e_knn_eval",
         "p_pruning_sim", "a_kmv_difference",
-        "w_des_forecast", "a_bitmap_sets",
+        "w_des_forecast", "a_bitmap_sets", "p_unpivot_metrics",
     )}
 )
 _FIRST_SEEN_ROUND.update(

@@ -4052,6 +4052,64 @@ FROM agg ORDER BY layout, pred_id
 """
 
 
+_UNPIVOT_METRICS = ("n_events", "total_value", "min_value", "max_value")
+
+
+def p_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): a per-type metrics frame (count /
+    exact-decimal total / min / max as COLUMNS) melts to (type, metric,
+    value) rows via the native ``DataFrame.unpivot`` — the inverse of
+    a6's pivot and the reshape every metrics store ingests.  The
+    DuckDB oracle stacks the same frame with UNION ALL, proving the
+    operator is exactly the relational stack.
+
+    Determinism: all four metrics are exact (integer count, decimal
+    sum cast once, raw min/max) rendered to a common DOUBLE; metric
+    order is the fixed column order.
+
+    Scale shape: one map-side-combined agg to |types| rows, then a
+    4× row map — unpivot is a generator projection, no shuffle."""
+    t = load_tables(spark, sf_dir, ["events"])
+    wide = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["event_type"],
+            values=list(_UNPIVOT_METRICS),
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("event_type", "metric")
+    )
+
+
+def _p_unpivot_sql() -> str:
+    stacks = " UNION ALL ".join(
+        f"SELECT event_type, '{m}' AS metric, {m} AS value FROM wide"
+        for m in _UNPIVOT_METRICS
+    )
+    return f"""
+WITH wide AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS DOUBLE) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+    MIN(value) AS min_value,
+    MAX(value) AS max_value
+  FROM events GROUP BY event_type
+)
+{stacks}
+ORDER BY event_type, metric
+"""
+
+
 def t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted priority sampling, fixed k per stratum: each doc gets
     an integer priority ``(h mod 2^30) * 2^20 DIV w`` (h = portable
@@ -5665,6 +5723,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_rrf_fusion": t_rrf_fusion,
     "t_ndcg_eval": t_ndcg_eval,
     "p_pruning_sim": p_pruning_sim,
+    "p_unpivot_metrics": p_unpivot_metrics,
     "w3_multi_horizon": w3_multi_horizon,
     "e3_anomaly_pipeline": e3_anomaly_pipeline,
     "e4_large_trade_impact": e4_large_trade_impact,
@@ -5756,6 +5815,7 @@ EXT_ORACLES: dict[str, str] = {
     "t_rrf_fusion": _t_rrf_fusion_sql(),
     "t_ndcg_eval": _t_ndcg_eval_sql(),
     "p_pruning_sim": _p_pruning_sim_sql(),
+    "p_unpivot_metrics": _p_unpivot_sql(),
     "w3_multi_horizon": W3_MULTI_SQL,
     "e3_anomaly_pipeline": E3_ANOMALY_SQL,
     "e4_large_trade_impact": E4_LARGE_SQL,

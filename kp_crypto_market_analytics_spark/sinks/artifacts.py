@@ -98,6 +98,24 @@ def write_json_artifact(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").json(path)
 
 
+def write_orc_artifact(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC artifact sink — the columnar interchange format next to
+    parquet (built into Spark, no extra package): same predicate-
+    pushdown / column-pruning story at the scan, ZLIB by default.
+    Optional partition column for pruned reads."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def read_orc_artifact(spark, path: str) -> DataFrame:
+    """ORC artifact scan — filters and projections push down exactly
+    like parquet (`PushedFilters` in the scan node; asserted in
+    tests/test_sinks_streaming.py)."""
+    return spark.read.orc(path)
+
+
 def summary_row_json(df: DataFrame) -> str:
     """F15 — single-row summary as a JSON string (json.dumps(dict)
     analog, binance_analysis.py:71-72) without collecting more than

@@ -357,3 +357,31 @@ def test_bitmap_sets_match_exact_set_algebra(spark):
         assert r["n_b"] == len(sb)
         assert r["inter"] == len(sa & sb)
         assert r["uni"] == len(sa | sb)
+
+
+def test_unpivot_is_the_exact_relational_stack(spark):
+    """unpivot(wide) must equal the hand-stacked long frame value for
+    value — melt adds no arithmetic."""
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _UNPIVOT_METRICS,
+        p_unpivot_metrics,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ["events"])
+    wide = {
+        r["event_type"]: r
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    rows = p_unpivot_metrics(spark, SF_DIR).collect()
+    assert len(rows) == len(wide) * len(_UNPIVOT_METRICS)
+    for r in rows:
+        assert r["value"] == wide[r["event_type"]][r["metric"]]

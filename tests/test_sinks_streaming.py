@@ -1181,3 +1181,35 @@ def test_streaming_mg_running_emissions_match_gated_fold(spark, tmp_path):
     for col in ("n_toks_seen", "state_size", "state_wsum", "d_step", "d_cum",
                 "top_tok", "top_w"):
         assert list(got[col]) == list(gated[col]), col
+
+
+def test_orc_artifact_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/scan: values round-trip exactly, partition pruning and
+    predicate pushdown reach the ORC scan node like parquet."""
+    from kp_crypto_market_analytics_spark.sinks.artifacts import (
+        read_orc_artifact,
+        write_orc_artifact,
+    )
+
+    df = _mk(
+        spark,
+        [
+            ("A", "1m", "2024-01-01 00:00:00", 1.5),
+            ("A", "1m", "2024-01-01 00:01:00", 2.5),
+            ("B", "1m", "2024-01-01 00:00:00", 3.5),
+        ],
+    )
+    path = str(tmp_path / "orc_art")
+    write_orc_artifact(df, path, partition_by="symbol")
+    back = read_orc_artifact(spark, path)
+    assert back.count() == 3
+    got = sorted(
+        (r["symbol"], r["tf"], r["close"]) for r in back.collect()
+    )
+    assert got == [("A", "1m", 1.5), ("A", "1m", 2.5), ("B", "1m", 3.5)]
+    # partition pruning: only symbol=A files scanned; value filter pushed
+    q = back.where((F.col("symbol") == "A") & (F.col("close") > 2.0))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert q.count() == 1
+    assert "PushedFilters" in plan
+    assert "close" in plan.split("PushedFilters")[1][:200]
