@@ -1414,6 +1414,97 @@ FROM gaps
 """
 
 
+# ------------------------------------------------------ a_session_paths
+
+
+def a_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session event-type PATHS: gap-sessionize (30 min, the
+    w_sessionize rule), render each session as its ordered '>'-joined
+    event-type sequence, and rank paths by frequency — full-path
+    sequence mining, the whole-journey complement to
+    a_markov_transition's first-order transitions (which by
+    construction cannot distinguish view>click>buy from click>view>buy).
+
+    Determinism: the path string is built from a sort_array over
+    (epoch-µs, event_id, type) structs — a total order, so both
+    engines render identical strings; counts are integers; the top-15
+    breaks ties on the path string.
+
+    Scale shape: ONE user exchange serves sessionize and the per-
+    session path build (same partitioning); the path agg shuffles
+    |distinct paths| rows (Zipfian — partial agg absorbs the mass) and
+    the top-15 sorts path-grain scalars."""
+    from kp_crypto_market_analytics_spark.operators.windows import sessionize
+
+    t = load_tables(spark, sf_dir, ["events"])
+    s = sessionize(t["events"], "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("s_us"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda x: x["et"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    ranked = (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+            ),
+        )
+        .where(F.col("rank") <= 15)
+    )
+    return ranked.select("rank", "path", "n_sessions").orderBy("rank")
+
+
+_A_SESSION_PATHS_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN prev_ts IS NULL
+      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+      THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY user_id, session_id
+), ranked AS (
+  SELECT path, COUNT(*) AS n_sessions,
+    row_number() OVER (ORDER BY COUNT(*) DESC, path) AS rank
+  FROM paths GROUP BY path
+)
+SELECT CAST(rank AS BIGINT) AS rank, path,
+  CAST(n_sessions AS BIGINT) AS n_sessions
+FROM ranked WHERE rank <= 15 ORDER BY rank
+"""
+
+
 # ------------------------------------------------------ a_mutual_info
 
 
@@ -1777,6 +1868,7 @@ MINING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_attribution": a_attribution,
     "w_interval_merge": w_interval_merge,
     "a_mutual_info": a_mutual_info,
+    "a_session_paths": a_session_paths,
 }
 
 MINING_ORACLES: dict[str, str] = {
@@ -1799,4 +1891,5 @@ MINING_ORACLES: dict[str, str] = {
     "a_attribution": _a_attribution_sql(),
     "w_interval_merge": _W_INTERVAL_MERGE_SQL,
     "a_mutual_info": _a_mutual_info_sql(),
+    "a_session_paths": _A_SESSION_PATHS_SQL,
 }

@@ -385,3 +385,25 @@ def test_unpivot_is_the_exact_relational_stack(spark):
     assert len(rows) == len(wide) * len(_UNPIVOT_METRICS)
     for r in rows:
         assert r["value"] == wide[r["event_type"]][r["metric"]]
+
+
+def test_session_paths_conserve_sessions_and_order(spark):
+    """Path frequencies must sum to ≤ total sessions (top-15 cut), the
+    ranking is count-then-path, and every path is non-empty."""
+    from kp_crypto_market_analytics_spark.operators.windows import sessionize
+    from kp_crypto_market_analytics_spark.queries_mining import a_session_paths
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ["events"])
+    s = sessionize(t["events"], "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    n_sessions = s.select("user_id", "session_id").distinct().count()
+    rows = a_session_paths(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 15
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(counts) <= n_sessions
+    for r in rows:
+        assert r["path"]
+        for step in r["path"].split(">"):
+            assert step in {"view", "click", "purchase", "signup", "error"}
