@@ -23,6 +23,47 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def range_partitioned_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "global_rn",
+    n_ranges: int = 32,
+) -> DataFrame:
+    """Global row_number WITHOUT the single-partition sort: range-
+    partition on the (total) order, rank locally per range, and add
+    back each range's broadcast cumulative offset — the "range-
+    partitioned sort + per-range offset" lever SCALING.md names for
+    rank movers / Gini, as a reusable operator.
+
+    ``order_cols`` must be a TOTAL order (unique tiebreak) — the
+    global rank is then independent of where the sampled range
+    boundaries fall, so the nondeterminism of range sampling cannot
+    leak into results.  Everything stays in-plan: per-range counts are
+    a |ranges|-row aggregate, their running offsets a |ranges|-row
+    window, broadcast back onto the ranked rows.  No driver collect,
+    no global exchange wider than |ranges| scalars."""
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n_ranges, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    local = ranged.withColumn("__rn", F.row_number().over(w_local))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def interleave_bits(x: Column, y: Column, bits: int = 10) -> Column:
     """Morton z-value of two ``bits``-wide non-negative ints: bit i of
     ``x`` lands at position 2i, bit i of ``y`` at 2i+1.  Unrolled to

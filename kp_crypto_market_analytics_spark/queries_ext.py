@@ -3951,11 +3951,17 @@ def p_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated.
 
     Determinism & scale shape: file assignment is integer arithmetic
-    on exact orders (month, or row_number div rows-per-file on a total
-    order); stats are one agg per layout at FILE grain; the probe
-    replay joins |files| × 5 predicate literals — no fact-table work
-    after the stat collection, which is the entire point of stats-
-    based pruning."""
+    on exact orders (month, or global rank div rows-per-file on a
+    total order — the rank via ``range_partitioned_rank``, NOT a
+    single-partition row_number: range-partition, rank locally, add
+    the broadcast per-range offset, so the sort scales out); stats are
+    one agg per layout at FILE grain; the probe replay joins |files| ×
+    5 predicate literals — no fact-table work after the stat
+    collection, which is the entire point of stats-based pruning."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
     t = load_tables(spark, sf_dir, ["lineitem"])
     li = ensure_parallelism(t["lineitem"]).select(
         "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate"
@@ -3966,9 +3972,10 @@ def p_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").alias("mn"),
         F.max("l_partkey").alias("mx"),
     ).select(F.lit("ingest_time").alias("layout"), "mn", "mx")
-    w_pk = Window.orderBy("l_partkey", "l_orderkey", "l_linenumber")
     by_pk = (
-        li.withColumn("rn", F.row_number().over(w_pk))
+        range_partitioned_rank(
+            li, ["l_partkey", "l_orderkey", "l_linenumber"], out_col="rn"
+        )
         .groupBy(
             F.call_function(
                 "div", F.col("rn") - 1, F.lit(_PRUNE_ROWS_PER_FILE)

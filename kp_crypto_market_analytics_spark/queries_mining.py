@@ -1458,18 +1458,19 @@ def a_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
-    ranked = (
+    # distributed top-k (TakeOrdered), THEN rank the 15 survivors — a
+    # global row_number window here would single-partition |paths| rows
+    top15 = (
         paths.groupBy("path")
-        .agg(
-            F.count(F.lit(1)).alias("n_sessions"),
-        )
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
-            ),
-        )
-        .where(F.col("rank") <= 15)
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(15)
+    )
+    ranked = top15.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        ),
     )
     return ranked.select("rank", "path", "n_sessions").orderBy("rank")
 

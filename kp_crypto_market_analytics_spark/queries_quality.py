@@ -3255,11 +3255,12 @@ def dq_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per_key.agg(
         F.sum("n_events").alias("tot_events"), F.sum("pairs").alias("tot_pairs")
     )
+    # distributed top-k (TakeOrdered), THEN rank the 5 survivors — a
+    # global row_number window here would single-partition |keys| rows
+    top5 = per_key.orderBy(F.col("pairs").desc(), F.col("user_id").asc()).limit(5)
     w = Window.orderBy(F.col("pairs").desc(), F.col("user_id").asc())
-    top = (
-        per_key.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= 5)
-        .crossJoin(F.broadcast(tot))
+    top = top5.withColumn("rnk", F.row_number().over(w)).crossJoin(
+        F.broadcast(tot)
     )
     share_ppm = F.call_function(
         "div",

@@ -407,3 +407,29 @@ def test_session_paths_conserve_sessions_and_order(spark):
         assert r["path"]
         for step in r["path"].split(">"):
             assert step in {"view", "click", "purchase", "signup", "error"}
+
+
+def test_range_partitioned_rank_equals_global_row_number(spark):
+    """The scale-out rank (range partition + local rank + broadcast
+    offsets) must be bit-identical to the single-partition window —
+    same total order, no boundary leakage."""
+    from pyspark.sql import Window
+
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    t = load_tables(spark, SF_DIR, ["events"])
+    e = t["events"].select("event_id", "ts")
+    got = {
+        r["event_id"]: r["global_rn"]
+        for r in range_partitioned_rank(e, ["ts", "event_id"], n_ranges=7).collect()
+    }
+    want = {
+        r["event_id"]: r["rn"]
+        for r in e.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        ).collect()
+    }
+    assert got == want
