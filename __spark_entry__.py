@@ -83,7 +83,7 @@ _FIRST_SEEN_ROUND.update(
         "ti_realized_vol", "dq_ks_test", "e_knn_eval",
         "p_pruning_sim", "a_kmv_difference",
         "w_des_forecast", "a_bitmap_sets", "p_unpivot_metrics",
-        "a_session_paths",
+        "a_session_paths", "ti_var_cvar", "g_modularity",
     )}
 )
 _FIRST_SEEN_ROUND.update(

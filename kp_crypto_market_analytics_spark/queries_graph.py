@@ -432,12 +432,152 @@ ORDER BY ppr_score DESC, part LIMIT 20
     return "".join(parts)
 
 
+# --------------------------------------------------------- g_modularity
+
+
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    quality score that says whether g_label_prop's partition actually
+    beats random: Q = Σ_c [L_c/m − (d_c/2m)²] over communities, with
+    L_c = intra-community edges, d_c = degree mass, m = |E| (Newman &
+    Girvan 2004, public).  Top-10 communities with their exact
+    contribution, every row carrying the corpus Q.
+
+    Determinism: the community assignment is the SAME 2-round
+    deterministic LPA fold as g_label_prop (min-label ties); all
+    inputs are integers, each contribution is ONE double division of
+    the exact integer 4·m·L_c − d_c² by 4m², and Q sums those integer
+    numerators BEFORE the single division — engines cannot disagree.
+    Integer headroom: 4·m·L_c needs m < ~1.5×10⁹ edges in int64; past
+    that flip the numerator to DECIMAL(38,0) partials.
+
+    Scale shape: the LPA rounds are |E|-bounded joins (shared
+    materialized pair build); the modularity tail is one edge-grain
+    label join, two community-grain aggs, and a window over
+    |communities| rows."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select("u", "v").localCheckpoint(eager=True)
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ITERS):
+        nb = (
+            und.join(labels, und.b == labels.node)
+            .select(F.col("a").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            nb.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("lbl"))
+        )
+    labels = labels.localCheckpoint(eager=True)
+    m_tot = edges.count()
+    lab_u = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    intra = (
+        edges.join(lab_u, "u")
+        .join(lab_v, "v")
+        .where(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    deg = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(labels, "node")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.sum("deg").alias("deg_sum"), F.count(F.lit(1)).alias("n_members"))
+    )
+    per_c = deg.join(intra, "community", "left").select(
+        "community",
+        "n_members",
+        F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+        "deg_sum",
+        (
+            F.lit(4) * F.lit(m_tot) * F.coalesce("intra_edges", F.lit(0))
+            - F.col("deg_sum") * F.col("deg_sum")
+        ).alias("num"),
+    )
+    w_all = Window.partitionBy()
+    denom = float(4 * m_tot * m_tot)
+    out = per_c.select(
+        "community",
+        "n_members",
+        "intra_edges",
+        F.col("deg_sum").cast("long").alias("deg_sum"),
+        (F.round(F.col("num") / F.lit(denom), 6) + F.lit(0.0)).alias("contribution"),
+        (
+            F.round(F.sum("num").over(w_all) / F.lit(denom), 6) + F.lit(0.0)
+        ).alias("modularity"),
+    )
+    return out.orderBy(F.col("n_members").desc(), F.col("community").asc()).limit(10)
+
+
+def _g_modularity_sql(iters: int = _LPA_ITERS) -> str:
+    parts = [f"""
+WITH {_PAIRS_SQL}, edges AS MATERIALIZED (
+  SELECT u, v FROM pairs
+), und AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+), lb0 AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM und
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", nb{i} AS (
+  SELECT e.a AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM und e JOIN lb{i - 1} l ON l.node = e.b GROUP BY 1, 2
+), lb{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM nb{i}
+  ) WHERE rn = 1
+)""")
+    parts.append(f""", m_tot AS (
+  SELECT COUNT(*) AS m FROM edges
+), intra AS (
+  SELECT lu.lbl AS community, COUNT(*) AS intra_edges
+  FROM edges e
+  JOIN lb{iters} lu ON lu.node = e.u
+  JOIN lb{iters} lv ON lv.node = e.v
+  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl
+), deg AS (
+  SELECT l.lbl AS community, SUM(d.deg) AS deg_sum, COUNT(*) AS n_members
+  FROM (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY a) d
+  JOIN lb{iters} l ON l.node = d.node
+  GROUP BY l.lbl
+), per_c AS (
+  SELECT dg.community, dg.n_members,
+    coalesce(i.intra_edges, 0) AS intra_edges,
+    dg.deg_sum,
+    4 * m.m * coalesce(i.intra_edges, 0) - dg.deg_sum * dg.deg_sum AS num,
+    4.0 * m.m * m.m AS denom
+  FROM deg dg LEFT JOIN intra i ON i.community = dg.community
+  CROSS JOIN m_tot m
+)
+SELECT community, CAST(n_members AS BIGINT) AS n_members,
+  CAST(intra_edges AS BIGINT) AS intra_edges,
+  CAST(deg_sum AS BIGINT) AS deg_sum,
+  round(num / denom, 6) + 0.0 AS contribution,
+  round(SUM(num) OVER () / denom, 6) + 0.0 AS modularity
+FROM per_c
+ORDER BY n_members DESC, community ASC LIMIT 10
+""")
+    return "".join(parts)
+
+
 GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_pagerank": g_pagerank,
     "g_degree_stats": g_degree_stats,
     "g_label_prop": g_label_prop,
     "g_bfs_distance": g_bfs_distance,
     "g_ppr": g_ppr,
+    "g_modularity": g_modularity,
 }
 
 GRAPH_ORACLES: dict[str, str] = {
@@ -446,4 +586,5 @@ GRAPH_ORACLES: dict[str, str] = {
     "g_label_prop": _g_label_prop_sql(),
     "g_bfs_distance": _g_bfs_distance_sql(),
     "g_ppr": _g_ppr_sql(),
+    "g_modularity": _g_modularity_sql(),
 }

@@ -1058,6 +1058,102 @@ FROM s2t
 """
 
 
+# ------------------------------------------------------ ti_var_cvar
+
+
+def ti_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical Value-at-Risk and expected shortfall per symbol:
+    VaR95 = the exact 5th percentile of the return series, CVaR95 =
+    the mean of the tail at or below it (Rockafellar & Uryasev's
+    historical estimator, public) — the risk report next to
+    ti_realized_vol's variance decomposition.
+
+    Determinism: returns round to 6 dp BEFORE anything else (so the
+    tail membership test `r <= VaR` compares exact 6-dp values — no
+    boundary can flip between engines); VaR is the exact interpolated
+    percentile (flips to approx_percentile under the standing
+    APPROX_QUANTILES_CONF at scale), rounded 6 and used in that
+    rounded form on BOTH sides; CVaR is the exact half-away micro mean
+    of DECIMAL-cast tail returns.
+
+    Scale shape: returns ride the family's ONE shared symbol sort; the
+    per-symbol percentile is a |symbols|-group agg; the tail pass is a
+    broadcast join of 5 scalar thresholds back onto the return
+    frame."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        percentile_expr,
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _w()
+    rets = (
+        t["events"]
+        .where(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.round(F.log(F.col("value") / F.lag("value").over(w)), 6).alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    var = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_returns"),
+        F.round(percentile_expr(rets, "r", 0.05), 6).alias("var95"),
+        F.min("r").alias("worst"),
+    )
+    tail = (
+        rets.join(F.broadcast(var.select("event_type", "var95")), "event_type")
+        .where(F.col("r") <= F.col("var95"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum(F.col("r").cast(DEC)).alias("tail_sum"),
+        )
+    )
+    return (
+        var.join(tail, "event_type")
+        .select(
+            "event_type",
+            "n_returns",
+            (F.col("var95") + F.lit(0.0)).alias("var95"),
+            (
+                round_mean_micro(F.col("tail_sum"), F.col("n_tail")) + F.lit(0.0)
+            ).alias("cvar95"),
+            (F.col("worst") + F.lit(0.0)).alias("worst"),
+            F.col("n_tail").cast("long").alias("n_tail"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TI_VAR_CVAR_SQL = f"""
+WITH rets AS (
+  SELECT event_type,
+    round(ln(value / lag(value) OVER ({_W_SQL})), 6) AS r
+  FROM events WHERE value > 0
+), rr AS (
+  SELECT event_type, r FROM rets WHERE r IS NOT NULL
+), var AS (
+  SELECT event_type, COUNT(*) AS n_returns,
+    round(quantile_cont(r, 0.05), 6) AS var95,
+    MIN(r) AS worst
+  FROM rr GROUP BY event_type
+), tail AS (
+  SELECT rr.event_type, COUNT(*) AS n_tail,
+    SUM(CAST(r AS DECIMAL(18,6))) AS tail_sum
+  FROM rr JOIN var ON var.event_type = rr.event_type
+  WHERE r <= var95 GROUP BY rr.event_type
+)
+SELECT v.event_type, CAST(n_returns AS BIGINT) AS n_returns,
+  var95 + 0.0 AS var95,
+  {sql_round_mean_micro("tail_sum", "n_tail")} + 0.0 AS cvar95,
+  worst + 0.0 AS worst,
+  CAST(n_tail AS BIGINT) AS n_tail
+FROM var v JOIN tail t ON t.event_type = v.event_type
+ORDER BY v.event_type
+"""
+
+
 IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_bollinger": ti_bollinger,
     "ti_rsi": ti_rsi,
@@ -1074,6 +1170,7 @@ IND_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ti_twap": ti_twap,
     "ti_realized_vol": ti_realized_vol,
     "w_des_forecast": w_des_forecast,
+    "ti_var_cvar": ti_var_cvar,
 }
 
 IND_ORACLES: dict[str, str] = {
@@ -1092,4 +1189,5 @@ IND_ORACLES: dict[str, str] = {
     "ti_twap": TI_TWAP_SQL,
     "ti_realized_vol": TI_REALIZED_VOL_SQL,
     "w_des_forecast": _w_des_forecast_sql(),
+    "ti_var_cvar": TI_VAR_CVAR_SQL,
 }

@@ -433,3 +433,38 @@ def test_range_partitioned_rank_equals_global_row_number(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_var_cvar_tail_ordering(spark):
+    """CVaR ≤ VaR ≤ 0-ish tail ordering: the expected shortfall can
+    never beat the threshold it conditions on, and the worst return
+    bounds both; the tail must be ~5% of the series."""
+    from kp_crypto_market_analytics_spark.queries_indicators import ti_var_cvar
+
+    rows = ti_var_cvar(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["worst"] <= r["cvar95"] <= r["var95"], r
+        assert 0 < r["n_tail"] <= max(1, int(0.10 * r["n_returns"]))
+
+
+def test_modularity_bounds_and_exact_recompute(spark):
+    """Q ∈ [−0.5, 1]; every row carries the same corpus Q; each
+    contribution recomputes from its integer inputs."""
+    from kp_crypto_market_analytics_spark.queries_graph import g_modularity
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        copurchase_pairs,
+    )
+
+    rows = g_modularity(spark, SF_DIR).collect()
+    assert rows
+    m = copurchase_pairs(spark, SF_DIR).count()
+    qs = {r["modularity"] for r in rows}
+    assert len(qs) == 1
+    q = qs.pop()
+    assert -0.5 <= q <= 1.0
+    denom = 4.0 * m * m
+    for r in rows:
+        num = 4 * m * r["intra_edges"] - r["deg_sum"] * r["deg_sum"]
+        assert abs(r["contribution"] - round(num / denom, 6)) < 1e-9
+        assert 0 <= r["intra_edges"] <= m
