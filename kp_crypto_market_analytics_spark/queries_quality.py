@@ -3183,7 +3183,16 @@ def dq_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, list(_CHECKSUM_TABLES))
     outs = []
     for name, cols in _CHECKSUM_TABLES.items():
-        row_txt = F.concat_ws("|", *[F.expr(c).cast("string") for c in cols])
+        # explicit NULL sentinel per column — concat_ws SKIPS nulls, so
+        # without it ('a', NULL, 'b') and ('a', 'b', NULL) would render
+        # (and hash) identically: a canonicalization collision.
+        row_txt = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.expr(c).cast("string"), F.lit("\\N"))
+                for c in cols
+            ],
+        )
         h = hash64(row_txt)
         outs.append(
             t[name]
@@ -3209,7 +3218,9 @@ def _dq_dataset_checksum_sql() -> str:
     parts = []
     for name, cols in _CHECKSUM_TABLES.items():
         rendered = ", ".join(
-            c.replace("unix_micros(", "epoch_us(").replace(" AS STRING", " AS VARCHAR")
+            "coalesce(CAST("
+            + c.replace("unix_micros(", "epoch_us(").replace(" AS STRING", " AS VARCHAR")
+            + " AS VARCHAR), '\\N')"
             for c in cols
         )
         h = (
