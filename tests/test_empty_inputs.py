@@ -186,3 +186,60 @@ def test_empty_sketch_helpers(spark):
         "label", F.posexplode(to_double_array("embedding")).alias("i", "xv")
     )
     assert x.groupBy("label", "i").agg(F.count(F.lit(1)).alias("n")).count() == 0
+
+
+def test_empty_range_partitioned_rank(spark):
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    e = _empty_events(spark)
+    out = range_partitioned_rank(e, ["ts", "event_id"], n_ranges=8)
+    assert out.count() == 0
+    assert "global_rn" in out.columns
+
+
+def test_range_rank_more_ranges_than_rows(spark):
+    """Empty range partitions must not corrupt offsets: with 16 ranges
+    over 3 rows, the ranks are still exactly 1..3."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "k long, v string"
+    )
+    got = sorted(
+        (r["k"], r["global_rn"])
+        for r in range_partitioned_rank(df, ["k"], n_ranges=16).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_round_ratio_micro_dec_half_tie_and_negative(spark):
+    """The DECIMAL micro divider must round half-AWAY on exact .5 µ
+    ties, positive and negative — the structural-tie class the int64
+    helper was built for, now at DECIMAL(38,0) scale."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _round_ratio_micro_dec,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "0.000003", 2), (2, "-0.000003", 2), (3, "123.456789", 3)],
+        "id long, num string, den long",
+    ).select(
+        "id",
+        F.col("num").cast("decimal(18,6)").alias("num"),
+        "den",
+    )
+    out = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", _round_ratio_micro_dec(F.col("num"), F.col("den")).alias("q")
+        ).collect()
+    }
+    assert out[1] == 0.000002   # +1.5 µ -> 2 µ (half away from zero)
+    assert out[2] == -0.000002  # -1.5 µ -> -2 µ
+    assert out[3] == 41.152263  # 123.456789 / 3, exact
