@@ -72,6 +72,36 @@ def sql_round_mean_micro(num_sql: str, den_sql: str) -> str:
     )
 
 
+def round_ratio_micro_dec(num_dec: Column, den_long: Column) -> Column:
+    """round(num/den, 6) EXACTLY for a DECIMAL numerator and BIGINT
+    denominator, when num·10⁶ can exceed int64 (TWAP's Σ price·Δt_µs
+    numerator ≈ 10¹⁵·10⁶; mutual-information's nt·nh marginal product
+    passes 9.2·10¹² once either marginal holds ~3M rows — there
+    :func:`round_mean_micro`'s long cast would overflow, and Spark's
+    non-ANSI cast would yield silent NULLs while the ANSI oracle
+    errors).  Same half-away-from-zero integer division, but the micro
+    value stays DECIMAL(38,0) and `div` does the integral division on
+    decimals — bit-identical to the DuckDB HUGEINT twin
+    :func:`sql_round_ratio_micro_huge`."""
+    micro = (num_dec * F.lit(1000000)).cast("decimal(38,0)")
+    d = den_long.cast("long")
+    num2 = F.lit(2) * F.abs(micro) + d
+    den2 = F.lit(2) * d
+    q = F.call_function("div", num2, den2)
+    sign = F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * q) / F.lit(1000000.0)
+
+
+def sql_round_ratio_micro_huge(num_sql: str, den_sql: str) -> str:
+    """DuckDB twin of :func:`round_ratio_micro_dec` (HUGEINT micro)."""
+    m = f"CAST(({num_sql}) * 1000000 AS HUGEINT)"
+    return (
+        f"(CASE WHEN {m} < 0 THEN -1 ELSE 1 END"
+        f" * ((2 * abs({m}) + ({den_sql})) // (2 * ({den_sql}))))"
+        f" / 1000000.0"
+    )
+
+
 def exact_stddev_samp(col: str | Column) -> Column:
     """Sample stddev via exact decimal moments: identical IEEE result on
     any engine computing sqrt((Σx² − (Σx)²/n)/(n−1)) over exact sums.

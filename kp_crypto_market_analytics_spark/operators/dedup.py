@@ -138,14 +138,18 @@ def ngram_jaccard_pairs(
 
     # Dictionary-encode shingles to dense int ids.  The vocabulary is a
     # DISTINCT over shingles — bounded by alphabet**k for char shingles
-    # (~531k for k=4 over [a-z ]) and corpus vocabulary for word
-    # shingles — so the single-partition row_number and the broadcast
-    # joins below stay vocabulary-sized even when the corpus is 100 TB.
-    vocab = (
-        sets.select("shingle")
-        .distinct()
-        .select("shingle", (F.row_number().over(Window.orderBy("shingle")) - 1).alias("__sid"))
+    # (~531k for k=4 over [a-z ]) but CORPUS-vocabulary-sized for word
+    # shingles (10⁸+ on web corpora) — so the dense ids come from a
+    # range-partitioned rank (per-range row_number + broadcast
+    # |ranges|-row offsets), never a single-partition sort: the encode
+    # stays distributed even when word-grams feed it at 100 TB.
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
     )
+
+    vocab = range_partitioned_rank(
+        sets.select("shingle").distinct(), ["shingle"], out_col="__rk"
+    ).select("shingle", (F.col("__rk") - 1).cast("int").alias("__sid"))
     ints = (
         sets.join(F.broadcast(vocab), "shingle")
         .select("doc", F.col("__sid").alias("sid"))

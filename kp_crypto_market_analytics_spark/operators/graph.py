@@ -100,7 +100,11 @@ def personalized_pagerank(
     global PageRank ranks the whole catalog.
 
     ``seeds`` is a 1-column frame (node) — small by contract, it
-    broadcasts into the node table.  Same engine-parity recipe as
+    broadcasts into the node table.  Seeds not present in the edge
+    set are EXCLUDED from the 1/|S| teleport denominator (they have
+    no node to receive mass; counting them would leak teleport mass
+    and rank would stop summing toward 1); an empty intersection
+    raises ``ValueError``.  Same engine-parity recipe as
     :func:`pagerank_weighted`: exact-integer ratio divisions,
     DECIMAL(28,12) contribution folds, per-iteration rounding to
     ``prec``; 1/|S| is a single IEEE division of exact integers, so a
@@ -115,13 +119,29 @@ def personalized_pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    n_seeds = seeds.count()
-    nodes = (
+    node_ids = (
         er.select(F.col("src").alias("node"))
         .union(er.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    # Teleport mass is 1/|S ∩ V|: a seed absent from the edge set has
+    # no node row to land on, so counting it would silently leak its
+    # share of the teleport mass (rank would no longer sum toward 1).
+    # Intersect first (node table stays distributed, seeds broadcast),
+    # fail loudly when nothing remains.
+    seed_set = node_ids.join(
+        F.broadcast(seeds.select("node").distinct()), "node", "semi"
+    ).localCheckpoint(eager=True)
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: no seed appears in the edge set"
+            " (teleport distribution would be empty)"
+        )
+    nodes = (
+        node_ids
         .join(
-            F.broadcast(seeds.select(F.col("node"), F.lit(1).alias("is_seed"))),
+            F.broadcast(seed_set.withColumn("is_seed", F.lit(1))),
             "node",
             "left",
         )

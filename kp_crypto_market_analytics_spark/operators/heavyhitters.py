@@ -29,7 +29,7 @@ operator per BASELINE.json's LLM-data-pipeline north star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,12 +39,18 @@ def mg_reduce(counts: DataFrame, k: int, tok: str = "tok", w: str = "w") -> Data
     strictly positive ones — at most k survive.  The subtracted value
     is a VALUE-order statistic, so tie order cannot change it and the
     result is deterministic for a given input multiset."""
-    ranked = counts.select(
-        F.col(w).alias("__w"),
-        F.row_number().over(Window.orderBy(F.col(w).desc())).alias("__rn"),
-    )
-    d = ranked.where(F.col("__rn") == k + 1).agg(
-        F.coalesce(F.max("__w"), F.lit(0)).cast("long").alias("__d")
+    # The (k+1)-th largest = MIN over the distributed TakeOrdered(k+1)
+    # top slice (each shard forwards at most k+1 rows), 0 when fewer
+    # than k+1 entries exist — one ORDER statistic never justifies
+    # ranking the whole counts frame through a single partition.
+    top = counts.select(F.col(w).alias("__w")).orderBy(
+        F.col("__w").desc()
+    ).limit(k + 1)
+    d = top.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("__w"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__d")
     )
     return (
         counts.crossJoin(F.broadcast(d))

@@ -25,9 +25,11 @@ from pyspark.sql import functions as F
 
 def range_partitioned_rank(
     df: DataFrame,
-    order_cols: list[str],
+    order_cols: list[str | Column],
     out_col: str = "global_rn",
     n_ranges: int = 32,
+    sum_col: str | Column | None = None,
+    cumsum_out: str = "global_cumsum",
 ) -> DataFrame:
     """Global row_number WITHOUT the single-partition sort: range-
     partition on the (total) order, rank locally per range, and add
@@ -38,30 +40,56 @@ def range_partitioned_rank(
     ``order_cols`` must be a TOTAL order (unique tiebreak) — the
     global rank is then independent of where the sampled range
     boundaries fall, so the nondeterminism of range sampling cannot
-    leak into results.  Everything stays in-plan: per-range counts are
-    a |ranges|-row aggregate, their running offsets a |ranges|-row
-    window, broadcast back onto the ranked rows.  No driver collect,
-    no global exchange wider than |ranges| scalars."""
+    leak into results.  Entries may be column names or Column sort
+    expressions (``F.col("rev").desc()``) — descending ranks need no
+    negated helper columns.  Everything stays in-plan: per-range
+    counts are a |ranges|-row aggregate, their running offsets a
+    |ranges|-row window, broadcast back onto the ranked rows.  No
+    driver collect, no global exchange wider than |ranges| scalars.
+
+    When ``sum_col`` is given, the same single range sort also emits
+    the global running sum of that column (inclusive of the current
+    row) as ``cumsum_out`` — per-range local cumulative sums plus the
+    broadcast per-range sum offsets, the distributed form of
+    ``SUM(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` that a
+    single-partition window would otherwise serialize."""
     from pyspark.sql import Window
 
-    order = [F.col(c) for c in order_cols]
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = df.repartitionByRange(n_ranges, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*order)
     local = ranged.withColumn("__rn", F.row_number().over(w_local))
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if sum_col is not None:
+        sc = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+        local = local.withColumn(
+            "__cs",
+            F.sum(sc).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        aggs.append(F.sum(sc).alias("__s"))
+    counts = local.groupBy("__pid").agg(*aggs)
     w_off = (
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    off_cols = [
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    ]
+    if sum_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__soff")
+        )
+    offsets = counts.select(*off_cols)
+    out = local.join(F.broadcast(offsets), "__pid").withColumn(
+        out_col, F.col("__off") + F.col("__rn")
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__off") + F.col("__rn"))
-        .drop("__pid", "__rn", "__off")
-    )
+    drop = ["__pid", "__rn", "__off"]
+    if sum_col is not None:
+        out = out.withColumn(cumsum_out, F.col("__soff") + F.col("__cs"))
+        drop += ["__cs", "__soff"]
+    return out.drop(*drop)
 
 
 def interleave_bits(x: Column, y: Column, bits: int = 10) -> Column:

@@ -583,9 +583,16 @@ def t_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOV-rate decision reads ("vocab of 32k covers 99.7%").
 
     The global sort is over the VOCABULARY (|V| rows, already reduced
-    by a partial-aggregated groupBy), not the corpus — a vocab-sized
-    window is fine at 100 TB because |V| grows sublinearly; the token
-    explode itself never leaves map-side."""
+    by a partial-aggregated groupBy), not the corpus — and even that
+    vocab-sized frame (word vocabularies reach 10⁸ on web corpora)
+    never funnels through one task: both the dense id and the running
+    coverage come from ONE range-partitioned sort (local
+    row_number/cumsum per range + broadcast |ranges|-row offsets);
+    the token explode itself never leaves map-side."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
     toks = _toks_df(spark, sf_dir).select(
         "doc_id", F.explode("toks").alias("tok")
     )
@@ -594,16 +601,23 @@ def t_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("doc_freq"),
     )
     total = agg.groupBy().agg(F.sum("coll_freq").alias("total"))
-    w = Window.orderBy(F.col("coll_freq").desc(), F.col("tok").asc())
-    cum = F.sum("coll_freq").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ranked = range_partitioned_rank(
+        agg,
+        [F.col("coll_freq").desc(), F.col("tok").asc()],
+        out_col="__vid",
+        sum_col="coll_freq",
+        cumsum_out="__cum",
+    )
     return (
-        agg.crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(total))
         .select(
-            F.row_number().over(w).alias("vocab_id"),
+            F.col("__vid").cast("int").alias("vocab_id"),
             "tok",
             "coll_freq",
             "doc_freq",
-            round_mean_micro(cum.cast(DEC), F.col("total")).alias("coverage"),
+            round_mean_micro(F.col("__cum").cast(DEC), F.col("total")).alias(
+                "coverage"
+            ),
         )
         .orderBy("vocab_id")
     )

@@ -1473,11 +1473,19 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.round(
         sum(F.col(f"s_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
     )
+    # Distributed top-k: TakeOrdered(20) on (bm25, doc_id) — every
+    # shard contributes its local top-20 and only 20 rows reach the
+    # driver-side merge — THEN rank the 20 survivors (a 20-row window,
+    # not a corpus-sized single-partition sort; rank<=20 of a total
+    # order == top-20-then-rank, so semantics are unchanged).
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
+    top20 = (
         per_term.withColumn("bm25", total)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return (
+        top20.withColumn("rank", F.row_number().over(w))
         .select(
             "doc_id", "dl",
             *[f"s_{term}" for term in _BM25_TERMS],
@@ -1632,21 +1640,41 @@ def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_doc.select(
         "doc_id", bm25_total.alias("bm25"), tfidf_total.alias("tfidf")
     )
-    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    wt = Window.orderBy(F.col("tfidf").desc(), F.col("doc_id").asc())
-    ranked = totals.withColumn("r_bm25", F.row_number().over(wb)).withColumn(
-        "r_tfidf", F.row_number().over(wt)
+    # Component ranks cover EVERY matching doc (the fused top-15 can
+    # cite arbitrarily deep component ranks), so they must be full
+    # global ranks over a corpus-linear frame — computed distributed
+    # via range-partitioned rank (per-range row_number + broadcast
+    # |ranges|-row offsets), never a single-partition window.
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    ranked = range_partitioned_rank(
+        totals,
+        [F.col("bm25").desc(), F.col("doc_id").asc()],
+        out_col="r_bm25",
+    )
+    ranked = range_partitioned_rank(
+        ranked,
+        [F.col("tfidf").desc(), F.col("doc_id").asc()],
+        out_col="r_tfidf",
+    ).select(
+        "doc_id",
+        F.col("r_bm25").cast("int").alias("r_bm25"),
+        F.col("r_tfidf").cast("int").alias("r_tfidf"),
     )
     rrf = F.round(
         F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_bm25"))
         + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_tfidf")),
         6,
     )
+    # Final rank: distributed TakeOrdered(15), then rank 15 survivors.
     wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
     return (
         ranked.withColumn("rrf", rrf)
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(15)
         .withColumn("rank", F.row_number().over(wf))
-        .where(F.col("rank") <= 15)
         .select(
             "doc_id", "r_bm25", "r_tfidf", "rrf", "rank"
         )
@@ -1773,16 +1801,25 @@ def t_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.round(
         sum(F.col(f"s_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
     )
-    ranked = per_doc.withColumn("bm25", total).select(
-        "doc_id",
-        "rel",
-        F.row_number()
-        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
-        .alias("rnk"),
-        F.row_number()
-        .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc()))
-        .alias("ideal_rnk"),
+    # Both ranks span the full |candidates| frame (first_rel can sit at
+    # any depth), so they are range-partitioned global ranks — local
+    # row_number per range + broadcast offsets — never a corpus-linear
+    # single-partition window.
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
     )
+
+    scored_docs = per_doc.withColumn("bm25", total)
+    ranked = range_partitioned_rank(
+        scored_docs,
+        [F.col("bm25").desc(), F.col("doc_id").asc()],
+        out_col="rnk",
+    )
+    ranked = range_partitioned_rank(
+        ranked,
+        [F.col("rel").desc(), F.col("doc_id").asc()],
+        out_col="ideal_rnk",
+    ).select("doc_id", "rel", "rnk", "ideal_rnk")
     gain = F.expr("shiftleft(1, rel) - 1")
     dcg_term = F.round(
         gain.cast("double") * F.lit(1_000_000.0) / F.log2(F.col("rnk") + F.lit(1)), 0

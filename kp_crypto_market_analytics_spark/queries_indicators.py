@@ -773,30 +773,13 @@ FROM rs
 # ------------------------------------------------------ ti_twap
 
 
-def _round_ratio_micro_dec(num_dec, den_long):
-    """round(num/den, 6) EXACTLY for a DECIMAL numerator and BIGINT
-    denominator, when num·10⁶ can exceed int64 (the TWAP numerator is
-    Σ price·Δt_µs ≈ 10¹⁵, so aggregates.round_mean_micro's long cast
-    would overflow).  Same half-away-from-zero integer division, but
-    the micro value stays DECIMAL(38,0) and `div` does the integral
-    division on decimals — bit-identical to the DuckDB HUGEINT twin."""
-    micro = (num_dec * F.lit(1000000)).cast("decimal(38,0)")
-    d = den_long.cast("long")
-    num2 = F.lit(2) * F.abs(micro) + d
-    den2 = F.lit(2) * d
-    q = F.call_function("div", num2, den2)
-    sign = F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
-    return (sign * q) / F.lit(1000000.0)
-
-
-def _sql_round_ratio_micro_huge(num_sql: str, den_sql: str) -> str:
-    """DuckDB twin of :func:`_round_ratio_micro_dec` (HUGEINT micro)."""
-    m = f"CAST(({num_sql}) * 1000000 AS HUGEINT)"
-    return (
-        f"(CASE WHEN {m} < 0 THEN -1 ELSE 1 END"
-        f" * ((2 * abs({m}) + ({den_sql})) // (2 * ({den_sql}))))"
-        f" / 1000000.0"
-    )
+# Promoted to operators.aggregates (a_mutual_info needs the same
+# overflow-safe path); the private names remain for this module's
+# call sites.
+from kp_crypto_market_analytics_spark.operators.aggregates import (  # noqa: E402
+    round_ratio_micro_dec as _round_ratio_micro_dec,
+    sql_round_ratio_micro_huge as _sql_round_ratio_micro_huge,
+)
 
 
 def ti_twap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,7 +44,9 @@ from pyspark.sql import functions as F
 
 from kp_crypto_market_analytics_spark.operators.aggregates import (
     round_mean_micro,
+    round_ratio_micro_dec,
     sql_round_mean_micro,
+    sql_round_ratio_micro_huge,
 )
 from kp_crypto_market_analytics_spark.session import ensure_parallelism, load_tables
 
@@ -290,17 +292,28 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
 
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
     def half(flag: bool, rank_name: str) -> DataFrame:
         agg = (
             j.where(F.col("first_half") == flag)
             .groupBy("l_partkey")
             .agg(F.sum("rev").alias("rev"))
         )
-        w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
-        return agg.select(
+        # |parts| grows linearly with data (20M rows at sf100): the
+        # global revenue rank is range-partitioned, never a
+        # single-partition window over the aggregate frame.
+        ranked = range_partitioned_rank(
+            agg,
+            [F.col("rev").desc(), F.col("l_partkey").asc()],
+            out_col="__gr",
+        )
+        return ranked.select(
             "l_partkey",
             F.col("rev").cast("double").alias(f"rev_{rank_name}"),
-            F.row_number().over(w).cast("long").alias(f"rank_{rank_name}"),
+            F.col("__gr").cast("long").alias(f"rank_{rank_name}"),
         )
 
     a, b = half(True, "a"), half(False, "b")
@@ -754,13 +767,23 @@ def q_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
-    w = (
-        Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
     )
+
     tot = rev.agg(F.sum("rev").alias("total"))
+    # Global running revenue over |parts| aggregates: range-partitioned
+    # cumulative sum (local cumsums + broadcast per-range offsets), not
+    # a single-partition ORDER BY window over a linearly-growing frame.
+    cum = range_partitioned_rank(
+        rev,
+        [F.col("rev").desc(), F.col("l_partkey").asc()],
+        out_col="__gr",
+        sum_col="rev",
+        cumsum_out="cum",
+    ).drop("__gr")
     classed = (
-        rev.withColumn("cum", F.sum("rev").over(w))
+        cum
         .crossJoin(F.broadcast(tot))
         .select(
             "l_partkey",
@@ -1556,7 +1579,10 @@ def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "hb",
             F.col("n").cast("long").alias("n"),
-            round_mean_micro(
+            # DECIMAL(38,0) micro path: nt·nh exceeds int64 micro
+            # range once a marginal holds ~3M rows (the a_mutual_info
+            # overflow class round_ratio_micro_dec exists for).
+            round_ratio_micro_dec(
                 (F.col("nt") * F.col("nh")).cast("decimal(38,6)"), F.col("n_tot")
             ).alias("expected_n"),
             (F.round(ln_ratio, 6) + F.lit(0.0)).alias("pmi"),
@@ -1567,7 +1593,7 @@ def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a_mutual_info_sql() -> str:
-    expected = sql_round_mean_micro("CAST(nt * nh AS DECIMAL(38,6))", "n_tot")
+    expected = sql_round_ratio_micro_huge("CAST(nt * nh AS DECIMAL(38,6))", "n_tot")
     ln_ratio = "ln(CAST(n AS DOUBLE) * n_tot / (nt * nh))"
     return f"""
 WITH cells AS (

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kp_crypto_market_analytics_spark.operators.aggregates import (
@@ -2438,10 +2438,16 @@ def a_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r"))
     )
-    w = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
-    ranked = rev.select(
-        "r", F.row_number().over(w).cast("long").alias("i")
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
     )
+
+    # |customers| grows with data: the ascending-revenue rank is
+    # range-partitioned (local row_number + broadcast offsets), not a
+    # single-partition window over the whole aggregate frame.
+    ranked = range_partitioned_rank(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()], out_col="__i"
+    ).select("r", F.col("__i").cast("long").alias("i"))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("r").cast("double"), 2).alias("total_rev"),
@@ -3161,6 +3167,24 @@ _CHECKSUM_TABLES: dict[str, list[str]] = {
 _MERSENNE61 = (1 << 61) - 1
 
 
+def _checksum_canon(c: str) -> Column:
+    """Canonical text form of one checksum column: explicit NULL
+    sentinel plus delimiter escaping — the two collision classes of
+    the same bug family.  concat_ws SKIPS nulls, so without the
+    sentinel ('a', NULL, 'b') and ('a', 'b', NULL) would render (and
+    hash) identically; and a free-text value containing '|' (or a
+    literal '\\N') would render identically to a DIFFERENT row unless
+    '\\' → '\\\\' and '|' → '\\|' are escaped per column BEFORE the
+    join (an escaped value always carries a doubled backslash where
+    the sentinel has a single one, so it can never equal '\\N')."""
+    esc = F.replace(
+        F.replace(F.expr(c).cast("string"), F.lit("\\"), F.lit("\\\\")),
+        F.lit("|"),
+        F.lit("\\|"),
+    )
+    return F.coalesce(esc, F.lit("\\N"))
+
+
 def dq_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive dataset fingerprint per table — the
     copy/migration validator a 100 TB pipeline runs after every bulk
@@ -3183,16 +3207,7 @@ def dq_dataset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, list(_CHECKSUM_TABLES))
     outs = []
     for name, cols in _CHECKSUM_TABLES.items():
-        # explicit NULL sentinel per column — concat_ws SKIPS nulls, so
-        # without it ('a', NULL, 'b') and ('a', 'b', NULL) would render
-        # (and hash) identically: a canonicalization collision.
-        row_txt = F.concat_ws(
-            "|",
-            *[
-                F.coalesce(F.expr(c).cast("string"), F.lit("\\N"))
-                for c in cols
-            ],
-        )
+        row_txt = F.concat_ws("|", *[_checksum_canon(c) for c in cols])
         h = hash64(row_txt)
         outs.append(
             t[name]
@@ -3218,9 +3233,9 @@ def _dq_dataset_checksum_sql() -> str:
     parts = []
     for name, cols in _CHECKSUM_TABLES.items():
         rendered = ", ".join(
-            "coalesce(CAST("
+            "coalesce(replace(replace(CAST("
             + c.replace("unix_micros(", "epoch_us(").replace(" AS STRING", " AS VARCHAR")
-            + " AS VARCHAR), '\\N')"
+            + " AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')"
             for c in cols
         )
         h = (
@@ -3590,10 +3605,19 @@ def a_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("h") < F.col("theta"))
     )
     sk_b = sk.select(F.col("event_type").alias("tb"), "h")
-    n_diff = (
+    # left-join the counts back onto the FULL pairs frame: a directed
+    # pair whose sketch difference is empty must report n_diff = 0,
+    # not vanish (the documented all-20-directed-pairs contract).
+    diff_counts = (
         a_below.join(F.broadcast(sk_b), ["tb", "h"], "left_anti")
-        .groupBy("ta", "tb", "theta")
+        .groupBy("ta", "tb")
         .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    n_diff = pairs.join(diff_counts, ["ta", "tb"], "left").select(
+        "ta",
+        "tb",
+        "theta",
+        F.coalesce("n_diff", F.lit(0)).cast("long").alias("n_diff"),
     )
     ed = e.distinct()
     exact = (
@@ -3622,10 +3646,17 @@ def a_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tb",
             (F.col("n_a") - F.coalesce("n_common", F.lit(0))).alias("exact_diff"),
             F.round(est, 6).alias("kmv_diff"),
-            F.round(
-                (est - (F.col("n_a") - F.coalesce("n_common", F.lit(0))))
-                / (F.col("n_a") - F.coalesce("n_common", F.lit(0))).cast("double"),
-                6,
+            # NULL rel_err when the exact difference is empty (A ⊆ B):
+            # 0/0 is undefined and ANSI mode would raise.
+            F.when(
+                (F.col("n_a") - F.coalesce("n_common", F.lit(0))) > 0,
+                F.round(
+                    (est - (F.col("n_a") - F.coalesce("n_common", F.lit(0))))
+                    / (F.col("n_a") - F.coalesce("n_common", F.lit(0))).cast(
+                        "double"
+                    ),
+                    6,
+                ),
             ).alias("rel_err"),
         )
         .orderBy("ta", "tb")
@@ -3657,13 +3688,19 @@ WITH e AS (
   SELECT a.event_type AS ta, b.event_type AS tb,
     least(a.theta, b.theta) AS theta
   FROM st a, st b WHERE a.event_type <> b.event_type
-), n_diff AS (
-  SELECT p.ta, p.tb, p.theta, COUNT(*) AS n_diff
+), diff_counts AS (
+  SELECT p.ta, p.tb, COUNT(*) AS n_diff
   FROM pairs p JOIN sk a ON a.event_type = p.ta AND a.h < p.theta
   WHERE NOT EXISTS (
     SELECT 1 FROM sk b WHERE b.event_type = p.tb AND b.h = a.h
   )
-  GROUP BY p.ta, p.tb, p.theta
+  GROUP BY p.ta, p.tb
+), n_diff AS (
+  -- every directed pair reports, empty difference as 0 (the
+  -- all-20-pairs contract)
+  SELECT p.ta, p.tb, p.theta,
+    CAST(coalesce(d.n_diff, 0) AS BIGINT) AS n_diff
+  FROM pairs p LEFT JOIN diff_counts d ON d.ta = p.ta AND d.tb = p.tb
 ), sizes AS (
   SELECT event_type AS ta, COUNT(*) AS n_a FROM e GROUP BY 1
 ), common AS (
@@ -3674,9 +3711,11 @@ WITH e AS (
 SELECT d.ta, d.tb,
   CAST(s.n_a - coalesce(c.n_common, 0) AS BIGINT) AS exact_diff,
   round(CAST(d.n_diff AS DOUBLE) * {float(scale)!r} / d.theta, 6) AS kmv_diff,
-  round((CAST(d.n_diff AS DOUBLE) * {float(scale)!r} / d.theta
-    - (s.n_a - coalesce(c.n_common, 0)))
-    / CAST(s.n_a - coalesce(c.n_common, 0) AS DOUBLE), 6) AS rel_err
+  CASE WHEN s.n_a - coalesce(c.n_common, 0) > 0 THEN
+    round((CAST(d.n_diff AS DOUBLE) * {float(scale)!r} / d.theta
+      - (s.n_a - coalesce(c.n_common, 0)))
+      / CAST(s.n_a - coalesce(c.n_common, 0) AS DOUBLE), 6)
+  END AS rel_err
 FROM n_diff d
 LEFT JOIN common c ON c.ta = d.ta AND c.tb = d.tb
 JOIN sizes s ON s.ta = d.ta
