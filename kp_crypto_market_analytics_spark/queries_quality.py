@@ -1909,13 +1909,9 @@ def a_kmv_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kmv_of(df: DataFrame) -> DataFrame:
-        return (
-            df.select("h")
-            .distinct()
-            .withColumn("rn", F.row_number().over(Window.orderBy("h")))
-            .where(F.col("rn") <= _KMV_K)
-            .select("h")
-        )
+        # smallest-K hashes via distributed TakeOrdered (each shard
+        # forwards ≤ K rows) — not a rank over the full distinct frame
+        return df.select("h").distinct().orderBy("h").limit(_KMV_K)
 
     def est_expr(nk, kth):
         # kth <= 0 → exact count: the divisor-zero guard, identical on
@@ -2211,11 +2207,14 @@ def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("w"),
                 )
             )
-        ranked = merged.select(
-            "w", F.row_number().over(Window.orderBy(F.col("w").desc())).alias("rn")
-        )
-        d_df = ranked.where(F.col("rn") == _MG_K + 1).agg(
-            F.coalesce(F.max("w"), F.lit(0)).cast("long").alias("d_step")
+        # (k+1)-th largest via TakeOrdered(k+1) + MIN (0 when fewer
+        # rows) — the mg_reduce order-statistic shape, not a full rank
+        top = merged.select("w").orderBy(F.col("w").desc()).limit(_MG_K + 1)
+        d_df = top.agg(
+            F.when(F.count(F.lit(1)) == _MG_K + 1, F.min("w"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d_step")
         )
         state = (
             merged.crossJoin(F.broadcast(d_df))

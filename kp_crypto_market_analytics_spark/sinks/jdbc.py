@@ -10,10 +10,13 @@ statement.  Parallelism = DataFrame partitions, the JDBC-write analog
 of file-sink tasks; repartition the frame to the connection budget the
 database can absorb.
 
-No database or driver ships in this container, so the connection is a
-picklable factory the caller supplies (psycopg2.connect in production,
-a fake in tests); statement generation and the partition protocol are
-fully unit-tested.
+The connection is a picklable factory the caller supplies
+(psycopg2.connect in production).  No PostgreSQL ships in this
+container, but the protocol is exercised against REAL databases:
+``write_jdbc_upsert`` end-to-end against DuckDB (a DB-API engine with
+ON CONFLICT — idempotent replay + last-write-wins verified by reading
+the database back) and the staged MERGE path against embedded Apache
+Derby (tests/test_jdbc_roundtrip.py).
 """
 
 from __future__ import annotations
@@ -69,6 +72,41 @@ def upsert_statement(
         stmt += f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({insert_vals})"
         return stmt
     raise ValueError(f"unknown dialect: {dialect}")
+
+
+def merge_from_staging_statement(
+    table: str,
+    staging: str,
+    columns: list[str],
+    key: list[str],
+) -> str:
+    """MERGE INTO ``table`` from a staged BASE table — the bulk-load
+    upsert shape (reference load_postgres.py:66-103 stages rows, then
+    upserts into the target).  Unlike :func:`upsert_statement`'s
+    row-parameterized ``merge`` dialect (a ``USING (SELECT ?…)``
+    source, which engines like Derby reject — their MERGE source must
+    be a base table), this form works on every MERGE-capable engine
+    and moves the whole batch in ONE set-oriented statement — the
+    scale path: stage via the parallel JDBC writer, merge once.
+
+    The staging table must be key-deduplicated first (standard MERGE
+    precondition: two source rows matching one target row is an
+    error on every engine)."""
+    if not columns or not key:
+        raise ValueError("columns and key must be non-empty")
+    missing = [k for k in key if k not in columns]
+    if missing:
+        raise ValueError(f"key columns not in columns: {missing}")
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key)
+    updates = [c for c in columns if c not in key]
+    stmt = f"MERGE INTO {table} t USING {staging} s ON {on} "
+    if updates:
+        setters = ", ".join(f"t.{c} = s.{c}" for c in updates)
+        stmt += f"WHEN MATCHED THEN UPDATE SET {setters} "
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    stmt += f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    return stmt
 
 
 def write_jdbc_upsert(

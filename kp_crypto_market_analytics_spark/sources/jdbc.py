@@ -7,9 +7,13 @@ gives the pushdown for free: filters on the returned DataFrame compile
 into the remote WHERE clause (and with DSv2 aggregate pushdown, A1-style
 aggregations run remotely too, matching metrics.py:15-28).
 
-No database ships in this environment, so this module is exercised by
-structure tests only; on a cluster it needs the driver jar on the
-executor classpath (e.g. --jars postgresql.jar).
+No PostgreSQL ships in this environment, but the scan path is
+exercised against a REAL database: embedded Apache Derby (its jar
+ships inside pyspark/jars) — tests/test_jdbc_roundtrip.py round-trips
+write → read with the filter pushdown asserted from the executed plan
+and the partitioned parallel scan counted.  On a cluster the target
+engine's driver jar goes on the executor classpath (e.g. --jars
+postgresql.jar).
 """
 
 from __future__ import annotations

@@ -139,3 +139,36 @@ def test_kmv_difference_reports_empty_pairs(spark):
         assert r["kmv_diff"] >= 0.0
         if r["exact_diff"] == 0:
             assert r["rel_err"] is None
+
+
+def test_range_partitioned_cummax_exclusive(spark):
+    """The range-partitioned exclusive prefix-max must match the
+    single-partition window form, including the NULL on the global
+    first row."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    rows = [(i, (i * 37) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["pm"]
+        for r in range_partitioned_rank(
+            df,
+            [F.col("k").desc()],
+            out_col="__r",
+            max_col="v",
+            cummax_out="pm",
+            exclusive_max=True,
+            n_ranges=9,
+        ).collect()
+    }
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r["k"]: r["pm"]
+        for r in df.select("k", F.max("v").over(w).alias("pm")).collect()
+    }
+    assert got == want
+    assert want[199] is None

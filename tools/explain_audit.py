@@ -14,6 +14,67 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Queries allowed to carry unpartitioned WindowExec nodes, with the
+# boundedness argument.  A global window is legitimate ONLY when its
+# input frame is provably bounded (post-LIMIT survivors, sketch width,
+# distinct-day count) — never when the frame grows linearly with data.
+# Unallowlisted global windows FAIL the audit (exit 1).
+GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
+    # rank over distributed-TakeOrdered survivors (≤k rows post-LIMIT)
+    "t_bm25_topk": (1, "rank over 20 post-LIMIT survivors"),
+    "t_rrf_fusion": (1, "rank over 15 post-LIMIT survivors"),
+    "a_session_paths": (1, "rank over 15 post-LIMIT survivors"),
+    "dq_join_cardinality": (1, "rank over 5 post-LIMIT survivors"),
+    # sketch-width cumulative walks (≤ ~900 DDSketch buckets by design)
+    "a_ddsketch_quantiles": (2, "cum walk over <=900 sketch buckets"),
+    "a_ddsketch_merge": (2, "cum walk over <=900 sketch buckets"),
+    "a_ddsketch_stream_parity": (4, "cum walks over <=900 sketch buckets"),
+    # distinct-day batch ids in the streaming parity gates (day-count
+    # frames, tens of rows at any SF)
+    "a_hll_stream_parity": (1, "day-bid over distinct-day frame"),
+    "a_kmv_stream_parity": (1, "day-bid over distinct-day frame"),
+    "t_countmin_stream_parity": (1, "day-bid over distinct-day frame"),
+    "t_mg_stream_parity": (1, "day-bid over distinct-day frame"),
+    "dedup_stream_parity": (1, "day-bid over distinct-day frame"),
+    # fixed-size top-k / time-bounded frames
+    "t_zipf_fit": (1, "OLS rank over top-1000 post-LIMIT tokens"),
+    "w_rolling_corr": (2, "hour-bucket frame (time-bounded, not data)"),
+}
+
+
+def count_global_windows(plan: str) -> int:
+    """Unpartitioned WindowExec nodes in an executed-plan string.
+
+    A Window node prints ``Window [exprs], [partitionSpec], [order]``
+    when partitioned and ``Window [exprs], [order]`` when global — BUT
+    a partitioned window with no ordering ALSO prints two groups
+    (``[exprs], [partitionSpec]``), so two-group nodes are global only
+    when the second group is an ordering (carries ASC/DESC sort
+    directions, which a partition spec never does).  Bracket groups
+    are counted top-level (brackets nest inside exprs)."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow(?:InPandas)?\s+\[", line)
+        if not m or "WindowGroupLimit" in line:
+            continue
+        rest = line[m.end() - 1:]
+        depth = 0
+        groups: list[list[str]] = [[]]
+        for ch in rest:
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                groups.append([])
+                continue
+            groups[-1].append(ch)
+        if len(groups) == 2:
+            second = "".join(groups[1])
+            if " ASC" in second or " DESC" in second:
+                n += 1
+    return n
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -36,9 +97,10 @@ def main() -> None:
         "",
         f"Scale factor dir: `{sf_dir}`.  Regenerate: `python tools/explain_audit.py`.",
         "",
-        "| query | codegen stages | BHJ | SMJ | BNLJ | exchanges | scan filters pushed | pruned columns read |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | codegen stages | BHJ | SMJ | BNLJ | exchanges | scan filters pushed | pruned columns read | global windows |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
+    violations: list[str] = []
     for name in BENCH_QUERIES:
         df = QUERIES[name](spark, sf_dir)
         df.collect()
@@ -55,8 +117,17 @@ def main() -> None:
         n_pushed = sum(1 for p in pushed for f in p.split(",") if f.strip())
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         n_cols = sum(len(s.split(",")) for s in schemas if s)
+        gw = count_global_windows(plan)
+        allowed, reason = GLOBAL_WINDOW_ALLOWLIST.get(name, (0, ""))
+        if gw > allowed:
+            gw_cell = f"**{gw} UNALLOWLISTED**"
+            violations.append(f"{name}: {gw} global windows (allowed {allowed})")
+        elif gw > 0:
+            gw_cell = f"{gw} ({reason})"
+        else:
+            gw_cell = "0"
         lines.append(
-            f"| {name} | {codegen} | {bhj} | {smj} | {bnlj} | {exch} | {n_pushed} | {n_cols} |"
+            f"| {name} | {codegen} | {bhj} | {smj} | {bnlj} | {exch} | {n_pushed} | {n_cols} | {gw_cell} |"
         )
     lines += [
         "",
@@ -71,12 +142,23 @@ def main() -> None:
         "exchanges are the shuffle count after AQE",
         "coalescing; scan filters pushed counts predicates that reached the",
         "parquet reader (partition+row-group skipping); pruned columns read",
-        "is the total width actually scanned across all inputs.",
+        "is the total width actually scanned across all inputs; global",
+        "windows counts unpartitioned WindowExec nodes in the executed plan",
+        "— a GATED metric: every non-zero count must be allowlisted in",
+        "tools/explain_audit.py with a boundedness argument (post-LIMIT",
+        "survivors, sketch width, distinct-day frames), and any",
+        "unallowlisted occurrence fails the audit, because an unbounded",
+        "global window funnels a linearly-growing frame through ONE task.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAINS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
+    if violations:
+        print("UNALLOWLISTED GLOBAL WINDOWS:")
+        for v in violations:
+            print(f"  {v}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
