@@ -116,6 +116,16 @@ def cmd_analytics(args) -> None:
     feats.unpersist()
 
 
+def cmd_report(args) -> None:
+    """report: publish the analytics artifacts as one static HTML page
+    (the reference dashboard's read surface, src/dashboard/app.py:109-
+    230, without a server process — no SparkSession needed)."""
+    from kp_crypto_market_analytics_spark.sinks.report import write_report
+
+    path = write_report(args.arts, args.out)
+    print(f"wrote {path}")
+
+
 def cmd_list(args) -> None:
     """Registry listing: every gated query name."""
     from kp_crypto_market_analytics_spark.queries import QUERIES
@@ -334,6 +344,15 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--query", required=True)
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ex.set_defaults(fn=cmd_explain)
+
+    rp = sub.add_parser(
+        "report",
+        help="render the analytics artifact dir into one static HTML page",
+    )
+    rp.add_argument("--arts", default="artifacts")
+    rp.add_argument("--out", default=None,
+                    help="output path (default: <arts>/report.html)")
+    rp.set_defaults(fn=cmd_report)
     return p
 
 

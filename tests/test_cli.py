@@ -101,6 +101,23 @@ def test_collect_load_analytics_pipeline(tmp_path):
             "price_and_vol.png", "returns_hist.png",
             "anomalies_absret.png", "vol_vs_volume_scatter.png"} <= figs
 
+    # `report`: the static-HTML dashboard analog must list EVERY
+    # artifact the reference dashboard reads — all CSV tables as
+    # sections and all PNGs inlined base64 (self-contained page).
+    r = run_cli(["report", "--arts", arts], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    page_path = os.path.join(arts, "report.html")
+    assert os.path.exists(page_path)
+    page = open(page_path).read()
+    for section in ["daily", "monthly", "hourly", "dow", "heatmap",
+                    "correlation", "top_anomalies"]:
+        assert f'id="{section}"' in page, section
+    for fig in figs:
+        assert f"<figcaption>{fig}</figcaption>" in page, fig
+    assert page.count("data:image/png;base64,") >= len(figs)
+    # table rows rendered, capped like the dashboard's max_rows
+    assert "<td>" in page and "<th>" in page
+
 
 def test_cli_build_index_pq(tmp_path):
     # The PQ index build writes codebooks + codes parquet a serving

@@ -28,7 +28,11 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     # sketch-width cumulative walks (≤ ~900 DDSketch buckets by design)
     "a_ddsketch_quantiles": (2, "cum walk over <=900 sketch buckets"),
     "a_ddsketch_merge": (2, "cum walk over <=900 sketch buckets"),
-    "a_ddsketch_stream_parity": (4, "cum walks over <=900 sketch buckets"),
+    "a_ddsketch_stream_parity": (
+        8,
+        "per-batch cum walks over <=900 sketch buckets (4 replayed "
+        "batches x 2 walks in the sequential parity fold)",
+    ),
     # distinct-day batch ids in the streaming parity gates (day-count
     # frames, tens of rows at any SF)
     "a_hll_stream_parity": (1, "day-bid over distinct-day frame"),
