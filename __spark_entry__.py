@@ -99,6 +99,13 @@ _FIRST_SEEN_ROUND.update(
     }
 )
 
+_FIRST_SEEN_ROUND.update(
+    {n: 7 for n in (
+        "t_train_split", "t_split_leakage", "t_mix_weights",
+        "t_tokenizer_fertility", "dq_column_profile",
+    )}
+)
+
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A
 # fresh green row from round >= N clears the entry automatically.

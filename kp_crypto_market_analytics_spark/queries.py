@@ -1344,6 +1344,7 @@ from kp_crypto_market_analytics_spark.queries_ext import EXT_ORACLES, EXT_QUERIE
 from kp_crypto_market_analytics_spark.queries_indicators import IND_ORACLES, IND_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_graph import GRAPH_ORACLES, GRAPH_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_mining import MINING_ORACLES, MINING_QUERIES  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_r7 import R7_QUERIES, r7_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_quality import QUALITY_ORACLES, QUALITY_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1354,6 +1355,7 @@ QUERIES.update(CORPUS_QUERIES)
 QUERIES.update(QUALITY_QUERIES)
 QUERIES.update(GRAPH_QUERIES)
 QUERIES.update(MINING_QUERIES)
+QUERIES.update(R7_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
@@ -1361,3 +1363,4 @@ ORACLES.update(corpus_oracles())
 ORACLES.update(QUALITY_ORACLES)
 ORACLES.update(GRAPH_ORACLES)
 ORACLES.update(MINING_ORACLES)
+ORACLES.update(r7_oracles())

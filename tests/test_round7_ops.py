@@ -172,3 +172,65 @@ def test_range_partitioned_cummax_exclusive(spark):
     }
     assert got == want
     assert want[199] is None
+
+
+def test_train_split_leakage_free_and_partitioned(spark):
+    """The cluster-keyed split must (a) cover every document exactly
+    once, (b) sum shares to ~1e6 ppm, and (c) leak ZERO near-dup
+    pairs across splits — the property the operator exists for.  The
+    naive doc-hash baseline's leak count is >= the cluster split's."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        t_split_leakage,
+        t_train_split,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = t_train_split(spark, sf).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert abs(sum(r["doc_share_ppm"] for r in rows) - 1_000_000) <= len(rows)
+    by = {r["split"]: r for r in rows}
+    assert by["train"]["n_docs"] > 400  # 98% quota dominates
+
+    leak = t_split_leakage(spark, sf).collect()[0]
+    assert leak["leaked_cluster_split"] == 0
+    assert leak["leaked_doc_split"] >= 0
+    assert leak["n_pairs"] > 0  # audit is non-vacuous on this corpus
+    assert leak["n_dup_clusters"] > 0
+
+
+def test_mix_weights_sum_to_one_and_upsample_small(spark):
+    """Mixture shares must sum to ~1 and the sqrt temperature must
+    up-sample below-average-size sources (oversample > 1) and
+    down-sample above-average ones."""
+    from kp_crypto_market_analytics_spark.queries_r7 import t_mix_weights
+
+    rows = t_mix_weights(spark, "/root/testdata/sf0.01").collect()
+    assert abs(sum(r["weight_share"] for r in rows) - 1.0) < 1e-4
+    mean_tok = sum(r["n_tokens"] for r in rows) / len(rows)
+    for r in rows:
+        if r["n_tokens"] < mean_tok * 0.5:
+            assert r["oversample"] > 1.0, r
+        if r["n_tokens"] > mean_tok * 2.0:
+            assert r["oversample"] < 1.0, r
+
+
+def test_column_profile_counts(spark):
+    """Profile invariants: n_null + nonnull-distinct bounds, numeric
+    min <= max, string columns carry string bounds only."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        dq_column_profile,
+    )
+
+    rows = {r["column_name"]: r
+            for r in dq_column_profile(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"event_id", "user_id", "event_type", "value", "props"}
+    for name, r in rows.items():
+        assert 0 <= r["n_null"] <= r["n_rows"]
+        assert r["n_distinct"] <= r["n_rows"] - r["n_null"]
+        if r["min_num"] is not None:
+            assert r["min_num"] <= r["max_num"]
+            assert r["min_str"] is None
+        else:
+            assert r["min_str"] <= r["max_str"]
+    assert rows["event_id"]["n_distinct"] == rows["event_id"]["n_rows"]
