@@ -103,6 +103,8 @@ _FIRST_SEEN_ROUND.update(
     {n: 7 for n in (
         "t_train_split", "t_split_leakage", "t_mix_weights",
         "t_tokenizer_fertility", "dq_column_profile",
+        "w_ewma_truncated", "t_ngram_novelty", "a_open_orders_sweep",
+        "g_hits",
     )}
 )
 

@@ -496,10 +496,497 @@ R7_QUERIES = {
 
 
 def r7_oracles() -> dict[str, str]:
-    return {
+    out = {
         "t_train_split": _t_train_split_sql(),
         "t_split_leakage": _t_split_leakage_sql(),
         "t_mix_weights": T_MIX_WEIGHTS_SQL,
         "t_tokenizer_fertility": T_TOKENIZER_FERTILITY_SQL,
         "dq_column_profile": _dq_column_profile_sql(),
     }
+    for name, fn in _R7_ORACLES_B2.items():
+        out[name] = fn()
+    return out
+
+
+# ------------------------------------------------------ w_ewma_truncated
+
+_EWMA_LAGS = 8  # alpha = 0.5 -> weights 2^(7-j)/255, exact rationals
+
+
+def w_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average per event type:
+    the 8-lag normalized EWMA with α = 1/2 — smoothing weights
+    2^(7−j)/255 are EXACT rationals, so the infinite-memory recurrence
+    (engine-hostile: order-dependent, unparallelizable) becomes a
+    fixed-depth window fold both engines compute bit-identically.
+    Daily rollup per type: window count, mean EWMA, and the
+    day's closing EWMA.
+
+    Determinism: the weighted numerator folds as exact
+    DECIMAL × 2-power integers; /255 is the exact half-away micro
+    division; the daily mean re-folds the micro integers (never
+    doubles).  Closing value via max_by on the unique (ts, event_id)
+    order.
+
+    Scale shape: ONE per-type window sort (the indicator family's
+    shared exchange), 8 lags inside it, then a (type, day) agg with
+    map-side partials."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    px = F.col("value").cast("decimal(18,6)")
+    lagged = t["events"].select(
+        "event_type",
+        "ts",
+        "event_id",
+        px.alias("x0"),
+        *[F.lag(px, j).over(w).alias(f"x{j}") for j in range(1, _EWMA_LAGS)],
+    )
+    full = lagged.where(F.col(f"x{_EWMA_LAGS - 1}").isNotNull())
+    num = sum(
+        (F.col(f"x{j}") * F.lit(1 << (_EWMA_LAGS - 1 - j)))
+        for j in range(_EWMA_LAGS)
+    )
+    # ewma in exact micro units: round(num/255 * 1e6) half-away
+    micro = (num.cast("decimal(28,6)") * F.lit(1_000_000)).cast(
+        "decimal(38,0)"
+    )
+    num2 = F.lit(2) * micro + F.lit(255)
+    ewma_u = F.call_function("div", num2, F.lit(2 * 255)).cast("long")
+    daily = (
+        full.withColumn("eu", ewma_u)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("eu").alias("su"),
+            F.max_by("eu", F.struct("ts", "event_id")).alias("lu"),
+        )
+    )
+    mean_u = F.call_function(
+        "div",
+        F.lit(2) * F.col("su") + F.col("n_windows"),
+        F.lit(2) * F.col("n_windows"),
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        (mean_u / F.lit(1_000_000.0)).alias("mean_ewma"),
+        (F.col("lu") / F.lit(1_000_000.0)).alias("close_ewma"),
+    ).orderBy("event_type", "day")
+
+
+def _w_ewma_sql() -> str:
+    lags = ", ".join(
+        f"lag(px, {j}) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        f" AS x{j}"
+        for j in range(1, _EWMA_LAGS)
+    )
+    num = " + ".join(
+        f"x{j} * {1 << (_EWMA_LAGS - 1 - j)}" for j in range(_EWMA_LAGS)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS px
+  FROM events
+), lagged AS (
+  SELECT event_type, ts, event_id, px AS x0, {lags} FROM base
+), full_w AS (
+  SELECT *, CAST(({num}) AS DECIMAL(28,6)) AS num
+  FROM lagged WHERE x{_EWMA_LAGS - 1} IS NOT NULL
+), micro AS (
+  SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day,
+    CAST((2 * CAST(num * 1000000 AS HUGEINT) + 255) // 510 AS BIGINT) AS eu
+  FROM full_w
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM micro
+), daily AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_windows,
+    CAST(SUM(eu) AS BIGINT) AS su,
+    CAST(MAX(CASE WHEN rn = 1 THEN eu END) AS BIGINT) AS lu
+  FROM ranked GROUP BY 1, 2
+)
+SELECT event_type, day, n_windows,
+  ((2 * su + n_windows) // (2 * n_windows)) / 1000000.0 AS mean_ewma,
+  lu / 1000000.0 AS close_ewma
+FROM daily ORDER BY event_type, day
+"""
+
+
+# ------------------------------------------------------- t_ngram_novelty
+
+
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: for each document, the fraction of
+    its DISTINCT 4-char shingles whose globally-first occurrence (min
+    doc_id) is this document — high novelty = fresh content, low =
+    boilerplate recombination.  The curation signal dataset builders
+    rank crawl snapshots by.  Per source: docs, distinct shingles
+    owned, exact mean novelty in ppm.
+
+    Determinism: novelty is an exact integer ppm per doc (half-away
+    div) and the per-source mean re-folds those integers — no doubles
+    until the final display division.
+
+    Scale shape: shingle explode → (shingle → min doc) agg (map-side
+    combined) → join back on shingle — the inverted-index shape the
+    dedup family already scales; no window, no single partition."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    from kp_crypto_market_analytics_spark.functions.text import (
+        char_shingles,
+    )
+
+    sets = d.select(
+        "doc_id",
+        "source",
+        F.explode_outer(F.array_distinct(char_shingles("text", 4))).alias(
+            "sh"
+        ),
+    )
+    first = sets.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sets.join(first, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("n_first"),
+        )
+    )
+    nov_ppm = F.call_function(
+        "div",
+        F.lit(2) * F.col("n_first") * F.lit(1_000_000) + F.col("n_sh"),
+        F.lit(2) * F.col("n_sh"),
+    )
+    per_src = per_doc.withColumn("nppm", nov_ppm).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sh").alias("n_shingles"),
+        F.sum("n_first").alias("n_owned"),
+        F.sum("nppm").alias("s_ppm"),
+    )
+    mean_ppm = F.call_function(
+        "div",
+        F.lit(2) * F.col("s_ppm") + F.col("n_docs"),
+        F.lit(2) * F.col("n_docs"),
+    )
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_owned").cast("long").alias("n_owned"),
+        mean_ppm.cast("long").alias("mean_novelty_ppm"),
+    ).orderBy("source")
+
+
+T_NGRAM_NOVELTY_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, source, {NORM_TEXT_SQL} AS t FROM documents
+), shidx AS (
+  SELECT doc_id, source, t,
+    unnest(generate_series(1, greatest(length(t) - 3, 1))) AS i
+  FROM norm
+), sets AS (
+  SELECT DISTINCT doc_id, source, substr(t, i, 4) AS sh FROM shidx
+), first AS (
+  SELECT sh, MIN(doc_id) AS first_doc FROM sets GROUP BY sh
+), per_doc AS (
+  SELECT s.doc_id, s.source, COUNT(*) AS n_sh,
+    SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_first
+  FROM sets s JOIN first f USING (sh) GROUP BY 1, 2
+), per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+    CAST(SUM(n_first) AS BIGINT) AS n_owned,
+    CAST(SUM((2 * n_first * 1000000 + n_sh) // (2 * n_sh)) AS BIGINT)
+      AS s_ppm
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_shingles, n_owned,
+  CAST((2 * s_ppm + n_docs) // (2 * n_docs) AS BIGINT) AS mean_novelty_ppm
+FROM per_src ORDER BY source
+"""
+
+
+# --------------------------------------------------- a_open_orders_sweep
+
+
+def a_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval census via sweep-line: how many orders are
+    OPEN (placed, not yet fully shipped) on each change day, rolled up
+    monthly (max concurrency + end-of-month level).  The classic
+    interval-overlap count done WITHOUT a range join: each interval
+    becomes two deltas (+1 at start, −1 after last shipment), a
+    per-day agg collapses them, and the running sum over change days
+    is a RANGE-PARTITIONED cumulative sum — the sweep stays
+    distributed at any interval count (a self-range-join would be
+    |orders|² on hot days).
+
+    Determinism: all integers; end-of-month level via max_by on the
+    unique day.
+
+    Scale shape: two narrow aggs (order end dates, day deltas), one
+    range-partitioned cumsum over |change days| rows, a month-grain
+    rollup.  No window wider than the |ranges|-row offsets."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    ends = t["lineitem"].groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    # Clamp: the synthetic data has orders whose last shipment
+    # precedes the order date — a backwards interval would fire its
+    # −1 before its +1 and corrupt the running count.  Every order is
+    # open at least its placement day.
+    iv = (
+        t["orders"]
+        .select("o_orderkey", F.to_date("o_orderdate").alias("start_day"))
+        .join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn(
+            "end_day", F.greatest(F.col("start_day"), F.col("last_ship"))
+        )
+    )
+    deltas = (
+        iv.select(F.col("start_day").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            iv.select(
+                F.date_add("end_day", 1).alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("delta"))
+    )
+    swept = range_partitioned_rank(
+        deltas, ["day"], out_col="__r", sum_col="delta", cumsum_out="open_n"
+    )
+    return (
+        swept.groupBy(
+            F.year("day").alias("y"), F.month("day").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_change_days"),
+            F.max("open_n").alias("max_open"),
+            F.max_by("open_n", "day").alias("open_eom"),
+        )
+        .select(
+            F.col("y").cast("int").alias("y"),
+            F.col("m").cast("int").alias("m"),
+            F.col("n_change_days").cast("long").alias("n_change_days"),
+            F.col("max_open").cast("long").alias("max_open"),
+            F.col("open_eom").cast("long").alias("open_eom"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+A_OPEN_ORDERS_SWEEP_SQL = """
+WITH ends AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+), iv AS (
+  -- clamp backwards intervals (last shipment before order date):
+  -- every order is open at least its placement day
+  SELECT CAST(o_orderdate AS DATE) AS start_day,
+    greatest(CAST(o_orderdate AS DATE), last_ship) AS end_day
+  FROM orders JOIN ends ON o_orderkey = l_orderkey
+), deltas AS (
+  SELECT day, SUM(d) AS delta FROM (
+    SELECT start_day AS day, 1 AS d FROM iv
+    UNION ALL SELECT end_day + 1, -1 FROM iv
+  ) GROUP BY day
+), swept AS (
+  SELECT day, SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    AS open_n
+  FROM deltas
+)
+SELECT CAST(year(day) AS INT) AS y, CAST(month(day) AS INT) AS m,
+  CAST(COUNT(*) AS BIGINT) AS n_change_days,
+  CAST(MAX(open_n) AS BIGINT) AS max_open,
+  CAST(arg_max(open_n, day) AS BIGINT) AS open_eom
+FROM swept GROUP BY 1, 2 ORDER BY y, m
+"""
+
+
+R7_QUERIES.update(
+    {
+        "w_ewma_truncated": w_ewma_truncated,
+        "t_ngram_novelty": t_ngram_novelty,
+        "a_open_orders_sweep": a_open_orders_sweep,
+    }
+)
+_R7_ORACLES_B2 = {
+    "w_ewma_truncated": _w_ewma_sql,
+    "t_ngram_novelty": lambda: T_NGRAM_NOVELTY_SQL,
+    "a_open_orders_sweep": lambda: A_OPEN_ORDERS_SWEEP_SQL,
+}
+
+
+# --------------------------------------------------------------- g_hits
+
+_HITS_TOP_HUBS = 10
+
+
+def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999, public) on the user → event-type
+    bipartite graph: two full mutual-reinforcement iterations —
+    authority(t) = Σ_u w(u,t)·hub(u), hub(u) = Σ_t w(u,t)·auth(t),
+    max-normalized each half-step.  Authorities rank the event types
+    the heaviest multi-type users concentrate on; hubs rank the users
+    whose activity spans the strongest types — the complementary
+    centrality to g_pagerank's random-walk mass.  Output: every
+    authority plus the top-10 hubs, each ranked within its side.
+
+    Engine parity (the pagerank_weighted recipe): edge weights are
+    exact counts; every contribution product rounds into
+    DECIMAL(28,12) before the order-independent sum; each
+    max-normalization is ONE double division of exactly-equal
+    quantities, rounded to 10 dp — a DuckDB unroll of the same two
+    iterations reproduces every score bit for bit.
+
+    Scale shape: the |types|-side frames broadcast (bounded domain);
+    the |users|-side joins stay shuffle-partitioned on user_id (never
+    broadcast — users grow with data); hubs come via distributed
+    TakeOrdered, rank windows only over ≤10 survivors per side."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = (
+        t["events"]
+        .groupBy(
+            F.col("user_id").cast("string").alias("u"),
+            F.col("event_type").alias("tt"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(28,12)"
+
+    a1r = e.groupBy("tt").agg(F.sum("w").alias("ar"))
+    am1 = a1r.agg(F.max("ar").alias("am"))
+    a1 = a1r.crossJoin(F.broadcast(am1)).select(
+        "tt",
+        F.round(F.col("ar").cast("double") / F.col("am"), 10).alias("a"),
+    )
+    h1r = (
+        e.join(F.broadcast(a1), "tt")
+        .select("u", (F.col("w") * F.col("a")).cast(dec).alias("c"))
+        .groupBy("u")
+        .agg(F.sum("c").alias("hr"))
+    )
+    hm1 = h1r.agg(F.max("hr").alias("hm"))
+    h1 = h1r.crossJoin(F.broadcast(hm1)).select(
+        "u",
+        F.round(
+            F.col("hr").cast("double") / F.col("hm").cast("double"), 10
+        ).alias("h"),
+    )
+    a2r = (
+        e.join(h1, "u")
+        .select("tt", (F.col("w") * F.col("h")).cast(dec).alias("c"))
+        .groupBy("tt")
+        .agg(F.sum("c").alias("ar"))
+    )
+    am2 = a2r.agg(F.max("ar").alias("am"))
+    a2 = a2r.crossJoin(F.broadcast(am2)).select(
+        "tt",
+        F.round(
+            F.col("ar").cast("double") / F.col("am").cast("double"), 10
+        ).alias("a"),
+    )
+    h2r = (
+        e.join(F.broadcast(a2), "tt")
+        .select("u", (F.col("w") * F.col("a")).cast(dec).alias("c"))
+        .groupBy("u")
+        .agg(F.sum("c").alias("hr"))
+    )
+    hm2 = h2r.agg(F.max("hr").alias("hm"))
+    h2 = h2r.crossJoin(F.broadcast(hm2)).select(
+        "u",
+        F.round(
+            F.col("hr").cast("double") / F.col("hm").cast("double"), 10
+        ).alias("h"),
+    )
+
+    w_auth = Window.partitionBy("side").orderBy(
+        F.col("a").desc(), F.col("node").asc()
+    )
+    auth = (
+        a2.select(
+            F.lit("authority").alias("side"),
+            F.col("tt").alias("node"),
+            "a",
+        )
+        .withColumn("rank", F.row_number().over(w_auth))
+        .select(
+            "side", "node", (F.round("a", 6) + F.lit(0.0)).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    w_hub = Window.partitionBy("side").orderBy(
+        F.col("h").desc(), F.col("node").asc()
+    )
+    hubs = (
+        h2.select(
+            F.lit("hub").alias("side"), F.col("u").alias("node"), "h"
+        )
+        .orderBy(F.col("h").desc(), F.col("node").asc())
+        .limit(_HITS_TOP_HUBS)
+        .withColumn("rank", F.row_number().over(w_hub))
+        .select(
+            "side", "node", (F.round("h", 6) + F.lit(0.0)).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    return auth.unionByName(hubs).orderBy("side", "rank")
+
+
+G_HITS_SQL = f"""
+WITH e AS MATERIALIZED (
+  SELECT CAST(user_id AS VARCHAR) AS u, event_type AS tt,
+    CAST(COUNT(*) AS BIGINT) AS w
+  FROM events GROUP BY 1, 2
+), a1r AS (
+  SELECT tt, CAST(SUM(w) AS BIGINT) AS ar FROM e GROUP BY tt
+), am1 AS (SELECT MAX(ar) AS am FROM a1r),
+a1 AS MATERIALIZED (
+  SELECT tt, round(CAST(ar AS DOUBLE) / am, 10) AS a FROM a1r, am1
+), h1r AS (
+  SELECT u, SUM(CAST(w * a AS DECIMAL(28,12))) AS hr
+  FROM e JOIN a1 USING (tt) GROUP BY u
+), hm1 AS (SELECT MAX(hr) AS hm FROM h1r),
+h1 AS MATERIALIZED (
+  SELECT u, round(CAST(hr AS DOUBLE) / CAST(hm AS DOUBLE), 10) AS h
+  FROM h1r, hm1
+), a2r AS (
+  SELECT tt, SUM(CAST(w * h AS DECIMAL(28,12))) AS ar
+  FROM e JOIN h1 USING (u) GROUP BY tt
+), am2 AS (SELECT MAX(ar) AS am FROM a2r),
+a2 AS MATERIALIZED (
+  SELECT tt, round(CAST(ar AS DOUBLE) / CAST(am AS DOUBLE), 10) AS a
+  FROM a2r, am2
+), h2r AS (
+  SELECT u, SUM(CAST(w * a AS DECIMAL(28,12))) AS hr
+  FROM e JOIN a2 USING (tt) GROUP BY u
+), hm2 AS (SELECT MAX(hr) AS hm FROM h2r),
+h2 AS (
+  SELECT u, round(CAST(hr AS DOUBLE) / CAST(hm AS DOUBLE), 10) AS h
+  FROM h2r, hm2
+), auth AS (
+  SELECT 'authority' AS side, tt AS node, round(a, 6) + 0.0 AS score,
+    CAST(row_number() OVER (ORDER BY a DESC, tt) AS BIGINT) AS rank
+  FROM a2
+), hub AS (
+  SELECT 'hub' AS side, u AS node, round(h, 6) + 0.0 AS score,
+    CAST(row_number() OVER (ORDER BY h DESC, u) AS BIGINT) AS rank
+  FROM h2 QUALIFY rank <= {_HITS_TOP_HUBS}
+)
+SELECT * FROM auth UNION ALL SELECT * FROM hub ORDER BY side, rank
+"""
+
+R7_QUERIES["g_hits"] = g_hits
+_R7_ORACLES_B2["g_hits"] = lambda: G_HITS_SQL

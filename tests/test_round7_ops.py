@@ -234,3 +234,112 @@ def test_column_profile_counts(spark):
         else:
             assert r["min_str"] <= r["max_str"]
     assert rows["event_id"]["n_distinct"] == rows["event_id"]["n_rows"]
+
+
+def test_ewma_truncated_matches_reference_fold(spark):
+    """The 8-lag α=1/2 EWMA weights are exact rationals 2^(7-j)/255:
+    a driver-side replay over one event type must reproduce the
+    engine's daily closing EWMA bit for bit."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        w_ewma_truncated,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = w_ewma_truncated(spark, sf).collect()
+    assert rows
+    et = rows[0]["event_type"]
+    src = (
+        load_tables(spark, sf, ["events"])["events"]
+        .where(F.col("event_type") == et)
+        .orderBy("ts", "event_id")
+        .select("ts", F.col("value").cast("decimal(18,6)").alias("v"))
+        .collect()
+    )
+    from decimal import Decimal
+
+    vals = [r["v"] for r in src]
+    days = [r["ts"].date() for r in src]
+    close = {}
+    for i in range(7, len(vals)):
+        num = sum(
+            Decimal(vals[i - j]) * (1 << (7 - j)) for j in range(8)
+        )
+        micro = int(num * 1_000_000)
+        eu = (2 * micro + 255) // 510
+        close[days[i]] = eu / 1_000_000.0
+    got = {r["day"]: r["close_ewma"] for r in rows if r["event_type"] == et}
+    assert got == {d: close[d] for d in got}
+
+
+def test_open_orders_sweep_conservation(spark):
+    """Sweep-line invariants: concurrency is non-negative everywhere,
+    the global sum of deltas is zero (every opened order closes), and
+    the peak equals a brute-force interval count at one probe day."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        a_open_orders_sweep,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = a_open_orders_sweep(spark, sf).collect()
+    assert rows
+    assert all(r["max_open"] >= r["open_eom"] >= 0 for r in rows)
+    assert rows[-1]["open_eom"] == 0  # all orders eventually ship
+
+    # brute-force check at the global peak month's max
+    t = load_tables(spark, sf, ["orders", "lineitem"])
+    ends = t["lineitem"].groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("ls")
+    )
+    iv = (
+        t["orders"]
+        .select("o_orderkey", F.to_date("o_orderdate").alias("s"))
+        .join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn("e", F.greatest(F.col("s"), F.col("ls")))
+    )
+    peak = max(r["max_open"] for r in rows)
+    # count intervals covering each start day in the peak months
+    peak_rows = [r for r in rows if r["max_open"] == peak]
+    y, m = peak_rows[0]["y"], peak_rows[0]["m"]
+    days = [r["s"] for r in iv.where(
+        (F.year("s") == y) & (F.month("s") == m)).collect()]
+    best = 0
+    for d in set(days):
+        n = iv.where((F.col("s") <= F.lit(d)) & (F.col("e") >= F.lit(d))).count()
+        best = max(best, n)
+    assert best == peak
+
+
+def test_hits_mutual_reinforcement(spark):
+    """HITS invariants: scores in (0, 1], exactly one 1.0 per side
+    (max-normalization), ranks contiguous from 1, hubs capped at 10."""
+    from kp_crypto_market_analytics_spark.queries_r7 import g_hits
+
+    rows = g_hits(spark, "/root/testdata/sf0.001").collect()
+    sides = {}
+    for r in rows:
+        sides.setdefault(r["side"], []).append(r)
+    assert set(sides) == {"authority", "hub"}
+    assert len(sides["hub"]) <= 10
+    for side, rs in sides.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(0 < r["score"] <= 1.0 for r in rs)
+        assert rs[0]["score"] == 1.0  # the normalizer
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ngram_novelty_bounds(spark):
+    """Novelty is a fraction in [0, 1e6] ppm; the union of owned
+    shingles equals the global distinct shingle count (every shingle
+    has exactly one first owner)."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        t_ngram_novelty,
+    )
+
+    rows = t_ngram_novelty(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["mean_novelty_ppm"] <= 1_000_000
+        assert 0 <= r["n_owned"] <= r["n_shingles"]
