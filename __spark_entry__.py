@@ -104,7 +104,8 @@ _FIRST_SEEN_ROUND.update(
         "t_train_split", "t_split_leakage", "t_mix_weights",
         "t_tokenizer_fertility", "dq_column_profile",
         "w_ewma_truncated", "t_ngram_novelty", "a_open_orders_sweep",
-        "g_hits",
+        "g_hits", "a_bootstrap_ci", "t_epoch_shuffle",
+        "w_rolling_median", "mm_scene_cut",
     )}
 )
 

@@ -297,3 +297,55 @@ def window_audio(
             )
 
     return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("luma", IntegerType()),
+    ]
+)
+
+
+def frame_luma_series(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 16,
+    fake: bool = False,
+) -> DataFrame:
+    """Per-frame mean-luma extraction (the input to shot/scene-cut
+    detection) as Arrow-batched mapInPandas — payloads stay inside the
+    stage, only (media_id, frame_idx, luma) triples leave.
+
+    Real path: decode each frame and average its Y plane —
+    NotImplementedError here (no ffmpeg in this container).  The
+    ``fake=True`` stand-in derives frame i's luma from payload bytes
+    4i, 4i+1: (131·b₀ + b₁) mod 256 — deterministic and
+    SQL-replayable, so the Python batch path itself is oracle-gated
+    (the mm_decode_stats recipe)."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame decoding requires ffmpeg, not present in "
+                    "this environment; use fake=True"
+                )
+            ids, idxs, lumas = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for i in range(n_frames):
+                    if 4 * i + 1 >= len(b):
+                        break
+                    ids.append(mid)
+                    idxs.append(i)
+                    lumas.append((131 * b[4 * i] + b[4 * i + 1]) % 256)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "luma": lumas}
+            )
+
+    return df.mapInPandas(run, SCENE_SCHEMA)

@@ -990,3 +990,465 @@ SELECT * FROM auth UNION ALL SELECT * FROM hub ORDER BY side, rank
 
 R7_QUERIES["g_hits"] = g_hits
 _R7_ORACLES_B2["g_hits"] = lambda: G_HITS_SQL
+
+
+# --------------------------------------------------------- a_bootstrap_ci
+
+_BOOT_B = 100
+# Poisson(1) inverse-CDF cutoffs over a 2^30 uniform space (exact
+# integers; both engines compare the same 60-bit hash slice):
+# P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699, P(<=3)=.981012, else 4
+_POIS_SPACE = 1 << 30
+_POIS_CUT = (394983394, 789966788, 987458485, 1053289051)
+
+
+def _pois_weight(u):  # u in [0, 2^30)
+    return (
+        F.when(u < _POIS_CUT[0], F.lit(0))
+        .when(u < _POIS_CUT[1], F.lit(1))
+        .when(u < _POIS_CUT[2], F.lit(2))
+        .when(u < _POIS_CUT[3], F.lit(3))
+        .otherwise(F.lit(4))
+    )
+
+
+_POIS_SQL = (
+    f"CASE WHEN u < {_POIS_CUT[0]} THEN 0 WHEN u < {_POIS_CUT[1]} THEN 1"
+    f" WHEN u < {_POIS_CUT[2]} THEN 2 WHEN u < {_POIS_CUT[3]} THEN 3"
+    f" ELSE 4 END"
+)
+
+
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value: 100
+    Poisson-bootstrap replicates (Chamandy et al. 2012's
+    map-reduce-friendly resampling — per-row Poisson(1) weights
+    replace with-replacement sampling, which cannot be expressed as a
+    scan), percentile CI from the replicate means.  One row: n,
+    point mean, CI bounds, replicate count.
+
+    Determinism: each replicate weight is the exact inverse-CDF bucket
+    of a 30-bit hash slice (integer thresholds, no floats); replicate
+    means are exact micro divisions; the 2.5%/97.5% bounds are the
+    3rd-smallest / 3rd-largest of the 100 means via distributed
+    TakeOrdered (a 100-row frame, but the pattern stays scale-safe).
+
+    Scale shape: the explode is rows × B with map-side partial
+    aggregation straight into |B| replicate sums — the shuffle carries
+    100 rows of (sum, count), not the resampled data."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    o = t["orders"].select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,6)").alias("px")
+    )
+    reps = o.select(
+        "px",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+    )
+    u = (
+        hash64(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("#boot"),
+                F.col("b").cast("string"),
+            )
+        )
+        % _POIS_SPACE
+    )
+    w = _pois_weight(u)
+    per_rep = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("px") * F.col("w")).alias("s"),
+            F.sum("w").alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    mean_u = F.call_function(
+        "div",
+        F.lit(2) * (F.col("s") * F.lit(1_000_000)).cast("decimal(38,0)")
+        + F.col("n"),
+        F.lit(2) * F.col("n"),
+    ).cast("long")
+    means = per_rep.select(mean_u.alias("mu")).localCheckpoint(eager=True)
+    lo = means.orderBy(F.col("mu").asc()).limit(3).agg(
+        F.max("mu").alias("lo_u"), F.count(F.lit(1)).alias("nl")
+    )
+    hi = means.orderBy(F.col("mu").desc()).limit(3).agg(
+        F.min("mu").alias("hi_u"), F.count(F.lit(1)).alias("nh")
+    )
+    base = t["orders"].agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("ts"),
+    )
+    point_u = F.call_function(
+        "div",
+        F.lit(2) * (F.col("ts") * F.lit(1_000_000)).cast("decimal(38,0)")
+        + F.col("n_orders"),
+        F.lit(2) * F.col("n_orders"),
+    ).cast("long")
+    nrep = means.agg(F.count(F.lit(1)).alias("n_replicates"))
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(nrep))
+        .select(
+            F.col("n_orders").cast("long").alias("n_orders"),
+            (point_u / F.lit(1_000_000.0)).alias("mean_rev"),
+            (F.col("lo_u") / F.lit(1_000_000.0)).alias("boot_lo"),
+            (F.col("hi_u") / F.lit(1_000_000.0)).alias("boot_hi"),
+            F.col("n_replicates").cast("long").alias("n_replicates"),
+        )
+    )
+
+
+def _a_bootstrap_ci_sql() -> str:
+    h = H60.format(
+        x="CAST(o_orderkey AS VARCHAR) || '#boot' || CAST(b AS VARCHAR)"
+    )
+    return f"""
+WITH reps AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS px,
+    unnest(generate_series(0, {_BOOT_B - 1})) AS b
+  FROM orders
+), weighted AS (
+  SELECT px, b, {_POIS_SQL} AS w FROM (
+    SELECT px, b, {h} % {_POIS_SPACE} AS u FROM reps
+  )
+), per_rep AS (
+  SELECT b, SUM(px * w) AS s, CAST(SUM(w) AS BIGINT) AS n
+  FROM weighted GROUP BY b HAVING SUM(w) > 0
+), means AS (
+  SELECT CAST((2 * CAST(s * 1000000 AS HUGEINT) + n) // (2 * n) AS BIGINT)
+    AS mu
+  FROM per_rep
+), lo AS (
+  SELECT MAX(mu) AS lo_u FROM (SELECT mu FROM means ORDER BY mu LIMIT 3)
+), hi AS (
+  SELECT MIN(mu) AS hi_u
+  FROM (SELECT mu FROM means ORDER BY mu DESC LIMIT 3)
+), base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS ts
+  FROM orders
+), nrep AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates FROM means)
+SELECT n_orders,
+  CAST((2 * CAST(ts * 1000000 AS HUGEINT) + n_orders) // (2 * n_orders)
+    AS BIGINT) / 1000000.0 AS mean_rev,
+  lo_u / 1000000.0 AS boot_lo,
+  hi_u / 1000000.0 AS boot_hi,
+  n_replicates
+FROM base, lo, hi, nrep
+"""
+
+
+# --------------------------------------------------------- t_epoch_shuffle
+
+_SHUF_SHARDS = 8
+_SHUF_EPOCHS = 2
+
+
+def t_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the data-loader
+    primitive: each epoch reorders the corpus by a salted hash and
+    deals documents into shards, so every worker reads a different,
+    reproducible permutation per epoch with no coordination.  Per
+    (epoch, shard): docs, tokens, the first document in shuffle
+    order, and an order-insensitive assignment checksum (bit_xor) —
+    proving shards re-deal between epochs while staying balanced.
+
+    Scale shape: one hash per (doc, epoch), one (epoch, shard) agg
+    with map-side partials; no sort materializes — the 'shuffle
+    order' is the hash itself, so min_by gives the head without
+    ranking anything."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        "doc_id", F.size(F.split(_norm_text(), " ")).alias("ntok")
+    )
+    e = d.select(
+        "doc_id",
+        "ntok",
+        F.explode(F.sequence(F.lit(0), F.lit(_SHUF_EPOCHS - 1))).alias(
+            "epoch"
+        ),
+    )
+    h = hash64(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#ep"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    return (
+        e.withColumn("h", h)
+        .withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.min_by("doc_id", "h").alias("first_doc"),
+            F.expr("bit_xor(h)").alias("assign_sig"),
+        )
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("first_doc").cast("long").alias("first_doc"),
+            F.col("assign_sig").cast("long").alias("assign_sig"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+def _t_epoch_shuffle_sql() -> str:
+    h = H60.format(
+        x="CAST(doc_id AS VARCHAR) || '#ep' || CAST(epoch AS VARCHAR)"
+    )
+    return f"""
+WITH e AS (
+  SELECT doc_id, len(string_split({NORM_TEXT_SQL}, ' ')) AS ntok,
+    unnest(generate_series(0, {_SHUF_EPOCHS - 1})) AS epoch
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ntok, epoch, {h} AS h FROM e
+)
+SELECT CAST(epoch AS INT) AS epoch,
+  CAST(h % {_SHUF_SHARDS} AS INT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+  CAST(arg_min(doc_id, h) AS BIGINT) AS first_doc,
+  CAST(bit_xor(h) AS BIGINT) AS assign_sig
+FROM hashed GROUP BY 1, 2 ORDER BY epoch, shard
+"""
+
+
+# -------------------------------------------------------- w_rolling_median
+
+_MED_W = 25  # odd window -> the median is ONE element, no convention risk
+
+
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 25-tick median per event type — the robust companion to
+    w2's rolling stddev (a single outlier moves the mean arbitrarily,
+    the median not at all).  Emitted only on full windows; rolled up
+    daily (count, mean-of-medians, closing median).
+
+    Determinism: the window is ODD-sized, so the median is one exact
+    DECIMAL element of the sorted 25-frame — no interpolation, no
+    lower/upper-median convention to disagree on; the daily mean
+    re-folds exact micro integers.
+
+    Scale shape: one per-type window sort (the family's shared
+    exchange); the collect_list is 25 decimals per row, in-stage; the
+    daily agg is map-side combined."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_W - 1), 0)
+    )
+    wr = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    px = F.col("value").cast("decimal(18,6)")
+    med = F.element_at(
+        F.sort_array(F.collect_list(F.col("px")).over(w)), (_MED_W + 1) // 2
+    )
+    base = (
+        t["events"]
+        .select("event_type", "ts", "event_id", px.alias("px"))
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("med", med)
+        .where(F.col("rn") >= _MED_W)
+    )
+    mu = (F.col("med") * F.lit(1_000_000)).cast("long")
+    daily = (
+        base.withColumn("mu", mu)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("mu").alias("su"),
+            F.max_by("mu", F.struct("ts", "event_id")).alias("lu"),
+        )
+    )
+    mean_u = F.call_function(
+        "div",
+        F.lit(2) * F.col("su") + F.col("n_windows"),
+        F.lit(2) * F.col("n_windows"),
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        (mean_u / F.lit(1_000_000.0)).alias("mean_median"),
+        (F.col("lu") / F.lit(1_000_000.0)).alias("close_median"),
+    ).orderBy("event_type", "day")
+
+
+W_ROLLING_MEDIAN_SQL = f"""
+WITH base AS (
+  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS px
+  FROM events
+), framed AS (
+  SELECT event_type, ts, event_id,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+      AS rn,
+    list_sort(list(px) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN {_MED_W - 1} PRECEDING AND CURRENT ROW
+    ))[{(_MED_W + 1) // 2}] AS med
+  FROM base
+), full_w AS (
+  SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day,
+    CAST(med * 1000000 AS BIGINT) AS mu
+  FROM framed WHERE rn >= {_MED_W}
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC
+  ) AS lrn
+  FROM full_w
+), daily AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_windows,
+    CAST(SUM(mu) AS BIGINT) AS su,
+    CAST(MAX(CASE WHEN lrn = 1 THEN mu END) AS BIGINT) AS lu
+  FROM ranked GROUP BY 1, 2
+)
+SELECT event_type, day, n_windows,
+  ((2 * su + n_windows) // (2 * n_windows)) / 1000000.0 AS mean_median,
+  lu / 1000000.0 AS close_median
+FROM daily ORDER BY event_type, day
+"""
+
+
+# ----------------------------------------------------------- mm_scene_cut
+
+_SCENE_THRESH = 64
+_SCENE_FRAMES = 16
+
+
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot/scene-cut detection for the video modality: per-frame mean
+    luma via the Arrow-batched mapInPandas extractor
+    (operators.multimodal.frame_luma_series — deterministic fake
+    codec, clearly marked; the Spark plumbing is the real artifact),
+    a cut wherever |Δluma| > 64 between consecutive frames, then the
+    corpus-level census: videos per cut count with the mean first-cut
+    position — the stats a video-curation pass ranks footage by.
+
+    Scale shape: payloads never leave the decode stage (only
+    16 (id, idx, luma) triples per video); the lag is a per-video
+    window; the census is a ≤16-row agg."""
+    from kp_crypto_market_analytics_spark.operators.multimodal import (
+        frame_luma_series,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    videos = ensure_parallelism(t["documents"]).where(
+        F.col("doc_id") % 3 == 2
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.repeat(F.md5("text"), 5), "UTF-8").alias("payload"),
+    )
+    frames = frame_luma_series(videos, fake=True, n_frames=_SCENE_FRAMES)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    cuts = (
+        frames.withColumn("prev", F.lag("luma").over(w))
+        .withColumn(
+            "is_cut",
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.abs(F.col("luma") - F.col("prev")) > _SCENE_THRESH),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    per_media = cuts.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("is_cut").alias("n_cuts"),
+        F.min(
+            F.when(F.col("is_cut") == 1, F.col("frame_idx"))
+        ).alias("first_cut"),
+    )
+    census = per_media.groupBy("n_cuts").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum(F.when(F.col("first_cut").isNotNull(), F.lit(1)).otherwise(F.lit(0))).alias("n_with_cut"),
+        F.sum(F.coalesce("first_cut", F.lit(0))).alias("sf"),
+    )
+    mean_first = F.when(
+        F.col("n_with_cut") > 0,
+        F.call_function(
+            "div",
+            F.lit(2) * F.col("sf") * F.lit(1_000_000) + F.col("n_with_cut"),
+            F.lit(2) * F.col("n_with_cut"),
+        )
+        / F.lit(1_000_000.0),
+    )
+    return census.select(
+        F.col("n_cuts").cast("long").alias("n_cuts"),
+        F.col("n_videos").cast("long").alias("n_videos"),
+        F.col("n_with_cut").cast("long").alias("n_with_cut"),
+        mean_first.alias("mean_first_cut"),
+    ).orderBy("n_cuts")
+
+
+def _mm_scene_cut_sql() -> str:
+    # fake codec replay: luma_i = (131*b[4i] + b[4i+1]) % 256 over the
+    # 160-ASCII payload (5 x md5 hex), frames i = 0..15
+    return f"""
+WITH videos AS (
+  SELECT doc_id AS media_id, repeat(md5(text), 5) AS p
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT media_id, i AS frame_idx,
+    (131 * ascii(substr(p, 4 * i + 1, 1))
+      + ascii(substr(p, 4 * i + 2, 1))) % 256 AS luma
+  FROM (SELECT media_id, p, unnest(generate_series(0, {_SCENE_FRAMES - 1}))
+          AS i FROM videos)
+), cuts AS (
+  SELECT media_id, frame_idx, luma,
+    lag(luma) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+  FROM frames
+), flagged AS (
+  SELECT media_id, frame_idx,
+    CASE WHEN prev IS NOT NULL AND abs(luma - prev) > {_SCENE_THRESH}
+      THEN 1 ELSE 0 END AS is_cut
+  FROM cuts
+), per_media AS (
+  SELECT media_id, COUNT(*) AS n_frames, SUM(is_cut) AS n_cuts,
+    MIN(CASE WHEN is_cut = 1 THEN frame_idx END) AS first_cut
+  FROM flagged GROUP BY 1
+), census AS (
+  SELECT n_cuts, CAST(COUNT(*) AS BIGINT) AS n_videos,
+    CAST(SUM(CASE WHEN first_cut IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_with_cut,
+    CAST(SUM(coalesce(first_cut, 0)) AS BIGINT) AS sf
+  FROM per_media GROUP BY 1
+)
+SELECT CAST(n_cuts AS BIGINT) AS n_cuts, n_videos, n_with_cut,
+  CASE WHEN n_with_cut > 0 THEN
+    ((2 * sf * 1000000 + n_with_cut) // (2 * n_with_cut)) / 1000000.0
+  END AS mean_first_cut
+FROM census ORDER BY n_cuts
+"""
+
+
+R7_QUERIES.update(
+    {
+        "a_bootstrap_ci": a_bootstrap_ci,
+        "t_epoch_shuffle": t_epoch_shuffle,
+        "w_rolling_median": w_rolling_median,
+        "mm_scene_cut": mm_scene_cut,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "a_bootstrap_ci": _a_bootstrap_ci_sql,
+        "t_epoch_shuffle": _t_epoch_shuffle_sql,
+        "w_rolling_median": lambda: W_ROLLING_MEDIAN_SQL,
+        "mm_scene_cut": _mm_scene_cut_sql,
+    }
+)

@@ -343,3 +343,91 @@ def test_ngram_novelty_bounds(spark):
     for r in rows:
         assert 0 <= r["mean_novelty_ppm"] <= 1_000_000
         assert 0 <= r["n_owned"] <= r["n_shingles"]
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    """The percentile CI must bracket the point mean, be ordered, and
+    keep all 100 replicates (Poisson weights can't empty a 1.4k-row
+    resample)."""
+    from kp_crypto_market_analytics_spark.queries_r7 import a_bootstrap_ci
+
+    r = a_bootstrap_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_replicates"] == 100
+    assert r["boot_lo"] < r["mean_rev"] < r["boot_hi"]
+    # CI half-width sanity: within 50% of the mean for this n
+    assert (r["boot_hi"] - r["boot_lo"]) < r["mean_rev"]
+
+
+def test_epoch_shuffle_redeal_and_balance(spark):
+    """Each epoch must cover every document exactly once, shards must
+    be roughly balanced, and consecutive epochs must deal DIFFERENT
+    assignments (different sigs)."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        t_epoch_shuffle,
+    )
+
+    rows = t_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    totals = {e: sum(r["n_docs"] for r in rs) for e, rs in by_epoch.items()}
+    assert totals[0] == totals[1]  # same corpus every epoch
+    sig = {e: sorted(r["assign_sig"] for r in rs) for e, rs in by_epoch.items()}
+    assert sig[0] != sig[1]  # the permutation actually changed
+    for e, rs in by_epoch.items():
+        ns = [r["n_docs"] for r in rs]
+        assert max(ns) <= 3 * max(1, min(ns))  # crude balance bound
+
+
+def test_rolling_median_robust_to_outliers(spark):
+    """The rolling median must equal the brute-force median of the
+    last 25 values for a replayed event type (driver-side replay)."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        w_rolling_median,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = w_rolling_median(spark, sf).collect()
+    assert rows
+    et = rows[0]["event_type"]
+    src = (
+        load_tables(spark, sf, ["events"])["events"]
+        .where(F.col("event_type") == et)
+        .orderBy("ts", "event_id")
+        .select("ts", F.col("value").cast("decimal(18,6)").alias("v"))
+        .collect()
+    )
+    vals = [r["v"] for r in src]
+    days = [r["ts"].date() for r in src]
+    close = {}
+    for i in range(24, len(vals)):
+        med = sorted(vals[i - 24: i + 1])[12]
+        close[days[i]] = float(med)
+    got = {r["day"]: r["close_median"] for r in rows if r["event_type"] == et}
+    assert got == {d: close[d] for d in got}
+
+
+def test_scene_cut_census_consistent(spark):
+    """Scene-cut census totals must equal the video count, cut counts
+    stay within frame bounds, and mean first-cut positions lie in
+    [1, 15]."""
+    from kp_crypto_market_analytics_spark.queries_r7 import mm_scene_cut
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = mm_scene_cut(spark, sf).collect()
+    n_videos = (
+        load_tables(spark, sf, ["documents"])["documents"]
+        .where(F.col("doc_id") % 3 == 2)
+        .count()
+    )
+    assert sum(r["n_videos"] for r in rows) == n_videos
+    for r in rows:
+        assert 0 <= r["n_cuts"] <= 15
+        if r["n_cuts"] == 0:
+            assert r["n_with_cut"] == 0 and r["mean_first_cut"] is None
+        else:
+            assert r["n_with_cut"] == r["n_videos"]
+            assert 1.0 <= r["mean_first_cut"] <= 15.0
