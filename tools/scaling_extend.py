@@ -41,26 +41,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_DIR = "/root/repo/testdata_synth/sf0.4"
-DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r06.json"
+DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r07.json"
 SRC = "/root/testdata/sf0.1"
 COPIES = 4
 DATA_RATIO = float(COPIES)
 MIN_HI_SEC = 2.0
 FLAG_FACTOR = 1.5
 
-# Worst 0.01→0.1 growth ratios from SCALING_CURVE_r05.json that touch
-# only the synthesizable tables (documents / embeddings / events).
+# Round 7 (VERDICT r6 ask #5): the CURRENT slowest benched queries
+# (BENCH_HISTORY r6 final sweep) restricted to the synthesizable
+# tables, plus dedup_incremental (named in the ask).  Excluded with
+# reasons: a_ddsketch_stream_parity (orders), p_pruning_sim
+# (lineitem), g_triangle_count (lineitem) — TPC-H FK-consistent
+# synthesis belongs to the driver's generator, not this tool.
 WORST_QUERIES = [
-    "sim_neardup_pairs",      # 3.96x
-    "t_fingerprint_winnow",   # 3.28x
-    "dedup_minhash_lsh",      # 2.93x
-    "f2_heuristic_time_parse",  # 2.63x
-    "sim_neardup_lsh",        # 2.61x
-    "dedup_minhash_sig",      # 2.43x
-    "t_source_overlap",       # 2.21x
-    "dedup_lsh_recall",       # 2.14x
-    "w_sessionize",           # 2.08x
-    "e3_anomaly_pipeline",    # 2.07x
+    "t_mg_stream_parity",        # 5.9s, documents
+    "a_hll_stream_parity",       # 4.4s, events
+    "dedup_semantic",            # 4.1s, embeddings
+    "dedup_clusters",            # 3.9s, documents
+    "t_countmin_stream_parity",  # 3.6s, documents
+    "sim_pq_rerank",             # 3.2s, embeddings
+    "dedup_minhash_sig",         # 2.6s, documents
+    "sim_pq_topk",               # 2.6s, embeddings
+    "dedup_containment",         # 2.5s, documents
+    "dedup_simhash",             # 2.3s, documents
+    "dedup_incremental",         # named in VERDICT r6 ask #5
 ]
 
 ID_STRIDE = 100_000_000
