@@ -106,6 +106,8 @@ _FIRST_SEEN_ROUND.update(
         "w_ewma_truncated", "t_ngram_novelty", "a_open_orders_sweep",
         "g_hits", "a_bootstrap_ci", "t_epoch_shuffle",
         "w_rolling_median", "mm_scene_cut",
+        "a_chi_square", "a_welch_ttest", "ti_sharpe", "ti_amihud",
+        "dq_outlier_iqr",
     )}
 )
 

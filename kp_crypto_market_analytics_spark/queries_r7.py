@@ -1452,3 +1452,540 @@ _R7_ORACLES_B2.update(
         "mm_scene_cut": _mm_scene_cut_sql,
     }
 )
+
+
+# ---------------------------------------------------------- a_chi_square
+#
+# Round-7 batch 4: classical statistics the reference's pandas layer
+# would reach for next (`src/analytics/binance_analysis.py` stops at
+# describe()/corr()) — chi-square independence, Welch's t-test,
+# Sharpe/Sortino, Amihud illiquidity, IQR outlier fences.  Every
+# floating intermediate is either an exact integer/DECIMAL fold or the
+# SAME IEEE expression text in both engines, with micro-rounded folds
+# wherever a sum's addition order could differ.
+
+
+def a_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event_type × weekday
+    contingency table (Pearson 1900, public), plus Cramér's V effect
+    size — "is activity mix independent of the day of week?", the
+    categorical counterpart of a5_dow_profile.
+
+    Determinism: cell/row/column totals are exact integers; each
+    cell's (o−e)²/e term is the identical IEEE chain in both engines
+    (integers cast to double, one division), then micro-rounded to
+    BIGINT so the Σ over cells is an exact integer fold — the ~35-cell
+    sum would otherwise be addition-order-dependent.
+
+    Scale shape: three map-side-combined aggs (cells, row totals,
+    column totals) with the |types|- and |days|-row totals broadcast
+    back onto the cell frame; nothing beyond the cell grain ever
+    shuffles.  At 100 TB the cell frame is |types|×7 rows."""
+    t = load_tables(spark, sf_dir, ["events"])
+    cells = (
+        t["events"]
+        .groupBy("event_type", F.dayofweek("ts").cast("int").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    g = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    o_d = F.col("o").cast("double")
+    term_u = F.round(
+        (o_d - e) * (o_d - e) / e * F.lit(1_000_000.0), 0
+    ).cast("long")
+    j = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select("event_type", "dow", "n", term_u.alias("tu"))
+    )
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+        F.sum("tu").alias("chi2_u"),
+    )
+    chi2 = F.col("chi2_u") / F.lit(1_000_000.0)
+    kmin = F.least(F.col("r") - 1, F.col("c") - 1)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        (
+            F.round(F.sqrt(chi2 / (F.col("n") * kmin)), 6) + F.lit(0.0)
+        ).alias("cramers_v"),
+    )
+
+
+A_CHI_SQUARE_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+    COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+g AS (SELECT SUM(o) AS n FROM cells),
+j AS (
+  SELECT c.event_type, c.dow, g.n,
+    CAST(round(
+      (CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
+        / CAST(g.n AS DOUBLE))
+      * (CAST(c.o AS DOUBLE) - CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
+        / CAST(g.n AS DOUBLE))
+      / (CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE) / CAST(g.n AS DOUBLE))
+      * 1000000.0, 0) AS BIGINT) AS tu
+  FROM cells c JOIN rt r USING (event_type) JOIN ct t USING (dow)
+  CROSS JOIN g
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+  CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1)
+    AS BIGINT) AS dof,
+  round(CAST(SUM(tu) AS BIGINT) / 1000000.0, 6) + 0.0 AS chi2,
+  round(sqrt((CAST(SUM(tu) AS BIGINT) / 1000000.0)
+    / (MAX(n) * least(COUNT(DISTINCT event_type) - 1,
+                      COUNT(DISTINCT dow) - 1))), 6) + 0.0 AS cramers_v
+FROM j
+"""
+
+
+# --------------------------------------------------------- a_welch_ttest
+
+
+def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type: weekend vs
+    weekday values (Welch 1947, public) with the Welch–Satterthwaite
+    degrees of freedom — "does this event type behave differently on
+    weekends?", the two-sample counterpart of dq_ks_test.
+
+    Determinism: per-arm moments are exact DECIMAL(18,6) sums (the
+    exact_stddev_samp recipe); the t statistic and dof are then one
+    identical IEEE chain over those exact moments in both engines.
+    Displayed means use the exact micro division (round_mean_micro) so
+    the mean-shaped outputs dodge the structural .5e-6 tie.
+
+    Scale shape: ONE map-side-combined groupBy(event_type) computes
+    all six moments; no joins, no windows — |types| rows out."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value").cast("decimal(18,6)")
+    wknd = F.dayofweek("ts").isin(1, 7)
+    g = t["events"].groupBy("event_type").agg(
+        F.sum(F.when(wknd, v)).alias("sa"),
+        F.sum(F.when(wknd, v * v)).alias("qa"),
+        F.count(F.when(wknd, F.lit(1))).alias("na"),
+        F.sum(F.when(~wknd, v)).alias("sb"),
+        F.sum(F.when(~wknd, v * v)).alias("qb"),
+        F.count(F.when(~wknd, F.lit(1))).alias("nb"),
+    )
+    sa, qa, na = F.col("sa").cast("double"), F.col("qa").cast("double"), F.col("na")
+    sb, qb, nb = F.col("sb").cast("double"), F.col("qb").cast("double"), F.col("nb")
+    va = (qa - sa * sa / na) / (na - F.lit(1))
+    vb = (qb - sb * sb / nb) / (nb - F.lit(1))
+    aa = va / na
+    bb = vb / nb
+    ok = (na > 1) & (nb > 1) & (aa + bb > 0)
+    tstat = (sa / na - sb / nb) / F.sqrt(aa + bb)
+    dof = (aa + bb) * (aa + bb) / (
+        aa * aa / (na - F.lit(1)) + bb * bb / (nb - F.lit(1))
+    )
+    return g.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_wknd"),
+        F.col("nb").cast("long").alias("n_wkday"),
+        F.when(na > 0, round_mean_micro(F.col("sa"), na)).alias("mean_wknd"),
+        F.when(nb > 0, round_mean_micro(F.col("sb"), nb)).alias("mean_wkday"),
+        F.when(ok, F.round(tstat, 6) + F.lit(0.0)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6) + F.lit(0.0)).alias("welch_dof"),
+    ).orderBy("event_type")
+
+
+def _a_welch_ttest_sql() -> str:
+    mean_a = sql_round_mean_micro("sa", "na")
+    mean_b = sql_round_mean_micro("sb", "nb")
+    va = "((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1))"
+    vb = "((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1))"
+    aa = f"({va} / na)"
+    bb = f"({vb} / nb)"
+    ok = f"(na > 1 AND nb > 1 AND {aa} + {bb} > 0)"
+    tstat = (
+        f"(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        f" / sqrt({aa} + {bb})"
+    )
+    dof = (
+        f"({aa} + {bb}) * ({aa} + {bb})"
+        f" / ({aa} * {aa} / (na - 1) + {bb} * {bb} / (nb - 1))"
+    )
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) END) AS sa,
+    SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      END) AS qa,
+    COUNT(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 END) AS na,
+    SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) END) AS sb,
+    SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      END) AS qb,
+    COUNT(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 END) AS nb
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+  CAST(na AS BIGINT) AS n_wknd,
+  CAST(nb AS BIGINT) AS n_wkday,
+  CASE WHEN na > 0 THEN {mean_a} END AS mean_wknd,
+  CASE WHEN nb > 0 THEN {mean_b} END AS mean_wkday,
+  CASE WHEN {ok} THEN round({tstat}, 6) + 0.0 END AS t_stat,
+  CASE WHEN {ok} THEN round({dof}, 6) + 0.0 END AS welch_dof
+FROM g ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------- ti_sharpe
+
+_ANN_DAYS = 365.0  # crypto trades every day — 365 periods/year
+
+
+def _daily_closes(events: DataFrame) -> DataFrame:
+    """(event_type, day, close): last positive tick of each day under
+    the family's total order (ts, event_id) — the per-day window is
+    bounded by ticks/day, never corpus-sized."""
+    w_day = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.where(F.col("value") > 0)
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(w_day))
+        .where(F.col("rn") == 1)
+        .select("event_type", "day", F.col("value").alias("close"))
+    )
+
+
+_CLOSES_SQL = """
+  SELECT event_type, day, value AS close FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day, value,
+      row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE value > 0
+  ) WHERE rn = 1
+"""
+
+
+def ti_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios per symbol from daily
+    close-to-close log returns (Sharpe 1966 / Sortino & Price 1994,
+    public; rf = 0 as is conventional for crypto) — the risk-adjusted
+    return summary every strategy report leads with, downstream of
+    the same tick→daily-close series ti_* shares.
+
+    Determinism: each daily return folds as nano-unit (1e-9) BIGINT
+    and its square / downside square as pico-unit (1e-12) BIGINT —
+    exact integer sums regardless of addition order; the final
+    mean/σ/√365 chain is one identical IEEE expression over those
+    exact integers.  Downside deviation uses the same n−1 normalizer
+    as σ so the two ratios are comparable.
+
+    Scale shape: per-day close extraction is a day-bounded window;
+    the day-over-day lag window holds |days| rows per symbol (calendar
+    -bounded); one map-side-combined agg emits |symbols| rows."""
+    t = load_tables(spark, sf_dir, ["events"])
+    closes = _daily_closes(t["events"])
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = closes.withColumn(
+        "r", F.log(F.col("close") / F.lag("close").over(w))
+    ).where(F.col("r").isNotNull())
+    ru = F.round(F.col("r") * F.lit(1e9), 0).cast("long")
+    r2u = F.round(F.col("r") * F.col("r") * F.lit(1e12), 0).cast("long")
+    d2u = F.when(F.col("r") < 0, r2u).otherwise(F.lit(0))
+    agg = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ru).alias("sr"),
+        F.sum(r2u).alias("sr2"),
+        F.sum(d2u).alias("sd2"),
+    )
+    n = F.col("n")
+    mean = (F.col("sr") / F.lit(1e9)) / n
+    var = (
+        F.col("sr2") / F.lit(1e12)
+        - (F.col("sr") / F.lit(1e9)) * (F.col("sr") / F.lit(1e9)) / n
+    ) / (n - F.lit(1))
+    ddev2 = (F.col("sd2") / F.lit(1e12)) / (n - F.lit(1))
+    ann = F.sqrt(F.lit(_ANN_DAYS))
+    return agg.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.when(
+            (n > 1) & (var > 0),
+            F.round(mean / F.sqrt(var) * ann, 6) + F.lit(0.0),
+        ).alias("sharpe"),
+        F.when(
+            (n > 1) & (F.col("sd2") > 0),
+            F.round(mean / F.sqrt(ddev2) * ann, 6) + F.lit(0.0),
+        ).alias("sortino"),
+    ).orderBy("event_type")
+
+
+TI_SHARPE_SQL = f"""
+WITH closes AS ({_CLOSES_SQL}),
+rets AS (
+  SELECT event_type,
+    ln(close / lag(close) OVER (PARTITION BY event_type ORDER BY day))
+      AS r
+  FROM closes
+), u AS (
+  SELECT event_type,
+    CAST(round(r * 1000000000.0, 0) AS BIGINT) AS ru,
+    CAST(round(r * r * 1000000000000.0, 0) AS BIGINT) AS r2u,
+    CASE WHEN r < 0
+      THEN CAST(round(r * r * 1000000000000.0, 0) AS BIGINT)
+      ELSE 0 END AS d2u
+  FROM rets WHERE r IS NOT NULL
+), agg AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(ru) AS BIGINT) AS sr,
+    CAST(SUM(r2u) AS BIGINT) AS sr2, CAST(SUM(d2u) AS BIGINT) AS sd2
+  FROM u GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 1 AND (sr2 / 1000000000000.0
+      - (sr / 1000000000.0) * (sr / 1000000000.0) / n) / (n - 1) > 0
+    THEN round(((sr / 1000000000.0) / n)
+      / sqrt((sr2 / 1000000000000.0
+        - (sr / 1000000000.0) * (sr / 1000000000.0) / n) / (n - 1))
+      * sqrt({_ANN_DAYS!r}), 6) + 0.0 END AS sharpe,
+  CASE WHEN n > 1 AND sd2 > 0
+    THEN round(((sr / 1000000000.0) / n)
+      / sqrt((sd2 / 1000000000000.0) / (n - 1))
+      * sqrt({_ANN_DAYS!r}), 6) + 0.0 END AS sortino
+FROM agg ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------- ti_amihud
+
+
+def ti_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002, public) illiquidity per symbol: the mean over
+    days of |daily log return| / daily notional, scaled ×1e9 (price
+    impact per billion notional) — the standard cross-sectional
+    liquidity measure, pairing ti_vwap's volume lens with ti_sharpe's
+    return lens.
+
+    Determinism: daily notional folds as exact cent×volume BIGINTs
+    (price to cents, k volume from props — the ti_vwap parse); the
+    per-day ratio is one identical IEEE chain over exact integers,
+    micro-rounded, and the cross-day mean is an exact half-away
+    integer division.
+
+    Scale shape: same day-bounded close window + calendar-bounded lag
+    as ti_sharpe; notional is a (symbol, day) map-side agg; the join
+    is |symbol-days| × |symbol-days| on key equality — broadcastable
+    at any horizon."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    k = F.replace(
+        F.replace(F.col("props"), F.lit('{"k": '), F.lit("")),
+        F.lit("}"),
+        F.lit(""),
+    ).try_cast("long")
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
+    notional = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (cents * F.coalesce(k, F.lit(0))).alias("cv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cv").alias("not_u"))
+        .where(F.col("not_u") > 0)
+    )
+    closes = _daily_closes(e)
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = closes.withColumn(
+        "r", F.log(F.col("close") / F.lag("close").over(w))
+    ).where(F.col("r").isNotNull())
+    ratio = (
+        F.abs(F.col("r"))
+        / (F.col("not_u") / F.lit(100.0))
+        * F.lit(1e9)
+    )
+    daily = rets.join(notional, ["event_type", "day"]).select(
+        "event_type",
+        F.round(ratio * F.lit(1e6), 0).cast("long").alias("iu"),
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("iu").alias("si")
+    )
+    mean_u = F.call_function(
+        "div", F.lit(2) * F.col("si") + F.col("n"), F.lit(2) * F.col("n")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        (mean_u / F.lit(1_000_000.0)).alias("amihud_e9"),
+    ).orderBy("event_type")
+
+
+TI_AMIHUD_SQL = f"""
+WITH notional AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    SUM(CAST(round(value * 100.0, 0) AS BIGINT)
+      * coalesce(TRY_CAST(replace(replace(props, '{{"k": ', ''), '}}', '')
+          AS BIGINT), 0)) AS not_u
+  FROM events GROUP BY 1, 2 HAVING SUM(CAST(round(value * 100.0, 0)
+      AS BIGINT)
+      * coalesce(TRY_CAST(replace(replace(props, '{{"k": ', ''), '}}', '')
+          AS BIGINT), 0)) > 0
+), closes AS ({_CLOSES_SQL}),
+rets AS (
+  SELECT event_type, day,
+    ln(close / lag(close) OVER (PARTITION BY event_type ORDER BY day))
+      AS r
+  FROM closes
+), daily AS (
+  SELECT r.event_type,
+    CAST(round(abs(r.r) / (n.not_u / 100.0) * 1000000000.0 * 1000000.0,
+      0) AS BIGINT) AS iu
+  FROM rets r JOIN notional n USING (event_type, day)
+  WHERE r.r IS NOT NULL
+), agg AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(iu) AS BIGINT) AS si
+  FROM daily GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  ((2 * si + n) // (2 * n)) / 1000000.0 AS amihud_e9
+FROM agg ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------- dq_outlier_iqr
+
+
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey (1977, public) IQR outlier fences per event type: Q1/Q3
+    as DISCRETE order statistics (the value at 1-based rank ⌈n/4⌉ /
+    ⌈3n/4⌉ — integer ranks, so both engines pick the SAME element and
+    no interpolation convention can disagree), fences at 1.5×IQR, and
+    the outlier census with an exact ppm share — the data-quality twin
+    of a_grouped_quantiles' continuous percentiles.
+
+    Determinism: rank positions are pure integer arithmetic; fence
+    bounds are one identical IEEE chain over raw data values; the ppm
+    share is an exact half-away integer division.
+
+    Scale shape: the per-type rank window is group-linear — the exact
+    path here is the fence-parity artifact; at 100 TB swap the rank
+    for the percentile sketch (a_grouped_quantiles'
+    APPROX_QUANTILES_CONF) and keep the census unchanged.  The census
+    itself is one broadcast of |types| fence rows onto a
+    map-side-combined agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select("event_type", "value", "event_id")
+    cnt = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    k1 = F.call_function("div", F.col("n") + 3, F.lit(4))
+    k3 = F.call_function("div", F.lit(3) * F.col("n") + 3, F.lit(4))
+    ranked = (
+        e.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(cnt), "event_type")
+        .where((F.col("rn") == k1) | (F.col("rn") == k3))
+    )
+    fences = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == k1, F.col("value"))).alias("q1"),
+        F.min(F.when(F.col("rn") == k3, F.col("value"))).alias("q3"),
+    )
+    lo = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    cens = (
+        e.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+            F.count(F.when(F.col("value") < lo, F.lit(1))).alias("n_low"),
+            F.count(F.when(F.col("value") > hi, F.lit(1))).alias("n_high"),
+        )
+    )
+    ppm = F.call_function(
+        "div",
+        F.lit(2)
+        * (F.col("n_low") + F.col("n_high"))
+        * F.lit(1_000_000)
+        + F.col("n_rows"),
+        F.lit(2) * F.col("n_rows"),
+    )
+    return cens.select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.col("n_low").cast("long").alias("n_low"),
+        F.col("n_high").cast("long").alias("n_high"),
+        ppm.cast("long").alias("out_ppm"),
+    ).orderBy("event_type")
+
+
+DQ_OUTLIER_IQR_SQL = """
+WITH cnt AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+ranked AS (
+  SELECT e.event_type, e.value, c.n,
+    row_number() OVER (PARTITION BY e.event_type
+      ORDER BY e.value, e.event_id) AS rn
+  FROM events e JOIN cnt c USING (event_type)
+), fences AS (
+  SELECT event_type,
+    MIN(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+    MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+  FROM ranked WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+  GROUP BY 1
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  round(MIN(f.q1), 6) AS q1,
+  round(MIN(f.q3), 6) AS q3,
+  CAST(COUNT(CASE WHEN e.value
+    < f.q1 - 1.5 * (f.q3 - f.q1) THEN 1 END) AS BIGINT) AS n_low,
+  CAST(COUNT(CASE WHEN e.value
+    > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 END) AS BIGINT) AS n_high,
+  CAST((2 * (COUNT(CASE WHEN e.value
+      < f.q1 - 1.5 * (f.q3 - f.q1) THEN 1 END)
+    + COUNT(CASE WHEN e.value
+      > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 END)) * 1000000 + COUNT(*))
+    // (2 * COUNT(*)) AS BIGINT) AS out_ppm
+FROM events e JOIN fences f USING (event_type)
+GROUP BY 1 ORDER BY event_type
+"""
+
+
+R7_QUERIES.update(
+    {
+        "a_chi_square": a_chi_square,
+        "a_welch_ttest": a_welch_ttest,
+        "ti_sharpe": ti_sharpe,
+        "ti_amihud": ti_amihud,
+        "dq_outlier_iqr": dq_outlier_iqr,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "a_chi_square": lambda: A_CHI_SQUARE_SQL,
+        "a_welch_ttest": _a_welch_ttest_sql,
+        "ti_sharpe": lambda: TI_SHARPE_SQL,
+        "ti_amihud": lambda: TI_AMIHUD_SQL,
+        "dq_outlier_iqr": lambda: DQ_OUTLIER_IQR_SQL,
+    }
+)

@@ -431,3 +431,113 @@ def test_scene_cut_census_consistent(spark):
         else:
             assert r["n_with_cut"] == r["n_videos"]
             assert 1.0 <= r["mean_first_cut"] <= 15.0
+
+
+def _events_pdf():
+    import duckdb
+
+    return duckdb.sql(
+        "SELECT event_id, ts, event_type, value, props"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).df()
+
+
+def test_chi_square_dof_and_effect_size(spark):
+    """dof must equal (r-1)(c-1) of the observed table; chi2 >= 0 and
+    Cramér's V in [0, 1]; n equals the event count."""
+    from kp_crypto_market_analytics_spark.queries_r7 import a_chi_square
+
+    pdf = _events_pdf()
+    r = a_chi_square(spark, SF_DIR).collect()[0]
+    n_types = pdf["event_type"].nunique()
+    n_dows = pdf["ts"].dt.dayofweek.nunique()
+    assert r["n"] == len(pdf)
+    assert r["dof"] == (n_types - 1) * (n_dows - 1)
+    assert r["chi2"] >= 0.0
+    assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+def test_welch_ttest_matches_scipy_shape(spark):
+    """Arm counts partition each type's rows; the t statistic matches
+    a pandas recomputation from the same exact moments (sign included)."""
+    from kp_crypto_market_analytics_spark.queries_r7 import a_welch_ttest
+
+    pdf = _events_pdf()
+    # Python weekday(): Mon=0..Sun=6 -> weekend is {5, 6}
+    pdf["wknd"] = pdf["ts"].dt.dayofweek.isin([5, 6])
+    rows = {r["event_type"]: r for r in a_welch_ttest(spark, SF_DIR).collect()}
+    assert set(rows) == set(pdf["event_type"].unique())
+    for et, grp in pdf.groupby("event_type"):
+        r = rows[et]
+        a, b = grp[grp["wknd"]]["value"], grp[~grp["wknd"]]["value"]
+        assert r["n_wknd"] == len(a) and r["n_wkday"] == len(b)
+        if len(a) > 1 and len(b) > 1:
+            se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+            want = (a.mean() - b.mean()) / se**0.5
+            assert abs(r["t_stat"] - want) < 1e-4
+
+
+def test_sharpe_matches_pandas_daily_recompute(spark):
+    """Sharpe/Sortino must match a pandas recomputation of daily
+    close-to-close log returns (same last-tick-of-day convention)."""
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_r7 import ti_sharpe
+
+    pdf = _events_pdf()
+    pdf = pdf[pdf["value"] > 0].sort_values(["ts", "event_id"])
+    rows = {r["event_type"]: r for r in ti_sharpe(spark, SF_DIR).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        closes = grp.groupby(grp["ts"].dt.date)["value"].last()
+        r = np.log(closes / closes.shift(1)).dropna()
+        if len(r) <= 1:
+            continue
+        got = rows[et]
+        assert got["n_days"] == len(r)
+        if r.std(ddof=1) > 0:
+            want = r.mean() / r.std(ddof=1) * np.sqrt(365.0)
+            assert abs(got["sharpe"] - want) < 1e-3
+        dn = r[r < 0]
+        if len(dn):
+            ddev = np.sqrt((dn**2).sum() / (len(r) - 1))
+            want_s = r.mean() / ddev * np.sqrt(365.0)
+            assert abs(got["sortino"] - want_s) < 1e-3
+
+
+def test_amihud_positive_and_day_bounded(spark):
+    """Illiquidity is non-negative and each type's day count is at
+    most its return-day count (join can only drop zero-notional days)."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        ti_amihud,
+        ti_sharpe,
+    )
+
+    am = {r["event_type"]: r for r in ti_amihud(spark, SF_DIR).collect()}
+    sh = {r["event_type"]: r for r in ti_sharpe(spark, SF_DIR).collect()}
+    assert am
+    for et, r in am.items():
+        assert r["amihud_e9"] >= 0.0
+        assert r["n_days"] <= sh[et]["n_days"]
+
+
+def test_outlier_iqr_fences_match_pandas(spark):
+    """Q1/Q3 are the discrete rank-ceil order statistics; the census
+    matches a pandas recount with the same fences."""
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r7 import dq_outlier_iqr
+
+    pdf = _events_pdf()
+    rows = {r["event_type"]: r for r in dq_outlier_iqr(spark, SF_DIR).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        v = grp["value"].sort_values().to_numpy()
+        n = len(v)
+        q1 = v[math.ceil(n / 4) - 1]
+        q3 = v[math.ceil(3 * n / 4) - 1]
+        r = rows[et]
+        assert r["n_rows"] == n
+        assert abs(r["q1"] - q1) < 1e-6 and abs(r["q3"] - q3) < 1e-6
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        assert r["n_low"] == int((v < lo).sum())
+        assert r["n_high"] == int((v > hi).sum())
+        assert r["q1"] <= r["q3"]
