@@ -108,6 +108,7 @@ _FIRST_SEEN_ROUND.update(
         "w_rolling_median", "mm_scene_cut",
         "a_chi_square", "a_welch_ttest", "ti_sharpe", "ti_amihud",
         "dq_outlier_iqr",
+        "a_anova_f", "w_theil_sen", "t_quality_logreg", "t_rouge_eval",
     )}
 )
 

@@ -1989,3 +1989,520 @@ _R7_ORACLES_B2.update(
         "dq_outlier_iqr": lambda: DQ_OUTLIER_IQR_SQL,
     }
 )
+
+
+# ------------------------------------------------------------- a_anova_f
+#
+# Round-7 batch 5: one-way ANOVA, Theil–Sen robust trend, a
+# fixed-weight logistic quality filter (model-inference shape), and
+# ROUGE-1/2 summarization eval.
+
+
+def a_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types (Fisher 1925, public): F
+    statistic for "do the type means differ?" plus the eta² effect
+    size — the k-sample generalization of a_welch_ttest.
+
+    Determinism: per-type moments are exact DECIMAL(18,6) sums; each
+    type's s²/n between-group term is micro-rounded to BIGINT so the
+    Σ over types is an exact integer fold (a 5-term double sum would
+    be addition-order-dependent); the final F/eta² chain is identical
+    IEEE over those exact integers.
+
+    Scale shape: one map-side-combined groupBy(event_type), then a
+    |types|-row agg — nothing else shuffles."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value").cast("decimal(18,6)")
+    g = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(v).alias("si"),
+        F.sum(v * v).alias("qi"),
+    )
+    term_u = F.round(
+        F.col("si").cast("double")
+        * F.col("si").cast("double")
+        / F.col("ni")
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    agg = g.select("ni", "si", "qi", term_u.alias("tu")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum("tu").alias("t_u"),
+    )
+    s_d, q_d, n = F.col("s").cast("double"), F.col("q").cast("double"), F.col("n")
+    bg = F.col("t_u") / F.lit(1_000_000.0)
+    ssb = bg - s_d * s_d / n
+    ssw = q_d - bg
+    k = F.col("k")
+    fstat = (ssb / (k - F.lit(1))) / (ssw / (n - k))
+    ok = (k > 1) & (n > k) & (ssw > 0)
+    return agg.select(
+        k.cast("long").alias("k_groups"),
+        n.cast("long").alias("n"),
+        F.when(ok, F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
+        F.when(
+            ssb + ssw > 0, F.round(ssb / (ssb + ssw), 6) + F.lit(0.0)
+        ).alias("eta_sq"),
+    )
+
+
+A_ANOVA_F_SQL = """
+WITH g AS (
+  SELECT event_type, COUNT(*) AS ni,
+    SUM(CAST(value AS DECIMAL(18,6))) AS si,
+    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+      AS qi
+  FROM events GROUP BY 1
+), a AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+    SUM(si) AS s, SUM(qi) AS q,
+    CAST(SUM(CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni
+      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS t_u
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, n,
+  CASE WHEN k > 1 AND n > k
+      AND CAST(q AS DOUBLE) - t_u / 1000000.0 > 0
+    THEN round(((t_u / 1000000.0
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+      / ((CAST(q AS DOUBLE) - t_u / 1000000.0) / (n - k)), 6) + 0.0
+    END AS f_stat,
+  CASE WHEN (t_u / 1000000.0 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      + (CAST(q AS DOUBLE) - t_u / 1000000.0) > 0
+    THEN round((t_u / 1000000.0
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      / ((t_u / 1000000.0 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        + (CAST(q AS DOUBLE) - t_u / 1000000.0)), 6) + 0.0
+    END AS eta_sq
+FROM a
+"""
+
+
+# ------------------------------------------------------------ w_theil_sen
+
+
+def w_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per symbol (Theil 1950 / Sen 1968,
+    public): the median of all pairwise daily-close slopes — immune to
+    ~29% outliers where a_regression's OLS slope is not.
+
+    Determinism: slopes are one identical IEEE division over the same
+    close doubles and exact day gaps; the median is a DISCRETE order
+    statistic (rank ⌈m/2⌉ under a total order with the pair ids as
+    tiebreaker — no even/odd interpolation convention to disagree on).
+
+    Scale shape: the pair frame is |days|² per symbol — CALENDAR-
+    bounded (a decade is ~6.7M pairs), not data-bounded, so the
+    self-join and per-symbol rank window stay fixed-size as the tick
+    corpus grows; the day-close extraction upstream is the same
+    day-bounded window ti_sharpe uses."""
+    t = load_tables(spark, sf_dir, ["events"])
+    closes = _daily_closes(t["events"])
+    a = closes.select(
+        "event_type",
+        F.col("day").alias("d1"),
+        F.col("close").alias("c1"),
+    )
+    b = closes.select(
+        "event_type",
+        F.col("day").alias("d2"),
+        F.col("close").alias("c2"),
+    )
+    pairs = a.join(b, "event_type").where(F.col("d2") > F.col("d1"))
+    slope = (F.col("c2") - F.col("c1")) / F.datediff("d2", "d1")
+    sl = pairs.select("event_type", "d1", "d2", slope.alias("slope"))
+    cnt = sl.groupBy("event_type").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    med = (
+        sl.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(cnt), "event_type")
+        .where(
+            F.col("rn")
+            == F.call_function("div", F.col("m") + 1, F.lit(2))
+        )
+    )
+    return med.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_pairs"),
+        (F.round("slope", 6) + F.lit(0.0)).alias("theil_slope"),
+    ).orderBy("event_type")
+
+
+W_THEIL_SEN_SQL = f"""
+WITH closes AS ({_CLOSES_SQL}),
+pairs AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+    (b.close - a.close) / (b.day - a.day) AS slope
+  FROM closes a JOIN closes b USING (event_type)
+  WHERE b.day > a.day
+), ranked AS (
+  SELECT event_type, slope,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY slope, d1, d2) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+  round(slope, 6) + 0.0 AS theil_slope
+FROM ranked WHERE rn = (m + 1) // 2 ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------- t_quality_logreg
+
+# Fixed public-style quality-classifier weights (the shape of a
+# fastText/CCNet-style learned filter, frozen so inference is a pure
+# deterministic expression): z = b + w·features.
+_LR_B = -3.0
+_LR_W_LOGLEN = 0.55
+_LR_W_STOP = 6.0
+_LR_W_PUNCT = -4.0
+_LR_W_DIGIT = -5.0
+_LR_W_WLEN = 0.12
+
+
+def t_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — logistic-regression INFERENCE
+    over text features with frozen weights (the CCNet/fastText
+    quality-classifier shape: the model is trained offline; the
+    engine's job is the distributed scoring pass).  Features: log
+    token count, stopword ratio, punctuation ratio, digit ratio, mean
+    word length.  Per source: docs, kept docs (σ(z) ≥ 0.5), exact
+    keep-rate ppm, mean score.
+
+    Determinism: every feature is a ratio of exact integer counts;
+    z and σ(z) = 1/(1+e^(−z)) are the identical IEEE chain in both
+    engines; per-doc scores micro-round to BIGINT so the per-source
+    mean is an exact fold + half-away division.
+
+    Scale shape: pure codegen string expressions per row, one
+    map-side-combined groupBy(source) — embarrassingly parallel, the
+    ideal 100 TB filter pass."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        stopword_hits,
+        token_count,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = token_count("text")
+    stop = stopword_hits("text")
+    ln_len = F.length(norm)
+    no_punct = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(norm, F.lit("."), F.lit("")),
+                F.lit(","),
+                F.lit(""),
+            ),
+            F.lit("!"),
+            F.lit(""),
+        ),
+        F.lit("?"),
+        F.lit(""),
+    )
+    n_punct = ln_len - F.length(no_punct)
+    n_digit = ln_len - F.length(F.regexp_replace(norm, "[0-9]", ""))
+    n_alpha = ln_len - (toks - F.lit(1))  # chars minus separators
+    f1 = F.log(F.lit(1.0) + toks)
+    f2 = stop / toks.cast("double")
+    f3 = n_punct / ln_len.cast("double")
+    f4 = n_digit / ln_len.cast("double")
+    f5 = n_alpha / toks.cast("double")
+    z = (
+        F.lit(_LR_B)
+        + F.lit(_LR_W_LOGLEN) * f1
+        + F.lit(_LR_W_STOP) * f2
+        + F.lit(_LR_W_PUNCT) * f3
+        + F.lit(_LR_W_DIGIT) * f4
+        + F.lit(_LR_W_WLEN) * f5
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    score = F.when((toks > 0) & (ln_len > 0), p).otherwise(F.lit(0.0))
+    scored = d.select(
+        "source",
+        F.round(score * F.lit(1_000_000.0), 0).cast("long").alias("su"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("su") >= 500_000, F.lit(1))).alias("n_kept"),
+        F.sum("su").alias("ssum"),
+    )
+    ppm = F.call_function(
+        "div",
+        F.lit(2) * F.col("n_kept") * F.lit(1_000_000) + F.col("n_docs"),
+        F.lit(2) * F.col("n_docs"),
+    )
+    mean_u = F.call_function(
+        "div",
+        F.lit(2) * F.col("ssum") + F.col("n_docs"),
+        F.lit(2) * F.col("n_docs"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        ppm.cast("long").alias("keep_ppm"),
+        (mean_u / F.lit(1_000_000.0)).alias("mean_score"),
+    ).orderBy("source")
+
+
+def _t_quality_logreg_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hit_terms = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH norm AS (
+  SELECT source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+), base AS (
+  SELECT source, t, ' ' || lower(t) || ' ' AS p,
+    CASE WHEN length(t) = 0 THEN 0
+      ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+      END AS toks,
+    length(t) AS ln_len
+  FROM norm
+), feats AS (
+  SELECT source, toks, ln_len,
+    {hit_terms} AS stop,
+    ln_len - length(replace(replace(replace(replace(t, '.', ''),
+      ',', ''), '!', ''), '?', '')) AS n_punct,
+    ln_len - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+    ln_len - (toks - 1) AS n_alpha
+  FROM base
+), z AS (
+  SELECT source,
+    CASE WHEN toks > 0 AND ln_len > 0 THEN
+      1.0 / (1.0 + exp(-({_LR_B!r}
+        + {_LR_W_LOGLEN!r} * ln(1.0 + toks)
+        + {_LR_W_STOP!r} * (stop / CAST(toks AS DOUBLE))
+        + {_LR_W_PUNCT!r} * (n_punct / CAST(ln_len AS DOUBLE))
+        + {_LR_W_DIGIT!r} * (n_digit / CAST(ln_len AS DOUBLE))
+        + {_LR_W_WLEN!r} * (n_alpha / CAST(toks AS DOUBLE)))))
+      ELSE 0.0 END AS score
+  FROM feats
+), su AS (
+  SELECT source, CAST(round(score * 1000000.0, 0) AS BIGINT) AS su
+  FROM z
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(CASE WHEN su >= 500000 THEN 1 END) AS BIGINT) AS n_kept,
+  CAST((2 * COUNT(CASE WHEN su >= 500000 THEN 1 END) * 1000000
+    + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS keep_ppm,
+  CAST((2 * CAST(SUM(su) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))
+    AS BIGINT) / 1000000.0 AS mean_score
+FROM su GROUP BY 1 ORDER BY source
+"""
+
+
+# ------------------------------------------------------------ t_rouge_eval
+
+
+def t_rouge_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 F1 (Lin 2004, public) over candidate/reference
+    document pairs — the n-gram-overlap eval every summarization and
+    generation pipeline reports.  Pairs are deterministic: each doc's
+    reference is its predecessor by doc_id within the same source.
+    Per source: pair count and the mean ROUGE-1 / ROUGE-2 F1.
+
+    Determinism: clipped overlap Σ min(count_cand, count_ref) is exact
+    integer arithmetic; precision/recall/F1 are one identical IEEE
+    chain over exact integers; per-doc F1 micro-rounds to BIGINT so
+    the per-source mean is an exact fold + half-away division.
+
+    Scale shape: gram counting is explode → map-side-combined agg on
+    (doc, gram); the overlap join co-shuffles the two count streams on
+    the gram key — document payloads never move after tokenize.  The
+    pairing lag window partitions by source; at 100 TB re-key it to
+    (source, doc_id range) buckets — the pairing is order-local, so
+    range buckets preserve it."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        "doc_id", "source", F.split(_norm_text(), " ").alias("toks")
+    )
+    wp = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        d.select(
+            "source",
+            F.col("doc_id").alias("cand"),
+            F.lag("doc_id").over(wp).alias("ref"),
+        )
+        .where(F.col("ref").isNotNull())
+    )
+    uni = d.select(
+        "doc_id", F.lit(1).alias("g"), F.explode("toks").alias("gram")
+    )
+    n = F.size("toks") - 1
+    bi = (
+        d.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.lit(2).alias("g"),
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n),
+                    F.slice("toks", 2, n),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+    )
+    gc = (
+        uni.unionByName(bi)
+        .groupBy("doc_id", "g", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    glen = gc.groupBy("doc_id", "g").agg(F.sum("c").alias("glen"))
+    gcc = gc.select(
+        F.col("doc_id").alias("cand"), "g", "gram", F.col("c").alias("c1")
+    )
+    gcr = gc.select(
+        F.col("doc_id").alias("ref"), "g", "gram", F.col("c").alias("c2")
+    )
+    ov = (
+        pairs.join(gcc, "cand")
+        .join(gcr, ["ref", "g", "gram"])
+        .groupBy("source", "cand", "ref", "g")
+        .agg(F.sum(F.least("c1", "c2")).alias("ov"))
+    )
+    spine = pairs.select(
+        "source",
+        "cand",
+        "ref",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("g"),
+    )
+    lc = glen.select(
+        F.col("doc_id").alias("cand"),
+        F.col("g").alias("g"),
+        F.col("glen").alias("len_c"),
+    )
+    lr = glen.select(
+        F.col("doc_id").alias("ref"),
+        F.col("g").alias("g"),
+        F.col("glen").alias("len_r"),
+    )
+    j = (
+        spine.join(ov, ["source", "cand", "ref", "g"], "left")
+        .join(lc, ["cand", "g"], "left")
+        .join(lr, ["ref", "g"], "left")
+    )
+    o = F.coalesce(F.col("ov"), F.lit(0)).cast("double")
+    p = o / F.col("len_c")
+    r = o / F.col("len_r")
+    f1 = F.when(
+        (F.coalesce(F.col("len_c"), F.lit(0)) > 0)
+        & (F.coalesce(F.col("len_r"), F.lit(0)) > 0)
+        & (o > 0),
+        F.lit(2.0) * p * r / (p + r),
+    ).otherwise(F.lit(0.0))
+    fu = F.round(f1 * F.lit(1_000_000.0), 0).cast("long")
+    agg = j.select("source", "g", fu.alias("fu")).groupBy("source").agg(
+        F.count(F.when(F.col("g") == 1, F.lit(1))).alias("n_pairs"),
+        F.sum(F.when(F.col("g") == 1, F.col("fu"))).alias("s1"),
+        F.sum(F.when(F.col("g") == 2, F.col("fu"))).alias("s2"),
+    )
+
+    def mean6(s):
+        u = F.call_function(
+            "div",
+            F.lit(2) * s + F.col("n_pairs"),
+            F.lit(2) * F.col("n_pairs"),
+        )
+        return u / F.lit(1_000_000.0)
+
+    return agg.select(
+        "source",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        mean6(F.col("s1")).alias("rouge1_f1"),
+        mean6(F.col("s2")).alias("rouge2_f1"),
+    ).orderBy("source")
+
+
+T_ROUGE_EVAL_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, source, string_split({NORM_TEXT_SQL}, ' ') AS l
+  FROM documents
+), pairs AS (
+  SELECT * FROM (
+    SELECT source, doc_id AS cand,
+      lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+    FROM norm
+  ) WHERE ref IS NOT NULL
+), uni AS (
+  SELECT doc_id, 1 AS g, unnest(l) AS gram FROM norm
+), bi AS (
+  SELECT doc_id, 2 AS g, l[i] || ' ' || l[i + 1] AS gram
+  FROM (
+    SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+    FROM norm
+  )
+), gc AS (
+  SELECT doc_id, g, gram, COUNT(*) AS c
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY 1, 2, 3
+), glen AS (
+  SELECT doc_id, g, CAST(SUM(c) AS BIGINT) AS glen FROM gc GROUP BY 1, 2
+), ov AS (
+  SELECT p.source, p.cand, p.ref, a.g,
+    CAST(SUM(least(a.c, b.c)) AS BIGINT) AS ov
+  FROM pairs p
+  JOIN gc a ON a.doc_id = p.cand
+  JOIN gc b ON b.doc_id = p.ref AND b.g = a.g AND b.gram = a.gram
+  GROUP BY 1, 2, 3, 4
+), spine AS (
+  SELECT p.source, p.cand, p.ref, v.g
+  FROM pairs p, (VALUES (1), (2)) v(g)
+), f AS (
+  SELECT s.source, s.g,
+    CAST(round(
+      CASE WHEN coalesce(lc.glen, 0) > 0 AND coalesce(lr.glen, 0) > 0
+          AND coalesce(o.ov, 0) > 0
+        THEN 2.0 * (CAST(coalesce(o.ov, 0) AS DOUBLE) / lc.glen)
+          * (CAST(coalesce(o.ov, 0) AS DOUBLE) / lr.glen)
+          / ((CAST(coalesce(o.ov, 0) AS DOUBLE) / lc.glen)
+            + (CAST(coalesce(o.ov, 0) AS DOUBLE) / lr.glen))
+        ELSE 0.0 END * 1000000.0, 0) AS BIGINT) AS fu
+  FROM spine s
+  LEFT JOIN ov o ON o.source = s.source AND o.cand = s.cand
+    AND o.ref = s.ref AND o.g = s.g
+  LEFT JOIN glen lc ON lc.doc_id = s.cand AND lc.g = s.g
+  LEFT JOIN glen lr ON lr.doc_id = s.ref AND lr.g = s.g
+)
+SELECT source,
+  CAST(COUNT(CASE WHEN g = 1 THEN 1 END) AS BIGINT) AS n_pairs,
+  CAST((2 * CAST(SUM(CASE WHEN g = 1 THEN fu END) AS BIGINT)
+    + COUNT(CASE WHEN g = 1 THEN 1 END))
+    // (2 * COUNT(CASE WHEN g = 1 THEN 1 END)) AS BIGINT)
+    / 1000000.0 AS rouge1_f1,
+  CAST((2 * CAST(SUM(CASE WHEN g = 2 THEN fu END) AS BIGINT)
+    + COUNT(CASE WHEN g = 2 THEN 1 END))
+    // (2 * COUNT(CASE WHEN g = 2 THEN 1 END)) AS BIGINT)
+    / 1000000.0 AS rouge2_f1
+FROM f GROUP BY 1 ORDER BY source
+"""
+
+
+R7_QUERIES.update(
+    {
+        "a_anova_f": a_anova_f,
+        "w_theil_sen": w_theil_sen,
+        "t_quality_logreg": t_quality_logreg,
+        "t_rouge_eval": t_rouge_eval,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "a_anova_f": lambda: A_ANOVA_F_SQL,
+        "w_theil_sen": lambda: W_THEIL_SEN_SQL,
+        "t_quality_logreg": _t_quality_logreg_sql,
+        "t_rouge_eval": lambda: T_ROUGE_EVAL_SQL,
+    }
+)

@@ -541,3 +541,85 @@ def test_outlier_iqr_fences_match_pandas(spark):
         assert r["n_low"] == int((v < lo).sum())
         assert r["n_high"] == int((v > hi).sum())
         assert r["q1"] <= r["q3"]
+
+
+def test_anova_matches_pandas_recompute(spark):
+    """F statistic and eta-squared must match a pandas one-way ANOVA
+    over the same grouping."""
+    from kp_crypto_market_analytics_spark.queries_r7 import a_anova_f
+
+    pdf = _events_pdf()
+    r = a_anova_f(spark, SF_DIR).collect()[0]
+    groups = [g["value"] for _, g in pdf.groupby("event_type")]
+    n, k = len(pdf), len(groups)
+    grand = pdf["value"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    want_f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k_groups"] == k and r["n"] == n
+    assert abs(r["f_stat"] - want_f) < 1e-3
+    assert abs(r["eta_sq"] - ssb / (ssb + ssw)) < 1e-5
+
+
+def test_theil_sen_is_median_of_pairwise_slopes(spark):
+    """The reported slope must equal the numpy lower-median of all
+    pairwise daily-close slopes per type."""
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_r7 import w_theil_sen
+
+    pdf = _events_pdf()
+    pdf = pdf[pdf["value"] > 0].sort_values(["ts", "event_id"])
+    rows = {r["event_type"]: r for r in w_theil_sen(spark, SF_DIR).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        closes = grp.groupby(grp["ts"].dt.date)["value"].last()
+        days = np.array([d.toordinal() for d in closes.index])
+        c = closes.to_numpy()
+        slopes = [
+            (c[j] - c[i]) / (days[j] - days[i])
+            for i in range(len(c))
+            for j in range(i + 1, len(c))
+        ]
+        slopes.sort()
+        want = slopes[(len(slopes) + 1) // 2 - 1]
+        r = rows[et]
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["theil_slope"] - want) < 1e-6
+
+
+def test_quality_logreg_census_consistent(spark):
+    """Keep counts bound by doc counts, ppm matches the exact ratio,
+    scores in [0, 1]."""
+    from kp_crypto_market_analytics_spark.queries_r7 import t_quality_logreg
+
+    rows = t_quality_logreg(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        want_ppm = round(r["n_kept"] * 1_000_000 / r["n_docs"])
+        assert abs(r["keep_ppm"] - want_ppm) <= 1
+        assert 0.0 <= r["mean_score"] <= 1.0
+
+
+def test_rouge_self_pair_is_perfect(spark):
+    """ROUGE bounds: F1 in [0,1], ROUGE-2 <= ROUGE-1 on average for
+    adjacent-doc pairs (bigram overlap implies unigram overlap), and a
+    hand-built identical pair scores exactly 1.0."""
+    from kp_crypto_market_analytics_spark.queries_r7 import t_rouge_eval
+
+    rows = t_rouge_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rouge2_f1"] <= r["rouge1_f1"] <= 1.0
+
+    # identical adjacent docs => clipped overlap == length => F1 == 1
+    import math
+
+    toks_a = ["the", "cat", "sat", "on", "the", "mat"]
+    ca = {}
+    for w in toks_a:
+        ca[w] = ca.get(w, 0) + 1
+    ov = sum(min(v, v) for v in ca.values())
+    p = ov / len(toks_a)
+    f1 = 2 * p * p / (p + p)
+    assert math.isclose(f1, 1.0)
