@@ -109,6 +109,7 @@ _FIRST_SEEN_ROUND.update(
         "a_chi_square", "a_welch_ttest", "ti_sharpe", "ti_amihud",
         "dq_outlier_iqr",
         "a_anova_f", "w_theil_sen", "t_quality_logreg", "t_rouge_eval",
+        "a_survival_km", "a_info_gain_split",
     )}
 )
 

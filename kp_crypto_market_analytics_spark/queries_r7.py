@@ -2506,3 +2506,327 @@ _R7_ORACLES_B2.update(
         "t_rouge_eval": lambda: T_ROUGE_EVAL_SQL,
     }
 )
+
+
+# ------------------------------------------------------------ a_survival_km
+#
+# Round-7 batch 6: survival analysis (Kaplan-Meier retention) and a
+# decision-stump split search (information gain) — the two classic
+# statistical-learning primitives the family still lacked.
+
+_KM_HORIZONS = (30, 90, 180, 365, 730)
+# ln(1e-12)*1e6, the documented floor when an event day wipes out the
+# whole risk set (factor 0 -> survival collapses; exp(ln) cannot carry
+# a true 0).  Both engines use the identical integer constant.
+_KM_LN_FLOOR = -27631021
+
+
+def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve (Kaplan & Meier 1958, public) for
+    the repeat-purchase event: per customer, time from first order to
+    second order (event) or to the dataset's last order date
+    (right-censored).  Survival S(t) = Π_{u≤t} (1 − d_u/n_u) reported
+    at the standard horizons (30/90/180/365/730 days) with the at-risk
+    and cumulative-event counts — THE retention statistic, and the
+    censoring-aware upgrade of a_retention_cohorts.
+
+    Determinism: death/censor counts per duration day are exact
+    integers; the at-risk prefix comes from range_partitioned_rank's
+    fused cumulative sum (zero window nodes); each day's ln(1−d/n) is
+    one identical IEEE op micro-rounded to BIGINT, so the Π (as Σ of
+    logs) is an exact integer fold and S(t) = exp(Σ/1e6) is a single
+    identical IEEE chain.  An event day that empties the risk set
+    floors at the documented ln(1e-12) constant.
+
+    Scale shape: two order-table aggs (first/second order per
+    customer), a duration-day histogram BOUNDED by the calendar
+    (~2.5k rows for TPC-H's span), the helper's range cumsum over that
+    bounded frame, and a 5-row horizon broadcast — nothing
+    corpus-sized shuffles twice."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"].select("o_custkey", F.to_date("o_orderdate").alias("d"))
+    first = o.groupBy("o_custkey").agg(F.min("d").alias("d1"))
+    second = (
+        o.join(first, "o_custkey")
+        .where(F.col("d") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("d2"))
+    )
+    end = o.agg(F.max("d").alias("d_end"))
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(end))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("d_end", "d1"))
+            .alias("dur"),
+            F.col("d2").isNotNull().alias("is_event"),
+        )
+    )
+    days = subj.groupBy("dur").agg(
+        F.count(F.when(F.col("is_event"), F.lit(1))).alias("e"),
+        F.count(F.when(~F.col("is_event"), F.lit(1))).alias("c"),
+    )
+    n_subj = subj.agg(F.count(F.lit(1)).alias("n_subj"))
+    rp = range_partitioned_rank(
+        days.withColumn("tot", F.col("e") + F.col("c")),
+        [F.col("dur").asc()],
+        n_ranges=8,
+        sum_col="tot",
+    ).crossJoin(F.broadcast(n_subj))
+    n_at = F.col("n_subj") - (F.col("global_cumsum") - F.col("tot"))
+    factor = F.lit(1.0) - F.col("e") / n_at.cast("double")
+    lf = F.when(
+        F.col("e") > 0,
+        F.when(
+            factor > 0,
+            F.round(F.log(factor) * F.lit(1_000_000.0), 0).cast("long"),
+        ).otherwise(F.lit(_KM_LN_FLOOR)),
+    ).otherwise(F.lit(0))
+    day_lf = rp.select("dur", "e", "c", lf.alias("lf"))
+    horizons = F.explode(
+        F.array(*[F.lit(h) for h in _KM_HORIZONS])
+    ).alias("horizon_days")
+    sp = day_lf.select("dur", "e", "c", "lf", horizons).groupBy(
+        "horizon_days"
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("dur") <= F.col("horizon_days"), F.col("lf"))),
+            F.lit(0),
+        ).alias("slf"),
+        F.coalesce(
+            F.sum(F.when(F.col("dur") <= F.col("horizon_days"), F.col("e"))),
+            F.lit(0),
+        ).alias("ev"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("dur") < F.col("horizon_days"),
+                    F.col("e") + F.col("c"),
+                )
+            ),
+            F.lit(0),
+        ).alias("gone"),
+    )
+    return sp.crossJoin(F.broadcast(n_subj)).select(
+        F.col("horizon_days").cast("long").alias("horizon_days"),
+        (F.col("n_subj") - F.col("gone")).cast("long").alias("n_risk"),
+        F.col("ev").cast("long").alias("n_events_cum"),
+        F.round(
+            F.exp(F.col("slf") / F.lit(1_000_000.0)), 6
+        ).alias("survival"),
+    ).orderBy("horizon_days")
+
+
+def _a_survival_km_sql() -> str:
+    hs = ", ".join(f"({h})" for h in _KM_HORIZONS)
+    return f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), first AS (
+  SELECT o_custkey, MIN(d) AS d1 FROM o GROUP BY 1
+), second AS (
+  SELECT o.o_custkey, MIN(o.d) AS d2
+  FROM o JOIN first f ON o.o_custkey = f.o_custkey AND o.d > f.d1
+  GROUP BY 1
+), subj AS (
+  SELECT CASE WHEN s.d2 IS NOT NULL THEN s.d2 - f.d1
+    ELSE (SELECT MAX(d) FROM o) - f.d1 END AS dur,
+    s.d2 IS NOT NULL AS is_event
+  FROM first f LEFT JOIN second s USING (o_custkey)
+), days AS (
+  SELECT dur, COUNT(CASE WHEN is_event THEN 1 END) AS e,
+    COUNT(CASE WHEN NOT is_event THEN 1 END) AS c
+  FROM subj GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_subj FROM subj),
+pre AS (
+  SELECT dur, e, c,
+    n.n_subj - coalesce(SUM(e + c) OVER (ORDER BY dur
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at
+  FROM days, n
+), lf AS (
+  SELECT dur, e, c,
+    CASE WHEN e > 0 THEN
+      CASE WHEN 1.0 - e / CAST(n_at AS DOUBLE) > 0
+        THEN CAST(round(ln(1.0 - e / CAST(n_at AS DOUBLE))
+          * 1000000.0, 0) AS BIGINT)
+        ELSE {_KM_LN_FLOOR} END
+      ELSE 0 END AS lf
+  FROM pre
+)
+SELECT CAST(h.h AS BIGINT) AS horizon_days,
+  CAST((SELECT n_subj FROM n)
+    - coalesce(CAST(SUM(CASE WHEN dur < h.h THEN e + c END) AS BIGINT),
+      0) AS BIGINT) AS n_risk,
+  coalesce(CAST(SUM(CASE WHEN dur <= h.h THEN e END) AS BIGINT), 0)
+    AS n_events_cum,
+  round(exp(coalesce(CAST(SUM(CASE WHEN dur <= h.h THEN lf END)
+    AS BIGINT), 0) / 1000000.0), 6) AS survival
+FROM lf, (VALUES {hs}) h(h)
+GROUP BY h.h ORDER BY horizon_days
+"""
+
+
+# --------------------------------------------------------- a_info_gain_split
+
+
+def a_info_gain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search (Quinlan 1986 ID3, public): the
+    information gain of splitting events on value ≤ θ for predicting
+    the (alphabetically first) event type, evaluated at the nine
+    inner deciles — the inner loop of every tree/GBDT trainer, as one
+    scan + one 9-row broadcast.
+
+    Determinism: decile thresholds are DISCRETE order statistics at
+    integer ranks ⌈i·n/10⌉ via range_partitioned_rank (no single-
+    partition sort, no interpolation); split counts are exact
+    integers; the entropy-in-nats chain −(p·ln p + (1−p)·ln(1−p)) and
+    the gain are one identical IEEE expression over those integers in
+    both engines (boundary terms zeroed at p ∈ {0,1}).
+
+    Scale shape: one distributed range sort for the ranks, one
+    events × 9-threshold broadcast explode collapsed by map-side
+    partials into 9 rows — the classic histogram-based split finder
+    (LightGBM's approximation, public) falls out by swapping the
+    exact ranks for a_histogram's fixed bins."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select("event_type", "value", "event_id")
+    cnt = e.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.min("event_type").alias("pos_type"),
+    )
+    ranked = range_partitioned_rank(
+        e.select("value", "event_id"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        n_ranges=32,
+    ).crossJoin(F.broadcast(cnt))
+    decile = F.explode(
+        F.array(*[F.lit(i) for i in range(1, 10)])
+    ).alias("decile")
+    th = (
+        ranked.select("value", "global_rn", "n_tot", decile)
+        .where(
+            F.col("global_rn")
+            == F.call_function(
+                "div",
+                F.col("decile") * F.col("n_tot") + F.lit(9),
+                F.lit(10),
+            )
+        )
+        .select("decile", F.col("value").alias("theta"))
+    )
+    scored = e.crossJoin(F.broadcast(cnt)).crossJoin(F.broadcast(th))
+    pos = F.col("event_type") == F.col("pos_type")
+    le = F.col("value") <= F.col("theta")
+    g = scored.groupBy("decile", "theta").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(pos, F.lit(1))).alias("p_all"),
+        F.count(F.when(le, F.lit(1))).alias("n_le"),
+        F.count(F.when(le & pos, F.lit(1))).alias("p_le"),
+    )
+
+    def ent(p_cnt, n_cnt):
+        p = p_cnt / n_cnt.cast("double")
+        q = F.lit(1.0) - p
+        tp = F.when((p_cnt > 0) & (p_cnt < n_cnt), -(p * F.log(p))).otherwise(
+            F.lit(0.0)
+        )
+        tq = F.when((p_cnt > 0) & (p_cnt < n_cnt), -(q * F.log(q))).otherwise(
+            F.lit(0.0)
+        )
+        return tp + tq
+
+    n, n_le = F.col("n"), F.col("n_le")
+    n_gt = n - n_le
+    p_gt = F.col("p_all") - F.col("p_le")
+    h_parent = ent(F.col("p_all"), n)
+    h_le = F.when(n_le > 0, ent(F.col("p_le"), n_le)).otherwise(F.lit(0.0))
+    h_gt = F.when(n_gt > 0, ent(p_gt, n_gt)).otherwise(F.lit(0.0))
+    gain = h_parent - (
+        n_le / n.cast("double") * h_le + n_gt / n.cast("double") * h_gt
+    )
+    return g.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.round("theta", 6).alias("theta"),
+        n_le.cast("long").alias("n_le"),
+        F.col("p_le").cast("long").alias("pos_le"),
+        (F.round(gain, 6) + F.lit(0.0)).alias("info_gain"),
+    ).orderBy("decile")
+
+
+def _a_info_gain_split_sql() -> str:
+    def ent(p_cnt, n_cnt):
+        p = f"({p_cnt} / CAST({n_cnt} AS DOUBLE))"
+        q = f"(1.0 - {p})"
+        tp = (
+            f"CASE WHEN {p_cnt} > 0 AND {p_cnt} < {n_cnt}"
+            f" THEN -({p} * ln({p})) ELSE 0.0 END"
+        )
+        tq = (
+            f"CASE WHEN {p_cnt} > 0 AND {p_cnt} < {n_cnt}"
+            f" THEN -({q} * ln({q})) ELSE 0.0 END"
+        )
+        return f"({tp} + {tq})"
+
+    h_parent = ent("p_all", "n")
+    h_le = f"CASE WHEN n_le > 0 THEN {ent('p_le', 'n_le')} ELSE 0.0 END"
+    h_gt = (
+        "CASE WHEN n - n_le > 0"
+        f" THEN {ent('(p_all - p_le)', '(n - n_le)')} ELSE 0.0 END"
+    )
+    gain = (
+        f"{h_parent} - (n_le / CAST(n AS DOUBLE) * ({h_le})"
+        f" + (n - n_le) / CAST(n AS DOUBLE) * ({h_gt}))"
+    )
+    return f"""
+WITH cnt AS (
+  SELECT COUNT(*) AS n_tot, MIN(event_type) AS pos_type FROM events
+), ranked AS (
+  SELECT value,
+    row_number() OVER (ORDER BY value, event_id) AS rn
+  FROM events
+), th AS (
+  SELECT d.d AS decile, r.value AS theta
+  FROM ranked r CROSS JOIN cnt
+  JOIN (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)) d(d)
+    ON r.rn = (d.d * cnt.n_tot + 9) // 10
+), g AS (
+  SELECT t.decile, t.theta, COUNT(*) AS n,
+    COUNT(CASE WHEN e.event_type = c.pos_type THEN 1 END) AS p_all,
+    COUNT(CASE WHEN e.value <= t.theta THEN 1 END) AS n_le,
+    COUNT(CASE WHEN e.value <= t.theta
+      AND e.event_type = c.pos_type THEN 1 END) AS p_le
+  FROM events e CROSS JOIN cnt c CROSS JOIN th t
+  GROUP BY 1, 2
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+  round(theta, 6) AS theta,
+  CAST(n_le AS BIGINT) AS n_le,
+  CAST(p_le AS BIGINT) AS pos_le,
+  round({gain}, 6) + 0.0 AS info_gain
+FROM g ORDER BY decile
+"""
+
+
+R7_QUERIES.update(
+    {
+        "a_survival_km": a_survival_km,
+        "a_info_gain_split": a_info_gain_split,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "a_survival_km": _a_survival_km_sql,
+        "a_info_gain_split": _a_info_gain_split_sql,
+    }
+)

@@ -623,3 +623,84 @@ def test_rouge_self_pair_is_perfect(spark):
     p = ov / len(toks_a)
     f1 = 2 * p * p / (p + p)
     assert math.isclose(f1, 1.0)
+
+
+def test_survival_km_matches_lifelines_style_recompute(spark):
+    """Survival must be monotone non-increasing in the horizon, equal
+    a python product-limit recompute, and n_risk must shrink."""
+    import duckdb
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        _KM_HORIZONS,
+        a_survival_km,
+    )
+
+    od = duckdb.sql(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE) AS d"
+        f" FROM '{SF_DIR}/orders.parquet'"
+    ).df()
+    first = od.groupby("o_custkey")["d"].min()
+    end = od["d"].max()
+    durs = []
+    for ck, d1 in first.items():
+        later = od[(od["o_custkey"] == ck) & (od["d"] > d1)]["d"]
+        if len(later):
+            durs.append(((later.min() - d1).days, True))
+        else:
+            durs.append(((end - d1).days, False))
+    rows = {r["horizon_days"]: r for r in a_survival_km(spark, SF_DIR).collect()}
+    assert list(sorted(rows)) == sorted(_KM_HORIZONS)
+    prev = 1.0
+    n = len(durs)
+    for h in sorted(rows):
+        # python product-limit at horizon h
+        days = sorted({t for t, ev in durs if ev and t <= h})
+        s = 1.0
+        for t in days:
+            d_t = sum(1 for u, ev in durs if ev and u == t)
+            n_t = sum(1 for u, _ in durs if u >= t)
+            s *= 1.0 - d_t / n_t
+        r = rows[h]
+        assert abs(r["survival"] - s) < 1e-3
+        assert r["n_risk"] == sum(1 for u, _ in durs if u >= h)
+        assert r["survival"] <= prev + 1e-9
+        prev = r["survival"]
+        assert r["n_events_cum"] == sum(1 for u, ev in durs if ev and u <= h)
+    assert n == len(first)
+
+
+def test_info_gain_split_matches_sklearn_style_entropy(spark):
+    """Each decile row's gain must match a pandas entropy recompute at
+    the same discrete threshold; gains are non-negative."""
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r7 import a_info_gain_split
+
+    pdf = _events_pdf()
+    pos_type = pdf["event_type"].min()
+    y = (pdf["event_type"] == pos_type).to_numpy()
+    v = pdf["value"].to_numpy()
+    n = len(v)
+
+    def ent(p_cnt, n_cnt):
+        if p_cnt == 0 or p_cnt == n_cnt:
+            return 0.0
+        p = p_cnt / n_cnt
+        return -(p * math.log(p)) - ((1 - p) * math.log(1 - p))
+
+    h_parent = ent(int(y.sum()), n)
+    rows = a_info_gain_split(spark, SF_DIR).collect()
+    assert len(rows) == 9
+    order = sorted(range(n), key=lambda i: (v[i], i))
+    for r in rows:
+        theta = r["theta"]
+        mask = v <= theta
+        n_le, p_le = int(mask.sum()), int(y[mask].sum())
+        assert r["n_le"] == n_le and r["pos_le"] == p_le
+        want = h_parent - (
+            n_le / n * ent(p_le, n_le)
+            + (n - n_le) / n * ent(int(y.sum()) - p_le, n - n_le)
+        )
+        assert abs(r["info_gain"] - want) < 1e-5
+        assert r["info_gain"] >= -1e-9
