@@ -110,6 +110,7 @@ _FIRST_SEEN_ROUND.update(
         "dq_outlier_iqr",
         "a_anova_f", "w_theil_sen", "t_quality_logreg", "t_rouge_eval",
         "a_survival_km", "a_info_gain_split",
+        "w_runs_test", "a_mann_kendall", "t_gopher_rules",
     )}
 )
 

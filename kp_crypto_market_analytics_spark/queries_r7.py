@@ -2830,3 +2830,374 @@ _R7_ORACLES_B2.update(
         "a_info_gain_split": _a_info_gain_split_sql,
     }
 )
+
+
+# ------------------------------------------------------------ w_runs_test
+#
+# Round-7 batch 7: randomness/trend tests on the daily series and the
+# Gopher corpus-quality rule census.
+
+
+def w_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (1940, public) on the sign sequence of
+    daily close-to-close moves per symbol: are up/down days random, or
+    do they streak?  Complements w_streaks (which reports the streaks)
+    with the significance z-score.
+
+    Determinism: up/down/run counts are exact integers from the same
+    calendar-bounded day lag ti_sharpe uses (zero-change days dropped,
+    both engines identically); the μ/σ/z chain is one identical IEEE
+    expression over those integers.
+
+    Scale shape: day-bounded close window + calendar-bounded lag, one
+    |symbols|-row agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    closes = _daily_closes(t["events"])
+    w = Window.partitionBy("event_type").orderBy("day")
+    sgn = F.when(
+        F.col("close") > F.lag("close").over(w), F.lit(1)
+    ).when(F.col("close") < F.lag("close").over(w), F.lit(-1))
+    signs = (
+        closes.withColumn("sgn", sgn)
+        .where(F.col("sgn").isNotNull())
+        .withColumn("prev_sgn", F.lag("sgn").over(w))
+    )
+    agg = signs.groupBy("event_type").agg(
+        F.count(F.when(F.col("sgn") == 1, F.lit(1))).alias("n1"),
+        F.count(F.when(F.col("sgn") == -1, F.lit(1))).alias("n2"),
+        (
+            F.lit(1)
+            + F.count(
+                F.when(
+                    F.col("prev_sgn").isNotNull()
+                    & (F.col("sgn") != F.col("prev_sgn")),
+                    F.lit(1),
+                )
+            )
+        ).alias("runs"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / n
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (n > 1) & (var > 0)
+    z = (F.col("runs") - mu) / F.sqrt(var)
+    return agg.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_up"),
+        F.col("n2").cast("long").alias("n_down"),
+        F.col("runs").cast("long").alias("n_runs"),
+        F.when(ok, F.round(z, 6) + F.lit(0.0)).alias("runs_z"),
+    ).orderBy("event_type")
+
+
+W_RUNS_TEST_SQL = f"""
+WITH closes AS ({_CLOSES_SQL}),
+moves AS (
+  SELECT event_type, day,
+    CASE WHEN close > lag(close) OVER w THEN 1
+         WHEN close < lag(close) OVER w THEN -1 END AS sgn
+  FROM closes WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), signs AS (
+  SELECT event_type, sgn,
+    lag(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev_sgn
+  FROM moves WHERE sgn IS NOT NULL
+), agg AS (
+  SELECT event_type,
+    COUNT(CASE WHEN sgn = 1 THEN 1 END) AS n1,
+    COUNT(CASE WHEN sgn = -1 THEN 1 END) AS n2,
+    1 + COUNT(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+      THEN 1 END) AS runs
+  FROM signs GROUP BY 1
+)
+SELECT event_type,
+  CAST(n1 AS BIGINT) AS n_up,
+  CAST(n2 AS BIGINT) AS n_down,
+  CAST(runs AS BIGINT) AS n_runs,
+  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+      AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)) > 0
+    THEN round((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6) + 0.0
+    END AS runs_z
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------- a_mann_kendall
+
+
+def a_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test (Mann 1945 / Kendall 1975, public) on
+    daily closes per symbol: S = Σ sign(c_j − c_i) over i<j, the
+    tie-corrected variance, and the normal-approximation z — the
+    significance partner of w_theil_sen's slope (the pair every
+    hydrology/market trend report prints together).
+
+    Determinism: S and the tie groups are exact integer counts over
+    the same calendar-bounded pair frame w_theil_sen builds; the
+    variance and z (with the ±1 continuity correction) are one
+    identical IEEE chain over exact integers.
+
+    Scale shape: |days|² pair frame, calendar-bounded; tie groups are
+    a |distinct closes|-row agg; one |symbols|-row result."""
+    t = load_tables(spark, sf_dir, ["events"])
+    closes = _daily_closes(t["events"])
+    a = closes.select(
+        "event_type", F.col("day").alias("d1"), F.col("close").alias("c1")
+    )
+    b = closes.select(
+        "event_type", F.col("day").alias("d2"), F.col("close").alias("c2")
+    )
+    pairs = a.join(b, "event_type").where(F.col("d2") > F.col("d1"))
+    s_agg = pairs.groupBy("event_type").agg(
+        (
+            F.count(F.when(F.col("c2") > F.col("c1"), F.lit(1)))
+            - F.count(F.when(F.col("c2") < F.col("c1"), F.lit(1)))
+        ).alias("s"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    n_days = closes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ties = (
+        closes.groupBy("event_type", "close")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - F.lit(1))
+                * (F.lit(2) * F.col("t") + F.lit(5))
+            ).alias("tie_corr")
+        )
+    )
+    j = (
+        s_agg.join(n_days, "event_type")
+        .join(ties, "event_type", "left")
+        .withColumn("tc", F.coalesce(F.col("tie_corr"), F.lit(0)))
+    )
+    n = F.col("n").cast("double")
+    var = (
+        n * (n - F.lit(1.0)) * (F.lit(2.0) * n + F.lit(5.0))
+        - F.col("tc")
+    ) / F.lit(18.0)
+    s = F.col("s")
+    z = F.when(s > 0, (s - F.lit(1)) / F.sqrt(var)).when(
+        s < 0, (s + F.lit(1)) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    tau = s / F.col("m").cast("double")
+    return j.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        s.cast("long").alias("s_stat"),
+        (F.round(tau, 6) + F.lit(0.0)).alias("tau"),
+        F.when(
+            (F.col("n") > 1) & (var > 0),
+            F.round(z, 6) + F.lit(0.0),
+        ).alias("mk_z"),
+    ).orderBy("event_type")
+
+
+A_MANN_KENDALL_SQL = f"""
+WITH closes AS ({_CLOSES_SQL}),
+pairs AS (
+  SELECT a.event_type, a.close AS c1, b.close AS c2
+  FROM closes a JOIN closes b USING (event_type)
+  WHERE b.day > a.day
+), s_agg AS (
+  SELECT event_type,
+    COUNT(CASE WHEN c2 > c1 THEN 1 END)
+      - COUNT(CASE WHEN c2 < c1 THEN 1 END) AS s,
+    COUNT(*) AS m
+  FROM pairs GROUP BY 1
+), nd AS (
+  SELECT event_type, COUNT(*) AS n FROM closes GROUP BY 1
+), ties AS (
+  SELECT event_type,
+    SUM(t * (t - 1) * (2 * t + 5)) AS tie_corr
+  FROM (
+    SELECT event_type, close, COUNT(*) AS t
+    FROM closes GROUP BY 1, 2
+  ) WHERE t > 1 GROUP BY 1
+), j AS (
+  SELECT s_agg.event_type, s, m, n, coalesce(tie_corr, 0) AS tc
+  FROM s_agg JOIN nd USING (event_type)
+  LEFT JOIN ties ON ties.event_type = s_agg.event_type
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_days,
+  CAST(s AS BIGINT) AS s_stat,
+  round(s / CAST(m AS DOUBLE), 6) + 0.0 AS tau,
+  CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+      * (2.0 * CAST(n AS DOUBLE) + 5.0) - tc) / 18.0 > 0
+    THEN round(CASE WHEN s > 0 THEN (s - 1)
+        / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+          * (2.0 * CAST(n AS DOUBLE) + 5.0) - tc) / 18.0)
+      WHEN s < 0 THEN (s + 1)
+        / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+          * (2.0 * CAST(n AS DOUBLE) + 5.0) - tc) / 18.0)
+      ELSE 0.0 END, 6) + 0.0
+    END AS mk_z
+FROM j ORDER BY event_type
+"""
+
+
+# ----------------------------------------------------------- t_gopher_rules
+
+_GOPHER_MIN_TOKS = 50
+_GOPHER_MAX_TOKS = 100_000
+_GOPHER_MIN_WLEN = 3.0
+_GOPHER_MAX_WLEN = 10.0
+_GOPHER_MAX_DIGIT = 0.2
+_GOPHER_MIN_STOP = 2
+
+
+def t_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style corpus quality rules (Rae et al. 2021, public):
+    the repetition-free heuristic gate every pretraining pipeline
+    applies before model-based filtering.  Rules: token count in
+    [50, 100k]; mean word length in [3, 10]; ≥ 2 stopword hits;
+    digit-character ratio < 0.2.  Per source: docs, per-rule failure
+    counts, docs passing ALL rules, exact pass ppm — the census that
+    decides which crawl slices survive.
+
+    Determinism: every rule is a comparison of exact integer counts
+    (or one identical IEEE ratio of them); the census is pure integer
+    arithmetic with an exact half-away ppm.
+
+    Scale shape: codegen string expressions + ONE map-side-combined
+    groupBy(source) — same embarrassingly-parallel filter-pass shape
+    as t_quality_logreg."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        stopword_hits,
+        token_count,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = token_count("text")
+    stop = stopword_hits("text")
+    ln_len = F.length(norm)
+    n_digit = ln_len - F.length(F.regexp_replace(norm, "[0-9]", ""))
+    wlen = (ln_len - (toks - F.lit(1))) / toks.cast("double")
+    r_len = (toks >= _GOPHER_MIN_TOKS) & (toks <= _GOPHER_MAX_TOKS)
+    r_wlen = (
+        (toks > 0)
+        & (wlen >= F.lit(_GOPHER_MIN_WLEN))
+        & (wlen <= F.lit(_GOPHER_MAX_WLEN))
+    )
+    r_stop = stop >= _GOPHER_MIN_STOP
+    r_digit = (ln_len > 0) & (
+        n_digit / ln_len.cast("double") < F.lit(_GOPHER_MAX_DIGIT)
+    )
+    flags = d.select(
+        "source",
+        r_len.alias("r_len"),
+        r_wlen.alias("r_wlen"),
+        r_stop.alias("r_stop"),
+        r_digit.alias("r_digit"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~F.col("r_len"), F.lit(1))).alias("fail_len"),
+        F.count(F.when(~F.col("r_wlen"), F.lit(1))).alias("fail_wlen"),
+        F.count(F.when(~F.col("r_stop"), F.lit(1))).alias("fail_stop"),
+        F.count(F.when(~F.col("r_digit"), F.lit(1))).alias("fail_digit"),
+        F.count(
+            F.when(
+                F.col("r_len")
+                & F.col("r_wlen")
+                & F.col("r_stop")
+                & F.col("r_digit"),
+                F.lit(1),
+            )
+        ).alias("n_pass"),
+    )
+    ppm = F.call_function(
+        "div",
+        F.lit(2) * F.col("n_pass") * F.lit(1_000_000) + F.col("n_docs"),
+        F.lit(2) * F.col("n_docs"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("fail_len").cast("long").alias("fail_len"),
+        F.col("fail_wlen").cast("long").alias("fail_wlen"),
+        F.col("fail_stop").cast("long").alias("fail_stop"),
+        F.col("fail_digit").cast("long").alias("fail_digit"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        ppm.cast("long").alias("pass_ppm"),
+    ).orderBy("source")
+
+
+def _t_gopher_rules_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hit_terms = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH norm AS (
+  SELECT source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+), base AS (
+  SELECT source, t, ' ' || lower(t) || ' ' AS p,
+    CASE WHEN length(t) = 0 THEN 0
+      ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+      END AS toks,
+    length(t) AS ln_len
+  FROM norm
+), flags AS (
+  SELECT source,
+    toks >= {_GOPHER_MIN_TOKS} AND toks <= {_GOPHER_MAX_TOKS} AS r_len,
+    toks > 0
+      AND (ln_len - (toks - 1)) / CAST(toks AS DOUBLE)
+        >= {_GOPHER_MIN_WLEN!r}
+      AND (ln_len - (toks - 1)) / CAST(toks AS DOUBLE)
+        <= {_GOPHER_MAX_WLEN!r} AS r_wlen,
+    ({hit_terms}) >= {_GOPHER_MIN_STOP} AS r_stop,
+    ln_len > 0
+      AND (ln_len - length(regexp_replace(t, '[0-9]', '', 'g')))
+        / CAST(ln_len AS DOUBLE) < {_GOPHER_MAX_DIGIT!r} AS r_digit
+  FROM base
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(CASE WHEN NOT r_len THEN 1 END) AS BIGINT) AS fail_len,
+  CAST(COUNT(CASE WHEN NOT r_wlen THEN 1 END) AS BIGINT) AS fail_wlen,
+  CAST(COUNT(CASE WHEN NOT r_stop THEN 1 END) AS BIGINT) AS fail_stop,
+  CAST(COUNT(CASE WHEN NOT r_digit THEN 1 END) AS BIGINT) AS fail_digit,
+  CAST(COUNT(CASE WHEN r_len AND r_wlen AND r_stop AND r_digit THEN 1
+    END) AS BIGINT) AS n_pass,
+  CAST((2 * COUNT(CASE WHEN r_len AND r_wlen AND r_stop AND r_digit
+      THEN 1 END) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+    AS pass_ppm
+FROM flags GROUP BY 1 ORDER BY source
+"""
+
+
+R7_QUERIES.update(
+    {
+        "w_runs_test": w_runs_test,
+        "a_mann_kendall": a_mann_kendall,
+        "t_gopher_rules": t_gopher_rules,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "w_runs_test": lambda: W_RUNS_TEST_SQL,
+        "a_mann_kendall": lambda: A_MANN_KENDALL_SQL,
+        "t_gopher_rules": _t_gopher_rules_sql,
+    }
+)

@@ -704,3 +704,88 @@ def test_info_gain_split_matches_sklearn_style_entropy(spark):
         )
         assert abs(r["info_gain"] - want) < 1e-5
         assert r["info_gain"] >= -1e-9
+
+
+def test_runs_test_matches_hand_recompute(spark):
+    """Run counts and z must match a python recompute of the sign
+    sequence of daily close moves."""
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r7 import w_runs_test
+
+    pdf = _events_pdf()
+    pdf = pdf[pdf["value"] > 0].sort_values(["ts", "event_id"])
+    rows = {r["event_type"]: r for r in w_runs_test(spark, SF_DIR).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        closes = grp.groupby(grp["ts"].dt.date)["value"].last().to_numpy()
+        sgns = [
+            1 if b > a else -1
+            for a, b in zip(closes, closes[1:])
+            if b != a
+        ]
+        n1 = sum(1 for s in sgns if s == 1)
+        n2 = len(sgns) - n1
+        runs = 1 + sum(1 for a, b in zip(sgns, sgns[1:]) if a != b)
+        r = rows[et]
+        assert (r["n_up"], r["n_down"], r["n_runs"]) == (n1, n2, runs)
+        if n1 and n2:
+            n = n1 + n2
+            mu = 1 + 2 * n1 * n2 / n
+            var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+            assert abs(r["runs_z"] - (runs - mu) / math.sqrt(var)) < 1e-4
+
+
+def test_mann_kendall_matches_hand_recompute(spark):
+    """S, tau and z must match the textbook pairwise recompute with
+    tie correction."""
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r7 import a_mann_kendall
+
+    pdf = _events_pdf()
+    pdf = pdf[pdf["value"] > 0].sort_values(["ts", "event_id"])
+    rows = {r["event_type"]: r for r in a_mann_kendall(spark, SF_DIR).collect()}
+    for et, grp in pdf.groupby("event_type"):
+        c = grp.groupby(grp["ts"].dt.date)["value"].last().to_numpy()
+        n = len(c)
+        s = sum(
+            (1 if c[j] > c[i] else -1 if c[j] < c[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tc = sum(
+            t * (t - 1) * (2 * t + 5)
+            for t in Counter(c).values()
+            if t > 1
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tc) / 18
+        r = rows[et]
+        assert r["s_stat"] == s and r["n_days"] == n
+        m = n * (n - 1) // 2
+        assert abs(r["tau"] - s / m) < 1e-6
+        want_z = (
+            (s - 1) / math.sqrt(var)
+            if s > 0
+            else (s + 1) / math.sqrt(var)
+            if s < 0
+            else 0.0
+        )
+        assert abs(r["mk_z"] - want_z) < 1e-4
+
+
+def test_gopher_rules_census_consistent(spark):
+    """Pass count can never exceed docs minus the largest single-rule
+    failure count; ppm matches the exact ratio."""
+    from kp_crypto_market_analytics_spark.queries_r7 import t_gopher_rules
+
+    rows = t_gopher_rules(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        worst = max(
+            r["fail_len"], r["fail_wlen"], r["fail_stop"], r["fail_digit"]
+        )
+        assert 0 <= r["n_pass"] <= r["n_docs"] - worst
+        want_ppm = round(r["n_pass"] * 1_000_000 / r["n_docs"])
+        assert abs(r["pass_ppm"] - want_ppm) <= 1
