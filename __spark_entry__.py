@@ -111,6 +111,8 @@ _FIRST_SEEN_ROUND.update(
         "a_anova_f", "w_theil_sen", "t_quality_logreg", "t_rouge_eval",
         "a_survival_km", "a_info_gain_split",
         "w_runs_test", "a_mann_kendall", "t_gopher_rules",
+        "a_kruskal_wallis", "a_spearman_corr", "ti_ljung_box",
+        "t_js_divergence",
     )}
 )
 

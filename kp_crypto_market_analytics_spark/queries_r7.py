@@ -3201,3 +3201,518 @@ _R7_ORACLES_B2.update(
         "t_gopher_rules": _t_gopher_rules_sql,
     }
 )
+
+
+# --------------------------------------------------------- a_kruskal_wallis
+#
+# Round-7 batch 8: rank statistics (Kruskal-Wallis, Spearman), the
+# Ljung-Box portmanteau, and Jensen-Shannon source divergence.
+
+
+def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test (1952, public): do the per-type value
+    distributions differ, WITHOUT a_anova_f's normality assumption?
+    H from midranks of every event value across all types, with the
+    standard tie correction, plus the epsilon-squared effect size.
+
+    Determinism: the global rank rides range_partitioned_rank over
+    the TOTAL order (value, event_id); midranks are exact integers
+    (2x midrank = min+max of the tie block's contiguous ranks); rank
+    sums and the tie term fold as exact DECIMAL/HUGEINT integers;
+    the H chain is one identical IEEE expression over those
+    integers (per-type terms micro-rounded into an exact DECIMAL
+    fold so the cross-type sum is addition-order-free).
+
+    Scale shape: NO single-partition sort (the distributed range
+    rank), one shuffle on value for the tie blocks, |types|- and
+    |values|-row aggregates after that.  Rank-sum products are
+    DECIMAL(38,0)/HUGEINT, good past 1e18-row corpora."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select("event_type", "value", "event_id")
+    ranked = range_partitioned_rank(e, ["value", "event_id"], out_col="rn")
+    vr = ranked.groupBy("value").agg(
+        (F.min("rn") + F.max("rn")).alias("r2"),
+        F.count(F.lit(1)).alias("tcnt"),
+    )
+    cnt = ranked.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = "decimal(38,0)"
+    pt = (
+        cnt.join(vr.select("value", "r2"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c").cast(dec) * F.col("r2").cast(dec)).alias(
+                "r2sum"
+            ),
+            F.sum("c").alias("nj"),
+        )
+    )
+    r2d = F.col("r2sum").cast("double")
+    term = F.round(r2d * r2d / (F.lit(4.0) * F.col("nj")), 6).cast(
+        "decimal(38,6)"
+    )
+    terms = pt.select("event_type", "nj", term.alias("term"))
+    ties = vr.where(F.col("tcnt") > 1).agg(
+        F.coalesce(
+            F.sum(
+                F.col("tcnt").cast(dec)
+                * F.col("tcnt").cast(dec)
+                * F.col("tcnt").cast(dec)
+                - F.col("tcnt").cast(dec)
+            ),
+            F.lit(0).cast(dec),
+        ).alias("tie_sum")
+    )
+    agg = terms.agg(
+        F.sum("term").alias("tsum"),
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h_u = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("tsum").cast("double")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tie_sum").cast("double") / (
+        nd * nd * nd - nd
+    )
+    fin = agg.select(
+        "n",
+        "k",
+        F.when((F.col("n") > 1) & (corr > 0), h_u / corr).alias("h"),
+    )
+    eps = (F.col("h") - F.col("k") + F.lit(1.0)) / (
+        F.col("n") - F.col("k")
+    ).cast("double")
+    return fin.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").cast("long").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        (F.round(F.col("h"), 6) + F.lit(0.0)).alias("h_stat"),
+        F.when(
+            F.col("n") > F.col("k"), F.round(eps, 6) + F.lit(0.0)
+        ).alias("epsilon_sq"),
+    )
+
+
+A_KRUSKAL_WALLIS_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+    row_number() OVER (ORDER BY value, event_id) AS rn
+  FROM events
+), vr AS (
+  SELECT value, MIN(rn) + MAX(rn) AS r2, COUNT(*) AS tcnt
+  FROM ranked GROUP BY 1
+), cnt AS (
+  SELECT value, event_type, COUNT(*) AS c FROM ranked GROUP BY 1, 2
+), pt AS (
+  SELECT event_type, SUM(CAST(c AS HUGEINT) * r2) AS r2sum,
+    SUM(c) AS nj
+  FROM cnt JOIN vr USING (value) GROUP BY 1
+), terms AS (
+  SELECT event_type, nj,
+    CAST(round(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE)
+      / (4.0 * nj), 6) AS DECIMAL(38,6)) AS term
+  FROM pt
+), ties AS (
+  SELECT coalesce(SUM(CAST(tcnt AS HUGEINT) * tcnt * tcnt - tcnt), 0)
+    AS tie_sum
+  FROM vr WHERE tcnt > 1
+), agg AS (
+  SELECT SUM(term) AS tsum, SUM(nj) AS n, COUNT(*) AS k
+  FROM terms
+), fin AS (
+  SELECT n, k,
+    CASE WHEN n > 1 AND 1.0 - CAST(tie_sum AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          - CAST(n AS DOUBLE)) > 0
+      THEN (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+          * CAST(tsum AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        / (1.0 - CAST(tie_sum AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+            - CAST(n AS DOUBLE)))
+      END AS h
+  FROM agg CROSS JOIN ties
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_groups,
+  CAST(k - 1 AS BIGINT) AS dof,
+  round(h, 6) + 0.0 AS h_stat,
+  CASE WHEN n > k
+    THEN round((h - k + 1.0) / CAST(n - k AS DOUBLE), 6) + 0.0
+    END AS epsilon_sq
+FROM fin
+"""
+
+
+# --------------------------------------------------------- a_spearman_corr
+
+
+def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (1904, public) between daily close
+    and daily tick volume per symbol — the monotone-association
+    partner of a10_scalar_corr's Pearson: does price level track
+    activity, robust to outliers and nonlinearity?
+
+    Determinism: midranks are exact integers (2x midrank = min+max
+    of each tie block under the per-symbol total orders
+    (close, day) / (n_ticks, day)); the Pearson-on-ranks moments
+    fold as exact int64; variances are cast to double BEFORE their
+    product so nothing overflows.
+
+    Scale shape: the rank windows are per-symbol and CALENDAR-bounded
+    (|days| rows, never corpus-sized); one |symbol-days| join on the
+    (symbol, day) key; one |symbols|-row agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"]
+    closes = _daily_closes(e)
+    vols = (
+        e.where(F.col("value") > 0)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    j = closes.join(vols, ["event_type", "day"])
+    wc = Window.partitionBy("event_type").orderBy("close", "day")
+    wv = Window.partitionBy("event_type").orderBy("nt", "day")
+    r = j.select(
+        "event_type",
+        "close",
+        "nt",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wv).alias("rv"),
+    )
+    pc = Window.partitionBy("event_type", "close")
+    pv = Window.partitionBy("event_type", "nt")
+    r2 = r.select(
+        "event_type",
+        (F.min("rc").over(pc) + F.max("rc").over(pc)).alias("x"),
+        (F.min("rv").over(pv) + F.max("rv").over(pv)).alias("y"),
+    )
+    agg = r2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * vy), 6) + F.lit(0.0),
+        ).alias("spearman_rho"),
+    ).orderBy("event_type")
+
+
+A_SPEARMAN_CORR_SQL = f"""
+WITH closes AS ({_CLOSES_SQL}),
+vols AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS nt
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), j AS (
+  SELECT event_type, day, close, nt FROM closes JOIN vols
+  USING (event_type, day)
+), r AS (
+  SELECT event_type, close, nt,
+    row_number() OVER (PARTITION BY event_type ORDER BY close, day)
+      AS rc,
+    row_number() OVER (PARTITION BY event_type ORDER BY nt, day) AS rv
+  FROM j
+), r2 AS (
+  SELECT event_type,
+    MIN(rc) OVER (PARTITION BY event_type, close)
+      + MAX(rc) OVER (PARTITION BY event_type, close) AS x,
+    MIN(rv) OVER (PARTITION BY event_type, nt)
+      + MAX(rv) OVER (PARTITION BY event_type, nt) AS y
+  FROM r
+), agg AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM r2 GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+      AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+    END AS spearman_rho
+FROM agg ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------ ti_ljung_box
+
+_LB_LAGS = 10
+
+
+def ti_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (1978, public) on daily log returns
+    per symbol: Q = n(n+2) * sum_k rho_k^2/(n-k) over lags 1..10,
+    where rho_k is the common-mean autocorrelation — "is there ANY
+    serial dependence left?", the whiteness gate every returns model
+    (and ti_acf's per-lag view) reports.
+
+    Determinism: returns quantize to nano-unit BIGINT (the ti_sharpe
+    recipe); every lagged cross-moment folds as exact DECIMAL(38,0)
+    (HUGEINT in the oracle); rho_k is an exact-integer ratio taken in
+    double, and the 10-term Q sum is ONE literal left-associated IEEE
+    expression — no addition-order ambiguity anywhere.
+
+    Scale shape: day-bounded close window + ONE calendar-bounded lag
+    window emitting all 10 lag columns; a single map-side-combined
+    33-slot agg; |symbols| rows out."""
+    t = load_tables(spark, sf_dir, ["events"])
+    closes = _daily_closes(t["events"])
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        closes.withColumn(
+            "r", F.log(F.col("close") / F.lag("close").over(w))
+        )
+        .where(F.col("r").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("r") * F.lit(1e9), 0).cast("long").alias("x"),
+        )
+    )
+    lagged = rets.select(
+        "event_type",
+        "x",
+        *[
+            F.lag("x", k).over(w).alias(f"y{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    dec = "decimal(38,0)"
+    xd = F.col("x").cast(dec)
+    aggs = [
+        F.count("x").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(xd * xd).alias("sxx"),
+    ]
+    for k in range(1, _LB_LAGS + 1):
+        yd = F.col(f"y{k}").cast(dec)
+        aggs += [
+            F.sum(xd * yd).alias(f"p{k}"),
+            F.sum(F.when(F.col(f"y{k}").isNotNull(), F.col("x"))).alias(
+                f"a{k}"
+            ),
+            F.sum(f"y{k}").alias(f"b{k}"),
+        ]
+    g = lagged.groupBy("event_type").agg(*aggs)
+    nd_ = F.col("n").cast(dec)
+    sd_ = F.col("s").cast(dec)
+    den = nd_ * (nd_ * F.col("sxx") - sd_ * sd_)
+    nD = F.col("n").cast("double")
+
+    def rho(k: int) -> F.Column:
+        num = (
+            nd_ * nd_ * F.col(f"p{k}")
+            - nd_ * sd_ * (F.col(f"a{k}") + F.col(f"b{k}")).cast(dec)
+            + (F.col("n") - F.lit(k)).cast(dec) * sd_ * sd_
+        )
+        return num.cast("double") / den.cast("double")
+
+    q_sum = None
+    for k in range(1, _LB_LAGS + 1):
+        term = rho(k) * rho(k) / (nD - F.lit(float(k)))
+        q_sum = term if q_sum is None else q_sum + term
+    ok = (F.col("n") > _LB_LAGS) & (den.cast("double") > 0)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(_LB_LAGS).cast("long").alias("dof"),
+        F.when(ok, F.round(rho(1), 6) + F.lit(0.0)).alias("acf1"),
+        F.when(
+            ok,
+            F.round(nD * (nD + F.lit(2.0)) * q_sum, 6) + F.lit(0.0),
+        ).alias("lb_q"),
+    ).orderBy("event_type")
+
+
+def _ti_ljung_box_sql() -> str:
+    lag_cols = ",\n    ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    agg_cols = ",\n    ".join(
+        f"SUM(CAST(x AS HUGEINT) * y{k}) AS p{k},\n"
+        f"    SUM(CASE WHEN y{k} IS NOT NULL THEN x END) AS a{k},\n"
+        f"    SUM(y{k}) AS b{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+
+    def rho(k: int) -> str:
+        return (
+            f"(CAST(n * n * p{k} - n * s * (a{k} + b{k})"
+            f" + (n - {k}) * s * s AS DOUBLE)"
+            f" / CAST(n * (n * sxx - s * s) AS DOUBLE))"
+        )
+
+    q_sum = " + ".join(
+        f"{rho(k)} * {rho(k)} / (CAST(n AS DOUBLE) - {float(k)!r})"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    ok = f"n > {_LB_LAGS} AND CAST(n * (n * sxx - s * s) AS DOUBLE) > 0"
+    return f"""
+WITH closes AS ({_CLOSES_SQL}),
+rets AS (
+  SELECT event_type, day,
+    CAST(round(ln(close / lag(close)
+      OVER (PARTITION BY event_type ORDER BY day)) * 1000000000.0, 0)
+      AS BIGINT) AS x
+  FROM closes
+  QUALIFY lag(close) OVER (PARTITION BY event_type ORDER BY day)
+    IS NOT NULL
+), lagged AS (
+  SELECT event_type, x,
+    {lag_cols}
+  FROM rets
+), g AS (
+  SELECT event_type, CAST(COUNT(x) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS s,
+    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+    {agg_cols}
+  FROM lagged GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CAST({_LB_LAGS} AS BIGINT) AS dof,
+  CASE WHEN {ok} THEN round({rho(1)}, 6) + 0.0 END AS acf1,
+  CASE WHEN {ok}
+    THEN round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+      * ({q_sum}), 6) + 0.0
+    END AS lb_q
+FROM g ORDER BY event_type
+"""
+
+
+# -------------------------------------------------------- t_js_divergence
+
+
+def t_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (Lin 1991, public) between each
+    source's unigram distribution and the corpus-wide distribution —
+    the symmetric, bounded [0,1]-bits drift measure corpus curation
+    reports next to dq_drift_psi's PSI: which domains are
+    lexically farthest from the mixture they feed?
+
+    Determinism: p, q, m are ratios of exact token-count integers;
+    each vocab-cell term is one identical IEEE p*log2(p/m) chain,
+    pico-rounded to BIGINT so the per-source sum is an exact integer
+    fold (the |vocab|-term sum would otherwise be
+    addition-order-dependent).
+
+    Scale shape: explode -> two map-side-combined count aggs; the
+    term frame is |vocab| x |sources| rows (vocabulary-bounded, the
+    dq_drift_psi precedent) co-shuffled on the token key; absent
+    (source, token) cells materialize ONLY in that bounded grid,
+    never at corpus grain."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks = d.select(
+        "source", F.explode(F.split(_norm_text(), " ")).alias("tok")
+    )
+    sw = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cw"))
+    srcs = toks.groupBy("source").agg(F.count(F.lit(1)).alias("src_toks"))
+    tot = toks.agg(F.sum(F.lit(1)).alias("all_toks"))
+    grid = (
+        srcs.crossJoin(wt)
+        .join(sw, ["source", "tok"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c").cast("double") / F.col("src_toks").cast("double")
+    q = F.col("cw").cast("double") / F.col("all_toks").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * F.when(
+        F.col("c") > 0, p * F.log2(p / m)
+    ).otherwise(F.lit(0.0)) + F.lit(0.5) * (q * F.log2(q / m))
+    tu = F.round(term * F.lit(1e12), 0).cast("long")
+    res = grid.select("source", "src_toks", "c", tu.alias("tu")).groupBy(
+        "source"
+    ).agg(
+        F.max("src_toks").alias("n_tokens"),
+        F.count(F.when(F.col("c") > 0, F.lit(1))).alias("n_vocab_hit"),
+        F.sum("tu").alias("su"),
+    )
+    return res.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_vocab_hit").cast("long").alias("n_vocab_hit"),
+        (F.round(F.col("su") / F.lit(1e12), 6) + F.lit(0.0)).alias(
+            "jsd_bits"
+        ),
+    ).orderBy("source")
+
+
+T_JS_DIVERGENCE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({NORM_TEXT_SQL}, ' ')) AS tok
+  FROM documents
+), sw AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), wt AS (SELECT tok, COUNT(*) AS cw FROM toks GROUP BY 1),
+srcs AS (SELECT source, COUNT(*) AS src_toks FROM toks GROUP BY 1),
+tot AS (SELECT COUNT(*) AS all_toks FROM toks),
+grid AS (
+  SELECT srcs.source, wt.tok, srcs.src_toks, wt.cw,
+    coalesce(sw.c, 0) AS c, tot.all_toks
+  FROM srcs CROSS JOIN wt
+  LEFT JOIN sw ON sw.source = srcs.source AND sw.tok = wt.tok
+  CROSS JOIN tot
+), terms AS (
+  SELECT source, src_toks, c,
+    CAST(round((
+      0.5 * (CASE WHEN c > 0
+        THEN (CAST(c AS DOUBLE) / CAST(src_toks AS DOUBLE))
+          * log2((CAST(c AS DOUBLE) / CAST(src_toks AS DOUBLE))
+            / ((CAST(c AS DOUBLE) / CAST(src_toks AS DOUBLE)
+              + CAST(cw AS DOUBLE) / CAST(all_toks AS DOUBLE)) / 2.0))
+        ELSE 0.0 END)
+      + 0.5 * ((CAST(cw AS DOUBLE) / CAST(all_toks AS DOUBLE))
+        * log2((CAST(cw AS DOUBLE) / CAST(all_toks AS DOUBLE))
+          / ((CAST(c AS DOUBLE) / CAST(src_toks AS DOUBLE)
+            + CAST(cw AS DOUBLE) / CAST(all_toks AS DOUBLE)) / 2.0)))
+      ) * 1000000000000.0, 0) AS BIGINT) AS tu
+  FROM grid
+)
+SELECT source, CAST(MAX(src_toks) AS BIGINT) AS n_tokens,
+  CAST(COUNT(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_vocab_hit,
+  round(SUM(tu) / 1000000000000.0, 6) + 0.0 AS jsd_bits
+FROM terms GROUP BY 1 ORDER BY source
+"""
+
+
+R7_QUERIES.update(
+    {
+        "a_kruskal_wallis": a_kruskal_wallis,
+        "a_spearman_corr": a_spearman_corr,
+        "ti_ljung_box": ti_ljung_box,
+        "t_js_divergence": t_js_divergence,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "a_kruskal_wallis": lambda: A_KRUSKAL_WALLIS_SQL,
+        "a_spearman_corr": lambda: A_SPEARMAN_CORR_SQL,
+        "ti_ljung_box": _ti_ljung_box_sql,
+        "t_js_divergence": lambda: T_JS_DIVERGENCE_SQL,
+    }
+)

@@ -789,3 +789,145 @@ def test_gopher_rules_census_consistent(spark):
         assert 0 <= r["n_pass"] <= r["n_docs"] - worst
         want_ppm = round(r["n_pass"] * 1_000_000 / r["n_docs"])
         assert abs(r["pass_ppm"] - want_ppm) <= 1
+
+
+def test_kruskal_wallis_matches_average_rank_recompute(spark):
+    """H with tie correction must match the textbook midrank
+    recompute (pandas average ranks)."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        a_kruskal_wallis,
+    )
+
+    pdf = _events_pdf()
+    ranks = pdf["value"].rank(method="average")
+    n = len(pdf)
+    rsum = 0.0
+    groups = pdf.groupby("event_type").groups
+    for _, idx in groups.items():
+        rj = float(ranks.loc[idx].sum())
+        rsum += rj * rj / len(idx)
+    h = 12.0 / (n * (n + 1)) * rsum - 3.0 * (n + 1)
+    from collections import Counter
+
+    tie = sum(
+        t**3 - t for t in Counter(pdf["value"]).values() if t > 1
+    )
+    h /= 1.0 - tie / (n**3 - n)
+    r = a_kruskal_wallis(spark, SF_DIR).collect()[0]
+    assert r["n_rows"] == n and r["k_groups"] == len(groups)
+    assert r["dof"] == len(groups) - 1
+    assert abs(r["h_stat"] - h) < 1e-4
+    want_eps = (h - len(groups) + 1) / (n - len(groups))
+    assert abs(r["epsilon_sq"] - want_eps) < 1e-6
+
+
+def _daily_frames():
+    """Per-type pandas frame of (day, close, n_ticks) mirroring
+    _daily_closes + the positive-tick volume."""
+    pdf = _events_pdf()
+    pdf = pdf[pdf["value"] > 0].sort_values(["ts", "event_id"])
+    out = {}
+    for et, grp in pdf.groupby("event_type"):
+        day = grp["ts"].dt.date
+        close = grp.groupby(day)["value"].last()
+        nt = grp.groupby(day)["value"].count()
+        out[et] = (close, nt)
+    return out
+
+
+def test_spearman_matches_pandas(spark):
+    """rho must equal pandas' spearman correlation of daily close vs
+    daily tick count."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        a_spearman_corr,
+    )
+
+    rows = {
+        r["event_type"]: r
+        for r in a_spearman_corr(spark, SF_DIR).collect()
+    }
+    for et, (close, nt) in _daily_frames().items():
+        want = close.rank(method="average").corr(
+            nt.rank(method="average")
+        )
+        r = rows[et]
+        assert r["n_days"] == len(close)
+        assert abs(r["spearman_rho"] - want) < 1e-4
+
+
+def test_ljung_box_matches_recompute(spark):
+    """Q must match the statsmodels-style recompute over the same
+    nano-quantized return series."""
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        _LB_LAGS,
+        ti_ljung_box,
+    )
+
+    rows = {
+        r["event_type"]: r for r in ti_ljung_box(spark, SF_DIR).collect()
+    }
+    for et, (close, _) in _daily_frames().items():
+        c = close.to_numpy()
+        x = np.round(np.log(c[1:] / c[:-1]) * 1e9)
+        n = len(x)
+        r = rows[et]
+        assert r["n_days"] == n and r["dof"] == _LB_LAGS
+        if n <= _LB_LAGS:
+            assert r["lb_q"] is None
+            continue
+        xm = x - x.mean()
+        den = float((xm * xm).sum())
+        q = 0.0
+        for k in range(1, _LB_LAGS + 1):
+            rho = float((xm[k:] * xm[:-k]).sum()) / den
+            if k == 1:
+                assert abs(r["acf1"] - rho) < 1e-6
+            q += rho * rho / (n - k)
+        q *= n * (n + 2)
+        assert abs(r["lb_q"] - q) < 1e-4
+
+
+def test_js_divergence_bounded_and_matches_recompute(spark):
+    """JSD must lie in [0, 1] bits and match a direct python
+    recompute from the same token counts."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        t_js_divergence,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for src, text in docs:
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        per_src.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    tt = sum(corpus.values())
+    rows = {
+        r["source"]: r for r in t_js_divergence(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(per_src)
+    for src, cnt in per_src.items():
+        ts = sum(cnt.values())
+        jsd = 0.0
+        for w, cw in corpus.items():
+            p = cnt.get(w, 0) / ts
+            q = cw / tt
+            m = (p + q) / 2.0
+            if p > 0:
+                jsd += 0.5 * p * math.log2(p / m)
+            jsd += 0.5 * q * math.log2(q / m)
+        r = rows[src]
+        assert r["n_tokens"] == ts
+        assert r["n_vocab_hit"] == len(cnt)
+        assert 0.0 <= r["jsd_bits"] <= 1.0
+        assert abs(r["jsd_bits"] - jsd) < 1e-5
