@@ -113,6 +113,7 @@ _FIRST_SEEN_ROUND.update(
         "w_runs_test", "a_mann_kendall", "t_gopher_rules",
         "a_kruskal_wallis", "a_spearman_corr", "ti_ljung_box",
         "t_js_divergence",
+        "e_silhouette", "a_ab_lift", "a_did_estimator", "er_name_match",
     )}
 )
 

@@ -3716,3 +3716,524 @@ _R7_ORACLES_B2.update(
         "t_js_divergence": lambda: T_JS_DIVERGENCE_SQL,
     }
 )
+
+
+# ------------------------------------------------------------ e_silhouette
+#
+# Round-7 batch 9: clustering quality (silhouette), the
+# experimentation pair (A/B lift + diff-in-diff), and blocked entity
+# resolution.
+
+_SIL_D = 64
+
+
+def e_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Rousseeuw 1987 / the centroid variant
+    every large-scale clustering eval uses, public) of the labeled
+    embedding table: per vector a = distance to its own label
+    centroid, b = distance to the nearest OTHER centroid,
+    s = (b-a)/max(a,b); reported per label with the count of
+    negative-silhouette (misplaced) vectors.  The cluster-quality
+    score that complements e_label_centroid_audit's accuracy view.
+
+    Determinism: centroid means and squared distances fold through
+    DECIMAL(27,12) (the e_label_centroid_audit recipe); the
+    sqrt/ratio chain is identical IEEE over those exact decimals;
+    per-vector s micro-rounds to BIGINT so the per-label mean is an
+    exact signed half-away integer division.
+
+    Scale shape: the IVF assignment shape — |labels|x64 centroid
+    partials broadcast, the fan-out absorbed map-side, only skinny
+    (vec_id, label, c_label, d2) rows shuffle; the argmin-over-others
+    is a per-vector conditional MIN over |labels| rows."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    x = ensure_parallelism(t["embeddings"]).select(
+        "vec_id",
+        "label",
+        F.posexplode(to_double_array("embedding")).alias("i", "xv"),
+    )
+    cent = x.groupBy(F.col("label").alias("c_label"), "i").agg(
+        (
+            F.sum(F.col("xv").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    d = (
+        x.join(F.broadcast(cent), "i")
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            ((F.col("xv") - F.col("m")) * (F.col("xv") - F.col("m")))
+            .cast("decimal(27,12)")
+            .alias("t2"),
+        )
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum("t2").alias("d2"))
+    )
+    pv = d.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("c_label") == F.col("label"), F.col("d2"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("c_label") != F.col("label"), F.col("d2"))
+        ).alias("b2"),
+    )
+    a = F.sqrt(F.col("a2").cast("double"))
+    b = F.sqrt(F.col("b2").cast("double"))
+    mx = F.greatest(a, b)
+    s = F.when(mx > 0, (b - a) / mx).otherwise(F.lit(0.0))
+    su = F.round(s * F.lit(1e6), 0).cast("long")
+    g = pv.select("label", su.alias("su")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("su").alias("ssum"),
+        F.count(F.when(F.col("su") < 0, F.lit(1))).alias("nneg"),
+    )
+    q = F.call_function(
+        "div",
+        F.lit(2) * F.abs(F.col("ssum")) + F.col("n"),
+        F.lit(2) * F.col("n"),
+    )
+    sign = F.when(F.col("ssum") < 0, F.lit(-1)).otherwise(F.lit(1))
+    return g.select(
+        "label",
+        F.col("n").cast("long").alias("n_vecs"),
+        F.col("nneg").cast("long").alias("n_negative"),
+        ((sign * q) / F.lit(1000000.0)).alias("mean_silhouette"),
+    ).orderBy("label")
+
+
+E_SILHOUETTE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+), idx AS MATERIALIZED (
+  SELECT vec_id, label, x, unnest(generate_series(1, {_SIL_D})) AS i
+  FROM e
+), cent AS MATERIALIZED (
+  SELECT label AS c_label, i,
+    CAST(SUM(CAST(x[i] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM idx GROUP BY 1, 2
+), d AS MATERIALIZED (
+  SELECT vec_id, label, c_label,
+    SUM(CAST((x[i] - m) * (x[i] - m) AS DECIMAL(27,12))) AS d2
+  FROM idx JOIN cent USING (i)
+  GROUP BY 1, 2, 3
+), pv AS (
+  SELECT vec_id, label,
+    MIN(CASE WHEN c_label = label THEN d2 END) AS a2,
+    MIN(CASE WHEN c_label <> label THEN d2 END) AS b2
+  FROM d GROUP BY 1, 2
+), s AS (
+  SELECT label,
+    CAST(round(
+      CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+          sqrt(CAST(b2 AS DOUBLE))) > 0
+        THEN (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+          / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+        ELSE 0.0 END * 1000000.0, 0) AS BIGINT) AS su
+  FROM pv
+), g AS (
+  SELECT label, COUNT(*) AS n, SUM(su) AS ssum,
+    COUNT(CASE WHEN su < 0 THEN 1 END) AS nneg
+  FROM s GROUP BY 1
+)
+SELECT label, CAST(n AS BIGINT) AS n_vecs,
+  CAST(nneg AS BIGINT) AS n_negative,
+  (CASE WHEN ssum < 0 THEN -1 ELSE 1 END
+    * ((2 * abs(ssum) + n) // (2 * n))) / 1000000.0 AS mean_silhouette
+FROM g ORDER BY label
+"""
+
+
+# --------------------------------------------------------------- a_ab_lift
+
+_AB_SALT = "#ab"
+_AB_URGENT = "1-URGENT"
+
+
+def a_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the customer universe: variant by
+    deterministic hash bucket, conversion = placed at least one
+    1-URGENT order; reports the sample-ratio-mismatch chi-square
+    (the assignment-health gate every experimentation platform runs
+    first) and the pooled two-proportion z for the conversion lift.
+
+    Determinism: assignment is the portable 60-bit md5 hash mod 2;
+    all counts are exact integers; conversion ppm is exact half-away
+    division; the SRM and z chains are single identical IEEE
+    expressions over those integers.
+
+    Scale shape: one broadcast-free semi-aggregate over orders
+    (customer-grain bool_or), one join to the customer universe, ONE
+    global map-side-combined agg row.  Nothing wider than |customers|
+    ever shuffles."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    conv = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == _AB_URGENT, F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias("conv")
+        )
+    )
+    v = hash64(
+        F.concat(F.col("c_custkey").cast("string"), F.lit(_AB_SALT))
+    ) % 2
+    u = (
+        t["customer"]
+        .select(F.col("c_custkey").alias("o_custkey"), v.alias("v"))
+        .join(conv, "o_custkey", "left")
+        .withColumn("conv", F.coalesce(F.col("conv"), F.lit(0)))
+    )
+    g = u.agg(
+        F.count(F.when(F.col("v") == 0, F.lit(1))).alias("na"),
+        F.count(F.when(F.col("v") == 1, F.lit(1))).alias("nb"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv"))).alias("ca"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv"))).alias("cb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    ntot = na + nb
+    e_half = ntot / F.lit(2.0)
+    srm = (na - e_half) * (na - e_half) / e_half + (nb - e_half) * (
+        nb - e_half
+    ) / e_half
+    pa, pb = ca / na, cb / nb
+    pp = (ca + cb) / ntot
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    ppm = lambda c, n: F.call_function(  # noqa: E731
+        "div", F.lit(2) * c * F.lit(1_000_000) + n, F.lit(2) * n
+    )
+    ok = (F.col("na") > 0) & (F.col("nb") > 0)
+    return g.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("ca").cast("long").alias("conv_a"),
+        F.col("cb").cast("long").alias("conv_b"),
+        ppm(F.col("ca"), F.col("na")).cast("long").alias("conv_a_ppm"),
+        ppm(F.col("cb"), F.col("nb")).cast("long").alias("conv_b_ppm"),
+        F.when(ok, F.round(srm, 6) + F.lit(0.0)).alias("srm_chi2"),
+        F.when(
+            ok & (se > 0), F.round((pb - pa) / se, 6) + F.lit(0.0)
+        ).alias("lift_z"),
+    )
+
+
+def _a_ab_lift_sql() -> str:
+    h = H60.format(x=f"CAST(c_custkey AS VARCHAR) || '{_AB_SALT}'")
+    return f"""
+WITH conv AS (
+  SELECT o_custkey,
+    MAX(CASE WHEN o_orderpriority = '{_AB_URGENT}' THEN 1 ELSE 0 END)
+      AS conv
+  FROM orders GROUP BY 1
+), u AS (
+  SELECT ({h}) % 2 AS v, coalesce(conv.conv, 0) AS conv
+  FROM customer LEFT JOIN conv ON conv.o_custkey = c_custkey
+), g AS (
+  SELECT COUNT(CASE WHEN v = 0 THEN 1 END) AS na,
+    COUNT(CASE WHEN v = 1 THEN 1 END) AS nb,
+    SUM(CASE WHEN v = 0 THEN conv END) AS ca,
+    SUM(CASE WHEN v = 1 THEN conv END) AS cb
+  FROM u
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+  CAST((2 * ca * 1000000 + na) // (2 * na) AS BIGINT) AS conv_a_ppm,
+  CAST((2 * cb * 1000000 + nb) // (2 * nb) AS BIGINT) AS conv_b_ppm,
+  CASE WHEN na > 0 AND nb > 0 THEN round(
+    (CAST(na AS DOUBLE) - (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / 2.0)
+      * (CAST(na AS DOUBLE) - (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        / 2.0)
+      / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / 2.0)
+    + (CAST(nb AS DOUBLE) - (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        / 2.0)
+      * (CAST(nb AS DOUBLE) - (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        / 2.0)
+      / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) / 2.0), 6) + 0.0
+    END AS srm_chi2,
+  CASE WHEN na > 0 AND nb > 0 AND sqrt(
+      ((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+      * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+      * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) > 0
+    THEN round((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+        - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      / sqrt(((CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        * (1.0 - (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+          / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)
+      + 0.0
+    END AS lift_z
+FROM g
+"""
+
+
+# --------------------------------------------------------- a_did_estimator
+
+_DID_SALT = "#did"
+_DID_CUTOVER = "2024-01-16"
+
+
+def a_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994
+    lineage, public) on purchase values: treatment group by
+    deterministic user hash, periods split at the cutover date;
+    DID = (treated_post - treated_pre) - (control_post - control_pre)
+    over per-cell mean purchase value.  The quasi-experimental
+    partner of a_ab_lift for launches without randomized assignment.
+
+    Determinism: all four cell means are EXACT half-away micro
+    divisions of DECIMAL(18,6) sums (round_mean_micro), so the DID
+    arithmetic is exact micro-integer subtraction rendered in double.
+
+    Scale shape: ONE map-side-combined global agg with eight
+    conditional slots over the filtered event scan — the cheapest
+    possible shape; nothing shuffles beyond one row."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].where(F.col("event_type") == "purchase")
+    treat = (
+        hash64(F.concat(F.col("user_id").cast("string"), F.lit(_DID_SALT)))
+        % 2
+    )
+    post = F.to_date("ts") >= F.lit(_DID_CUTOVER).cast("date")
+    vdec = F.col("value").cast("decimal(18,6)")
+    cells = e.select(treat.alias("tr"), post.alias("po"), vdec.alias("v"))
+
+    def cell(trv: int, pov: bool, what: str) -> F.Column:
+        cond = (F.col("tr") == trv) & (F.col("po") == F.lit(pov))
+        if what == "n":
+            return F.count(F.when(cond, F.lit(1)))
+        return F.sum(F.when(cond, F.col("v")))
+
+    g = cells.agg(
+        cell(1, True, "n").alias("n_tp"),
+        cell(1, False, "n").alias("n_tr"),
+        cell(0, True, "n").alias("n_cp"),
+        cell(0, False, "n").alias("n_cr"),
+        cell(1, True, "s").alias("s_tp"),
+        cell(1, False, "s").alias("s_tr"),
+        cell(0, True, "s").alias("s_cp"),
+        cell(0, False, "s").alias("s_cr"),
+    )
+
+    def mean(sfx: str) -> F.Column:
+        return F.when(
+            F.col(f"n_{sfx}") > 0,
+            round_mean_micro(F.col(f"s_{sfx}"), F.col(f"n_{sfx}")),
+        )
+
+    m_tp, m_tr = mean("tp"), mean("tr")
+    m_cp, m_cr = mean("cp"), mean("cr")
+    return g.select(
+        F.col("n_tp").cast("long").alias("n_treat_post"),
+        F.col("n_tr").cast("long").alias("n_treat_pre"),
+        F.col("n_cp").cast("long").alias("n_ctrl_post"),
+        F.col("n_cr").cast("long").alias("n_ctrl_pre"),
+        m_tp.alias("mean_treat_post"),
+        m_tr.alias("mean_treat_pre"),
+        m_cp.alias("mean_ctrl_post"),
+        m_cr.alias("mean_ctrl_pre"),
+        (
+            F.round((m_tp - m_tr) - (m_cp - m_cr), 6) + F.lit(0.0)
+        ).alias("did_estimate"),
+    )
+
+
+def _a_did_estimator_sql() -> str:
+    h = H60.format(x=f"CAST(user_id AS VARCHAR) || '{_DID_SALT}'")
+    means = {
+        sfx: sql_round_mean_micro(f"s_{sfx}", f"n_{sfx}")
+        for sfx in ("tp", "tr", "cp", "cr")
+    }
+    guard = {
+        sfx: f"CASE WHEN n_{sfx} > 0 THEN {means[sfx]} END"
+        for sfx in means
+    }
+    return f"""
+WITH cells AS (
+  SELECT ({h}) % 2 AS tr,
+    CAST(ts AS DATE) >= DATE '{_DID_CUTOVER}' AS po,
+    CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT
+    COUNT(CASE WHEN tr = 1 AND po THEN 1 END) AS n_tp,
+    COUNT(CASE WHEN tr = 1 AND NOT po THEN 1 END) AS n_tr,
+    COUNT(CASE WHEN tr = 0 AND po THEN 1 END) AS n_cp,
+    COUNT(CASE WHEN tr = 0 AND NOT po THEN 1 END) AS n_cr,
+    SUM(CASE WHEN tr = 1 AND po THEN v END) AS s_tp,
+    SUM(CASE WHEN tr = 1 AND NOT po THEN v END) AS s_tr,
+    SUM(CASE WHEN tr = 0 AND po THEN v END) AS s_cp,
+    SUM(CASE WHEN tr = 0 AND NOT po THEN v END) AS s_cr
+  FROM cells
+)
+SELECT CAST(n_tp AS BIGINT) AS n_treat_post,
+  CAST(n_tr AS BIGINT) AS n_treat_pre,
+  CAST(n_cp AS BIGINT) AS n_ctrl_post,
+  CAST(n_cr AS BIGINT) AS n_ctrl_pre,
+  {guard['tp']} AS mean_treat_post,
+  {guard['tr']} AS mean_treat_pre,
+  {guard['cp']} AS mean_ctrl_post,
+  {guard['cr']} AS mean_ctrl_pre,
+  round(({guard['tp']} - {guard['tr']})
+    - ({guard['cp']} - {guard['cr']}), 6) + 0.0 AS did_estimate
+FROM g
+"""
+
+
+# ---------------------------------------------------------- er_name_match
+
+_ER_SIM_PPM = 800_000
+
+
+def er_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over the part catalog (Fellegi &
+    Sunter 1969 lineage, public): candidate pairs via (brand, name
+    token) blocking — never all-pairs — scored by exact Levenshtein
+    similarity; per brand the census of parts, candidate pairs,
+    matches above the 0.8 similarity threshold, and exact-name
+    duplicates.  The record-linkage shape every catalog/CRM
+    deduplication pipeline runs.
+
+    Determinism: Levenshtein is the standard DP metric in both
+    engines; the similarity ratio is an exact half-away ppm of
+    (max_len - lev) / max_len; all census values are integers.
+
+    Scale shape: the inverted-index block join bounds candidates by
+    block size (brand x token), the ER analog of the dedup family's
+    LSH bucketing; a df-cap on hub tokens is the documented skew
+    lever (operators/dedup.py precedent).  Pairs dedup on the key
+    (brand, a, b) BEFORE scoring so Levenshtein runs once per pair."""
+    t = load_tables(spark, sf_dir, ["part"])
+    p = t["part"].select("p_partkey", "p_brand", "p_name")
+    toks = p.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.explode(F.split("p_name", " ")).alias("tok"),
+    )
+    a = toks.select(
+        F.col("p_brand").alias("brand"),
+        "tok",
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+    )
+    b = toks.select(
+        F.col("p_brand").alias("brand"),
+        "tok",
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["brand", "tok"])
+        .where(F.col("ka") < F.col("kb"))
+        .select("brand", "ka", "kb", "na", "nb")
+        .distinct()
+    )
+    lev = F.levenshtein("na", "nb")
+    mx = F.greatest(F.length("na"), F.length("nb"))
+    sim_ppm = F.call_function(
+        "div",
+        F.lit(2) * (mx - lev) * F.lit(1_000_000) + mx,
+        F.lit(2) * mx,
+    )
+    scored = pairs.select(
+        "brand",
+        sim_ppm.alias("sim_ppm"),
+        (F.col("na") == F.col("nb")).alias("exact"),
+    )
+    nparts = p.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    cen = scored.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_cand_pairs"),
+        F.count(
+            F.when(F.col("sim_ppm") >= _ER_SIM_PPM, F.lit(1))
+        ).alias("n_matched"),
+        F.count(F.when(F.col("exact"), F.lit(1))).alias("n_exact"),
+    )
+    return (
+        nparts.join(cen, "brand", "left")
+        .select(
+            "brand",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.coalesce(F.col("n_cand_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_cand_pairs"),
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_exact"),
+        )
+        .orderBy("brand")
+    )
+
+
+ER_NAME_MATCH_SQL = f"""
+WITH toks AS (
+  SELECT p_partkey, p_brand, p_name,
+    unnest(string_split(p_name, ' ')) AS tok
+  FROM part
+), pairs AS (
+  SELECT DISTINCT a.p_brand AS brand, a.p_partkey AS ka,
+    b.p_partkey AS kb, a.p_name AS na, b.p_name AS nb
+  FROM toks a JOIN toks b
+    ON a.p_brand = b.p_brand AND a.tok = b.tok
+    AND a.p_partkey < b.p_partkey
+), scored AS (
+  SELECT brand,
+    (2 * (greatest(length(na), length(nb)) - levenshtein(na, nb))
+        * 1000000 + greatest(length(na), length(nb)))
+      // (2 * greatest(length(na), length(nb))) AS sim_ppm,
+    na = nb AS exact
+  FROM pairs
+), np AS (
+  SELECT p_brand AS brand, COUNT(*) AS n_parts FROM part GROUP BY 1
+), cen AS (
+  SELECT brand, COUNT(*) AS n_cand_pairs,
+    COUNT(CASE WHEN sim_ppm >= {_ER_SIM_PPM} THEN 1 END) AS n_matched,
+    COUNT(CASE WHEN exact THEN 1 END) AS n_exact
+  FROM scored GROUP BY 1
+)
+SELECT np.brand, CAST(n_parts AS BIGINT) AS n_parts,
+  CAST(coalesce(n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+  CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched,
+  CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact
+FROM np LEFT JOIN cen ON cen.brand = np.brand
+ORDER BY np.brand
+"""
+
+
+R7_QUERIES.update(
+    {
+        "e_silhouette": e_silhouette,
+        "a_ab_lift": a_ab_lift,
+        "a_did_estimator": a_did_estimator,
+        "er_name_match": er_name_match,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "e_silhouette": lambda: E_SILHOUETTE_SQL,
+        "a_ab_lift": _a_ab_lift_sql,
+        "a_did_estimator": _a_did_estimator_sql,
+        "er_name_match": lambda: ER_NAME_MATCH_SQL,
+    }
+)

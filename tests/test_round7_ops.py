@@ -931,3 +931,170 @@ def test_js_divergence_bounded_and_matches_recompute(spark):
         assert r["n_vocab_hit"] == len(cnt)
         assert 0.0 <= r["jsd_bits"] <= 1.0
         assert abs(r["jsd_bits"] - jsd) < 1e-5
+
+
+def _hash60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_silhouette_matches_numpy_recompute(spark):
+    """Per-label mean simplified silhouette must match the numpy
+    centroid recompute; bounds hold."""
+    import duckdb
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_r7 import e_silhouette
+
+    rows = {r["label"]: r for r in e_silhouette(spark, SF_DIR).collect()}
+    raw = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    X = np.array([np.array(e, dtype=np.float64) for _, e in raw])
+    y = np.array([l for l, _ in raw])
+    cents = {l: X[y == l].mean(axis=0) for l in np.unique(y)}
+    for lab in np.unique(y):
+        s_vals = []
+        for v in X[y == lab]:
+            a = float(np.linalg.norm(v - cents[lab]))
+            b = min(
+                float(np.linalg.norm(v - c))
+                for l2, c in cents.items()
+                if l2 != lab
+            )
+            s_vals.append((b - a) / max(a, b) if max(a, b) > 0 else 0.0)
+        r = rows[int(lab)]
+        assert r["n_vecs"] == len(s_vals)
+        assert r["n_negative"] == sum(1 for s in s_vals if s < -5e-7)
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert abs(r["mean_silhouette"] - np.mean(s_vals)) < 1e-4
+
+
+def test_ab_lift_counts_and_direction(spark):
+    """Variant counts, conversions and the z sign must match the
+    python hash recompute."""
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        _AB_SALT,
+        a_ab_lift,
+    )
+
+    conv = dict(
+        duckdb.sql(
+            "SELECT o_custkey, MAX(CASE WHEN o_orderpriority ="
+            " '1-URGENT' THEN 1 ELSE 0 END)"
+            f" FROM '{SF_DIR}/orders.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    keys = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT c_custkey FROM '{SF_DIR}/customer.parquet'"
+        ).fetchall()
+    ]
+    n = [0, 0]
+    c = [0, 0]
+    for k in keys:
+        v = _hash60(f"{k}{_AB_SALT}") % 2
+        n[v] += 1
+        c[v] += conv.get(k, 0)
+    r = a_ab_lift(spark, SF_DIR).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n[0], n[1])
+    assert (r["conv_a"], r["conv_b"]) == (c[0], c[1])
+    assert r["conv_a_ppm"] == round(c[0] * 1_000_000 / n[0])
+    if r["lift_z"] is not None and abs(r["lift_z"]) > 1e-9:
+        assert (r["lift_z"] > 0) == (c[1] / n[1] > c[0] / n[0])
+
+
+def test_did_estimator_matches_pandas_cells(spark):
+    """Cell counts/means and the DID arithmetic must match a pandas
+    recompute with the same hash assignment and cutover."""
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        _DID_CUTOVER,
+        _DID_SALT,
+        a_did_estimator,
+    )
+
+    pdf = _events_pdf()
+    pdf = pdf[pdf["event_type"] == "purchase"].copy()
+    import duckdb
+
+    users = duckdb.sql(
+        f"SELECT event_id, user_id FROM '{SF_DIR}/events.parquet'"
+    ).df()
+    pdf = pdf.merge(users, on="event_id")
+    pdf["tr"] = pdf["user_id"].map(
+        lambda u: _hash60(f"{u}{_DID_SALT}") % 2
+    )
+    import datetime
+
+    cut = datetime.date.fromisoformat(_DID_CUTOVER)
+    pdf["po"] = pdf["ts"].dt.date >= cut
+    r = a_did_estimator(spark, SF_DIR).collect()[0]
+    cells = {}
+    for (tr, po), grp in pdf.groupby(["tr", "po"]):
+        cells[(tr, po)] = (len(grp), grp["value"].mean())
+    assert r["n_treat_post"] == cells.get((1, True), (0,))[0]
+    assert r["n_ctrl_pre"] == cells.get((0, False), (0,))[0]
+    for key, col in [
+        ((1, True), "mean_treat_post"),
+        ((1, False), "mean_treat_pre"),
+        ((0, True), "mean_ctrl_post"),
+        ((0, False), "mean_ctrl_pre"),
+    ]:
+        if key in cells:
+            assert abs(r[col] - cells[key][1]) < 1e-5
+    want = (r["mean_treat_post"] - r["mean_treat_pre"]) - (
+        r["mean_ctrl_post"] - r["mean_ctrl_pre"]
+    )
+    assert abs(r["did_estimate"] - want) < 1e-9
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_er_name_match_census_consistent(spark):
+    """Census ordering invariants hold, and one brand's pair census
+    matches a brute-force python recompute."""
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        _ER_SIM_PPM,
+        er_name_match,
+    )
+
+    rows = er_name_match(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_exact"] <= r["n_matched"] <= r["n_cand_pairs"]
+    brand = rows[0]["brand"]
+    parts = duckdb.sql(
+        "SELECT p_partkey, p_name FROM"
+        f" '{SF_DIR}/part.parquet' WHERE p_brand = '{brand}'"
+    ).fetchall()
+    cand = {}
+    for ka, na in parts:
+        for kb, nb in parts:
+            if ka < kb and set(na.split()) & set(nb.split()):
+                cand[(ka, kb)] = (na, nb)
+    n_match = n_exact = 0
+    for na, nb in cand.values():
+        mx = max(len(na), len(nb))
+        ppm = (2 * (mx - _lev(na, nb)) * 1_000_000 + mx) // (2 * mx)
+        n_match += ppm >= _ER_SIM_PPM
+        n_exact += na == nb
+    r0 = rows[0]
+    assert r0["n_parts"] == len(parts)
+    assert r0["n_cand_pairs"] == len(cand)
+    assert r0["n_matched"] == n_match and r0["n_exact"] == n_exact
