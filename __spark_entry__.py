@@ -114,6 +114,8 @@ _FIRST_SEEN_ROUND.update(
         "a_kruskal_wallis", "a_spearman_corr", "ti_ljung_box",
         "t_js_divergence",
         "e_silhouette", "a_ab_lift", "a_did_estimator", "er_name_match",
+        "g_adamic_adar", "w_pettitt_change", "a_mann_whitney",
+        "a_cohens_kappa",
     )}
 )
 

@@ -61,7 +61,19 @@ def range_partitioned_rank(
     ``cummax_out`` (the skyline / frontier primitive); with
     ``exclusive_max=True`` the frame excludes the current row
     (``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING`` — NULL on the
-    global first row), the form a dominance test wants."""
+    global first row), the form a dominance test wants.
+
+    The (__pid, __rn) frame is materialized ONCE (localCheckpoint —
+    executor-resident, never a driver collect) before the per-range
+    counts are taken.  Without it, the counts job and the output job
+    can each re-evaluate ``repartitionByRange``, whose BOUNDARY
+    SAMPLING is seeded per job: offsets computed under one boundary
+    set applied to local ranks from another silently shift every
+    rank (observed as a ±|range-width| error whenever Spark declined
+    to reuse the exchange between the two subtrees — e.g. with an
+    extra broadcast join in the consumer plan).  Contiguity makes
+    the FINAL rank boundary-independent only when both subtrees see
+    the SAME boundaries; the checkpoint pins that."""
     from pyspark.sql import Window
 
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -86,6 +98,7 @@ def range_partitioned_rank(
             F.max(mc).over(w_local.rowsBetween(Window.unboundedPreceding, hi)),
         )
         aggs.append(F.max(mc).alias("__m"))
+    local = local.localCheckpoint(eager=True)
     counts = local.groupBy("__pid").agg(*aggs)
     # Running offsets over the |ranges|-row counts frame via a
     # triangular self-join (strictly-smaller pids), not a window: the

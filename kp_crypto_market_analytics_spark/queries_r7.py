@@ -4237,3 +4237,571 @@ _R7_ORACLES_B2.update(
         "er_name_match": lambda: ER_NAME_MATCH_SQL,
     }
 )
+
+
+# ---------------------------------------------------------- g_adamic_adar
+#
+# Round-7 batch 10: Adamic-Adar link prediction, the Pettitt
+# changepoint test, Mann-Whitney U, and Cohen's kappa between the two
+# quality gates.
+
+
+def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, public) on
+    the co-purchase graph: AA(u,v) = sum over common neighbors z of
+    1/ln(deg(z)) — the degree-discounted counterpart of
+    g_jaccard_sim (rare shared neighbors count more than hubs).
+    Top-30 pairs by (aa desc, u, v) with the is_edge flag.
+
+    Determinism: degrees are exact integers; each wedge term
+    1/ln(deg) is one identical IEEE chain nano-rounded to BIGINT so
+    the per-pair sum is an exact integer fold (wedge centers always
+    have deg >= 2, so ln > 0).
+
+    Scale shape: same support-pruned wedge join as g_jaccard_sim
+    (session-cached edge build); the center-degree join happens at
+    wedge grain BEFORE the pair agg, so only (pu, pv, term) skinny
+    rows shuffle; degree cap on wedge centers is the documented hub
+    lever."""
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    from kp_crypto_market_analytics_spark.queries_mining import (
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    deg = adj.groupBy(F.col("m").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("deg").cast("double")) * F.lit(1e9), 0
+    ).cast("long")
+    wedge = (
+        adj.alias("x")
+        .join(
+            adj.alias("y"),
+            (F.col("x.n") == F.col("y.n")) & (F.col("x.m") < F.col("y.m")),
+        )
+        .join(deg.alias("d"), F.col("x.n") == F.col("d.node"))
+        .select(
+            F.col("x.m").alias("pu"),
+            F.col("y.m").alias("pv"),
+            term.alias("tu"),
+        )
+        .groupBy("pu", "pv")
+        .agg(F.count(F.lit(1)).alias("common"), F.sum("tu").alias("aa_u"))
+    )
+    scored = wedge.join(
+        edges.select(
+            F.col("u").alias("pu"), F.col("v").alias("pv"),
+            F.lit(True).alias("e"),
+        ),
+        ["pu", "pv"],
+        "left",
+    ).select(
+        F.col("pu").alias("u"),
+        F.col("pv").alias("v"),
+        F.col("common").cast("long").alias("common"),
+        (F.round(F.col("aa_u") / F.lit(1e9), 6) + F.lit(0.0)).alias("aa"),
+        F.coalesce("e", F.lit(False)).alias("is_edge"),
+    )
+    return top_k(
+        scored, [F.col("aa").desc(), F.col("u").asc(), F.col("v").asc()], 30
+    ).select("u", "v", "common", "aa", "is_edge")
+
+
+G_ADAMIC_ADAR_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), adj AS MATERIALIZED (
+  SELECT u AS n, v AS m FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS MATERIALIZED (
+  SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+), wedge AS (
+  SELECT x.m AS pu, y.m AS pv, CAST(COUNT(*) AS BIGINT) AS common,
+    SUM(CAST(round(1.0 / ln(CAST(d.deg AS DOUBLE)) * 1000000000.0, 0)
+      AS BIGINT)) AS aa_u
+  FROM adj x JOIN adj y ON x.n = y.n AND x.m < y.m
+  JOIN deg d ON d.node = x.n
+  GROUP BY 1, 2
+)
+SELECT pu AS u, pv AS v, common,
+  round(aa_u / 1000000000.0, 6) + 0.0 AS aa,
+  coalesce(e.is_edge, FALSE) AS is_edge
+FROM wedge
+LEFT JOIN (SELECT u, v, TRUE AS is_edge FROM edges) e
+  ON e.u = wedge.pu AND e.v = wedge.pv
+ORDER BY aa DESC, u, v LIMIT 30
+"""
+
+
+# -------------------------------------------------------- w_pettitt_change
+
+
+def w_pettitt_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (1979, public) on daily closes per
+    symbol: K = max_t |U_t| with U_t = sum_{i<=t} 2*midrank_i
+    - t(n+1), the rank-based single-changepoint locator, with the
+    standard p approximation 2*exp(-6K^2/(n^3+n^2)) — the
+    nonparametric partner of w_cusum (which tracks the mean, not the
+    distribution).
+
+    Determinism: midranks are exact integers (min+max of the tie
+    block under the per-symbol (close, day) total order); U_t is
+    pure integer arithmetic; the argmax day tie-breaks earliest; the
+    p chain is one identical IEEE expression capped at 1.
+
+    Scale shape: per-symbol CALENDAR-bounded windows only (|days|
+    rows each); one |symbols|-row agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    closes = _daily_closes(t["events"])
+    wr = Window.partitionBy("event_type").orderBy("close", "day")
+    pc = Window.partitionBy("event_type", "close")
+    wd = Window.partitionBy("event_type").orderBy("day")
+    r = closes.select(
+        "event_type", "day", "close", F.row_number().over(wr).alias("rn")
+    )
+    r2 = r.select(
+        "event_type",
+        "day",
+        (F.min("rn").over(pc) + F.max("rn").over(pc)).alias("r2"),
+    )
+    u = r2.select(
+        "event_type",
+        "day",
+        F.row_number().over(wd).alias("tix"),
+        F.sum("r2")
+        .over(wd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cr2"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("cr2") - F.col("tix") * (F.col("n") + 1)).alias("ut"),
+        "tix",
+    )
+    cand = u.where(F.col("tix") < F.col("n"))
+    wk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("ut")).desc(), F.col("day").asc()
+    )
+    best = (
+        cand.select(
+            "event_type",
+            "n",
+            "day",
+            F.abs(F.col("ut")).alias("k"),
+            F.row_number().over(wk).alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0)
+        * F.exp(F.lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd)),
+    )
+    return best.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("k_stat"),
+        F.col("day").alias("change_day"),
+        F.when(F.col("n") > 1, F.round(p, 6) + F.lit(0.0)).alias(
+            "p_approx"
+        ),
+    ).orderBy("event_type")
+
+
+W_PETTITT_CHANGE_SQL = f"""
+WITH closes AS ({_CLOSES_SQL}),
+r AS (
+  SELECT event_type, day, close,
+    row_number() OVER (PARTITION BY event_type ORDER BY close, day)
+      AS rn
+  FROM closes
+), r2 AS (
+  SELECT event_type, day,
+    MIN(rn) OVER (PARTITION BY event_type, close)
+      + MAX(rn) OVER (PARTITION BY event_type, close) AS r2
+  FROM r
+), u AS (
+  SELECT event_type, day,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS tix,
+    SUM(r2) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr2,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM r2
+), cand AS (
+  SELECT event_type, day, n, abs(cr2 - tix * (n + 1)) AS k,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY abs(cr2 - tix * (n + 1)) DESC, day) AS rk
+  FROM u WHERE tix < n
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CAST(k AS BIGINT) AS k_stat, day AS change_day,
+  CASE WHEN n > 1 THEN round(least(1.0,
+    2.0 * exp(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 6) + 0.0
+    END AS p_approx
+FROM cand WHERE rk = 1 ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------- a_mann_whitney
+
+
+def a_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (1947, public): weekend vs weekday value
+    distributions per event type — the nonparametric counterpart of
+    a_welch_ttest (same split, no normality assumption), reported
+    with the tie-corrected normal z (continuity-corrected) and the
+    rank-biserial effect size.
+
+    Determinism: within-type midranks derive from ONE global
+    range_partitioned_rank over the total order (event_type, value,
+    event_id) minus the type's broadcast offset — exact integers;
+    2U, the tie term and all products fold as exact
+    DECIMAL(38,0)/HUGEINT; the z and rank-biserial chains are single
+    identical IEEE expressions over those integers.
+
+    Scale shape: no single-partition sort (the distributed range
+    rank); tie blocks aggregate on (type, value); |types|-row
+    result.  Integer headroom to ~1e18-row types via the decimal
+    folds."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].select(
+        "event_type",
+        "value",
+        "event_id",
+        F.dayofweek("ts").isin(1, 7).alias("wknd"),
+    )
+    ranked = range_partitioned_rank(
+        e, ["event_type", "value", "event_id"], out_col="grn"
+    )
+    offs = ranked.groupBy("event_type").agg(
+        (F.min("grn") - 1).alias("off")
+    )
+    rn = ranked.join(F.broadcast(offs), "event_type").select(
+        "event_type",
+        "value",
+        "wknd",
+        (F.col("grn") - F.col("off")).alias("rn"),
+    )
+    blocks = rn.groupBy("event_type", "value").agg(
+        (F.min("rn") + F.max("rn")).alias("r2"),
+        F.count(F.lit(1)).alias("tcnt"),
+        F.count(F.when(F.col("wknd"), F.lit(1))).alias("a_v"),
+    )
+    dec = "decimal(38,0)"
+    g = blocks.groupBy("event_type").agg(
+        F.sum("a_v").alias("na"),
+        F.sum(F.col("tcnt") - F.col("a_v")).alias("nb"),
+        F.sum(F.col("a_v").cast(dec) * F.col("r2").cast(dec)).alias("r2a"),
+        F.sum(
+            F.when(
+                F.col("tcnt") > 1,
+                F.col("tcnt").cast(dec)
+                * F.col("tcnt").cast(dec)
+                * F.col("tcnt").cast(dec)
+                - F.col("tcnt").cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("tie_sum"),
+    )
+    u2 = F.col("r2a") - (
+        F.col("na").cast(dec) * (F.col("na") + 1).cast(dec)
+    )
+    mu2 = F.col("na").cast(dec) * F.col("nb").cast(dec)
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    nd = nad + nbd
+    var = (
+        nad
+        * nbd
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie_sum").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    u2d, mu2d = u2.cast("double"), mu2.cast("double")
+    zc = F.when(u2d > mu2d, u2d - mu2d - F.lit(1.0)).when(
+        u2d < mu2d, u2d - mu2d + F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    z = zc / (F.lit(2.0) * F.sqrt(var))
+    rb = u2d / mu2d - F.lit(1.0)
+    ok = (F.col("na") > 0) & (F.col("nb") > 0)
+    return g.select(
+        "event_type",
+        F.col("na").cast("long").alias("n_weekend"),
+        F.col("nb").cast("long").alias("n_weekday"),
+        F.when(ok, u2d / F.lit(2.0)).alias("u_stat"),
+        F.when(ok & (var > 0), F.round(z, 6) + F.lit(0.0)).alias("mw_z"),
+        F.when(ok, F.round(rb, 6) + F.lit(0.0)).alias("rank_biserial"),
+    ).orderBy("event_type")
+
+
+A_MANN_WHITNEY_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+    dayofweek(ts) IN (0, 6) AS wknd,
+    row_number() OVER (ORDER BY event_type, value, event_id) AS grn
+  FROM events
+), offs AS (
+  SELECT event_type, MIN(grn) - 1 AS off FROM ranked GROUP BY 1
+), rn AS (
+  SELECT r.event_type, r.value, r.wknd, r.grn - o.off AS rn
+  FROM ranked r JOIN offs o USING (event_type)
+), blocks AS (
+  SELECT event_type, value, MIN(rn) + MAX(rn) AS r2,
+    COUNT(*) AS tcnt,
+    COUNT(CASE WHEN wknd THEN 1 END) AS a_v
+  FROM rn GROUP BY 1, 2
+), g AS (
+  SELECT event_type, SUM(a_v) AS na, SUM(tcnt - a_v) AS nb,
+    SUM(CAST(a_v AS HUGEINT) * r2) AS r2a,
+    SUM(CASE WHEN tcnt > 1
+      THEN CAST(tcnt AS HUGEINT) * tcnt * tcnt - tcnt
+      ELSE 0 END) AS tie_sum
+  FROM blocks GROUP BY 1
+), fin AS (
+  SELECT event_type, na, nb,
+    CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) AS u2d,
+    CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS mu2d,
+    CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+        - CAST(tie_sum AS DOUBLE)
+          / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))
+      AS var
+  FROM g
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_weekend,
+  CAST(nb AS BIGINT) AS n_weekday,
+  CASE WHEN na > 0 AND nb > 0 THEN u2d / 2.0 END AS u_stat,
+  CASE WHEN na > 0 AND nb > 0 AND var > 0
+    THEN round((CASE WHEN u2d > mu2d THEN u2d - mu2d - 1.0
+      WHEN u2d < mu2d THEN u2d - mu2d + 1.0 ELSE 0.0 END)
+      / (2.0 * sqrt(var)), 6) + 0.0
+    END AS mw_z,
+  CASE WHEN na > 0 AND nb > 0
+    THEN round(u2d / mu2d - 1.0, 6) + 0.0 END AS rank_biserial
+FROM fin ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------- a_cohens_kappa
+
+
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (1960, public) between the repo's two document
+    quality gates — the frozen-weight logistic filter
+    (t_quality_logreg, keep = sigma(z) >= 0.5) and the Gopher rule
+    gate (t_gopher_rules, pass = all four rules) — chance-corrected
+    agreement: do the model gate and the heuristic gate actually
+    measure the same thing?
+
+    Determinism: both flags are the exact chains their parent
+    queries gate (integer feature counts, one identical IEEE sigmoid
+    micro-rounded); the kappa simplifies to a ratio of two exact
+    integer expressions, n*(n11+n00) - (r1*c1 + r0*c0) over
+    n^2 - (r1*c1 + r0*c0), taken in double and rounded.
+
+    Scale shape: pure codegen per-row flags + ONE global map-side
+    agg row — the t_quality_logreg filter-pass shape."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        stopword_hits,
+        token_count,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    toks = token_count("text")
+    stop = stopword_hits("text")
+    ln_len = F.length(norm)
+    no_punct = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(norm, F.lit("."), F.lit("")),
+                F.lit(","),
+                F.lit(""),
+            ),
+            F.lit("!"),
+            F.lit(""),
+        ),
+        F.lit("?"),
+        F.lit(""),
+    )
+    n_punct = ln_len - F.length(no_punct)
+    n_digit = ln_len - F.length(F.regexp_replace(norm, "[0-9]", ""))
+    n_alpha = ln_len - (toks - F.lit(1))
+    z = (
+        F.lit(_LR_B)
+        + F.lit(_LR_W_LOGLEN) * F.log(F.lit(1.0) + toks)
+        + F.lit(_LR_W_STOP) * (stop / toks.cast("double"))
+        + F.lit(_LR_W_PUNCT) * (n_punct / ln_len.cast("double"))
+        + F.lit(_LR_W_DIGIT) * (n_digit / ln_len.cast("double"))
+        + F.lit(_LR_W_WLEN) * (n_alpha / toks.cast("double"))
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    score = F.when((toks > 0) & (ln_len > 0), p).otherwise(F.lit(0.0))
+    lr_keep = F.round(score * F.lit(1_000_000.0), 0).cast("long") >= 500_000
+    wlen = (ln_len - (toks - F.lit(1))) / toks.cast("double")
+    gopher = (
+        (toks >= _GOPHER_MIN_TOKS)
+        & (toks <= _GOPHER_MAX_TOKS)
+        & (toks > 0)
+        & (wlen >= F.lit(_GOPHER_MIN_WLEN))
+        & (wlen <= F.lit(_GOPHER_MAX_WLEN))
+        & (stop >= _GOPHER_MIN_STOP)
+        & (ln_len > 0)
+        & (
+            n_digit / ln_len.cast("double") < F.lit(_GOPHER_MAX_DIGIT)
+        )
+    )
+    flags = d.select(lr_keep.alias("lr"), gopher.alias("gp"))
+    g = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("lr") & F.col("gp"), F.lit(1))).alias("n11"),
+        F.count(F.when(~F.col("lr") & ~F.col("gp"), F.lit(1))).alias(
+            "n00"
+        ),
+        F.count(F.when(F.col("lr") & ~F.col("gp"), F.lit(1))).alias(
+            "n10"
+        ),
+        F.count(F.when(~F.col("lr") & F.col("gp"), F.lit(1))).alias(
+            "n01"
+        ),
+    )
+    r1 = F.col("n11") + F.col("n10")
+    c1 = F.col("n11") + F.col("n01")
+    r0 = F.col("n") - r1
+    c0 = F.col("n") - c1
+    chance = r1 * c1 + r0 * c0
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - chance
+    den = F.col("n") * F.col("n") - chance
+    agree_ppm = F.call_function(
+        "div",
+        F.lit(2) * (F.col("n11") + F.col("n00")) * F.lit(1_000_000)
+        + F.col("n"),
+        F.lit(2) * F.col("n"),
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n_both_keep"),
+        F.col("n00").cast("long").alias("n_both_drop"),
+        F.col("n10").cast("long").alias("n_only_logreg"),
+        F.col("n01").cast("long").alias("n_only_gopher"),
+        agree_ppm.cast("long").alias("agree_ppm"),
+        F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double"), 6)
+            + F.lit(0.0),
+        ).alias("kappa"),
+    )
+
+
+def _a_cohens_kappa_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hit_terms = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH norm AS (
+  SELECT trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+  FROM documents
+), base AS (
+  SELECT t, ' ' || lower(t) || ' ' AS p,
+    CASE WHEN length(t) = 0 THEN 0
+      ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+      END AS toks,
+    length(t) AS ln_len
+  FROM norm
+), feats AS (
+  SELECT toks, ln_len,
+    {hit_terms} AS stop,
+    ln_len - length(replace(replace(replace(replace(t, '.', ''),
+      ',', ''), '!', ''), '?', '')) AS n_punct,
+    ln_len - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+    ln_len - (toks - 1) AS n_alpha
+  FROM base
+), flags AS (
+  SELECT
+    CAST(round(CASE WHEN toks > 0 AND ln_len > 0
+      THEN 1.0 / (1.0 + exp(-({_LR_B!r}
+        + {_LR_W_LOGLEN!r} * ln(1.0 + toks)
+        + {_LR_W_STOP!r} * (stop / CAST(toks AS DOUBLE))
+        + {_LR_W_PUNCT!r} * (n_punct / CAST(ln_len AS DOUBLE))
+        + {_LR_W_DIGIT!r} * (n_digit / CAST(ln_len AS DOUBLE))
+        + {_LR_W_WLEN!r} * (n_alpha / CAST(toks AS DOUBLE)))))
+      ELSE 0.0 END * 1000000.0, 0) AS BIGINT) >= 500000 AS lr,
+    toks >= {_GOPHER_MIN_TOKS} AND toks <= {_GOPHER_MAX_TOKS}
+      AND toks > 0
+      AND (ln_len - (toks - 1)) / CAST(toks AS DOUBLE)
+        >= {_GOPHER_MIN_WLEN!r}
+      AND (ln_len - (toks - 1)) / CAST(toks AS DOUBLE)
+        <= {_GOPHER_MAX_WLEN!r}
+      AND stop >= {_GOPHER_MIN_STOP}
+      AND ln_len > 0
+      AND (n_digit / CAST(ln_len AS DOUBLE)) < {_GOPHER_MAX_DIGIT!r}
+      AS gp
+  FROM feats
+), g AS (
+  SELECT COUNT(*) AS n,
+    COUNT(CASE WHEN lr AND gp THEN 1 END) AS n11,
+    COUNT(CASE WHEN NOT lr AND NOT gp THEN 1 END) AS n00,
+    COUNT(CASE WHEN lr AND NOT gp THEN 1 END) AS n10,
+    COUNT(CASE WHEN NOT lr AND gp THEN 1 END) AS n01
+  FROM flags
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  CAST(n11 AS BIGINT) AS n_both_keep,
+  CAST(n00 AS BIGINT) AS n_both_drop,
+  CAST(n10 AS BIGINT) AS n_only_logreg,
+  CAST(n01 AS BIGINT) AS n_only_gopher,
+  CAST((2 * (n11 + n00) * 1000000 + n) // (2 * n) AS BIGINT)
+    AS agree_ppm,
+  CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+      + (n - n11 - n10) * (n - n11 - n01)) > 0
+    THEN round(
+      CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+        + (n - n11 - n10) * (n - n11 - n01)) AS DOUBLE)
+      / CAST(n * n - ((n11 + n10) * (n11 + n01)
+        + (n - n11 - n10) * (n - n11 - n01)) AS DOUBLE), 6) + 0.0
+    END AS kappa
+FROM g
+"""
+
+
+R7_QUERIES.update(
+    {
+        "g_adamic_adar": g_adamic_adar,
+        "w_pettitt_change": w_pettitt_change,
+        "a_mann_whitney": a_mann_whitney,
+        "a_cohens_kappa": a_cohens_kappa,
+    }
+)
+_R7_ORACLES_B2.update(
+    {
+        "g_adamic_adar": lambda: G_ADAMIC_ADAR_SQL,
+        "w_pettitt_change": lambda: W_PETTITT_CHANGE_SQL,
+        "a_mann_whitney": lambda: A_MANN_WHITNEY_SQL,
+        "a_cohens_kappa": _a_cohens_kappa_sql,
+    }
+)

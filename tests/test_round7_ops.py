@@ -1098,3 +1098,134 @@ def test_er_name_match_census_consistent(spark):
     assert r0["n_parts"] == len(parts)
     assert r0["n_cand_pairs"] == len(cand)
     assert r0["n_matched"] == n_match and r0["n_exact"] == n_exact
+
+
+def test_adamic_adar_matches_python_recompute(spark):
+    """AA scores of the returned top pairs must equal the exact
+    python recompute over the same support-2 co-purchase graph."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_r7 import g_adamic_adar
+
+    rows = g_adamic_adar(spark, SF_DIR).collect()
+    assert rows and len(rows) <= 30
+    pairs = duckdb.sql(
+        "WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM"
+        f" '{SF_DIR}/lineitem.parquet')"
+        " SELECT a.l_partkey, b.l_partkey FROM li a JOIN li b ON"
+        " a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+    ).fetchall()
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    eset = {(u, v) for u, v in pairs}
+    for r in rows:
+        common = adj[r["u"]] & adj[r["v"]]
+        assert r["common"] == len(common)
+        aa_u = sum(
+            round(1.0 / math.log(len(adj[z])) * 1e9) for z in common
+        )
+        assert abs(r["aa"] - aa_u / 1e9) < 2e-6
+        assert r["is_edge"] == ((r["u"], r["v"]) in eset)
+        assert r["aa"] > 0
+
+
+def test_pettitt_matches_rank_recompute(spark):
+    """K, the changepoint day and p must match the textbook midrank
+    recompute."""
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        w_pettitt_change,
+    )
+
+    rows = {
+        r["event_type"]: r
+        for r in w_pettitt_change(spark, SF_DIR).collect()
+    }
+    for et, (close, _) in _daily_frames().items():
+        n = len(close)
+        ranks = close.rank(method="average")
+        days = list(close.index)
+        best_k, best_day = -1, None
+        cum = 0.0
+        for t in range(n - 1):
+            cum += 2 * float(ranks.iloc[t])
+            u = cum - (t + 1) * (n + 1)
+            if abs(u) > best_k:
+                best_k, best_day = abs(u), days[t]
+        r = rows[et]
+        assert r["n_days"] == n
+        assert r["k_stat"] == int(best_k)
+        assert r["change_day"] == best_day
+        want_p = min(
+            1.0, 2.0 * math.exp(-6.0 * best_k * best_k / (n**3 + n**2))
+        )
+        assert abs(r["p_approx"] - want_p) < 1e-6
+
+
+def test_mann_whitney_matches_rank_recompute(spark):
+    """U, the tie-corrected z and the rank-biserial must match the
+    textbook midrank recompute of the weekend/weekday split."""
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r7 import a_mann_whitney
+
+    pdf = _events_pdf()
+    rows = {
+        r["event_type"]: r for r in a_mann_whitney(spark, SF_DIR).collect()
+    }
+    for et, grp in pdf.groupby("event_type"):
+        ranks = grp["value"].rank(method="average")
+        wknd = grp["ts"].dt.dayofweek.isin([5, 6])
+        na, nb = int(wknd.sum()), int((~wknd).sum())
+        ra = float(ranks[wknd].sum())
+        u = ra - na * (na + 1) / 2
+        r = rows[et]
+        assert (r["n_weekend"], r["n_weekday"]) == (na, nb)
+        assert abs(r["u_stat"] - u) < 1e-9
+        from collections import Counter
+
+        tie = sum(
+            t**3 - t for t in Counter(grp["value"]).values() if t > 1
+        )
+        nn = na + nb
+        var = na * nb / 12.0 * ((nn + 1) - tie / (nn * (nn - 1)))
+        mu = na * nb / 2.0
+        cc = -0.5 if u > mu else (0.5 if u < mu else 0.0)
+        want_z = (u - mu + cc) / math.sqrt(var) if var > 0 else None
+        if want_z is not None:
+            assert abs(r["mw_z"] - want_z) < 1e-5
+        assert abs(r["rank_biserial"] - (2 * u / (na * nb) - 1)) < 1e-5
+
+
+def test_cohens_kappa_identity_and_bounds(spark):
+    """The four cells partition the corpus; kappa re-derives from the
+    returned cells; agreement ppm is the exact rounded ratio."""
+    from kp_crypto_market_analytics_spark.queries_r7 import a_cohens_kappa
+
+    r = a_cohens_kappa(spark, SF_DIR).collect()[0]
+    n = r["n_docs"]
+    assert (
+        r["n_both_keep"]
+        + r["n_both_drop"]
+        + r["n_only_logreg"]
+        + r["n_only_gopher"]
+        == n
+    )
+    r1 = r["n_both_keep"] + r["n_only_logreg"]
+    c1 = r["n_both_keep"] + r["n_only_gopher"]
+    chance = r1 * c1 + (n - r1) * (n - c1)
+    den = n * n - chance
+    if den > 0:
+        want = (n * (r["n_both_keep"] + r["n_both_drop"]) - chance) / den
+        assert abs(r["kappa"] - want) < 1e-6
+        assert r["kappa"] <= 1.0
+    assert r["agree_ppm"] == round(
+        (r["n_both_keep"] + r["n_both_drop"]) * 1_000_000 / n
+    )
