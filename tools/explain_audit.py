@@ -43,6 +43,13 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     # fixed-size top-k / time-bounded frames
     "t_zipf_fit": (1, "OLS rank over top-1000 post-LIMIT tokens"),
     "w_rolling_corr": (2, "hour-bucket frame (time-bounded, not data)"),
+    # partitionBy on a per-frame literal ('side') constant-folds to an
+    # unpartitioned WindowExec, but both frames are provably bounded
+    "g_hits": (
+        2,
+        "rank over the |types|-row authority frame and <=10 "
+        "post-LIMIT hub survivors",
+    ),
 }
 
 
