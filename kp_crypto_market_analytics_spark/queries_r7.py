@@ -995,27 +995,30 @@ _R7_ORACLES_B2["g_hits"] = lambda: G_HITS_SQL
 # --------------------------------------------------------- a_bootstrap_ci
 
 _BOOT_B = 100
-# Poisson(1) inverse-CDF cutoffs over a 2^30 uniform space (exact
-# integers; both engines compare the same 60-bit hash slice):
+# Poisson(1) inverse-CDF cutoffs over the full 2^32 space of one
+# 8-hex-char md5 slice, rendered as FIXED-WIDTH LOWERCASE HEX so the
+# weight is a pure string comparison (lowercase fixed-width hex
+# lexicographic order IS numeric order — no integer conversion in
+# the hot path; conv() measured ~1.1s per column per 3.75M rows):
 # P(0)=.367879, P(<=1)=.735759, P(<=2)=.919699, P(<=3)=.981012, else 4
-_POIS_SPACE = 1 << 30
-_POIS_CUT = (394983394, 789966788, 987458485, 1053289051)
+_POIS_HEX = ("5e2bdf88", "bc57bf10", "eb6daed4", "fb1fa96c")
 
 
-def _pois_weight(u):  # u in [0, 2^30)
+def _pois_weight_hex(s):  # s: 8 lowercase hex chars of an md5 slice
     return (
-        F.when(u < _POIS_CUT[0], F.lit(0))
-        .when(u < _POIS_CUT[1], F.lit(1))
-        .when(u < _POIS_CUT[2], F.lit(2))
-        .when(u < _POIS_CUT[3], F.lit(3))
+        F.when(s < _POIS_HEX[0], F.lit(0))
+        .when(s < _POIS_HEX[1], F.lit(1))
+        .when(s < _POIS_HEX[2], F.lit(2))
+        .when(s < _POIS_HEX[3], F.lit(3))
         .otherwise(F.lit(4))
     )
 
 
-_POIS_SQL = (
-    f"CASE WHEN u < {_POIS_CUT[0]} THEN 0 WHEN u < {_POIS_CUT[1]} THEN 1"
-    f" WHEN u < {_POIS_CUT[2]} THEN 2 WHEN u < {_POIS_CUT[3]} THEN 3"
-    f" ELSE 4 END"
+_POIS_HEX_SQL = (
+    f"CASE WHEN s8 < '{_POIS_HEX[0]}' THEN 0"
+    f" WHEN s8 < '{_POIS_HEX[1]}' THEN 1"
+    f" WHEN s8 < '{_POIS_HEX[2]}' THEN 2"
+    f" WHEN s8 < '{_POIS_HEX[3]}' THEN 3 ELSE 4 END"
 )
 
 
@@ -1028,48 +1031,82 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     point mean, CI bounds, replicate count.
 
     Determinism: each replicate weight is the exact inverse-CDF bucket
-    of a 30-bit hash slice (integer thresholds, no floats); replicate
-    means are exact micro divisions; the 2.5%/97.5% bounds are the
-    3rd-smallest / 3rd-largest of the 100 means via distributed
-    TakeOrdered (a 100-row frame, but the pattern stays scale-safe).
+    of a 32-bit md5 slice, decided by FIXED-WIDTH LOWERCASE HEX string
+    comparison against exact integer cutoffs rendered in hex (hex
+    lexicographic order is numeric order — no int conversion in the
+    hot path); one md5 serves FOUR replicates (128 bits = 4
+    independent 32-bit slices, quartering the per-row hash work — the
+    hash is the whole cost of this query); replicate means are exact
+    micro divisions; the 2.5%/97.5% bounds are the 3rd-smallest /
+    3rd-largest of the 100 means via distributed TakeOrdered (a
+    100-row frame, but the pattern stays scale-safe).
 
-    Scale shape: the explode is rows × B with map-side partial
-    aggregation straight into |B| replicate sums — the shuffle carries
-    100 rows of (sum, count), not the resampled data."""
+    Scale shape: the explode is rows × B/4 hash rows fanned to
+    rows × B weight rows, with map-side partial aggregation straight
+    into |B| replicate sums — the shuffle carries 100 rows of
+    (sum, count), not the resampled data."""
     t = load_tables(spark, sf_dir, ["orders"])
-    from kp_crypto_market_analytics_spark.functions.text import hash64
 
+    # Prices carry exactly two decimals, so they fold as BIGINT cents
+    # — the DECIMAL(18,6) agg this replaced measured ~2x slower over
+    # the rows x B/4 frame (document the int64 ceiling: ~1e12 orders
+    # at max price before Σ cents·w needs the decimal fallback).
     o = t["orders"].select(
-        "o_orderkey", F.col("o_totalprice").cast("decimal(18,6)").alias("px")
-    )
-    reps = o.select(
-        "px",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
         "o_orderkey",
+        F.round(F.col("o_totalprice") * F.lit(100.0), 0)
+        .cast("long")
+        .alias("px"),
     )
-    u = (
-        hash64(
-            F.concat(
-                F.col("o_orderkey").cast("string"),
-                F.lit("#boot"),
-                F.col("b").cast("string"),
+    grp = o.select(
+        "px",
+        "o_orderkey",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B // 4 - 1))
+        ).alias("g"),
+    )
+    hx = F.md5(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("#boot"),
+            F.col("g").cast("string"),
+        )
+    )
+    # All four slice weights land in ONE projection first (md5
+    # evaluated once per row inside whole-stage codegen — inlining it
+    # into the aggregate expressions instead re-evaluates per agg
+    # slot), then ONE pass aggregates the rows × B/4 hash frame
+    # map-side into |B|/4 groups × 8 slots — no rows × B fan-out
+    # ever materializes; the |B|/4-row result then unstacks to the
+    # |B| replicate rows.
+    proj = grp.withColumn("hx", hx).select(
+        "g",
+        "px",
+        *[
+            _pois_weight_hex(F.substring("hx", 1 + 8 * j, 8)).alias(
+                f"w{j}"
             )
-        )
-        % _POIS_SPACE
+            for j in range(4)
+        ],
     )
-    w = _pois_weight(u)
+    g_agg = proj.groupBy("g").agg(
+        *[
+            a
+            for j in range(4)
+            for a in (
+                F.sum(F.col("px") * F.col(f"w{j}")).alias(f"s{j}"),
+                F.sum(f"w{j}").alias(f"n{j}"),
+            )
+        ]
+    )
+    stack = ", ".join(f"{j}, s{j}, n{j}" for j in range(4))
     per_rep = (
-        reps.withColumn("w", w)
-        .groupBy("b")
-        .agg(
-            F.sum(F.col("px") * F.col("w")).alias("s"),
-            F.sum("w").alias("n"),
-        )
+        g_agg.selectExpr("g", f"stack(4, {stack}) AS (j, s, n)")
+        .select((F.col("g") * 4 + F.col("j")).alias("b"), "s", "n")
         .where(F.col("n") > 0)
     )
     mean_u = F.call_function(
         "div",
-        F.lit(2) * (F.col("s") * F.lit(1_000_000)).cast("decimal(38,0)")
+        F.lit(2) * (F.col("s").cast("decimal(38,0)") * F.lit(10_000))
         + F.col("n"),
         F.lit(2) * F.col("n"),
     ).cast("long")
@@ -1080,13 +1117,13 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = means.orderBy(F.col("mu").desc()).limit(3).agg(
         F.min("mu").alias("hi_u"), F.count(F.lit(1)).alias("nh")
     )
-    base = t["orders"].agg(
+    base = o.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("ts"),
+        F.sum("px").alias("ts"),
     )
     point_u = F.call_function(
         "div",
-        F.lit(2) * (F.col("ts") * F.lit(1_000_000)).cast("decimal(38,0)")
+        F.lit(2) * (F.col("ts").cast("decimal(38,0)") * F.lit(10_000))
         + F.col("n_orders"),
         F.lit(2) * F.col("n_orders"),
     ).cast("long")
@@ -1106,23 +1143,27 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a_bootstrap_ci_sql() -> str:
-    h = H60.format(
-        x="CAST(o_orderkey AS VARCHAR) || '#boot' || CAST(b AS VARCHAR)"
-    )
     return f"""
-WITH reps AS (
-  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,6)) AS px,
-    unnest(generate_series(0, {_BOOT_B - 1})) AS b
+WITH grp AS (
+  SELECT o_orderkey,
+    CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS px,
+    unnest(generate_series(0, {_BOOT_B // 4 - 1})) AS g
   FROM orders
+), hx AS (
+  SELECT px, g,
+    md5(CAST(o_orderkey AS VARCHAR) || '#boot' || CAST(g AS VARCHAR))
+      AS h
+  FROM grp
+), sliced AS (
+  SELECT px, g * 4 + j.j AS b, substr(h, 1 + 8 * j.j, 8) AS s8
+  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
 ), weighted AS (
-  SELECT px, b, {_POIS_SQL} AS w FROM (
-    SELECT px, b, {h} % {_POIS_SPACE} AS u FROM reps
-  )
+  SELECT px, b, {_POIS_HEX_SQL} AS w FROM sliced
 ), per_rep AS (
   SELECT b, SUM(px * w) AS s, CAST(SUM(w) AS BIGINT) AS n
   FROM weighted GROUP BY b HAVING SUM(w) > 0
 ), means AS (
-  SELECT CAST((2 * CAST(s * 1000000 AS HUGEINT) + n) // (2 * n) AS BIGINT)
+  SELECT CAST((2 * CAST(s AS HUGEINT) * 10000 + n) // (2 * n) AS BIGINT)
     AS mu
   FROM per_rep
 ), lo AS (
@@ -1132,11 +1173,11 @@ WITH reps AS (
   FROM (SELECT mu FROM means ORDER BY mu DESC LIMIT 3)
 ), base AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS ts
+    SUM(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS ts
   FROM orders
 ), nrep AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates FROM means)
 SELECT n_orders,
-  CAST((2 * CAST(ts * 1000000 AS HUGEINT) + n_orders) // (2 * n_orders)
+  CAST((2 * CAST(ts AS HUGEINT) * 10000 + n_orders) // (2 * n_orders)
     AS BIGINT) / 1000000.0 AS mean_rev,
   lo_u / 1000000.0 AS boot_lo,
   hi_u / 1000000.0 AS boot_hi,

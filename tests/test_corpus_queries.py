@@ -387,14 +387,9 @@ def test_oracle_series_bounds_are_data_derived():
 
     import __spark_entry__ as entry
 
-    # Structural literals that are part of the ALGORITHM, not a data
-    # cap: a_bootstrap_ci enumerates its fixed 100 Poisson-bootstrap
-    # replicates (generate_series(0, 99)) — the replicate count never
-    # scales with the data, so no document can outgrow it.
-    exempt = {("a_bootstrap_ci", "0", "99")}
     offenders = []
     for name, sql in entry.oracle_sql().items():
         for lo, hi in re.findall(r"generate_series\((\d+)\s*,\s*(\d+)\)", sql):
-            if int(hi) - int(lo) > 64 and (name, lo, hi) not in exempt:
+            if int(hi) - int(lo) > 64:
                 offenders.append((name, lo, hi))
     assert not offenders, offenders
