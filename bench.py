@@ -114,7 +114,7 @@ def _extract_bench(data: dict) -> dict | None:
         if k
         not in (
             "value", "sf", "prev_round", "prev_total", "n", "rc", "cpus",
-            "n_queries", "n_excluded",
+            "n_queries", "n_excluded", "repeat",
         )
     }
     return {"queries": queries, "value": None} if queries else None
@@ -295,10 +295,31 @@ def main(repeat: int = 1) -> None:
     # ±20% with machine state, so a single-pass round-over-round
     # comparison needs the isolated artifact to settle disputes — the
     # per-query min across passes is the stable same-JVM statistic.
+    # Between passes the session-materialization memo is CLEARED so
+    # every pass pays each query's shared-build cost — without the
+    # clear, pass 2 reads pass 1's parquet and the min records only
+    # post-build time (r7's 2.59s → 0.10s dedup_minhash_sig trap),
+    # which understates a cold sweep.  Pass-1 totals ride in the
+    # artifact so cold-vs-warm is always reconstructible.
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        clear_session_materializations,
+    )
+
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     for pass_i in range(max(1, repeat)):
+        if pass_i > 0:
+            cleared = clear_session_materializations(spark)
+            if cleared:
+                print(
+                    f"# cleared {cleared} session materializations "
+                    f"before pass {pass_i + 1}",
+                    file=sys.stderr,
+                )
+        pass_total = 0.0
         for name in BENCH_QUERIES:
             sec, n = _time_query(spark, name, sf_dir)
+            pass_total += sec
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
             print(
@@ -314,6 +335,7 @@ def main(repeat: int = 1) -> None:
             # noise to late queries.
             spark.catalog.clearCache()
             gc.collect()
+        pass_totals.append(round(pass_total, 3))
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -329,6 +351,10 @@ def main(repeat: int = 1) -> None:
         "queries": timings,
         "sf": sf_val,
         "repeat": max(1, repeat),
+        # Per-pass totals (pass 1 = cold builds): min-of-N totals are
+        # build-inclusive since the memo clear, but the cold/warm split
+        # stays reconstructible from the artifact alone.
+        "pass_totals": pass_totals,
         # Documented exclusions ride in the artifact so "which queries
         # aren't benched, and why" is answerable from the JSON alone.
         "excluded": dict(BENCH_EXCLUDED),

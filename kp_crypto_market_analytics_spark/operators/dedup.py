@@ -150,8 +150,17 @@ def ngram_jaccard_pairs(
     vocab = range_partitioned_rank(
         sets.select("shingle").distinct(), ["shingle"], out_col="__rk"
     ).select("shingle", (F.col("__rk") - 1).cast("int").alias("__sid"))
+    # Broadcast the vocabulary ONLY for char shingles, where it is
+    # alphabet-bounded (~531k for k=4 over [a-z ]) and the broadcast
+    # skips a full shuffle of the (doc, shingle) frame.  Word-gram
+    # vocabularies are corpus-sized (10⁸+ on web corpora) — a
+    # broadcast there would OOM the driver long before the encode
+    # mattered — so that mode takes a plain equi-join and lets AQE
+    # pick the strategy from the checkpointed vocab's runtime size
+    # (still broadcast at test SFs, shuffle join at web scale).
+    enc_vocab = vocab if use_words else F.broadcast(vocab)
     ints = (
-        sets.join(F.broadcast(vocab), "shingle")
+        sets.join(enc_vocab, "shingle")
         .select("doc", F.col("__sid").alias("sid"))
         .localCheckpoint(eager=True)
     )

@@ -73,7 +73,20 @@ def range_partitioned_rank(
     to reuse the exchange between the two subtrees — e.g. with an
     extra broadcast join in the consumer plan).  Contiguity makes
     the FINAL rank boundary-independent only when both subtrees see
-    the SAME boundaries; the checkpoint pins that."""
+    the SAME boundaries; the checkpoint pins that.
+
+    Storage/resilience trade-off (priced, accepted): localCheckpoint
+    blocks are NON-replicated (an executor loss fails the job — fine
+    for batch queries, which rerun) and stay pinned until the Python
+    frame is GC'd, so a query calling this helper twice (t_rrf_fusion,
+    t_ndcg_eval) holds two input-sized copies in executor storage
+    concurrently.  persist(MEMORY_AND_DISK) + caller unpersist would
+    cut the residency but does NOT pin boundaries — a cache miss (or
+    AQE re-plan before materialization) re-evaluates the
+    repartitionByRange with fresh per-job sampling, which is exactly
+    the nondeterminism this checkpoint exists to kill.  Correctness
+    wins; bench.py's per-query clearCache + gc.collect() bounds the
+    accumulation."""
     from pyspark.sql import Window
 
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]

@@ -59,6 +59,29 @@ def _cleanup_dirs() -> None:
 atexit.register(_cleanup_dirs)
 
 
+def clear_session_materializations(spark: SparkSession) -> int:
+    """Drop every materialization memoized on ``spark`` and delete its
+    backing temp parquet dirs; returns the number cleared.
+
+    Exists for honest timing (bench.py --repeat clears between passes
+    so min-of-N prices each query's shared build, not just its
+    post-build read) and for tests that must exercise a cold build
+    twice.  Production sessions never need it — the memo dying with
+    the session is the designed lifecycle."""
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if not cache:
+        return 0
+    n = len(cache)
+    with _BUILD_LOCK:
+        for path in cache.values():
+            base = path.rsplit("/data", 1)[0]
+            shutil.rmtree(base, ignore_errors=True)
+            if base in _ALL_DIRS:
+                _ALL_DIRS.remove(base)
+        cache.clear()
+    return n
+
+
 def session_materialized(
     spark: SparkSession,
     key: str,

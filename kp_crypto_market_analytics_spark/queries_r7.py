@@ -4140,33 +4140,67 @@ FROM g
 # ---------------------------------------------------------- er_name_match
 
 _ER_SIM_PPM = 800_000
+# Hard cap on (brand, token) block membership: each block contributes
+# at most C(cap, 2) candidate pairs regardless of catalog size, the
+# same skew lever as the dedup family's max_shingle_freq
+# (operators/dedup.py).  Members are kept by DETERMINISTIC hash sample
+# (lowest md5(brand|tok|key) first), so hub blocks degrade to a stable
+# random sample instead of a quadratic pair bomb: at sf0.1 the
+# TPC-H ~90-word name vocabulary makes every block a hub (df 72–128)
+# and the cap cuts scored pairs 2.0M → ~48k; at 100× the reduction is
+# ~10,000× because block df grows linearly with the catalog.
+_ER_BLOCK_CAP = 16
 
 
 def er_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked entity resolution over the part catalog (Fellegi &
     Sunter 1969 lineage, public): candidate pairs via (brand, name
-    token) blocking — never all-pairs — scored by exact Levenshtein
-    similarity; per brand the census of parts, candidate pairs,
-    matches above the 0.8 similarity threshold, and exact-name
-    duplicates.  The record-linkage shape every catalog/CRM
-    deduplication pipeline runs.
+    token) blocking — never all-pairs — with every block capped at
+    ``_ER_BLOCK_CAP`` members by deterministic hash sample, scored by
+    exact Levenshtein similarity; per brand the census of parts,
+    candidate pairs, matches above the 0.8 similarity threshold, and
+    exact-name duplicates.  The record-linkage shape every
+    catalog/CRM deduplication pipeline runs.
 
     Determinism: Levenshtein is the standard DP metric in both
     engines; the similarity ratio is an exact half-away ppm of
-    (max_len - lev) / max_len; all census values are integers.
+    (max_len - lev) / max_len; block sampling orders by
+    (md5(brand|tok|key), key) — identical hex strings in both engines
+    — so the kept members are engine-independent; all census values
+    are integers.
 
     Scale shape: the inverted-index block join bounds candidates by
-    block size (brand x token), the ER analog of the dedup family's
-    LSH bucketing; a df-cap on hub tokens is the documented skew
-    lever (operators/dedup.py precedent).  Pairs dedup on the key
-    (brand, a, b) BEFORE scoring so Levenshtein runs once per pair."""
+    block size (brand x token) and the df-cap bounds EACH block at
+    C(cap, 2) pairs — the ER analog of the dedup family's LSH
+    bucket/shingle caps (operators/dedup.py:130-160), and the only
+    way the join survives a fixed token vocabulary whose block
+    populations grow linearly with catalog size.  Pairs dedup on the
+    key (brand, a, b) BEFORE scoring so Levenshtein runs once per
+    pair."""
     t = load_tables(spark, sf_dir, ["part"])
     p = t["part"].select("p_partkey", "p_brand", "p_name")
-    toks = p.select(
+    raw_toks = p.select(
         "p_partkey",
         "p_brand",
         "p_name",
         F.explode(F.split("p_name", " ")).alias("tok"),
+    )
+    # Deterministic per-block sample: keep the cap lowest members by
+    # (md5, key).  The window partitions on the block key, so no
+    # global sort; each hub block is one task scanning df rows — the
+    # linear part is fine, it is the df² pair fan-out being killed.
+    blk_w = Window.partitionBy("p_brand", "tok").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|", "p_brand", "tok", F.col("p_partkey").cast("string")
+            )
+        ),
+        "p_partkey",
+    )
+    toks = (
+        raw_toks.withColumn("__bn", F.row_number().over(blk_w))
+        .where(F.col("__bn") <= _ER_BLOCK_CAP)
+        .drop("__bn")
     )
     a = toks.select(
         F.col("p_brand").alias("brand"),
@@ -4228,10 +4262,19 @@ def er_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ER_NAME_MATCH_SQL = f"""
-WITH toks AS (
+WITH raw_toks AS (
   SELECT p_partkey, p_brand, p_name,
     unnest(string_split(p_name, ' ')) AS tok
   FROM part
+), toks AS (
+  SELECT p_partkey, p_brand, p_name, tok FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY p_brand, tok
+      ORDER BY md5(p_brand || '|' || tok || '|'
+                   || CAST(p_partkey AS VARCHAR)), p_partkey
+    ) AS bn
+    FROM raw_toks
+  ) WHERE bn <= {_ER_BLOCK_CAP}
 ), pairs AS (
   SELECT DISTINCT a.p_brand AS brand, a.p_partkey AS ka,
     b.p_partkey AS kb, a.p_name AS na, b.p_name AS nb

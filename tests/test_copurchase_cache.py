@@ -166,3 +166,33 @@ def test_nested_materialized_builds_do_not_deadlock(spark):
 
     got = session_materialized(spark, "test:nested:outer", outer)
     assert sorted(r["b"] for r in got.collect()) == [0, 2, 4, 6]
+
+
+def test_clear_session_materializations_forces_rebuild(spark):
+    """bench.py --repeat clears the memo between passes: the clear
+    must empty the memo, delete the backing dirs, and make the next
+    request run a FRESH build (counted via the build callable)."""
+    import os
+
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        _CACHE_ATTR,
+        clear_session_materializations,
+        session_materialized,
+    )
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(4).selectExpr("id AS a")
+
+    session_materialized(spark, "test:clear:1", build)
+    session_materialized(spark, "test:clear:1", build)
+    assert len(calls) == 1  # memoized
+    path = getattr(spark, _CACHE_ATTR)["test:clear:1"]
+    assert os.path.exists(path)
+    assert clear_session_materializations(spark) >= 1
+    assert "test:clear:1" not in getattr(spark, _CACHE_ATTR, {})
+    assert not os.path.exists(path)
+    got = session_materialized(spark, "test:clear:1", build)
+    assert len(calls) == 2 and got.count() == 4

@@ -1064,12 +1064,30 @@ def _lev(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _er_capped_blocks(parts, brand, cap):
+    """(brand, token) blocks after the deterministic md5 hash-sample
+    cap — the python mirror of er_name_match's blocking stage."""
+    import hashlib
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for ka, na in parts:
+        for tok in na.split(" "):
+            h = hashlib.md5(f"{brand}|{tok}|{ka}".encode()).hexdigest()
+            blocks[tok].append((h, ka, na))
+    return {
+        tok: [(ka, na) for _, ka, na in sorted(members)[:cap]]
+        for tok, members in blocks.items()
+    }
+
+
 def test_er_name_match_census_consistent(spark):
     """Census ordering invariants hold, and one brand's pair census
-    matches a brute-force python recompute."""
+    matches a brute-force python recompute of the CAPPED blocking."""
     import duckdb
 
     from kp_crypto_market_analytics_spark.queries_r7 import (
+        _ER_BLOCK_CAP,
         _ER_SIM_PPM,
         er_name_match,
     )
@@ -1083,11 +1101,13 @@ def test_er_name_match_census_consistent(spark):
         "SELECT p_partkey, p_name FROM"
         f" '{SF_DIR}/part.parquet' WHERE p_brand = '{brand}'"
     ).fetchall()
+    blocks = _er_capped_blocks(parts, brand, _ER_BLOCK_CAP)
     cand = {}
-    for ka, na in parts:
-        for kb, nb in parts:
-            if ka < kb and set(na.split()) & set(nb.split()):
-                cand[(ka, kb)] = (na, nb)
+    for members in blocks.values():
+        for ka, na in members:
+            for kb, nb in members:
+                if ka < kb:
+                    cand[(ka, kb)] = (na, nb)
     n_match = n_exact = 0
     for na, nb in cand.values():
         mx = max(len(na), len(nb))
@@ -1098,6 +1118,36 @@ def test_er_name_match_census_consistent(spark):
     assert r0["n_parts"] == len(parts)
     assert r0["n_cand_pairs"] == len(cand)
     assert r0["n_matched"] == n_match and r0["n_exact"] == n_exact
+
+
+def test_er_name_match_block_cap_bounds_pairs(spark):
+    """The df-cap invariant: candidate pairs never exceed the sum of
+    C(min(df, cap), 2) over capped (brand, token) blocks — i.e. hub
+    blocks are genuinely bounded at C(cap, 2) pairs each — and the cap
+    actually BINDS on this dataset (some block exceeds it), so the
+    test exercises the sampling path, not just the pass-through."""
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        _ER_BLOCK_CAP,
+        er_name_match,
+    )
+
+    # sf0.01: block df reaches 20 > cap (sf0.001 blocks stay under it)
+    sf = "/root/testdata/sf0.01"
+    blk = duckdb.sql(
+        "WITH toks AS (SELECT p_partkey, p_brand,"
+        " unnest(string_split(p_name, ' ')) AS tok"
+        f" FROM '{sf}/part.parquet')"
+        " SELECT p_brand, COUNT(*) AS df FROM toks GROUP BY p_brand, tok"
+    ).fetchall()
+    assert any(df > _ER_BLOCK_CAP for _, df in blk), "cap must bind"
+    cap_bound: dict[str, int] = {}
+    for brand, df in blk:
+        m = min(df, _ER_BLOCK_CAP)
+        cap_bound[brand] = cap_bound.get(brand, 0) + m * (m - 1) // 2
+    for r in er_name_match(spark, sf).collect():
+        assert r["n_cand_pairs"] <= cap_bound.get(r["brand"], 0)
 
 
 def test_adamic_adar_matches_python_recompute(spark):

@@ -61,8 +61,11 @@ def count_global_windows(plan: str) -> int:
     a partitioned window with no ordering ALSO prints two groups
     (``[exprs], [partitionSpec]``), so two-group nodes are global only
     when the second group is an ordering (carries ASC/DESC sort
-    directions, which a partition spec never does).  Bracket groups
-    are counted top-level (brackets nest inside exprs)."""
+    directions, which a partition spec never does).  A SINGLE-group
+    node (``Window [exprs]`` — e.g. ``sum(x) OVER ()``, no partition
+    and no order) also funnels the whole frame through one task and
+    counts as global.  Bracket groups are counted top-level (brackets
+    nest inside exprs)."""
     n = 0
     for line in plan.splitlines():
         m = re.search(r"\bWindow(?:InPandas)?\s+\[", line)
@@ -80,9 +83,11 @@ def count_global_windows(plan: str) -> int:
                 groups.append([])
                 continue
             groups[-1].append(ch)
-        if len(groups) == 2:
-            second = "".join(groups[1])
-            if " ASC" in second or " DESC" in second:
+        if len(groups) == 1:
+            n += 1
+        elif len(groups) == 2:
+            second = "".join(groups[1]).strip()
+            if " ASC" in second or " DESC" in second or not second:
                 n += 1
     return n
 
