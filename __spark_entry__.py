@@ -119,12 +119,24 @@ _FIRST_SEEN_ROUND.update(
     )}
 )
 
+_FIRST_SEEN_ROUND.update(
+    {n: 8 for n in (
+        "t_corpus_pipeline",
+    )}
+)
+
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A
 # fresh green row from round >= N clears the entry automatically.
 _CHANGED_IN_ROUND = {
     # re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers": 2,
+    # round 8: the production LSH generators gained the boilerplate
+    # bucket-population cap (block-join audit gate) — pair sets and
+    # recall change, so pre-r8 green rows are stale evidence.
+    "dedup_minhash_lsh": 8,
+    "dedup_incremental": 8,
+    "dedup_lsh_recall": 8,
 }
 
 

@@ -89,16 +89,30 @@ def _minhash_sigs8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Band-bucket population cap shared by the production LSH generators
+# (dedup_minhash_lsh / dedup_lsh_recall / dedup_incremental) and the
+# lever-census query dedup_lsh_bucket_cap: a bucket holding B docs
+# emits B(B-1)/2 candidate pairs, so over-cap (boilerplate) buckets
+# are dropped from pair generation and routed to the flagged
+# side-channel the census reports.
+_LSH_BUCKET_CAP = 8
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (SURVEY §7 phase 5): 8 minhashes over
     char-4-gram shingles banded 2×4; docs agreeing on all rows of any
     band become candidates; estimated Jaccard = matching-signature
-    fraction.  Candidate generation is the band bucket-join — linear in
-    corpus size, never the quadratic all-pairs compare."""
+    fraction.  Candidate generation is the band bucket-join with the
+    ``_LSH_BUCKET_CAP`` population cap (r8): over-cap boilerplate
+    buckets never join (dedup_lsh_bucket_cap is the census of exactly
+    what the cap drops), so pairs-per-bucket are bounded at C(cap, 2)
+    and generation is genuinely linear in corpus size — without the
+    cap, one boilerplate bucket makes it quadratic."""
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = minhash_lsh_pairs(
         t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4,
         use_words=False, sig=_minhash_sigs8(spark, sf_dir),
+        max_bucket_size=_LSH_BUCKET_CAP,
     )
     return pairs.orderBy("doc_a", "doc_b")
 
@@ -111,11 +125,15 @@ WITH {SHINGLE4_CTE}, sigs AS (
   SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, h0, h1, h2, h3) AS bn
+  FROM bands
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM sized a JOIN sized b
     ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
    AND a.doc_id < b.doc_id
+  WHERE a.bn <= {_LSH_BUCKET_CAP} AND b.bn <= {_LSH_BUCKET_CAP}
 )
 SELECT doc_a, doc_b,
   ((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
@@ -126,9 +144,6 @@ SELECT doc_a, doc_b,
 FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """
-
-
-_LSH_BUCKET_CAP = 8
 
 
 def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

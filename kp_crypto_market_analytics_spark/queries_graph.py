@@ -503,16 +503,20 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("deg_sum") * F.col("deg_sum")
         ).alias("num"),
     )
-    w_all = Window.partitionBy()
     denom = float(4 * m_tot * m_tot)
-    out = per_c.select(
+    # corpus Q as a 1-row agg broadcast back onto the community frame
+    # (r8: SUM OVER () funneled |communities| rows — which grow with
+    # the graph — through one window task; identical values, no
+    # global window)
+    q_tot = per_c.agg(F.sum("num").alias("num_tot"))
+    out = per_c.crossJoin(F.broadcast(q_tot)).select(
         "community",
         "n_members",
         "intra_edges",
         F.col("deg_sum").cast("long").alias("deg_sum"),
         (F.round(F.col("num") / F.lit(denom), 6) + F.lit(0.0)).alias("contribution"),
         (
-            F.round(F.sum("num").over(w_all) / F.lit(denom), 6) + F.lit(0.0)
+            F.round(F.col("num_tot") / F.lit(denom), 6) + F.lit(0.0)
         ).alias("modularity"),
     )
     return out.orderBy(F.col("n_members").desc(), F.col("community").asc()).limit(10)

@@ -1572,9 +1572,14 @@ def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_micro = F.round(
         F.col("n").cast("double") / F.col("n_tot") * ln_ratio * F.lit(1_000_000.0), 0
     ).cast("long")
-    w_all = Window.partitionBy()
+    terms = joined.withColumn("tm", term_micro)
+    # corpus MI as a 1-row agg broadcast back onto the cells (r8: the
+    # former SUM OVER () funneled the cell frame through one window
+    # task; the agg+crossJoin form keeps the plan global-window-free
+    # with identical values)
+    mi = terms.agg(F.sum("tm").alias("tm_tot"))
     return (
-        joined.withColumn("tm", term_micro)
+        terms.crossJoin(F.broadcast(mi))
         .select(
             "event_type",
             "hb",
@@ -1586,7 +1591,7 @@ def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("nt") * F.col("nh")).cast("decimal(38,6)"), F.col("n_tot")
             ).alias("expected_n"),
             (F.round(ln_ratio, 6) + F.lit(0.0)).alias("pmi"),
-            (F.sum("tm").over(w_all) / F.lit(1_000_000.0)).alias("mi_nats"),
+            (F.col("tm_tot") / F.lit(1_000_000.0)).alias("mi_nats"),
         )
         .orderBy("event_type", "hb")
     )

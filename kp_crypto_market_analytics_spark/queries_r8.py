@@ -1,0 +1,418 @@
+"""Round-8 registry queries.
+
+Headline: ``t_corpus_pipeline`` — the END-TO-END corpus-build funnel
+(near-dup dedup → quality gate → benchmark decontamination →
+leakage-safe split → epoch shuffle → mixture weights) composed as ONE
+gated query, so the INTERACTION of the stages (every earlier stage
+changes what later stages see) is oracle-verified, not just each
+stage alone.  Reference analog: the analytics fan-out off one shared
+frame (reference src/analytics/binance_analysis.py:571-732 runs its
+metric suite off one loaded candle frame); here the fan-out is the
+LLM-data-pipeline composition SURVEY.md §7 calls the north star.
+
+Every query carries an exact DuckDB oracle (same column names,
+exact-integer or micro-rounded arithmetic) and follows the repo's
+determinism recipes (hash64 for cross-engine hashing,
+round_mean_micro for mean shapes, no row-at-a-time UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.session import (
+    ensure_parallelism,
+    load_tables,
+)
+
+H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+NORM_TEXT_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+R8_QUERIES: dict = {}
+_R8_ORACLES: dict = {}
+
+
+def r8_oracles() -> dict[str, str]:
+    return {name: fn() for name, fn in _R8_ORACLES.items()}
+
+
+# ------------------------------------------------------ t_corpus_pipeline
+
+_PIPE_EVAL_SRC = "src4"  # the held-out benchmark slice
+_PIPE_MIN_TOKENS = 25
+_PIPE_MIN_QUALITY = 0.4
+_PIPE_MAX_DUP_RATIO = 0.06
+_PIPE_TRI_DF_CAP = 100
+_PIPE_N_SHARDS = 32
+
+
+def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus build, stage-chained over ONE
+    scan of ``documents`` and reported as the per-source retention
+    census a data-curation run publishes:
+
+      0. corpus = every non-eval source ('src4' is the benchmark
+         slice, never trainable);
+      1. DEDUP: keep the min doc_id per near-dup cluster (capped
+         Jaccard pair graph → connected components — the shared
+         session-materialized build t_train_split/dedup_clusters use);
+      2. QUALITY: Gopher-style gate on the survivors — tokens >= 25,
+         heuristic quality score >= 0.4, duplicate-bigram ratio
+         <= 0.06 (t_corpus_filter's exact expressions);
+      3. DECONTAMINATE: drop survivors whose df-capped word-trigram
+         set is >= 50% CONTAINED in the eval slice's trigram set
+         (t_decontaminate's inverted index, thresholded on
+         containment — the GPT-3-style overlap rule; any-overlap goes
+         vacuous on a small-vocabulary corpus where every doc shares
+         some trigram with eval);
+      4. SPLIT: 98/1/1 train/val/test keyed by the near-dup CLUSTER id
+         so no dup pair crosses a split boundary (t_train_split);
+      5. EPOCH SHUFFLE: deterministic hash re-deal of the final train
+         docs into 32 loader shards (t_epoch_shuffle's rule);
+      6. MIX WEIGHTS: temperature-scaled weight sqrt(kept_tokens) with
+         normalized share (t_mix_weights, alpha = 0.5) — computed on
+         the SURVIVING tokens, the number a loader actually mixes by.
+
+    Stage order is load-bearing (dedup BEFORE quality keeps the
+    canonical doc even when a higher-quality duplicate exists;
+    decontamination sees only quality survivors) — exactly the
+    interaction the oracle gates.
+
+    Determinism: cluster ids are min doc_ids; split/shard hashes are
+    portable 60-bit md5 (hash64); weights round to 6 dp and normalize
+    over an exact DECIMAL(18,6) sum; every count is an integer.
+
+    Scale shape: ONE scan of documents feeds every stage (the
+    projected feature frame is checkpointed and reused — the shared-
+    frame reuse this query exists to prove; see EXPLAINS.md row); the
+    pair graph is the session-materialized capped-Jaccard build
+    (df<=50 caps candidate blocks); trigram contamination is an
+    inverted-index join with a df<=100 cap and a broadcast eval side;
+    everything after is per-doc flags + one |sources|-row agg."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        hash64,
+        quality_score,
+        token_count,
+    )
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        capped_jaccard_pairs_materialized,
+        connected_component_labels,
+    )
+    from kp_crypto_market_analytics_spark.queries_ext import _word_trigrams
+    from kp_crypto_market_analytics_spark.queries_r7 import (
+        _norm_text,
+        _split_of,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(_norm_text(), " ")
+    n_big = F.size("toks") - 1
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice("toks", 1, n_big),
+            F.slice("toks", 2, n_big),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # ONE scan of documents: every downstream stage (quality flags,
+    # trigram contamination, cluster nodes, census) reads this
+    # checkpointed projection, never the parquet again.
+    base = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "doc_id",
+            "source",
+            toks.alias("toks"),
+            token_count("text").alias("ntok"),
+            quality_score("text").alias("q"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.when(
+                F.size(bigrams) > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams))
+                / F.size(bigrams).cast("double"),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 3 input: df-capped word-trigram inverted index (exactly
+    # t_decontaminate's construction, from the shared base frame).
+    tri = (
+        base.where(F.size("toks") >= 3)
+        .select(
+            "doc_id", "source",
+            F.explode(_word_trigrams(F.col("toks"))).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tfreq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    tcap = tri.join(tfreq.where(F.col("df") <= _PIPE_TRI_DF_CAP), "g")
+    ev = (
+        tcap.where(F.col("source") == _PIPE_EVAL_SRC)
+        .select("g")
+        .distinct()
+    )
+    corp_tri = tcap.where(F.col("source") != _PIPE_EVAL_SRC)
+    n_tri = corp_tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri")
+    )
+    n_shared = (
+        corp_tri.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+    # contaminated ⇔ shared/total >= 1/2, in exact integer arithmetic
+    contam = (
+        n_tri.join(n_shared, "doc_id", "left")
+        .where(
+            F.lit(2) * F.coalesce(F.col("n_shared"), F.lit(0))
+            >= F.col("n_tri")
+        )
+        .select("doc_id")
+        .withColumn("contam", F.lit(True))
+    )
+
+    edges = capped_jaccard_pairs_materialized(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    nodes = base.select(F.col("doc_id").alias("doc"))
+    labels = connected_component_labels(edges, nodes, "doc").select(
+        F.col("doc").alias("doc_id"), "cluster_id"
+    )
+
+    asg = (
+        base.drop("toks")
+        .join(labels, "doc_id")
+        .join(contam, "doc_id", "left")
+        .withColumn("in_corpus", F.col("source") != _PIPE_EVAL_SRC)
+    )
+    w_cl = Window.partitionBy("cluster_id")
+    asg = asg.withColumn(
+        "keep_dedup",
+        F.col("in_corpus")
+        & (
+            F.col("doc_id")
+            == F.min(
+                F.when(F.col("in_corpus"), F.col("doc_id"))
+            ).over(w_cl)
+        ),
+    )
+    asg = asg.withColumn(
+        "keep_quality",
+        F.col("keep_dedup")
+        & (F.col("ntok") >= _PIPE_MIN_TOKENS)
+        & (F.col("q") >= _PIPE_MIN_QUALITY)
+        & F.coalesce(
+            F.col("dup_ratio") <= _PIPE_MAX_DUP_RATIO, F.lit(True)
+        ),
+    )
+    asg = asg.withColumn(
+        "keep_clean",
+        F.col("keep_quality") & ~F.coalesce(F.col("contam"), F.lit(False)),
+    )
+    bucket = (
+        hash64(
+            F.concat(F.col("cluster_id").cast("string"), F.lit("#split"))
+        )
+        % 100
+    )
+    asg = asg.withColumn(
+        "split", F.when(F.col("keep_clean"), _split_of(bucket))
+    )
+    shard = (
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit("#ep1")))
+        % _PIPE_N_SHARDS
+    )
+    asg = asg.withColumn(
+        "shard", F.when(F.col("split") == "train", shard)
+    )
+
+    def cnt(c):  # noqa: ANN001
+        return F.sum(F.when(F.col(c), 1).otherwise(0))
+
+    census = (
+        asg.where("in_corpus")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("keep_dedup").alias("n_dedup"),
+            cnt("keep_quality").alias("n_quality"),
+            cnt("keep_clean").alias("n_clean"),
+            F.sum(
+                F.when(F.col("split") == "train", 1).otherwise(0)
+            ).alias("n_train"),
+            F.sum(
+                F.when(F.col("split") == "val", 1).otherwise(0)
+            ).alias("n_val"),
+            F.sum(
+                F.when(F.col("split") == "test", 1).otherwise(0)
+            ).alias("n_test"),
+            F.sum(
+                F.when(F.col("keep_clean"), F.col("ntok")).otherwise(0)
+            ).alias("kept_tokens"),
+            F.countDistinct("shard").alias("n_train_shards"),
+        )
+    )
+    weighted = census.withColumn(
+        "w",
+        F.round(F.sqrt(F.col("kept_tokens").cast("double")), 6).cast(
+            "decimal(18,6)"
+        ),
+    )
+    tot = weighted.agg(F.sum("w").alias("t_w"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dedup").cast("long").alias("n_dedup"),
+            F.col("n_quality").cast("long").alias("n_quality"),
+            F.col("n_clean").cast("long").alias("n_clean"),
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_val").cast("long").alias("n_val"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("kept_tokens").cast("long").alias("kept_tokens"),
+            F.col("n_train_shards").cast("long").alias("n_train_shards"),
+            F.col("w").cast("double").alias("weight"),
+            F.when(
+                F.col("t_w") != 0,
+                F.round(
+                    F.col("w").cast("double")
+                    / F.col("t_w").cast("double"),
+                    6,
+                ),
+            ).alias("weight_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_corpus_pipeline_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+    from kp_crypto_market_analytics_spark.queries_ext import _CLUSTER_CTES
+    from kp_crypto_market_analytics_spark.queries_r7 import _SPLIT_SQL
+
+    hit_terms = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    hc = H60.format(x="CAST(cluster_id AS VARCHAR) || '#split'")
+    hd = H60.format(x="CAST(doc_id AS VARCHAR) || '#ep1'")
+    return f"""
+{_CLUSTER_CTES}, feat AS (
+  SELECT doc_id, source, {NORM_TEXT_SQL} AS t,
+    ' ' || {NORM_TEXT_SQL} || ' ' AS p,
+    string_split({NORM_TEXT_SQL}, ' ') AS l,
+    CASE WHEN length({NORM_TEXT_SQL}) = 0 THEN 0
+         ELSE CAST(length({NORM_TEXT_SQL})
+              - length(replace({NORM_TEXT_SQL}, ' ', '')) AS BIGINT) + 1
+    END AS ntok
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, ntok, l,
+    {hit_terms} AS stopword_hits,
+    CASE WHEN len(l) >= 2 THEN
+      1.0 - CAST(len(list_distinct(list_transform(
+                generate_series(1, len(l) - 1),
+                i -> l[i] || ' ' || l[i + 1]))) AS DOUBLE) / (len(l) - 1)
+    END AS dup_ratio
+  FROM feat
+), quality AS (
+  SELECT doc_id, source, ntok, dup_ratio,
+    (ntok >= {_PIPE_MIN_TOKENS} AND
+     round(least(ntok / 100.0, 1.0) * 0.5
+         + least(CASE WHEN ntok > 0
+                 THEN CAST(stopword_hits AS DOUBLE) / ntok END * 5,
+                 1.0) * 0.5, 6) >= {_PIPE_MIN_QUALITY}
+     AND coalesce(dup_ratio <= {_PIPE_MAX_DUP_RATIO}, TRUE)) AS pass_q
+  FROM scored
+), tidx AS (
+  SELECT doc_id, source, l, unnest(generate_series(1, len(l) - 2)) AS i
+  FROM scored
+), tri AS (
+  SELECT DISTINCT doc_id, source,
+    l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+  FROM tidx
+), tfreq AS (
+  SELECT g, COUNT(*) AS df FROM tri GROUP BY 1
+), tcap AS (
+  SELECT tri.doc_id, tri.source, tri.g FROM tri JOIN tfreq USING (g)
+  WHERE df <= {_PIPE_TRI_DF_CAP}
+), corp_tri AS (
+  SELECT doc_id, g FROM tcap WHERE source <> '{_PIPE_EVAL_SRC}'
+), ntri AS (
+  SELECT doc_id, COUNT(*) AS n_tri FROM corp_tri GROUP BY 1
+), nshared AS (
+  SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_shared FROM corp_tri c
+  JOIN (SELECT DISTINCT g FROM tcap
+        WHERE source = '{_PIPE_EVAL_SRC}') e USING (g)
+  GROUP BY 1
+), contam AS (
+  SELECT ntri.doc_id FROM ntri LEFT JOIN nshared USING (doc_id)
+  WHERE 2 * coalesce(n_shared, 0) >= n_tri
+), asg AS (
+  SELECT q.doc_id, q.source, q.ntok, lb.cluster_id,
+    q.source <> '{_PIPE_EVAL_SRC}' AS in_corpus,
+    q.pass_q,
+    (q.doc_id IN (SELECT doc_id FROM contam)) AS is_contam
+  FROM quality q JOIN labeled lb USING (doc_id)
+), flagged AS (
+  SELECT *,
+    (in_corpus AND doc_id = MIN(CASE WHEN in_corpus THEN doc_id END)
+        OVER (PARTITION BY cluster_id)) AS keep_dedup
+  FROM asg
+), flagged2 AS (
+  SELECT *,
+    (keep_dedup AND pass_q) AS keep_quality,
+    (keep_dedup AND pass_q AND NOT is_contam) AS keep_clean
+  FROM flagged
+), final AS (
+  SELECT *,
+    CASE WHEN keep_clean THEN
+      (SELECT {_SPLIT_SQL} FROM (SELECT {hc} % 100 AS bucket))
+    END AS split,
+    CASE WHEN keep_clean AND
+      (SELECT {_SPLIT_SQL} FROM (SELECT {hc} % 100 AS bucket)) = 'train'
+    THEN {hd} % {_PIPE_N_SHARDS} END AS shard
+  FROM flagged2
+), census AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+    CAST(SUM(CASE WHEN keep_quality THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_quality,
+    CAST(SUM(CASE WHEN keep_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_train,
+    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_test,
+    CAST(SUM(CASE WHEN keep_clean THEN ntok ELSE 0 END) AS BIGINT)
+      AS kept_tokens,
+    CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_train_shards
+  FROM final WHERE in_corpus GROUP BY source
+), weighted AS (
+  SELECT *, CAST(round(sqrt(CAST(kept_tokens AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS w
+  FROM census
+), tot AS (SELECT CAST(SUM(w) AS DECIMAL(18,6)) AS t_w FROM weighted)
+SELECT source, n_docs, n_dedup, n_quality, n_clean, n_train, n_val,
+  n_test, kept_tokens, n_train_shards,
+  CAST(w AS DOUBLE) AS weight,
+  CASE WHEN t_w <> 0 THEN
+    round(CAST(w AS DOUBLE) / CAST(t_w AS DOUBLE), 6)
+  END AS weight_share
+FROM weighted CROSS JOIN tot
+ORDER BY source
+"""
+
+
+R8_QUERIES["t_corpus_pipeline"] = t_corpus_pipeline
+_R8_ORACLES["t_corpus_pipeline"] = _t_corpus_pipeline_sql

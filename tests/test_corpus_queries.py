@@ -190,12 +190,18 @@ def test_incremental_pairs_match_filtered_full_lsh(spark):
     from kp_crypto_market_analytics_spark.session import load_tables
 
     docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _LSH_BUCKET_CAP,
+    )
+
     inc = incremental_lsh_pairs(
         docs, F.col("doc_id") % 10 == 7, "text", "doc_id",
         num_hashes=8, bands=2, k=4, use_words=False,
+        max_bucket_size=_LSH_BUCKET_CAP,
     ).toPandas()
     full = minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False
+        docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False,
+        max_bucket_size=_LSH_BUCKET_CAP,
     ).toPandas()
     assert (inc["new_a"] | inc["new_b"]).all()
     want = full[(full["doc_a"] % 10 == 7) | (full["doc_b"] % 10 == 7)]

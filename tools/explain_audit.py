@@ -53,6 +53,198 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
 }
 
 
+# Queries allowed to carry UNCAPPED block joins (joins whose both
+# inputs descend agg-free from a Generate/explode — the inverted-index
+# self-join shape whose pairs-per-block grow quadratically with block
+# population).  A block join is "capped" when a bounding operator sits
+# between the join and the explode on at least one side:
+# WindowGroupLimit (pushed row_number cap), a Filter on a __-prefixed
+# bound column (__bn/__df/__rn), or a LIMIT.  Anything else must be
+# allowlisted here with the boundedness argument, or the audit exits 1.
+BLOCK_JOIN_ALLOWLIST: dict[str, tuple[int, str]] = {
+    # the documented all-pairs truth baseline dedup_ngram_jaccard is
+    # bench-EXCLUDED, so it never reaches this gate; if re-included it
+    # needs an entry here (its PPJoin prefix filter bounds candidates
+    # by document frequency, not a hard cap).
+    #
+    # the cap-lever census: pairs_uncapped IS the measurement being
+    # reported (the capped generator runs in the same plan and is
+    # detected as capped); the uncapped count join is the audit's
+    # subject, not a production path
+    "dedup_lsh_bucket_cap": (
+        1,
+        "uncapped generator count is the lever census's measurand",
+    ),
+    # pigeonhole chunk joins (SimHash 15-bit / pHash 16-bit bands):
+    # dropping over-cap chunk buckets would break the Hamming-radius
+    # completeness guarantee the verify step relies on; chunk values
+    # are near-uniform hashes, so hub buckets mean fingerprint-level
+    # boilerplate — handled upstream by exact/fingerprint dedup
+    "dedup_simhash_pairs": (
+        1,
+        "pigeonhole chunk join: cap would break Hamming-radius "
+        "completeness; hub chunks = fingerprint boilerplate, routed "
+        "to exact dedup",
+    ),
+    "mm_phash_neardup": (
+        1,
+        "pigeonhole chunk join over pHash bands (same argument as "
+        "dedup_simhash_pairs)",
+    ),
+    # grid-cell interval join: cell population bounded by the busy-
+    # user threshold (>= 6 events/day) — the documented tuning lever —
+    # and cells are day-grain, so each interval lands in <= 2 cells
+    "j_interval_overlap": (
+        2,
+        "grid-cell join; cell population bounded by the busy-user "
+        "threshold (the query's documented lever)",
+    ),
+    # pairwise-distance AUDITS over a deterministic 1/97 vector sample
+    # (the filter precedes the explode): the pair frame is |sample|^2
+    # by definition of the measurement, never corpus^2
+    "e_jl_projection": (
+        1,
+        "JL audit pair frame over the 1/97 vector sample (sample "
+        "filter precedes the explode)",
+    ),
+    "e_matryoshka_prefix": (
+        2,
+        "matryoshka audit pair frame over the 1/97 vector sample",
+    ),
+    # join multiplicity 1: the build side is the dim-0 rank slice (one
+    # row per vec_id) — an equi-join against a unique-key slice, not a
+    # pair generator
+    "e_quantile_normalize": (
+        1,
+        "build side is the dim-0 slice, one row per vec_id (join "
+        "multiplicity 1)",
+    ),
+}
+
+
+def _parse_plan_tree(plan: str):
+    """Parse Spark's executed-plan toString into (text, children)
+    nodes via the 3-char indentation ladder.  Returns the root nodes
+    list; each node is a dict {text, children}."""
+    roots: list[dict] = []
+    stack: list[tuple[int, dict]] = []  # (depth, node)
+    for line in plan.splitlines():
+        if not line.strip():
+            continue
+        m = re.match(r"^([ :|]*)[+:]-\s?(.*)$", line)
+        if m:
+            depth = len(m.group(1)) // 3 + 1
+            text = m.group(2)
+        else:
+            stripped = line.lstrip(" :|")
+            depth = (len(line) - len(stripped)) // 3
+            text = stripped
+        if not text:
+            continue
+        node = {"text": text, "children": []}
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            stack[-1][1]["children"].append(node)
+        else:
+            roots.append(node)
+        stack.append((depth, node))
+    return roots
+
+
+_CAP_MARKERS = re.compile(
+    r"WindowGroupLimit|GlobalLimit|LocalLimit|TakeOrdered"
+    r"|Filter .*__\w+#\d+L? <= "
+)
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+_JOIN_NODES = (
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+)
+
+
+def count_uncapped_block_joins(plan: str) -> tuple[int, int]:
+    """(block_joins, uncapped) in an executed-plan string.
+
+    A BLOCK JOIN is a join node where BOTH child subtrees reach a
+    ``Generate`` (explode) without passing through an aggregate — the
+    inverted-index pair-generator shape: each shared key (token,
+    shingle, minhash band) fans out |block|² candidate rows, so block
+    population growing with the data means quadratic pair growth
+    unless something bounds the block.  A side that aggregates between
+    the join and the explode contributes at most one row per key and
+    is not a pair-generator.  ``ReusedExchange`` references are
+    resolved to their originals (a self-join's second side usually
+    reuses the first side's exchange, hiding its Generate textually).
+
+    CAPPED = a bounding marker (WindowGroupLimit / __-column bound
+    filter / limit) sits on the join→explode path of at least one
+    side; capping one side bounds pairs-per-block at cap×|block| —
+    the quadratic term is gone — and in practice both sides share the
+    capped subtree via exchange reuse."""
+    roots = _parse_plan_tree(plan)
+
+    # plan_id → Exchange node, for ReusedExchange resolution
+    exchanges: dict[str, dict] = {}
+
+    def index(node):
+        m = re.search(r"\[plan_id=(\d+)\]", node["text"])
+        if m and node["text"].lstrip("*(0123456789) ").startswith(
+            ("Exchange", "BroadcastExchange")
+        ):
+            exchanges[m.group(1)] = node
+        for c in node["children"]:
+            index(c)
+
+    for r in roots:
+        index(r)
+
+    def probe(node, seen) -> tuple[bool, bool]:
+        """(reaches_explode_agg_free, cap_marker_on_path)."""
+        text = node["text"]
+        if id(node) in seen:  # reuse cycle guard
+            return False, False
+        seen = seen | {id(node)}
+        name = text.lstrip("*(0123456789) ")
+        if any(name.startswith(a) for a in _AGG_NODES):
+            return False, False
+        cap_here = bool(_CAP_MARKERS.search(text))
+        if name.startswith("Generate"):
+            return True, cap_here
+        kids = list(node["children"])
+        m = re.match(r"ReusedExchange \[.*\], \w*Exchange .*", name)
+        if m:
+            ref = re.search(r"\[plan_id=(\d+)\]", name)
+            if ref and ref.group(1) in exchanges:
+                kids = [exchanges[ref.group(1)]]
+        reach = capped = False
+        for k in kids:
+            r_k, c_k = probe(k, seen)
+            if r_k:
+                reach = True
+                capped = capped or c_k or cap_here
+        return reach, capped
+
+    block = uncapped = 0
+
+    def walk(node):
+        nonlocal block, uncapped
+        name = node["text"].lstrip("*(0123456789) ")
+        if any(name.startswith(j) for j in _JOIN_NODES):
+            sides = [probe(c, frozenset()) for c in node["children"]]
+            gen_sides = [s for s in sides if s[0]]
+            if len(gen_sides) >= 2:
+                block += 1
+                if not any(capped for _, capped in gen_sides):
+                    uncapped += 1
+        for c in node["children"]:
+            walk(c)
+
+    for r in roots:
+        walk(r)
+    return block, uncapped
+
+
 def count_global_windows(plan: str) -> int:
     """Unpartitioned WindowExec nodes in an executed-plan string.
 
@@ -113,8 +305,8 @@ def main() -> None:
         "",
         f"Scale factor dir: `{sf_dir}`.  Regenerate: `python tools/explain_audit.py`.",
         "",
-        "| query | codegen stages | BHJ | SMJ | BNLJ | exchanges | scan filters pushed | pruned columns read | global windows |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | codegen stages | BHJ | SMJ | BNLJ | exchanges | scan filters pushed | pruned columns read | global windows | block joins capped |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     violations: list[str] = []
     for name in BENCH_QUERIES:
@@ -142,10 +334,32 @@ def main() -> None:
             gw_cell = f"{gw} ({reason})"
         else:
             gw_cell = "0"
+        bj, unc = count_uncapped_block_joins(plan)
+        bj_allowed, bj_reason = BLOCK_JOIN_ALLOWLIST.get(name, (0, ""))
+        if unc > bj_allowed:
+            bj_cell = f"**{unc}/{bj} UNCAPPED**"
+            violations.append(
+                f"{name}: {unc} uncapped block joins (allowed {bj_allowed})"
+            )
+        elif unc > 0:
+            bj_cell = f"{bj - unc}/{bj} ({bj_reason})"
+        elif bj > 0:
+            bj_cell = f"{bj}/{bj}"
+        else:
+            bj_cell = "-"
         lines.append(
-            f"| {name} | {codegen} | {bhj} | {smj} | {bnlj} | {exch} | {n_pushed} | {n_cols} | {gw_cell} |"
+            f"| {name} | {codegen} | {bhj} | {smj} | {bnlj} | {exch} | {n_pushed} | {n_cols} | {gw_cell} | {bj_cell} |"
         )
     lines += [
+        "",
+        "Block joins capped: `capped/total` joins whose BOTH inputs descend",
+        "agg-free from an explode (the inverted-index pair-generator shape —",
+        "pairs per block grow quadratically with block population unless a",
+        "bounding operator sits on the join→explode path: WindowGroupLimit,",
+        "a __-column bound filter, or a limit).  GATED like global windows:",
+        "an uncapped block join must be allowlisted in",
+        "tools/explain_audit.py with a boundedness argument or the audit",
+        "exits 1.  `-` = the query has no block joins.",
         "",
         "Reading guide: BHJ = broadcast hash join (dimension lookups must be",
         "broadcast — fact side never shuffles); BNLJ appears only in the",
