@@ -121,7 +121,7 @@ _FIRST_SEEN_ROUND.update(
 
 _FIRST_SEEN_ROUND.update(
     {n: 8 for n in (
-        "t_corpus_pipeline",
+        "t_corpus_pipeline", "a_welch_stream_parity",
     )}
 )
 

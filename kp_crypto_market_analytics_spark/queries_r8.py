@@ -416,3 +416,160 @@ ORDER BY source
 
 R8_QUERIES["t_corpus_pipeline"] = t_corpus_pipeline
 _R8_ORACLES["t_corpus_pipeline"] = _t_corpus_pipeline_sql
+
+
+# -------------------------------------------------- a_welch_stream_parity
+
+_WELCH_BATCHES = 4
+
+
+def a_welch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Welch A/B monitor, gated batch-side: fold 4
+    deterministic micro-batches of the event stream (batch = event_id
+    mod 4) through the cumulative per-arm sufficient statistics
+    (n, Σv, Σv²) per event type and emit the Welch t / Welch–
+    Satterthwaite dof AFTER EACH BATCH — what a live experimentation
+    monitor publishes per trigger (arms: weekend vs weekday, the
+    a_welch_ttest arms).  The REAL streaming operator
+    (streaming/welch.py, applyInPandasWithState keyed state) is pinned
+    emission-for-emission to this fold by
+    tests/test_sinks_streaming.py::test_welch_stream_matches_batch_fold
+    — the statistics-family counterpart of the sketch quartet's parity
+    gates (t_mg_stream_parity et al.).
+
+    Determinism: per-(batch, type, arm) moments are exact DECIMAL(18,6)
+    sums; the cumulative prefix is a 4×4 triangular join over the tiny
+    per-batch partial frame (never a window); t and dof are the
+    identical IEEE chain over the exact moments in both engines; means
+    ride round_mean_micro.
+
+    Scale shape: ONE map-side-combined groupBy(event_type, bid) — the
+    only full-data pass; everything after is |types|×4 rows."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    v = F.col("value").cast("decimal(18,6)")
+    wknd = F.dayofweek("ts").isin(1, 7)
+    part = e.groupBy(
+        "event_type",
+        (F.pmod(F.col("event_id"), F.lit(_WELCH_BATCHES)) + 1).alias("bid"),
+    ).agg(
+        F.sum(F.when(wknd, v)).alias("psa"),
+        F.sum(F.when(wknd, v * v)).alias("pqa"),
+        F.count(F.when(wknd, F.lit(1))).alias("pna"),
+        F.sum(F.when(~wknd, v)).alias("psb"),
+        F.sum(F.when(~wknd, v * v)).alias("pqb"),
+        F.count(F.when(~wknd, F.lit(1))).alias("pnb"),
+    )
+    ks = spark.range(1, _WELCH_BATCHES + 1).select(
+        F.col("id").cast("int").alias("batch_idx")
+    )
+    cum = (
+        part.join(
+            F.broadcast(ks), F.col("bid") <= F.col("batch_idx")
+        )
+        .groupBy("batch_idx", "event_type")
+        .agg(
+            F.sum("psa").alias("sa"),
+            F.sum("pqa").alias("qa"),
+            F.sum("pna").alias("na"),
+            F.sum("psb").alias("sb"),
+            F.sum("pqb").alias("qb"),
+            F.sum("pnb").alias("nb"),
+        )
+    )
+    sa, qa, na = (
+        F.col("sa").cast("double"),
+        F.col("qa").cast("double"),
+        F.col("na"),
+    )
+    sb, qb, nb = (
+        F.col("sb").cast("double"),
+        F.col("qb").cast("double"),
+        F.col("nb"),
+    )
+    va = (qa - sa * sa / na) / (na - F.lit(1))
+    vb = (qb - sb * sb / nb) / (nb - F.lit(1))
+    aa = va / na
+    bb = vb / nb
+    ok = (na > 1) & (nb > 1) & (aa + bb > 0)
+    tstat = (sa / na - sb / nb) / F.sqrt(aa + bb)
+    dof = (aa + bb) * (aa + bb) / (
+        aa * aa / (na - F.lit(1)) + bb * bb / (nb - F.lit(1))
+    )
+    return cum.select(
+        F.col("batch_idx").cast("long").alias("batch_idx"),
+        "event_type",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.when(na > 0, round_mean_micro(F.col("sa"), na)).alias("mean_a"),
+        F.when(nb > 0, round_mean_micro(F.col("sb"), nb)).alias("mean_b"),
+        F.when(ok, F.round(tstat, 6) + F.lit(0.0)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6) + F.lit(0.0)).alias("welch_dof"),
+    ).orderBy("batch_idx", "event_type")
+
+
+def _a_welch_stream_parity_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    mean_a = sql_round_mean_micro("sa", "na")
+    mean_b = sql_round_mean_micro("sb", "nb")
+    va = "((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1))"
+    vb = "((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1))"
+    aa = f"({va} / na)"
+    bb = f"({vb} / nb)"
+    ok = f"(na > 1 AND nb > 1 AND {aa} + {bb} > 0)"
+    tstat = (
+        f"(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)"
+        f" / sqrt({aa} + {bb})"
+    )
+    dof = (
+        f"({aa} + {bb}) * ({aa} + {bb})"
+        f" / ({aa} * {aa} / (na - 1) + {bb} * {bb} / (nb - 1))"
+    )
+    return f"""
+WITH part AS (
+  SELECT event_type, event_id % {_WELCH_BATCHES} + 1 AS bid,
+    SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) END) AS psa,
+    SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      END) AS pqa,
+    COUNT(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 END) AS pna,
+    SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) END) AS psb,
+    SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+      THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      END) AS pqb,
+    COUNT(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 END) AS pnb
+  FROM events GROUP BY 1, 2
+), ks AS (
+  SELECT unnest(generate_series(1, {_WELCH_BATCHES})) AS batch_idx
+), cum AS (
+  SELECT batch_idx, event_type,
+    CAST(SUM(psa) AS DECIMAL(18,6)) AS sa,
+    CAST(SUM(pqa) AS DECIMAL(38,12)) AS qa,
+    CAST(SUM(pna) AS BIGINT) AS na,
+    CAST(SUM(psb) AS DECIMAL(18,6)) AS sb,
+    CAST(SUM(pqb) AS DECIMAL(38,12)) AS qb,
+    CAST(SUM(pnb) AS BIGINT) AS nb
+  FROM part JOIN ks ON bid <= batch_idx
+  GROUP BY 1, 2
+)
+SELECT CAST(batch_idx AS BIGINT) AS batch_idx, event_type, na AS n_a,
+  nb AS n_b,
+  CASE WHEN na > 0 THEN {mean_a} END AS mean_a,
+  CASE WHEN nb > 0 THEN {mean_b} END AS mean_b,
+  CASE WHEN {ok} THEN round({tstat}, 6) + 0.0 END AS t_stat,
+  CASE WHEN {ok} THEN round({dof}, 6) + 0.0 END AS welch_dof
+FROM cum ORDER BY batch_idx, event_type
+"""
+
+
+R8_QUERIES["a_welch_stream_parity"] = a_welch_stream_parity
+_R8_ORACLES["a_welch_stream_parity"] = _a_welch_stream_parity_sql

@@ -1213,3 +1213,57 @@ def test_orc_artifact_roundtrip_and_pushdown(spark, tmp_path):
     assert q.count() == 1
     assert "PushedFilters" in plan
     assert "close" in plan.split("PushedFilters")[1][:200]
+
+
+def test_welch_stream_matches_batch_fold(spark, tmp_path):
+    # The REAL streaming Welch monitor (applyInPandasWithState, exact
+    # integer moments carried as state) must match the oracle-gated
+    # batch fold a_welch_stream_parity EMISSION FOR EMISSION when the
+    # same 4 deterministic batches (event_id % 4) arrive in order.
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        _WELCH_BATCHES,
+        a_welch_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.welch import (
+        welch_monitor_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = load_tables(spark, sf, ["events"])["events"].select(
+        "event_type", "event_id", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    for k in range(1, _WELCH_BATCHES + 1):
+        # file names sort in batch order -> maxFilesPerTrigger=1
+        # replays bid 1..4 as successive micro-batches
+        e.where(F.pmod(F.col("event_id"), F.lit(_WELCH_BATCHES)) + 1 == k) \
+            .coalesce(1).write.parquet(f"{src}/b{k}")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        welch_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("welch_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_type"], r["batch_idx"]): r
+        for r in spark.table("welch_out").collect()
+    }
+    want = a_welch_stream_parity(spark, sf).collect()
+    assert len(got) == len(want) > 0
+    for w in want:
+        g = got[(w["event_type"], w["batch_idx"])]
+        assert g["n_a"] == w["n_a"] and g["n_b"] == w["n_b"]
+        for c in ("mean_a", "mean_b", "t_stat", "welch_dof"):
+            if w[c] is None:
+                assert g[c] is None
+            else:
+                assert g[c] == w[c], (w["event_type"], w["batch_idx"], c)
