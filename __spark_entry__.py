@@ -122,6 +122,7 @@ _FIRST_SEEN_ROUND.update(
 _FIRST_SEEN_ROUND.update(
     {n: 8 for n in (
         "t_corpus_pipeline", "a_welch_stream_parity",
+        "ti_donchian", "ti_ulcer_index", "ti_beta", "ti_parkinson",
     )}
 )
 

@@ -573,3 +573,343 @@ FROM cum ORDER BY batch_idx, event_type
 
 R8_QUERIES["a_welch_stream_parity"] = a_welch_stream_parity
 _R8_ORACLES["a_welch_stream_parity"] = _a_welch_stream_parity_sql
+
+
+# ----------------------------------------------------------- indicators
+#
+# Round-8 batch A: the remaining classic channel/risk indicators over
+# the family's shared tick series (symbol = event_type, price = value,
+# ORDER BY ts, event_id — the queries_indicators conventions).
+
+_TICK_W_SQL = "PARTITION BY event_type ORDER BY ts, event_id"
+
+
+def _tick_w() -> Window:
+    return Window.partitionBy("event_type").orderBy("ts", "event_id")
+
+
+def ti_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (20-row rolling high/low, Richard Donchian's
+    trend rule, public) with the channel position (value − low) /
+    (high − low) — the breakout indicator pair ti_bollinger's
+    stat-band complements; masked below 20 observations and on a flat
+    channel.
+
+    Determinism: high/low are exact order statistics of the raw
+    doubles (no arithmetic); the position is one identical IEEE
+    division rounded to 6 dp with −0.0 normalized.
+
+    Scale shape: rides the family's ONE window sort per symbol —
+    rolling min/max add no shuffle."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _tick_w().rowsBetween(-19, 0)
+    hi, lo, n = (
+        F.max("value").over(w),
+        F.min("value").over(w),
+        F.count("value").over(w),
+    )
+    pos = F.when(
+        (n >= 20) & (hi > lo),
+        F.round((F.col("value") - lo) / (hi - lo), 6) + F.lit(0.0),
+    )
+    return t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(n >= 20, hi).alias("dc_high"),
+        F.when(n >= 20, lo).alias("dc_low"),
+        pos.alias("dc_pos"),
+    )
+
+
+TI_DONCHIAN_SQL = f"""
+SELECT event_id, event_type, value,
+  CASE WHEN n >= 20 THEN hi END AS dc_high,
+  CASE WHEN n >= 20 THEN lo END AS dc_low,
+  CASE WHEN n >= 20 AND hi > lo
+    THEN round((value - lo) / (hi - lo), 6) + 0.0 END AS dc_pos
+FROM (
+  SELECT event_id, event_type, value,
+    MAX(value) OVER w AS hi, MIN(value) OVER w AS lo,
+    COUNT(value) OVER w AS n
+  FROM events
+  WINDOW w AS ({_TICK_W_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+def ti_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index (Peter Martin 1987, public): RMS of the rolling
+    percentage drawdown from the running high over a 14-row window —
+    the downside-risk twin of rolling stddev (which penalizes upside
+    too); masked below 14 rows.
+
+    Determinism: drawdowns are micro-rounded BIGINTs (one IEEE
+    division each off the exact running max), so the windowed Σdd² is
+    an exact integer fold — a float window sum would be
+    order-dependent; the final sqrt is one IEEE op.
+
+    Scale shape: running max + rolling sum on the family's ONE window
+    sort; no extra shuffle."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _tick_w()
+    runmax = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    dd_micro = F.when(
+        runmax > 0,
+        F.round(
+            (F.col("value") / runmax - F.lit(1.0)) * F.lit(100_000_000.0), 0
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    w14 = _tick_w().rowsBetween(-13, 0)
+    # re-sort-free: ddm rides the same (type, ts, event_id) frame
+    base = t["events"].select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        dd_micro.alias("ddm"),
+    )
+    n = F.count("ddm").over(w14)
+    s2 = F.sum(F.col("ddm") * F.col("ddm")).over(w14)
+    ulcer = F.when(
+        n >= 14,
+        F.round(
+            F.sqrt(s2.cast("double") / (n * F.lit(1e12))), 6
+        )
+        + F.lit(0.0),
+    )
+    return base.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("ddm") / F.lit(1_000_000.0)).alias("drawdown_pct"),
+        ulcer.alias("ulcer_index"),
+    )
+
+
+TI_ULCER_SQL = f"""
+SELECT event_id, event_type, value,
+  ddm / 1000000.0 AS drawdown_pct,
+  CASE WHEN n >= 14 THEN
+    round(sqrt(CAST(s2 AS DOUBLE) / (n * 1e12)), 6) + 0.0
+  END AS ulcer_index
+FROM (
+  SELECT event_id, event_type, value,
+    COUNT(ddm) OVER w14 AS n,
+    SUM(ddm * ddm) OVER w14 AS s2, ddm
+  FROM (
+    SELECT event_id, event_type, value, ts,
+      CASE WHEN runmax > 0 THEN
+        CAST(round((value / runmax - 1.0) * 100000000.0, 0) AS BIGINT)
+      ELSE 0 END AS ddm
+    FROM (
+      SELECT event_id, event_type, value, ts,
+        MAX(value) OVER ({_TICK_W_SQL}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      FROM events
+    )
+  )
+  WINDOW w14 AS ({_TICK_W_SQL} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+_BETA_BENCH = "click"  # densest series = the market proxy
+
+
+def ti_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM beta per symbol against the '{bench}' series (Sharpe 1964,
+    public): daily-close log returns aligned by calendar day, β =
+    (nΣxy − ΣxΣy) / (nΣxx − (Σx)²), plus the return correlation — the
+    cross-asset risk table the reference's correlation matrix
+    (src/analytics/binance_analysis.py:543-546) is one step away from.
+
+    Determinism: daily closes are row_number-picked on the total
+    (ts, event_id) order; zero/negative closes are filtered before the
+    log like ti_realized_vol; returns are micro-rounded BIGINTs so
+    every moment sum is exact; β/ρ are single IEEE chains on exact
+    integers, rounded with −0.0 normalized.
+
+    Scale shape: one (type, day) agg for closes, one lag window on the
+    |types|×|days| daily frame, one broadcast join of the benchmark
+    day column, one moment agg — nothing at tick grain shuffles
+    twice."""
+    t = load_tables(spark, sf_dir, ["events"])
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    closes = (
+        t["events"]
+        .withColumn("__rn", rn)
+        .where((F.col("__rn") == 1) & (F.col("value") > 0))
+        .select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.col("value").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        closes.withColumn("prev", F.lag("close").over(wd))
+        .where(F.col("prev") > 0)
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                F.log(F.col("close") / F.col("prev")) * F.lit(1_000_000.0), 0
+            )
+            .cast("long")
+            .alias("rm"),
+        )
+    )
+    bench = rets.where(F.col("event_type") == _BETA_BENCH).select(
+        "day", F.col("rm").alias("bm")
+    )
+    j = rets.join(F.broadcast(bench), "day")
+    m = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rm").alias("sx"),
+        F.sum("bm").alias("sy"),
+        F.sum(F.col("rm") * F.col("rm")).alias("sxx"),
+        F.sum(F.col("bm") * F.col("bm")).alias("syy"),
+        F.sum(F.col("rm") * F.col("bm")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov_n = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_b = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    var_s = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ok_b = (n > 1) & (var_b > 0)
+    ok_r = ok_b & (var_s > 0)
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(ok_b, F.round(cov_n / var_b, 6) + F.lit(0.0)).alias("beta"),
+        F.when(
+            ok_r,
+            F.round(cov_n / F.sqrt(var_b * var_s), 6) + F.lit(0.0),
+        ).alias("corr"),
+    ).orderBy("event_type")
+
+
+ti_beta.__doc__ = ti_beta.__doc__.format(bench=_BETA_BENCH)
+
+
+TI_BETA_SQL = f"""
+WITH closes AS (
+  SELECT event_type, day, close FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day, value AS close,
+      row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND close > 0
+), rets AS (
+  SELECT event_type, day,
+    CAST(round(ln(close / prev) * 1000000.0, 0) AS BIGINT) AS rm
+  FROM (
+    SELECT event_type, day, close,
+      lag(close) OVER (PARTITION BY event_type ORDER BY day) AS prev
+    FROM closes
+  ) WHERE prev > 0
+), bench AS (
+  SELECT day, rm AS bm FROM rets WHERE event_type = '{_BETA_BENCH}'
+), m AS (
+  SELECT r.event_type, COUNT(*) AS n,
+    SUM(rm) AS sx, SUM(bm) AS sy,
+    SUM(rm * rm) AS sxx, SUM(bm * bm) AS syy, SUM(rm * bm) AS sxy
+  FROM rets r JOIN bench USING (day) GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 1 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * syy - sy * sy AS DOUBLE), 6) + 0.0 END AS beta,
+  CASE WHEN n > 1 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        AND CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+             * CAST(n * sxx - sx * sx AS DOUBLE)), 6) + 0.0 END AS corr
+FROM m ORDER BY event_type
+"""
+
+
+_PK_4LN2 = 2.772588722239781  # 4·ln2, shared double literal
+
+
+def ti_parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson range volatility per symbol (Parkinson 1980, public):
+    σ_P = sqrt(Σ ln(H/L)² / (4·ln2·n)) over daily high/low candles —
+    the range estimator that is ~5× more efficient than close-to-close
+    vol, computable straight from OHLC without tick storage.
+
+    Determinism: daily H/L are exact order statistics; each ln(H/L) is
+    micro-rounded to BIGINT so Σx² folds exactly; one IEEE
+    sqrt/division at the end.  Days with L <= 0 or a flat range
+    contribute like any other (ln(H/L) = 0 when H = L; L <= 0 days are
+    dropped — the ti_realized_vol zero-price rule).
+
+    Scale shape: one (type, day) agg then a |types|-row agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.max("value").alias("h"), F.min("value").alias("l"))
+        .where(F.col("l") > 0)
+        .select(
+            "event_type",
+            F.round(
+                F.log(F.col("h") / F.col("l")) * F.lit(1_000_000.0), 0
+            )
+            .cast("long")
+            .alias("xm"),
+        )
+    )
+    out = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("xm") * F.col("xm")).alias("s2"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(
+            F.sqrt(
+                F.col("s2").cast("double")
+                / (F.lit(_PK_4LN2) * F.col("n_days") * F.lit(1e12))
+            ),
+            6,
+        ).alias("parkinson_vol"),
+    ).orderBy("event_type")
+
+
+TI_PARKINSON_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+    CAST(round(ln(h / l) * 1000000.0, 0) AS BIGINT) AS xm
+  FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+      MAX(value) AS h, MIN(value) AS l
+    FROM events GROUP BY 1, 2
+  ) WHERE l > 0
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+  round(sqrt(CAST(SUM(xm * xm) AS DOUBLE)
+      / ({_PK_4LN2} * COUNT(*) * 1e12)), 6) AS parkinson_vol
+FROM daily GROUP BY event_type ORDER BY event_type
+"""
+
+
+R8_QUERIES.update(
+    {
+        "ti_donchian": ti_donchian,
+        "ti_ulcer_index": ti_ulcer_index,
+        "ti_beta": ti_beta,
+        "ti_parkinson": ti_parkinson,
+    }
+)
+_R8_ORACLES.update(
+    {
+        "ti_donchian": lambda: TI_DONCHIAN_SQL,
+        "ti_ulcer_index": lambda: TI_ULCER_SQL,
+        "ti_beta": lambda: TI_BETA_SQL,
+        "ti_parkinson": lambda: TI_PARKINSON_SQL,
+    }
+)
