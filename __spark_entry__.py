@@ -123,6 +123,8 @@ _FIRST_SEEN_ROUND.update(
     {n: 8 for n in (
         "t_corpus_pipeline", "a_welch_stream_parity",
         "ti_donchian", "ti_ulcer_index", "ti_beta", "ti_parkinson",
+        "a_levene_bf", "a_tukey_hsd", "a_hodges_lehmann",
+        "w_page_hinkley",
     )}
 )
 

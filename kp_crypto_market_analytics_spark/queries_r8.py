@@ -913,3 +913,430 @@ _R8_ORACLES.update(
         "ti_parkinson": lambda: TI_PARKINSON_SQL,
     }
 )
+
+
+# ----------------------------------------------------------- statistics
+#
+# Round-8 batch B: the robust/post-hoc tests the r7 statistics layer
+# stops short of — Brown–Forsythe (robust variance equality), Tukey
+# HSD (which groups differ, after a_anova_f says "some do"),
+# Hodges–Lehmann (the rank family's location estimate), Page–Hinkley
+# (the sequential drift detector w_cusum's mean-tracking twin).
+
+
+def a_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Brown & Forsythe 1974, public): one-way
+    ANOVA on |x − group median| across event types — "are the
+    variances equal?", robust to non-normality (the median-centered
+    Levene variant).  The homoscedasticity gate one checks before
+    trusting a_anova_f's pooled variance.
+
+    Determinism: group medians are the engine-exact interpolated
+    percentile (the a_grouped_quantiles parity recipe; flips to
+    approx sketches only under the bench conf); each |x − med| is
+    micro-rounded to BIGINT so all moment sums fold exactly
+    (Σz² rides DECIMAL(38,0) — micro² × corpus exceeds int64); the
+    per-group s²/n between terms are unit-rounded DECIMAL(38,0) so
+    the Σ over groups is exact; F is one IEEE chain.
+
+    Scale shape: one median agg per type, one broadcast of the
+    |types|-row medians, one map-side-combined moment agg — the
+    a_anova_f plan plus a broadcast."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        percentile_expr,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    med = e.groupBy("event_type").agg(
+        percentile_expr(e, "value", 0.5).alias("med")
+    )
+    zm = F.round(
+        F.abs(F.col("value") - F.col("med")) * F.lit(1_000_000.0), 0
+    ).cast("long")
+    g = (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_type", zm.alias("zm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.sum("zm").alias("si"),
+            F.sum(
+                (F.col("zm") * F.col("zm")).cast("decimal(38,0)")
+            ).alias("qi"),
+        )
+    )
+    tu = F.round(
+        F.col("si").cast("double") * F.col("si").cast("double") / F.col("ni"),
+        0,
+    ).cast("decimal(38,0)")
+    agg = g.select("ni", "si", "qi", tu.alias("tu")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum("tu").alias("t_u"),
+    )
+    s_d, q_d, t_d = (
+        F.col("s").cast("double"),
+        F.col("q").cast("double"),
+        F.col("t_u").cast("double"),
+    )
+    n, k = F.col("n"), F.col("k")
+    ssb = t_d - s_d * s_d / n
+    ssw = q_d - t_d
+    fstat = (ssb / (k - F.lit(1))) / (ssw / (n - k))
+    ok = (k > 1) & (n > k) & (ssw > 0)
+    return agg.select(
+        k.cast("long").alias("k_groups"),
+        n.cast("long").alias("n"),
+        F.when(ok, F.round(fstat, 6) + F.lit(0.0)).alias("f_bf"),
+    )
+
+
+def _a_levene_bf_sql() -> str:
+    return """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), z AS (
+  SELECT e.event_type,
+    CAST(round(abs(e.value - m.med) * 1000000.0, 0) AS BIGINT) AS zm
+  FROM events e JOIN med m USING (event_type)
+), g AS (
+  SELECT event_type, COUNT(*) AS ni, CAST(SUM(zm) AS BIGINT) AS si,
+    CAST(SUM(zm * zm) AS DECIMAL(38,0)) AS qi
+  FROM z GROUP BY 1
+), a AS (
+  SELECT COUNT(*) AS k, CAST(SUM(ni) AS BIGINT) AS n,
+    CAST(SUM(si) AS BIGINT) AS s,
+    CAST(SUM(qi) AS DECIMAL(38,0)) AS q,
+    CAST(SUM(CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni, 0)
+      AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t_u
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k_groups, n,
+  CASE WHEN k > 1 AND n > k AND CAST(q AS DOUBLE) - CAST(t_u AS DOUBLE) > 0
+    THEN round(((CAST(t_u AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+      / ((CAST(q AS DOUBLE) - CAST(t_u AS DOUBLE)) / (n - k)), 6) + 0.0
+  END AS f_bf
+FROM a
+"""
+
+
+def a_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD pairwise comparisons (Tukey 1949, public): after
+    a_anova_f says "some type means differ", the studentized-range
+    q statistic for EVERY type pair — q = |x̄ᵢ − x̄ⱼ| /
+    sqrt(MSE/2 · (1/nᵢ + 1/nⱼ)) with MSE pooled within-group variance —
+    the post-hoc table that says WHICH pairs differ.
+
+    Determinism: per-type moments are exact DECIMAL(18,6) sums; MSE
+    reuses a_anova_f's unit-exact fold (per-group s²/n micro-rounded
+    before the cross-group Σ); the pair frame is |types|² rows of one
+    identical IEEE chain each, means displayed via round_mean_micro.
+
+    Scale shape: one map-side-combined groupBy(event_type), a 1-row
+    MSE broadcast, a |types|² crossJoin — constant-size tail at any
+    corpus size."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value").cast("decimal(18,6)")
+    g = t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum(v).alias("si"),
+        F.sum(v * v).alias("qi"),
+    )
+    term_u = F.round(
+        F.col("si").cast("double")
+        * F.col("si").cast("double")
+        / F.col("ni")
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    mse = (
+        g.select("ni", "qi", term_u.alias("tu"))
+        .agg(
+            F.sum("ni").alias("n"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum("qi").alias("q"),
+            F.sum("tu").alias("t_u"),
+        )
+        .select(
+            (
+                (F.col("q").cast("double") - F.col("t_u") / F.lit(1e6))
+                / (F.col("n") - F.col("k"))
+            ).alias("mse")
+        )
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ni").alias("na"),
+        F.col("si").alias("sa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ni").alias("nb"),
+        F.col("si").alias("sb"),
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(mse))
+    )
+    diff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    se = F.sqrt(
+        F.col("mse")
+        / F.lit(2.0)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    ok = (F.col("mse") > 0) & (F.col("na") > 0) & (F.col("nb") > 0)
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        round_mean_micro(F.col("sa"), F.col("na")).alias("mean_a"),
+        round_mean_micro(F.col("sb"), F.col("nb")).alias("mean_b"),
+        F.when(ok, F.round(F.abs(diff) / se, 6) + F.lit(0.0)).alias(
+            "q_stat"
+        ),
+    ).orderBy("type_a", "type_b")
+
+
+def _a_tukey_hsd_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    mean_a = sql_round_mean_micro("sa", "na")
+    mean_b = sql_round_mean_micro("sb", "nb")
+    return f"""
+WITH g AS (
+  SELECT event_type, COUNT(*) AS ni,
+    SUM(CAST(value AS DECIMAL(18,6))) AS si,
+    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+      AS qi
+  FROM events GROUP BY 1
+), mse_t AS (
+  SELECT (CAST(SUM(qi) AS DOUBLE)
+      - CAST(SUM(CAST(round(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / ni
+          * 1000000.0, 0) AS BIGINT)) AS BIGINT) / 1000000.0)
+      / (SUM(ni) - COUNT(*)) AS mse
+  FROM g
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    a.ni AS na, a.si AS sa, b.ni AS nb, b.si AS sb, mse
+  FROM g a JOIN g b ON a.event_type < b.event_type CROSS JOIN mse_t
+)
+SELECT type_a, type_b,
+  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  {mean_a} AS mean_a, {mean_b} AS mean_b,
+  CASE WHEN mse > 0 AND na > 0 AND nb > 0 THEN
+    round(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+      / sqrt(mse / 2.0 * (1.0 / na + 1.0 / nb)), 6) + 0.0
+  END AS q_stat
+FROM pairs ORDER BY type_a, type_b
+"""
+
+
+def a_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann pseudo-median per event type (Hodges & Lehmann
+    1963, public): the median of all Walsh averages (xᵢ+xⱼ)/2, i ≤ j,
+    over the type's DAILY mean series — the robust location estimate
+    the rank family (a_mann_whitney, w_theil_sen) centers on, immune
+    to the outlier days that drag the plain mean.
+
+    Determinism: daily means are exact micro half-away divisions
+    (round_mean_micro → an exact integer number of micros); Walsh
+    sums are exact BIGINTs; the median over them is the engine-exact
+    interpolated percentile of integers (a .5-micro result at worst —
+    one exact IEEE division by 2e6 at the end).
+
+    Scale shape: the Walsh frame is |days|² per type
+    (calendar-bounded like w_theil_sen, never data-bounded); daily
+    means come from ONE map-side-combined (type, day) agg."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        percentile_expr,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value").cast("decimal(18,6)")
+    daily = t["events"].groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(v).alias("s"), F.count(F.lit(1)).alias("c"))
+    micro = (F.col("s") * F.lit(1_000_000)).cast("long")
+    dm = daily.select(
+        "event_type",
+        "day",
+        (
+            F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.call_function(
+                "div",
+                F.lit(2) * F.abs(micro) + F.col("c"),
+                F.lit(2) * F.col("c"),
+            )
+        ).alias("mm"),
+    )
+    a = dm.select(
+        "event_type", F.col("day").alias("da"), F.col("mm").alias("ma")
+    )
+    b = dm.select(
+        "event_type", F.col("day").alias("db"), F.col("mm").alias("mb")
+    )
+    walsh = a.join(b, "event_type").where(F.col("da") <= F.col("db")).select(
+        "event_type", (F.col("ma") + F.col("mb")).alias("ws")
+    )
+    out = walsh.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_walsh"),
+        percentile_expr(walsh, "ws", 0.5).alias("med2"),
+    )
+    return out.select(
+        "event_type",
+        F.col("n_walsh").cast("long").alias("n_walsh"),
+        (F.col("med2") / F.lit(2_000_000.0)).alias("hl_estimate"),
+    ).orderBy("event_type")
+
+
+def _a_hodges_lehmann_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS micro,
+    COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), dm AS (
+  SELECT event_type, day,
+    (CASE WHEN micro < 0 THEN -1 ELSE 1 END)
+      * ((2 * abs(micro) + c) // (2 * c)) AS mm
+  FROM daily
+), walsh AS (
+  SELECT a.event_type, a.mm + b.mm AS ws
+  FROM dm a JOIN dm b
+    ON a.event_type = b.event_type AND a.day <= b.day
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_walsh,
+  quantile_cont(ws, 0.5) / 2000000.0 AS hl_estimate
+FROM walsh GROUP BY event_type ORDER BY event_type
+"""
+
+
+_PH_DELTA_MICRO = 500_000  # δ = 0.5 in micro units
+# λ = 2500: sized to the series' excursion scale (m − min random-walks
+# at σ·√n ≈ 2.8k–6.4k on this data) so alarms are RARE but present at
+# both test SFs — λ = 50 fired on 95% of rows (vacuous), λ ≥ 5000
+# never fires at sf0.01 (also vacuous).
+_PH_LAMBDA_MICRO = 2_500_000_000
+
+
+def w_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley mean-drift detector per symbol (Page 1954 /
+    Hinkley 1971, public): mₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ − δ) with x̄ᵢ the
+    running mean, Mₜ = min mₛ, alarm when mₜ − Mₜ > λ — the
+    sequential upward-drift monitor, w_cusum's running-mean twin
+    (CUSUM tracks a FIXED baseline; PH tracks the self-updating
+    mean).
+
+    Determinism: running sums are exact DECIMAL(18,6); each per-row
+    term xₜ − Sₜ/t − δ is micro-rounded to BIGINT (one IEEE division
+    off exact values), so the mₜ prefix fold and running min are
+    exact integers; the alarm compare is integer vs integer.
+
+    Scale shape: three frames of the family's ONE window sort per
+    symbol (prefix sum, prefix fold, running min) — no extra
+    shuffle."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = _tick_w()
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col("value").cast("decimal(18,6)")
+    base = t["events"].select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.sum(v).over(wcum).alias("s"),
+        F.count(F.lit(1)).over(wcum).alias("t"),
+    )
+    term = (
+        F.round(
+            (
+                F.col("value")
+                - F.col("s").cast("double") / F.col("t")
+            )
+            * F.lit(1_000_000.0),
+            0,
+        ).cast("long")
+        - F.lit(_PH_DELTA_MICRO)
+    )
+    stepped = base.select(
+        "event_id", "event_type", "ts", "value", term.alias("tm")
+    )
+    m = F.sum("tm").over(wcum).alias("m")
+    stepped = stepped.select(
+        "event_id", "event_type", "ts", "value", "tm", m
+    )
+    mmin = F.min("m").over(wcum)
+    return stepped.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("m") / F.lit(1_000_000.0)).alias("ph_stat"),
+        (mmin / F.lit(1_000_000.0)).alias("ph_min"),
+        ((F.col("m") - mmin) > F.lit(_PH_LAMBDA_MICRO)).alias("alarm"),
+    )
+
+
+def _w_page_hinkley_sql() -> str:
+    return f"""
+WITH pre AS (
+  SELECT event_id, event_type, ts, value,
+    SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s,
+    COUNT(*) OVER w AS t
+  FROM events
+  WINDOW w AS ({_TICK_W_SQL}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), stepped AS (
+  SELECT event_id, event_type, ts, value,
+    CAST(round((value - CAST(s AS DOUBLE) / t) * 1000000.0, 0) AS BIGINT)
+      - {_PH_DELTA_MICRO} AS tm
+  FROM pre
+), folded AS (
+  SELECT event_id, event_type, ts, value,
+    SUM(tm) OVER w AS m
+  FROM stepped
+  WINDOW w AS ({_TICK_W_SQL}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, value,
+  m / 1000000.0 AS ph_stat,
+  MIN(m) OVER w / 1000000.0 AS ph_min,
+  (m - MIN(m) OVER w) > {_PH_LAMBDA_MICRO} AS alarm
+FROM folded
+WINDOW w AS ({_TICK_W_SQL}
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+R8_QUERIES.update(
+    {
+        "a_levene_bf": a_levene_bf,
+        "a_tukey_hsd": a_tukey_hsd,
+        "a_hodges_lehmann": a_hodges_lehmann,
+        "w_page_hinkley": w_page_hinkley,
+    }
+)
+_R8_ORACLES.update(
+    {
+        "a_levene_bf": _a_levene_bf_sql,
+        "a_tukey_hsd": _a_tukey_hsd_sql,
+        "a_hodges_lehmann": _a_hodges_lehmann_sql,
+        "w_page_hinkley": _w_page_hinkley_sql,
+    }
+)

@@ -77,3 +77,121 @@ def test_corpus_pipeline_dedup_consistent_with_clusters(spark):
         .count()
     )
     assert n_dedup == clusters
+
+
+def test_donchian_position_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_r8 import ti_donchian
+
+    df = ti_donchian(spark, SF_DIR)
+    bad = df.where(
+        (F.col("dc_pos") < 0)
+        | (F.col("dc_pos") > 1)
+        | (F.col("value") > F.col("dc_high"))
+        | (F.col("value") < F.col("dc_low"))
+    ).count()
+    assert bad == 0
+    assert df.where(F.col("dc_pos").isNotNull()).count() > 0
+
+
+def test_ulcer_index_nonnegative_and_drawdown_nonpositive(spark):
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_r8 import ti_ulcer_index
+
+    df = ti_ulcer_index(spark, SF_DIR)
+    assert df.where(F.col("drawdown_pct") > 0).count() == 0
+    assert df.where(F.col("ulcer_index") < 0).count() == 0
+    assert df.where(F.col("ulcer_index") > 0).count() > 0
+
+
+def test_beta_of_benchmark_is_one(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        _BETA_BENCH,
+        ti_beta,
+    )
+
+    rows = {r["event_type"]: r for r in ti_beta(spark, SF_DIR).collect()}
+    assert rows[_BETA_BENCH]["beta"] == 1.0
+    assert rows[_BETA_BENCH]["corr"] == 1.0
+    assert len(rows) >= 2
+
+
+def test_parkinson_vol_positive(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import ti_parkinson
+
+    for r in ti_parkinson(spark, SF_DIR).collect():
+        assert r["parkinson_vol"] > 0 and r["n_days"] > 0
+
+
+def test_levene_bf_matches_scipy_shape(spark):
+    """Brown–Forsythe F recomputed in pure python from the same
+    micro-rounded |x − median| values must match to 6 dp."""
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_r8 import a_levene_bf
+
+    got = a_levene_bf(spark, SF_DIR).collect()[0]
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    import statistics
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for t, v in vals:
+        groups[t].append(v)
+    z = {
+        t: [round(abs(v - statistics.median(g)) * 1e6) for v in g]
+        for t, g in groups.items()
+    }
+    k = len(z)
+    n = sum(len(g) for g in z.values())
+    t_u = sum(round(sum(g) ** 2 / len(g)) for g in z.values())
+    q = sum(x * x for g in z.values() for x in g)
+    s = sum(sum(g) for g in z.values())
+    ssb = t_u - s * s / n
+    ssw = q - t_u
+    want = round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+    assert got["k_groups"] == k and got["n"] == n
+    assert abs(got["f_bf"] - want) < 2e-6
+
+
+def test_hodges_lehmann_within_daily_mean_range(spark):
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        a_hodges_lehmann,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    hl = {
+        r["event_type"]: r["hl_estimate"]
+        for r in a_hodges_lehmann(spark, SF_DIR).collect()
+    }
+    daily = (
+        load_tables(spark, SF_DIR, ["events"])["events"]
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.avg("value").alias("m"))
+        .groupBy("event_type")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .collect()
+    )
+    for r in daily:
+        assert r["lo"] - 1e-6 <= hl[r["event_type"]] <= r["hi"] + 1e-6
+
+
+def test_page_hinkley_alarms_present_but_rare(spark):
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        w_page_hinkley,
+    )
+
+    df = w_page_hinkley(spark, "/root/testdata/sf0.01")
+    n = df.count()
+    n_alarm = df.where(F.col("alarm")).count()
+    assert 0 < n_alarm < n // 2  # non-vacuous in both directions
+    # the excursion is nonnegative by construction
+    assert df.where(F.col("ph_stat") < F.col("ph_min")).count() == 0
