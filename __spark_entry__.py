@@ -125,6 +125,8 @@ _FIRST_SEEN_ROUND.update(
         "ti_donchian", "ti_ulcer_index", "ti_beta", "ti_parkinson",
         "a_levene_bf", "a_tukey_hsd", "a_hodges_lehmann",
         "w_page_hinkley",
+        "dq_sequence_gaps", "g_preferential_attachment",
+        "g_clustering_coeff",
     )}
 )
 

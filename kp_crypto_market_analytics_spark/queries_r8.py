@@ -1340,3 +1340,318 @@ _R8_ORACLES.update(
         "w_page_hinkley": _w_page_hinkley_sql,
     }
 )
+
+
+# ------------------------------------------------- dq / graph batch C
+
+
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series continuity audit per (symbol, day): hours of the
+    day with NO ticks — the gap census a market-data pipeline runs
+    before trusting candles (the reference ingests by poll loop,
+    src/main.py:24-27, so dropped polls = silent holes).  Per (type,
+    day): hours present, hours missing, and the LONGEST contiguous
+    missing run (computed from consecutive present-hour deltas plus
+    the leading/trailing edges — no 24-row grid join needed).
+
+    Determinism: pure integer arithmetic on distinct hour numbers.
+
+    Scale shape: one (type, day, hour) distinct agg (map-side
+    combined), one lag window over <= 24 rows per (type, day) group,
+    one group agg — |types|×|days| rows out."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hrs = (
+        ensure_parallelism(t["events"])
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("h")
+    gap = hrs.select(
+        "event_type",
+        "day",
+        "h",
+        (F.col("h") - F.coalesce(F.lag("h").over(w), F.lit(-1)) - 1).alias(
+            "gap_before"
+        ),
+    )
+    return (
+        gap.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("hours_present"),
+            (F.lit(24) - F.count(F.lit(1))).alias("hours_missing"),
+            F.greatest(
+                F.max("gap_before"), F.lit(23) - F.max("h")
+            ).alias("max_gap_run"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("hours_present").cast("long").alias("hours_present"),
+            F.col("hours_missing").cast("long").alias("hours_missing"),
+            F.col("max_gap_run").cast("long").alias("max_gap_run"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+DQ_SEQUENCE_GAPS_SQL = """
+WITH hrs AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+    CAST(hour(ts) AS INT) AS h
+  FROM events
+), gap AS (
+  SELECT event_type, day, h,
+    h - coalesce(lag(h) OVER (PARTITION BY event_type, day ORDER BY h),
+                 -1) - 1 AS gap_before
+  FROM hrs
+)
+SELECT event_type, day,
+  CAST(COUNT(*) AS BIGINT) AS hours_present,
+  CAST(24 - COUNT(*) AS BIGINT) AS hours_missing,
+  CAST(greatest(MAX(gap_before), 23 - MAX(h)) AS BIGINT) AS max_gap_run
+FROM gap GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def g_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment link prediction (Barabási & Albert
+    1999 lineage, public) on the co-purchase graph: score(u,v) =
+    deg(u)·deg(v) for every 2-hop candidate pair — the hub-biased
+    baseline g_adamic_adar's degree-discounted score is judged
+    against (same candidate set, opposite inductive bias).  Top-30 by
+    (score desc, u, v) with the is_edge flag.
+
+    Determinism: all-integer (degrees and products).
+
+    Scale shape: g_adamic_adar's support-pruned wedge join
+    (session-cached edge build) generates candidates; degrees join at
+    PAIR grain after the wedge agg (two broadcastable |nodes|-row
+    joins), so the wedge stage shuffles only (pu, pv)."""
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+    from kp_crypto_market_analytics_spark.queries_mining import (
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    adj = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("m")
+    ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    deg = adj.groupBy(F.col("m").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    cand = (
+        adj.alias("x")
+        .join(
+            adj.alias("y"),
+            (F.col("x.n") == F.col("y.n")) & (F.col("x.m") < F.col("y.m")),
+        )
+        .select(F.col("x.m").alias("pu"), F.col("y.m").alias("pv"))
+        .groupBy("pu", "pv")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    du = deg.select(F.col("node").alias("pu"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("pv"), F.col("deg").alias("dv"))
+    scored = (
+        cand.join(F.broadcast(du), "pu")
+        .join(F.broadcast(dv), "pv")
+        .join(
+            edges.select(
+                F.col("u").alias("pu"), F.col("v").alias("pv"),
+                F.lit(True).alias("e"),
+            ),
+            ["pu", "pv"],
+            "left",
+        )
+        .select(
+            F.col("pu").alias("u"),
+            F.col("pv").alias("v"),
+            F.col("common").cast("long").alias("common"),
+            (F.col("du") * F.col("dv")).cast("long").alias("pa_score"),
+            F.coalesce("e", F.lit(False)).alias("is_edge"),
+        )
+    )
+    return top_k(
+        scored,
+        [F.col("pa_score").desc(), F.col("u").asc(), F.col("v").asc()],
+        30,
+    ).select("u", "v", "common", "pa_score", "is_edge")
+
+
+G_PREF_ATTACH_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), adj AS MATERIALIZED (
+  SELECT u AS n, v AS m FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS MATERIALIZED (
+  SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+), cand AS (
+  SELECT x.m AS pu, y.m AS pv, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.n = y.n AND x.m < y.m
+  GROUP BY 1, 2
+)
+SELECT pu AS u, pv AS v, common,
+  CAST(du.deg * dv.deg AS BIGINT) AS pa_score,
+  coalesce(e.is_edge, FALSE) AS is_edge
+FROM cand
+JOIN deg du ON du.node = pu
+JOIN deg dv ON dv.node = pv
+LEFT JOIN (SELECT u, v, TRUE AS is_edge FROM edges) e
+  ON e.u = pu AND e.v = pv
+ORDER BY pa_score DESC, u ASC, v ASC
+LIMIT 30
+"""
+
+
+def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998,
+    public) on the co-purchase graph: c(v) = 2·tri(v) / (deg(v)·
+    (deg(v)−1)) — how close each part's neighborhood is to a clique,
+    the per-node refinement of g_triangle_count's global census.
+    Top-30 nodes by (coeff desc, triangles desc, node) among deg ≥ 2
+    nodes.
+
+    Determinism: all-integer counts; the coefficient is one double
+    division of exact integers.
+
+    Scale shape: the SAME degree-ordered orientation as
+    g_triangle_count (out-degree bounded O(√m), so the wedge join
+    never explodes on hubs); each closed wedge is unpivoted to its 3
+    member nodes (explode of a 3-element literal array) and counted
+    map-side."""
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+    from kp_crypto_market_analytics_spark.queries_mining import (
+        _copurchase_edges,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    ordered = edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ordered.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    ).localCheckpoint(eager=True)
+    wedges = (
+        oriented.alias("a")
+        .join(
+            oriented.alias("b"),
+            (F.col("a.src") == F.col("b.src"))
+            & (
+                (F.col("a.ddeg") < F.col("b.ddeg"))
+                | (
+                    (F.col("a.ddeg") == F.col("b.ddeg"))
+                    & (F.col("a.dst") < F.col("b.dst"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.src").alias("c"),
+            F.col("a.dst").alias("x"),
+            F.col("b.dst").alias("y"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+    )
+    tri_nodes = closed.select(
+        F.explode(F.array("c", "x", "y")).alias("n")
+    ).groupBy("n").agg(F.count(F.lit(1)).alias("tri"))
+    out = (
+        deg.where(F.col("deg") >= 2)
+        .join(tri_nodes, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce("tri", F.lit(0)).cast("long").alias("triangles"),
+            (
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("tri", F.lit(0)).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("coeff"),
+        )
+    )
+    return top_k(
+        out,
+        [F.col("coeff").desc(), F.col("triangles").desc(),
+         F.col("node").asc()],
+        30,
+    ).select("node", "deg", "triangles", "coeff")
+
+
+G_CLUSTERING_COEFF_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), deg AS MATERIALIZED (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) GROUP BY 1
+), oriented AS MATERIALIZED (
+  SELECT CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u < v)
+              THEN u ELSE v END AS src,
+         CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u < v)
+              THEN v ELSE u END AS dst,
+         CASE WHEN (d1.deg < d2.deg) OR (d1.deg = d2.deg AND u < v)
+              THEN d2.deg ELSE d1.deg END AS ddeg
+  FROM edges JOIN deg d1 ON d1.n = edges.u JOIN deg d2 ON d2.n = edges.v
+), closed AS (
+  SELECT a.src AS c, a.dst AS x, b.dst AS y
+  FROM oriented a JOIN oriented b
+    ON a.src = b.src
+   AND ((a.ddeg < b.ddeg) OR (a.ddeg = b.ddeg AND a.dst < b.dst))
+  JOIN oriented o ON o.src = a.dst AND o.dst = b.dst
+), tri_nodes AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS tri
+  FROM (SELECT unnest([c, x, y]) AS n FROM closed) GROUP BY 1
+)
+SELECT deg.n AS node, deg, coalesce(tri, 0) AS triangles,
+  round(2.0 * CAST(coalesce(tri, 0) AS DOUBLE) / (deg * (deg - 1)), 6)
+    + 0.0 AS coeff
+FROM deg LEFT JOIN tri_nodes USING (n)
+WHERE deg >= 2
+ORDER BY coeff DESC, triangles DESC, node ASC
+LIMIT 30
+"""
+
+
+R8_QUERIES.update(
+    {
+        "dq_sequence_gaps": dq_sequence_gaps,
+        "g_preferential_attachment": g_preferential_attachment,
+        "g_clustering_coeff": g_clustering_coeff,
+    }
+)
+_R8_ORACLES.update(
+    {
+        "dq_sequence_gaps": lambda: DQ_SEQUENCE_GAPS_SQL,
+        "g_preferential_attachment": lambda: G_PREF_ATTACH_SQL,
+        "g_clustering_coeff": lambda: G_CLUSTERING_COEFF_SQL,
+    }
+)

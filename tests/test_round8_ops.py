@@ -195,3 +195,71 @@ def test_page_hinkley_alarms_present_but_rare(spark):
     assert 0 < n_alarm < n // 2  # non-vacuous in both directions
     # the excursion is nonnegative by construction
     assert df.where(F.col("ph_stat") < F.col("ph_min")).count() == 0
+
+
+def test_sequence_gaps_arithmetic_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        dq_sequence_gaps,
+    )
+
+    df = dq_sequence_gaps(spark, SF_DIR)
+    assert df.where(
+        (F.col("hours_present") + F.col("hours_missing") != 24)
+        | (F.col("max_gap_run") > F.col("hours_missing"))
+        | (F.col("max_gap_run") < 0)
+    ).count() == 0
+    # sf0.001 is sparse enough that real gaps exist (non-vacuous)
+    assert df.where(F.col("hours_missing") > 0).count() > 0
+
+
+def test_clustering_coeff_matches_python_on_top_node(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import (
+        _copurchase_edges,
+    )
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        g_clustering_coeff,
+    )
+
+    rows = g_clustering_coeff(spark, SF_DIR).collect()
+    assert rows
+    edges = {
+        (r["u"], r["v"]) for r in _copurchase_edges(spark, SF_DIR).collect()
+    }
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for r in rows[:5]:
+        nbrs = sorted(adj[r["node"]])
+        deg = len(nbrs)
+        tri = sum(
+            1
+            for i in range(deg)
+            for j in range(i + 1, deg)
+            if (min(nbrs[i], nbrs[j]), max(nbrs[i], nbrs[j])) in edges
+        )
+        assert r["deg"] == deg and r["triangles"] == tri
+        assert abs(r["coeff"] - round(2 * tri / (deg * (deg - 1)), 6)) < 1e-9
+
+
+def test_pref_attachment_scores_are_degree_products(spark):
+    from kp_crypto_market_analytics_spark.queries_mining import (
+        _copurchase_edges,
+    )
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        g_preferential_attachment,
+    )
+
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for r in _copurchase_edges(spark, SF_DIR).collect():
+        deg[r["u"]] += 1
+        deg[r["v"]] += 1
+    for r in g_preferential_attachment(spark, SF_DIR).collect():
+        assert r["pa_score"] == deg[r["u"]] * deg[r["v"]]
+        assert r["common"] >= 1
