@@ -126,7 +126,7 @@ _FIRST_SEEN_ROUND.update(
         "a_levene_bf", "a_tukey_hsd", "a_hodges_lehmann",
         "w_page_hinkley",
         "dq_sequence_gaps", "g_preferential_attachment",
-        "g_clustering_coeff",
+        "g_clustering_coeff", "t_dsir_weights", "e_isotropy",
     )}
 )
 

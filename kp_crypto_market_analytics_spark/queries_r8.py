@@ -1655,3 +1655,323 @@ _R8_ORACLES.update(
         "g_clustering_coeff": lambda: G_CLUSTERING_COEFF_SQL,
     }
 )
+
+
+# ----------------------------------------------- t_dsir_weights (batch D)
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = "src4"  # the high-quality/target slice
+
+
+def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, 'Data Selection with
+    Importance Resampling', public): score every raw-corpus document
+    by log p_target/p_raw under hashed-unigram bag-of-words models
+    (4096 buckets, add-one smoothing; target = the 'src4' slice), then
+    report the per-source resampling census — docs, mean log-weight,
+    and how many clear the global top-decile selection bar.  The
+    data-selection step quality-focused pretraining pipelines run
+    between dedup and tokenization.
+
+    Determinism: bucket counts are exact integers; each bucket's
+    smoothed log-ratio is one identical IEEE chain micro-rounded to
+    BIGINT; per-doc log-weights are exact integer sums of those; the
+    selection bar is the engine-exact interpolated 90th percentile of
+    integers; mean log-weight is the exact micro half-away division.
+
+    Scale shape: one token explode feeding a map-side-combined
+    (bucket, side) agg; the 4096-row log-ratio table BROADCASTS back
+    onto the token stream (never a shuffle on tokens); per-doc sums
+    are map-side combined; census is |sources| rows."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        percentile_expr,
+        round_mean_micro,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(_norm_text_col(), " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.pmod(hash64(F.col("tok")), F.lit(_DSIR_BUCKETS)).alias("f"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    is_t = F.col("source") == _DSIR_TARGET
+    bc = toks.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    lr_micro = F.round(
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("nt") + F.lit(_DSIR_BUCKETS)).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("nr") + F.lit(_DSIR_BUCKETS)).cast("double")
+            )
+        )
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    lrt = bc.crossJoin(F.broadcast(tot)).select("f", lr_micro.alias("lr"))
+    docw = (
+        toks.where(~is_t)
+        .join(F.broadcast(lrt), "f")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr").alias("logw"))
+    )
+    bar = docw.agg(percentile_expr(docw, "logw", 0.9).alias("p90"))
+    return (
+        docw.crossJoin(F.broadcast(bar))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("logw").alias("s_logw"),
+            F.sum(
+                F.when(F.col("logw") >= F.col("p90"), 1).otherwise(0)
+            ).alias("n_selected"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            # s_logw is ALREADY integer micros → pure int64 half-away
+            # division (no decimal cast, no double round-trip)
+            (
+                (
+                    F.when(F.col("s_logw") < 0, F.lit(-1)).otherwise(
+                        F.lit(1)
+                    )
+                    * F.call_function(
+                        "div",
+                        F.lit(2) * F.abs(F.col("s_logw"))
+                        + F.col("n_docs"),
+                        F.lit(2) * F.col("n_docs"),
+                    )
+                )
+                / F.lit(1_000_000.0)
+            ).alias("mean_logw"),
+            F.col("n_selected").cast("long").alias("n_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+def _norm_text_col():
+    return F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+
+
+def _t_dsir_weights_sql() -> str:
+    h = H60.format(x="tok")
+    mean_lw = (
+        "(CASE WHEN SUM(logw) < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(SUM(logw)) + COUNT(*)) // (2 * COUNT(*))))"
+        " / 1000000.0"
+    )
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+    {h} % {_DSIR_BUCKETS} AS f
+  FROM (SELECT doc_id, source,
+          unnest(string_split({NORM_TEXT_SQL}, ' ')) AS tok
+        FROM documents)
+), bc AS (
+  SELECT f,
+    SUM(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+    SUM(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS cr
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc
+), lrt AS (
+  SELECT f, CAST(round((
+      ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + {_DSIR_BUCKETS} AS DOUBLE))
+    - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + {_DSIR_BUCKETS} AS DOUBLE))
+    ) * 1000000.0, 0) AS BIGINT) AS lr
+  FROM bc CROSS JOIN tot
+), docw AS MATERIALIZED (
+  SELECT doc_id, source, CAST(SUM(lr) AS BIGINT) AS logw
+  FROM toks JOIN lrt USING (f)
+  WHERE source <> '{_DSIR_TARGET}'
+  GROUP BY 1, 2
+), bar AS (
+  SELECT quantile_cont(logw, 0.9) AS p90 FROM docw
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  {mean_lw} AS mean_logw,
+  CAST(SUM(CASE WHEN logw >= p90 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_selected
+FROM docw CROSS JOIN bar
+GROUP BY source ORDER BY source
+"""
+
+
+_ISO_SAMPLE_MOD = 97
+_ISO_EMB_D = 64
+
+
+def e_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy census (Ethayarajh 2019 lineage, public):
+    the distribution of PAIRWISE cosine similarity over the
+    deterministic 1/97 vector sample — 0.2-wide histogram bins plus
+    the overall mean/std on every row.  Anisotropic (cone-shaped)
+    embedding spaces — where random pairs cosine ≈ 0.9 — break
+    cosine-threshold dedup and ANN pruning; this is the audit that
+    catches it before sim_* thresholds are tuned.
+
+    Determinism: per-dimension products fold through DECIMAL(28,12)
+    (the e_matryoshka_prefix recipe); each pair's cosine is one
+    identical IEEE chain micro-rounded to BIGINT, so bin counts and
+    the Σ/Σ² moments are exact integers.
+
+    Scale shape: sample filter precedes the explode; the pair frame
+    is |sample|² skinny rows (the audit's definition), everything
+    after is a 10-row census."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        to_double_array,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    s = (
+        t["embeddings"]
+        .where(F.col("vec_id") % _ISO_SAMPLE_MOD == 0)
+        .select("vec_id", to_double_array("embedding").alias("x"))
+    )
+    dims = s.select(
+        "vec_id", F.posexplode("x").alias("i0", "xv")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "xv")
+    pairs = (
+        dims.alias("a")
+        .join(
+            dims.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("u"),
+            F.col("b.vec_id").alias("v"),
+            (F.col("a.xv") * F.col("b.xv")).cast("decimal(28,12)").alias("dp"),
+            (F.col("a.xv") * F.col("a.xv")).cast("decimal(28,12)").alias("na"),
+            (F.col("b.xv") * F.col("b.xv")).cast("decimal(28,12)").alias("nb"),
+        )
+    )
+    cos = (
+        F.sum("dp").cast("double")
+        / F.sqrt(F.sum("na").cast("double") * F.sum("nb").cast("double"))
+    )
+    per_pair = pairs.groupBy("u", "v").agg(
+        F.round(cos * F.lit(1_000_000.0), 0).cast("long").alias("cm")
+    )
+    binned = per_pair.select(
+        "cm",
+        F.least(
+            F.greatest(
+                F.call_function(
+                    "div",
+                    F.col("cm") + F.lit(1_000_000),
+                    F.lit(200_000),
+                ),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    stats = binned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cm").alias("s"),
+        # cm² ≤ 1e12 per term fits int64, but the Σ outgrows it on a
+        # corpus-scale sample — decimal(38,0) like the oracle's HUGEINT
+        F.sum((F.col("cm") * F.col("cm")).cast("decimal(38,0)")).alias(
+            "q"
+        ),
+    )
+    mean = F.col("s").cast("double") / (F.col("n") * F.lit(1e6))
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")
+        )
+        / (F.col("n") - F.lit(1))
+    ) / F.lit(1e6)
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            (F.col("bin") * 0.2 - 1.0).alias("lo"),
+            ((F.col("bin") + 1) * 0.2 - 1.0).alias("hi"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            (F.round(mean, 6) + F.lit(0.0)).alias("mean_cos"),
+            (F.round(sd, 6) + F.lit(0.0)).alias("sd_cos"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _e_isotropy_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id % {_ISO_SAMPLE_MOD} = 0
+), idx AS (
+  SELECT vec_id, x, unnest(generate_series(1, {_ISO_EMB_D})) AS i FROM s
+), dimv AS (
+  SELECT vec_id, i, x[i] AS xv FROM idx
+), pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+    CAST(a.xv * b.xv AS DECIMAL(28,12)) AS dp,
+    CAST(a.xv * a.xv AS DECIMAL(28,12)) AS na,
+    CAST(b.xv * b.xv AS DECIMAL(28,12)) AS nb
+  FROM dimv a JOIN dimv b ON a.i = b.i AND a.vec_id < b.vec_id
+), per_pair AS MATERIALIZED (
+  SELECT u, v,
+    CAST(round(CAST(SUM(dp) AS DOUBLE)
+      / sqrt(CAST(SUM(na) AS DOUBLE) * CAST(SUM(nb) AS DOUBLE))
+      * 1000000.0, 0) AS BIGINT) AS cm
+  FROM pairs GROUP BY u, v
+), binned AS (
+  SELECT cm,
+    least(greatest((cm + 1000000) // 200000, 0), 9) AS bin
+  FROM per_pair
+), stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(cm) AS BIGINT) AS s,
+    CAST(SUM(cm * cm) AS DECIMAL(38,0)) AS q
+  FROM binned
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+  bin * 0.2 - 1.0 AS lo, (bin + 1) * 0.2 - 1.0 AS hi,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  round(CAST(s AS DOUBLE) / (n * 1e6), 6) + 0.0 AS mean_cos,
+  round(sqrt((CAST(q AS DOUBLE)
+      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) / 1e6, 6)
+    + 0.0 AS sd_cos
+FROM binned CROSS JOIN stats
+GROUP BY bin, n, s, q ORDER BY bin
+"""
+
+
+R8_QUERIES.update(
+    {
+        "t_dsir_weights": t_dsir_weights,
+        "e_isotropy": e_isotropy,
+    }
+)
+_R8_ORACLES.update(
+    {
+        "t_dsir_weights": _t_dsir_weights_sql,
+        "e_isotropy": _e_isotropy_sql,
+    }
+)

@@ -263,3 +263,36 @@ def test_pref_attachment_scores_are_degree_products(spark):
     for r in g_preferential_attachment(spark, SF_DIR).collect():
         assert r["pa_score"] == deg[r["u"]] * deg[r["v"]]
         assert r["common"] >= 1
+
+
+def test_dsir_selection_is_global_top_decile(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        t_dsir_weights,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = t_dsir_weights(spark, sf).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    n_sel = sum(r["n_selected"] for r in rows)
+    # >= p90 on an interpolated bar keeps ~10% (ties can nudge it)
+    assert abs(n_sel - n_docs / 10) <= max(3, n_docs * 0.02)
+    assert all(r["source"] != "src4" for r in rows)
+
+
+def test_isotropy_bins_cover_all_pairs_and_center_near_zero(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        _ISO_SAMPLE_MOD,
+        e_isotropy,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    rows = e_isotropy(spark, sf).collect()
+    n_vec = (
+        load_tables(spark, sf, ["embeddings"])["embeddings"]
+        .where(f"vec_id % {_ISO_SAMPLE_MOD} = 0")
+        .count()
+    )
+    assert sum(r["n_pairs"] for r in rows) == n_vec * (n_vec - 1) // 2
+    # synthetic embeddings are near-isotropic: mean pair cosine ~ 0
+    assert abs(rows[0]["mean_cos"]) < 0.2 and rows[0]["sd_cos"] > 0
