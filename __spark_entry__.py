@@ -127,6 +127,7 @@ _FIRST_SEEN_ROUND.update(
         "w_page_hinkley",
         "dq_sequence_gaps", "g_preferential_attachment",
         "g_clustering_coeff", "t_dsir_weights", "e_isotropy",
+        "a_jarque_bera", "dq_pk_uniqueness", "t_vocab_coverage",
     )}
 )
 

@@ -1975,3 +1975,307 @@ _R8_ORACLES.update(
         "e_isotropy": _e_isotropy_sql,
     }
 )
+
+
+# ------------------------------------------------------------ batch E
+
+
+def a_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test per event type (Jarque & Bera 1980,
+    public): JB = n/6 · (S² + (K−3)²/4) from sample skewness S and
+    kurtosis K — the gate a_anova_f/a_welch_ttest users run first,
+    since both assume roughly normal arms.
+
+    Determinism: two-pass central moments — the exact micro mean is
+    broadcast back, deviations are MILLI-rounded BIGINTs (milli keeps
+    d⁴ sums inside DECIMAL(38,0): micro⁴ would need 10⁴⁸), and Σd²/
+    Σd³/Σd⁴ fold as exact decimals; S/K/JB are one IEEE chain over
+    those exact sums, rounded with −0.0 normalized.
+
+    Scale shape: two map-side-combined aggs over the fact table with a
+    |types|-row broadcast between them — no window, no join at row
+    grain."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    v = F.col("value").cast("decimal(18,6)")
+    m = e.groupBy("event_type").agg(
+        F.sum(v).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    micro = (F.col("s") * F.lit(1_000_000)).cast("long")
+    mean_micro = (
+        F.when(micro < 0, F.lit(-1)).otherwise(F.lit(1))
+        * F.call_function(
+            "div", F.lit(2) * F.abs(micro) + F.col("n"), F.lit(2) * F.col("n")
+        )
+    )
+    means = m.select(
+        "event_type", F.col("n"), mean_micro.alias("mu_micro")
+    )
+    d_milli = F.round(
+        (F.col("value") - F.col("mu_micro") / F.lit(1_000_000.0))
+        * F.lit(1_000.0),
+        0,
+    ).cast("long")
+    dev = e.join(F.broadcast(means), "event_type").select(
+        "event_type", "n", d_milli.alias("d")
+    )
+    # d ≤ ~3e5 milli ⇒ d² ≤ 9e10 (int64-safe), d³ ≤ 2.7e16 (int64-
+    # safe), but d⁴ ≤ 8.1e21 OVERFLOWS int64 — square the squares in
+    # DECIMAL(19,0) so the widest product is born decimal.
+    d2 = F.col("d") * F.col("d")
+    g = dev.select(
+        "event_type", "n", "d", d2.alias("d2")
+    ).groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("m2"),
+        F.sum((F.col("d2") * F.col("d")).cast("decimal(38,0)")).alias(
+            "m3"
+        ),
+        F.sum(
+            F.col("d2").cast("decimal(19,0)")
+            * F.col("d2").cast("decimal(19,0)")
+        ).alias("m4"),
+    )
+    n = F.col("n")
+    v2 = F.col("m2").cast("double") / n
+    skew = (F.col("m3").cast("double") / n) / F.pow(v2, F.lit(1.5))
+    kurt = (F.col("m4").cast("double") / n) / (v2 * v2)
+    jb = n / F.lit(6.0) * (
+        skew * skew + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    ok = (n > 3) & (v2 > 0)
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.when(ok, F.round(skew, 6) + F.lit(0.0)).alias("skewness"),
+        F.when(ok, F.round(kurt, 6) + F.lit(0.0)).alias("kurtosis"),
+        F.when(ok, F.round(jb, 6) + F.lit(0.0)).alias("jb_stat"),
+    ).orderBy("event_type")
+
+
+A_JARQUE_BERA_SQL = """
+WITH m AS (
+  SELECT event_type,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS micro,
+    COUNT(*) AS n
+  FROM events GROUP BY 1
+), means AS (
+  SELECT event_type, n,
+    (CASE WHEN micro < 0 THEN -1 ELSE 1 END)
+      * ((2 * abs(micro) + n) // (2 * n)) AS mu_micro
+  FROM m
+), dev AS (
+  SELECT e.event_type, n,
+    CAST(round((e.value - mu_micro / 1000000.0) * 1000.0, 0) AS BIGINT)
+      AS d
+  FROM events e JOIN means USING (event_type)
+), g AS (
+  SELECT event_type, MAX(n) AS n,
+    CAST(SUM(d * d) AS DECIMAL(38,0)) AS m2,
+    CAST(SUM(d * d * d) AS DECIMAL(38,0)) AS m3,
+    CAST(SUM(CAST(d * d AS HUGEINT) * (d * d)) AS DECIMAL(38,0)) AS m4
+  FROM dev GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CASE WHEN n > 3 AND CAST(m2 AS DOUBLE) / n > 0 THEN
+    round((CAST(m3 AS DOUBLE) / n)
+      / pow(CAST(m2 AS DOUBLE) / n, 1.5), 6) + 0.0 END AS skewness,
+  CASE WHEN n > 3 AND CAST(m2 AS DOUBLE) / n > 0 THEN
+    round((CAST(m4 AS DOUBLE) / n)
+      / ((CAST(m2 AS DOUBLE) / n) * (CAST(m2 AS DOUBLE) / n)), 6) + 0.0
+  END AS kurtosis,
+  CASE WHEN n > 3 AND CAST(m2 AS DOUBLE) / n > 0 THEN
+    round(n / 6.0 * (
+      ((CAST(m3 AS DOUBLE) / n) / pow(CAST(m2 AS DOUBLE) / n, 1.5))
+      * ((CAST(m3 AS DOUBLE) / n) / pow(CAST(m2 AS DOUBLE) / n, 1.5))
+      + ((CAST(m4 AS DOUBLE) / n)
+         / ((CAST(m2 AS DOUBLE) / n) * (CAST(m2 AS DOUBLE) / n)) - 3.0)
+      * ((CAST(m4 AS DOUBLE) / n)
+         / ((CAST(m2 AS DOUBLE) / n) * (CAST(m2 AS DOUBLE) / n)) - 3.0)
+      / 4.0), 6) + 0.0 END AS jb_stat
+FROM g ORDER BY event_type
+"""
+
+
+# Primary keys audited per table (the reference's db/schema.sql PKs
+# mapped onto the test corpus + the extension tables).
+_PK_SPEC = [
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("part", ["p_partkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("events", ["event_id"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across EVERY table the engine
+    serves (reference PKs per db/schema.sql:1-37 — candles (symbol,
+    tf, open_time), trades (symbol, trade_id) — mapped to the test
+    corpus's keys): per table, row count, distinct key count,
+    duplicate rows, and null-key rows.  The first dq gate any ingest
+    runs; a duplicate PK means the upsert path (S13/S14) would
+    corrupt.
+
+    Determinism: all-integer counts; multi-column keys count via
+    struct (count_distinct drops null-component rows, so null keys
+    are counted separately — the engine-parity rule).
+
+    Scale shape: one map-side-combined agg PER table, unioned —
+    each table scans once, only its key columns read."""
+    t = load_tables(spark, sf_dir, [name for name, _ in _PK_SPEC])
+    out = None
+    for name, keys in _PK_SPEC:
+        df = t[name]
+        kc = [F.col(k) for k in keys]
+        nn = F.lit(True)
+        for k in keys:
+            nn = nn & F.col(k).isNotNull()
+        row = df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.struct(*kc)).cast("long").alias("n_keys"),
+            F.sum(F.when(~nn, 1).otherwise(0)).cast("long").alias(
+                "n_null_keys"
+            ),
+        ).select(
+            "table_name",
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") - F.col("n_keys") - F.col("n_null_keys"))
+            .cast("long")
+            .alias("n_dup_rows"),
+            "n_null_keys",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
+
+
+def _dq_pk_uniqueness_sql() -> str:
+    parts = []
+    for name, keys in _PK_SPEC:
+        key_tuple = (
+            f"({', '.join(keys)})" if len(keys) > 1 else keys[0]
+        )
+        nn = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+        parts.append(
+            f"SELECT '{name}' AS table_name,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(COUNT(DISTINCT CASE WHEN {nn} THEN {key_tuple} END)"
+            f"   AS BIGINT) AS n_keys,"
+            f" CAST(COUNT(*)"
+            f"   - COUNT(DISTINCT CASE WHEN {nn} THEN {key_tuple} END)"
+            f"   - SUM(CASE WHEN {nn} THEN 0 ELSE 1 END) AS BIGINT)"
+            f"   AS n_dup_rows,"
+            f" CAST(SUM(CASE WHEN {nn} THEN 0 ELSE 1 END) AS BIGINT)"
+            f"   AS n_null_keys"
+            f" FROM {name}"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+_VOCAB_COVER_KS = [10, 100, 1000]
+
+
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of total token
+    OCCURRENCES do the top-10/100/1000 token types cover?  The table
+    a tokenizer-vocabulary decision reads (diminishing-returns point
+    of growing the vocab) — the cumulative twin of t_zipf_fit's slope.
+
+    Determinism: ranks come from TakeOrdered over the (vocab-bounded)
+    type-frequency table with the token string as tiebreaker;
+    coverage is an exact integer ppm division.
+
+    Scale shape: one explode → map-side-combined type count (frame is
+    VOCABULARY-bounded, not corpus-bounded), a k-row TakeOrdered per
+    cutoff, one 1-row total broadcast."""
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    freq = (
+        ensure_parallelism(t["documents"])
+        .select(F.explode(F.split(_norm_text_col(), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .localCheckpoint(eager=True)
+    )
+    tot = freq.agg(
+        F.sum("cf").alias("t_occ"), F.count(F.lit(1)).alias("t_types")
+    )
+    out = None
+    for k in _VOCAB_COVER_KS:
+        topk = top_k(
+            freq, [F.col("cf").desc(), F.col("tok").asc()], k
+        ).agg(
+            F.lit(k).cast("long").alias("top_k"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.coalesce(F.sum("cf"), F.lit(0)).alias("occ"),
+        )
+        out = topk if out is None else out.unionByName(topk)
+    share = F.call_function(
+        "div",
+        F.lit(2) * F.col("occ") * F.lit(1_000_000) + F.col("t_occ"),
+        F.lit(2) * F.col("t_occ"),
+    )
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "top_k",
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("occ").cast("long").alias("occurrences"),
+            F.col("t_occ").cast("long").alias("total_occurrences"),
+            F.col("t_types").cast("long").alias("total_types"),
+            share.cast("long").alias("coverage_ppm"),
+        )
+        .orderBy("top_k")
+    )
+
+
+def _t_vocab_coverage_sql() -> str:
+    parts = []
+    for k in _VOCAB_COVER_KS:
+        parts.append(
+            f"""SELECT CAST({k} AS BIGINT) AS top_k,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(coalesce(SUM(cf), 0) AS BIGINT) AS occ
+FROM (SELECT cf FROM freq ORDER BY cf DESC, tok ASC LIMIT {k})"""
+        )
+    body = " UNION ALL ".join(parts)
+    return f"""
+WITH freq AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cf FROM (
+    SELECT unnest(string_split({NORM_TEXT_SQL}, ' ')) AS tok
+    FROM documents
+  ) GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cf) AS BIGINT) AS t_occ,
+    CAST(COUNT(*) AS BIGINT) AS t_types
+  FROM freq
+)
+SELECT top_k, n_types, occ AS occurrences, t_occ AS total_occurrences,
+  t_types AS total_types,
+  CAST((2 * occ * 1000000 + t_occ) // (2 * t_occ) AS BIGINT)
+    AS coverage_ppm
+FROM ({body}) CROSS JOIN tot
+ORDER BY top_k
+"""
+
+
+R8_QUERIES.update(
+    {
+        "a_jarque_bera": a_jarque_bera,
+        "dq_pk_uniqueness": dq_pk_uniqueness,
+        "t_vocab_coverage": t_vocab_coverage,
+    }
+)
+_R8_ORACLES.update(
+    {
+        "a_jarque_bera": lambda: A_JARQUE_BERA_SQL,
+        "dq_pk_uniqueness": _dq_pk_uniqueness_sql,
+        "t_vocab_coverage": _t_vocab_coverage_sql,
+    }
+)

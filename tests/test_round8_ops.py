@@ -296,3 +296,82 @@ def test_isotropy_bins_cover_all_pairs_and_center_near_zero(spark):
     assert sum(r["n_pairs"] for r in rows) == n_vec * (n_vec - 1) // 2
     # synthetic embeddings are near-isotropic: mean pair cosine ~ 0
     assert abs(rows[0]["mean_cos"]) < 0.2 and rows[0]["sd_cos"] > 0
+
+
+def test_jarque_bera_matches_python_recompute(spark):
+    import duckdb
+
+    from kp_crypto_market_analytics_spark.queries_r8 import a_jarque_bera
+
+    got = {r["event_type"]: r for r in a_jarque_bera(spark, SF_DIR).collect()}
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    groups = defaultdict(list)
+    for t, v in vals:
+        groups[t].append(v)
+    for t, g in groups.items():
+        n = len(g)
+        micro = sum(
+            int(
+                Decimal(v).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+                * 1_000_000
+            )
+            for v in g
+        )
+        sign = -1 if micro < 0 else 1
+        mu = sign * ((2 * abs(micro) + n) // (2 * n))
+        d = [round((v - mu / 1e6) * 1e3) for v in g]
+        m2, m3, m4 = (
+            sum(x * x for x in d),
+            sum(x**3 for x in d),
+            sum(x**4 for x in d),
+        )
+        v2 = m2 / n
+        skew = (m3 / n) / v2**1.5
+        kurt = (m4 / n) / (v2 * v2)
+        assert abs(got[t]["skewness"] - round(skew, 6)) < 2e-6
+        assert abs(got[t]["kurtosis"] - round(kurt, 6)) < 2e-6
+        jb = n / 6 * (skew * skew + (kurt - 3) ** 2 / 4)
+        assert abs(got[t]["jb_stat"] - round(jb, 6)) < 1e-4
+
+
+def test_pk_uniqueness_catches_the_real_lineitem_violation(spark):
+    """The synthetic lineitem VIOLATES TPC-H's (l_orderkey,
+    l_linenumber) PK (1401 dup rows at sf0.001) — the audit must
+    surface it, and report every other table clean.  Non-vacuity by
+    construction: the gate demonstrably fires on real dirty data."""
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        _PK_SPEC,
+        dq_pk_uniqueness,
+    )
+
+    rows = {r["table_name"]: r for r in dq_pk_uniqueness(spark, SF_DIR).collect()}
+    assert len(rows) == len(_PK_SPEC)
+    assert rows["lineitem"]["n_dup_rows"] > 0
+    for name, r in rows.items():
+        assert r["n_null_keys"] == 0
+        assert r["n_rows"] == r["n_keys"] + r["n_dup_rows"] > 0
+        if name != "lineitem":
+            assert r["n_dup_rows"] == 0
+
+
+def test_vocab_coverage_monotone_and_complete(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        t_vocab_coverage,
+    )
+
+    rows = t_vocab_coverage(spark, SF_DIR).collect()
+    prev = 0
+    for r in rows:
+        assert r["coverage_ppm"] >= prev
+        prev = r["coverage_ppm"]
+        assert r["n_types"] <= r["top_k"]
+    # every token type fits under the largest cutoff on this corpus
+    assert rows[-1]["n_types"] == rows[-1]["total_types"]
+    assert rows[-1]["coverage_ppm"] == 1_000_000
