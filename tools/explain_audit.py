@@ -111,6 +111,10 @@ BLOCK_JOIN_ALLOWLIST: dict[str, tuple[int, str]] = {
         2,
         "matryoshka audit pair frame over the 1/97 vector sample",
     ),
+    "e_isotropy": (
+        1,
+        "isotropy audit pair frame over the 1/97 vector sample",
+    ),
     # join multiplicity 1: the build side is the dim-0 rank slice (one
     # row per vec_id) — an equi-join against a unique-key slice, not a
     # pair generator
