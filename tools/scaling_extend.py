@@ -41,31 +41,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_DIR = "/root/repo/testdata_synth/sf0.4"
-DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r07.json"
+DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r08.json"
 SRC = "/root/testdata/sf0.1"
 COPIES = 4
 DATA_RATIO = float(COPIES)
 MIN_HI_SEC = 2.0
 FLAG_FACTOR = 1.5
 
-# Round 7 (VERDICT r6 ask #5): the CURRENT slowest benched queries
-# (BENCH_HISTORY r6 final sweep) restricted to the synthesizable
-# tables, plus dedup_incremental (named in the ask).  Excluded with
-# reasons: a_ddsketch_stream_parity (orders), p_pruning_sim
-# (lineitem), g_triangle_count (lineitem) — TPC-H FK-consistent
-# synthesis belongs to the driver's generator, not this tool.
+# Round 8 (VERDICT r7 ask #3): the CURRENT slowest benched queries
+# (BENCH_HISTORY r8 min-of-2 sweep, build-inclusive) restricted to
+# the synthesizable tables.  Excluded with reasons:
+# a_bootstrap_ci / p_pruning_sim / g_triangle_count /
+# a_ddsketch_stream_parity / q_rank_movers / q_abc_pareto
+# (lineitem/orders/customer — TPC-H FK-consistent synthesis belongs
+# to the driver's generator, not this tool).
 WORST_QUERIES = [
-    "t_mg_stream_parity",        # 5.9s, documents
-    "a_hll_stream_parity",       # 4.4s, events
-    "dedup_semantic",            # 4.1s, embeddings
-    "dedup_clusters",            # 3.9s, documents
-    "t_countmin_stream_parity",  # 3.6s, documents
-    "sim_pq_rerank",             # 3.2s, embeddings
-    "dedup_minhash_sig",         # 2.6s, documents
-    "sim_pq_topk",               # 2.6s, embeddings
-    "dedup_containment",         # 2.5s, documents
-    "dedup_simhash",             # 2.3s, documents
-    "dedup_incremental",         # named in VERDICT r6 ask #5
+    "t_mg_stream_parity",        # 5.4s, documents
+    "dedup_clusters",            # 4.2s, documents
+    "sim_pq_rerank",             # 4.0s, embeddings
+    "a_hll_stream_parity",       # 3.8s, events
+    "t_countmin_stream_parity",  # 3.5s, documents
+    "t_corpus_pipeline",         # 3.3s, documents (r8 composition)
+    "dedup_semantic",            # 3.1s, embeddings
+    "sim_pq_topk",               # 2.8s, embeddings
+    "t_ngram_novelty",           # 2.8s, documents
+    "t_rrf_fusion",              # 2.7s, documents
+    "dedup_containment",         # 2.7s, documents
 ]
 
 ID_STRIDE = 100_000_000
