@@ -128,6 +128,7 @@ _FIRST_SEEN_ROUND.update(
         "dq_sequence_gaps", "g_preferential_attachment",
         "g_clustering_coeff", "t_dsir_weights", "e_isotropy",
         "a_jarque_bera", "dq_pk_uniqueness", "t_vocab_coverage",
+        "ti_sortino", "ti_calmar", "t_msttr", "mm_dedup_bytes",
     )}
 )
 

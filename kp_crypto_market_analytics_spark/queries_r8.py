@@ -2279,3 +2279,419 @@ _R8_ORACLES.update(
         "t_vocab_coverage": _t_vocab_coverage_sql,
     }
 )
+
+
+# ------------------------------------------------------------ batch F
+
+
+def ti_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino ratio per symbol (Sortino & Price 1994, public): mean
+    daily-close log return over the target-0 DOWNSIDE deviation
+    sqrt(Σ min(r,0)² / n) — the risk-adjusted return that only
+    penalizes losses, ti_sharpe's asymmetric sibling (same daily
+    return series as ti_beta).
+
+    Determinism: returns are micro-rounded BIGINTs; the downside sum
+    of squares folds exactly (micro² in int64 at these magnitudes —
+    |r|~0.5 ⇒ 2.5e11 per term); mean and ratio are one IEEE chain.
+
+    Scale shape: the ti_beta daily-close plan — one per-day
+    row_number, one |days|-frame lag, one |types|-row agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    closes = (
+        t["events"]
+        .withColumn("__rn", rn)
+        .where((F.col("__rn") == 1) & (F.col("value") > 0))
+        .select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.col("value").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        closes.withColumn("prev", F.lag("close").over(wd))
+        .where(F.col("prev") > 0)
+        .select(
+            "event_type",
+            F.round(
+                F.log(F.col("close") / F.col("prev")) * F.lit(1_000_000.0), 0
+            )
+            .cast("long")
+            .alias("rm"),
+        )
+    )
+    g = rets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rm").alias("s"),
+        F.sum(
+            F.when(F.col("rm") < 0, F.col("rm") * F.col("rm")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("dq"),
+    )
+    n = F.col("n")
+    mean_r = F.col("s").cast("double") / (n * F.lit(1e6))
+    dd = F.sqrt(F.col("dq").cast("double") / (n * F.lit(1e12)))
+    ok = (n > 1) & (F.col("dq") > 0)
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        (F.round(mean_r, 6) + F.lit(0.0)).alias("mean_ret"),
+        F.when(ok, F.round(dd, 6) + F.lit(0.0)).alias("downside_dev"),
+        F.when(ok, F.round(mean_r / dd, 6) + F.lit(0.0)).alias("sortino"),
+    ).orderBy("event_type")
+
+
+TI_SORTINO_SQL = """
+WITH closes AS (
+  SELECT event_type, day, close FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day, value AS close,
+      row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND close > 0
+), rets AS (
+  SELECT event_type,
+    CAST(round(ln(close / prev) * 1000000.0, 0) AS BIGINT) AS rm
+  FROM (
+    SELECT event_type, day, close,
+      lag(close) OVER (PARTITION BY event_type ORDER BY day) AS prev
+    FROM closes
+  ) WHERE prev > 0
+), g AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(rm) AS BIGINT) AS s,
+    CAST(SUM(CASE WHEN rm < 0 THEN rm * rm ELSE 0 END) AS BIGINT) AS dq
+  FROM rets GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  round(CAST(s AS DOUBLE) / (n * 1e6), 6) + 0.0 AS mean_ret,
+  CASE WHEN n > 1 AND dq > 0 THEN
+    round(sqrt(CAST(dq AS DOUBLE) / (n * 1e12)), 6) + 0.0
+  END AS downside_dev,
+  CASE WHEN n > 1 AND dq > 0 THEN
+    round((CAST(s AS DOUBLE) / (n * 1e6))
+        / sqrt(CAST(dq AS DOUBLE) / (n * 1e12)), 6) + 0.0
+  END AS sortino
+FROM g ORDER BY event_type
+"""
+
+
+def ti_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio per symbol (Young 1991, public): annualized mean
+    daily-close return over the maximum peak-to-trough drawdown of
+    the close series — return per unit of worst-case pain, the
+    drawdown-denominated sibling of ti_sharpe/ti_sortino.
+
+    Determinism: drawdowns are micro-rounded off the exact running
+    max of raw closes; returns are micro ints; the ratio is one IEEE
+    chain over the exact integers.
+
+    Scale shape: ONE |days|-frame per symbol (daily closes) serves
+    the running max, the lag returns, and the final agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    closes = (
+        t["events"]
+        .withColumn("__rn", rn)
+        .where((F.col("__rn") == 1) & (F.col("value") > 0))
+        .select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.col("value").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    runmax = F.max("close").over(
+        wd.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    frame = closes.select(
+        "event_type",
+        "day",
+        F.round(
+            (F.lit(1.0) - F.col("close") / runmax) * F.lit(1_000_000.0), 0
+        )
+        .cast("long")
+        .alias("ddm"),
+        F.lag("close").over(wd).alias("prev"),
+        "close",
+    )
+    rm = F.when(
+        F.col("prev") > 0,
+        F.round(
+            F.log(F.col("close") / F.col("prev")) * F.lit(1_000_000.0), 0
+        ).cast("long"),
+    )
+    g = frame.select("event_type", "ddm", rm.alias("rm")).groupBy(
+        "event_type"
+    ).agg(
+        F.count("rm").alias("n"),
+        F.sum("rm").alias("s"),
+        F.max("ddm").alias("maxdd"),
+    )
+    n = F.col("n")
+    ann = F.col("s").cast("double") / (n * F.lit(1e6)) * F.lit(365.0)
+    mdd = F.col("maxdd") / F.lit(1e6)
+    ok = (n > 0) & (F.col("maxdd") > 0)
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        (F.col("maxdd") / F.lit(1_000_000.0)).alias("max_drawdown"),
+        F.when(ok, F.round(ann / mdd, 6) + F.lit(0.0)).alias("calmar"),
+    ).orderBy("event_type")
+
+
+TI_CALMAR_SQL = """
+WITH closes AS (
+  SELECT event_type, day, close FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day, value AS close,
+      row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND close > 0
+), frame AS (
+  SELECT event_type, day,
+    CAST(round((1.0 - close / MAX(close) OVER w) * 1000000.0, 0)
+      AS BIGINT) AS ddm,
+    CASE WHEN lag(close) OVER (PARTITION BY event_type ORDER BY day) > 0
+      THEN CAST(round(ln(close
+        / lag(close) OVER (PARTITION BY event_type ORDER BY day))
+        * 1000000.0, 0) AS BIGINT) END AS rm
+  FROM closes
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), g AS (
+  SELECT event_type, COUNT(rm) AS n, CAST(SUM(rm) AS BIGINT) AS s,
+    MAX(ddm) AS maxdd
+  FROM frame GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  maxdd / 1000000.0 AS max_drawdown,
+  CASE WHEN n > 0 AND maxdd > 0 THEN
+    round((CAST(s AS DOUBLE) / (n * 1e6) * 365.0)
+        / (maxdd / 1e6), 6) + 0.0
+  END AS calmar
+FROM g ORDER BY event_type
+"""
+
+
+_MSTTR_SEG = 50
+
+
+def t_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio per source (Johnson 1944
+    lineage, public): split each document's token stream into
+    consecutive 50-token segments, TTR = distinct/50 per FULL
+    segment, MSTTR = mean over segments — the length-invariant
+    lexical-diversity measure (plain TTR collapses as docs grow; the
+    Gopher-style quality stack reads this next to t_word_entropy).
+
+    Determinism: distinct counts are integers; MSTTR = Σdistinct /
+    (50·segments) as one exact ppm division.
+
+    Scale shape: one posexplode with the segment id derived
+    arithmetically, one (doc, seg) distinct agg (map-side combined),
+    one |sources|-row census."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(_norm_text_col(), " ")
+    pos = (
+        ensure_parallelism(t["documents"])
+        .select("doc_id", "source", F.posexplode(toks).alias("p", "tok"))
+        .select(
+            "doc_id",
+            "source",
+            F.call_function("div", F.col("p"), F.lit(_MSTTR_SEG)).alias(
+                "seg"
+            ),
+            "tok",
+        )
+    )
+    segs = pos.groupBy("doc_id", "source", "seg").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("tok").alias("n_types"),
+    ).where(F.col("n_tok") == _MSTTR_SEG)
+    share = F.call_function(
+        "div",
+        F.lit(2) * F.col("s_types") * F.lit(1_000_000)
+        + F.lit(_MSTTR_SEG) * F.col("n_segs"),
+        F.lit(2) * F.lit(_MSTTR_SEG) * F.col("n_segs"),
+    )
+    return (
+        segs.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("n_types").alias("s_types"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_segs").cast("long").alias("n_segs"),
+            (share / F.lit(1_000_000.0)).alias("msttr"),
+        )
+        .orderBy("source")
+    )
+
+
+T_MSTTR_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, source, (i - 1) // {_MSTTR_SEG} AS seg, l[i] AS tok
+  FROM (
+    SELECT doc_id, source, string_split({NORM_TEXT_SQL}, ' ') AS l,
+      unnest(generate_series(1, len(string_split({NORM_TEXT_SQL}, ' '))))
+        AS i
+    FROM documents
+  )
+), segs AS (
+  SELECT doc_id, source, seg, COUNT(*) AS n_tok,
+    COUNT(DISTINCT tok) AS n_types
+  FROM pos GROUP BY 1, 2, 3
+  HAVING COUNT(*) = {_MSTTR_SEG}
+)
+SELECT source,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_segs,
+  ((2 * SUM(n_types) * 1000000 + {_MSTTR_SEG} * COUNT(*))
+    // (2 * {_MSTTR_SEG} * COUNT(*))) / 1000000.0 AS msttr
+FROM segs GROUP BY source ORDER BY source
+"""
+
+
+def mm_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed storage census for binary payload BLOCKS:
+    each document's payload is segmented into 16-word-aligned blocks
+    (the multimodal stand-in for blob segments — the CHUNK_WORDS grid
+    t_paragraph_dedup defines), deduped exactly by block digest, and
+    reported per size class (decimal-digit buckets of byte length) —
+    block count, unique digests, duplicate blocks, raw vs deduped
+    bytes, and the ppm a CAS layer saves.  Whole-payload digests never
+    collide on this corpus (dedup_exact), so the BLOCK grain is where
+    dedup has teeth — exactly how chunked CAS (restic/borg-style)
+    works for large media blobs.
+
+    Determinism: digests are md5 hex over the block's hex encoding
+    (the mm_binary_meta digest), all counts exact integers, the
+    saving an exact ppm division.
+
+    Scale shape: payload blocks never shuffle whole — one map-side
+    digest projection, a (digest)-grain agg carrying 16-byte keys, a
+    |buckets|-row census."""
+    from kp_crypto_market_analytics_spark.queries_corpus import (
+        CHUNK_WORDS,
+        _toks_df,
+    )
+
+    toks = _toks_df(spark, sf_dir)
+    n_chunks = (
+        F.ceil(F.size("toks") / F.lit(float(CHUNK_WORDS)))
+    ).cast("int")
+    block = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("toks", i * CHUNK_WORDS + 1, CHUNK_WORDS)
+            ),
+        )
+    )
+    payload = F.encode(F.col("block"), "UTF-8")
+    d = toks.select(block.alias("block")).select(
+        F.md5(F.hex(payload)).alias("digest"),
+        F.octet_length(payload).alias("nb"),
+    )
+    per_digest = d.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("nb").alias("nb")
+    )
+    bucket = F.length(F.col("nb").cast("string"))
+    per_b = per_digest.groupBy(bucket.alias("size_digits")).agg(
+        F.sum("cnt").alias("n_payloads"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("cnt") * F.col("nb")).alias("raw_bytes"),
+        F.sum("nb").alias("unique_bytes"),
+    )
+    saved = F.call_function(
+        "div",
+        F.lit(2)
+        * (F.col("raw_bytes") - F.col("unique_bytes"))
+        * F.lit(1_000_000)
+        + F.col("raw_bytes"),
+        F.lit(2) * F.col("raw_bytes"),
+    )
+    return per_b.select(
+        F.col("size_digits").cast("long").alias("size_digits"),
+        F.col("n_payloads").cast("long").alias("n_payloads"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        (F.col("n_payloads") - F.col("n_unique"))
+        .cast("long")
+        .alias("n_dup"),
+        F.col("raw_bytes").cast("long").alias("raw_bytes"),
+        F.col("unique_bytes").cast("long").alias("unique_bytes"),
+        saved.cast("long").alias("saved_ppm"),
+    ).orderBy("size_digits")
+
+
+def _mm_dedup_bytes_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_corpus import (
+        CHUNK_WORDS,
+    )
+
+    return MM_DEDUP_BYTES_SQL_T.format(
+        cw=CHUNK_WORDS, norm_text=NORM_TEXT_SQL
+    )
+
+
+MM_DEDUP_BYTES_SQL_T = """
+WITH norm AS (
+  SELECT doc_id, string_split({norm_text}, ' ') AS l FROM documents
+), idx AS (
+  SELECT doc_id, l,
+    unnest(generate_series(1,
+      CAST(ceil(len(l) / {cw}.0) AS BIGINT))) AS i
+  FROM norm
+), blocks AS (
+  SELECT array_to_string(l[(i - 1) * {cw} + 1 : i * {cw}], ' ') AS block
+  FROM idx
+), d AS (
+  SELECT md5(hex(encode(block))) AS digest,
+    octet_length(encode(block)) AS nb
+  FROM blocks
+), per_digest AS (
+  SELECT digest, COUNT(*) AS cnt, MAX(nb) AS nb FROM d GROUP BY 1
+), per_b AS (
+  SELECT length(CAST(nb AS VARCHAR)) AS size_digits,
+    CAST(SUM(cnt) AS BIGINT) AS n_payloads,
+    CAST(COUNT(*) AS BIGINT) AS n_unique,
+    CAST(SUM(cnt * nb) AS BIGINT) AS raw_bytes,
+    CAST(SUM(nb) AS BIGINT) AS unique_bytes
+  FROM per_digest GROUP BY 1
+)
+SELECT CAST(size_digits AS BIGINT) AS size_digits, n_payloads, n_unique,
+  n_payloads - n_unique AS n_dup, raw_bytes, unique_bytes,
+  CAST((2 * (raw_bytes - unique_bytes) * 1000000 + raw_bytes)
+    // (2 * raw_bytes) AS BIGINT) AS saved_ppm
+FROM per_b ORDER BY size_digits
+"""
+
+
+R8_QUERIES.update(
+    {
+        "ti_sortino": ti_sortino,
+        "ti_calmar": ti_calmar,
+        "t_msttr": t_msttr,
+        "mm_dedup_bytes": mm_dedup_bytes,
+    }
+)
+_R8_ORACLES.update(
+    {
+        "ti_sortino": lambda: TI_SORTINO_SQL,
+        "ti_calmar": lambda: TI_CALMAR_SQL,
+        "t_msttr": lambda: T_MSTTR_SQL,
+        "mm_dedup_bytes": _mm_dedup_bytes_sql,
+    }
+)

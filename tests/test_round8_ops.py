@@ -375,3 +375,50 @@ def test_vocab_coverage_monotone_and_complete(spark):
     # every token type fits under the largest cutoff on this corpus
     assert rows[-1]["n_types"] == rows[-1]["total_types"]
     assert rows[-1]["coverage_ppm"] == 1_000_000
+
+
+def test_sortino_calmar_consistent_with_returns(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        ti_calmar,
+        ti_sortino,
+    )
+
+    srt = {r["event_type"]: r for r in ti_sortino(spark, SF_DIR).collect()}
+    cal = {r["event_type"]: r for r in ti_calmar(spark, SF_DIR).collect()}
+    assert set(srt) == set(cal) and srt
+    for t, r in srt.items():
+        if r["sortino"] is not None:
+            assert r["downside_dev"] > 0
+            # sign of sortino == sign of mean return
+            assert (r["sortino"] >= 0) == (r["mean_ret"] >= 0)
+        assert 0 <= cal[t]["max_drawdown"] <= 1
+
+
+def test_msttr_bounded_and_segment_arithmetic(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        _MSTTR_SEG,
+        t_msttr,
+    )
+
+    rows = t_msttr(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["msttr"] <= 1.0
+        assert r["n_segs"] >= r["n_docs"] > 0  # docs have >= 1 full segment
+    assert _MSTTR_SEG == 50
+
+
+def test_mm_dedup_bytes_census_consistent(spark):
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        mm_dedup_bytes,
+    )
+
+    rows = mm_dedup_bytes(spark, SF_DIR).collect()
+    assert rows
+    tot_dup = 0
+    for r in rows:
+        assert r["n_payloads"] == r["n_unique"] + r["n_dup"]
+        assert r["unique_bytes"] <= r["raw_bytes"]
+        assert 0 <= r["saved_ppm"] <= 1_000_000
+        tot_dup += r["n_dup"]
+    assert tot_dup > 0  # block-grain dedup has teeth on this corpus
