@@ -422,3 +422,21 @@ def test_mm_dedup_bytes_census_consistent(spark):
         assert 0 <= r["saved_ppm"] <= 1_000_000
         tot_dup += r["n_dup"]
     assert tot_dup > 0  # block-grain dedup has teeth on this corpus
+
+
+def test_corpus_pipeline_shares_one_documents_scan(spark):
+    """The ask the query exists to prove: every stage reads the ONE
+    checkpointed documents projection — the final executed plan
+    contains ZERO parquet scans of documents (the single real scan ran
+    once, inside the checkpoint build) and multiple readers of the
+    materialized frame."""
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        t_corpus_pipeline,
+    )
+
+    df = t_corpus_pipeline(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("documents.parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 3
