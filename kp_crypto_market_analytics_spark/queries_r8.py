@@ -2028,9 +2028,13 @@ def a_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("event_type").agg(
         F.max("n").alias("n"),
         F.sum(F.col("d2").cast("decimal(38,0)")).alias("m2"),
-        F.sum((F.col("d2") * F.col("d")).cast("decimal(38,0)")).alias(
-            "m3"
-        ),
+        # Born-decimal the cube like m4: d²·d in int64 silently wraps
+        # beyond |d| ~ 3e5 milli under non-ANSI while the oracle's
+        # HUGEINT raises — decimal(19,0)×bigint keeps the product
+        # exact at any deviation scale (ADVICE r8).
+        F.sum(F.col("d2").cast("decimal(19,0)") * F.col("d")).cast(
+            "decimal(38,0)"
+        ).alias("m3"),
         F.sum(
             F.col("d2").cast("decimal(19,0)")
             * F.col("d2").cast("decimal(19,0)")
@@ -2072,7 +2076,7 @@ WITH m AS (
 ), g AS (
   SELECT event_type, MAX(n) AS n,
     CAST(SUM(d * d) AS DECIMAL(38,0)) AS m2,
-    CAST(SUM(d * d * d) AS DECIMAL(38,0)) AS m3,
+    CAST(SUM(CAST(d * d AS HUGEINT) * d) AS DECIMAL(38,0)) AS m3,
     CAST(SUM(CAST(d * d AS HUGEINT) * (d * d)) AS DECIMAL(38,0)) AS m4
   FROM dev GROUP BY 1
 )
@@ -2120,9 +2124,12 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs; a duplicate PK means the upsert path (S13/S14) would
     corrupt.
 
-    Determinism: all-integer counts; multi-column keys count via
-    struct (count_distinct drops null-component rows, so null keys
-    are counted separately — the engine-parity rule).
+    Determinism: all-integer counts; multi-column keys count via the
+    multi-arg count_distinct form, which drops rows where ANY key
+    component is null — matching the oracle's COUNT(DISTINCT CASE WHEN
+    nn THEN key END), so null keys are counted separately and
+    n_dup_rows can never go negative (ADVICE r8: the struct form
+    counted null-component keys as distinct).
 
     Scale shape: one map-side-combined agg PER table, unioned —
     each table scans once, only its key columns read."""
@@ -2137,7 +2144,7 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = df.agg(
             F.lit(name).alias("table_name"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.count_distinct(F.struct(*kc)).cast("long").alias("n_keys"),
+            F.count_distinct(*kc).cast("long").alias("n_keys"),
             F.sum(F.when(~nn, 1).otherwise(0)).cast("long").alias(
                 "n_null_keys"
             ),

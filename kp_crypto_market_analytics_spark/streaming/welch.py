@@ -55,10 +55,15 @@ _MICRO = Decimal("0.000001")
 
 
 def _v_micro(v: float) -> int:
-    """Spark's double→DECIMAL(18,6) cast, exactly: the double's exact
-    binary expansion rounded HALF_UP at the 6th decimal place."""
+    """Spark's double→DECIMAL(18,6) cast, exactly: Spark rounds the
+    SHORTEST decimal representation (Java Double.toString) HALF_UP at
+    the 6th place, and Python's repr() is the same shortest round-trip
+    decimal — so quantize Decimal(repr(v)), NOT Decimal(v) (the exact
+    binary expansion diverges by 1 micro on 7th-digit ties; ADVICE
+    r8)."""
     return int(
-        Decimal(v).quantize(_MICRO, rounding=ROUND_HALF_UP) * 1_000_000
+        Decimal(repr(v)).quantize(_MICRO, rounding=ROUND_HALF_UP)
+        * 1_000_000
     )
 
 
