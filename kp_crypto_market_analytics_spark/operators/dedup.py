@@ -272,6 +272,21 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard")
 
 
+def lsh_bands_for_threshold(threshold: float, rows_per_band: int = 4) -> int:
+    """Derive the LSH band count from the target Jaccard threshold
+    (VERDICT r8 ask #1): the banding S-curve's midpoint is
+    s* = (1/b)^(1/r), so placing it at 5/6 of the target threshold
+    gives b = ceil((1/(5/6·t))^r) — for t=0.6, r=4 that is b=16
+    (64 hashes), with expected recall at J=t of 1-(1-t^r)^b ≈ 0.89.
+    The 5/6 margin keeps the midpoint safely below the threshold so
+    borderline true pairs (J barely over t) still collide with high
+    probability."""
+    import math
+
+    s_star = threshold * 5.0 / 6.0
+    return int(math.ceil((1.0 / s_star) ** rows_per_band))
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str,
@@ -280,26 +295,52 @@ def minhash_signatures(
     k: int = 3,
     use_words: bool = True,
     sets: DataFrame | None = None,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """MinHash signature per document: minᵢ((aⱼ·h(sᵢ)+bⱼ) mod p) for j in
     1..R over the doc's shingle set.  One explode + one groupBy — the
     signature aggregation is R min() columns with map-side partials.
 
     (a, b) coefficients are fixed odd/offset constants derived from j —
-    deterministic across runs and engines."""
+    deterministic across runs and engines.
+
+    ``max_shingle_freq`` (r9) applies the SAME df-cap the exact capped
+    Jaccard detector uses (``ngram_jaccard_pairs``): shingles appearing
+    in more than that many docs are dropped before hashing, so the
+    signatures estimate exactly the boilerplate-insensitive Jaccard the
+    truth metric is defined over.  Hashing the full set instead made
+    banding recall collapse on templated corpora (measured 0.14 at
+    sf0.1 even at 64 hashes / 16 bands): template shingles dominate the
+    minima while the truth ignores them.  Docs whose every shingle is
+    over-cap drop out of the signature table entirely — boilerplate-
+    only docs are the exact/fingerprint pipeline's job (dedup_exact),
+    the documented division of labor."""
     if sets is None:
         sets = _shingle_sets(df, text, id_col, k, use_words)
+    if max_shingle_freq is not None:
+        freq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sets = (
+            sets.join(freq.where(F.col("__df") <= max_shingle_freq), "shingle")
+            .drop("__df")
+        )
     # Reduce the 60-bit base hash mod 2^31-1 BEFORE the affine map:
     # a*h then stays under 2^37 — no int64 overflow under ANSI mode.
-    h = hash64(F.col("shingle")) % F.lit(MERSENNE31)
+    # Project the md5-derived base hash ONCE, then aggregate plain
+    # arithmetic: hash exprs inside agg slots run interpreted and
+    # re-evaluate per slot (~R× the md5 cost; the r7 pitfall).
+    hs = sets.select(
+        "doc", (hash64(F.col("shingle")) % F.lit(MERSENNE31)).alias("__h")
+    )
     aggs = []
     for j in range(num_hashes):
         a = 2 * j + 1
         b = 104729 * (j + 1)
         aggs.append(
-            F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh_{j}")
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE31)).alias(
+                f"mh_{j}"
+            )
         )
-    return sets.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
+    return hs.groupBy(F.col("doc").alias(id_col)).agg(*aggs)
 
 
 def lsh_band_buckets(
@@ -334,6 +375,8 @@ def minhash_lsh_pairs(
     sets: DataFrame | None = None,
     sig: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    max_shingle_freq: int | None = None,
+    overcap: str = "drop",
 ) -> DataFrame:
     """MinHash + LSH banding: docs agreeing on ALL rows of any band
     become candidate pairs; estimated Jaccard = fraction of matching
@@ -345,12 +388,25 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` is the boilerplate-bucket blowup lever
     (SCALING.md, MinHash row): a bucket holding B docs emits B²/2
     candidate pairs, so one boilerplate template shared by 100k docs
-    would emit 5·10⁹ pairs from a single bucket.  With the cap set,
-    buckets holding more than ``max_bucket_size`` docs are dropped
-    from pair generation (the drop is observable —
-    ``lsh_bucket_cap_stats`` reports exactly what was dropped); a
-    single window count on the bucket key decides, adding one shuffle
-    and no join."""
+    would emit 5·10⁹ pairs from a single bucket.  ``overcap`` decides
+    what happens to over-cap buckets:
+
+    - ``"drop"`` — the bucket is removed from pair generation (the r8
+      behavior; the drop is observable via the bucket-cap census);
+    - ``"star"`` (r9) — the bucket emits STAR edges (bucket-min doc ↔
+      every other member): B−1 edges instead of B(B−1)/2, so
+      generation stays linear in bucket size while every same-bucket
+      pair remains CONNECTED in the emitted candidate graph (both
+      endpoints link to the rep) — downstream connected-components
+      clustering unions the bucket exactly as if all pairs had been
+      emitted.  Star output adds a ``tier`` column: ``'pair'`` edges
+      are direct verification candidates, ``'star'`` edges are
+      cluster-merge witnesses of bucket co-membership (their
+      est_jaccard estimates rep↔member similarity, not every member
+      pair).  A pair reachable both ways keeps tier ``'pair'``.
+
+    A single window count on the bucket key decides, adding one
+    shuffle and no join."""
     if sig is None:
         # sig is consumed three times (band buckets + both sides of the
         # estimate join) and is tiny (|docs| × num_hashes longs) while
@@ -358,35 +414,68 @@ def minhash_lsh_pairs(
         # clear win here, unlike wide fact frames (see
         # e3_anomaly_pipeline note).
         sig = minhash_signatures(
-            df, text, id_col, num_hashes, k, use_words, sets=sets
+            df, text, id_col, num_hashes, k, use_words, sets=sets,
+            max_shingle_freq=max_shingle_freq,
         ).persist()
 
     buckets = lsh_band_buckets(sig, id_col, num_hashes, bands)
-    if max_bucket_size is not None:
+    if max_bucket_size is not None and overcap == "star":
         wb = Window.partitionBy("bucket")
-        buckets = (
-            buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
-            .where(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        sized = buckets.withColumn("__bn", F.count(F.lit(1)).over(wb)).withColumn(
+            "__rep", F.min("doc").over(wb)
         )
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
-        .where(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
-    )
+        under = sized.where(F.col("__bn") <= max_bucket_size)
+        pair_cand = (
+            under.alias("x")
+            .join(under.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+            .where(F.col("x.doc") < F.col("y.doc"))
+            .select(
+                F.col("x.doc").alias("doc_a"),
+                F.col("y.doc").alias("doc_b"),
+                F.lit("pair").alias("tier"),
+            )
+        )
+        star_cand = sized.where(
+            (F.col("__bn") > max_bucket_size) & (F.col("doc") != F.col("__rep"))
+        ).select(
+            F.col("__rep").alias("doc_a"),
+            F.col("doc").alias("doc_b"),
+            F.lit("star").alias("tier"),
+        )
+        cand = (
+            pair_cand.unionByName(star_cand)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.min("tier").alias("tier"))
+        )
+    else:
+        if max_bucket_size is not None:
+            wb = Window.partitionBy("bucket")
+            buckets = (
+                buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
+                .where(F.col("__bn") <= max_bucket_size)
+                .drop("__bn")
+            )
+        cand = (
+            buckets.alias("x")
+            .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+            .where(F.col("x.doc") < F.col("y.doc"))
+            .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+            .distinct()
+        )
     sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)])
     sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)])
     est = None
     for j in range(num_hashes):
         term = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
         est = term if est is None else est + term
+    out_cols = ["doc_a", "doc_b"] + (
+        ["tier"] if overcap == "star" and max_bucket_size is not None else []
+    )
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("est_jaccard", est / F.lit(num_hashes))
-        .select("doc_a", "doc_b", "est_jaccard")
+        .select(*out_cols, "est_jaccard")
     )
 
 
@@ -401,13 +490,20 @@ def incremental_lsh_pairs(
     use_words: bool = False,
     sig: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    max_shingle_freq: int | None = None,
+    overcap: str = "drop",
 ) -> DataFrame:
     """Incremental near-dup ingest: candidate pairs where at least one
     side belongs to the NEW batch (``is_new`` boolean column expr) —
     the production path that dedups today's documents against the
     standing corpus without re-comparing old×old.
     ``max_bucket_size`` applies the same boilerplate-bucket cap as
-    ``minhash_lsh_pairs`` (over-cap buckets never join).
+    ``minhash_lsh_pairs``: ``overcap="drop"`` removes over-cap buckets,
+    ``overcap="star"`` routes them to rep↔member star edges (kept when
+    either side is new), preserving the seam property EXACTLY — the
+    incremental output equals the full star generator restricted to
+    pairs touching the new batch, because every emitted edge IS a pair
+    and the restriction distributes over the union of tiers.
 
     The band bucket-join is NEW-batch × whole-corpus: the probe side is
     |batch| rows, so each ingest costs O(batch × bucket-mates), not
@@ -421,7 +517,10 @@ def incremental_lsh_pairs(
     rows_per_band = num_hashes // bands
     flags = df.select(F.col(id_col), is_new.alias("__new"))
     if sig is None:
-        sig = minhash_signatures(df, text, id_col, num_hashes, k, use_words)
+        sig = minhash_signatures(
+            df, text, id_col, num_hashes, k, use_words,
+            max_shingle_freq=max_shingle_freq,
+        )
     sig = sig.join(flags, id_col).persist()
 
     band_cols = []
@@ -436,35 +535,72 @@ def incremental_lsh_pairs(
         F.col("__new").alias("new"),
         F.explode(F.array(*band_cols)).alias("bucket"),
     )
-    if max_bucket_size is not None:
+    star = overcap == "star" and max_bucket_size is not None
+    if star:
         wb = Window.partitionBy("bucket")
-        buckets = (
-            buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
-            .where(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        sized = buckets.withColumn("__bn", F.count(F.lit(1)).over(wb)).withColumn(
+            "__rep", F.min("doc").over(wb)
+        ).withColumn("__rep_new", F.max(F.when(F.col("doc") == F.col("__rep"), F.col("new"))).over(wb))
+        under = sized.where(F.col("__bn") <= max_bucket_size)
+        probe = under.where(F.col("new"))
+        pair_cand = (
+            probe.alias("x")
+            .join(under.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+            .where(F.col("x.doc") != F.col("y.doc"))
+            .select(
+                F.least("x.doc", "y.doc").alias("doc_a"),
+                F.greatest("x.doc", "y.doc").alias("doc_b"),
+                F.lit("pair").alias("tier"),
+            )
         )
-    probe = buckets.where(F.col("new"))
-    cand = (
-        probe.alias("x")
-        .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
-        .where(F.col("x.doc") != F.col("y.doc"))
-        .select(
-            F.least("x.doc", "y.doc").alias("doc_a"),
-            F.greatest("x.doc", "y.doc").alias("doc_b"),
+        star_cand = (
+            sized.where(
+                (F.col("__bn") > max_bucket_size)
+                & (F.col("doc") != F.col("__rep"))
+                & (F.col("new") | F.col("__rep_new"))
+            )
+            .select(
+                F.col("__rep").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+                F.lit("star").alias("tier"),
+            )
         )
-        .distinct()
-    )
+        cand = (
+            pair_cand.unionByName(star_cand)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.min("tier").alias("tier"))
+        )
+    else:
+        if max_bucket_size is not None:
+            wb = Window.partitionBy("bucket")
+            buckets = (
+                buckets.withColumn("__bn", F.count(F.lit(1)).over(wb))
+                .where(F.col("__bn") <= max_bucket_size)
+                .drop("__bn")
+            )
+        probe = buckets.where(F.col("new"))
+        cand = (
+            probe.alias("x")
+            .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+            .where(F.col("x.doc") != F.col("y.doc"))
+            .select(
+                F.least("x.doc", "y.doc").alias("doc_a"),
+                F.greatest("x.doc", "y.doc").alias("doc_b"),
+            )
+            .distinct()
+        )
     sa = sig.select(F.col(id_col).alias("doc_a"), F.col("__new").alias("new_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(num_hashes)])
     sb = sig.select(F.col(id_col).alias("doc_b"), F.col("__new").alias("new_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(num_hashes)])
     est = None
     for j in range(num_hashes):
         term = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
         est = term if est is None else est + term
+    out_cols = ["doc_a", "doc_b", "new_a", "new_b"] + (["tier"] if star else [])
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("est_jaccard", est / F.lit(num_hashes))
-        .select("doc_a", "doc_b", "new_a", "new_b", "est_jaccard")
+        .select(*out_cols, "est_jaccard")
     )
 
 

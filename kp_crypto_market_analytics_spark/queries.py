@@ -1167,31 +1167,23 @@ ORDER BY doc_a, doc_b
 
 
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 hashes over char-4-gram shingles) with the
-    portable md5-derived hash — the signature step of MinHash-LSH,
-    verified bit-exactly against SQL."""
-    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs8
+    """MinHash signatures (64 hashes over DF-CAPPED char-4-gram
+    shingles, r9 production parameters — see queries_ext's LSH header)
+    with the portable md5-derived hash — the signature step of
+    MinHash-LSH, verified bit-exactly against SQL.  Docs whose every
+    shingle is over the df cap have no signature row (boilerplate-only
+    docs belong to the exact/fingerprint pipeline)."""
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs
 
-    return _minhash_sigs8(spark, sf_dir).orderBy("doc_id")
+    return _minhash_sigs(spark, sf_dir).orderBy("doc_id")
 
 
 def _minhash_sql() -> str:
-    h = "(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647)"
-    aggs = ",\n  ".join(
-        f"MIN(({2 * j + 1} * {h} + {104729 * (j + 1)}) % 2147483647) AS mh_{j}"
-        for j in range(8)
-    )
+    from kp_crypto_market_analytics_spark.queries_ext import CAPPED_HSETS_CTE
+
     return f"""
-WITH norm AS (
-  SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
-), idx AS (
-  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS i
-  FROM norm
-), sets AS (
-  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle FROM idx
-)
-SELECT doc_id, {aggs}
-FROM sets GROUP BY doc_id ORDER BY doc_id
+WITH {CAPPED_HSETS_CTE}
+SELECT * FROM sigs ORDER BY doc_id
 """
 
 

@@ -393,70 +393,57 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup ingest: today's batch (stand-in: doc_id ≡ 7
     mod 10) deduped against the standing corpus via MinHash-LSH band
     buckets — every candidate pair touches the new batch; old×old pairs
-    (resolved by previous runs) are never generated.  Same signature
-    parameters as ``dedup_minhash_lsh`` (8 hashes, 2 bands, char-4-gram
-    shingles) so the two queries agree on what "near-dup" means; output
-    adds which side(s) are new — new×old means "drop or link the new
-    doc", new×new means "today's batch self-duplicates"."""
+    (resolved by previous runs) are never generated.  Same detector as
+    ``dedup_minhash_lsh`` (64 df-capped hashes, 16 threshold-derived
+    bands, star-routed bucket cap — r9) so the two queries agree on
+    what "near-dup" means; output adds which side(s) are new — new×old
+    means "drop or link the new doc", new×new means "today's batch
+    self-duplicates"."""
     from kp_crypto_market_analytics_spark.operators.dedup import incremental_lsh_pairs
     from kp_crypto_market_analytics_spark.queries_ext import (
+        _LSH_BANDS,
         _LSH_BUCKET_CAP,
-        _minhash_sigs8,
+        _LSH_NUM_HASHES,
+        _minhash_sigs,
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
-    # Same detector as dedup_minhash_lsh, cap included (r8): the seam
+    # Same detector as dedup_minhash_lsh, star cap included: the seam
     # property (incremental == full restricted to the new batch) only
-    # holds when both generators drop the same over-cap buckets.
+    # holds when both generators route the same over-cap buckets.
     pairs = incremental_lsh_pairs(
         t["documents"],
         F.col("doc_id") % 10 == 7,
         "text",
         "doc_id",
-        num_hashes=8,
-        bands=2,
+        num_hashes=_LSH_NUM_HASHES,
+        bands=_LSH_BANDS,
         k=4,
         use_words=False,
-        sig=_minhash_sigs8(spark, sf_dir),
+        sig=_minhash_sigs(spark, sf_dir),
         max_bucket_size=_LSH_BUCKET_CAP,
+        overcap="star",
     )
     return pairs.orderBy("doc_a", "doc_b")
 
 
 def _dedup_incremental_sql() -> str:
     from kp_crypto_market_analytics_spark.queries_ext import (
+        _EST_SQL,
         _LSH_BUCKET_CAP,
-        SHINGLE4_CTE,
-        _minhash_aggs,
+        CAPPED_HSETS_CTE,
+        _cand_cte_sql,
     )
 
-    est = " + ".join(
-        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)" for j in range(8)
-    )
+    cand = _cand_cte_sql(new_pred="{c} % 10 = 7").format(cap=_LSH_BUCKET_CAP)
     return f"""
-WITH {SHINGLE4_CTE}, sigs AS (
-  SELECT doc_id, {_minhash_aggs(8)}
-  FROM sets GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
-), sized AS (
-  SELECT *, COUNT(*) OVER (PARTITION BY band, h0, h1, h2, h3) AS bn
-  FROM bands
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sized a JOIN sized b
-    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
-   AND a.doc_id < b.doc_id
-  WHERE (a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
-    AND a.bn <= {_LSH_BUCKET_CAP} AND b.bn <= {_LSH_BUCKET_CAP}
-)
+WITH {CAPPED_HSETS_CTE}{cand}
 SELECT doc_a, doc_b,
   doc_a % 10 = 7 AS new_a,
   doc_b % 10 = 7 AS new_b,
-  ({est}) / 8 AS est_jaccard
-FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+  tier,
+  {_EST_SQL} AS est_jaccard
+FROM cand_t JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """
 
@@ -841,88 +828,119 @@ ORDER BY event_type, first_event
 
 
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Detector-honesty audit, oracle-gated: recall of the MinHash-LSH
-    candidate generator (8 hashes × 2 bands — the scale path) against
-    the exact df-capped char-4-gram Jaccard≥0.6 pair set (the truth the
-    banding approximates).  One row: true pairs, LSH candidates, hits,
-    recall — the number a pipeline owner checks before trusting banded
-    dedup at 100 TB, computed in-engine instead of in a notebook.
+    """Detector-honesty audit, oracle-gated: recall of the PRODUCTION
+    MinHash-LSH detector (64 df-capped hashes × 16 threshold-derived
+    bands, star-routed bucket cap — r9) against the exact df-capped
+    char-4-gram Jaccard≥0.6 pair set (the truth the banding
+    approximates).  One row — the numbers a pipeline owner checks
+    before trusting banded dedup at 100 TB, computed in-engine instead
+    of in a notebook:
 
-    Read the number honestly: with the r8 bucket-population cap the
-    sf0.1 recall is ~0.002 (vs 0.107 uncapped), because this synthetic
-    corpus's true near-dups are TEMPLATE FAMILIES that land in giant
-    band buckets — exactly the over-cap mass dedup_lsh_bucket_cap's
-    census routes to the flagged side-channel, where the
-    exact/fingerprint pipeline (dedup_exact / dedup_canonical /
-    dedup_ngram_capped) resolves them.  The capped LSH detector's job
-    is the rare-pair tail; this audit records what that division of
-    labor costs in banding recall.
+    - n_hits_bucket / recall — true pairs whose endpoints collide in
+      ≥1 band bucket.  This is the detector's operative recall: star
+      routing connects every same-bucket pair in the emitted candidate
+      graph (both endpoints link to the bucket rep), so a bucket-hit
+      pair lands in one near-dup cluster downstream exactly as if its
+      pair edge had been emitted.
+    - n_hits_direct / recall_direct — true pairs present as direct
+      (verifiable) candidate edges; lower whenever over-cap buckets
+      star-route, reported so the pair-level price of the star cap
+      stays visible.
+    - meets_floor — the gated SLO boolean: recall ≥ 0.8 (vacuously
+      true on an empty truth set).  The r8 parameters (8 hashes / 2
+      full-set bands) measured 0.107 here at sf0.1; the r9
+      re-parameterization (VERDICT ask #1) measures 1.0 at both SFs,
+      and tests/test_corpus_queries.py pins the floor.
 
-    Both pair sets are the existing gated pipelines; the audit adds one
-    left-semi join on (doc_a, doc_b) and three 1-row aggregates.  The
-    recall division runs in exact int64 (``round_mean_micro``).  The
-    truth side is the session-materialized capped pair set shared with
-    dedup_ngram_capped / dedup_clusters / dedup_canonical; the LSH
-    branch starts from the session-materialized signature table
-    (_minhash_sigs8) shared with dedup_minhash_lsh."""
+    The truth side is the session-materialized capped pair set shared
+    with dedup_ngram_capped / dedup_clusters / dedup_canonical; the
+    LSH branch starts from the session-materialized signature table
+    (_minhash_sigs) shared with dedup_minhash_lsh.  The recall
+    divisions run in exact int64 (``round_mean_micro``), and the floor
+    compare is pure-integer (5·hits ≥ 4·true)."""
     from kp_crypto_market_analytics_spark.operators.dedup import (
         capped_jaccard_pairs_materialized,
+        lsh_band_buckets,
         minhash_lsh_pairs,
     )
-    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs8
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _LSH_BANDS,
+        _LSH_BUCKET_CAP,
+        _LSH_NUM_HASHES,
+        _minhash_sigs,
+    )
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
-    # Both sides come from session-materialized shared builds: the
-    # truth pair set (shared with dedup_ngram_capped et al.) and the
-    # 8-hash signature table (shared with dedup_minhash_lsh et al.);
-    # the LSH band/estimate subplan still feeds two consumers, hence
-    # its localCheckpoint.
     truth = capped_jaccard_pairs_materialized(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
-    from kp_crypto_market_analytics_spark.queries_ext import (
-        _LSH_BUCKET_CAP,
-    )
-
-    # Recall is measured for the PRODUCTION detector — bucket cap
-    # included (r8: the generators cap boilerplate buckets; auditing
-    # an uncapped variant nobody runs would overstate recall).
+    sig = _minhash_sigs(spark, sf_dir)
     cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=8, bands=2, k=4, use_words=False,
-        sig=_minhash_sigs8(spark, sf_dir), max_bucket_size=_LSH_BUCKET_CAP,
+        docs, "text", "doc_id",
+        num_hashes=_LSH_NUM_HASHES, bands=_LSH_BANDS, k=4, use_words=False,
+        sig=sig, max_bucket_size=_LSH_BUCKET_CAP, overcap="star",
     ).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    buckets = lsh_band_buckets(sig, "doc_id", _LSH_NUM_HASHES, _LSH_BANDS)
+    bucket_hits = (
+        truth.join(
+            buckets.select(F.col("doc").alias("doc_a"), "bucket"), "doc_a"
+        )
+        .join(
+            buckets.select(F.col("doc").alias("doc_b"), "bucket"),
+            ["doc_b", "bucket"],
+            "left_semi",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    direct_hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     n_true = truth.groupBy().agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
-    n_hit = hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits"))
+    n_hb = bucket_hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits_bucket"))
+    n_hd = direct_hits.groupBy().agg(F.count(F.lit(1)).alias("n_hits_direct"))
     return (
         n_true.crossJoin(n_cand)
-        .crossJoin(n_hit)
+        .crossJoin(n_hb)
+        .crossJoin(n_hd)
         .select(
             "n_true",
             "n_candidates",
-            "n_hits",
+            "n_hits_bucket",
+            "n_hits_direct",
             F.when(
                 F.col("n_true") > 0,
-                round_mean_micro(F.col("n_hits").cast(DEC), F.col("n_true")),
+                round_mean_micro(
+                    F.col("n_hits_bucket").cast(DEC), F.col("n_true")
+                ),
             ).alias("recall"),
+            F.when(
+                F.col("n_true") > 0,
+                round_mean_micro(
+                    F.col("n_hits_direct").cast(DEC), F.col("n_true")
+                ),
+            ).alias("recall_direct"),
+            (
+                (F.col("n_true") == 0)
+                | (5 * F.col("n_hits_bucket") >= 4 * F.col("n_true"))
+            ).alias("meets_floor"),
         )
     )
 
 
 def _dedup_lsh_recall_sql() -> str:
     from kp_crypto_market_analytics_spark.queries_ext import (
+        _BJOIN,
         _LSH_BUCKET_CAP,
-        SHINGLE4_CTE,
-        _minhash_aggs,
+        CAPPED_HSETS_CTE,
+        _cand_cte_sql,
     )
 
+    cand = _cand_cte_sql().format(cap=_LSH_BUCKET_CAP)
     return f"""
-WITH {SHINGLE4_CTE}, freq AS (
-  SELECT shingle, COUNT(*) AS df FROM sets GROUP BY 1
-), capped AS (
-  SELECT s.doc_id, s.shingle FROM sets s JOIN freq USING (shingle) WHERE df <= 50
+WITH {CAPPED_HSETS_CTE}{cand}, capped AS (
+  SELECT s.doc_id, s.shingle FROM sets s JOIN sfreq USING (shingle)
+  WHERE df <= 50
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY 1
 ), inter AS (
@@ -934,33 +952,25 @@ WITH {SHINGLE4_CTE}, freq AS (
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
   WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.6
-), sigs AS (
-  SELECT doc_id, {_minhash_aggs(8)}
-  FROM sets GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
-), sized AS (
-  SELECT *, COUNT(*) OVER (PARTITION BY band, h0, h1, h2, h3) AS bn
-  FROM bands
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sized a JOIN sized b
-    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
-   AND a.doc_id < b.doc_id
-  WHERE a.bn <= {_LSH_BUCKET_CAP} AND b.bn <= {_LSH_BUCKET_CAP}
 ), counts AS (
   SELECT
     (SELECT COUNT(*) FROM truth) AS n_true,
-    (SELECT COUNT(*) FROM cand) AS n_candidates,
+    (SELECT COUNT(*) FROM cand_t) AS n_candidates,
     (SELECT COUNT(*) FROM truth t WHERE EXISTS (
-       SELECT 1 FROM cand c WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)) AS n_hits
+       SELECT 1 FROM sized a JOIN sized b ON {_BJOIN}
+       WHERE a.doc_id = t.doc_a AND b.doc_id = t.doc_b)) AS n_hits_bucket,
+    (SELECT COUNT(*) FROM truth t WHERE EXISTS (
+       SELECT 1 FROM cand_t c
+       WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)) AS n_hits_direct
 )
-SELECT n_true, n_candidates, n_hits,
+SELECT n_true, n_candidates, n_hits_bucket, n_hits_direct,
   CASE WHEN n_true > 0 THEN
-    {sql_round_mean_micro("CAST(n_hits AS DECIMAL(18,6))", "n_true")}
-  END AS recall
+    {sql_round_mean_micro("CAST(n_hits_bucket AS DECIMAL(18,6))", "n_true")}
+  END AS recall,
+  CASE WHEN n_true > 0 THEN
+    {sql_round_mean_micro("CAST(n_hits_direct AS DECIMAL(18,6))", "n_true")}
+  END AS recall_direct,
+  (n_true = 0 OR 5 * n_hits_bucket >= 4 * n_true) AS meets_floor
 FROM counts
 """
 

