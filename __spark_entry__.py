@@ -132,18 +132,28 @@ _FIRST_SEEN_ROUND.update(
     )}
 )
 
+_FIRST_SEEN_ROUND.update(
+    {n: 9 for n in (
+        "w_rollstd_stream_parity", "j_stream_enrich_parity",
+    )}
+)
+
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A
 # fresh green row from round >= N clears the entry automatically.
 _CHANGED_IN_ROUND = {
     # re-windowed in round 2 (vacuous-gate fix):
     "j_anti_customers": 2,
-    # round 8: the production LSH generators gained the boilerplate
-    # bucket-population cap (block-join audit gate) — pair sets and
-    # recall change, so pre-r8 green rows are stale evidence.
-    "dedup_minhash_lsh": 8,
-    "dedup_incremental": 8,
-    "dedup_lsh_recall": 8,
+    # round 9: the production LSH detector was re-parameterized
+    # (VERDICT r8 ask #1 — threshold-derived 64×16 banding over
+    # df-capped shingle sets, star-routed bucket cap), changing the
+    # signature table, pair sets, census, and recall columns; pre-r9
+    # green rows are stale evidence for all five.
+    "dedup_minhash_sig": 9,
+    "dedup_minhash_lsh": 9,
+    "dedup_incremental": 9,
+    "dedup_lsh_recall": 9,
+    "dedup_lsh_bucket_cap": 9,
 }
 
 

@@ -1267,3 +1267,164 @@ def test_welch_stream_matches_batch_fold(spark, tmp_path):
                 assert g[c] is None
             else:
                 assert g[c] == w[c], (w["event_type"], w["batch_idx"], c)
+
+
+def test_rollstd_stream_matches_gated_fold(spark, tmp_path):
+    # VERDICT r8 ask #2: the keyed-state rolling-volatility stream is
+    # pinned emission-for-emission to the oracle-gated sequential fold
+    # (w_rollstd_stream_parity).  Stream ALL sf0.001 events as 4
+    # time-contiguous files (the fold's batch slicing) through the
+    # REAL applyInPandasWithState operator with the production
+    # 60/30 window, then require (a) per-emission equality with the
+    # trailing-window expectation and (b) digest equality with the
+    # gated registry row.
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _ROLL_BATCHES,
+        w_rollstd_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.stateful import (
+        rolling_std_stream,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    gated = w_rollstd_stream_parity(spark, sfd).toPandas()
+
+    e = (
+        load_tables(spark, sfd, ["events"])["events"]
+        .selectExpr("event_type AS symbol", "event_id", "ts", "value")
+    )
+    pdf = e.toPandas()
+    ms = pdf["ts"].astype("int64") // 10**6
+    lo, hi = int(ms.min()), int(ms.max())
+    pdf["batch_idx"] = np.minimum(
+        _ROLL_BATCHES, 1 + (ms - lo) * _ROLL_BATCHES // (hi - lo + 1)
+    )
+    src = str(tmp_path / "src")
+    for b in range(1, _ROLL_BATCHES + 1):
+        part = pdf[pdf["batch_idx"] == b].drop(columns=["batch_idx"])
+        spark.createDataFrame(part).coalesce(1).write.parquet(f"{src}/b{b}")
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = rolling_std_stream(stream, window_rows=60, min_periods=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollstd_parity_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("rollstd_parity_out").toPandas()
+    assert len(got) == len(pdf)
+
+    # (a) emission-for-emission vs the trailing window on the full
+    # series — the state must carry the tail across the 4 triggers
+    expected = (
+        pdf.sort_values(["symbol", "ts", "event_id"])
+        .groupby("symbol")["value"]
+        .rolling(60, min_periods=30)
+        .std()
+        .reset_index(level=0, drop=True)
+    )
+    exp_df = pdf.sort_values(["symbol", "ts", "event_id"]).assign(
+        expected=expected.values
+    )
+    merged = got.merge(exp_df[["event_id", "expected", "batch_idx"]], on="event_id")
+    assert np.allclose(
+        merged["rolling_std"].fillna(-1), merged["expected"].fillna(-1), atol=1e-9
+    )
+
+    # (b) digest of the STREAMED emissions == the gated registry row
+    merged["std6"] = merged["rolling_std"].round(6)
+    dig = (
+        merged.groupby(["batch_idx", "symbol"])
+        .agg(
+            n_emissions=("event_id", "size"),
+            n_scored=("std6", "count"),
+            sum_std=("std6", "sum"),
+            max_std=("std6", "max"),
+        )
+        .reset_index()
+        .rename(columns={"symbol": "event_type"})
+        .sort_values(["batch_idx", "event_type"])
+        .reset_index(drop=True)
+    )
+    g = gated.sort_values(["batch_idx", "event_type"]).reset_index(drop=True)
+    assert list(dig["batch_idx"]) == list(g["batch_idx"])
+    assert list(dig["event_type"]) == list(g["event_type"])
+    assert list(dig["n_emissions"]) == list(g["n_emissions"])
+    assert list(dig["n_scored"]) == list(g["n_scored"])
+    # each addend may differ by 1e-6 only on a knife-edge rounding tie
+    assert np.allclose(dig["sum_std"], g["sum_std"], atol=1e-3)
+    assert np.allclose(
+        dig["max_std"].fillna(-1), g["max_std"].fillna(-1), atol=1e-5
+    )
+
+
+def test_stream_enrich_matches_gated_digest(spark, tmp_path):
+    # VERDICT r8 ask #2 (second operator): the watermarked
+    # stream-stream time-range join's streamed pair set digests to
+    # EXACTLY the oracle-gated batch twin (j_stream_enrich_parity) —
+    # all-integer comparison, no tolerance.
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        j_stream_enrich_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.joins import (
+        enrich_with_recent,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    gated = {
+        r["event_type"]: (
+            r["n_pairs"], r["n_facts_matched"], r["sum_lag_ms"], r["max_lag_ms"]
+        )
+        for r in j_stream_enrich_parity(spark, sfd).collect()
+    }
+
+    e = load_tables(spark, sfd, ["events"])["events"]
+    facts = e.selectExpr(
+        "event_type", "event_id AS fact_id", "ts AS fact_ts"
+    )
+    ctx = e.selectExpr("event_type", "event_id AS ctx_id", "ts AS ctx_ts")
+    fdir, cdir = str(tmp_path / "f"), str(tmp_path / "c")
+    facts.coalesce(1).write.parquet(fdir)
+    ctx.coalesce(1).write.parquet(cdir)
+    fs = spark.readStream.schema(facts.schema).parquet(fdir)
+    cs = spark.readStream.schema(ctx.schema).parquet(cdir)
+    joined = enrich_with_recent(
+        fs, cs, key="event_type", fact_ts="fact_ts", ctx_ts="ctx_ts",
+        lookback="5 minutes",
+    ).select(
+        F.col("f.event_type").alias("event_type"),
+        F.col("f.fact_id").alias("fact_id"),
+        (F.unix_millis("f.fact_ts") - F.unix_millis("c.ctx_ts")).alias(
+            "lag_ms"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("enrich_parity_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enrich_parity_out").toPandas()
+    dig = {
+        k: (
+            int(v["fact_id"].size),
+            int(v["fact_id"].nunique()),
+            int(v["lag_ms"].sum()),
+            int(v["lag_ms"].max()),
+        )
+        for k, v in got.groupby("event_type")
+    }
+    assert dig == gated and len(gated) == 5
