@@ -149,6 +149,9 @@ _CHANGED_IN_ROUND = {
     # df-capped shingle sets, star-routed bucket cap), changing the
     # signature table, pair sets, census, and recall columns; pre-r9
     # green rows are stale evidence for all five.
+    # round 9: t_corpus_pipeline gained stage 7 (pack-and-shard census
+    # columns train_tokens / n_train_packs / tokens_per_shard).
+    "t_corpus_pipeline": 9,
     "dedup_minhash_sig": 9,
     "dedup_minhash_lsh": 9,
     "dedup_incremental": 9,

@@ -45,6 +45,7 @@ _PIPE_MIN_QUALITY = 0.4
 _PIPE_MAX_DUP_RATIO = 0.06
 _PIPE_TRI_DF_CAP = 100
 _PIPE_N_SHARDS = 32
+_PIPE_PACK_TOKENS = 2048
 
 
 def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +73,14 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
          docs into 32 loader shards (t_epoch_shuffle's rule);
       6. MIX WEIGHTS: temperature-scaled weight sqrt(kept_tokens) with
          normalized share (t_mix_weights, alpha = 0.5) — computed on
-         the SURVIVING tokens, the number a loader actually mixes by.
+         the SURVIVING tokens, the number a loader actually mixes by;
+      7. PACK & SHARD (r9, VERDICT ask #3): the loader artifact — each
+         train shard's docs pack into 2048-token
+         sequences (per-(source, shard) running token sum, pack_id =
+         starting offset DIV budget — t_pack_sequences' rule), and the
+         census reports train_tokens, n_train_packs, and
+         tokens_per_shard — the numbers a training job actually
+         consumes.
 
     Stage order is load-bearing (dedup BEFORE quality keeps the
     canonical doc even when a higher-quality duplicate exists;
@@ -94,6 +102,9 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash64,
         quality_score,
         token_count,
+    )
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
     )
     from kp_crypto_market_analytics_spark.operators.dedup import (
         capped_jaccard_pairs_materialized,
@@ -233,6 +244,29 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", F.when(F.col("split") == "train", shard)
     )
 
+    # Stage 7: pack each train shard's docs into 2048-token sequences
+    # (t_pack_sequences' offset rule, scoped per (source, shard) so the
+    # cumsum window never single-partitions) and census the loader
+    # numbers.  Reads the same checkpointed base lineage — no new scan.
+    wp = Window.partitionBy("source", "shard").orderBy("doc_id")
+    train = asg.where(F.col("split") == "train").select(
+        "source", "shard", "doc_id", "ntok"
+    )
+    packs = train.withColumn("cum", F.sum("ntok").over(wp)).withColumn(
+        "pack_id",
+        F.call_function(
+            "div",
+            F.col("cum") - F.col("ntok"),
+            F.lit(_PIPE_PACK_TOKENS).cast("long"),
+        ),
+    )
+    pack_census = packs.groupBy("source").agg(
+        F.sum("ntok").cast("long").alias("train_tokens"),
+        F.count_distinct(F.struct("shard", "pack_id"))
+        .cast("long")
+        .alias("n_train_packs"),
+    )
+
     def cnt(c):  # noqa: ANN001
         return F.sum(F.when(F.col(c), 1).otherwise(0))
 
@@ -259,6 +293,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shard").alias("n_train_shards"),
         )
     )
+    census = census.join(pack_census, "source", "left")
     weighted = census.withColumn(
         "w",
         F.round(F.sqrt(F.col("kept_tokens").cast("double")), 6).cast(
@@ -279,6 +314,21 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_test").cast("long").alias("n_test"),
             F.col("kept_tokens").cast("long").alias("kept_tokens"),
             F.col("n_train_shards").cast("long").alias("n_train_shards"),
+            F.coalesce(F.col("train_tokens"), F.lit(0))
+            .cast("long")
+            .alias("train_tokens"),
+            F.coalesce(F.col("n_train_packs"), F.lit(0))
+            .cast("long")
+            .alias("n_train_packs"),
+            F.when(
+                F.col("n_train_shards") > 0,
+                round_mean_micro(
+                    F.coalesce(F.col("train_tokens"), F.lit(0)).cast(
+                        "decimal(18,6)"
+                    ),
+                    F.col("n_train_shards"),
+                ),
+            ).alias("tokens_per_shard"),
             F.col("w").cast("double").alias("weight"),
             F.when(
                 F.col("t_w") != 0,
@@ -295,6 +345,9 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _t_corpus_pipeline_sql() -> str:
     from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
     from kp_crypto_market_analytics_spark.queries_ext import _CLUSTER_CTES
     from kp_crypto_market_analytics_spark.queries_r7 import _SPLIT_SQL
 
@@ -398,6 +451,16 @@ def _t_corpus_pipeline_sql() -> str:
       AS kept_tokens,
     CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_train_shards
   FROM final WHERE in_corpus GROUP BY source
+), packs AS (
+  SELECT source, shard, ntok,
+    SUM(ntok) OVER (PARTITION BY source, shard ORDER BY doc_id) AS cum
+  FROM final WHERE split = 'train'
+), pc AS (
+  SELECT source,
+    CAST(SUM(ntok) AS BIGINT) AS train_tokens,
+    CAST(COUNT(DISTINCT (shard, (cum - ntok) // {_PIPE_PACK_TOKENS}))
+         AS BIGINT) AS n_train_packs
+  FROM packs GROUP BY source
 ), weighted AS (
   SELECT *, CAST(round(sqrt(CAST(kept_tokens AS DOUBLE)), 6)
                  AS DECIMAL(18,6)) AS w
@@ -405,11 +468,16 @@ def _t_corpus_pipeline_sql() -> str:
 ), tot AS (SELECT CAST(SUM(w) AS DECIMAL(18,6)) AS t_w FROM weighted)
 SELECT source, n_docs, n_dedup, n_quality, n_clean, n_train, n_val,
   n_test, kept_tokens, n_train_shards,
+  CAST(coalesce(train_tokens, 0) AS BIGINT) AS train_tokens,
+  CAST(coalesce(n_train_packs, 0) AS BIGINT) AS n_train_packs,
+  CASE WHEN n_train_shards > 0 THEN
+    {sql_round_mean_micro("CAST(coalesce(train_tokens, 0) AS DECIMAL(18,6))", "n_train_shards")}
+  END AS tokens_per_shard,
   CAST(w AS DOUBLE) AS weight,
   CASE WHEN t_w <> 0 THEN
     round(CAST(w AS DOUBLE) / CAST(t_w AS DOUBLE), 6)
   END AS weight_share
-FROM weighted CROSS JOIN tot
+FROM weighted LEFT JOIN pc USING (source) CROSS JOIN tot
 ORDER BY source
 """
 
