@@ -135,6 +135,7 @@ _FIRST_SEEN_ROUND.update(
 _FIRST_SEEN_ROUND.update(
     {n: 9 for n in (
         "w_rollstd_stream_parity", "j_stream_enrich_parity",
+        "dedup_ngram_jaccard_sampled",
     )}
 )
 

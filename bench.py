@@ -47,17 +47,37 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Excluded from the bench (still correctness-gated); each entry names
-# the reason — everything else in the registry is timed every round.
-BENCH_EXCLUDED = {
-    "dedup_ngram_jaccard": (
-        "exact all-pairs truth baseline: the r3 prefix+bitmap plan cut "
-        "it 160s -> ~20s at sf0.1, but the synthetic corpus's tiny "
-        "vocabulary still makes ~every pair a genuine candidate "
-        "(11.9M verifications), 4x the next-slowest query; "
-        "dedup_ngram_capped is the scale path and IS benched"
-    ),
+# EVAL-TIER queries (r9, formalizing the r6-r8 JSON-note exclusion):
+# correctness-gated every round but NOT timed, because they are truth
+# baselines whose cost is quadratic in corpus density by construction
+# — running them in the bench would time the eval harness, not the
+# engine.  The contract is machine-checked
+# (tests/test_bench_meta.py): every eval-tier query MUST name benched
+# registry counterparts that track the same family's perf number, and
+# the bench set is derived as registry − eval-tier — no other query
+# may be silently skipped.  Each run's artifact reports the tier.
+EVAL_TIER = {
+    "dedup_ngram_jaccard": {
+        "reason": (
+            "exact all-pairs truth baseline: the r3 prefix+bitmap plan "
+            "cut it 160s -> ~20s at sf0.1, but the synthetic corpus's "
+            "tiny vocabulary still makes ~every pair a genuine "
+            "candidate (11.9M verifications), 4x the next-slowest "
+            "query"
+        ),
+        "benched_counterparts": [
+            # the df-capped scale path
+            "dedup_ngram_capped",
+            # the IDENTICAL uncapped plan on a deterministic 1/4 doc
+            # subsample (~1/16 verifications) — the family's tracked
+            # per-round number (r9)
+            "dedup_ngram_jaccard_sampled",
+        ],
+    },
 }
+
+# Back-compat alias: name -> reason (artifact key, parsing helpers).
+BENCH_EXCLUDED = {n: spec["reason"] for n, spec in EVAL_TIER.items()}
 
 
 def _bench_queries() -> list[str]:
@@ -358,6 +378,9 @@ def main(repeat: int = 1) -> None:
         # Documented exclusions ride in the artifact so "which queries
         # aren't benched, and why" is answerable from the JSON alone.
         "excluded": dict(BENCH_EXCLUDED),
+        # the code-enforced tier contract (reason + benched
+        # counterparts per eval-tier query; see EVAL_TIER)
+        "eval_tier": dict(EVAL_TIER),
     }
     root = os.path.dirname(os.path.abspath(__file__))
     prev_n, prev = _prev_bench(root, sf=sf_val)

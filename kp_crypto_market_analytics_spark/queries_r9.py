@@ -236,3 +236,81 @@ FROM j GROUP BY 1 ORDER BY 1
 
 R9_QUERIES["j_stream_enrich_parity"] = j_stream_enrich_parity
 _R9_ORACLES["j_stream_enrich_parity"] = _j_stream_enrich_parity_sql
+
+
+# ------------------------------------------ dedup_ngram_jaccard_sampled
+
+_JSAMP_MOD = 4  # deterministic 1/4 doc subsample => ~1/16 verifications
+
+
+def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact all-pairs Jaccard truth baseline, BENCHED (VERDICT r8
+    ask #4): ``dedup_ngram_jaccard`` runs the uncapped
+    AllPairs/PPJoin prefix+bitmap plan whose verification count is
+    quadratic in corpus density, so the full-corpus variant is
+    eval-tier (bench.py EVAL_TIER, enforced by
+    tests/test_bench_meta.py).  This query runs the IDENTICAL plan on
+    a deterministic md5 quarter-subsample of docs (hash64('jsamp:' ||
+    doc_id) % 4 == 0 — content-keyed, repartition-stable, same rule at
+    every SF) — ~1/16 the verifications — so the exact-Jaccard
+    family's perf number is tracked every round with a per-round
+    delta like everything else.
+
+    Determinism: the subsample predicate is pure integer md5
+    arithmetic; pair output inherits dedup_ngram_jaccard's exact
+    integer intersections and round(jaccard, 6)."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    samp = t["documents"].where(
+        hash64(F.concat(F.lit("jsamp:"), F.col("doc_id").cast("string")))
+        % _JSAMP_MOD
+        == 0
+    )
+    pairs = ngram_jaccard_pairs(
+        samp, "text", "doc_id", k=4, threshold=0.6, use_words=False
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "inter_size", "size_a", "size_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def _dedup_ngram_jaccard_sampled_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        H60,
+        NORM_TEXT_SQL,
+    )
+
+    pred = H60.format(x="'jsamp:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {NORM_TEXT_SQL} AS t FROM documents
+  WHERE {pred} % {_JSAMP_MOD} = 0
+), idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 3, 1))) AS i
+  FROM norm
+), sets AS (
+  SELECT DISTINCT doc_id, substr(t, i, 4) AS shingle FROM idx
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM sets a JOIN sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter_size, sa.set_size AS size_a, sb.set_size AS size_b,
+  round(CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size), 6) AS jaccard
+FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter_size AS DOUBLE) / (sa.set_size + sb.set_size - inter_size) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+R9_QUERIES["dedup_ngram_jaccard_sampled"] = dedup_ngram_jaccard_sampled
+_R9_ORACLES["dedup_ngram_jaccard_sampled"] = _dedup_ngram_jaccard_sampled_sql
