@@ -153,6 +153,14 @@ _CHANGED_IN_ROUND = {
     # round 9: t_corpus_pipeline gained stage 7 (pack-and-shard census
     # columns train_tokens / n_train_packs / tokens_per_shard).
     "t_corpus_pipeline": 9,
+    # round 9: the five sketch-parity folds trimmed 4 -> 3 unrolled
+    # micro-batches (bench ask #5; the parity property is
+    # per-emission) — 3-row outputs, so pre-r9 rows are stale.
+    "t_mg_stream_parity": 9,
+    "a_hll_stream_parity": 9,
+    "t_countmin_stream_parity": 9,
+    "a_ddsketch_stream_parity": 9,
+    "a_kmv_stream_parity": 9,
     "dedup_minhash_sig": 9,
     "dedup_minhash_lsh": 9,
     "dedup_incremental": 9,

@@ -1239,7 +1239,7 @@ FROM joined GROUP BY tok ORDER BY exact_cf DESC, tok
 
 # --------------------------------------------- t_countmin_stream_parity
 
-_CM_STREAM_BATCHES = 4
+_CM_STREAM_BATCHES = 3
 
 
 def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,7 +1255,7 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``a_hll_stream_parity``), DDSketch by bucket count-sum
     (``a_ddsketch_stream_parity``), count-min by cell sum — linearity
     makes the fold order-insensitive, so the deterministic hash
-    batching (batch id = doc_id mod 4, a stand-in for arrival batches)
+    batching (batch id = doc_id mod 3, a stand-in for arrival batches)
     gates exactly the property the production stream relies on.  The
     DuckDB oracle recomputes each PREFIX sketch directly — a broken
     fold diverges from it.
@@ -1266,12 +1266,15 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kp_crypto_market_analytics_spark.functions.text import hash64
     from kp_crypto_market_analytics_spark.operators.windows import top_k
 
-    # The unrolled fold reads this frame ~3x per batch plus the probe;
-    # checkpoint the exploded (bid, tok) list once so every read hits
-    # a local RDD instead of re-tokenizing the corpus.
-    toks = _toks_df(spark, sf_dir).select(
+    # ONE pass over the token stream (r9 bench trim): the per-(batch,
+    # token) count frame is |vocab|x4 rows and everything downstream
+    # (batch sketches, direct prefix sketches, the probe, n_seen)
+    # derives from it with bit-identical integer counts.
+    pbv = _toks_df(spark, sf_dir).select(
         (F.pmod(F.col("doc_id"), F.lit(_CM_STREAM_BATCHES)) + 1).alias("bid"),
         F.explode("toks").alias("tok"),
+    ).groupBy("bid", "tok").agg(
+        F.count(F.lit(1)).alias("cf")
     ).localCheckpoint(eager=True)
 
     def bucket(j: int):
@@ -1288,17 +1291,16 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("rb")
 
-    def sketch_of(df: DataFrame) -> DataFrame:
-        # vocab-first (one count agg absorbs the explode), then the
-        # 4-cell fan-out over the much smaller vocab — same single-scan
-        # shape as t_countmin_hh.
-        vocab = df.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    def sketch_of(vocab: DataFrame) -> DataFrame:
+        # vocab-first (the per-bid count frame absorbed the explode),
+        # then the 4-cell fan-out over the much smaller vocab — same
+        # single-scan shape as t_countmin_hh.
         cells = vocab.select(rb, "cf").select("rb.row", "rb.bucket", "cf")
         return cells.groupBy("row", "bucket").agg(F.sum("cf").alias("cell"))
 
     # Probe = the corpus-wide top token (deterministic tie-break); its
     # 4 cells are looked up in every running grid.
-    full_vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    full_vocab = pbv.groupBy("tok").agg(F.sum("cf").alias("cf"))
     probe = top_k(full_vocab, [F.col("cf").desc(), F.col("tok").asc()], 1)
     probe_cells = probe.select(F.col("tok").alias("top_tok"), rb).select(
         "top_tok", "rb.row", "rb.bucket"
@@ -1314,7 +1316,7 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: DataFrame | None = None
     out: DataFrame | None = None
     for k in range(1, _CM_STREAM_BATCHES + 1):
-        batch = sketch_of(toks.where(F.col("bid") == k))
+        batch = sketch_of(pbv.where(F.col("bid") == k).select("tok", "cf"))
         state = (
             batch
             if state is None
@@ -1322,7 +1324,11 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("row", "bucket")
             .agg(F.sum("cell").alias("cell"))
         )
-        direct = sketch_of(toks.where(F.col("bid") <= k))
+        direct = sketch_of(
+            pbv.where(F.col("bid") <= k)
+            .groupBy("tok")
+            .agg(F.sum("cf").alias("cf"))
+        )
         cmp_full = (
             state.alias("s")
             .join(direct.alias("d"), ["row", "bucket"], "full_outer")
@@ -1341,8 +1347,10 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s_est = probe_est(state, "stream_est")
         d_est = probe_est(direct, "direct_est").drop("top_tok")
-        n_seen = toks.where(F.col("bid") <= k).agg(
-            F.count(F.lit(1)).alias("n_toks_seen")
+        n_seen = pbv.where(F.col("bid") <= k).agg(
+            F.coalesce(F.sum("cf"), F.lit(0).cast("long")).alias(
+                "n_toks_seen"
+            )
         )
         row = (
             n_seen.crossJoin(cmp_full)

@@ -569,7 +569,7 @@ FROM cmp CROSS JOIN m_est CROSS JOIN d_est
 
 # ---------------------------------------------- a_ddsketch_stream_parity
 
-_DDS_STREAM_BATCHES = 4
+_DDS_STREAM_BATCHES = 3
 
 
 def a_ddsketch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,7 +583,7 @@ def a_ddsketch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``a_ddsketch_merge`` gates one-shot mergeability; this gates the
     *incremental* left-deep form that matters for streaming state —
     the quantile analogue of ``a_hll_stream_parity`` (max-merge fold)
-    and the same template.  Micro-batches = the first 4 order days in
+    and the same template.  Micro-batches = the first 3 order days in
     arrival order (day-batched ingest, the production streaming
     shape); one row per batch mirrors the stream's per-batch emission
     (n_rows_seen, running median).  The DuckDB oracle recomputes each
@@ -603,21 +603,29 @@ def a_ddsketch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bids = days.select(
         "day", F.row_number().over(Window.orderBy("day")).alias("bid")
     ).where(F.col("bid") <= _DDS_STREAM_BATCHES)
-    # Same move as a_hll_stream_parity: the unrolled fold reads this
-    # frame ~3x per batch — checkpoint the small (bid, v) projection
-    # once instead of re-running scan + distinct-days + join per read.
-    vb = v.join(F.broadcast(bids), "day").select("bid", "v").localCheckpoint(eager=True)
+    vb = v.join(F.broadcast(bids), "day").select("bid", "v")
+    # ONE pass over the order stream (r9 bench trim): the per-(bid,
+    # bucket) histogram is ≤ ~900×4 rows and every fold round (batch
+    # histogram, direct prefix via count-sum — bit-equal to bucketing
+    # the raw prefix by sum associativity — and n_seen, since every
+    # row lands in exactly one bucket) derives from it.  The DuckDB
+    # oracle still recomputes every prefix from raw rows.
+    pbb = _dds_buckets(vb, ["bid"]).localCheckpoint(eager=True)
 
     state: DataFrame | None = None
     out: DataFrame | None = None
     for k in range(1, _DDS_STREAM_BATCHES + 1):
-        batch = _dds_buckets(vb.where(F.col("bid") == k).select("v"), [])
+        batch = pbb.where(F.col("bid") == k).select("key", "n")
         state = (
             batch
             if state is None
             else state.unionByName(batch).groupBy("key").agg(F.sum("n").alias("n"))
         )
-        direct = _dds_buckets(vb.where(F.col("bid") <= k).select("v"), [])
+        direct = (
+            pbb.where(F.col("bid") <= k)
+            .groupBy("key")
+            .agg(F.sum("n").alias("n"))
+        )
         s50 = (
             _dds_estimates(state)
             .filter(F.col("q_level") == 0.5)
@@ -644,8 +652,10 @@ def a_ddsketch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mismatched")
             )
         )
-        n_seen = vb.where(F.col("bid") <= k).agg(
-            F.count(F.lit(1)).alias("n_rows_seen")
+        n_seen = pbb.where(F.col("bid") <= k).agg(
+            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias(
+                "n_rows_seen"
+            )
         )
         row = (
             n_seen.crossJoin(cmp_full)
@@ -1864,7 +1874,7 @@ ORDER BY ni.ta, ni.tb
 """
 
 
-_KMV_STREAM_BATCHES = 4
+_KMV_STREAM_BATCHES = 3
 
 
 def a_kmv_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,7 +1890,7 @@ def a_kmv_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Completes the streaming-sketch parity QUARTET: HLL folds by max,
     DDSketch by bucket count-sum, count-min by cell sum, KMV by
-    union + re-top-k.  Micro-batches = the first 4 event days in
+    union + re-top-k.  Micro-batches = the first 3 event days in
     arrival order (same scaffold as a_hll_stream_parity); one row per
     batch mirrors the stream's per-batch emission.  The DuckDB oracle
     recomputes each PREFIX sketch directly — a broken fold diverges.
@@ -2149,13 +2159,15 @@ ORDER BY batch_idx
 # ------------------------------------------------------ t_mg_stream_parity
 
 _MG_K = 15
-_MG_BATCHES = 4
+_MG_BATCHES = 3
 
 
 def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitter sketch as SEQUENTIAL state, gated:
-    fold 4 deterministic micro-batches of the document token stream
-    (batch = doc_id mod 4) through the k=15-counter summary —
+    fold 3 deterministic micro-batches of the document token stream
+    (batch = doc_id mod 3; r9 trimmed the fold from 4 rounds — the
+    parity property is per-emission, and 3 rounds still chain two
+    sequential merges) through the k=15-counter summary —
     state_k = mg_reduce(state_{k-1} + counts(batch_k)), where
     mg_reduce subtracts the (k+1)-th largest weight and keeps the
     positive remainder (Misra & Gries 1982; mergeable summaries per
@@ -2176,23 +2188,26 @@ def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the fold algebra both engines share."""
     from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
 
-    toks = (
+    # ONE pass over the token stream: the per-(batch, token) count
+    # frame is |vocab|×4 rows and everything the fold needs (batch
+    # counts, prefix counts, n_seen) derives from it — the r9 bench
+    # trim that cut this query's 9 full-stream scans to 1 with
+    # bit-identical output (same integer counts, same fold).
+    pbc = (
         _toks_df(spark, sf_dir)
         .select(
-            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).alias("bid"),
+            (F.pmod(F.col("doc_id"), F.lit(_MG_BATCHES)) + 1).alias("bid"),
             F.explode("toks").alias("tok"),
         )
+        .groupBy("bid", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
         .localCheckpoint(eager=True)
     )
     state: DataFrame | None = None
     d_cum: DataFrame = spark.range(1).select(F.lit(0).cast("long").alias("d_cum"))
     out: DataFrame | None = None
     for k in range(1, _MG_BATCHES + 1):
-        counts = (
-            toks.where(F.col("bid") == k)
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("cf"))
-        )
+        counts = pbc.where(F.col("bid") == k).select("tok", "cf")
         if state is None:
             merged = counts.select("tok", F.col("cf").alias("w"))
         else:
@@ -2228,9 +2243,9 @@ def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         prefix = (
-            toks.where(F.col("bid") <= k)
+            pbc.where(F.col("bid") <= k)
             .groupBy("tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("pcf"))
+            .agg(F.sum("cf").cast("long").alias("pcf"))
         )
         s_stats = state.join(prefix, "tok").agg(
             F.count(F.lit(1)).alias("state_size"),
@@ -2244,8 +2259,10 @@ def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select(F.col("tok").alias("top_tok"), F.col("w").alias("top_w"))
         )
-        n_seen = toks.where(F.col("bid") <= k).agg(
-            F.count(F.lit(1)).alias("n_toks_seen")
+        n_seen = pbc.where(F.col("bid") <= k).agg(
+            F.coalesce(F.sum("cf"), F.lit(0).cast("long")).alias(
+                "n_toks_seen"
+            )
         )
         row = (
             n_seen.crossJoin(s_stats)
@@ -2279,7 +2296,7 @@ def _mg_stream_parity_sql() -> str:
     kp1 = _MG_K + 1
     ctes = [
         f"""tk AS MATERIALIZED (
-  SELECT doc_id % 4 + 1 AS bid, tok FROM toks
+  SELECT doc_id % {_MG_BATCHES} + 1 AS bid, tok FROM toks
 )"""
     ]
     prev = None

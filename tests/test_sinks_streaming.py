@@ -1128,7 +1128,7 @@ def test_streaming_dedup_running_emissions_match_gated_fold(spark, tmp_path):
 
 def test_streaming_mg_running_emissions_match_gated_fold(spark, tmp_path):
     # The REAL applyInPandasWithState Misra-Gries stream, fed the same
-    # doc_id-mod-4 micro-batches in order, must reproduce the gated
+    # doc_id-mod-_MG_BATCHES micro-batches in order, must reproduce the gated
     # t_mg_stream_parity fold emission-for-emission: state size, weight
     # mass, subtracted values, and top counter — and the gate's own
     # deterministic-error invariant must hold.
@@ -1149,7 +1149,7 @@ def test_streaming_mg_running_emissions_match_gated_fold(spark, tmp_path):
     assert list(gated["batch_idx"]) == list(range(1, _MG_BATCHES + 1))
 
     toks = _toks_df(spark, sf_dir).select(
-        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).alias("bid"),
+        (F.pmod(F.col("doc_id"), F.lit(_MG_BATCHES)) + 1).alias("bid"),
         F.lit("all").alias("key"),
         F.explode("toks").alias("tok"),
     )
