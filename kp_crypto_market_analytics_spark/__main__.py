@@ -116,6 +116,26 @@ def cmd_analytics(args) -> None:
     feats.unpersist()
 
 
+def cmd_health(args) -> None:
+    """health: publish the detector-health table (the gated honesty
+    audits — LSH banding recall, IVF/PQ ANN recall — with their SLO
+    floors) as a CSV artifact the `report` page renders (VERDICT r8
+    ask #8)."""
+    from kp_crypto_market_analytics_spark.analytics.health import (
+        detector_health,
+    )
+    from kp_crypto_market_analytics_spark.session import get_spark
+    from kp_crypto_market_analytics_spark.sinks.artifacts import (
+        write_csv_artifact,
+    )
+
+    spark = get_spark("health")
+    df = detector_health(spark, args.sf_dir)
+    os.makedirs(args.out, exist_ok=True)
+    write_csv_artifact(df, os.path.join(args.out, "health_detectors"))
+    print(f"wrote {args.out}/health_detectors")
+
+
 def cmd_report(args) -> None:
     """report: publish the analytics artifacts as one static HTML page
     (the reference dashboard's read surface, src/dashboard/app.py:109-
@@ -344,6 +364,14 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--query", required=True)
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ex.set_defaults(fn=cmd_explain)
+
+    hl = sub.add_parser(
+        "health",
+        help="write the detector-health SLO table as a CSV artifact",
+    )
+    hl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    hl.add_argument("--out", default="artifacts")
+    hl.set_defaults(fn=cmd_health)
 
     rp = sub.add_parser(
         "report",

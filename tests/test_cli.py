@@ -101,6 +101,13 @@ def test_collect_load_analytics_pipeline(tmp_path):
             "price_and_vol.png", "returns_hist.png",
             "anomalies_absret.png", "vol_vs_volume_scatter.png"} <= figs
 
+    # `health`: the detector-health SLO table (gated honesty audits)
+    # lands beside the analytics artifacts (VERDICT r8 ask #8).
+    r = run_cli(["health", "--sf-dir", "/root/testdata/sf0.001",
+                 "--out", arts], str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "health_detectors" in set(os.listdir(arts))
+
     # `report`: the static-HTML dashboard analog must list EVERY
     # artifact the reference dashboard reads — all CSV tables as
     # sections and all PNGs inlined base64 (self-contained page).
@@ -117,6 +124,12 @@ def test_collect_load_analytics_pipeline(tmp_path):
     assert page.count("data:image/png;base64,") >= len(figs)
     # table rows rendered, capped like the dashboard's max_rows
     assert "<td>" in page and "<th>" in page
+    # the detector-health table renders with its SLO columns, and every
+    # gated detector appears with its floor boolean
+    assert 'id="health_detectors"' in page
+    assert "<th>meets_floor</th>" in page and "<th>recall</th>" in page
+    for det in ("minhash_lsh_banding", "ann_ivf_trained", "ann_pq_rerank"):
+        assert f"<td>{det}</td>" in page, det
 
 
 def test_cli_build_index_pq(tmp_path):
