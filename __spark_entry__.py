@@ -136,6 +136,8 @@ _FIRST_SEEN_ROUND.update(
     {n: 9 for n in (
         "w_rollstd_stream_parity", "j_stream_enrich_parity",
         "dedup_ngram_jaccard_sampled",
+        "ti_atr", "ti_williams_r", "ti_mfi", "ti_adx",
+        "a_kendall_tau", "a_cramers_v", "a_grubbs",
     )}
 )
 

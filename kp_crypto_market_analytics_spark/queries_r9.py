@@ -314,3 +314,637 @@ ORDER BY doc_a, doc_b
 
 R9_QUERIES["dedup_ngram_jaccard_sampled"] = dedup_ngram_jaccard_sampled
 _R9_ORACLES["dedup_ngram_jaccard_sampled"] = _dedup_ngram_jaccard_sampled_sql
+
+
+# ----------------------------------------------- daily-bar indicators
+#
+# ti_atr / ti_williams_r / ti_mfi / ti_adx extend the tick-series
+# indicator family (queries_indicators.py) with the classic DAILY-BAR
+# toolkit: events resample to per-(type, day) OHLCV candles (H/L/close
+# by order statistics, volume = the props `k` field — the ti_vwap
+# mapping), and every indicator is pure integer arithmetic on
+# micro-prices until one final IEEE division — value is <= 6 dp so
+# round(value*1e6) is an EXACT integer on both engines, never a
+# rounding tie.  Scale shape: one (type, day) agg over the events
+# scan, then windows over the |types| x |days| bar frame (tiny), one
+# sort pass per type.
+
+_BAR_PERIOD = 14
+
+
+def _daily_bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, hm, lm, cm, vol) daily candles in micro-price
+    integers; close = last tick by (ts, event_id)."""
+    from kp_crypto_market_analytics_spark.queries_indicators import _k_col
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+        _k_col().alias("k"),
+    )
+    hl = e.groupBy("event_type", "day").agg(
+        F.max("vm").alias("hm"),
+        F.min("vm").alias("lm"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("vol"),
+    )
+    wc = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    close = (
+        e.withColumn("__rn", F.row_number().over(wc))
+        .where(F.col("__rn") == 1)
+        .select("event_type", "day", F.col("vm").alias("cm"))
+    )
+    return hl.join(close, ["event_type", "day"])
+
+
+_K_SQL = "TRY_CAST(replace(replace(props, '{\"k\": ', ''), '}', '') AS BIGINT)"
+
+DAILY_BARS_CTE = f"""ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    {_K_SQL} AS k
+  FROM events
+), hl AS (
+  SELECT event_type, day, MAX(vm) AS hm, MIN(vm) AS lm,
+    CAST(coalesce(SUM(k), 0) AS BIGINT) AS vol
+  FROM ev GROUP BY 1, 2
+), cl AS (
+  SELECT event_type, day, vm AS cm FROM (
+    SELECT event_type, day, vm,
+      row_number() OVER (PARTITION BY event_type, day
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+), bars AS (
+  SELECT event_type, hl.day AS day, hm, lm, cm, vol
+  FROM hl JOIN cl USING (event_type, day)
+)"""
+
+_WD_SQL = "PARTITION BY event_type ORDER BY day"
+
+
+def _wd():
+    return Window.partitionBy("event_type").orderBy("day")
+
+
+def _true_range():
+    """True range in micro-prices: greatest of H−L, |H−prevC|, |L−prevC|
+    (H−L on the first bar).  Integer column over the bar window."""
+    prev = F.lag("cm").over(_wd())
+    return F.when(prev.isNull(), F.col("hm") - F.col("lm")).otherwise(
+        F.greatest(
+            F.col("hm") - F.col("lm"),
+            F.abs(F.col("hm") - prev),
+            F.abs(F.col("lm") - prev),
+        )
+    )
+
+
+_TR_SQL = f"""CASE WHEN lag(cm) OVER ({_WD_SQL}) IS NULL THEN hm - lm
+    ELSE greatest(hm - lm, abs(hm - lag(cm) OVER ({_WD_SQL})),
+                  abs(lm - lag(cm) OVER ({_WD_SQL}))) END"""
+
+
+def ti_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR-14 (Wilder 1978, Cutler SMA smoothing — the
+    window-expressible published form, same choice as ti_rsi): 14-bar
+    simple average of the daily true range, masked below 14 bars.  The
+    mean is the exact half-away integer division of the micro TR sum
+    (never an IEEE sum), then one /1e6 presentation divide."""
+    bars = _daily_bars_df(spark, sf_dir).withColumn("trm", _true_range())
+    w14 = _wd().rowsBetween(-(_BAR_PERIOD - 1), 0)
+    n = F.count("trm").over(w14)
+    s = F.sum("trm").over(w14)
+    atr_micro = F.call_function(
+        "div", F.lit(2) * s + F.lit(_BAR_PERIOD), F.lit(2 * _BAR_PERIOD)
+    )
+    return bars.select(
+        "event_type",
+        "day",
+        (F.col("trm") / F.lit(1_000_000.0)).alias("true_range"),
+        F.when(n >= _BAR_PERIOD, atr_micro / F.lit(1_000_000.0)).alias("atr"),
+    ).orderBy("event_type", "day")
+
+
+TI_ATR_SQL = f"""
+WITH {DAILY_BARS_CTE}, tr AS (
+  SELECT event_type, day, {_TR_SQL} AS trm FROM bars
+)
+SELECT event_type, day,
+  trm / 1000000.0 AS true_range,
+  CASE WHEN COUNT(trm) OVER w >= {_BAR_PERIOD} THEN
+    ((2 * SUM(trm) OVER w + {_BAR_PERIOD}) // {2 * _BAR_PERIOD}) / 1000000.0
+  END AS atr
+FROM tr
+WINDOW w AS ({_WD_SQL} ROWS BETWEEN {_BAR_PERIOD - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
+R9_QUERIES["ti_atr"] = ti_atr
+_R9_ORACLES["ti_atr"] = lambda: TI_ATR_SQL
+
+
+def ti_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R-14: −100·(HH − C)/(HH − LL) over the trailing 14
+    daily bars (Williams 1979), masked below 14 bars or a flat range.
+    HH/LL are exact integer order statistics; one IEEE division."""
+    bars = _daily_bars_df(spark, sf_dir)
+    w14 = _wd().rowsBetween(-(_BAR_PERIOD - 1), 0)
+    hh = F.max("hm").over(w14)
+    ll = F.min("lm").over(w14)
+    n = F.count("cm").over(w14)
+    ok = (n >= _BAR_PERIOD) & (hh > ll)
+    wr = F.lit(-100.0) * (hh - F.col("cm")) / (hh - ll)
+    return bars.select(
+        "event_type",
+        "day",
+        (F.col("cm") / F.lit(1_000_000.0)).alias("close"),
+        F.when(ok, F.round(wr, 6) + F.lit(0.0)).alias("williams_r"),
+    ).orderBy("event_type", "day")
+
+
+TI_WILLIAMS_SQL = f"""
+WITH {DAILY_BARS_CTE}
+SELECT event_type, day,
+  cm / 1000000.0 AS close,
+  CASE WHEN COUNT(cm) OVER w >= {_BAR_PERIOD}
+        AND MAX(hm) OVER w > MIN(lm) OVER w THEN
+    round(-100.0 * (MAX(hm) OVER w - cm)
+          / (MAX(hm) OVER w - MIN(lm) OVER w), 6) + 0.0
+  END AS williams_r
+FROM bars
+WINDOW w AS ({_WD_SQL} ROWS BETWEEN {_BAR_PERIOD - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
+R9_QUERIES["ti_williams_r"] = ti_williams_r
+_R9_ORACLES["ti_williams_r"] = lambda: TI_WILLIAMS_SQL
+
+
+def ti_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index-14: typical price tp = (H+L+C) DIV 3 (floor
+    micro), raw flow = tp·volume classified positive/negative by tp vs
+    previous tp (flat tp days contribute neither — the published
+    rule), MFI = 100·pos/(pos+neg) over the trailing 14 bars.  Masked
+    until 14 FLOW observations exist (bar 15).  Flows are exact int64
+    (tp ≤ 6e8 micro × daily vol ≤ 4e4 — see data bounds); one IEEE
+    division at the end."""
+    bars = _daily_bars_df(spark, sf_dir)
+    tpm = F.call_function(
+        "div", F.col("hm") + F.col("lm") + F.col("cm"), F.lit(3).cast("long")
+    )
+    bars = bars.withColumn("tpm", tpm).withColumn(
+        "flow", F.col("tpm") * F.col("vol")
+    )
+    prev_tp = F.lag("tpm").over(_wd())
+    bars = bars.withColumn(
+        "pflow",
+        F.when(prev_tp.isNotNull() & (F.col("tpm") > prev_tp), F.col("flow"))
+        .otherwise(F.lit(0).cast("long")),
+    ).withColumn(
+        "nflow",
+        F.when(prev_tp.isNotNull() & (F.col("tpm") < prev_tp), F.col("flow"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    w14 = _wd().rowsBetween(-(_BAR_PERIOD - 1), 0)
+    rn = F.row_number().over(_wd())
+    pos = F.sum("pflow").over(w14)
+    neg = F.sum("nflow").over(w14)
+    ok = (rn >= _BAR_PERIOD + 1) & (pos + neg > 0)
+    mfi = F.lit(100.0) * pos / (pos + neg)
+    return bars.select(
+        "event_type",
+        "day",
+        (F.col("tpm") / F.lit(1_000_000.0)).alias("typical_price"),
+        F.when(ok, F.round(mfi, 6) + F.lit(0.0)).alias("mfi"),
+    ).orderBy("event_type", "day")
+
+
+TI_MFI_SQL = f"""
+WITH {DAILY_BARS_CTE}, tp AS (
+  SELECT event_type, day, (hm + lm + cm) // 3 AS tpm,
+    ((hm + lm + cm) // 3) * vol AS flow
+  FROM bars
+), fl AS (
+  SELECT event_type, day, tpm,
+    CASE WHEN lag(tpm) OVER ({_WD_SQL}) IS NOT NULL
+          AND tpm > lag(tpm) OVER ({_WD_SQL}) THEN flow ELSE 0 END AS pflow,
+    CASE WHEN lag(tpm) OVER ({_WD_SQL}) IS NOT NULL
+          AND tpm < lag(tpm) OVER ({_WD_SQL}) THEN flow ELSE 0 END AS nflow,
+    row_number() OVER ({_WD_SQL}) AS rn
+  FROM tp
+)
+SELECT event_type, day,
+  tpm / 1000000.0 AS typical_price,
+  CASE WHEN rn >= {_BAR_PERIOD + 1}
+        AND SUM(pflow) OVER w + SUM(nflow) OVER w > 0 THEN
+    round(100.0 * SUM(pflow) OVER w
+          / (SUM(pflow) OVER w + SUM(nflow) OVER w), 6) + 0.0
+  END AS mfi
+FROM fl
+WINDOW w AS ({_WD_SQL} ROWS BETWEEN {_BAR_PERIOD - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
+R9_QUERIES["ti_mfi"] = ti_mfi
+_R9_ORACLES["ti_mfi"] = lambda: TI_MFI_SQL
+
+
+def ti_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX-14 (Wilder 1978 directional movement system, Cutler SMA
+    smoothing throughout — the same window-expressible published
+    variant as ti_rsi/ti_atr): +DM/−DM from consecutive-bar H/L moves,
+    DI± = 100·ΣDM/ΣTR over 14 bars, DX = 100·|DI+ − DI−|/(DI+ + DI−),
+    ADX = 14-bar average of DX.  DM/TR sums are exact int64 micro; DX
+    is one IEEE chain micro-rounded back to int64 so the ADX average
+    folds exactly (the same milli/micro-moment recipe as
+    a_jarque_bera); DX needs 14 bars + a previous bar, so DX is masked
+    before bar 15 and ADX before bar 28."""
+    bars = _daily_bars_df(spark, sf_dir)
+    prev_h = F.lag("hm").over(_wd())
+    prev_l = F.lag("lm").over(_wd())
+    up = F.col("hm") - prev_h
+    down = prev_l - F.col("lm")
+    zero = F.lit(0).cast("long")
+    bars = (
+        bars.withColumn("trm", _true_range())
+        .withColumn(
+            "pdm",
+            F.when(up.isNotNull() & (up > down) & (up > 0), up).otherwise(zero),
+        )
+        .withColumn(
+            "ndm",
+            F.when(down.isNotNull() & (down > up) & (down > 0), down).otherwise(
+                zero
+            ),
+        )
+        .withColumn("rn", F.row_number().over(_wd()))
+    )
+    w14 = _wd().rowsBetween(-(_BAR_PERIOD - 1), 0)
+    str14 = F.sum("trm").over(w14)
+    spdm = F.sum("pdm").over(w14)
+    sndm = F.sum("ndm").over(w14)
+    ok_dx = (F.col("rn") >= _BAR_PERIOD + 1) & (str14 > 0)
+    pdi = F.lit(100.0) * spdm / str14
+    ndi = F.lit(100.0) * sndm / str14
+    dx = F.when(
+        ok_dx & (pdi + ndi > 0),
+        F.lit(100.0) * F.abs(pdi - ndi) / (pdi + ndi),
+    )
+    scored = bars.select(
+        "event_type",
+        "day",
+        F.when(ok_dx, F.round(pdi, 6) + F.lit(0.0)).alias("plus_di"),
+        F.when(ok_dx, F.round(ndi, 6) + F.lit(0.0)).alias("minus_di"),
+        F.round(dx * F.lit(1_000_000.0), 0).cast("long").alias("dxm"),
+    )
+    ndx = F.count("dxm").over(w14)
+    sdx = F.sum("dxm").over(w14)
+    adx_micro = F.call_function(
+        "div", F.lit(2) * sdx + F.lit(_BAR_PERIOD), F.lit(2 * _BAR_PERIOD)
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "plus_di",
+        "minus_di",
+        (F.col("dxm") / F.lit(1_000_000.0)).alias("dx"),
+        F.when(ndx >= _BAR_PERIOD, adx_micro / F.lit(1_000_000.0)).alias(
+            "adx"
+        ),
+    ).orderBy("event_type", "day")
+
+
+TI_ADX_SQL = f"""
+WITH {DAILY_BARS_CTE}, dm AS (
+  SELECT event_type, day,
+    {_TR_SQL} AS trm,
+    CASE WHEN lag(hm) OVER ({_WD_SQL}) IS NOT NULL
+          AND hm - lag(hm) OVER ({_WD_SQL}) > lag(lm) OVER ({_WD_SQL}) - lm
+          AND hm - lag(hm) OVER ({_WD_SQL}) > 0
+         THEN hm - lag(hm) OVER ({_WD_SQL}) ELSE 0 END AS pdm,
+    CASE WHEN lag(lm) OVER ({_WD_SQL}) IS NOT NULL
+          AND lag(lm) OVER ({_WD_SQL}) - lm > hm - lag(hm) OVER ({_WD_SQL})
+          AND lag(lm) OVER ({_WD_SQL}) - lm > 0
+         THEN lag(lm) OVER ({_WD_SQL}) - lm ELSE 0 END AS ndm,
+    row_number() OVER ({_WD_SQL}) AS rn
+  FROM bars
+), di AS (
+  SELECT event_type, day,
+    CASE WHEN rn >= {_BAR_PERIOD + 1} AND SUM(trm) OVER w > 0 THEN
+      100.0 * SUM(pdm) OVER w / SUM(trm) OVER w END AS pdi,
+    CASE WHEN rn >= {_BAR_PERIOD + 1} AND SUM(trm) OVER w > 0 THEN
+      100.0 * SUM(ndm) OVER w / SUM(trm) OVER w END AS ndi
+  FROM dm
+  WINDOW w AS ({_WD_SQL} ROWS BETWEEN {_BAR_PERIOD - 1} PRECEDING AND CURRENT ROW)
+), dx AS (
+  SELECT event_type, day,
+    CASE WHEN pdi IS NOT NULL THEN round(pdi, 6) + 0.0 END AS plus_di,
+    CASE WHEN ndi IS NOT NULL THEN round(ndi, 6) + 0.0 END AS minus_di,
+    CAST(round(CASE WHEN pdi IS NOT NULL AND pdi + ndi > 0 THEN
+      100.0 * abs(pdi - ndi) / (pdi + ndi) END * 1000000) AS BIGINT) AS dxm
+  FROM di
+)
+SELECT event_type, day, plus_di, minus_di,
+  dxm / 1000000.0 AS dx,
+  CASE WHEN COUNT(dxm) OVER w >= {_BAR_PERIOD} THEN
+    ((2 * SUM(dxm) OVER w + {_BAR_PERIOD}) // {2 * _BAR_PERIOD}) / 1000000.0
+  END AS adx
+FROM dx
+WINDOW w AS ({_WD_SQL} ROWS BETWEEN {_BAR_PERIOD - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
+R9_QUERIES["ti_adx"] = ti_adx
+_R9_ORACLES["ti_adx"] = lambda: TI_ADX_SQL
+
+
+# ------------------------------------------------------ a_kendall_tau
+
+
+def a_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank correlation (Kendall 1938; tie-corrected
+    τ-b per Agresti) between daily close price and daily volume, per
+    symbol — the robust monotone-association counterpart to
+    a_spearman_corr.  Concordant/discordant/tie pair counts are exact
+    integers from a day<day self-join over the |days|-row bar frame
+    (30 days ⇒ 435 pairs per type — never the tick stream); τ-b is one
+    IEEE sqrt/division at the end.
+
+    Scale shape: the pair join is |days|² per type on a frame that is
+    tiny BY CONSTRUCTION (daily bars); at 100 TB the bars frame is
+    still |types|×|days| — the quadratic never touches raw events."""
+    bars = _daily_bars_df(spark, sf_dir).select(
+        "event_type", "day", F.col("cm").alias("x"), F.col("vol").alias("y")
+    )
+    a, b = bars.alias("a"), bars.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") > F.col("b.y"))
+         | (F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+        .cast("long")
+        .alias("c"),
+        ((F.col("a.x") > F.col("b.x")) & (F.col("a.y") < F.col("b.y"))
+         | (F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")))
+        .cast("long")
+        .alias("d"),
+        (F.col("a.x") == F.col("b.x")).cast("long").alias("tx"),
+        (F.col("a.y") == F.col("b.y")).cast("long").alias("ty"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("c").alias("concordant"),
+        F.sum("d").alias("discordant"),
+        F.sum("tx").alias("ties_x"),
+        F.sum("ty").alias("ties_y"),
+        F.count(F.lit(1)).alias("n0"),
+    )
+    denom = (F.col("n0") - F.col("ties_x")) * (F.col("n0") - F.col("ties_y"))
+    tau = (F.col("concordant") - F.col("discordant")) / F.sqrt(
+        denom.cast("double")
+    )
+    n_days = bars.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        agg.join(n_days, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("concordant").cast("long").alias("concordant"),
+            F.col("discordant").cast("long").alias("discordant"),
+            F.col("ties_x").cast("long").alias("ties_x"),
+            F.col("ties_y").cast("long").alias("ties_y"),
+            F.when(denom > 0, F.round(tau, 6) + F.lit(0.0)).alias("tau_b"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A_KENDALL_SQL = f"""
+WITH {DAILY_BARS_CTE}, xy AS (
+  SELECT event_type, day, cm AS x, vol AS y FROM bars
+), p AS (
+  SELECT a.event_type,
+    CAST(((a.x > b.x AND a.y > b.y) OR (a.x < b.x AND a.y < b.y)) AS BIGINT) AS c,
+    CAST(((a.x > b.x AND a.y < b.y) OR (a.x < b.x AND a.y > b.y)) AS BIGINT) AS d,
+    CAST((a.x = b.x) AS BIGINT) AS tx,
+    CAST((a.y = b.y) AS BIGINT) AS ty
+  FROM xy a JOIN xy b ON a.event_type = b.event_type AND a.day < b.day
+), agg AS (
+  SELECT event_type,
+    CAST(SUM(c) AS BIGINT) AS concordant,
+    CAST(SUM(d) AS BIGINT) AS discordant,
+    CAST(SUM(tx) AS BIGINT) AS ties_x,
+    CAST(SUM(ty) AS BIGINT) AS ties_y,
+    CAST(COUNT(*) AS BIGINT) AS n0
+  FROM p GROUP BY 1
+), nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM xy GROUP BY 1
+)
+SELECT event_type, n_days, concordant, discordant, ties_x, ties_y,
+  CASE WHEN (n0 - ties_x) * (n0 - ties_y) > 0 THEN
+    round((concordant - discordant)
+          / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)), 6) + 0.0
+  END AS tau_b
+FROM agg JOIN nd USING (event_type)
+ORDER BY event_type
+"""
+
+
+R9_QUERIES["a_kendall_tau"] = a_kendall_tau
+_R9_ORACLES["a_kendall_tau"] = lambda: A_KENDALL_SQL
+
+
+# ------------------------------------------------------- a_cramers_v
+
+
+def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association (Cramér 1946) between event_type and
+    day-of-week over the event stream: χ² over the r×c integer
+    contingency table with per-cell terms micro-rounded to int64 so
+    the 35-term sum folds EXACTLY (IEEE sum order differs between
+    engines; the a_jarque_bera milli-moment recipe), then
+    V = sqrt(χ²/(n·(min(r,c)−1))) with data-derived r and c.
+
+    Scale shape: one map-side-combined (type, dow) count over the
+    scan; everything after runs on the ≤35-row table."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    cell = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cell.groupBy("event_type").agg(F.sum("o").alias("rs"))
+    cols = cell.groupBy("dow").agg(F.sum("o").alias("cs"))
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("dow").alias("c"),
+    )
+    terms = (
+        cell.join(rows, "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n", "r", "c",
+            F.round(
+                F.pow(
+                    F.col("o")
+                    - F.col("rs") * F.col("cs") / F.col("n").cast("double"),
+                    F.lit(2.0),
+                )
+                / (F.col("rs") * F.col("cs") / F.col("n").cast("double"))
+                * F.lit(1_000_000.0),
+                0,
+            )
+            .cast("long")
+            .alias("termm"),
+        )
+    )
+    agg = terms.groupBy("n", "r", "c").agg(F.sum("termm").alias("chi2m"))
+    chi2 = F.col("chi2m") / F.lit(1_000_000.0)
+    k = F.least(F.col("r"), F.col("c")) - F.lit(1)
+    v = F.sqrt(chi2 / (F.col("n") * k).cast("double"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_types"),
+        F.col("c").cast("long").alias("n_dows"),
+        chi2.alias("chi2"),
+        F.when((k > 0) & (F.col("n") > 0), F.round(v, 6)).alias("cramers_v"),
+    )
+
+
+A_CRAMERS_SQL = """
+WITH cell AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), rs AS (
+  SELECT event_type, SUM(o) AS rs FROM cell GROUP BY 1
+), cs AS (
+  SELECT dow, SUM(o) AS cs FROM cell GROUP BY 1
+), tot AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS r,
+         COUNT(DISTINCT dow) AS c
+  FROM cell
+), terms AS (
+  SELECT n, r, c,
+    CAST(round(pow(o - rs * cs / CAST(n AS DOUBLE), 2.0)
+               / (rs * cs / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS termm
+  FROM cell JOIN rs USING (event_type) JOIN cs USING (dow) CROSS JOIN tot
+), agg AS (
+  SELECT n, r, c, SUM(termm) AS chi2m FROM terms GROUP BY 1, 2, 3
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(r AS BIGINT) AS n_types,
+  CAST(c AS BIGINT) AS n_dows,
+  chi2m / 1000000.0 AS chi2,
+  CASE WHEN least(r, c) - 1 > 0 AND n > 0 THEN
+    round(sqrt((chi2m / 1000000.0) / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6)
+  END AS cramers_v
+FROM agg
+"""
+
+
+R9_QUERIES["a_cramers_v"] = a_cramers_v
+_R9_ORACLES["a_cramers_v"] = lambda: A_CRAMERS_SQL
+
+
+# --------------------------------------------------------- a_grubbs
+
+
+def a_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic (Grubbs 1950) per event type:
+    G = max|x − x̄|/s with the mean and sample stddev from exact
+    DECIMAL(18,6) moments (the _exact_std recipe — identical IEEE
+    chain both engines), plus the arg-max observation (min event_id on
+    dev ties).  The engine emits the statistic; the critical-value
+    lookup (t-distribution) is the caller's table — same division of
+    labor as a_anova_f / a_chi_square.
+
+    Scale shape: one moments agg + one broadcast-join scan + a
+    per-type top-1 (TakeOrdered shape), never a global sort."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    v = F.col("value").cast(DEC)
+    m = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sx2"),
+    )
+    sx = F.col("sx").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    n = F.col("n")
+    m = m.select(
+        "event_type",
+        "n",
+        (sx / n).alias("mean"),
+        F.when(
+            n > 1,
+            F.sqrt(F.greatest((sx2 - sx * sx / n) / (n - F.lit(1)), F.lit(0.0))),
+        ).alias("s"),
+    )
+    dev = F.abs(F.col("value") - F.col("mean"))
+    scored = e.join(F.broadcast(m), "event_type").select(
+        "event_type", "n", "s", "event_id", "value", dev.alias("dev")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("dev").desc(), F.col("event_id").asc()
+    )
+    top = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return top.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("event_id").alias("outlier_event_id"),
+        F.col("value").alias("outlier_value"),
+        F.when(
+            (F.col("s") > 0) & (F.col("n") > 2),
+            F.round(F.col("dev") / F.col("s"), 6),
+        ).alias("g_stat"),
+    ).orderBy("event_type")
+
+
+A_GRUBBS_SQL = """
+WITH m AS (
+  SELECT event_type, COUNT(value) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+         AS DOUBLE) AS sx2
+  FROM events GROUP BY 1
+), ms AS (
+  SELECT event_type, n, sx / n AS mean,
+    CASE WHEN n > 1 THEN
+      sqrt(greatest((sx2 - sx * sx / n) / (n - 1), 0)) END AS s
+  FROM m
+), scored AS (
+  SELECT e.event_type, n, s, event_id, value, abs(value - mean) AS dev,
+    row_number() OVER (PARTITION BY e.event_type
+                       ORDER BY abs(value - mean) DESC, event_id) AS rn
+  FROM events e JOIN ms ON e.event_type = ms.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  event_id AS outlier_event_id,
+  value AS outlier_value,
+  CASE WHEN s > 0 AND n > 2 THEN round(dev / s, 6) END AS g_stat
+FROM scored WHERE rn = 1 ORDER BY event_type
+"""
+
+
+R9_QUERIES["a_grubbs"] = a_grubbs
+_R9_ORACLES["a_grubbs"] = lambda: A_GRUBBS_SQL
