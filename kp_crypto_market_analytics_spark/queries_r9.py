@@ -948,3 +948,233 @@ FROM scored WHERE rn = 1 ORDER BY event_type
 
 R9_QUERIES["a_grubbs"] = a_grubbs
 _R9_ORACLES["a_grubbs"] = lambda: A_GRUBBS_SQL
+
+
+# ------------------------------------------------------- sim_mips_topk
+
+
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 per query (the retrieval scoring a
+    trained two-tower model serves — distinct from sim_bruteforce's
+    cosine): exact dot product via the JVM zip_with/aggregate fold,
+    ranked on the ROUNDED score with a unique tiebreak.  Also emits
+    aug_cos — the score under the Bachrach et al. (2014) MIPS→cosine
+    reduction (x̃ = [x, sqrt(M² − |x|²)], q̃ = [q, 0] with M = the
+    data-derived max corpus norm, so cos(q̃, x̃) = q·x/(|q|·M)): per
+    query it is a positive monotone transform of the dot product, the
+    identity that lets the existing cosine-LSH/IVF index family serve
+    MIPS at 100 TB; the gate verifies the transform's values against
+    the oracle alongside the raw scores.
+
+    Scale shape: norms once per vector in the narrow pre-join stage;
+    the |queries|×|corpus| stage carries only the dot; per-query top-k
+    via partitioned row_number (never a global sort)."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        dot,
+        norm,
+        to_double_array,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            to_double_array("embedding").alias("qvec"),
+        )
+        .withColumn("qnorm", norm(F.col("qvec")))
+    )
+    c = ensure_parallelism(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            to_double_array("embedding").alias("cvec"),
+        )
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    big_m = c.agg(F.max("cnorm").alias("m"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(big_m))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qvec"), F.col("cvec")), 6).alias("dot"),
+            F.when(
+                (F.col("qnorm") > 0) & (F.col("m") > 0),
+                F.round(
+                    dot(F.col("qvec"), F.col("cvec"))
+                    / (F.col("qnorm") * F.col("m")),
+                    6,
+                ),
+            ).alias("aug_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "dot", "aug_cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_MIPS_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 10
+), m AS (
+  SELECT MAX(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])))) AS m
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    round(list_inner_product(q.qvec, CAST(c.embedding AS DOUBLE[])), 6) AS dot,
+    CASE WHEN sqrt(list_inner_product(q.qvec, q.qvec)) > 0 AND m.m > 0 THEN
+      round(list_inner_product(q.qvec, CAST(c.embedding AS DOUBLE[]))
+            / (sqrt(list_inner_product(q.qvec, q.qvec)) * m.m), 6)
+    END AS aug_cos
+  FROM q, embeddings c, m
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, dot, aug_cos,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY dot DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, dot, aug_cos, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+R9_QUERIES["sim_mips_topk"] = sim_mips_topk
+_R9_ORACLES["sim_mips_topk"] = lambda: SIM_MIPS_SQL
+
+
+# ----------------------------------------------- t_interleave_schedule
+
+_ILV_SLOTS = 100
+
+
+def t_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture-interleave loader schedule (stride
+    scheduling, Waldspurger & Weihl OSDI'94, applied to data-mixture
+    loading): given per-source token-mass weights, source s's k-th
+    batch carries virtual time (k+1)/w_s and the global schedule is
+    the first 100 slots by ascending virtual time — the closed-form,
+    rank-free way to interleave sources proportionally to mixture
+    weights WITHOUT a sequential scheduler loop (complements
+    t_mix_weights, which derives the weights, and t_epoch_shuffle,
+    which deals docs within a source).  Virtual times compare as exact
+    integers: t_micro = (k+1)·10¹² DIV w_s, ties broken by (source,
+    k), so the schedule is bit-stable across engines and partitions.
+
+    Scale shape: |sources|×100 generated rows, one TakeOrdered top-N —
+    never a global sort; the weights agg is the only data pass."""
+    from kp_crypto_market_analytics_spark.functions.text import token_count
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = (
+        ensure_parallelism(t["documents"])
+        .groupBy("source")
+        .agg(F.sum(token_count("text")).cast("long").alias("w"))
+        .where(F.col("w") > 0)
+    )
+    cand = w.select(
+        "source",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.lit(_ILV_SLOTS - 1))).alias("k"),
+    ).select(
+        "source",
+        "w",
+        "k",
+        F.call_function(
+            "div", (F.col("k") + 1) * F.lit(10**12), F.col("w")
+        ).alias("t_micro"),
+    )
+    sched = top_k(
+        cand,
+        [F.col("t_micro").asc(), F.col("source").asc(), F.col("k").asc()],
+        _ILV_SLOTS,
+    )
+    wslot = Window.orderBy("t_micro", "source", "k")
+    return sched.withColumn("slot", F.row_number().over(wslot)).select(
+        "slot", "source", F.col("k").alias("batch_idx"), "t_micro", "w"
+    )
+
+
+T_INTERLEAVE_SQL = f"""
+WITH w AS (
+  SELECT source,
+    CAST(SUM(CASE WHEN length(t) = 0 THEN 0
+         ELSE length(t) - length(replace(t, ' ', '')) + 1 END) AS BIGINT) AS w
+  FROM (SELECT source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents)
+  GROUP BY source HAVING w > 0
+), cand AS (
+  SELECT source, w, unnest(generate_series(0, {_ILV_SLOTS - 1})) AS k
+  FROM w
+), timed AS (
+  SELECT source, w, k, (k + 1) * 1000000000000 // w AS t_micro
+  FROM cand
+), sched AS (
+  SELECT *, row_number() OVER (ORDER BY t_micro, source, k) AS slot
+  FROM timed
+)
+SELECT slot, source, k AS batch_idx, t_micro, w
+FROM sched WHERE slot <= {_ILV_SLOTS}
+ORDER BY slot
+"""
+
+
+R9_QUERIES["t_interleave_schedule"] = t_interleave_schedule
+_R9_ORACLES["t_interleave_schedule"] = lambda: T_INTERLEAVE_SQL
+
+
+# -------------------------------------------------- o7_hash_reservoir
+
+
+def o7_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic 'reservoir' sample: the k=100 orders with
+    the smallest salted md5 rank — the distributed, repartition-stable
+    equivalent of reservoir sampling (every row's inclusion depends
+    only on its own key's hash order statistic, so re-runs, engine
+    swaps, and partitioning changes all draw the SAME sample;
+    complements o6_seeded_sample, whose hash-mod draw has binomial
+    size, with the exact-size variant a fixed-budget eval set needs).
+
+    Scale shape: TakeOrderedAndProject on the hash rank — each
+    partition keeps a k-row heap; no full sort, no shuffle wider than
+    k rows per partition."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.operators.windows import top_k
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    ranked = ensure_parallelism(t["orders"]).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        hash64(
+            F.concat(F.lit("rsv:"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+    )
+    return top_k(
+        ranked, [F.col("h").asc(), F.col("o_orderkey").asc()], 100
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "h")
+
+
+O7_RESERVOIR_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+  CAST('0x' || substr(md5('rsv:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+       AS BIGINT) AS h
+FROM orders
+ORDER BY h, o_orderkey
+LIMIT 100
+"""
+
+
+R9_QUERIES["o7_hash_reservoir"] = o7_hash_reservoir
+_R9_ORACLES["o7_hash_reservoir"] = lambda: O7_RESERVOIR_SQL
