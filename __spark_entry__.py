@@ -139,6 +139,7 @@ _FIRST_SEEN_ROUND.update(
         "ti_atr", "ti_williams_r", "ti_mfi", "ti_adx",
         "a_kendall_tau", "a_cramers_v", "a_grubbs",
         "sim_mips_topk", "t_interleave_schedule", "o7_hash_reservoir",
+        "a_hurst_exponent", "a_evt_gumbel", "dq_freshness",
     )}
 )
 

@@ -1178,3 +1178,341 @@ LIMIT 100
 
 R9_QUERIES["o7_hash_reservoir"] = o7_hash_reservoir
 _R9_ORACLES["o7_hash_reservoir"] = lambda: O7_RESERVOIR_SQL
+
+
+# ---------------------------------------------------- a_hurst_exponent
+
+_HURST_SIZES = [5, 10, 15]
+
+
+def a_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) over the daily close series per symbol:
+    for block sizes n ∈ {5, 10, 15}, split the day-ordered series into
+    consecutive n-day blocks, compute each block's R/S (range of
+    cumulative mean-deviations over sample stddev), average R/S per
+    size, and fit H as the least-squares slope of log(R/S) on log(n).
+    H ≈ 0.5 = random walk, > 0.5 trending, < 0.5 mean-reverting — the
+    long-memory diagnostic next to ti_acf/ti_ljung_box.
+
+    Determinism: block membership is integer arithmetic on the
+    day-rank; block moments are exact micro-integer sums (value ≤ 6 dp
+    ⇒ exact); cumulative deviations fold in exact micro integers
+    scaled by the block size (cum·n − k·sum stays integral, avoiding
+    the mean's rational); R/S, the logs, and the 3-point regression
+    are one IEEE chain over per-block scalars, identical both engines,
+    rounded 6.
+
+    Scale shape: bars agg → per-(type, size, block) window over the
+    tiny bar frame → |types|×3 rows → |types| rows."""
+    bars = _daily_bars_df(spark, sf_dir).select(
+        "event_type", "day", F.col("cm").alias("x")
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    ranked = bars.withColumn("rn", F.row_number().over(wd))
+    out = None
+    for n in _HURST_SIZES:
+        blk = ranked.withColumn(
+            "blk", F.call_function("div", F.col("rn") - 1, F.lit(n).cast("long"))
+        )
+        # keep only complete blocks
+        sizes = blk.groupBy("event_type", "blk").agg(
+            F.count(F.lit(1)).alias("bn"), F.sum("x").alias("bsum")
+        ).where(F.col("bn") == n)
+        wblk = Window.partitionBy("event_type", "blk").orderBy("rn")
+        cum = blk.join(sizes, ["event_type", "blk"]).withColumn(
+            "k", F.row_number().over(wblk)
+        ).withColumn("cumx", F.sum("x").over(wblk.rowsBetween(Window.unboundedPreceding, 0)))
+        # scaled cumulative deviation: n·Σ_{i<=k} x_i − k·Σ x  (exact int)
+        dev = (F.lit(n) * F.col("cumx") - F.col("k") * F.col("bsum"))
+        stats = cum.select(
+            "event_type", "blk", "bsum", dev.alias("d"), F.col("x").alias("xv")
+        ).groupBy("event_type", "blk", "bsum").agg(
+            F.max("d").alias("dmax"),
+            F.min("d").alias("dmin"),
+            F.sum(F.col("xv") * F.col("xv")).alias("sx2"),
+        )
+        # R = (max−min)/n micro; S = sample stddev of the block
+        r = (F.col("dmax") - F.col("dmin")).cast("double") / F.lit(
+            float(n) * 1_000_000.0
+        )
+        sx = F.col("bsum").cast("double") / 1_000_000.0
+        sx2 = F.col("sx2").cast("double") / 1.0e12
+        s = F.sqrt(
+            F.greatest(
+                (sx2 - sx * sx / F.lit(float(n))) / F.lit(float(n - 1)),
+                F.lit(0.0),
+            )
+        )
+        rs = stats.where(s > 0).select(
+            "event_type", (r / s).alias("rs")
+        )
+        row = rs.groupBy("event_type").agg(
+            F.lit(n).cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.round(
+                F.sum(F.round(F.col("rs") * F.lit(1_000_000.0), 0).cast("long"))
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+                6,
+            ).alias("mean_rs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    # 3-point least squares of log(mean_rs) on log(n), per type.  The
+    # log points are micro-rounded to int64 BEFORE the sums so the
+    # cross-partition accumulation is exact integer arithmetic (a
+    # 3-double IEEE sum would depend on partition order); the slope is
+    # scale-invariant in the shared micro factor.
+    pts = out.select(
+        "event_type", "n", "n_blocks", "mean_rs",
+        F.round(F.log(F.col("n").cast("double")) * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("lx"),
+        F.round(F.log("mean_rs") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("ly"),
+    )
+    fit = pts.where(F.col("mean_rs") > 0).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("lx").alias("slx"),
+        F.sum("ly").alias("sly"),
+        F.sum(F.col("lx") * F.col("ly")).alias("slxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("slx2"),
+    )
+    hurst = (
+        (F.col("np") * F.col("slxy") - F.col("slx") * F.col("sly")).cast(
+            "double"
+        )
+        / (F.col("np") * F.col("slx2") - F.col("slx") * F.col("slx")).cast(
+            "double"
+        )
+    )
+    return (
+        pts.join(
+            fit.select(
+                "event_type",
+                F.when(
+                    (F.col("np") > 1)
+                    & (F.col("np") * F.col("slx2") - F.col("slx") * F.col("slx") != 0),
+                    F.round(hurst, 6) + F.lit(0.0),
+                ).alias("hurst"),
+            ),
+            "event_type",
+        )
+        .select("event_type", "n", "n_blocks", "mean_rs", "hurst")
+        .orderBy("event_type", "n")
+    )
+
+
+def _hurst_sql() -> str:
+    per_n = []
+    for n in _HURST_SIZES:
+        per_n.append(f"""
+  SELECT event_type, {n} AS n,
+    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+    round(SUM(CAST(round(rs * 1000000) AS BIGINT))
+          / (COUNT(*) * 1000000.0), 6) AS mean_rs
+  FROM (
+    SELECT event_type, blk,
+      ((MAX(d) - MIN(d)) / ({n} * 1000000.0))
+      / sqrt(greatest(((SUM(xv * xv) / 1e12)
+             - (SUM(xv) / 1000000.0) * (SUM(xv) / 1000000.0) / {n}.0)
+             / {n - 1}.0, 0)) AS rs
+    FROM (
+      SELECT event_type, blk, k, xv,
+        {n} * SUM(xv) OVER (PARTITION BY event_type, blk ORDER BY k)
+          - k * bsum AS d
+      FROM (
+        SELECT event_type, blk, xv,
+          row_number() OVER (PARTITION BY event_type, blk ORDER BY rn) AS k,
+          SUM(xv) OVER (PARTITION BY event_type, blk) AS bsum,
+          COUNT(*) OVER (PARTITION BY event_type, blk) AS bn
+        FROM (
+          SELECT event_type, x AS xv, rn, (rn - 1) // {n} AS blk
+          FROM ranked)
+      ) WHERE bn = {n}
+    )
+    GROUP BY event_type, blk
+    HAVING sqrt(greatest(((SUM(xv * xv) / 1e12)
+           - (SUM(xv) / 1000000.0) * (SUM(xv) / 1000000.0) / {n}.0)
+           / {n - 1}.0, 0)) > 0
+  ) GROUP BY event_type""")
+    union = "\n  UNION ALL\n".join(per_n)
+    from kp_crypto_market_analytics_spark.queries_r9 import DAILY_BARS_CTE  # self
+
+    return f"""
+WITH {DAILY_BARS_CTE}, ranked AS (
+  SELECT event_type, cm AS x,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM bars
+), pts AS (
+  SELECT *, CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lx,
+    CAST(round(ln(mean_rs) * 1000000) AS BIGINT) AS ly
+  FROM ({union})
+), fit AS (
+  SELECT event_type,
+    CASE WHEN COUNT(*) > 1
+          AND COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx) <> 0 THEN
+      round(CAST(COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly) AS DOUBLE)
+            / CAST(COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)
+                   AS DOUBLE), 6) + 0.0
+    END AS hurst
+  FROM pts WHERE mean_rs > 0 GROUP BY event_type
+)
+SELECT event_type, n, n_blocks, mean_rs, hurst
+FROM pts JOIN fit USING (event_type)
+ORDER BY event_type, n
+"""
+
+
+R9_QUERIES["a_hurst_exponent"] = a_hurst_exponent
+_R9_ORACLES["a_hurst_exponent"] = _hurst_sql
+
+
+# ------------------------------------------------------- a_evt_gumbel
+
+
+def a_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value block-maxima fit per symbol (Gumbel 1958,
+    method-of-moments): daily block maxima of value, then the Gumbel
+    location/scale from the maxima's mean and sample stddev
+    (scale = s·√6/π, loc = mean − γ·scale with Euler–Mascheroni γ),
+    plus the fitted 30-day return level loc − scale·ln(−ln(1 − 1/30))
+    — the tail-risk complement to ti_var_cvar (historical quantiles).
+
+    Determinism: block maxima are exact order statistics; mean/stddev
+    from exact micro-integer moments; the constants and the final
+    chain are identical IEEE literals both engines, rounded 6.
+
+    Scale shape: one (type, day) max agg, one |types|-row moments
+    agg."""
+    bars = _daily_bars_df(spark, sf_dir).select(
+        "event_type", F.col("hm").alias("xm")
+    )
+    agg = bars.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sx2"),
+    )
+    n = F.col("n")
+    mean = F.col("sx").cast("double") / n / 1.0e6
+    sx2d = F.col("sx2").cast("double") / 1.0e12
+    sxd = F.col("sx").cast("double") / 1.0e6
+    s = F.sqrt(
+        F.greatest((sx2d - sxd * sxd / n) / (n - F.lit(1)), F.lit(0.0))
+    )
+    scale = s * F.lit(0.7796968012336761)  # sqrt(6)/pi
+    loc = mean - F.lit(0.5772156649015329) * scale
+    rl30 = loc - scale * F.log(-F.log(F.lit(1.0 - 1.0 / 30.0)))
+    ok = (n > 1) & (s > 0)
+    return agg.select(
+        "event_type",
+        n.cast("long").alias("n_blocks"),
+        F.round(mean, 6).alias("maxima_mean"),
+        F.when(ok, F.round(scale, 6)).alias("gumbel_scale"),
+        F.when(ok, F.round(loc, 6)).alias("gumbel_loc"),
+        F.when(ok, F.round(rl30, 6)).alias("return_level_30d"),
+    ).orderBy("event_type")
+
+
+A_EVT_GUMBEL_SQL = f"""
+WITH {DAILY_BARS_CTE}, agg AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(hm) AS sx, SUM(hm * hm) AS sx2
+  FROM bars GROUP BY 1
+), fit AS (
+  SELECT event_type, n,
+    CAST(sx AS DOUBLE) / n / 1e6 AS mean,
+    sqrt(greatest((CAST(sx2 AS DOUBLE) / 1e12
+      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6) / n)
+      / (n - 1), 0)) AS s
+  FROM agg
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n_blocks,
+  round(mean, 6) AS maxima_mean,
+  CASE WHEN n > 1 AND s > 0 THEN
+    round(s * 0.7796968012336761, 6) END AS gumbel_scale,
+  CASE WHEN n > 1 AND s > 0 THEN
+    round(mean - 0.5772156649015329 * (s * 0.7796968012336761), 6)
+  END AS gumbel_loc,
+  CASE WHEN n > 1 AND s > 0 THEN
+    round((mean - 0.5772156649015329 * (s * 0.7796968012336761))
+          - (s * 0.7796968012336761) * ln(-ln(1.0 - 1.0 / 30.0)), 6)
+  END AS return_level_30d
+FROM fit ORDER BY event_type
+"""
+
+
+R9_QUERIES["a_evt_gumbel"] = a_evt_gumbel
+_R9_ORACLES["a_evt_gumbel"] = lambda: A_EVT_GUMBEL_SQL
+
+
+# ------------------------------------------------------- dq_freshness
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit (the first question an on-call asks of a
+    late pipeline): per event type, the last-seen timestamp, its lag
+    in seconds behind the globally freshest type, the trailing-24h row
+    count, and a stale flag (> 6h behind) — all exact integer epoch
+    arithmetic.
+
+    Scale shape: one map-side-combined (type) agg carrying max-ts and
+    a conditional count; the global max is a 1-row broadcast."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    glob = per.agg(F.max("last_ts").alias("g_ts"))
+    last24 = e.crossJoin(F.broadcast(glob)).where(
+        F.unix_millis("ts") >= F.unix_millis("g_ts") - F.lit(86_400_000)
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_last_24h")
+    )
+    lag_s = F.call_function(
+        "div",
+        F.unix_millis(F.col("g_ts")) - F.unix_millis(F.col("last_ts")),
+        F.lit(1000).cast("long"),
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .join(last24, "event_type", "left")
+        .select(
+            "event_type",
+            "last_ts",
+            "n_rows",
+            lag_s.alias("lag_seconds"),
+            F.coalesce(F.col("rows_last_24h"), F.lit(0).cast("long")).alias(
+                "rows_last_24h"
+            ),
+            (lag_s > 6 * 3600).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DQ_FRESHNESS_SQL = """
+WITH per AS (
+  SELECT event_type, MAX(ts) AS last_ts, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+), gmax AS (
+  SELECT MAX(last_ts) AS g_ts FROM per
+), l24 AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rows_last_24h
+  FROM events, gmax
+  WHERE epoch_ms(ts) >= epoch_ms(g_ts) - 86400000
+  GROUP BY 1
+)
+SELECT event_type, last_ts, n_rows,
+  (epoch_ms(g_ts) - epoch_ms(last_ts)) // 1000 AS lag_seconds,
+  coalesce(rows_last_24h, 0) AS rows_last_24h,
+  (epoch_ms(g_ts) - epoch_ms(last_ts)) // 1000 > 6 * 3600 AS is_stale
+FROM per CROSS JOIN gmax LEFT JOIN l24 USING (event_type)
+ORDER BY event_type
+"""
+
+
+R9_QUERIES["dq_freshness"] = dq_freshness
+_R9_ORACLES["dq_freshness"] = lambda: DQ_FRESHNESS_SQL
