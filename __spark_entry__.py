@@ -140,6 +140,7 @@ _FIRST_SEEN_ROUND.update(
         "a_kendall_tau", "a_cramers_v", "a_grubbs",
         "sim_mips_topk", "t_interleave_schedule", "o7_hash_reservoir",
         "a_hurst_exponent", "a_evt_gumbel", "dq_freshness",
+        "dedup_est_calibration", "a_seasonality_strength",
     )}
 )
 

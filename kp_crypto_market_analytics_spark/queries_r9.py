@@ -1516,3 +1516,197 @@ ORDER BY event_type
 
 R9_QUERIES["dq_freshness"] = dq_freshness
 _R9_ORACLES["dq_freshness"] = lambda: DQ_FRESHNESS_SQL
+
+
+# ----------------------------------------------- dedup_est_calibration
+
+
+def dedup_est_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration audit: for every direct ('pair'
+    tier) LSH candidate that is also an exact df-capped Jaccard pair,
+    compare est_jaccard (matching-minhash fraction, 64 hashes) against
+    the exact capped Jaccard — per 0.1-wide true-Jaccard bucket: pair
+    count, mean absolute error, and mean signed bias, in exact
+    micro-integer arithmetic.  The companion to dedup_lsh_recall:
+    recall says the banding FINDS the pairs, this says the estimator's
+    VALUE is trustworthy enough to threshold on (theory: Var ≈
+    J(1−J)/64 ⇒ MAE ≲ 0.06 — visible in the gated numbers).
+
+    Scale shape: a join of two already-bounded pair sets on (doc_a,
+    doc_b), then a ≤10-row bucket agg."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        capped_jaccard_pairs_materialized,
+        minhash_lsh_pairs,
+    )
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _LSH_BANDS,
+        _LSH_BUCKET_CAP,
+        _LSH_NUM_HASHES,
+        _minhash_sigs,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    exact = capped_jaccard_pairs_materialized(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("true_j")
+    )
+    cand = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id",
+        num_hashes=_LSH_NUM_HASHES, bands=_LSH_BANDS, k=4, use_words=False,
+        sig=_minhash_sigs(spark, sf_dir),
+        max_bucket_size=_LSH_BUCKET_CAP, overcap="star",
+    ).where(F.col("tier") == "pair").select("doc_a", "doc_b", "est_jaccard")
+    j = exact.join(cand, ["doc_a", "doc_b"])
+    # micro ints: true_j <= 1 (6 dp), est = k/64 exact in micro
+    tm = F.round(F.col("true_j") * F.lit(1_000_000.0), 0).cast("long")
+    em = F.round(F.col("est_jaccard") * F.lit(1_000_000.0), 0).cast("long")
+    bucket = F.least(
+        F.lit(9).cast("long"),
+        F.call_function("div", tm, F.lit(100_000).cast("long")),
+    )
+    scored = j.select(
+        bucket.alias("j_bucket"),
+        (em - tm).alias("err"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("j_bucket")
+        .agg(
+            n.cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.abs(F.col("err"))) / (n * F.lit(1_000_000.0)), 6
+            ).alias("mae"),
+            (
+                F.round(F.sum(F.col("err")) / (n * F.lit(1_000_000.0)), 6)
+                + F.lit(0.0)
+            ).alias("bias"),
+        )
+        .orderBy("j_bucket")
+    )
+
+
+def _dedup_est_calibration_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _EST_SQL,
+        _LSH_BUCKET_CAP,
+        CAPPED_HSETS_CTE,
+        _cand_cte_sql,
+    )
+
+    cand = _cand_cte_sql().format(cap=_LSH_BUCKET_CAP)
+    return f"""
+WITH {CAPPED_HSETS_CTE}{cand}, capped AS (
+  SELECT s.doc_id, s.shingle FROM sets s JOIN sfreq USING (shingle)
+  WHERE df <= 50
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_size
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), exact AS (
+  SELECT doc_a, doc_b,
+    round(CAST(inter_size AS DOUBLE)
+          / (sa.set_size + sb.set_size - inter_size), 6) AS true_j
+  FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(inter_size AS DOUBLE)
+        / (sa.set_size + sb.set_size - inter_size) >= 0.6
+), est AS (
+  SELECT doc_a, doc_b, {_EST_SQL} AS est_jaccard
+  FROM cand_t JOIN sigs sa ON sa.doc_id = doc_a
+              JOIN sigs sb ON sb.doc_id = doc_b
+  WHERE tier = 'pair'
+), joined AS (
+  SELECT least(9, CAST(round(true_j * 1000000) AS BIGINT) // 100000)
+           AS j_bucket,
+    CAST(round(est_jaccard * 1000000) AS BIGINT)
+      - CAST(round(true_j * 1000000) AS BIGINT) AS err
+  FROM exact JOIN est USING (doc_a, doc_b)
+)
+SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  round(SUM(abs(err)) / (COUNT(*) * 1000000.0), 6) AS mae,
+  round(SUM(err) / (COUNT(*) * 1000000.0), 6) + 0.0 AS bias
+FROM joined GROUP BY 1 ORDER BY 1
+"""
+
+
+R9_QUERIES["dedup_est_calibration"] = dedup_est_calibration
+_R9_ORACLES["dedup_est_calibration"] = _dedup_est_calibration_sql
+
+
+# ------------------------------------------------ a_seasonality_strength
+
+
+def a_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per symbol: the share of value
+    variance explained by the weekly profile, R² = 1 − SS_within/SS_tot
+    over the 7 dow groups (one-way variance decomposition — the
+    effect-size companion to a_anova_f's test statistic).  Group and
+    total sums fold as exact DECIMAL(18,6) moments; SS terms and the
+    ratio are one identical IEEE chain, rounded 6.
+
+    Scale shape: one (type, dow) moments agg, re-aggregated to |types|
+    rows — two map-side-combined passes over nothing wider than value."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    v = F.col("value").cast(DEC)
+    g = e.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sx2"),
+    )
+    # SS_within per group = sx2 − sx²/n (exact decimal moments → IEEE)
+    ssw_term = F.col("sx2").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / F.col("n")
+    agg = g.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sx2").alias("sx2"),
+        F.sum(
+            F.round(ssw_term * F.lit(1_000_000.0), 0).cast("long")
+        ).alias("sswm"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    sst = F.col("sx2").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / F.col("n")
+    r2 = F.lit(1.0) - (F.col("sswm") / F.lit(1_000_000.0)) / sst
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "n_groups",
+        F.when(sst > 0, F.round(r2, 6) + F.lit(0.0)).alias(
+            "seasonality_r2"
+        ),
+    ).orderBy("event_type")
+
+
+A_SEASONALITY_SQL = """
+WITH g AS (
+  SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sx2
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, SUM(n) AS n, SUM(sx) AS sx, SUM(sx2) AS sx2,
+    SUM(CAST(round((CAST(sx2 AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) * 1000000)
+        AS BIGINT)) AS sswm,
+    CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM g GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, n_groups,
+  CASE WHEN CAST(sx2 AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n > 0 THEN
+    round(1.0 - (sswm / 1000000.0)
+          / (CAST(sx2 AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n), 6) + 0.0
+  END AS seasonality_r2
+FROM agg ORDER BY event_type
+"""
+
+
+R9_QUERIES["a_seasonality_strength"] = a_seasonality_strength
+_R9_ORACLES["a_seasonality_strength"] = lambda: A_SEASONALITY_SQL
