@@ -141,6 +141,10 @@ _FIRST_SEEN_ROUND.update(
         "sim_mips_topk", "t_interleave_schedule", "o7_hash_reservoir",
         "a_hurst_exponent", "a_evt_gumbel", "dq_freshness",
         "dedup_est_calibration", "a_seasonality_strength",
+        "ti_kyle_lambda", "ti_roll_spread", "ti_corwin_schultz", "a_vpin",
+        "a_yule_walker_ar2", "a_durbin_watson", "a_newey_west",
+        "a_engle_granger", "a_tail_dependence", "t_coleman_liau",
+        "dq_l_diversity",
     )}
 )
 

@@ -1339,6 +1339,7 @@ from kp_crypto_market_analytics_spark.queries_mining import MINING_ORACLES, MINI
 from kp_crypto_market_analytics_spark.queries_r7 import R7_QUERIES, r7_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r8 import R8_QUERIES, r8_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r9 import R9_QUERIES, r9_oracles  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_r9b import R9B_QUERIES, r9b_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_quality import QUALITY_ORACLES, QUALITY_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1352,6 +1353,7 @@ QUERIES.update(MINING_QUERIES)
 QUERIES.update(R7_QUERIES)
 QUERIES.update(R8_QUERIES)
 QUERIES.update(R9_QUERIES)
+QUERIES.update(R9B_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
@@ -1362,3 +1364,4 @@ ORACLES.update(MINING_ORACLES)
 ORACLES.update(r7_oracles())
 ORACLES.update(r8_oracles())
 ORACLES.update(r9_oracles())
+ORACLES.update(r9b_oracles())

@@ -1,0 +1,243 @@
+"""Invariant + python-recompute tests for the round-9 second-batch
+queries (microstructure estimators, econometrics, readability,
+l-diversity).  The DuckDB oracles prove engine agreement; these pin
+the statistics to independent NumPy/pandas recomputations and the
+semantic floors the oracles can't express."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ticks_pd():
+    """Tick frame recomputed with pandas only: (type, ts, event_id,
+    vm micro price, k volume) in engine order."""
+    df = pd.read_parquet(SF_DIR + "/events.parquet")
+    df["vm"] = (df["value"] * 1_000_000).round().astype("int64")
+    df["k"] = df["props"].map(lambda p: json.loads(p)["k"])
+    return df.sort_values(["event_type", "ts", "event_id"]).reset_index(
+        drop=True
+    )
+
+
+def test_kyle_lambda_matches_numpy_ols(spark, ticks_pd):
+    from kp_crypto_market_analytics_spark.queries_r9b import ti_kyle_lambda
+
+    rows = {r["event_type"]: r for r in ti_kyle_lambda(spark, SF_DIR).collect()}
+    assert set(rows) == set(ticks_pd["event_type"].unique())
+    for et, g in ticks_pd.groupby("event_type"):
+        d = g["vm"].diff().dropna()
+        k = g["k"].iloc[1:]
+        sv = np.sign(d).astype("int64") * k.to_numpy()
+        lam = np.polyfit(sv.astype(float), d.to_numpy(float), 1)[0]
+        assert rows[et]["n_pairs"] == len(d)
+        assert rows[et]["kyle_lambda"] == pytest.approx(
+            lam / 1e6, abs=2e-6
+        )
+
+
+def test_roll_spread_cov_sign_contract(spark, ticks_pd):
+    from kp_crypto_market_analytics_spark.queries_r9b import ti_roll_spread
+
+    rows = {r["event_type"]: r for r in ti_roll_spread(spark, SF_DIR).collect()}
+    for et, g in ticks_pd.groupby("event_type"):
+        d = g["vm"].diff()
+        pair = pd.DataFrame({"d": d, "dp": d.shift(1)}).dropna()
+        cov = float(
+            (pair["d"] * pair["dp"]).sum() / len(pair)
+            - pair["d"].sum() * pair["dp"].sum() / len(pair) ** 2
+        )
+        r = rows[et]
+        assert r["serial_cov_p2"] == pytest.approx(cov / 1e12, abs=2e-6)
+        if cov < 0:
+            assert r["roll_spread"] == pytest.approx(
+                2 * np.sqrt(-cov) / 1e6, abs=2e-6
+            )
+        else:
+            assert r["roll_spread"] is None
+
+
+def test_corwin_schultz_shape(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        ti_corwin_schultz,
+    )
+
+    rows = ti_corwin_schultz(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] > 0
+        assert 0 <= r["n_negative"] <= r["n_pairs"]
+        assert r["max_cs_spread"] >= r["avg_cs_spread"]
+        # spread is a fraction of price: sane envelope
+        assert abs(r["avg_cs_spread"]) < 2.0
+
+
+def test_vpin_matches_pandas_volume_clock(spark, ticks_pd):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _VPIN_BUCKETS,
+        a_vpin,
+    )
+
+    rows = {r["event_type"]: r for r in a_vpin(spark, SF_DIR).collect()}
+    for et, g in ticks_pd.groupby("event_type"):
+        d = g["vm"].diff()
+        s = np.sign(d).replace(0, np.nan).ffill()
+        c = g.assign(s=s).dropna(subset=["s"])
+        tot = int(c["k"].sum())
+        v = max(1, -(-tot // _VPIN_BUCKETS))
+        cumb = c["k"].cumsum().shift(1).fillna(0).astype("int64")
+        c = c.assign(bucket=cumb // v)
+        bv = c.groupby("bucket").apply(
+            lambda b: abs(
+                int(b.loc[b["s"] > 0, "k"].sum())
+                - int(b.loc[b["s"] < 0, "k"].sum())
+            ),
+            include_groups=False,
+        )
+        vol = c.groupby("bucket")["k"].sum()
+        r = rows[et]
+        assert r["n_buckets"] == len(vol)
+        assert r["bucket_volume"] == v
+        assert r["vpin"] == pytest.approx(
+            float(bv.sum()) / float(vol.sum()), abs=2e-6
+        )
+        assert 0.0 <= r["vpin"] <= 1.0
+
+
+def test_yule_walker_satisfies_first_equation(spark):
+    """YW system: r1 = phi1 + phi2*r1 and r2 = phi1*r1 + phi2 must
+    hold for the fitted coefficients (up to the 1e-6 rounding)."""
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        a_yule_walker_ar2,
+    )
+
+    rows = a_yule_walker_ar2(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["r1"]) <= 1 and abs(r["r2"]) <= 1
+        assert r["r1"] == pytest.approx(
+            r["phi1"] + r["phi2"] * r["r1"], abs=1e-4
+        )
+        assert r["r2"] == pytest.approx(
+            r["phi1"] * r["r1"] + r["phi2"], abs=1e-4
+        )
+
+
+def test_durbin_watson_range(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import a_durbin_watson
+
+    rows = a_durbin_watson(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["dw"] < 4.0
+        assert r["n"] > 0
+
+
+def test_newey_west_reduces_to_gamma0_under_zero_weights(spark, ticks_pd):
+    """gamma0 must equal the population variance of the diffs
+    (pandas recompute); the Bartlett combination keeps lrv within
+    the [0, 4x gamma0] envelope for weakly dependent data."""
+    from kp_crypto_market_analytics_spark.queries_r9b import a_newey_west
+
+    rows = {r["event_type"]: r for r in a_newey_west(spark, SF_DIR).collect()}
+    for et, g in ticks_pd.groupby("event_type"):
+        d = g["vm"].diff().dropna().to_numpy(float)
+        g0 = float(d.var(ddof=0))  # population variance
+        r = rows[et]
+        assert r["gamma0_p2"] == pytest.approx(g0 / 1e12, abs=2e-6)
+        assert r["nw_ratio"] > 0
+        # both factors carry 1e-6 rounding, scaled by gamma0 ~ 1e3
+        assert r["lrv_p2"] == pytest.approx(
+            r["gamma0_p2"] * r["nw_ratio"], rel=1e-5, abs=1e-5
+        )
+
+
+def test_engle_granger_hedge_ratio_matches_numpy(spark, ticks_pd):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _EG_X,
+        _EG_Y,
+        a_engle_granger,
+    )
+
+    r = a_engle_granger(spark, SF_DIR).collect()[0]
+    m = (
+        ticks_pd.assign(minute=ticks_pd["ts"].dt.floor("min"))
+        .groupby(["event_type", "minute"])["vm"]
+        .apply(lambda s: np.int64(round(float(s.sum()) / len(s))))
+        .unstack(0)
+    )
+    j = m[[_EG_Y, _EG_X]].dropna()
+    b = np.polyfit(j[_EG_X].to_numpy(float), j[_EG_Y].to_numpy(float), 1)[0]
+    assert r["n_minutes"] == len(j)
+    assert r["hedge_ratio"] == pytest.approx(b, abs=1e-4)
+    # DF regression on stationary-ish residuals: rho must be negative
+    # (mean reversion) for any non-degenerate fit on this data.
+    assert -2.0 < r["rho"] < 0.0
+    assert r["df_t"] < 0.0
+
+
+def test_tail_dependence_pairs_and_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        a_tail_dependence,
+    )
+
+    # sf0.001 has too few minute collisions for all C(5,2) pairs
+    # to share minutes; sf0.01 aligns every pair.
+    rows = a_tail_dependence(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10  # C(5,2) unordered type pairs
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 <= r["n_both"] <= r["n_joint"]
+        assert 0.0 <= r["p_both"] <= 1.0
+        assert r["tail_lift"] is None or r["tail_lift"] >= 0.0
+
+
+def test_coleman_liau_matches_python_counts(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import t_coleman_liau
+
+    docs = pd.read_parquet(SF_DIR + "/documents.parquet")
+
+    def cli(text: str) -> float:
+        letters = sum(ch.isascii() and ch.isalpha() for ch in text)
+        words = len(text.strip().split())
+        sentences = max(1, sum(ch in ".!?" for ch in text))
+        return round(
+            0.0588 * (letters * 100.0 / words)
+            - 0.296 * (sentences * 100.0 / words)
+            - 15.8,
+            6,
+        )
+
+    docs["cli6"] = docs["text"].map(cli)
+    exp = docs.groupby("source")["cli6"].agg(["count", "mean", "min", "max"])
+    rows = {r["source"]: r for r in t_coleman_liau(spark, SF_DIR).collect()}
+    assert set(rows) == set(exp.index)
+    for src, e in exp.iterrows():
+        r = rows[src]
+        assert r["n_docs"] == e["count"]
+        assert r["avg_cli"] == pytest.approx(e["mean"], abs=2e-6)
+        assert r["min_cli"] == pytest.approx(e["min"], abs=1e-9)
+        assert r["max_cli"] == pytest.approx(e["max"], abs=1e-9)
+
+
+def test_l_diversity_matches_pandas_nunique(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _LDIV_FLOOR,
+        dq_l_diversity,
+    )
+
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    l = ev.groupby(["event_type", "day"])["user_id"].nunique()
+    rows = {r["event_type"]: r for r in dq_l_diversity(spark, SF_DIR).collect()}
+    for et, g in l.groupby(level=0):
+        r = rows[et]
+        assert r["n_groups"] == len(g)
+        assert r["min_l"] == int(g.min())
+        assert r["avg_l"] == pytest.approx(float(g.mean()), abs=2e-6)
+        assert r["n_below_floor"] == int((g < _LDIV_FLOOR).sum())

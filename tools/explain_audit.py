@@ -43,6 +43,11 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     # fixed-size top-k / time-bounded frames
     "t_zipf_fit": (1, "OLS rank over top-1000 post-LIMIT tokens"),
     "w_rolling_corr": (2, "hour-bucket frame (time-bounded, not data)"),
+    "a_engle_granger": (
+        1,
+        "DF lag over the minute-grid residual frame (time-bounded: "
+        "one row per minute of the covered period, not per event)",
+    ),
     # partitionBy on a per-frame literal ('side') constant-folds to an
     # unpartitioned WindowExec, but both frames are provably bounded
     "g_hits": (
