@@ -145,6 +145,8 @@ _FIRST_SEEN_ROUND.update(
         "a_yule_walker_ar2", "a_durbin_watson", "a_newey_west",
         "a_engle_granger", "a_tail_dependence", "t_coleman_liau",
         "dq_l_diversity",
+        "a_granger_causality", "a_partial_corr", "a_cross_corr_leadlag",
+        "ti_kaufman_er", "ti_cmf", "a_markov_entropy_rate",
     )}
 )
 

@@ -1182,3 +1182,654 @@ FROM g GROUP BY 1 ORDER BY event_type
 
 R9B_QUERIES["dq_l_diversity"] = dq_l_diversity
 _R9B_ORACLES["dq_l_diversity"] = _dq_l_diversity_sql
+
+
+# ------------------------------------------------------ a_granger_causality
+
+
+def a_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger lead-lag test between the minute-aligned click and view
+    return series, BOTH directions: restricted model y_t ~ y_{t-1}
+    vs unrestricted y_t ~ y_{t-1} + x_{t-1}, F = (RSS_r - RSS_u)
+    * (n-3) / RSS_u for the single added regressor.  A large F for
+    'click->view' means lagged click returns improve the view
+    forecast — the classic lead-lag screen for pairs.
+
+    Determinism: minute means and diffs are exact micro BIGINTs; the
+    two-regressor normal equations are solved by Cramer's rule from
+    born-decimal integer moments, one IEEE chain per direction.
+    Scale shape: one minute rollup + one equi-join on minute + one
+    time-bounded window (one row per minute) + a 2-row agg."""
+    m = _minutes(spark, sf_dir)
+    y = m.where(F.col("event_type") == _EG_Y).select(
+        "minute", F.col("mv").alias("cv")
+    )
+    x = m.where(F.col("event_type") == _EG_X).select(
+        "minute", F.col("mv").alias("vv")
+    )
+    j = y.join(x, "minute")
+    w = Window.orderBy("minute")
+    j = j.select(
+        "minute",
+        (F.col("cv") - F.lag("cv").over(w)).alias("dc"),
+        (F.col("vv") - F.lag("vv").over(w)).alias("dv"),
+    )
+    j = j.select(
+        "dc",
+        "dv",
+        F.lag("dc").over(w).alias("dc1"),
+        F.lag("dv").over(w).alias("dv1"),
+    )
+    both = (
+        j.select(
+            F.lit(f"{_EG_Y}->{_EG_X}").alias("direction"),
+            F.col("dv").alias("y"),
+            F.col("dv1").alias("u"),
+            F.col("dc1").alias("z"),
+        )
+        .unionAll(
+            j.select(
+                F.lit(f"{_EG_X}->{_EG_Y}").alias("direction"),
+                F.col("dc").alias("y"),
+                F.col("dc1").alias("u"),
+                F.col("dv1").alias("z"),
+            )
+        )
+        .where(
+            F.col("y").isNotNull()
+            & F.col("u").isNotNull()
+            & F.col("z").isNotNull()
+        )
+    )
+    yd = F.col("y").cast(DEC19)
+    ud = F.col("u").cast(DEC19)
+    zd = F.col("z").cast(DEC19)
+    g = both.groupBy("direction").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(ud).cast("double").alias("su"),
+        F.sum(zd).cast("double").alias("sz"),
+        F.sum(yd * F.col("y")).cast("double").alias("syy"),
+        F.sum(ud * F.col("u")).cast("double").alias("suu"),
+        F.sum(zd * F.col("z")).cast("double").alias("szz"),
+        F.sum(ud * F.col("y")).cast("double").alias("suy"),
+        F.sum(zd * F.col("y")).cast("double").alias("szy"),
+        F.sum(ud * F.col("z")).cast("double").alias("suz"),
+    )
+    nd = F.col("nd")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    cuu = F.col("suu") - F.col("su") * F.col("su") / nd
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / nd
+    cuy = F.col("suy") - F.col("su") * F.col("sy") / nd
+    czy = F.col("szy") - F.col("sz") * F.col("sy") / nd
+    cuz = F.col("suz") - F.col("su") * F.col("sz") / nd
+    den = cuu * czz - cuz * cuz
+    b = (cuy * czz - czy * cuz) / den
+    c = (czy * cuu - cuy * cuz) / den
+    rss_u = cyy - b * cuy - c * czy
+    rss_r = cyy - cuy * cuy / cuu
+    fstat = (rss_r - rss_u) * (nd - F.lit(3.0)) / rss_u
+    return g.select(
+        "direction",
+        "n",
+        (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
+        (F.round(F.lit(1.0) - rss_u / cyy, 6) + F.lit(0.0)).alias("r2_u"),
+    ).orderBy("direction")
+
+
+def _a_granger_causality_sql() -> str:
+    return f"""
+WITH {MINUTES_CTE}, j AS (
+  SELECT y.minute, y.mv AS cv, x.mv AS vv
+  FROM (SELECT minute, mv FROM minutes WHERE event_type = '{_EG_Y}') y
+  JOIN (SELECT minute, mv FROM minutes WHERE event_type = '{_EG_X}') x
+    USING (minute)
+), d AS (
+  SELECT minute,
+    cv - lag(cv) OVER (ORDER BY minute) AS dc,
+    vv - lag(vv) OVER (ORDER BY minute) AS dv
+  FROM j
+), l AS (
+  SELECT dc, dv,
+    lag(dc) OVER (ORDER BY minute) AS dc1,
+    lag(dv) OVER (ORDER BY minute) AS dv1
+  FROM d
+), dirs AS (
+  SELECT '{_EG_Y}->{_EG_X}' AS direction, dv AS y, dv1 AS u, dc1 AS z FROM l
+  UNION ALL
+  SELECT '{_EG_X}->{_EG_Y}' AS direction, dc AS y, dc1 AS u, dv1 AS z FROM l
+), m AS (
+  SELECT direction, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COUNT(*) AS DOUBLE) AS nd,
+    CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(u AS DECIMAL(19,0))) AS DOUBLE) AS su,
+    CAST(SUM(CAST(z AS DECIMAL(19,0))) AS DOUBLE) AS sz,
+    CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(u AS DECIMAL(19,0)) * u) AS DOUBLE) AS suu,
+    CAST(SUM(CAST(z AS DECIMAL(19,0)) * z) AS DOUBLE) AS szz,
+    CAST(SUM(CAST(u AS DECIMAL(19,0)) * y) AS DOUBLE) AS suy,
+    CAST(SUM(CAST(z AS DECIMAL(19,0)) * y) AS DOUBLE) AS szy,
+    CAST(SUM(CAST(u AS DECIMAL(19,0)) * z) AS DOUBLE) AS suz
+  FROM dirs WHERE y IS NOT NULL AND u IS NOT NULL AND z IS NOT NULL
+  GROUP BY 1
+), c AS (
+  SELECT direction, n, nd,
+    syy - sy*sy/nd AS cyy, suu - su*su/nd AS cuu, szz - sz*sz/nd AS czz,
+    suy - su*sy/nd AS cuy, szy - sz*sy/nd AS czy, suz - su*sz/nd AS cuz
+  FROM m
+), fit AS (
+  SELECT direction, n, nd, cyy, cuy, czy,
+    (cuy*czz - czy*cuz) / (cuu*czz - cuz*cuz) AS b,
+    (czy*cuu - cuy*cuz) / (cuu*czz - cuz*cuz) AS c2,
+    cyy - cuy*cuy/cuu AS rss_r
+  FROM c
+)
+SELECT direction, n,
+  round((rss_r - (cyy - b*cuy - c2*czy)) * (nd - 3.0)
+        / (cyy - b*cuy - c2*czy), 6) + 0.0 AS f_stat,
+  round(1.0 - (cyy - b*cuy - c2*czy) / cyy, 6) + 0.0 AS r2_u
+FROM fit ORDER BY direction
+"""
+
+
+R9B_QUERIES["a_granger_causality"] = a_granger_causality
+_R9B_ORACLES["a_granger_causality"] = _a_granger_causality_sql
+
+
+# --------------------------------------------------------- a_partial_corr
+
+_PC_Z = "purchase"
+
+
+def a_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of the click and view minute series
+    controlling for purchase: r_xy.z = (r_xy - r_xz*r_yz)
+    / sqrt((1-r_xz^2)(1-r_yz^2)) over the three-way inner-joined
+    minute grid.  Separates direct co-movement from co-movement
+    induced by the common driver.
+
+    Determinism: the three pairwise correlations come from exact
+    born-decimal integer moments and are rounded before the closed
+    form.  Scale shape: one minute rollup + two equi-joins on minute
+    (skinny (minute, mv) rows) + one 1-row agg."""
+    m = _minutes(spark, sf_dir)
+
+    def series(t: str, alias: str):
+        return m.where(F.col("event_type") == t).select(
+            "minute", F.col("mv").alias(alias)
+        )
+
+    j = (
+        series(_EG_Y, "xv")
+        .join(series(_EG_X, "yv"), "minute")
+        .join(series(_PC_Z, "zv"), "minute")
+    )
+    xd = F.col("xv").cast(DEC19)
+    yd = F.col("yv").cast(DEC19)
+    zd = F.col("zv").cast(DEC19)
+    nd = F.count(F.lit(1)).cast("double")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        nd.alias("nd"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(zd).cast("double").alias("sz"),
+        F.sum(xd * F.col("xv")).cast("double").alias("sxx"),
+        F.sum(yd * F.col("yv")).cast("double").alias("syy"),
+        F.sum(zd * F.col("zv")).cast("double").alias("szz"),
+        F.sum(xd * F.col("yv")).cast("double").alias("sxy"),
+        F.sum(xd * F.col("zv")).cast("double").alias("sxz"),
+        F.sum(yd * F.col("zv")).cast("double").alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        cov = F.col("nd") * F.col(sab) - F.col(sa) * F.col(sb)
+        va = F.col("nd") * F.col(saa) - F.col(sa) * F.col(sa)
+        vb = F.col("nd") * F.col(sbb) - F.col(sb) * F.col(sb)
+        return F.round(cov / F.sqrt(va * vb), 6) + F.lit(0.0)
+
+    g = g.select(
+        "n_minutes",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("r_xy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("r_xz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("r_yz"),
+    )
+    num = F.col("r_xy") - F.col("r_xz") * F.col("r_yz")
+    den = F.sqrt(
+        (F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+        * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))
+    )
+    return g.select(
+        "n_minutes",
+        "r_xy",
+        "r_xz",
+        "r_yz",
+        (F.round(num / den, 6) + F.lit(0.0)).alias("partial_r"),
+    )
+
+
+def _a_partial_corr_sql() -> str:
+    def corr(sab, sa, sb, saa, sbb):
+        return (
+            f"round((nd*{sab} - {sa}*{sb})"
+            f" / sqrt((nd*{saa} - {sa}*{sa}) * (nd*{sbb} - {sb}*{sb})), 6)"
+            f" + 0.0"
+        )
+
+    return f"""
+WITH {MINUTES_CTE}, j AS (
+  SELECT x.minute, x.mv AS xv, y.mv AS yv, z.mv AS zv
+  FROM (SELECT minute, mv FROM minutes WHERE event_type = '{_EG_Y}') x
+  JOIN (SELECT minute, mv FROM minutes WHERE event_type = '{_EG_X}') y
+    USING (minute)
+  JOIN (SELECT minute, mv FROM minutes WHERE event_type = '{_PC_Z}') z
+    USING (minute)
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_minutes,
+    CAST(COUNT(*) AS DOUBLE) AS nd,
+    CAST(SUM(CAST(xv AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(yv AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(zv AS DECIMAL(19,0))) AS DOUBLE) AS sz,
+    CAST(SUM(CAST(xv AS DECIMAL(19,0)) * xv) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(yv AS DECIMAL(19,0)) * yv) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(zv AS DECIMAL(19,0)) * zv) AS DOUBLE) AS szz,
+    CAST(SUM(CAST(xv AS DECIMAL(19,0)) * yv) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(xv AS DECIMAL(19,0)) * zv) AS DOUBLE) AS sxz,
+    CAST(SUM(CAST(yv AS DECIMAL(19,0)) * zv) AS DOUBLE) AS syz
+  FROM j
+), rs AS (
+  SELECT n_minutes,
+    {corr('sxy', 'sx', 'sy', 'sxx', 'syy')} AS r_xy,
+    {corr('sxz', 'sx', 'sz', 'sxx', 'szz')} AS r_xz,
+    {corr('syz', 'sy', 'sz', 'syy', 'szz')} AS r_yz
+  FROM m
+)
+SELECT n_minutes, r_xy, r_xz, r_yz,
+  round((r_xy - r_xz*r_yz)
+        / sqrt((1.0 - r_xz*r_xz) * (1.0 - r_yz*r_yz)), 6) + 0.0 AS partial_r
+FROM rs
+"""
+
+
+R9B_QUERIES["a_partial_corr"] = a_partial_corr
+_R9B_ORACLES["a_partial_corr"] = _a_partial_corr_sql
+
+
+# ---------------------------------------------------- a_cross_corr_leadlag
+
+_CCF_MAX_LAG = 5
+
+
+def a_cross_corr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the click and view minute
+    series at row lags -5..+5 on the joined minute grid: positive
+    lag_k correlates click_t with view_{t+k} (click leading).  The
+    lag is in GRID ROWS of the inner-joined minute sequence, not
+    calendar minutes — gaps compress (documented contract; the
+    calendar variant is w_rolling_corr's hour-bucket family).
+
+    Determinism: the ti_acf pairwise-moment recipe per lag, exact
+    decimal sums, round 6.  Scale shape: ONE time-bounded window sort
+    (one row per joined minute) yields all 10 shifted columns; one
+    grouped agg computes all 11 correlations; stack() unpivots."""
+    m = _minutes(spark, sf_dir)
+    y = m.where(F.col("event_type") == _EG_Y).select(
+        "minute", F.col("mv").alias("cv")
+    )
+    x = m.where(F.col("event_type") == _EG_X).select(
+        "minute", F.col("mv").alias("vv")
+    )
+    j = y.join(x, "minute")
+    w = Window.orderBy("minute")
+    shifts = {0: F.col("vv")}
+    for kk in range(1, _CCF_MAX_LAG + 1):
+        shifts[kk] = F.lead("vv", kk).over(w)
+        shifts[-kk] = F.lag("vv", kk).over(w)
+    j = j.select(
+        "cv", *[shifts[kk].alias(f"v_{kk + _CCF_MAX_LAG}") for kk in sorted(shifts)]
+    )
+    aggs = []
+    for kk in sorted(shifts):
+        yc = F.col(f"v_{kk + _CCF_MAX_LAG}")
+        xc = F.when(yc.isNotNull(), F.col("cv"))
+        xd, yd = xc.cast(DEC19), yc.cast(DEC19)
+        n = F.count(yc).cast("double")
+        sx = F.sum(xd).cast("double")
+        sy = F.sum(yd).cast("double")
+        sxx = F.sum(xd * xc).cast("double")
+        syy = F.sum(yd * yc).cast("double")
+        sxy = F.sum(xd * yc).cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), 6) + F.lit(0.0),
+        )
+        i = kk + _CCF_MAX_LAG
+        aggs += [r.alias(f"ccf_{i}"), F.count(yc).cast("long").alias(f"n_{i}")]
+    g = j.agg(*aggs)
+    stack = ", ".join(
+        f"{kk}, ccf_{kk + _CCF_MAX_LAG}, n_{kk + _CCF_MAX_LAG}"
+        for kk in sorted(shifts)
+    )
+    return g.selectExpr(
+        f"stack({len(shifts)}, {stack}) AS (lag_k, ccf, n_pairs)"
+    ).orderBy("lag_k")
+
+
+def _a_cross_corr_leadlag_sql() -> str:
+    shift_cols, branches = [], []
+    for kk in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1):
+        i = kk + _CCF_MAX_LAG
+        if kk == 0:
+            shift_cols.append(f"vv AS v_{i}")
+        elif kk > 0:
+            shift_cols.append(f"lead(vv, {kk}) OVER (ORDER BY minute) AS v_{i}")
+        else:
+            shift_cols.append(f"lag(vv, {-kk}) OVER (ORDER BY minute) AS v_{i}")
+        xd = f"CASE WHEN v_{i} IS NOT NULL THEN CAST(cv AS DECIMAL(19,0)) END"
+        xr = f"CASE WHEN v_{i} IS NOT NULL THEN cv END"
+        yd = f"CAST(v_{i} AS DECIMAL(19,0))"
+        m = (
+            f"SELECT CAST(COUNT(v_{i}) AS DOUBLE) AS n,"
+            f" CAST(COUNT(v_{i}) AS BIGINT) AS n_pairs,\n"
+            f"    CAST(SUM({xd}) AS DOUBLE) AS sx,"
+            f" CAST(SUM({yd}) AS DOUBLE) AS sy,\n"
+            f"    CAST(SUM(({xd}) * ({xr})) AS DOUBLE) AS sxx,\n"
+            f"    CAST(SUM({yd} * v_{i}) AS DOUBLE) AS syy,\n"
+            f"    CAST(SUM(({xd}) * v_{i}) AS DOUBLE) AS sxy\n"
+            f"  FROM shifted"
+        )
+        branches.append(
+            f"SELECT {kk} AS lag_k,\n"
+            f"  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN\n"
+            f"    round((n*sxy - sx*sy)"
+            f" / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) + 0.0 END AS ccf,\n"
+            f"  n_pairs\nFROM ({m})"
+        )
+    cols = ",\n    ".join(shift_cols)
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {MINUTES_CTE}, j AS (
+  SELECT y.minute, y.mv AS cv, x.mv AS vv
+  FROM (SELECT minute, mv FROM minutes WHERE event_type = '{_EG_Y}') y
+  JOIN (SELECT minute, mv FROM minutes WHERE event_type = '{_EG_X}') x
+    USING (minute)
+), shifted AS (
+  SELECT cv,
+    {cols}
+  FROM j
+)
+SELECT * FROM (
+{union}
+) ORDER BY lag_k
+"""
+
+
+R9B_QUERIES["a_cross_corr_leadlag"] = a_cross_corr_leadlag
+_R9B_ORACLES["a_cross_corr_leadlag"] = _a_cross_corr_leadlag_sql
+
+
+# --------------------------------------------------------- ti_kaufman_er
+
+
+def ti_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman efficiency ratio per symbol over the full tick series:
+    ER = |net price change| / sum of absolute tick changes.  ER near 1
+    means trending (every tick in the same direction); near 0 means
+    churn.  The adaptive-MA building block complementing ti_atr.
+
+    Determinism: numerator and denominator are exact BIGINTs
+    (arg-min/max endpoints by (ts, event_id)); the single division
+    uses the exact half-away micro path.  Scale shape: one window
+    sort per symbol for the diffs + one map-side-combined agg."""
+    e = _ticks(spark, sf_dir)
+    w = _wt()
+    e = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "vm",
+        F.abs(F.col("vm") - F.lag("vm").over(w)).alias("ad"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.expr("min_by(vm, struct(ts, event_id))").alias("first_vm"),
+        F.expr("max_by(vm, struct(ts, event_id))").alias("last_vm"),
+        F.coalesce(F.sum("ad"), F.lit(0)).cast("long").alias("path"),
+    )
+    return g.select(
+        "event_type",
+        "n_ticks",
+        F.when(
+            F.col("path") > 0,
+            round_ratio_micro_dec(
+                F.abs(F.col("last_vm") - F.col("first_vm")).cast(DEC),
+                F.col("path"),
+            ),
+        ).alias("efficiency_ratio"),
+    ).orderBy("event_type")
+
+
+def _ti_kaufman_er_sql() -> str:
+    # DECIMAL(38,6): the helper multiplies by 1e6 BEFORE its HUGEINT
+    # cast, so an int64-scale numerator needs int128 headroom.
+    er = sql_round_ratio_micro_huge(
+        "CAST(abs(last_vm - first_vm) AS DECIMAL(38,6))", "path"
+    )
+    return f"""
+WITH {TICKS_CTE}, d AS (
+  SELECT event_type, vm,
+    abs(vm - lag(vm) OVER ({_WT_SQL})) AS ad,
+    first_value(vm) OVER ({_WT_SQL}) AS fvm,
+    last_value(vm) OVER ({_WT_SQL}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lvm
+  FROM ticks
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+    MAX(fvm) AS first_vm, MAX(lvm) AS last_vm,
+    CAST(coalesce(SUM(ad), 0) AS BIGINT) AS path
+  FROM d GROUP BY 1
+)
+SELECT event_type, n_ticks,
+  CASE WHEN path > 0 THEN {er} END AS efficiency_ratio
+FROM g ORDER BY event_type
+"""
+
+
+R9B_QUERIES["ti_kaufman_er"] = ti_kaufman_er
+_R9B_ORACLES["ti_kaufman_er"] = _ti_kaufman_er_sql
+
+
+# --------------------------------------------------------------- ti_cmf
+
+_CMF_WINDOW = 20
+
+
+def ti_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Money Flow per symbol over daily bars: the 20-day
+    ratio of accumulation/distribution volume to total volume, where
+    each bar contributes mfv = vol * ((close-low)-(high-close))
+    / (high-low).  CMF > 0 sustained means buying pressure.
+
+    Determinism: the per-bar multiplier is one IEEE chain on micro
+    integers, quantized to a micro BIGINT before the window sums, so
+    both rolling sums are exact integer folds; only bars with n >= 20
+    trailing days are scored.  Scale shape: bar build + one window
+    per symbol + one 5-row agg (arg-max endpoints)."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    rng = F.col("hm") - F.col("lm")
+    mfm = F.when(
+        rng > 0,
+        (F.lit(2) * F.col("cm") - F.col("lm") - F.col("hm")).cast("double")
+        / rng,
+    ).otherwise(F.lit(0.0))
+    b = bars.select(
+        "event_type",
+        "day",
+        "vol",
+        F.round(mfm * F.col("vol") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("mfv_micro"),
+    )
+    wf = _wd().rowsBetween(-(_CMF_WINDOW - 1), 0)
+    b = b.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wf).alias("nw"),
+        F.sum("mfv_micro").over(wf).alias("s_mfv"),
+        F.sum("vol").over(wf).alias("s_vol"),
+    ).where((F.col("nw") >= _CMF_WINDOW) & (F.col("s_vol") > 0))
+    cmf = (
+        F.round(
+            F.col("s_mfv").cast("double")
+            / (F.lit(1_000_000.0) * F.col("s_vol")),
+            6,
+        )
+        + F.lit(0.0)
+    ).alias("cmf6")
+    b = b.select("event_type", "day", cmf)
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr("max_by(cmf6, day)").alias("last_cmf"),
+            F.min("cmf6").alias("min_cmf"),
+            F.max("cmf6").alias("max_cmf"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _ti_cmf_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (  # noqa: F401
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    frame = f"{_WD_SQL} ROWS BETWEEN {_CMF_WINDOW - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+WITH {DAILY_BARS_CTE}, mf AS (
+  SELECT event_type, day, vol,
+    CAST(round(
+      (CASE WHEN hm - lm > 0
+            THEN CAST(2*cm - lm - hm AS DOUBLE) / (hm - lm)
+            ELSE 0.0 END) * vol * 1000000) AS BIGINT) AS mfv_micro
+  FROM bars
+), rolled AS (
+  SELECT event_type, day,
+    COUNT(*) OVER ({frame}) AS nw,
+    SUM(mfv_micro) OVER ({frame}) AS s_mfv,
+    SUM(vol) OVER ({frame}) AS s_vol
+  FROM mf
+), scored AS (
+  SELECT event_type, day,
+    round(CAST(s_mfv AS DOUBLE) / (1000000.0 * s_vol), 6) + 0.0 AS cmf6
+  FROM rolled WHERE nw >= {_CMF_WINDOW} AND s_vol > 0
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+  arg_max(cmf6, day) AS last_cmf,
+  MIN(cmf6) AS min_cmf,
+  MAX(cmf6) AS max_cmf
+FROM scored GROUP BY 1 ORDER BY event_type
+"""
+
+
+R9B_QUERIES["ti_cmf"] = ti_cmf
+_R9B_ORACLES["ti_cmf"] = _ti_cmf_sql
+
+
+# --------------------------------------------------- a_markov_entropy_rate
+
+
+def a_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plug-in entropy rate of the per-user event-type Markov chain
+    (the information-theoretic summary of a_markov_transition's
+    matrix): H = sum_ij (n_ij/N) * ln(n_i./n_ij) nats — the
+    conditional entropy of the next event type given the current one,
+    under the empirical joint.  efficiency = H / ln(n_states) in
+    [0, 1]; near 1 means next-event is unpredictable.
+
+    Determinism: counts are exact; each of the <= |types|^2 cell terms
+    is one IEEE chain quantized to nano BIGINTs before the final sum.
+    Scale shape: one per-user lead window + a |types|^2 agg + a 1-row
+    fold — nothing data-sized past the first agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("cur_type"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("next_type", F.lead("cur_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    row_tot = trans.groupBy("cur_type").agg(F.sum("nij").alias("ni"))
+    cells = trans.join(F.broadcast(row_tot), "cur_type")
+    tot = cells.agg(
+        F.sum("nij").alias("nn"),
+        F.count_distinct("cur_type").alias("ns"),
+    )
+    term = (
+        F.col("nij").cast("double") / F.col("nn")
+    ) * F.log(F.col("ni").cast("double") / F.col("nij"))
+    scored = cells.crossJoin(F.broadcast(tot)).select(
+        "nn",
+        "ns",
+        F.round(term * F.lit(1e9), 0).cast("long").alias("tn"),
+    )
+    g = scored.groupBy("nn", "ns").agg(F.sum("tn").alias("hn"))
+    h = F.col("hn") / F.lit(1e9)
+    return g.select(
+        F.col("nn").cast("long").alias("n_transitions"),
+        F.col("ns").cast("long").alias("n_states"),
+        F.round(h, 6).alias("entropy_rate_nats"),
+        F.round(h / F.log(F.col("ns").cast("double")), 6).alias(
+            "efficiency"
+        ),
+    )
+
+
+def _a_markov_entropy_rate_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type AS cur_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+), trans AS (
+  SELECT cur_type, next_type, COUNT(*) AS nij
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), rows_t AS (
+  SELECT cur_type, SUM(nij) AS ni FROM trans GROUP BY 1
+), cells AS (
+  SELECT t.cur_type, t.nij, r.ni FROM trans t JOIN rows_t r USING (cur_type)
+), tot AS (
+  SELECT SUM(nij) AS nn, COUNT(DISTINCT cur_type) AS ns FROM cells
+), scored AS (
+  SELECT nn, ns,
+    CAST(round((CAST(nij AS DOUBLE) / nn)
+               * ln(CAST(ni AS DOUBLE) / nij) * 1e9) AS BIGINT) AS tn
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(nn AS BIGINT) AS n_transitions, CAST(ns AS BIGINT) AS n_states,
+  round(SUM(tn) / 1e9, 6) AS entropy_rate_nats,
+  round(SUM(tn) / 1e9 / ln(CAST(ns AS DOUBLE)), 6) AS efficiency
+FROM scored GROUP BY nn, ns
+"""
+
+
+R9B_QUERIES["a_markov_entropy_rate"] = a_markov_entropy_rate
+_R9B_ORACLES["a_markov_entropy_rate"] = _a_markov_entropy_rate_sql

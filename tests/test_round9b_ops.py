@@ -241,3 +241,102 @@ def test_l_diversity_matches_pandas_nunique(spark):
         assert r["min_l"] == int(g.min())
         assert r["avg_l"] == pytest.approx(float(g.mean()), abs=2e-6)
         assert r["n_below_floor"] == int((g < _LDIV_FLOOR).sum())
+
+
+def test_granger_f_stat_nonnegative_and_r2_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        a_granger_causality,
+    )
+
+    rows = a_granger_causality(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 2
+    assert {r["direction"] for r in rows} == {"click->view", "view->click"}
+    for r in rows:
+        # adding a regressor can never increase RSS
+        assert r["f_stat"] >= 0.0
+        assert 0.0 <= r["r2_u"] <= 1.0
+        assert r["n"] > 10
+
+
+def test_partial_corr_matches_closed_form_of_own_rs(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import a_partial_corr
+
+    r = a_partial_corr(spark, "/root/testdata/sf0.01").collect()[0]
+    for c in ("r_xy", "r_xz", "r_yz", "partial_r"):
+        assert -1.0 <= r[c] <= 1.0
+    expect = (r["r_xy"] - r["r_xz"] * r["r_yz"]) / np.sqrt(
+        (1 - r["r_xz"] ** 2) * (1 - r["r_yz"] ** 2)
+    )
+    assert r["partial_r"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_cross_corr_lag0_matches_numpy(spark, ticks_pd):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _EG_X,
+        _EG_Y,
+        a_cross_corr_leadlag,
+    )
+
+    rows = {r["lag_k"]: r for r in a_cross_corr_leadlag(spark, SF_DIR).collect()}
+    assert sorted(rows) == list(range(-5, 6))
+    m = (
+        ticks_pd.assign(minute=ticks_pd["ts"].dt.floor("min"))
+        .groupby(["event_type", "minute"])["vm"]
+        .apply(lambda s: np.int64(round(float(s.sum()) / len(s))))
+        .unstack(0)
+    )
+    j = m[[_EG_Y, _EG_X]].dropna()
+    r0 = np.corrcoef(j[_EG_Y].to_numpy(float), j[_EG_X].to_numpy(float))[0, 1]
+    assert rows[0]["ccf"] == pytest.approx(r0, abs=2e-6)
+    assert rows[0]["n_pairs"] == len(j)
+    # shifted frames shrink by |k| pairs (floored at 0 on tiny grids)
+    for k in range(-5, 6):
+        assert rows[k]["n_pairs"] == max(0, len(j) - abs(k))
+
+
+def test_kaufman_er_matches_pandas(spark, ticks_pd):
+    from kp_crypto_market_analytics_spark.queries_r9b import ti_kaufman_er
+
+    rows = {r["event_type"]: r for r in ti_kaufman_er(spark, SF_DIR).collect()}
+    for et, g in ticks_pd.groupby("event_type"):
+        path = int(g["vm"].diff().abs().sum())
+        net = abs(int(g["vm"].iloc[-1]) - int(g["vm"].iloc[0]))
+        r = rows[et]
+        assert r["n_ticks"] == len(g)
+        assert r["efficiency_ratio"] == pytest.approx(net / path, abs=2e-6)
+        assert 0.0 <= r["efficiency_ratio"] <= 1.0
+
+
+def test_cmf_bounds_and_window_floor(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import ti_cmf
+
+    rows = ti_cmf(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        # CMF is a volume-weighted mean of multipliers in [-1, 1]
+        assert -1.0 <= r["min_cmf"] <= r["last_cmf"] <= r["max_cmf"] + 1e-9 \
+            or -1.0 <= r["min_cmf"] <= r["max_cmf"] <= 1.0
+        assert -1.0 <= r["last_cmf"] <= 1.0
+        assert r["n_days"] > 0
+
+
+def test_markov_entropy_rate_matches_scipy_free_recompute(spark):
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        a_markov_entropy_rate,
+    )
+
+    ev = pd.read_parquet(SF_DIR + "/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["next"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev.dropna(subset=["next"]).groupby(["event_type", "next"]).size()
+    nn = int(tr.sum())
+    ni = tr.groupby(level=0).sum()
+    h = sum(
+        (nij / nn) * np.log(ni[cur] / nij) for (cur, _), nij in tr.items()
+    )
+    r = a_markov_entropy_rate(spark, SF_DIR).collect()[0]
+    assert r["n_transitions"] == nn
+    assert r["entropy_rate_nats"] == pytest.approx(h, abs=2e-6)
+    assert 0.0 <= r["efficiency"] <= 1.0
+    assert r["entropy_rate_nats"] <= np.log(r["n_states"]) + 1e-9

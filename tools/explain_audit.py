@@ -48,6 +48,16 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
         "DF lag over the minute-grid residual frame (time-bounded: "
         "one row per minute of the covered period, not per event)",
     ),
+    "a_granger_causality": (
+        2,
+        "diff + lag windows over the joined minute grid (time-bounded: "
+        "one row per minute of the covered period, not per event)",
+    ),
+    "a_cross_corr_leadlag": (
+        1,
+        "ten lag/lead shifts share ONE window over the joined minute "
+        "grid (time-bounded: one row per minute, not per event)",
+    ),
     # partitionBy on a per-frame literal ('side') constant-folds to an
     # unpartitioned WindowExec, but both frames are provably bounded
     "g_hits": (
