@@ -147,6 +147,7 @@ _FIRST_SEEN_ROUND.update(
         "dq_l_diversity",
         "a_granger_causality", "a_partial_corr", "a_cross_corr_leadlag",
         "ti_kaufman_er", "ti_cmf", "a_markov_entropy_rate",
+        "a_vpin_stream_parity",
     )}
 )
 

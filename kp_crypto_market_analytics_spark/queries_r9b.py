@@ -1833,3 +1833,111 @@ FROM scored GROUP BY nn, ns
 
 R9B_QUERIES["a_markov_entropy_rate"] = a_markov_entropy_rate
 _R9B_ORACLES["a_markov_entropy_rate"] = _a_markov_entropy_rate_sql
+
+
+# ---------------------------------------------------- a_vpin_stream_parity
+
+_SVPIN_V = 2000  # fixed bucket volume — the streaming operator's param
+
+
+def a_vpin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming VPIN operator
+    (streaming/vpin.py): the completed fixed-volume buckets of each
+    symbol's tick-rule-classified tape.  Bucket ids are pure integer
+    arithmetic (cumulative-volume-before DIV the FIXED bucket volume —
+    streaming cannot know total volume, so unlike a_vpin the clock is
+    a parameter, not data-derived), and a bucket is complete exactly
+    when a later bucket has rows, so each symbol's max bucket id (the
+    operator's in-state open bucket) is dropped.  tests/
+    test_sinks_streaming.py pins the real applyInPandasWithState
+    operator to this table row-for-row across 3 file-split triggers.
+
+    Determinism: every column is an exact BIGINT.  Scale shape: the
+    a_vpin window pair + one (type, bucket) agg; output rows =
+    total_volume / V per symbol."""
+    e = _ticks(spark, sf_dir)
+    w = _wt()
+    d = F.col("vm") - F.lag("vm").over(w)
+    s0 = F.when(d > 0, 1).when(d < 0, -1)
+    e = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "k",
+        F.last(s0, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+    ).where(F.col("s").isNotNull() & F.col("k").isNotNull())
+    cumb = F.coalesce(
+        F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    e = e.select(
+        "event_type",
+        "s",
+        "k",
+        F.call_function("div", cumb, F.lit(_SVPIN_V)).alias("bucket_id"),
+    )
+    b = e.groupBy("event_type", "bucket_id").agg(
+        F.sum(F.when(F.col("s") == 1, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("buy_vol"),
+        F.sum(F.when(F.col("s") == -1, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("sell_vol"),
+        F.sum("k").cast("long").alias("bucket_vol"),
+    )
+    wmax = Window.partitionBy("event_type")
+    b = b.withColumn("__max_b", F.max("bucket_id").over(wmax)).where(
+        F.col("bucket_id") < F.col("__max_b")
+    )
+    return b.select(
+        "event_type",
+        "bucket_id",
+        "buy_vol",
+        "sell_vol",
+        "bucket_vol",
+        F.abs(F.col("buy_vol") - F.col("sell_vol")).alias("imbalance"),
+    ).orderBy("event_type", "bucket_id")
+
+
+def _a_vpin_stream_parity_sql() -> str:
+    return f"""
+WITH {TICKS_CTE}, diffs AS (
+  SELECT event_type, ts, event_id, k,
+    CASE WHEN vm - lag(vm) OVER ({_WT_SQL}) > 0 THEN 1
+         WHEN vm - lag(vm) OVER ({_WT_SQL}) < 0 THEN -1 END AS s0
+  FROM ticks
+), signed AS (
+  SELECT event_type, ts, event_id, k,
+    last_value(s0 IGNORE NULLS)
+      OVER ({_WT_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM diffs
+), classified AS (
+  SELECT event_type, ts, event_id, k, s FROM signed
+  WHERE s IS NOT NULL AND k IS NOT NULL
+), clocked AS (
+  SELECT event_type, s, k,
+    coalesce(SUM(k) OVER ({_WT_SQL}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // {_SVPIN_V} AS bucket_id
+  FROM classified
+), buckets AS (
+  SELECT event_type, bucket_id,
+    CAST(SUM(CASE WHEN s = 1 THEN k ELSE 0 END) AS BIGINT) AS buy_vol,
+    CAST(SUM(CASE WHEN s = -1 THEN k ELSE 0 END) AS BIGINT) AS sell_vol,
+    CAST(SUM(k) AS BIGINT) AS bucket_vol
+  FROM clocked GROUP BY 1, 2
+)
+SELECT event_type, bucket_id, buy_vol, sell_vol, bucket_vol,
+  abs(buy_vol - sell_vol) AS imbalance
+FROM (
+  SELECT *, MAX(bucket_id) OVER (PARTITION BY event_type) AS max_b
+  FROM buckets
+) WHERE bucket_id < max_b
+ORDER BY event_type, bucket_id
+"""
+
+
+R9B_QUERIES["a_vpin_stream_parity"] = a_vpin_stream_parity
+_R9B_ORACLES["a_vpin_stream_parity"] = _a_vpin_stream_parity_sql

@@ -1428,3 +1428,124 @@ def test_stream_enrich_matches_gated_digest(spark, tmp_path):
         for k, v in got.groupby("event_type")
     }
     assert dig == gated and len(gated) == 5
+
+
+def test_vpin_stream_matches_gated_fold(spark, tmp_path):
+    # The streaming VPIN operator (keyed state: last price, carried
+    # sign, cumulative volume, one open bucket) is pinned row-for-row
+    # to the oracle-gated completed-bucket table
+    # (a_vpin_stream_parity).  Stream the sf0.001 tape as 3
+    # time-contiguous files through the REAL applyInPandasWithState
+    # operator; emissions must be bitwise-identical integers — and
+    # the in-state open bucket must equal exactly the rows the batch
+    # fold drops.
+    import numpy as np
+
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _SVPIN_V,
+        _ticks,
+        a_vpin_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.streaming.vpin import vpin_stream
+
+    sfd = "/root/testdata/sf0.001"
+    gated = (
+        a_vpin_stream_parity(spark, sfd)
+        .toPandas()
+        .sort_values(["event_type", "bucket_id"])
+        .reset_index(drop=True)
+    )
+
+    e = _ticks(spark, sfd).select("event_type", "event_id", "ts", "vm", "k")
+    pdf = e.toPandas()
+    ms = pdf["ts"].astype("int64") // 10**6
+    lo, hi = int(ms.min()), int(ms.max())
+    pdf["b"] = np.minimum(3, 1 + (ms - lo) * 3 // (hi - lo + 1))
+    src = str(tmp_path / "src")
+    for b in range(1, 4):
+        part = pdf[pdf["b"] == b].drop(columns=["b"])
+        spark.createDataFrame(part, schema=e.schema).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = vpin_stream(stream, bucket_volume=_SVPIN_V)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vpin_parity_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("vpin_parity_out")
+        .toPandas()
+        .sort_values(["event_type", "bucket_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(gated) > 0
+    for col in ("bucket_id", "buy_vol", "sell_vol", "bucket_vol", "imbalance"):
+        assert (
+            got[col].astype("int64").to_numpy()
+            == gated[col].astype("int64").to_numpy()
+        ).all(), col
+    assert (got["event_type"] == gated["event_type"]).all()
+    # bitwise integer parity: completed buckets conserve classified
+    # volume up to (but excluding) each symbol's open bucket
+    assert (got["buy_vol"] + got["sell_vol"] == got["bucket_vol"]).all()
+
+
+def test_vpin_stream_boundary_independence(spark, tmp_path):
+    # Same tape streamed as ONE file must emit the identical bucket
+    # rows as the 3-file run (the state carries the open bucket and
+    # carried sign across triggers, so boundaries cannot matter).
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _SVPIN_V,
+        _ticks,
+    )
+    from kp_crypto_market_analytics_spark.streaming.vpin import vpin_stream
+
+    sfd = "/root/testdata/sf0.001"
+    e = _ticks(spark, sfd).select("event_type", "event_id", "ts", "vm", "k")
+    src = str(tmp_path / "one")
+    e.coalesce(1).write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        vpin_stream(stream, bucket_volume=_SVPIN_V)
+        .writeStream.format("memory")
+        .queryName("vpin_onefile_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("vpin_onefile_out")
+        .toPandas()
+        .sort_values(["event_type", "bucket_id"])
+        .reset_index(drop=True)
+    )
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        a_vpin_stream_parity,
+    )
+
+    gated = (
+        a_vpin_stream_parity(spark, sfd)
+        .toPandas()
+        .sort_values(["event_type", "bucket_id"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == gated.shape
+    assert (
+        got["imbalance"].astype("int64").to_numpy()
+        == gated["imbalance"].astype("int64").to_numpy()
+    ).all()
