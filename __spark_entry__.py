@@ -178,6 +178,10 @@ _CHANGED_IN_ROUND = {
     "dedup_incremental": 9,
     "dedup_lsh_recall": 9,
     "dedup_lsh_bucket_cap": 9,
+    # round 9: e_isotropy bin edges recomputed as exact int/10 doubles
+    # (the 0.2-literal decimal-vs-double 1-ULP divergence); pre-r9
+    # rows hash the old edges.
+    "e_isotropy": 9,
 }
 
 

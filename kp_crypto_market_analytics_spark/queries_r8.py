@@ -1979,8 +1979,16 @@ def e_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             F.col("bin").cast("long").alias("bin"),
-            (F.col("bin") * 0.2 - 1.0).alias("lo"),
-            ((F.col("bin") + 1) * 0.2 - 1.0).alias("hi"),
+            # integer-over-ten: DuckDB parses the 0.2 literal as
+            # DECIMAL (exact) while Spark folds it as a double, a
+            # 1-ULP structural divergence on bins 2/3/7 — both
+            # engines agree on CAST(int AS DOUBLE)/10
+            ((F.col("bin") * 2 - 10).cast("double") / F.lit(10.0)).alias(
+                "lo"
+            ),
+            ((F.col("bin") * 2 - 8).cast("double") / F.lit(10.0)).alias(
+                "hi"
+            ),
             F.col("n_pairs").cast("long").alias("n_pairs"),
             (F.round(mean, 6) + F.lit(0.0)).alias("mean_cos"),
             (F.round(sd, 6) + F.lit(0.0)).alias("sd_cos"),
@@ -2020,7 +2028,8 @@ WITH s AS (
   FROM binned
 )
 SELECT CAST(bin AS BIGINT) AS bin,
-  bin * 0.2 - 1.0 AS lo, (bin + 1) * 0.2 - 1.0 AS hi,
+  CAST(bin * 2 - 10 AS DOUBLE) / CAST(10 AS DOUBLE) AS lo,
+  CAST(bin * 2 - 8 AS DOUBLE) / CAST(10 AS DOUBLE) AS hi,
   CAST(COUNT(*) AS BIGINT) AS n_pairs,
   round(CAST(s AS DOUBLE) / (n * 1e6), 6) + 0.0 AS mean_cos,
   round(sqrt((CAST(q AS DOUBLE)
