@@ -1929,7 +1929,8 @@ WITH {TICKS_CTE}, diffs AS (
     CAST(SUM(k) AS BIGINT) AS bucket_vol
   FROM clocked GROUP BY 1, 2
 )
-SELECT event_type, bucket_id, buy_vol, sell_vol, bucket_vol,
+SELECT event_type, CAST(bucket_id AS BIGINT) AS bucket_id,
+  buy_vol, sell_vol, bucket_vol,
   abs(buy_vol - sell_vol) AS imbalance
 FROM (
   SELECT *, MAX(bucket_id) OVER (PARTITION BY event_type) AS max_b
