@@ -168,10 +168,13 @@ def j_stream_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality.
 
     Determinism: all-integer digest (counts, epoch-ms lags).  Scale
-    shape: one range self-join shuffled on the type key — the
-    time-range predicate bounds per-fact fan-out by the 5-minute
-    lookback (what bounds streaming state also bounds the batch
-    blowup), then one map-side-combined agg to |types| rows."""
+    shape: the operator's batch mode buckets time at the lookback
+    width (streaming/joins.py), so the join key is the
+    high-cardinality (type, 5-min bucket) — never a bare equi-join on
+    the |types|-value key, whose per-key pair frame is quadratic in
+    symbol depth — and the exact range predicate filters the <= 2
+    candidate buckets per ctx row; then one map-side-combined agg to
+    |types| rows."""
     from kp_crypto_market_analytics_spark.streaming.joins import (
         enrich_with_recent,
     )

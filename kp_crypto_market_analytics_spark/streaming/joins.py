@@ -33,13 +33,64 @@ def enrich_with_recent(
     State bound: |keys| × (watermark + lookback) worth of context rows.
     """
     f, c = facts, context
-    if f.isStreaming:
-        f = f.withWatermark(fact_ts, watermark)
-    if c.isStreaming:
-        c = c.withWatermark(ctx_ts, watermark)
-    cond = (
-        (F.col(f"f.{key}") == F.col(f"c.{key}"))
-        & (F.col(f"c.{ctx_ts}") <= F.col(f"f.{fact_ts}"))
-        & (F.col(f"c.{ctx_ts}") > F.col(f"f.{fact_ts}") - F.expr(f"INTERVAL {lookback}"))
+    in_range = lambda: (  # noqa: E731
+        (F.col(f"c.{ctx_ts}") <= F.col(f"f.{fact_ts}"))
+        & (
+            F.col(f"c.{ctx_ts}")
+            > F.col(f"f.{fact_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
     )
-    return f.alias("f").join(c.alias("c"), cond, how)
+    if f.isStreaming or c.isStreaming:
+        # Streaming: the raw time-range condition must live in the join
+        # so Spark derives the state bound from it (watermark +
+        # lookback eviction).
+        if f.isStreaming:
+            f = f.withWatermark(fact_ts, watermark)
+        if c.isStreaming:
+            c = c.withWatermark(ctx_ts, watermark)
+        cond = (F.col(f"f.{key}") == F.col(f"c.{key}")) & in_range()
+        return f.alias("f").join(c.alias("c"), cond, how)
+    # Batch: an equi-join on a low-cardinality key materializes
+    # |facts|×|ctx| pairs PER KEY before the range filter — quadratic
+    # in symbol depth.  Bucket time at the lookback width instead
+    # (the operators.joins.range_join_buckets recipe): ctx_ts <=
+    # fact_ts < ctx_ts + L means the fact's bucket is the ctx's
+    # bucket or the next one, so the ctx side explodes into exactly 2
+    # buckets, the join key becomes the high-cardinality (key,
+    # bucket), and the exact predicate filters the tiny per-bucket
+    # candidates.  Row-for-row equal to the raw theta join.
+    lb_ms = _interval_ms(lookback)
+    fb = f.withColumn(
+        "__fb", F.floor(F.unix_millis(F.col(fact_ts)) / F.lit(lb_ms))
+    )
+    cbucket = F.floor(F.unix_millis(F.col(ctx_ts)) / F.lit(lb_ms))
+    cb = c.withColumn(
+        "__cb", F.explode(F.array(cbucket, cbucket + F.lit(1)))
+    )
+    cond = (
+        (F.col("f.__fb") == F.col("c.__cb"))
+        & (F.col(f"f.{key}") == F.col(f"c.{key}"))
+        & in_range()
+    )
+    return (
+        fb.alias("f")
+        .join(cb.alias("c"), cond, how)
+        .drop("__fb")
+        .drop("__cb")
+    )
+
+
+def _interval_ms(interval: str) -> int:
+    """Milliseconds in a simple ``'N unit'`` interval string."""
+    n, unit = interval.split()
+    unit_ms = {
+        "second": 1000,
+        "seconds": 1000,
+        "minute": 60_000,
+        "minutes": 60_000,
+        "hour": 3_600_000,
+        "hours": 3_600_000,
+        "day": 86_400_000,
+        "days": 86_400_000,
+    }[unit.lower()]
+    return int(n) * unit_ms
