@@ -49,9 +49,15 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
         "one row per minute of the covered period, not per event)",
     ),
     "a_granger_causality": (
-        2,
+        4,
         "diff + lag windows over the joined minute grid (time-bounded: "
-        "one row per minute of the covered period, not per event)",
+        "one row per minute, not per event); the two-direction UNION "
+        "duplicates the 2-window subtree, 2 x 2 = 4 WindowExec",
+    ),
+    "t_interleave_schedule": (
+        1,
+        "rank over the GENERATED |sources| x N_slots schedule frame "
+        "(both factors are query constants, not data volumes)",
     ),
     "a_cross_corr_leadlag": (
         1,
@@ -105,6 +111,16 @@ BLOCK_JOIN_ALLOWLIST: dict[str, tuple[int, str]] = {
         1,
         "pigeonhole chunk join over pHash bands (same argument as "
         "dedup_simhash_pairs)",
+    ),
+    # recall audit's bucket-hit check (r9): a LEFT SEMI join keyed on
+    # (doc_b, band-bucket) — the probe side is |truth pairs| x bands
+    # and each probe matches at most once, so the frame is linear in
+    # the truth set, never quadratic in bucket population (the hazard
+    # this gate exists for)
+    "dedup_lsh_recall": (
+        1,
+        "semi-join keyed on (doc, bucket): probe frame = |truth| x "
+        "bands, <=1 match per probe — linear in the truth set",
     ),
     # grid-cell interval join: cell population bounded by the busy-
     # user threshold (>= 6 events/day) — the documented tuning lever —

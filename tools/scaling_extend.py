@@ -41,32 +41,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_DIR = "/root/repo/testdata_synth/sf0.4"
-DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r08.json"
+DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r09.json"
 SRC = "/root/testdata/sf0.1"
 COPIES = 4
 DATA_RATIO = float(COPIES)
 MIN_HI_SEC = 2.0
 FLAG_FACTOR = 1.5
 
-# Round 8 (VERDICT r7 ask #3): the CURRENT slowest benched queries
-# (BENCH_HISTORY r8 min-of-2 sweep, build-inclusive) restricted to
-# the synthesizable tables.  Excluded with reasons:
-# a_bootstrap_ci / p_pruning_sim / g_triangle_count /
-# a_ddsketch_stream_parity / q_rank_movers / q_abc_pareto
-# (lineitem/orders/customer — TPC-H FK-consistent synthesis belongs
-# to the driver's generator, not this tool).
+# Round 9 (VERDICT r8 ask #6): the CURRENT slowest benched queries
+# (round-9 min-of-2 sweep) restricted to the synthesizable tables,
+# plus the two round-9 structural changes whose growth law must be
+# measured (the 64x16 LSH signature build and the bucketed enrich
+# join).  Excluded with reasons: a_bootstrap_ci / p_pruning_sim
+# (orders/lineitem — FK-consistent TPC-H synthesis belongs to the
+# driver's generator, not this tool).
 WORST_QUERIES = [
-    "t_mg_stream_parity",        # 5.4s, documents
-    "dedup_clusters",            # 4.2s, documents
-    "sim_pq_rerank",             # 4.0s, embeddings
-    "a_hll_stream_parity",       # 3.8s, events
-    "t_countmin_stream_parity",  # 3.5s, documents
-    "t_corpus_pipeline",         # 3.3s, documents (r8 composition)
-    "dedup_semantic",            # 3.1s, embeddings
-    "sim_pq_topk",               # 2.8s, embeddings
-    "t_ngram_novelty",           # 2.8s, documents
-    "t_rrf_fusion",              # 2.7s, documents
-    "dedup_containment",         # 2.7s, documents
+    "dedup_ngram_jaccard_sampled",  # 4.3s, documents (eval-tier tracker)
+    "sim_pq_rerank",                # 4.1s, embeddings
+    "dedup_clusters",               # 4.0s, documents
+    "t_corpus_pipeline",            # 3.8s, documents
+    "a_hurst_exponent",             # 3.6s, events
+    "dedup_semantic",               # 3.5s, embeddings
+    "t_rrf_fusion",                 # 3.3s, documents
+    "sim_pq_topk",                  # 3.2s, embeddings
+    "dedup_minhash_sig",            # 3.2s, documents (r9: 64 hashes)
+    "t_mg_stream_parity",           # 3.1s, documents
+    "dedup_minhash_lsh",            # 2.0s, documents (r9 banding)
+    "j_stream_enrich_parity",       # 1.8s warm, events (r9 bucketed join)
 ]
 
 ID_STRIDE = 100_000_000
