@@ -148,6 +148,8 @@ _FIRST_SEEN_ROUND.update(
         "a_granger_causality", "a_partial_corr", "a_cross_corr_leadlag",
         "ti_kaufman_er", "ti_cmf", "a_markov_entropy_rate",
         "a_vpin_stream_parity",
+        "t_naive_bayes", "a_cuped", "a_quantile_lift", "ti_ichimoku",
+        "ti_aroon",
     )}
 )
 

@@ -340,3 +340,97 @@ def test_markov_entropy_rate_matches_scipy_free_recompute(spark):
     assert r["entropy_rate_nats"] == pytest.approx(h, abs=2e-6)
     assert 0.0 <= r["efficiency"] <= 1.0
     assert r["entropy_rate_nats"] <= np.log(r["n_states"]) + 1e-9
+
+
+def test_naive_bayes_beats_prior_baseline(spark):
+    """In-sample NB must beat the majority-class prior (otherwise the
+    sufficient-statistics plumbing is broken), and the census must
+    cover every language with exact doc counts."""
+    from kp_crypto_market_analytics_spark.queries_r9c import t_naive_bayes
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = {r["lang"]: r for r in t_naive_bayes(spark, "/root/testdata/sf0.01").collect()}
+    counts = docs["lang"].value_counts()
+    assert set(rows) == set(counts.index)
+    total = int(counts.sum())
+    correct = sum(r["n_correct"] for r in rows.values())
+    majority = int(counts.max())
+    assert sum(r["n_docs"] for r in rows.values()) == total
+    assert correct > majority  # better than always-predict-majority
+    for r in rows.values():
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_docs"]
+
+
+def test_cuped_reduces_variance_and_preserves_lift_scale(spark):
+    from kp_crypto_market_analytics_spark.queries_r9c import a_cuped
+
+    r = a_cuped(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r["n_users"] > 10
+    # theta is cov/var of the same-scale means: sane envelope
+    assert -5.0 < r["theta"] < 5.0
+    # CUPED can only reduce pooled variance (theta is the OLS argmin)
+    assert 0.0 <= r["var_reduction"] < 1.0
+    assert abs(r["lift_adj"]) < 1e3 and abs(r["lift_raw"]) < 1e3
+
+
+def test_quantile_lift_monotone_deciles(spark):
+    from kp_crypto_market_analytics_spark.queries_r9c import a_quantile_lift
+
+    rows = a_quantile_lift(spark, "/root/testdata/sf0.01").collect()
+    assert [r["pct"] for r in rows] == list(range(10, 100, 10))
+    for col in ("q_arm_a", "q_arm_b"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals)  # deciles are monotone
+    for r in rows:
+        assert r["q_lift"] == pytest.approx(
+            r["q_arm_b"] - r["q_arm_a"], abs=1e-9
+        )
+
+
+def test_ichimoku_midpoints_bracket_price_extremes(spark):
+    from kp_crypto_market_analytics_spark.queries_r9c import ti_ichimoku
+
+    rows = ti_ichimoku(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        # a 9-day midpoint sits within the 52-day range midpoint band
+        assert r["senkou_b"] > 0
+        assert r["cloud_position"] in ("above", "below", "in_cloud")
+        # tenkan window is a subset of the senkou-B window: its high
+        # <= 52d high and low >= 52d low, so midpoints can differ, but
+        # both are positive prices under the data envelope
+        assert 0 < r["tenkan"] < 1e4 and 0 < r["kijun"] < 1e4
+
+
+def test_aroon_matches_pandas_rolling_argmax(spark):
+    from kp_crypto_market_analytics_spark.queries_r9c import (
+        _AROON_N,
+        ti_aroon,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import _daily_bars_df
+
+    bars = (
+        _daily_bars_df(spark, "/root/testdata/sf0.01")
+        .orderBy("event_type", "day")
+        .toPandas()
+    )
+    rows = {
+        (r["event_type"], r["day"]): r
+        for r in ti_aroon(spark, "/root/testdata/sf0.01").collect()
+    }
+    n_checked = 0
+    for et, g in bars.groupby("event_type"):
+        g = g.reset_index(drop=True)
+        for i in range(_AROON_N - 1, len(g)):
+            win_h = g["hm"].iloc[i - _AROON_N + 1 : i + 1]
+            win_l = g["lm"].iloc[i - _AROON_N + 1 : i + 1]
+            # most recent max/min (ties -> latest index)
+            ds_hi = i - win_h[win_h == win_h.max()].index[-1]
+            ds_lo = i - win_l[win_l == win_l.min()].index[-1]
+            r = rows[(et, g["day"].iloc[i])]
+            assert r["aroon_up"] == (_AROON_N - ds_hi) * 4
+            assert r["aroon_down"] == (_AROON_N - ds_lo) * 4
+            assert r["aroon_osc"] == r["aroon_up"] - r["aroon_down"]
+            n_checked += 1
+    assert n_checked == len(rows) > 0
