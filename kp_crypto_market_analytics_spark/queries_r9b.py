@@ -167,9 +167,14 @@ def ti_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(xd * F.col("sv")).cast("double")
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("__lam"),
+        (n * sxy - sx * sy).alias("__cov"),
+        (n * sxx - sx * sx).alias("__vx"),
     )
-    lam = F.col("__lam")
+    # guard: a degenerate tape (all signed volumes equal) has no
+    # defined slope — NULL, never a NaN that diverges from the oracle
+    lam = F.when(
+        F.col("__vx") > 0, F.col("__cov") / F.col("__vx")
+    )
     return g.select(
         "event_type",
         "n_pairs",
@@ -198,8 +203,9 @@ WITH {TICKS_CTE}, lagged AS (
   FROM sv GROUP BY 1
 )
 SELECT event_type, n_pairs,
-  round((n*sxy - sx*sy) / (n*sxx - sx*sx) / 1000000.0, 6) + 0.0
-    AS kyle_lambda
+  CASE WHEN n*sxx - sx*sx > 0 THEN
+    round((n*sxy - sx*sy) / (n*sxx - sx*sx) / 1000000.0, 6) + 0.0
+  END AS kyle_lambda
 FROM m ORDER BY event_type
 """
 
@@ -616,7 +622,11 @@ def a_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(kd * F.col("k")).cast("double")
     coef = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("b"),
+        # guard: constant volume regressor has no defined slope
+        F.when(
+            (n * sxx - sx * sx) > 0,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx),
+        ).alias("b"),
         sx.alias("sx"),
         sy.alias("sy"),
         n.alias("nd"),
@@ -680,8 +690,11 @@ WITH {TICKS_CTE}, base AS (
   FROM base GROUP BY 1
 ), coef AS (
   SELECT event_type, n,
-    (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS b,
-    (sy - (nd*sxy - sx*sy) / (nd*sxx - sx*sx) * sx) / nd AS a
+    CASE WHEN nd*sxx - sx*sx > 0
+         THEN (nd*sxy - sx*sy) / (nd*sxx - sx*sx) END AS b,
+    CASE WHEN nd*sxx - sx*sx > 0
+         THEN (sy - (nd*sxy - sx*sy) / (nd*sxx - sx*sx) * sx) / nd
+    END AS a
   FROM m
 ), resid AS (
   SELECT b.event_type, b.ts, b.event_id, c.n, c.b,
@@ -754,9 +767,15 @@ def a_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = (F.col("sd2") - F.col("sd") * F.col("sd") / F.col("n")) / F.col("n")
     lrv = g0
     for kk in range(1, _NW_LAGS + 1):
-        gk = (
-            F.col(f"s{kk}") - F.col(f"a{kk}") * F.col(f"b{kk}") / F.col(f"n{kk}")
-        ) / F.col(f"n{kk}")
+        # guard: series shorter than the lag contributes zero, not NaN
+        gk = F.when(
+            F.col(f"n{kk}") > 0,
+            (
+                F.col(f"s{kk}")
+                - F.col(f"a{kk}") * F.col(f"b{kk}") / F.col(f"n{kk}")
+            )
+            / F.col(f"n{kk}"),
+        ).otherwise(F.lit(0.0))
         lrv = lrv + F.lit(2.0) * (F.lit(1.0) - F.lit(float(kk)) / F.lit(float(_NW_LAGS + 1))) * gk
     return g.select(
         "event_type",
@@ -786,7 +805,10 @@ def _a_newey_west_sql() -> str:
     terms = [g0]
     for kk in range(1, _NW_LAGS + 1):
         w = f"(1.0 - {float(kk)} / {float(_NW_LAGS + 1)})"
-        terms.append(f"2.0 * {w} * ((s{kk} - a{kk}*b{kk}/n{kk}) / n{kk})")
+        terms.append(
+            f"2.0 * {w} * (CASE WHEN n{kk} > 0 THEN"
+            f" (s{kk} - a{kk}*b{kk}/n{kk}) / n{kk} ELSE 0.0 END)"
+        )
     lrv = " + ".join(terms)
     return f"""
 WITH {TICKS_CTE}, diffs AS (
@@ -889,11 +911,15 @@ def a_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(eld * F.col("de")).cast("double").alias("sede"),
         F.sum(ded * F.col("de")).cast("double").alias("sdede"),
     )
-    rho = F.col("sede") / F.col("see")
+    rho = F.when(F.col("see") > 0, F.col("sede") / F.col("see"))
     s2 = (F.col("sdede") - F.col("sede") * F.col("sede") / F.col("see")) / (
         F.col("np") - F.lit(1.0)
     )
-    t = rho / F.sqrt(s2 / F.col("see"))
+    # guard: a perfectly-fit pair has zero lagged-residual energy
+    t = F.when(
+        (F.col("see") > 0) & (F.col("np") > 1),
+        rho / F.sqrt(s2 / F.col("see")),
+    )
     return g.select(
         "n_minutes",
         (F.round(F.col("__b"), 6) + F.lit(0.0)).alias("hedge_ratio"),
@@ -941,10 +967,11 @@ WITH {MINUTES_CTE}, j AS (
 )
 SELECT n_minutes,
   round(b, 6) + 0.0 AS hedge_ratio,
-  round(sede / see, 6) + 0.0 AS rho,
-  round((sede / see)
-        / sqrt(((sdede - sede*sede/see) / (np - 1.0)) / see), 6) + 0.0
-    AS df_t
+  CASE WHEN see > 0 THEN round(sede / see, 6) + 0.0 END AS rho,
+  CASE WHEN see > 0 AND np > 1 THEN
+    round((sede / see)
+          / sqrt(((sdede - sede*sede/see) / (np - 1.0)) / see), 6) + 0.0
+  END AS df_t
 FROM g
 """
 
@@ -1072,7 +1099,9 @@ def t_coleman_liau(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     d = ensure_parallelism(t["documents"])
     letters = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
-    words = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    words = F.greatest(
+        F.lit(1), F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    )
     sentences = F.greatest(
         F.lit(1),
         F.length(F.regexp_replace(F.col("text"), "[^.!?]", "")),
@@ -1107,11 +1136,11 @@ WITH percdoc AS (
   SELECT source,
     round(0.0588 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                     AS DOUBLE) * 100.0
-                    / len(regexp_split_to_array(trim(text), '\s+')))
+                    / greatest(1, len(regexp_split_to_array(trim(text), '\s+'))))
         - 0.296 * (CAST(greatest(1,
                      length(regexp_replace(text, '[^.!?]', '', 'g')))
                     AS DOUBLE) * 100.0
-                    / len(regexp_split_to_array(trim(text), '\s+')))
+                    / greatest(1, len(regexp_split_to_array(trim(text), '\s+'))))
         - 15.8, 6) + 0.0 AS cli6
   FROM documents
 )
@@ -1269,12 +1298,19 @@ def a_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (czy * cuu - cuy * cuz) / den
     rss_u = cyy - b * cuy - c * czy
     rss_r = cyy - cuy * cuy / cuu
-    fstat = (rss_r - rss_u) * (nd - F.lit(3.0)) / rss_u
+    # guards: collinear regressors (den = 0) or a perfect fit
+    # (rss_u = 0) have no defined F; zero-variance y has no R^2
+    ok = (den != 0) & (cuu > 0)
+    fstat = F.when(
+        ok & (rss_u > 0),
+        (rss_r - rss_u) * (nd - F.lit(3.0)) / rss_u,
+    )
+    r2 = F.when(ok & (cyy > 0), F.lit(1.0) - rss_u / cyy)
     return g.select(
         "direction",
         "n",
         (F.round(fstat, 6) + F.lit(0.0)).alias("f_stat"),
-        (F.round(F.lit(1.0) - rss_u / cyy, 6) + F.lit(0.0)).alias("r2_u"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2_u"),
     ).orderBy("direction")
 
 
@@ -1319,16 +1355,21 @@ WITH {MINUTES_CTE}, j AS (
     suy - su*sy/nd AS cuy, szy - sz*sy/nd AS czy, suz - su*sz/nd AS cuz
   FROM m
 ), fit AS (
-  SELECT direction, n, nd, cyy, cuy, czy,
+  SELECT direction, n, nd, cyy, cuy, czy, cuu,
+    cuu*czz - cuz*cuz AS det,
     (cuy*czz - czy*cuz) / (cuu*czz - cuz*cuz) AS b,
     (czy*cuu - cuy*cuz) / (cuu*czz - cuz*cuz) AS c2,
     cyy - cuy*cuy/cuu AS rss_r
   FROM c
 )
 SELECT direction, n,
-  round((rss_r - (cyy - b*cuy - c2*czy)) * (nd - 3.0)
-        / (cyy - b*cuy - c2*czy), 6) + 0.0 AS f_stat,
-  round(1.0 - (cyy - b*cuy - c2*czy) / cyy, 6) + 0.0 AS r2_u
+  CASE WHEN det <> 0 AND cuu > 0 AND cyy - b*cuy - c2*czy > 0 THEN
+    round((rss_r - (cyy - b*cuy - c2*czy)) * (nd - 3.0)
+          / (cyy - b*cuy - c2*czy), 6) + 0.0
+  END AS f_stat,
+  CASE WHEN det <> 0 AND cuu > 0 AND cyy > 0 THEN
+    round(1.0 - (cyy - b*cuy - c2*czy) / cyy, 6) + 0.0
+  END AS r2_u
 FROM fit ORDER BY direction
 """
 
@@ -1396,16 +1437,18 @@ def a_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("syz", "sy", "sz", "syy", "szz").alias("r_yz"),
     )
     num = F.col("r_xy") - F.col("r_xz") * F.col("r_yz")
-    den = F.sqrt(
-        (F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
-        * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz"))
+    den2 = (F.lit(1.0) - F.col("r_xz") * F.col("r_xz")) * (
+        F.lit(1.0) - F.col("r_yz") * F.col("r_yz")
     )
+    # guard: |control correlation| = 1 leaves no residual variance
     return g.select(
         "n_minutes",
         "r_xy",
         "r_xz",
         "r_yz",
-        (F.round(num / den, 6) + F.lit(0.0)).alias("partial_r"),
+        F.when(
+            den2 > 0, F.round(num / F.sqrt(den2), 6) + F.lit(0.0)
+        ).alias("partial_r"),
     )
 
 
@@ -1446,8 +1489,10 @@ WITH {MINUTES_CTE}, j AS (
   FROM m
 )
 SELECT n_minutes, r_xy, r_xz, r_yz,
-  round((r_xy - r_xz*r_yz)
-        / sqrt((1.0 - r_xz*r_xz) * (1.0 - r_yz*r_yz)), 6) + 0.0 AS partial_r
+  CASE WHEN (1.0 - r_xz*r_xz) * (1.0 - r_yz*r_yz) > 0 THEN
+    round((r_xy - r_xz*r_yz)
+          / sqrt((1.0 - r_xz*r_xz) * (1.0 - r_yz*r_yz)), 6) + 0.0
+  END AS partial_r
 FROM rs
 """
 

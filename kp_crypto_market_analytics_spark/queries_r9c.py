@@ -305,9 +305,12 @@ def a_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pd_ * F.col("pre")).cast("double").alias("spp"),
         F.sum(pd_ * F.col("post")).cast("double").alias("spo"),
     )
-    theta = (
-        F.col("spo") - F.col("sp") * F.col("so") / F.col("nd")
-    ) / (F.col("spp") - F.col("sp") * F.col("sp") / F.col("nd"))
+    # guard: constant pre-period means leave theta undefined
+    theta = F.when(
+        (F.col("spp") - F.col("sp") * F.col("sp") / F.col("nd")) > 0,
+        (F.col("spo") - F.col("sp") * F.col("so") / F.col("nd"))
+        / (F.col("spp") - F.col("sp") * F.col("sp") / F.col("nd")),
+    )
     scal = mom.select(
         "n_users",
         theta.alias("theta"),
@@ -363,9 +366,10 @@ def a_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("__theta"), 6) + F.lit(0.0)).alias("theta"),
         (F.round(lift_raw, 6) + F.lit(0.0)).alias("lift_raw"),
         (F.round(lift_adj, 6) + F.lit(0.0)).alias("lift_adj"),
-        (F.round(F.lit(1.0) - var_a / var_y, 6) + F.lit(0.0)).alias(
-            "var_reduction"
-        ),
+        F.when(
+            var_y > 0,
+            F.round(F.lit(1.0) - var_a / var_y, 6) + F.lit(0.0),
+        ).alias("var_reduction"),
     )
 
 
@@ -396,7 +400,8 @@ WITH {TICKS_CTE}, span AS (
   FROM u
 ), scal AS (
   SELECT n_users,
-    (spo - sp*so/nd) / (spp - sp*sp/nd) AS theta,
+    CASE WHEN spp - sp*sp/nd > 0
+         THEN (spo - sp*so/nd) / (spp - sp*sp/nd) END AS theta,
     sp / nd AS mean_pre
   FROM mom
 ), adj AS (
@@ -426,8 +431,10 @@ SELECT n_users,
   round(theta, 6) + 0.0 AS theta,
   round((sy1/n1 - sy0/n0) / 1e6, 6) + 0.0 AS lift_raw,
   round((sa1/n1 - sa0/n0) / 1e6, 6) + 0.0 AS lift_adj,
-  round(1.0 - ((saa - sa*sa/nd) / (nd - 1.0))
-            / ((syy - sy*sy/nd) / (nd - 1.0)), 6) + 0.0 AS var_reduction
+  CASE WHEN (syy - sy*sy/nd) / (nd - 1.0) > 0 THEN
+    round(1.0 - ((saa - sa*sa/nd) / (nd - 1.0))
+              / ((syy - sy*sy/nd) / (nd - 1.0)), 6) + 0.0
+  END AS var_reduction
 FROM g
 """
 
