@@ -434,3 +434,41 @@ def test_aroon_matches_pandas_rolling_argmax(spark):
             assert r["aroon_osc"] == r["aroon_up"] - r["aroon_down"]
             n_checked += 1
     assert n_checked == len(rows) > 0
+
+
+def test_degenerate_tape_yields_nulls_not_nans(spark, tmp_path):
+    """A constant-price tape (zero variance everywhere) must produce
+    NULL statistics, not NaN — the guard contract that keeps the
+    engines agreeing on exactly the data the estimators are undefined
+    for."""
+    import datetime
+
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        a_durbin_watson,
+        ti_kyle_lambda,
+    )
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+            i % 7,
+            "flat",
+            5.0,          # constant price -> every diff is 0
+            '{"k": 10}',  # constant volume -> constant regressor
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path / "degenerate")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+
+    kl = ti_kyle_lambda(spark, d).collect()
+    assert len(kl) == 1 and kl[0]["kyle_lambda"] is None
+
+    dw = a_durbin_watson(spark, d).collect()
+    assert len(dw) == 1
+    assert dw[0]["slope"] is None  # constant-k regressor
