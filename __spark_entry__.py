@@ -232,11 +232,18 @@ def _ordered(names: list[str]) -> list[str]:
     def tier(n: str) -> int:
         if n in green:
             return 1000  # verified: after every pending query
-        base = 10 * _FIRST_SEEN_ROUND.get(n, 1)  # oldest debt first
-        # A stale-green re-queue has SOME evidence (its old row was
-        # value-exact pre-change); never-verified debt of the same
-        # vintage outranks it.
-        return base + 5 if n in _CHANGED_IN_ROUND else base
+        # A stale-green re-queue's debt dates from the CHANGE round,
+        # not its first registration — and it has SOME evidence (its
+        # old row was value-exact pre-change), so never-verified debt
+        # of the same vintage outranks it.  Before round 9 the base
+        # used the first-seen round, which let old-vintage re-queues
+        # crowd brand-new queries out of the ~50-entry prefix.
+        if n in _CHANGED_IN_ROUND:
+            vintage = max(
+                _FIRST_SEEN_ROUND.get(n, 1), _CHANGED_IN_ROUND[n]
+            )
+            return 10 * vintage + 5
+        return 10 * _FIRST_SEEN_ROUND.get(n, 1)  # oldest debt first
 
     return sorted(names, key=lambda n: (tier(n), names.index(n)))
 

@@ -49,8 +49,14 @@ def test_registry_consistency():
     def tier(n):
         if n in green:
             return 1000
-        base = 10 * m._FIRST_SEEN_ROUND.get(n, 1)
-        return base + 5 if n in m._CHANGED_IN_ROUND else base
+        # stale-green re-queues date from the CHANGE round and rank
+        # just behind never-verified debt of that vintage (mirrors
+        # __spark_entry__._ordered)
+        if n in m._CHANGED_IN_ROUND:
+            return 10 * max(
+                m._FIRST_SEEN_ROUND.get(n, 1), m._CHANGED_IN_ROUND[n]
+            ) + 5
+        return 10 * m._FIRST_SEEN_ROUND.get(n, 1)
 
     tiers = [tier(n) for n in names]
     assert tiers == sorted(tiers)
