@@ -184,6 +184,10 @@ _CHANGED_IN_ROUND = {
     # (the 0.2-literal decimal-vs-double 1-ULP divergence); pre-r9
     # rows hash the old edges.
     "e_isotropy": 9,
+    # round 10: efficiency gains the single-state NULL guard (ADVICE
+    # r9 low — ln(1)=0 divide diverges between engines); values only
+    # change on degenerate tapes, but the column semantics did change.
+    "a_markov_entropy_rate": 10,
 }
 
 

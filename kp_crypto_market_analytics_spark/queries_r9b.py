@@ -1841,9 +1841,13 @@ def a_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").cast("long").alias("n_transitions"),
         F.col("ns").cast("long").alias("n_states"),
         F.round(h, 6).alias("entropy_rate_nats"),
-        F.round(h / F.log(F.col("ns").cast("double")), 6).alias(
-            "efficiency"
-        ),
+        # Degenerate-input guard (e69a1fc convention): with a single
+        # state ln(1) = 0 and Spark's null-on-divide-by-zero would
+        # diverge from DuckDB's IEEE NaN — pin both engines to NULL.
+        F.when(
+            F.col("ns") > 1,
+            F.round(h / F.log(F.col("ns").cast("double")), 6),
+        ).alias("efficiency"),
     )
 
 
@@ -1871,7 +1875,9 @@ WITH seq AS (
 )
 SELECT CAST(nn AS BIGINT) AS n_transitions, CAST(ns AS BIGINT) AS n_states,
   round(SUM(tn) / 1e9, 6) AS entropy_rate_nats,
-  round(SUM(tn) / 1e9 / ln(CAST(ns AS DOUBLE)), 6) AS efficiency
+  CASE WHEN ns > 1
+    THEN round(SUM(tn) / 1e9 / ln(CAST(ns AS DOUBLE)), 6)
+  END AS efficiency
 FROM scored GROUP BY nn, ns
 """
 

@@ -58,7 +58,15 @@ def enrich_with_recent(
     # bucket or the next one, so the ctx side explodes into exactly 2
     # buckets, the join key becomes the high-cardinality (key,
     # bucket), and the exact predicate filters the tiny per-bucket
-    # candidates.  Row-for-row equal to the raw theta join.
+    # candidates.  Row-for-row equal to the raw theta join — but ONLY
+    # for facts-preserving join types: the explode duplicates each ctx
+    # row into 2 bucket copies, so right/full outer would emit an
+    # unmatched ctx row TWICE (one null-padded row per copy).  Those
+    # ctx-preserving modes take the raw theta join instead.
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        cond = (F.col(f"f.{key}") == F.col(f"c.{key}")) & in_range()
+        return f.alias("f").join(c.alias("c"), cond, how)
     lb_ms = _interval_ms(lookback)
     fb = f.withColumn(
         "__fb", F.floor(F.unix_millis(F.col(fact_ts)) / F.lit(lb_ms))
@@ -81,16 +89,35 @@ def enrich_with_recent(
 
 
 def _interval_ms(interval: str) -> int:
-    """Milliseconds in a simple ``'N unit'`` interval string."""
-    n, unit = interval.split()
+    """Milliseconds in a compound ``'N unit [N unit ...]'`` interval
+    string — the same grammar the streaming path's ``INTERVAL``
+    expression accepts for watermark-style strings ('500 milliseconds',
+    '1 week', '1 hour 30 minutes'), so lookbacks that work in
+    streaming mode never raise in batch mode.  Unknown units raise a
+    ``ValueError`` naming the accepted grammar at function entry
+    instead of a bare ``KeyError`` deep in the plan build."""
     unit_ms = {
+        "millisecond": 1,
         "second": 1000,
-        "seconds": 1000,
         "minute": 60_000,
-        "minutes": 60_000,
         "hour": 3_600_000,
-        "hours": 3_600_000,
         "day": 86_400_000,
-        "days": 86_400_000,
-    }[unit.lower()]
-    return int(n) * unit_ms
+        "week": 604_800_000,
+    }
+    parts = interval.split()
+    if not parts or len(parts) % 2:
+        raise ValueError(
+            f"lookback {interval!r}: expected 'N unit [N unit ...]' with"
+            f" units {sorted(unit_ms)} (plural accepted)"
+        )
+    total = 0
+    for n, unit in zip(parts[::2], parts[1::2]):
+        u = unit.lower().rstrip("s")
+        if u not in unit_ms or not n.lstrip("-").isdigit() or int(n) < 0:
+            raise ValueError(
+                f"lookback {interval!r}: expected 'N unit [N unit ...]'"
+                f" with non-negative integer N and units"
+                f" {sorted(unit_ms)} (plural accepted)"
+            )
+        total += int(n) * unit_ms[u]
+    return total

@@ -84,9 +84,20 @@ def _vpin_emit(
             0,
         )
     out: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for r in pdf.itertuples():
+    # applyInPandasWithState yields a group's micro-batch rows as
+    # MULTIPLE Arrow chunks (~10k rows each) in shuffle order, so the
+    # sort must be GLOBAL across the whole micro-batch — sorting each
+    # chunk independently would evolve the tick-rule sign, cumulative
+    # volume, and bucket ids out of order once a symbol's trigger rows
+    # span more than one chunk, silently breaking stream/batch parity.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(["ts", "event_id"])
+        for r in whole.itertuples():
             vm = int(r.vm)
             if last_vm is not None:
                 d = vm - last_vm

@@ -472,3 +472,40 @@ def test_degenerate_tape_yields_nulls_not_nans(spark, tmp_path):
     dw = a_durbin_watson(spark, d).collect()
     assert len(dw) == 1
     assert dw[0]["slope"] is None  # constant-k regressor
+
+
+def test_markov_entropy_single_state_efficiency_null(spark, tmp_path):
+    """With a single event type ln(n_states) = 0; the efficiency ratio
+    is undefined and must be NULL in BOTH engines (Spark would return
+    null-on-divide-by-zero, DuckDB IEEE inf) — the same degenerate
+    guard convention as kyle_lambda/durbin_watson (ADVICE r9)."""
+    import datetime
+
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        a_markov_entropy_rate,
+    )
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+            i % 3,
+            "only_type",
+            1.0,
+            "{}",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path / "one_state")
+    df.coalesce(1).write.parquet(d + "/events.parquet")
+
+    out = a_markov_entropy_rate(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_states"] == 1
+    assert r["entropy_rate_nats"] == 0.0
+    assert r["efficiency"] is None

@@ -1549,3 +1549,163 @@ def test_vpin_stream_boundary_independence(spark, tmp_path):
         got["imbalance"].astype("int64").to_numpy()
         == gated["imbalance"].astype("int64").to_numpy()
     ).all()
+
+
+def test_vpin_stream_multichunk_parity(spark, tmp_path):
+    # ADVICE r9 (high): applyInPandasWithState hands a group's
+    # micro-batch rows over as MULTIPLE Arrow chunks in shuffle order.
+    # Force tiny chunks (maxRecordsPerBatch=7) so every symbol's
+    # trigger spans many chunks; emissions must still equal the gated
+    # fold bitwise — this fails under per-chunk sorting.
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _SVPIN_V,
+        _ticks,
+        a_vpin_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.streaming.vpin import vpin_stream
+
+    sfd = "/root/testdata/sf0.001"
+    gated = (
+        a_vpin_stream_parity(spark, sfd)
+        .toPandas()
+        .sort_values(["event_type", "bucket_id"])
+        .reset_index(drop=True)
+    )
+
+    e = _ticks(spark, sfd).select("event_type", "event_id", "ts", "vm", "k")
+    src = str(tmp_path / "chunked")
+    # Pre-shuffle the file so arrival order is adversarial, then let
+    # tiny Arrow batches split each group into many chunks.
+    e.orderBy(F.hash("event_id")).coalesce(1).write.parquet(src + "/b1")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        stream = spark.readStream.schema(e.schema).parquet(src + "/*")
+        out = vpin_stream(stream, bucket_volume=_SVPIN_V)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("vpin_multichunk_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = (
+        spark.table("vpin_multichunk_out")
+        .toPandas()
+        .sort_values(["event_type", "bucket_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(gated) > 0
+    for col in ("bucket_id", "buy_vol", "sell_vol", "bucket_vol", "imbalance"):
+        assert (
+            got[col].astype("int64").to_numpy()
+            == gated[col].astype("int64").to_numpy()
+        ).all(), col
+    assert (got["event_type"] == gated["event_type"]).all()
+
+
+def test_enrich_batch_outer_join_no_duplicate_unmatched(spark):
+    # ADVICE r9 (medium): the batch bucketed rewrite explodes ctx rows
+    # into 2 buckets; right/full outer must NOT emit an unmatched ctx
+    # row once per exploded copy.  Those modes take the raw theta
+    # join; assert row-for-row agreement with it, and that matched
+    # pairs still agree with the bucketed inner path.
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from kp_crypto_market_analytics_spark.streaming.joins import (
+        enrich_with_recent,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    facts = spark.createDataFrame(
+        [("A", 1, ts(10)), ("A", 2, ts(20)), ("B", 3, ts(10))],
+        "symbol string, fact_id long, fact_ts timestamp",
+    )
+    ctx = spark.createDataFrame(
+        [
+            ("A", 100, ts(9)),     # matches fact 1
+            ("A", 101, ts(50)),    # UNMATCHED (after every fact)
+            ("B", 102, ts(8)),     # matches fact 3
+            ("C", 103, ts(10)),    # UNMATCHED symbol
+        ],
+        "symbol string, ctx_id long, ctx_ts timestamp",
+    )
+
+    for how in ("full", "right"):
+        got = (
+            enrich_with_recent(
+                facts, ctx, key="symbol", fact_ts="fact_ts",
+                ctx_ts="ctx_ts", lookback="5 minutes", how=how,
+            )
+            .selectExpr("f.fact_id AS fact_id", "c.ctx_id AS ctx_id")
+            .collect()
+        )
+        keyf = lambda t: tuple(-1 if v is None else v for v in t)  # noqa: E731
+        pairs = sorted(
+            ((r["fact_id"], r["ctx_id"]) for r in got), key=keyf
+        )
+        raw = (
+            facts.alias("f")
+            .join(
+                ctx.alias("c"),
+                (F.col("f.symbol") == F.col("c.symbol"))
+                & (F.col("c.ctx_ts") <= F.col("f.fact_ts"))
+                & (
+                    F.col("c.ctx_ts")
+                    > F.col("f.fact_ts") - F.expr("INTERVAL 5 minutes")
+                ),
+                how,
+            )
+            .selectExpr("f.fact_id AS fact_id", "c.ctx_id AS ctx_id")
+            .collect()
+        )
+        assert pairs == sorted(
+            ((r["fact_id"], r["ctx_id"]) for r in raw), key=keyf
+        ), how
+        # each unmatched ctx row exactly once
+        assert pairs.count((None, 101)) == 1, how
+        assert pairs.count((None, 103)) == 1, how
+
+    inner = (
+        enrich_with_recent(
+            facts, ctx, key="symbol", fact_ts="fact_ts", ctx_ts="ctx_ts",
+            lookback="5 minutes", how="inner",
+        )
+        .selectExpr("f.fact_id AS fact_id", "c.ctx_id AS ctx_id")
+        .collect()
+    )
+    assert sorted((r["fact_id"], r["ctx_id"]) for r in inner) == [
+        (1, 100), (3, 102)
+    ]
+
+
+def test_interval_ms_grammar_matches_streaming_path():
+    # ADVICE r9 (low): the batch path must accept the same lookback
+    # grammar the streaming INTERVAL expression does, and reject
+    # unknown units with an informative ValueError, not a KeyError.
+    import pytest
+
+    from kp_crypto_market_analytics_spark.streaming.joins import _interval_ms
+
+    assert _interval_ms("500 milliseconds") == 500
+    assert _interval_ms("1 week") == 7 * 86_400_000
+    assert _interval_ms("1 hour 30 minutes") == 5_400_000
+    assert _interval_ms("2 days") == 2 * 86_400_000
+    assert _interval_ms("1 second") == 1000
+    for bad in ("5 fortnights", "minutes 5", "5", "", "-1 hour"):
+        with pytest.raises(ValueError):
+            _interval_ms(bad)
