@@ -153,6 +153,12 @@ _FIRST_SEEN_ROUND.update(
     )}
 )
 
+_FIRST_SEEN_ROUND.update(
+    {n: 10 for n in (
+        "dedup_lsh_stream_parity",
+    )}
+)
+
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A
 # fresh green row from round >= N clears the entry automatically.

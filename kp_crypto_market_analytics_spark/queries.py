@@ -1341,6 +1341,7 @@ from kp_crypto_market_analytics_spark.queries_r8 import R8_QUERIES, r8_oracles  
 from kp_crypto_market_analytics_spark.queries_r9 import R9_QUERIES, r9_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r9b import R9B_QUERIES, r9b_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r9c import R9C_QUERIES, r9c_oracles  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_r10 import R10_QUERIES, r10_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_quality import QUALITY_ORACLES, QUALITY_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1356,6 +1357,7 @@ QUERIES.update(R8_QUERIES)
 QUERIES.update(R9_QUERIES)
 QUERIES.update(R9B_QUERIES)
 QUERIES.update(R9C_QUERIES)
+QUERIES.update(R10_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
@@ -1368,3 +1370,4 @@ ORACLES.update(r8_oracles())
 ORACLES.update(r9_oracles())
 ORACLES.update(r9b_oracles())
 ORACLES.update(r9c_oracles())
+ORACLES.update(r10_oracles())

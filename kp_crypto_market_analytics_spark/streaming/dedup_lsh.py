@@ -1,0 +1,163 @@
+"""Streaming NEAR-dup deduplication: the incremental MinHash-LSH
+ingest (operators/dedup.py incremental_lsh_pairs — the production
+batch detector) wired into a Structured Streaming ``foreachBatch``
+loop.  This is the operator a 100 TB ingest actually runs
+continuously: every arriving micro-batch of documents is deduped
+against the standing corpus via LSH band buckets, old×old pairs are
+never re-compared, and the batch's signatures join the accumulated
+store for the next trigger.
+
+Extends streaming/dedup.py, which stops at EXACT dedup
+(dropDuplicatesWithinWatermark on PK / content fingerprint): exact
+dedup catches byte-identical re-sends inside the watermark horizon;
+this operator catches near-duplicates against the WHOLE corpus
+history, with state that grows as one signature row per document —
+64 BIGINTs — instead of document text.
+
+Detector identity: same parameterization as the gated batch family
+(64 threshold-derived hashes, 16 bands, star-routed bucket cap 64 —
+queries_ext.py), so "near-dup" means the same thing on the stream as
+in dedup_minhash_lsh / dedup_incremental.  The signature function is
+FROZEN at deployment time (the persisted-signature-store pattern of
+incremental_lsh_pairs): a doc's signature is computed once, at
+ingest, by the supplied ``sig_fn`` — in production a fresh hash
+against a periodically refreshed df-cap reference table; in the
+parity tests a lookup into the same store the batch queries read.
+That freeze is what makes the stream replayable: the union of
+per-batch emissions equals the unrolled batch folds bit-for-bit
+(``dedup_lsh_stream_parity`` in queries_r10.py, pinned by
+tests/test_sinks_streaming.py::test_lsh_dedup_stream_matches_gated_fold).
+
+Scale shape per trigger: |batch| signature rows probe the accumulated
+bucket table — O(batch × bucket-mates) candidate work, linear in
+batch size; the star-routed cap bounds any one bucket's contribution
+at B−1 edges.  State = the signature store, one bounded-width row per
+corpus doc, partitioned by ingest batch.  (At cluster scale the store
+would live in a table format with upserts — Delta/Iceberg — but the
+plan shape per trigger is identical.)
+
+Idempotence: ``foreachBatch`` is at-least-once, so both sinks write
+to ``batch=<epoch_id>`` partition directories with dynamic partition
+overwrite — a replayed trigger overwrites its own partition instead
+of duplicating rows, and the store read excludes partitions >= the
+current epoch so a replay never pairs a batch against its own
+earlier half-written signatures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def sig_fn_from_store(store: DataFrame, id_col: str = "doc_id") -> Callable:
+    """Signature function that looks arriving doc ids up in a
+    precomputed signature store (the deployment keeps one next to the
+    corpus; queries_ext._minhash_sigs is the batch twin).  Docs with
+    no store row (every shingle over the df cap) pass through
+    unsignatured — boilerplate-only docs belong to the exact/
+    fingerprint pipeline, the documented division of labor."""
+
+    def sig_fn(batch: DataFrame) -> DataFrame:
+        return store.join(
+            batch.select(id_col).distinct(), id_col, "inner"
+        )
+
+    return sig_fn
+
+
+def lsh_ingest_pairs(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """One ingest step, batch-side core: near-dup candidate pairs
+    touching the new batch, given the accumulated signature store.
+    Thin adapter over operators.dedup.incremental_lsh_pairs — the
+    SAME generator the gated batch query runs, so the streaming loop
+    cannot drift from the oracle-gated detector."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        incremental_lsh_pairs,
+    )
+
+    sig = old_sigs.withColumn("__isnew", F.lit(False)).unionByName(
+        new_sigs.withColumn("__isnew", F.lit(True))
+    )
+    flags = sig.select(id_col, "__isnew")
+    return incremental_lsh_pairs(
+        flags,
+        F.col("__isnew"),
+        text="text",  # unused: signatures are supplied
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        sig=sig.drop("__isnew"),
+        max_bucket_size=max_bucket_size,
+        overcap="star",
+    )
+
+
+def lsh_dedup_stream(
+    docs: DataFrame,
+    sig_fn: Callable[[DataFrame], DataFrame],
+    state_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 64,
+) -> StreamingQuery:
+    """Run the incremental-LSH near-dup ingest over a document stream.
+
+    Per micro-batch: signature the batch (``sig_fn``), read the
+    accumulated signature store (partitions < this epoch), emit the
+    near-dup pairs touching the batch to ``pairs_dir/batch=<epoch>``,
+    append the batch's signatures to ``state_dir/batch=<epoch>``.
+    Emissions carry (doc_a, doc_b, new_a, new_b, tier, est_jaccard) —
+    the dedup_incremental output contract, plus the batch partition.
+    """
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_sigs = sig_fn(batch_df)
+        try:
+            old_sigs = (
+                spark.read.option("basePath", state_dir)
+                .parquet(state_dir + "/batch=*")
+                .where(F.col("batch") < F.lit(epoch_id))
+                .drop("batch")
+            )
+        except Exception:  # first trigger: no store yet
+            old_sigs = new_sigs.limit(0)
+        pairs = lsh_ingest_pairs(
+            new_sigs,
+            old_sigs,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket_size=max_bucket_size,
+        )
+        (
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch={epoch_id}"
+            )
+        )
+        (
+            new_sigs.write.mode("overwrite").parquet(
+                f"{state_dir}/batch={epoch_id}"
+            )
+        )
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

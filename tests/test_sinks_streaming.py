@@ -1709,3 +1709,81 @@ def test_interval_ms_grammar_matches_streaming_path():
     for bad in ("5 fortnights", "minutes 5", "5", "", "-1 hour"):
         with pytest.raises(ValueError):
             _interval_ms(bad)
+
+
+def test_lsh_dedup_stream_matches_gated_fold(spark, tmp_path):
+    # The streaming incremental-LSH near-dup ingest (foreachBatch loop
+    # in streaming/dedup_lsh.py) is pinned emission-for-emission to
+    # the oracle-gated batch fold (dedup_lsh_stream_parity): stream
+    # the corpus as 3 files (doc_id mod 3), signatures from the same
+    # frozen store the batch queries read; per-batch pair emissions
+    # must match the fold bit-for-bit (ids, flags, tier, est).
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs
+    from kp_crypto_market_analytics_spark.queries_r10 import (
+        _SLSH_BATCHES,
+        dedup_lsh_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.dedup_lsh import (
+        lsh_dedup_stream,
+        sig_fn_from_store,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    gated = (
+        dedup_lsh_stream_parity(spark, sfd)
+        .toPandas()
+        .sort_values(["batch", "doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+    docs = load_tables(spark, sfd, ["documents"])["documents"]
+    src = str(tmp_path / "docs")
+    for b in range(_SLSH_BATCHES):
+        (
+            docs.where(F.col("doc_id") % _SLSH_BATCHES == b)
+            .coalesce(1)
+            .write.parquet(f"{src}/b{b}")
+        )
+    store = _minhash_sigs(spark, sfd)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = lsh_dedup_stream(
+        stream,
+        sig_fn_from_store(store),
+        state_dir=str(tmp_path / "state"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.option("basePath", str(tmp_path / "pairs"))
+        .parquet(str(tmp_path / "pairs") + "/batch=*")
+        .toPandas()
+        .sort_values(["batch", "doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(gated) > 0
+    for col in ("batch", "doc_a", "doc_b"):
+        assert (
+            got[col].astype("int64").to_numpy()
+            == gated[col].astype("int64").to_numpy()
+        ).all(), col
+    for col in ("new_a", "new_b"):
+        assert (
+            got[col].astype(bool).to_numpy()
+            == gated[col].astype(bool).to_numpy()
+        ).all(), col
+    assert (got["tier"] == gated["tier"]).all()
+    assert (
+        got["est_jaccard"].to_numpy() == gated["est_jaccard"].to_numpy()
+    ).all()
+    # the accumulated store holds exactly the signatured corpus
+    state = spark.read.option("basePath", str(tmp_path / "state")).parquet(
+        str(tmp_path / "state") + "/batch=*"
+    )
+    assert state.count() == store.count()
+    assert state.select("doc_id").distinct().count() == store.count()
