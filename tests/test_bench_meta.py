@@ -45,3 +45,72 @@ def test_sampled_jaccard_is_a_real_subsample():
     from kp_crypto_market_analytics_spark.queries_r9 import _JSAMP_MOD
 
     assert 2 <= _JSAMP_MOD <= 8
+
+
+def test_budget_notes_cover_over_threshold_queries():
+    """VERDICT r9 ask #7: every query whose min-of-N cost exceeds
+    BUDGET_SEC in the newest min-of-2 sf0.1 sweep must carry an
+    adjudicated build-cost note — bench weight is a decision, not an
+    accretion.  Notes for queries no longer over budget are allowed
+    (costs fluctuate) but must still name real registry queries."""
+    import json
+    import os
+
+    from bench import BUDGET_SEC, BUILD_COST_NOTES
+    from kp_crypto_market_analytics_spark.queries import QUERIES
+
+    assert BUDGET_SEC >= 1.0
+    for name, note in BUILD_COST_NOTES.items():
+        assert name in QUERIES, name
+        assert isinstance(note, str) and len(note) >= 20, name
+
+    hist = os.path.join(os.path.dirname(__file__), "..", "BENCH_HISTORY.jsonl")
+    newest = None
+    with open(hist) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if rec.get("repeat", 1) >= 2 and rec.get("sf") == 0.1:
+                newest = rec
+    assert newest is not None, "no min-of-2 sf0.1 sweep in history"
+    over = {
+        n for n, sec in newest["queries"].items() if sec > BUDGET_SEC
+    }
+    unnoted = over - set(BUILD_COST_NOTES)
+    assert not unnoted, (
+        f"over-budget queries without a build-cost note: {sorted(unnoted)}"
+    )
+
+
+def test_drift_canary_is_cheap_and_stable():
+    """The canary must be a fixed set of benched, oracle-gated, CHEAP
+    queries — an expensive canary would itself perturb the measurement
+    it makes."""
+    import json
+    import os
+
+    from bench import BENCH_QUERIES, DRIFT_CANARY, DRIFT_GATE
+    from kp_crypto_market_analytics_spark.queries import ORACLES
+
+    assert len(DRIFT_CANARY) == 10
+    assert len(set(DRIFT_CANARY)) == 10
+    assert 1.0 < DRIFT_GATE <= 1.25
+    benched = set(BENCH_QUERIES)
+    for name in DRIFT_CANARY:
+        assert name in benched and name in ORACLES, name
+
+    hist = os.path.join(os.path.dirname(__file__), "..", "BENCH_HISTORY.jsonl")
+    newest = None
+    with open(hist) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            if rec.get("repeat", 1) >= 2 and rec.get("sf") == 0.1:
+                newest = rec
+    if newest:
+        canary_cost = sum(
+            newest["queries"].get(n, 0.0) for n in DRIFT_CANARY
+        )
+        assert canary_cost < 10.0, canary_cost
