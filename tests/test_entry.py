@@ -104,3 +104,24 @@ def test_query_matches_oracle(spark, name):
     issues, max_delta = compare(spark_rows, res.fetchall(), sdf.columns, duck_cols)
     assert not issues, issues
     assert max_delta == 0.0
+
+
+def test_driver_prefix_budget_fits():
+    """VERDICT r9 ask #2: the driver's correctness run covers only a
+    ~50-entry registration-order prefix.  Every query still awaiting a
+    fresh green row (never-verified + stale-green re-queues) must fit
+    inside that budget, or this round's debt silently rides into the
+    next round — the arithmetic must be checked BEFORE landing a wave,
+    so this test fails the moment the pending set outgrows the prefix."""
+    import __spark_entry__ as m
+    from kp_crypto_market_analytics_spark.queries import QUERIES
+
+    green = m._driver_green()
+    ordered = m._ordered(list(QUERIES))
+    pending = [n for n in ordered if n not in green]
+    assert len(pending) <= 50, (
+        f"{len(pending)} pending queries exceed the 50-entry driver "
+        f"prefix: {pending}"
+    )
+    # and the pending set must actually FRONT the ordering
+    assert ordered[: len(pending)] == pending
