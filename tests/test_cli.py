@@ -125,11 +125,16 @@ def test_collect_load_analytics_pipeline(tmp_path):
     # table rows rendered, capped like the dashboard's max_rows
     assert "<td>" in page and "<th>" in page
     # the detector-health table renders with its SLO columns, and every
-    # gated detector appears with its floor boolean
+    # gated accuracy SLO appears with its bound boolean (r10: recall
+    # floors + estimator calibration caps + degenerate-guard audit)
     assert 'id="health_detectors"' in page
-    assert "<th>meets_floor</th>" in page and "<th>recall</th>" in page
-    for det in ("minhash_lsh_banding", "ann_ivf_trained", "ann_pq_rerank"):
+    assert "<th>meets_slo</th>" in page and "<th>metric</th>" in page
+    assert "<th>value</th>" in page and "<th>slo</th>" in page
+    for det in ("minhash_lsh_banding", "ann_ivf_trained", "ann_pq_rerank",
+                "minhash_estimator", "econometrics_guards"):
         assert f"<td>{det}</td>" in page, det
+    for metric in ("recall", "mae", "abs_bias", "degenerate_null_rate"):
+        assert f"<td>{metric}</td>" in page, metric
 
 
 def test_cli_build_index_pq(tmp_path):
