@@ -171,8 +171,9 @@ _CHANGED_IN_ROUND = {
     # signature table, pair sets, census, and recall columns; pre-r9
     # green rows are stale evidence for all five.
     # round 9: t_corpus_pipeline gained stage 7 (pack-and-shard census
-    # columns train_tokens / n_train_packs / tokens_per_shard).
-    "t_corpus_pipeline": 9,
+    # columns); round 10: stage 8 (mixture-weighted epoch deal columns
+    # epoch_target_packs / n_epoch_packs / epoch_tokens).
+    "t_corpus_pipeline": 10,
     # round 9: the five sketch-parity folds trimmed 4 -> 3 unrolled
     # micro-batches (bench ask #5; the parity property is
     # per-emission) — 3-row outputs, so pre-r9 rows are stale.

@@ -80,7 +80,15 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
          starting offset DIV budget — t_pack_sequences' rule), and the
          census reports train_tokens, n_train_packs, and
          tokens_per_shard — the numbers a training job actually
-         consumes.
+         consumes;
+      8. EPOCH MIX (r10, VERDICT ask #6): the epoch-1 deal — each
+         source's pack draw target is its stage-6 mixture share of
+         the total pack budget (floor(w_micro·B / t_w_micro), exact
+         int64), filled by the first target_s packs of a
+         deterministic hash shuffle and capped by availability; the
+         census reports epoch_target_packs / n_epoch_packs /
+         epoch_tokens — per-source pack counts AGAINST target
+         weights, the loader-schedule honesty check.
 
     Stage order is load-bearing (dedup BEFORE quality keeps the
     canonical doc even when a higher-quality duplicate exists;
@@ -267,6 +275,18 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_train_packs"),
     )
 
+    # Stage 8 (r10, VERDICT ask #6): mixture-weighted epoch deal over
+    # the stage-7 packs.  The epoch-1 loader draws packs per source in
+    # proportion to the stage-6 mixture share, not the natural pack
+    # share: target_s = floor(w_s_micro * B / t_w_micro) with B = the
+    # total pack count (exact int64 arithmetic — the ceil(frac*n)
+    # IEEE trap), and the drawn packs are the target_s first packs in
+    # a deterministic hash shuffle (hash64(source#shard#pack#epmix)),
+    # capped by availability.  Same checkpointed lineage — no new scan.
+    pack_lvl = packs.groupBy("source", "shard", "pack_id").agg(
+        F.sum("ntok").cast("long").alias("pack_tokens")
+    )
+
     def cnt(c):  # noqa: ANN001
         return F.sum(F.when(F.col(c), 1).otherwise(0))
 
@@ -301,8 +321,54 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tot = weighted.agg(F.sum("w").alias("t_w"))
+
+    # stage-8 epoch targets + deterministic draw
+    b_packs = pack_census.agg(
+        F.coalesce(F.sum("n_train_packs"), F.lit(0))
+        .cast("long")
+        .alias("b_packs")
+    )
+    wm = F.round(F.col("w") * F.lit(1_000_000), 0).cast("long")
+    twm = F.round(F.col("t_w") * F.lit(1_000_000), 0).cast("long")
+    target = (
+        weighted.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(b_packs))
+        .select(
+            "source",
+            F.when(
+                twm != 0,
+                F.call_function("div", wm * F.col("b_packs"), twm),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("epoch_target_packs"),
+        )
+    )
+    eh = hash64(
+        F.concat(
+            F.col("source"),
+            F.lit("#"),
+            F.col("shard").cast("string"),
+            F.lit("#"),
+            F.col("pack_id").cast("string"),
+            F.lit("#epmix"),
+        )
+    )
+    we = Window.partitionBy("source").orderBy(eh, "shard", "pack_id")
+    esel = (
+        pack_lvl.withColumn("rn", F.row_number().over(we))
+        .join(target, "source")
+        .where(F.col("rn") <= F.col("epoch_target_packs"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_epoch_packs"),
+            F.sum("pack_tokens").cast("long").alias("epoch_tokens"),
+        )
+    )
     return (
         weighted.crossJoin(F.broadcast(tot))
+        .join(target, "source", "left")
+        .join(esel, "source", "left")
         .select(
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
@@ -338,6 +404,15 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ),
             ).alias("weight_share"),
+            F.coalesce("epoch_target_packs", F.lit(0))
+            .cast("long")
+            .alias("epoch_target_packs"),
+            F.coalesce("n_epoch_packs", F.lit(0))
+            .cast("long")
+            .alias("n_epoch_packs"),
+            F.coalesce("epoch_tokens", F.lit(0))
+            .cast("long")
+            .alias("epoch_tokens"),
         )
         .orderBy("source")
     )
@@ -358,6 +433,10 @@ def _t_corpus_pipeline_sql() -> str:
     )
     hc = H60.format(x="CAST(cluster_id AS VARCHAR) || '#split'")
     hd = H60.format(x="CAST(doc_id AS VARCHAR) || '#ep1'")
+    _EH60 = H60.format(
+        x="source || '#' || CAST(shard AS VARCHAR) || '#'"
+        " || CAST(pack_id AS VARCHAR) || '#epmix'"
+    )
     return f"""
 {_CLUSTER_CTES}, feat AS (
   SELECT doc_id, source, {NORM_TEXT_SQL} AS t,
@@ -465,7 +544,34 @@ def _t_corpus_pipeline_sql() -> str:
   SELECT *, CAST(round(sqrt(CAST(kept_tokens AS DOUBLE)), 6)
                  AS DECIMAL(18,6)) AS w
   FROM census
-), tot AS (SELECT CAST(SUM(w) AS DECIMAL(18,6)) AS t_w FROM weighted)
+), tot AS (SELECT CAST(SUM(w) AS DECIMAL(18,6)) AS t_w FROM weighted
+), pack_lvl AS (
+  SELECT source, shard, (cum - ntok) // {_PIPE_PACK_TOKENS} AS pack_id,
+    CAST(SUM(ntok) AS BIGINT) AS pack_tokens
+  FROM packs GROUP BY 1, 2, 3
+), bp AS (
+  SELECT CAST(coalesce(SUM(n_train_packs), 0) AS BIGINT) AS b_packs
+  FROM pc
+), targets AS (
+  SELECT source,
+    CASE WHEN CAST(t_w * 1000000 AS BIGINT) <> 0 THEN
+      (CAST(w * 1000000 AS BIGINT) * b_packs)
+        // CAST(t_w * 1000000 AS BIGINT)
+    ELSE 0 END AS epoch_target_packs
+  FROM weighted CROSS JOIN tot CROSS JOIN bp
+), ranked AS (
+  SELECT source, pack_tokens,
+    row_number() OVER (PARTITION BY source ORDER BY
+      {_EH60}, shard, pack_id) AS rn
+  FROM pack_lvl
+), esel AS (
+  SELECT r.source,
+    CAST(COUNT(*) AS BIGINT) AS n_epoch_packs,
+    CAST(SUM(pack_tokens) AS BIGINT) AS epoch_tokens
+  FROM ranked r JOIN targets tg USING (source)
+  WHERE r.rn <= tg.epoch_target_packs
+  GROUP BY 1
+)
 SELECT source, n_docs, n_dedup, n_quality, n_clean, n_train, n_val,
   n_test, kept_tokens, n_train_shards,
   CAST(coalesce(train_tokens, 0) AS BIGINT) AS train_tokens,
@@ -476,8 +582,12 @@ SELECT source, n_docs, n_dedup, n_quality, n_clean, n_train, n_val,
   CAST(w AS DOUBLE) AS weight,
   CASE WHEN t_w <> 0 THEN
     round(CAST(w AS DOUBLE) / CAST(t_w AS DOUBLE), 6)
-  END AS weight_share
+  END AS weight_share,
+  CAST(coalesce(epoch_target_packs, 0) AS BIGINT) AS epoch_target_packs,
+  CAST(coalesce(n_epoch_packs, 0) AS BIGINT) AS n_epoch_packs,
+  CAST(coalesce(epoch_tokens, 0) AS BIGINT) AS epoch_tokens
 FROM weighted LEFT JOIN pc USING (source) CROSS JOIN tot
+  LEFT JOIN targets USING (source) LEFT JOIN esel USING (source)
 ORDER BY source
 """
 

@@ -440,3 +440,26 @@ def test_corpus_pipeline_shares_one_documents_scan(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("documents.parquet") == 0
     assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_corpus_pipeline_epoch_mix_stage8(spark):
+    """Stage-8 invariants: the epoch draw fills min(target,
+    available) packs per source, epoch token mass is bounded by train
+    token mass, and the summed targets never exceed the pack budget
+    (floor arithmetic) while remaining non-vacuous."""
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        t_corpus_pipeline,
+    )
+
+    rows = t_corpus_pipeline(spark, SF_DIR).collect()
+    assert rows
+    b_packs = sum(r["n_train_packs"] for r in rows)
+    tot_target = sum(r["epoch_target_packs"] for r in rows)
+    assert 0 < tot_target <= b_packs
+    for r in rows:
+        assert r["n_epoch_packs"] == min(
+            r["epoch_target_packs"], r["n_train_packs"]
+        )
+        assert 0 <= r["epoch_tokens"] <= r["train_tokens"]
+        if r["n_epoch_packs"] > 0:
+            assert r["epoch_tokens"] > 0
