@@ -29,6 +29,12 @@ driver's generator, not this tool).
 Usage:
   python tools/scaling_extend.py synth [out_dir]      # build sf0.4 corpus
   python tools/scaling_extend.py run [out_dir] [json] # time worst queries
+  python tools/scaling_extend.py stress [out_dir] [json]
+      # r10 (VERDICT r9 ask #4): 10x corpus, near-flag queries only —
+      # separates fixed-cost amortization from genuine superlinearity
+      # (at 4x a 2s query with 1s fixed cost reads as 1.75x/"flag-
+      # adjacent"; at 10x the same query reads as ~3.25x vs the 10x
+      # data ratio, unambiguously sublinear)
 """
 
 from __future__ import annotations
@@ -44,6 +50,18 @@ DEFAULT_DIR = "/root/repo/testdata_synth/sf0.4"
 DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r09.json"
 SRC = "/root/testdata/sf0.1"
 COPIES = 4
+STRESS_COPIES = 10
+STRESS_DIR = "/root/repo/testdata_synth/sf1.0"
+STRESS_OUT = "/root/repo/SCALING_STRESS_r10.json"
+
+# r9 near-flag entries (SCALING_CURVE_EXT_r09: 1.80x / 1.59x / 1.49x
+# per 4x data) re-measured at 10x to adjudicate amortization vs
+# superlinearity.
+STRESS_QUERIES = [
+    "dedup_clusters",
+    "dedup_minhash_sig",
+    "dedup_semantic",
+]
 DATA_RATIO = float(COPIES)
 MIN_HI_SEC = 2.0
 FLAG_FACTOR = 1.5
@@ -73,7 +91,7 @@ WORST_QUERIES = [
 ID_STRIDE = 100_000_000
 
 
-def synth(out_dir: str) -> None:
+def synth(out_dir: str, copies: int = COPIES) -> None:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
@@ -81,7 +99,7 @@ def synth(out_dir: str) -> None:
 
     def copies_sql(per_copy_select: str) -> str:
         return " UNION ALL ".join(
-            per_copy_select.format(c=c) for c in range(COPIES)
+            per_copy_select.format(c=c) for c in range(copies)
         )
 
     # documents: letter rotation per copy c (c=0 is the original).
@@ -90,7 +108,7 @@ def synth(out_dir: str) -> None:
     # lengths, and repetition structure survive verbatim.
     alpha = "abcdefghijklmnopqrstuvwxyz"
     doc_selects = []
-    for c in range(COPIES):
+    for c in range(copies):
         if c == 0:
             t = "text"
         else:
@@ -113,7 +131,7 @@ def synth(out_dir: str) -> None:
     # (dim + copy) % 4 == 0 — an isometry (norms and intra-copy
     # angles preserved exactly); copy 0 is the original.
     emb_selects = []
-    for c in range(COPIES):
+    for c in range(copies):
         if c == 0:
             e = "embedding"
         else:
@@ -148,15 +166,22 @@ def synth(out_dir: str) -> None:
         print(f"# synth {t}: {n} rows")
 
 
-def run(sf_dir: str, out_json: str) -> None:
+def run(
+    sf_dir: str,
+    out_json: str,
+    queries: list[str] | None = None,
+    data_ratio: float = DATA_RATIO,
+    hi_tag: str = "0.4synth",
+) -> None:
     import gc
 
     from bench import _bench_session, _time_query
 
+    queries = WORST_QUERIES if queries is None else queries
     times: dict[str, dict[str, float]] = {}
-    for tag, d in (("0.1", SRC), ("0.4synth", sf_dir)):
+    for tag, d in (("0.1", SRC), (hi_tag, sf_dir)):
         spark = _bench_session()
-        for name in WORST_QUERIES:
+        for name in queries:
             sec, _ = _time_query(spark, name, d)
             times.setdefault(name, {})[tag] = sec
             print(f"# sf{tag} {name}: {sec:.3f}s", file=sys.stderr)
@@ -166,22 +191,22 @@ def run(sf_dir: str, out_json: str) -> None:
 
     report, flagged = {}, []
     for name, t in times.items():
-        ratio = round(t["0.4synth"] / t["0.1"], 2) if t.get("0.1") else None
+        ratio = round(t[hi_tag] / t["0.1"], 2) if t.get("0.1") else None
         superlinear = (
             ratio is not None
-            and t["0.4synth"] >= MIN_HI_SEC
-            and ratio > FLAG_FACTOR * DATA_RATIO
+            and t[hi_tag] >= MIN_HI_SEC
+            and ratio > FLAG_FACTOR * data_ratio
         )
         report[name] = {**{k: round(v, 3) for k, v in t.items()},
-                        "ratio_0.4_over_0.1": ratio,
+                        f"ratio_{hi_tag}_over_0.1": ratio,
                         "superlinear": superlinear}
         if superlinear:
             flagged.append(name)
     out = {
         "metric": "scaling_curve_extension",
-        "data_ratio": DATA_RATIO,
+        "data_ratio": data_ratio,
         "flag_rule": f"ratio > {FLAG_FACTOR} * data_ratio and t_hi >= {MIN_HI_SEC}s",
-        "synth": "4x sf0.1 documents/embeddings/events (tools/scaling_extend.py)",
+        "synth": f"{int(data_ratio)}x sf0.1 documents/embeddings/events (tools/scaling_extend.py)",
         "queries": report,
         "flagged": flagged,
     }
@@ -197,5 +222,16 @@ if __name__ == "__main__":
         synth(d)
     elif mode == "run":
         run(d, sys.argv[3] if len(sys.argv) > 3 else DEFAULT_OUT)
+    elif mode == "stress":
+        d = sys.argv[2] if len(sys.argv) > 2 else STRESS_DIR
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            synth(d, copies=STRESS_COPIES)
+        run(
+            d,
+            sys.argv[3] if len(sys.argv) > 3 else STRESS_OUT,
+            queries=STRESS_QUERIES,
+            data_ratio=float(STRESS_COPIES),
+            hi_tag="1.0synth",
+        )
     else:
         raise SystemExit(f"unknown mode {mode}")
