@@ -156,6 +156,9 @@ _FIRST_SEEN_ROUND.update(
 _FIRST_SEEN_ROUND.update(
     {n: 10 for n in (
         "dedup_lsh_stream_parity",
+        "ti_garman_klass", "ti_rogers_satchell", "ti_yang_zhang",
+        "ti_vortex", "ti_chande_momentum", "ti_cci", "ti_force_index",
+        "ti_eom",
     )}
 )
 
