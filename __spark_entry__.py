@@ -159,6 +159,9 @@ _FIRST_SEEN_ROUND.update(
         "ti_garman_klass", "ti_rogers_satchell", "ti_yang_zhang",
         "ti_vortex", "ti_chande_momentum", "ti_cci", "ti_force_index",
         "ti_eom",
+        "a_auc_roc", "a_brier_score", "a_ece_calibration", "a_cohens_d",
+        "a_cliffs_delta", "a_mcnemar", "a_cochran_q", "a_friedman_test",
+        "a_theil_u", "a_smape_mase",
     )}
 )
 

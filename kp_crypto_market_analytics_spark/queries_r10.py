@@ -853,3 +853,973 @@ ORDER BY event_type, day
 
 R10_QUERIES["ti_eom"] = ti_eom
 _R10_ORACLES["ti_eom"] = _ti_eom_sql
+
+
+# ---------------------------------------------------- classifier-eval
+#
+# The quality score (functions.text.quality_score — THE heuristic
+# every gated consumer shares) treated as a soft classifier for
+# English documents (label = lang = 'en'): the standard eval metrics
+# a training-data pipeline publishes for its quality filters.  All
+# three queries rank/bin on the same scored frame; scores are 6-dp
+# micro integers end to end.
+
+_QS_LABEL_CTE = """scored AS (
+  SELECT doc_id, lang = 'en' AS y,
+    CAST(round(round(least(ntok / 100.0, 1.0) * 0.5
+      + least(CASE WHEN ntok > 0
+              THEN CAST(sw AS DOUBLE) / ntok END * 5, 1.0) * 0.5, 6)
+      * 1000000) AS BIGINT) AS pm
+  FROM (
+    SELECT doc_id, lang, {hits} AS sw,
+      CASE WHEN length(t) = 0 THEN 0
+           ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+      END AS ntok
+    FROM (
+      SELECT doc_id, lang,
+        trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+        ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS p
+      FROM documents)
+  ) WHERE ntok > 0
+)"""
+
+
+def _qs_label_cte() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return _QS_LABEL_CTE.format(hits=hits)
+
+
+def _qs_label_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kp_crypto_market_analytics_spark.functions.text import quality_score
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    pm = F.round(quality_score("text") * F.lit(1_000_000), 0).cast("long")
+    return d.select(
+        "doc_id", (F.col("lang") == "en").alias("y"), pm.alias("pm")
+    ).where(F.col("pm").isNotNull())
+
+
+def a_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the quality score as an English-document classifier,
+    via the rank (Mann-Whitney) identity with midrank tie handling:
+    AUC = (Σ_pos 2·midrank − n⁺(n⁺+1)) / (2 n⁺ n⁻).  Gini (= Somers'
+    D) = 2·AUC − 1 rides along.
+
+    Determinism: the a_mann_whitney midrank machinery — ONE
+    range-partitioned global rank over (score, doc_id), per-score
+    blocks contribute min+max ranks as exact integers; a single IEEE
+    division at the end.  Scale: no single-partition sort."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    s = _qs_label_df(spark, sf_dir)
+    ranked = range_partitioned_rank(s, ["pm", "doc_id"], out_col="rn")
+    blocks = ranked.groupBy("pm").agg(
+        (F.min("rn") + F.max("rn")).alias("r2"),
+        F.count(F.when(F.col("y"), F.lit(1))).alias("pos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    d = "decimal(38,0)"
+    g = blocks.agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("nn"),
+        F.sum(F.col("pos").cast(d) * F.col("r2").cast(d)).alias("r2p"),
+    )
+    auc = (
+        F.col("r2p").cast("double")
+        - F.col("np").cast("double") * (F.col("np") + F.lit(1.0))
+    ) / (F.lit(2.0) * F.col("np") * F.col("nn"))
+    ok = (F.col("np") > 0) & (F.col("nn") > 0)
+    return g.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.when(ok, F.round(auc, 6)).alias("auc"),
+        F.when(ok, F.round(F.lit(2.0) * auc - 1, 6) + F.lit(0.0)).alias(
+            "gini"
+        ),
+    )
+
+
+def _a_auc_roc_sql() -> str:
+    return f"""
+WITH {_qs_label_cte()}, ranked AS (
+  SELECT y, pm, row_number() OVER (ORDER BY pm, doc_id) AS rn FROM scored
+), blocks AS (
+  SELECT pm, MIN(rn) + MAX(rn) AS r2,
+    COUNT(CASE WHEN y THEN 1 END) AS pos, COUNT(*) AS cnt
+  FROM ranked GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS np,
+    CAST(SUM(cnt - pos) AS BIGINT) AS nn,
+    SUM(CAST(pos AS HUGEINT) * r2) AS r2p
+  FROM blocks
+)
+SELECT np AS n_pos, nn AS n_neg,
+  CASE WHEN np > 0 AND nn > 0 THEN
+    round((CAST(r2p AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1.0))
+          / (2.0 * np * nn), 6)
+  END AS auc,
+  CASE WHEN np > 0 AND nn > 0 THEN
+    round(2.0 * (CAST(r2p AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1.0))
+          / (2.0 * np * nn) - 1, 6) + 0.0
+  END AS gini
+FROM g
+"""
+
+
+R10_QUERIES["a_auc_roc"] = a_auc_roc
+_R10_ORACLES["a_auc_roc"] = _a_auc_roc_sql
+
+
+# ------------------------------------------------------ a_brier_score
+
+
+def a_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (1950) of the quality-score probability against the
+    English label: mean squared error of the forecast.  Errors are
+    exact micro integers (score is born 6-dp), squared into DECIMAL
+    and summed exactly; one final IEEE division.  Also reports the
+    all-positive-rate reference and the Brier skill score vs the
+    base-rate forecast."""
+    s = _qs_label_df(spark, sf_dir)
+    d = "decimal(38,0)"
+    err = F.col("pm") - F.when(F.col("y"), F.lit(1_000_000)).otherwise(0)
+    g = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("np"),
+        F.sum(err.cast(d) * err.cast(d)).alias("se2"),
+    )
+    brier = F.col("se2").cast("double") / (F.lit(1e12) * F.col("n"))
+    base = F.col("np") / F.col("n").cast("double")
+    ref = base * (1 - base)
+    ok = F.col("n") > 0
+    return g.select(
+        "n",
+        F.col("np").alias("n_pos"),
+        F.when(ok, F.round(brier, 6)).alias("brier"),
+        F.when(ok, F.round(ref, 6)).alias("brier_ref"),
+        F.when(
+            ok & (ref > 0), F.round(1 - brier / ref, 6) + F.lit(0.0)
+        ).alias("brier_skill"),
+    )
+
+
+def _a_brier_score_sql() -> str:
+    return f"""
+WITH {_qs_label_cte()}, g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+    SUM(CAST(pm - CASE WHEN y THEN 1000000 ELSE 0 END AS HUGEINT)
+        * CAST(pm - CASE WHEN y THEN 1000000 ELSE 0 END AS HUGEINT))
+      AS se2
+  FROM scored
+)
+SELECT n, np AS n_pos,
+  CASE WHEN n > 0 THEN round(CAST(se2 AS DOUBLE) / (1e12 * n), 6)
+  END AS brier,
+  CASE WHEN n > 0 THEN
+    round(np / CAST(n AS DOUBLE) * (1 - np / CAST(n AS DOUBLE)), 6)
+  END AS brier_ref,
+  CASE WHEN n > 0 AND np / CAST(n AS DOUBLE) * (1 - np / CAST(n AS DOUBLE)) > 0
+  THEN round(1 - CAST(se2 AS DOUBLE) / (1e12 * n)
+             / (np / CAST(n AS DOUBLE) * (1 - np / CAST(n AS DOUBLE))), 6)
+       + 0.0
+  END AS brier_skill
+FROM g
+"""
+
+
+R10_QUERIES["a_brier_score"] = a_brier_score
+_R10_ORACLES["a_brier_score"] = _a_brier_score_sql
+
+
+# -------------------------------------------------- a_ece_calibration
+
+
+def a_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error table (Naeini et al. 2015): the
+    quality-score forecast binned into 10 equal-width probability
+    bins; per bin the mean confidence, the empirical positive rate,
+    and their absolute gap — plus each bin's weighted ECE
+    contribution.  Confidence/accuracy are exact half-away micro
+    divisions (round_mean_micro's integer path), so the gap is an
+    exact 6-dp value, never an IEEE tie."""
+    s = _qs_label_df(spark, sf_dir)
+    bucket = F.least(
+        F.lit(9).cast("long"),
+        F.call_function("div", F.col("pm"), F.lit(100_000).cast("long")),
+    )
+    g = s.groupBy(bucket.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("pm").alias("s_pm"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("sy"),
+    )
+    conf_m = F.call_function(
+        "div",
+        F.lit(2) * F.col("s_pm") + F.col("n_docs"),
+        F.lit(2) * F.col("n_docs"),
+    )
+    acc_m = F.call_function(
+        "div",
+        F.lit(2) * F.col("sy") * F.lit(1_000_000) + F.col("n_docs"),
+        F.lit(2) * F.col("n_docs"),
+    )
+    tot = g.agg(F.sum("n_docs").cast("long").alias("nt"))
+    w = g.crossJoin(F.broadcast(tot)).withColumn(
+        "gap_m", F.abs(conf_m - acc_m)
+    )
+    return w.select(
+        "bin",
+        "n_docs",
+        (conf_m / F.lit(1e6)).alias("avg_conf"),
+        (acc_m / F.lit(1e6)).alias("frac_pos"),
+        (F.col("gap_m") / F.lit(1e6)).alias("abs_gap"),
+        F.round(
+            F.col("n_docs") * F.col("gap_m") / (F.col("nt") * F.lit(1e6)), 6
+        ).alias("ece_term"),
+    ).orderBy("bin")
+
+
+def _a_ece_calibration_sql() -> str:
+    conf = "((2 * s_pm + n_docs) // (2 * n_docs))"
+    acc = "((2 * sy * 1000000 + n_docs) // (2 * n_docs))"
+    return f"""
+WITH {_qs_label_cte()}, g AS (
+  SELECT least(9, pm // 100000) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(pm) AS BIGINT) AS s_pm,
+    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy
+  FROM scored GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt FROM g)
+SELECT bin, n_docs,
+  {conf} / 1e6 AS avg_conf,
+  {acc} / 1e6 AS frac_pos,
+  abs({conf} - {acc}) / 1e6 AS abs_gap,
+  round(n_docs * abs({conf} - {acc}) / (nt * 1e6), 6) AS ece_term
+FROM g CROSS JOIN tot ORDER BY bin
+"""
+
+
+R10_QUERIES["a_ece_calibration"] = a_ece_calibration
+_R10_ORACLES["a_ece_calibration"] = _a_ece_calibration_sql
+
+
+# --------------------------------------------------------- a_cohens_d
+
+
+def a_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and Hedges' g (small-sample-corrected) effect sizes
+    between the weekend and weekday value distributions per event
+    type — the standardized companion of a_welch_ttest (which reports
+    significance, not magnitude).
+
+    Determinism: per-arm moments fold as exact DECIMAL(18,6) sums;
+    the pooled-SD chain is one identical IEEE expression over those
+    sums; round(·,6)+0.0 normalizes -0."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        F.col("value").cast(DEC).alias("v"),
+        F.dayofweek("ts").isin(1, 7).alias("wknd"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.when(F.col("wknd"), 1)).cast("long").alias("na"),
+        F.count(F.when(~F.col("wknd"), 1)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("wknd"), F.col("v"))).alias("sa"),
+        F.sum(F.when(F.col("wknd"), F.col("v") * F.col("v"))).alias("sa2"),
+        F.sum(F.when(~F.col("wknd"), F.col("v"))).alias("sb"),
+        F.sum(F.when(~F.col("wknd"), F.col("v") * F.col("v"))).alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sa2 = F.col("sa").cast("double"), F.col("sa2").cast("double")
+    sb, sb2 = F.col("sb").cast("double"), F.col("sb2").cast("double")
+    ssa = sa2 - sa * sa / na
+    ssb = sb2 - sb * sb / nb
+    sp2 = (ssa + ssb) / (na + nb - F.lit(2.0))
+    dd = (sa / na - sb / nb) / F.sqrt(sp2)
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (na + nb) - F.lit(9.0)
+    )
+    ok = (na > 1) & (nb > 1) & (sp2 > 0)
+    return g.select(
+        "event_type",
+        F.col("na").alias("n_weekend"),
+        F.col("nb").alias("n_weekday"),
+        F.when(ok, F.round(dd, 6) + F.lit(0.0)).alias("cohens_d"),
+        F.when(ok, F.round(dd * corr, 6) + F.lit(0.0)).alias("hedges_g"),
+    ).orderBy("event_type")
+
+
+def _a_cohens_d_sql() -> str:
+    ssa = "(CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na)"
+    ssb = "(CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb)"
+    sp2 = f"(({ssa} + {ssb}) / (na + nb - 2.0))"
+    dd = f"((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / sqrt({sp2}))"
+    corr = "(1.0 - 3.0 / (4.0 * (na + nb) - 9.0))"
+    return f"""
+WITH g AS (
+  SELECT event_type,
+    CAST(COUNT(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 END) AS BIGINT) AS na,
+    CAST(COUNT(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 END) AS BIGINT) AS nb,
+    SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+        THEN CAST(value AS DECIMAL(18,6)) END) AS sa,
+    SUM(CASE WHEN dayofweek(ts) IN (0, 6)
+        THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END)
+      AS sa2,
+    SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+        THEN CAST(value AS DECIMAL(18,6)) END) AS sb,
+    SUM(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+        THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) END)
+      AS sb2
+  FROM events GROUP BY 1
+)
+SELECT event_type, na AS n_weekend, nb AS n_weekday,
+  CASE WHEN na > 1 AND nb > 1 AND {sp2} > 0
+    THEN round({dd}, 6) + 0.0 END AS cohens_d,
+  CASE WHEN na > 1 AND nb > 1 AND {sp2} > 0
+    THEN round({dd} * {corr}, 6) + 0.0 END AS hedges_g
+FROM g ORDER BY event_type
+"""
+
+
+R10_QUERIES["a_cohens_d"] = a_cohens_d
+_R10_ORACLES["a_cohens_d"] = _a_cohens_d_sql
+
+
+# ------------------------------------------------------ a_cliffs_delta
+
+
+def a_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta (1993) ordinal effect size between the weekend
+    and weekday arms per event type: P(X>Y) − P(X<Y), computed
+    through the midrank identity δ = (Σ_A 2·midrank − n_A(n_A+1) −
+    n_A·n_B)/(n_A·n_B) — no pair materialization, ties exact.
+    Same rank machinery as a_mann_whitney (ONE range-partitioned
+    global rank, per-type offsets); exact integers until one final
+    IEEE division."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        "value",
+        "event_id",
+        F.dayofweek("ts").isin(1, 7).alias("wknd"),
+    )
+    ranked = range_partitioned_rank(
+        e, ["event_type", "value", "event_id"], out_col="grn"
+    )
+    offs = ranked.groupBy("event_type").agg((F.min("grn") - 1).alias("off"))
+    rn = ranked.join(F.broadcast(offs), "event_type").select(
+        "event_type", "value", "wknd", (F.col("grn") - F.col("off")).alias("rn")
+    )
+    blocks = rn.groupBy("event_type", "value").agg(
+        (F.min("rn") + F.max("rn")).alias("r2"),
+        F.count(F.lit(1)).alias("tcnt"),
+        F.count(F.when(F.col("wknd"), F.lit(1))).alias("a_v"),
+    )
+    d = "decimal(38,0)"
+    g = blocks.groupBy("event_type").agg(
+        F.sum("a_v").cast("long").alias("na"),
+        F.sum(F.col("tcnt") - F.col("a_v")).cast("long").alias("nb"),
+        F.sum(F.col("a_v").cast(d) * F.col("r2").cast(d)).alias("r2a"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    num = (
+        F.col("r2a").cast("double")
+        - na.cast("double") * (na + F.lit(1.0))
+        - na.cast("double") * nb
+    )
+    delta = num / (na.cast("double") * nb)
+    ok = (na > 0) & (nb > 0)
+    mag = F.abs(delta)
+    return g.select(
+        "event_type",
+        F.col("na").alias("n_weekend"),
+        F.col("nb").alias("n_weekday"),
+        F.when(ok, F.round(delta, 6) + F.lit(0.0)).alias("cliffs_delta"),
+        F.when(
+            ok,
+            F.when(mag < 0.147, "negligible")
+            .when(mag < 0.33, "small")
+            .when(mag < 0.474, "medium")
+            .otherwise("large"),
+        ).alias("magnitude"),
+    ).orderBy("event_type")
+
+
+def _a_cliffs_delta_sql() -> str:
+    num = (
+        "(CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1.0)"
+        " - CAST(na AS DOUBLE) * nb)"
+    )
+    delta = f"({num} / (CAST(na AS DOUBLE) * nb))"
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value,
+    dayofweek(ts) IN (0, 6) AS wknd,
+    row_number() OVER (ORDER BY event_type, value, event_id) AS grn
+  FROM events
+), offs AS (
+  SELECT event_type, MIN(grn) - 1 AS off FROM ranked GROUP BY 1
+), rn AS (
+  SELECT r.event_type, r.value, r.wknd, r.grn - o.off AS rn
+  FROM ranked r JOIN offs o USING (event_type)
+), blocks AS (
+  SELECT event_type, value, MIN(rn) + MAX(rn) AS r2,
+    COUNT(*) AS tcnt, COUNT(CASE WHEN wknd THEN 1 END) AS a_v
+  FROM rn GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(SUM(a_v) AS BIGINT) AS na,
+    CAST(SUM(tcnt - a_v) AS BIGINT) AS nb,
+    SUM(CAST(a_v AS HUGEINT) * r2) AS r2a
+  FROM blocks GROUP BY 1
+)
+SELECT event_type, na AS n_weekend, nb AS n_weekday,
+  CASE WHEN na > 0 AND nb > 0 THEN round({delta}, 6) + 0.0
+  END AS cliffs_delta,
+  CASE WHEN na > 0 AND nb > 0 THEN
+    CASE WHEN abs({delta}) < 0.147 THEN 'negligible'
+         WHEN abs({delta}) < 0.33 THEN 'small'
+         WHEN abs({delta}) < 0.474 THEN 'medium'
+         ELSE 'large' END
+  END AS magnitude
+FROM g ORDER BY event_type
+"""
+
+
+R10_QUERIES["a_cliffs_delta"] = a_cliffs_delta
+_R10_ORACLES["a_cliffs_delta"] = _a_cliffs_delta_sql
+
+
+# ---------------------------------------------------------- a_mcnemar
+
+
+def a_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (1947) on the two paired document KEEP gates the
+    corpus funnel stacks — the length gate (tokens >= 25) vs the
+    quality-score gate (score >= 0.4): do the gates disagree
+    symmetrically, or does one systematically keep what the other
+    drops?  Reports the discordant counts, the classic statistic
+    (b−c)²/(b+c) and the continuity-corrected (|b−c|−1)²/(b+c).
+
+    Determinism: flags are exact boolean chains (integer token counts,
+    the 6-dp score), counts exact; two guarded divisions, round 6."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    a = token_count("text") >= 25
+    b = F.coalesce(quality_score("text") >= 0.4, F.lit(False))
+    g = d.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_len_only"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_only"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    bb, cc = F.col("n_len_only"), F.col("n_quality_only")
+    disc = bb + cc
+    chi2 = (bb - cc) * (bb - cc) / disc.cast("double")
+    chi2c = (
+        (F.abs(bb - cc) - 1) * (F.abs(bb - cc) - 1) / disc.cast("double")
+    )
+    return g.select(
+        "n_both",
+        "n_len_only",
+        "n_quality_only",
+        "n_neither",
+        F.when(disc > 0, F.round(chi2, 6)).alias("mcnemar_chi2"),
+        F.when(disc > 0, F.round(chi2c, 6)).alias("mcnemar_chi2_cc"),
+    )
+
+
+def _a_mcnemar_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+    ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS p
+  FROM documents
+), flags AS (
+  SELECT
+    ntok >= 25 AS a,
+    coalesce(round(least(ntok / 100.0, 1.0) * 0.5
+      + least(CASE WHEN ntok > 0 THEN CAST(sw AS DOUBLE) / ntok END * 5,
+              1.0) * 0.5, 6) >= 0.4, FALSE) AS b
+  FROM (
+    SELECT doc_id, {hits} AS sw,
+      CASE WHEN length(t) = 0 THEN 0
+           ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+      END AS ntok
+    FROM base)
+), g AS (
+  SELECT
+    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_len_only,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_quality_only,
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_neither
+  FROM flags
+)
+SELECT n_both, n_len_only, n_quality_only, n_neither,
+  CASE WHEN n_len_only + n_quality_only > 0 THEN
+    round((n_len_only - n_quality_only) * (n_len_only - n_quality_only)
+          / CAST(n_len_only + n_quality_only AS DOUBLE), 6)
+  END AS mcnemar_chi2,
+  CASE WHEN n_len_only + n_quality_only > 0 THEN
+    round((abs(n_len_only - n_quality_only) - 1)
+          * (abs(n_len_only - n_quality_only) - 1)
+          / CAST(n_len_only + n_quality_only AS DOUBLE), 6)
+  END AS mcnemar_chi2_cc
+FROM g
+"""
+
+
+R10_QUERIES["a_mcnemar"] = a_mcnemar
+_R10_ORACLES["a_mcnemar"] = _a_mcnemar_sql
+
+
+# --------------------------------------------------------- a_cochran_q
+
+
+def a_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q (1950) across the corpus funnel's THREE per-doc
+    keep gates as matched binary treatments — length (tokens >= 25),
+    quality score (>= 0.4), repetition (dup-bigram ratio <= 0.06,
+    vacuously true for short docs, the t_corpus_pipeline convention):
+    Q = (k−1)(k·ΣCⱼ² − (ΣCⱼ)²)/(k·ΣRᵢ − ΣRᵢ²).  Every term is an
+    exact integer (row sums ∈ {0..3}); one guarded division."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from kp_crypto_market_analytics_spark.queries_r7 import _norm_text
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    toks = F.split(_norm_text(), " ")
+    nb = F.size(toks) - 1
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, nb),
+            F.slice(toks, 2, nb),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_ratio = F.when(
+        F.size(bigrams) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double"),
+    )
+    c1 = (token_count("text") >= 25).cast("int")
+    c2 = F.coalesce(quality_score("text") >= 0.4, F.lit(False)).cast("int")
+    c3 = F.coalesce(dup_ratio <= 0.06, F.lit(True)).cast("int")
+    rows = d.select(c1.alias("c1"), c2.alias("c2"), c3.alias("c3"))
+    ri = F.col("c1") + F.col("c2") + F.col("c3")
+    g = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c1").cast("long").alias("t1"),
+        F.sum("c2").cast("long").alias("t2"),
+        F.sum("c3").cast("long").alias("t3"),
+        F.sum(ri).cast("long").alias("sr"),
+        F.sum(ri * ri).cast("long").alias("sr2"),
+    )
+    k = F.lit(3)
+    num = (k - 1) * (
+        k * (F.col("t1") * F.col("t1") + F.col("t2") * F.col("t2")
+             + F.col("t3") * F.col("t3"))
+        - F.col("sr") * F.col("sr")
+    )
+    den = k * F.col("sr") - F.col("sr2")
+    return g.select(
+        "n",
+        F.col("t1").alias("n_pass_length"),
+        F.col("t2").alias("n_pass_quality"),
+        F.col("t3").alias("n_pass_repetition"),
+        F.when(den > 0, F.round(num / den.cast("double"), 6)).alias(
+            "cochran_q"
+        ),
+    )
+
+
+def _a_cochran_q_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+    from kp_crypto_market_analytics_spark.queries_r8 import NORM_TEXT_SQL
+
+    hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {NORM_TEXT_SQL} AS t,
+    ' ' || {NORM_TEXT_SQL} || ' ' AS p,
+    string_split({NORM_TEXT_SQL}, ' ') AS l
+  FROM documents
+), feat AS (
+  SELECT doc_id, {hits} AS sw,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+    END AS ntok,
+    CASE WHEN len(l) >= 2 THEN
+      1.0 - CAST(len(list_distinct(list_transform(
+            generate_series(1, len(l) - 1),
+            i -> l[i] || ' ' || l[i + 1]))) AS DOUBLE) / (len(l) - 1)
+    END AS dup_ratio
+  FROM base
+), flags AS (
+  SELECT
+    CAST(ntok >= 25 AS INT) AS c1,
+    CAST(coalesce(round(least(ntok / 100.0, 1.0) * 0.5
+      + least(CASE WHEN ntok > 0 THEN CAST(sw AS DOUBLE) / ntok END * 5,
+              1.0) * 0.5, 6) >= 0.4, FALSE) AS INT) AS c2,
+    CAST(coalesce(dup_ratio <= 0.06, TRUE) AS INT) AS c3
+  FROM feat
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(c1) AS BIGINT) AS t1, CAST(SUM(c2) AS BIGINT) AS t2,
+    CAST(SUM(c3) AS BIGINT) AS t3,
+    CAST(SUM(c1 + c2 + c3) AS BIGINT) AS sr,
+    CAST(SUM((c1 + c2 + c3) * (c1 + c2 + c3)) AS BIGINT) AS sr2
+  FROM flags
+)
+SELECT n, t1 AS n_pass_length, t2 AS n_pass_quality,
+  t3 AS n_pass_repetition,
+  CASE WHEN 3 * sr - sr2 > 0 THEN
+    round(2 * (3 * (t1 * t1 + t2 * t2 + t3 * t3) - sr * sr)
+          / CAST(3 * sr - sr2 AS DOUBLE), 6)
+  END AS cochran_q
+FROM g
+"""
+
+
+R10_QUERIES["a_cochran_q"] = a_cochran_q
+_R10_ORACLES["a_cochran_q"] = _a_cochran_q_sql
+
+
+# ------------------------------------------------------ a_friedman_test
+
+
+def a_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (1937) for consistent ordering of the event
+    types' daily value levels: blocks = complete days (all types
+    present), treatments = event types, cell = the day's exact micro
+    value sum; within-day midranks feed χ²_F = 3·ΣR2ⱼ²/(n·k·(k+1)) −
+    3·n·(k+1) (R2 = doubled rank sums, so ties stay integer), plus
+    Kendall's W = χ²_F/(n(k−1)).
+
+    Determinism: cells are exact BIGINT micro sums; midranks are
+    min+max integers; ONE IEEE division pair at the end."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    cells = e.groupBy("day", "event_type").agg(
+        F.sum("vm").alias("cell")
+    )
+    ktot = cells.agg(
+        F.count_distinct("event_type").alias("kt")
+    )
+    complete = (
+        cells.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .crossJoin(F.broadcast(ktot))
+        .where(F.col("kk") == F.col("kt"))
+        .select("day")
+    )
+    c = cells.join(complete, "day")
+    wd = Window.partitionBy("day").orderBy("cell", "event_type")
+    wb = Window.partitionBy("day", "cell")
+    r2 = (
+        F.min(F.row_number().over(wd)).over(wb)
+        + F.max(F.row_number().over(wd)).over(wb)
+    )
+    ranked = c.select("day", "event_type", r2.alias("r2"))
+    byt = ranked.groupBy("event_type").agg(F.sum("r2").alias("rj2"))
+    d = "decimal(38,0)"
+    g = byt.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("rj2").cast(d) * F.col("rj2").cast(d)).alias("s2"),
+    ).crossJoin(
+        F.broadcast(
+            ranked.select("day").distinct().agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            )
+        )
+    )
+    chi2 = F.lit(3.0) * F.col("s2").cast("double") / (
+        F.col("n") * F.col("k") * (F.col("k") + F.lit(1.0)) * F.lit(4.0)
+    ) - F.lit(3.0) * F.col("n") * (F.col("k") + F.lit(1.0))
+    ok = (F.col("n") > 0) & (F.col("k") > 1)
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_types"),
+        F.when(ok, F.round(chi2, 6) + F.lit(0.0)).alias("friedman_chi2"),
+        F.when(
+            ok,
+            F.round(chi2 / (F.col("n") * (F.col("k") - F.lit(1.0))), 6)
+            + F.lit(0.0),
+        ).alias("kendalls_w"),
+    )
+
+
+def _a_friedman_test_sql() -> str:
+    chi2 = (
+        "(3.0 * CAST(s2 AS DOUBLE) / (n * k * (k + 1.0) * 4.0)"
+        " - 3.0 * n * (k + 1.0))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+    CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS cell
+  FROM events GROUP BY 1, 2
+), ktot AS (SELECT COUNT(DISTINCT event_type) AS kt FROM cells),
+complete AS (
+  SELECT day FROM cells GROUP BY day
+  HAVING COUNT(*) = (SELECT kt FROM ktot)
+), c AS (
+  SELECT cells.* FROM cells JOIN complete USING (day)
+), rr AS (
+  SELECT day, event_type, cell,
+    row_number() OVER (PARTITION BY day ORDER BY cell, event_type) AS rn
+  FROM c
+), ranked AS (
+  SELECT day, event_type,
+    MIN(rn) OVER (PARTITION BY day, cell)
+      + MAX(rn) OVER (PARTITION BY day, cell) AS r2
+  FROM rr
+), byt AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rj2 FROM ranked GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    SUM(CAST(rj2 AS HUGEINT) * rj2) AS s2,
+    (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM ranked) AS n
+  FROM byt
+)
+SELECT n AS n_days, k AS n_types,
+  CASE WHEN n > 0 AND k > 1 THEN round({chi2}, 6) + 0.0
+  END AS friedman_chi2,
+  CASE WHEN n > 0 AND k > 1 THEN
+    round({chi2} / (n * (k - 1.0)), 6) + 0.0
+  END AS kendalls_w
+FROM g
+"""
+
+
+R10_QUERIES["a_friedman_test"] = a_friedman_test
+_R10_ORACLES["a_friedman_test"] = _a_friedman_test_sql
+
+
+# ---------------------------------------------------------- a_theil_u
+
+
+def a_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U1 inequality coefficient of the naive (random-walk)
+    daily close forecast per event type: U1 = RMSE(naive)/(RMS(c) +
+    RMS(ĉ)) ∈ [0,1] — the scale-free forecastability score.  Also
+    reports U2 vs the no-change benchmark = 1 by construction for the
+    naive forecast, so instead the RMSE itself rides along.
+
+    Determinism: closes are micro BIGINTs; squared errors and squares
+    fold as exact DECIMAL(38,0); one identical IEEE chain."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    d = "decimal(38,0)"
+    bars = _daily_bars_df(spark, sf_dir)
+    prev = F.lag("cm").over(_wd())
+    b = bars.select("event_type", "cm", prev.alias("pm")).where(
+        F.col("pm").isNotNull()
+    )
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("cm") - F.col("pm")).cast(d)
+            * (F.col("cm") - F.col("pm")).cast(d)
+        ).alias("se2"),
+        F.sum(F.col("cm").cast(d) * F.col("cm").cast(d)).alias("sc2"),
+        F.sum(F.col("pm").cast(d) * F.col("pm").cast(d)).alias("sp2"),
+    )
+    rmse = F.sqrt(F.col("se2").cast("double") / F.col("n"))
+    den = F.sqrt(F.col("sc2").cast("double") / F.col("n")) + F.sqrt(
+        F.col("sp2").cast("double") / F.col("n")
+    )
+    ok = (F.col("n") > 0) & (den > 0)
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(F.col("n") > 0, F.round(rmse / F.lit(1e6), 6)).alias(
+            "naive_rmse"
+        ),
+        F.when(ok, F.round(rmse / den, 6)).alias("theil_u1"),
+    ).orderBy("event_type")
+
+
+def _a_theil_u_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _WD_SQL,
+        DAILY_BARS_CTE,
+    )
+
+    rmse = "sqrt(CAST(se2 AS DOUBLE) / n)"
+    den = "(sqrt(CAST(sc2 AS DOUBLE) / n) + sqrt(CAST(sp2 AS DOUBLE) / n))"
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, cm, lag(cm) OVER ({_WD_SQL}) AS pm FROM bars
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(cm - pm AS HUGEINT) * (cm - pm)) AS se2,
+    SUM(CAST(cm AS HUGEINT) * cm) AS sc2,
+    SUM(CAST(pm AS HUGEINT) * pm) AS sp2
+  FROM b WHERE pm IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+  CASE WHEN n > 0 THEN round({rmse} / 1e6, 6) END AS naive_rmse,
+  CASE WHEN n > 0 AND {den} > 0 THEN round({rmse} / {den}, 6)
+  END AS theil_u1
+FROM g ORDER BY event_type
+"""
+
+
+R10_QUERIES["a_theil_u"] = a_theil_u
+_R10_ORACLES["a_theil_u"] = _a_theil_u_sql
+
+
+# -------------------------------------------------------- a_smape_mase
+
+_SEAS_M = 7
+
+
+def a_smape_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy pair for the weekly seasonal-naive forecast
+    (ĉ_t = c_{t−7}, the w_seasonal_naive_forecast rule) on daily
+    closes: sMAPE (each term 2|e|/(c+ĉ) nano-rounded then exactly
+    summed — closes are positive where scored) and MASE (mean |e|
+    over the mean in-sample one-step naive |Δc|, a ratio of exact
+    integer sums; Hyndman & Koehler 2006).  One IEEE division each."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+    b = bars.select(
+        "event_type",
+        "cm",
+        F.lag("cm", _SEAS_M).over(w).alias("fm"),
+        F.lag("cm", 1).over(w).alias("pm"),
+    )
+    term = F.when(
+        F.col("fm").isNotNull() & (F.col("cm") + F.col("fm") > 0),
+        F.round(
+            F.lit(2e9)
+            * F.abs(F.col("cm") - F.col("fm"))
+            / (F.col("cm") + F.col("fm")),
+            0,
+        ).cast("long"),
+    )
+    g = b.groupBy("event_type").agg(
+        F.count(term).cast("long").alias("ne"),
+        F.sum(term).alias("st"),
+        F.sum(
+            F.when(F.col("fm").isNotNull(), F.abs(F.col("cm") - F.col("fm")))
+        ).cast("long").alias("sae"),
+        F.count(F.when(F.col("pm").isNotNull(), 1)).cast("long").alias("nd"),
+        F.sum(
+            F.when(F.col("pm").isNotNull(), F.abs(F.col("cm") - F.col("pm")))
+        ).cast("long").alias("sad"),
+    )
+    smape = F.col("st") / (F.lit(1e9) * F.col("ne"))
+    d = "decimal(38,0)"
+    mase = (
+        F.col("sae").cast(d) * F.col("nd").cast(d)
+    ).cast("double") / (
+        F.col("ne").cast(d) * F.col("sad").cast(d)
+    ).cast("double")
+    return g.select(
+        "event_type",
+        F.col("ne").alias("n_scored"),
+        F.when(F.col("ne") > 0, F.round(smape, 6)).alias("smape"),
+        F.when(
+            (F.col("ne") > 0) & (F.col("sad") > 0), F.round(mase, 6)
+        ).alias("mase"),
+    ).orderBy("event_type")
+
+
+def _a_smape_mase_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _WD_SQL,
+        DAILY_BARS_CTE,
+    )
+
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, cm,
+    lag(cm, {_SEAS_M}) OVER ({_WD_SQL}) AS fm,
+    lag(cm, 1) OVER ({_WD_SQL}) AS pm
+  FROM bars
+), g AS (
+  SELECT event_type,
+    CAST(COUNT(CASE WHEN fm IS NOT NULL AND cm + fm > 0 THEN 1 END)
+         AS BIGINT) AS ne,
+    CAST(SUM(CASE WHEN fm IS NOT NULL AND cm + fm > 0 THEN
+      CAST(round(2e9 * abs(cm - fm) / (cm + fm)) AS BIGINT) END)
+      AS BIGINT) AS st,
+    CAST(SUM(CASE WHEN fm IS NOT NULL THEN abs(cm - fm) END) AS BIGINT)
+      AS sae,
+    CAST(COUNT(CASE WHEN pm IS NOT NULL THEN 1 END) AS BIGINT) AS nd,
+    CAST(SUM(CASE WHEN pm IS NOT NULL THEN abs(cm - pm) END) AS BIGINT)
+      AS sad
+  FROM b GROUP BY 1
+)
+SELECT event_type, ne AS n_scored,
+  CASE WHEN ne > 0 THEN round(st / (1e9 * ne), 6) END AS smape,
+  CASE WHEN ne > 0 AND sad > 0 THEN
+    round(CAST(CAST(sae AS HUGEINT) * nd AS DOUBLE)
+          / CAST(CAST(ne AS HUGEINT) * sad AS DOUBLE), 6)
+  END AS mase
+FROM g ORDER BY event_type
+"""
+
+
+R10_QUERIES["a_smape_mase"] = a_smape_mase
+_R10_ORACLES["a_smape_mase"] = _a_smape_mase_sql
