@@ -162,6 +162,9 @@ _FIRST_SEEN_ROUND.update(
         "a_auc_roc", "a_brier_score", "a_ece_calibration", "a_cohens_d",
         "a_cliffs_delta", "a_mcnemar", "a_cochran_q", "a_friedman_test",
         "a_theil_u", "a_smape_mase",
+        "dq_orphan_rate", "t_group_kfold", "t_poisson_bootstrap",
+        "t_temporal_split_embargo", "t_lang_confusion",
+        "w_rolling_skewkurt",
     )}
 )
 

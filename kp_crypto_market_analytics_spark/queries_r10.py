@@ -1823,3 +1823,509 @@ FROM g ORDER BY event_type
 
 R10_QUERIES["a_smape_mase"] = a_smape_mase
 _R10_ORACLES["a_smape_mase"] = _a_smape_mase_sql
+
+
+# ------------------------------------------------------ dq_orphan_rate
+
+
+def dq_orphan_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts and exact-ppm rates
+    for the four TPC-H foreign keys (orders→customer,
+    lineitem→orders, lineitem→part, lineitem→supplier) — the
+    enforcement companion of dq_fk_discovery (which infers candidate
+    FKs, this measures violation mass).  Orphans via LEFT ANTI joins
+    with the parent key side BROADCAST (dimension tables); rates are
+    integer ppm ((orphans·1e6) DIV n) — no IEEE division at all."""
+    t = load_tables(
+        spark, sf_dir,
+        ["orders", "customer", "lineitem", "part", "supplier"],
+    )
+    specs = [
+        ("orders.o_custkey->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in specs:
+        orphans = child.join(
+            F.broadcast(parent.select(F.col(pk).alias(ck)).distinct()),
+            ck,
+            "left_anti",
+        )
+        row = child.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child")
+        ).crossJoin(
+            orphans.agg(
+                F.count(F.lit(1)).cast("long").alias("n_orphans")
+            )
+        ).select(
+            F.lit(name).alias("fk"),
+            "n_child",
+            "n_orphans",
+            F.call_function(
+                "div",
+                F.col("n_orphans") * F.lit(1_000_000).cast("long"),
+                F.col("n_child"),
+            ).alias("orphan_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+def _dq_orphan_rate_sql() -> str:
+    specs = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    sel = []
+    for name, child, ck, parent, pk in specs:
+        sel.append(f"""SELECT '{name}' AS fk,
+    CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_child,
+    CAST((SELECT COUNT(*) FROM {child} WHERE {ck} NOT IN
+          (SELECT {pk} FROM {parent})) AS BIGINT) AS n_orphans,
+    (CAST((SELECT COUNT(*) FROM {child} WHERE {ck} NOT IN
+          (SELECT {pk} FROM {parent})) AS BIGINT) * 1000000)
+      // (SELECT COUNT(*) FROM {child}) AS orphan_ppm""")
+    return "\n  SELECT * FROM (\n" + "\n  UNION ALL\n".join(sel) + "\n) ORDER BY fk"
+
+
+R10_QUERIES["dq_orphan_rate"] = dq_orphan_rate
+_R10_ORACLES["dq_orphan_rate"] = _dq_orphan_rate_sql
+
+
+# ------------------------------------------------------- t_group_kfold
+
+_KFOLD_K = 5
+
+
+def t_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware K-fold assignment (the sklearn GroupKFold semantic,
+    hash-dealt): every event lands in fold = hash64(user#fold) % 5 of
+    its USER, so no user ever straddles folds — the leakage-safe CV
+    split for user-correlated data.  Census per fold: events, users,
+    types, exact-ppm event share.  Disjointness is by construction
+    (the fold is a function of the user), and the census proves
+    coverage: Σ n_users over folds = distinct users."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    fold = hash64(
+        F.concat(F.col("user_id").cast("string"), F.lit("#fold"))
+    ) % _KFOLD_K
+    g = e.withColumn("fold", fold).groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+    )
+    tot = g.agg(F.sum("n_events").cast("long").alias("nt"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_events",
+            "n_users",
+            "n_types",
+            F.call_function(
+                "div",
+                F.col("n_events") * F.lit(1_000_000).cast("long"),
+                F.col("nt"),
+            ).alias("event_share_ppm"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _t_group_kfold_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r8 import H60
+
+    h = H60.format(x="CAST(user_id AS VARCHAR) || '#fold'")
+    return f"""
+WITH g AS (
+  SELECT {h} % {_KFOLD_K} AS fold,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS nt FROM g)
+SELECT fold, n_events, n_users, n_types,
+  (n_events * 1000000) // nt AS event_share_ppm
+FROM g CROSS JOIN tot ORDER BY fold
+"""
+
+
+R10_QUERIES["t_group_kfold"] = t_group_kfold
+_R10_ORACLES["t_group_kfold"] = _t_group_kfold_sql
+
+
+# -------------------------------------------------- t_poisson_bootstrap
+
+# Poisson(1) CDF in exact ppm (fixed published constants, identical in
+# both engines): P(X <= k) for k = 0..7.
+_POIS1_CDF_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+
+
+def t_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (the scalable bootstrap for
+    distributed data — each row independently draws a Poisson(1)
+    replication weight, no global resample): the draw is the inverse
+    CDF applied to a hash-derived uniform (hash64(event_id#boot) %
+    1e6 against exact ppm thresholds), so the resample is reproducible
+    across engines and runs.  Census per event type: original vs
+    resampled row counts and micro value sums, plus the resample
+    ratio.  Everything is exact integers except one final ratio."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    u = hash64(
+        F.concat(F.col("event_id").cast("string"), F.lit("#boot"))
+    ) % 1_000_000
+    w = None
+    for c in _POIS1_CDF_PPM:
+        term = F.when(u >= c, 1).otherwise(0)
+        w = term if w is None else w + term
+    d = "decimal(38,0)"
+    g = e.withColumn("w", w).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig"),
+        F.sum("w").cast("long").alias("n_resampled"),
+        F.sum("vm").cast("long").alias("sum_vm_orig"),
+        F.sum(F.col("w").cast(d) * F.col("vm").cast(d)).cast(d).alias(
+            "__svr"
+        ),
+    )
+    return g.select(
+        "event_type",
+        "n_orig",
+        "n_resampled",
+        "sum_vm_orig",
+        F.col("__svr").cast("long").alias("sum_vm_resampled"),
+        F.round(F.col("n_resampled") / F.col("n_orig").cast("double"), 6)
+        .alias("resample_ratio"),
+    ).orderBy("event_type")
+
+
+def _t_poisson_bootstrap_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r8 import H60
+
+    h = H60.format(x="CAST(event_id AS VARCHAR) || '#boot'")
+    w = " + ".join(
+        f"(CASE WHEN u >= {c} THEN 1 ELSE 0 END)" for c in _POIS1_CDF_PPM
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm,
+    {h} % 1000000 AS u
+  FROM events
+), wtd AS (
+  SELECT event_type, vm, {w} AS w FROM base
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_orig,
+  CAST(SUM(w) AS BIGINT) AS n_resampled,
+  CAST(SUM(vm) AS BIGINT) AS sum_vm_orig,
+  CAST(SUM(CAST(w AS HUGEINT) * vm) AS BIGINT) AS sum_vm_resampled,
+  round(SUM(w) / CAST(COUNT(*) AS DOUBLE), 6) AS resample_ratio
+FROM wtd GROUP BY 1 ORDER BY event_type
+"""
+
+
+R10_QUERIES["t_poisson_bootstrap"] = t_poisson_bootstrap
+_R10_ORACLES["t_poisson_bootstrap"] = _t_poisson_bootstrap_sql
+
+
+# --------------------------------------------- t_temporal_split_embargo
+
+_EMBARGO_MS = 6 * 3_600_000  # 6 hours
+
+
+def t_temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo gap (the
+    finance-standard leakage control — de Prado 2018: observations
+    inside the embargo window after the train cutoff are DROPPED so
+    serially-correlated features cannot leak across the boundary):
+    cutoff = the exact ceil(0.8·n)-ranked event time (integer rank
+    arithmetic, never an IEEE ceil), embargo = 6 h.  Census per event
+    type: train/embargo/test counts and the user-overlap leakage
+    audit (distinct users present on BOTH sides — nonzero is expected
+    for user-keyed data; the column is the honesty metric group-aware
+    splitters are judged by).
+
+    Determinism: the cutoff is the unique (ms, event_id)-ordered rank
+    via the distributed range rank; every output is an exact count."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+    )
+    ranked = range_partitioned_rank(e, ["ms", "event_id"], out_col="rn")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = n.select(
+        F.call_function(
+            "div", F.lit(4) * F.col("n") + F.lit(4), F.lit(5).cast("long")
+        ).alias("r")
+    )
+    t1 = (
+        ranked.join(F.broadcast(r), F.col("rn") == F.col("r"))
+        .select(F.col("ms").alias("t1"))
+    )
+    lab = e.crossJoin(F.broadcast(t1)).withColumn(
+        "split",
+        F.when(F.col("ms") <= F.col("t1"), "train")
+        .when(F.col("ms") < F.col("t1") + _EMBARGO_MS, "embargo")
+        .otherwise("test"),
+    )
+    cnt = lab.groupBy("event_type").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "embargo", 1).otherwise(0))
+        .cast("long")
+        .alias("n_embargo"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    overlap = (
+        lab.where(F.col("split") != "embargo")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "in_tr"
+            ),
+            F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                "in_te"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("in_tr") * F.col("in_te"))
+            .cast("long")
+            .alias("n_users_leaking")
+        )
+    )
+    return (
+        cnt.join(overlap, "event_type")
+        .orderBy("event_type")
+        .select(
+            "event_type", "n_train", "n_embargo", "n_test",
+            "n_users_leaking",
+        )
+    )
+
+
+def _t_temporal_split_embargo_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, user_id, event_id, epoch_ms(ts) AS ms FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY ms, event_id) AS rn FROM e
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+t1 AS (
+  SELECT ms AS t1 FROM ranked, n WHERE rn = (4 * n.n + 4) // 5
+), lab AS (
+  SELECT event_type, user_id,
+    CASE WHEN ms <= t1 THEN 'train'
+         WHEN ms < t1 + {_EMBARGO_MS} THEN 'embargo'
+         ELSE 'test' END AS split
+  FROM e CROSS JOIN t1
+), cnt AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_train,
+    CAST(SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_embargo,
+    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_test
+  FROM lab GROUP BY 1
+), ov AS (
+  SELECT event_type,
+    CAST(SUM(in_tr * in_te) AS BIGINT) AS n_users_leaking
+  FROM (
+    SELECT event_type, user_id,
+      MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+      MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+    FROM lab WHERE split <> 'embargo' GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT event_type, n_train, n_embargo, n_test, n_users_leaking
+FROM cnt JOIN ov USING (event_type) ORDER BY event_type
+"""
+
+
+R10_QUERIES["t_temporal_split_embargo"] = t_temporal_split_embargo
+_R10_ORACLES["t_temporal_split_embargo"] = _t_temporal_split_embargo_sql
+
+
+# ------------------------------------------------------ t_lang_confusion
+
+
+def t_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic marker-lexicon
+    predictor (t_lang_id's exact argmax chain) against the labeled
+    lang column, as (lang, pred_lang) cells with the within-label
+    share — the audit that shows WHERE the detector fails, which the
+    scalar accuracy of t_lang_id cannot.  Counts exact; one IEEE
+    share division per cell, round 6."""
+    from kp_crypto_market_analytics_spark.queries import t_lang_id
+
+    pred = t_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    g = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wtot = g.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("nt"))
+    return (
+        g.join(F.broadcast(wtot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("nt").cast("double"), 6).alias(
+                "share_of_lang"
+            ),
+            (F.col("lang") == F.col("pred_lang")).alias("is_correct"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _t_lang_confusion_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries import _t_lang_sql
+
+    inner = _t_lang_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({inner}), g AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+), wtot AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS nt FROM g GROUP BY 1
+)
+SELECT lang, pred_lang, n_docs,
+  round(n_docs / CAST(nt AS DOUBLE), 6) AS share_of_lang,
+  lang = pred_lang AS is_correct
+FROM g JOIN wtot USING (lang) ORDER BY lang, pred_lang
+"""
+
+
+R10_QUERIES["t_lang_confusion"] = t_lang_confusion
+_R10_ORACLES["t_lang_confusion"] = _t_lang_confusion_sql
+
+
+# --------------------------------------------------- w_rolling_skewkurt
+
+_SK_WINDOW = 60
+_SK_MIN_PERIODS = 30
+
+
+def w_rolling_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 60-row skewness and excess kurtosis per event type —
+    the higher-moment extension of w2_rolling_std's recipe.  Values
+    quantize to milli integers (round(value·1e3) — documented 3-dp
+    moment grid, so x⁴ sums stay inside DECIMAL(38,0) at any window)
+    and the four power sums fold exactly; skew g₁ = m₃/m₂^1.5 and
+    excess kurtosis g₂ = m₄/m₂² − 3 are one identical IEEE chain over
+    those exact sums, masked below 30 rows or zero variance."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"])
+    d = "decimal(38,0)"
+    x = F.round(F.col("value") * F.lit(1_000.0), 0).cast("long")
+    b = e.select(
+        "event_type", "ts", "event_id", x.alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_SK_WINDOW - 1), 0)
+    )
+    n = F.count("x").over(w)
+    s1 = F.sum(F.col("x").cast(d)).over(w).cast("double")
+    s2 = F.sum((F.col("x") * F.col("x")).cast(d)).over(w).cast("double")
+    xd = F.col("x").cast(d)
+    s3 = F.sum(xd * xd * xd).over(w).cast("double")
+    s4 = F.sum(xd * xd * xd * xd).over(w).cast("double")
+    nn = n.cast("double")
+    m = s1 / nn
+    m2 = s2 / nn - m * m
+    m3 = s3 / nn - F.lit(3.0) * m * s2 / nn + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / nn
+        - F.lit(4.0) * m * s3 / nn
+        + F.lit(6.0) * m * m * s2 / nn
+        - F.lit(3.0) * m * m * m * m
+    )
+    ok = (n >= _SK_MIN_PERIODS) & (m2 > 0)
+    return b.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(ok, F.round(m3 / F.sqrt(m2 * m2 * m2), 6) + F.lit(0.0)).alias(
+            "roll_skew"
+        ),
+        F.when(ok, F.round(m4 / (m2 * m2) - 3, 6) + F.lit(0.0)).alias(
+            "roll_kurt"
+        ),
+    ).orderBy("event_type", "ts", "event_id")
+
+
+def _w_rolling_skewkurt_sql() -> str:
+    m = "(s1 / nn)"
+    m2 = f"(s2 / nn - {m} * {m})"
+    m3 = f"(s3 / nn - 3.0 * {m} * s2 / nn + 2.0 * {m} * {m} * {m})"
+    m4 = (
+        f"(s4 / nn - 4.0 * {m} * s3 / nn + 6.0 * {m} * {m} * s2 / nn"
+        f" - 3.0 * {m} * {m} * {m} * {m})"
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type, ts, event_id,
+    CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, ts, event_id,
+    COUNT(x) OVER w AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER w AS DOUBLE) AS s1,
+    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) OVER w AS DOUBLE) AS s2,
+    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) OVER w AS DOUBLE) AS s3,
+    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x * x) OVER w AS DOUBLE) AS s4
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_SK_WINDOW - 1} PRECEDING AND CURRENT ROW)
+), fin AS (
+  SELECT event_type, ts, event_id, n, CAST(n AS DOUBLE) AS nn,
+    s1, s2, s3, s4
+  FROM s
+)
+SELECT event_type, ts, event_id,
+  CASE WHEN n >= {_SK_MIN_PERIODS} AND {m2} > 0 THEN
+    round({m3} / sqrt({m2} * {m2} * {m2}), 6) + 0.0 END AS roll_skew,
+  CASE WHEN n >= {_SK_MIN_PERIODS} AND {m2} > 0 THEN
+    round({m4} / ({m2} * {m2}) - 3, 6) + 0.0 END AS roll_kurt
+FROM fin ORDER BY event_type, ts, event_id
+"""
+
+
+R10_QUERIES["w_rolling_skewkurt"] = w_rolling_skewkurt
+_R10_ORACLES["w_rolling_skewkurt"] = _w_rolling_skewkurt_sql
