@@ -165,6 +165,8 @@ _FIRST_SEEN_ROUND.update(
         "dq_orphan_rate", "t_group_kfold", "t_poisson_bootstrap",
         "t_temporal_split_embargo", "t_lang_confusion",
         "w_rolling_skewkurt",
+        "w_hampel_filter", "ti_pacf", "t_perplexity_buckets",
+        "t_cdc_chunking",
     )}
 )
 

@@ -2329,3 +2329,460 @@ FROM fin ORDER BY event_type, ts, event_id
 
 R10_QUERIES["w_rolling_skewkurt"] = w_rolling_skewkurt
 _R10_ORACLES["w_rolling_skewkurt"] = _w_rolling_skewkurt_sql
+
+
+# ------------------------------------------------------ w_hampel_filter
+
+_HAM_W = 25      # odd window: median is ONE element, no convention
+_HAM_K_NUM = 44478   # 3 * 1.4826 = 4.4478 as an exact rational
+_HAM_K_DEN = 10000
+
+
+def w_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter (the robust despiking standard): flag a
+    tick when |x − rolling median₂₅| > 3·1.4826·MAD₂₅, rolled up as a
+    per-(type, day) census of windows and outliers with an exact-ppm
+    rate.  Extends w_rolling_median's one-element-median recipe: the
+    window's sorted 25-frame yields the median AND (via a transform
+    over the same array) the MAD in one pass, and the flag comparison
+    is pure integer arithmetic — |dev|·10000 > 44478·MAD in micro
+    units — so no IEEE boundary can split the engines."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_HAM_W - 1), 0)
+    )
+    wr = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    mid = (_HAM_W + 1) // 2
+    pxm = F.round(F.col("value") * F.lit(1_000_000.0), 0).cast("long")
+    base = (
+        ensure_parallelism(t["events"])
+        .select("event_type", "ts", "event_id", pxm.alias("pxm"))
+        .withColumn("arr", F.sort_array(F.collect_list("pxm").over(w)))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") >= _HAM_W)
+    )
+    med = F.element_at("arr", mid)
+    mad = F.element_at(
+        F.sort_array(F.transform("arr", lambda x: F.abs(x - med))), mid
+    )
+    flagged = base.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (
+            F.abs(F.col("pxm") - med) * F.lit(_HAM_K_DEN)
+            > F.lit(_HAM_K_NUM) * mad
+        ).alias("is_outlier"),
+    )
+    g = flagged.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return g.select(
+        "event_type",
+        "day",
+        "n_windows",
+        "n_outliers",
+        F.call_function(
+            "div",
+            F.col("n_outliers") * F.lit(1_000_000).cast("long"),
+            F.col("n_windows"),
+        ).alias("outlier_ppm"),
+    ).orderBy("event_type", "day")
+
+
+def _w_hampel_filter_sql() -> str:
+    mid = (_HAM_W + 1) // 2
+    return f"""
+WITH base AS (
+  SELECT event_type, ts, event_id,
+    CAST(round(value * 1000000) AS BIGINT) AS pxm
+  FROM events
+), framed AS (
+  SELECT event_type, ts, event_id, pxm,
+    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+      AS rn,
+    list_sort(list(pxm) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id
+      ROWS BETWEEN {_HAM_W - 1} PRECEDING AND CURRENT ROW
+    )) AS arr
+  FROM base
+), scored AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    abs(pxm - arr[{mid}]) * {_HAM_K_DEN}
+      > {_HAM_K_NUM} * list_sort(
+          list_transform(arr, x -> abs(x - arr[{mid}])))[{mid}]
+      AS is_outlier
+  FROM framed WHERE rn >= {_HAM_W}
+), g AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_outliers
+  FROM scored GROUP BY 1, 2
+)
+SELECT event_type, day, n_windows, n_outliers,
+  (n_outliers * 1000000) // n_windows AS outlier_ppm
+FROM g ORDER BY event_type, day
+"""
+
+
+R10_QUERIES["w_hampel_filter"] = w_hampel_filter
+_R10_ORACLES["w_hampel_filter"] = _w_hampel_filter_sql
+
+
+# ------------------------------------------------------------ ti_pacf
+
+_PACF_LAGS = (1, 2, 3)
+
+
+def ti_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per symbol via the
+    Durbin-Levinson recursion over the pairwise-Pearson lag
+    correlations (the ti_acf family's definition, lags 1/2/3):
+    φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/
+    (1−φ₂₁r₁−φ₂₂r₂) with φ₂₁ = r₁(1−φ₂₂).
+
+    Determinism: the three correlations come off exact DECIMAL moment
+    sums in ONE grouped aggregation; the recursion is one identical
+    IEEE chain over those unrounded doubles; outputs round 6."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        "value",
+        *[F.lag("value", k).over(w).alias(f"y{k}") for k in _PACF_LAGS],
+    )
+    aggs = []
+    for k in _PACF_LAGS:
+        y = F.col(f"y{k}")
+        x = F.when(y.isNotNull(), F.col("value"))
+        xd, yd = x.cast(DEC), y.cast(DEC)
+        n = F.count(y).cast("double")
+        sx = F.sum(xd).cast("double")
+        sy = F.sum(yd).cast("double")
+        sxx = F.sum(xd * xd).cast("double")
+        syy = F.sum(yd * yd).cast("double")
+        sxy = F.sum(xd * yd).cast("double")
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        aggs.append(r.alias(f"r{k}"))
+    g = e.groupBy("event_type").agg(*aggs)
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    den3 = 1 - p21 * r1 - p22 * r2
+    p33 = (r3 - p21 * r2 - p22 * r1) / den3
+    ok2 = (1 - r1 * r1) != 0
+    ok3 = ok2 & (den3 != 0)
+    return g.select(
+        "event_type",
+        (F.round(r1, 6) + F.lit(0.0)).alias("pacf_1"),
+        F.when(ok2, F.round(p22, 6) + F.lit(0.0)).alias("pacf_2"),
+        F.when(ok3, F.round(p33, 6) + F.lit(0.0)).alias("pacf_3"),
+    ).orderBy("event_type")
+
+
+def _ti_pacf_sql() -> str:
+    lag_cols = ",\n    ".join(
+        f"lag(value, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+        f" AS y{k}"
+        for k in _PACF_LAGS
+    )
+    rsel = []
+    for k in _PACF_LAGS:
+        xd = f"CASE WHEN y{k} IS NOT NULL THEN CAST(value AS DECIMAL(18,6)) END"
+        yd = f"CAST(y{k} AS DECIMAL(18,6))"
+        rsel.append(
+            f"""CASE WHEN CAST(COUNT(y{k}) AS DOUBLE) * CAST(SUM(({xd}) * ({xd})) AS DOUBLE)
+        - CAST(SUM({xd}) AS DOUBLE) * CAST(SUM({xd}) AS DOUBLE) > 0
+      AND CAST(COUNT(y{k}) AS DOUBLE) * CAST(SUM(({yd}) * ({yd})) AS DOUBLE)
+        - CAST(SUM({yd}) AS DOUBLE) * CAST(SUM({yd}) AS DOUBLE) > 0
+    THEN (CAST(COUNT(y{k}) AS DOUBLE) * CAST(SUM(({xd}) * ({yd})) AS DOUBLE)
+          - CAST(SUM({xd}) AS DOUBLE) * CAST(SUM({yd}) AS DOUBLE))
+      / sqrt((CAST(COUNT(y{k}) AS DOUBLE) * CAST(SUM(({xd}) * ({xd})) AS DOUBLE)
+          - CAST(SUM({xd}) AS DOUBLE) * CAST(SUM({xd}) AS DOUBLE))
+        * (CAST(COUNT(y{k}) AS DOUBLE) * CAST(SUM(({yd}) * ({yd})) AS DOUBLE)
+          - CAST(SUM({yd}) AS DOUBLE) * CAST(SUM({yd}) AS DOUBLE)))
+    END AS r{k}"""
+        )
+    rsel_sql = ",\n    ".join(rsel)
+    p22 = "((r2 - r1 * r1) / (1 - r1 * r1))"
+    p21 = f"(r1 * (1 - {p22}))"
+    den3 = f"(1 - {p21} * r1 - {p22} * r2)"
+    p33 = f"((r3 - {p21} * r2 - {p22} * r1) / {den3})"
+    return f"""
+WITH lagged AS (
+  SELECT event_type, value,
+    {lag_cols}
+  FROM events
+), g AS (
+  SELECT event_type,
+    {rsel_sql}
+  FROM lagged GROUP BY 1
+)
+SELECT event_type,
+  round(r1, 6) + 0.0 AS pacf_1,
+  CASE WHEN 1 - r1 * r1 <> 0 THEN round({p22}, 6) + 0.0 END AS pacf_2,
+  CASE WHEN 1 - r1 * r1 <> 0 AND {den3} <> 0
+    THEN round({p33}, 6) + 0.0 END AS pacf_3
+FROM g ORDER BY event_type
+"""
+
+
+R10_QUERIES["ti_pacf"] = ti_pacf
+_R10_ORACLES["ti_pacf"] = _ti_pacf_sql
+
+
+# ------------------------------------------------- t_perplexity_buckets
+
+
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity filter census: documents banded by the floor of
+    20× their unigram mean log-probability (t_unigram_logprob's exact
+    6-dp score — band width 0.05 nat, the resolution that separates
+    this corpus's [-3.70, -3.38] score range into readable bands), reporting per band the doc
+    count, corpus share, and the mean quality score and token count.
+    This is the table a perplexity-threshold filter is tuned from:
+    if quality rises monotonically with the band, the LM filter and
+    the heuristic agree and a cut line exists.
+
+    Determinism: banding floors an exact 6-dp value; means are exact
+    half-away micro divisions (round_mean_micro); share is integer
+    ppm."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        t_unigram_logprob,
+    )
+
+    lp = t_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        token_count("text").alias("ntok"),
+        quality_score("text").alias("q"),
+    )
+    j = lp.join(d, "doc_id")
+    band = F.floor(F.col("avg_logprob") * F.lit(20.0)).cast("long")
+    g = j.groupBy(band.alias("logprob_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("q").cast("long").alias("nq"),
+        F.sum(F.col("q").cast(DEC)).alias("sq"),
+        F.sum("ntok").cast(DEC).alias("st"),
+    )
+    tot = g.agg(F.sum("n_docs").cast("long").alias("nt"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "logprob_band",
+            "n_docs",
+            F.call_function(
+                "div",
+                F.col("n_docs") * F.lit(1_000_000).cast("long"),
+                F.col("nt"),
+            ).alias("share_ppm"),
+            F.when(
+                F.col("nq") > 0, round_mean_micro(F.col("sq"), F.col("nq"))
+            ).alias("mean_quality"),
+            round_mean_micro(F.col("st"), F.col("n_docs")).alias(
+                "mean_tokens"
+            ),
+        )
+        .orderBy("logprob_band")
+    )
+
+
+def _t_perplexity_buckets_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+    from kp_crypto_market_analytics_spark.queries_ext import TOKENS_CTE
+
+    hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    mq = sql_round_mean_micro("sq", "nq")
+    mt = sql_round_mean_micro("st", "n_docs")
+    return f"""
+WITH {TOKENS_CTE}, total AS (
+  SELECT COUNT(*) AS total FROM toks
+), vocab AS (
+  SELECT tok, round(ln(COUNT(*) / (SELECT total FROM total)), 6) AS logp
+  FROM toks GROUP BY tok
+), lp AS (
+  SELECT doc_id,
+    round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+      AS avg_logprob
+  FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+), feat AS (
+  SELECT doc_id,
+    CASE WHEN length(t) = 0 THEN 0
+         ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+    END AS ntok,
+    round(least((CASE WHEN length(t) = 0 THEN 0
+           ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+           END) / 100.0, 1.0) * 0.5
+      + least(CASE WHEN (CASE WHEN length(t) = 0 THEN 0
+           ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+           END) > 0
+          THEN CAST({hits} AS DOUBLE)
+            / (CASE WHEN length(t) = 0 THEN 0
+               ELSE CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) + 1
+               END) END * 5, 1.0) * 0.5, 6) AS q
+  FROM (
+    SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+      ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS p
+    FROM documents)
+), g AS (
+  SELECT CAST(floor(avg_logprob * 20.0) AS BIGINT) AS logprob_band,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(q) AS BIGINT) AS nq,
+    SUM(CAST(q AS DECIMAL(18,6))) AS sq,
+    CAST(SUM(ntok) AS DECIMAL(18,6)) AS st
+  FROM lp JOIN feat USING (doc_id) GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt FROM g)
+SELECT logprob_band, n_docs,
+  (n_docs * 1000000) // nt AS share_ppm,
+  CASE WHEN nq > 0 THEN {mq} END AS mean_quality,
+  {mt} AS mean_tokens
+FROM g CROSS JOIN tot ORDER BY logprob_band
+"""
+
+
+R10_QUERIES["t_perplexity_buckets"] = t_perplexity_buckets
+_R10_ORACLES["t_perplexity_buckets"] = _t_perplexity_buckets_sql
+
+
+# ------------------------------------------------------ t_cdc_chunking
+
+_CDC_WIN = 8      # rolling-window width for the boundary hash
+_CDC_MASK = 64    # expected chunk length ~64 chars
+
+
+def t_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS gear principle, via
+    the portable md5-window hash): a cut point falls BEFORE position i
+    whenever hash64 of the 8-char window at i ≡ 0 (mod 64) — so chunk
+    boundaries move WITH content, and a one-character edit re-chunks
+    only its neighborhood (the property fixed-size blocks lack, and
+    the reason training-data pipelines chunk this way for sub-document
+    dedup).  Per-source census: docs, chunks, mean chunk length, and
+    the chunk-level dedup ratio (1 − distinct md5 chunks / chunks).
+
+    Determinism: cut points are pure integer tests on the shared
+    md5-derived hash64; chunk extraction is array arithmetic over
+    exact positions; the dedup ratio is one IEEE division, round 6.
+    Scale shape: positions explode per document (length-bounded), one
+    groupBy(source) + one distinct-chunk agg — no joins."""
+    from kp_crypto_market_analytics_spark.functions.text import hash64
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        round_mean_micro,
+    )
+    from kp_crypto_market_analytics_spark.queries_r7 import _norm_text
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id", "source", _norm_text().alias("t")
+    )
+    ln = F.length("t")
+    pos = F.when(
+        ln - _CDC_WIN >= 2, F.sequence(F.lit(2), ln - _CDC_WIN)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        pos,
+        lambda i: hash64(F.col("t").substr(i, F.lit(_CDC_WIN)))
+        % _CDC_MASK
+        == 0,
+    )
+    starts = F.concat(F.array(F.lit(1)), cuts)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(ln + 1),
+    )
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.col("t").substr(s, e - s)
+    )
+    ex = d.select(
+        "source", "doc_id", ln.alias("len"), F.explode(chunks).alias("c")
+    )
+    g = ex.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.length("c")).cast(DEC).alias("s_len"),
+        F.count_distinct(F.md5("c")).cast("long").alias("n_unique"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        "n_unique",
+        round_mean_micro(F.col("s_len"), F.col("n_chunks")).alias(
+            "mean_chunk_len"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_unique") / F.col("n_chunks").cast("double"),
+            6,
+        ).alias("dup_chunk_ratio"),
+    ).orderBy("source")
+
+
+def _t_cdc_chunking_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+    from kp_crypto_market_analytics_spark.queries_r8 import (
+        H60,
+        NORM_TEXT_SQL,
+    )
+
+    h = H60.format(x=f"substr(t, CAST(i AS INT), {_CDC_WIN})")
+    ml = sql_round_mean_micro("s_len", "n_chunks")
+    return f"""
+WITH norm AS (
+  SELECT doc_id, source, {NORM_TEXT_SQL} AS t FROM documents
+), cuts AS (
+  SELECT doc_id, source, t, length(t) AS len,
+    list_prepend(CAST(1 AS BIGINT),
+      CASE WHEN length(t) - {_CDC_WIN} >= 2 THEN
+        list_filter(generate_series(CAST(2 AS BIGINT),
+                                    CAST(length(t) - {_CDC_WIN} AS BIGINT)),
+                    i -> ({h}) % {_CDC_MASK} = 0)
+      ELSE [] END) AS starts
+  FROM norm
+), chunks AS (
+  SELECT source, doc_id,
+    unnest(list_transform(generate_series(1, len(starts)),
+      j -> substr(t, CAST(starts[j] AS INT),
+                  CAST(coalesce(starts[j + 1], len + 1) - starts[j] AS INT))))
+      AS c
+  FROM cuts
+), g AS (
+  SELECT source,
+    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+    CAST(SUM(length(c)) AS DECIMAL(18,6)) AS s_len,
+    CAST(COUNT(DISTINCT md5(c)) AS BIGINT) AS n_unique
+  FROM chunks GROUP BY 1
+)
+SELECT source, n_docs, n_chunks, n_unique,
+  {ml} AS mean_chunk_len,
+  round(1.0 - n_unique / CAST(n_chunks AS DOUBLE), 6) AS dup_chunk_ratio
+FROM g ORDER BY source
+"""
+
+
+R10_QUERIES["t_cdc_chunking"] = t_cdc_chunking
+_R10_ORACLES["t_cdc_chunking"] = _t_cdc_chunking_sql
