@@ -2786,3 +2786,112 @@ FROM g ORDER BY source
 
 R10_QUERIES["t_cdc_chunking"] = t_cdc_chunking
 _R10_ORACLES["t_cdc_chunking"] = _t_cdc_chunking_sql
+
+
+# -------------------------------------------------------- ti_keltner
+
+_KC_EWMA_LAGS = 8   # truncated EWMA depth (alpha = 1/2 -> /255)
+_KC_ATR_N = 10
+
+
+def ti_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels: middle = truncated 8-lag EWMA (α = 1/2, the
+    w_ewma_truncated exact-rational recipe — weights 2^(7−j)/255) of
+    the daily typical price, bands = middle ± 2·ATR-10 (Cutler SMA
+    smoothing, the ti_atr choice).  Typical price rides as the
+    INTEGER 3×micro sum H+L+C, so the whole EWMA numerator is exact
+    int64 and the middle line is ONE half-away division by 3·255;
+    bands add exact ATR micro integers.  Masked until both the 8-bar
+    EWMA window and the 10-bar ATR window fill."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _true_range,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir).withColumn("trm", _true_range())
+    b = bars.withColumn("tpm3", F.col("hm") + F.col("lm") + F.col("cm"))
+    w = _wd()
+    lags = [
+        F.lag("tpm3", j).over(w).alias(f"t{j}")
+        for j in range(1, _KC_EWMA_LAGS)
+    ]
+    b = b.select("event_type", "day", "tpm3", "trm", *lags)
+    num = sum(
+        (
+            (F.col("tpm3") if j == 0 else F.col(f"t{j}"))
+            * F.lit(1 << (_KC_EWMA_LAGS - 1 - j))
+        )
+        for j in range(_KC_EWMA_LAGS)
+    )
+    den = (1 << _KC_EWMA_LAGS) - 1  # 255
+    mid_micro = F.call_function(
+        "div", F.lit(2) * num + F.lit(3 * den), F.lit(2 * 3 * den)
+    )
+    wa = _wd().rowsBetween(-(_KC_ATR_N - 1), 0)
+    n_tr = F.count("trm").over(wa)
+    s_tr = F.sum("trm").over(wa)
+    atr_micro = F.call_function(
+        "div", F.lit(2) * s_tr + F.lit(_KC_ATR_N), F.lit(2 * _KC_ATR_N)
+    )
+    ok = F.col(f"t{_KC_EWMA_LAGS - 1}").isNotNull() & (n_tr >= _KC_ATR_N)
+    return b.select(
+        "event_type",
+        "day",
+        F.when(ok, mid_micro / F.lit(1e6)).alias("kc_middle"),
+        F.when(ok, (mid_micro + 2 * atr_micro) / F.lit(1e6)).alias(
+            "kc_upper"
+        ),
+        F.when(ok, (mid_micro - 2 * atr_micro) / F.lit(1e6)).alias(
+            "kc_lower"
+        ),
+    ).orderBy("event_type", "day")
+
+
+def _ti_keltner_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _TR_SQL,
+        _WD_SQL,
+        DAILY_BARS_CTE,
+    )
+
+    den = (1 << _KC_EWMA_LAGS) - 1
+    terms = []
+    for j in range(_KC_EWMA_LAGS):
+        col = (
+            "tpm3"
+            if j == 0
+            else f"lag(tpm3, {j}) OVER ({_WD_SQL})"
+        )
+        terms.append(f"({col}) * {1 << (_KC_EWMA_LAGS - 1 - j)}")
+    num = " + ".join(terms)
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, day, hm + lm + cm AS tpm3, {_TR_SQL} AS trm
+  FROM bars
+), s AS (
+  SELECT event_type, day,
+    ({num}) AS num,
+    lag(tpm3, {_KC_EWMA_LAGS - 1}) OVER ({_WD_SQL}) AS t_last,
+    COUNT(trm) OVER w AS n_tr, SUM(trm) OVER w AS s_tr
+  FROM b
+  WINDOW w AS ({_WD_SQL} ROWS BETWEEN {_KC_ATR_N - 1} PRECEDING AND CURRENT ROW)
+), fin AS (
+  SELECT event_type, day, t_last, n_tr,
+    ((2 * num + {3 * den}) // {2 * 3 * den}) AS mid_micro,
+    ((2 * s_tr + {_KC_ATR_N}) // {2 * _KC_ATR_N}) AS atr_micro
+  FROM s
+)
+SELECT event_type, day,
+  CASE WHEN t_last IS NOT NULL AND n_tr >= {_KC_ATR_N}
+    THEN mid_micro / 1e6 END AS kc_middle,
+  CASE WHEN t_last IS NOT NULL AND n_tr >= {_KC_ATR_N}
+    THEN (mid_micro + 2 * atr_micro) / 1e6 END AS kc_upper,
+  CASE WHEN t_last IS NOT NULL AND n_tr >= {_KC_ATR_N}
+    THEN (mid_micro - 2 * atr_micro) / 1e6 END AS kc_lower
+FROM fin ORDER BY event_type, day
+"""
+
+
+R10_QUERIES["ti_keltner"] = ti_keltner
+_R10_ORACLES["ti_keltner"] = _ti_keltner_sql
