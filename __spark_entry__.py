@@ -166,7 +166,8 @@ _FIRST_SEEN_ROUND.update(
         "t_temporal_split_embargo", "t_lang_confusion",
         "w_rolling_skewkurt",
         "w_hampel_filter", "ti_pacf", "t_perplexity_buckets",
-        "t_cdc_chunking", "ti_keltner",
+        "t_cdc_chunking", "ti_keltner", "o8_systematic_sample",
+        "a_rank_ic",
     )}
 )
 

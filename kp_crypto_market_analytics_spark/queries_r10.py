@@ -2895,3 +2895,231 @@ FROM fin ORDER BY event_type, day
 
 R10_QUERIES["ti_keltner"] = ti_keltner
 _R10_ORACLES["ti_keltner"] = _ti_keltner_sql
+
+
+# ------------------------------------------------- o8_systematic_sample
+
+_SYS_K = 97  # prime stride decorrelates from any periodic layout
+
+
+def o8_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sampling on the global (ts, event_id)
+    order — the third deterministic sampler next to o6 (hash Bernoulli)
+    and o7 (exact-k reservoir): stride 97 over the distributed range
+    rank, so the sample is evenly spaced in TIME, the property
+    hash samplers cannot give and time-series eval wants.  Census per
+    type: original/sample counts, exact-ppm rate, and the sample's
+    micro value sum as the cross-engine checksum."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    ranked = range_partitioned_rank(e, ["ts", "event_id"], out_col="rn")
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig"),
+        F.sum(F.when(F.col("rn") % _SYS_K == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sample"),
+        F.sum(F.when(F.col("rn") % _SYS_K == 1, F.col("vm")))
+        .cast("long")
+        .alias("sample_vm_sum"),
+    )
+    return g.select(
+        "event_type",
+        "n_orig",
+        "n_sample",
+        F.call_function(
+            "div",
+            F.col("n_sample") * F.lit(1_000_000).cast("long"),
+            F.col("n_orig"),
+        ).alias("sample_ppm"),
+        F.coalesce("sample_vm_sum", F.lit(0)).alias("sample_vm_sum"),
+    ).orderBy("event_type")
+
+
+def _o8_systematic_sample_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm,
+    row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events
+), g AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_orig,
+    CAST(SUM(CASE WHEN rn % {_SYS_K} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_sample,
+    CAST(SUM(CASE WHEN rn % {_SYS_K} = 1 THEN vm END) AS BIGINT)
+      AS svs
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_orig, n_sample,
+  (n_sample * 1000000) // n_orig AS sample_ppm,
+  coalesce(svs, 0) AS sample_vm_sum
+FROM g ORDER BY event_type
+"""
+
+
+R10_QUERIES["o8_systematic_sample"] = o8_systematic_sample
+_R10_ORACLES["o8_systematic_sample"] = _o8_systematic_sample_sql
+
+
+# ----------------------------------------------------------- a_rank_ic
+
+_IC_LOOKBACK = 5  # momentum signal horizon, bars
+
+
+def a_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rank information coefficient of a 5-bar momentum signal:
+    per day, the Spearman correlation ACROSS symbols between the
+    signal (close − close₅ₐ₉ₒ) and the next bar's forward return —
+    then the IC time series is summarized as mean IC and the IC
+    information ratio (mean/std), the standard cross-sectional signal
+    evaluation of quant research.
+
+    Determinism: signals and returns are exact micro integers;
+    within-day midranks are exact min+max integers (doubled);
+    each day's Spearman is Pearson-on-ranks over those integers —
+    one IEEE chain nano-rounded to a BIGINT — and the mean/IR fold
+    the nano ICs with exact integer/decimal moments."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+    sig = (F.col("cm") - F.lag("cm", _IC_LOOKBACK).over(w)).alias("sig")
+    fwd = (F.lead("cm").over(w) - F.col("cm")).alias("fwd")
+    b = bars.select("event_type", "day", sig, fwd).where(
+        F.col("sig").isNotNull() & F.col("fwd").isNotNull()
+    )
+    wds = Window.partitionBy("day").orderBy("sig", "event_type")
+    wdf = Window.partitionBy("day").orderBy("fwd", "event_type")
+    wbs = Window.partitionBy("day", "sig")
+    wbf = Window.partitionBy("day", "fwd")
+    rs = (
+        F.min(F.row_number().over(wds)).over(wbs)
+        + F.max(F.row_number().over(wds)).over(wbs)
+    )
+    rf = (
+        F.min(F.row_number().over(wdf)).over(wbf)
+        + F.max(F.row_number().over(wdf)).over(wbf)
+    )
+    ranked = b.select("day", rs.alias("rs"), rf.alias("rf"))
+    d = "decimal(38,0)"
+    daily = ranked.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("rs").cast("long").alias("sx"),
+        F.sum("rf").cast("long").alias("sy"),
+        F.sum(F.col("rs").cast(d) * F.col("rs").cast(d)).alias("sxx"),
+        F.sum(F.col("rf").cast(d) * F.col("rf").cast(d)).alias("syy"),
+        F.sum(F.col("rs").cast(d) * F.col("rf").cast(d)).alias("sxy"),
+    )
+    n = F.col("k").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx") * F.col(
+        "sy"
+    ).cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy")
+    icn = F.when(
+        (F.col("k") > 2) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy) * F.lit(1e9), 0).cast("long"),
+    )
+    scored = daily.select(icn.alias("icn")).where(F.col("icn").isNotNull())
+    g = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("icn").alias("s1"),
+        F.sum(F.col("icn").cast(d) * F.col("icn").cast(d)).alias("s2"),
+    )
+    nn = F.col("n_days").cast("double")
+    mean = F.col("s1") / nn / F.lit(1e9)
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / nn
+    ) / (nn - F.lit(1.0)) / F.lit(1e18)
+    ok = F.col("n_days") > 1
+    return g.select(
+        "n_days",
+        F.when(F.col("n_days") > 0, F.round(mean, 6) + F.lit(0.0)).alias(
+            "mean_ic"
+        ),
+        F.when(ok & (var > 0), F.round(mean / F.sqrt(var), 6) + F.lit(0.0))
+        .alias("ic_ir"),
+    )
+
+
+def _a_rank_ic_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _WD_SQL,
+        DAILY_BARS_CTE,
+    )
+
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, day,
+    cm - lag(cm, {_IC_LOOKBACK}) OVER ({_WD_SQL}) AS sig,
+    lead(cm) OVER ({_WD_SQL}) - cm AS fwd
+  FROM bars
+), f AS (
+  SELECT * FROM b WHERE sig IS NOT NULL AND fwd IS NOT NULL
+), rr AS (
+  SELECT day,
+    MIN(rns) OVER (PARTITION BY day, sig)
+      + MAX(rns) OVER (PARTITION BY day, sig) AS rs,
+    MIN(rnf) OVER (PARTITION BY day, fwd)
+      + MAX(rnf) OVER (PARTITION BY day, fwd) AS rf
+  FROM (
+    SELECT day, sig, fwd,
+      row_number() OVER (PARTITION BY day ORDER BY sig, event_type) AS rns,
+      row_number() OVER (PARTITION BY day ORDER BY fwd, event_type) AS rnf
+    FROM f)
+), daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(rs) AS BIGINT) AS sx, CAST(SUM(rf) AS BIGINT) AS sy,
+    SUM(CAST(rs AS HUGEINT) * rs) AS sxx,
+    SUM(CAST(rf AS HUGEINT) * rf) AS syy,
+    SUM(CAST(rs AS HUGEINT) * rf) AS sxy
+  FROM rr GROUP BY 1
+), icd AS (
+  SELECT CASE WHEN k > 2
+      AND k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx > 0
+      AND k * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy > 0
+    THEN CAST(round((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+      / sqrt((k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+           * (k * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)) * 1e9)
+      AS BIGINT) END AS icn
+  FROM daily
+), g AS (
+  SELECT CAST(COUNT(icn) AS BIGINT) AS n_days,
+    CAST(SUM(icn) AS BIGINT) AS s1,
+    SUM(CAST(icn AS HUGEINT) * icn) AS s2
+  FROM icd WHERE icn IS NOT NULL
+)
+SELECT n_days,
+  CASE WHEN n_days > 0 THEN round(s1 / CAST(n_days AS DOUBLE) / 1e9, 6) + 0.0
+  END AS mean_ic,
+  CASE WHEN n_days > 1
+    AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+        / (n_days - 1.0) / 1e18 > 0
+  THEN round((s1 / CAST(n_days AS DOUBLE) / 1e9)
+    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_days)
+           / (n_days - 1.0) / 1e18), 6) + 0.0
+  END AS ic_ir
+FROM g
+"""
+
+
+R10_QUERIES["a_rank_ic"] = a_rank_ic
+_R10_ORACLES["a_rank_ic"] = _a_rank_ic_sql
