@@ -167,7 +167,7 @@ _FIRST_SEEN_ROUND.update(
         "w_rolling_skewkurt",
         "w_hampel_filter", "ti_pacf", "t_perplexity_buckets",
         "t_cdc_chunking", "ti_keltner", "o8_systematic_sample",
-        "a_rank_ic",
+        "a_rank_ic", "a_variance_ratio", "a_transfer_entropy",
     )}
 )
 

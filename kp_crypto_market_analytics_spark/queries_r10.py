@@ -3123,3 +3123,266 @@ FROM g
 
 R10_QUERIES["a_rank_ic"] = a_rank_ic
 _R10_ORACLES["a_rank_ic"] = _a_rank_ic_sql
+
+
+# ---------------------------------------------------- a_variance_ratio
+
+_VR_Q = 5
+
+
+def a_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test (1988) on daily closes per
+    symbol: VR(5) = Var(5-bar return)/(5·Var(1-bar return)) with the
+    homoskedastic asymptotic z — VR < 1 flags mean reversion, > 1
+    momentum, the classic random-walk test that complements
+    a_hurst_exponent.
+
+    Determinism: returns are exact micro diffs; both variances come
+    from exact DECIMAL(38,0) moments; the VR/z chain is one identical
+    IEEE expression, round 6."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    d = "decimal(38,0)"
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+    b = bars.select(
+        "event_type",
+        (F.col("cm") - F.lag("cm", 1).over(w)).alias("r1"),
+        (F.col("cm") - F.lag("cm", _VR_Q).over(w)).alias("rq"),
+    )
+    g = b.groupBy("event_type").agg(
+        F.count("r1").cast("long").alias("n1"),
+        F.sum("r1").cast("long").alias("s1"),
+        F.sum(F.col("r1").cast(d) * F.col("r1").cast(d)).alias("s12"),
+        F.count("rq").cast("long").alias("nq"),
+        F.sum("rq").cast("long").alias("sq"),
+        F.sum(F.col("rq").cast(d) * F.col("rq").cast(d)).alias("sq2"),
+    )
+
+    def svar(s2, s1, n):
+        return (s2.cast("double") - s1.cast("double") * s1 / n) / (
+            n - F.lit(1.0)
+        )
+
+    v1 = svar(F.col("s12"), F.col("s1"), F.col("n1"))
+    vq = svar(F.col("sq2"), F.col("sq"), F.col("nq"))
+    vr = vq / (F.lit(float(_VR_Q)) * v1)
+    q = float(_VR_Q)
+    se = F.sqrt(
+        F.lit(2.0 * (2 * q - 1) * (q - 1) / (3 * q)) / F.col("n1")
+    )
+    ok = (F.col("n1") > 1) & (F.col("nq") > 1) & (v1 > 0)
+    return g.select(
+        "event_type",
+        F.col("n1").alias("n_returns"),
+        F.when(ok, F.round(vr, 6)).alias("variance_ratio"),
+        F.when(ok, F.round((vr - 1) / se, 6) + F.lit(0.0)).alias("vr_z"),
+    ).orderBy("event_type")
+
+
+def _a_variance_ratio_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _WD_SQL,
+        DAILY_BARS_CTE,
+    )
+
+    q = float(_VR_Q)
+    v1 = "((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1.0))"
+    vq = "((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * sq / nq) / (nq - 1.0))"
+    vr = f"({vq} / ({q} * {v1}))"
+    se = f"sqrt({2.0 * (2 * q - 1) * (q - 1) / (3 * q)} / n1)"
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type,
+    cm - lag(cm, 1) OVER ({_WD_SQL}) AS r1,
+    cm - lag(cm, {_VR_Q}) OVER ({_WD_SQL}) AS rq
+  FROM bars
+), g AS (
+  SELECT event_type,
+    CAST(COUNT(r1) AS BIGINT) AS n1, CAST(SUM(r1) AS BIGINT) AS s1,
+    SUM(CAST(r1 AS HUGEINT) * r1) AS s12,
+    CAST(COUNT(rq) AS BIGINT) AS nq, CAST(SUM(rq) AS BIGINT) AS sq,
+    SUM(CAST(rq AS HUGEINT) * rq) AS sq2
+  FROM b GROUP BY 1
+)
+SELECT event_type, n1 AS n_returns,
+  CASE WHEN n1 > 1 AND nq > 1 AND {v1} > 0
+    THEN round({vr}, 6) END AS variance_ratio,
+  CASE WHEN n1 > 1 AND nq > 1 AND {v1} > 0
+    THEN round(({vr} - 1) / {se}, 6) + 0.0 END AS vr_z
+FROM g ORDER BY event_type
+"""
+
+
+R10_QUERIES["a_variance_ratio"] = a_variance_ratio
+_R10_ORACLES["a_variance_ratio"] = _a_variance_ratio_sql
+
+
+# -------------------------------------------------- a_transfer_entropy
+
+
+def a_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transfer entropy (Schreiber 2000) between the click and view
+    minute series on the sign-discretized returns (the
+    a_cross_corr_leadlag pair and grid): TE(X→Y) = Σ p(yₜ,yₜ₋₁,xₜ₋₁)
+    · ln[ p(yₜ|yₜ₋₁,xₜ₋₁) / p(yₜ|yₜ₋₁) ] — the directed,
+    nonlinearity-aware counterpart of the lead-lag cross-correlation;
+    both directions and their net are reported.
+
+    Determinism: signs ∈ {−1,0,1} make every probability a ratio of
+    exact integer counts; each cell's term ln(n_abc·n_b/(n_ab·n_bc))
+    is nano-rounded then exactly summed — the markov-entropy recipe.
+    Scale shape: one minute-grid window, 27-cell count joins, all
+    broadcast."""
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _EG_X,
+        _EG_Y,
+        _minutes,
+    )
+
+    m = _minutes(spark, sf_dir)
+    y = m.where(F.col("event_type") == _EG_Y).select(
+        "minute", F.col("mv").alias("cv")
+    )
+    x = m.where(F.col("event_type") == _EG_X).select(
+        "minute", F.col("mv").alias("vv")
+    )
+    w = Window.orderBy("minute")
+    j = (
+        y.join(x, "minute")
+        .select(
+            "minute",
+            F.signum(F.col("cv") - F.lag("cv").over(w)).cast("int").alias(
+                "dy"
+            ),
+            F.signum(F.col("vv") - F.lag("vv").over(w)).cast("int").alias(
+                "dx"
+            ),
+        )
+        .select(
+            "minute",
+            "dy",
+            "dx",
+            F.lag("dy").over(w).alias("dyl"),
+            F.lag("dx").over(w).alias("dxl"),
+        )
+        .where(
+            F.col("dy").isNotNull()
+            & F.col("dyl").isNotNull()
+            & F.col("dxl").isNotNull()
+            & F.col("dx").isNotNull()
+        )
+    )
+
+    def te(df, a, b, c):
+        # TE(c-series -> a-series): a = target_t, b = target_{t-1},
+        # c = source_{t-1}
+        abc = df.groupBy(
+            F.col(a).alias("a"), F.col(b).alias("b"), F.col(c).alias("c")
+        ).agg(F.count(F.lit(1)).alias("n_abc"))
+        ab = abc.groupBy("a", "b").agg(F.sum("n_abc").alias("n_ab"))
+        bc = abc.groupBy("b", "c").agg(F.sum("n_abc").alias("n_bc"))
+        bb = abc.groupBy("b").agg(F.sum("n_abc").alias("n_b"))
+        tot = abc.agg(F.sum("n_abc").alias("nn"))
+        cells = (
+            abc.join(F.broadcast(ab), ["a", "b"])
+            .join(F.broadcast(bc), ["b", "c"])
+            .join(F.broadcast(bb), ["b"])
+            .crossJoin(F.broadcast(tot))
+        )
+        term = F.col("n_abc").cast("double") / F.col("nn") * F.log(
+            F.col("n_abc").cast("double")
+            * F.col("n_b")
+            / (F.col("n_ab").cast("double") * F.col("n_bc"))
+        )
+        tn = F.round(term * F.lit(1e9), 0).cast("long")
+        return cells.select(tn.alias("tn"), "nn").groupBy("nn").agg(
+            F.sum("tn").alias("s")
+        )
+
+    xy = te(j, "dy", "dyl", "dxl").select(
+        F.col("nn").cast("long").alias("n_obs"),
+        (F.round(F.col("s") / F.lit(1e9), 6) + F.lit(0.0)).alias(
+            "te_view_to_click"
+        ),
+    )
+    yx = te(j, "dx", "dxl", "dyl").select(
+        (F.round(F.col("s") / F.lit(1e9), 6) + F.lit(0.0)).alias(
+            "te_click_to_view"
+        ),
+    )
+    return xy.crossJoin(F.broadcast(yx)).select(
+        "n_obs",
+        "te_view_to_click",
+        "te_click_to_view",
+        (
+            F.round(
+                F.col("te_view_to_click") - F.col("te_click_to_view"), 6
+            )
+            + F.lit(0.0)
+        ).alias("net_te"),
+    )
+
+
+def _a_transfer_entropy_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9b import (
+        _EG_X,
+        _EG_Y,
+        MINUTES_CTE,
+    )
+
+    def te_ctes(tag, a, b, c):
+        return f""", abc_{tag} AS (
+  SELECT {a} AS a, {b} AS b, {c} AS c, CAST(COUNT(*) AS BIGINT) AS n_abc
+  FROM lagged GROUP BY 1, 2, 3
+), ab_{tag} AS (
+  SELECT a, b, CAST(SUM(n_abc) AS BIGINT) AS n_ab FROM abc_{tag} GROUP BY 1, 2
+), bc_{tag} AS (
+  SELECT b, c, CAST(SUM(n_abc) AS BIGINT) AS n_bc FROM abc_{tag} GROUP BY 1, 2
+), bb_{tag} AS (
+  SELECT b, CAST(SUM(n_abc) AS BIGINT) AS n_b FROM abc_{tag} GROUP BY 1
+), tot_{tag} AS (SELECT CAST(SUM(n_abc) AS BIGINT) AS nn FROM abc_{tag}),
+te_{tag} AS (
+  SELECT nn, CAST(SUM(CAST(round(
+      CAST(n_abc AS DOUBLE) / nn
+      * ln(CAST(n_abc AS DOUBLE) * n_b
+           / (CAST(n_ab AS DOUBLE) * n_bc)) * 1e9) AS BIGINT)) AS BIGINT)
+    AS s
+  FROM abc_{tag} JOIN ab_{tag} USING (a, b) JOIN bc_{tag} USING (b, c)
+    JOIN bb_{tag} USING (b) CROSS JOIN tot_{tag}
+  GROUP BY nn
+)"""
+
+    return f"""
+WITH {MINUTES_CTE}, y AS (
+  SELECT minute, mv AS cv FROM minutes WHERE event_type = '{_EG_Y}'
+), x AS (
+  SELECT minute, mv AS vv FROM minutes WHERE event_type = '{_EG_X}'
+), j AS (
+  SELECT y.minute,
+    CAST(sign(cv - lag(cv) OVER (ORDER BY y.minute)) AS INT) AS dy,
+    CAST(sign(vv - lag(vv) OVER (ORDER BY y.minute)) AS INT) AS dx
+  FROM y JOIN x USING (minute)
+), lagged AS (
+  SELECT * FROM (
+    SELECT minute, dy, dx,
+      lag(dy) OVER (ORDER BY minute) AS dyl,
+      lag(dx) OVER (ORDER BY minute) AS dxl
+    FROM j)
+  WHERE dy IS NOT NULL AND dyl IS NOT NULL AND dxl IS NOT NULL
+    AND dx IS NOT NULL
+){te_ctes("xy", "dy", "dyl", "dxl")}{te_ctes("yx", "dx", "dxl", "dyl")}
+SELECT te_xy.nn AS n_obs,
+  round(te_xy.s / 1e9, 6) + 0.0 AS te_view_to_click,
+  round(te_yx.s / 1e9, 6) + 0.0 AS te_click_to_view,
+  round(round(te_xy.s / 1e9, 6) - round(te_yx.s / 1e9, 6), 6) + 0.0
+    AS net_te
+FROM te_xy CROSS JOIN te_yx
+"""
+
+
+R10_QUERIES["a_transfer_entropy"] = a_transfer_entropy
+_R10_ORACLES["a_transfer_entropy"] = _a_transfer_entropy_sql
