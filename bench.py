@@ -172,6 +172,16 @@ BUILD_COST_NOTES = {
         "BPE merge TRAINING: 3 unrolled explode->count->broadcast "
         "re-segmentation rounds over the vocabulary"
     ),
+    "t_ndcg_eval": (
+        "retrieval eval over three ranked retrievers (BM25/TF-IDF/"
+        "embedding) with per-query ideal-DCG renormalization — three "
+        "top-k subplans by definition"
+    ),
+    "a_hll_stream_parity": (
+        "3-batch unrolled HLL register-merge fold: per-batch register "
+        "maxima recomputed under the parity contract (the r9 trim "
+        "already cut 4->3 batches; the remaining cost is the fold)"
+    ),
 }
 
 
@@ -431,6 +441,12 @@ def main(repeat: int = 1) -> None:
         )
         return c
 
+    # Warm the canary itself first and measure from the SECOND pass:
+    # the start sample must not carry first-call codegen/classloading
+    # cost, or the end/start ratio reads cold-start as "negative
+    # drift" and the aging gate goes vacuous (r10 first run measured
+    # 0.30 for exactly this reason).
+    run_canary("warmup")
     canary_start = run_canary("start")
 
     timings: dict[str, float] = {}
