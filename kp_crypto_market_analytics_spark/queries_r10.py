@@ -3275,6 +3275,14 @@ def a_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("dxl").isNotNull()
             & F.col("dx").isNotNull()
         )
+        # Materialize the minute-grid sign frame ONCE: the two TE
+        # directions each take 5 count aggregations over it, and
+        # without the checkpoint every one re-evaluates the global
+        # minute-window lineage (measured: 20 replicated WindowExec
+        # in the executed plan).  The frame is time-bounded (one row
+        # per joined minute), so this is a tiny local materialization
+        # — the t_corpus_pipeline shared-frame recipe.
+        .localCheckpoint(eager=True)
     )
 
     def te(df, a, b, c):
