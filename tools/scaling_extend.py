@@ -47,7 +47,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_DIR = "/root/repo/testdata_synth/sf0.4"
-DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r09.json"
+DEFAULT_OUT = "/root/repo/SCALING_CURVE_EXT_r10.json"
 SRC = "/root/testdata/sf0.1"
 COPIES = 4
 STRESS_COPIES = 10
@@ -66,26 +66,29 @@ DATA_RATIO = float(COPIES)
 MIN_HI_SEC = 2.0
 FLAG_FACTOR = 1.5
 
-# Round 9 (VERDICT r8 ask #6): the CURRENT slowest benched queries
-# (round-9 min-of-2 sweep) restricted to the synthesizable tables,
-# plus the two round-9 structural changes whose growth law must be
-# measured (the 64x16 LSH signature build and the bucketed enrich
-# join).  Excluded with reasons: a_bootstrap_ci / p_pruning_sim
-# (orders/lineitem — FK-consistent TPC-H synthesis belongs to the
-# driver's generator, not this tool).
+# Round 10: the CURRENT slowest benched queries (round-10 min-of-2
+# sweep) restricted to the synthesizable tables, plus the round-10
+# structural additions whose growth law must be measured (the
+# streaming-LSH fold, the per-row sorted-array Hampel window, the
+# 4th-moment sums, the CDC position explode).  Excluded with reasons:
+# a_bootstrap_ci / p_pruning_sim (orders/lineitem — FK-consistent
+# TPC-H synthesis belongs to the driver's generator, not this tool).
 WORST_QUERIES = [
-    "dedup_ngram_jaccard_sampled",  # 4.3s, documents (eval-tier tracker)
-    "sim_pq_rerank",                # 4.1s, embeddings
+    "t_corpus_pipeline",            # 5.9s, documents (8 stages, r10 +stage 8)
+    "dedup_lsh_stream_parity",      # 4.9s, documents (r10 streaming LSH fold)
+    "dedup_ngram_jaccard_sampled",  # 4.7s, documents (eval-tier tracker)
     "dedup_clusters",               # 4.0s, documents
-    "t_corpus_pipeline",            # 3.8s, documents
-    "a_hurst_exponent",             # 3.6s, events
-    "dedup_semantic",               # 3.5s, embeddings
-    "t_rrf_fusion",                 # 3.3s, documents
-    "sim_pq_topk",                  # 3.2s, embeddings
-    "dedup_minhash_sig",            # 3.2s, documents (r9: 64 hashes)
-    "t_mg_stream_parity",           # 3.1s, documents
-    "dedup_minhash_lsh",            # 2.0s, documents (r9 banding)
-    "j_stream_enrich_parity",       # 1.8s warm, events (r9 bucketed join)
+    "sim_pq_rerank",                # 3.7s, embeddings
+    "t_naive_bayes",                # 3.6s, documents
+    "dedup_minhash_sig",            # 3.3s, documents
+    "dedup_semantic",               # 3.3s, embeddings
+    "t_ndcg_eval",                  # 3.1s, documents + embeddings
+    "a_hll_stream_parity",          # 3.1s, events
+    "a_hurst_exponent",             # 3.1s, events
+    # r10 structural additions whose growth law must be measured:
+    "w_hampel_filter",              # events: per-row sorted 25-array
+    "w_rolling_skewkurt",           # events: 4th-moment window sums
+    "t_cdc_chunking",               # documents: per-position hash explode
 ]
 
 ID_STRIDE = 100_000_000
