@@ -154,6 +154,13 @@ def lsh_dedup_stream(
                 f"{state_dir}/batch={epoch_id}"
             )
         )
+        # Per-trigger cache hygiene: the pair generator persists its
+        # flagged signature frame (it is read by the bucket join AND
+        # both estimator sides); without a release those cached frames
+        # accumulate across triggers for the stream's whole lifetime.
+        # Session materializations are temp-parquet, not cache entries,
+        # so clearing the cache here is safe.
+        spark.catalog.clearCache()
 
     return (
         docs.writeStream.foreachBatch(ingest)
