@@ -103,6 +103,56 @@ def lsh_ingest_pairs(
     )
 
 
+def ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    sig_fn: Callable[[DataFrame], DataFrame],
+    state_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 64,
+) -> None:
+    """One trigger of the ingest loop (module-level so the replay
+    semantics are directly testable): signature the batch, read the
+    store STRICTLY BELOW this epoch (a replay must not pair the batch
+    against its own half-written signatures), emit pairs and
+    signatures as ``batch=<epoch>`` partition OVERWRITES — replaying
+    an epoch reproduces identical partitions instead of appending
+    duplicates (the at-least-once -> effectively-once bridge)."""
+    spark = batch_df.sparkSession
+    new_sigs = sig_fn(batch_df)
+    try:
+        old_sigs = (
+            spark.read.option("basePath", state_dir)
+            .parquet(state_dir + "/batch=*")
+            .where(F.col("batch") < F.lit(epoch_id))
+            .drop("batch")
+        )
+    except Exception:  # first trigger: no store yet
+        old_sigs = new_sigs.limit(0)
+    pairs = lsh_ingest_pairs(
+        new_sigs,
+        old_sigs,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+    )
+    pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={epoch_id}")
+    new_sigs.write.mode("overwrite").parquet(
+        f"{state_dir}/batch={epoch_id}"
+    )
+    # Per-trigger cache hygiene: the pair generator persists its
+    # flagged signature frame (it is read by the bucket join AND both
+    # estimator sides); without a release those cached frames
+    # accumulate across triggers for the stream's whole lifetime.
+    # Session materializations are temp-parquet, not cache entries, so
+    # clearing the cache here is safe.
+    spark.catalog.clearCache()
+
+
 def lsh_dedup_stream(
     docs: DataFrame,
     sig_fn: Callable[[DataFrame], DataFrame],
@@ -125,42 +175,17 @@ def lsh_dedup_stream(
     """
 
     def ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        new_sigs = sig_fn(batch_df)
-        try:
-            old_sigs = (
-                spark.read.option("basePath", state_dir)
-                .parquet(state_dir + "/batch=*")
-                .where(F.col("batch") < F.lit(epoch_id))
-                .drop("batch")
-            )
-        except Exception:  # first trigger: no store yet
-            old_sigs = new_sigs.limit(0)
-        pairs = lsh_ingest_pairs(
-            new_sigs,
-            old_sigs,
+        ingest_batch(
+            batch_df,
+            epoch_id,
+            sig_fn,
+            state_dir,
+            pairs_dir,
             id_col=id_col,
             num_hashes=num_hashes,
             bands=bands,
             max_bucket_size=max_bucket_size,
         )
-        (
-            pairs.write.mode("overwrite").parquet(
-                f"{pairs_dir}/batch={epoch_id}"
-            )
-        )
-        (
-            new_sigs.write.mode("overwrite").parquet(
-                f"{state_dir}/batch={epoch_id}"
-            )
-        )
-        # Per-trigger cache hygiene: the pair generator persists its
-        # flagged signature frame (it is read by the bucket join AND
-        # both estimator sides); without a release those cached frames
-        # accumulate across triggers for the stream's whole lifetime.
-        # Session materializations are temp-parquet, not cache entries,
-        # so clearing the cache here is safe.
-        spark.catalog.clearCache()
 
     return (
         docs.writeStream.foreachBatch(ingest)

@@ -1787,3 +1787,57 @@ def test_lsh_dedup_stream_matches_gated_fold(spark, tmp_path):
     )
     assert state.count() == store.count()
     assert state.select("doc_id").distinct().count() == store.count()
+
+
+def test_lsh_dedup_stream_replay_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: replaying an epoch (crash after
+    # the state write, retry of the same batch) must reproduce the
+    # IDENTICAL pairs/state partitions — no duplicate pairs, and the
+    # replayed batch must not pair against its own stored signatures.
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.streaming.dedup_lsh import (
+        ingest_batch,
+        sig_fn_from_store,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sfd, ["documents"])["documents"]
+    store = _minhash_sigs(spark, sfd)
+    sig_fn = sig_fn_from_store(store)
+    state, pairs = str(tmp_path / "state"), str(tmp_path / "pairs")
+
+    batches = [
+        docs.where(F.col("doc_id") % 3 == b).localCheckpoint(eager=True)
+        for b in range(3)
+    ]
+    for b in range(3):
+        ingest_batch(batches[b], b, sig_fn, state, pairs)
+
+    def snapshot():
+        p = (
+            spark.read.option("basePath", pairs)
+            .parquet(pairs + "/batch=*")
+            .toPandas()
+            .sort_values(["batch", "doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        s = (
+            spark.read.option("basePath", state)
+            .parquet(state + "/batch=*")
+            .toPandas()
+            .sort_values(["batch", "doc_id"])
+            .reset_index(drop=True)
+        )
+        return p, s
+
+    p1, s1 = snapshot()
+    assert len(p1) > 0 and len(s1) == store.count()
+
+    # replay the MIDDLE epoch (state for epochs 0..2 already on disk —
+    # the worst case: the store holds this batch's own signatures AND
+    # later batches' signatures; the < epoch filter must hide both)
+    ingest_batch(batches[1], 1, sig_fn, state, pairs)
+    p2, s2 = snapshot()
+    assert p1.equals(p2)
+    assert s1.equals(s2)
