@@ -492,6 +492,7 @@ def incremental_lsh_pairs(
     max_bucket_size: int | None = None,
     max_shingle_freq: int | None = None,
     overcap: str = "drop",
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Incremental near-dup ingest: candidate pairs where at least one
     side belongs to the NEW batch (``is_new`` boolean column expr) —
@@ -513,7 +514,14 @@ def incremental_lsh_pairs(
     kp_crypto_market_analytics_spark/__main__.py) and only the batch
     side is hashed fresh; the plan shape here is identical with both
     sides derived from one scan.  Pass ``sig`` to start from such a
-    persisted signature table instead of hashing the corpus."""
+    persisted signature table instead of hashing the corpus.
+
+    ``persisted_out`` (ADVICE r10): the flagged signature frame is
+    persist()ed here (read by the bucket join AND both estimator
+    sides); pass a list to receive every frame this call persisted so
+    a long-lived caller (the streaming ingest loop) can unpersist
+    exactly its OWN frames per trigger instead of clearing the whole
+    session cache out from under concurrent queries."""
     rows_per_band = num_hashes // bands
     flags = df.select(F.col(id_col), is_new.alias("__new"))
     if sig is None:
@@ -522,6 +530,8 @@ def incremental_lsh_pairs(
             max_shingle_freq=max_shingle_freq,
         )
     sig = sig.join(flags, id_col).persist()
+    if persisted_out is not None:
+        persisted_out.append(sig)
 
     band_cols = []
     for b in range(bands):

@@ -120,4 +120,13 @@ def _interval_ms(interval: str) -> int:
                 f" {sorted(unit_ms)} (plural accepted)"
             )
         total += int(n) * unit_ms[u]
+    if total == 0:
+        # An all-zero lookback ('0 minutes') has no valid bucket width:
+        # lb_ms=0 would flow into floor(ms/0) in the bucketed batch
+        # path (NULL buckets => silently empty join) while the raw
+        # theta path still matches ts-equal rows — exactly the
+        # batch/stream divergence this rewrite must preclude.
+        raise ValueError(
+            f"lookback {interval!r}: total duration must be positive"
+        )
     return total

@@ -90,12 +90,15 @@ def test_drift_canary_is_cheap_and_stable():
     import json
     import os
 
-    from bench import BENCH_QUERIES, DRIFT_CANARY, DRIFT_GATE
+    from bench import BENCH_QUERIES, DRIFT_CANARY, DRIFT_GATE, DRIFT_GATE_LOW
     from kp_crypto_market_analytics_spark.queries import ORACLES
 
     assert len(DRIFT_CANARY) == 10
     assert len(set(DRIFT_CANARY)) == 10
     assert 1.0 < DRIFT_GATE <= 1.25
+    # Two-sided (VERDICT r10 ask #2): a ratio far below 1.0 is a
+    # warmup measurement wearing a drift label, not a pass.
+    assert 0.5 <= DRIFT_GATE_LOW < 1.0
     benched = set(BENCH_QUERIES)
     for name in DRIFT_CANARY:
         assert name in benched and name in ORACLES, name
@@ -114,3 +117,20 @@ def test_drift_canary_is_cheap_and_stable():
             newest["queries"].get(n, 0.0) for n in DRIFT_CANARY
         )
         assert canary_cost < 10.0, canary_cost
+
+
+def test_drift_gate_is_two_sided():
+    """VERDICT r10 ask #2: the driver's r10 cold pass shipped ratio
+    0.4514 with drift_ok true — a warmup measurement wearing a drift
+    label.  The gate must fail BOTH sides with a named reason."""
+    from bench import drift_verdict
+
+    ok, reason = drift_verdict(0.4514)
+    assert not ok and "warm" in reason
+    ok, reason = drift_verdict(1.25)
+    assert not ok and "aged" in reason
+    ok, reason = drift_verdict(None)
+    assert not ok and reason
+    for ratio in (0.85, 0.93, 1.0, 1.09):
+        ok, reason = drift_verdict(ratio)
+        assert ok and reason is None, ratio

@@ -1706,7 +1706,13 @@ def test_interval_ms_grammar_matches_streaming_path():
     assert _interval_ms("1 hour 30 minutes") == 5_400_000
     assert _interval_ms("2 days") == 2 * 86_400_000
     assert _interval_ms("1 second") == 1000
-    for bad in ("5 fortnights", "minutes 5", "5", "", "-1 hour"):
+    # ADVICE r10 (low): an all-zero interval has no valid bucket width
+    # (floor(ms/0) => NULL buckets => silently empty bucketed join
+    # while the raw theta path still matches ts-equal rows).
+    for bad in (
+        "5 fortnights", "minutes 5", "5", "", "-1 hour",
+        "0 minutes", "0 hours 0 seconds",
+    ):
         with pytest.raises(ValueError):
             _interval_ms(bad)
 
@@ -1781,10 +1787,13 @@ def test_lsh_dedup_stream_matches_gated_fold(spark, tmp_path):
     assert (
         got["est_jaccard"].to_numpy() == gated["est_jaccard"].to_numpy()
     ).all()
-    # the accumulated store holds exactly the signatured corpus
-    state = spark.read.option("basePath", str(tmp_path / "state")).parquet(
-        str(tmp_path / "state") + "/batch=*"
+    # the accumulated manifest-table store holds exactly the
+    # signatured corpus (r11: store reads resolve the manifest)
+    from kp_crypto_market_analytics_spark.sinks.manifest_table import (
+        read_table,
     )
+
+    state = read_table(spark, str(tmp_path / "state"))
     assert state.count() == store.count()
     assert state.select("doc_id").distinct().count() == store.count()
 
@@ -1796,6 +1805,9 @@ def test_lsh_dedup_stream_replay_idempotent(spark, tmp_path):
     # replayed batch must not pair against its own stored signatures.
     from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs
     from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.sinks.manifest_table import (
+        read_table,
+    )
     from kp_crypto_market_analytics_spark.streaming.dedup_lsh import (
         ingest_batch,
         sig_fn_from_store,
@@ -1823,8 +1835,7 @@ def test_lsh_dedup_stream_replay_idempotent(spark, tmp_path):
             .reset_index(drop=True)
         )
         s = (
-            spark.read.option("basePath", state)
-            .parquet(state + "/batch=*")
+            read_table(spark, state)
             .toPandas()
             .sort_values(["batch", "doc_id"])
             .reset_index(drop=True)
@@ -1841,3 +1852,165 @@ def test_lsh_dedup_stream_replay_idempotent(spark, tmp_path):
     p2, s2 = snapshot()
     assert p1.equals(p2)
     assert s1.equals(s2)
+
+
+def _lsh_fixture(spark, tmp_path):
+    from kp_crypto_market_analytics_spark.queries_ext import _minhash_sigs
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    sfd = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sfd, ["documents"])["documents"]
+    store = _minhash_sigs(spark, sfd)
+    batches = [
+        docs.where(F.col("doc_id") % 3 == b).localCheckpoint(eager=True)
+        for b in range(3)
+    ]
+    return store, batches
+
+
+def _pairs_snapshot(spark, pairs):
+    return (
+        spark.read.option("basePath", pairs)
+        .parquet(pairs + "/batch=*")
+        .toPandas()
+        .sort_values(["batch", "doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+def test_lsh_store_crash_before_publish_is_invisible(
+    spark, tmp_path, monkeypatch
+):
+    # VERDICT r10 ask #3, the crash-injection gate at the STORE
+    # boundary: kill the trigger after the signature data files land
+    # but before the manifest publish.  The next trigger's store read
+    # must see the exact pre-crash store (never a half-written epoch),
+    # and the retried epoch must converge to the same pairs/store a
+    # crash-free run produces.
+    import pytest
+
+    import kp_crypto_market_analytics_spark.sinks.manifest_table as mt
+    from kp_crypto_market_analytics_spark.streaming.dedup_lsh import (
+        ingest_batch,
+        sig_fn_from_store,
+    )
+
+    store, batches = _lsh_fixture(spark, tmp_path)
+    sig_fn = sig_fn_from_store(store)
+
+    # crash-free reference run
+    ref_state = str(tmp_path / "ref_state")
+    ref_pairs = str(tmp_path / "ref_pairs")
+    for b in range(3):
+        ingest_batch(batches[b], b, sig_fn, ref_state, ref_pairs)
+    ref_p = _pairs_snapshot(spark, ref_pairs)
+    ref_s = (
+        mt.read_table(spark, ref_state)
+        .toPandas()
+        .sort_values(["batch", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    # crashing run: epochs 0-1 commit, epoch 2's store publish dies
+    state = str(tmp_path / "state")
+    pairs = str(tmp_path / "pairs")
+    for b in range(2):
+        ingest_batch(batches[b], b, sig_fn, state, pairs)
+    v_before, _ = mt.latest_manifest(state)
+    committed = (
+        mt.read_table(spark, state).toPandas()
+        .sort_values(["batch", "doc_id"]).reset_index(drop=True)
+    )
+
+    real_publish = mt._publish_manifest
+
+    def crash(*a, **k):
+        raise OSError("injected: trigger died before store commit")
+
+    monkeypatch.setattr(mt, "_publish_manifest", crash)
+    with pytest.raises(OSError, match="injected"):
+        ingest_batch(batches[2], 2, sig_fn, state, pairs)
+
+    # the failed epoch exposed NOTHING: same manifest version, same
+    # store content — the orphan data dir is unreferenced and
+    # vacuumable without touching live data
+    v_after, _ = mt.latest_manifest(state)
+    assert v_after == v_before
+    now = (
+        mt.read_table(spark, state).toPandas()
+        .sort_values(["batch", "doc_id"]).reset_index(drop=True)
+    )
+    assert now.equals(committed)
+    orphans = mt.vacuum(state, keep_versions=2)
+    assert orphans  # the crashed commit's data dir
+    assert (
+        mt.read_table(spark, state).toPandas()
+        .sort_values(["batch", "doc_id"]).reset_index(drop=True)
+        .equals(committed)
+    )
+
+    # foreachBatch retries the epoch after recovery: converges to the
+    # crash-free run bit-for-bit
+    monkeypatch.setattr(mt, "_publish_manifest", real_publish)
+    ingest_batch(batches[2], 2, sig_fn, state, pairs)
+    assert _pairs_snapshot(spark, pairs).equals(ref_p)
+    got_s = (
+        mt.read_table(spark, state)
+        .toPandas()
+        .sort_values(["batch", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got_s.equals(ref_s)
+
+
+def test_lsh_store_compaction_preserves_ingest(spark, tmp_path):
+    # Steady micro-batch ingest accretes one store commit per trigger;
+    # compaction (pure rewrite past compact_max_live live commits) must
+    # keep reads — and every LATER epoch's pair emissions — identical
+    # to an uncompacted run, while bounding the live commit count.
+    import os
+
+    import kp_crypto_market_analytics_spark.sinks.manifest_table as mt
+    from kp_crypto_market_analytics_spark.streaming.dedup_lsh import (
+        ingest_batch,
+        sig_fn_from_store,
+    )
+
+    store, batches = _lsh_fixture(spark, tmp_path)
+    sig_fn = sig_fn_from_store(store)
+
+    runs = {}
+    for tag, max_live in (("plain", None), ("compacted", 1)):
+        state = str(tmp_path / f"{tag}_state")
+        pairs = str(tmp_path / f"{tag}_pairs")
+        for b in range(3):
+            ingest_batch(
+                batches[b], b, sig_fn, state, pairs,
+                compact_max_live=max_live,
+            )
+        runs[tag] = (
+            _pairs_snapshot(spark, pairs),
+            mt.read_table(spark, state)
+            .toPandas()
+            .sort_values(["batch", "doc_id"])
+            .reset_index(drop=True),
+            state,
+        )
+    p_plain, s_plain, _ = runs["plain"]
+    p_comp, s_comp, comp_state = runs["compacted"]
+    assert p_comp.equals(p_plain)
+    assert s_comp.equals(s_plain)
+    # the compacted store's live entries span few commit dirs; the
+    # plain run accretes one per epoch
+    _, manifest = mt.latest_manifest(comp_state)
+    live = {v.split(os.sep)[1] for v in manifest["entries"].values()}
+    assert len(live) <= 2
+    # batch partition values survive the rewrite (the < epoch filter
+    # keys on them), so a post-compaction replay stays idempotent
+    ingest_batch(
+        batches[1], 1, sig_fn, comp_state,
+        str(tmp_path / "compacted_pairs"), compact_max_live=1,
+    )
+    assert _pairs_snapshot(
+        spark, str(tmp_path / "compacted_pairs")
+    ).equals(p_plain)
