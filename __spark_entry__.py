@@ -171,6 +171,12 @@ _FIRST_SEEN_ROUND.update(
     )}
 )
 
+_FIRST_SEEN_ROUND.update(
+    {n: 11 for n in (
+        "sim_ivf_stream_parity",
+    )}
+)
+
 # Semantically CHANGED in round N after earlier rows landed: rows from
 # rounds BEFORE N are stale evidence and must not count as green.  A
 # fresh green row from round >= N clears the entry automatically.

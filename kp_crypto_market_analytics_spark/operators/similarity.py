@@ -297,6 +297,28 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
     ).withColumn("qnorm", norm(F.col("qvec")))
+    return ivf_search_cells(cassign, cents, q, k=k, nprobe=nprobe)
+
+
+def ivf_search_cells(
+    cassign: DataFrame,
+    cents: DataFrame,
+    q: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The IVF SEARCH stage, factored out of :func:`ivf_topk` so a
+    persisted/incrementally-maintained index (``build-index`` CLI,
+    streaming/ann_ivf.py) serves queries through the IDENTICAL plan as
+    the live batch path — the two cannot diverge.  ``cassign`` carries
+    (neighbor_id, cvec, cnorm, centroid_id): the corpus vectors with
+    their cell assignments; ``cents`` the (centroid_id, cent, centnorm)
+    table; ``q`` the prepared (query_id, qvec, qnorm) queries.
+
+    Plan: queries probe the nprobe nearest cells (broadcast C-row
+    centroid table), then score only the candidates co-located in
+    those cells (broadcast skinny probe list) — the corpus side never
+    shuffles; the only exchange is the final per-query top-k."""
     wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
     qprobe = (
         q.crossJoin(F.broadcast(cents))

@@ -1342,6 +1342,7 @@ from kp_crypto_market_analytics_spark.queries_r9 import R9_QUERIES, r9_oracles  
 from kp_crypto_market_analytics_spark.queries_r9b import R9B_QUERIES, r9b_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r9c import R9C_QUERIES, r9c_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r10 import R10_QUERIES, r10_oracles  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_r11 import R11_QUERIES, r11_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_quality import QUALITY_ORACLES, QUALITY_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1358,6 +1359,7 @@ QUERIES.update(R9_QUERIES)
 QUERIES.update(R9B_QUERIES)
 QUERIES.update(R9C_QUERIES)
 QUERIES.update(R10_QUERIES)
+QUERIES.update(R11_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
@@ -1371,3 +1373,4 @@ ORACLES.update(r9_oracles())
 ORACLES.update(r9b_oracles())
 ORACLES.update(r9c_oracles())
 ORACLES.update(r10_oracles())
+ORACLES.update(r11_oracles())

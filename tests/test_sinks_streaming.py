@@ -1963,6 +1963,146 @@ def test_lsh_store_crash_before_publish_is_invisible(
     assert got_s.equals(ref_s)
 
 
+def test_ivf_index_stream_matches_gated_fold(spark, tmp_path):
+    # VERDICT r10 ask #4: the streaming IVF index maintenance
+    # (foreachBatch loop in streaming/ann_ivf.py) is pinned
+    # emission-for-emission to the oracle-gated batch fold
+    # (sim_ivf_stream_parity): stream the embeddings as 3 files
+    # (vec_id mod 3), assignments against the FROZEN trained
+    # centroids; the accumulated index must match the fold
+    # bit-for-bit — and serving from the incrementally-built index
+    # must reproduce the batch sim_ivf_trained results exactly (which
+    # carries the sim_ivf_recall floor over unchanged).
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _ivf_trained_topk5,
+        _kmeans_cents37,
+    )
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _SIVF_BATCHES,
+        sim_ivf_stream_parity,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.sinks.manifest_table import (
+        read_table,
+    )
+    from kp_crypto_market_analytics_spark.streaming.ann_ivf import (
+        ivf_index_stream,
+        serve_ivf_topk,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    gated = (
+        sim_ivf_stream_parity(spark, sfd)
+        .toPandas()
+        .sort_values(["batch", "vec_id"])
+        .reset_index(drop=True)
+    )
+
+    emb = load_tables(spark, sfd, ["embeddings"])["embeddings"]
+    cents = _kmeans_cents37(spark, sfd)
+    src = str(tmp_path / "emb")
+    for b in range(_SIVF_BATCHES):
+        (
+            emb.where(F.col("vec_id") % _SIVF_BATCHES == b)
+            .coalesce(1)
+            .write.parquet(f"{src}/b{b}")
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = ivf_index_stream(
+        stream,
+        cents,
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    index = read_table(spark, str(tmp_path / "index"))
+    got = (
+        index.select("batch", "vec_id", "centroid_id")
+        .toPandas()
+        .sort_values(["batch", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(gated) == emb.count()
+    for col in ("batch", "vec_id", "centroid_id"):
+        assert (
+            got[col].astype("int64").to_numpy()
+            == gated[col].astype("int64").to_numpy()
+        ).all(), col
+
+    # serving parity: searches answered FROM the incremental index ==
+    # the gated batch detector output (same queries, frozen cents)
+    batch_res = (
+        _ivf_trained_topk5(spark, sfd)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    served = (
+        serve_ivf_topk(
+            spark,
+            str(tmp_path / "index"),
+            emb.where(F.col("vec_id") < 10),
+            cents,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(served) == len(batch_res) > 0
+    for col in ("query_id", "neighbor_id", "rank"):
+        assert (
+            served[col].astype("int64").to_numpy()
+            == batch_res[col].astype("int64").to_numpy()
+        ).all(), col
+    assert (
+        served["cos"].to_numpy() == batch_res["cos"].to_numpy()
+    ).all()
+
+
+def test_ivf_index_replay_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: replaying an epoch must republish
+    # IDENTICAL index content (last-write-wins merge on vec_id), so a
+    # checkpoint-recovery retry can never duplicate serving rows.
+    from kp_crypto_market_analytics_spark.queries_ext import _kmeans_cents37
+    from kp_crypto_market_analytics_spark.session import load_tables
+    from kp_crypto_market_analytics_spark.sinks.manifest_table import (
+        read_table,
+    )
+    from kp_crypto_market_analytics_spark.streaming.ann_ivf import (
+        ivf_ingest_batch,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    emb = load_tables(spark, sfd, ["embeddings"])["embeddings"]
+    cents = _kmeans_cents37(spark, sfd)
+    index = str(tmp_path / "index")
+    batches = [
+        emb.where(F.col("vec_id") % 3 == b).localCheckpoint(eager=True)
+        for b in range(3)
+    ]
+    for b in range(3):
+        ivf_ingest_batch(batches[b], b, cents, index)
+
+    def snapshot():
+        return (
+            read_table(spark, index)
+            .select("batch", "vec_id", "centroid_id")
+            .toPandas()
+            .sort_values(["batch", "vec_id"])
+            .reset_index(drop=True)
+        )
+
+    s1 = snapshot()
+    assert len(s1) == emb.count()
+    ivf_ingest_batch(batches[1], 1, cents, index)
+    assert snapshot().equals(s1)
+
+
 def test_lsh_store_compaction_preserves_ingest(spark, tmp_path):
     # Steady micro-batch ingest accretes one store commit per trigger;
     # compaction (pure rewrite past compact_max_live live commits) must
