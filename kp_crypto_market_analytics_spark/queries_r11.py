@@ -102,3 +102,103 @@ ORDER BY batch, vec_id"""
 
 R11_QUERIES["sim_ivf_stream_parity"] = sim_ivf_stream_parity
 _R11_ORACLES["sim_ivf_stream_parity"] = _sim_ivf_stream_parity_sql
+
+
+# ------------------------------------------------------- t_pii_redact
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t_pii_scan planted-PII corpus (doc_id % 97 gets a contact
+    line appended in-query on BOTH engines) — the redactor is
+    exercised on real text with known-position matches instead of
+    passing vacuously on a PII-free synthetic corpus."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.org/u/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" ref 9876543210"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION census (VERDICT r10 ask #5): t_pii_scan detected;
+    this transforms — the regexp_replace chain (operators/redact.py:
+    email -> URL -> long-digit-run, inert replacement tokens) over the
+    same planted corpus, gated on the per-document audit a scrub pass
+    publishes: per-class hit counts, the redacted-character delta, and
+    the RESCAN residual, which the inert-token construction forces to
+    zero for every document (tests pin the invariant corpus-wide plus
+    byte-identity of untouched text).
+
+    Determinism: hit counts and character deltas are exact integers;
+    the delta subtracts out the untouched text, so it is
+    engine-independent even where absolute length semantics could
+    differ.  Scale: one narrow codegen'd projection per doc — the
+    transform maps over 100 TB with no shuffle; this census adds one
+    (filter + sort) on the touched slice."""
+    from kp_crypto_market_analytics_spark.operators.redact import pii_redact
+
+    red = pii_redact(_pii_augmented(spark, sf_dir))
+    return (
+        red.where(
+            (F.col("n_emails") + F.col("n_urls") + F.col("n_digit_runs")) > 0
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_urls",
+            "n_digit_runs",
+            "chars_redacted",
+            "residual_hits",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _t_pii_redact_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.redact import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    red = "text"
+    for _, pat, token in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    rescan = " + ".join(
+        f"len(regexp_extract_all(red, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0
+         THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via https://ex.org/u/' || CAST(doc_id AS VARCHAR)
+              || ' ref 9876543210'
+         ELSE text END AS text
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{pats["email"]}')) AS n_emails,
+    len(regexp_extract_all(text, '{pats["url"]}')) AS n_urls,
+    len(regexp_extract_all(text, '{pats["digits"]}')) AS n_digit_runs,
+    text, {red} AS red
+  FROM aug
+)
+SELECT doc_id, n_emails, n_urls, n_digit_runs,
+  len(text) - len(red) AS chars_redacted,
+  {rescan} AS residual_hits
+FROM r
+WHERE n_emails + n_urls + n_digit_runs > 0
+ORDER BY doc_id
+"""
+
+
+R11_QUERIES["t_pii_redact"] = t_pii_redact
+_R11_ORACLES["t_pii_redact"] = _t_pii_redact_sql
