@@ -545,6 +545,23 @@ def incremental_lsh_pairs(
         F.col("__new").alias("new"),
         F.explode(F.array(*band_cols)).alias("bucket"),
     )
+    # Restrict to buckets the NEW batch touches before any sizing
+    # window or self-join: an untouched (old-only) bucket can emit
+    # nothing — pair candidates require a new probe row, and star
+    # edges require a new member or a new rep, both absent.  All
+    # members of a touched bucket survive the semi-join, so bucket
+    # sizes, reps, and rep_new flags are computed over the bucket's
+    # FULL membership — output is row-identical (the oracle-gated
+    # parity rows prove it).  This is what makes the per-trigger cost
+    # O(batch + bucket-mates): without it the sizing window recounts
+    # the entire accumulated store every trigger (measured flat-vs-
+    # store-size only because a fixed floor hid the O(store) term —
+    # SCALING_INGEST_r11.json).  The semi-join and the window share
+    # the bucket hash partitioning, so the big side shuffles once
+    # either way; AQE broadcasts the batch's small key set in a real
+    # ingest.
+    touched = buckets.where(F.col("new")).select("bucket").distinct()
+    buckets = buckets.join(touched, "bucket", "left_semi")
     star = overcap == "star" and max_bucket_size is not None
     if star:
         wb = Window.partitionBy("bucket")

@@ -218,6 +218,131 @@ def run(
     print(json.dumps({"flagged": flagged, "written": out_json}))
 
 
+INGEST_OUT = "/root/repo/SCALING_INGEST_r11.json"
+
+
+def ingest_stress(sf_dir: str, out_json: str) -> None:
+    """r11 (VERDICT r10 ask #6): measure the streaming-LSH ingest
+    core's per-trigger scale claim (streaming/dedup_lsh.py —
+    O(batch × bucket-mates), linear in batch size, NOT in store size)
+    instead of arguing it.  Two axes over the 10x synth corpus's
+    production 64-hash signature table:
+
+    - batch axis: a 1x batch vs a 10x batch, both probing the SAME
+      full-corpus store — per-trigger cost should grow ~linearly with
+      batch size (ratio vs data_ratio=10, same flag rule as run()).
+    - store axis: the SAME 1x batch probing a 1x store vs the 10x
+      store — cost should grow far SLOWER than store size (only the
+      batch's bucket-mates grow), the claim that makes continuous
+      ingest viable at 100 TB.
+
+    Batches/stores are deterministic doc_id slices: 'batch' = every
+    3rd doc (the dedup_lsh_stream_parity convention), '1x' = copy 0 of
+    the synth corpus (doc_id < ID_STRIDE).
+    """
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from bench import _bench_session
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _LSH_BANDS,
+        _LSH_BUCKET_CAP,
+        _LSH_NUM_HASHES,
+        _minhash_sigs,
+    )
+    from kp_crypto_market_analytics_spark.streaming.dedup_lsh import (
+        lsh_ingest_pairs,
+    )
+
+    spark = _bench_session()
+    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint(eager=True)
+    is_batch = F.col("doc_id") % 3 == 0
+    is_copy0 = F.col("doc_id") < ID_STRIDE
+
+    cases = {
+        # (new side, old side)
+        "batch_1x_store_10x": (is_batch & is_copy0, ~(is_batch & is_copy0)),
+        "batch_10x_store_10x": (is_batch, ~is_batch),
+        "batch_1x_store_1x": (is_batch & is_copy0, ~is_batch & is_copy0),
+    }
+    timings: dict[str, dict] = {}
+    # warm the plan once on the smallest case so per-case times measure
+    # the probe, not first-call codegen
+    warm_new, warm_old = cases["batch_1x_store_1x"]
+    lsh_ingest_pairs(
+        sigs.where(warm_new), sigs.where(warm_old),
+        num_hashes=_LSH_NUM_HASHES, bands=_LSH_BANDS,
+        max_bucket_size=_LSH_BUCKET_CAP,
+    ).count()
+    spark.catalog.clearCache()
+    for name, (new_pred, old_pred) in cases.items():
+        new_sigs = sigs.where(new_pred)
+        old_sigs = sigs.where(old_pred)
+        secs = []
+        for _ in range(3):  # min-of-3: single warm passes drift ±40%
+            t0 = time.time()
+            n_pairs = lsh_ingest_pairs(
+                new_sigs,
+                old_sigs,
+                num_hashes=_LSH_NUM_HASHES,
+                bands=_LSH_BANDS,
+                max_bucket_size=_LSH_BUCKET_CAP,
+            ).count()
+            secs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+            gc.collect()
+        timings[name] = {
+            "sec": min(secs),
+            "runs": secs,
+            "pairs": n_pairs,
+            "batch_rows": new_sigs.count(),
+            "store_rows": old_sigs.count(),
+        }
+        print(
+            f"# ingest {name}: min {min(secs):.3f}s of {secs} "
+            f"({n_pairs} pairs)",
+            file=sys.stderr,
+        )
+
+    ratio = FLAG_FACTOR
+    batch_ratio = round(
+        timings["batch_10x_store_10x"]["sec"]
+        / timings["batch_1x_store_10x"]["sec"],
+        2,
+    )
+    store_ratio = round(
+        timings["batch_1x_store_10x"]["sec"]
+        / timings["batch_1x_store_1x"]["sec"],
+        2,
+    )
+    out = {
+        "metric": "lsh_ingest_scaling",
+        "synth": f"{STRESS_COPIES}x sf0.1 documents (tools/scaling_extend.py), production 64x16 star-capped detector",
+        "cases": timings,
+        "batch_axis": {
+            "data_ratio": 10.0,
+            "ratio": batch_ratio,
+            "flag_rule": f"ratio > {ratio} * 10",
+            "superlinear": batch_ratio > ratio * 10.0,
+            "claim": "per-trigger cost linear in batch size at fixed store",
+        },
+        "store_axis": {
+            "data_ratio": 10.0,
+            "ratio": store_ratio,
+            "flag_rule": f"ratio > {ratio} * 10 would mean cost tracks store size — the claim is it must NOT",
+            "superlinear": store_ratio > ratio * 10.0,
+            "claim": "per-trigger cost grows only with the batch's bucket-mates, far sublinear in store size",
+        },
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "batch_ratio": batch_ratio, "store_ratio": store_ratio,
+        "written": out_json,
+    }))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     d = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_DIR
@@ -236,5 +361,10 @@ if __name__ == "__main__":
             data_ratio=float(STRESS_COPIES),
             hi_tag="1.0synth",
         )
+    elif mode == "ingest-stress":
+        d = sys.argv[2] if len(sys.argv) > 2 else STRESS_DIR
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            synth(d, copies=STRESS_COPIES)
+        ingest_stress(d, sys.argv[3] if len(sys.argv) > 3 else INGEST_OUT)
     else:
         raise SystemExit(f"unknown mode {mode}")
