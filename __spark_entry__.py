@@ -174,6 +174,7 @@ _FIRST_SEEN_ROUND.update(
 _FIRST_SEEN_ROUND.update(
     {n: 11 for n in (
         "sim_ivf_stream_parity", "t_pii_redact",
+        "ti_dpo", "ti_vpt", "ti_nvi", "ti_coppock",
     )}
 )
 
