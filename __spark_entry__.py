@@ -175,6 +175,8 @@ _FIRST_SEEN_ROUND.update(
     {n: 11 for n in (
         "sim_ivf_stream_parity", "t_pii_redact",
         "ti_dpo", "ti_vpt", "ti_nvi", "ti_coppock",
+        "a_sign_test", "a_wilcoxon_signed_rank", "a_page_trend",
+        "a_mood_median", "a_somers_d",
     )}
 )
 

@@ -583,3 +583,502 @@ ORDER BY event_type, day
 
 R11_QUERIES["ti_coppock"] = ti_coppock
 _R11_ORACLES["ti_coppock"] = _ti_coppock_sql
+
+
+# ------------------------------------------- paired rank statistics
+#
+# Shared fixture: the a_friedman_test daily-cell design — cell(day,
+# type) = the day's exact micro value sum (BIGINT).  The paired
+# two-sample tests compare the 'click' and 'view' series day-by-day;
+# the block tests use all types on complete days.  Everything folds
+# as exact integers (midranks doubled to stay integral) with one IEEE
+# expression per emitted statistic.
+
+_PAIR_A = "click"
+_PAIR_B = "view"
+
+
+def _daily_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    return e.groupBy("day", "event_type").agg(F.sum("vm").alias("cell"))
+
+
+_CELLS_CTE = """cells AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+    CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS cell
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def _paired_diffs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, xa, xb, d) for days where BOTH paired types traded."""
+    cells = _daily_cells_df(spark, sf_dir)
+    a = cells.where(F.col("event_type") == _PAIR_A).select(
+        "day", F.col("cell").alias("xa")
+    )
+    b = cells.where(F.col("event_type") == _PAIR_B).select(
+        "day", F.col("cell").alias("xb")
+    )
+    return a.join(b, "day").withColumn("d", F.col("xa") - F.col("xb"))
+
+
+_PAIRS_CTE = f"""{_CELLS_CTE}, pairs AS (
+  SELECT a.day AS day, a.cell AS xa, b.cell AS xb, a.cell - b.cell AS d
+  FROM (SELECT day, cell FROM cells WHERE event_type = '{_PAIR_A}') a
+  JOIN (SELECT day, cell FROM cells WHERE event_type = '{_PAIR_B}') b
+  USING (day)
+)"""
+
+
+def a_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on the click-vs-view daily micro value sums:
+    counts of positive / negative / tied daily differences and the
+    normal-approximation z = (2·n_pos − n_eff)/√n_eff over the
+    non-tied pairs — the distribution-free 'which series runs higher'
+    test (the median-difference-zero null).
+
+    Determinism: differences are exact BIGINTs; counts are integers;
+    ONE IEEE sqrt+division at the end, masked when no untied pair
+    exists."""
+    p = _paired_diffs_df(spark, sf_dir)
+    g = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tie"),
+    )
+    neff = F.col("n_pos") + F.col("n_neg")
+    z = (
+        F.lit(2.0) * F.col("n_pos") - neff.cast("double")
+    ) / F.sqrt(neff.cast("double"))
+    return g.select(
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        "n_tie",
+        F.when(neff > 0, F.round(z, 6) + F.lit(0.0)).alias("sign_z"),
+    )
+
+
+def _a_sign_test_sql() -> str:
+    return f"""
+WITH {_PAIRS_CTE}, g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+    CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie
+  FROM pairs
+)
+SELECT n_pairs, n_pos, n_neg, n_tie,
+  CASE WHEN n_pos + n_neg > 0 THEN
+    round((2.0 * n_pos - CAST(n_pos + n_neg AS DOUBLE))
+          / sqrt(CAST(n_pos + n_neg AS DOUBLE)), 6) + 0.0
+  END AS sign_z
+FROM g
+"""
+
+
+R11_QUERIES["a_sign_test"] = a_sign_test
+_R11_ORACLES["a_sign_test"] = _a_sign_test_sql
+
+
+def a_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on the same paired daily design: rank
+    the non-zero |differences| (midranks for ties), sum ranks of the
+    positive side, and z-approximate with the tie-corrected variance
+    — the magnitude-aware upgrade of the sign test.
+
+    Determinism: |d| are exact BIGINTs; midranks are DOUBLED
+    (min+max row_number) so ties stay integral; W⁺ = Σr2/2 is an
+    exact half-integer; the tie term Σ(t³−t) folds as exact integers;
+    ONE IEEE chain for z."""
+    from pyspark.sql import Window as W
+
+    p = _paired_diffs_df(spark, sf_dir).where(F.col("d") != 0)
+    ad = F.abs(F.col("d"))
+    wr = W.orderBy(ad, "day")  # day tiebreak only orders WITHIN ties
+    wt = W.partitionBy(ad)
+    r2 = (
+        F.min(F.row_number().over(wr)).over(wt)
+        + F.max(F.row_number().over(wr)).over(wt)
+    )
+    ranked = p.select("d", ad.alias("adv"), r2.alias("r2"))
+    ties = (
+        ranked.groupBy("adv")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("long")
+            .alias("tie3")
+        )
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w2_plus"),
+        F.sum(F.when(F.col("d") < 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("w2_minus"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    wplus = F.col("w2_plus").cast("double") / F.lit(2.0)
+    mean = n * (n + 1.0) / F.lit(4.0)
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / F.lit(24.0) - F.col(
+        "tie3"
+    ).cast("double") / F.lit(48.0)
+    z = (wplus - mean) / F.sqrt(var)
+    ok = (F.col("n") > 0) & (var > 0)
+    return g.select(
+        "n",
+        (F.col("w2_plus").cast("double") / F.lit(2.0)).alias("w_plus"),
+        (F.col("w2_minus").cast("double") / F.lit(2.0)).alias("w_minus"),
+        F.when(ok, F.round(z, 6) + F.lit(0.0)).alias("wilcoxon_z"),
+    )
+
+
+def _a_wilcoxon_signed_rank_sql() -> str:
+    return f"""
+WITH {_PAIRS_CTE}, nz AS (
+  SELECT day, d, abs(d) AS adv FROM pairs WHERE d <> 0
+), rr AS (
+  SELECT d, adv,
+    row_number() OVER (ORDER BY adv, day) AS rn
+  FROM nz
+), ranked AS (
+  SELECT d, adv,
+    MIN(rn) OVER (PARTITION BY adv) + MAX(rn) OVER (PARTITION BY adv) AS r2
+  FROM rr
+), ties AS (
+  SELECT CAST(coalesce(SUM(t * t * t - t), 0) AS BIGINT) AS tie3
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM ranked GROUP BY adv)
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus,
+    CAST(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_minus
+  FROM ranked
+)
+SELECT n,
+  CAST(w2_plus AS DOUBLE) / 2.0 AS w_plus,
+  CAST(w2_minus AS DOUBLE) / 2.0 AS w_minus,
+  CASE WHEN n > 0 AND
+    (n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie3 / 48.0) > 0
+  THEN round((CAST(w2_plus AS DOUBLE) / 2.0 - n * (n + 1.0) / 4.0)
+    / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+           - CAST(tie3 AS DOUBLE) / 48.0), 6) + 0.0
+  END AS wilcoxon_z
+FROM g, ties
+"""
+
+
+R11_QUERIES["a_wilcoxon_signed_rank"] = a_wilcoxon_signed_rank
+_R11_ORACLES["a_wilcoxon_signed_rank"] = _a_wilcoxon_signed_rank_sql
+
+
+def a_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (1963) for a MONOTONE ordering of the event
+    types' daily levels: blocks = complete days, treatments = event
+    types in name order (the hypothesized ordering — the fixture's
+    deterministic stand-in for a real dose/time ordering), L = Σ j·Rⱼ
+    over per-day midranks, z-approximated against the no-trend null.
+    Complements a_friedman_test (ANY ordering) with the ordered
+    alternative, which has far more power against monotone drift.
+
+    Determinism: midranks doubled (integral under ties), treatment
+    indices from a deterministic name sort, L2 = Σ j·R2ⱼ exact BIGINT;
+    ONE IEEE chain for z."""
+    from pyspark.sql import Window as W
+
+    cells = _daily_cells_df(spark, sf_dir)
+    ktot = cells.agg(F.count_distinct("event_type").alias("kt"))
+    complete = (
+        cells.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .crossJoin(F.broadcast(ktot))
+        .where(F.col("kk") == F.col("kt"))
+        .select("day")
+    )
+    c = cells.join(complete, "day")
+    wd = W.partitionBy("day").orderBy("cell", "event_type")
+    wb = W.partitionBy("day", "cell")
+    r2 = (
+        F.min(F.row_number().over(wd)).over(wb)
+        + F.max(F.row_number().over(wd)).over(wb)
+    )
+    ranked = c.select("day", "event_type", r2.alias("r2"))
+    byt = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("long").alias("rj2")
+    )
+    j = F.row_number().over(W.orderBy("event_type"))
+    g = (
+        byt.select("event_type", "rj2", j.alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.col("j") * F.col("rj2")).cast("long").alias("l2"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ranked.select("day")
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+        )
+    )
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    ell = F.col("l2").cast("double") / F.lit(2.0)
+    mean = nn * kk * (kk + 1.0) * (kk + 1.0) / F.lit(4.0)
+    var = nn * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / F.lit(144.0)
+    ok = (F.col("n") > 0) & (F.col("k") > 1)
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_types"),
+        F.when(ok, ell + F.lit(0.0)).alias("page_l"),
+        F.when(ok & (var > 0), F.round((ell - mean) / F.sqrt(var), 6) + F.lit(0.0)).alias(
+            "page_z"
+        ),
+    )
+
+
+def _a_page_trend_sql() -> str:
+    return f"""
+WITH {_CELLS_CTE}, ktot AS (
+  SELECT COUNT(DISTINCT event_type) AS kt FROM cells
+), complete AS (
+  SELECT day FROM cells GROUP BY day
+  HAVING COUNT(*) = (SELECT kt FROM ktot)
+), c AS (
+  SELECT cells.* FROM cells JOIN complete USING (day)
+), rr AS (
+  SELECT day, event_type, cell,
+    row_number() OVER (PARTITION BY day ORDER BY cell, event_type) AS rn
+  FROM c
+), ranked AS (
+  SELECT day, event_type,
+    MIN(rn) OVER (PARTITION BY day, cell)
+      + MAX(rn) OVER (PARTITION BY day, cell) AS r2
+  FROM rr
+), byt AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS rj2,
+    row_number() OVER (ORDER BY event_type) AS j
+  FROM ranked GROUP BY event_type
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+    CAST(SUM(j * rj2) AS BIGINT) AS l2,
+    (SELECT CAST(COUNT(DISTINCT day) AS BIGINT) FROM ranked) AS n
+  FROM byt
+)
+SELECT n AS n_days, k AS n_types,
+  CASE WHEN n > 0 AND k > 1 THEN CAST(l2 AS DOUBLE) / 2.0 + 0.0
+  END AS page_l,
+  CASE WHEN n > 0 AND k > 1
+    AND n * k * k * (k + 1.0) * (k * k - 1.0) / 144.0 > 0
+  THEN round((CAST(l2 AS DOUBLE) / 2.0
+      - n * k * (k + 1.0) * (k + 1.0) / 4.0)
+    / sqrt(n * k * k * (k + 1.0) * (k * k - 1.0) / 144.0), 6) + 0.0
+  END AS page_z
+FROM g
+"""
+
+
+R11_QUERIES["a_page_trend"] = a_page_trend
+_R11_ORACLES["a_page_trend"] = _a_page_trend_sql
+
+
+def a_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test on the click-vs-view daily values: count
+    each group's days above/below the pooled median (equal-to-median
+    days excluded, the standard treatment) and the 2×2 chi-square —
+    the robust are-the-medians-equal screen.
+
+    Determinism: cells are exact BIGINTs; the pooled median of an
+    even-count BIGINT list is an exact half-integer in double; counts
+    are integers; ONE IEEE expression for chi-square."""
+    p = _paired_diffs_df(spark, sf_dir)
+    pooled = p.select(F.col("xa").alias("v")).unionByName(
+        p.select(F.col("xb").alias("v"))
+    )
+    med = pooled.agg(F.expr("percentile(v, 0.5)").alias("med"))
+    counts = p.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when(F.col("xa") > F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_above"),
+        F.sum(F.when(F.col("xa") < F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_below"),
+        F.sum(F.when(F.col("xb") > F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("b_above"),
+        F.sum(F.when(F.col("xb") < F.col("med"), 1).otherwise(0))
+        .cast("long")
+        .alias("b_below"),
+    )
+    a, b = F.col("a_above").cast("double"), F.col("a_below").cast("double")
+    c, d = F.col("b_above").cast("double"), F.col("b_below").cast("double")
+    n = a + b + c + d
+    det = a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    return counts.select(
+        "a_above",
+        "a_below",
+        "b_above",
+        "b_below",
+        F.when(den > 0, F.round(n * det * det / den, 6) + F.lit(0.0)).alias(
+            "mood_chi2"
+        ),
+    )
+
+
+def _a_mood_median_sql() -> str:
+    return f"""
+WITH {_PAIRS_CTE}, pooled AS (
+  SELECT xa AS v FROM pairs UNION ALL SELECT xb FROM pairs
+), m AS (SELECT median(v) AS med FROM pooled),
+counts AS (
+  SELECT
+    CAST(SUM(CASE WHEN xa > med THEN 1 ELSE 0 END) AS BIGINT) AS a_above,
+    CAST(SUM(CASE WHEN xa < med THEN 1 ELSE 0 END) AS BIGINT) AS a_below,
+    CAST(SUM(CASE WHEN xb > med THEN 1 ELSE 0 END) AS BIGINT) AS b_above,
+    CAST(SUM(CASE WHEN xb < med THEN 1 ELSE 0 END) AS BIGINT) AS b_below
+  FROM pairs, m
+)
+SELECT a_above, a_below, b_above, b_below,
+  CASE WHEN (a_above + a_below) * (b_above + b_below)
+            * (a_above + b_above) * (a_below + b_below) > 0
+  THEN round(
+    (a_above + a_below + b_above + b_below)
+    * (CAST(a_above AS DOUBLE) * b_below
+       - CAST(a_below AS DOUBLE) * b_above)
+    * (CAST(a_above AS DOUBLE) * b_below
+       - CAST(a_below AS DOUBLE) * b_above)
+    / (CAST(a_above + a_below AS DOUBLE) * (b_above + b_below)
+       * (a_above + b_above) * (a_below + b_below)), 6) + 0.0
+  END AS mood_chi2
+FROM counts
+"""
+
+
+R11_QUERIES["a_mood_median"] = a_mood_median
+_R11_ORACLES["a_mood_median"] = _a_mood_median_sql
+
+
+def a_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal association between the two paired daily series
+    (click value as X, view value as Y): concordant / discordant /
+    tied day-pair counts, Goodman-Kruskal gamma = (C−D)/(C+D), and
+    Somers' d_yx = (C−D)/(C+D+T_y) (ties on Y only in the
+    denominator — the asymmetric 'Y depends on X' version).
+
+    Determinism: the day-pair self-join is bounded (n(n−1)/2 pairs of
+    the tiny daily frame); all counts exact integers; one IEEE ratio
+    per statistic."""
+    p = _paired_diffs_df(spark, sf_dir).select("day", "xa", "xb")
+    j = (
+        p.alias("i")
+        .join(p.alias("j"), F.col("i.day") < F.col("j.day"))
+        .select(
+            (F.col("i.xa") - F.col("j.xa")).alias("dx"),
+            (F.col("i.xb") - F.col("j.xb")).alias("dy"),
+        )
+    )
+    sgn = lambda c: F.when(c > 0, 1).when(c < 0, -1).otherwise(0)
+    g = j.agg(
+        F.sum(
+            F.when(sgn(F.col("dx")) * sgn(F.col("dy")) == 1, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_pairs"),
+        F.sum(
+            F.when(sgn(F.col("dx")) * sgn(F.col("dy")) == -1, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("d_pairs"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_x"),
+        F.sum(
+            F.when((F.col("dy") == 0) & (F.col("dx") != 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_y"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("t_xy"),
+    )
+    cd = (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+    return g.select(
+        "c_pairs",
+        "d_pairs",
+        "t_x",
+        "t_y",
+        "t_xy",
+        F.when(
+            F.col("c_pairs") + F.col("d_pairs") > 0,
+            F.round(
+                cd / (F.col("c_pairs") + F.col("d_pairs")).cast("double"), 6
+            )
+            + F.lit(0.0),
+        ).alias("gamma"),
+        F.when(
+            F.col("c_pairs") + F.col("d_pairs") + F.col("t_y") > 0,
+            F.round(
+                cd
+                / (
+                    F.col("c_pairs") + F.col("d_pairs") + F.col("t_y")
+                ).cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("somers_dyx"),
+    )
+
+
+def _a_somers_d_sql() -> str:
+    return f"""
+WITH {_PAIRS_CTE}, pp AS (
+  SELECT i.xa - j.xa AS dx, i.xb - j.xb AS dy
+  FROM pairs i JOIN pairs j ON i.day < j.day
+), g AS (
+  SELECT
+    CAST(SUM(CASE WHEN sign(dx) * sign(dy) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_pairs,
+    CAST(SUM(CASE WHEN sign(dx) * sign(dy) = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d_pairs,
+    CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_x,
+    CAST(SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_y,
+    CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_xy
+  FROM pp
+)
+SELECT c_pairs, d_pairs, t_x, t_y, t_xy,
+  CASE WHEN c_pairs + d_pairs > 0 THEN
+    round(CAST(c_pairs - d_pairs AS DOUBLE) / (c_pairs + d_pairs), 6) + 0.0
+  END AS gamma,
+  CASE WHEN c_pairs + d_pairs + t_y > 0 THEN
+    round(CAST(c_pairs - d_pairs AS DOUBLE)
+          / (c_pairs + d_pairs + t_y), 6) + 0.0
+  END AS somers_dyx
+FROM g
+"""
+
+
+R11_QUERIES["a_somers_d"] = a_somers_d
+_R11_ORACLES["a_somers_d"] = _a_somers_d_sql
