@@ -177,6 +177,8 @@ _FIRST_SEEN_ROUND.update(
         "ti_dpo", "ti_vpt", "ti_nvi", "ti_coppock",
         "a_sign_test", "a_wilcoxon_signed_rank", "a_page_trend",
         "a_mood_median", "a_somers_d",
+        "t_yule_k", "t_readability", "t_code_detection",
+        "t_importance_sample", "t_curriculum_schedule",
     )}
 )
 

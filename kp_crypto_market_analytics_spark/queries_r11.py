@@ -1082,3 +1082,487 @@ FROM g
 
 R11_QUERIES["a_somers_d"] = a_somers_d
 _R11_ORACLES["a_somers_d"] = _a_somers_d_sql
+
+
+# ----------------------------------------------------------- t_yule_k
+
+
+def t_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-repetitiveness characteristic per source:
+    K = 10⁴·(Σ m²·V(m) − N)/N² = 10⁴·(Σf² − N)/N² over the source's
+    token frequency spectrum — the classic vocabulary-richness
+    constant (low K = rich vocabulary), scale-invariant in corpus
+    size, the repetitiveness axis the dup-ratio gates don't measure.
+
+    Determinism: frequencies are exact BIGINTs, Σf² folds in
+    DECIMAL(38,0); ONE IEEE expression per source."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    d = "decimal(38,0)"
+    g = freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("f").cast(d) * F.col("f").cast(d)).alias("s2"),
+    )
+    k = (
+        F.lit(10_000.0)
+        * (F.col("s2").cast("double") - F.col("n_tokens").cast("double"))
+        / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+    )
+    return (
+        g.select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.when(
+                F.col("n_tokens") > 0, F.round(k, 6) + F.lit(0.0)
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_yule_k_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT source, tok
+  FROM documents,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), freq AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY 1, 2
+), g AS (
+  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_types,
+    SUM(CAST(f AS HUGEINT) * f) AS s2
+  FROM freq GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+  CASE WHEN n_tokens > 0 THEN
+    round(10000.0 * (CAST(s2 AS DOUBLE) - n_tokens)
+          / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) + 0.0
+  END AS yule_k
+FROM g ORDER BY source
+"""
+
+
+R11_QUERIES["t_yule_k"] = t_yule_k
+_R11_ORACLES["t_yule_k"] = _t_yule_k_sql
+
+
+# ------------------------------------------------------ t_readability
+
+
+def t_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability triple per source: ARI, Flesch-Kincaid grade, and
+    Gunning fog, averaged over per-document scores — t_coleman_liau's
+    syllable-aware siblings (FK/fog need the vowel-group syllable
+    heuristic CLI deliberately avoids; together the four span the
+    standard readability feature set a quality classifier consumes).
+    The synthetic corpus has no sentence punctuation, so the sentence
+    count degenerates to 1/doc — operator is the deliverable, corpus
+    is the fixture (the t_coleman_liau precedent).
+
+    Determinism: letters/words/sentences/syllable-groups/complex-word
+    counts are exact integers (syllable groups = [aeiouy]+ runs;
+    complex = tokens with >= 3 runs); per-doc scores round to 6dp,
+    per-source means via round_mean_micro."""
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        DEC,
+        round_mean_micro,
+    )
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"]).select("doc_id", "source", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    ).where(F.col("tok") != "")
+    syl = F.size(F.regexp_extract_all(F.col("tok"), F.lit("[aeiouy]+"), 0))
+    per_tok = toks.select("doc_id", syl.alias("syl"))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum("syl").cast("long").alias("y"),
+        F.sum(F.when(F.col("syl") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+    )
+    chars = F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")
+    ).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.length(F.regexp_replace(F.col("text"), "[^.!?]", "")).cast(
+            "long"
+        ),
+    )
+    j = d.select("doc_id", "source", chars.alias("c"), sents.alias("s")).join(
+        agg, "doc_id"
+    )
+    w, s, c, y, cx = (
+        F.col("w").cast("double"),
+        F.col("s").cast("double"),
+        F.col("c").cast("double"),
+        F.col("y").cast("double"),
+        F.col("cx").cast("double"),
+    )
+    ari = F.lit(4.71) * c / w + F.lit(0.5) * w / s - F.lit(21.43)
+    fk = F.lit(0.39) * w / s + F.lit(11.8) * y / w - F.lit(15.59)
+    fog = F.lit(0.4) * (w / s + F.lit(100.0) * cx / w)
+    scored = j.where(F.col("w") > 0).select(
+        "source",
+        (F.round(ari, 6) + F.lit(0.0)).alias("ari6"),
+        (F.round(fk, 6) + F.lit(0.0)).alias("fk6"),
+        (F.round(fog, 6) + F.lit(0.0)).alias("fog6"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        scored.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            round_mean_micro(F.sum(F.col("ari6").cast(DEC)), n).alias(
+                "avg_ari"
+            ),
+            round_mean_micro(F.sum(F.col("fk6").cast(DEC)), n).alias(
+                "avg_fk"
+            ),
+            round_mean_micro(F.sum(F.col("fog6").cast(DEC)), n).alias(
+                "avg_fog"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_readability_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.aggregates import (
+        sql_round_mean_micro,
+    )
+
+    mean = lambda col: sql_round_mean_micro(
+        f"SUM(CAST({col} AS DECIMAL(18,6)))", "COUNT(*)"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+    len(regexp_extract_all(tok, '[aeiouy]+')) AS syl
+  FROM documents,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS w,
+    CAST(SUM(syl) AS BIGINT) AS y,
+    CAST(SUM(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS cx
+  FROM toks GROUP BY 1
+), perdoc AS (
+  SELECT source,
+    round(4.71 * (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / w)
+        + 0.5 * (CAST(w AS DOUBLE)
+                 / greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))))
+        - 21.43, 6) + 0.0 AS ari6,
+    round(0.39 * (CAST(w AS DOUBLE)
+                  / greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))))
+        + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 6) + 0.0 AS fk6,
+    round(0.4 * (CAST(w AS DOUBLE)
+                 / greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+                 + 100.0 * CAST(cx AS DOUBLE) / w), 6) + 0.0 AS fog6
+  FROM documents JOIN agg USING (doc_id)
+  WHERE w > 0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  {mean('ari6')} AS avg_ari,
+  {mean('fk6')} AS avg_fk,
+  {mean('fog6')} AS avg_fog
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
+R11_QUERIES["t_readability"] = t_readability
+_R11_ORACLES["t_readability"] = _t_readability_sql
+
+
+# --------------------------------------------------- t_code_detection
+
+_CODE_SYMBOLS = r"[{}();=<>\[\]#|\\]"
+_CODE_THRESH_MICRO = 10_000  # symbol density >= 1%
+
+
+def t_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screen per source: per-document code-symbol
+    density ({};()=<>[]#|\\ characters per non-space character),
+    flagged code-like at >= 1% — the corpus-composition census a
+    mixture designer reads before setting code/prose weights (and a
+    quality gate reads to EXEMPT code from prose heuristics like
+    stopword ratios).
+
+    Determinism: symbol and character counts are exact integers; the
+    density is micro-quantized by exact half-away division, so the
+    threshold compare and the per-source mean are integer
+    arithmetic."""
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    dd = "decimal(38,0)"
+    chars = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast(
+        "long"
+    )
+    syms = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), _CODE_SYMBOLS, ""))
+    ).cast("long")
+    d = (
+        ensure_parallelism(t["documents"])
+        .select("source", chars.alias("c"), syms.alias("sy"))
+        .where(F.col("c") > 0)
+        .select(
+            "source",
+            _half_away(
+                F.col("sy").cast(dd) * F.lit(1_000_000).cast(dd),
+                F.col("c").cast(dd),
+            ).alias("dens_micro"),
+        )
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("dens_micro") >= _CODE_THRESH_MICRO, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_code_like"),
+        F.sum("dens_micro").cast(dd).alias("dsum"),
+    )
+    avg_micro = _half_away(F.col("dsum"), F.col("n_docs").cast(dd))
+    return (
+        g.select(
+            "source",
+            "n_docs",
+            "n_code_like",
+            (avg_micro.cast("double") / F.lit(1_000_000.0)).alias(
+                "avg_symbol_density"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_code_detection_sql() -> str:
+    sym = (
+        f"(length(text) - length(regexp_replace(text, '{_CODE_SYMBOLS}',"
+        " '', 'g')))"
+    )
+    chars = r"length(regexp_replace(text, '\s', '', 'g'))"
+    dens = _sql_half_away(f"CAST({sym} AS HUGEINT) * 1000000", chars)
+    avg = _sql_half_away("SUM(dens_micro)", "COUNT(*)")
+    return f"""
+WITH d AS (
+  SELECT source, {dens} AS dens_micro
+  FROM documents WHERE {chars} > 0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN dens_micro >= {_CODE_THRESH_MICRO} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_code_like,
+  CAST({avg} AS DOUBLE) / 1000000.0 AS avg_symbol_density
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# Whitespace token count, SQL twin of functions.text.token_count (the
+# queries_r10 ntok convention).
+_NTOK_SQL = (
+    "(CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0"
+    " THEN 0 ELSE CAST(length(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    " - length(replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', ''))"
+    " AS BIGINT) + 1 END)"
+)
+
+
+# ------------------------------------------------ t_importance_sample
+
+_IMP_CAP = 512  # tokens at/above the cap are always kept
+
+
+def t_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling with Horvitz-Thompson
+    accounting, per source: each document is kept with probability
+    p = min(1, ntok/512) decided by a stable hash bucket (membership
+    survives repartitioning and incremental re-runs — the
+    t_split_assign rule), and kept docs carry inverse-probability
+    weights 1/p.  The census reports the effective sample size
+    ESS = (Σ 1/p)²/Σ(1/p)² — the number an unbiased downstream
+    estimator actually has to work with, and THE honesty metric of any
+    weighted sample (ESS ≪ n_kept means the weights are doing all the
+    work).
+
+    Determinism: acceptance compares the 60-bit md5 bucket against an
+    integer threshold; 1/p is micro-quantized by exact half-away
+    division; the ESS folds Σ and Σ² in DECIMAL(38,0) with ONE final
+    IEEE ratio."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        hash64,
+        token_count,
+    )
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    dd = "decimal(38,0)"
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("ntok"),
+    )
+    cap = F.least(F.lit(_IMP_CAP).cast("long"), F.col("ntok"))
+    bucket = hash64(
+        F.concat(F.lit("imp:"), F.col("doc_id").cast("string"))
+    ) % _IMP_CAP
+    kept = d.where((F.col("ntok") > 0) & (bucket < cap)).select(
+        "source",
+        "ntok",
+        # 1/p = cap_max / min(cap_max, ntok), micro-quantized
+        _half_away(
+            F.lit(_IMP_CAP * 1_000_000).cast(dd), cap.cast(dd)
+        ).alias("invp_micro"),
+    )
+    g = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("ntok").cast("long").alias("kept_tokens"),
+        F.sum(F.col("invp_micro").cast(dd)).alias("s1"),
+        F.sum(F.col("invp_micro").cast(dd) * F.col("invp_micro").cast(dd)).alias(
+            "s2"
+        ),
+    )
+    ess = (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / F.col("s2").cast("double")
+    return (
+        g.select(
+            "source",
+            "n_kept",
+            "kept_tokens",
+            F.when(F.col("n_kept") > 0, F.round(ess, 6) + F.lit(0.0)).alias(
+                "ess"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_importance_sample_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r7 import H60
+
+    h = H60.format(x="'imp:' || CAST(doc_id AS VARCHAR)")
+    invp = _sql_half_away(
+        f"CAST({_IMP_CAP * 1_000_000} AS HUGEINT)",
+        f"least({_IMP_CAP}, ntok)",
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {_NTOK_SQL} AS ntok
+  FROM documents
+), kept AS (
+  SELECT source, ntok, {invp} AS invp_micro
+  FROM d
+  WHERE ntok > 0 AND {h} % {_IMP_CAP} < least({_IMP_CAP}, ntok)
+), g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+    CAST(SUM(ntok) AS BIGINT) AS kept_tokens,
+    SUM(CAST(invp_micro AS HUGEINT)) AS s1,
+    SUM(CAST(invp_micro AS HUGEINT) * invp_micro) AS s2
+  FROM kept GROUP BY source
+)
+SELECT source, n_kept, kept_tokens,
+  CASE WHEN n_kept > 0 THEN
+    round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+          / CAST(s2 AS DOUBLE), 6) + 0.0
+  END AS ess
+FROM g ORDER BY source
+"""
+
+
+R11_QUERIES["t_importance_sample"] = t_importance_sample
+_R11_ORACLES["t_importance_sample"] = _t_importance_sample_sql
+
+
+# --------------------------------------------- t_curriculum_schedule
+
+_CURR_STAGES = 3
+
+
+def t_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule census: each source's corpus dealt into 3
+    length-ordered stages (per-source ntile over (ntok, doc_id) —
+    shortest docs first, the classic easy-to-hard curriculum axis),
+    reporting per (source, stage) the doc/token counts and token range
+    a training scheduler consumes.  Scoped PER SOURCE so the window
+    partitions by a bounded key — a corpus-global ntile would
+    single-partition at 100 TB; the per-source deal is also what a
+    mixture-aware curriculum actually schedules.
+
+    Determinism: ntile over a total order (ntok, doc_id tiebreak) is
+    reproducible in both engines; every output is an exact integer."""
+    from kp_crypto_market_analytics_spark.functions.text import token_count
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"]).select(
+        "doc_id",
+        "source",
+        token_count("text").cast("long").alias("ntok"),
+    )
+    stage = F.ntile(_CURR_STAGES).over(
+        W.partitionBy("source").orderBy("ntok", "doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "ntok", stage.alias("stage"))
+        .groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("stage_tokens"),
+            F.min("ntok").alias("min_tokens"),
+            F.max("ntok").alias("max_tokens"),
+        )
+        .orderBy("source", "stage")
+    )
+
+
+def _t_curriculum_schedule_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {_NTOK_SQL} AS ntok
+  FROM documents
+), staged AS (
+  SELECT doc_id, source, ntok,
+    ntile({_CURR_STAGES}) OVER (PARTITION BY source ORDER BY ntok, doc_id) AS stage
+  FROM d
+)
+SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ntok) AS BIGINT) AS stage_tokens,
+  MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens
+FROM staged GROUP BY source, stage ORDER BY source, stage
+"""
+
+
+R11_QUERIES["t_curriculum_schedule"] = t_curriculum_schedule
+_R11_ORACLES["t_curriculum_schedule"] = _t_curriculum_schedule_sql
+
+
+R11_QUERIES["t_code_detection"] = t_code_detection
+_R11_ORACLES["t_code_detection"] = _t_code_detection_sql
