@@ -179,6 +179,8 @@ _FIRST_SEEN_ROUND.update(
         "a_mood_median", "a_somers_d",
         "t_yule_k", "t_readability", "t_code_detection",
         "t_importance_sample", "t_curriculum_schedule",
+        "g_degree_assortativity", "g_rich_club", "e_hubness",
+        "a_fleiss_kappa",
     )}
 )
 

@@ -1564,5 +1564,380 @@ R11_QUERIES["t_curriculum_schedule"] = t_curriculum_schedule
 _R11_ORACLES["t_curriculum_schedule"] = _t_curriculum_schedule_sql
 
 
+# ------------------------------------------- g_degree_assortativity
+
+
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all edges (both
+    orientations, the Newman 2002 definition) — positive means hubs
+    link to hubs (social-network shape), negative means hubs fan out
+    to leaves (catalog/dependency shape).  The one scalar that says
+    which skew mitigations the graph family needs.
+
+    Determinism: degrees are exact BIGINTs; all five moments fold in
+    DECIMAL(38,0); ONE IEEE chain (Pearson over exact sums)."""
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        copurchase_pairs,
+    )
+
+    pairs = copurchase_pairs(spark, sf_dir).select("u", "v")
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dy"))
+    both = pairs.join(du, "u").join(dv, "v")
+    # both orientations: (dx, dy) and (dy, dx)
+    pts = both.select("dx", "dy").unionAll(
+        both.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    d = "decimal(38,0)"
+    g = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.sum(F.col("dx").cast(d)).alias("sx"),
+        F.sum(F.col("dy").cast(d)).alias("sy"),
+        F.sum(F.col("dx").cast(d) * F.col("dy").cast(d)).alias("sxy"),
+        F.sum(F.col("dx").cast(d) * F.col("dx").cast(d)).alias("sxx"),
+        F.sum(F.col("dy").cast(d) * F.col("dy").cast(d)).alias("syy"),
+    )
+    n = F.col("n_pts").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return g.select(
+        "n_pts",
+        F.when(
+            (F.col("n_pts") > 1) & (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx * vy), 6) + F.lit(0.0),
+        ).alias("assortativity"),
+    )
+
+
+def _g_degree_assortativity_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        PAIRS_SQL,
+    )
+
+    return f"""
+WITH {PAIRS_SQL}, deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY n
+), both_e AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM pairs JOIN deg du ON du.n = pairs.u JOIN deg dv ON dv.n = pairs.v
+), pts AS (
+  SELECT dx, dy FROM both_e UNION ALL SELECT dy, dx FROM both_e
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+    SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+    SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+    SUM(CAST(dy AS HUGEINT) * dy) AS syy
+  FROM pts
+)
+SELECT n_pts,
+  CASE WHEN n_pts > 1
+    AND n_pts * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+    AND n_pts * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+  THEN round(
+    (n_pts * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / sqrt((n_pts * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * (n_pts * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    + 0.0
+  END AS assortativity
+FROM g
+"""
+
+
+R11_QUERIES["g_degree_assortativity"] = g_degree_assortativity
+_R11_ORACLES["g_degree_assortativity"] = _g_degree_assortativity_sql
+
+
+# ------------------------------------------------------- g_rich_club
+
+_RICH_KS = (2, 4, 8, 16)
+
+
+def g_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the co-purchase graph: for each
+    degree threshold k, the edge density among nodes of degree > k —
+    φ(k) = 2·E_k / (N_k·(N_k−1)).  Rising φ(k) means the hubs form a
+    densely-wired core (the rich club); the scale diagnosis that
+    decides whether hub-local algorithms (triangle counting, LPA) hit
+    a dense kernel.
+
+    Determinism: node/edge counts per threshold are exact integers
+    from one broadcast threshold join; one IEEE ratio per row."""
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        copurchase_pairs,
+    )
+
+    pairs = copurchase_pairs(spark, sf_dir).select("u", "v")
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in _RICH_KS])
+    ).alias("k")
+    nodes_k = (
+        deg.select("deg", ks)
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    edges_k = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select("du", "dv", ks)
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    g = nodes_k.join(edges_k, "k", "left").select(
+        "k",
+        "n_k",
+        F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+    )
+    phi = (
+        F.lit(2.0)
+        * F.col("e_k").cast("double")
+        / (F.col("n_k").cast("double") * (F.col("n_k") - F.lit(1.0)))
+    )
+    return (
+        g.select(
+            "k",
+            "n_k",
+            "e_k",
+            F.when(F.col("n_k") > 1, F.round(phi, 6) + F.lit(0.0)).alias(
+                "phi"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+def _g_rich_club_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        PAIRS_SQL,
+    )
+
+    ks = ", ".join(str(k) for k in _RICH_KS)
+    return f"""
+WITH {PAIRS_SQL}, deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY n
+), ks AS (SELECT unnest([{ks}]) AS k),
+nodes_k AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM deg, ks WHERE deg > k GROUP BY k
+), edges_k AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM pairs
+  JOIN deg du ON du.n = pairs.u
+  JOIN deg dv ON dv.n = pairs.v, ks
+  WHERE du.deg > k AND dv.deg > k
+  GROUP BY k
+)
+SELECT k, n_k, coalesce(e_k, 0) AS e_k,
+  CASE WHEN n_k > 1 THEN
+    round(2.0 * coalesce(e_k, 0) / (CAST(n_k AS DOUBLE) * (n_k - 1.0)), 6)
+    + 0.0
+  END AS phi
+FROM nodes_k LEFT JOIN edges_k USING (k)
+ORDER BY k
+"""
+
+
+R11_QUERIES["g_rich_club"] = g_rich_club
+_R11_ORACLES["g_rich_club"] = _g_rich_club_sql
+
+
+# --------------------------------------------------------- e_hubness
+
+_HUB_PROBES = 200
+_HUB_K = 5
+
+
+def e_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness census of the embedding space: in-degree distribution
+    of the k-NN graph (k = 5, probe set = vec_id < 200 — the bounded
+    deterministic probe convention of the sim family).  Hubness is
+    THE high-dimensional ANN pathology: a few vectors appear in
+    everyone's neighbor lists, dragging down recall and skewing IVF
+    cells; the histogram (in_degree → n_vectors) is the metric the
+    index designer watches.
+
+    Determinism: neighbors ranked by the 6dp-rounded cosine with id
+    tiebreak (the sim_bruteforce contract); counts exact."""
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    probes = emb.where(F.col("vec_id") < _HUB_PROBES)
+    nn = brute_force_topk(emb, probes, "embedding", "vec_id", k=_HUB_K)
+    indeg = nn.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
+def _e_hubness_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {_HUB_PROBES}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(q.qvec, CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM q, embeddings c
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+), indeg AS (
+  SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM ranked WHERE rank <= {_HUB_K} GROUP BY neighbor_id
+)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM indeg GROUP BY in_degree ORDER BY in_degree
+"""
+
+
+R11_QUERIES["e_hubness"] = e_hubness
+_R11_ORACLES["e_hubness"] = _e_hubness_sql
+
+
+# ----------------------------------------------------- a_fleiss_kappa
+
+
+def a_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement of three deterministic document-quality
+    heuristics (length >= 50 tokens; mean word length <= 8 chars;
+    digit density < 5%), treated as 3 raters making a binary keep/drop
+    call per document: Fleiss' kappa (chance correction from the
+    marginal category rates) and Gwet's AC1 (the paradox-resistant
+    alternative that stays informative when one category dominates) —
+    the agreement audit a labeling pipeline publishes before trusting
+    ensemble-of-heuristics labels.
+
+    Determinism: all rater votes are integer comparisons (the digit
+    test as 20·digits < chars, exact ints); the agreement sums fold as
+    exact integers; ONE IEEE chain per statistic."""
+    from kp_crypto_market_analytics_spark.functions.text import token_count
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = ensure_parallelism(t["documents"])
+    ntok = token_count("text").cast("long")
+    chars = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long")
+    digits = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ).cast("long")
+    r1 = F.when(ntok >= 50, 1).otherwise(0)
+    r2 = F.when((ntok > 0) & (chars <= F.lit(8) * ntok), 1).otherwise(0)
+    r3 = F.when(F.lit(20) * digits < chars, 1).otherwise(0)
+    votes = d.select((r1 + r2 + r3).cast("long").alias("pos"))
+    # per-doc agreement numerator: n_pos(n_pos-1) + n_neg(n_neg-1),
+    # raters n = 3
+    pos = F.col("pos")
+    neg = F.lit(3) - pos
+    agree_i = pos * (pos - 1) + neg * (neg - 1)
+    g = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(agree_i).cast("long").alias("s_agree"),
+        F.sum(pos).cast("long").alias("s_pos"),
+    )
+    nd = F.col("n_docs").cast("double")
+    pbar = F.col("s_agree").cast("double") / (nd * F.lit(6.0))  # n(n-1)=6
+    pi = F.col("s_pos").cast("double") / (nd * F.lit(3.0))
+    pe = pi * pi + (F.lit(1.0) - pi) * (F.lit(1.0) - pi)
+    pe_g = F.lit(2.0) * pi * (F.lit(1.0) - pi)
+    return g.select(
+        "n_docs",
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_e"),
+        F.when(
+            pe < 1.0, F.round((pbar - pe) / (F.lit(1.0) - pe), 6) + F.lit(0.0)
+        ).alias("fleiss_kappa"),
+        F.when(
+            pe_g < 1.0,
+            F.round((pbar - pe_g) / (F.lit(1.0) - pe_g), 6) + F.lit(0.0),
+        ).alias("gwet_ac1"),
+    )
+
+
+def _a_fleiss_kappa_sql() -> str:
+    ntok = _NTOK_SQL
+    chars = r"length(regexp_replace(text, '\s', '', 'g'))"
+    digits = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    return f"""
+WITH votes AS (
+  SELECT
+    (CASE WHEN {ntok} >= 50 THEN 1 ELSE 0 END
+     + CASE WHEN {ntok} > 0 AND {chars} <= 8 * {ntok} THEN 1 ELSE 0 END
+     + CASE WHEN 20 * {digits} < {chars} THEN 1 ELSE 0 END) AS pos
+  FROM documents
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(pos * (pos - 1) + (3 - pos) * (2 - pos)) AS BIGINT) AS s_agree,
+    CAST(SUM(pos) AS BIGINT) AS s_pos
+  FROM votes
+)
+SELECT n_docs,
+  round(CAST(s_agree AS DOUBLE) / (n_docs * 6.0), 6) AS p_bar,
+  round((CAST(s_pos AS DOUBLE) / (n_docs * 3.0)) * (CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+        + (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+          * (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0)), 6) AS p_e,
+  CASE WHEN (CAST(s_pos AS DOUBLE) / (n_docs * 3.0)) * (CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+            + (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+              * (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0)) < 1.0
+  THEN round((CAST(s_agree AS DOUBLE) / (n_docs * 6.0)
+      - ((CAST(s_pos AS DOUBLE) / (n_docs * 3.0)) * (CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+         + (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+           * (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0))))
+    / (1.0 - ((CAST(s_pos AS DOUBLE) / (n_docs * 3.0)) * (CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+         + (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+           * (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0)))), 6) + 0.0
+  END AS fleiss_kappa,
+  CASE WHEN 2.0 * (CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+            * (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0)) < 1.0
+  THEN round((CAST(s_agree AS DOUBLE) / (n_docs * 6.0)
+      - 2.0 * (CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+            * (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0)))
+    / (1.0 - 2.0 * (CAST(s_pos AS DOUBLE) / (n_docs * 3.0))
+            * (1.0 - CAST(s_pos AS DOUBLE) / (n_docs * 3.0))), 6) + 0.0
+  END AS gwet_ac1
+FROM g
+"""
+
+
+R11_QUERIES["a_fleiss_kappa"] = a_fleiss_kappa
+_R11_ORACLES["a_fleiss_kappa"] = _a_fleiss_kappa_sql
+
+
 R11_QUERIES["t_code_detection"] = t_code_detection
 _R11_ORACLES["t_code_detection"] = _t_code_detection_sql
