@@ -181,6 +181,8 @@ _FIRST_SEEN_ROUND.update(
         "t_importance_sample", "t_curriculum_schedule",
         "g_degree_assortativity", "g_rich_club", "e_hubness",
         "a_fleiss_kappa",
+        "ti_trix", "a_quade_test", "a_log_rank",
+        "t_lexical_density", "t_term_dispersion",
     )}
 )
 

@@ -1939,5 +1939,667 @@ R11_QUERIES["a_fleiss_kappa"] = a_fleiss_kappa
 _R11_ORACLES["a_fleiss_kappa"] = _a_fleiss_kappa_sql
 
 
+# ----------------------------------------------------------- ti_trix
+
+_TRIX_ALPHA = 0.25
+_TRIX_LAGS = 8
+
+
+def ti_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX: 1-day rate of change of the triple-smoothed daily close
+    (three chained EMAs) per event type — the momentum oscillator
+    whose triple smoothing filters noise cycles shorter than the EMA
+    period.
+
+    Determinism: each EMA stage is the ti_macd truncated closed form
+    (shared Python double weight literals, no libm pow) and rounds to
+    6 dp BEFORE feeding the next stage, so all three chains consume
+    identical inputs on both engines; the final ROC is one IEEE
+    division, masked on a missing or zero previous value."""
+    from kp_crypto_market_analytics_spark.operators.indicators import (
+        truncated_ema,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir).withColumn(
+        "cd", F.col("cm").cast("double") / F.lit(1_000_000.0)
+    )
+    s1 = F.round(
+        truncated_ema(F.col("cd"), _wd(), _TRIX_ALPHA, _TRIX_LAGS), 6
+    )
+    b1 = bars.select("event_type", "day", "cd", s1.alias("s1"))
+    s2 = F.round(
+        truncated_ema(F.col("s1"), _wd(), _TRIX_ALPHA, _TRIX_LAGS), 6
+    )
+    b2 = b1.select("event_type", "day", "s1", s2.alias("s2"))
+    s3 = F.round(
+        truncated_ema(F.col("s2"), _wd(), _TRIX_ALPHA, _TRIX_LAGS), 6
+    )
+    b3 = b2.select("event_type", "day", s3.alias("s3"))
+    prev = F.lag("s3").over(_wd())
+    trix = (F.col("s3") - prev) / prev
+    return (
+        b3.select(
+            "event_type",
+            "day",
+            "s3",
+            F.when(
+                prev.isNotNull() & (prev != 0.0),
+                F.round(trix, 6) + F.lit(0.0),
+            ).alias("trix"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_trix_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _des_ema_sql,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    a, lg = _TRIX_ALPHA, _TRIX_LAGS
+    return f"""
+WITH {DAILY_BARS_CTE}, b0 AS (
+  SELECT event_type, day, CAST(cm AS DOUBLE) / 1000000.0 AS cd FROM bars
+), b1 AS (
+  SELECT event_type, day, round({_des_ema_sql("cd", a, lg)}, 6) AS s1
+  FROM b0 WINDOW w AS ({_WD_SQL})
+), b2 AS (
+  SELECT event_type, day, round({_des_ema_sql("s1", a, lg)}, 6) AS s2
+  FROM b1 WINDOW w AS ({_WD_SQL})
+), b3 AS (
+  SELECT event_type, day, round({_des_ema_sql("s2", a, lg)}, 6) AS s3
+  FROM b2 WINDOW w AS ({_WD_SQL})
+)
+SELECT event_type, day, s3,
+  CASE WHEN lag(s3) OVER d IS NOT NULL AND lag(s3) OVER d <> 0.0
+  THEN round((s3 - lag(s3) OVER d) / lag(s3) OVER d, 6) + 0.0
+  END AS trix
+FROM b3
+WINDOW d AS ({_WD_SQL})
+ORDER BY event_type, day
+"""
+
+
+R11_QUERIES["ti_trix"] = ti_trix
+_R11_ORACLES["ti_trix"] = _ti_trix_sql
+
+
+# -------------------------------------------------------- a_quade_test
+
+
+def a_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test (1979) on the daily-cell block design: like
+    a_friedman_test but blocks are WEIGHTED by their observed range
+    (doubled midrank of max−min across days), so high-information
+    days count more — the more powerful k-treatment test when block
+    scales differ.  F = (n−1)·B/(A−B) with S_ij = Q_i·(r_ij −
+    (k+1)/2), A = ΣS², B = ΣSⱼ²/n.
+
+    Determinism: cells and ranges exact BIGINTs; within-day ranks and
+    range-ranks both doubled (integral under ties); S4 = Q2·(r2−(k+1))
+    is exact, so A and B fold as exact HUGEINT/DECIMAL sums; ONE IEEE
+    ratio, masked when A = B (all-tied degenerate)."""
+    from pyspark.sql import Window as W
+
+    cells = _daily_cells_df(spark, sf_dir)
+    ktot = cells.agg(F.count_distinct("event_type").alias("kt"))
+    complete = (
+        cells.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("kk"))
+        .crossJoin(F.broadcast(ktot))
+        .where(F.col("kk") == F.col("kt"))
+        .select("day")
+    )
+    c = cells.join(complete, "day")
+    wd = W.partitionBy("day").orderBy("cell", "event_type")
+    wb = W.partitionBy("day", "cell")
+    r2 = (
+        F.min(F.row_number().over(wd)).over(wb)
+        + F.max(F.row_number().over(wd)).over(wb)
+    )
+    ranked = c.select("day", "event_type", r2.alias("r2"))
+    rng = c.groupBy("day").agg(
+        (F.max("cell") - F.min("cell")).alias("rng")
+    )
+    wq = W.orderBy("rng", "day")
+    wqt = W.partitionBy("rng")
+    q2 = (
+        F.min(F.row_number().over(wq)).over(wqt)
+        + F.max(F.row_number().over(wq)).over(wqt)
+    )
+    blocks = rng.select("day", q2.alias("q2"))
+    k1 = cells.agg((F.count_distinct("event_type") + 1).alias("k1"))
+    s4 = (
+        ranked.join(blocks, "day")
+        .crossJoin(F.broadcast(k1))
+        .select(
+            "event_type",
+            (F.col("q2") * (F.col("r2") - F.col("k1")))
+            .cast("long")
+            .alias("s4"),
+        )
+    )
+    d = "decimal(38,0)"
+    byt = s4.groupBy("event_type").agg(
+        F.sum(F.col("s4").cast(d)).alias("sj4")
+    )
+    g = (
+        s4.agg(
+            F.sum(F.col("s4").cast(d) * F.col("s4").cast(d)).alias("a4"),
+        )
+        .crossJoin(
+            F.broadcast(
+                byt.agg(
+                    F.count(F.lit(1)).cast("long").alias("k"),
+                    F.sum(F.col("sj4") * F.col("sj4")).alias("b4"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                blocks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+        )
+    )
+    num = (F.col("n").cast("double") - 1.0) * F.col("b4").cast("double")
+    den = F.col("n").cast("double") * F.col("a4").cast("double") - F.col(
+        "b4"
+    ).cast("double")
+    ok = (F.col("n") > 1) & (F.col("k") > 1) & (den > 0)
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("n_types"),
+        F.when(ok, F.round(num / den, 6) + F.lit(0.0)).alias("quade_f"),
+    )
+
+
+def _a_quade_test_sql() -> str:
+    return f"""
+WITH {_CELLS_CTE}, ktot AS (
+  SELECT COUNT(DISTINCT event_type) AS kt FROM cells
+), complete AS (
+  SELECT day FROM cells GROUP BY day
+  HAVING COUNT(*) = (SELECT kt FROM ktot)
+), c AS (
+  SELECT cells.* FROM cells JOIN complete USING (day)
+), rr AS (
+  SELECT day, event_type, cell,
+    row_number() OVER (PARTITION BY day ORDER BY cell, event_type) AS rn
+  FROM c
+), ranked AS (
+  SELECT day, event_type,
+    MIN(rn) OVER (PARTITION BY day, cell)
+      + MAX(rn) OVER (PARTITION BY day, cell) AS r2
+  FROM rr
+), rng AS (
+  SELECT day, MAX(cell) - MIN(cell) AS rng FROM c GROUP BY day
+), qq AS (
+  SELECT day, rng,
+    row_number() OVER (ORDER BY rng, day) AS qn
+  FROM rng
+), blocks AS (
+  SELECT day,
+    MIN(qn) OVER (PARTITION BY rng) + MAX(qn) OVER (PARTITION BY rng) AS q2
+  FROM qq
+), s4t AS (
+  SELECT event_type,
+    CAST(q2 * (r2 - (SELECT kt + 1 FROM ktot)) AS BIGINT) AS s4
+  FROM ranked JOIN blocks USING (day)
+), byt AS (
+  SELECT event_type, SUM(CAST(s4 AS HUGEINT)) AS sj4
+  FROM s4t GROUP BY event_type
+), g AS (
+  SELECT
+    (SELECT SUM(CAST(s4 AS HUGEINT) * s4) FROM s4t) AS a4,
+    CAST(COUNT(*) AS BIGINT) AS k,
+    SUM(sj4 * sj4) AS b4,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM blocks) AS n
+  FROM byt
+)
+SELECT n AS n_days, k AS n_types,
+  CASE WHEN n > 1 AND k > 1
+    AND n * CAST(a4 AS DOUBLE) - CAST(b4 AS DOUBLE) > 0
+  THEN round((n - 1.0) * CAST(b4 AS DOUBLE)
+    / (n * CAST(a4 AS DOUBLE) - CAST(b4 AS DOUBLE)), 6) + 0.0
+  END AS quade_f
+FROM g
+"""
+
+
+R11_QUERIES["a_quade_test"] = a_quade_test
+_R11_ORACLES["a_quade_test"] = _a_quade_test_sql
+
+
+# --------------------------------------------------------- a_log_rank
+
+
+def a_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the a_survival_km repeat-purchase
+    survival curves between customer segments (BUILDING vs the rest):
+    at each event day, the observed group-1 events are compared
+    against expectation under the shared-hazard null, Σ(O−E) is
+    normalized by the hypergeometric variance, and χ² = (O−E)²/V —
+    the standard two-group censored-survival comparison, the
+    inferential companion the KM curve lacks.
+
+    Determinism: durations, death/censor histograms, and at-risk
+    prefix counts are exact integers; each day's E and V terms are
+    micro-quantized by exact half-away division (denominators n and
+    n²(n−1)) and fold as exact integer sums; ONE final IEEE chain."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    o = t["orders"].select("o_custkey", F.to_date("o_orderdate").alias("d"))
+    first = o.groupBy("o_custkey").agg(F.min("d").alias("d1"))
+    second = (
+        o.join(first, "o_custkey")
+        .where(F.col("d") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("d2"))
+    )
+    end = o.agg(F.max("d").alias("d_end"))
+    seg = t["customer"].select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    subj = (
+        first.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(end))
+        .join(seg, "o_custkey")
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            )
+            .otherwise(F.datediff("d_end", "d1"))
+            .cast("long")
+            .alias("dur"),
+            F.col("d2").isNotNull().cast("int").alias("event"),
+            "g1",
+        )
+    )
+    hist = subj.groupBy("g1", "dur").agg(
+        F.sum("event").cast("long").alias("deaths"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("cens"),
+    )
+    totals = subj.groupBy("g1").agg(
+        F.count(F.lit(1)).cast("long").alias("total")
+    )
+    wcum = (
+        W.partitionBy("g1")
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    atrisk = (
+        hist.join(totals, "g1")
+        .select(
+            "g1",
+            "dur",
+            "deaths",
+            (
+                F.col("total")
+                - F.coalesce(
+                    F.sum(F.col("deaths") + F.col("cens")).over(wcum),
+                    F.lit(0),
+                )
+            ).alias("at_risk"),
+        )
+    )
+    # at-risk counts exist only at a group's own (death|censor) days;
+    # the pooled test needs BOTH groups' at-risk at every pooled event
+    # day, so recompute each group's at-risk at every event day via a
+    # bounded range join on the per-group removal histogram (event
+    # days are calendar-bounded, the a_survival_km scale argument).
+    days = (
+        atrisk.groupBy("dur")
+        .agg(F.sum("deaths").alias("dd"))
+        .where(F.col("dd") > 0)
+        .select("dur")
+    )
+    rem = hist.select(
+        "g1", "dur", (F.col("deaths") + F.col("cens")).alias("rem")
+    )
+    risk_at = (
+        days.crossJoin(F.broadcast(totals))
+        .join(
+            rem.withColumnRenamed("g1", "rg1").withColumnRenamed(
+                "dur", "rdur"
+            ),
+            (F.col("rg1") == F.col("g1")) & (F.col("rdur") < F.col("dur")),
+            "left",
+        )
+        .groupBy("dur", "g1", "total")
+        .agg(F.coalesce(F.sum("rem"), F.lit(0)).alias("removed"))
+        .select(
+            "dur", "g1", (F.col("total") - F.col("removed")).alias("n")
+        )
+    )
+    dth = hist.select("g1", "dur", "deaths")
+    terms = (
+        risk_at.groupBy("dur")
+        .pivot("g1", [0, 1])
+        .sum("n")
+        .withColumnRenamed("0", "n0")
+        .withColumnRenamed("1", "n1")
+        .join(
+            dth.where(F.col("g1") == 1).select(
+                "dur", F.col("deaths").alias("dth1")
+            ),
+            "dur",
+            "left",
+        )
+        .join(
+            dth.where(F.col("g1") == 0).select(
+                "dur", F.col("deaths").alias("dth0")
+            ),
+            "dur",
+            "left",
+        )
+        .select(
+            "dur",
+            F.coalesce("n0", F.lit(0)).cast("long").alias("n0"),
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n1"),
+            F.coalesce("dth0", F.lit(0)).cast("long").alias("dth0"),
+            F.coalesce("dth1", F.lit(0)).cast("long").alias("dth1"),
+        )
+    )
+    dd = "decimal(38,0)"
+    n = (F.col("n0") + F.col("n1")).cast(dd)
+    dt = (F.col("dth0") + F.col("dth1")).cast(dd)
+    e1 = F.when(
+        n > 0,
+        _half_away(dt * F.col("n1").cast(dd) * F.lit(1_000_000).cast(dd), n),
+    ).otherwise(F.lit(0).cast("long"))
+    v = F.when(
+        n > 1,
+        _half_away(
+            dt
+            * F.col("n1").cast(dd)
+            * (n - F.col("n1").cast(dd))
+            * (n - dt)
+            * F.lit(1_000_000).cast(dd),
+            n * n * (n - F.lit(1).cast(dd)),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    g = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_days"),
+        F.sum("dth1").cast("long").alias("o1"),
+        F.sum(e1).cast("long").alias("e1_micro"),
+        F.sum(v).cast("long").alias("v_micro"),
+    )
+    o1 = F.col("o1").cast("double")
+    e1d = F.col("e1_micro").cast("double") / F.lit(1_000_000.0)
+    vd = F.col("v_micro").cast("double") / F.lit(1_000_000.0)
+    return g.select(
+        "n_event_days",
+        "o1",
+        F.round(e1d, 6).alias("e1"),
+        F.when(
+            F.col("v_micro") > 0,
+            F.round((o1 - e1d) * (o1 - e1d) / vd, 6) + F.lit(0.0),
+        ).alias("logrank_chi2"),
+    )
+
+
+def _a_log_rank_sql() -> str:
+    e1 = _sql_half_away(
+        "CAST(dth0 + dth1 AS HUGEINT) * n1 * 1000000", "n0 + n1"
+    )
+    v = _sql_half_away(
+        "CAST(dth0 + dth1 AS HUGEINT) * n1 * (n0 + n1 - n1)"
+        " * (n0 + n1 - dth0 - dth1) * 1000000",
+        "CAST(n0 + n1 AS HUGEINT) * (n0 + n1) * (n0 + n1 - 1)",
+    )
+    return f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), first_o AS (
+  SELECT o_custkey, MIN(d) AS d1 FROM o GROUP BY 1
+), second_o AS (
+  SELECT o.o_custkey, MIN(d) AS d2
+  FROM o JOIN first_o USING (o_custkey) WHERE d > d1 GROUP BY 1
+), subj AS (
+  SELECT
+    CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+         ELSE date_diff('day', d1, (SELECT MAX(d) FROM o)) END AS dur,
+    CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event,
+    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+  FROM first_o
+  LEFT JOIN second_o USING (o_custkey)
+  JOIN customer ON c_custkey = o_custkey
+), hist AS (
+  SELECT g1, dur, CAST(SUM(event) AS BIGINT) AS deaths,
+    CAST(SUM(1 - event) AS BIGINT) AS cens
+  FROM subj GROUP BY 1, 2
+), totals AS (
+  SELECT g1, CAST(COUNT(*) AS BIGINT) AS total FROM subj GROUP BY 1
+), days AS (
+  SELECT dur FROM hist GROUP BY dur HAVING SUM(deaths) > 0
+), risk_at AS (
+  SELECT days.dur, totals.g1,
+    totals.total - coalesce((
+      SELECT SUM(h.deaths + h.cens) FROM hist h
+      WHERE h.g1 = totals.g1 AND h.dur < days.dur), 0) AS n
+  FROM days, totals
+), terms AS (
+  SELECT days.dur,
+    CAST((SELECT n FROM risk_at r WHERE r.dur = days.dur AND r.g1 = 0) AS BIGINT) AS n0,
+    CAST((SELECT n FROM risk_at r WHERE r.dur = days.dur AND r.g1 = 1) AS BIGINT) AS n1,
+    CAST(coalesce((SELECT deaths FROM hist h WHERE h.dur = days.dur AND h.g1 = 0), 0) AS BIGINT) AS dth0,
+    CAST(coalesce((SELECT deaths FROM hist h WHERE h.dur = days.dur AND h.g1 = 1), 0) AS BIGINT) AS dth1
+  FROM days
+), folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_event_days,
+    CAST(SUM(dth1) AS BIGINT) AS o1,
+    CAST(SUM(CASE WHEN n0 + n1 > 0 THEN {e1} ELSE 0 END) AS BIGINT) AS e1_micro,
+    CAST(SUM(CASE WHEN n0 + n1 > 1 THEN {v} ELSE 0 END) AS BIGINT) AS v_micro
+  FROM terms
+)
+SELECT n_event_days, o1,
+  round(CAST(e1_micro AS DOUBLE) / 1000000.0, 6) AS e1,
+  CASE WHEN v_micro > 0 THEN
+    round((o1 - CAST(e1_micro AS DOUBLE) / 1000000.0)
+        * (o1 - CAST(e1_micro AS DOUBLE) / 1000000.0)
+        / (CAST(v_micro AS DOUBLE) / 1000000.0), 6) + 0.0
+  END AS logrank_chi2
+FROM folded
+"""
+
+
+R11_QUERIES["a_log_rank"] = a_log_rank
+_R11_ORACLES["a_log_rank"] = _a_log_rank_sql
+
+
+# --------------------------------------------------- t_lexical_density
+
+
+def t_lexical_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical density per source: the share of tokens that are NOT
+    stopwords (content words / all words) — the information-density
+    axis of the quality family (a doc of pure function words reads
+    fluently but trains nothing; stopword_hits alone measures fluency,
+    this measures substance).
+
+    Determinism: token and stopword counts are exact integers over
+    the whitespace-normalized text (both engines run the identical
+    replace-length trick); per-doc density is micro-quantized by
+    exact half-away division; the per-source mean is exact integer
+    division of the micro sum."""
+    from kp_crypto_market_analytics_spark.functions.text import (
+        stopword_hits,
+        token_count,
+    )
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    dd = "decimal(38,0)"
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    d = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "source",
+            token_count("text").cast("long").alias("ntok"),
+            stopword_hits(norm).cast("long").alias("sw"),
+        )
+        .where(F.col("ntok") > 0)
+        .select(
+            "source",
+            "ntok",
+            _half_away(
+                (F.col("ntok") - F.col("sw")).cast(dd)
+                * F.lit(1_000_000).cast(dd),
+                F.col("ntok").cast(dd),
+            ).alias("dens_micro"),
+        )
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dens_micro").cast(dd).alias("dsum"),
+        F.min("dens_micro").alias("min_micro"),
+    )
+    avg_micro = _half_away(F.col("dsum"), F.col("n_docs").cast(dd))
+    return (
+        g.select(
+            "source",
+            "n_docs",
+            (avg_micro.cast("double") / F.lit(1_000_000.0)).alias(
+                "avg_density"
+            ),
+            (F.col("min_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "min_density"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_lexical_density_sql() -> str:
+    from kp_crypto_market_analytics_spark.functions.text import STOPWORDS
+
+    hits = " + ".join(
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2}"
+        " AS BIGINT)"
+        for w in STOPWORDS
+    )
+    dens = _sql_half_away("CAST(ntok - sw AS HUGEINT) * 1000000", "ntok")
+    avg = _sql_half_away("SUM(dens_micro)", "COUNT(*)")
+    return rf"""
+WITH base AS (
+  SELECT source, {_NTOK_SQL} AS ntok,
+    ' ' || lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) || ' ' AS p
+  FROM documents
+), counted AS (
+  SELECT source, ntok, {hits} AS sw FROM base WHERE ntok > 0
+), d AS (
+  SELECT source, ntok, {dens} AS dens_micro FROM counted
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST({avg} AS DOUBLE) / 1000000.0 AS avg_density,
+  CAST(MIN(dens_micro) AS DOUBLE) / 1000000.0 AS min_density
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+R11_QUERIES["t_lexical_density"] = t_lexical_density
+_R11_ORACLES["t_lexical_density"] = _t_lexical_density_sql
+
+
+# --------------------------------------------------- t_term_dispersion
+
+_DISP_TOP = 20
+
+
+def t_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness census: index of dispersion D = var/mean of the
+    per-document count (zeros included) for the corpus's top-20 terms
+    by total frequency — D ≈ 1 is Poisson (topic-neutral function
+    words), D ≫ 1 is bursty (topical content words).  The statistic
+    that separates keyword candidates from glue words without any
+    stopword list.
+
+    Determinism: with N docs, tf = Σc and s2 = Σc², D = (N·s2 − tf²)/
+    (N·tf) — pure exact integers from one token aggregation, one IEEE
+    ratio per term; top-20 by (tf DESC, term ASC) is a total order."""
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    percount = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d = "decimal(38,0)"
+    byterm = percount.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("c").cast(d) * F.col("c").cast(d)).alias("s2"),
+    )
+    ndocs = t["documents"].agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    disp = (
+        F.col("nd").cast("double") * F.col("s2").cast("double")
+        - F.col("tf").cast("double") * F.col("tf").cast("double")
+    ) / (F.col("nd").cast("double") * F.col("tf").cast("double"))
+    return (
+        byterm.crossJoin(F.broadcast(ndocs))
+        .select(
+            "tok",
+            "tf",
+            "df",
+            F.when(F.col("tf") > 0, F.round(disp, 6) + F.lit(0.0)).alias(
+                "dispersion"
+            ),
+        )
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(_DISP_TOP)
+    )
+
+
+def _t_term_dispersion_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), percount AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), byterm AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS tf,
+    CAST(COUNT(*) AS BIGINT) AS df,
+    SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM percount GROUP BY 1
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT tok, tf, df,
+  CASE WHEN tf > 0 THEN
+    round((nd * CAST(s2 AS DOUBLE) - CAST(tf AS DOUBLE) * tf)
+          / (CAST(nd AS DOUBLE) * tf), 6) + 0.0
+  END AS dispersion
+FROM byterm, nd
+ORDER BY tf DESC, tok ASC LIMIT {_DISP_TOP}
+"""
+
+
+R11_QUERIES["t_term_dispersion"] = t_term_dispersion
+_R11_ORACLES["t_term_dispersion"] = _t_term_dispersion_sql
+
+
 R11_QUERIES["t_code_detection"] = t_code_detection
 _R11_ORACLES["t_code_detection"] = _t_code_detection_sql
