@@ -183,6 +183,7 @@ _FIRST_SEEN_ROUND.update(
         "a_fleiss_kappa",
         "ti_trix", "a_quade_test", "a_log_rank",
         "t_lexical_density", "t_term_dispersion",
+        "ti_fisher_transform", "w_tes_forecast",
     )}
 )
 

@@ -2601,5 +2601,219 @@ R11_QUERIES["t_term_dispersion"] = t_term_dispersion
 _R11_ORACLES["t_term_dispersion"] = _t_term_dispersion_sql
 
 
+# ------------------------------------------------- ti_fisher_transform
+
+_FISH_N = 10
+
+
+def ti_fisher_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher transform of the range-normalized daily close (Ehlers
+    2002): x = 2·(c − min)/(max − min) − 1 over the trailing 10 bars,
+    clamped to ±0.999, fisher = ½·ln((1+x)/(1−x)) — reshapes the
+    bounded oscillator into ~Gaussian tails so turning points stand
+    out as extreme values.
+
+    Determinism: x is carried as the exact integer pair (num, den) =
+    (2(c−min)−(max−min), max−min) in micro units; the clamp compares
+    1000·num against 999·den in exact integers; the unclamped branch
+    computes ln((den+num)/(den−num)) — ONE IEEE division + ln; the
+    clamped branches are the shared constant ±½·ln(1999)."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+    from pyspark.sql import Window as W
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd().rowsBetween(-(_FISH_N - 1), W.currentRow)
+    lo = F.min("cm").over(w)
+    hi = F.max("cm").over(w)
+    nw = F.count(F.lit(1)).over(w)
+    num = F.lit(2) * (F.col("cm") - lo) - (hi - lo)
+    den = hi - lo
+    base = bars.select(
+        "event_type", "day", num.alias("num"), den.alias("den"),
+        nw.alias("nw"),
+    )
+    ok = (F.col("nw") == _FISH_N) & (F.col("den") > 0)
+    clamp_hi = F.lit(1000) * F.col("num") >= F.lit(999) * F.col("den")
+    clamp_lo = F.lit(1000) * F.col("num") <= F.lit(-999) * F.col("den")
+    const = F.lit(0.5) * F.log(F.lit(1999.0))
+    fisher = (
+        F.when(clamp_hi, const)
+        .when(clamp_lo, -const)
+        .otherwise(
+            F.lit(0.5)
+            * F.log(
+                (F.col("den") + F.col("num")).cast("double")
+                / (F.col("den") - F.col("num")).cast("double")
+            )
+        )
+    )
+    return (
+        base.select(
+            "event_type",
+            "day",
+            F.when(ok, F.round(fisher, 6) + F.lit(0.0)).alias("fisher"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_fisher_transform_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    n = _FISH_N
+    return f"""
+WITH {DAILY_BARS_CTE}, base AS (
+  SELECT event_type, day,
+    2 * (cm - MIN(cm) OVER w) - (MAX(cm) OVER w - MIN(cm) OVER w) AS num,
+    MAX(cm) OVER w - MIN(cm) OVER w AS den,
+    COUNT(*) OVER w AS nw
+  FROM bars
+  WINDOW w AS ({_WD_SQL} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+  CASE WHEN nw = {n} AND den > 0 THEN
+    round(CASE
+      WHEN 1000 * num >= 999 * den THEN 0.5 * ln(1999.0)
+      WHEN 1000 * num <= -999 * den THEN -(0.5 * ln(1999.0))
+      ELSE 0.5 * ln(CAST(den + num AS DOUBLE) / CAST(den - num AS DOUBLE))
+    END, 6) + 0.0
+  END AS fisher
+FROM base
+ORDER BY event_type, day
+"""
+
+
+R11_QUERIES["ti_fisher_transform"] = ti_fisher_transform
+_R11_ORACLES["ti_fisher_transform"] = _ti_fisher_transform_sql
+
+
+# ----------------------------------------------------- w_tes_forecast
+
+_TES_ALPHA = 0.3
+_TES_LAGS = 8
+_TES_EPOCH = "2024-01-01"
+
+
+def w_tes_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (triple-component) exponential-smoothing forecast of
+    the daily close per event type: additive decomposition — the
+    day-of-week seasonal index (exact mean of the micro closes per
+    (type, weekday)) is subtracted, Brown's DES (w_des_forecast's
+    truncated chains) smooths the deseasonalized series into level +
+    trend, and the one-step forecast re-adds the NEXT day's seasonal
+    index.  The Holt-Winters-shaped forecaster between w_des_forecast
+    (no seasonality) and w_seasonal_naive_forecast (only seasonality).
+
+    Determinism: the seasonal index is exact integer division of
+    micro sums (half-away); weekday = days-since-epoch mod 7 (no
+    engine dow-numbering dependence); both EMA chains are the shared
+    truncated closed form with 6dp inter-stage rounding."""
+    from kp_crypto_market_analytics_spark.operators.indicators import (
+        truncated_ema,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    dd = "decimal(38,0)"
+    bars = _daily_bars_df(spark, sf_dir).withColumn(
+        "dow",
+        F.pmod(F.datediff(F.col("day"), F.lit(_TES_EPOCH).cast("date")), F.lit(7)),
+    )
+    seas = bars.groupBy("event_type", "dow").agg(
+        _half_away(
+            F.sum(F.col("cm").cast(dd)), F.count(F.lit(1)).cast(dd)
+        ).alias("seas_micro")
+    )
+    b = bars.join(seas, ["event_type", "dow"]).withColumn(
+        "ds",
+        (F.col("cm") - F.col("seas_micro")).cast("double")
+        / F.lit(1_000_000.0),
+    )
+    s1 = F.round(truncated_ema(F.col("ds"), _wd(), _TES_ALPHA, _TES_LAGS), 6)
+    b1 = b.select("event_type", "day", "dow", "ds", s1.alias("s1"))
+    s2 = F.round(truncated_ema(F.col("s1"), _wd(), _TES_ALPHA, _TES_LAGS), 6)
+    b2 = b1.select("event_type", "day", "dow", "s1", s2.alias("s2"))
+    nxt = seas.select(
+        "event_type",
+        F.col("dow").alias("dow_next"),
+        F.col("seas_micro").alias("seas_next"),
+    )
+    b3 = b2.withColumn(
+        "dow_next", F.pmod(F.col("dow") + F.lit(1), F.lit(7))
+    ).join(nxt, ["event_type", "dow_next"])
+    a = _TES_ALPHA
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = F.lit(a / (1.0 - a)) * (F.col("s1") - F.col("s2"))
+    fc = (
+        level
+        + trend
+        + F.col("seas_next").cast("double") / F.lit(1_000_000.0)
+    )
+    return (
+        b3.select(
+            "event_type",
+            "day",
+            "s1",
+            "s2",
+            (F.round(fc, 6) + F.lit(0.0)).alias("forecast"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _w_tes_forecast_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _des_ema_sql,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    a, lg = _TES_ALPHA, _TES_LAGS
+    seas_avg = _sql_half_away("SUM(CAST(cm AS HUGEINT))", "COUNT(*)")
+    return f"""
+WITH {DAILY_BARS_CTE}, bd AS (
+  SELECT event_type, day, cm,
+    ((date_diff('day', DATE '{_TES_EPOCH}', day) % 7) + 7) % 7 AS dow
+  FROM bars
+), seas AS (
+  SELECT event_type, dow, {seas_avg} AS seas_micro
+  FROM bd GROUP BY 1, 2
+), b AS (
+  SELECT bd.event_type AS event_type, day, bd.dow AS dow,
+    CAST(cm - seas_micro AS DOUBLE) / 1000000.0 AS ds
+  FROM bd JOIN seas ON seas.event_type = bd.event_type AND seas.dow = bd.dow
+), b1 AS (
+  SELECT event_type, day, dow,
+    round({_des_ema_sql("ds", a, lg)}, 6) AS s1
+  FROM b WINDOW w AS ({_WD_SQL})
+), b2 AS (
+  SELECT event_type, day, dow,
+    s1, round({_des_ema_sql("s1", a, lg)}, 6) AS s2
+  FROM b1 WINDOW w AS ({_WD_SQL})
+)
+SELECT b2.event_type AS event_type, day, s1, s2,
+  round((2.0 * s1 - s2)
+    + CAST({a / (1.0 - a)!r} AS DOUBLE) * (s1 - s2)
+    + CAST(seas_micro AS DOUBLE) / 1000000.0, 6) + 0.0 AS forecast
+FROM b2 JOIN seas
+  ON seas.event_type = b2.event_type AND seas.dow = (b2.dow + 1) % 7
+ORDER BY event_type, day
+"""
+
+
+R11_QUERIES["w_tes_forecast"] = w_tes_forecast
+_R11_ORACLES["w_tes_forecast"] = _w_tes_forecast_sql
+
+
 R11_QUERIES["t_code_detection"] = t_code_detection
 _R11_ORACLES["t_code_detection"] = _t_code_detection_sql

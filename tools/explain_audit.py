@@ -40,6 +40,23 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
     "t_countmin_stream_parity": (1, "day-bid over distinct-day frame"),
     "t_mg_stream_parity": (1, "day-bid over distinct-day frame"),
     "dedup_stream_parity": (1, "day-bid over distinct-day frame"),
+    # r11 rank tests: midrank windows over CALENDAR-bounded frames
+    # (one row per day / per event type, never per event)
+    "a_wilcoxon_signed_rank": (
+        1,
+        "midrank window over the paired-day diff frame (one row per "
+        "calendar day with both types present — time-bounded)",
+    ),
+    "a_page_trend": (
+        1,
+        "treatment-index row_number over the |event types| frame "
+        "(k rows, a data-model constant)",
+    ),
+    "a_quade_test": (
+        1,
+        "block range-rank window over the complete-day frame (one row "
+        "per calendar day — time-bounded)",
+    ),
     # fixed-size top-k / time-bounded frames
     "t_zipf_fit": (1, "OLS rank over top-1000 post-LIMIT tokens"),
     "w_rolling_corr": (2, "hour-bucket frame (time-bounded, not data)"),
