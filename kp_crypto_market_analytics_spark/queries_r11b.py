@@ -669,3 +669,1014 @@ ORDER BY event_type, day
 
 R11B_QUERIES["ti_bop"] = ti_bop
 _R11B_ORACLES["ti_bop"] = _ti_bop_sql
+
+
+# ------------------------------------------------- stats battery
+#
+# All eight tests run on the round-11 daily-cell design
+# (queries_r11._daily_cells_df / _CELLS_CTE): cell(day, type) = the
+# day's exact micro value sum (BIGINT); the two-sample tests compare
+# the 'click' and 'view' series day-by-day via the shared pairs
+# fixture.  Where a variance/ln must enter a cross-group sum, the
+# per-group term is quantized to an integer first (micro ln rule /
+# half-away division), so only ONE IEEE expression per emitted
+# statistic ever runs.
+
+
+def a_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the event-type
+    groups of daily MEGA-quantized cells: B = [(N−k)·ln(Sp²) −
+    Σ(n_i−1)·ln(S_i²)] / C with the small-sample correction
+    C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)) — the parametric
+    counterpart of the repo's Levene/Brown-Forsythe gate.
+
+    Determinism: cells are MEGA-quantized by exact half-away division;
+    per-group variances are micro-quantized integers
+    s2q = ⌊Vnum·10⁶/(n(n−1))⌉ (Vnum = n·Σx²−(Σx)² exact decimal);
+    each ln enters the fold as round(ln·10⁶) BIGINT; harmonic terms
+    are pico-quantized integer divisions.  ONE IEEE expression emits
+    the statistic."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _daily_cells_df,
+        _half_away,
+    )
+
+    d = "decimal(38,0)"
+    cells = _daily_cells_df(spark, sf_dir).select(
+        "event_type",
+        _half_away(F.col("cell").cast(d), F.lit(1_000_000).cast(d)).alias(
+            "xk"
+        ),
+    )
+    g = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(F.col("xk").cast(d)).alias("s1"),
+        F.sum(F.col("xk").cast(d) * F.col("xk").cast(d)).alias("s2"),
+    )
+    vnum = F.col("n_i").cast(d) * F.col("s2") - F.col("s1") * F.col("s1")
+    g = g.select(
+        "n_i",
+        vnum.alias("vnum"),
+        F.when(
+            (F.col("n_i") >= 2) & (vnum > 0),
+            _half_away(
+                vnum * F.lit(1_000_000).cast(d),
+                (F.col("n_i") * (F.col("n_i") - 1)).cast(d),
+            ),
+        ).alias("s2q"),
+    )
+    li = F.round(
+        F.log(F.col("s2q").cast("double") / F.lit(1e6)) * F.lit(1e6), 0
+    ).cast("long")
+    hq = _half_away(
+        F.lit(10**12).cast(d), (F.col("n_i") - 1).cast(d)
+    )
+    per = g.select(
+        "n_i",
+        "s2q",
+        ((F.col("n_i") - 1).cast(d) * F.col("s2q").cast(d)).alias("wvar"),
+        ((F.col("n_i") - 1) * li).cast(d).alias("wli"),
+        F.when(F.col("n_i") >= 2, hq).alias("hq"),
+        F.when(F.col("s2q").isNotNull(), 1).otherwise(0).alias("ok"),
+    )
+    t = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum("wvar").alias("sum_wvar"),
+        F.sum("wli").alias("sum_wli"),
+        F.sum("hq").cast("long").alias("hsum"),
+        F.min("ok").alias("all_ok"),
+    )
+    nk = (F.col("n_total") - F.col("k_groups")).cast("long")
+    lnsp_micro = F.round(
+        F.log(F.col("sum_wvar").cast("double") / (nk.cast("double") * F.lit(1e6)))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    t = t.select(
+        "k_groups",
+        "n_total",
+        "sum_wli",
+        "hsum",
+        "all_ok",
+        nk.alias("nk"),
+        F.when(F.col("all_ok") == 1, lnsp_micro).alias("lnsp_micro"),
+    )
+    # pico-quantized 1/(N-k) for the correction's subtrahend
+    hnk = F.round(F.lit(1e12) / F.col("nk").cast("double"), 0).cast("long")
+    b_micro = (
+        F.col("nk").cast(d) * F.col("lnsp_micro").cast(d) - F.col("sum_wli")
+    )
+    stat = (b_micro.cast("double") / F.lit(1e6)) / (
+        F.lit(1.0)
+        + (F.col("hsum") - hnk).cast("double")
+        / (F.lit(3.0) * (F.col("k_groups") - 1).cast("double") * F.lit(1e12))
+    )
+    return t.select(
+        "k_groups",
+        "n_total",
+        F.when(
+            (F.col("all_ok") == 1) & (F.col("k_groups") >= 2),
+            F.round(stat, 6) + F.lit(0.0),
+        ).alias("bartlett_b"),
+    )
+
+
+def _a_bartlett_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _sql_half_away,
+    )
+
+    xk = _sql_half_away("cell", "1000000")
+    s2q = _sql_half_away(
+        "vnum * 1000000", "n_i * (n_i - 1)"
+    )
+    hq = _sql_half_away("1000000000000", "n_i - 1")
+    return f"""
+WITH {_CELLS_CTE}, ck AS (
+  SELECT event_type, {xk} AS xk FROM cells
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i,
+    SUM(CAST(xk AS HUGEINT)) AS s1,
+    SUM(CAST(xk AS HUGEINT) * xk) AS s2
+  FROM ck GROUP BY 1
+), v AS (
+  SELECT n_i, n_i * s2 - s1 * s1 AS vnum FROM g
+), q AS (
+  SELECT n_i, vnum,
+    CASE WHEN n_i >= 2 AND vnum > 0 THEN {s2q} END AS s2q
+  FROM v
+), per AS (
+  SELECT n_i, s2q,
+    CAST(n_i - 1 AS HUGEINT) * s2q AS wvar,
+    CAST((n_i - 1) * CAST(round(ln(CAST(s2q AS DOUBLE) / 1000000.0)
+      * 1000000.0) AS BIGINT) AS HUGEINT) AS wli,
+    CASE WHEN n_i >= 2 THEN {hq} END AS hq,
+    CASE WHEN s2q IS NOT NULL THEN 1 ELSE 0 END AS ok
+  FROM q
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+    CAST(SUM(n_i) AS BIGINT) AS n_total,
+    SUM(wvar) AS sum_wvar, SUM(wli) AS sum_wli,
+    CAST(SUM(hq) AS BIGINT) AS hsum, MIN(ok) AS all_ok
+  FROM per
+), u AS (
+  SELECT k_groups, n_total, sum_wli, hsum, all_ok,
+    n_total - k_groups AS nk,
+    CASE WHEN all_ok = 1 THEN
+      CAST(round(ln(CAST(sum_wvar AS DOUBLE)
+        / (CAST(n_total - k_groups AS DOUBLE) * 1000000.0))
+        * 1000000.0) AS BIGINT) END AS lnsp_micro
+  FROM t
+)
+SELECT k_groups, n_total,
+  CASE WHEN all_ok = 1 AND k_groups >= 2 THEN
+    round((CAST(CAST(nk AS HUGEINT) * lnsp_micro - sum_wli AS DOUBLE)
+           / 1000000.0)
+      / (1.0 + CAST(hsum - CAST(round(1000000000000.0
+             / CAST(nk AS DOUBLE)) AS BIGINT) AS DOUBLE)
+         / (3.0 * CAST(k_groups - 1 AS DOUBLE) * 1000000000000.0)), 6)
+    + 0.0
+  END AS bartlett_b
+FROM u
+"""
+
+
+R11B_QUERIES["a_bartlett"] = a_bartlett
+_R11B_ORACLES["a_bartlett"] = _a_bartlett_sql
+
+
+# ------------------------------------- a_jonckheere_terpstra
+
+
+def a_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across the
+    event-type groups (alphabetical group order): JT = Σ_{g<h} U_gh
+    with ties counted half, doubled to stay integral (u2 = 2·JT), and
+    the normal approximation z = (JT − μ)/σ, μ = (N²−Σn²)/4,
+    σ² = [N²(2N+3) − Σn²(2n+3)]/72.
+
+    Determinism: u2, μ·4 and σ²·72 numerators are exact BIGINTs from
+    the cross-group pair census; ONE IEEE expression emits z.
+
+    Scale shape: the pair census is a cross-group theta-join on the
+    SMALL aggregated cell frame (|days|·|types| rows), broadcast —
+    the raw events were already reduced by the cells groupBy."""
+    from kp_crypto_market_analytics_spark.queries_r11 import _daily_cells_df
+
+    cells = _daily_cells_df(spark, sf_dir)
+    c1 = cells.select(
+        F.col("event_type").alias("g1"), F.col("cell").alias("x1")
+    )
+    c2 = cells.select(
+        F.col("event_type").alias("g2"), F.col("cell").alias("x2")
+    )
+    pairs = c1.join(F.broadcast(c2), F.col("g1") < F.col("g2"))
+    u = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("x1") < F.col("x2"), 2)
+                .when(F.col("x1") == F.col("x2"), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("u2")
+    )
+    g = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    m = g.agg(
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("sn2"),
+        F.sum(F.col("n_i") * F.col("n_i") * (2 * F.col("n_i") + 3))
+        .cast("long")
+        .alias("sn23"),
+    )
+    t = u.crossJoin(m)
+    nt = F.col("n_total")
+    mu4 = nt * nt - F.col("sn2")
+    var72 = nt * nt * (2 * nt + 3) - F.col("sn23")
+    z = (
+        F.col("u2").cast("double") / F.lit(2.0)
+        - mu4.cast("double") / F.lit(4.0)
+    ) / F.sqrt(var72.cast("double") / F.lit(72.0))
+    return t.select(
+        "k_groups",
+        "n_total",
+        "u2",
+        F.when(var72 > 0, F.round(z, 6) + F.lit(0.0)).alias("jt_z"),
+    )
+
+
+def _a_jonckheere_terpstra_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _CELLS_CTE
+
+    return f"""
+WITH {_CELLS_CTE}, u AS (
+  SELECT CAST(coalesce(SUM(CASE WHEN a.cell < b.cell THEN 2
+                     WHEN a.cell = b.cell THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS u2
+  FROM cells a JOIN cells b ON a.event_type < b.event_type
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM cells GROUP BY 1
+), m AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n_total,
+    CAST(COUNT(*) AS BIGINT) AS k_groups,
+    CAST(SUM(n_i * n_i) AS BIGINT) AS sn2,
+    CAST(SUM(n_i * n_i * (2 * n_i + 3)) AS BIGINT) AS sn23
+  FROM g
+)
+SELECT k_groups, n_total, u2,
+  CASE WHEN n_total * n_total * (2 * n_total + 3) - sn23 > 0 THEN
+    round((CAST(u2 AS DOUBLE) / 2.0
+           - CAST(n_total * n_total - sn2 AS DOUBLE) / 4.0)
+      / sqrt(CAST(n_total * n_total * (2 * n_total + 3) - sn23 AS DOUBLE)
+             / 72.0), 6) + 0.0
+  END AS jt_z
+FROM u CROSS JOIN m
+"""
+
+
+R11B_QUERIES["a_jonckheere_terpstra"] = a_jonckheere_terpstra
+_R11B_ORACLES["a_jonckheere_terpstra"] = _a_jonckheere_terpstra_sql
+
+
+# --------------------------------------- a_cochran_armitage
+
+
+def a_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the probability that clicks
+    out-sum views on a day TREND across the week?  Days are scored by
+    weekday s ∈ 0..6 (Monday = 0, computed as days-since-1970-01-05
+    mod 7 so both engines agree), success = (click cell > view cell);
+    z = (N·Σsx − X·Σsn) / √(X·(N−X)·(N·Σs²n − (Σsn)²)/N).
+
+    Determinism: the 2×7 table and every moment are exact BIGINTs;
+    ONE IEEE expression emits z."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _paired_diffs_df,
+    )
+
+    p = _paired_diffs_df(spark, sf_dir).select(
+        (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7)
+        .cast("long")
+        .alias("s"),
+        F.when(F.col("d") > 0, 1).otherwise(0).cast("long").alias("succ"),
+    )
+    g = p.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("succ").cast("long").alias("x_i"),
+    )
+    t = g.agg(
+        F.sum("n_i").cast("long").alias("n_days"),
+        F.sum("x_i").cast("long").alias("x_succ"),
+        F.sum(F.col("s") * F.col("x_i")).cast("long").alias("ssx"),
+        F.sum(F.col("s") * F.col("n_i")).cast("long").alias("ssn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i"))
+        .cast("long")
+        .alias("ss2n"),
+    )
+    nt = F.col("n_days")
+    x = F.col("x_succ")
+    tnum = nt * F.col("ssx") - x * F.col("ssn")
+    vin = nt * F.col("ss2n") - F.col("ssn") * F.col("ssn")
+    z = tnum.cast("double") / F.sqrt(
+        (x * (nt - x)).cast("double") * vin.cast("double") / nt.cast("double")
+    )
+    return t.select(
+        "n_days",
+        "x_succ",
+        tnum.alias("trend_num"),
+        F.when(
+            (x > 0) & (x < nt) & (vin > 0), F.round(z, 6) + F.lit(0.0)
+        ).alias("ca_z"),
+    )
+
+
+def _a_cochran_armitage_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _PAIRS_CTE
+
+    return f"""
+WITH {_PAIRS_CTE}, sc AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-05', day) % 7 AS BIGINT) AS s,
+    CAST(CASE WHEN d > 0 THEN 1 ELSE 0 END AS BIGINT) AS succ
+  FROM pairs
+), g AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_i,
+    CAST(SUM(succ) AS BIGINT) AS x_i
+  FROM sc GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n_days,
+    CAST(SUM(x_i) AS BIGINT) AS x_succ,
+    CAST(SUM(s * x_i) AS BIGINT) AS ssx,
+    CAST(SUM(s * n_i) AS BIGINT) AS ssn,
+    CAST(SUM(s * s * n_i) AS BIGINT) AS ss2n
+  FROM g
+)
+SELECT n_days, x_succ,
+  n_days * ssx - x_succ * ssn AS trend_num,
+  CASE WHEN x_succ > 0 AND x_succ < n_days
+        AND n_days * ss2n - ssn * ssn > 0 THEN
+    round(CAST(n_days * ssx - x_succ * ssn AS DOUBLE)
+      / sqrt(CAST(x_succ * (n_days - x_succ) AS DOUBLE)
+             * CAST(n_days * ss2n - ssn * ssn AS DOUBLE)
+             / CAST(n_days AS DOUBLE)), 6) + 0.0
+  END AS ca_z
+FROM t
+"""
+
+
+R11B_QUERIES["a_cochran_armitage"] = a_cochran_armitage
+_R11B_ORACLES["a_cochran_armitage"] = _a_cochran_armitage_sql
+
+
+# ------------------------------------------------ a_odds_ratio
+
+
+def a_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio and relative risk: exposure = weekend day,
+    outcome = clicks out-sum views; Woolf log-OR interval
+    log(OR) ± 1.96·√(1/a+1/b+1/c+1/d).
+
+    Determinism: the four cells are exact integer counts; OR, RR and
+    the interval are single IEEE expressions over integer products
+    (a·d / b·c form), masked if any cell is empty."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _paired_diffs_df,
+    )
+
+    p = _paired_diffs_df(spark, sf_dir).select(
+        (
+            (F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7)
+            >= 5
+        ).alias("wk"),
+        (F.col("d") > 0).alias("succ"),
+    )
+    t = p.agg(
+        F.sum(F.when(F.col("wk") & F.col("succ"), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("wk") & ~F.col("succ"), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when(~F.col("wk") & F.col("succ"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+        F.sum(F.when(~F.col("wk") & ~F.col("succ"), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    ok = (
+        (F.col("a") > 0)
+        & (F.col("b") > 0)
+        & (F.col("c") > 0)
+        & (F.col("d") > 0)
+    )
+    orr = (F.col("a") * F.col("d")).cast("double") / (
+        F.col("b") * F.col("c")
+    ).cast("double")
+    lor = F.log(orr)
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a")
+        + F.lit(1.0) / F.col("b")
+        + F.lit(1.0) / F.col("c")
+        + F.lit(1.0) / F.col("d")
+    )
+    rr = (F.col("a") * (F.col("c") + F.col("d"))).cast("double") / (
+        F.col("c") * (F.col("a") + F.col("b"))
+    ).cast("double")
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(ok, F.round(orr, 6) + F.lit(0.0)).alias("odds_ratio"),
+        F.when(ok, F.round(rr, 6) + F.lit(0.0)).alias("rel_risk"),
+        F.when(ok, F.round(lor - F.lit(1.96) * se, 6) + F.lit(0.0)).alias(
+            "log_or_lo"
+        ),
+        F.when(ok, F.round(lor + F.lit(1.96) * se, 6) + F.lit(0.0)).alias(
+            "log_or_hi"
+        ),
+    )
+
+
+def _a_odds_ratio_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _PAIRS_CTE
+
+    return f"""
+WITH {_PAIRS_CTE}, f AS (
+  SELECT (date_diff('day', DATE '1970-01-05', day) % 7) >= 5 AS wk,
+    d > 0 AS succ
+  FROM pairs
+), t AS (
+  SELECT
+    CAST(SUM(CASE WHEN wk AND succ THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN wk AND NOT succ THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN NOT wk AND succ THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN NOT wk AND NOT succ THEN 1 ELSE 0 END) AS BIGINT)
+      AS d
+  FROM f
+)
+SELECT a, b, c, d,
+  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+    round(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6) + 0.0
+  END AS odds_ratio,
+  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+    round(CAST(a * (c + d) AS DOUBLE) / CAST(c * (a + b) AS DOUBLE), 6)
+    + 0.0
+  END AS rel_risk,
+  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+    round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+      - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 6) + 0.0
+  END AS log_or_lo,
+  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+    round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+      + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d), 6) + 0.0
+  END AS log_or_hi
+FROM t
+"""
+
+
+R11B_QUERIES["a_odds_ratio"] = a_odds_ratio
+_R11B_ORACLES["a_odds_ratio"] = _a_odds_ratio_sql
+
+
+# --------------------------------------------------- a_chow_test
+
+# The regression-based tests below run on the 'click' daily series:
+# y = the day's exact micro cell, x = the 1-based day index.  All
+# centered sums use the integer forms A = nΣxy−ΣxΣy, B = nΣx²−(Σx)²,
+# C = nΣy²−(Σy)², so SSE = (C·B − A²)/(n·B) is a ratio of exact
+# decimals with ONE IEEE division.
+
+_REG_TYPE = "click"
+
+
+def _click_series_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kp_crypto_market_analytics_spark.queries_r11 import _daily_cells_df
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type") == _REG_TYPE
+    )
+    w = Window.orderBy("day")
+    return cells.select(
+        F.row_number().over(w).cast("long").alias("x"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("long").alias("n"),
+        F.col("cell").alias("y"),
+    )
+
+
+_SERIES_CTE = f"""{{cells}}, ser AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x,
+    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+    cell AS y
+  FROM cells WHERE event_type = '{_REG_TYPE}'
+)"""
+
+
+def _series_cte() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _CELLS_CTE
+
+    return _SERIES_CTE.format(cells=_CELLS_CTE)
+
+
+def a_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break F-test on the daily click series split at
+    its midpoint: F = [(SSE_pooled − SSE₁ − SSE₂)/2] /
+    [(SSE₁+SSE₂)/(n−4)] for the linear trend y = a + b·x per segment.
+
+    Determinism: each SSE is (C·B − A²)/(n·B) over exact decimal
+    moments (A = nΣxy−ΣxΣy, B = nΣx²−(Σx)², C = nΣy²−(Σy)²); the
+    three SSEs and the F blend are ONE IEEE expression."""
+    d = "decimal(38,0)"
+    s = _click_series_df(spark, sf_dir).withColumn(
+        "seg", F.when(F.col("x") * 2 <= F.col("n"), 1).otherwise(2)
+    )
+
+    def moments(tag: str, cond):
+        yd = F.when(cond, F.col("y").cast(d))
+        xd = F.when(cond, F.col("x").cast(d))
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
+            F.sum(xd).alias(f"sx{tag}"),
+            F.sum(xd * xd).alias(f"sxx{tag}"),
+            F.sum(yd).alias(f"sy{tag}"),
+            F.sum(yd * yd).alias(f"syy{tag}"),
+            F.sum(xd * yd).alias(f"sxy{tag}"),
+        ]
+
+    t = s.agg(
+        *moments("p", F.lit(True)),
+        *moments("1", F.col("seg") == 1),
+        *moments("2", F.col("seg") == 2),
+    )
+
+    def sse(tag: str):
+        n = F.col(f"n{tag}").cast(d)
+        a = n * F.col(f"sxy{tag}") - F.col(f"sx{tag}") * F.col(f"sy{tag}")
+        b = n * F.col(f"sxx{tag}") - F.col(f"sx{tag}") * F.col(f"sx{tag}")
+        c = n * F.col(f"syy{tag}") - F.col(f"sy{tag}") * F.col(f"sy{tag}")
+        return (c * b - a * a).cast("double") / (n * b).cast("double")
+
+    ssep, sse1, sse2 = sse("p"), sse("1"), sse("2")
+    nd = F.col("np").cast("double")
+    f_stat = ((ssep - sse1 - sse2) / F.lit(2.0)) / (
+        (sse1 + sse2) / (nd - F.lit(4.0))
+    )
+    ok = (F.col("n1") >= 3) & (F.col("n2") >= 3)
+    return t.select(
+        F.col("np").alias("n_days"),
+        F.col("n1"),
+        F.col("n2"),
+        F.when(ok, F.round(ssep, 6) + F.lit(0.0)).alias("sse_pooled"),
+        F.when(ok, F.round(sse1, 6) + F.lit(0.0)).alias("sse_seg1"),
+        F.when(ok, F.round(sse2, 6) + F.lit(0.0)).alias("sse_seg2"),
+        F.when(ok, F.round(f_stat, 6) + F.lit(0.0)).alias("chow_f"),
+    )
+
+
+def _a_chow_test_sql() -> str:
+    def moments(tag: str, cond: str) -> str:
+        return f"""
+    CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n{tag},
+    SUM(CASE WHEN {cond} THEN CAST(x AS HUGEINT) END) AS sx{tag},
+    SUM(CASE WHEN {cond} THEN CAST(x AS HUGEINT) * x END) AS sxx{tag},
+    SUM(CASE WHEN {cond} THEN CAST(y AS HUGEINT) END) AS sy{tag},
+    SUM(CASE WHEN {cond} THEN CAST(y AS HUGEINT) * y END) AS syy{tag},
+    SUM(CASE WHEN {cond} THEN CAST(x AS HUGEINT) * y END) AS sxy{tag}"""
+
+    def sse(tag: str) -> str:
+        n = f"CAST(n{tag} AS HUGEINT)"
+        a = f"({n} * sxy{tag} - sx{tag} * sy{tag})"
+        b = f"({n} * sxx{tag} - sx{tag} * sx{tag})"
+        c = f"({n} * syy{tag} - sy{tag} * sy{tag})"
+        return (
+            f"(CAST(({c} * {b} - {a} * {a}) AS DOUBLE)"
+            f" / CAST(({n} * {b}) AS DOUBLE))"
+        )
+
+    ssep, sse1, sse2 = sse("p"), sse("1"), sse("2")
+    return f"""
+WITH {_series_cte()}, seg AS (
+  SELECT x, n, y, CASE WHEN x * 2 <= n THEN 1 ELSE 2 END AS s FROM ser
+), t AS (
+  SELECT
+    {moments("p", "TRUE")},
+    {moments("1", "s = 1")},
+    {moments("2", "s = 2")}
+  FROM seg
+)
+SELECT np AS n_days, n1, n2,
+  CASE WHEN n1 >= 3 AND n2 >= 3 THEN round({ssep}, 6) + 0.0 END
+    AS sse_pooled,
+  CASE WHEN n1 >= 3 AND n2 >= 3 THEN round({sse1}, 6) + 0.0 END
+    AS sse_seg1,
+  CASE WHEN n1 >= 3 AND n2 >= 3 THEN round({sse2}, 6) + 0.0 END
+    AS sse_seg2,
+  CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+    round((({ssep} - {sse1} - {sse2}) / 2.0)
+          / (({sse1} + {sse2}) / (CAST(np AS DOUBLE) - 4.0)), 6) + 0.0
+  END AS chow_f
+FROM t
+"""
+
+
+R11B_QUERIES["a_chow_test"] = a_chow_test
+_R11B_ORACLES["a_chow_test"] = _a_chow_test_sql
+
+
+# ----------------------------------------------- a_breusch_pagan
+
+
+def a_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan (Koenker studentized) heteroskedasticity test on
+    the daily click trend regression: LM = n·R²_aux where the aux
+    regression explains the squared residuals by x.
+
+    Determinism: residuals are exact rationals e = [B·(n·y−Σy) −
+    A·(n·x−Σx)]/(n·B), quantized once to MILLI-cell integers by
+    half-away division; the aux-regression moments fold those
+    integers in decimal; LM = n·A_u²/(B·C_u) is ONE IEEE
+    expression."""
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+
+    d = "decimal(38,0)"
+    s = _click_series_df(spark, sf_dir)
+    m = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum(F.col("x").cast(d) * F.col("x").cast(d)).alias("sxx"),
+        F.sum(F.col("y").cast(d)).alias("sy"),
+        F.sum(F.col("x").cast(d) * F.col("y").cast(d)).alias("sxy"),
+    )
+    m = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n").cast(d) * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "a_m"
+        ),
+        (F.col("n").cast(d) * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "b_m"
+        ),
+    )
+    j = s.select("x", "y").crossJoin(F.broadcast(m))
+    e_k = _half_away(
+        F.col("b_m") * (F.col("n").cast(d) * F.col("y").cast(d) - F.col("sy"))
+        - F.col("a_m")
+        * (F.col("n").cast(d) * F.col("x").cast(d) - F.col("sx")),
+        F.col("n").cast(d) * F.col("b_m") * F.lit(1000).cast(d),
+    )
+    u = j.select(
+        "x", "n", "b_m", e_k.alias("ek")
+    ).withColumn("u", F.col("ek").cast(d) * F.col("ek").cast(d))
+    t = u.groupBy("n", "b_m").agg(
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("x").cast(d) * F.col("u")).alias("sxu"),
+    )
+    au = F.col("n").cast(d) * F.col("sxu") - F.col("sx") * F.col("su")
+    cu = F.col("n").cast(d) * F.col("suu") - F.col("su") * F.col("su")
+    r2 = (au.cast("double") * au.cast("double")) / (
+        F.col("b_m").cast("double") * cu.cast("double")
+    )
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.when(cu > 0, F.round(r2, 6) + F.lit(0.0)).alias("r2_aux"),
+        F.when(
+            cu > 0, F.round(F.col("n").cast("double") * r2, 6) + F.lit(0.0)
+        ).alias("bp_lm"),
+    )
+
+
+def _a_breusch_pagan_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    ek = _sql_half_away(
+        "b_m * (CAST(n AS HUGEINT) * y - sy)"
+        " - a_m * (CAST(n AS HUGEINT) * x - sx)",
+        "CAST(n AS HUGEINT) * b_m * 1000",
+    )
+    return f"""
+WITH {_series_cte()}, m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(x AS HUGEINT)) AS sx,
+    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+    SUM(CAST(y AS HUGEINT)) AS sy,
+    SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM ser
+), ab AS (
+  SELECT n, sx, sy,
+    CAST(n AS HUGEINT) * sxy - sx * sy AS a_m,
+    CAST(n AS HUGEINT) * sxx - sx * sx AS b_m
+  FROM m
+), sxy2 AS (
+  SELECT x, y FROM ser
+), r AS (
+  SELECT sxy2.x AS x, ab.n AS n, ab.b_m AS b_m, {ek} AS ek
+  FROM sxy2 CROSS JOIN ab
+), uu AS (
+  SELECT x, n, b_m, CAST(ek AS HUGEINT) * ek AS u FROM r
+), t AS (
+  SELECT n, b_m,
+    SUM(CAST(x AS HUGEINT)) AS sx,
+    SUM(u) AS su, SUM(u * u) AS suu,
+    SUM(CAST(x AS HUGEINT) * u) AS sxu
+  FROM uu GROUP BY 1, 2
+)
+SELECT n AS n_days,
+  CASE WHEN CAST(n AS HUGEINT) * suu - su * su > 0 THEN
+    round((CAST(CAST(n AS HUGEINT) * sxu - sx * su AS DOUBLE)
+           * CAST(CAST(n AS HUGEINT) * sxu - sx * su AS DOUBLE))
+          / (CAST(b_m AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE)), 6)
+    + 0.0
+  END AS r2_aux,
+  CASE WHEN CAST(n AS HUGEINT) * suu - su * su > 0 THEN
+    round(CAST(n AS DOUBLE)
+          * ((CAST(CAST(n AS HUGEINT) * sxu - sx * su AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * sxu - sx * su AS DOUBLE))
+             / (CAST(b_m AS DOUBLE)
+                * CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE))), 6)
+    + 0.0
+  END AS bp_lm
+FROM t
+"""
+
+
+R11B_QUERIES["a_breusch_pagan"] = a_breusch_pagan
+_R11B_ORACLES["a_breusch_pagan"] = _a_breusch_pagan_sql
+
+
+# ---------------------------------------------- a_dagostino_k2
+
+
+def a_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test on the daily click
+    cells (MEGA-quantized): skewness Z₁ (D'Agostino 1970 transform),
+    kurtosis Z₂ (Anscombe-Glynn 1983), K² = Z₁² + Z₂².
+
+    Determinism: central moments fold as exact decimals of the
+    integer deviations n·y−Σy (so √n·S₃/S₂^{3/2} and n·S₄/S₂² are
+    ratios of exact numbers); every small-sample constant is an exact
+    integer product; the two transforms are each ONE IEEE expression
+    written token-identically in both dialects (x^1.5 spelled
+    x·√x, cube root via cbrt)."""
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+
+    d = "decimal(38,0)"
+    s = _click_series_df(spark, sf_dir).select(
+        "n",
+        _half_away(F.col("y").cast(d), F.lit(1_000_000).cast(d)).alias("yk"),
+    )
+    m = s.groupBy("n").agg(F.sum(F.col("yk").cast(d)).alias("sy"))
+    j = s.join(F.broadcast(m), "n").withColumn(
+        "dev", (F.col("n") * F.col("yk") - F.col("sy").cast("long")).cast(d)
+    )
+    t = j.groupBy("n").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("s2"),
+        F.sum(F.col("dev") * F.col("dev") * F.col("dev")).alias("s3"),
+        F.sum(
+            F.col("dev") * F.col("dev") * F.col("dev") * F.col("dev")
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3").cast("double")
+    s4d = F.col("s4").cast("double")
+    g1 = F.sqrt(nd) * s3d / (s2d * F.sqrt(s2d))
+    b2 = nd * s4d / (s2d * s2d)
+    c1 = ((n + 1) * (n + 3)).cast("double")
+    y = g1 * F.sqrt(c1 / (F.lit(6.0) * (nd - F.lit(2.0))))
+    b2num = (
+        F.lit(3) * (n * n + F.lit(27) * n - F.lit(70)) * (n + 1) * (n + 3)
+    ).cast("double")
+    b2den = ((n - 2) * (n + 5) * (n + 7) * (n + 9)).cast("double")
+    beta2 = b2num / b2den
+    w2 = F.lit(-1.0) + F.sqrt(F.lit(2.0) * (beta2 - F.lit(1.0)))
+    delta = F.lit(1.0) / F.sqrt(F.lit(0.5) * F.log(w2))
+    tt = y / F.sqrt(F.lit(2.0) / (w2 - F.lit(1.0)))
+    z1 = delta * F.log(tt + F.sqrt(tt * tt + F.lit(1.0)))
+    eb2 = F.lit(3.0) * (nd - F.lit(1.0)) / (nd + F.lit(1.0))
+    vnum = (F.lit(24) * n * (n - 2) * (n - 3)).cast("double")
+    vden = ((n + 1) * (n + 1) * (n + 3) * (n + 5)).cast("double")
+    xx = (b2 - eb2) / F.sqrt(vnum / vden)
+    b1num = (F.lit(6) * (n * n - F.lit(5) * n + F.lit(2))).cast("double")
+    b1den = ((n + 7) * (n + 9)).cast("double")
+    s6num = (F.lit(6) * (n + 3) * (n + 5)).cast("double")
+    s6den = (n * (n - 2) * (n - 3)).cast("double")
+    beta1 = (b1num / b1den) * F.sqrt(s6num / s6den)
+    aa = F.lit(6.0) + (F.lit(8.0) / beta1) * (
+        (F.lit(2.0) / beta1)
+        + F.sqrt(F.lit(1.0) + F.lit(4.0) / (beta1 * beta1))
+    )
+    z2 = (
+        (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * aa))
+        - F.cbrt(
+            (F.lit(1.0) - F.lit(2.0) / aa)
+            / (F.lit(1.0) + xx * F.sqrt(F.lit(2.0) / (aa - F.lit(2.0))))
+        )
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * aa))
+    ok = (n >= 20) & (F.col("s2") > 0)
+    return t.select(
+        n.alias("n_days"),
+        F.when(ok, F.round(g1, 6) + F.lit(0.0)).alias("skew_g1"),
+        F.when(ok, F.round(b2 - F.lit(3.0), 6) + F.lit(0.0)).alias("kurt_g2"),
+        F.when(ok, F.round(z1, 6) + F.lit(0.0)).alias("z_skew"),
+        F.when(ok, F.round(z2, 6) + F.lit(0.0)).alias("z_kurt"),
+        F.when(ok, F.round(z1 * z1 + z2 * z2, 6) + F.lit(0.0)).alias(
+            "k2_omnibus"
+        ),
+    )
+
+
+def _a_dagostino_k2_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    yk = _sql_half_away("y", "1000000")
+    g1 = "(sqrt(CAST(n AS DOUBLE)) * CAST(s3 AS DOUBLE) / (CAST(s2 AS DOUBLE) * sqrt(CAST(s2 AS DOUBLE))))"
+    b2 = "(CAST(n AS DOUBLE) * CAST(s4 AS DOUBLE) / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)))"
+    y = (
+        f"({g1} * sqrt(CAST((n + 1) * (n + 3) AS DOUBLE)"
+        f" / (6.0 * (CAST(n AS DOUBLE) - 2.0))))"
+    )
+    beta2 = (
+        "(CAST(3 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) AS DOUBLE)"
+        " / CAST((n - 2) * (n + 5) * (n + 7) * (n + 9) AS DOUBLE))"
+    )
+    w2 = f"(-1.0 + sqrt(2.0 * ({beta2} - 1.0)))"
+    delta = f"(1.0 / sqrt(0.5 * ln({w2})))"
+    tt = f"({y} / sqrt(2.0 / ({w2} - 1.0)))"
+    z1 = f"({delta} * ln({tt} + sqrt({tt} * {tt} + 1.0)))"
+    eb2 = "(3.0 * (CAST(n AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) + 1.0))"
+    xx = (
+        f"(({b2} - {eb2}) / sqrt(CAST(24 * n * (n - 2) * (n - 3) AS DOUBLE)"
+        f" / CAST((n + 1) * (n + 1) * (n + 3) * (n + 5) AS DOUBLE)))"
+    )
+    beta1 = (
+        "((CAST(6 * (n * n - 5 * n + 2) AS DOUBLE)"
+        " / CAST((n + 7) * (n + 9) AS DOUBLE))"
+        " * sqrt(CAST(6 * (n + 3) * (n + 5) AS DOUBLE)"
+        " / CAST(n * (n - 2) * (n - 3) AS DOUBLE)))"
+    )
+    aa = (
+        f"(6.0 + (8.0 / {beta1}) * ((2.0 / {beta1})"
+        f" + sqrt(1.0 + 4.0 / ({beta1} * {beta1}))))"
+    )
+    z2 = (
+        f"(((1.0 - 2.0 / (9.0 * {aa}))"
+        f" - cbrt((1.0 - 2.0 / {aa})"
+        f" / (1.0 + {xx} * sqrt(2.0 / ({aa} - 2.0)))))"
+        f" / sqrt(2.0 / (9.0 * {aa})))"
+    )
+    ok = "n >= 20 AND s2 > 0"
+    return f"""
+WITH {_series_cte()}, q AS (
+  SELECT n, {yk} AS yk FROM ser
+), m AS (
+  SELECT n, SUM(CAST(yk AS HUGEINT)) AS sy FROM q GROUP BY 1
+), dv AS (
+  SELECT q.n AS n, CAST(q.n * q.yk - m.sy AS HUGEINT) AS dev
+  FROM q JOIN m ON q.n = m.n
+), t AS (
+  SELECT n, SUM(dev * dev) AS s2, SUM(dev * dev * dev) AS s3,
+    SUM(dev * dev * dev * dev) AS s4
+  FROM dv GROUP BY 1
+)
+SELECT n AS n_days,
+  CASE WHEN {ok} THEN round({g1}, 6) + 0.0 END AS skew_g1,
+  CASE WHEN {ok} THEN round({b2} - 3.0, 6) + 0.0 END AS kurt_g2,
+  CASE WHEN {ok} THEN round({z1}, 6) + 0.0 END AS z_skew,
+  CASE WHEN {ok} THEN round({z2}, 6) + 0.0 END AS z_kurt,
+  CASE WHEN {ok} THEN round({z1} * {z1} + {z2} * {z2}, 6) + 0.0 END
+    AS k2_omnibus
+FROM t
+"""
+
+
+R11B_QUERIES["a_dagostino_k2"] = a_dagostino_k2
+_R11B_ORACLES["a_dagostino_k2"] = _a_dagostino_k2_sql
+
+
+# ------------------------------------------ a_cramer_von_mises
+
+
+def a_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between the click and
+    view daily-cell distributions (Anderson's rank form):
+    U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)² over combined ranks,
+    T = U/(n·m·(n+m)) − (4nm−1)/(6(n+m)).
+
+    Determinism: ranks come from row_number over the deterministic
+    total order (cell, type, day) — ties broken identically in both
+    engines — so U is an exact BIGINT; T is ONE IEEE expression."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+        _daily_cells_df,
+    )
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    )
+    wall = Window.orderBy("cell", "event_type", "day")
+    wgrp = Window.partitionBy("event_type").orderBy("cell", "day")
+    r = cells.select(
+        "event_type",
+        F.row_number().over(wall).cast("long").alias("r"),
+        F.row_number().over(wgrp).cast("long").alias("i"),
+    ).withColumn(
+        "dsq", (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("dsq").cast("long").alias("ssq"),
+    )
+    t = g.agg(
+        F.sum(F.when(F.col("event_type") == _PAIR_A, F.col("n_g")))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_type") == _PAIR_B, F.col("n_g")))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("event_type") == _PAIR_A, F.col("ssq")))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("event_type") == _PAIR_B, F.col("ssq")))
+        .cast("long")
+        .alias("sb"),
+    )
+    n, m = F.col("n_a"), F.col("n_b")
+    u = n * F.col("sa") + m * F.col("sb")
+    tstat = u.cast("double") / (
+        n.cast("double") * m.cast("double") * (n + m).cast("double")
+    ) - (F.lit(4.0) * n.cast("double") * m.cast("double") - F.lit(1.0)) / (
+        F.lit(6.0) * (n + m).cast("double")
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        F.when(
+            (n > 0) & (m > 0), F.round(tstat, 6) + F.lit(0.0)
+        ).alias("cvm_t"),
+    )
+
+
+def _a_cramer_von_mises_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH {_CELLS_CTE}, two AS (
+  SELECT * FROM cells
+  WHERE event_type IN ('{_PAIR_A}', '{_PAIR_B}')
+), rk AS (
+  SELECT event_type,
+    CAST(row_number() OVER (ORDER BY cell, event_type, day) AS BIGINT) AS r,
+    CAST(row_number() OVER (PARTITION BY event_type ORDER BY cell, day)
+      AS BIGINT) AS i
+  FROM two
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+    CAST(SUM((r - i) * (r - i)) AS BIGINT) AS ssq
+  FROM rk GROUP BY 1
+), t AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = '{_PAIR_A}' THEN n_g END) AS BIGINT)
+      AS n_a,
+    CAST(SUM(CASE WHEN event_type = '{_PAIR_B}' THEN n_g END) AS BIGINT)
+      AS n_b,
+    CAST(SUM(CASE WHEN event_type = '{_PAIR_A}' THEN ssq END) AS BIGINT)
+      AS sa,
+    CAST(SUM(CASE WHEN event_type = '{_PAIR_B}' THEN ssq END) AS BIGINT)
+      AS sb
+  FROM g
+)
+SELECT n_a, n_b, n_a * sa + n_b * sb AS u_stat,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(CAST(n_a * sa + n_b * sb AS DOUBLE)
+          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+             * CAST(n_a + n_b AS DOUBLE))
+      - (4.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - 1.0)
+        / (6.0 * CAST(n_a + n_b AS DOUBLE)), 6) + 0.0
+  END AS cvm_t
+FROM t
+"""
+
+
+R11B_QUERIES["a_cramer_von_mises"] = a_cramer_von_mises
+_R11B_ORACLES["a_cramer_von_mises"] = _a_cramer_von_mises_sql
