@@ -184,6 +184,16 @@ _FIRST_SEEN_ROUND.update(
         "ti_trix", "a_quade_test", "a_log_rank",
         "t_lexical_density", "t_term_dispersion",
         "ti_fisher_transform", "w_tes_forecast",
+        # second round-11 wave (queries_r11b)
+        "ti_ultimate_oscillator", "ti_awesome_oscillator", "ti_kst",
+        "ti_pivot_points", "ti_choppiness", "ti_bop",
+        "a_bartlett", "a_jonckheere_terpstra", "a_cochran_armitage",
+        "a_odds_ratio", "a_chow_test", "a_breusch_pagan",
+        "a_dagostino_k2", "a_cramer_von_mises",
+        "w_permutation_entropy", "w_sample_entropy",
+        "t_hapax_richness", "t_distinct_n",
+        "e_participation_ratio", "e_cka",
+        "g_bipartite_projection", "dq_fd_discovery",
     )}
 )
 

@@ -1680,3 +1680,896 @@ FROM t
 
 R11B_QUERIES["a_cramer_von_mises"] = a_cramer_von_mises
 _R11B_ORACLES["a_cramer_von_mises"] = _a_cramer_von_mises_sql
+
+
+# ------------------------------------------ w_permutation_entropy
+
+
+def w_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe, order 3, tie-aware) of the
+    daily close series per event type: each 3-day window is classified
+    by the sign pattern of its pairwise comparisons (27 tie-aware
+    ordinal codes), and H = ln(N) − Σc·ln(c)/N over the code census —
+    the model-free complexity gauge next to the spectral/Hurst
+    measures.
+
+    Determinism: codes and counts are exact integers; each c·ln(c)
+    enters the fold as round(·10⁶) BIGINT (the micro-ln rule); ONE
+    IEEE expression per emitted entropy; normalization by ln(3!) for
+    the strict-order ceiling."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    v0 = F.lag("cm", 2).over(_wd())
+    v1 = F.lag("cm", 1).over(_wd())
+    v2 = F.col("cm")
+    code = (
+        (F.signum((v0 - v1).cast("double")).cast("long") + 1) * 9
+        + (F.signum((v0 - v2).cast("double")).cast("long") + 1) * 3
+        + (F.signum((v1 - v2).cast("double")).cast("long") + 1)
+    )
+    w = bars.select(
+        "event_type",
+        F.when(v0.isNotNull(), code).alias("code"),
+    ).where(F.col("code").isNotNull())
+    cnt = w.groupBy("event_type", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cln = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * F.lit(1e6),
+        0,
+    ).cast("long")
+    g = cnt.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(cln).cast("long").alias("s_cln"),
+    )
+    h = F.log(F.col("n_windows").cast("double")) - F.col(
+        "s_cln"
+    ).cast("double") / (F.col("n_windows").cast("double") * F.lit(1e6))
+    return (
+        g.select(
+            "event_type",
+            "n_windows",
+            "n_patterns",
+            F.when(
+                F.col("n_windows") > 0, F.round(h, 6) + F.lit(0.0)
+            ).alias("perm_entropy"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(h / F.log(F.lit(6.0)), 6) + F.lit(0.0),
+            ).alias("perm_entropy_norm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _w_permutation_entropy_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    h = (
+        "ln(CAST(n_windows AS DOUBLE))"
+        " - CAST(s_cln AS DOUBLE) / (CAST(n_windows AS DOUBLE) * 1000000.0)"
+    )
+    return f"""
+WITH {DAILY_BARS_CTE}, v AS (
+  SELECT event_type,
+    lag(cm, 2) OVER d AS v0, lag(cm, 1) OVER d AS v1, cm AS v2
+  FROM bars
+  WINDOW d AS ({_WD_SQL})
+), w AS (
+  SELECT event_type,
+    (CAST(sign(CAST(v0 - v1 AS DOUBLE)) AS BIGINT) + 1) * 9
+    + (CAST(sign(CAST(v0 - v2 AS DOUBLE)) AS BIGINT) + 1) * 3
+    + (CAST(sign(CAST(v1 - v2 AS DOUBLE)) AS BIGINT) + 1) AS code
+  FROM v WHERE v0 IS NOT NULL
+), cnt AS (
+  SELECT event_type, code, CAST(COUNT(*) AS BIGINT) AS c
+  FROM w GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_windows,
+    CAST(COUNT(*) AS BIGINT) AS n_patterns,
+    CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+      * 1000000.0) AS BIGINT)) AS BIGINT) AS s_cln
+  FROM cnt GROUP BY 1
+)
+SELECT event_type, n_windows, n_patterns,
+  CASE WHEN n_windows > 0 THEN round({h}, 6) + 0.0 END AS perm_entropy,
+  CASE WHEN n_windows > 0 THEN round(({h}) / ln(6.0), 6) + 0.0 END
+    AS perm_entropy_norm
+FROM g
+ORDER BY event_type
+"""
+
+
+R11B_QUERIES["w_permutation_entropy"] = w_permutation_entropy
+_R11B_ORACLES["w_permutation_entropy"] = _w_permutation_entropy_sql
+
+
+# --------------------------------------------- w_sample_entropy
+
+_SAMPEN_M = 2  # template length; A extends to m+1
+
+
+def w_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy SampEn(m=2, r=0.2σ) of the daily close series
+    per event type: B = template pairs matching at length m, A = at
+    m+1 (Chebyshev distance ≤ r), SampEn = −ln(A/B) — the
+    regularity/complexity measure complementing permutation entropy
+    (amplitude-aware where PE is purely ordinal).
+
+    Determinism: the tolerance never materializes as a float — the
+    match predicate is the exact integer inequality 25·d²·n·(n−1) ≤
+    Vnum (⟺ d ≤ 0.2σ, Vnum = n·Σx²−(Σx)² exact decimal), so A and B
+    are exact counts; ONE IEEE −ln(A/B) per type.
+
+    Scale shape: the pair join runs on the |days|-row DAILY template
+    frame per event type (calendar-bounded, never per-event) after
+    the bars groupBy reduced the raw stream."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    d = "decimal(38,0)"
+    bars = _daily_bars_df(spark, sf_dir)
+    stats = bars.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)).cast(d)
+            * F.sum(F.col("cm").cast(d) * F.col("cm").cast(d))
+            - F.sum(F.col("cm").cast(d)) * F.sum(F.col("cm").cast(d))
+        ).alias("vnum"),
+    )
+    t = bars.select(
+        "event_type",
+        F.row_number().over(_wd()).cast("long").alias("rn"),
+        F.col("cm").alias("x0"),
+        F.lead("cm", 1).over(_wd()).alias("x1"),
+        F.lead("cm", 2).over(_wd()).alias("x2"),
+    ).where(F.col("x2").isNotNull())
+    a = t.select(
+        "event_type",
+        F.col("rn").alias("ri"),
+        F.col("x0").alias("a0"),
+        F.col("x1").alias("a1"),
+        F.col("x2").alias("a2"),
+    )
+    b = t.select(
+        "event_type",
+        F.col("rn").alias("rj"),
+        F.col("x0").alias("b0"),
+        F.col("x1").alias("b1"),
+        F.col("x2").alias("b2"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("ri") < F.col("rj"))
+        .join(F.broadcast(stats), "event_type")
+    )
+
+    def dmax(cols):
+        ds = [F.abs(F.col(f"a{i}") - F.col(f"b{i}")) for i in cols]
+        m = ds[0]
+        for x in ds[1:]:
+            m = F.greatest(m, x)
+        return m
+
+    def match(cols):
+        dm = dmax(cols).cast(d)
+        lhs = (
+            F.lit(25).cast(d)
+            * dm
+            * dm
+            * (F.col("n_days") * (F.col("n_days") - 1)).cast(d)
+        )
+        return lhs <= F.col("vnum")
+
+    g = pairs.groupBy("event_type", "n_days").agg(
+        F.sum(F.when(match([0, 1]), 1).otherwise(0))
+        .cast("long")
+        .alias("b_cnt"),
+        F.sum(F.when(match([0, 1, 2]), 1).otherwise(0))
+        .cast("long")
+        .alias("a_cnt"),
+    )
+    sampen = -F.log(
+        F.col("a_cnt").cast("double") / F.col("b_cnt").cast("double")
+    )
+    return (
+        g.select(
+            "event_type",
+            "n_days",
+            "b_cnt",
+            "a_cnt",
+            F.when(
+                (F.col("a_cnt") > 0) & (F.col("b_cnt") > 0),
+                F.round(sampen, 6) + F.lit(0.0),
+            ).alias("sampen"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _w_sample_entropy_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    def dmax(cols):
+        ds = [f"abs(a.x{i} - b.x{i})" for i in cols]
+        out = ds[0]
+        for x in ds[1:]:
+            out = f"greatest({out}, {x})"
+        return out
+
+    def match(cols):
+        dm = dmax(cols)
+        return (
+            f"25 * CAST({dm} AS HUGEINT) * {dm}"
+            f" * (s.n_days * (s.n_days - 1)) <= s.vnum"
+        )
+
+    return f"""
+WITH {DAILY_BARS_CTE}, st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(COUNT(*) AS HUGEINT) * SUM(CAST(cm AS HUGEINT) * cm)
+      - SUM(CAST(cm AS HUGEINT)) * SUM(CAST(cm AS HUGEINT)) AS vnum
+  FROM bars GROUP BY 1
+), tpl AS (
+  SELECT event_type,
+    CAST(row_number() OVER ({_WD_SQL}) AS BIGINT) AS rn,
+    cm AS x0, lead(cm, 1) OVER ({_WD_SQL}) AS x1,
+    lead(cm, 2) OVER ({_WD_SQL}) AS x2
+  FROM bars
+  QUALIFY x2 IS NOT NULL
+), g AS (
+  SELECT a.event_type AS event_type, s.n_days AS n_days,
+    CAST(SUM(CASE WHEN {match([0, 1])} THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_cnt,
+    CAST(SUM(CASE WHEN {match([0, 1, 2])} THEN 1 ELSE 0 END) AS BIGINT)
+      AS a_cnt
+  FROM tpl a
+  JOIN tpl b ON a.event_type = b.event_type AND a.rn < b.rn
+  JOIN st s ON s.event_type = a.event_type
+  GROUP BY 1, 2
+)
+SELECT event_type, n_days, b_cnt, a_cnt,
+  CASE WHEN a_cnt > 0 AND b_cnt > 0 THEN
+    round(-ln(CAST(a_cnt AS DOUBLE) / CAST(b_cnt AS DOUBLE)), 6) + 0.0
+  END AS sampen
+FROM g
+ORDER BY event_type
+"""
+
+
+R11B_QUERIES["w_sample_entropy"] = w_sample_entropy
+_R11B_ORACLES["w_sample_entropy"] = _w_sample_entropy_sql
+
+
+# ------------------------------------------- t_hapax_richness
+
+
+def t_hapax_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-based lexical richness per source: hapax (V1) and dis
+    (V2) legomena shares, Honoré's R = 100·ln(N)/(1 − V1/V) and
+    Sichel's S = V2/V — the richness constants complementing Yule's K
+    (t_yule_k) on the same token frequency spectrum.
+
+    Determinism: N, V, V1, V2 are exact BIGINTs from the frequency
+    census; ONE IEEE expression per emitted constant, Honoré masked
+    when V1 = V (all-hapax degeneracy)."""
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        ensure_parallelism(t["documents"])
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    freq = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    g = freq.groupBy("source").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("v1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("v2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("n_types").cast("double")
+    v1d = F.col("v1").cast("double")
+    honore = F.lit(100.0) * F.log(nd) / (F.lit(1.0) - v1d / vd)
+    return (
+        g.select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "v1",
+            "v2",
+            F.when(
+                F.col("n_types") > 0,
+                F.round(v1d / vd, 6) + F.lit(0.0),
+            ).alias("hapax_share"),
+            F.when(
+                F.col("n_types") > 0,
+                F.round(F.col("v2").cast("double") / vd, 6) + F.lit(0.0),
+            ).alias("sichel_s"),
+            F.when(
+                (F.col("n_tokens") > 0) & (F.col("v1") < F.col("n_types")),
+                F.round(honore, 6) + F.lit(0.0),
+            ).alias("honore_r"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_hapax_richness_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT source, tok
+  FROM documents,
+    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(tok)
+  WHERE tok <> ''
+), freq AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks GROUP BY 1, 2
+), g AS (
+  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+    CAST(COUNT(*) AS BIGINT) AS n_types,
+    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM freq GROUP BY 1
+)
+SELECT source, n_tokens, n_types, v1, v2,
+  CASE WHEN n_types > 0 THEN
+    round(CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE), 6) + 0.0
+  END AS hapax_share,
+  CASE WHEN n_types > 0 THEN
+    round(CAST(v2 AS DOUBLE) / CAST(n_types AS DOUBLE), 6) + 0.0
+  END AS sichel_s,
+  CASE WHEN n_tokens > 0 AND v1 < n_types THEN
+    round(100.0 * ln(CAST(n_tokens AS DOUBLE))
+      / (1.0 - CAST(v1 AS DOUBLE) / CAST(n_types AS DOUBLE)), 6) + 0.0
+  END AS honore_r
+FROM g ORDER BY source
+"""
+
+
+R11B_QUERIES["t_hapax_richness"] = t_hapax_richness
+_R11B_ORACLES["t_hapax_richness"] = _t_hapax_richness_sql
+
+
+# ----------------------------------------------- t_distinct_n
+
+
+def t_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (the generation-diversity
+    metric of Li et al. 2016 applied corpus-side): distinct-1/2/3 =
+    unique n-grams ÷ total n-grams over the whitespace token stream —
+    low values flag template/boilerplate-heavy sources before they
+    reach a training mix.
+
+    Determinism: n-grams are built from the SAME empty-filtered token
+    array on both engines (adjacency after filtering); counts are
+    exact BIGINTs; ONE IEEE division per ratio.
+
+    Scale shape: per-document array ops (no window), then a
+    map-side-combinable distinct-count per (source, gram); no
+    corpus-linear single point."""
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = ensure_parallelism(t["documents"]).select(
+        "source",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("a"),
+    )
+
+    def gram_agg(n: int, expr, alias: str):
+        ex = docs.select("source", F.explode(expr).alias("g"))
+        return ex.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n{alias}"),
+            F.countDistinct("g").cast("long").alias(f"d{alias}"),
+        )
+
+    uni = gram_agg(1, F.col("a"), "1")
+    big = gram_agg(
+        2,
+        F.zip_with(
+            F.slice(F.col("a"), 1, F.size("a") - 1),
+            F.slice(F.col("a"), 2, F.size("a") - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        "2",
+    )
+    tri = gram_agg(
+        3,
+        F.zip_with(
+            F.slice(F.col("a"), 1, F.size("a") - 2),
+            F.zip_with(
+                F.slice(F.col("a"), 2, F.size("a") - 2),
+                F.slice(F.col("a"), 3, F.size("a") - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        "3",
+    )
+    g = uni.join(big, "source").join(tri, "source")
+
+    def ratio(alias: str):
+        return F.when(
+            F.col(f"n{alias}") > 0,
+            F.round(
+                F.col(f"d{alias}").cast("double") / F.col(f"n{alias}"), 6
+            )
+            + F.lit(0.0),
+        ).alias(f"distinct_{alias}")
+
+    return (
+        g.select(
+            "source",
+            F.col("n1").alias("n_tokens"),
+            ratio("1"),
+            ratio("2"),
+            ratio("3"),
+        )
+        .orderBy("source")
+    )
+
+
+def _t_distinct_n_sql() -> str:
+    return r"""
+WITH docs AS (
+  SELECT source,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                x -> x <> '') AS a
+  FROM documents
+), uni AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+    CAST(COUNT(DISTINCT g) AS BIGINT) AS d1
+  FROM (SELECT source, unnest(a) AS g FROM docs) GROUP BY 1
+), big AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n2,
+    CAST(COUNT(DISTINCT g) AS BIGINT) AS d2
+  FROM (
+    SELECT source, a[i] || ' ' || a[i + 1] AS g
+    FROM (SELECT source, a, unnest(generate_series(1, len(a) - 1)) AS i
+          FROM docs)
+  ) GROUP BY 1
+), tri AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n3,
+    CAST(COUNT(DISTINCT g) AS BIGINT) AS d3
+  FROM (
+    SELECT source, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+    FROM (SELECT source, a, unnest(generate_series(1, len(a) - 2)) AS i
+          FROM docs)
+  ) GROUP BY 1
+)
+SELECT source, n1 AS n_tokens,
+  CASE WHEN n1 > 0 THEN round(CAST(d1 AS DOUBLE) / n1, 6) + 0.0 END
+    AS distinct_1,
+  CASE WHEN n2 > 0 THEN round(CAST(d2 AS DOUBLE) / n2, 6) + 0.0 END
+    AS distinct_2,
+  CASE WHEN n3 > 0 THEN round(CAST(d3 AS DOUBLE) / n3, 6) + 0.0 END
+    AS distinct_3
+FROM uni JOIN big USING (source) JOIN tri USING (source)
+ORDER BY source
+"""
+
+
+R11B_QUERIES["t_distinct_n"] = t_distinct_n
+_R11B_ORACLES["t_distinct_n"] = _t_distinct_n_sql
+
+
+# --------------------------------- embedding geometry (shared core)
+#
+# Integer covariance core for the two spectral-free geometry gauges
+# below: embeddings are micro-quantized per coordinate (×10⁶ BIGINT),
+# raw moments fold exactly (the e_covariance nested-transform shape —
+# per-row upper-triangle products, no row-shaped shuffle), and the
+# covariance cell surfaces as the exact pico-unit integer
+# c = ⌊(n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n²⌉ — so Frobenius/trace functionals are
+# integer folds and each query ends in ONE IEEE expression.
+
+_EMB_D = 64
+
+
+def _cov_pico_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, c) upper-triangle (1-based, i<=j) pico-quantized
+    covariance cells of the micro-quantized embedding corpus."""
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    d = "decimal(38,0)"
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = ensure_parallelism(t["embeddings"]).select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.round(v.cast("double") * F.lit(1e6), 0).cast("long"),
+        ).alias("x")
+    )
+    tri = F.flatten(
+        F.transform(
+            F.col("x"),
+            lambda xi, i: F.transform(
+                F.slice(F.col("x"), i + 1, F.lit(_EMB_D) - i),
+                lambda xj, k: F.struct(
+                    i.alias("i"), (i + k).alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    sij = (
+        emb.select(F.explode(tri).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast(d)).alias("sij"))
+    )
+    si = (
+        emb.select(F.posexplode("x").alias("i", "xi"))
+        .groupBy("i")
+        .agg(F.sum(F.col("xi").cast(d)).alias("si"))
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cnum = (
+        F.col("n").cast(d) * F.col("sij") - F.col("s_a") * F.col("s_b")
+    )
+    return (
+        sij.join(si.select(F.col("i"), F.col("si").alias("s_a")), "i")
+        .join(si.select(F.col("i").alias("j"), F.col("si").alias("s_b")), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("i") + 1).alias("i"),
+            (F.col("j") + 1).alias("j"),
+            F.col("n"),
+            _half_away(cnum, (F.col("n") * F.col("n")).cast(d)).alias("c"),
+        )
+    )
+
+
+def _cov_pico_cte() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    c = _sql_half_away("n * sij - sa * sb", "n * n")
+    return f"""e AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+           v -> CAST(round(v * 1000000) AS BIGINT)) AS x
+  FROM embeddings
+), idx AS (
+  SELECT x, unnest(generate_series(1, {_EMB_D})) AS i FROM e
+), prs AS (
+  SELECT i, unnest(generate_series(i, {_EMB_D})) AS j, x FROM idx
+), sij AS (
+  SELECT i, j, SUM(CAST(x[i] AS HUGEINT) * x[j]) AS sij
+  FROM prs GROUP BY 1, 2
+), si AS (
+  SELECT i, SUM(CAST(x[i] AS HUGEINT)) AS si FROM idx GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e
+), cp AS (
+  SELECT s.i AS i, s.j AS j, CAST(n AS BIGINT) AS n, {c} AS c
+  FROM (SELECT i, j, sij FROM sij) s
+  JOIN (SELECT i, si AS sa FROM si) a USING (i)
+  JOIN (SELECT i AS j, si AS sb FROM si) b USING (j)
+  CROSS JOIN nn
+)"""
+
+
+def e_participation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio (effective dimensionality) of the embedding
+    corpus WITHOUT an eigendecomposition: PR = tr(C)²/tr(C²) via the
+    trace identities tr(C) = Σᵢcᵢᵢ and tr(C²) = ΣᵢⱼcᵢⱼΣ² (symmetric:
+    diagonal once, off-diagonal twice) — the spectral-flatness scalar
+    next to e_isotropy's direction census (PR = d ⟺ isotropic,
+    PR → 1 ⟺ rank-collapse).
+
+    Determinism: covariance cells are exact pico integers (module
+    core); both traces fold as integers/decimals; PR and the shares
+    are single IEEE expressions."""
+    cp = _cov_pico_df(spark, sf_dir)
+    d = "decimal(38,0)"
+    t = cp.groupBy("n").agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c")))
+        .cast("long")
+        .alias("trc"),
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"),
+                F.col("c").cast(d) * F.col("c").cast(d),
+            ).otherwise(
+                F.lit(2).cast(d) * F.col("c").cast(d) * F.col("c").cast(d)
+            )
+        ).alias("trc2"),
+    )
+    pr = (F.col("trc").cast("double") * F.col("trc").cast("double")) / F.col(
+        "trc2"
+    ).cast("double")
+    return t.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(_EMB_D).cast("long").alias("dim"),
+        F.round(F.col("trc").cast("double") / F.lit(1e12), 6).alias(
+            "trace_cov"
+        ),
+        F.when(F.col("trc2") > 0, F.round(pr, 6) + F.lit(0.0)).alias(
+            "participation_ratio"
+        ),
+        F.when(
+            F.col("trc2") > 0,
+            F.round(pr / F.lit(float(_EMB_D)), 6) + F.lit(0.0),
+        ).alias("isotropy_share"),
+    )
+
+
+def _e_participation_ratio_sql() -> str:
+    pr = (
+        "(CAST(trc AS DOUBLE) * CAST(trc AS DOUBLE)) / CAST(trc2 AS DOUBLE)"
+    )
+    return f"""
+WITH {_cov_pico_cte()}, t AS (
+  SELECT n,
+    CAST(SUM(CASE WHEN i = j THEN c END) AS BIGINT) AS trc,
+    SUM(CASE WHEN i = j THEN CAST(c AS HUGEINT) * c
+        ELSE 2 * CAST(c AS HUGEINT) * c END) AS trc2
+  FROM cp GROUP BY 1
+)
+SELECT n AS n_vectors, CAST({_EMB_D} AS BIGINT) AS dim,
+  round(CAST(trc AS DOUBLE) / 1000000000000.0, 6) AS trace_cov,
+  CASE WHEN trc2 > 0 THEN round({pr}, 6) + 0.0 END
+    AS participation_ratio,
+  CASE WHEN trc2 > 0 THEN round(({pr}) / {float(_EMB_D)}, 6) + 0.0 END
+    AS isotropy_share
+FROM t
+"""
+
+
+R11B_QUERIES["e_participation_ratio"] = e_participation_ratio
+_R11B_ORACLES["e_participation_ratio"] = _e_participation_ratio_sql
+
+
+# ------------------------------------------------------- e_cka
+
+_CKA_SPLIT = _EMB_D // 2
+
+
+def e_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA between the two embedding half-spaces (dims 1..32 vs
+    33..64): CKA = ‖C_xy‖²_F / (‖C_xx‖_F·‖C_yy‖_F) over centered
+    covariance blocks — the representation-similarity standard
+    (Kornblith et al. 2019) computed feature-side, so it needs no
+    n×n Gram matrix.
+
+    Determinism: block Frobenius norms fold the exact pico covariance
+    integers (diagonal once, off-diagonal twice inside each symmetric
+    block; the cross block is complete in the upper triangle); CKA is
+    ONE IEEE expression."""
+    cp = _cov_pico_df(spark, sf_dir)
+    d = "decimal(38,0)"
+    s = _CKA_SPLIT
+    c2 = F.col("c").cast(d) * F.col("c").cast(d)
+    sym = F.when(F.col("i") == F.col("j"), c2).otherwise(F.lit(2).cast(d) * c2)
+    t = cp.groupBy("n").agg(
+        F.sum(F.when((F.col("i") <= s) & (F.col("j") > s), c2)).alias("hxy"),
+        F.sum(F.when(F.col("j") <= s, sym)).alias("hxx"),
+        F.sum(F.when(F.col("i") > s, sym)).alias("hyy"),
+    )
+    cka = F.col("hxy").cast("double") / F.sqrt(
+        F.col("hxx").cast("double") * F.col("hyy").cast("double")
+    )
+    return t.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(s).cast("long").alias("dim_split"),
+        F.when(
+            (F.col("hxx") > 0) & (F.col("hyy") > 0),
+            F.round(cka, 6) + F.lit(0.0),
+        ).alias("cka_linear"),
+    )
+
+
+def _e_cka_sql() -> str:
+    s = _CKA_SPLIT
+    return f"""
+WITH {_cov_pico_cte()}, t AS (
+  SELECT n,
+    SUM(CASE WHEN i <= {s} AND j > {s}
+        THEN CAST(c AS HUGEINT) * c END) AS hxy,
+    SUM(CASE WHEN j <= {s} THEN
+      CASE WHEN i = j THEN CAST(c AS HUGEINT) * c
+           ELSE 2 * CAST(c AS HUGEINT) * c END END) AS hxx,
+    SUM(CASE WHEN i > {s} THEN
+      CASE WHEN i = j THEN CAST(c AS HUGEINT) * c
+           ELSE 2 * CAST(c AS HUGEINT) * c END END) AS hyy
+  FROM cp GROUP BY 1
+)
+SELECT n AS n_vectors, CAST({s} AS BIGINT) AS dim_split,
+  CASE WHEN hxx > 0 AND hyy > 0 THEN
+    round(CAST(hxy AS DOUBLE)
+          / sqrt(CAST(hxx AS DOUBLE) * CAST(hyy AS DOUBLE)), 6) + 0.0
+  END AS cka_linear
+FROM t
+"""
+
+
+R11B_QUERIES["e_cka"] = e_cka
+_R11B_ORACLES["e_cka"] = _e_cka_sql
+
+
+# ------------------------------------- g_bipartite_projection
+
+
+def g_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-purchase projection: project the order↔part
+    bipartite graph onto parts — edge weight = number of orders in
+    which the two parts co-occur — and emit the 20 heaviest
+    co-purchase edges (weight desc, part-id tiebreak).  The
+    market-basket graph primitive under g_assoc_rules' rule mining.
+
+    Determinism: weights are exact distinct-order counts; ordering is
+    fully keyed.
+
+    Scale shape: pair generation is per-order (line counts are
+    bounded per order, so the expansion is linear in lineitem); the
+    weight aggregation shuffles on the (p1, p2) pair key with map-side
+    combine, and the top-20 is a distributed TakeOrdered — no global
+    sort materializes."""
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = ensure_parallelism(t["lineitem"]).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
+    )
+    pairs = a.join(b, "ok").where(F.col("p1") < F.col("p2"))
+    w = pairs.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        w.orderBy(
+            F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc()
+        )
+        .limit(20)
+        .select(
+            F.col("p1").alias("part1"),
+            F.col("p2").alias("part2"),
+            "n_orders",
+        )
+    )
+
+
+def _g_bipartite_projection_sql() -> str:
+    return """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+), w AS (
+  SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM pairs GROUP BY 1, 2
+)
+SELECT p1 AS part1, p2 AS part2, n_orders
+FROM w
+ORDER BY n_orders DESC, p1 ASC, p2 ASC
+LIMIT 20
+"""
+
+
+R11B_QUERIES["g_bipartite_projection"] = g_bipartite_projection
+_R11B_ORACLES["g_bipartite_projection"] = _g_bipartite_projection_sql
+
+
+# --------------------------------------------- dq_fd_discovery
+
+# (table, determinant, dependent) candidates: two genuine keys that
+# must hold, four plausible-but-false dependencies whose violation
+# rates profile the schema.
+_FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_returnflag"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+)
+
+
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over a fixed candidate set: for
+    each det→dep candidate, the count of determinant values, the
+    count VIOLATING the dependency (>1 distinct dependent), the
+    violation rate, and whether the FD holds — the schema-rule
+    discovery pass next to dq_fk_discovery's key census.
+
+    Determinism: counts are exact; rate is one IEEE division.
+
+    Scale shape: each candidate is a two-level map-side-combinable
+    aggregate on (det) — no joins, unioned as independent branches."""
+    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+
+    tables = sorted({t for t, _, _ in _FD_CANDIDATES})
+    loaded = load_tables(spark, sf_dir, tables)
+    out = None
+    for tbl, det, dep in _FD_CANDIDATES:
+        g = (
+            ensure_parallelism(loaded[tbl])
+            .groupBy(F.col(det).alias("k"))
+            .agg(F.countDistinct(dep).alias("n_dep"))
+        )
+        r = g.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(det).alias("det"),
+            F.lit(dep).alias("dep"),
+            F.count(F.lit(1)).cast("long").alias("n_det"),
+            F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.select(
+        "tbl",
+        "det",
+        "dep",
+        "n_det",
+        "n_violating",
+        F.when(
+            F.col("n_det") > 0,
+            F.round(
+                F.col("n_violating").cast("double") / F.col("n_det"), 6
+            )
+            + F.lit(0.0),
+        ).alias("violation_rate"),
+        (F.col("n_violating") == 0).alias("fd_holds"),
+    ).orderBy("tbl", "det", "dep")
+
+
+def _dq_fd_discovery_sql() -> str:
+    branches = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        branches.append(f"""
+  SELECT '{tbl}' AS tbl, '{det}' AS det, '{dep}' AS dep,
+    CAST(COUNT(*) AS BIGINT) AS n_det,
+    CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_violating
+  FROM (SELECT {det} AS k, COUNT(DISTINCT {dep}) AS n_dep
+        FROM {tbl} GROUP BY 1)""")
+    u = "\n  UNION ALL\n".join(branches)
+    return f"""
+WITH b AS (
+{u}
+)
+SELECT tbl, det, dep, n_det, n_violating,
+  CASE WHEN n_det > 0 THEN
+    round(CAST(n_violating AS DOUBLE) / n_det, 6) + 0.0
+  END AS violation_rate,
+  n_violating = 0 AS fd_holds
+FROM b
+ORDER BY tbl, det, dep
+"""
+
+
+R11B_QUERIES["dq_fd_discovery"] = dq_fd_discovery
+_R11B_ORACLES["dq_fd_discovery"] = _dq_fd_discovery_sql
