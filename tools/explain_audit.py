@@ -57,6 +57,29 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
         "block range-rank window over the complete-day frame (one row "
         "per calendar day — time-bounded)",
     ),
+    # r11b regression tests: the shared click daily series is ONE row
+    # per calendar day (time-bounded), indexed by a global row_number
+    # (+ a COUNT() frame where the split point needs n)
+    "a_chow_test": (
+        1,
+        "day-index row_number over the click daily series (one row per "
+        "calendar day — time-bounded)",
+    ),
+    "a_breusch_pagan": (
+        2,
+        "day-index row_number + n-count over the click daily series "
+        "(one row per calendar day — time-bounded)",
+    ),
+    "a_dagostino_k2": (
+        2,
+        "day-index row_number + n-count over the click daily series "
+        "(one row per calendar day — time-bounded)",
+    ),
+    "a_cramer_von_mises": (
+        1,
+        "combined rank over the two-type daily cell frame (<=2 rows "
+        "per calendar day — time-bounded)",
+    ),
     # fixed-size top-k / time-bounded frames
     "t_zipf_fit": (1, "OLS rank over top-1000 post-LIMIT tokens"),
     "w_rolling_corr": (2, "hour-bucket frame (time-bounded, not data)"),
