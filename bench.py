@@ -167,6 +167,13 @@ BUILD_COST_NOTES = {
         "hashes measured recall 0.107 -> 1.0); priced by the "
         "isolated A/B in BENCH_ISOLATED_r09.json"
     ),
+    "t_mg_stream_parity": (
+        "3-batch unrolled Misra-Gries parity fold: each emission "
+        "replays the sketch over its full token prefix (the "
+        "sequential-replay contract the stream is pinned to), so the "
+        "corpus is scanned three times by design; hovers at the 3s "
+        "line (3.07s min-of-2 this round, 2.9s in r10)"
+    ),
     "a_hurst_exponent": (
         "R/S analysis: per-(type,size,block) rescaled-range windows "
         "with exact integer folds — multi-window by construction"
@@ -469,9 +476,20 @@ def main(repeat: int = 1) -> None:
     # the start sample must not carry first-call codegen/classloading
     # cost, or the end/start ratio reads cold-start as "negative
     # drift" and the aging gate goes vacuous (r10 first run measured
-    # 0.30 for exactly this reason).
-    run_canary("warmup")
+    # 0.30 for exactly this reason).  ONE warmup pass is not always
+    # enough — JVM tiered compilation keeps shaving the canary for the
+    # first minutes of a session (an r11 min-of-2 run measured 6.07s →
+    # 3.02s AFTER a warmup pass, ratio 0.50), so keep warming until
+    # the canary PLATEAUS (successive passes within the gate band) and
+    # take the last pass as the start sample, bounded at 5 extra
+    # passes (~3s each).
+    prev = run_canary("warmup")
     canary_start = run_canary("start")
+    for _ in range(5):
+        r = sum(canary_start.values()) / max(sum(prev.values()), 1e-9)
+        if r >= DRIFT_GATE_LOW:
+            break
+        prev, canary_start = canary_start, run_canary("start")
 
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
