@@ -1189,20 +1189,32 @@ def _series_cte() -> str:
 
 
 def a_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chow structural-break F-test on the daily click series split at
-    its midpoint: F = [(SSE_pooled − SSE₁ − SSE₂)/2] /
-    [(SSE₁+SSE₂)/(n−4)] for the linear trend y = a + b·x per segment.
+    """Chow structural-break F-test on the daily click series
+    (MEGA-quantized cells) split at its midpoint: F = [(SSE_pooled −
+    SSE₁ − SSE₂)/2] / [(SSE₁+SSE₂)/(n−4)] for the linear trend
+    y = a + b·x per segment.
 
-    Determinism: each SSE is (C·B − A²)/(n·B) over exact decimal
-    moments (A = nΣxy−ΣxΣy, B = nΣx²−(Σx)², C = nΣy²−(Σy)²); the
-    three SSEs and the F blend are ONE IEEE expression."""
+    Determinism: cells are MEGA-quantized by exact half-away division;
+    each SSE = (C·B − A²)/(n·B) over exact decimal moments
+    (A = nΣxy−ΣxΣy, B = nΣx²−(Σx)², C = nΣy²−(Σy)²) is itself
+    half-away-quantized to an exact BIGINT before anything IEEE runs —
+    a raw decimal(≈10³⁶)→double cast is NOT portable (engines round
+    the wide-integer conversion differently by 1 ulp; measured at
+    sf0.1) — so the three SSEs and the F blend are exact-integer
+    inputs to ONE IEEE expression each."""
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+
     d = "decimal(38,0)"
-    s = _click_series_df(spark, sf_dir).withColumn(
+    s = _click_series_df(spark, sf_dir).select(
+        "x",
+        "n",
+        _half_away(F.col("y").cast(d), F.lit(1_000_000).cast(d)).alias("yk"),
+    ).withColumn(
         "seg", F.when(F.col("x") * 2 <= F.col("n"), 1).otherwise(2)
     )
 
     def moments(tag: str, cond):
-        yd = F.when(cond, F.col("y").cast(d))
+        yd = F.when(cond, F.col("yk").cast(d))
         xd = F.when(cond, F.col("x").cast(d))
         return [
             F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
@@ -1219,14 +1231,24 @@ def a_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         *moments("2", F.col("seg") == 2),
     )
 
-    def sse(tag: str):
+    def sse_int(tag: str):
         n = F.col(f"n{tag}").cast(d)
         a = n * F.col(f"sxy{tag}") - F.col(f"sx{tag}") * F.col(f"sy{tag}")
         b = n * F.col(f"sxx{tag}") - F.col(f"sx{tag}") * F.col(f"sx{tag}")
         c = n * F.col(f"syy{tag}") - F.col(f"sy{tag}") * F.col(f"sy{tag}")
-        return (c * b - a * a).cast("double") / (n * b).cast("double")
+        return _half_away(c * b - a * a, n * b)
 
-    ssep, sse1, sse2 = sse("p"), sse("1"), sse("2")
+    t = t.select(
+        "np",
+        "n1",
+        "n2",
+        sse_int("p").alias("ip"),
+        sse_int("1").alias("i1"),
+        sse_int("2").alias("i2"),
+    )
+    ssep = F.col("ip").cast("double")
+    sse1 = F.col("i1").cast("double")
+    sse2 = F.col("i2").cast("double")
     nd = F.col("np").cast("double")
     f_stat = ((ssep - sse1 - sse2) / F.lit(2.0)) / (
         (sse1 + sse2) / (nd - F.lit(4.0))
@@ -1244,48 +1266,55 @@ def a_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a_chow_test_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    yk = _sql_half_away("y", "1000000")
+
     def moments(tag: str, cond: str) -> str:
         return f"""
     CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n{tag},
     SUM(CASE WHEN {cond} THEN CAST(x AS HUGEINT) END) AS sx{tag},
     SUM(CASE WHEN {cond} THEN CAST(x AS HUGEINT) * x END) AS sxx{tag},
-    SUM(CASE WHEN {cond} THEN CAST(y AS HUGEINT) END) AS sy{tag},
-    SUM(CASE WHEN {cond} THEN CAST(y AS HUGEINT) * y END) AS syy{tag},
-    SUM(CASE WHEN {cond} THEN CAST(x AS HUGEINT) * y END) AS sxy{tag}"""
+    SUM(CASE WHEN {cond} THEN CAST(yk AS HUGEINT) END) AS sy{tag},
+    SUM(CASE WHEN {cond} THEN CAST(yk AS HUGEINT) * yk END) AS syy{tag},
+    SUM(CASE WHEN {cond} THEN CAST(x AS HUGEINT) * yk END) AS sxy{tag}"""
 
-    def sse(tag: str) -> str:
+    def sse_int(tag: str) -> str:
         n = f"CAST(n{tag} AS HUGEINT)"
         a = f"({n} * sxy{tag} - sx{tag} * sy{tag})"
         b = f"({n} * sxx{tag} - sx{tag} * sx{tag})"
         c = f"({n} * syy{tag} - sy{tag} * sy{tag})"
-        return (
-            f"(CAST(({c} * {b} - {a} * {a}) AS DOUBLE)"
-            f" / CAST(({n} * {b}) AS DOUBLE))"
-        )
+        return _sql_half_away(f"{c} * {b} - {a} * {a}", f"{n} * {b}")
 
-    ssep, sse1, sse2 = sse("p"), sse("1"), sse("2")
     return f"""
 WITH {_series_cte()}, seg AS (
-  SELECT x, n, y, CASE WHEN x * 2 <= n THEN 1 ELSE 2 END AS s FROM ser
+  SELECT x, n, {yk} AS yk, CASE WHEN x * 2 <= n THEN 1 ELSE 2 END AS s
+  FROM ser
 ), t AS (
   SELECT
     {moments("p", "TRUE")},
     {moments("1", "s = 1")},
     {moments("2", "s = 2")}
   FROM seg
+), q AS (
+  SELECT np, n1, n2,
+    {sse_int("p")} AS ip, {sse_int("1")} AS i1, {sse_int("2")} AS i2
+  FROM t
 )
 SELECT np AS n_days, n1, n2,
-  CASE WHEN n1 >= 3 AND n2 >= 3 THEN round({ssep}, 6) + 0.0 END
-    AS sse_pooled,
-  CASE WHEN n1 >= 3 AND n2 >= 3 THEN round({sse1}, 6) + 0.0 END
-    AS sse_seg1,
-  CASE WHEN n1 >= 3 AND n2 >= 3 THEN round({sse2}, 6) + 0.0 END
-    AS sse_seg2,
   CASE WHEN n1 >= 3 AND n2 >= 3 THEN
-    round((({ssep} - {sse1} - {sse2}) / 2.0)
-          / (({sse1} + {sse2}) / (CAST(np AS DOUBLE) - 4.0)), 6) + 0.0
+    round(CAST(ip AS DOUBLE), 6) + 0.0 END AS sse_pooled,
+  CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+    round(CAST(i1 AS DOUBLE), 6) + 0.0 END AS sse_seg1,
+  CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+    round(CAST(i2 AS DOUBLE), 6) + 0.0 END AS sse_seg2,
+  CASE WHEN n1 >= 3 AND n2 >= 3 THEN
+    round(((CAST(ip AS DOUBLE) - CAST(i1 AS DOUBLE) - CAST(i2 AS DOUBLE))
+           / 2.0)
+          / ((CAST(i1 AS DOUBLE) + CAST(i2 AS DOUBLE))
+             / (CAST(np AS DOUBLE) - 4.0)), 6) + 0.0
   END AS chow_f
-FROM t
+FROM q
 """
 
 
@@ -1302,10 +1331,12 @@ def a_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression explains the squared residuals by x.
 
     Determinism: residuals are exact rationals e = [B·(n·y−Σy) −
-    A·(n·x−Σx)]/(n·B), quantized once to MILLI-cell integers by
-    half-away division; the aux-regression moments fold those
-    integers in decimal; LM = n·A_u²/(B·C_u) is ONE IEEE
-    expression."""
+    A·(n·x−Σx)]/(n·B), quantized once to UNIT-cell integers (micro ÷
+    10⁶) by half-away division — the unit scale keeps the aux moment
+    C_u = nΣu²−(Σu)² inside decimal(38)/HUGEINT with two orders of
+    headroom at 10× data (the milli scale would saturate at ~sf1);
+    the aux-regression moments fold those integers in decimal;
+    LM = n·A_u²/(B·C_u) is ONE IEEE expression."""
     from kp_crypto_market_analytics_spark.queries_r11 import _half_away
 
     d = "decimal(38,0)"
@@ -1333,7 +1364,7 @@ def a_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_m") * (F.col("n").cast(d) * F.col("y").cast(d) - F.col("sy"))
         - F.col("a_m")
         * (F.col("n").cast(d) * F.col("x").cast(d) - F.col("sx")),
-        F.col("n").cast(d) * F.col("b_m") * F.lit(1000).cast(d),
+        F.col("n").cast(d) * F.col("b_m") * F.lit(1_000_000).cast(d),
     )
     u = j.select(
         "x", "n", "b_m", e_k.alias("ek")
@@ -1364,7 +1395,7 @@ def _a_breusch_pagan_sql() -> str:
     ek = _sql_half_away(
         "b_m * (CAST(n AS HUGEINT) * y - sy)"
         " - a_m * (CAST(n AS HUGEINT) * x - sx)",
-        "CAST(n AS HUGEINT) * b_m * 1000",
+        "CAST(n AS HUGEINT) * b_m * 1000000",
     )
     return f"""
 WITH {_series_cte()}, m AS (

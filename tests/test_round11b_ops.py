@@ -119,9 +119,10 @@ def test_chow_sse_decomposition(spark):
 
     r = a_chow_test(spark, SFD).collect()[0]
     assert r["n1"] + r["n2"] == r["n_days"]
-    # per-segment fits can only reduce SSE
-    assert r["sse_pooled"] >= r["sse_seg1"] + r["sse_seg2"] - 1e-6
-    assert r["chow_f"] >= 0.0
+    # per-segment fits can only reduce SSE (±1.5 slack: the three SSEs
+    # are independently half-away-quantized to integers)
+    assert r["sse_pooled"] >= r["sse_seg1"] + r["sse_seg2"] - 1.5
+    assert r["chow_f"] >= -1e-5
 
 
 def test_odds_ratio_cells_partition_pairs(spark):
