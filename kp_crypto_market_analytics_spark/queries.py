@@ -1344,6 +1344,7 @@ from kp_crypto_market_analytics_spark.queries_r9c import R9C_QUERIES, r9c_oracle
 from kp_crypto_market_analytics_spark.queries_r10 import R10_QUERIES, r10_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r11 import R11_QUERIES, r11_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_r11b import R11B_QUERIES, r11b_oracles  # noqa: E402
+from kp_crypto_market_analytics_spark.queries_r11c import R11C_QUERIES, r11c_oracles  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_quality import QUALITY_ORACLES, QUALITY_QUERIES  # noqa: E402
 from kp_crypto_market_analytics_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
@@ -1362,6 +1363,7 @@ QUERIES.update(R9C_QUERIES)
 QUERIES.update(R10_QUERIES)
 QUERIES.update(R11_QUERIES)
 QUERIES.update(R11B_QUERIES)
+QUERIES.update(R11C_QUERIES)
 ORACLES.update(EXT_ORACLES)
 ORACLES.update(TPCH_ORACLES)
 ORACLES.update(IND_ORACLES)
@@ -1377,3 +1379,4 @@ ORACLES.update(r9c_oracles())
 ORACLES.update(r10_oracles())
 ORACLES.update(r11_oracles())
 ORACLES.update(r11b_oracles())
+ORACLES.update(r11c_oracles())

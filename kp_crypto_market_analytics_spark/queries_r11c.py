@@ -1,0 +1,1107 @@
+"""Round-11 third-wave registry queries.
+
+Completes the daily-bar indicator toolkit (Hull MA, VWMA, stochastic
+RSI, Elder-Ray, Omega ratio, Treynor ratio, drawdown-duration table),
+adds distribution-distance statistics (1-Wasserstein, energy distance,
+Kuiper test, Ansari-Bradley scale test, Goodman-Kruskal gamma),
+classifier-eval metrics (average precision, Matthews correlation,
+log-loss), multiple-testing control (Benjamini-Hochberg over hourly
+KS tests), reliability coefficients (Cronbach's alpha, ICC(1)), the
+Hill tail-index estimator, corpus-law fits (Heaps' law, collocation
+PMI, Simpson diversity, term burstiness, mean average precision),
+graph centralities (Katz, harmonic closeness, weakly-connected
+components), embedding geometry (local intrinsic dimensionality,
+representational similarity of the int8-quantized space), TPC-H
+consistency audits (order-total reconciliation, date-sanity census),
+and signal-processing windows (Savitzky-Golay smoother, z-score peak
+detector).
+
+Every query follows the repo determinism recipes (SCALING.md):
+integer/decimal folds end-to-end, per-term micro-quantization via the
+``round(ln(x)*1e6)`` BIGINT rule where a transcendental must enter a
+sum, and ONE final IEEE expression per emitted float — written
+token-identically in the Spark and DuckDB dialects.
+
+Reference parity: extends the indicator/stat families surveyed from
+the reference's analysis pass (SURVEY.md §2 A-block; reference
+src/analytics/binance_analysis.py rolling-stat loops) with the
+remaining daily-bar, hypothesis-test, retrieval-eval and
+data-consistency catalogue a switching user would expect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kp_crypto_market_analytics_spark.session import (
+    ensure_parallelism,
+    load_tables,
+)
+
+R11C_QUERIES: dict = {}
+_R11C_ORACLES: dict = {}
+
+
+def r11c_oracles() -> dict[str, str]:
+    return {name: fn() for name, fn in _R11C_ORACLES.items()}
+
+
+# ----------------------------------------------------------- ti_hma
+
+_HMA_N = 9
+_HMA_HALF = 4  # floor(9 / 2)
+_HMA_SQRT = 3  # floor(sqrt(9))
+
+
+def ti_hma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hull moving average (Hull 2005, public) on the daily closes:
+    HMA_9 = WMA_3(2·WMA_4 − WMA_9) — the low-lag trend line that
+    leads an SMA of the same span by construction.
+
+    Determinism: closes are micro BIGINTs; each WMA keeps its exact
+    integer numerator (weights k, k−1, …, 1) and the raw series
+    2·WMA_4 − WMA_9 stays a single exact numerator over the common
+    denominator 90 (= lcm machinery: 9·N4 − 2·N9); the outer WMA_3
+    folds three of those BIGINTs, so the ONE IEEE division by
+    540 000 000 (= 6·90·1e6) is the only float op.
+
+    Scale shape: one shuffle to daily bars, then narrow lag chains on
+    the per-type day sort — no joins."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+
+    def wma_num(col, k):
+        n = F.lit(0).cast("long")
+        for j in range(k):
+            lg = col if j == 0 else F.lag(col, j).over(w)
+            n = n + F.coalesce(lg, F.lit(0)) * F.lit(k - j)
+        return n
+
+    cnt9 = F.count("cm").over(w.rowsBetween(-(_HMA_N - 1), 0))
+    raw = (
+        F.lit(9) * wma_num(F.col("cm"), _HMA_HALF)
+        - F.lit(2) * wma_num(F.col("cm"), _HMA_N)
+    )
+    b = bars.select(
+        "event_type",
+        "day",
+        F.when(cnt9 == _HMA_N, raw).alias("raw"),
+    )
+    hnum = (
+        F.lit(3) * F.col("raw")
+        + F.lit(2) * F.lag("raw", 1).over(w)
+        + F.lag("raw", 2).over(w)
+    )
+    ok = (
+        F.col("raw").isNotNull()
+        & F.lag("raw", 1).over(w).isNotNull()
+        & F.lag("raw", 2).over(w).isNotNull()
+    )
+    return (
+        b.select(
+            "event_type",
+            "day",
+            F.when(ok, F.round(hnum / F.lit(540_000_000.0), 6) + F.lit(0.0))
+            .alias("hma9"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_hma_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    def wma_num(col, k):
+        terms = []
+        for j in range(k):
+            lg = col if j == 0 else f"lag({col}, {j}) OVER d"
+            terms.append(f"coalesce({lg}, 0) * {k - j}")
+        return " + ".join(terms)
+
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, day,
+    CASE WHEN COUNT(cm) OVER (d ROWS BETWEEN {_HMA_N - 1} PRECEDING
+                              AND CURRENT ROW) = {_HMA_N}
+         THEN 9 * ({wma_num("cm", _HMA_HALF)})
+              - 2 * ({wma_num("cm", _HMA_N)}) END AS raw
+  FROM bars
+  WINDOW d AS ({_WD_SQL})
+)
+SELECT event_type, day,
+  CASE WHEN raw IS NOT NULL AND lag(raw, 1) OVER d IS NOT NULL
+            AND lag(raw, 2) OVER d IS NOT NULL
+       THEN round((3 * raw + 2 * lag(raw, 1) OVER d
+                   + lag(raw, 2) OVER d) / 540000000.0, 6) + 0.0
+  END AS hma9
+FROM b
+WINDOW d AS ({_WD_SQL})
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_hma"] = ti_hma
+_R11C_ORACLES["ti_hma"] = _ti_hma_sql
+
+
+# ---------------------------------------------------------- ti_vwma
+
+_VWMA_N = 10
+
+
+def ti_vwma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted moving average over the trailing 10 daily bars:
+    VWMA = Σ(close·vol)/Σvol — the trend line that discounts thin
+    days, quoted next to the SMA it diverges from on volume spikes.
+
+    Determinism: close·vol products and the volume sum fold as exact
+    DECIMAL(38,0); ONE IEEE division (by Σvol·1e6 to undo the micro
+    scale), masked until 10 bars exist and Σvol > 0.
+
+    Scale shape: the shared daily-bar shuffle plus one frame pass."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    fr = _wd().rowsBetween(-(_VWMA_N - 1), 0)
+    d = "decimal(38,0)"
+    num = F.sum((F.col("cm").cast(d) * F.col("vol").cast(d))).over(fr)
+    den = F.sum(F.col("vol").cast(d)).over(fr)
+    n = F.count("cm").over(fr)
+    ok = (n == _VWMA_N) & (den > 0)
+    return (
+        bars.select(
+            "event_type",
+            "day",
+            F.when(
+                ok,
+                F.round(
+                    num.cast("double") / (den.cast("double") * F.lit(1e6)), 6
+                )
+                + F.lit(0.0),
+            ).alias("vwma10"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_vwma_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    fr = f"(d ROWS BETWEEN {_VWMA_N - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+WITH {DAILY_BARS_CTE}, s AS (
+  SELECT event_type, day,
+    SUM(CAST(cm AS DECIMAL(38,0)) * CAST(vol AS DECIMAL(38,0)))
+      OVER {fr} AS num,
+    SUM(CAST(vol AS DECIMAL(38,0))) OVER {fr} AS den,
+    COUNT(cm) OVER {fr} AS n
+  FROM bars
+  WINDOW d AS ({_WD_SQL})
+)
+SELECT event_type, day,
+  CASE WHEN n = {_VWMA_N} AND den > 0 THEN
+    round(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 1e6), 6) + 0.0
+  END AS vwma10
+FROM s
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_vwma"] = ti_vwma
+_R11C_ORACLES["ti_vwma"] = _ti_vwma_sql
+
+
+# ----------------------------------------------------- ti_stoch_rsi
+
+_SRSI_N = 14
+
+
+def ti_stoch_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic RSI (Chande & Kroll 1994, public) on the daily
+    closes: Cutler's RSI-14 of the close diffs, then the 14-bar
+    stochastic normalization %K = 100·(RSI − min)/(max − min) — the
+    bounded momentum-of-momentum oscillator.
+
+    Determinism: daily-close diffs are exact BIGINT micro deltas, so
+    the gain/loss sums are exact integers and RSI is ONE IEEE
+    division rounded to 6 dp; the stochastic stage reads only that
+    6-dp column (min/max are order-free), ONE further IEEE expression.
+
+    Scale shape: two frame passes on the same per-type day sort."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+    d = F.col("cm") - F.lag("cm", 1).over(w)
+    fr = w.rowsBetween(-(_SRSI_N - 1), 0)
+    b = bars.select("event_type", "day", d.alias("d"))
+    sg = F.sum(F.greatest(F.col("d"), F.lit(0))).over(fr)
+    sl = F.sum(F.greatest(-F.col("d"), F.lit(0))).over(fr)
+    n = F.count("d").over(fr)
+    rsi = F.when(
+        (n >= _SRSI_N) & (sg + sl > 0),
+        F.round(F.lit(100.0) * sg / (sg + sl), 6),
+    )
+    b = b.select("event_type", "day", rsi.alias("rsi"))
+    lo = F.min("rsi").over(fr)
+    hi = F.max("rsi").over(fr)
+    nr = F.count("rsi").over(fr)
+    k = F.when(
+        (nr >= _SRSI_N) & (hi > lo),
+        F.round(F.lit(100.0) * (F.col("rsi") - lo) / (hi - lo), 6)
+        + F.lit(0.0),
+    )
+    return (
+        b.select("event_type", "day", F.round("rsi", 6).alias("rsi14"),
+                 k.alias("stoch_rsi"))
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_stoch_rsi_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    fr = f"(d ROWS BETWEEN {_SRSI_N - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+WITH {DAILY_BARS_CTE}, diffs AS (
+  SELECT event_type, day, cm - lag(cm, 1) OVER d AS df
+  FROM bars
+  WINDOW d AS ({_WD_SQL})
+), r AS (
+  SELECT event_type, day,
+    CASE WHEN COUNT(df) OVER {fr} >= {_SRSI_N}
+          AND SUM(greatest(df, 0)) OVER {fr}
+              + SUM(greatest(-df, 0)) OVER {fr} > 0
+         THEN round(100.0 * SUM(greatest(df, 0)) OVER {fr}
+                    / (SUM(greatest(df, 0)) OVER {fr}
+                       + SUM(greatest(-df, 0)) OVER {fr}), 6) END AS rsi
+  FROM diffs
+  WINDOW d AS ({_WD_SQL})
+)
+SELECT event_type, day, round(rsi, 6) AS rsi14,
+  CASE WHEN COUNT(rsi) OVER {fr} >= {_SRSI_N}
+        AND MAX(rsi) OVER {fr} > MIN(rsi) OVER {fr}
+       THEN round(100.0 * (rsi - MIN(rsi) OVER {fr})
+                  / (MAX(rsi) OVER {fr} - MIN(rsi) OVER {fr}), 6) + 0.0
+  END AS stoch_rsi
+FROM r
+WINDOW d AS ({_WD_SQL})
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_stoch_rsi"] = ti_stoch_rsi
+_R11C_ORACLES["ti_stoch_rsi"] = _ti_stoch_rsi_sql
+
+
+# --------------------------------------------------- ti_elder_ray
+
+_ER_ALPHA = 2.0 / 14.0
+_ER_LAGS = 24
+
+
+def ti_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder-Ray index (Elder 1993, public) on the daily bars: bull
+    power = high − EMA13(close), bear power = low − EMA13(close) —
+    the buying/selling-pressure decomposition around the trend EMA.
+
+    Determinism: close/high/low enter as exact micro-int÷1e6 doubles
+    (identical IEEE divisions both engines); the EMA13 is the shared
+    truncated adjust=True closed form (weights as common Python
+    literals, no libm pow), rounded to 6 dp BEFORE the subtraction so
+    bull/bear are each ONE IEEE expression over reproducible inputs.
+
+    Scale shape: one lag chain + two subtractions on the daily sort."""
+    from kp_crypto_market_analytics_spark.operators.indicators import (
+        truncated_ema,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir).withColumn(
+        "close", F.col("cm") / F.lit(1e6)
+    )
+    ema = F.round(truncated_ema(F.col("close"), _wd(), _ER_ALPHA, _ER_LAGS), 6)
+    b = bars.select("event_type", "day", "hm", "lm", ema.alias("ema13"))
+    return (
+        b.select(
+            "event_type",
+            "day",
+            F.col("ema13"),
+            (F.round(F.col("hm") / F.lit(1e6) - F.col("ema13"), 6)
+             + F.lit(0.0)).alias("bull_power"),
+            (F.round(F.col("lm") / F.lit(1e6) - F.col("ema13"), 6)
+             + F.lit(0.0)).alias("bear_power"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_elder_ray_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _des_ema_sql,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    ema = _des_ema_sql("close", _ER_ALPHA, _ER_LAGS)
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, day, hm, lm, cm / 1e6 AS close FROM bars
+), e AS (
+  SELECT event_type, day, hm, lm, round({ema}, 6) AS ema13
+  FROM b
+  WINDOW w AS ({_WD_SQL})
+)
+SELECT event_type, day, ema13,
+  round(hm / 1e6 - ema13, 6) + 0.0 AS bull_power,
+  round(lm / 1e6 - ema13, 6) + 0.0 AS bear_power
+FROM e
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_elder_ray"] = ti_elder_ray
+_R11C_ORACLES["ti_elder_ray"] = _ti_elder_ray_sql
+
+
+# ------------------------------------------------- ti_omega_ratio
+
+def ti_omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Omega ratio at threshold 0 (Keating & Shadwick 2002, public)
+    per symbol from daily close-to-close log returns: Σ gains /
+    Σ |losses| — the full-distribution gain/loss ratio that dominates
+    Sharpe when returns are skewed.
+
+    Determinism: returns quantize to nano-unit BIGINTs (the ti_sharpe
+    rule), so the gain and loss sums are exact integers; Omega is ONE
+    IEEE division, the gain/loss legs are exact-scale divisions.
+
+    Scale shape: per-day close extraction + lag window + one
+    map-side-combined agg to |symbols| rows."""
+    from kp_crypto_market_analytics_spark.queries_r7 import _daily_closes
+
+    t = load_tables(spark, sf_dir, ["events"])
+    closes = _daily_closes(ensure_parallelism(t["events"]))
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = closes.withColumn(
+        "r", F.log(F.col("close") / F.lag("close").over(w))
+    ).where(F.col("r").isNotNull())
+    ru = F.round(F.col("r") * F.lit(1e9), 0).cast("long")
+    agg = rets.select("event_type", ru.alias("ru")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.greatest(F.col("ru"), F.lit(0))).alias("gain_u"),
+        F.sum(F.greatest(-F.col("ru"), F.lit(0))).alias("loss_u"),
+    )
+    ok = F.col("loss_u") > 0
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("gain_u") / F.lit(1e9), 6).alias("sum_gains"),
+        F.round(F.col("loss_u") / F.lit(1e9), 6).alias("sum_losses"),
+        F.when(
+            ok,
+            F.round(
+                F.col("gain_u").cast("double") / F.col("loss_u"), 6
+            )
+            + F.lit(0.0),
+        ).alias("omega"),
+    ).orderBy("event_type")
+
+
+def _ti_omega_ratio_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r7 import _CLOSES_SQL
+
+    return f"""
+WITH closes AS ({_CLOSES_SQL}),
+rets AS (
+  SELECT event_type,
+    ln(close / lag(close) OVER (PARTITION BY event_type ORDER BY day))
+      AS r
+  FROM closes
+), u AS (
+  SELECT event_type, CAST(round(r * 1000000000.0, 0) AS BIGINT) AS ru
+  FROM rets WHERE r IS NOT NULL
+), agg AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(greatest(ru, 0)) AS BIGINT) AS gain_u,
+    CAST(SUM(greatest(-ru, 0)) AS BIGINT) AS loss_u
+  FROM u GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  round(gain_u / 1e9, 6) AS sum_gains,
+  round(loss_u / 1e9, 6) AS sum_losses,
+  CASE WHEN loss_u > 0
+       THEN round(CAST(gain_u AS DOUBLE) / loss_u, 6) + 0.0 END AS omega
+FROM agg ORDER BY event_type
+"""
+
+
+R11C_QUERIES["ti_omega_ratio"] = ti_omega_ratio
+_R11C_ORACLES["ti_omega_ratio"] = _ti_omega_ratio_sql
+
+
+# ---------------------------------------------------- ti_treynor
+
+_TREYNOR_ANN = 365.0
+
+
+def ti_treynor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Treynor ratio per symbol (Treynor 1965, public):
+    mean daily log return over CAPM beta vs the densest series — the
+    systematic-risk-adjusted twin of ti_sharpe, sharing ti_beta's
+    benchmark definition.
+
+    Determinism: the ti_beta recipe verbatim — micro-BIGINT returns,
+    exact integer moment sums; Treynor composes mean/beta into ONE
+    IEEE expression: sx·(nΣyy−(Σy)²) / (1e6·n·(nΣxy−ΣxΣy)) · 365.
+
+    Scale shape: one daily-close agg, one lag window, one broadcast
+    benchmark join, one moment agg to |symbols| rows."""
+    from kp_crypto_market_analytics_spark.queries_r8 import _BETA_BENCH
+
+    t = load_tables(spark, sf_dir, ["events"])
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    closes = (
+        t["events"]
+        .withColumn("__rn", rn)
+        .where((F.col("__rn") == 1) & (F.col("value") > 0))
+        .select(
+            "event_type", F.to_date("ts").alias("day"),
+            F.col("value").alias("close"),
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    rets = (
+        closes.withColumn("prev", F.lag("close").over(wd))
+        .where(F.col("prev") > 0)
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                F.log(F.col("close") / F.col("prev")) * F.lit(1_000_000.0), 0
+            )
+            .cast("long")
+            .alias("rm"),
+        )
+    )
+    bench = rets.where(F.col("event_type") == _BETA_BENCH).select(
+        "day", F.col("rm").alias("bm")
+    )
+    m = rets.join(F.broadcast(bench), "day").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rm").alias("sx"),
+        F.sum("bm").alias("sy"),
+        F.sum(F.col("bm") * F.col("bm")).alias("syy"),
+        F.sum(F.col("rm") * F.col("bm")).alias("sxy"),
+    )
+    n = F.col("n")
+    cov_n = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    var_b = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    beta = cov_n / var_b
+    treynor = (
+        F.col("sx").cast("double")
+        * var_b
+        / (F.lit(1e6) * n * cov_n)
+        * F.lit(_TREYNOR_ANN)
+    )
+    ok_b = (n > 1) & (var_b > 0)
+    ok_t = ok_b & (cov_n != 0)
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.when(ok_b, F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        F.when(ok_t, F.round(treynor, 6) + F.lit(0.0)).alias("treynor_ann"),
+    ).orderBy("event_type")
+
+
+def _ti_treynor_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r8 import _BETA_BENCH
+
+    return f"""
+WITH closes AS (
+  SELECT event_type, day, close FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day, value AS close,
+      row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND close > 0
+), rets AS (
+  SELECT event_type, day,
+    CAST(round(ln(close / prev) * 1000000.0, 0) AS BIGINT) AS rm
+  FROM (
+    SELECT event_type, day, close,
+      lag(close) OVER (PARTITION BY event_type ORDER BY day) AS prev
+    FROM closes
+  ) WHERE prev > 0
+), bench AS (
+  SELECT day, rm AS bm FROM rets WHERE event_type = '{_BETA_BENCH}'
+), m AS (
+  SELECT r.event_type, COUNT(*) AS n,
+    SUM(rm) AS sx, SUM(bm) AS sy,
+    SUM(bm * bm) AS syy, SUM(rm * bm) AS sxy
+  FROM rets r JOIN bench USING (day) GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 1 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+    round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * syy - sy * sy AS DOUBLE), 6) + 0.0 END AS beta,
+  CASE WHEN n > 1 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        AND CAST(n * sxy - sx * sy AS DOUBLE) <> 0 THEN
+    round(CAST(sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)
+        / (1e6 * n * CAST(n * sxy - sx * sy AS DOUBLE))
+        * {_TREYNOR_ANN!r}, 6) + 0.0 END AS treynor_ann
+FROM m ORDER BY event_type
+"""
+
+
+R11C_QUERIES["ti_treynor"] = ti_treynor
+_R11C_ORACLES["ti_treynor"] = _ti_treynor_sql
+
+
+# ------------------------------------------------ ti_dd_duration
+
+def ti_dd_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown-duration table per symbol: days spent below the
+    running close peak (time-under-water) and the deepest drawdown —
+    the recovery-time half of the ti_drawdown story (Magdon-Ismail &
+    Atiya 2004, public).
+
+    Determinism: closes are micro BIGINTs; the running peak and the
+    last-peak day are order-free window maxima; durations are exact
+    date arithmetic; the depth is ONE IEEE division of exact integers
+    per row, max-folded after rounding.
+
+    Scale shape: calendar-bounded windows on the daily frame, one
+    final |symbols|-row agg."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    wc = _wd().rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("cm").over(wc)
+    b = bars.select("event_type", "day", "cm", peak.alias("peak"))
+    peak_day = F.max(
+        F.when(F.col("cm") == F.col("peak"), F.col("day"))
+    ).over(wc)
+    b = b.select(
+        "event_type",
+        "day",
+        F.datediff(F.col("day"), peak_day).alias("dur"),
+        F.round(
+            (F.col("peak") - F.col("cm")).cast("double") / F.col("peak"), 6
+        ).alias("dd"),
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("dur").cast("long").alias("max_underwater_days"),
+        (F.max("dd") + F.lit(0.0)).alias("max_drawdown"),
+    ).orderBy("event_type")
+
+
+def _ti_dd_duration_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    wc = f"(d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return f"""
+WITH {DAILY_BARS_CTE}, p AS (
+  SELECT event_type, day, cm, MAX(cm) OVER {wc} AS peak
+  FROM bars
+  WINDOW d AS ({_WD_SQL})
+), q AS (
+  SELECT event_type, day,
+    date_diff('day',
+      MAX(CASE WHEN cm = peak THEN day END) OVER {wc}, day) AS dur,
+    round(CAST(peak - cm AS DOUBLE) / peak, 6) AS dd
+  FROM p
+  WINDOW d AS ({_WD_SQL})
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(MAX(dur) AS BIGINT) AS max_underwater_days,
+  MAX(dd) + 0.0 AS max_drawdown
+FROM q GROUP BY event_type ORDER BY event_type
+"""
+
+
+R11C_QUERIES["ti_dd_duration"] = ti_dd_duration
+_R11C_ORACLES["ti_dd_duration"] = _ti_dd_duration_sql
+
+
+# ------------------------------------------------ a_wasserstein_1d
+
+def a_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance between the click and
+    view daily-total distributions (Vaserstein 1969, public): W₁ =
+    ∫|F_A − F_B| dx over the merged support — the distribution-shift
+    metric that, unlike KS, weighs HOW FAR mass moved, the standard
+    drift score next to dq_drift_psi.
+
+    Determinism: daily totals are exact micro BIGINTs; on the merged
+    sorted support the piecewise-constant |F_A·m·n − F_B·m·n| numerator
+    is |cumA·m − cumB·n| (exact integers), each segment contributes
+    numerator·Δx as DECIMAL(38,0); ONE IEEE division by n·m·1e6.
+
+    Scale shape: the daily-cells agg then a |days|-row window — the
+    100 TB path range-partitions the support like the
+    range_partitioned_rank machinery."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+        _daily_cells_df,
+    )
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    )
+    pts = cells.groupBy("cell").agg(
+        F.sum((F.col("event_type") == _PAIR_A).cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == _PAIR_B).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("cell")
+    d = "decimal(38,0)"
+    pts = pts.select(
+        "cell",
+        F.sum("ca").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cuma"),
+        F.sum("cb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cumb"),
+        F.lead("cell").over(w).alias("nxt"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pts = pts.select(
+        "cuma",
+        "cumb",
+        F.max("cuma").over(wall).alias("n_tot"),
+        F.max("cumb").over(wall).alias("m_tot"),
+        F.when(
+            F.col("nxt").isNotNull(),
+            F.abs(
+                F.col("cuma").cast(d) * F.max("cumb").over(wall)
+                - F.col("cumb").cast(d) * F.max("cuma").over(wall)
+            )
+            * (F.col("nxt") - F.col("cell")).cast(d),
+        ).alias("term"),
+    )
+    tot = pts.agg(
+        F.max("n_tot").alias("n"),
+        F.max("m_tot").alias("m"),
+        F.sum("term").alias("num"),
+    )
+    ok = (F.col("n") > 0) & (F.col("m") > 0)
+    return tot.select(
+        F.col("n").cast("long").alias("n_a"),
+        F.col("m").cast("long").alias("n_b"),
+        F.when(
+            ok,
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n").cast("double") * F.col("m") * F.lit(1e6)),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("wasserstein_1"),
+    )
+
+
+def _a_wasserstein_1d_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH {_CELLS_CTE}, pts AS (
+  SELECT cell,
+    SUM(CASE WHEN event_type = '{_PAIR_A}' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN event_type = '{_PAIR_B}' THEN 1 ELSE 0 END) AS cb
+  FROM cells WHERE event_type IN ('{_PAIR_A}', '{_PAIR_B}')
+  GROUP BY cell
+), c AS (
+  SELECT cell,
+    SUM(ca) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cuma,
+    SUM(cb) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cumb,
+    lead(cell) OVER (ORDER BY cell) AS nxt
+  FROM pts
+), tot AS (
+  SELECT MAX(cuma) AS n, MAX(cumb) AS m,
+    SUM(CASE WHEN nxt IS NOT NULL THEN
+      abs(CAST(cuma AS DECIMAL(38,0)) * (SELECT MAX(cumb) FROM c)
+        - CAST(cumb AS DECIMAL(38,0)) * (SELECT MAX(cuma) FROM c))
+      * CAST(nxt - cell AS DECIMAL(38,0)) END) AS num
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+  CASE WHEN n > 0 AND m > 0 THEN
+    round(CAST(num AS DOUBLE)
+          / (CAST(n AS DOUBLE) * m * 1e6), 6) + 0.0
+  END AS wasserstein_1
+FROM tot
+"""
+
+
+R11C_QUERIES["a_wasserstein_1d"] = a_wasserstein_1d
+_R11C_ORACLES["a_wasserstein_1d"] = _a_wasserstein_1d_sql
+
+
+# ---------------------------------------------------------- a_kuiper
+
+def a_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kuiper test between the click and view daily-total
+    distributions (Kuiper 1960, public): V = D⁺ + D⁻ with D⁺ =
+    max(F_A − F_B), D⁻ = max(F_B − F_A) — the KS variant that is
+    equally sensitive in both tails (and on circular data).
+
+    Determinism: on the merged support the CDF differences keep exact
+    integer numerators cumA·m − cumB·n; both maxima fold as BIGINTs
+    and V is ONE IEEE division by n·m.
+
+    Scale shape: the daily-cells agg then a |support|-row window."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+        _daily_cells_df,
+    )
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    )
+    pts = cells.groupBy("cell").agg(
+        F.sum((F.col("event_type") == _PAIR_A).cast("long")).alias("ca"),
+        F.sum((F.col("event_type") == _PAIR_B).cast("long")).alias("cb"),
+    )
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pts = pts.select(
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    ).select(
+        "cuma",
+        "cumb",
+        F.max("cuma").over(wall).alias("n"),
+        F.max("cumb").over(wall).alias("m"),
+    )
+    g = pts.agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.max(
+            F.col("cuma") * F.col("m") - F.col("cumb") * F.col("n")
+        ).alias("dplus_num"),
+        F.max(
+            F.col("cumb") * F.col("n") - F.col("cuma") * F.col("m")
+        ).alias("dminus_num"),
+    )
+    ok = (F.col("n") > 0) & (F.col("m") > 0)
+    nm = F.col("n").cast("double") * F.col("m")
+    dp = F.greatest(F.col("dplus_num"), F.lit(0))
+    dm = F.greatest(F.col("dminus_num"), F.lit(0))
+    return g.select(
+        F.col("n").cast("long").alias("n_a"),
+        F.col("m").cast("long").alias("n_b"),
+        F.when(ok, F.round(dp / nm, 6) + F.lit(0.0)).alias("d_plus"),
+        F.when(ok, F.round(dm / nm, 6) + F.lit(0.0)).alias("d_minus"),
+        F.when(ok, F.round((dp + dm) / nm, 6) + F.lit(0.0)).alias(
+            "kuiper_v"
+        ),
+    )
+
+
+def _a_kuiper_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH {_CELLS_CTE}, pts AS (
+  SELECT cell,
+    SUM(CASE WHEN event_type = '{_PAIR_A}' THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN event_type = '{_PAIR_B}' THEN 1 ELSE 0 END) AS cb
+  FROM cells WHERE event_type IN ('{_PAIR_A}', '{_PAIR_B}')
+  GROUP BY cell
+), c AS (
+  SELECT
+    SUM(ca) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cuma,
+    SUM(cb) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cumb
+  FROM pts
+), t AS (
+  SELECT cuma, cumb,
+    MAX(cuma) OVER () AS n, MAX(cumb) OVER () AS m
+  FROM c
+), g AS (
+  SELECT MAX(n) AS n, MAX(m) AS m,
+    MAX(cuma * m - cumb * n) AS dplus_num,
+    MAX(cumb * n - cuma * m) AS dminus_num
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+  CASE WHEN n > 0 AND m > 0 THEN
+    round(greatest(dplus_num, 0) / (CAST(n AS DOUBLE) * m), 6) + 0.0
+  END AS d_plus,
+  CASE WHEN n > 0 AND m > 0 THEN
+    round(greatest(dminus_num, 0) / (CAST(n AS DOUBLE) * m), 6) + 0.0
+  END AS d_minus,
+  CASE WHEN n > 0 AND m > 0 THEN
+    round((greatest(dplus_num, 0) + greatest(dminus_num, 0))
+          / (CAST(n AS DOUBLE) * m), 6) + 0.0
+  END AS kuiper_v
+FROM g
+"""
+
+
+R11C_QUERIES["a_kuiper"] = a_kuiper
+_R11C_ORACLES["a_kuiper"] = _a_kuiper_sql
+
+
+# -------------------------------------------------- a_energy_distance
+
+def a_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the click and view daily-total
+    distributions (Székely & Rizzo 2004, public): E = 2·E|X−Y| −
+    E|X−X′| − E|Y−Y′| — the metric two-sample distance that is zero
+    iff the distributions coincide, the kernel-free cousin of MMD.
+
+    Determinism: daily totals are micro BIGINTs; all three pairwise
+    |·| sums fold as DECIMAL(38,0) over the bounded |days|² pair
+    frames; ONE final IEEE expression combines the three exact
+    integer ratios.
+
+    Scale shape: the pair frames are |days|×|days| (calendar-bounded,
+    ~8k pairs at any SF) — the tick table never self-joins."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+        _daily_cells_df,
+    )
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    )
+    a = cells.where(F.col("event_type") == _PAIR_A).select(
+        F.col("cell").alias("x")
+    )
+    b = cells.where(F.col("event_type") == _PAIR_B).select(
+        F.col("cell").alias("y")
+    )
+    d = "decimal(38,0)"
+
+    def pair_sum(l, r, lc, rc, out):
+        return (
+            l.crossJoin(F.broadcast(r))
+            .select(F.abs(F.col(lc) - F.col(rc)).cast(d).alias("t"))
+            .agg(F.sum("t").alias(out))
+        )
+
+    sab = pair_sum(a, b, "x", "y", "sab")
+    saa = pair_sum(a, a.select(F.col("x").alias("x2")), "x", "x2", "saa")
+    sbb = pair_sum(b, b.select(F.col("y").alias("y2")), "y", "y2", "sbb")
+    na = a.agg(F.count(F.lit(1)).alias("n"))
+    nb = b.agg(F.count(F.lit(1)).alias("m"))
+    g = sab.crossJoin(saa).crossJoin(sbb).crossJoin(na).crossJoin(nb)
+    n = F.col("n").cast("double")
+    m = F.col("m").cast("double")
+    e = (
+        F.lit(2.0) * F.col("sab").cast("double") / (n * m)
+        - F.col("saa").cast("double") / (n * n)
+        - F.col("sbb").cast("double") / (m * m)
+    ) / F.lit(1e6)
+    ok = (F.col("n") > 0) & (F.col("m") > 0)
+    return g.select(
+        F.col("n").cast("long").alias("n_a"),
+        F.col("m").cast("long").alias("n_b"),
+        F.when(ok, F.round(e, 6) + F.lit(0.0)).alias("energy_distance"),
+    )
+
+
+def _a_energy_distance_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH {_CELLS_CTE}, a AS (
+  SELECT cell AS x FROM cells WHERE event_type = '{_PAIR_A}'
+), b AS (
+  SELECT cell AS y FROM cells WHERE event_type = '{_PAIR_B}'
+), s AS (
+  SELECT
+    (SELECT SUM(CAST(abs(a.x - b.y) AS DECIMAL(38,0))) FROM a, b) AS sab,
+    (SELECT SUM(CAST(abs(l.x - r.x) AS DECIMAL(38,0))) FROM a l, a r) AS saa,
+    (SELECT SUM(CAST(abs(l.y - r.y) AS DECIMAL(38,0))) FROM b l, b r) AS sbb,
+    (SELECT COUNT(*) FROM a) AS n,
+    (SELECT COUNT(*) FROM b) AS m
+)
+SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+  CASE WHEN n > 0 AND m > 0 THEN
+    round((2.0 * CAST(sab AS DOUBLE) / (CAST(n AS DOUBLE) * m)
+           - CAST(saa AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+           - CAST(sbb AS DOUBLE) / (CAST(m AS DOUBLE) * m)) / 1e6, 6)
+    + 0.0
+  END AS energy_distance
+FROM s
+"""
+
+
+R11C_QUERIES["a_energy_distance"] = a_energy_distance
+_R11C_ORACLES["a_energy_distance"] = _a_energy_distance_sql
+
+
+# ------------------------------------------------- a_ansari_bradley
+
+def a_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test between the click and view daily
+    totals (Ansari & Bradley 1960, public): rank the pooled sample,
+    score each observation min(rank, N+1−rank) (small scores at the
+    extremes), AB = Σ scores in the click group — tests equal
+    dispersion without assuming equal means are known.
+
+    Determinism: the pooled order is the TOTAL order (cell, day,
+    event_type) so ranks are reproducible (cells are micro sums —
+    exact ties are effectively impossible, and any would break
+    deterministically); AB and its null moments are exact integers
+    (parity-split formulas), z is ONE IEEE expression.
+
+    Scale shape: range-partitioned global rank (no single-partition
+    sort), then one scalar agg."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+        _daily_cells_df,
+    )
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    )
+    ranked = range_partitioned_rank(
+        cells, ["cell", "day", "event_type"], out_col="rn"
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ranked.select(
+        "event_type",
+        "rn",
+        F.max("rn").over(wall).alias("nn"),
+    )
+    score = F.least(F.col("rn"), F.col("nn") + 1 - F.col("rn"))
+    g = ranked.agg(
+        F.max("nn").alias("nn"),
+        F.sum((F.col("event_type") == _PAIR_A).cast("long")).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == _PAIR_A, score).otherwise(F.lit(0))
+        ).alias("ab"),
+    )
+    nn, n, ab = F.col("nn"), F.col("n"), F.col("ab")
+    m = nn - n
+    even = nn % 2 == 0
+    mean = F.when(even, n * (nn + 2) / F.lit(4.0)).otherwise(
+        n * (nn + 1) * (nn + 1) / (F.lit(4.0) * nn)
+    )
+    var = F.when(
+        even,
+        (n.cast("double") * m * (nn + 2) * (nn - 2))
+        / (F.lit(48.0) * (nn - 1)),
+    ).otherwise(
+        (n.cast("double") * m * (nn + 1) * (F.lit(3) + nn * nn))
+        / (F.lit(48.0) * nn * nn)
+    )
+    ok = (n > 0) & (m > 0) & (var > 0)
+    return g.select(
+        nn.cast("long").alias("n_total"),
+        n.cast("long").alias("n_a"),
+        ab.cast("long").alias("ab_stat"),
+        F.when(
+            ok, F.round((ab - mean) / F.sqrt(var), 6) + F.lit(0.0)
+        ).alias("z"),
+    )
+
+
+def _a_ansari_bradley_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH {_CELLS_CTE}, pooled AS (
+  SELECT event_type,
+    row_number() OVER (ORDER BY cell, day, event_type) AS rn,
+    COUNT(*) OVER () AS nn
+  FROM cells WHERE event_type IN ('{_PAIR_A}', '{_PAIR_B}')
+), g AS (
+  SELECT MAX(nn) AS nn,
+    SUM(CASE WHEN event_type = '{_PAIR_A}' THEN 1 ELSE 0 END) AS n,
+    SUM(CASE WHEN event_type = '{_PAIR_A}'
+        THEN least(rn, nn + 1 - rn) ELSE 0 END) AS ab
+  FROM pooled
+)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(n AS BIGINT) AS n_a,
+  CAST(ab AS BIGINT) AS ab_stat,
+  CASE WHEN n > 0 AND nn - n > 0 AND
+    (CASE WHEN nn % 2 = 0
+      THEN (CAST(n AS DOUBLE) * (nn - n) * (nn + 2) * (nn - 2))
+           / (48.0 * (nn - 1))
+      ELSE (CAST(n AS DOUBLE) * (nn - n) * (nn + 1) * (3 + nn * nn))
+           / (48.0 * nn * nn) END) > 0
+  THEN round(
+    (ab - CASE WHEN nn % 2 = 0 THEN n * (nn + 2) / 4.0
+          ELSE n * (nn + 1) * (nn + 1) / (4.0 * nn) END)
+    / sqrt(CASE WHEN nn % 2 = 0
+      THEN (CAST(n AS DOUBLE) * (nn - n) * (nn + 2) * (nn - 2))
+           / (48.0 * (nn - 1))
+      ELSE (CAST(n AS DOUBLE) * (nn - n) * (nn + 1) * (3 + nn * nn))
+           / (48.0 * nn * nn) END), 6) + 0.0
+  END AS z
+FROM g
+"""
+
+
+R11C_QUERIES["a_ansari_bradley"] = a_ansari_bradley
+_R11C_ORACLES["a_ansari_bradley"] = _a_ansari_bradley_sql
