@@ -1105,3 +1105,765 @@ FROM g
 
 R11C_QUERIES["a_ansari_bradley"] = a_ansari_bradley
 _R11C_ORACLES["a_ansari_bradley"] = _a_ansari_bradley_sql
+
+
+# ----------------------------------------------------------- a_pr_auc
+
+def a_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve by
+    the step rule) of the quality score as an English-document
+    classifier — the imbalanced-data companion to a_auc_roc: AP =
+    (1/n⁺)·Σ_{k: rel} P@k over the score-descending ranking.
+
+    Determinism: the ranking is the TOTAL order (pm DESC, doc_id) via
+    the range-partitioned rank; each P@k = cum⁺/k quantizes to an
+    exact half-away micro BIGINT before summing (float P@k sums would
+    be order-dependent); ONE IEEE division by n⁺·1e6.
+
+    Scale shape: one range-partitioned rank + cumulative sum, one
+    scalar agg."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+    from kp_crypto_market_analytics_spark.queries_r10 import _qs_label_df
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+
+    s = _qs_label_df(spark, sf_dir)
+    ranked = range_partitioned_rank(
+        s,
+        [F.col("pm").desc(), F.col("doc_id").asc()],
+        out_col="k",
+        sum_col=F.col("y").cast("long"),
+        cumsum_out="cpos",
+    )
+    d = "decimal(38,0)"
+    term = F.when(
+        F.col("y"),
+        _half_away(
+            (F.col("cpos").cast(d) * F.lit(1_000_000).cast(d)),
+            F.col("k").cast(d),
+        ),
+    ).otherwise(F.lit(0))
+    g = ranked.agg(
+        F.sum(F.col("y").cast("long")).alias("np"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(term).alias("ap_u"),
+    )
+    ok = F.col("np") > 0
+    return g.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.when(
+            ok,
+            F.round(
+                F.col("ap_u").cast("double")
+                / (F.col("np").cast("double") * F.lit(1e6)),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("avg_precision"),
+    )
+
+
+def _a_pr_auc_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r10 import _qs_label_cte
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    term = _sql_half_away("cpos * 1000000", "k")
+    return f"""
+WITH {_qs_label_cte()}, ranked AS (
+  SELECT y,
+    row_number() OVER (ORDER BY pm DESC, doc_id) AS k,
+    SUM(CASE WHEN y THEN 1 ELSE 0 END)
+      OVER (ORDER BY pm DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos
+  FROM scored
+), g AS (
+  SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np, COUNT(*) AS n,
+    SUM(CASE WHEN y THEN {term} ELSE 0 END) AS ap_u
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(np AS BIGINT) AS n_pos,
+  CASE WHEN np > 0 THEN
+    round(CAST(ap_u AS DOUBLE) / (CAST(np AS DOUBLE) * 1e6), 6) + 0.0
+  END AS avg_precision
+FROM g
+"""
+
+
+R11C_QUERIES["a_pr_auc"] = a_pr_auc
+_R11C_ORACLES["a_pr_auc"] = _a_pr_auc_sql
+
+
+# ----------------------------------------------------- a_matthews_corr
+
+def a_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient (and precision/recall/F1) of
+    the mean-thresholded quality score as an English-document
+    classifier (Matthews 1975, public) — the single-number confusion
+    summary robust to class imbalance.
+
+    Determinism: the threshold test pm·n > Σpm compares exact
+    integers (no mean division); TP/FP/TN/FN are exact counts; MCC's
+    numerator folds as DECIMAL(38,0) and the denominator is ONE IEEE
+    sqrt; precision/recall/F1 are single divisions.
+
+    Scale shape: one scalar agg broadcast back over the scan, one
+    confusion agg."""
+    from kp_crypto_market_analytics_spark.queries_r10 import _qs_label_df
+
+    s = _qs_label_df(spark, sf_dir)
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("pm").alias("sum_pm")
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    pred = F.col("pm") * F.col("n_tot") > F.col("sum_pm")
+    g = j.agg(
+        F.sum((pred & F.col("y")).cast("long")).alias("tp"),
+        F.sum((pred & ~F.col("y")).cast("long")).alias("fp"),
+        F.sum((~pred & F.col("y")).cast("long")).alias("fn"),
+        F.sum((~pred & ~F.col("y")).cast("long")).alias("tn"),
+    )
+    d = "decimal(38,0)"
+    tp, fp, fn, tn = (F.col(c).cast(d) for c in ("tp", "fp", "fn", "tn"))
+    num = (tp * tn - fp * fn).cast("double")
+    den = (
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    prec_ok = (F.col("tp") + F.col("fp")) > 0
+    rec_ok = (F.col("tp") + F.col("fn")) > 0
+    f1_ok = (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")) > 0
+    return g.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.when(
+            prec_ok,
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+            )
+            + F.lit(0.0),
+        ).alias("precision"),
+        F.when(
+            rec_ok,
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+            )
+            + F.lit(0.0),
+        ).alias("recall"),
+        F.when(
+            f1_ok,
+            F.round(
+                F.lit(2.0)
+                * F.col("tp")
+                / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("f1"),
+        F.when(
+            den > 0, F.round(num / F.sqrt(den), 6) + F.lit(0.0)
+        ).alias("mcc"),
+    )
+
+
+def _a_matthews_corr_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r10 import _qs_label_cte
+
+    return f"""
+WITH {_qs_label_cte()}, tot AS (
+  SELECT COUNT(*) AS n_tot, SUM(pm) AS sum_pm FROM scored
+), g AS (
+  SELECT
+    SUM(CASE WHEN pm * n_tot > sum_pm AND y THEN 1 ELSE 0 END) AS tp,
+    SUM(CASE WHEN pm * n_tot > sum_pm AND NOT y THEN 1 ELSE 0 END) AS fp,
+    SUM(CASE WHEN NOT (pm * n_tot > sum_pm) AND y THEN 1 ELSE 0 END) AS fn,
+    SUM(CASE WHEN NOT (pm * n_tot > sum_pm) AND NOT y THEN 1 ELSE 0 END)
+      AS tn
+  FROM scored, tot
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+  CASE WHEN tp + fp > 0 THEN
+    round(CAST(tp AS DOUBLE) / (tp + fp), 6) + 0.0 END AS precision,
+  CASE WHEN tp + fn > 0 THEN
+    round(CAST(tp AS DOUBLE) / (tp + fn), 6) + 0.0 END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0 THEN
+    round(2.0 * tp / (2 * tp + fp + fn), 6) + 0.0 END AS f1,
+  CASE WHEN (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+             * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) > 0
+  THEN round(
+    CAST(CAST(tp AS DECIMAL(38,0)) * CAST(tn AS DECIMAL(38,0))
+         - CAST(fp AS DECIMAL(38,0)) * CAST(fn AS DECIMAL(38,0))
+         AS DOUBLE)
+    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+           * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) + 0.0
+  END AS mcc
+FROM g
+"""
+
+
+R11C_QUERIES["a_matthews_corr"] = a_matthews_corr
+_R11C_ORACLES["a_matthews_corr"] = _a_matthews_corr_sql
+
+
+# ----------------------------------------------------------- a_log_loss
+
+_LL_EPS_U = 1_000  # clip floor, micro units (p in [0.001, 0.999])
+
+
+def a_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy (log-loss) of the quality score read as
+    P(english), clipped to [0.001, 0.999] — the proper scoring rule
+    next to a_brier_score, punishing confident mistakes.
+
+    Determinism: the clipped probability is an exact micro-int ÷ 1e6
+    double; each −ln term quantizes to a micro BIGINT (the repo's
+    transcendental rule) so the fold is exact; ONE IEEE division by
+    n·1e6.
+
+    Scale shape: map-side expression + one scalar agg."""
+    from kp_crypto_market_analytics_spark.queries_r10 import _qs_label_df
+
+    s = _qs_label_df(spark, sf_dir)
+    pu = F.least(
+        F.greatest(F.col("pm"), F.lit(_LL_EPS_U)),
+        F.lit(1_000_000 - _LL_EPS_U),
+    )
+    p = pu.cast("double") / F.lit(1e6)
+    term = F.round(
+        -F.log(F.when(F.col("y"), p).otherwise(F.lit(1.0) - p))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    g = s.select(term.alias("t")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("t").alias("su")
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            F.col("su").cast("double") / (F.col("n").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("log_loss"),
+    )
+
+
+def _a_log_loss_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r10 import _qs_label_cte
+
+    return f"""
+WITH {_qs_label_cte()}, t AS (
+  SELECT CAST(round(-ln(CASE WHEN y
+      THEN least(greatest(pm, {_LL_EPS_U}), {1_000_000 - _LL_EPS_U}) / 1e6
+      ELSE 1.0 - least(greatest(pm, {_LL_EPS_U}),
+                       {1_000_000 - _LL_EPS_U}) / 1e6 END)
+    * 1e6, 0) AS BIGINT) AS t
+  FROM scored
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  round(CAST(SUM(t) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6)
+    AS log_loss
+FROM t
+"""
+
+
+R11C_QUERIES["a_log_loss"] = a_log_loss
+_R11C_ORACLES["a_log_loss"] = _a_log_loss_sql
+
+
+# ----------------------------------------------------------- a_fdr_bh
+
+_BH_Q = 0.10
+
+
+def a_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (1995, public) over the
+    24-hour family of two-sample KS tests (click vs view tick values
+    within each hour of day): p-values from the asymptotic
+    2·exp(−2·D²·nm/(n+m)), then the step-up rule at q = 0.10 — the
+    multiple-testing discipline any per-stratum drift monitor needs.
+
+    Determinism: per-hour KS numerators are exact integers
+    (cumA·m − cumB·n over the merged per-hour support); each p is ONE
+    IEEE exp expression rounded to 6 dp; BH ranks the 24 rounded
+    p-values on a (p, hour) total order and the rejection frontier is
+    an integer window max.
+
+    Scale shape: everything partitions by hour (24-way); no global
+    sort, one 24-row final pass."""
+    t = load_tables(spark, sf_dir, ["events"])
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    e = ensure_parallelism(t["events"]).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    ).select(
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+        (F.col("event_type") == _PAIR_A).alias("is_a"),
+    )
+    pts = e.groupBy("hr", "vm").agg(
+        F.sum(F.col("is_a").cast("long")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("long")).alias("cb"),
+    )
+    w = Window.partitionBy("hr").orderBy("vm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("hr")
+    c = pts.select(
+        "hr",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+    ).select(
+        "hr",
+        "cuma",
+        "cumb",
+        F.max("cuma").over(wall).alias("n"),
+        F.max("cumb").over(wall).alias("m"),
+    )
+    g = c.groupBy("hr").agg(
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+        F.max(F.abs(F.col("cuma") * F.col("m") - F.col("cumb") * F.col("n")))
+        .alias("dnum"),
+    )
+    n, m = F.col("n").cast("double"), F.col("m").cast("double")
+    dnum = F.col("dnum").cast("double")
+    x = dnum * dnum / (n * m * (n * m) / (n + m)) / (n * m) * (n * m)
+    # D² · nm/(n+m) = (dnum/(n·m))² · n·m/(n+m)
+    stat = (dnum / (n * m)) * (dnum / (n * m)) * (n * m / (n + m))
+    p = F.round(
+        F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * stat)), 6
+    )
+    g = g.select(
+        "hr",
+        F.col("n").cast("long").alias("n_a"),
+        F.col("m").cast("long").alias("n_b"),
+        F.round(dnum / (n * m), 6).alias("ks_d"),
+        p.alias("p_value"),
+    )
+    wp = Window.orderBy("p_value", "hr")
+    wall2 = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = g.select(
+        "*",
+        F.row_number().over(wp).alias("i"),
+        F.count(F.lit(1)).over(wall2).alias("mm"),
+    )
+    thr = F.round(
+        F.col("i").cast("double") * F.lit(_BH_Q) / F.col("mm"), 6
+    )
+    ranked = ranked.withColumn(
+        "kmax",
+        F.max(F.when(F.col("p_value") <= thr, F.col("i"))).over(wall2),
+    )
+    return ranked.select(
+        "hr",
+        "n_a",
+        "n_b",
+        (F.col("ks_d") + F.lit(0.0)).alias("ks_d"),
+        (F.col("p_value") + F.lit(0.0)).alias("p_value"),
+        (thr + F.lit(0.0)).alias("bh_threshold"),
+        F.coalesce(F.col("i") <= F.col("kmax"), F.lit(False)).alias(
+            "rejected"
+        ),
+    ).orderBy("hr")
+
+
+def _a_fdr_bh_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT EXTRACT(hour FROM ts) AS hr,
+    CAST(round(value * 1000000) AS BIGINT) AS vm,
+    event_type = '{_PAIR_A}' AS is_a
+  FROM events WHERE event_type IN ('{_PAIR_A}', '{_PAIR_B}')
+), pts AS (
+  SELECT hr, vm,
+    SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+  FROM e GROUP BY 1, 2
+), c AS (
+  SELECT hr,
+    SUM(ca) OVER (PARTITION BY hr ORDER BY vm
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+    SUM(cb) OVER (PARTITION BY hr ORDER BY vm
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM pts
+), c2 AS (
+  SELECT hr, cuma, cumb,
+    MAX(cuma) OVER (PARTITION BY hr) AS n,
+    MAX(cumb) OVER (PARTITION BY hr) AS m
+  FROM c
+), g AS (
+  SELECT hr, MAX(n) AS n, MAX(m) AS m,
+    MAX(abs(cuma * m - cumb * n)) AS dnum
+  FROM c2 GROUP BY hr
+), pv AS (
+  SELECT hr, CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+    round(CAST(dnum AS DOUBLE) / (CAST(n AS DOUBLE) * m), 6) AS ks_d,
+    round(least(1.0, 2.0 * exp(-2.0
+      * (CAST(dnum AS DOUBLE) / (CAST(n AS DOUBLE) * m))
+      * (CAST(dnum AS DOUBLE) / (CAST(n AS DOUBLE) * m))
+      * (CAST(n AS DOUBLE) * m / (CAST(n AS DOUBLE) + m)))), 6)
+      AS p_value
+  FROM g
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value, hr) AS i,
+    COUNT(*) OVER () AS mm
+  FROM pv
+), k AS (
+  SELECT *,
+    MAX(CASE WHEN p_value <=
+        round(CAST(i AS DOUBLE) * {_BH_Q!r} / mm, 6)
+      THEN i END) OVER () AS kmax
+  FROM ranked
+)
+SELECT hr, n_a, n_b, ks_d + 0.0 AS ks_d, p_value + 0.0 AS p_value,
+  round(CAST(i AS DOUBLE) * {_BH_Q!r} / mm, 6) + 0.0 AS bh_threshold,
+  coalesce(i <= kmax, FALSE) AS rejected
+FROM k ORDER BY hr
+"""
+
+
+R11C_QUERIES["a_fdr_bh"] = a_fdr_bh
+_R11C_ORACLES["a_fdr_bh"] = _a_fdr_bh_sql
+
+
+# ----------------------------------------------------- a_cronbach_alpha
+
+_CA_BANDS = 4  # four six-hour day-part "items"
+
+
+def a_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (1951, public) of the four six-hour day-part
+    activity totals as "items" scoring each day — the internal-
+    consistency coefficient: do the day-parts move together enough to
+    treat daily volume as one scale?
+
+    Determinism: item scores are exact micro BIGINTs on the dense
+    day×band grid (absent cells are true zero activity); every
+    variance keeps the exact integer numerator n·Σx² − (Σx)² as
+    DECIMAL(38,0) over the common denominator n², so alpha =
+    k/(k−1)·(1 − Σᵢnumᵢ/num_total) is ONE IEEE expression.
+
+    Scale shape: one (day, band) agg, a 4-way pivot-free group, two
+    scalar folds."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        F.to_date("ts").alias("day"),
+        (F.hour("ts") / F.lit(6)).cast("int").alias("band"),
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    days = e.select("day").distinct()
+    bands = spark.range(_CA_BANDS).select(F.col("id").cast("int").alias("band"))
+    grid = days.crossJoin(F.broadcast(bands))
+    cells = e.groupBy("day", "band").agg(F.sum("vm").alias("x"))
+    full = grid.join(cells, ["day", "band"], "left").select(
+        "day", "band", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    d = "decimal(38,0)"
+    item = full.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum(F.col("x").cast(d) * F.col("x").cast(d)).alias("sxx"),
+    )
+    item_num = item.select(
+        "n",
+        (F.col("n").cast(d) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("vnum"),
+    ).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("vnum").alias("item_vnum"),
+    )
+    totals = full.groupBy("day").agg(F.sum("x").alias("tot"))
+    tot_num = totals.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum(F.col("tot").cast(d)).alias("st"),
+        F.sum(F.col("tot").cast(d) * F.col("tot").cast(d)).alias("stt"),
+    ).select(
+        (
+            F.col("n2").cast(d) * F.col("stt") - F.col("st") * F.col("st")
+        ).alias("tot_vnum")
+    )
+    g = item_num.crossJoin(tot_num)
+    k = F.col("k").cast("double")
+    ok = (F.col("tot_vnum") > 0) & (F.col("k") > 1)
+    alpha = (
+        k
+        / (k - F.lit(1.0))
+        * (
+            F.lit(1.0)
+            - F.col("item_vnum").cast("double")
+            / F.col("tot_vnum").cast("double")
+        )
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("n_items"),
+        F.when(ok, F.round(alpha, 6) + F.lit(0.0)).alias("cronbach_alpha"),
+    )
+
+
+def _a_cronbach_alpha_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(EXTRACT(hour FROM ts) // 6 AS INT) AS band,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), grid AS (
+  SELECT day, band
+  FROM (SELECT DISTINCT day FROM e), (SELECT UNNEST(range(4)) AS band)
+), cells AS (
+  SELECT day, band, SUM(vm) AS x FROM e GROUP BY 1, 2
+), filled AS (
+  SELECT g.day, g.band, coalesce(c.x, 0) AS x
+  FROM grid g LEFT JOIN cells c ON g.day = c.day AND g.band = c.band
+), item AS (
+  SELECT band, COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM filled GROUP BY band
+), inum AS (
+  SELECT MAX(n) AS n, COUNT(*) AS k,
+    SUM(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS item_vnum
+  FROM item
+), totals AS (
+  SELECT day, SUM(x) AS tot FROM filled GROUP BY day
+), tnum AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(CAST(tot AS DECIMAL(38,0))
+      * CAST(tot AS DECIMAL(38,0)))
+    - SUM(CAST(tot AS DECIMAL(38,0))) * SUM(CAST(tot AS DECIMAL(38,0)))
+    AS tot_vnum
+  FROM totals
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_items,
+  CASE WHEN tot_vnum > 0 AND k > 1 THEN
+    round(CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+      * (1.0 - CAST(item_vnum AS DOUBLE) / CAST(tot_vnum AS DOUBLE)), 6)
+    + 0.0
+  END AS cronbach_alpha
+FROM inum, tnum
+"""
+
+
+R11C_QUERIES["a_cronbach_alpha"] = a_cronbach_alpha
+_R11C_ORACLES["a_cronbach_alpha"] = _a_cronbach_alpha_sql
+
+
+# -------------------------------------------------------------- a_icc
+
+def a_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1) (one-way random effects; Shrout
+    & Fleiss 1979, public) treating the event types as "raters"
+    scoring each day's micro-value total — how much of the variance is
+    between days rather than within them.
+
+    Determinism: the day×type grid is dense (absent cells are zero
+    activity); both ANOVA sums of squares keep exact DECIMAL(38,0)
+    numerators A′ = n·ΣS² − (ΣS)² and B′ = k·Σx² − ΣS², and ICC =
+    (A′(k−1) − B′(n−1)) / (A′(k−1) + B′(n−1)(k−1)) is ONE IEEE
+    division of exact integers.
+
+    Scale shape: one (day, type) agg, one |days|-row fold."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    days = e.select("day").distinct()
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    cells = e.groupBy("day", "event_type").agg(F.sum("vm").alias("x"))
+    full = grid.join(cells, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    d = "decimal(38,0)"
+    per_day = full.groupBy("day").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(d)).alias("s"),
+        F.sum(F.col("x").cast(d) * F.col("x").cast(d)).alias("sxx"),
+    )
+    g = per_day.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("k").alias("k"),
+        F.sum("s").alias("st"),
+        F.sum(F.col("s") * F.col("s")).alias("ss2"),
+        F.sum("sxx").alias("sxx"),
+    )
+    n, k = F.col("n").cast(d), F.col("k").cast(d)
+    a = (n * F.col("ss2") - F.col("st") * F.col("st")) * (k - 1)
+    b = (k * F.col("sxx") - F.col("ss2")) * (n - 1)
+    den = (a + b * (k - 1)).cast("double")
+    ok = (F.col("n") > 1) & (F.col("k") > 1) & (den != 0)
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("n_raters"),
+        F.when(
+            ok, F.round((a - b).cast("double") / den, 6) + F.lit(0.0)
+        ).alias("icc1"),
+    )
+
+
+def _a_icc_sql() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), grid AS (
+  SELECT day, event_type
+  FROM (SELECT DISTINCT day FROM e), (SELECT DISTINCT event_type FROM e)
+), cells AS (
+  SELECT day, event_type, SUM(vm) AS x FROM e GROUP BY 1, 2
+), filled AS (
+  SELECT g.day, g.event_type, coalesce(c.x, 0) AS x
+  FROM grid g LEFT JOIN cells c
+    ON g.day = c.day AND g.event_type = c.event_type
+), per_day AS (
+  SELECT day, COUNT(*) AS k, SUM(CAST(x AS DECIMAL(38,0))) AS s,
+    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx
+  FROM filled GROUP BY day
+), g AS (
+  SELECT COUNT(*) AS n, MAX(k) AS k, SUM(s) AS st,
+    SUM(s * s) AS ss2, SUM(sxx) AS sxx
+  FROM per_day
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_raters,
+  CASE WHEN n > 1 AND k > 1 AND
+    CAST((CAST(n AS DECIMAL(38,0)) * ss2 - st * st) * (k - 1)
+         + (CAST(k AS DECIMAL(38,0)) * sxx - ss2) * (n - 1) * (k - 1)
+      AS DOUBLE) <> 0
+  THEN round(
+    CAST((CAST(n AS DECIMAL(38,0)) * ss2 - st * st) * (k - 1)
+         - (CAST(k AS DECIMAL(38,0)) * sxx - ss2) * (n - 1) AS DOUBLE)
+    / CAST((CAST(n AS DECIMAL(38,0)) * ss2 - st * st) * (k - 1)
+           + (CAST(k AS DECIMAL(38,0)) * sxx - ss2) * (n - 1) * (k - 1)
+      AS DOUBLE), 6) + 0.0
+  END AS icc1
+FROM g
+"""
+
+
+R11C_QUERIES["a_icc"] = a_icc
+_R11C_ORACLES["a_icc"] = _a_icc_sql
+
+
+# -------------------------------------------------------- a_hill_tail
+
+_HILL_K = 50
+
+
+def a_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator per event type (Hill 1975, public):
+    over the top-50 order statistics of the micro value,
+    H = (1/(k−1))·Σ ln(x_(i)/x_(k)), tail index α = 1/H — the
+    heavy-tail thickness gauge next to a_evt_gumbel.
+
+    Determinism: order statistics come from the per-type total order
+    (vm DESC, event_id); each ln of an exact integer ratio quantizes
+    to a micro BIGINT before summing; H and α are single IEEE
+    divisions.
+
+    Scale shape: per-type top-k via the bounded window rank, then a
+    |types|-row agg."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    ).where(F.col("vm") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("vm").desc(), F.col("event_id").asc()
+    )
+    topk = e.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= _HILL_K
+    )
+    xk = topk.where(F.col("rk") == _HILL_K).select(
+        "event_type", F.col("vm").alias("xk")
+    )
+    j = topk.where(F.col("rk") < _HILL_K).join(
+        F.broadcast(xk), "event_type"
+    )
+    term = F.round(
+        F.log(F.col("vm").cast("double") / F.col("xk")) * F.lit(1e6), 0
+    ).cast("long")
+    g = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.sum(term).alias("su"),
+    )
+    ok = (F.col("nk") == _HILL_K - 1) & (F.col("su") > 0)
+    h = F.col("su").cast("double") / (F.col("nk").cast("double") * F.lit(1e6))
+    return g.select(
+        "event_type",
+        F.col("nk").cast("long").alias("n_top"),
+        F.when(ok, F.round(h, 6) + F.lit(0.0)).alias("hill_h"),
+        F.when(
+            ok,
+            F.round(
+                F.col("nk").cast("double") * F.lit(1e6)
+                / F.col("su").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("tail_alpha"),
+    ).orderBy("event_type")
+
+
+def _a_hill_tail_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+  WHERE CAST(round(value * 1000000) AS BIGINT) > 0
+), topk AS (
+  SELECT event_type, vm,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY vm DESC, event_id) AS rk
+  FROM e
+), xk AS (
+  SELECT event_type, vm AS xk FROM topk WHERE rk = {_HILL_K}
+), terms AS (
+  SELECT t.event_type,
+    CAST(round(ln(CAST(t.vm AS DOUBLE) / x.xk) * 1e6, 0) AS BIGINT) AS u
+  FROM topk t JOIN xk x USING (event_type)
+  WHERE t.rk < {_HILL_K}
+), g AS (
+  SELECT event_type, COUNT(*) AS nk, SUM(u) AS su FROM terms GROUP BY 1
+)
+SELECT event_type, CAST(nk AS BIGINT) AS n_top,
+  CASE WHEN nk = {_HILL_K - 1} AND su > 0 THEN
+    round(CAST(su AS DOUBLE) / (CAST(nk AS DOUBLE) * 1e6), 6) + 0.0
+  END AS hill_h,
+  CASE WHEN nk = {_HILL_K - 1} AND su > 0 THEN
+    round(CAST(nk AS DOUBLE) * 1e6 / CAST(su AS DOUBLE), 6) + 0.0
+  END AS tail_alpha
+FROM g ORDER BY event_type
+"""
+
+
+R11C_QUERIES["a_hill_tail"] = a_hill_tail
+_R11C_ORACLES["a_hill_tail"] = _a_hill_tail_sql
