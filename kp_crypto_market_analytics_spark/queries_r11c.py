@@ -1867,3 +1867,369 @@ FROM g ORDER BY event_type
 
 R11C_QUERIES["a_hill_tail"] = a_hill_tail
 _R11C_ORACLES["a_hill_tail"] = _a_hill_tail_sql
+
+
+# -------------------------------------------------------- t_heaps_law
+
+def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit over the corpus in doc_id order (Heaps 1978,
+    public): V(N) ≈ K·N^β — log-log OLS of cumulative vocabulary
+    against cumulative token count, the vocabulary-growth exponent a
+    tokenizer budget is sized from.
+
+    Determinism: first occurrences are exact (min doc_id per token);
+    both cumulative series are integer; each ln quantizes to a micro
+    BIGINT so the OLS moments fold exactly; β and K are single IEEE
+    chains over those integers.
+
+    Scale shape: token explode → (tok → min doc) agg → per-doc firsts
+    → a |docs|-row cumulative pass (range-partitioned at scale, like
+    the rank movers)."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    toks = _toks_df(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    firsts = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("fo"))
+        .groupBy("fo")
+        .agg(F.count(F.lit(1)).alias("nf"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        per_doc.join(firsts, per_doc["doc_id"] == firsts["fo"], "left")
+        .select(
+            per_doc["doc_id"],
+            "nt",
+            F.coalesce("nf", F.lit(0)).alias("nf"),
+        )
+        .select(
+            F.sum("nt").over(w).alias("nn"),
+            F.sum("nf").over(w).alias("vv"),
+        )
+        .where((F.col("nn") > 0) & (F.col("vv") > 0))
+    )
+    d = "decimal(38,0)"
+    pts = cum.select(
+        F.round(F.log(F.col("nn").cast("double")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("vv").cast("double")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("y"),
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum(F.col("y").cast(d)).alias("sy"),
+        F.sum(F.col("x").cast(d) * F.col("x").cast(d)).alias("sxx"),
+        F.sum(F.col("x").cast(d) * F.col("y").cast(d)).alias("sxy"),
+    )
+    n = F.col("n").cast(d)
+    beta_num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    beta_den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    beta = beta_num / beta_den
+    kk = F.exp(
+        (
+            F.col("sy").cast("double")
+            - beta * F.col("sx").cast("double")
+        )
+        / (F.col("n").cast("double") * F.lit(1e6))
+    )
+    ok = (F.col("n") > 1) & (beta_den > 0)
+    return g.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.when(ok, F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        F.when(ok, F.round(kk, 6) + F.lit(0.0)).alias("heaps_k"),
+    )
+
+
+def _t_heaps_law_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import TOKENS_CTE
+
+    return f"""
+WITH {TOKENS_CTE}, per_doc AS (
+  SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY doc_id
+), firsts AS (
+  SELECT fo, COUNT(*) AS nf FROM (
+    SELECT tok, MIN(doc_id) AS fo FROM toks GROUP BY tok
+  ) GROUP BY fo
+), cum AS (
+  SELECT
+    SUM(nt) OVER (ORDER BY p.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+    SUM(coalesce(nf, 0)) OVER (ORDER BY p.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+  FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.fo
+), pts AS (
+  SELECT CAST(round(ln(CAST(nn AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+    CAST(round(ln(CAST(vv AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+  FROM cum WHERE nn > 0 AND vv > 0
+), g AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+  CASE WHEN n > 1 AND CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+      AS DOUBLE) > 0 THEN
+    round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+        / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE), 6)
+    + 0.0 END AS heaps_beta,
+  CASE WHEN n > 1 AND CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+      AS DOUBLE) > 0 THEN
+    round(exp((CAST(sy AS DOUBLE)
+      - (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         / CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+        * CAST(sx AS DOUBLE))
+      / (CAST(n AS DOUBLE) * 1e6)), 6) + 0.0 END AS heaps_k
+FROM g
+"""
+
+
+R11C_QUERIES["t_heaps_law"] = t_heaps_law
+_R11C_ORACLES["t_heaps_law"] = _t_heaps_law_sql
+
+
+# -------------------------------------------------- t_collocation_pmi
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def t_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    (Church & Hanks 1990, public): PMI = ln(p(xy)/(p(x)p(y))) with
+    p(xy) = c_xy/B, p(x) = c_x/T — the collocation extractor behind
+    phrase vocabularies, floored at count ≥ 5.
+
+    Determinism: all counts are exact integers; PMI's argument is the
+    exact integer ratio c_xy·T·T / (B·c_x·c_y) (DECIMAL products), so
+    ln runs on an identical double both engines; ordering is on the
+    6-dp PMI with a bigram tiebreak.
+
+    Scale shape: adjacent-pair explode shuffles (x, y) pairs once;
+    unigram counts broadcast back."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    toks = _toks_df(spark, sf_dir)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS x,"
+                " element_at(toks, i + 1) AS y))"
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    uni = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("tt"))
+    big = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    btot = big.agg(F.sum("cxy").alias("bb"))
+    d = "decimal(38,0)"
+    j = (
+        big.where(F.col("cxy") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))), "x")
+        .join(F.broadcast(uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))), "y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+    )
+    num = F.col("cxy").cast(d) * F.col("tt").cast(d) * F.col("tt").cast(d)
+    den = F.col("bb").cast(d) * F.col("cx").cast(d) * F.col("cy").cast(d)
+    pmi = F.round(F.log(num.cast("double") / den.cast("double")), 6)
+    return (
+        j.select(
+            "x",
+            "y",
+            F.col("cxy").cast("long").alias("pair_count"),
+            (pmi + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "x", "y")
+        .limit(_PMI_TOPK)
+    )
+
+
+def _t_collocation_pmi_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import NORM_TEXT_SQL
+
+    return f"""
+WITH lsts AS (
+  SELECT doc_id, string_split({NORM_TEXT_SQL}, ' ') AS lst FROM documents
+), pos AS (
+  SELECT doc_id, lst, unnest(generate_series(1, len(lst) - 1)) AS p
+  FROM lsts
+), pairs AS (
+  SELECT lst[p] AS x, lst[p + 1] AS y FROM pos
+), uni AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest(lst) AS tok FROM lsts
+  ) GROUP BY tok
+), tot AS (SELECT SUM(c) AS tt FROM uni),
+big AS (
+  SELECT x, y, COUNT(*) AS cxy FROM pairs GROUP BY x, y
+), btot AS (SELECT SUM(cxy) AS bb FROM big)
+SELECT x, y, CAST(cxy AS BIGINT) AS pair_count,
+  round(ln(CAST(CAST(cxy AS DECIMAL(38,0)) * CAST(tt AS DECIMAL(38,0))
+               * CAST(tt AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(CAST(bb AS DECIMAL(38,0)) * CAST(cx.c AS DECIMAL(38,0))
+                  * CAST(cy.c AS DECIMAL(38,0)) AS DOUBLE)), 6) + 0.0
+    AS pmi
+FROM big
+JOIN uni cx ON big.x = cx.tok
+JOIN uni cy ON big.y = cy.tok
+CROSS JOIN tot CROSS JOIN btot
+WHERE cxy >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, x, y
+LIMIT {_PMI_TOPK}
+"""
+
+
+R11C_QUERIES["t_collocation_pmi"] = t_collocation_pmi
+_R11C_ORACLES["t_collocation_pmi"] = _t_collocation_pmi_sql
+
+
+# ------------------------------------------------ t_simpson_diversity
+
+def t_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus lexical concentration via Simpson's index (Simpson 1949,
+    public): D = Σ c_w(c_w−1)/(T(T−1)) — the probability two random
+    token draws are the same word; 1−D is the diversity the Yule-K
+    family approximates.
+
+    Determinism: token counts are exact; both numerator and
+    denominator fold as DECIMAL(38,0); ONE IEEE division.
+
+    Scale shape: one token agg, one scalar fold."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    toks = _toks_df(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    d = "decimal(38,0)"
+    g = uni.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c").cast(d)).alias("tt"),
+        F.sum(F.col("c").cast(d) * (F.col("c").cast(d) - 1)).alias("num"),
+    )
+    ok = F.col("tt") > 1
+    simpson = F.col("num").cast("double") / (
+        F.col("tt").cast("double") * (F.col("tt").cast("double") - F.lit(1.0))
+    )
+    return g.select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("tt").cast("long").alias("n_tokens"),
+        F.when(ok, F.round(simpson, 6) + F.lit(0.0)).alias("simpson_d"),
+        F.when(ok, F.round(F.lit(1.0) - simpson, 6) + F.lit(0.0)).alias(
+            "diversity"
+        ),
+    )
+
+
+def _t_simpson_diversity_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import TOKENS_CTE
+
+    return f"""
+WITH {TOKENS_CTE}, uni AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), g AS (
+  SELECT COUNT(*) AS vocab, SUM(CAST(c AS DECIMAL(38,0))) AS tt,
+    SUM(CAST(c AS DECIMAL(38,0)) * (CAST(c AS DECIMAL(38,0)) - 1)) AS num
+  FROM uni
+)
+SELECT CAST(vocab AS BIGINT) AS vocab, CAST(tt AS BIGINT) AS n_tokens,
+  CASE WHEN tt > 1 THEN
+    round(CAST(num AS DOUBLE)
+          / (CAST(tt AS DOUBLE) * (CAST(tt AS DOUBLE) - 1.0)), 6) + 0.0
+  END AS simpson_d,
+  CASE WHEN tt > 1 THEN
+    round(1.0 - CAST(num AS DOUBLE)
+          / (CAST(tt AS DOUBLE) * (CAST(tt AS DOUBLE) - 1.0)), 6) + 0.0
+  END AS diversity
+FROM g
+"""
+
+
+R11C_QUERIES["t_simpson_diversity"] = t_simpson_diversity
+_R11C_ORACLES["t_simpson_diversity"] = _t_simpson_diversity_sql
+
+
+# ---------------------------------------------------- t_burstiness
+
+_BURST_TOPK = 20
+
+
+def t_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995, public) for the top-20
+    collection-frequency tokens: the Fano factor var/mean of per-doc
+    counts INCLUDING zero-occurrence docs — bursty terms (F ≫ 1)
+    concentrate in few docs, function words sit near 1.
+
+    Determinism: with cf = Σc and n docs, F = (n·Σc² − cf²)/(n·cf)
+    from exact DECIMAL integers (population variance); ONE IEEE
+    division per term; top-k on (cf DESC, tok).
+
+    Scale shape: one (tok, doc) agg; zeros enter through the closed
+    form, never materialized."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    toks = _toks_df(spark, sf_dir)
+    n_docs = toks.agg(F.count(F.lit(1)).alias("n"))
+    per = toks.select(
+        "doc_id", F.explode("toks").alias("tok")
+    ).groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    d = "decimal(38,0)"
+    stats = per.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c").cast(d)).alias("cf"),
+        F.sum(F.col("c").cast(d) * F.col("c").cast(d)).alias("c2"),
+    )
+    j = stats.crossJoin(F.broadcast(n_docs))
+    fano = (
+        (F.col("n").cast(d) * F.col("c2") - F.col("cf") * F.col("cf"))
+        .cast("double")
+        / (F.col("n").cast(d) * F.col("cf")).cast("double")
+    )
+    return (
+        j.select(
+            "tok",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("cf").cast("long").alias("coll_freq"),
+            (F.round(fano, 6) + F.lit(0.0)).alias("burstiness"),
+        )
+        .orderBy(F.col("coll_freq").desc(), "tok")
+        .limit(_BURST_TOPK)
+    )
+
+
+def _t_burstiness_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import TOKENS_CTE
+
+    return f"""
+WITH {TOKENS_CTE}, nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+), per AS (
+  SELECT tok, doc_id, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), stats AS (
+  SELECT tok, COUNT(*) AS df, SUM(CAST(c AS DECIMAL(38,0))) AS cf,
+    SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS c2
+  FROM per GROUP BY tok
+)
+SELECT tok, CAST(df AS BIGINT) AS doc_freq, CAST(cf AS BIGINT)
+    AS coll_freq,
+  round(CAST(CAST(n AS DECIMAL(38,0)) * c2 - cf * cf AS DOUBLE)
+        / CAST(CAST(n AS DECIMAL(38,0)) * cf AS DOUBLE), 6) + 0.0
+    AS burstiness
+FROM stats, nd
+ORDER BY coll_freq DESC, tok
+LIMIT {_BURST_TOPK}
+"""
+
+
+R11C_QUERIES["t_burstiness"] = t_burstiness
+_R11C_ORACLES["t_burstiness"] = _t_burstiness_sql
