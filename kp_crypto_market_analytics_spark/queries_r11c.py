@@ -2233,3 +2233,530 @@ LIMIT {_BURST_TOPK}
 
 R11C_QUERIES["t_burstiness"] = t_burstiness
 _R11C_ORACLES["t_burstiness"] = _t_burstiness_sql
+
+
+# ------------------------------------------------------- t_map_eval
+
+def t_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-average-precision retrieval eval over the three standing
+    query terms: per term, rank candidate docs by length-normalized
+    term frequency (tf/dl), grade rel = tf ≥ 2, and fold AP =
+    (1/n_rel)·Σ P@k at relevant ranks — the multi-query companion to
+    t_ndcg_eval's single-query nDCG/MRR.
+
+    Determinism: tf and dl are exact integers; the sort key tf/dl is
+    one identical IEEE division with a doc_id tiebreak; every P@k
+    quantizes to an exact half-away micro BIGINT before the fold
+    (the a_pr_auc rule); AP is ONE IEEE division per term.
+
+    Scale shape: token explode → per-(term, doc) tf agg → per-term
+    rank over the candidate slice (df-bounded, never corpus-wide)."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+    from kp_crypto_market_analytics_spark.queries_ext import _BM25_TERMS
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+
+    toks = _toks_df(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(dl), "doc_id")
+    )
+    w = Window.partitionBy("tok").orderBy(
+        (F.col("tf").cast("double") / F.col("dl")).desc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = tf.select(
+        "tok",
+        (F.col("tf") >= 2).alias("rel"),
+        F.row_number().over(w).alias("k"),
+    )
+    wc = Window.partitionBy("tok").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = ranked.select(
+        "tok", "rel", "k",
+        F.sum(F.col("rel").cast("long")).over(wc).alias("crel"),
+    )
+    d = "decimal(38,0)"
+    term = F.when(
+        F.col("rel"),
+        _half_away(
+            F.col("crel").cast(d) * F.lit(1_000_000).cast(d),
+            F.col("k").cast(d),
+        ),
+    ).otherwise(F.lit(0))
+    g = ranked.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.col("rel").cast("long")).alias("n_rel"),
+        F.sum(term).alias("ap_u"),
+    )
+    ok = F.col("n_rel") > 0
+    return g.select(
+        F.col("tok").alias("term"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.when(
+            ok,
+            F.round(
+                F.col("ap_u").cast("double")
+                / (F.col("n_rel").cast("double") * F.lit(1e6)),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("avg_precision"),
+    ).orderBy("term")
+
+
+def _t_map_eval_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_ext import (
+        _BM25_TERMS,
+        TOKENS_CTE,
+    )
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    ap_term = _sql_half_away("crel * 1000000", "k")
+    return f"""
+WITH {TOKENS_CTE}, dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT tok, t.doc_id, COUNT(*) AS tf, MAX(dl.dl) AS dl
+  FROM toks t JOIN dl ON t.doc_id = dl.doc_id
+  WHERE tok IN ({terms})
+  GROUP BY tok, t.doc_id
+), ranked AS (
+  SELECT tok, tf >= 2 AS rel,
+    row_number() OVER (PARTITION BY tok
+      ORDER BY CAST(tf AS DOUBLE) / dl DESC, doc_id) AS k
+  FROM tf
+), c AS (
+  SELECT tok, rel, k,
+    SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER (PARTITION BY tok
+      ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS crel
+  FROM ranked
+), g AS (
+  SELECT tok, COUNT(*) AS n_candidates,
+    SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel,
+    SUM(CASE WHEN rel THEN {ap_term} ELSE 0 END) AS ap_u
+  FROM c GROUP BY tok
+)
+SELECT tok AS term, CAST(n_candidates AS BIGINT) AS n_candidates,
+  CAST(n_rel AS BIGINT) AS n_rel,
+  CASE WHEN n_rel > 0 THEN
+    round(CAST(ap_u AS DOUBLE) / (CAST(n_rel AS DOUBLE) * 1e6), 6) + 0.0
+  END AS avg_precision
+FROM g ORDER BY term
+"""
+
+
+R11C_QUERIES["t_map_eval"] = t_map_eval
+_R11C_ORACLES["t_map_eval"] = _t_map_eval_sql
+
+
+# ---------------------------------------------------------- a_gk_gamma
+
+_GKG_BANDS = 4
+
+
+def a_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma (1954, public) between time-of-day band
+    (four six-hour ordinal levels) and value quartile (rank-derived
+    ordinal) over the event ticks: γ = (C − D)/(C + D) from the
+    concordant/discordant pair counts of the 4×4 contingency table —
+    the ordinal association measure that ignores ties entirely.
+
+    Determinism: the quartile is an exact integer derived from the
+    range-partitioned global rank on the TOTAL order (vm, event_id):
+    q = (4·(rn−1)) div N; C and D fold as DECIMAL products over the
+    16-cell table self-join; ONE IEEE division.
+
+    Scale shape: one global rank (range-partitioned), one 16-row
+    contingency agg, a bounded 16×16 pair join."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        "event_id",
+        (F.hour("ts") / F.lit(6)).cast("int").alias("band"),
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    ranked = range_partitioned_rank(e, ["vm", "event_id"], out_col="rn")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = ranked.select(
+        "band",
+        "rn",
+        F.count(F.lit(1)).over(wall).alias("nn"),
+    )
+    q = F.call_function(
+        "div", F.lit(_GKG_BANDS) * (F.col("rn") - 1), F.col("nn")
+    ).cast("int")
+    cells = ranked.select("band", q.alias("q")).groupBy("band", "q").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    l = cells.select(
+        F.col("band").alias("b1"), F.col("q").alias("q1"), F.col("c").alias("c1")
+    )
+    r = cells.select(
+        F.col("band").alias("b2"), F.col("q").alias("q2"), F.col("c").alias("c2")
+    )
+    d = "decimal(38,0)"
+    pairs = l.crossJoin(F.broadcast(r))
+    conc = F.sum(
+        F.when(
+            (F.col("b2") > F.col("b1")) & (F.col("q2") > F.col("q1")),
+            F.col("c1").cast(d) * F.col("c2").cast(d),
+        )
+    )
+    disc = F.sum(
+        F.when(
+            (F.col("b2") > F.col("b1")) & (F.col("q2") < F.col("q1")),
+            F.col("c1").cast(d) * F.col("c2").cast(d),
+        )
+    )
+    g = pairs.agg(conc.alias("cc"), disc.alias("dd"))
+    ok = (F.col("cc") + F.col("dd")) > 0
+    return g.select(
+        F.col("cc").cast("long").alias("concordant"),
+        F.col("dd").cast("long").alias("discordant"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("cc") - F.col("dd")).cast("double")
+                / (F.col("cc") + F.col("dd")).cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("gk_gamma"),
+    )
+
+
+def _a_gk_gamma_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id,
+    CAST(EXTRACT(hour FROM ts) // 6 AS INT) AS band,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), ranked AS (
+  SELECT band, row_number() OVER (ORDER BY vm, event_id) AS rn,
+    COUNT(*) OVER () AS nn
+  FROM e
+), cells AS (
+  SELECT band, CAST(({_GKG_BANDS} * (rn - 1)) // nn AS INT) AS q,
+    COUNT(*) AS c
+  FROM ranked GROUP BY 1, 2
+), g AS (
+  SELECT
+    SUM(CASE WHEN r.band > l.band AND r.q > l.q
+        THEN CAST(l.c AS DECIMAL(38,0)) * CAST(r.c AS DECIMAL(38,0))
+        END) AS cc,
+    SUM(CASE WHEN r.band > l.band AND r.q < l.q
+        THEN CAST(l.c AS DECIMAL(38,0)) * CAST(r.c AS DECIMAL(38,0))
+        END) AS dd
+  FROM cells l, cells r
+)
+SELECT CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+  CASE WHEN cc + dd > 0 THEN
+    round(CAST(cc - dd AS DOUBLE) / CAST(cc + dd AS DOUBLE), 6) + 0.0
+  END AS gk_gamma
+FROM g
+"""
+
+
+R11C_QUERIES["a_gk_gamma"] = a_gk_gamma
+_R11C_ORACLES["a_gk_gamma"] = _a_gk_gamma_sql
+
+
+# ------------------------------------------------------------- g_katz
+
+_KATZ_ALPHA = 0.05
+_KATZ_ITERS = 3
+_KATZ_PREC = 10
+
+
+def g_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by Katz centrality (Katz 1953, public) on the
+    unweighted symmetrized co-purchase graph: x ← β + α·A x from
+    x₀ = 1, α = 0.05, three unrolled iterations — the
+    walk-counting centrality that credits long-range influence where
+    degree stops at one hop.
+
+    Determinism: the pagerank_weighted parity recipe — neighbor
+    contributions are α·x with x rounded to 10 dp each iterate, folds
+    through DECIMAL(28,12) (exact ⇒ order-independent); the oracle
+    unrolls the same three iterations.
+
+    Scale shape: one skinny (node, x) table re-joined across the
+    edge list per iteration; AQE broadcasts the shrinking side."""
+    from kp_crypto_market_analytics_spark.queries_graph import (
+        _copurchase_pairs,
+    )
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    dec = "decimal(28,12)"
+    for _ in range(_KATZ_ITERS):
+        contrib = (
+            edges.join(x.withColumnRenamed("node", "s2"), F.col("src") == F.col("s2"))
+            .groupBy("dst")
+            .agg(
+                F.sum((F.lit(_KATZ_ALPHA) * F.col("x")).cast(dec)).alias("c")
+            )
+        )
+        x = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            F.round(
+                F.lit(1.0) + F.coalesce(F.col("c").cast("double"), F.lit(0.0)),
+                _KATZ_PREC,
+            ).alias("x"),
+        )
+    return (
+        x.select(
+            F.col("node").alias("part"),
+            (F.round("x", 6) + F.lit(0.0)).alias("katz"),
+        )
+        .orderBy(F.col("katz").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
+def _g_katz_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        PAIRS_SQL,
+    )
+
+    parts = [f"""
+WITH {PAIRS_SQL}, edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+), x0 AS (
+  SELECT node, 1.0 AS x FROM nodes
+)"""]
+    for i in range(1, _KATZ_ITERS + 1):
+        parts.append(f""", c{i} AS (
+  SELECT dst, SUM(CAST({_KATZ_ALPHA!r} * x AS DECIMAL(28,12))) AS c
+  FROM edges JOIN x{i - 1} p ON edges.src = p.node GROUP BY dst
+), x{i} AS (
+  SELECT node,
+    round(1.0 + coalesce(CAST(c AS DOUBLE), 0.0), {_KATZ_PREC}) AS x
+  FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node
+)""")
+    parts.append(f"""
+SELECT node AS part, round(x, 6) + 0.0 AS katz
+FROM x{_KATZ_ITERS}
+ORDER BY katz DESC, part
+LIMIT 20
+""")
+    return "".join(parts)
+
+
+R11C_QUERIES["g_katz"] = g_katz
+_R11C_ORACLES["g_katz"] = _g_katz_sql
+
+
+# --------------------------------------------------------- g_harmonic
+
+_HARM_SEEDS = 50
+_HARM_ROUNDS = 4
+_HARM_LCM = 12  # lcm(1..4): 1/d folds as exact 12/d integers
+
+
+def g_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-4 truncated harmonic closeness (Marchiori & Latora 2000,
+    public) of the 50 highest-degree hub parts: h(s) = Σ_{0<d(s,v)≤4}
+    1/d(s,v) — the centrality that handles disconnected graphs where
+    classic closeness breaks; top-20 reported.
+
+    Determinism: multi-source BFS distances are exact integer
+    min-folds on (source, node) keys; 1/d contributions fold as exact
+    12/d BIGINTs (lcm(1..4) = 12); ONE IEEE division by 12.
+
+    Scale shape: frontier joins are bounded by 50·|reached| rows per
+    round — sources are capped, never all-pairs; the census agg is
+    |sources| rows."""
+    from kp_crypto_market_analytics_spark.queries_graph import (
+        _copurchase_pairs,
+    )
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), F.col("node").asc())
+        .limit(_HARM_SEEDS)
+        .select(F.col("node").alias("s"))
+    )
+    dist = seeds.select("s", F.col("s").alias("node"), F.lit(0).alias("dist"))
+    for _ in range(_HARM_ROUNDS):
+        nb = (
+            edges.join(
+                dist.withColumnRenamed("node", "b2"),
+                F.col("b") == F.col("b2"),
+            )
+            .groupBy("s", F.col("a").alias("node"))
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(nb, ["s", "node"], "full")
+            .select(
+                "s",
+                "node",
+                F.when(
+                    F.col("dist").isNotNull()
+                    & (F.col("nd").isNull() | (F.col("dist") <= F.col("nd"))),
+                    F.col("dist"),
+                )
+                .otherwise(F.col("nd"))
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    g = dist.where(F.col("dist") > 0).groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.sum(
+            F.call_function("div", F.lit(_HARM_LCM), F.col("dist"))
+        ).alias("h12"),
+    )
+    return (
+        g.select(
+            F.col("s").alias("part"),
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.round(
+                F.col("h12").cast("double") / F.lit(float(_HARM_LCM)), 6
+            ).alias("harmonic"),
+        )
+        .orderBy(F.col("harmonic").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
+def _g_harmonic_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        PAIRS_SQL,
+    )
+
+    parts = [f"""
+WITH {PAIRS_SQL}, edges AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
+), deg AS MATERIALIZED (
+  SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1
+), seeds AS MATERIALIZED (
+  SELECT node AS s FROM deg ORDER BY deg DESC, node LIMIT {_HARM_SEEDS}
+), d0 AS MATERIALIZED (
+  SELECT s, s AS node, 0 AS dist FROM seeds
+)"""]
+    for r in range(_HARM_ROUNDS):
+        parts.append(f""", nb{r} AS MATERIALIZED (
+  SELECT d.s, e.a AS node, MIN(d.dist) + 1 AS nd
+  FROM edges e JOIN d{r} d ON e.b = d.node
+  GROUP BY 1, 2
+), d{r + 1} AS MATERIALIZED (
+  SELECT coalesce(d.s, n.s) AS s, coalesce(d.node, n.node) AS node,
+    CASE WHEN d.dist IS NOT NULL AND (n.nd IS NULL OR d.dist <= n.nd)
+         THEN d.dist ELSE n.nd END AS dist
+  FROM d{r} d FULL JOIN nb{r} n ON d.s = n.s AND d.node = n.node
+)""")
+    parts.append(f"""
+SELECT s AS part, CAST(COUNT(*) AS BIGINT) AS n_reached,
+  round(CAST(SUM({_HARM_LCM} // dist) AS DOUBLE)
+        / {float(_HARM_LCM)!r}, 6) AS harmonic
+FROM d{_HARM_ROUNDS}
+WHERE dist > 0
+GROUP BY s
+ORDER BY harmonic DESC, part
+LIMIT 20
+""")
+    return "".join(parts)
+
+
+R11C_QUERIES["g_harmonic"] = g_harmonic
+_R11C_ORACLES["g_harmonic"] = _g_harmonic_sql
+
+
+# --------------------------------------------------------------- g_wcc
+
+def g_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected-component census of the co-purchase graph:
+    component-size histogram (size → how many components) — the
+    connectivity fingerprint read before any graph algorithm is
+    trusted (a giant component plus dust is the healthy shape).
+
+    Determinism: exact min-label propagation to convergence (the
+    dedup_clusters CC operator) vs the oracle's recursive reachability
+    CTE — both produce the identical min-id labeling; the census is
+    pure integer.
+
+    Scale shape: iterative skinny label joins, localCheckpointed; the
+    census aggregates |components| rows."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        connected_component_labels,
+    )
+    from kp_crypto_market_analytics_spark.queries_graph import (
+        _copurchase_pairs,
+    )
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    nodes = (
+        pairs.select(F.col("u").alias("part"))
+        .unionByName(pairs.select(F.col("v").alias("part")))
+        .distinct()
+    )
+    labels = connected_component_labels(
+        pairs, nodes, node_col="part", src="u", dst="v", max_iters=40
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("size")
+    )
+
+
+def _g_wcc_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        PAIRS_SQL,
+    )
+
+    return f"""
+WITH {PAIRS_SQL}, sym AS (
+  SELECT u AS a, v AS b FROM pairs UNION SELECT v, u FROM pairs
+), nodes AS (
+  SELECT DISTINCT u AS part FROM pairs
+  UNION SELECT DISTINCT v FROM pairs
+), reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT part, part FROM nodes
+    UNION
+    SELECT s.b, r.lab FROM r JOIN sym s ON s.a = r.node
+  )
+  SELECT node, MIN(lab) AS label FROM r GROUP BY node
+), sizes AS (
+  SELECT label, COUNT(*) AS size FROM reach GROUP BY label
+)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY size ORDER BY size
+"""
+
+
+R11C_QUERIES["g_wcc"] = g_wcc
+_R11C_ORACLES["g_wcc"] = _g_wcc_sql
