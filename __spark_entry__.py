@@ -185,6 +185,9 @@ _FIRST_SEEN_ROUND.update(
         "t_lexical_density", "t_term_dispersion",
         "ti_fisher_transform", "w_tes_forecast",
         # second round-11 wave (queries_r11b)
+        # (the r11 prefix budget: these two waves total 49 pending —
+        # the third wave below is therefore SCHEDULED into the
+        # round-12 driver prefix; see the vintage-12 block.)
         "ti_ultimate_oscillator", "ti_awesome_oscillator", "ti_kst",
         "ti_pivot_points", "ti_choppiness", "ti_bop",
         "a_bartlett", "a_jonckheere_terpstra", "a_cochran_armitage",
@@ -194,6 +197,32 @@ _FIRST_SEEN_ROUND.update(
         "t_hapax_richness", "t_distinct_n",
         "e_participation_ratio", "e_cka",
         "g_bipartite_projection", "dq_fd_discovery",
+    )}
+)
+
+# Third round-11 wave (queries_r11c): AUTHORED in round 11, but the
+# round-11 driver prefix (50 pending max per round) was already
+# consumed by the first two waves (49 queries), so this wave is
+# explicitly SCHEDULED into the round-12 prefix — vintage 12 here is
+# a verification-scheduling date, not an authorship date.  All 33
+# carry committed full-sweep verification (tools/verify_local.py,
+# exact at both SFs) from round 11; the driver's green rows land in
+# CORRECTNESS_r12.  The budget test (tests/test_entry.py) gates each
+# vintage's pending set against the 50-entry prefix.
+_FIRST_SEEN_ROUND.update(
+    {n: 12 for n in (
+        "ti_hma", "ti_vwma", "ti_stoch_rsi", "ti_elder_ray",
+        "ti_omega_ratio", "ti_treynor", "ti_dd_duration",
+        "a_wasserstein_1d", "a_kuiper", "a_energy_distance",
+        "a_ansari_bradley", "a_gk_gamma", "a_pr_auc",
+        "a_matthews_corr", "a_log_loss", "a_fdr_bh",
+        "a_cronbach_alpha", "a_icc", "a_hill_tail",
+        "t_heaps_law", "t_collocation_pmi", "t_simpson_diversity",
+        "t_burstiness", "t_map_eval",
+        "g_katz", "g_harmonic", "g_wcc",
+        "e_lid", "e_rsa",
+        "dq_order_reconciliation", "dq_date_sanity",
+        "w_savitzky_golay", "w_zscore_peaks",
     )}
 )
 

@@ -2760,3 +2760,581 @@ FROM sizes GROUP BY size ORDER BY size
 
 R11C_QUERIES["g_wcc"] = g_wcc
 _R11C_ORACLES["g_wcc"] = _g_wcc_sql
+
+
+# --------------------------------------------------------------- e_lid
+
+_LID_K = 10
+_LID_QUERIES = 100
+
+
+def e_lid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local intrinsic dimensionality of the embedding space (MLE of
+    Levina & Bickel 2004 / Amsaleg et al. 2015, public): per query
+    (vec_id < 100), LID = −k / Σᵢ ln(dᵢ/d_k) over the k = 10 nearest
+    cosine distances — the neighborhood-complexity gauge that predicts
+    ANN index difficulty; corpus mean/min/max reported.
+
+    Determinism: neighbor sets and distances come from the 6-dp
+    rounded cosine (the sim_bruteforce rule), so each dᵢ is an exact
+    micro integer; each ln of the exact ratio quantizes to a micro
+    BIGINT; the per-query LID is one IEEE division, itself
+    micro-quantized before the corpus fold.
+
+    Scale shape: eval-tier brute-force neighbor scoring on the
+    bounded query slice (the e_knn_eval contract); the production
+    path feeds the same fold from the IVF shortlist."""
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    queries = emb.where(F.col("vec_id") < _LID_QUERIES)
+    nn = brute_force_topk(emb, queries, "embedding", "vec_id", k=_LID_K)
+    du = F.round((F.lit(1.0) - F.col("cos")) * F.lit(1e6), 0).cast("long")
+    nn = nn.select("query_id", "rank", du.alias("du"))
+    dk = nn.where(F.col("rank") == _LID_K).select(
+        "query_id", F.col("du").alias("dk")
+    )
+    j = nn.join(F.broadcast(dk), "query_id")
+    term = F.round(
+        F.log(F.col("du").cast("double") / F.col("dk")) * F.lit(1e6), 0
+    ).cast("long")
+    per_q = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.min("du").alias("dmin"),
+        F.sum(term).alias("su"),
+    ).where(
+        (F.col("nk") == _LID_K) & (F.col("dmin") > 0) & (F.col("su") < 0)
+    )
+    lid_u = F.round(
+        -F.lit(float(_LID_K)) * F.lit(1e6) / F.col("su") * F.lit(1e6), 0
+    ).cast("long")
+    g = per_q.select(lid_u.alias("lu")).agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.sum("lu").alias("slu"),
+        F.min("lu").alias("lmin"),
+        F.max("lu").alias("lmax"),
+    )
+    return g.select(
+        F.col("nq").cast("long").alias("n_queries"),
+        F.round(
+            F.col("slu").cast("double")
+            / (F.col("nq").cast("double") * F.lit(1e6)),
+            6,
+        ).alias("mean_lid"),
+        F.round(F.col("lmin").cast("double") / F.lit(1e6), 6).alias(
+            "min_lid"
+        ),
+        F.round(F.col("lmax").cast("double") / F.lit(1e6), 6).alias(
+            "max_lid"
+        ),
+    )
+
+
+def _e_lid_sql() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < {_LID_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    round(list_cosine_similarity(q.qvec, CAST(c.embedding AS DOUBLE[])),
+          6) AS cos
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+), topk AS (
+  SELECT query_id,
+    CAST(round((1.0 - cos) * 1e6, 0) AS BIGINT) AS du,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+), nn AS (
+  SELECT query_id, rank, du FROM topk WHERE rank <= {_LID_K}
+), dk AS (
+  SELECT query_id, du AS dk FROM nn WHERE rank = {_LID_K}
+), per_q AS (
+  SELECT n.query_id, COUNT(*) AS nk, MIN(n.du) AS dmin,
+    SUM(CAST(round(ln(CAST(n.du AS DOUBLE) / d.dk) * 1e6, 0) AS BIGINT))
+      AS su
+  FROM nn n JOIN dk d USING (query_id)
+  GROUP BY 1
+), lids AS (
+  SELECT CAST(round(-{float(_LID_K)!r} * 1e6 / su * 1e6, 0) AS BIGINT)
+    AS lu
+  FROM per_q WHERE nk = {_LID_K} AND dmin > 0 AND su < 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  round(CAST(SUM(lu) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6)
+    AS mean_lid,
+  round(CAST(MIN(lu) AS DOUBLE) / 1e6, 6) AS min_lid,
+  round(CAST(MAX(lu) AS DOUBLE) / 1e6, 6) AS max_lid
+FROM lids
+"""
+
+
+R11C_QUERIES["e_lid"] = e_lid
+_R11C_ORACLES["e_lid"] = _e_lid_sql
+
+
+# --------------------------------------------------------------- e_rsa
+
+_RSA_N = 60
+
+
+def e_rsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representational similarity analysis (Kriegeskorte 2008,
+    public) between the full-precision embedding space and its int8
+    dequantized twin: Spearman correlation of the two pairwise-cosine
+    vectors over vec_id < 60 — does quantization preserve the
+    GEOMETRY, not just each vector?  The audit e_quantize_int8's
+    per-vector cosine can't see (it checks v vs dq(v), not the
+    relational structure).
+
+    Determinism: both similarity columns are 6-dp rounded cosines on
+    deterministic inputs (the dequantized vector is round(v/scale)
+    ·scale — identical IEEE both engines); ranks use the TOTAL order
+    (sim, a, b); ρ = 1 − 6Σd²/(n(n²−1)) is exact integers over ONE
+    IEEE division.
+
+    Scale shape: bounded 60-vector slice → 1 770 pairs; the corpus
+    RSA at scale samples pairs (the o7 reservoir) into the same
+    fold."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        abs_max,
+        cosine,
+        dequantize,
+        quantize_symmetric,
+        to_double_array,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = (
+        ensure_parallelism(t["embeddings"])
+        .where(F.col("vec_id") < _RSA_N)
+        .select("vec_id", to_double_array("embedding").alias("v"))
+        .withColumn("scale", abs_max(F.col("v")) / F.lit(127.0))
+        .where(F.col("scale") > 0)
+        .withColumn(
+            "dq",
+            dequantize(
+                quantize_symmetric(F.col("v"), F.col("scale")),
+                F.col("scale"),
+            ),
+        )
+    )
+    a = e.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("dq").alias("dqa"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("dq").alias("dqb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("s1"),
+        F.round(cosine(F.col("dqa"), F.col("dqb")), 6).alias("s2"),
+    )
+    w1 = Window.orderBy("s1", "ia", "ib")
+    w2 = Window.orderBy("s2", "ia", "ib")
+    ranked = pairs.select(
+        (F.row_number().over(w1) - F.row_number().over(w2)).alias("d")
+    )
+    d = "decimal(38,0)"
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("d").cast(d) * F.col("d").cast(d)).alias("sd2"),
+    )
+    n = F.col("n").cast("double")
+    ok = F.col("n") > 1
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("sd2").cast("double") / (
+        n * (n * n - F.lit(1.0))
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(ok, F.round(rho, 6) + F.lit(0.0)).alias("rsa_spearman"),
+    )
+
+
+def _e_rsa_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {_RSA_N}
+), s AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v,
+    list_transform(list_transform(v, x -> round(x / scale)),
+                   x -> x * scale) AS dq
+  FROM s WHERE scale > 0
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    round(list_cosine_similarity(a.v, b.v), 6) AS s1,
+    round(list_cosine_similarity(a.dq, b.dq), 6) AS s2
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY s1, ia, ib)
+       - row_number() OVER (ORDER BY s2, ia, ib) AS d
+  FROM pairs
+), g AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sd2
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+  CASE WHEN n > 1 THEN
+    round(1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)), 6)
+    + 0.0 END AS rsa_spearman
+FROM g
+"""
+
+
+R11C_QUERIES["e_rsa"] = e_rsa
+_R11C_ORACLES["e_rsa"] = _e_rsa_sql
+
+
+# ------------------------------------------- dq_order_reconciliation
+
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table money reconciliation: o_totalprice vs the recomputed
+    Σ l_extendedprice·(1−l_discount)·(1+l_tax) per order — the
+    classic warehouse consistency audit (TPC-H's own totalprice
+    definition); census of orders whose header disagrees with their
+    lines by more than a cent.  On this synthetic corpus the header
+    does NOT reconcile — exactly what the audit exists to surface.
+
+    Determinism: all money enters as exact DECIMAL (2-dp prices,
+    2-dp rates), the per-order sum folds as DECIMAL(38,6), and the
+    delta census is decimal comparison — zero float arithmetic until
+    the final reporting casts.
+
+    Scale shape: one lineitem→order rollup co-partitioned on
+    orderkey, one header join, one census agg."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            * (F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)"))
+        ).alias("net"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("net").cast("decimal(38,6)")).alias("recomputed")
+    )
+    j = t["orders"].select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("tp")
+    ).join(per_order, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    delta = F.coalesce(F.col("recomputed"), F.lit(0).cast("decimal(38,6)")) - F.col("tp")
+    cent = F.lit(0.01).cast("decimal(38,6)")
+    g = j.select(
+        F.abs(delta).alias("ad"),
+        F.col("recomputed").isNull().alias("no_lines"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("no_lines").cast("long")).alias("n_orphan_headers"),
+        F.sum((F.col("ad") > cent).cast("long")).alias("n_mismatched"),
+        F.max("ad").alias("max_abs"),
+        F.sum(F.col("ad")).alias("sum_abs"),
+    )
+    return g.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_orphan_headers").cast("long").alias("n_orphan_headers"),
+        F.col("n_mismatched").cast("long").alias("n_mismatched"),
+        F.round(F.col("max_abs").cast("double"), 2).alias("max_abs_delta"),
+        F.round(
+            F.col("sum_abs").cast("double") / F.col("n_orders"), 6
+        ).alias("mean_abs_delta"),
+    )
+
+
+def _dq_order_reconciliation_sql() -> str:
+    return """
+WITH li AS (
+  SELECT l_orderkey,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))) AS net
+  FROM lineitem
+), per_order AS (
+  SELECT l_orderkey, SUM(CAST(net AS DECIMAL(38,6))) AS recomputed
+  FROM li GROUP BY 1
+), j AS (
+  SELECT abs(coalesce(recomputed, CAST(0 AS DECIMAL(38,6)))
+             - CAST(o_totalprice AS DECIMAL(18,2))) AS ad,
+    recomputed IS NULL AS no_lines
+  FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_orphan_headers,
+  CAST(SUM(CASE WHEN ad > CAST(0.01 AS DECIMAL(38,6)) THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_mismatched,
+  round(CAST(MAX(ad) AS DOUBLE), 2) AS max_abs_delta,
+  round(CAST(SUM(ad) AS DOUBLE) / COUNT(*), 6) AS mean_abs_delta
+FROM j
+"""
+
+
+R11C_QUERIES["dq_order_reconciliation"] = dq_order_reconciliation
+_R11C_ORACLES["dq_order_reconciliation"] = _dq_order_reconciliation_sql
+
+
+# ---------------------------------------------------- dq_date_sanity
+
+def dq_date_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-consistency audit across the order→lineitem join:
+    lines shipped BEFORE their order date (impossible), the ship-lag
+    distribution (min/max days), and stale shipments (> 180 days
+    after order) — the date-plausibility census run before trusting
+    any time-partitioned rollup.
+
+    Determinism: pure date arithmetic and integer counts.
+
+    Scale shape: one co-partitioned orderkey join, one census agg —
+    both date columns prune to the scan."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    j = t["lineitem"].select("l_orderkey", "l_shipdate").join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    lag = F.datediff(
+        F.to_date("l_shipdate"), F.to_date("o_orderdate")
+    )
+    g = j.select(lag.alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("lag") < 0).cast("long")).alias("n_ship_before_order"),
+        F.sum((F.col("lag") > 180).cast("long")).alias("n_stale"),
+        F.min("lag").alias("min_lag_days"),
+        F.max("lag").alias("max_lag_days"),
+    )
+    ppm = F.call_function(
+        "div",
+        F.lit(2) * F.col("n_ship_before_order") * F.lit(1_000_000)
+        + F.col("n_lines"),
+        F.lit(2) * F.col("n_lines"),
+    )
+    return g.select(
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_ship_before_order").cast("long").alias(
+            "n_ship_before_order"
+        ),
+        F.col("n_stale").cast("long").alias("n_stale"),
+        F.col("min_lag_days").cast("long").alias("min_lag_days"),
+        F.col("max_lag_days").cast("long").alias("max_lag_days"),
+        ppm.cast("long").alias("violation_ppm"),
+    )
+
+
+def _dq_date_sanity_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    ppm = _sql_half_away("n_ship_before_order * 1000000", "n_lines")
+    return f"""
+WITH j AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), g AS (
+  SELECT COUNT(*) AS n_lines,
+    SUM(CASE WHEN lag < 0 THEN 1 ELSE 0 END) AS n_ship_before_order,
+    SUM(CASE WHEN lag > 180 THEN 1 ELSE 0 END) AS n_stale,
+    MIN(lag) AS min_lag_days, MAX(lag) AS max_lag_days
+  FROM j
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_ship_before_order AS BIGINT) AS n_ship_before_order,
+  CAST(n_stale AS BIGINT) AS n_stale,
+  CAST(min_lag_days AS BIGINT) AS min_lag_days,
+  CAST(max_lag_days AS BIGINT) AS max_lag_days,
+  {ppm} AS violation_ppm
+FROM g
+"""
+
+
+R11C_QUERIES["dq_date_sanity"] = dq_date_sanity
+_R11C_ORACLES["dq_date_sanity"] = _dq_date_sanity_sql
+
+
+# ------------------------------------------------- w_savitzky_golay
+
+_SG_DEN = 35_000_000.0  # 35 · 1e6 micro scale
+
+
+def w_savitzky_golay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay smoothing (1964, public) of the daily closes:
+    the 5-point quadratic least-squares filter with exact rational
+    weights (−3, 12, 17, 12, −3)/35 — the polynomial smoother that
+    preserves peak heights a moving average flattens.
+
+    Determinism: the convolution numerator folds exact micro BIGINTs
+    with integer weights; ONE IEEE division by 35·1e6; NULL on the
+    two edge rows of each series (centered filter contract).
+
+    Scale shape: one lag/lead chain on the shared daily sort."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+    num = (
+        F.lit(-3) * F.lag("cm", 2).over(w)
+        + F.lit(12) * F.lag("cm", 1).over(w)
+        + F.lit(17) * F.col("cm")
+        + F.lit(12) * F.lead("cm", 1).over(w)
+        + F.lit(-3) * F.lead("cm", 2).over(w)
+    )
+    return (
+        bars.select(
+            "event_type",
+            "day",
+            F.round(F.col("cm") / F.lit(1e6), 6).alias("close"),
+            (F.round(num / F.lit(_SG_DEN), 6) + F.lit(0.0)).alias(
+                "sg_smooth"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _w_savitzky_golay_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    return f"""
+WITH {DAILY_BARS_CTE}
+SELECT event_type, day, round(cm / 1e6, 6) AS close,
+  round((-3 * lag(cm, 2) OVER d + 12 * lag(cm, 1) OVER d + 17 * cm
+         + 12 * lead(cm, 1) OVER d + (-3) * lead(cm, 2) OVER d)
+        / {_SG_DEN!r}, 6) + 0.0 AS sg_smooth
+FROM bars
+WINDOW d AS ({_WD_SQL})
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["w_savitzky_golay"] = w_savitzky_golay
+_R11C_ORACLES["w_savitzky_golay"] = _w_savitzky_golay_sql
+
+
+# --------------------------------------------------- w_zscore_peaks
+
+_PK_WIN = 20
+_PK_Z = 2  # z-score threshold (integer so the test stays exact)
+
+
+def w_zscore_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection on the daily closes: a day is a peak when it is
+    a strict local maximum over ±2 neighbors AND sits more than 2
+    sample standard deviations above the trailing 20-day mean — the
+    spike census feeding alerting, entirely in EXACT integer
+    arithmetic.
+
+    Determinism: the z-condition (x − x̄ > 2s) is squared into the
+    all-integer inequality (n−1)·(n·x − Σx)² > 4·n·(n·Σx² − (Σx)²)
+    on DECIMAL(38,0) — no float enters the decision; the reported
+    z-score is one IEEE chain on the same exact integers.
+
+    Scale shape: two frame passes on the shared daily sort, then a
+    filter — no joins."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+    fr = w.rowsBetween(-(_PK_WIN - 1), 0)
+    d = "decimal(38,0)"
+    b = bars.select(
+        "event_type",
+        "day",
+        "cm",
+        F.count("cm").over(fr).alias("n"),
+        F.sum(F.col("cm").cast(d)).over(fr).alias("s"),
+        F.sum(F.col("cm").cast(d) * F.col("cm").cast(d)).over(fr).alias(
+            "s2"
+        ),
+        (
+            (F.col("cm") > F.lag("cm", 1).over(w))
+            & (F.col("cm") > F.lag("cm", 2).over(w))
+            & (F.col("cm") > F.lead("cm", 1).over(w))
+            & (F.col("cm") > F.lead("cm", 2).over(w))
+        ).alias("local_max"),
+    )
+    n = F.col("n").cast(d)
+    dev = n * F.col("cm").cast(d) - F.col("s")
+    varnum = n * F.col("s2") - F.col("s") * F.col("s")
+    cond = (
+        (F.col("n") == _PK_WIN)
+        & F.col("local_max")
+        & (dev > 0)
+        & ((n - 1) * dev * dev > F.lit(_PK_Z * _PK_Z) * n * varnum)
+        & (varnum > 0)
+    )
+    z = dev.cast("double") / F.sqrt(
+        (n * varnum / (n - 1)).cast("double")
+    )
+    return (
+        b.where(cond)
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("cm") / F.lit(1e6), 6).alias("close"),
+            (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _w_zscore_peaks_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    fr = f"(d ROWS BETWEEN {_PK_WIN - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, day, cm,
+    COUNT(cm) OVER {fr} AS n,
+    SUM(CAST(cm AS DECIMAL(38,0))) OVER {fr} AS s,
+    SUM(CAST(cm AS DECIMAL(38,0)) * CAST(cm AS DECIMAL(38,0)))
+      OVER {fr} AS s2,
+    (cm > lag(cm, 1) OVER d AND cm > lag(cm, 2) OVER d
+     AND cm > lead(cm, 1) OVER d AND cm > lead(cm, 2) OVER d)
+      AS local_max
+  FROM bars
+  WINDOW d AS ({_WD_SQL})
+)
+SELECT event_type, day, round(cm / 1e6, 6) AS close,
+  round(CAST(CAST(n AS DECIMAL(38,0)) * cm - s AS DOUBLE)
+        / sqrt(CAST((CAST(n AS DECIMAL(38,0))
+                     * (CAST(n AS DECIMAL(38,0)) * s2 - s * s)
+                     / (CAST(n AS DECIMAL(38,0)) - 1)) AS DOUBLE)), 6)
+    + 0.0 AS zscore
+FROM b
+WHERE n = {_PK_WIN} AND local_max
+  AND CAST(n AS DECIMAL(38,0)) * cm - s > 0
+  AND (CAST(n AS DECIMAL(38,0)) - 1)
+      * (CAST(n AS DECIMAL(38,0)) * cm - s)
+      * (CAST(n AS DECIMAL(38,0)) * cm - s)
+      > {_PK_Z * _PK_Z} * CAST(n AS DECIMAL(38,0))
+        * (CAST(n AS DECIMAL(38,0)) * s2 - s * s)
+  AND CAST(n AS DECIMAL(38,0)) * s2 - s * s > 0
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["w_zscore_peaks"] = w_zscore_peaks
+_R11C_ORACLES["w_zscore_peaks"] = _w_zscore_peaks_sql
