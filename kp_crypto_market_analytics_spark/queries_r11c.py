@@ -1897,19 +1897,25 @@ def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fo")
         .agg(F.count(F.lit(1)).alias("nf"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        per_doc.join(firsts, per_doc["doc_id"] == firsts["fo"], "left")
-        .select(
-            per_doc["doc_id"],
-            "nt",
-            F.coalesce("nf", F.lit(0)).alias("nf"),
-        )
-        .select(
-            F.sum("nt").over(w).alias("nn"),
-            F.sum("nf").over(w).alias("vv"),
-        )
-        .where((F.col("nn") > 0) & (F.col("vv") > 0))
+    base = per_doc.join(
+        firsts, per_doc["doc_id"] == firsts["fo"], "left"
+    ).select(
+        per_doc["doc_id"], "nt", F.coalesce("nf", F.lit(0)).alias("nf")
+    )
+    # both global cumulative series via the range-partitioned prefix
+    # sum (no single-partition window over the |docs| frame)
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    c1 = range_partitioned_rank(
+        base, ["doc_id"], out_col="__r1", sum_col="nt", cumsum_out="nn"
+    )
+    c2 = range_partitioned_rank(
+        c1, ["doc_id"], out_col="__r2", sum_col="nf", cumsum_out="vv"
+    )
+    cum = c2.select("nn", "vv").where(
+        (F.col("nn") > 0) & (F.col("vv") > 0)
     )
     d = "decimal(38,0)"
     pts = cum.select(
@@ -2390,14 +2396,9 @@ def a_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vm"),
     )
     ranked = range_partitioned_rank(e, ["vm", "event_id"], out_col="rn")
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = ranked.select(
-        "band",
-        "rn",
-        F.count(F.lit(1)).over(wall).alias("nn"),
-    )
+    # scalar N via a broadcast 1-row agg, never an events-wide window
+    nn = e.agg(F.count(F.lit(1)).alias("nn"))
+    ranked = ranked.select("band", "rn").crossJoin(F.broadcast(nn))
     q = F.call_function(
         "div", F.lit(_GKG_BANDS) * (F.col("rn") - 1), F.col("nn")
     ).cast("int")

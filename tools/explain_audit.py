@@ -111,6 +111,33 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
         "rank over the |types|-row authority frame and <=10 "
         "post-LIMIT hub survivors",
     ),
+    # r11 third wave: calendar-/slice-bounded frames
+    "a_wasserstein_1d": (
+        2,
+        "cum-CDF + lead over the merged daily-cell support (<= "
+        "2x|days| rows — calendar-bounded) and a scalar max",
+    ),
+    "a_kuiper": (
+        2,
+        "cum-CDF walks over the merged daily-cell support "
+        "(calendar-bounded, one row per distinct daily total)",
+    ),
+    "a_ansari_bradley": (
+        1,
+        "pooled-N max over the daily-cell frame (one row per "
+        "(day, type) — calendar-bounded; the rank itself is "
+        "range-partitioned)",
+    ),
+    "a_fdr_bh": (
+        3,
+        "BH rank/count/frontier over the 24-row hourly p-value "
+        "table (hour-of-day is a query constant)",
+    ),
+    "e_rsa": (
+        2,
+        "two rank passes over the C(60,2) = 1770 bounded pair "
+        "slice (RSA probe set is a query constant)",
+    ),
 }
 
 
