@@ -223,6 +223,9 @@ _FIRST_SEEN_ROUND.update(
         "e_lid", "e_rsa",
         "dq_order_reconciliation", "dq_date_sanity",
         "w_savitzky_golay", "w_zscore_peaks",
+        "ti_dema_tema", "ti_tsi", "a_jackknife_gini",
+        "e_triplet_violations", "g_eigenvector", "a_cohen_h",
+        "a_qq_deciles",
     )}
 )
 

@@ -3339,3 +3339,751 @@ ORDER BY event_type, day
 
 R11C_QUERIES["w_zscore_peaks"] = w_zscore_peaks
 _R11C_ORACLES["w_zscore_peaks"] = _w_zscore_peaks_sql
+
+
+# --------------------------------------------------- ti_dema_tema
+
+_DT_ALPHA = 0.25
+_DT_LAGS = 8
+
+
+def ti_dema_tema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMA and TEMA (Mulloy 1994, public) on the daily closes:
+    DEMA = 2·E1 − E2, TEMA = 3·E1 − 3·E2 + E3 over chained EMAs —
+    the lag-compensated trend lines between the raw EMA and the Hull
+    MA in responsiveness.
+
+    Determinism: the ti_trix chain recipe verbatim — each truncated
+    adjust=True EMA rounds to 6 dp before feeding the next, so all
+    three stages consume identical inputs on both engines; DEMA/TEMA
+    are single IEEE combinations of 6-dp terms.
+
+    Scale shape: three lag chains on the ONE shared daily sort."""
+    from kp_crypto_market_analytics_spark.operators.indicators import (
+        truncated_ema,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir).withColumn(
+        "cd", F.col("cm").cast("double") / F.lit(1_000_000.0)
+    )
+    s1 = F.round(truncated_ema(F.col("cd"), _wd(), _DT_ALPHA, _DT_LAGS), 6)
+    b1 = bars.select("event_type", "day", s1.alias("s1"))
+    s2 = F.round(truncated_ema(F.col("s1"), _wd(), _DT_ALPHA, _DT_LAGS), 6)
+    b2 = b1.select("event_type", "day", "s1", s2.alias("s2"))
+    s3 = F.round(truncated_ema(F.col("s2"), _wd(), _DT_ALPHA, _DT_LAGS), 6)
+    b3 = b2.select("event_type", "day", "s1", "s2", s3.alias("s3"))
+    return (
+        b3.select(
+            "event_type",
+            "day",
+            (
+                F.round(F.lit(2.0) * F.col("s1") - F.col("s2"), 6)
+                + F.lit(0.0)
+            ).alias("dema"),
+            (
+                F.round(
+                    F.lit(3.0) * F.col("s1")
+                    - F.lit(3.0) * F.col("s2")
+                    + F.col("s3"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("tema"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_dema_tema_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _des_ema_sql,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    a, lg = _DT_ALPHA, _DT_LAGS
+    return f"""
+WITH {DAILY_BARS_CTE}, b0 AS (
+  SELECT event_type, day, CAST(cm AS DOUBLE) / 1000000.0 AS cd FROM bars
+), b1 AS (
+  SELECT event_type, day, round({_des_ema_sql("cd", a, lg)}, 6) AS s1
+  FROM b0 WINDOW w AS ({_WD_SQL})
+), b2 AS (
+  SELECT event_type, day, s1, round({_des_ema_sql("s1", a, lg)}, 6) AS s2
+  FROM b1 WINDOW w AS ({_WD_SQL})
+), b3 AS (
+  SELECT event_type, day, s1, s2,
+    round({_des_ema_sql("s2", a, lg)}, 6) AS s3
+  FROM b2 WINDOW w AS ({_WD_SQL})
+)
+SELECT event_type, day,
+  round(2.0 * s1 - s2, 6) + 0.0 AS dema,
+  round(3.0 * s1 - 3.0 * s2 + s3, 6) + 0.0 AS tema
+FROM b3
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_dema_tema"] = ti_dema_tema
+_R11C_ORACLES["ti_dema_tema"] = _ti_dema_tema_sql
+
+
+# ----------------------------------------------------------- ti_tsi
+
+_TSI_A1 = 2.0 / 26.0  # 25-period smoothing
+_TSI_A2 = 2.0 / 14.0  # 13-period smoothing
+_TSI_LAGS = 8
+
+
+def ti_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Strength Index (Blau 1991, public): TSI = 100·
+    EMA13(EMA25(mom)) / EMA13(EMA25(|mom|)) over daily close
+    momentum — the double-smoothed momentum oscillator whose
+    denominator normalizes to ±100.
+
+    Determinism: momentum is an exact micro-int diff ÷ 1e6 double;
+    all four EMA chains are the shared truncated closed form with
+    6-dp inter-stage rounding; TSI is ONE IEEE division, masked when
+    the smoothed absolute momentum is zero.
+
+    Scale shape: four lag chains on the shared daily sort."""
+    from kp_crypto_market_analytics_spark.operators.indicators import (
+        truncated_ema,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    mom_u = F.col("cm") - F.lag("cm", 1).over(_wd())
+    b = bars.select(
+        "event_type",
+        "day",
+        (mom_u.cast("double") / F.lit(1e6)).alias("m"),
+        (F.abs(mom_u).cast("double") / F.lit(1e6)).alias("am"),
+    ).where(F.col("m").isNotNull())
+    e1m = F.round(truncated_ema(F.col("m"), _wd(), _TSI_A1, _TSI_LAGS), 6)
+    e1a = F.round(truncated_ema(F.col("am"), _wd(), _TSI_A1, _TSI_LAGS), 6)
+    b1 = b.select("event_type", "day", e1m.alias("e1m"), e1a.alias("e1a"))
+    e2m = F.round(truncated_ema(F.col("e1m"), _wd(), _TSI_A2, _TSI_LAGS), 6)
+    e2a = F.round(truncated_ema(F.col("e1a"), _wd(), _TSI_A2, _TSI_LAGS), 6)
+    b2 = b1.select("event_type", "day", e2m.alias("e2m"), e2a.alias("e2a"))
+    return (
+        b2.select(
+            "event_type",
+            "day",
+            F.when(
+                F.col("e2a") > 0,
+                F.round(F.lit(100.0) * F.col("e2m") / F.col("e2a"), 6)
+                + F.lit(0.0),
+            ).alias("tsi"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_tsi_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _des_ema_sql,
+    )
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    lg = _TSI_LAGS
+    return f"""
+WITH {DAILY_BARS_CTE}, b0 AS (
+  SELECT * FROM (
+    SELECT event_type, day,
+      CAST(cm - lag(cm, 1) OVER d AS DOUBLE) / 1e6 AS m,
+      CAST(abs(cm - lag(cm, 1) OVER d) AS DOUBLE) / 1e6 AS am
+    FROM bars
+    WINDOW d AS ({_WD_SQL})
+  ) WHERE m IS NOT NULL
+), b1 AS (
+  SELECT event_type, day,
+    round({_des_ema_sql("m", _TSI_A1, lg)}, 6) AS e1m,
+    round({_des_ema_sql("am", _TSI_A1, lg)}, 6) AS e1a
+  FROM b0 WINDOW w AS ({_WD_SQL})
+), b2 AS (
+  SELECT event_type, day,
+    round({_des_ema_sql("e1m", _TSI_A2, lg)}, 6) AS e2m,
+    round({_des_ema_sql("e1a", _TSI_A2, lg)}, 6) AS e2a
+  FROM b1 WINDOW w AS ({_WD_SQL})
+)
+SELECT event_type, day,
+  CASE WHEN e2a > 0
+       THEN round(100.0 * e2m / e2a, 6) + 0.0 END AS tsi
+FROM b2
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_tsi"] = ti_tsi
+_R11C_ORACLES["ti_tsi"] = _ti_tsi_sql
+
+
+# ------------------------------------------------ a_jackknife_gini
+
+def a_jackknife_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of daily activity totals WITH a jackknife
+    standard error (Quenouille/Tukey, public): G from the rank
+    identity 2·Σrᵢxᵢ/(nΣx) − (n+1)/n, and each leave-one-day-out
+    replicate Gᵢ in O(1) via prefix sums — S1′ = S1 − rᵢxᵢ −
+    (T − cumᵢ), so the jackknife costs one pass, not n recomputes.
+
+    Determinism: totals are exact micro BIGINTs, ranks are the TOTAL
+    order (x, day); S1/T/cum fold as DECIMAL(38,0); each Gᵢ is one
+    IEEE chain micro-quantized before the variance fold, so the SE is
+    a single sqrt over exact integer moments.
+
+    Scale shape: range-partitioned rank + cumsum (no single-partition
+    sort), then one |days|-row pass and a scalar agg."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    daily = (
+        ensure_parallelism(t["events"])
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.round(F.col("value") * F.lit(1_000_000.0), 0).cast("long")
+            ).alias("x")
+        )
+    )
+    ranked = range_partitioned_rank(
+        daily, ["x", "day"], out_col="r", sum_col="x", cumsum_out="cum"
+    )
+    d = "decimal(38,0)"
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d)).alias("tt"),
+        F.sum(F.col("r").cast(d) * F.col("x").cast(d)).alias("s1"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    n = F.col("n").cast("double")
+    tp = (F.col("tt") - F.col("x")).cast("double")
+    s1p = (
+        F.col("s1")
+        - F.col("r").cast(d) * F.col("x").cast(d)
+        - (F.col("tt") - F.col("cum").cast(d))
+    ).cast("double")
+    gi = F.lit(2.0) * s1p / ((n - 1) * tp) - n / (n - 1)
+    gu = F.round(
+        F.when((F.col("n") > 2) & (tp > 0), gi) * F.lit(1e6), 0
+    ).cast("long")
+    g = j.select(gu.alias("gu"), "n", "tt", "s1").agg(
+        F.max("n").alias("n"),
+        F.max("tt").alias("tt"),
+        F.max("s1").alias("s1"),
+        F.count("gu").alias("ng"),
+        F.sum("gu").alias("sgu"),
+        F.sum(F.col("gu").cast(d) * F.col("gu").cast(d)).alias("sgu2"),
+    )
+    nn = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s1").cast("double")
+        / (nn * F.col("tt").cast("double"))
+        - (nn + 1) / nn
+    )
+    ng = F.col("ng").cast("double")
+    se = (
+        F.sqrt(
+            (ng - 1)
+            * (
+                ng * F.col("sgu2").cast("double")
+                - F.col("sgu").cast("double") * F.col("sgu").cast("double")
+            )
+            / (ng * ng)
+        )
+        / F.lit(1e6)
+    )
+    ok = (F.col("n") > 2) & (F.col("tt") > 0) & (F.col("ng") > 1)
+    return g.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.when(ok, F.round(gini, 6) + F.lit(0.0)).alias("gini"),
+        F.when(ok, F.round(se, 6) + F.lit(0.0)).alias("jackknife_se"),
+    )
+
+
+def _a_jackknife_gini_sql() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT day, x,
+    row_number() OVER (ORDER BY x, day) AS r,
+    SUM(x) OVER (ORDER BY x, day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(CAST(x AS DECIMAL(38,0))) AS tt,
+    SUM(CAST(r AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s1
+  FROM ranked
+), reps AS (
+  SELECT n, tt, s1,
+    CAST(round(CASE WHEN n > 2 AND CAST(tt - x AS DOUBLE) > 0 THEN
+      2.0 * CAST(s1 - CAST(r AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+                 - (tt - CAST(cum AS DECIMAL(38,0))) AS DOUBLE)
+      / ((CAST(n AS DOUBLE) - 1) * CAST(tt - x AS DOUBLE))
+      - CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1) END * 1e6, 0)
+      AS BIGINT) AS gu
+  FROM ranked, tot
+), g AS (
+  SELECT MAX(n) AS n, MAX(tt) AS tt, MAX(s1) AS s1,
+    COUNT(gu) AS ng, SUM(gu) AS sgu,
+    SUM(CAST(gu AS DECIMAL(38,0)) * CAST(gu AS DECIMAL(38,0))) AS sgu2
+  FROM reps
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+  CASE WHEN n > 2 AND tt > 0 AND ng > 1 THEN
+    round(2.0 * CAST(s1 AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(tt AS DOUBLE))
+          - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) + 0.0
+  END AS gini,
+  CASE WHEN n > 2 AND tt > 0 AND ng > 1 THEN
+    round(sqrt((CAST(ng AS DOUBLE) - 1)
+      * (CAST(ng AS DOUBLE) * CAST(sgu2 AS DOUBLE)
+         - CAST(sgu AS DOUBLE) * CAST(sgu AS DOUBLE))
+      / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))) / 1e6, 6) + 0.0
+  END AS jackknife_se
+FROM g
+"""
+
+
+R11C_QUERIES["a_jackknife_gini"] = a_jackknife_gini
+_R11C_ORACLES["a_jackknife_gini"] = _a_jackknife_gini_sql
+
+
+# -------------------------------------------- e_triplet_violations
+
+_TRIP_ANCHORS = 50
+_TRIP_MARGIN_U = 50_000  # 0.05 in micro-cosine units
+
+
+def e_triplet_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet-margin audit of the labeled embedding space (the
+    FaceNet/metric-learning loss read as a metric, Schroff 2015,
+    public): per anchor (vec_id < 50), the hardest positive is the
+    most-similar same-label vector and the hardest negative the
+    most-similar other-label vector; a violation is cos(a,n) + 0.05 >
+    cos(a,p).  Census: violation ppm + mean margin deficit — the
+    would-this-space-train signal next to e_knn_eval.
+
+    Determinism: cosines are 6-dp rounded (exact micro ints), argmaxes
+    use (cos DESC, vec_id) total orders, and the deficit cn − cp +
+    margin stays in exact micro integers end-to-end; ppm is the
+    half-away division.
+
+    Scale shape: eval-tier bounded anchors × corpus scoring (the
+    sim_bruteforce contract); per-anchor argmax windows are
+    anchor-partitioned."""
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        cosine,
+        to_double_array,
+    )
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = ensure_parallelism(t["embeddings"]).select(
+        "vec_id", to_double_array("embedding").alias("v"), "label"
+    )
+    anchors = emb.where(F.col("vec_id") < _TRIP_ANCHORS).select(
+        F.col("vec_id").alias("aid"),
+        F.col("v").alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    scored = emb.crossJoin(F.broadcast(anchors)).where(
+        F.col("vec_id") != F.col("aid")
+    ).select(
+        "aid",
+        "alabel",
+        "vec_id",
+        (F.col("label") == F.col("alabel")).alias("same"),
+        F.round(cosine(F.col("av"), F.col("v")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("cu"),
+    )
+    w = Window.partitionBy("aid", "same").orderBy(
+        F.col("cu").desc(), F.col("vec_id").asc()
+    )
+    best = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    pos = best.where(F.col("same")).select("aid", F.col("cu").alias("cp"))
+    neg = best.where(~F.col("same")).select("aid", F.col("cu").alias("cn"))
+    trip = pos.join(neg, "aid")
+    deficit = F.col("cn") - F.col("cp") + F.lit(_TRIP_MARGIN_U)
+    g = trip.select(
+        "aid",
+        deficit.alias("du"),
+    ).agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum((F.col("du") > 0).cast("long")).alias("nv"),
+        F.sum(F.when(F.col("du") > 0, F.col("du")).otherwise(F.lit(0)))
+        .alias("sdef"),
+    )
+    d = "decimal(38,0)"
+    ppm = _half_away(
+        F.col("nv").cast(d) * F.lit(1_000_000).cast(d), F.col("na").cast(d)
+    )
+    return g.select(
+        F.col("na").cast("long").alias("n_anchors"),
+        F.col("nv").cast("long").alias("n_violations"),
+        ppm.cast("long").alias("violation_ppm"),
+        F.when(
+            F.col("nv") > 0,
+            F.round(
+                F.col("sdef").cast("double")
+                / (F.col("nv").cast("double") * F.lit(1e6)),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("mean_deficit"),
+    )
+
+
+def _e_triplet_violations_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+
+    ppm = _sql_half_away("nv * 1000000", "na")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), anchors AS (
+  SELECT vec_id AS aid, v AS av, label AS alabel FROM e
+  WHERE vec_id < {_TRIP_ANCHORS}
+), scored AS (
+  SELECT a.aid, e.vec_id, e.label = a.alabel AS same,
+    CAST(round(list_cosine_similarity(a.av, e.v) * 1e6, 0) AS BIGINT)
+      AS cu
+  FROM anchors a, e WHERE e.vec_id <> a.aid
+), best AS (
+  SELECT aid, same, cu,
+    row_number() OVER (PARTITION BY aid, same
+                       ORDER BY cu DESC, vec_id) AS rk
+  FROM scored
+), trip AS (
+  SELECT p.aid, p.cu AS cp, n.cu AS cn
+  FROM (SELECT aid, cu FROM best WHERE same AND rk = 1) p
+  JOIN (SELECT aid, cu FROM best WHERE NOT same AND rk = 1) n
+  USING (aid)
+), g AS (
+  SELECT COUNT(*) AS na,
+    SUM(CASE WHEN cn - cp + {_TRIP_MARGIN_U} > 0 THEN 1 ELSE 0 END) AS nv,
+    SUM(CASE WHEN cn - cp + {_TRIP_MARGIN_U} > 0
+        THEN cn - cp + {_TRIP_MARGIN_U} ELSE 0 END) AS sdef
+  FROM trip
+)
+SELECT CAST(na AS BIGINT) AS n_anchors, CAST(nv AS BIGINT) AS n_violations,
+  {ppm} AS violation_ppm,
+  CASE WHEN nv > 0 THEN
+    round(CAST(sdef AS DOUBLE) / (CAST(nv AS DOUBLE) * 1e6), 6) + 0.0
+  END AS mean_deficit
+FROM g
+"""
+
+
+R11C_QUERIES["e_triplet_violations"] = e_triplet_violations
+_R11C_ORACLES["e_triplet_violations"] = _e_triplet_violations_sql
+
+
+# ------------------------------------------------- g_eigenvector
+
+_EIG_ITERS = 3
+_EIG_PREC = 10
+
+
+def g_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by eigenvector centrality (Bonacich 1972, public)
+    on the unweighted symmetrized co-purchase graph: three power
+    iterations x ← A·x / mean(A·x) from x₀ = 1 (L1 normalization to
+    |V| keeps magnitudes O(1) without a sqrt).
+
+    Determinism: each iterate's neighbor fold is DECIMAL(28,12) over
+    10-dp inputs (exact ⇒ order-free); the normalizer Σy is the same
+    exact decimal, so x = y·|V|/Σy is one IEEE division per node per
+    iteration, rounded to 10 dp — the oracle unrolls identically.
+
+    Scale shape: the pagerank skinny-join shape — one (node, x) table
+    re-joined per iteration."""
+    from kp_crypto_market_analytics_spark.queries_graph import (
+        _copurchase_pairs,
+    )
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("nv"))
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    dec = "decimal(28,12)"
+    for _ in range(_EIG_ITERS):
+        y = (
+            edges.join(x.withColumnRenamed("node", "s2"), F.col("src") == F.col("s2"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("x").cast(dec)).alias("y"))
+        )
+        s = y.agg(F.sum("y").alias("s"))
+        x = (
+            nodes.join(y, nodes["node"] == y["dst"], "left")
+            .crossJoin(F.broadcast(s))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("y").cast("double"), F.lit(0.0))
+                    * F.col("nv")
+                    / F.col("s").cast("double"),
+                    _EIG_PREC,
+                ).alias("x"),
+            )
+        )
+    return (
+        x.select(
+            F.col("node").alias("part"),
+            (F.round("x", 6) + F.lit(0.0)).alias("eigen_score"),
+        )
+        .orderBy(F.col("eigen_score").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
+def _g_eigenvector_sql() -> str:
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        PAIRS_SQL,
+    )
+
+    parts = [f"""
+WITH {PAIRS_SQL}, edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v, u FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (SELECT COUNT(*) AS nv FROM nodes),
+x0 AS (
+  SELECT node, 1.0 AS x FROM nodes
+)"""]
+    for i in range(1, _EIG_ITERS + 1):
+        parts.append(f""", y{i} AS (
+  SELECT dst, SUM(CAST(x AS DECIMAL(28,12))) AS y
+  FROM edges JOIN x{i - 1} p ON edges.src = p.node GROUP BY dst
+), s{i} AS (SELECT SUM(y) AS s FROM y{i}),
+x{i} AS (
+  SELECT node,
+    round(coalesce(CAST(y AS DOUBLE), 0.0) * nv / CAST(s AS DOUBLE),
+          {_EIG_PREC}) AS x
+  FROM nodes LEFT JOIN y{i} ON y{i}.dst = nodes.node, s{i}, nn
+)""")
+    parts.append(f"""
+SELECT node AS part, round(x, 6) + 0.0 AS eigen_score
+FROM x{_EIG_ITERS}
+ORDER BY eigen_score DESC, part
+LIMIT 20
+""")
+    return "".join(parts)
+
+
+R11C_QUERIES["g_eigenvector"] = g_eigenvector
+_R11C_ORACLES["g_eigenvector"] = _g_eigenvector_sql
+
+
+# ---------------------------------------------------- a_cohen_h
+
+def a_cohen_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size (Cohen 1988, public) for the
+    weekend-vs-weekday large-event rate: h = 2·asin√p₁ − 2·asin√p₂
+    with "large" = value above the global mean — the
+    proportion-difference effect size on the variance-stabilized
+    scale, the companion to a_cohens_d for rates.
+
+    Determinism: the large predicate compares exact integers
+    (vm·N > Σvm — no mean division); both rates are single IEEE
+    divisions of exact counts, and the arcsine chain is ONE identical
+    IEEE expression per engine rounded to 6 dp (same 1-ulp exposure
+    class as the repo's ln/exp recipes).
+
+    Scale shape: one scalar agg broadcast over the scan, one 2-row
+    group, one final select."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        F.dayofweek("ts").isin(1, 7).alias("weekend"),
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("nn"), F.sum("vm").alias("sv"))
+    j = e.crossJoin(F.broadcast(tot))
+    large = (F.col("vm").cast("decimal(38,0)") * F.col("nn")) > F.col(
+        "sv"
+    ).cast("decimal(38,0)")
+    g = j.groupBy("weekend").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(large.cast("long")).alias("k"),
+    )
+    we = g.where(F.col("weekend")).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    wd = g.where(~F.col("weekend")).select(
+        F.col("n").alias("n2"), F.col("k").alias("k2")
+    )
+    x = we.crossJoin(wd)
+    p1 = F.col("k1").cast("double") / F.col("n1")
+    p2 = F.col("k2").cast("double") / F.col("n2")
+    h = F.lit(2.0) * F.asin(F.sqrt(p1)) - F.lit(2.0) * F.asin(F.sqrt(p2))
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return x.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        F.when(ok, F.round(p1, 6) + F.lit(0.0)).alias("rate_weekend"),
+        F.when(ok, F.round(p2, 6) + F.lit(0.0)).alias("rate_weekday"),
+        F.when(ok, F.round(h, 6) + F.lit(0.0)).alias("cohens_h"),
+    )
+
+
+def _a_cohen_h_sql() -> str:
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek(ts):
+    # 0=Sunday..6=Saturday — weekend is {{Sun, Sat}} on both.
+    return """
+WITH e AS (
+  SELECT dayofweek(ts) IN (0, 6) AS weekend,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), tot AS (
+  SELECT COUNT(*) AS nn, SUM(vm) AS sv FROM e
+), g AS (
+  SELECT weekend, COUNT(*) AS n,
+    SUM(CASE WHEN CAST(vm AS DECIMAL(38,0)) * nn
+             > CAST(sv AS DECIMAL(38,0)) THEN 1 ELSE 0 END) AS k
+  FROM e, tot GROUP BY weekend
+), x AS (
+  SELECT
+    (SELECT n FROM g WHERE weekend) AS n1,
+    (SELECT k FROM g WHERE weekend) AS k1,
+    (SELECT n FROM g WHERE NOT weekend) AS n2,
+    (SELECT k FROM g WHERE NOT weekend) AS k2
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    round(CAST(k1 AS DOUBLE) / n1, 6) + 0.0 END AS rate_weekend,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    round(CAST(k2 AS DOUBLE) / n2, 6) + 0.0 END AS rate_weekday,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    round(2.0 * asin(sqrt(CAST(k1 AS DOUBLE) / n1))
+          - 2.0 * asin(sqrt(CAST(k2 AS DOUBLE) / n2)), 6) + 0.0
+  END AS cohens_h
+FROM x
+"""
+
+
+R11C_QUERIES["a_cohen_h"] = a_cohen_h
+_R11C_ORACLES["a_cohen_h"] = _a_cohen_h_sql
+
+
+# ---------------------------------------------------- a_qq_deciles
+
+def a_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile decile table between the click and view
+    daily-total distributions: for d = 1..9, the empirical d-th decile
+    of each group by the exact order statistic at rank ⌈d·n/10⌉ and
+    their ratio — the where-do-the-distributions-diverge view that one
+    KS number hides.
+
+    Determinism: deciles are exact order statistics picked by integer
+    rank on the (x, day) total order — no interpolation, no floats in
+    the selection; the ratio is ONE IEEE division of micro ints.
+
+    Scale shape: per-group rank windows over calendar-bounded daily
+    frames, one 9-row broadcast decile spine."""
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+        _daily_cells_df,
+    )
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    )
+    w = Window.partitionBy("event_type").orderBy("cell", "day")
+    wall = Window.partitionBy("event_type")
+    ranked = cells.select(
+        "event_type",
+        "cell",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dec = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    j = ranked.join(
+        F.broadcast(dec),
+        F.col("rn")
+        == F.call_function(
+            "div", F.col("d") * F.col("n") + F.lit(9), F.lit(10)
+        ),
+    )
+    a = j.where(F.col("event_type") == _PAIR_A).select(
+        "d", F.col("cell").alias("qa")
+    )
+    b = j.where(F.col("event_type") == _PAIR_B).select(
+        "d", F.col("cell").alias("qb")
+    )
+    out = a.join(b, "d", "full")
+    return out.select(
+        "d",
+        F.round(F.col("qa") / F.lit(1e6), 6).alias("q_click"),
+        F.round(F.col("qb") / F.lit(1e6), 6).alias("q_view"),
+        F.when(
+            F.col("qb") > 0,
+            F.round(F.col("qa").cast("double") / F.col("qb"), 6)
+            + F.lit(0.0),
+        ).alias("qq_ratio"),
+    ).orderBy("d")
+
+
+def _a_qq_deciles_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH {_CELLS_CTE}, ranked AS (
+  SELECT event_type, cell,
+    row_number() OVER (PARTITION BY event_type ORDER BY cell, day)
+      AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM cells WHERE event_type IN ('{_PAIR_A}', '{_PAIR_B}')
+), dec AS (
+  SELECT UNNEST(range(1, 10)) AS d
+), j AS (
+  SELECT d, event_type, cell
+  FROM ranked JOIN dec ON rn = (d * n + 9) // 10
+), a AS (
+  SELECT d, cell AS qa FROM j WHERE event_type = '{_PAIR_A}'
+), b AS (
+  SELECT d, cell AS qb FROM j WHERE event_type = '{_PAIR_B}'
+)
+SELECT CAST(d AS INT) AS d,
+  round(qa / 1e6, 6) AS q_click,
+  round(qb / 1e6, 6) AS q_view,
+  CASE WHEN qb > 0 THEN
+    round(CAST(qa AS DOUBLE) / qb, 6) + 0.0 END AS qq_ratio
+FROM a FULL JOIN b USING (d)
+ORDER BY d
+"""
+
+
+R11C_QUERIES["a_qq_deciles"] = a_qq_deciles
+_R11C_ORACLES["a_qq_deciles"] = _a_qq_deciles_sql
