@@ -325,3 +325,100 @@ def test_hma_tracks_level_on_flat_series(spark):
     )
     bad = flat.where(F.abs(F.col("hma9") - F.col("close")) > 1e-5)
     assert bad.count() == 0
+
+
+def test_dema_tema_track_flat_series(spark):
+    """All EMA chains preserve constants, so DEMA = TEMA = close on an
+    11-bar flat stretch."""
+    from pyspark.sql import Window
+
+    from kp_crypto_market_analytics_spark.queries_r11c import ti_dema_tema
+    from kp_crypto_market_analytics_spark.queries_r9 import _daily_bars_df
+
+    dt = ti_dema_tema(spark, SFD)
+    bars = _daily_bars_df(spark, SFD).select(
+        "event_type", "day", (F.col("cm") / F.lit(1e6)).alias("close")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    j = dt.join(bars, ["event_type", "day"]).select(
+        "dema",
+        "tema",
+        "close",
+        F.min("close").over(w.rowsBetween(-10, 0)).alias("lo"),
+        F.max("close").over(w.rowsBetween(-10, 0)).alias("hi"),
+        F.count("close").over(w.rowsBetween(-10, 0)).alias("n11"),
+    ).where((F.col("n11") == 11) & (F.col("lo") == F.col("hi")))
+    bad = j.where(
+        (F.abs(F.col("dema") - F.col("close")) > 1e-4)
+        | (F.abs(F.col("tema") - F.col("close")) > 1e-4)
+    )
+    assert bad.count() == 0
+
+
+def test_tsi_bounded(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import ti_tsi
+
+    rows = ti_tsi(spark, SFD).where(F.col("tsi").isNotNull())
+    assert rows.count() > 0
+    # |EMA(EMA(mom))| <= EMA(EMA(|mom|)) by the triangle inequality
+    assert (
+        rows.where((F.col("tsi") < -100.001) | (F.col("tsi") > 100.001))
+        .count()
+        == 0
+    )
+
+
+def test_jackknife_gini_range(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import (
+        a_jackknife_gini,
+    )
+
+    r = a_jackknife_gini(spark, SFD).collect()[0]
+    assert 0.0 <= r["gini"] <= 1.0
+    assert r["jackknife_se"] >= 0.0
+    # dropping one of n days cannot move Gini much: SE well below 1
+    assert r["jackknife_se"] < 0.5
+
+
+def test_triplet_census_consistent(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import (
+        e_triplet_violations,
+    )
+
+    r = e_triplet_violations(spark, SFD).collect()[0]
+    assert r["n_violations"] <= r["n_anchors"]
+    assert 0 <= r["violation_ppm"] <= 1_000_000
+    if r["n_violations"] > 0:
+        assert r["mean_deficit"] > 0.0
+
+
+def test_eigenvector_nonnegative(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import g_eigenvector
+
+    rows = g_eigenvector(spark, SFD).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["eigen_score"] >= 0.0
+
+
+def test_cohen_h_matches_rates(spark):
+    import math
+
+    from kp_crypto_market_analytics_spark.queries_r11c import a_cohen_h
+
+    r = a_cohen_h(spark, SFD).collect()[0]
+    expect = 2 * math.asin(math.sqrt(r["rate_weekend"])) - 2 * math.asin(
+        math.sqrt(r["rate_weekday"])
+    )
+    assert abs(r["cohens_h"] - expect) < 1e-3
+    assert -math.pi <= r["cohens_h"] <= math.pi
+
+
+def test_qq_deciles_monotone(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import a_qq_deciles
+
+    rows = a_qq_deciles(spark, SFD).collect()
+    assert len(rows) == 9
+    qa = [r["q_click"] for r in rows]
+    qb = [r["q_view"] for r in rows]
+    assert qa == sorted(qa) and qb == sorted(qb)
