@@ -50,8 +50,7 @@ def r11c_oracles() -> dict[str, str]:
 # ----------------------------------------------------------- ti_hma
 
 _HMA_N = 9
-_HMA_HALF = 4  # floor(9 / 2)
-_HMA_SQRT = 3  # floor(sqrt(9))
+_HMA_HALF = 4  # floor(9 / 2); outer smoothing span = floor(sqrt(9)) = 3
 
 
 def ti_hma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,7 +1436,6 @@ def a_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, m = F.col("n").cast("double"), F.col("m").cast("double")
     dnum = F.col("dnum").cast("double")
-    x = dnum * dnum / (n * m * (n * m) / (n + m)) / (n * m) * (n * m)
     # D² · nm/(n+m) = (dnum/(n·m))² · n·m/(n+m)
     stat = (dnum / (n * m)) * (dnum / (n * m)) * (n * m / (n + m))
     p = F.round(
