@@ -213,6 +213,34 @@ BUILD_COST_NOTES = {
         "maxima recomputed under the parity contract (the r9 trim "
         "already cut 4->3 batches; the remaining cost is the fold)"
     ),
+    "g_wcc": (
+        "connected components to CONVERGENCE (min-label rounds with a "
+        "per-round convergence action) — the dedup_clusters iterative "
+        "cost class on the co-purchase graph; isolated fresh-JVM "
+        "pricing in BENCH_ISOLATED_r11.json third_wave_budget_crossers"
+    ),
+    "ti_cci": (
+        "20-day mean-absolute-deviation self-join on the daily bars — "
+        "bounded by the calendar; isolated cost IMPROVED r10→r11 "
+        "(6.41s → 4.27s fresh-JVM, BENCH_ISOLATED_r11.json); in-sweep "
+        "crossings track registry growth position, not plan changes"
+    ),
+    "a_info_gain_split": (
+        "information-gain split search: entropy fold over EVERY "
+        "candidate split point of the feature grid — the split scan "
+        "is the product being priced (~3.5s fresh-JVM, "
+        "BENCH_ISOLATED_r11.json)"
+    ),
+    "ti_vortex": (
+        "paired VI+/VI- true-range window chains; 2.93s fresh-JVM "
+        "(under budget — BENCH_ISOLATED_r11.json): the in-sweep "
+        "3.3s reading is session position, kept noted for the trend"
+    ),
+    "a_cliffs_delta": (
+        "midrank-identity dominance statistic: two range-partitioned "
+        "global ranks; hovers at the line (2.74s in-sweep, 3.67s "
+        "fresh-JVM incl. session floor — BENCH_ISOLATED_r11.json)"
+    ),
 }
 
 
