@@ -91,6 +91,25 @@ WORST_QUERIES = [
     "t_cdc_chunking",               # documents: per-position hash explode
 ]
 
+# Round-11 third wave: the structurally new queries on synthesizable
+# tables (documents/embeddings/events — g_wcc/g_katz/g_harmonic read
+# lineitem, which this tool does not synthesize).  Growth laws to
+# check: cumulative-series fits, per-hour CDF walks, rank-prefix
+# jackknife, brute-force probe slices, bigram explode.
+WAVE3_QUERIES = [
+    "t_heaps_law",          # documents: 2x range-partitioned cumsum
+    "t_collocation_pmi",    # documents: adjacent-bigram explode
+    "t_burstiness",         # documents: (tok, doc) agg
+    "a_pr_auc",             # documents: global rank + cum fold
+    "e_lid",                # embeddings: bounded probe x corpus
+    "e_triplet_violations", # embeddings: bounded anchors x corpus
+    "a_fdr_bh",             # events: 24 hour-partitioned CDF walks
+    "a_jackknife_gini",     # events: rank prefix-sum replicates
+    "a_wasserstein_1d",     # events: merged-support walk
+    "ti_tsi",               # events: four EMA lag chains
+]
+WAVE3_OUT = "/root/repo/SCALING_CURVE_EXT_r11.json"
+
 ID_STRIDE = 100_000_000
 
 
@@ -360,6 +379,14 @@ if __name__ == "__main__":
             queries=STRESS_QUERIES,
             data_ratio=float(STRESS_COPIES),
             hi_tag="1.0synth",
+        )
+    elif mode == "wave3":
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            synth(d)
+        run(
+            d,
+            sys.argv[3] if len(sys.argv) > 3 else WAVE3_OUT,
+            queries=WAVE3_QUERIES,
         )
     elif mode == "ingest-stress":
         d = sys.argv[2] if len(sys.argv) > 2 else STRESS_DIR
