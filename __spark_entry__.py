@@ -226,6 +226,7 @@ _FIRST_SEEN_ROUND.update(
         "ti_dema_tema", "ti_tsi", "a_jackknife_gini",
         "e_triplet_violations", "g_eigenvector", "a_cohen_h",
         "a_qq_deciles",
+        "ti_rvi", "a_wald_wolfowitz", "ti_ma_cross",
     )}
 )
 

@@ -4085,3 +4085,307 @@ ORDER BY d
 
 R11C_QUERIES["a_qq_deciles"] = a_qq_deciles
 _R11C_ORACLES["a_qq_deciles"] = _a_qq_deciles_sql
+
+
+# -------------------------------------------------------------- ti_rvi
+
+_RVI_N = 10
+
+
+def ti_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Vigor Index (Dorsey 2002, public): SMA₁₀(C−O) /
+    SMA₁₀(H−L) on the daily bars — closes above opens in rising
+    markets regardless of the bar's range, so the ratio oscillates
+    around zero with trend conviction.
+
+    Determinism: the daily open is the FIRST tick by the total
+    (ts, event_id) order (the close picker mirrored); C−O and H−L
+    are exact micro BIGINTs, both 10-day sums fold as integers, and
+    RVI is ONE IEEE division masked on a zero range sum.
+
+    Scale shape: the bars build gains one more day-bounded window
+    (open picker); the indicator is one frame pass."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables as _lt
+
+    bars = _daily_bars_df(spark, sf_dir)
+    t = _lt(spark, sf_dir, ["events"])
+    wo = Window.partitionBy("event_type", F.to_date("ts")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    opens = (
+        ensure_parallelism(t["events"])
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .alias("vm"),
+        )
+        .withColumn("__rn", F.row_number().over(wo))
+        .where(F.col("__rn") == 1)
+        .select("event_type", "day", F.col("vm").alias("om"))
+    )
+    b = bars.join(opens, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        (F.col("cm") - F.col("om")).alias("co"),
+        (F.col("hm") - F.col("lm")).alias("hl"),
+    )
+    fr = _wd().rowsBetween(-(_RVI_N - 1), 0)
+    sco = F.sum("co").over(fr)
+    shl = F.sum("hl").over(fr)
+    n = F.count("co").over(fr)
+    ok = (n == _RVI_N) & (shl > 0)
+    return (
+        b.select(
+            "event_type",
+            "day",
+            F.when(
+                ok,
+                F.round(sco.cast("double") / shl, 6) + F.lit(0.0),
+            ).alias("rvi"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_rvi_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    fr = f"(d ROWS BETWEEN {_RVI_N - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+WITH {DAILY_BARS_CTE}, opens AS (
+  SELECT event_type, day, vm AS om FROM (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+      CAST(round(value * 1000000) AS BIGINT) AS vm,
+      row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                         ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), b AS (
+  SELECT bars.event_type, bars.day, cm - om AS co, hm - lm AS hl
+  FROM bars JOIN opens
+    ON bars.event_type = opens.event_type AND bars.day = opens.day
+)
+SELECT event_type, day,
+  CASE WHEN COUNT(co) OVER {fr} = {_RVI_N}
+        AND SUM(hl) OVER {fr} > 0
+       THEN round(CAST(SUM(co) OVER {fr} AS DOUBLE)
+                  / SUM(hl) OVER {fr}, 6) + 0.0
+  END AS rvi
+FROM b
+WINDOW d AS ({_WD_SQL})
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_rvi"] = ti_rvi
+_R11C_ORACLES["ti_rvi"] = _ti_rvi_sql
+
+
+# ---------------------------------------------- a_wald_wolfowitz
+
+def a_wald_wolfowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz two-sample runs test (1940, public) between the
+    click and view daily totals: sort the pooled sample, count runs of
+    same-group labels — too FEW runs means the distributions separate
+    (any difference in location, scale, or shape shortens runs).
+
+    Determinism: the pooled order is the TOTAL order (cell, day,
+    event_type); the runs count is an exact integer window fold; the
+    null moments µ = 2nm/N + 1 and σ² = 2nm(2nm−N)/(N²(N−1)) enter
+    ONE IEEE expression of exact integers.
+
+    Scale shape: range-partitioned rank + one lag pass over the
+    calendar-bounded pooled frame, then a scalar agg."""
+    from kp_crypto_market_analytics_spark.operators.layout import (
+        range_partitioned_rank,
+    )
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _PAIR_A,
+        _PAIR_B,
+        _daily_cells_df,
+    )
+
+    cells = _daily_cells_df(spark, sf_dir).where(
+        F.col("event_type").isin(_PAIR_A, _PAIR_B)
+    )
+    ranked = range_partitioned_rank(
+        cells, ["cell", "day", "event_type"], out_col="rn"
+    )
+    w = Window.orderBy("rn")
+    lab = (F.col("event_type") == _PAIR_A).cast("int")
+    stepped = ranked.select(
+        lab.alias("g"),
+        F.lag(lab).over(w).alias("pg"),
+    )
+    agg = stepped.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("g").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pg").isNull() | (F.col("g") != F.col("pg")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("runs"),
+    )
+    nn = F.col("nn").cast("double")
+    n = F.col("n").cast("double")
+    m = (F.col("nn") - F.col("n")).cast("double")
+    mu = F.lit(2.0) * n * m / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n
+        * m
+        * (F.lit(2.0) * n * m - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    ok = (F.col("n") > 0) & ((F.col("nn") - F.col("n")) > 0) & (var > 0)
+    return agg.select(
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("n").cast("long").alias("n_a"),
+        F.col("runs").cast("long").alias("n_runs"),
+        F.when(
+            ok,
+            F.round((F.col("runs") - mu) / F.sqrt(var), 6) + F.lit(0.0),
+        ).alias("z"),
+    )
+
+
+def _a_wald_wolfowitz_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r11 import (
+        _CELLS_CTE,
+        _PAIR_A,
+        _PAIR_B,
+    )
+
+    return f"""
+WITH {_CELLS_CTE}, pooled AS (
+  SELECT CASE WHEN event_type = '{_PAIR_A}' THEN 1 ELSE 0 END AS g,
+    row_number() OVER (ORDER BY cell, day, event_type) AS rn
+  FROM cells WHERE event_type IN ('{_PAIR_A}', '{_PAIR_B}')
+), stepped AS (
+  SELECT g, lag(g) OVER (ORDER BY rn) AS pg FROM pooled
+), agg AS (
+  SELECT COUNT(*) AS nn, SUM(g) AS n,
+    SUM(CASE WHEN pg IS NULL OR g <> pg THEN 1 ELSE 0 END) AS runs
+  FROM stepped
+)
+SELECT CAST(nn AS BIGINT) AS n_total, CAST(n AS BIGINT) AS n_a,
+  CAST(runs AS BIGINT) AS n_runs,
+  CASE WHEN n > 0 AND nn - n > 0 AND
+    (2.0 * CAST(n AS DOUBLE) * (nn - n)
+     * (2.0 * CAST(n AS DOUBLE) * (nn - n) - nn)
+     / (CAST(nn AS DOUBLE) * nn * (CAST(nn AS DOUBLE) - 1.0))) > 0
+  THEN round(
+    (runs - (2.0 * CAST(n AS DOUBLE) * (nn - n) / nn + 1.0))
+    / sqrt(2.0 * CAST(n AS DOUBLE) * (nn - n)
+           * (2.0 * CAST(n AS DOUBLE) * (nn - n) - nn)
+           / (CAST(nn AS DOUBLE) * nn * (CAST(nn AS DOUBLE) - 1.0))),
+    6) + 0.0
+  END AS z
+FROM agg
+"""
+
+
+R11C_QUERIES["a_wald_wolfowitz"] = a_wald_wolfowitz
+_R11C_ORACLES["a_wald_wolfowitz"] = _a_wald_wolfowitz_sql
+
+
+# ---------------------------------------------------- ti_ma_cross
+
+_MAC_FAST = 10
+_MAC_SLOW = 30
+
+
+def ti_ma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover state table (the golden/death-cross
+    signal, classic technical folklore): per day, the SMA-10 vs
+    SMA-30 spread of the daily close plus the crossing signal when
+    one fires — the discrete trading signal the backtest family
+    consumes.  The full state table is emitted (not just crossing
+    days) so the gate can never be vacuous on a trend-only series —
+    the round-2 j_anti_customers lesson.
+
+    Determinism: the cross test compares exact integer numerators on
+    the common denominator 30 (3·Σ₁₀ vs Σ₃₀) — no float enters the
+    decision; the reported spread is ONE IEEE expression.
+
+    Scale shape: two frame sums + one lag on the shared daily sort,
+    then a filter to signal days."""
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    w = _wd()
+    f_fr = w.rowsBetween(-(_MAC_FAST - 1), 0)
+    s_fr = w.rowsBetween(-(_MAC_SLOW - 1), 0)
+    # diff = 3·Σ10 − Σ30: positive ⇔ SMA10 > SMA30 (common denom 30)
+    diff = F.lit(3) * F.sum("cm").over(f_fr) - F.sum("cm").over(s_fr)
+    n = F.count("cm").over(s_fr)
+    b = bars.select(
+        "event_type",
+        "day",
+        F.when(n == _MAC_SLOW, diff).alias("d"),
+    )
+    prev = F.lag("d").over(w)
+    sig = F.when(
+        (F.col("d") > 0) & (prev <= 0), F.lit("golden")
+    ).when((F.col("d") < 0) & (prev >= 0), F.lit("death"))
+    return (
+        b.select(
+            "event_type",
+            "day",
+            sig.alias("signal"),
+            (F.round(F.col("d") / F.lit(30e6), 6) + F.lit(0.0)).alias(
+                "ma_spread"
+            ),
+        )
+        .where(F.col("d").isNotNull())
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_ma_cross_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    f_fr = f"(d ROWS BETWEEN {_MAC_FAST - 1} PRECEDING AND CURRENT ROW)"
+    s_fr = f"(d ROWS BETWEEN {_MAC_SLOW - 1} PRECEDING AND CURRENT ROW)"
+    return f"""
+WITH {DAILY_BARS_CTE}, b AS (
+  SELECT event_type, day,
+    CASE WHEN COUNT(cm) OVER {s_fr} = {_MAC_SLOW}
+         THEN 3 * SUM(cm) OVER {f_fr} - SUM(cm) OVER {s_fr} END AS dd
+  FROM bars
+  WINDOW d AS ({_WD_SQL})
+), s AS (
+  SELECT event_type, day, dd, lag(dd) OVER d AS prev
+  FROM b
+  WINDOW d AS ({_WD_SQL})
+)
+SELECT event_type, day,
+  CASE WHEN dd > 0 AND prev <= 0 THEN 'golden'
+       WHEN dd < 0 AND prev >= 0 THEN 'death' END AS signal,
+  round(dd / 30000000.0, 6) + 0.0 AS ma_spread
+FROM s
+WHERE dd IS NOT NULL
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_ma_cross"] = ti_ma_cross
+_R11C_ORACLES["ti_ma_cross"] = _ti_ma_cross_sql

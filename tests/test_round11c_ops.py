@@ -422,3 +422,43 @@ def test_qq_deciles_monotone(spark):
     qa = [r["q_click"] for r in rows]
     qb = [r["q_view"] for r in rows]
     assert qa == sorted(qa) and qb == sorted(qb)
+
+
+def test_rvi_bounded(spark):
+    """|C−O| <= H−L on every bar, so each term and the 10-day ratio
+    live in [-1, 1]."""
+    from kp_crypto_market_analytics_spark.queries_r11c import ti_rvi
+
+    rows = ti_rvi(spark, SFD).where(F.col("rvi").isNotNull())
+    assert rows.count() > 0
+    assert (
+        rows.where((F.col("rvi") < -1.0) | (F.col("rvi") > 1.0)).count()
+        == 0
+    )
+
+
+def test_wald_wolfowitz_runs_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import (
+        a_wald_wolfowitz,
+    )
+
+    r = a_wald_wolfowitz(spark, SFD).collect()[0]
+    # runs count is between 1 and N, and at most 2*min(n,m)+1
+    n, m = r["n_a"], r["n_total"] - r["n_a"]
+    assert 1 <= r["n_runs"] <= r["n_total"]
+    assert r["n_runs"] <= 2 * min(n, m) + 1
+
+
+def test_ma_cross_state_never_vacuous(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import ti_ma_cross
+
+    rows = ti_ma_cross(spark, SFD).collect()
+    # the state table emits every qualifying day, so a trend-only
+    # series still gates on real spread values
+    assert len(rows) > 0
+    for r in rows:
+        assert r["signal"] in (None, "golden", "death")
+        if r["signal"] == "golden":
+            assert r["ma_spread"] > 0
+        if r["signal"] == "death":
+            assert r["ma_spread"] < 0
