@@ -4303,21 +4303,21 @@ _R11C_ORACLES["a_wald_wolfowitz"] = _a_wald_wolfowitz_sql
 
 # ---------------------------------------------------- ti_ma_cross
 
-_MAC_FAST = 10
-_MAC_SLOW = 30
+_MAC_FAST = 5
+_MAC_SLOW = 20
 
 
 def ti_ma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving-average crossover state table (the golden/death-cross
-    signal, classic technical folklore): per day, the SMA-10 vs
-    SMA-30 spread of the daily close plus the crossing signal when
+    signal, classic technical folklore): per day, the SMA-5 vs
+    SMA-20 spread of the daily close plus the crossing signal when
     one fires — the discrete trading signal the backtest family
     consumes.  The full state table is emitted (not just crossing
     days) so the gate can never be vacuous on a trend-only series —
     the round-2 j_anti_customers lesson.
 
     Determinism: the cross test compares exact integer numerators on
-    the common denominator 30 (3·Σ₁₀ vs Σ₃₀) — no float enters the
+    the common denominator 20 (4·Σ₅ vs Σ₂₀) — no float enters the
     decision; the reported spread is ONE IEEE expression.
 
     Scale shape: two frame sums + one lag on the shared daily sort,
@@ -4331,8 +4331,8 @@ def ti_ma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _wd()
     f_fr = w.rowsBetween(-(_MAC_FAST - 1), 0)
     s_fr = w.rowsBetween(-(_MAC_SLOW - 1), 0)
-    # diff = 3·Σ10 − Σ30: positive ⇔ SMA10 > SMA30 (common denom 30)
-    diff = F.lit(3) * F.sum("cm").over(f_fr) - F.sum("cm").over(s_fr)
+    # diff = 4·Σ5 − Σ20: positive ⇔ SMA5 > SMA20 (common denom 20)
+    diff = F.lit(4) * F.sum("cm").over(f_fr) - F.sum("cm").over(s_fr)
     n = F.count("cm").over(s_fr)
     b = bars.select(
         "event_type",
@@ -4348,7 +4348,7 @@ def ti_ma_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             sig.alias("signal"),
-            (F.round(F.col("d") / F.lit(30e6), 6) + F.lit(0.0)).alias(
+            (F.round(F.col("d") / F.lit(20e6), 6) + F.lit(0.0)).alias(
                 "ma_spread"
             ),
         )
@@ -4369,7 +4369,7 @@ def _ti_ma_cross_sql() -> str:
 WITH {DAILY_BARS_CTE}, b AS (
   SELECT event_type, day,
     CASE WHEN COUNT(cm) OVER {s_fr} = {_MAC_SLOW}
-         THEN 3 * SUM(cm) OVER {f_fr} - SUM(cm) OVER {s_fr} END AS dd
+         THEN 4 * SUM(cm) OVER {f_fr} - SUM(cm) OVER {s_fr} END AS dd
   FROM bars
   WINDOW d AS ({_WD_SQL})
 ), s AS (
@@ -4380,7 +4380,7 @@ WITH {DAILY_BARS_CTE}, b AS (
 SELECT event_type, day,
   CASE WHEN dd > 0 AND prev <= 0 THEN 'golden'
        WHEN dd < 0 AND prev >= 0 THEN 'death' END AS signal,
-  round(dd / 30000000.0, 6) + 0.0 AS ma_spread
+  round(dd / 20000000.0, 6) + 0.0 AS ma_spread
 FROM s
 WHERE dd IS NOT NULL
 ORDER BY event_type, day
