@@ -128,6 +128,12 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, tuple[int, str]] = {
         "(day, type) — calendar-bounded; the rank itself is "
         "range-partitioned)",
     ),
+    "a_wald_wolfowitz": (
+        1,
+        "one lag pass over the pooled daily-cell frame (one row per "
+        "(day, type) — calendar-bounded; the rank itself is "
+        "range-partitioned)",
+    ),
     "a_fdr_bh": (
         3,
         "BH rank/count/frontier over the 24-row hourly p-value "
