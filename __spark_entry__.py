@@ -227,6 +227,7 @@ _FIRST_SEEN_ROUND.update(
         "e_triplet_violations", "g_eigenvector", "a_cohen_h",
         "a_qq_deciles",
         "ti_rvi", "a_wald_wolfowitz", "ti_ma_cross",
+        "a_capture_recapture", "a_two_proportion_z", "ti_chaikin_osc",
     )}
 )
 

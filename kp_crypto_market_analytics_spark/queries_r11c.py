@@ -4389,3 +4389,293 @@ ORDER BY event_type, day
 
 R11C_QUERIES["ti_ma_cross"] = ti_ma_cross
 _R11C_ORACLES["ti_ma_cross"] = _ti_ma_cross_sql
+
+
+# ------------------------------------------- a_capture_recapture
+
+def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate (Chapman 1951, public) of
+    the active-user universe from the first and last calendar days:
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with m the users seen on BOTH days —
+    the ecology estimator data teams reuse to size a population from
+    two overlapping samples, with its closed-form variance.
+
+    Determinism: all four counts are exact integers; N̂ and its SE
+    are single IEEE chains, rounded at 6 dp.
+
+    Scale shape: two day-filtered distinct aggs + one semi-join —
+    day predicates prune to the scan."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    days = e.agg(
+        F.min("day").alias("d1"), F.max("day").alias("d2")
+    )
+    j = e.crossJoin(F.broadcast(days))
+    s1 = j.where(F.col("day") == F.col("d1")).select("user_id").distinct()
+    s2 = j.where(F.col("day") == F.col("d2")).select("user_id").distinct()
+    both = s1.join(s2, "user_id", "left_semi")
+    g = (
+        s1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(both.agg(F.count(F.lit(1)).alias("m")))
+    )
+    n1 = (F.col("n1") + 1).cast("double")
+    n2 = (F.col("n2") + 1).cast("double")
+    m1 = (F.col("m") + 1).cast("double")
+    nhat = n1 * n2 / m1 - F.lit(1.0)
+    var = (
+        n1
+        * n2
+        * (n1 - m1)
+        * (n2 - m1)
+        / (m1 * m1 * (m1 + F.lit(1.0)))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return g.select(
+        F.col("n1").cast("long").alias("n_day1"),
+        F.col("n2").cast("long").alias("n_day2"),
+        F.col("m").cast("long").alias("n_both"),
+        F.when(ok, F.round(nhat, 6) + F.lit(0.0)).alias("chapman_nhat"),
+        F.when(
+            ok & (var >= 0), F.round(F.sqrt(var), 6) + F.lit(0.0)
+        ).alias("chapman_se"),
+    )
+
+
+def _a_capture_recapture_sql() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT MIN(day) AS d1, MAX(day) AS d2 FROM e
+), s1 AS (
+  SELECT DISTINCT user_id FROM e, days WHERE day = d1
+), s2 AS (
+  SELECT DISTINCT user_id FROM e, days WHERE day = d2
+), g AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+    (SELECT COUNT(*) FROM s2) AS n2,
+    (SELECT COUNT(*) FROM s1 WHERE user_id IN (SELECT user_id FROM s2))
+      AS m
+)
+SELECT CAST(n1 AS BIGINT) AS n_day1, CAST(n2 AS BIGINT) AS n_day2,
+  CAST(m AS BIGINT) AS n_both,
+  CASE WHEN n1 > 0 AND n2 > 0 THEN
+    round((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+          / (CAST(m AS DOUBLE) + 1) - 1.0, 6) + 0.0
+  END AS chapman_nhat,
+  CASE WHEN n1 > 0 AND n2 > 0 AND
+    ((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+     * (CAST(n1 AS DOUBLE) + 1 - (CAST(m AS DOUBLE) + 1))
+     * (CAST(n2 AS DOUBLE) + 1 - (CAST(m AS DOUBLE) + 1))
+     / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1)
+        * (CAST(m AS DOUBLE) + 2))) >= 0
+  THEN round(sqrt((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+     * (CAST(n1 AS DOUBLE) + 1 - (CAST(m AS DOUBLE) + 1))
+     * (CAST(n2 AS DOUBLE) + 1 - (CAST(m AS DOUBLE) + 1))
+     / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1)
+        * (CAST(m AS DOUBLE) + 2))), 6) + 0.0
+  END AS chapman_se
+FROM g
+"""
+
+
+R11C_QUERIES["a_capture_recapture"] = a_capture_recapture
+_R11C_ORACLES["a_capture_recapture"] = _a_capture_recapture_sql
+
+
+# ---------------------------------------------- a_two_proportion_z
+
+def a_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled; standard intro-stats, public)
+    for the weekend-vs-weekday large-event rate — the inferential
+    companion to a_cohen_h's effect size on the SAME exact counts:
+    z = (p₁−p₂)/√(p̄(1−p̄)(1/n₁+1/n₂)).
+
+    Determinism: identical integer-exact predicate (vm·N > Σvm);
+    the z is ONE IEEE chain over the four exact counts.
+
+    Scale shape: one scalar agg broadcast over the scan, one 2-row
+    group."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = ensure_parallelism(t["events"]).select(
+        F.dayofweek("ts").isin(1, 7).alias("weekend"),
+        F.round(F.col("value") * F.lit(1_000_000.0), 0)
+        .cast("long")
+        .alias("vm"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("nn"), F.sum("vm").alias("sv"))
+    j = e.crossJoin(F.broadcast(tot))
+    large = (F.col("vm").cast("decimal(38,0)") * F.col("nn")) > F.col(
+        "sv"
+    ).cast("decimal(38,0)")
+    g = j.groupBy("weekend").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(large.cast("long")).alias("k"),
+    )
+    we = g.where(F.col("weekend")).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    wd = g.where(~F.col("weekend")).select(
+        F.col("n").alias("n2"), F.col("k").alias("k2")
+    )
+    x = we.crossJoin(wd)
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    k1, k2 = F.col("k1").cast("double"), F.col("k2").cast("double")
+    pbar = (k1 + k2) / (n1 + n2)
+    var = pbar * (F.lit(1.0) - pbar) * (F.lit(1.0) / n1 + F.lit(1.0) / n2)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0)
+    return x.select(
+        F.col("n1").cast("long").alias("n_weekend"),
+        F.col("k1").cast("long").alias("k_weekend"),
+        F.col("n2").cast("long").alias("n_weekday"),
+        F.col("k2").cast("long").alias("k_weekday"),
+        F.when(
+            ok,
+            F.round((k1 / n1 - k2 / n2) / F.sqrt(var), 6) + F.lit(0.0),
+        ).alias("z"),
+    )
+
+
+def _a_two_proportion_z_sql() -> str:
+    return """
+WITH e AS (
+  SELECT dayofweek(ts) IN (0, 6) AS weekend,
+    CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), tot AS (
+  SELECT COUNT(*) AS nn, SUM(vm) AS sv FROM e
+), g AS (
+  SELECT weekend, COUNT(*) AS n,
+    SUM(CASE WHEN CAST(vm AS DECIMAL(38,0)) * nn
+             > CAST(sv AS DECIMAL(38,0)) THEN 1 ELSE 0 END) AS k
+  FROM e, tot GROUP BY weekend
+), x AS (
+  SELECT
+    (SELECT n FROM g WHERE weekend) AS n1,
+    (SELECT k FROM g WHERE weekend) AS k1,
+    (SELECT n FROM g WHERE NOT weekend) AS n2,
+    (SELECT k FROM g WHERE NOT weekend) AS k2
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(k1 AS BIGINT) AS k_weekend,
+  CAST(n2 AS BIGINT) AS n_weekday, CAST(k2 AS BIGINT) AS k_weekday,
+  CASE WHEN n1 > 0 AND n2 > 0 AND
+    ((CAST(k1 AS DOUBLE) + k2) / (CAST(n1 AS DOUBLE) + n2))
+    * (1.0 - (CAST(k1 AS DOUBLE) + k2) / (CAST(n1 AS DOUBLE) + n2))
+    * (1.0 / n1 + 1.0 / n2) > 0
+  THEN round(
+    (CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+    / sqrt(((CAST(k1 AS DOUBLE) + k2) / (CAST(n1 AS DOUBLE) + n2))
+      * (1.0 - (CAST(k1 AS DOUBLE) + k2) / (CAST(n1 AS DOUBLE) + n2))
+      * (1.0 / n1 + 1.0 / n2)), 6) + 0.0
+  END AS z
+FROM x
+"""
+
+
+R11C_QUERIES["a_two_proportion_z"] = a_two_proportion_z
+_R11C_ORACLES["a_two_proportion_z"] = _a_two_proportion_z_sql
+
+
+# --------------------------------------------------- ti_chaikin_osc
+
+_CHO_FAST = 2.0 / 4.0   # EMA-3 smoothing
+_CHO_SLOW = 2.0 / 11.0  # EMA-10 smoothing
+_CHO_LAGS = 8
+
+
+def ti_chaikin_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin oscillator (Chaikin 1981-era folklore, public):
+    EMA3 − EMA10 of the accumulation/distribution line, where ADL is
+    the running sum of money-flow volume MFV = vol·(2C−H−L)/(H−L) —
+    the volume-flow momentum gauge built on the same MFM the CMF
+    family uses.
+
+    Determinism: each day's MFV quantizes to a micro BIGINT (exact
+    rational (2C−H−L)/(H−L) times volume, half-away), the ADL cumsum
+    folds as exact integers, and both EMA chains are the shared
+    truncated closed form over the 6-dp ADL.
+
+    Scale shape: one calendar-bounded cumsum + two lag chains on the
+    shared daily sort."""
+    from kp_crypto_market_analytics_spark.operators.indicators import (
+        truncated_ema,
+    )
+    from kp_crypto_market_analytics_spark.queries_r11 import _half_away
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        _daily_bars_df,
+        _wd,
+    )
+
+    bars = _daily_bars_df(spark, sf_dir)
+    d = "decimal(38,0)"
+    mfm_num = (
+        F.lit(2) * F.col("cm") - F.col("hm") - F.col("lm")
+    ).cast(d) * F.col("vol").cast(d) * F.lit(1_000_000).cast(d)
+    mfm_den = (F.col("hm") - F.col("lm")).cast(d)
+    mfv_u = F.when(
+        F.col("hm") > F.col("lm"), _half_away(mfm_num, mfm_den)
+    ).otherwise(F.lit(0))
+    b = bars.select("event_type", "day", mfv_u.alias("mfv_u"))
+    wc = _wd().rowsBetween(Window.unboundedPreceding, 0)
+    adl = (
+        F.sum("mfv_u").over(wc).cast("double") / F.lit(1e6)
+    )
+    b = b.select("event_type", "day", F.round(adl, 6).alias("adl"))
+    fast = F.round(
+        truncated_ema(F.col("adl"), _wd(), _CHO_FAST, _CHO_LAGS), 6
+    )
+    slow = F.round(
+        truncated_ema(F.col("adl"), _wd(), _CHO_SLOW, _CHO_LAGS), 6
+    )
+    return (
+        b.select(
+            "event_type",
+            "day",
+            "adl",
+            (F.round(fast - slow, 6) + F.lit(0.0)).alias("chaikin_osc"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _ti_chaikin_osc_sql() -> str:
+    from kp_crypto_market_analytics_spark.queries_indicators import (
+        _des_ema_sql,
+    )
+    from kp_crypto_market_analytics_spark.queries_r11 import _sql_half_away
+    from kp_crypto_market_analytics_spark.queries_r9 import (
+        DAILY_BARS_CTE,
+        _WD_SQL,
+    )
+
+    mfv = _sql_half_away(
+        "(2 * cm - hm - lm) * vol * 1000000", "hm - lm"
+    )
+    return f"""
+WITH {DAILY_BARS_CTE}, m AS (
+  SELECT event_type, day,
+    CASE WHEN hm > lm THEN {mfv} ELSE 0 END AS mfv_u
+  FROM bars
+), a AS (
+  SELECT event_type, day,
+    round(CAST(SUM(mfv_u) OVER (d ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DOUBLE) / 1e6, 6)
+      AS adl
+  FROM m
+  WINDOW d AS ({_WD_SQL})
+)
+SELECT event_type, day, adl,
+  round(round({_des_ema_sql("adl", _CHO_FAST, _CHO_LAGS)}, 6)
+        - round({_des_ema_sql("adl", _CHO_SLOW, _CHO_LAGS)}, 6), 6)
+    + 0.0 AS chaikin_osc
+FROM a
+WINDOW w AS ({_WD_SQL})
+ORDER BY event_type, day
+"""
+
+
+R11C_QUERIES["ti_chaikin_osc"] = ti_chaikin_osc
+_R11C_ORACLES["ti_chaikin_osc"] = _ti_chaikin_osc_sql

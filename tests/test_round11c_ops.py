@@ -462,3 +462,46 @@ def test_ma_cross_state_never_vacuous(spark):
             assert r["ma_spread"] > 0
         if r["signal"] == "death":
             assert r["ma_spread"] < 0
+
+
+def test_capture_recapture_bounds(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import (
+        a_capture_recapture,
+    )
+
+    r = a_capture_recapture(spark, SFD).collect()[0]
+    assert r["n_both"] <= min(r["n_day1"], r["n_day2"])
+    # Chapman estimate is at least the larger observed sample
+    assert r["chapman_nhat"] >= max(r["n_day1"], r["n_day2"]) - 1
+    assert r["chapman_se"] >= 0.0
+
+
+def test_two_proportion_z_sign_matches_cohen_h(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import (
+        a_cohen_h,
+        a_two_proportion_z,
+    )
+
+    z = a_two_proportion_z(spark, SFD).collect()[0]
+    h = a_cohen_h(spark, SFD).collect()[0]
+    # same exact counts feed both: the effect directions must agree
+    if z["z"] is not None and h["cohens_h"] is not None:
+        assert (z["z"] >= 0) == (h["cohens_h"] >= 0)
+
+
+def test_chaikin_osc_zero_on_flat_adl(spark):
+    from kp_crypto_market_analytics_spark.queries_r11c import (
+        ti_chaikin_osc,
+    )
+    from pyspark.sql import Window
+
+    rows = ti_chaikin_osc(spark, SFD)
+    w = Window.partitionBy("event_type").orderBy("day")
+    flat = rows.select(
+        "chaikin_osc",
+        F.min("adl").over(w.rowsBetween(-7, 0)).alias("lo"),
+        F.max("adl").over(w.rowsBetween(-7, 0)).alias("hi"),
+        F.count("adl").over(w.rowsBetween(-7, 0)).alias("n8"),
+    ).where((F.col("n8") == 8) & (F.col("lo") == F.col("hi")))
+    bad = flat.where(F.abs(F.col("chaikin_osc")) > 1e-5)
+    assert bad.count() == 0
