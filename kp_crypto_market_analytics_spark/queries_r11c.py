@@ -4651,8 +4651,10 @@ def _ti_chaikin_osc_sql() -> str:
         _WD_SQL,
     )
 
+    # HUGEINT before the micro multiply: (2C−H−L)·vol·1e6 overflows
+    # INT64 at sf0.1 volumes
     mfv = _sql_half_away(
-        "(2 * cm - hm - lm) * vol * 1000000", "hm - lm"
+        "CAST(2 * cm - hm - lm AS HUGEINT) * vol * 1000000", "hm - lm"
     )
     return f"""
 WITH {DAILY_BARS_CTE}, m AS (
