@@ -241,6 +241,34 @@ BUILD_COST_NOTES = {
         "global ranks; hovers at the line (2.74s in-sweep, 3.67s "
         "fresh-JVM incl. session floor — BENCH_ISOLATED_r11.json)"
     ),
+    "mm_scene_cut": (
+        "Arrow mapInPandas frame-luma extraction + per-video cut "
+        "census; the r11 baseline's 13.8s in-sweep reading (3.7s "
+        "fresh-JVM) flagged the row-loop batch body — vectorized "
+        "with NumPy this round (r11 optimization target)"
+    ),
+    "dedup_minhash_lsh": (
+        "64-hash/16-band LSH candidate generation over the shared "
+        "signature table: band explode + bucket self-join is the "
+        "detector being priced; hovers at the line as the session "
+        "grows (3.60s in-sweep r11 baseline)"
+    ),
+    "dedup_simhash": (
+        "64-bit SimHash build (per-token sign folds across 64 bit "
+        "positions) + banded Hamming candidate join — the bit-fold "
+        "width is the workload; hovers at the line in-session"
+    ),
+    "dq_k_anonymity": (
+        "k-anonymity census: quasi-identifier groupBy at full corpus "
+        "grain plus per-k cumulative census — the QI cardinality is "
+        "the workload (3.09s in-sweep r11 baseline)"
+    ),
+    "g_bipartite_projection": (
+        "customer-part bipartite projection: co-purchase pair "
+        "generation bounded by per-order caps, then pair-weight agg — "
+        "the projection explode is the priced product (3.53s in-sweep "
+        "r11 baseline)"
+    ),
 }
 
 

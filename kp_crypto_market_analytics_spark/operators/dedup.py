@@ -813,6 +813,40 @@ def capped_jaccard_pairs_materialized(
     return session_materialized(spark, key, build)
 
 
+def cluster_labels_materialized(spark, sf_dir: str) -> DataFrame:
+    """Session-materialized (doc_id, cluster_id) connected-component
+    labeling of the capped-Jaccard near-dup graph over ALL documents
+    (min doc_id per component).
+
+    r11 optimization: four registry queries (dedup_clusters,
+    dedup_canonical, t_train_split, t_corpus_pipeline) each re-ran the
+    IDENTICAL iterative min-label propagation — O(diameter) shuffle
+    rounds with a localCheckpoint + convergence action per round — on
+    the same materialized edge set with the same node set (every
+    document).  The labels are a deterministic pure-integer function
+    of the pair graph, so computing them once per session and serving
+    the rest from a temp-parquet materialization changes no value
+    (guide §2.4: shared derived dataset)."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    def build() -> DataFrame:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        edges = capped_jaccard_pairs_materialized(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        nodes = docs.select(F.col("doc_id").alias("doc"))
+        return connected_component_labels(edges, nodes, "doc").select(
+            F.col("doc").alias("doc_id"), "cluster_id"
+        )
+
+    return session_materialized(
+        spark, f"cluster_labels:{sf_dir}:k=4:t=0.6:cap=50", build
+    )
+
+
 def connected_component_labels(
     edges: DataFrame,
     nodes: DataFrame,
@@ -865,16 +899,50 @@ def connected_component_labels(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # The changed flag rides along in the SAME pass (new label <
-        # old label ⟺ a neighbor improved it), so the convergence count
-        # is a cheap scan of the checkpointed frame instead of an extra
-        # old-vs-new join per round.
-        stepped = (
+        half = (
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__chg"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                F.col("label").alias("__old"),
+            )
+        )
+        # Pointer-jumping second half-step (r11 optimization, the
+        # classic Shiloach-Vishkin shortcut): label := min(label,
+        # label[label]).  Every label value IS a node id present in
+        # the label table (labels start as node ids and only ever
+        # adopt other labels' values), so the lookup is a self-join.
+        # Reach roughly doubles per round, collapsing O(diameter)
+        # rounds to O(log diameter) — same fixpoint (at convergence
+        # the neighbor-min step alone admits no change, which forces
+        # labels constant per component at the component min), so the
+        # returned labeling is bit-identical; only round count and
+        # hence checkpoint/count actions change.
+        ptr = half.select(
+            F.col("node").alias("__pn"), F.col("label").alias("__pl")
+        )
+        # The changed flag rides along in the SAME pass (final label <
+        # old label ⟺ a neighbor or the pointer improved it), so the
+        # convergence count is a cheap scan of the checkpointed frame
+        # instead of an extra old-vs-new join per round.
+        stepped = (
+            half.join(ptr, half["label"] == F.col("__pn"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("__pl"), F.col("label")),
+                ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("__pl"), F.col("label")),
+                    )
+                    < F.col("__old")
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )

@@ -61,9 +61,27 @@ def _norm_col():
 
 
 def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["documents"])
-    return ensure_parallelism(t["documents"]).select(
-        "doc_id", F.split(_norm_col(), " ").alias("toks")
+    """(doc_id, toks) — the normalized whitespace tokenization shared
+    by ~18 text queries.  Session-materialized (r11 optimization): the
+    per-doc regexp normalize + split ran once per consuming query;
+    now it runs once per session and consumers scan the token table —
+    the tokenize-once silver table every corpus pipeline keeps.
+    ``ensure_parallelism`` moves to the READ side so CPU-heavy
+    consumers (shingle explodes, n-gram hashing) still fan out across
+    cores — the materialized file is tiny and would otherwise arrive
+    as one partition."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["documents"])
+        return t["documents"].select(
+            "doc_id", F.split(_norm_col(), " ").alias("toks")
+        )
+
+    return ensure_parallelism(
+        session_materialized(spark, f"toks:{sf_dir}", build)
     )
 
 

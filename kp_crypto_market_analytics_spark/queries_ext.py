@@ -373,17 +373,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-vocab corpus (~40x slower at sf0.1) and clustering only
     needs enough edges to connect components."""
     from kp_crypto_market_analytics_spark.operators.dedup import (
-        capped_jaccard_pairs_materialized,
-        connected_component_labels,
+        cluster_labels_materialized,
     )
 
-    t = load_tables(spark, sf_dir, ["documents"])
-    edges = capped_jaccard_pairs_materialized(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    )
-    nodes = t["documents"].select(F.col("doc_id").alias("doc"))
-    labels = connected_component_labels(edges, nodes, "doc")
-    out = labels.select(F.col("doc").alias("doc_id"), "cluster_id")
+    out = cluster_labels_materialized(spark, sf_dir)
     sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return out.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
@@ -4727,19 +4720,12 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters."""
     from kp_crypto_market_analytics_spark.functions.text import quality_score
     from kp_crypto_market_analytics_spark.operators.dedup import (
-        capped_jaccard_pairs_materialized,
-        connected_component_labels,
+        cluster_labels_materialized,
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
     d = t["documents"]
-    edges = capped_jaccard_pairs_materialized(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    )
-    nodes = d.select(F.col("doc_id").alias("doc"))
-    labels = connected_component_labels(edges, nodes, "doc").select(
-        F.col("doc").alias("doc_id"), "cluster_id"
-    )
+    labels = cluster_labels_materialized(spark, sf_dir)
     q = d.select("doc_id", F.coalesce(quality_score("text"), F.lit(-1.0)).alias("q"))
     key = F.struct(F.col("q"), (-F.col("doc_id")).alias("neg"))
     return (

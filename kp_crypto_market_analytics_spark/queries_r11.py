@@ -599,17 +599,26 @@ _PAIR_B = "view"
 
 
 def _daily_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["events"])
-    from kp_crypto_market_analytics_spark.session import ensure_parallelism
-
-    e = ensure_parallelism(t["events"]).select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.round(F.col("value") * F.lit(1_000_000.0), 0)
-        .cast("long")
-        .alias("vm"),
+    """(day, event_type, cell) daily micro-value sums — session-
+    materialized (r11 optimization): 14 paired-test queries each
+    re-aggregated raw events into this |days|x|types| frame; exact
+    BIGINT cells round-trip parquet bit-for-bit."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
     )
-    return e.groupBy("day", "event_type").agg(F.sum("vm").alias("cell"))
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["events"])
+        e = t["events"].select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .alias("vm"),
+        )
+        return e.groupBy("day", "event_type").agg(F.sum("vm").alias("cell"))
+
+    return session_materialized(spark, f"daily_cells:{sf_dir}", build)
 
 
 _CELLS_CTE = """cells AS (

@@ -60,19 +60,12 @@ def _cluster_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dedup_clusters/dedup_canonical (built once per session)."""
     from kp_crypto_market_analytics_spark.functions.text import hash64
     from kp_crypto_market_analytics_spark.operators.dedup import (
-        capped_jaccard_pairs_materialized,
-        connected_component_labels,
+        cluster_labels_materialized,
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
     d = ensure_parallelism(t["documents"])
-    edges = capped_jaccard_pairs_materialized(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    )
-    nodes = d.select(F.col("doc_id").alias("doc"))
-    labels = connected_component_labels(edges, nodes, "doc").select(
-        F.col("doc").alias("doc_id"), "cluster_id"
-    )
+    labels = cluster_labels_materialized(spark, sf_dir)
     bucket = hash64(
         F.concat(F.col("cluster_id").cast("string"), F.lit("#split"))
     ) % 100

@@ -115,8 +115,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_mean_micro,
     )
     from kp_crypto_market_analytics_spark.operators.dedup import (
-        capped_jaccard_pairs_materialized,
-        connected_component_labels,
+        cluster_labels_materialized,
     )
     from kp_crypto_market_analytics_spark.queries_ext import _word_trigrams
     from kp_crypto_market_analytics_spark.queries_r7 import (
@@ -197,13 +196,12 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("contam", F.lit(True))
     )
 
-    edges = capped_jaccard_pairs_materialized(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    )
-    nodes = base.select(F.col("doc_id").alias("doc"))
-    labels = connected_component_labels(edges, nodes, "doc").select(
-        F.col("doc").alias("doc_id"), "cluster_id"
-    )
+    # Shared session-materialized CC labels (r11 optimization): the
+    # same (doc_id, cluster_id) table dedup_clusters/dedup_canonical/
+    # t_train_split consume — built once per session instead of
+    # re-running the iterative propagation here (node set identical:
+    # every document).
+    labels = cluster_labels_materialized(spark, sf_dir)
 
     asg = (
         base.drop("toks")

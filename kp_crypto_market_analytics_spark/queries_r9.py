@@ -337,34 +337,53 @@ _BAR_PERIOD = 14
 
 def _daily_bars_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, day, hm, lm, cm, vol) daily candles in micro-price
-    integers; close = last tick by (ts, event_id)."""
-    from kp_crypto_market_analytics_spark.queries_indicators import _k_col
+    integers; close = last tick by (ts, event_id).
 
-    t = load_tables(spark, sf_dir, ["events"])
-    e = ensure_parallelism(t["events"]).select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        "ts",
-        "event_id",
-        F.round(F.col("value") * F.lit(1_000_000.0), 0)
-        .cast("long")
-        .alias("vm"),
-        _k_col().alias("k"),
+    Session-materialized (r11 optimization): ~50 daily-bar indicator
+    queries each re-derived this |types|x|days| frame from the raw
+    events scan (groupBy + row_number window + join = 4-5 exchanges
+    per query, and self-joining consumers like ti_cci paid the whole
+    derivation TWICE in one plan).  At 100 TB this is the classic
+    bronze->silver bars table a deployment computes once per day and
+    serves every indicator from; here it is built once per session
+    and every consumer plans a tiny parquet scan (guide §2.4: share
+    one exchange / derived dataset).  All columns are exact integers/
+    dates — the parquet round-trip is bit-exact, so every consumer's
+    oracle-gated values are unchanged."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
     )
-    hl = e.groupBy("event_type", "day").agg(
-        F.max("vm").alias("hm"),
-        F.min("vm").alias("lm"),
-        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("vol"),
-    )
-    wc = Window.partitionBy("event_type", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    close = (
-        e.withColumn("__rn", F.row_number().over(wc))
-        .where(F.col("__rn") == 1)
-        .select("event_type", "day", F.col("vm").alias("cm"))
-    )
-    return hl.join(close, ["event_type", "day"])
+
+    def build() -> DataFrame:
+        from kp_crypto_market_analytics_spark.queries_indicators import _k_col
+
+        t = load_tables(spark, sf_dir, ["events"])
+        e = ensure_parallelism(t["events"]).select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .alias("vm"),
+            _k_col().alias("k"),
+        )
+        hl = e.groupBy("event_type", "day").agg(
+            F.max("vm").alias("hm"),
+            F.min("vm").alias("lm"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("vol"),
+        )
+        wc = Window.partitionBy("event_type", "day").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        close = (
+            e.withColumn("__rn", F.row_number().over(wc))
+            .where(F.col("__rn") == 1)
+            .select("event_type", "day", F.col("vm").alias("cm"))
+        )
+        return hl.join(close, ["event_type", "day"])
+
+    return session_materialized(spark, f"daily_bars:{sf_dir}", build)
 
 
 _K_SQL = "TRY_CAST(replace(replace(props, '{\"k\": ', ''), '}', '') AS BIGINT)"

