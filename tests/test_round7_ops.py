@@ -1279,3 +1279,39 @@ def test_cohens_kappa_identity_and_bounds(spark):
     assert r["agree_ppm"] == round(
         (r["n_both_keep"] + r["n_both_drop"]) * 1_000_000 / n
     )
+
+
+def test_frame_luma_series_matches_rowwise_reference(spark):
+    """The vectorized frame_luma_series batch body must emit exactly
+    the rows the per-row reference loop emits — frame i exists iff
+    4i+1 < len(payload) — including payloads that are empty, shorter
+    than one frame, mid-frame truncated, and longer than 4*n_frames."""
+    from kp_crypto_market_analytics_spark.operators.multimodal import (
+        frame_luma_series,
+    )
+
+    n_frames = 4
+    payloads = {
+        1: b"",
+        2: b"a",                       # 4*0+1 >= 1: zero frames
+        3: b"ab",                      # exactly one frame
+        4: b"abcde",                   # frame 1 cut mid-way (len 5 -> 1 frame... 4*1+1=5 >= 5)
+        5: b"abcdef",                  # two frames
+        6: bytes(range(16)),           # exactly n_frames
+        7: bytes(range(40)),           # longer than 4*n_frames: capped
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r["luma"]
+        for r in frame_luma_series(df, fake=True, n_frames=n_frames).collect()
+    }
+    want = {}
+    for mid, b in payloads.items():
+        for i in range(n_frames):
+            if 4 * i + 1 >= len(b):
+                break
+            want[(mid, i)] = (131 * b[4 * i] + b[4 * i + 1]) % 256
+    assert got == want
