@@ -768,6 +768,47 @@ def hamming_band_pairs(
     )
 
 
+def capped_shingle_sets_materialized(
+    spark,
+    sf_dir: str,
+    k: int = 4,
+    use_words: bool = False,
+    max_shingle_freq: int = 50,
+) -> DataFrame:
+    """Session-materialized df-capped DISTINCT (doc, shingle) postings
+    over ``documents`` — the shared input of the whole lexical dedup
+    family at the production parameters (char-4-grams, df <= 50).
+
+    r11 optimization (guide §2.4, share one derived dataset): three
+    independent builds each re-ran the identical normalize → shingle
+    explode → distinct → df-count → cap-join pipeline over the full
+    corpus (the single most expensive scan shape in the dedup family):
+    the MinHash signature build (_minhash_sigs), the capped-Jaccard
+    pair build (capped_jaccard_pairs_materialized), and the directed
+    containment query (dedup_containment).  The postings are a
+    deterministic pure function of the corpus, and (long, string) rows
+    round-trip temp parquet exactly, so serving all three from one
+    materialization changes no value."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+    from kp_crypto_market_analytics_spark.session import load_tables
+
+    def build() -> DataFrame:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        sets = _shingle_sets(docs, "text", "doc_id", k, use_words)
+        freq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        return sets.join(
+            freq.where(F.col("__df") <= max_shingle_freq), "shingle"
+        ).drop("__df")
+
+    key = (
+        f"capped_shingles:{sf_dir}:k={k}:words={use_words}"
+        f":cap={max_shingle_freq}"
+    )
+    return session_materialized(spark, key, build)
+
+
 def capped_jaccard_pairs_materialized(
     spark,
     sf_dir: str,
@@ -795,6 +836,15 @@ def capped_jaccard_pairs_materialized(
     from kp_crypto_market_analytics_spark.session import load_tables
 
     def build() -> DataFrame:
+        # Production parameters ride the shared capped-postings
+        # materialization (one corpus shingle pass per session);
+        # non-default parameterizations keep the self-contained build.
+        if (k, use_words, max_shingle_freq) == (4, False, 50):
+            sets = capped_shingle_sets_materialized(
+                spark, sf_dir, k=k, use_words=use_words,
+                max_shingle_freq=max_shingle_freq,
+            )
+            return _jaccard_direct_join(sets, threshold)
         docs = load_tables(spark, sf_dir, ["documents"])["documents"]
         return ngram_jaccard_pairs(
             docs,
@@ -855,6 +905,7 @@ def connected_component_labels(
     dst: str = "doc_b",
     max_iters: int = 10,
     strict: bool = True,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every node gets
     the MIN node id of its component — the canonical "cluster then keep
@@ -899,6 +950,10 @@ def connected_component_labels(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The changed flag rides along in the SAME pass (final label <
+        # old label ⟺ a neighbor or the pointer improved it), so the
+        # convergence count is a cheap scan of the checkpointed frame
+        # instead of an extra old-vs-new join per round.
         half = (
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
@@ -910,42 +965,41 @@ def connected_component_labels(
                 F.col("label").alias("__old"),
             )
         )
-        # Pointer-jumping second half-step (r11 optimization, the
-        # classic Shiloach-Vishkin shortcut): label := min(label,
-        # label[label]).  Every label value IS a node id present in
-        # the label table (labels start as node ids and only ever
-        # adopt other labels' values), so the lookup is a self-join.
-        # Reach roughly doubles per round, collapsing O(diameter)
-        # rounds to O(log diameter) — same fixpoint (at convergence
-        # the neighbor-min step alone admits no change, which forces
-        # labels constant per component at the component min), so the
-        # returned labeling is bit-identical; only round count and
-        # hence checkpoint/count actions change.
-        ptr = half.select(
-            F.col("node").alias("__pn"), F.col("label").alias("__pl")
-        )
-        # The changed flag rides along in the SAME pass (final label <
-        # old label ⟺ a neighbor or the pointer improved it), so the
-        # convergence count is a cheap scan of the checkpointed frame
-        # instead of an extra old-vs-new join per round.
-        stepped = (
-            half.join(ptr, half["label"] == F.col("__pn"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("__pl"), F.col("label")),
-                ).alias("label"),
-                (
-                    F.least(
-                        F.col("label"),
-                        F.coalesce(F.col("__pl"), F.col("label")),
-                    )
-                    < F.col("__old")
-                ).alias("__chg"),
+        if pointer_jump:
+            # Optional pointer-jumping second half-step (the classic
+            # Shiloach-Vishkin shortcut): label := min(label,
+            # label[label]).  Every label value IS a node id present
+            # in the label table, so the lookup is a self-join; reach
+            # roughly doubles per round, collapsing O(diameter) rounds
+            # to O(log diameter) at the cost of one extra join per
+            # round — same fixpoint, bit-identical labeling.  Off by
+            # default: the near-dup / co-purchase graphs this engine
+            # labels are shallow (diameter <= ~8 measured at sf0.1),
+            # where the per-round join overhead exceeds the one round
+            # saved (A/B measured 3.7s vs 4.3s on g_wcc's graph);
+            # enable for deep chain-shaped graphs.
+            ptr = half.select(
+                F.col("node").alias("__pn"), F.col("label").alias("__pl")
             )
-            .localCheckpoint(eager=True)
-        )
+            new_label = F.least(
+                F.col("label"),
+                F.coalesce(F.col("__pl"), F.col("label")),
+            )
+            stepped = (
+                half.join(ptr, half["label"] == F.col("__pn"), "left")
+                .select(
+                    "node",
+                    new_label.alias("label"),
+                    (new_label < F.col("__old")).alias("__chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            stepped = half.select(
+                "node",
+                "label",
+                (F.col("label") < F.col("__old")).alias("__chg"),
+            ).localCheckpoint(eager=True)
         changed = stepped.where(F.col("__chg")).count()
         labels = stepped.drop("__chg")
         if changed == 0:

@@ -183,11 +183,21 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
+        from kp_crypto_market_analytics_spark.operators.dedup import (
+            capped_shingle_sets_materialized,
+        )
+
         t = load_tables(spark, sf_dir, ["documents"])
+        # Pre-capped shared postings (r11): pass max_shingle_freq=None
+        # so the operator does not re-derive the df cap.
         return minhash_signatures(
             t["documents"], "text", "doc_id",
             num_hashes=_LSH_NUM_HASHES, k=4, use_words=False,
-            max_shingle_freq=_LSH_DF_CAP,
+            sets=capped_shingle_sets_materialized(
+                spark, sf_dir, k=4, use_words=False,
+                max_shingle_freq=_LSH_DF_CAP,
+            ),
+            max_shingle_freq=None,
         )
 
     return session_materialized(
@@ -473,13 +483,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_mean_micro,
     )
     from kp_crypto_market_analytics_spark.operators.dedup import (
+        capped_shingle_sets_materialized,
         ngram_containment_pairs,
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
+    # Pre-capped shared postings (r11): max_shingle_freq=None skips the
+    # operator's own df-cap re-derivation.
     pairs = ngram_containment_pairs(
         t["documents"], "text", "doc_id", k=4, threshold_pct=80,
-        use_words=False, max_shingle_freq=50,
+        use_words=False, max_shingle_freq=None,
+        sets=capped_shingle_sets_materialized(
+            spark, sf_dir, k=4, use_words=False, max_shingle_freq=50
+        ),
     )
     return pairs.select(
         "doc_a", "doc_b", "inter_size", "size_a", "size_b",
@@ -1407,16 +1423,10 @@ def t_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab building.  Partial aggregation absorbs the explode before the
     shuffle, so shuffle traffic is |vocab|, not |tokens|."""
     from kp_crypto_market_analytics_spark.operators.windows import top_k
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
 
-    t = load_tables(spark, sf_dir, ["documents"])
-    toks = (
-        ensure_parallelism(t["documents"])
-        .select(
-            "doc_id",
-            F.explode(
-                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-            ).alias("tok"),
-        )
+    toks = _toks_df(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     agg = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").alias("doc_freq"),
@@ -1471,15 +1481,11 @@ def t_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF: tf(doc,tok) × ln(N/df(tok)), top-5 terms per document
     for doc_id < 20.  The df table is a broadcast dimension — the big
     token table never shuffles twice."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    d = ensure_parallelism(t["documents"])
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok"),
-    )
-    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    ta = _toks_df(spark, sf_dir)
+    toks = ta.select("doc_id", F.explode("toks").alias("tok"))
+    n_docs = ta.select(F.count(F.lit(1)).alias("n_docs"))
     df_tbl = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
     tf = (
         toks.where(F.col("doc_id") < 20)
@@ -1505,6 +1511,80 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
+def _bm25_per_doc(spark: SparkSession, sf_dir: str):
+    """Shared base frames for the BM25 retrieval family (t_bm25_topk /
+    t_rrf_fusion / t_ndcg_eval) — r11 optimization (guide §2.3:
+    aggregate before you shuffle; §2.4: share one derived dataset).
+
+    The original shape exploded the corpus into a token STREAM three
+    times per query (doc-length groupBy + tf groupBy + doc_freq
+    countDistinct — millions of shuffled token rows); every one of
+    those aggregates is a per-document function of the token ARRAY the
+    shared `_toks_df` silver table already stores, so each becomes a
+    per-row array expression and nothing token-grained ever shuffles:
+
+    - dl      = size(toks)                       (== COUNT(*) per doc)
+    - tf_i    = size(filter(toks, = term_i))     (== per-term COUNT(*))
+    - n_docs / avgdl / per-term doc_freq          — ONE scalar agg of
+      the per-doc frame (doc_freq == COUNT of docs with tf_i > 0 ==
+      the old COUNT(DISTINCT doc_id) over matching token rows).
+
+    Returns (per_doc, stats): per_doc = (doc_id, dl, tf_0..tf_k) for
+    ALL docs (callers must keep their any-term filter), stats = the
+    broadcastable one-row (n_docs, avgdl, df_0..df_k)."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    toks = _toks_df(spark, sf_dir)
+
+    def tf_of(term: str) -> Column:
+        # one-arg lambda: a two-parameter lambda would be treated as
+        # the (element, index) form by F.filter.
+        return F.size(F.filter("toks", lambda x: x == F.lit(term)))
+
+    per_doc = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            tf_of(term).cast("long").alias(f"tf_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    return per_doc, stats
+
+
+def _bm25_score_col(i: int) -> Column:
+    """The exact BM25 per-term score expression the original computed:
+    round(idf * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), 6) with the
+    Lucene idf variant — all inputs are the same integer/double values
+    as the exploded form, so the IEEE result is bit-identical."""
+    idf = F.log(
+        (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+        / (F.col(f"df_{i}") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    raw = (
+        idf
+        * (F.col(f"tf_{i}") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col(f"tf_{i}")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    return F.when(F.col(f"tf_{i}") > 0, F.round(raw, 6)).otherwise(F.lit(0.0))
+
+
 def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval ranking (Robertson-Sparck Jones; the Lucene
     idf variant ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75) for a fixed
@@ -1518,52 +1598,27 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: doc lengths and term stats are two partial-agg scans; the
     scoring join touches only rows containing a query term (membership
     filter pushes into the scan), and the global top-20 sorts a
-    |matching docs|-sized frame of scalars."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    d = ensure_parallelism(t["documents"])
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    qtoks = toks.where(F.col("tok").isin(*_BM25_TERMS))
-    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qtoks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    idf = F.log(
-        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
-        / (F.col("doc_freq") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    score = F.round(
-        idf
-        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-        ),
-        6,
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(dl), "doc_id")
+    |matching docs|-sized frame of scalars.  r11: all token-grained
+    aggregates collapsed into per-row array expressions on the shared
+    token silver table (see _bm25_per_doc) — no corpus explode."""
+    per_doc, stats = _bm25_per_doc(spark, sf_dir)
+    # Only docs containing >= 1 query term competed in the original
+    # ranking (they were the rows of the tf frame).
+    any_term = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"tf_{i}") > 0
+        any_term = c if any_term is None else (any_term | c)
+    per_term = (
+        per_doc.where(any_term)
         .crossJoin(F.broadcast(stats))
-        .withColumn("s", score)
-    )
-    per_term = scored.groupBy("doc_id").agg(
-        F.first("dl").alias("dl"),
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("tok") == term, F.col("s"))), F.lit(0.0)
-            ).alias(f"s_{term}")
-            for term in _BM25_TERMS
-        ],
+        .select(
+            "doc_id",
+            "dl",
+            *[
+                _bm25_score_col(i).alias(f"s_{term}")
+                for i, term in enumerate(_BM25_TERMS)
+            ],
+        )
     )
     total = F.round(
         sum(F.col(f"s_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
@@ -1675,64 +1730,31 @@ def t_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar rows; the fusion join is doc_id-keyed at ranking grain.
     At 100 TB the candidate set per query is top-k'd per shard before
     the global rank (standard fan-in), which this plan's scalar-only
-    exchanges already allow."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    d = ensure_parallelism(t["documents"])
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    qtoks = toks.where(F.col("tok").isin(*_BM25_TERMS))
-    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qtoks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    bm25_idf = F.log(
-        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
-        / (F.col("doc_freq") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    bm25_s = F.round(
-        bm25_idf
-        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-        ),
+    exchanges already allow.  r11: all token-grained aggregates
+    collapsed into per-row array expressions on the shared token
+    silver table (see _bm25_per_doc) — no corpus explode."""
+    per_doc, stats = _bm25_per_doc(spark, sf_dir)
+    any_term = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"tf_{i}") > 0
+        any_term = c if any_term is None else (any_term | c)
+
+    def tfidf_col(i: int) -> Column:
+        s = F.round(
+            F.col(f"tf_{i}") * F.log(F.col("n_docs") / F.col(f"df_{i}")), 6
+        )
+        return F.when(F.col(f"tf_{i}") > 0, s).otherwise(F.lit(0.0))
+
+    scored = per_doc.where(any_term).crossJoin(F.broadcast(stats))
+    bm25_total = F.round(
+        sum(_bm25_score_col(i) for i in range(len(_BM25_TERMS)))
+        + F.lit(0.0),
         6,
     )
-    tfidf_s = F.round(
-        F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("sb", bm25_s)
-        .withColumn("st", tfidf_s)
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("tok") == term, F.col(c))), F.lit(0.0)
-            ).alias(f"{c}_{term}")
-            for c in ("sb", "st")
-            for term in _BM25_TERMS
-        ],
-    )
-    bm25_total = F.round(
-        sum(F.col(f"sb_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
-    )
     tfidf_total = F.round(
-        sum(F.col(f"st_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
+        sum(tfidf_col(i) for i in range(len(_BM25_TERMS))) + F.lit(0.0), 6
     )
-    totals = per_doc.select(
+    totals = scored.select(
         "doc_id", bm25_total.alias("bm25"), tfidf_total.alias("tfidf")
     )
     # Component ranks cover EVERY matching doc (the fused top-15 can
@@ -1847,51 +1869,30 @@ def t_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses the BM25 scoring joins (scalar-only
     exchanges); the metric tail runs on ≤|candidates| rows, the
-    DCG/IDCG folds on exactly 10."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    d = ensure_parallelism(t["documents"])
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok"),
+    DCG/IDCG folds on exactly 10.  r11: all token-grained aggregates
+    collapsed into per-row array expressions on the shared token
+    silver table (see _bm25_per_doc) — no corpus explode."""
+    base, stats = _bm25_per_doc(spark, sf_dir)
+    any_term = None
+    for i in range(len(_BM25_TERMS)):
+        c = F.col(f"tf_{i}") > 0
+        any_term = c if any_term is None else (any_term | c)
+    # rel == COUNT(DISTINCT matched term) == how many tf_i are > 0.
+    rel = sum(
+        (F.col(f"tf_{i}") > 0).cast("long")
+        for i in range(len(_BM25_TERMS))
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    qtoks = toks.where(F.col("tok").isin(*_BM25_TERMS))
-    tf = qtoks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = qtoks.groupBy("tok").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    bm25_s = F.round(
-        F.log(
-            (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
-            / (F.col("doc_freq") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-        ),
-        6,
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(dl), "doc_id")
+    per_doc = (
+        base.where(any_term)
         .crossJoin(F.broadcast(stats))
-        .withColumn("s", bm25_s)
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.countDistinct("tok").alias("rel"),
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("tok") == term, F.col("s"))), F.lit(0.0)
-            ).alias(f"s_{term}")
-            for term in _BM25_TERMS
-        ],
+        .select(
+            "doc_id",
+            rel.alias("rel"),
+            *[
+                _bm25_score_col(i).alias(f"s_{term}")
+                for i, term in enumerate(_BM25_TERMS)
+            ],
+        )
     )
     total = F.round(
         sum(F.col(f"s_{term}") for term in _BM25_TERMS) + F.lit(0.0), 6
@@ -3154,13 +3155,9 @@ def t_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab| not |token pairs|."""
     from kp_crypto_market_analytics_spark.operators.windows import top_k
 
-    t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    d = (
-        ensure_parallelism(t["documents"])
-        .select(toks.alias("toks"))
-        .where(F.size("toks") >= 2)
-    )
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    d = _toks_df(spark, sf_dir).select("toks").where(F.size("toks") >= 2)
     big = d.select(
         F.explode(
             F.zip_with(
@@ -3212,15 +3209,19 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc×doc), document-frequency cap (df<=100) bounds boilerplate
     blowup exactly like dedup_ngram_capped, and the eval side of the
     join is a small broadcastable slice at any corpus size."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
     # The trigram set feeds two consumers (df frequency + the capped
     # join) and the capped set feeds two more (eval + corpus sides) —
     # materialize both or the explode+distinct re-executes per consumer
-    # (same lesson as ngram_jaccard_pairs).
+    # (same lesson as ngram_jaccard_pairs).  Tokens come from the
+    # shared silver table; `source` (absent there) joins in from the
+    # documents scan WITHOUT its text column.
+    src = t["documents"].select("doc_id", "source")
     tri = (
-        ensure_parallelism(t["documents"])
-        .select("doc_id", "source", toks.alias("toks"))
+        _toks_df(spark, sf_dir)
+        .join(src, "doc_id")
         .where(F.size("toks") >= 3)
         .select("doc_id", "source", F.explode(_word_trigrams(F.col("toks"))).alias("g"))
         .distinct()
@@ -3272,12 +3273,11 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the looping/boilerplate docs a quality filter drops.  One explode
     absorbed by a partial-aggregated (count, countDistinct) per doc;
     shuffle carries (doc_id, bigram) only."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
     n = F.size("toks") - 1
     big = (
-        ensure_parallelism(t["documents"])
-        .select("doc_id", toks.alias("toks"))
+        _toks_df(spark, sf_dir)
         .where(F.size("toks") >= 2)
         .select(
             "doc_id",
@@ -4096,7 +4096,7 @@ def p_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["lineitem"])
     li = ensure_parallelism(t["lineitem"]).select(
-        "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate"
+        "l_partkey", "l_shipdate"
     )
     by_time = li.groupBy(
         F.date_trunc("month", "l_shipdate").alias("f")
@@ -4104,15 +4104,37 @@ def p_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").alias("mn"),
         F.max("l_partkey").alias("mx"),
     ).select(F.lit("ingest_time").alias("layout"), "mn", "mx")
+    # r11 optimization (guide §2.3, aggregate before you shuffle):
+    # the partkey-clustered file stats do NOT need the full-table
+    # total-order rank the original computed (range-repartition +
+    # per-range window over every lineitem row).  l_partkey is the
+    # LEADING sort key and the per-file stat is min/max(l_partkey)
+    # only, so the (l_orderkey, l_linenumber) tiebreakers can never
+    # change which partkey VALUES cover a file: partkey pk with
+    # per-key count c and exclusive cumulative count s occupies ranks
+    # (s, s+c], i.e. files floor(s/R) .. floor((s+c-1)/R), and file
+    # f's min/max partkey are the min/max over the pks whose span
+    # touches f.  One map-side-combined groupBy (|distinct partkey|
+    # rows shuffle instead of every row), the |keys|-sized cumsum via
+    # the same range-partitioned operator, and a bounded explode of
+    # ~(n/R + |keys|) span rows replace the full-table sort.
+    cnts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    spans = range_partitioned_rank(
+        cnts, ["l_partkey"], out_col="__rn", sum_col="cnt", cumsum_out="e"
+    ).select(
+        "l_partkey",
+        F.call_function(
+            "div", F.col("e") - F.col("cnt"), F.lit(_PRUNE_ROWS_PER_FILE)
+        ).alias("f0"),
+        F.call_function(
+            "div", F.col("e") - 1, F.lit(_PRUNE_ROWS_PER_FILE)
+        ).alias("f1"),
+    )
     by_pk = (
-        range_partitioned_rank(
-            li, ["l_partkey", "l_orderkey", "l_linenumber"], out_col="rn"
+        spans.select(
+            "l_partkey", F.explode(F.sequence("f0", "f1")).alias("f")
         )
-        .groupBy(
-            F.call_function(
-                "div", F.col("rn") - 1, F.lit(_PRUNE_ROWS_PER_FILE)
-            ).alias("f")
-        )
+        .groupBy("f")
         .agg(
             F.min("l_partkey").alias("mn"),
             F.max("l_partkey").alias("mx"),
@@ -4790,14 +4812,9 @@ def t_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus row count — the only corpus-sized work is the one bigram
     count that t_bigram_topk already prices."""
     from kp_crypto_market_analytics_spark.operators.graph import pagerank_weighted
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
 
-    t = load_tables(spark, sf_dir, ["documents"])
-    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    d = (
-        ensure_parallelism(t["documents"])
-        .select(toks.alias("toks"))
-        .where(F.size("toks") >= 2)
-    )
+    d = _toks_df(spark, sf_dir).select("toks").where(F.size("toks") >= 2)
     directed = (
         d.select(
             F.explode(
@@ -5056,13 +5073,10 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|V| rows) broadcasts back onto the token stream, so the big side
     shuffles once for the per-doc reduce and never carries text.
     log p is rounded to 6dp then decimal-summed per doc (order-free)."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    d = ensure_parallelism(t["documents"])
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok"),
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    toks = _toks_df(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
     )
     total = toks.groupBy().agg(F.count(F.lit(1)).alias("total"))
     vocab = (

@@ -66,13 +66,9 @@ def t_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by |vocab|, not |tokens|."""
     from kp_crypto_market_analytics_spark.functions.text import hash64
     from kp_crypto_market_analytics_spark.operators.windows import top_k
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
 
-    t = load_tables(spark, sf_dir, ["documents"])
-    toks = t["documents"].select(
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok")
-    )
+    toks = _toks_df(spark, sf_dir).select(F.explode("toks").alias("tok"))
     agg = (
         toks.select(
             F.pmod(hash64(F.concat(F.col("tok"), F.lit("#hf"))), F.lit(_HF_BUCKETS)).alias(
@@ -964,17 +960,11 @@ def t_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     one posexplode + one per-doc running sum (stopword prefix count) —
     a single doc-partitioned sort; word stats and the phrase join are
     vocabulary-bounded aggregates."""
-    t = load_tables(spark, sf_dir, ["documents"])
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
     toks = (
-        t["documents"]
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.split(
-                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "
-                )
-            ).alias("pos", "tok"),
-        )
+        _toks_df(spark, sf_dir)
+        .select("doc_id", F.posexplode("toks").alias("pos", "tok"))
         .withColumn("is_stop", F.col("tok").isin(*_RAKE_STOPS))
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(

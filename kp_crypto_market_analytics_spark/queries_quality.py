@@ -1362,13 +1362,9 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is TakeOrderedAndProject; the regression runs on 1000 rows.
     """
     from kp_crypto_market_analytics_spark.operators.windows import top_k
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
 
-    t = load_tables(spark, sf_dir, ["documents"])
-    toks = t["documents"].select(
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok")
-    )
+    toks = _toks_df(spark, sf_dir).select(F.explode("toks").alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     top = top_k(vocab, [F.col("freq").desc(), F.col("tok").asc()], _ZIPF_TOPK)
     w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())

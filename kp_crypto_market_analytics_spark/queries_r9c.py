@@ -79,14 +79,16 @@ def t_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, tok, tf) agg -> broadcast join of the vocabulary-bounded
     term table -> (doc, lang) agg -> rank -> |langs| census rows;
     shuffle width never exceeds |vocab| x |langs|."""
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
     t = load_tables(spark, sf_dir, ["documents"])
-    d = ensure_parallelism(t["documents"]).select("doc_id", "lang", "text")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-        ).alias("tok"),
+    # Tokens from the shared silver table; `lang` (absent there) joins
+    # in from the documents scan WITHOUT its text column.
+    doc_langs = t["documents"].select("doc_id", "lang")
+    toks = (
+        _toks_df(spark, sf_dir)
+        .join(doc_langs, "doc_id")
+        .select("doc_id", "lang", F.explode("toks").alias("tok"))
     )
     # ONE explode pass → (doc, lang, tok, tf), checkpointed; cnt / tot
     # / vocab all derive from it by re-aggregation instead of three
@@ -102,13 +104,13 @@ def t_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("cnt")
     )
     vocab = tf.select("tok").distinct().count()
-    langs = d.groupBy(F.col("lang").alias("l")).agg(
+    langs = doc_langs.groupBy(F.col("lang").alias("l")).agg(
         F.count(F.lit(1)).alias("n_docs_l")
     )
     tot = tf.groupBy(F.col("lang").alias("l")).agg(
         F.sum("tf").alias("tot_l")
     )
-    n_docs = d.count()
+    n_docs = doc_langs.count()
     lconst = (
         langs.join(tot, "l")
         .select(

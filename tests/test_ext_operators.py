@@ -190,11 +190,12 @@ def test_connected_components_nonconvergence_guard(spark):
         connected_component_labels,
     )
 
-    # With the r11 pointer-jumping half-step, label reach per round is
-    # ~2r+2 hops (2, 6, 14, 30, ...), so a chain must be longer than
-    # the round budget's reach to trip the guard: diameter 39 > 30
-    # (4 rounds' reach) must RAISE, while enough rounds label the
-    # whole chain 0.
+    # Default propagation reaches one hop per round (pointer_jump=False
+    # — the measured-faster shape for shallow graphs), so diameter
+    # 39 > 4 rounds must RAISE, while enough rounds label the whole
+    # chain 0.  The chain is long enough to trip the guard under the
+    # opt-in pointer-jumping mode too (reach ~2r+2: 30 < 39 at 4
+    # rounds), which the last block exercises.
     n = 40  # path 0-1-...-39, diameter 39
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc"])
@@ -211,6 +212,21 @@ def test_connected_components_nonconvergence_guard(spark):
         for r in connected_component_labels(edges, nodes, "doc", max_iters=n + 1).collect()
     }
     assert out == {i: 0 for i in range(n)}
+
+    # The opt-in pointer-jumping mode converges the same chain in
+    # O(log diameter) rounds to the identical labeling, and its guard
+    # trips when the budget's doubled reach still falls short.
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_component_labels(
+            edges, nodes, "doc", max_iters=4, pointer_jump=True
+        )
+    out_pj = {
+        r["doc"]: r["cluster_id"]
+        for r in connected_component_labels(
+            edges, nodes, "doc", max_iters=10, pointer_jump=True
+        ).collect()
+    }
+    assert out_pj == {i: 0 for i in range(n)}
 
 
 def test_ewma_matches_pandas(spark):
