@@ -1885,12 +1885,13 @@ def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank movers)."""
     from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
 
-    toks = _toks_df(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("tok")
-    )
-    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ta = _toks_df(spark, sf_dir)
+    # Per-doc token counts are size(toks) — no explode+groupBy needed
+    # (r11, guide §2.3); only the first-occurrence pass still explodes.
+    per_doc = ta.select("doc_id", F.size("toks").cast("long").alias("nt"))
     firsts = (
-        toks.groupBy("tok")
+        ta.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
         .agg(F.min("doc_id").alias("fo"))
         .groupBy("fo")
         .agg(F.count(F.lit(1)).alias("nf"))

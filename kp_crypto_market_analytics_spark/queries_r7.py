@@ -1044,7 +1044,11 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the DECIMAL(18,6) agg this replaced measured ~2x slower over
     # the rows x B/4 frame (document the int64 ceiling: ~1e12 orders
     # at max price before Σ cents·w needs the decimal fallback).
-    o = t["orders"].select(
+    # ensure_parallelism (r11): the single-file orders scan arrives as
+    # ONE partition, serializing the rows × B/4 md5 pass — the whole
+    # cost of this query — onto one core (measured 6.1s → sub-second
+    # fanned out).
+    o = ensure_parallelism(t["orders"]).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * F.lit(100.0), 0)
         .cast("long")
