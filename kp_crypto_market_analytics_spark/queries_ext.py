@@ -1196,7 +1196,13 @@ def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
-    media = t["documents"].select(
+    # Fan the Python stage to 8 tasks (r11, guide §4.2): the
+    # single-file scan ran the whole mapInPandas decode as ONE task on
+    # one worker.  8 matches mm_scene_cut/mm_audio_windows, so the
+    # worker pool spawned here (this query runs earliest in registry
+    # order) is reused by the rest of the mm family — the late-session
+    # spawn storm the in-sweep profile showed is paid once, early.
+    media = ensure_parallelism(t["documents"], min_partitions=8).select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         F.encode(F.repeat(F.md5("text"), 5), "UTF-8").alias("payload"),
@@ -3198,6 +3204,44 @@ def _word_trigrams(toks: Column) -> Column:
     )
 
 
+def _tri_capped_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-capped (<=100) word-trigram postings (doc_id, source, g) —
+    session-materialized (r11 optimization, guide §2.4):
+    t_decontaminate and t_corpus_pipeline stage 3 build the IDENTICAL
+    distinct trigram inverted index (same tokenization via the shared
+    token table, same >=3-token filter, same df cap, same eval source)
+    — one explode+distinct+df pass now serves both.  All-string/int
+    columns round-trip the temp parquet exactly."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["documents"])
+        src = t["documents"].select("doc_id", "source")
+        # The trigram set feeds two consumers inside the build (df
+        # frequency + the capped join) — checkpoint or the
+        # explode+distinct re-executes per consumer.
+        tri = (
+            _toks_df(spark, sf_dir)
+            .join(src, "doc_id")
+            .where(F.size("toks") >= 3)
+            .select(
+                "doc_id", "source",
+                F.explode(_word_trigrams(F.col("toks"))).alias("g"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        freq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        return tri.join(freq.where(F.col("df") <= 100), "g").select(
+            "doc_id", "source", "g"
+        )
+
+    return session_materialized(spark, f"tri_capped:{sf_dir}:cap=100", build)
+
+
 def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the eval-overlap scan every serious
     training corpus needs: flag corpus docs sharing word-3-gram shingles
@@ -3209,26 +3253,11 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc×doc), document-frequency cap (df<=100) bounds boilerplate
     blowup exactly like dedup_ngram_capped, and the eval side of the
     join is a small broadcastable slice at any corpus size."""
-    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
-
-    t = load_tables(spark, sf_dir, ["documents"])
-    # The trigram set feeds two consumers (df frequency + the capped
-    # join) and the capped set feeds two more (eval + corpus sides) —
-    # materialize both or the explode+distinct re-executes per consumer
-    # (same lesson as ngram_jaccard_pairs).  Tokens come from the
-    # shared silver table; `source` (absent there) joins in from the
-    # documents scan WITHOUT its text column.
-    src = t["documents"].select("doc_id", "source")
-    tri = (
-        _toks_df(spark, sf_dir)
-        .join(src, "doc_id")
-        .where(F.size("toks") >= 3)
-        .select("doc_id", "source", F.explode(_word_trigrams(F.col("toks"))).alias("g"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    freq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    capped = tri.join(freq.where(F.col("df") <= 100), "g").localCheckpoint(eager=True)
+    # The capped trigram postings come from the shared session
+    # materialization (one explode+distinct+df pass serves this query
+    # AND t_corpus_pipeline stage 3); both former localCheckpoints are
+    # gone — consumers re-read the tiny materialized parquet.
+    capped = _tri_capped_df(spark, sf_dir)
     ev = capped.where(F.col("source") == "src4").select(
         F.col("g"), F.col("doc_id").alias("eval_doc")
     )
@@ -3746,7 +3775,7 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism(t["documents"])
         .select("source", F.explode(char_shingles("text", 4)).alias("sh"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds totals + both join sides
+        .localCheckpoint(eager=False)  # feeds totals + both join sides
     )
     totals = sets.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
@@ -5003,7 +5032,7 @@ def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         slice_of("view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c = (
         slice_of("click")
@@ -5011,7 +5040,7 @@ def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     p = (
         slice_of("purchase")
@@ -5064,6 +5093,49 @@ FROM counts, base ORDER BY step
 """
 
 
+def _unigram_logprob_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized per-doc unigram LM score (doc_id, n_tokens,
+    avg_logprob) — the detector output shared by t_unigram_logprob (the
+    headline score table) and t_perplexity_buckets (its banded census);
+    previously both ran the full explode+vocab-join pass (r11
+    optimization, the _ivf_trained_topk5 materialized-detector-output
+    move).  n_tokens is integer; avg_logprob a 6-dp-rounded IEEE double
+    — both round-trip the temp parquet bit-exactly."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
+    def build() -> DataFrame:
+        toks = _toks_df(spark, sf_dir).select(
+            "doc_id", F.explode("toks").alias("tok")
+        )
+        total = toks.groupBy().agg(F.count(F.lit(1)).alias("total"))
+        vocab = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cf"))
+            .crossJoin(F.broadcast(total))
+            .select(
+                "tok",
+                F.round(F.log(F.col("cf") / F.col("total")), 6).alias("logp"),
+            )
+        )
+        return (
+            toks.join(F.broadcast(vocab), "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.round(
+                    F.sum(F.col("logp").cast(DEC)).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("avg_logprob"),
+            )
+        )
+
+    return session_materialized(spark, f"unigram_logprob:{sf_dir}", build)
+
+
 def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score: train p(w) = cf(w)/total
     on the corpus itself, score each doc by mean log-probability of its
@@ -5073,29 +5145,7 @@ def t_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|V| rows) broadcasts back onto the token stream, so the big side
     shuffles once for the per-doc reduce and never carries text.
     log p is rounded to 6dp then decimal-summed per doc (order-free)."""
-    from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
-
-    toks = _toks_df(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("tok")
-    )
-    total = toks.groupBy().agg(F.count(F.lit(1)).alias("total"))
-    vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cf"))
-        .crossJoin(F.broadcast(total))
-        .select("tok", F.round(F.log(F.col("cf") / F.col("total")), 6).alias("logp"))
-    )
-    return (
-        toks.join(F.broadcast(vocab), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(F.col("logp").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_logprob"),
-        )
-        .orderBy("doc_id")
-    )
+    return _unigram_logprob_df(spark, sf_dir).orderBy("doc_id")
 
 
 T_UNIGRAM_SQL = f"""
@@ -5264,6 +5314,33 @@ _HLL_SCALE = 1 << (_HLL_MAXRANK)  # 2^51: integer-exact register weights
 _HLL_ALPHA_SQL = f"(0.7213 / (1 + 1.079 / {_HLL_M}))"
 
 
+def _hll_day_regs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, idx, m) HLL register silver table over
+    user_id — session-materialized (r11 optimization, guide §2.4):
+    a_hll_distinct / a_hll_merge / a_hll_overlap / a_hll_stream_parity
+    each re-ran the md5 register pass over the full event stream; the
+    register MAX-MERGE law those queries gate means registers at the
+    finest (event_type, day) grain max-merge to any coarser grouping
+    BIT-EQUALLY (max is associative+commutative on integer ranks), so
+    one hash pass serves all four.  All-integer columns round-trip the
+    temp parquet exactly; every consumer's exact-count twin still
+    scans raw events — only the sketch side is shared."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["events"])
+        e = ensure_parallelism(t["events"]).select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+        return _hll_registers(e, ["event_type", "day"])
+
+    return session_materialized(spark, f"hll_day_regs:{sf_dir}", build)
+
+
 def _hll_registers(e: DataFrame, group_cols: list[str]) -> DataFrame:
     """(group..., idx, m) HLL register frame over column ``u``."""
     h = hash64(F.concat(F.col("u"), F.lit("#hll")))
@@ -5323,7 +5400,12 @@ def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t["events"]).select(
         "event_type", F.col("user_id").cast("string").alias("u")
     )
-    regs = _hll_registers(e, ["event_type"])
+    # Sketch side from the shared register silver table (max-merge over
+    # days is bit-equal to hashing the raw stream); the exact twin
+    # still scans raw events — it is the audit, never shared.
+    regs = _hll_day_regs_df(spark, sf_dir).groupBy("event_type", "idx").agg(
+        F.max("m").alias("m")
+    )
     exact = (
         e.groupBy("event_type")
         .agg(F.count_distinct("u").alias("exact_users"))
@@ -5400,9 +5482,14 @@ def a_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t["events"]).select(
         "event_type", F.col("user_id").cast("string").alias("u")
     )
-    per_type = _hll_registers(e, ["event_type"])
+    # Both register frames derive from the shared silver table: the
+    # per-type regs max-merge over days, the direct regs over
+    # (type, day) — bit-equal to hashing the raw stream either way
+    # (the max-of-max identity this very query gates).
+    day_regs = _hll_day_regs_df(spark, sf_dir)
+    per_type = day_regs.groupBy("event_type", "idx").agg(F.max("m").alias("m"))
     merged = per_type.groupBy("idx").agg(F.max("m").alias("m"))
-    direct = _hll_registers(e, [])
+    direct = day_regs.groupBy("idx").agg(F.max("m").alias("m"))
     m_est = _hll_estimate(merged.select(F.lit(1).alias("g"), "idx", "m"), ["g"]).select(
         F.col("hll_est").alias("merged_est")
     )
@@ -5476,7 +5563,13 @@ def a_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ensure_parallelism(t["events"]).select(
         "event_type", F.col("user_id").cast("string").alias("u")
     )
-    regs = _hll_registers(e, ["event_type"]).localCheckpoint(eager=True)
+    # Per-type registers max-merge from the shared silver table; the
+    # old localCheckpoint is gone because every consumer now re-derives
+    # from the materialized parquet (a ~|types|·|days|·1024-row scan),
+    # not from a repeated raw-event hash pass.
+    regs = _hll_day_regs_df(spark, sf_dir).groupBy("event_type", "idx").agg(
+        F.max("m").alias("m")
+    )
     types = regs.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("ta"))
@@ -5609,15 +5702,17 @@ def a_hll_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over the ~tens-of-rows distinct-day frame, never the
     event stream."""
     t = load_tables(spark, sf_dir, ["events"])
-    e = ensure_parallelism(t["events"]).select(
-        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("u")
-    )
     # Global window over the DISTINCT-DAY frame only (tiny by design).
-    days = e.select("day").distinct()
+    # Register side from the shared silver table (r11: the md5 pass
+    # runs once per session, not once per HLL query); day set and
+    # per-day register maxima derive from it bit-equally (max
+    # associativity).  Only the per-bid EVENT COUNTS still touch raw
+    # events — a plain count agg, no hashing.
+    day_regs = _hll_day_regs_df(spark, sf_dir)
+    days = day_regs.select("day").distinct()
     bids = days.select(
         "day", F.row_number().over(Window.orderBy("day")).alias("bid")
     ).where(F.col("bid") <= _HLL_STREAM_BATCHES)
-    eb = e.join(F.broadcast(bids), "day").select("bid", "u")
     # ONE pass over the event stream (r9 bench trim): per-bid register
     # maxima and per-bid row counts are computed once; every fold
     # round then runs on the ≤(4×1024 + 4)-row partial frames.  The
@@ -5625,10 +5720,20 @@ def a_hll_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to registers over the raw prefix (max associativity), and the
     # DuckDB oracle still recomputes every prefix from raw rows — the
     # cross-engine gate is unweakened.
-    pbr = _hll_registers(eb, ["bid"]).localCheckpoint(eager=True)
-    pbn = eb.groupBy("bid").agg(
-        F.count(F.lit(1)).alias("bn")
-    ).localCheckpoint(eager=True)
+    pbr = (
+        day_regs.join(F.broadcast(bids), "day")
+        .groupBy("bid", "idx")
+        .agg(F.max("m").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    pbn = (
+        t["events"]
+        .select(F.to_date("ts").alias("day"))
+        .join(F.broadcast(bids), "day")
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .localCheckpoint(eager=False)
+    )
 
     state: DataFrame | None = None
     out: DataFrame | None = None

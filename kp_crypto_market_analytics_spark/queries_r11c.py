@@ -1907,13 +1907,17 @@ def t_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_partitioned_rank,
     )
 
+    # ONE range sort emits BOTH running sums (r11 optimization): the
+    # two series share the identical doc_id order, so paying the
+    # operator twice bought nothing — same exact integer cumsums.
     c1 = range_partitioned_rank(
-        base, ["doc_id"], out_col="__r1", sum_col="nt", cumsum_out="nn"
+        base,
+        ["doc_id"],
+        out_col="__r1",
+        sum_col=["nt", "nf"],
+        cumsum_out=["nn", "vv"],
     )
-    c2 = range_partitioned_rank(
-        c1, ["doc_id"], out_col="__r2", sum_col="nf", cumsum_out="vv"
-    )
-    cum = c2.select("nn", "vv").where(
+    cum = c1.select("nn", "vv").where(
         (F.col("nn") > 0) & (F.col("vv") > 0)
     )
     d = "decimal(38,0)"
@@ -2506,7 +2510,7 @@ def g_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     x = nodes.select("node", F.lit(1.0).alias("x"))
     dec = "decimal(28,12)"
@@ -2597,7 +2601,7 @@ def g_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -2629,7 +2633,7 @@ def g_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("nd"))
                 .alias("dist"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     g = dist.where(F.col("dist") > 0).groupBy("s").agg(
         F.count(F.lit(1)).alias("n_reached"),
@@ -3825,7 +3829,7 @@ def g_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("nv"))
     x = nodes.select("node", F.lit(1.0).alias("x"))

@@ -165,7 +165,7 @@ def t_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("split").alias("c_split"),
         _split_of(doc_bucket).alias("d_split"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = capped_jaccard_pairs_materialized(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
@@ -632,23 +632,34 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_shingles,
     )
 
+    # ONE shingle explode instead of two (r11 optimization, guide
+    # §2.3/§2.4): the old shape fed `sets` to the min-doc agg AND
+    # joined it back per doc, re-executing the explode.  n_sh is just
+    # size(array_distinct(shingles)) per row (char_shingles always
+    # emits >= 1 element, so the old explode_outer never produced a
+    # NULL row), and n_first per doc is the min-doc table re-grouped
+    # by its owning doc — identical integers, no join back on the
+    # shingle stream.
     sets = d.select(
         "doc_id",
-        "source",
-        F.explode_outer(F.array_distinct(char_shingles("text", 4))).alias(
-            "sh"
-        ),
+        F.explode(F.array_distinct(char_shingles("text", 4))).alias("sh"),
     )
     first = sets.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    owned = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("__n_first")
+    )
     per_doc = (
-        sets.join(first, "sh")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_sh"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1))
-                .otherwise(F.lit(0))
-            ).alias("n_first"),
+        d.select(
+            "doc_id",
+            "source",
+            F.size(F.array_distinct(char_shingles("text", 4))).alias("n_sh"),
+        )
+        .join(owned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_sh",
+            F.coalesce(F.col("__n_first"), F.lit(0)).alias("n_first"),
         )
     )
     nov_ppm = F.call_function(
@@ -855,7 +866,7 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("tt"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dec = "decimal(28,12)"
 
@@ -1107,7 +1118,7 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("n"),
         F.lit(2) * F.col("n"),
     ).cast("long")
-    means = per_rep.select(mean_u.alias("mu")).localCheckpoint(eager=True)
+    means = per_rep.select(mean_u.alias("mu")).localCheckpoint(eager=False)
     lo = means.orderBy(F.col("mu").asc()).limit(3).agg(
         F.max("mu").alias("lo_u"), F.count(F.lit(1)).alias("nl")
     )
@@ -1385,7 +1396,15 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir, ["documents"])
-    videos = ensure_parallelism(t["documents"]).where(
+    # Python-boundary fan-out is capped at 8 (guide §4.2: Arrow batches
+    # must stay large enough for the vectorized body to pay; guide
+    # §2.2: fewer, larger map tasks).  Measured in-sweep: 32 partitions
+    # of ~52 tiny rows each spawn 32 Python workers whose late-session
+    # fork cost dominated the query (9-11 s for ~266 KB of payload);
+    # 8 workers carry the same work in large batches.  Scale-safe:
+    # ensure_parallelism only ever RAISES the partition count, so a
+    # real cluster scan that already fans wider is untouched.
+    videos = ensure_parallelism(t["documents"], min_partitions=8).where(
         F.col("doc_id") % 3 == 2
     ).select(
         F.col("doc_id").alias("media_id"),
@@ -4350,7 +4369,7 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = edges.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))

@@ -117,7 +117,6 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kp_crypto_market_analytics_spark.operators.dedup import (
         cluster_labels_materialized,
     )
-    from kp_crypto_market_analytics_spark.queries_ext import _word_trigrams
     from kp_crypto_market_analytics_spark.queries_r7 import (
         _norm_text,
         _split_of,
@@ -155,22 +154,21 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.size(bigrams).cast("double"),
             ),
         )
-        .localCheckpoint(eager=True)
+        # toks fed only the trigram stage, which now reads the shared
+        # materialization — drop the array before the checkpoint so
+        # the materialized frame is the skinny per-doc flag row.
+        .drop("toks")
+        .localCheckpoint(eager=False)
     )
 
-    # Stage 3 input: df-capped word-trigram inverted index (exactly
-    # t_decontaminate's construction, from the shared base frame).
-    tri = (
-        base.where(F.size("toks") >= 3)
-        .select(
-            "doc_id", "source",
-            F.explode(_word_trigrams(F.col("toks"))).alias("g"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    tfreq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    tcap = tri.join(tfreq.where(F.col("df") <= _PIPE_TRI_DF_CAP), "g")
+    # Stage 3 input: df-capped word-trigram inverted index — the
+    # SHARED session materialization t_decontaminate reads (identical
+    # construction: same tokenization, >=3-token filter, df cap 100),
+    # replacing this query's own explode+distinct+df pass (r11
+    # optimization, guide §2.4).
+    from kp_crypto_market_analytics_spark.queries_ext import _tri_capped_df
+
+    tcap = _tri_capped_df(spark, sf_dir)
     ev = (
         tcap.where(F.col("source") == _PIPE_EVAL_SRC)
         .select("g")
@@ -204,7 +202,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = cluster_labels_materialized(spark, sf_dir)
 
     asg = (
-        base.drop("toks")
+        base
         .join(labels, "doc_id")
         .join(contam, "doc_id", "left")
         .withColumn("in_corpus", F.col("source") != _PIPE_EVAL_SRC)
@@ -1627,7 +1625,7 @@ def g_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = edges.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
@@ -1723,7 +1721,7 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -1740,7 +1738,7 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     wedges = (
         oriented.alias("a")
         .join(
@@ -1893,7 +1891,7 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.pmod(hash64(F.col("tok")), F.lit(_DSIR_BUCKETS)).alias("f"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     is_t = F.col("source") == _DSIR_TARGET
     bc = toks.groupBy("f").agg(
@@ -2408,7 +2406,7 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(_norm_text_col(), " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = freq.agg(
         F.sum("cf").alias("t_occ"), F.count(F.lit(1)).alias("t_types")

@@ -439,7 +439,13 @@ def test_corpus_pipeline_shares_one_documents_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("documents.parquet") == 0
-    assert plan.count("Scan ExistingRDD") >= 3
+    # Readers of the shared intermediates: the checkpointed base
+    # projection (ExistingRDD) plus the session-materialized trigram /
+    # cluster-label parquet tables (r11: stage 3 moved from a
+    # per-query trigram checkpoint onto the shared _tri_capped_df
+    # materialization, so some former ExistingRDD leaves are now temp
+    # parquet scans — still never the documents table).
+    assert plan.count("Scan ExistingRDD") >= 1
 
 
 def test_corpus_pipeline_epoch_mix_stage8(spark):
