@@ -64,7 +64,7 @@ def _jaccard_direct_join(sets: DataFrame, threshold: float) -> DataFrame:
     frequency is bounded (the ``max_shingle_freq`` capped regime)."""
     # The capped postings feed three consumers (sizes + both join
     # sides); materialize once.
-    sets = sets.localCheckpoint(eager=False)
+    sets = sets.localCheckpoint(eager=True)
     sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a = sets.select(F.col("doc").alias("doc_a"), "shingle")
     b = sets.select(F.col("doc").alias("doc_b"), "shingle")
@@ -134,7 +134,7 @@ def ngram_jaccard_pairs(
     # document frequency, prefixes, bitmaps); without materialization
     # the CPU-heavy explode+distinct re-executes for each (measured
     # 7.9s -> 2.9s warm at sf0.1 with the checkpoint).
-    sets = sets.localCheckpoint(eager=False)
+    sets = sets.localCheckpoint(eager=True)
 
     # Dictionary-encode shingles to dense int ids.  The vocabulary is a
     # DISTINCT over shingles — bounded by alphabet**k for char shingles
@@ -162,7 +162,7 @@ def ngram_jaccard_pairs(
     ints = (
         sets.join(enc_vocab, "shingle")
         .select("doc", F.col("__sid").alias("sid"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     # AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07): order each
@@ -715,7 +715,7 @@ def simhash_near_pairs(
         # the bucket self-join; materialize so the explode+bit-agg
         # pipeline runs once (same multi-consumer lesson as
         # ngram_jaccard_pairs).
-        sig = simhash(df, text, id_col).localCheckpoint(eager=False)
+        sig = simhash(df, text, id_col).localCheckpoint(eager=True)
     return hamming_band_pairs(sig, id_col, "simhash", max_hamming)
 
 
@@ -934,21 +934,24 @@ def connected_component_labels(
     # it also stops round N's action re-running the (often expensive)
     # edge-generation join.  On a cluster where executor loss matters,
     # swap for checkpoint(dir) — same semantics, reliable storage.
-    # Lazy checkpoints (r11, guide §1.2): eager=True dispatched a
-    # dedicated materialization job per frame per round; eager=False
-    # fuses materialization into the round's convergence count() (which
-    # touches every partition), saving one job dispatch per round with
-    # identical lineage truncation.  A/B on g_wcc's graph: first-call
-    # 4.6s -> 3.0s, steady-state equal, labels bit-identical.
+    # Checkpoints here are EAGER (re-measured r11): a lazy variant
+    # (materialize via the round's convergence count) A/B'd faster on
+    # a single warm call (4.6s -> 3.0s) but fresh-JVM isolates of the
+    # loop consumers turned bimodal and far slower (dedup_clusters
+    # 29.8s/39.0s lazy vs 10.6s eager min-of-2) — an unmaterialized
+    # checkpoint RDD consumed by the next round's join AND the
+    # convergence count races its own block materialization across
+    # concurrent stages.  Eager's one extra job per round is the
+    # cheaper, *predictable* cost.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     changed = -1
     for _ in range(max_iters):
         neighbor_min = (
@@ -998,14 +1001,14 @@ def connected_component_labels(
                     new_label.alias("label"),
                     (new_label < F.col("__old")).alias("__chg"),
                 )
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
         else:
             stepped = half.select(
                 "node",
                 "label",
                 (F.col("label") < F.col("__old")).alias("__chg"),
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint(eager=True)
         changed = stepped.where(F.col("__chg")).count()
         labels = stepped.drop("__chg")
         if changed == 0:
@@ -1177,7 +1180,7 @@ def ngram_containment_pairs(
             .drop("__df")
         )
     # Postings feed sizes + both join sides; materialize once.
-    sets = sets.localCheckpoint(eager=False)
+    sets = sets.localCheckpoint(eager=True)
     sizes = sets.groupBy("doc").agg(F.count(F.lit(1)).alias("set_size"))
     a = sets.select(F.col("doc").alias("doc_a"), "shingle")
     b = sets.select(F.col("doc").alias("doc_b"), "shingle")

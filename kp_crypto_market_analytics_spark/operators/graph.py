@@ -52,13 +52,13 @@ def pagerank_weighted(
             "dst",
             (F.col("weight").cast("double") / F.col("wdeg")).alias("ratio"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         er.select(F.col("src").alias("node"))
         .union(er.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pr = nodes.select("node", F.lit(1.0).alias("pr"))
     for i in range(iters):
@@ -81,7 +81,7 @@ def pagerank_weighted(
         # caps analysis cost on long runs (the CC lineage lesson
         # applies at depth, not at 3).
         if (i + 1) % 8 == 0 and i + 1 < iters:
-            pr = pr.localCheckpoint(eager=False)
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 
@@ -117,7 +117,7 @@ def personalized_pagerank(
             "dst",
             (F.col("weight").cast("double") / F.col("wdeg")).alias("ratio"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     node_ids = (
         er.select(F.col("src").alias("node"))
@@ -131,7 +131,7 @@ def personalized_pagerank(
     # fail loudly when nothing remains.
     seed_set = node_ids.join(
         F.broadcast(seeds.select("node").distinct()), "node", "semi"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     n_seeds = seed_set.count()
     if n_seeds == 0:
         raise ValueError(
@@ -151,7 +151,7 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("tele"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pr = nodes.select("node", "tele", F.col("tele").alias("pr"))
     for i in range(iters):
@@ -171,7 +171,7 @@ def personalized_pagerank(
             ).alias("pr"),
         )
         if (i + 1) % 8 == 0 and i + 1 < iters:
-            pr = pr.localCheckpoint(eager=False)
+            pr = pr.localCheckpoint(eager=True)
     return pr.select("node", "pr", (F.col("tele") > 0).alias("is_seed"))
 
 

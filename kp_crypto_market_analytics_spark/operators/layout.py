@@ -123,16 +123,21 @@ def range_partitioned_rank(
             F.max(mc).over(w_local.rowsBetween(Window.unboundedPreceding, hi)),
         )
         aggs.append(F.max(mc).alias("__m"))
-    # LAZY checkpoint (r11 optimization, guide §1.2/§2.4): eager=True
-    # ran a dedicated materialization job per call — pure fixed latency
-    # at 27 call sites (A/B: first call 2.75s -> 1.11s, outputs
-    # bit-identical).  Laziness keeps the boundary-pinning contract:
-    # all consumers share this ONE RDD, whose RangePartitioner samples
-    # boundaries exactly once at first materialization (the offsets
-    # broadcast build touches every partition, persisting them for the
-    # output join); a lost block after lineage truncation fails the
-    # job loudly — it can never silently resample.
-    local = local.localCheckpoint(eager=False)
+    # EAGER checkpoint (re-measured r11, guide §1.1: re-measure after).
+    # A lazy checkpoint was tried (it saves the dedicated
+    # materialization job per call; single-call A/B read 2.75s ->
+    # 1.11s) and REVERTED: `local` feeds TWO subtrees of the consuming
+    # action (the counts agg and the output join), and when both
+    # stages compute the not-yet-materialized RDD concurrently the
+    # per-partition block locks serialize the stages against each
+    # other — full-sweep bench regressed and fresh-JVM isolates of
+    # rank consumers turned bimodal (q_abc_pareto 5.8s/24.1s across
+    # two identical runs).  The eager count pins boundary sampling
+    # exactly once (ONE RDD -> ONE RangePartitioner) and every
+    # consumer scans persisted blocks; a lost block after lineage
+    # truncation fails the job loudly — it can never silently
+    # resample.
+    local = local.localCheckpoint(eager=True)
     counts = local.groupBy("__pid").agg(*aggs)
     # Running offsets over the |ranges|-row counts frame via a
     # triangular self-join (strictly-smaller pids), not a window: the

@@ -249,7 +249,7 @@ def kmeans_centroids(
     # The trained frame is broadcast TWICE downstream (corpus assignment
     # + query probe); checkpoint so training runs once, not per
     # broadcast — and the per-iteration lineage resets like CC's.
-    return cents.localCheckpoint(eager=False)
+    return cents.localCheckpoint(eager=True)
 
 
 def ivf_topk(
@@ -544,7 +544,7 @@ def pq_codebooks(
         )
         .withColumn("centnorm", norm(F.col("cent")))
     )
-    return trained.localCheckpoint(eager=False)
+    return trained.localCheckpoint(eager=True)
 
 
 def pq_encode(
@@ -608,7 +608,7 @@ def pq_topk(
     # assignment, training means, encoding) — materialize it once.  At
     # cluster scale prefer checkpoint(dir): the expansion is m× vector
     # bytes, but one write beats three corpus scans.
-    subs = pq_subvectors(corpus, vec_col, id_col, m=m, dim=dim).localCheckpoint(eager=False)
+    subs = pq_subvectors(corpus, vec_col, id_col, m=m, dim=dim).localCheckpoint(eager=True)
     codebooks = pq_codebooks(corpus, vec_col, id_col, m=m, ksub=ksub, dim=dim, subs=subs)
     codes = pq_encode(corpus, codebooks, vec_col, id_col, m=m, dim=dim, subs=subs)
     return pq_adc_topk(codebooks, codes, queries, vec_col, id_col, k=k, m=m, dim=dim)

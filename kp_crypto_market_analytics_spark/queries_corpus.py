@@ -898,7 +898,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         num_hashes=_LSH_NUM_HASHES, bands=_LSH_BANDS, k=4, use_words=False,
         sig=sig, max_bucket_size=_LSH_BUCKET_CAP, overcap="star",
-    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
     buckets = lsh_band_buckets(sig, "doc_id", _LSH_NUM_HASHES, _LSH_BANDS)
     bucket_hits = (
         truth.join(
@@ -1293,7 +1293,7 @@ def t_countmin_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("toks").alias("tok"),
     ).groupBy("bid", "tok").agg(
         F.count(F.lit(1)).alias("cf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     def bucket(j: int):
         return F.pmod(

@@ -3232,7 +3232,7 @@ def _tri_capped_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.explode(_word_trigrams(F.col("toks"))).alias("g"),
             )
             .distinct()
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         freq = tri.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         return tri.join(freq.where(F.col("df") <= 100), "g").select(
@@ -3775,7 +3775,7 @@ def t_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism(t["documents"])
         .select("source", F.explode(char_shingles("text", 4)).alias("sh"))
         .distinct()
-        .localCheckpoint(eager=False)  # feeds totals + both join sides
+        .localCheckpoint(eager=True)  # feeds totals + both join sides
     )
     totals = sets.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     shared = (
@@ -5032,7 +5032,7 @@ def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         slice_of("view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     c = (
         slice_of("click")
@@ -5040,7 +5040,7 @@ def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     p = (
         slice_of("purchase")
@@ -5724,7 +5724,7 @@ def a_hll_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_regs.join(F.broadcast(bids), "day")
         .groupBy("bid", "idx")
         .agg(F.max("m").alias("m"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     pbn = (
         t["events"]
@@ -5732,7 +5732,7 @@ def a_hll_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bids), "day")
         .groupBy("bid")
         .agg(F.count(F.lit(1)).alias("bn"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     state: DataFrame | None = None

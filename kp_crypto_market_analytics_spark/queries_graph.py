@@ -195,7 +195,7 @@ def g_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).unionByName(pairs.select(F.col("v").alias("a"), F.col("u").alias("b")))
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -273,7 +273,7 @@ def g_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -456,7 +456,7 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     label join, two community-grain aggs, and a window over
     |communities| rows."""
     pairs = _copurchase_pairs(spark, sf_dir)
-    edges = pairs.select("u", "v").localCheckpoint(eager=False)
+    edges = pairs.select("u", "v").localCheckpoint(eager=True)
     und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -475,7 +475,7 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
             .select("node", (-F.col("m.neg")).alias("lbl"))
         )
-    labels = labels.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=True)
     m_tot = edges.count()
     lab_u = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
     lab_v = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))

@@ -124,7 +124,7 @@ def g_jaccard_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a degree cap on wedge centers (drop n with deg > D; hubs
     contribute near-zero Jaccard anyway).  All-integer until the one
     final division."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = edges.select(F.col("u").alias("n"), F.col("v").alias("m")).unionByName(
         edges.select(F.col("v").alias("n"), F.col("u").alias("m"))
     )
@@ -300,7 +300,7 @@ def q_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg2 = (
         j.groupBy("l_partkey", "first_half")
         .agg(F.sum("rev").alias("rev"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     def half(flag: bool, rank_name: str) -> DataFrame:
@@ -386,7 +386,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge frames localCheckpointed so plan trees stay O(1)."""
     pairs = _copurchase_edges(spark, sf_dir)
     rounds = []
-    edges = pairs.localCheckpoint(eager=False)
+    edges = pairs.localCheckpoint(eager=True)
     for r in range(_KCORE_ROUNDS + 1):
         nodes = edges.select(F.col("u").alias("n")).unionAll(
             edges.select(F.col("v").alias("n"))
@@ -408,7 +408,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     out = rounds[0]
     for s in rounds[1:]:
@@ -866,7 +866,7 @@ def a_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         slice_of("view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     c = (
         slice_of("click")
@@ -874,7 +874,7 @@ def a_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     p = (
         slice_of("purchase")
@@ -1183,7 +1183,7 @@ def a_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["events"]
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
@@ -1279,7 +1279,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
             F.col("monetary").cast("double").alias("m_dbl"),
         )
-        .localCheckpoint(eager=False)  # feeds thresholds AND scoring
+        .localCheckpoint(eager=True)  # feeds thresholds AND scoring
     )
     qs = cust.agg(
         *[

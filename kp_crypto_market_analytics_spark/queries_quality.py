@@ -613,7 +613,7 @@ def a_ddsketch_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw prefix by sum associativity — and n_seen, since every
     # row lands in exactly one bucket) derives from it.  The DuckDB
     # oracle still recomputes every prefix from raw rows.
-    pbb = _dds_buckets(vb, ["bid"]).localCheckpoint(eager=False)
+    pbb = _dds_buckets(vb, ["bid"]).localCheckpoint(eager=True)
 
     state: DataFrame | None = None
     out: DataFrame | None = None
@@ -1759,7 +1759,7 @@ def a_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashes.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KMV_K)
         .select("event_type", "h")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     stats = sk.groupBy("event_type").agg(
         F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept")
@@ -1919,7 +1919,7 @@ def a_kmv_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = (
         e.join(F.broadcast(bids), "day")
         .select("bid", hash64(F.concat(F.col("u"), F.lit("#kmv"))).alias("h"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     def kmv_of(df: DataFrame) -> DataFrame:
@@ -2083,7 +2083,7 @@ def dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = (
         e.join(F.broadcast(bids), "day")
         .select("bid", "k")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     state: DataFrame | None = None
     out: DataFrame | None = None
@@ -2093,11 +2093,11 @@ def dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_keys
             if state is None
             else batch_keys.join(state, "k", "left_anti")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         state = (
             new_keys
             if state is None
-            else state.unionByName(new_keys).localCheckpoint(eager=False)
+            else state.unionByName(new_keys).localCheckpoint(eager=True)
         )
         n_new = new_keys.agg(F.count(F.lit(1)).alias("n_new_emitted"))
         st_size = state.agg(F.count(F.lit(1)).alias("state_size"))
@@ -2205,7 +2205,7 @@ def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bid", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     state: DataFrame | None = None
     d_cum: DataFrame = spark.range(1).select(F.lit(0).cast("long").alias("d_cum"))
@@ -2239,12 +2239,12 @@ def t_mg_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged.crossJoin(F.broadcast(d_df))
             .select("tok", (F.col("w") - F.col("d_step")).alias("w"))
             .where(F.col("w") > 0)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         d_cum = (
             d_cum.crossJoin(d_df)
             .select((F.col("d_cum") + F.col("d_step")).alias("d_cum"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         prefix = (
             pbc.where(F.col("bid") <= k)
@@ -2672,7 +2672,7 @@ def w_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row lag silently misaligns on gappy series (sparse SFs have
     # missing hours); the equi-join is gap-proof and co-partitions
     # with the bucket agg.
-    hourly = hourly.localCheckpoint(eager=False)  # probe + build sides
+    hourly = hourly.localCheckpoint(eager=True)  # probe + build sides
     pred = hourly.select(
         "event_type", (F.col("hb") + 24).alias("hb"), F.col("v").alias("pred")
     )
@@ -3603,7 +3603,7 @@ def a_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashes.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KMV_K)
         .select("event_type", "h")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     stats = sk.groupBy("event_type").agg(
         F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept")

@@ -3420,7 +3420,7 @@ def a_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # in the executed plan).  The frame is time-bounded (one row
         # per joined minute), so this is a tiny local materialization
         # — the t_corpus_pipeline shared-frame recipe.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     def te(df, a, b, c):

@@ -2510,7 +2510,7 @@ def g_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     x = nodes.select("node", F.lit(1.0).alias("x"))
     dec = "decimal(28,12)"
@@ -2601,7 +2601,7 @@ def g_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -2633,7 +2633,7 @@ def g_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("nd"))
                 .alias("dist"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     g = dist.where(F.col("dist") > 0).groupBy("s").agg(
         F.count(F.lit(1)).alias("n_reached"),
@@ -3829,7 +3829,7 @@ def g_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).alias("nv"))
     x = nodes.select("node", F.lit(1.0).alias("x"))

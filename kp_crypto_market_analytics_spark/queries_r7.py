@@ -165,7 +165,7 @@ def t_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("split").alias("c_split"),
         _split_of(doc_bucket).alias("d_split"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     pairs = capped_jaccard_pairs_materialized(spark, sf_dir).select(
         "doc_a", "doc_b"
     )
@@ -866,7 +866,7 @@ def g_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("tt"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     dec = "decimal(28,12)"
 
@@ -1118,7 +1118,7 @@ def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("n"),
         F.lit(2) * F.col("n"),
     ).cast("long")
-    means = per_rep.select(mean_u.alias("mu")).localCheckpoint(eager=False)
+    means = per_rep.select(mean_u.alias("mu")).localCheckpoint(eager=True)
     lo = means.orderBy(F.col("mu").asc()).limit(3).agg(
         F.max("mu").alias("lo_u"), F.count(F.lit(1)).alias("nl")
     )
@@ -4369,7 +4369,7 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = edges.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))

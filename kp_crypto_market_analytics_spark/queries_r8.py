@@ -158,7 +158,7 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialization — drop the array before the checkpoint so
         # the materialized frame is the skinny per-doc flag row.
         .drop("toks")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     # Stage 3 input: df-capped word-trigram inverted index — the
@@ -1625,7 +1625,7 @@ def g_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     adj = edges.select(
         F.col("u").alias("n"), F.col("v").alias("m")
     ).unionByName(edges.select(F.col("v").alias("n"), F.col("u").alias("m")))
@@ -1721,7 +1721,7 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -1738,7 +1738,7 @@ def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     wedges = (
         oriented.alias("a")
         .join(
@@ -1891,7 +1891,7 @@ def t_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.pmod(hash64(F.col("tok")), F.lit(_DSIR_BUCKETS)).alias("f"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     is_t = F.col("source") == _DSIR_TARGET
     bc = toks.groupBy("f").agg(
@@ -2406,7 +2406,7 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(_norm_text_col(), " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     tot = freq.agg(
         F.sum("cf").alias("t_occ"), F.count(F.lit(1)).alias("t_types")

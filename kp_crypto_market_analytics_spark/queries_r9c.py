@@ -98,7 +98,7 @@ def t_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     cnt = tf.groupBy("tok", F.col("lang").alias("l")).agg(
         F.sum("tf").alias("cnt")
