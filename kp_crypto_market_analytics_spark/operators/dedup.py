@@ -676,16 +676,27 @@ def winnow_positions(
     )
 
 
-def simhash(df: DataFrame, text: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    bits: int = 64,
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """SimHash fingerprint: sign-sum of token-hash bits.
 
     Plan: explode tokens → per-(doc, bit) weighted votes via shiftright
     masks → reassemble the fingerprint with a sum of bit columns.  Kept
-    to 64 bits in one LongType column."""
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")).alias("tok"),
-    )
+    to 64 bits in one LongType column.  ``toks`` injects a shared
+    (doc, tok) frame (the session-materialized tokenize-once silver
+    table) so the raw-text normalize+split pass is skipped — the
+    stored arrays come from the IDENTICAL expression, so the votes are
+    bit-equal."""
+    if toks is None:
+        toks = ensure_parallelism(df).select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")).alias("tok"),
+        )
     h = hash64(F.col("tok"))
     votes = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"bit_{i}")
@@ -1023,13 +1034,22 @@ def connected_component_labels(
 
 
 def _semantic_clustered(
-    emb: DataFrame, cents: DataFrame, vec_col: str, id_col: str
+    emb: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    id_col: str,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid cluster assignment carrying the vector:
     (cluster_id, vid, cvec, cnorm).  The centroid table broadcasts for
     assignment (operators.similarity.ivf_assign — skinny max_by rows,
     no vectors in that exchange); the returned frame is what shuffles
-    ONCE hashed on cluster_id into the within-cell comparison."""
+    ONCE hashed on cluster_id into the within-cell comparison.
+    ``assign`` injects a precomputed (id, centroid_id) table (the
+    session-materialized full-corpus assignment shared with the IVF
+    search family) so the corpus×C argmax runs once per session —
+    identical values by construction (per-row argmax on a frozen
+    centroid table)."""
     from kp_crypto_market_analytics_spark.functions.vectors import (
         norm,
         to_double_array,
@@ -1039,7 +1059,12 @@ def _semantic_clustered(
     c = ensure_parallelism(
         emb.select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("cvec"))
     ).withColumn("cnorm", norm(F.col("cvec")))
-    assign = ivf_assign(c, cents, id_col="vid")
+    if assign is None:
+        assign = ivf_assign(c, cents, id_col="vid")
+    else:
+        assign = assign.select(
+            F.col(assign.columns[0]).alias("vid"), "centroid_id"
+        )
     return c.join(assign, "vid").select(
         F.col("centroid_id").alias("cluster_id"), "vid", "cvec", "cnorm"
     )
@@ -1110,6 +1135,7 @@ def semantic_dedup_census(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tau: float = 0.35,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster SemDeDup census: (cluster_id, n_vecs, n_pairs,
     n_dropped, n_kept), one row per non-empty cell, ordered by cell.
@@ -1119,7 +1145,7 @@ def semantic_dedup_census(
     (count(DISTINCT id_b) over qualifying pairs).  One assignment pass
     feeds both the cell sizes and the pair stage, so the census costs
     the detector run plus two skinny aggregates."""
-    clustered = _semantic_clustered(emb, cents, vec_col, id_col)
+    clustered = _semantic_clustered(emb, cents, vec_col, id_col, assign=assign)
     sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
     stats = (
         _semantic_pairs(clustered, tau)

@@ -262,6 +262,7 @@ def ivf_topk(
     centroid_mod: int = 37,
     dim: int = 64,
     centroids: DataFrame | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into Voronoi cells around a
     small centroid set, then search only the ``nprobe`` cells nearest
@@ -292,7 +293,17 @@ def ivf_topk(
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), to_double_array(vec_col).alias("cvec"))
     ).withColumn("cnorm", norm(F.col("cvec")))
-    best = ivf_assign(c, cents)
+    # `assignment` injects a precomputed (id, centroid_id) table (the
+    # session-materialized full-corpus assignment) so multi-detector
+    # sessions run the corpus×C argmax once, not per consumer; the
+    # values are identical by construction (per-row argmax against a
+    # frozen table).
+    if assignment is not None:
+        best = assignment.select(
+            F.col(assignment.columns[0]).alias("neighbor_id"), "centroid_id"
+        )
+    else:
+        best = ivf_assign(c, cents)
     cassign = c.join(F.broadcast(best), "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")

@@ -589,8 +589,16 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
+        from kp_crypto_market_analytics_spark.queries_corpus import _toks_df
+
         t = load_tables(spark, sf_dir, ["documents"])
-        return simhash(t["documents"], "text", "doc_id")
+        # The shared tokenize-once table replaces this build's own
+        # normalize+split scan of raw text (r11 wave 4, guide §2.4);
+        # same expression, bit-equal votes.
+        toks = _toks_df(spark, sf_dir).select(
+            F.col("doc_id").alias("doc"), F.explode("toks").alias("tok")
+        )
+        return simhash(t["documents"], "text", "doc_id", toks=toks)
 
     return session_materialized(spark, f"simhash:{sf_dir}:bits=60", build)
 
@@ -842,6 +850,46 @@ def _kmeans_cents37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized full-corpus nearest-centroid assignment
+    (vec_id, centroid_id) against the trained cents37 table — the
+    second training-adjacent artifact the IVF family shares (r11
+    wave 4, guide §2.4).  Before this, FIVE corpus×C assignment
+    passes ran per session over identical inputs: one inside
+    _ivf_trained_topk5's ivf_topk, one inside dedup_semantic's
+    cell clustering, and three inside sim_ivf_stream_parity's
+    per-batch folds.  Assignment is a deterministic per-row argmax
+    of the 6dp-rounded cosine (centroid-id tiebreak) against a
+    FROZEN table, so one materialized pass serves all of them
+    bit-identically — at 100 TB this is the posting-list build you
+    run exactly once per index version."""
+    from kp_crypto_market_analytics_spark.operators.materialize import (
+        session_materialized,
+    )
+    from kp_crypto_market_analytics_spark.functions.vectors import (
+        norm,
+        to_double_array,
+    )
+    from kp_crypto_market_analytics_spark.operators.similarity import ivf_assign
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, ["embeddings"])
+        c = ensure_parallelism(
+            t["embeddings"].select(
+                F.col("vec_id").alias("neighbor_id"),
+                to_double_array("embedding").alias("cvec"),
+            )
+        ).withColumn("cnorm", norm(F.col("cvec")))
+        cents = _kmeans_cents37(spark, sf_dir)
+        return ivf_assign(c, cents).select(
+            F.col("neighbor_id").alias("vec_id"), "centroid_id"
+        )
+
+    return session_materialized(
+        spark, f"ivf_assign:{sf_dir}:mod=37:iters=2", build
+    )
+
+
 def _ivf_trained_topk5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-materialized trained-IVF top-5 result — the detector
     output shared by sim_ivf_trained (the headline search) and
@@ -859,7 +907,8 @@ def _ivf_trained_topk5(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = emb.where(F.col("vec_id") < 10)
         cents = _kmeans_cents37(spark, sf_dir)
         return ivf_topk(
-            emb, queries, "embedding", "vec_id", k=5, nprobe=2, centroids=cents
+            emb, queries, "embedding", "vec_id", k=5, nprobe=2,
+            centroids=cents, assignment=_ivf_assign37(spark, sf_dir),
         )
 
     return session_materialized(
@@ -973,7 +1022,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     cents = _kmeans_cents37(spark, sf_dir)
     return semantic_dedup_census(
-        t["embeddings"], cents, "embedding", "vec_id", tau=_SEMANTIC_TAU
+        t["embeddings"], cents, "embedding", "vec_id", tau=_SEMANTIC_TAU,
+        assign=_ivf_assign37(spark, sf_dir),
     )
 
 

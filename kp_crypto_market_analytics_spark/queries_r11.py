@@ -2,12 +2,14 @@
 
 Headline: streaming ANN index maintenance (VERDICT r10 ask #4) —
 ``sim_ivf_stream_parity`` gates the incremental IVF assignment loop
-(streaming/ann_ivf.py) as an unrolled batch fold: the embedding
-corpus arrives in 3 batches (vec_id mod 3), each batch is assigned to
-the FROZEN k-means-trained centroids by the SAME core the stream's
-``foreachBatch`` runs (ivf_assign_batch → operators.similarity.
-ivf_assign), and the union of the per-batch assignments is the gated
-table.  tests/test_sinks_streaming.py pins the real streaming query
+(streaming/ann_ivf.py): the embedding corpus arrives in 3 batches
+(vec_id mod 3), each batch is assigned to the FROZEN k-means-trained
+centroids by the SAME core the stream's ``foreachBatch`` runs
+(ivf_assign_batch → operators.similarity.ivf_assign).  Because
+frozen-centroid assignment is per-vector independent, the gated fold
+is computed as ONE shared-assignment pass with batch = vec_id mod B
+(r11 optimization) — row-identical to the original unrolled 3-batch
+union.  tests/test_sinks_streaming.py pins the real streaming query
 emission-for-emission to this fold and pins serving from the
 incrementally-built index to the batch ``sim_ivf_trained`` results.
 
@@ -55,31 +57,26 @@ def sim_ivf_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     is per-vector against a constant broadcast table, so the union of
     per-batch emissions equals the batch-built index row-for-row —
     THE invariant that lets a serving read mix incrementally-ingested
-    and batch-built partitions.  Scale shape per batch: |batch| × C
-    broadcast nested-loop into one skinny max_by agg; no corpus-side
-    shuffle, ever."""
-    from kp_crypto_market_analytics_spark.queries_ext import _kmeans_cents37
-    from kp_crypto_market_analytics_spark.streaming.ann_ivf import (
-        ivf_assign_batch,
-    )
+    and batch-built partitions.  Because of exactly that invariant,
+    the parity FOLD is computed as one pass (r11 optimization, guide
+    §2.4): the session-materialized full-corpus assignment
+    (queries_ext._ivf_assign37 — the same ivf_assign argmax core the
+    streaming loop's ivf_assign_batch calls) with batch = vec_id mod
+    B selected per row, replacing three per-batch corpus×C assignment
+    subplans with one table read — identical rows by the per-vector
+    independence the docstring proves.  The REAL foreachBatch loop
+    (streaming/ann_ivf.py) still runs the incremental per-trigger
+    path and stays pinned to this fold emission-for-emission
+    (tests/test_sinks_streaming.py::
+    test_ivf_index_stream_matches_gated_fold)."""
+    from kp_crypto_market_analytics_spark.queries_ext import _ivf_assign37
 
-    t = load_tables(spark, sf_dir, ["embeddings"])
-    emb = t["embeddings"]
-    cents = _kmeans_cents37(spark, sf_dir)
-    folds = []
-    for b in range(_SIVF_BATCHES):
-        batch = emb.where(F.col("vec_id") % _SIVF_BATCHES == b)
-        folds.append(
-            ivf_assign_batch(batch, cents).select(
-                F.lit(b).cast("long").alias("batch"),
-                "vec_id",
-                "centroid_id",
-            )
-        )
-    out = folds[0]
-    for f in folds[1:]:
-        out = out.unionByName(f)
-    return out.orderBy("batch", "vec_id")
+    assign = _ivf_assign37(spark, sf_dir)
+    return assign.select(
+        (F.col("vec_id") % _SIVF_BATCHES).cast("long").alias("batch"),
+        "vec_id",
+        "centroid_id",
+    ).orderBy("batch", "vec_id")
 
 
 def _sim_ivf_stream_parity_sql() -> str:
