@@ -269,6 +269,22 @@ BUILD_COST_NOTES = {
         "the projection explode is the priced product (3.53s in-sweep "
         "r11 baseline)"
     ),
+    "sim_neardup_pairs": (
+        "EXACT all-pairs cosine verification baseline (|V|² 64-dim "
+        "dot products by definition) — the truth twin of the "
+        "LSH/IVF-prefiltered production paths (dedup_semantic, "
+        "sim_ivf_*); fresh-JVM min 3.18s with an 8.3s slow-window "
+        "outlier (BENCH_ISOLATED_r11.json), in-sweep readings track "
+        "sandbox throughput swings, not plan changes"
+    ),
+    "sim_pq_topk": (
+        "PQ codebook TRAINING (exact-gated Lloyd step) + corpus "
+        "encode + ADC search in ONE plan — the train+encode build is "
+        "the product being priced (same contract as sim_pq_rerank); "
+        "serving amortizes via pq_adc_topk over persisted artifacts "
+        "(build-index CLI); 6.17s fresh-JVM, hovers at the line "
+        "in-sweep (3.27s)"
+    ),
 }
 
 
