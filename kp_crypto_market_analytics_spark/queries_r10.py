@@ -136,19 +136,37 @@ def dedup_lsh_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"repm_{t}") for t in range(nb)]), idx
     )
     withstats = buckets.join(stats, "bucket")
+    # Pre-join cap filter (r11 wave 6 — the explain audit caught the
+    # wave-1 single-pass fold joining ALL bucket members and applying
+    # the cap only after the self-join: a boilerplate bucket of B docs
+    # would emit B²/2 join rows first, the very blowup the cap
+    # exists to bound).  __szm = the bucket's size AS OF each member's
+    # arrival batch (cumulative count over the (bucket, m) window).
+    # Filtering BOTH join sides to __szm <= cap is EXACTLY the pair
+    # emission condition, not just a necessary bound: a pair (a, b)
+    # emits at t = max(m_a, m_b) iff sz_t <= cap, and the later side's
+    # __szm IS sz_t while the earlier side's __szm <= sz_t by
+    # monotonicity — so the old stats join + post-join filter drop out
+    # of the pair branch entirely, and every join side is bounded at
+    # <= cap members per bucket.
+    w_arr = Window.partitionBy("bucket").orderBy("m").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    under = (
+        buckets.withColumn("__szm", F.count(F.lit(1)).over(w_arr))
+        .where(F.col("__szm") <= cap)
+        .drop("__szm")
+    )
     pair_cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
+        under.alias("x")
+        .join(under.alias("y"), F.col("x.bucket") == F.col("y.bucket"))
         .where(F.col("x.doc") < F.col("y.doc"))
         .select(
-            "x.bucket",
             F.greatest("x.m", "y.m").cast("long").alias("batch"),
             F.col("x.doc").alias("doc_a"),
             F.col("y.doc").alias("doc_b"),
+            F.lit("pair").alias("tier"),
         )
-        .join(stats, "bucket")
-        .where(sz_at <= cap)
-        .select("batch", "doc_a", "doc_b", F.lit("pair").alias("tier"))
     )
     star_cand = (
         withstats.select(
