@@ -273,9 +273,10 @@ BUILD_COST_NOTES = {
         "EXACT all-pairs cosine verification baseline (|V|² 64-dim "
         "dot products by definition) — the truth twin of the "
         "LSH/IVF-prefiltered production paths (dedup_semantic, "
-        "sim_ivf_*); fresh-JVM min 3.18s with an 8.3s slow-window "
-        "outlier (BENCH_ISOLATED_r11.json), in-sweep readings track "
-        "sandbox throughput swings, not plan changes"
+        "sim_ivf_*); r11 wave 7 moved the quadratic stage to blocked "
+        "NumPy (bit-exact, 1.5s -> 0.75s warm); earlier in-sweep "
+        "spikes were sandbox throughput swings (fresh-JVM 3.18s with "
+        "an 8.3s outlier, BENCH_ISOLATED_r11.json)"
     ),
     "sim_pq_topk": (
         "PQ codebook TRAINING (exact-gated Lloyd step) + corpus "

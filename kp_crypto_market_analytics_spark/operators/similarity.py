@@ -107,6 +107,91 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_blocked(
+    df: DataFrame,
+    corpus_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """:func:`neardup_pairs` with the quadratic stage vectorized:
+    every task computes one BLOCK of the pair-cosine matrix in NumPy
+    instead of evaluating the HOF dot per pair in the JVM (guide
+    §4.2 — hand whole batches to vectorized native code; §8 —
+    co-locate: each task reads the fixed corpus side from storage
+    once, so no corpus bytes enter any shuffle or broadcast and the
+    driver never collects).
+
+    BIT-EXACT by construction, not approximately: the accumulation
+    runs one dimension at a time (``acc += A[:, d] ⊗ B[:, d]``), so
+    every pair's dot product is the identical left-associated
+    multiply-then-add IEEE sequence :func:`functions.vectors.dot`
+    evaluates, norms accumulate ``acc + v*v`` in the same order as
+    :func:`norm`, and the final ``dot / (na * nb)`` matches
+    :func:`cosine_with_norms` operation for operation (NumPy
+    elementwise ops neither fuse nor reassociate).  The >= threshold
+    compare happens on the raw cosine exactly as in the join form;
+    rounding stays in Spark.  Pinned against the HOF reference by
+    tests/test_operators.py::test_neardup_pairs_blocked_matches_hof.
+
+    ``corpus_path`` is the parquet the corpus side scans (at cluster
+    scale: the shared-FS/object-store path every executor can read —
+    the plan-side table stays tiny relative to the blocks it prices).
+    Requires fixed-width ``dim`` vectors (the stored table's shape);
+    ragged inputs belong to the generic join form."""
+    out_schema = (
+        f"id_a bigint, id_b bigint, cos double"
+    )
+    a = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("id_a"), to_double_array(vec_col).alias("va")
+        )
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(corpus_path, columns=[id_col, vec_col])
+        ids_b = tb.column(id_col).to_numpy()
+        mat_b = np.asarray(tb.column(vec_col).to_pylist(), dtype=np.float64)
+        nb = np.zeros(len(ids_b))
+        for d in range(mat_b.shape[1]):
+            nb += mat_b[:, d] * mat_b[:, d]
+        nb = np.sqrt(nb)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat_a = np.asarray(pdf["va"].to_list(), dtype=np.float64)
+            ids_a = pdf["id_a"].to_numpy()
+            na = np.zeros(len(ids_a))
+            for d in range(mat_a.shape[1]):
+                na += mat_a[:, d] * mat_a[:, d]
+            na = np.sqrt(na)
+            acc = np.zeros((len(ids_a), len(ids_b)))
+            for d in range(mat_a.shape[1]):
+                acc += mat_a[:, d : d + 1] * mat_b[None, :, d]
+            denom = na[:, None] * nb[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            mask = (
+                (na[:, None] > 0)
+                & (nb[None, :] > 0)
+                & (ids_a[:, None] < ids_b[None, :])
+                & (cos >= threshold)
+            )
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": ids_a[ii], "id_b": ids_b[jj], "cos": cos[ii, jj]}
+            )
+
+    return a.mapInPandas(run, out_schema).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     vec_col: str = "embedding",

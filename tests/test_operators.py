@@ -596,3 +596,67 @@ def test_lsh_star_routing_preserves_bucket_connectivity(spark):
     # The cross-cell near-dup (7, 8) is structurally invisible to
     # cluster-scoped comparison — the known SemDeDup approximation.
     assert (7, 8) not in pairs
+
+
+def test_neardup_pairs_blocked_matches_hof(spark, tmp_path):
+    """The blocked NumPy pair scorer must be BIT-identical to the HOF
+    join form — same left-assoc dot, same norm accumulation, same
+    divide shape, same raw-cosine threshold compare — on data that
+    exercises the guards: a zero vector (null cosine -> excluded),
+    exact/scaled duplicates (cos == 1.0), anti-parallel vectors,
+    threshold-straddling pairs, and float32-origin values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kp_crypto_market_analytics_spark.operators.similarity import (
+        neardup_pairs,
+        neardup_pairs_blocked,
+    )
+
+    vecs = [
+        (0, [1.0, 0.25, -0.5, 0.125]),
+        (1, [1.0, 0.25, -0.5, 0.125]),       # exact dup of 0
+        (2, [2.0, 0.5, -1.0, 0.25]),         # scaled dup of 0
+        (3, [-1.0, -0.25, 0.5, -0.125]),     # anti-parallel to 0
+        (4, [0.0, 0.0, 0.0, 0.0]),           # zero vector -> excluded
+        (5, [0.1, 0.9, 0.3, 0.7]),
+        (6, [0.30000001192092896, 0.1, 0.2, 0.4]),  # float32-origin value
+        (7, [0.9, 0.1, -0.5, 0.2]),
+    ]
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        path,
+    )
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    for thr in (0.45, 0.95, -0.2):
+        ref = (
+            neardup_pairs(emb, "embedding", "vec_id", threshold=thr)
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        got = (
+            neardup_pairs_blocked(
+                emb, path, "embedding", "vec_id", threshold=thr
+            )
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        assert got == ref, f"thr={thr}: {got} != {ref}"
+        assert len(ref) > 0  # every threshold exercises real pairs
+    # the zero vector never appears on either side
+    all_ids = {
+        r[c]
+        for r in neardup_pairs_blocked(
+            emb, path, "embedding", "vec_id", threshold=-1.0
+        ).collect()
+        for c in ("id_a", "id_b")
+    }
+    assert 4 not in all_ids
