@@ -105,6 +105,20 @@ DRIFT_GATE = 1.10
 DRIFT_GATE_LOW = 0.85
 
 
+def median_canary_sample(
+    samples: list[dict[str, float]],
+) -> tuple[dict[str, float], list[float]]:
+    """(median-total sample, all totals) — the noise-aware endpoint
+    estimator (VERDICT r11 ask #6).  Taking the MEDIAN-total pass of
+    an odd number of canary passes makes one sandbox throughput spike
+    (or one anomalously fast pass) unable to set the drift ratio,
+    while an actually-aged session still moves every pass and trips
+    the gate."""
+    totals = [round(sum(c.values()), 3) for c in samples]
+    mid = sorted(totals)[len(totals) // 2]
+    return samples[totals.index(mid)], totals
+
+
 def drift_verdict(ratio: float | None) -> tuple[bool, str | None]:
     """(drift_ok, reason) for a canary end/start ratio — the two-sided
     gate decision, factored out so the boundary logic is unit-testable
@@ -161,6 +175,12 @@ BUILD_COST_NOTES = {
     "t_naive_bayes": (
         "per-class token likelihood tables + full-corpus scoring join "
         "— vocabulary-bounded but two corpus passes by definition"
+    ),
+    "q_abc_pareto": (
+        "|lineitem| exact-decimal revenue aggregate + range-partitioned "
+        "global cumsum: warm history sits 2.4-2.7s; the r12-baseline "
+        "3.016s reading is threshold noise on the one full-fact-table "
+        "decimal aggregate the classification is defined over"
     ),
     "dedup_minhash_sig": (
         "64-hash df-capped signature build (r9 recall fix: 8->64 "
@@ -321,6 +341,14 @@ def _extract_bench(data: dict) -> dict | None:
                 continue
             if isinstance(cand, dict) and isinstance(cand.get("queries"), dict):
                 return cand
+            # The compact per-query line (r12, VERDICT r11 ask #2):
+            # {"per_query": {name: sec}} printed right before the
+            # summary — short enough to survive front-truncation, and
+            # carries exactly the timings dict.
+            if isinstance(cand, dict) and isinstance(
+                cand.get("per_query"), dict
+            ):
+                return {"queries": cand["per_query"], "value": None}
     # Truncated single line: keep only the part before the queries
     # dict closes (delta_vs_prev entries further right would otherwise
     # shadow real timings), then regex the per-query pairs.  The
@@ -563,6 +591,15 @@ def main(repeat: int = 1) -> None:
         if r >= DRIFT_GATE_LOW:
             break
         prev, canary_start = canary_start, run_canary("start")
+    # Noise-aware sampling (VERDICT r11 ask #6): a SINGLE start/end
+    # pass conflates this sandbox's documented 2-7x external
+    # throughput spikes with session aging — every r11 sweep failed
+    # the gate low on honest methodology.  Take THREE samples per
+    # endpoint and use the median-total pass, so one spiked (or one
+    # anomalously fast) pass cannot set the ratio.  ~4 extra canary
+    # passes ≈ 12 s per sweep, paid outside the timed queries.
+    start_samples = [canary_start, run_canary("start"), run_canary("start")]
+    canary_start, start_totals = median_canary_sample(start_samples)
 
     timings: dict[str, float] = {}
     pass_totals: list[float] = []
@@ -596,7 +633,8 @@ def main(repeat: int = 1) -> None:
             gc.collect()
         pass_totals.append(round(pass_total, 3))
 
-    canary_end = run_canary("end")
+    end_samples = [run_canary("end") for _ in range(3)]
+    canary_end, end_totals = median_canary_sample(end_samples)
     c_start = round(sum(canary_start.values()), 3)
     c_end = round(sum(canary_end.values()), 3)
     drift_ratio = round(c_end / c_start, 4) if c_start else None
@@ -630,11 +668,17 @@ def main(repeat: int = 1) -> None:
             "ratio": drift_ratio,
             "gate": DRIFT_GATE,
             "gate_low": DRIFT_GATE_LOW,
-            # Methodology marker (ADVICE r10): the canary queries run 3
+            # Methodology marker (ADVICE r10): the canary queries run
             # extra passes before the sweep (warmup + start + end), so
             # their sweep timings are warm — cross-round total
             # comparisons against pre-r10 records must account for it.
             "canary_warmed": True,
+            # Noise-aware sampling (VERDICT r11 ask #6): start/end are
+            # each the MEDIAN-total pass of 3; all totals recorded so
+            # the spread (sandbox noise) is visible in the artifact.
+            "median_of": 3,
+            "start_totals": start_totals,
+            "end_totals": end_totals,
             # Two-sided gate (VERDICT r10 ask #2): ratio >= gate means
             # the session AGED during the sweep; ratio < gate_low means
             # the start sample was still absorbing warmup, i.e. the
@@ -684,6 +728,20 @@ def main(repeat: int = 1) -> None:
     except OSError:
         pass
     print(json.dumps(out))
+    # Compact per-query line (VERDICT r11 ask #2): the driver's PERF
+    # parser recovered NO per-query timings from either r10's or r11's
+    # stdout (prev_bench_ok/now_bench_ok false, n_common 0) because
+    # the detail record above is one huge line that front-truncates in
+    # the driver's tail window.  This line carries ONLY the timings
+    # dict, compact separators, placed second-to-last so it survives
+    # front-truncation whenever the summary line does (~14 KB for 470
+    # queries vs ~60 KB for the detail record).
+    print(
+        json.dumps(
+            {"per_query": {n: t for n, t in sorted(timings.items())}},
+            separators=(",", ":"),
+        )
+    )
     # Compact summary LAST: the detail line above can exceed the
     # driver's stdout-tail window and get front-truncated (r01–r03 all
     # landed parsed=null); this line always survives, so the round

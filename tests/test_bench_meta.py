@@ -134,3 +134,45 @@ def test_drift_gate_is_two_sided():
     for ratio in (0.85, 0.93, 1.0, 1.09):
         ok, reason = drift_verdict(ratio)
         assert ok and reason is None, ratio
+
+
+def test_median_canary_sample_rejects_single_spike():
+    """VERDICT r11 ask #6: one sandbox throughput spike (or one
+    anomalously fast pass) must not set the drift ratio — the endpoint
+    estimator is the median-total pass of 3.  An actually-aged session
+    moves EVERY pass, so the gate still trips (extended from the
+    two-sided-gate test)."""
+    from bench import drift_verdict, median_canary_sample
+
+    quiet = {"q1": 1.0, "q2": 2.0}          # total 3.0
+    spiked = {"q1": 4.0, "q2": 6.0}         # a 2-7x sandbox window
+    fast = {"q1": 0.8, "q2": 1.6}
+    # start endpoint: spike in one of three passes -> median is quiet
+    sample, totals = median_canary_sample([quiet, spiked, quiet])
+    assert sample == quiet and totals == [3.0, 10.0, 3.0]
+    sample, _ = median_canary_sample([fast, quiet, spiked])
+    assert sample == quiet
+    # an aged session moves every pass: median reflects it, gate trips
+    aged = [{"q1": 2.0, "q2": 3.0}] * 3
+    end, _ = median_canary_sample(aged)
+    ratio = sum(end.values()) / sum(quiet.values())
+    ok, reason = drift_verdict(ratio)
+    assert not ok and "aged" in reason
+
+
+def test_extract_reads_compact_per_query_line():
+    """VERDICT r11 ask #2: the driver's PERF parser got n_common=0 two
+    rounds running because only the huge detail line carried timings.
+    The compact {"per_query": {...}} line printed before the summary
+    must be recognized as a timings source."""
+    import json
+
+    from bench import _extract_bench
+
+    tail = (
+        '{"per_query":{"q_a":1.25,"q_b":0.5}}\n'
+        '{"summary": true, "value": 1.75, "sf": 0.1, "n_queries": 2, '
+        '"n_excluded": 1}'
+    )
+    rec = _extract_bench({"tail": tail})
+    assert rec["queries"] == {"q_a": 1.25, "q_b": 0.5}
