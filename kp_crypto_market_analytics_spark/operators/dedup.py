@@ -1102,6 +1102,86 @@ def _semantic_pairs(clustered: DataFrame, tau: float) -> DataFrame:
     )
 
 
+def _semantic_pairs_blocked(clustered: DataFrame, tau: float) -> DataFrame:
+    """:func:`_semantic_pairs` with the within-cell quadratic stage
+    vectorized: one hash shuffle moves each vector to its cell ONCE
+    (the self-join form shipped both sides), then each cell's pair
+    block computes in NumPy instead of a JVM HOF dot per pair (guide
+    §4.2; the r11 neardup_pairs_blocked pattern keyed by cluster
+    cell, VERDICT r11 ask #1).
+
+    BIT-EXACT: dots/norms accumulate dimension at a time in the same
+    left-associated IEEE order as :func:`functions.vectors.dot` /
+    ``norm``, the divide matches ``cosine_with_norms``, and zero-norm
+    pairs drop exactly like the ``F.when`` null guard under the
+    ``>= tau`` filter.  The 6dp ROUNDING and the ``>= tau`` compare
+    stay in Spark: the kernel pre-filters on the RAW cosine with a
+    1e-6 slack (any pair whose rounded cosine reaches tau has raw
+    cosine > tau - 5e-7, so nothing is lost; false admits are removed
+    by the identical Spark round-compare).  Pinned by tests/
+    test_operators.py::test_semantic_pairs_blocked_matches_hof."""
+    schema = "cluster_id bigint, id_a bigint, id_b bigint, cos double"
+    slack = tau - 1e-6
+
+    def cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vid"].to_numpy()
+        mat = np.asarray(pdf["cvec"].to_list(), dtype=np.float64)
+        cid = pdf["cluster_id"].to_numpy()
+        n = np.zeros(len(ids))
+        for d in range(mat.shape[1]):
+            n += mat[:, d] * mat[:, d]
+        n = np.sqrt(n)
+        frames = []
+        # A-rows in bounded blocks so an over-size cell cannot build a
+        # cell²-doubles matrix in one allocation.
+        step = 1024
+        for lo in range(0, len(ids), step):
+            hi = min(lo + step, len(ids))
+            acc = np.zeros((hi - lo, len(ids)))
+            for d in range(mat.shape[1]):
+                acc += mat[lo:hi, d : d + 1] * mat[None, :, d]
+            denom = n[lo:hi, None] * n[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / denom
+            mask = (
+                (n[lo:hi, None] > 0)
+                & (n[None, :] > 0)
+                & (ids[lo:hi, None] < ids[None, :])
+                & (cos >= slack)
+            )
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": cid[lo + ii],
+                            "id_a": ids[lo + ii],
+                            "id_b": ids[jj],
+                            "cos": cos[ii, jj],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"cluster_id": [], "id_a": [], "id_b": [], "cos": []}
+            ).astype(
+                {"cluster_id": "int64", "id_a": "int64", "id_b": "int64",
+                 "cos": "float64"}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        clustered.select("cluster_id", "vid", "cvec")
+        .groupBy("cluster_id")
+        .applyInPandas(cell, schema)
+        .select("cluster_id", "id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .where(F.col("cos") >= tau)
+    )
+
+
 def semantic_neardup_pairs(
     emb: DataFrame,
     cents: DataFrame,
@@ -1148,7 +1228,7 @@ def semantic_dedup_census(
     clustered = _semantic_clustered(emb, cents, vec_col, id_col, assign=assign)
     sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_vecs"))
     stats = (
-        _semantic_pairs(clustered, tau)
+        _semantic_pairs_blocked(clustered, tau)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
