@@ -40,15 +40,21 @@ from kp_crypto_market_analytics_spark.session import load_tables
 SUPPORT = 2
 
 
-def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncached build: canonical (u < v, support) pairs, support >= 2."""
+def _build(
+    spark: SparkSession, sf_dir: str, min_support: int = SUPPORT
+) -> DataFrame:
+    """Uncached build: canonical (u < v, support) pairs.
+
+    ``min_support=1`` yields the UNFILTERED projection (every
+    co-occurring pair with its exact count) — the fallback arm of
+    :func:`copurchase_pairs_for_topk`'s saturation guard."""
     li = (
         load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -56,8 +62,10 @@ def _build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= SUPPORT)
     )
+    if min_support > 1:
+        pairs = pairs.where(F.col("support") >= min_support)
+    return pairs
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,6 +87,33 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"copurchase:{sf_dir}:support={SUPPORT}",
         lambda: _build(spark, sf_dir),
     )
+
+
+def copurchase_pairs_for_topk(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Pair table guaranteed to contain the UNFILTERED top-``k``
+    co-purchase edges under (support desc, u asc, v asc).
+
+    The shared materialization keeps only support >= ``SUPPORT``
+    edges.  Its top-k equals the unfiltered top-k IFF at least k
+    edges survive the filter: under the support-first order no
+    support-1 edge can outrank a surviving edge, and every surviving
+    edge carries its exact count.  r11 asserted that saturation
+    held per tested SF (a data-dependent claim — the observed margin
+    was shrinking: min top-20 weight 4/3/2 at sf0.001/0.01/0.1); this
+    makes the guarantee STRUCTURAL at any scale.  The guard counts at
+    most k rows of the 3-column materialized parquet (one tiny
+    metadata-bounded job — not a result collect; the guide §5 rule
+    targets pulling data volumes to the driver).  In the unsaturated
+    regime — only reachable when the thresholded basket graph itself
+    is near-empty — it falls back to the unfiltered build, whose
+    weight-1 tail is affordable exactly because the data is that
+    small."""
+    pairs = copurchase_pairs(spark, sf_dir)
+    if pairs.limit(k).count() >= k:
+        return pairs
+    return _build(spark, sf_dir, min_support=1)
 
 
 PAIRS_SQL = f"""li AS (

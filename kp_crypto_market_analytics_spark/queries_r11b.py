@@ -2463,19 +2463,20 @@ def g_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine, and the top-20 is a distributed TakeOrdered — no global
     sort materializes."""
     from kp_crypto_market_analytics_spark.operators.copurchase import (
-        copurchase_pairs,
+        copurchase_pairs_for_topk,
     )
 
     # r11 optimization (guide §2.4): the projection IS the shared
     # session-materialized co-purchase pair table (same distinct →
     # self-join → count arithmetic), so read it instead of re-running
     # the lineitem self-join.  The materialization keeps only support
-    # >= 2 edges; the top-20 is unchanged because at every tested SF
-    # the 20th-heaviest edge has weight >= 2 (weight-1 edges can never
-    # displace it), and every weight-2+ edge survives the filter with
-    # its exact count — the cross-engine oracle (which replays the
-    # UNFILTERED weights) gates this equivalence at each SF.
-    pairs = copurchase_pairs(spark, sf_dir)
+    # >= 2 edges; r12 makes the filtered-equals-unfiltered top-20
+    # equivalence STRUCTURAL instead of per-SF-asserted: the helper's
+    # saturation guard falls back to the unfiltered build whenever
+    # fewer than 20 edges survive the filter (see
+    # copurchase_pairs_for_topk; the cross-engine oracle replays the
+    # UNFILTERED weights and stays byte-identical).
+    pairs = copurchase_pairs_for_topk(spark, sf_dir, 20)
     return (
         pairs.orderBy(
             F.col("support").desc(), F.col("u").asc(), F.col("v").asc()

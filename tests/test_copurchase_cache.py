@@ -75,6 +75,77 @@ def test_cached_matches_uncached_build(spark):
         assert support >= 2
 
 
+def test_topk_guard_saturated_uses_materialization(spark):
+    """With >= k edges above the support threshold, the guard must
+    return the shared materialized table (no rebuild) and its top-k
+    must equal the UNFILTERED build's top-k — the structural claim
+    g_bipartite_projection rides on (r12, VERDICT r11 ask #4)."""
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        _build,
+        copurchase_pairs,
+        copurchase_pairs_for_topk,
+    )
+
+    k = 20
+    got = copurchase_pairs_for_topk(spark, SF_DIR, k)
+    # Saturated at SF_DIR: same plan object as the materialization.
+    mat = {tuple(r) for r in copurchase_pairs(spark, SF_DIR).collect()}
+    assert {tuple(r) for r in got.collect()} == mat
+
+    def topk(df):
+        return [
+            (r.u, r.v, r.support)
+            for r in df.orderBy(
+                df.support.desc(), df.u.asc(), df.v.asc()
+            ).limit(k).collect()
+        ]
+
+    unfiltered = _build(spark, SF_DIR, min_support=1)
+    assert topk(got) == topk(unfiltered)
+    assert len(topk(got)) == k
+
+
+def test_topk_guard_unsaturated_falls_back_to_unfiltered(spark, tmp_path):
+    """With fewer than k surviving edges the guard must return the
+    UNFILTERED build so weight-1 edges fill the top-k instead of
+    silently vanishing — the regime r11's per-SF assertion could not
+    cover."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kp_crypto_market_analytics_spark.operators.copurchase import (
+        copurchase_pairs_for_topk,
+    )
+
+    # 3 orders: parts (1,2) co-occur twice (support 2); five other
+    # pairs appear once each.  Only ONE edge survives support >= 2.
+    baskets = [(100, [1, 2]), (101, [1, 2]), (102, [3, 4, 5])]
+    ok, pk = [], []
+    for o, parts in baskets:
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = {
+        (r.u, r.v, r.support)
+        for r in copurchase_pairs_for_topk(spark, str(tmp_path), 20).collect()
+    }
+    assert got == {
+        (1, 2, 2),
+        (3, 4, 1),
+        (3, 5, 1),
+        (4, 5, 1),
+    }
+
+
 def test_capped_jaccard_materialization_matches_direct_build(spark):
     from kp_crypto_market_analytics_spark.operators.dedup import (
         capped_jaccard_pairs_materialized,
