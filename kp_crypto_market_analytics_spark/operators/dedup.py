@@ -272,6 +272,103 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard")
 
 
+def ngram_jaccard_pairs_blocked(
+    spark,
+    sets_path: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard over a MATERIALIZED distinct
+    (doc, shingle) posting table, with the quadratic stage vectorized:
+    every task computes one BLOCK of the pairwise intersection-count
+    matrix as a NumPy/BLAS matmul over the 0/1 doc×shingle incidence
+    matrix instead of driving a multi-stage shuffle pipeline (guide
+    §4.2 — hand whole batches to vectorized native code; §8 — each
+    task reads the fixed corpus side from ``sets_path`` once, so no
+    posting bytes enter any shuffle or broadcast and the driver never
+    collects).
+
+    EXACT, with a cleaner argument than the cosine kernels need:
+    every quantity until the final division is a small INTEGER.
+    ``inter = M_block @ M.T`` over a 0/1 matrix accumulates exact
+    integers in float64 (every partial sum is an integer well below
+    2^53, so the result is exact under ANY summation order or FMA the
+    BLAS kernel picks — no IEEE-ordering analysis required); set
+    sizes are exact row sums of the same matrix; the Jaccard division
+    ``inter / (size_a + size_b − inter)`` divides exact integer-valued
+    doubles, which IEEE 754 rounds identically in NumPy and the JVM,
+    and the ``>= threshold`` compare uses the same Python float both
+    engines see.  The kernel emits only the integer triple; the
+    DECLARED division/filter/rounding run in Spark, byte-identical to
+    :func:`_jaccard_direct_join`'s tail.  Pinned by
+    tests/test_operators.py::test_ngram_jaccard_blocked_matches_prefix_bitmap.
+
+    Memory envelope: one task holds |docs| × |vocab| × 8 bytes (the
+    dense incidence matrix — 10 MB at the benched sample: 1258 docs ×
+    985 char-4-grams).  This is the right form while that matrix fits
+    a task — the regime exact-truth baselines actually run in (they
+    are sampled precisely to stay feasible).  For corpora beyond it,
+    the prefix-filter + bitmap join plan (:func:`ngram_jaccard_pairs`,
+    still what the full eval-tier variant runs) remains the route."""
+    out_schema = (
+        "doc_a bigint, doc_b bigint, inter_size bigint, "
+        "size_a bigint, size_b bigint"
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(sets_path, columns=["doc", "shingle"])
+        doc_arr = tb.column("doc").to_numpy()
+        sh_arr = tb.column("shingle").to_numpy(zero_copy_only=False)
+        docs_u, doc_inv = np.unique(doc_arr, return_inverse=True)
+        _, sh_inv = np.unique(sh_arr, return_inverse=True)
+        m = np.zeros((len(docs_u), sh_inv.max() + 1 if len(sh_inv) else 1))
+        # (doc, shingle) rows are DISTINCT by construction — plain
+        # assignment, no accumulation needed.
+        m[doc_inv, sh_inv] = 1.0
+        sizes = m.sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc"].to_numpy()
+            rows = np.searchsorted(docs_u, ids)
+            inter = m[rows] @ m.T
+            union = sizes[rows][:, None] + sizes[None, :] - inter
+            jac = inter / union
+            mask = (docs_u[rows][:, None] < docs_u[None, :]) & (
+                jac >= threshold
+            )
+            ii, jj = np.nonzero(mask)
+            if not len(ii):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_a": docs_u[rows][ii],
+                    "doc_b": docs_u[jj],
+                    "inter_size": inter[ii, jj].astype(np.int64),
+                    "size_a": sizes[rows][ii].astype(np.int64),
+                    "size_b": sizes[jj].astype(np.int64),
+                }
+            )
+
+    driving = ensure_parallelism(
+        spark.read.parquet(sets_path).select("doc").distinct()
+    )
+    out = driving.mapInPandas(run, out_schema).withColumn(
+        "jaccard",
+        F.col("inter_size")
+        / (F.col("size_a") + F.col("size_b") - F.col("inter_size")),
+    )
+    # The kernel already filtered on the identical division/compare;
+    # the declared Spark-side filter is kept so the emitted plan states
+    # the query's contract (it removes no additional rows).
+    return out.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "inter_size", "size_a", "size_b", "jaccard"
+    )
+
+
 def lsh_bands_for_threshold(threshold: float, rows_per_band: int = 4) -> int:
     """Derive the LSH band count from the target Jaccard threshold
     (VERDICT r8 ask #1): the banding S-curve's midpoint is

@@ -102,3 +102,16 @@ def session_materialized(
                 build().write.mode("overwrite").parquet(path)
                 cache[key] = path
     return spark.read.parquet(cache[key])
+
+
+def session_materialized_path(
+    spark: SparkSession,
+    key: str,
+    build: Callable[[], DataFrame],
+) -> str:
+    """Like :func:`session_materialized` but return the backing parquet
+    PATH instead of a DataFrame — for blocked-NumPy kernels whose tasks
+    read the fixed side of a pair computation from storage (guide §8:
+    co-locate; the r11 ``neardup_pairs_blocked`` pattern)."""
+    session_materialized(spark, key, build)
+    return getattr(spark, _CACHE_ATTR)[key]

