@@ -288,73 +288,184 @@ def ngram_jaccard_pairs_blocked(
     collects).
 
     EXACT, with a cleaner argument than the cosine kernels need:
-    every quantity until the final division is a small INTEGER.
-    ``inter = M_block @ M.T`` over a 0/1 matrix accumulates exact
-    integers in float64 (every partial sum is an integer well below
-    2^53, so the result is exact under ANY summation order or FMA the
-    BLAS kernel picks — no IEEE-ordering analysis required); set
-    sizes are exact row sums of the same matrix; the Jaccard division
-    ``inter / (size_a + size_b − inter)`` divides exact integer-valued
-    doubles, which IEEE 754 rounds identically in NumPy and the JVM,
-    and the ``>= threshold`` compare uses the same Python float both
-    engines see.  The kernel emits only the integer triple; the
-    DECLARED division/filter/rounding run in Spark, byte-identical to
-    :func:`_jaccard_direct_join`'s tail.  Pinned by
-    tests/test_operators.py::test_ngram_jaccard_blocked_matches_prefix_bitmap.
+    every quantity until the final division is a small INTEGER
+    (posting-overlap counts via integer sort/count — no floating
+    accumulation at all); set sizes are exact posting counts; the
+    Jaccard division ``inter / (size_a + size_b − inter)`` divides
+    exact integer-valued doubles, which IEEE 754 rounds identically
+    in NumPy and the JVM, and the ``>= threshold`` compare uses the
+    same Python float both engines see.  The kernel emits only the
+    integer triple; the DECLARED division/filter/rounding run in
+    Spark, byte-identical to :func:`_jaccard_direct_join`'s tail.
+    Pinned by tests/test_operators.py::
+    test_ngram_jaccard_blocked_matches_prefix_bitmap.
 
-    Memory envelope: one task holds |docs| × |vocab| × 8 bytes (the
-    dense incidence matrix — 10 MB at the benched sample: 1258 docs ×
-    985 char-4-grams).  This is the right form while that matrix fits
-    a task — the regime exact-truth baselines actually run in (they
-    are sampled precisely to stay feasible).  For corpora beyond it,
-    the prefix-filter + bitmap join plan (:func:`ngram_jaccard_pairs`,
+    The kernel runs the SAME AllPairs/PPJoin algorithm as the Spark
+    plan (Bayardo et al. WWW'07), vectorized: each doc's shingles are
+    ordered by ascending global document frequency, only the first
+    n − ceil(t·n) + 1 ("prefix") postings enter candidate generation
+    (any pair with jaccard ≥ t must share a prefix shingle under a
+    common total order — prefixes computed with the same exact
+    integer-ppm ceil as the Spark plan), and every candidate is
+    verified exactly with packed-uint64 bitmap popcounts.  Two
+    rejected cuts, both measured on the 4× scaling synth corpus
+    before landing: a dense |docs|×|vocab| BLAS matmul priced its
+    n²·|vocab| term at 23 s (vs ~10 s for the join plan), and an
+    unfiltered inverted-index emission priced the Σ df² stop-shingle
+    term at 53 s — the prefix filter is load-bearing at scale, in the
+    kernel exactly as in the join plan.  The candidate SET may differ
+    from the Spark plan's (the df tie-order differs) but both are
+    supersets of the qualifying pairs and verification is exact, so
+    the output is row-identical.  Memory per task: posting arrays +
+    the n_docs × vocab/64 uint64 bitmap matrix + candidate keys.  For
+    corpora whose prefix-candidate volume outgrows a task, the
+    prefix-filter + bitmap JOIN plan (:func:`ngram_jaccard_pairs`,
     still what the full eval-tier variant runs) remains the route."""
     out_schema = (
         "doc_a bigint, doc_b bigint, inter_size bigint, "
         "size_a bigint, size_b bigint"
     )
+    thr_ppm = round(threshold * 1_000_000)
 
     def run(batches):
         import numpy as np
         import pandas as pd
         import pyarrow.parquet as pq
 
+        import pyarrow.compute as pc
+
         tb = pq.read_table(sets_path, columns=["doc", "shingle"])
         doc_arr = tb.column("doc").to_numpy()
-        sh_arr = tb.column("shingle").to_numpy(zero_copy_only=False)
         docs_u, doc_inv = np.unique(doc_arr, return_inverse=True)
-        _, sh_inv = np.unique(sh_arr, return_inverse=True)
-        m = np.zeros((len(docs_u), sh_inv.max() + 1 if len(sh_inv) else 1))
-        # (doc, shingle) rows are DISTINCT by construction — plain
-        # assignment, no accumulation needed.
-        m[doc_inv, sh_inv] = 1.0
-        sizes = m.sum(axis=1)
+        # Shingle ids via Arrow's C++ hash encode — np.unique over
+        # millions of Python-object strings dominated the per-task
+        # setup (measured on the 4× synth corpus).  First-occurrence
+        # order is as good as sorted order here: any consistent total
+        # order yields a qualifying-pair-superset candidate set, and
+        # verification is exact.
+        enc = pc.dictionary_encode(tb.column("shingle").combine_chunks())
+        gid = enc.indices.to_numpy().astype(np.int64)
+        n_docs = len(docs_u)
+        n_rows = len(doc_inv)
+        sizes = np.bincount(doc_inv, minlength=n_docs).astype(np.int64)
+        n_groups = int(gid.max()) + 1 if n_rows else 0
+        dfreq = np.bincount(gid, minlength=n_groups).astype(np.int64)
+
+        # --- packed bitmaps: bits[doc, w] has bit (g % 64) set for
+        # every posting (doc, g) with g // 64 == w.  Built with one
+        # sort + bitwise_or.reduceat (no slow ufunc.at scatter).
+        n_words = (n_groups + 63) // 64 if n_groups else 1
+        bits = np.zeros((n_docs, n_words), dtype=np.uint64)
+        if n_rows:
+            w = (gid >> 6).astype(np.int64)
+            bit = (np.uint64(1) << (gid & 63).astype(np.uint64))
+            cell = doc_inv.astype(np.int64) * n_words + w
+            o3 = np.argsort(cell, kind="stable")
+            cell_s, bit_s = cell[o3], bit[o3]
+            gstart = np.flatnonzero(
+                np.concatenate([[True], cell_s[1:] != cell_s[:-1]])
+            )
+            masks = np.bitwise_or.reduceat(bit_s, gstart)
+            bits.ravel()[cell_s[gstart]] = masks
+        popcnt = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint8
+        )
+
+        # --- per-doc df-ascending prefixes (exact integer ceil, same
+        # ppm arithmetic as the Spark plan).
+        o2 = np.lexsort((gid, dfreq[gid], doc_inv))
+        d2, g2 = doc_inv[o2], gid[o2]
+        cums = np.cumsum(sizes)
+        pos_in_doc = np.arange(n_rows, dtype=np.int64) - np.repeat(
+            cums - sizes, sizes
+        )
+        ceil_tn = (sizes * thr_ppm + 999_999) // 1_000_000
+        pref_len = sizes - ceil_tn + 1
+        keep = pos_in_doc < np.repeat(pref_len, sizes)
+        pdoc, pgid = d2[keep].astype(np.int64), g2[keep]
+
+        # Prefix postings grouped by shingle for candidate generation.
+        o4 = np.argsort(pgid, kind="stable")
+        pg_s, pd_s = pgid[o4], pdoc[o4]
+        counts = np.bincount(pg_s, minlength=n_groups)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+            np.int64
+        )
+
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["doc"].to_numpy()
             rows = np.searchsorted(docs_u, ids)
-            inter = m[rows] @ m.T
-            union = sizes[rows][:, None] + sizes[None, :] - inter
-            jac = inter / union
-            mask = (docs_u[rows][:, None] < docs_u[None, :]) & (
-                jac >= threshold
-            )
-            ii, jj = np.nonzero(mask)
-            if not len(ii):
+            amask = np.isin(pd_s, rows)
+            a_doc = pd_s[amask]
+            a_gid = pg_s[amask]
+            if not len(a_doc):
                 continue
-            yield pd.DataFrame(
-                {
-                    "doc_a": docs_u[rows][ii],
-                    "doc_b": docs_u[jj],
-                    "inter_size": inter[ii, jj].astype(np.int64),
-                    "size_a": sizes[rows][ii].astype(np.int64),
-                    "size_b": sizes[jj].astype(np.int64),
-                }
+            # candidates: block-doc prefix rows × co-PREFIX posters of
+            # the same shingle (concatenated-ranges emission).
+            reps = counts[a_gid]
+            offsets = starts[a_gid]
+            cum = np.cumsum(reps)
+            total = int(cum[-1])
+            out_idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum - reps, reps)
+                + np.repeat(offsets, reps)
             )
+            pa_ = np.repeat(a_doc, reps)
+            pb_ = pd_s[out_idx]
+            # docs_u is ascending, so index order == id order.
+            sel = pa_ < pb_
+            uk = np.unique(pa_[sel] * n_docs + pb_[sel])
+            if not len(uk):
+                continue
+            ai = uk // n_docs
+            bi = uk % n_docs
+            # exact bitmap-popcount verification, chunked to bound the
+            # AND matrix.
+            step = max(1, 16_000_000 // max(1, n_words * 8))
+            outs = []
+            for lo in range(0, len(ai), step):
+                hi = min(lo + step, len(ai))
+                band = bits[ai[lo:hi]] & bits[bi[lo:hi]]
+                inter = (
+                    popcnt[band.view(np.uint8)]
+                    .reshape(hi - lo, n_words * 8)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                union = (
+                    sizes[ai[lo:hi]] + sizes[bi[lo:hi]] - inter
+                ).astype(np.float64)
+                jac = inter.astype(np.float64) / union
+                m2 = jac >= threshold
+                if m2.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": docs_u[ai[lo:hi][m2]],
+                                "doc_b": docs_u[bi[lo:hi][m2]],
+                                "inter_size": inter[m2],
+                                "size_a": sizes[ai[lo:hi][m2]],
+                                "size_b": sizes[bi[lo:hi][m2]],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
-    driving = ensure_parallelism(
-        spark.read.parquet(sets_path).select("doc").distinct()
+    # Explicit repartition, not ensure_parallelism: AQE coalesces the
+    # post-distinct exchange of this tiny driving frame to ONE
+    # partition at runtime (the pre-execution partition count the
+    # helper checks looks fine), which would serialize the whole
+    # quadratic kernel onto one core.  A user-specified repartition(n)
+    # is exempt from AQE coalescing; sizing by defaultParallelism is
+    # scale-adaptive (total cores here, cluster cores in production).
+    driving = (
+        spark.read.parquet(sets_path)
+        .select("doc")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     out = driving.mapInPandas(run, out_schema).withColumn(
         "jaccard",
